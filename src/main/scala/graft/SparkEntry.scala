@@ -11,9 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship on sf0.001: the full reference pipeline — documents
+    * chunked, embedded (deterministic local embedder), emitted as
+    * idempotent vector records. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    graft.queries.Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
+    graft.queries.PipelineQueries.embedPipeline(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,166 @@
+package graft.pipeline
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.time.Duration
+import java.util.concurrent.{Executors, TimeUnit}
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+/** Text → vector embedding stage (the reference pipeline's hot operator,
+  * SURVEY.md §2.5).
+  *
+  * Implementations must be pure/idempotent per text so that Spark task
+  * re-execution (the retry unit, reference batch retry
+  * src/worker/worker.py:327-335) is safe, and must preserve input order —
+  * the reference zips responses positionally (worker.py:75-76), which we
+  * harden by index-tagging (SURVEY §7 quirk 7).
+  */
+trait Embedder extends Serializable {
+  def dim: Int
+  /** Embed one API-sized batch, preserving order: result(i) belongs to
+    * texts(i). */
+  def embedBatch(texts: IndexedSeq[String]): IndexedSeq[Array[Float]]
+  /** Texts per call (reference MAX_OPENAI_EMBEDDING_BATCH_SIZE=2048,
+    * src/worker/config.py:2). */
+  def maxBatchSize: Int = 2048
+}
+
+/** Deterministic local embedder for tests/benchmarks: seeds SplitMix64
+  * from the MD5 of the text, draws `dim` floats, L2-normalizes. Stands in
+  * for a real embedding service with zero egress while exercising the
+  * identical dataflow. */
+final class HashEmbedder(override val dim: Int = 64) extends Embedder {
+  override def embedBatch(texts: IndexedSeq[String]): IndexedSeq[Array[Float]] =
+    texts.map(embedOne)
+
+  def embedOne(text: String): Array[Float] = {
+    val md5 = MessageDigest.getInstance("MD5").digest(text.getBytes(StandardCharsets.UTF_8))
+    var seed = java.nio.ByteBuffer.wrap(md5).getLong
+    val v = new Array[Float](dim)
+    var i = 0
+    var norm = 0.0
+    while (i < dim) {
+      // SplitMix64 step
+      seed += 0x9e3779b97f4a7c15L
+      var z = seed
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      val f = ((z >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+      v(i) = f.toFloat
+      norm += f * f
+      i += 1
+    }
+    val inv = (1.0 / math.sqrt(norm)).toFloat
+    i = 0
+    while (i < dim) { v(i) *= inv; i += 1 }
+    v
+  }
+}
+
+/** Retry/backoff wrapper: `attempts` tries with exponential backoff
+  * `baseDelayMs * 2^i` (reference get_openai_embedding: 5 attempts,
+  * 2^i s backoff, src/worker/worker.py:77-90). */
+final class RetryingEmbedder(inner: Embedder, attempts: Int = 5,
+                             baseDelayMs: Long = 1000L) extends Embedder {
+  override def dim: Int = inner.dim
+  override def maxBatchSize: Int = inner.maxBatchSize
+  override def embedBatch(texts: IndexedSeq[String]): IndexedSeq[Array[Float]] = {
+    var i = 0
+    var last: Throwable = null
+    while (i < attempts) {
+      try return inner.embedBatch(texts)
+      catch {
+        case NonFatal(e) =>
+          last = e
+          if (i < attempts - 1 && baseDelayMs > 0)
+            Thread.sleep(baseDelayMs * (1L << i))
+      }
+      i += 1
+    }
+    throw last
+  }
+}
+
+/** OpenAI-compatible `/v1/embeddings` HTTP embedder over `java.net.http`.
+  *
+  * Matches the reference's designed throughput envelope: ≤2048 texts per
+  * call (worker.py:96) fanned out over `concurrency` parallel calls per
+  * partition (MAX_THREADS_OPENAI=20, worker.py:100-102). Each sub-call is
+  * index-tagged so response order cannot scramble the zip. Intended for
+  * real deployments; tests exercise it against a local stub server. */
+final class OpenAiHttpEmbedder(baseUrl: String, model: String,
+                               apiKey: String, override val dim: Int,
+                               concurrency: Int = 20,
+                               subBatchSize: Int = 2048,
+                               timeout: Duration = Duration.ofSeconds(60)) extends Embedder {
+  override def maxBatchSize: Int = subBatchSize * concurrency
+
+  @transient private lazy val client: HttpClient =
+    HttpClient.newBuilder().connectTimeout(timeout).build()
+
+  private def jsonEscape(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.result()
+  }
+
+  /** Minimal parser for `{"data":[{"index":i,"embedding":[...]},...]}` —
+    * avoids a JSON dependency; tolerant of field order. */
+  private[pipeline] def parseResponse(body: String, n: Int): IndexedSeq[Array[Float]] = {
+    val out = new Array[Array[Float]](n)
+    val entry = java.util.regex.Pattern.compile(
+      """"index"\s*:\s*(\d+)\s*,\s*"embedding"\s*:\s*\[([^\]]*)\]|"embedding"\s*:\s*\[([^\]]*)\]\s*,\s*"index"\s*:\s*(\d+)""")
+    val m = entry.matcher(body)
+    while (m.find()) {
+      val (idx, arr) =
+        if (m.group(1) != null) (m.group(1).toInt, m.group(2))
+        else (m.group(4).toInt, m.group(3))
+      out(idx) = arr.split(",").map(_.trim.toFloat)
+    }
+    require(out.forall(_ != null), "embedding response missing indices")
+    out.toIndexedSeq
+  }
+
+  private def callOnce(texts: IndexedSeq[String]): IndexedSeq[Array[Float]] = {
+    val input = texts.map(t => "\"" + jsonEscape(t) + "\"").mkString("[", ",", "]")
+    val payload = s"""{"model":"${jsonEscape(model)}","input":$input}"""
+    val req = HttpRequest.newBuilder(URI.create(s"$baseUrl/v1/embeddings"))
+      .timeout(timeout)
+      .header("Content-Type", "application/json")
+      .header("Authorization", s"Bearer $apiKey")
+      .POST(HttpRequest.BodyPublishers.ofString(payload))
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200, s"embeddings call failed: HTTP ${resp.statusCode()} ${resp.body().take(200)}")
+    parseResponse(resp.body(), texts.length)
+  }
+
+  override def embedBatch(texts: IndexedSeq[String]): IndexedSeq[Array[Float]] = {
+    val subBatches = texts.grouped(subBatchSize).toIndexedSeq
+    if (subBatches.lengthCompare(1) <= 0) subBatches.headOption.map(callOnce).getOrElse(IndexedSeq.empty)
+    else {
+      // bounded fan-out inside the Spark task, like the reference's
+      // 20-thread pool per worker
+      val pool = Executors.newFixedThreadPool(math.min(concurrency, subBatches.length))
+      try {
+        val futures = subBatches.map(b => pool.submit(() => callOnce(b)))
+        futures.flatMap(_.get())
+      } finally {
+        pool.shutdown()
+        pool.awaitTermination(timeout.toSeconds * 2, TimeUnit.SECONDS)
+      }
+    }
+  }
+}

@@ -74,7 +74,16 @@ object PipelineQueries {
       .select(col("job_id"), col("job_status"))
       .orderBy(col("job_id"))
 
+  /** The full ingestion pipeline (§3.1): chunk → deterministic local
+    * embed → vector records (rows-only: hash embeddings have no SQL
+    * equivalent; determinism is asserted by EmbedPipelineSpec). */
+  def embedPipeline(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.EmbedPipeline.run(documents(spark, dir))
+      .toDF()
+      .orderBy(col("id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p08_embed_pipeline"    -> embedPipeline _,
     "p01_split_blocks"      -> splitBlocks _,
     "p02_chunk_exact_chars" -> chunkExactChars _,
     "p03_chunk_exact_tokens"-> chunkExactTokens _,
