@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators for training-data pipelines:
+  * exact (hash), n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup. North-star extension of the reference's
+  * filename dedup (F7, src/api/app.py:103-105).
+  *
+  * Scale design notes (100 TB posture):
+  *  - exact dedup is one hash-shuffle on a 32-byte digest, not the text;
+  *  - Jaccard via shingle join is quadratic in per-shingle doc frequency —
+  *    `maxShingleDocFreq` drops stop-shingles (bounded skew) exactly like
+  *    stop-words; use MinHash/LSH when the pair space is too big;
+  *  - MinHash signatures are computed per-row in pure Catalyst
+  *    (`transform` + `array_min` + `xxhash64`), no shuffle; only the
+  *    band-bucket join shuffles, carrying (band, hash, id) triples;
+  *  - SimHash pairs join on 16-bit blocks (pigeonhole: hamming ≤ 3 ⇒ an
+  *    equal block), so the shuffle key space is dense and small.
+  */
+object Dedup {
+
+  /** documents(id, text) -> (id, shingles: array<string>) with distinct
+    * word n-grams. */
+  def withShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      array_distinct(expr(
+        s"""transform(
+           |  sequence(0, size(split($textCol, ' ')) - $n),
+           |  i -> array_join(slice(split($textCol, ' '), i + 1, $n), ' '))""".stripMargin))
+        .as("shingles"))
+
+  /** Exact dedup, keep-first: one row per distinct text (minimum id
+    * wins). The shuffle key is the sha256 digest, not the document. */
+  def exactKeepFirst(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("text_hash"))
+      .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
+
+  /** All-pairs n-gram Jaccard ≥ threshold via inverted shingle index.
+    * `maxShingleDocFreq` (optional) drops shingles present in more than
+    * that many documents before pairing — the stop-shingle guard that
+    * keeps the join fan-out bounded under skew. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+                   threshold: Double, maxShingleDocFreq: Option[Int] = None): DataFrame = {
+    val sh = withShingles(df, idCol, textCol, n)
+    val exploded = sh.select(col("id"), explode(col("shingles")).as("shingle"))
+    val filtered = maxShingleDocFreq match {
+      case Some(maxDf) =>
+        val freq = exploded.groupBy("shingle")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+          .select("shingle")
+        exploded.join(freq, "shingle")
+      case None => exploded
+    }
+    val sizes = sh.select(col("id"), size(col("shingles")).as("n_sh"))
+    val inter = filtered.as("a")
+      .join(filtered.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "sh_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("sh_a") + col("sh_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signature column over the array column named
+    * `shinglesCol`: `numHashes` permutations approximated by seeded
+    * xxhash64; sig(i) = min over shingles of xxhash64(shingle, i). Pure
+    * Catalyst per-row compute — no shuffle, codegen-friendly. */
+  def minHashSignature(shinglesCol: String, numHashes: Int): Column =
+    expr(
+      s"""transform(sequence(0, ${numHashes - 1}),
+         |  i -> array_min(transform($shinglesCol, s -> xxhash64(s, i))))""".stripMargin)
+
+  /** MinHash+LSH near-dup pairs: band the signature, bucket-join on
+    * (band, hash(band slice)), then verify candidates with exact Jaccard
+    * on the shingle sets. Returns (id_a, id_b, jaccard) with jaccard ≥
+    * threshold. */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+                      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sh = withShingles(df, idCol, textCol, n).cache()
+    val sig = sh.withColumn("sig", minHashSignature("shingles", numHashes))
+    val buckets = sig.select(
+      col("id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $r + 1, $r)))")))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash of the word multiset (FNV-1a word hashes; sign of
+    * per-bit vote). Deterministic UDF — the 64-lane bit vote has no
+    * tidy Catalyst form. */
+  val simHash64: Column => Column = {
+    val f = udf { (words: Seq[String]) =>
+      val votes = new Array[Int](64)
+      words.foreach { w =>
+        val h = fnv1a64(w)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+    c => f(c)
+  }
+
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxDistance (< 16):
+    * pigeonhole on four 16-bit blocks — any pair within distance 3 agrees
+    * on ≥1 block, so the join key is (block idx, block value). */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDistance: Int = 3): DataFrame = {
+    require(maxDistance < 4 * 4, "block scheme supports maxDistance < 16")
+    val hashed = df.select(col(idCol).as("id"),
+      simHash64(split(col(textCol), " ")).as("simhash"))
+    val blocks = hashed.select(
+      col("id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)")))
+      .select(col("id"), col("simhash"), col("pos").as("block"), col("col").as("block_val"))
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.block") === col("b.block") && col("a.block_val") === col("b.block_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+
+  /** Embedding-cosine near-dup pairs over a (small) candidate space:
+    * exact pairwise on `left` × `right` with cosine ≥ threshold, computed
+    * in double for cross-engine determinism. For the full-scale path use
+    * [[Similarity.signLshBuckets]] first and verify within buckets. */
+  def cosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val dbl = expr(s"transform($vecCol, x -> cast(x as double))")
+    val va = vectors.select(col(idCol).as("id_a"), dbl.as("va"))
+    val vb = vectors.select(col(idCol).as("id_b"), dbl.as("vb"))
+    va.join(vb, col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

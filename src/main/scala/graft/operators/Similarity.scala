@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (north-star similarity search; the reference documents but never
+  * implemented `/images/search`, README.md:318-348 — SURVEY §7 quirk 9).
+  *
+  * Paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small)
+  *    query set against the corpus, one pass, window top-k. The 100 TB
+  *    shape: corpus stays partitioned, queries broadcast, no corpus
+  *    shuffle before the per-query top-k (TakeOrdered per group).
+  *  - [[signLshTopK]]: random-hyperplane (sign) LSH — bucket the corpus
+  *    once (pure Catalyst bit arithmetic), probe only matching buckets,
+  *    exact re-rank inside. Sub-linear probe cost at scale.
+  */
+object Similarity {
+
+  /** Cosine similarity of two double-array columns, computed as a
+    * left-to-right fold (deterministic summation order for cross-engine
+    * parity). Inputs need not be normalized. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = expr(s"aggregate(zip_with(${a.toString}, ${b.toString}, (x, y) -> x * y), 0d, (acc, v) -> acc + v)")
+    val na = expr(s"aggregate(${a.toString}, 0d, (acc, v) -> acc + v * v)")
+    val nb = expr(s"aggregate(${b.toString}, 0d, (acc, v) -> acc + v * v)")
+    dot / sqrt(na * nb)
+  }
+
+  private def asDouble(vecCol: String): Column =
+    expr(s"transform($vecCol, x -> cast(x as double))")
+
+  /** Exact top-k cosine neighbors for each query row.
+    * `queries`/`corpus`: (id, vec). Self-matches (same id) are excluded.
+    * Output: (query_id, neighbor_id, score, rank), rank 1..k by
+    * (score desc, neighbor_id) — total order for determinism. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /** Sign-LSH bucket id: `nPlanes` deterministic hyperplanes; bit j is
+    * the sign of v · plane_j. Planes are seeded pseudo-random unit-free
+    * directions derived from splitmix64(planeSeed, j, dim-index) — pure
+    * Catalyst, no shuffle, computed in one projection. */
+  def signLshBucket(vecCol: String, dim: Int, nPlanes: Int, seed: Long = 42L): Column = {
+    // plane(j)(d) = splitmix-derived float in [-1,1); dot sign via fold
+    expr(
+      s"""aggregate(sequence(0, ${nPlanes - 1}), 0L, (acc, j) ->
+         |  acc + shiftleft(
+         |    CASE WHEN aggregate(sequence(0, ${dim - 1}), 0d,
+         |      (s, d) -> s + cast(element_at($vecCol, d + 1) as double) *
+         |        (cast(xxhash64($seed, j, d) as double) / 9.223372036854776e18)) >= 0d
+         |    THEN 1L ELSE 0L END, j))""".stripMargin)
+  }
+
+  /** ANN via sign-LSH: bucket corpus and queries with the same planes,
+    * join on bucket, exact cosine re-rank within the bucket, top-k.
+    * Recall is tunable via `nPlanes` (fewer planes = bigger buckets =
+    * higher recall, more compute). */
+  def signLshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, dim: Int, k: Int, nPlanes: Int = 8,
+                  seed: Long = 42L): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(vecCol).as("qv"),
+      signLshBucket(vecCol, dim, nPlanes, seed).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(vecCol).as("cv"),
+      signLshBucket(vecCol, dim, nPlanes, seed).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /** IVF-style coarse quantization using an existing categorical column
+    * (e.g. a cluster label) as the inverted list key: probe only the
+    * query's list. Exact within-list re-rank. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, listCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(vecCol).as("qv"),
+      col(listCol).as("ivf_list"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(vecCol).as("cv"),
+      col(listCol).as("ivf_list"))
+    val scored = c.join(broadcast(q), Seq("ivf_list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.GraftTokenizer
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language id, and document fingerprinting. All but
+  * the tokenizer/winnowing paths are pure Catalyst (codegen'd,
+  * cross-engine checkable). */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish regex token count: alnum runs (the pretokenizer classes). */
+  def regexTokenCount(text: Column): Column =
+    size(expr(s"regexp_extract_all(${text.toString}, '[A-Za-z0-9]+', 0)"))
+
+  /** Exact tokenizer count via the graft tokenizer (UDF path). */
+  val graftTokenCount: Column => Column = {
+    val f = udf { (s: String) => if (s == null) 0 else GraftTokenizer.count(s) }
+    c => f(c)
+  }
+
+  /** Punctuation character count (anything outside [A-Za-z0-9 ]). */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))
+
+  /** English stopword hits (tiny in-vocabulary list; swap per corpus). */
+  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def stopwordCount(text: Column, stopwords: Seq[String] = EnStopwords): Column = {
+    val list = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    size(expr(s"filter(split(${text.toString}, ' '), w -> array_contains($list, w))"))
+  }
+
+  /** Mean word length: chars-excluding-spaces / word count (double). */
+  def meanWordLen(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") /
+      size(split(text, " ")).cast("double")
+
+  /** Composite quality score in [0,1]:
+    * 0.5·stopword-ratio + 0.3·min(1, len/500) + 0.2·(1 − punct-ratio).
+    * Identical IEEE expression shape on the oracle side. */
+  def qualityScore(text: Column): Column = round(
+    lit(0.5) * (stopwordCount(text).cast("double") / wsTokenCount(text).cast("double")) +
+      lit(0.3) * least(lit(1.0), length(text).cast("double") / lit(500.0)) +
+      lit(0.2) * (lit(1.0) - punctCount(text).cast("double") / length(text).cast("double")),
+    6)
+
+  /** Marker-word lists per language for the n-gram/lexicon language-id
+    * heuristic. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "is", "and", "of"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "que", "y", "es"),
+    "fr" -> Seq("le", "la", "et", "est", "les"))
+
+  /** Language id: argmax of marker-hit counts, fixed priority order on
+    * ties (en > de > es > fr > und). */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.view.mapValues(ws => stopwordCount(text, ws)).toMap
+    val en = scores("en"); val de = scores("de"); val es = scores("es"); val fr = scores("fr")
+    when(en >= de && en >= es && en >= fr && en > 0, "en")
+      .when(de >= es && de >= fr && de > 0, "de")
+      .when(es >= fr && es > 0, "es")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
+  /** Bag-of-words fingerprint: md5 of the sorted distinct word set —
+    * order-insensitive exact-content signature (pure Catalyst). */
+  def bowFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(split(text, " ")))))
+
+  /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * k-gram rolling hashes, minimum per window of w, deduplicated —
+    * the standard local document fingerprint for near-copy detection.
+    * Deterministic UDF (FNV-1a base hash). */
+  def winnowFingerprints(k: Int = 8, w: Int = 4): Column => Column = {
+    val f = udf { (s: String) =>
+      if (s == null || s.length < k) Array.empty[Long]
+      else {
+        val n = s.length - k + 1
+        val hashes = new Array[Long](n)
+        var i = 0
+        while (i < n) { hashes(i) = Dedup.fnv1a64(s.substring(i, i + k)); i += 1 }
+        val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+        var start = 0
+        while (start + w <= n) {
+          var m = hashes(start)
+          var j = start + 1
+          while (j < start + w) { if (hashes(j) < m) m = hashes(j); j += 1 }
+          out += m
+          start += 1
+        }
+        out.toArray
+      }
+    }
+    c => f(c)
+  }
+
+  /** One row per document with the full text-analysis profile. */
+  def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      wsTokenCount(t).cast("long").as("ws_tokens"),
+      regexTokenCount(t).cast("long").as("re_tokens"),
+      punctCount(t).cast("long").as("punct_chars"),
+      round(meanWordLen(t), 6).as("mean_word_len"),
+      qualityScore(t).as("quality"),
+      langId(t).as("lang_guess"),
+      bowFingerprint(t).as("bow_fp"))
+  }
+}

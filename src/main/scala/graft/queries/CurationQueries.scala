@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data curation surface: dedup family, similarity search, and
+  * text analysis over the `documents`/`embeddings` tables. */
+object CurationQueries {
+
+  /** d01: exact dedup keep-first. Duplicates are planted by unioning the
+    * corpus with itself under shifted ids, so every hash group has
+    * exactly 2 copies and keeps the lower id. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val planted = d.unionAll(d.withColumn("doc_id", col("doc_id") + 1000000L))
+    Dedup.exactKeepFirst(planted, "doc_id", "text")
+      .select(col("kept_id"), col("n_copies"))
+      .orderBy(col("kept_id"))
+  }
+
+  /** d02: n-gram (3-shingle) Jaccard near-dup pairs ≥ 0.5 — the exact
+    * inverted-index path. */
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** d03: MinHash+LSH near-dup pairs (64 hashes, 16 bands), candidates
+    * verified with exact Jaccard ≥ 0.5 (rows-only: xxhash64 minhashing
+    * has no DuckDB twin; DedupSpec asserts recall vs d02). */
+  def dedupMinHash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLshPairs(documents(spark, dir), "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** d04: SimHash near-dup pairs, hamming ≤ 3 on planted near-copies
+    * (rows-only; DedupSpec pins semantics). */
+  def dedupSimHash(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    // plant near-copies: append one word — simhash distance stays small
+    val perturbed = d.withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", concat(col("text"), lit(" the")))
+    Dedup.simHashPairs(d.unionAll(perturbed), "doc_id", "text", maxDistance = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** d05: embedding-cosine near-dup on planted duplicate vectors
+    * (cosine ≥ 0.95; the natural corpus max is ~0.51, so exactly the
+    * planted pairs match — and the oracle plants identically). */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val planted = e.unionAll(
+      e.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+    Dedup.cosinePairs(planted, "vec_id", "embedding", threshold = 0.95)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** a01: exact brute-force cosine top-10 for query vectors vec_id<5
+    * (broadcast queries, no corpus shuffle). */
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** a02: sign-LSH bucketed ANN, same queries (rows-only; SimilaritySpec
+    * asserts bucket-restricted exactness + recall vs a01). */
+  def annSignLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    Similarity.signLshTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+        dim = 64, k = 10, nPlanes = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** a03: IVF-style probe using the label column as the inverted list. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"), col("label"))
+    Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding", "label", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** t01: per-document text-analysis profile (token counts, quality,
+    * lang id, bag-of-words fingerprint) — all pure Catalyst. */
+  def textProfile(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.profile(documents(spark, dir))
+      .orderBy(col("doc_id"))
+
+  /** t02: corpus quality aggregation by declared language. */
+  def qualityByLang(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(TextAnalysis.qualityScore(col("text"))), 6).as("avg_quality"),
+        sum(TextAnalysis.wsTokenCount(col("text")).cast("long")).as("total_tokens"))
+      .orderBy(col("lang"))
+
+  /** t03: winnowing fingerprints (rows-only; UDF path). */
+  def winnow(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.winnowFingerprints()(col("text")).as("fingerprints"))
+      .select(col("doc_id"), size(col("fingerprints")).as("n_fp"),
+        col("fingerprints"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_dedup_exact"     -> dedupExact _,
+    "d02_dedup_jaccard"   -> dedupJaccard _,
+    "d03_dedup_minhash"   -> dedupMinHash _,
+    "d04_dedup_simhash"   -> dedupSimHash _,
+    "d05_dedup_embedding" -> dedupEmbedding _,
+    "a01_ann_bruteforce"  -> annBruteForce _,
+    "a02_ann_signlsh"     -> annSignLsh _,
+    "a03_ann_ivf"         -> annIvf _,
+    "t01_text_profile"    -> textProfile _,
+    "t02_quality_by_lang" -> qualityByLang _,
+    "t03_winnow"          -> winnow _)
+
+  private val qualitySql =
+    """(0.5 * (len(list_filter(string_split(text, ' '), w -> list_contains(['the','a','of','and','to','in','is'], w))) / CAST(len(string_split(text, ' ')) AS DOUBLE))
+      | + 0.3 * least(1.0, length(text) / 500.0)
+      | + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE)))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |SELECT min(doc_id) AS kept_id, count(*) AS n_copies
+        |FROM planted GROUP BY sha256(text) ORDER BY kept_id""".stripMargin,
+    "d02_dedup_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text,' ')) - 2),
+        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS shingles
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)
+        |SELECT id_a, id_b,
+        |round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "d05_dedup_embedding" ->
+      """WITH planted AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0),
+        |d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM planted)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |FROM d a JOIN d b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
+    "a01_ann_bruteforce" ->
+      """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.v, c.v), 6) AS score
+        |  FROM d q JOIN d c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, score, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "t01_text_profile" ->
+      s"""SELECT doc_id,
+         |CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+         |CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS re_tokens,
+         |CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS punct_chars,
+         |round(length(regexp_replace(text, ' ', '', 'g')) / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS mean_word_len,
+         |round($qualitySql, 6) AS quality,
+         |CASE
+         |  WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+         |  WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+         |  WHEN es >= fr AND es > 0 THEN 'es'
+         |  WHEN fr > 0 THEN 'fr'
+         |  ELSE 'und' END AS lang_guess,
+         |md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp
+         |FROM (
+         |  SELECT *,
+         |    len(list_filter(string_split(text,' '), w -> list_contains(['the','a','is','and','of'], w))) AS en,
+         |    len(list_filter(string_split(text,' '), w -> list_contains(['der','die','das','und','ist'], w))) AS de,
+         |    len(list_filter(string_split(text,' '), w -> list_contains(['el','la','que','y','es'], w))) AS es,
+         |    len(list_filter(string_split(text,' '), w -> list_contains(['le','la','et','est','les'], w))) AS fr
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "t02_quality_by_lang" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |round(avg(round($qualitySql, 6)), 6) AS avg_quality,
+         |CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.CurationQueries
+
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash LSH candidates recover exact-Jaccard pairs (recall)") {
+    val exact = pairs(CurationQueries.dedupJaccard(spark, sfDir))
+    val lsh = pairs(CurationQueries.dedupMinHash(spark, sfDir))
+    // verification step guarantees precision == 1 relative to threshold
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact).take(3)}")
+    val recall = if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall too low (16 bands of 4 should catch j>=0.5)")
+  }
+
+  test("simhash: exact copies at hamming 0; near-copies mostly within 3") {
+    import spark.implicits._
+    val d = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // exact copies -> identical simhash -> always found at distance 0
+    val exactPlanted = d.unionAll(d.withColumn("doc_id", col("doc_id") + 1000000L))
+    val exactFound = Dedup.simHashPairs(exactPlanted, "doc_id", "text", maxDistance = 0)
+    val ids = d.select("doc_id").collect().map(_.getLong(0)).toSet
+    val foundExact = pairs(exactFound)
+    assert(ids.forall(i => foundExact.contains((i, i + 1000000L))),
+      "identical texts must collide at hamming 0")
+    // one appended word on LONG docs flips few bits (vote margin scales
+    // with word count); short docs legitimately drift past the cutoff
+    val long = d.filter(length(col("text")) >= 300)
+    val near = long.unionAll(long
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", concat(col("text"), lit(" the"))))
+    val found = pairs(Dedup.simHashPairs(near, "doc_id", "text", maxDistance = 3))
+    val longIds = long.select("doc_id").collect().map(_.getLong(0))
+    val recall = longIds.count(i => found.contains((i, i + 1000000L))).toDouble / longIds.length
+    assert(recall >= 0.5, s"simhash near-copy recall $recall on long docs")
+  }
+
+  test("embedding near-dup finds exactly the planted duplicate vectors") {
+    val found = pairs(CurationQueries.dedupEmbedding(spark, sfDir))
+    val planted = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 10 === 0)
+      .select("vec_id").collect().map(_.getLong(0))
+      .map(i => (i, i + 1000000L)).toSet
+    assert(found == planted, "natural corpus max cosine is ~0.51, so only planted pairs pass 0.95")
+  }
+
+  test("identical vectors always share a sign-LSH bucket") {
+    val e = graft.Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val b1 = e.withColumn("b", Similarity.signLshBucket("embedding", 64, 8)).select("vec_id", "b")
+    val b2 = e.withColumn("b", Similarity.signLshBucket("embedding", 64, 8)).select("vec_id", "b")
+    assert(b1.except(b2).count() == 0, "bucket assignment must be deterministic")
+  }
+
+  test("sign-LSH top-k scores agree with brute force on shared pairs") {
+    val brute = CurationQueries.annBruteForce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = {
+      val e = graft.Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding", k = 500)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    }
+    val lsh = CurationQueries.annSignLsh(spark, sfDir).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(full.contains(key) && math.abs(full(key) - r.getDouble(2)) < 1e-9,
+        s"LSH scored $key differently from exact cosine")
+    }
+    assert(brute.nonEmpty)
+  }
+
+  test("IVF probe returns exact top-k within the query's list") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val ivf = CurationQueries.annIvf(spark, sfDir).collect()
+    val labels = e.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ivf.foreach { r =>
+      assert(labels(r.getLong(0)) == labels(r.getLong(1)),
+        "IVF neighbors must come from the query's inverted list")
+    }
+  }
+
+  test("winnowing fingerprints: shared substrings produce shared fingerprints") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "prefix text then the quick brown fox jumps over the lazy dog here"),
+      (3L, "completely different words with no overlap whatsoever in sight"))
+      .toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+      TextAnalysis.winnowFingerprints(k = 8, w = 4)(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1).intersect(fps(2)).nonEmpty, "overlapping docs share fingerprints")
+    assert(fps(1).intersect(fps(3)).isEmpty, "disjoint docs share nothing")
+  }
+}
