@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot operators. Each generates a
+  * single static-helper call inside whole-stage codegen (the pattern
+  * Spark's own collection expressions use), so there is no UDF
+  * serialization boundary and no per-element lambda dispatch.
+  *
+  * Measured motivation: the `transform(sequence(..), i ->
+  * array_min(transform(shingles, s -> xxhash64(s, i))))` form of the
+  * MinHash signature re-hashed every shingle string numHashes times
+  * through interpreted higher-order functions — 8.2 s of an 11-query
+  * sf0.1 bench. The fused helper hashes each shingle once and folds all
+  * lanes in one pass.
+  */
+object helpers {
+
+  /** MinHash signature: one base XXH64 per shingle, then `num` lanes of
+    * SplitMix64-style remixing folded to their minima in a single pass. */
+  def minHashSignature(arr: ArrayData, num: Int): ArrayData = {
+    val sig = new Array[Long](num)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      var lane = 0
+      while (lane < num) {
+        var z = base + lane * 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        if (z < sig(lane)) sig(lane) = z
+        lane += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Cosine similarity of two double arrays, left-to-right accumulation
+    * (deterministic order — matches the SQL fold the oracle uses). */
+  def cosineDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(n == b.numElements(), s"vector length mismatch: $n vs ${b.numElements()}")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  /** Same over float arrays (the storage type) without an upcast pass;
+    * arithmetic still in double. */
+  def cosineFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(n == b.numElements(), s"vector length mismatch: $n vs ${b.numElements()}")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  def uuid5(name: UTF8String): UTF8String =
+    UTF8String.fromString(graft.core.Uuid5.of(name.toString))
+}
+
+/** `minhash_signature(shingles, numHashes)` → array<bigint>. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    helpers.minHashSignature(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.helpers.minHashSignature($c, $numHashes);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** `cosine_similarity(a, b)` → double, over array<float> or
+  * array<double> children (both children must match). */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def isFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) |
+           (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cosine_similarity needs two float or two double arrays, got ${left.dataType} / ${right.dataType}")
+    }
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    if (isFloat) helpers.cosineFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else helpers.cosineDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isFloat) "cosineFloat" else "cosineDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.helpers.$fn($a, $b);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_similarity"
+}
+
+/** `uuid5(name)` → RFC 4122 v5 UUID string of the UTF-8 name
+  * (DNS namespace — the reference's generate_uuid_from_tuple). */
+case class Uuid5Expr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    helpers.uuid5(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.helpers.uuid5($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "uuid5"
+}
+
+/** Column-level entry points (and SQL registration). */
+object GraftFunctions {
+  import org.apache.spark.sql.SparkSession
+
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), numHashes))
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def uuid5(name: Column): Column =
+    ColumnBridge.column(Uuid5Expr(ColumnBridge.expression(name)))
+
+  /** Register `cosine_similarity` / `uuid5` / `minhash_signature` for the
+    * SQL surface. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_similarity",
+      exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("uuid5",
+      exprs => Uuid5Expr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      exprs => MinHashSignature(exprs(0),
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "built-in")
+  }
+}

@@ -19,15 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two double-array columns, computed as a
-    * left-to-right fold (deterministic summation order for cross-engine
-    * parity). Inputs need not be normalized. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = expr(s"aggregate(zip_with(${a.toString}, ${b.toString}, (x, y) -> x * y), 0d, (acc, v) -> acc + v)")
-    val na = expr(s"aggregate(${a.toString}, 0d, (acc, v) -> acc + v * v)")
-    val nb = expr(s"aggregate(${b.toString}, 0d, (acc, v) -> acc + v * v)")
-    dot / sqrt(na * nb)
-  }
+  /** Cosine similarity of two array columns via the native
+    * [[graft.functions.CosineSimilarity]] expression: single codegen'd
+    * pass, left-to-right accumulation in double (deterministic order for
+    * cross-engine parity). Inputs need not be normalized. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosineSimilarity(a, b)
 
   private def asDouble(vecCol: String): Column =
     expr(s"transform($vecCol, x -> cast(x as double))")

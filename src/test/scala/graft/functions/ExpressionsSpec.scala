@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Uuid5
+
+class ExpressionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("uuid5 expression matches the core implementation and Python vectors") {
+    import spark.implicits._
+    val out = Seq("hello", "python.org", "text-0-exact").toDF("s")
+      .select(GraftFunctions.uuid5(col("s")).as("u")).collect().map(_.getString(0))
+    assert(out(0) == "9342d47a-1bab-5709-9869-c840b2eac501")
+    assert(out(1) == "886313e1-3b8a-5372-9b90-0c9aee199e5d")
+    assert(out(2) == Uuid5.of("text-0-exact"))
+  }
+
+  test("cosine_similarity: float and double paths, SQL registration, codegen") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq((Array(1f, 0f, 0f), Array(0.6f, 0.8f, 0f))).toDF("a", "b")
+    val viaColumn = df.select(GraftFunctions.cosineSimilarity(col("a"), col("b")))
+      .head().getDouble(0)
+    assert(math.abs(viaColumn - 0.6) < 1e-6)
+    df.createOrReplaceTempView("vecs")
+    val viaSql = spark.sql("SELECT cosine_similarity(a, b) FROM vecs").head().getDouble(0)
+    assert(viaSql == viaColumn)
+    val dbl = df.select(
+      GraftFunctions.cosineSimilarity(
+        expr("transform(a, x -> cast(x as double))"),
+        expr("transform(b, x -> cast(x as double))")).as("c"))
+      .head().getDouble(0)
+    assert(math.abs(dbl - viaColumn) < 1e-7)
+    // identical vectors -> exactly 1.0
+    val self = df.select(GraftFunctions.cosineSimilarity(col("a"), col("a"))).head().getDouble(0)
+    assert(self == 1.0)
+  }
+
+  test("cosine_similarity rejects mismatched array element types") {
+    import spark.implicits._
+    val df = Seq((Array(1f), Array(1.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(GraftFunctions.cosineSimilarity(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("cosine"))
+  }
+
+  test("minhash signature: deterministic, monotone under containment") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("a b c", "b c d", "c d e", "x y z")),
+      (3L, Seq("p q r"))).toDF("id", "shingles")
+    val sigs = df.select(col("id"), GraftFunctions.minhashSignature(col("shingles"), 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1).length == 64)
+    // superset's minima are <= subset's lane-wise (min over more items)
+    sigs(1).zip(sigs(2)).foreach { case (sub, sup) => assert(sup <= sub) }
+    // deterministic across evaluations
+    val again = df.select(col("id"), GraftFunctions.minhashSignature(col("shingles"), 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(again == sigs)
+    // estimated jaccard from signature agreement ~ true jaccard (3/4)
+    val agree = sigs(1).zip(sigs(2)).count { case (x, y) => x == y } / 64.0
+    assert(agree > 0.45 && agree <= 1.0)
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    // needs a real scan: a LocalTableScan is folded on the driver and
+    // shows no codegen stage regardless of the expression
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = e.select(
+      GraftFunctions.cosineSimilarity(col("embedding"), col("embedding")).as("c"),
+      GraftFunctions.uuid5(col("vec_id").cast("string")).as("u"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"expected codegen stage in:\n$plan")
+    assert(!plan.contains("ScalaUDF"))
+  }
+}
