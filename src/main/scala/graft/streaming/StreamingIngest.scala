@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.core.ChunkStrategy
+import graft.pipeline.{EmbedPipeline, Embedder, HashEmbedder, VectorRecord}
+
+/** Streaming mode of the engine (SURVEY §2.8): the reference is a
+  * queue-consumer pipeline with at-least-once delivery and independent
+  * work items; Structured Streaming's file source over a drop directory
+  * reproduces it with exactly-once sink semantics via checkpointing —
+  * strictly stronger than the reference's ack-after-process.
+  *
+  * The reference has no event-time notion; the windowed/sessionized
+  * aggregations here are the north-star streaming-analytics extensions
+  * (watermarks bound state; without them a 100 TB stream accretes state
+  * forever). */
+object StreamingIngest {
+
+  /** Drop-directory ingestion: every file that lands becomes a document
+    * row (path, content, ingest batch). `maxFilesPerTrigger` is the
+    * backpressure knob (the RabbitMQ prefetch analogue). */
+  def readDocuments(spark: SparkSession, dropDir: String,
+                    maxFilesPerTrigger: Int = 64): DataFrame =
+    spark.readStream
+      .option("wholetext", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dropDir)
+      .select(
+        abs(xxhash64(input_file_name())).as("doc_id"),
+        input_file_name().as("source"),
+        col("value").as("text"))
+
+  /** Streaming chunk+embed: same stages as the batch pipeline — the
+    * DataFrame program is shared, only the source differs. */
+  def embedStream(docs: DataFrame, strategy: ChunkStrategy = ChunkStrategy.ExactByCharacters,
+                  size: Int = 256, overlap: Int = 128,
+                  embedder: Embedder = new HashEmbedder(64)): Dataset[VectorRecord] =
+    EmbedPipeline.embedStage(
+      EmbedPipeline.chunkStage(docs, strategy, size, overlap), embedder)
+
+  /** Start the ingestion: vectors appended to a parquet store with a
+    * checkpoint (exactly-once). The `foreachBatch` hook mirrors the
+    * reference's per-batch ledger update. */
+  def start(vectors: Dataset[VectorRecord], outDir: String, checkpointDir: String,
+            ledgerDir: Option[String] = None): StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[VectorRecord], batchId: Long) =>
+        batch.persist()
+        batch.write.mode("append").parquet(outDir)
+        ledgerDir.foreach { dir =>
+          EmbedPipeline.ledger(batch.toDF())
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(dir)
+        }
+        batch.unpersist()
+        ()
+      }
+      .start()
+
+  /** Watermarked tumbling-window aggregation over an event stream —
+    * late data beyond the watermark is dropped, bounding state. */
+  def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Per-user session state for [[sessionize]]. */
+  final case class SessionState(sessionId: Long, lastTs: Long, nEvents: Long)
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long)
+
+  /** Stateful sessionization with mapGroupsWithState: custom per-key
+    * state (gap-based session ids), processing-time timeout to expire
+    * idle users — the KeyValueGroupedDataset custom-state surface. */
+  def sessionize(events: Dataset[(Long, Long)], gapSeconds: Long = 1800L): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          rows.toSeq.sortBy(_._2).foreach { case (_, ts) =>
+            st =
+              if (st.lastTs != Long.MinValue && ts - st.lastTs <= gapSeconds)
+                st.copy(lastTs = ts, nEvents = st.nEvents + 1)
+              else SessionState(st.sessionId + 1, ts, 1L)
+          }
+          state.update(st)
+          state.setTimeoutDuration("1 hour")
+          SessionOut(userId, st.sessionId, st.nEvents)
+      }
+  }
+}

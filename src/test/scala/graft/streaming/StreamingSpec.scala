@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.streaming.schemaInference", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(name).toString
+
+  test("drop-dir ingestion: files land, vectors appear, exactly once") {
+    val drop = tmp("drop"); val out = tmp("out"); val ckpt = tmp("ckpt"); val ledger = tmp("ledger")
+    Files.writeString(Paths.get(drop, "doc_a.txt"), "spark table scan " * 40)
+    Files.writeString(Paths.get(drop, "doc_b.txt"), "join filter merge " * 40)
+
+    val vectors = StreamingIngest.embedStream(
+      StreamingIngest.readDocuments(spark, drop))
+    val q1 = StreamingIngest.start(vectors, out, ckpt, Some(ledger))
+    q1.awaitTermination()
+
+    val written = spark.read.parquet(out)
+    assert(written.count() > 0)
+    assert(written.select("id").distinct().count() == written.count())
+    val led = spark.read.parquet(ledger)
+    assert(led.select("job_id").distinct().count() == 2)
+
+    // second file lands; restart from the same checkpoint -> only the new
+    // file is processed (exactly-once over the drop dir)
+    Files.writeString(Paths.get(drop, "doc_c.txt"), "stream window state " * 40)
+    val q2 = StreamingIngest.start(StreamingIngest.embedStream(
+      StreamingIngest.readDocuments(spark, drop)), out, ckpt, Some(ledger))
+    q2.awaitTermination()
+    val after = spark.read.parquet(out)
+    assert(after.count() > written.count())
+    assert(after.select("id").distinct().count() == after.count(),
+      "restart must not duplicate previously written vectors")
+  }
+
+  test("watermarked hourly rollup matches the batch aggregation") {
+    val src = tmp("events_src"); val ckpt = tmp("ckpt2")
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    events.write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+
+    val streamed = StreamingIngest.hourlyRollup(
+      spark.readStream.schema(schema).parquet(src))
+    val q = streamed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("rollup")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // append mode emits only windows closed by the watermark; the last
+    // 2h of event-time stays open, everything earlier must match batch
+    val got = spark.table("rollup")
+      .select(col("hour"), col("event_type"), col("n"))
+    val batch = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val maxClosed = got.agg(max("hour")).head().getTimestamp(0)
+    val expected = batch.filter(col("hour") <= maxClosed)
+    assert(got.count() > 0)
+    assert(expected.except(got).count() == 0 && got.except(expected).count() == 0,
+      "closed windows must equal the batch rollup")
+  }
+
+  test("stateful sessionization counts gap-separated sessions per user") {
+    import spark.implicits._
+    // user 1: two sessions (gap > 1800s); user 2: one session
+    val events = Seq(
+      (1L, 1000L), (1L, 1500L), (1L, 4000L),
+      (2L, 100L), (2L, 200L)).toDS()
+    val out = StreamingIngest.sessionize(events, gapSeconds = 1800L)
+      .collect().map(s => s.user_id -> s).toMap
+    assert(out(1L).session_id == 2L && out(1L).n_events == 1L)
+    assert(out(2L).session_id == 1L && out(2L).n_events == 2L)
+  }
+}
