@@ -82,8 +82,34 @@ object PipelineQueries {
       .toDF()
       .orderBy(col("id"))
 
+  /** p09: multimodal pipeline over synthetic payloads derived from the
+    * documents table — binary header encode → mapPartitions decode stub →
+    * resize plan → feature records (rows-only; MultimodalSpec pins the
+    * decode semantics). */
+  def mediaPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .map { r =>
+        val text = r.getString(1)
+        val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val b = java.nio.ByteBuffer.allocate(10 + body.length)
+        val w = 64 + (r.getLong(0) % 1024).toInt
+        b.putShort(w.toShort).putShort((w / 2).toShort).putShort(3.toShort)
+          .putInt(body.length)
+        b.put(body)
+        Multimodal.MediaRow(r.getLong(0), "image", b.array())
+      }
+    Multimodal.resizePlan(Multimodal.decodeImages(media), maxSide = 256)
+      .select(col("media_id"), col("width"), col("height"),
+        col("out_width"), col("out_height"))
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p08_embed_pipeline"    -> embedPipeline _,
+    "p09_media_pipeline"    -> mediaPipeline _,
     "p01_split_blocks"      -> splitBlocks _,
     "p02_chunk_exact_chars" -> chunkExactChars _,
     "p03_chunk_exact_tokens"-> chunkExactTokens _,
