@@ -20,6 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
+      graft.queries.Relational2.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.CurationQueries.queries
 
@@ -27,6 +28,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
+      graft.queries.Relational2.oracles ++
       graft.queries.PipelineQueries.oracles ++
       graft.queries.CurationQueries.oracles
 }
