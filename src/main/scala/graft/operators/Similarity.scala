@@ -47,6 +47,39 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** Exact top-k via the custom [[graft.plans.TopKPerKeyNode]] operator:
+    * bounded per-key heaps, partial phase before the shuffle — only
+    * ≤ k·|queries| survivor rows per input partition are exchanged, and
+    * nothing is globally sorted (the window form shuffles and sorts every
+    * scored row). Rank is attached afterwards on the tiny result. */
+  def bruteForceTopKExec(queries: DataFrame, corpus: DataFrame, idCol: String,
+                         vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val spark = corpus.sparkSession
+    // idempotently make the strategy available on sessions built without
+    // GraftExtensions
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    val q = queries.select(col(idCol).as("query_id"), asDouble(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("score"))
+    val plan = ColumnBridge.logicalPlan(scored)
+    val keyAttr = plan.output.find(_.name == "query_id").get
+    val scoreAttr = plan.output.find(_.name == "score").get
+    val tieAttr = plan.output.find(_.name == "neighbor_id").get
+    val topk = ColumnBridge.ofRows(spark,
+      graft.plans.TopKPerKeyNode(Seq(keyAttr), scoreAttr, tieAttr, k, plan))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    topk
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
   /** Sign-LSH bucket id: `nPlanes` deterministic hyperplanes; bit j is
     * the sign of v · plane_j. Planes are seeded pseudo-random unit-free
     * directions derived from splitmix64(planeSeed, j, dim-index) — pure

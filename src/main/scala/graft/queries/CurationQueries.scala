@@ -58,11 +58,13 @@ object CurationQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** a01: exact brute-force cosine top-10 for query vectors vec_id<5
-    * (broadcast queries, no corpus shuffle). */
+  /** a01: exact brute-force cosine top-10 for query vectors vec_id<5 —
+    * broadcast queries, scored corpus flows into the custom TopKPerKey
+    * operator (bounded heaps, survivors-only shuffle; proven equal to
+    * the window form by TopKPerKeySpec). */
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding", k = 10)
+    Similarity.bruteForceTopKExec(e.filter(col("vec_id") < 5), e, "vec_id", "embedding", k = 10)
       .orderBy(col("query_id"), col("rank"))
   }
 

@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+class TopKPerKeySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("custom top-k operator returns exactly the window-form result") {
+    val e = graft.Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 7)
+    val viaWindow = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    val viaExec = Similarity.bruteForceTopKExec(q, e, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    assert(viaExec.length == 70)
+    assert(viaExec.toSeq == viaWindow.toSeq)
+  }
+
+  test("ties at the k-th position break by tiebreak asc, matching SQL") {
+    import spark.implicits._
+    // many rows share the same score; the kept set must be the lowest ids
+    val df = (0L until 100L).map(i => (1L, i, if (i < 5) 10.0 else 1.0)).toDF("k", "id", "s")
+      .repartition(4)
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies.filterNot(_ == TopKStrategy) :+ TopKStrategy
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val plan = ColumnBridge.logicalPlan(df)
+    val out = ColumnBridge.ofRows(spark, TopKPerKeyNode(
+        Seq(plan.output.find(_.name == "k").get),
+        plan.output.find(_.name == "s").get,
+        plan.output.find(_.name == "id").get, 8, plan))
+      .collect().map(_.getLong(1)).sorted
+    // top 8 by (s desc, id asc): ids 0-4 (score 10) then 5,6,7 (score 1)
+    assert(out.toSeq == Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("plan shows two-phase TopKPerKeyExec with one exchange between") {
+    val e = graft.Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 2)
+    val p = Similarity.bruteForceTopKExec(q, e, "vec_id", "embedding", k = 5)
+      .queryExecution.executedPlan.toString
+    // exec nodes render as "TopKPerKey [keys], score..., partial" in the
+    // plan string (no Exec suffix)
+    assert("TopKPerKey \\[".r.findAllIn(p).length == 2, s"expected partial+final:\n$p")
+  }
+
+  test("GraftExtensions injects the strategy at session build time") {
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    // the strategy resolves the node without touching experimental hooks
+    assert(s2.sessionState.planner.strategies.exists(_.isInstanceOf[TopKStrategy.type]) ||
+      s2.sessionState.planner.extraPlanningStrategies.contains(TopKStrategy))
+  }
+}
