@@ -168,5 +168,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("minhash_signature",
       exprs => MinHashSignature(exprs(0),
         exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("chunk_text",
+      exprs => ChunkGenerator(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
   }
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.ChunkStrategy
+import graft.functions.GraftFunctions
+
+class SqlSurfaceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("LATERAL VIEW chunk_text == DataFrame chunker path") {
+    GraftFunctions.register(spark)
+    graft.Tables.documents(spark, dir).limit(50).createOrReplaceTempView("docs_v")
+    val viaSql = spark.sql(
+      """SELECT doc_id, c.chunk_seq, c.chunk_id, c.chunk_text
+        |FROM docs_v
+        |LATERAL VIEW chunk_text(text, 'EXACT', 32, 8) c AS chunk_seq, chunk_id, chunk_text
+        |ORDER BY doc_id, chunk_seq""".stripMargin).collect()
+    val viaDf = Chunking.chunkDocuments(
+        graft.Tables.documents(spark, dir).limit(50), ChunkStrategy.Exact, 32, 8)
+      .orderBy(col("doc_id"), col("chunk_seq")).collect()
+    assert(viaSql.length == viaDf.length && viaSql.nonEmpty)
+    viaSql.zip(viaDf).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getInt(1) == b.getInt(1) &&
+        a.getString(2) == b.getString(2) && a.getString(3) == b.getString(3))
+    }
+  }
+
+  test("chunk_text rejects non-literal config") {
+    GraftFunctions.register(spark)
+    graft.Tables.documents(spark, dir).createOrReplaceTempView("docs_v2")
+    val e = intercept[Exception](spark.sql(
+      "SELECT chunk_seq FROM docs_v2 LATERAL VIEW chunk_text(text, lang, 32, 8) c AS chunk_seq, chunk_id, chunk_text").collect())
+    assert(e.getMessage.contains("literal"))
+  }
+
+  test("salted aggregation equals plain groupBy on skewed data") {
+    import spark.implicits._
+    // 90% of rows share one key — the classic hot-key shape
+    val skewed = (0 until 10000).map { i =>
+      val k = if (i % 10 == 0) s"key${i % 7}" else "hotkey"
+      (k, i.toLong, i.toDouble / 3)
+    }.toDF("k", "row_id", "v").repartition(8)
+    val salted = Skew.saltedStats(skewed, "k", "v", saltSource = "row_id", buckets = 16)
+      .orderBy("k").collect()
+    val plain = skewed.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum"),
+        min(col("v")).as("min"), max(col("v")).as("max"))
+      .orderBy("k").collect()
+    assert(salted.length == plain.length)
+    salted.zip(plain).foreach { case (s, p) =>
+      assert(s.getString(0) == p.getString(0))
+      assert(s.getLong(1) == p.getLong(1))
+      assert(math.abs(s.getDouble(2) - p.getDouble(2)) < 1e-6)
+      assert(s.getDouble(3) == p.getDouble(3) && s.getDouble(4) == p.getDouble(4))
+    }
+    // the partial phase really groups on (key, salt): hot key splits 16 ways
+    val p = Skew.saltedStats(skewed, "k", "v", "row_id", 16)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), "partial phase must group by (key, salt)")
+  }
+}
