@@ -1,0 +1,59 @@
+package graft.core
+
+/** Pipeline configuration surface — the typed form of the reference's
+  * request/metadata objects (SURVEY §2.3 T10, §1.1).
+  */
+
+/** EmbeddingsMetadata (reference src/models/embeddings_metadata.py:7-15;
+  * server defaults 512/256 at :42-43). */
+final case class EmbeddingsConfig(
+    embeddingsType: String = "OPEN_AI",
+    chunkSize: Int = 512,
+    chunkOverlap: Int = 256,
+    chunkStrategy: ChunkStrategy = ChunkStrategy.Exact,
+    model: String = "text-embedding-ada-002")
+
+/** VectorDBMetadata (reference src/models/vector_db_metadata.py:6-13). */
+final case class VectorDbConfig(
+    vectorDbType: String,
+    indexName: String,
+    environment: String = "",
+    collection: String = "")
+
+/** VectorflowRequest (reference src/shared/vectorflow_request.py:4-49):
+  * one ingestion job's full configuration. */
+final case class IngestRequest(
+    embeddings: EmbeddingsConfig = EmbeddingsConfig(),
+    vectorDb: Option[VectorDbConfig] = None,
+    vectorDbKey: Option[String] = None,
+    linesPerBatch: Int = 1000,
+    webhookUrl: Option[String] = None,
+    webhookKey: Option[String] = None,
+    documentId: Option[String] = None,
+    chunkValidationUrl: Option[String] = None)
+
+/** Request validation (reference src/api/validators.py:7-51): the same
+  * check set, returning the first failed validation like the reference's
+  * dispatch. */
+object RequestValidator {
+  sealed trait Validation { def error: String; def status: Int }
+  case object Metadata extends Validation { val error = "Missing required fields"; val status = 400 }
+  case object EmbeddingType extends Validation {
+    val error = "Only OPEN_AI embeddings are supported"; val status = 400
+  }
+  case object Webhook extends Validation {
+    val error = "Webhook URL provided but no webhook key"; val status = 400
+  }
+
+  /** First failed validation, or None when the request is well-formed
+    * (reference validate(): first falsy entry wins). */
+  def validate(r: IngestRequest, localVectorDb: Boolean = false): Option[Validation] = {
+    val checks: Seq[(Validation, Boolean)] = Seq(
+      Metadata -> (r.vectorDb.isEmpty || r.vectorDbKey.nonEmpty || localVectorDb),
+      // only OPEN_AI passes API validation and is executed by the worker
+      // (validators.py:39, worker.py:52-73)
+      EmbeddingType -> (r.embeddings.embeddingsType == "OPEN_AI"),
+      Webhook -> (r.webhookUrl.isEmpty || r.webhookKey.nonEmpty))
+    checks.collectFirst { case (v, ok) if !ok => v }
+  }
+}

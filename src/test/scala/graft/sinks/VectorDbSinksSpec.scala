@@ -1,0 +1,94 @@
+package graft.sinks
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{IngestRequest, RequestValidator, Uuid5, VectorDbConfig}
+import graft.pipeline.VectorRecord
+
+class VectorDbSinksSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val rec = VectorRecord("ignored", "some \"text\"", "doc.txt", Array(0.5f, 1.0f))
+
+  test("payload shapes match the reference uploader structs") {
+    val pine = VectorDbSinks.Pinecone.entry(rec, "job1", 7L, 0)
+    assert(pine == s"""{"id":"${Uuid5.ofParts("job1", 7L, 0)}","values":[0.5,1.0],"metadata":{"source_text":"some \\"text\\"","source_document":"doc.txt"}}""")
+    val qd = VectorDbSinks.Qdrant.entry(rec, "job1", 7L, 0)
+    assert(qd.contains(""""vector":[0.5,1.0]""") && qd.contains(""""payload":{"source_text""""))
+    val weav = VectorDbSinks.Weaviate.entry(rec, "job1", 7L, 0)
+    // quirk 6: the reference writes the misspelled property
+    assert(weav.contains(""""vectoflow_id":""") && !weav.contains(""""vectorflow_id":"""))
+    assert(weav.contains(""""source_data":"some \"text\""""))
+    // same (job,batch,i) -> same id on every shape: idempotent upserts
+    assert(pine.contains(Uuid5.ofParts("job1", 7L, 0)) && qd.contains(Uuid5.ofParts("job1", 7L, 0)))
+  }
+
+  test("unsupported DB types are rejected like the reference dispatch") {
+    assert(VectorDbSinks.shapeFor("QDRANT") == VectorDbSinks.Qdrant)
+    val e = intercept[IllegalArgumentException](VectorDbSinks.shapeFor("MILVUS"))
+    assert(e.getMessage.contains("Unsupported vector DB type"))
+  }
+
+  test("upsert sink: 128-batching, retry, accumulator accounting") {
+    import spark.implicits._
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val failures = new java.util.concurrent.atomic.AtomicInteger(1)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/points", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      if (failures.getAndDecrement() > 0) respond(ex, 500, "boom")
+      else { received.add(body); respond(ex, 200, "ok") }
+    })
+    server.start()
+    try {
+      val records = (0 until 300).map(i =>
+        VectorRecord(s"r$i", s"text$i", "doc", Array(i.toFloat))).toDS().coalesce(1)
+      val up = spark.sparkContext.longAccumulator("up")
+      val fail = spark.sparkContext.longAccumulator("fail")
+      VectorDbSinks.upsert(records, s"http://127.0.0.1:${server.getAddress.getPort}",
+        "key", VectorDbSinks.Qdrant, "job-9", attempts = 3, baseDelayMs = 1L,
+        uploaded = up, failed = fail)
+      // 300 records -> batches of 128/128/44; first POST failed once then retried
+      assert(received.size() == 3)
+      assert(up.value == 300L && fail.value == 0L)
+      val bodies = {
+        val it = received.iterator(); val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next(); b.result()
+      }
+      assert(bodies.forall(_.startsWith("""{"points":[""")))
+    } finally server.stop(0)
+  }
+
+  test("request validation mirrors the reference's dispatch order") {
+    val ok = IngestRequest(vectorDb = Some(VectorDbConfig("QDRANT", "idx")),
+      vectorDbKey = Some("k"))
+    assert(RequestValidator.validate(ok).isEmpty)
+    // vector DB configured but no key and not local -> METADATA failure
+    val noKey = ok.copy(vectorDbKey = None)
+    assert(RequestValidator.validate(noKey).contains(RequestValidator.Metadata))
+    assert(RequestValidator.validate(noKey, localVectorDb = true).isEmpty)
+    // non-OpenAI embeddings rejected (validators.py:39)
+    val hf = ok.copy(embeddings = graft.core.EmbeddingsConfig(embeddingsType = "HUGGING_FACE"))
+    assert(RequestValidator.validate(hf).contains(RequestValidator.EmbeddingType))
+    // webhook URL without key rejected
+    val wh = ok.copy(webhookUrl = Some("http://x"), webhookKey = None)
+    assert(RequestValidator.validate(wh).contains(RequestValidator.Webhook))
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+}
