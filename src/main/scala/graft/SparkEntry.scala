@@ -21,6 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Relational2.queries ++
+      graft.queries.Relational3.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.CurationQueries.queries
 
@@ -29,6 +30,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Relational2.oracles ++
+      graft.queries.Relational3.oracles ++
       graft.queries.PipelineQueries.oracles ++
       graft.queries.CurationQueries.oracles
 }
