@@ -17,9 +17,10 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q01_pricing_summary", "q03_revenue_nation", "q05_running_spend",
     "q09_events_hourly", "q10_sessions",
+    "q17_asof_join",
     "p02_chunk_exact_chars", "p08_embed_pipeline",
     "d01_dedup_exact", "d03_dedup_minhash",
-    "a01_ann_bruteforce", "t01_text_profile")
+    "a01_ann_bruteforce", "a05_embed_quantize", "t01_text_profile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -126,8 +126,36 @@ object CurationQueries {
         countDistinct(size(col("embedding"))).as("n_dims"))
       .orderBy(col("label"))
 
+  /** a05: int8 embedding quantization — symmetric scale 127/max|x|,
+    * quantize, dequantize, report max reconstruction error. Pure
+    * Catalyst array math, oracle-checked. */
+  def quantize(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("max_abs", expr("aggregate(v, 0d, (a, x) -> greatest(a, abs(x)))"))
+      .withColumn("q", expr("transform(v, x -> cast(round(x * 127.0 / max_abs, 0) as bigint))"))
+      .withColumn("max_err", expr(
+        "round(aggregate(zip_with(v, q, (x, qq) -> abs(x - qq * max_abs / 127.0)), 0d, (a, e) -> greatest(a, e)), 9)"))
+      .select(col("vec_id"), round(col("max_abs"), 6).as("max_abs"),
+        col("q").getItem(0).as("q0"), col("q").getItem(1).as("q1"),
+        col("max_err"))
+      .orderBy(col("vec_id"))
+
+  /** a06: HLL approximate distinct counts (rows-only: sketch
+    * implementations differ across engines; CurationSpec bounds the
+    * error against exact counts). */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a04_vector_stats"    -> vectorStats _,
+    "a05_embed_quantize"  -> quantize _,
+    "a06_approx_distinct" -> approxDistinct _,
     "d01_dedup_exact"     -> dedupExact _,
     "d02_dedup_jaccard"   -> dedupJaccard _,
     "d03_dedup_minhash"   -> dedupMinHash _,
@@ -146,6 +174,18 @@ object CurationQueries {
       | + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "a05_embed_quantize" ->
+      """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |  list_aggregate(list_transform(v, x -> abs(x)), 'max') AS max_abs FROM d),
+        |qd AS (SELECT vec_id, v, max_abs,
+        |  list_transform(v, x -> CAST(round(x * 127.0 / max_abs, 0) AS BIGINT)) AS q
+        |  FROM m)
+        |SELECT vec_id, round(max_abs, 6) AS max_abs,
+        |q[1] AS q0, q[2] AS q1,
+        |round(list_aggregate(list_transform(range(1, len(v) + 1),
+        |  i -> abs(v[i] - q[i] * max_abs / 127.0)), 'max'), 9) AS max_err
+        |FROM qd ORDER BY vec_id""".stripMargin,
     "a04_vector_stats" ->
       """WITH d AS (SELECT label,
         |  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm,

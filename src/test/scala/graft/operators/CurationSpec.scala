@@ -96,6 +96,20 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL approx distinct within 5% of exact counts") {
+    val approx = CurationQueries.approxDistinct(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = graft.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("p"), countDistinct(col("l_suppkey")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exact.foreach { case (k, (p, s)) =>
+      val (ap, as_) = approx(k)
+      assert(math.abs(ap - p).toDouble / p < 0.05, s"$k parts: $ap vs $p")
+      assert(math.abs(as_ - s).toDouble / s < 0.05, s"$k supps: $as_ vs $s")
+    }
+  }
+
   test("winnowing fingerprints: shared substrings produce shared fingerprints") {
     import spark.implicits._
     val docs = Seq(
