@@ -70,6 +70,54 @@ object EmbedPipeline {
           embedder: Embedder = new HashEmbedder(64)): Dataset[VectorRecord] =
     embedStage(chunkStage(docs, strategy, size, overlap), embedder)
 
+  /** A vector record plus its batch outcome: `ok=false` rows carry the
+    * failure cause instead of a vector (the reference's FAILED batch,
+    * worker.py:327-335). */
+  final case class StatusRecord(id: String, source_text: String,
+                                source_document: String, vector: Array[Float],
+                                ok: Boolean, error: String)
+
+  /** Embed with the reference's partial-failure semantics: an embed-batch
+    * failure (after the embedder's own retries) fails THOSE chunks, not
+    * the Spark job — failed rows flow to the ledger as batch failures so
+    * the job lands on PARTIALLY_COMPLETED / FAILED exactly like
+    * update_job_with_batch (job_service.py:32-51). */
+  def embedStageWithStatus(chunks: Dataset[ChunkRow], embedder: Embedder): Dataset[StatusRecord] = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks.mapPartitions { it =>
+      it.grouped(embedder.maxBatchSize).flatMap { group =>
+        try {
+          val vecs = embedder.embedBatch(group.map(_.chunk_text).toIndexedSeq)
+          group.iterator.zip(vecs.iterator).map { case (c, v) =>
+            StatusRecord(Uuid5.ofParts(c.doc_id, c.chunk_seq, c.chunk_text),
+              c.chunk_text, c.source, v, ok = true, error = "")
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            group.iterator.map { c =>
+              StatusRecord(Uuid5.ofParts(c.doc_id, c.chunk_seq, c.chunk_text),
+                c.chunk_text, c.source, Array.empty[Float], ok = false,
+                error = String.valueOf(e.getMessage))
+            }
+        }
+      }
+    }
+  }
+
+  /** A1 ledger over status records: COMPLETED when every batch
+    * succeeded, FAILED when none did, else PARTIALLY_COMPLETED. */
+  def statusLedger(records: Dataset[StatusRecord]): DataFrame =
+    records.toDF()
+      .groupBy(col("source_document").as("job_id"))
+      .agg(
+        count(lit(1)).as("total_chunks"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("chunks_succeeded"))
+      .withColumn("job_status",
+        when(col("chunks_succeeded") === col("total_chunks"), "COMPLETED")
+          .when(col("chunks_succeeded") > 0, "PARTIALLY_COMPLETED")
+          .otherwise("FAILED"))
+
   /** Jobs ledger from the embedded output: per-source batch accounting
     * (A1 semantics — COMPLETED / PARTIALLY_COMPLETED / FAILED). `ok`
     * marks per-chunk success; callers computing partial failures pass the
