@@ -152,8 +152,20 @@ object CurationQueries {
         approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
       .orderBy(col("l_returnflag"))
 
+  /** a07: per-label centroids (the IVF/k-means training step) — exact
+    * decimal means per dimension, first 3 dims projected for the oracle. */
+  def centroids(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Centroids.byGroupBy(embeddings(spark, dir), "label", "embedding")
+      .select(col("grp").as("label"),
+        col("centroid").getItem(0).as("c0"),
+        col("centroid").getItem(1).as("c1"),
+        col("centroid").getItem(2).as("c2"),
+        size(col("centroid")).as("dim"))
+      .orderBy(col("label"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a04_vector_stats"    -> vectorStats _,
+    "a07_centroids"       -> centroids _,
     "a05_embed_quantize"  -> quantize _,
     "a06_approx_distinct" -> approxDistinct _,
     "d01_dedup_exact"     -> dedupExact _,
@@ -174,6 +186,18 @@ object CurationQueries {
       | + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "a07_centroids" ->
+      """WITH e AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |  unnest(range(0, len(embedding))) AS pos FROM embeddings),
+        |m AS (SELECT label, pos,
+        |  CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS mval
+        |  FROM e GROUP BY label, pos)
+        |SELECT label,
+        |round(max(CASE WHEN pos = 0 THEN mval END), 9) AS c0,
+        |round(max(CASE WHEN pos = 1 THEN mval END), 9) AS c1,
+        |round(max(CASE WHEN pos = 2 THEN mval END), 9) AS c2,
+        |CAST(count(*) AS INT) AS dim
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
     "a05_embed_quantize" ->
       """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |m AS (SELECT vec_id, v,
