@@ -48,6 +48,43 @@ object helpers {
     new GenericArrayData(sig)
   }
 
+  /** MinHash signature computed straight from the word array: each word
+    * is XXH64-hashed once, an n-gram shingle hash is the XXH64-mix of
+    * its n word hashes (no shingle strings are ever built), and all
+    * lanes fold in one pass. Duplicate shingles can't change a minimum,
+    * so skipping the distinct step is exact. */
+  def minHashFromWords(arr: ArrayData, num: Int, shingle: Int): ArrayData = {
+    val sig = new Array[Long](num)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = arr.numElements()
+    if (n >= shingle) {
+      val wh = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        wh(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        i += 1
+      }
+      var start = 0
+      while (start <= n - shingle) {
+        var base = wh(start)
+        var j = 1
+        while (j < shingle) { base = XXH64.hashLong(wh(start + j), base); j += 1 }
+        var lane = 0
+        while (lane < num) {
+          var z = base + lane * 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z = z ^ (z >>> 31)
+          if (z < sig(lane)) sig(lane) = z
+          lane += 1
+        }
+        start += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
   /** Cosine similarity of two double arrays, left-to-right accumulation
     * (deterministic order — matches the SQL fold the oracle uses). */
   def cosineDouble(a: ArrayData, b: ArrayData): Double = {
@@ -94,6 +131,21 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "minhash_signature"
+}
+
+/** `minhash_words(words, numHashes, shingleSize)` → array<bigint>:
+  * signature over word n-grams without materializing shingle strings. */
+case class MinHashWords(child: Expression, numHashes: Int, shingleSize: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    helpers.minHashFromWords(input.asInstanceOf[ArrayData], numHashes, shingleSize)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.helpers.minHashFromWords($c, $numHashes, $shingleSize);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_words"
 }
 
 /** `cosine_similarity(a, b)` → double, over array<float> or
@@ -149,6 +201,9 @@ object GraftFunctions {
 
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), numHashes))
+
+  def minhashWords(words: Column, numHashes: Int, shingleSize: Int): Column =
+    ColumnBridge.column(MinHashWords(ColumnBridge.expression(words), numHashes, shingleSize))
 
   def cosineSimilarity(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(

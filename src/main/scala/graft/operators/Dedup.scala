@@ -84,8 +84,10 @@ object Dedup {
                       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sh = withShingles(df, idCol, textCol, n).cache()
-    val sig = sh.withColumn("sig", minHashSignature("shingles", numHashes))
+    // signatures straight from the word array (no shingle strings, no
+    // distinct — duplicates cannot change a minimum): one codegen'd pass
+    val sig = df.select(col(idCol).as("id"),
+      graft.functions.GraftFunctions.minhashWords(split(col(textCol), " "), numHashes, n).as("sig"))
     val buckets = sig.select(
       col("id"),
       posexplode(expr(
@@ -97,6 +99,12 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // exact-Jaccard verification materializes shingle SETS only for the
+    // documents that appear in a candidate pair (a tiny fraction)
+    val involved = candidates.select(col("id_a").as("id"))
+      .unionAll(candidates.select(col("id_b").as("id"))).distinct()
+    val sh = withShingles(
+      df.join(involved, df(idCol) === involved("id"), "left_semi"), idCol, textCol, n)
     candidates
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
