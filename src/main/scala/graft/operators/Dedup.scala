@@ -26,10 +26,13 @@ object Dedup {
   def withShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(
       col(idCol).as("id"),
+      // docs shorter than n words have no shingles; without the guard
+      // sequence(0, negative) counts DOWN and slice(_, 0, _) throws
       array_distinct(expr(
-        s"""transform(
+        s"""CASE WHEN size(split($textCol, ' ')) < $n THEN array()
+           |ELSE transform(
            |  sequence(0, size(split($textCol, ' ')) - $n),
-           |  i -> array_join(slice(split($textCol, ' '), i + 1, $n), ' '))""".stripMargin))
+           |  i -> array_join(slice(split($textCol, ' '), i + 1, $n), ' ')) END""".stripMargin))
         .as("shingles"))
 
   /** Exact dedup, keep-first: one row per distinct text (minimum id
@@ -85,9 +88,14 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     // signatures straight from the word array (no shingle strings, no
-    // distinct — duplicates cannot change a minimum): one codegen'd pass
-    val sig = df.select(col(idCol).as("id"),
-      graft.functions.GraftFunctions.minhashWords(split(col(textCol), " "), numHashes, n).as("sig"))
+    // distinct — duplicates cannot change a minimum): one codegen'd pass.
+    // Docs with fewer words than one shingle are excluded — their
+    // signature is the all-MaxValue sentinel, which would bucket every
+    // such doc together and then divide 0/0 in the Jaccard verify.
+    val sig = df
+      .filter(size(split(col(textCol), " ")) >= n)
+      .select(col(idCol).as("id"),
+        graft.functions.GraftFunctions.minhashWords(split(col(textCol), " "), numHashes, n).as("sig"))
     val buckets = sig.select(
       col("id"),
       posexplode(expr(

@@ -43,12 +43,16 @@ object TextAnalysis {
 
   /** Composite quality score in [0,1]:
     * 0.5·stopword-ratio + 0.3·min(1, len/500) + 0.2·(1 − punct-ratio).
-    * Identical IEEE expression shape on the oracle side. */
-  def qualityScore(text: Column): Column = round(
-    lit(0.5) * (stopwordCount(text).cast("double") / wsTokenCount(text).cast("double")) +
-      lit(0.3) * least(lit(1.0), length(text).cast("double") / lit(500.0)) +
-      lit(0.2) * (lit(1.0) - punctCount(text).cast("double") / length(text).cast("double")),
-    6)
+    * Identical IEEE expression shape on the oracle side. Empty text
+    * scores 0 — under ANSI mode (Spark 4 default) the punct-ratio
+    * division would otherwise raise DIVIDE_BY_ZERO and kill the job on
+    * the first empty document. */
+  def qualityScore(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(round(
+      lit(0.5) * (stopwordCount(text).cast("double") / wsTokenCount(text).cast("double")) +
+        lit(0.3) * least(lit(1.0), length(text).cast("double") / lit(500.0)) +
+        lit(0.2) * (lit(1.0) - punctCount(text).cast("double") / length(text).cast("double")),
+      6))
 
   /** Marker-word lists per language for the n-gram/lexicon language-id
     * heuristic. */
