@@ -22,6 +22,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Relational2.queries ++
       graft.queries.Relational3.queries ++
+      graft.queries.Relational4.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.CurationQueries.queries
 
@@ -31,6 +32,7 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.Relational2.oracles ++
       graft.queries.Relational3.oracles ++
+      graft.queries.Relational4.oracles ++
       graft.queries.PipelineQueries.oracles ++
       graft.queries.CurationQueries.oracles
 }

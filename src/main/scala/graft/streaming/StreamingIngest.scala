@@ -74,6 +74,16 @@ object StreamingIngest {
         col("window.start").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: drop re-ingested duplicate documents by
+    * content hash across micro-batches. With a watermark column the
+    * state is bounded ([[Dataset.dropDuplicatesWithinWatermark]]);
+    * without one it grows with the distinct-key count — acceptable for
+    * digest keys (32 bytes/doc). */
+  def dedupStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("text_hash", sha2(col("text"), 256))
+      .dropDuplicates("text_hash")
+
   /** Per-user session state for [[sessionize]]. */
   final case class SessionState(sessionId: Long, lastTs: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long)

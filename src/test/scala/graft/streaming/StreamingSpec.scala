@@ -76,6 +76,30 @@ class StreamingSpec extends AnyFunSuite {
       "closed windows must equal the batch rollup")
   }
 
+  test("streaming dedup drops re-ingested duplicate content across batches") {
+    val drop = tmp("drop2"); val ckpt = tmp("ckpt3"); val out = tmp("dedup_out")
+    Files.writeString(Paths.get(drop, "a.txt"), "identical content")
+    Files.writeString(Paths.get(drop, "b.txt"), "identical content")
+    Files.writeString(Paths.get(drop, "c.txt"), "different content")
+    def runOnce(): Unit = {
+      val q = StreamingIngest.dedupStream(StreamingIngest.readDocuments(spark, drop))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").parquet(out); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 2)
+    // a later batch re-delivers the same content -> streaming state
+    // (restored from the checkpoint) filters it
+    Files.writeString(Paths.get(drop, "d.txt"), "identical content")
+    runOnce()
+    assert(spark.read.parquet(out).count() == 2, "duplicate content must not re-emit")
+  }
+
   test("stateful sessionization counts gap-separated sessions per user") {
     import spark.implicits._
     // user 1: two sessions (gap > 1800s); user 2: one session
