@@ -84,6 +84,18 @@ object CurationQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** a08: IVF with a k-means-trained coarse quantizer — train lists,
+    * assign corpus and queries, probe (rows-only; KMeansSpec pins
+    * determinism, blob separation, and list membership). */
+  def annIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val (_, centroids) = graft.operators.KMeans.fit(e, "vec_id", "embedding", k = 8, iterations = 2)
+    val corpus = graft.operators.KMeans.assign(e, "vec_id", "embedding", centroids)
+    Similarity.ivfTopK(corpus.filter(col("vec_id") < 5), corpus,
+        "vec_id", "embedding", "cluster", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** t01: per-document text-analysis profile (token counts, quality,
     * lang id, bag-of-words fingerprint) — all pure Catalyst. */
   def textProfile(spark: SparkSession, dir: String): DataFrame =
@@ -166,6 +178,7 @@ object CurationQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a04_vector_stats"    -> vectorStats _,
     "a07_centroids"       -> centroids _,
+    "a08_ann_ivf_kmeans"  -> annIvfKmeans _,
     "a05_embed_quantize"  -> quantize _,
     "a06_approx_distinct" -> approxDistinct _,
     "d01_dedup_exact"     -> dedupExact _,

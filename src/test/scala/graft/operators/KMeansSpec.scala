@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class KMeansSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("k-means separates two well-separated blobs") {
+    import spark.implicits._
+    // blob A around (10, 10), blob B around (-10, -10), tiny jitter
+    val pts = (0 until 40).map { i =>
+      val (cx, cy) = if (i % 2 == 0) (10f, 10f) else (-10f, -10f)
+      (i.toLong, Array(cx + (i % 5) * 0.1f, cy - (i % 3) * 0.1f))
+    }
+    val df = pts.toDF("id", "v")
+    val (assigned, centroids) = KMeans.fit(df, "id", "v", k = 2, iterations = 4)
+    val byCluster = assigned.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val clusterOfEven = byCluster(0L)
+    pts.foreach { case (id, _) =>
+      val expected = if (id % 2 == 0) clusterOfEven else 1 - clusterOfEven
+      assert(byCluster(id) == expected, s"point $id misclustered")
+    }
+    // centroids land near the blob centers
+    val cs = centroids.map(c => (math.round(c(0) / 10.0) * 10, math.round(c(1) / 10.0) * 10)).toSet
+    assert(cs == Set((10L, 10L), (-10L, -10L)))
+  }
+
+  test("k-means is deterministic across runs") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val (a1, c1) = KMeans.fit(e, "vec_id", "embedding", k = 8, iterations = 3)
+    val (a2, c2) = KMeans.fit(e, "vec_id", "embedding", k = 8, iterations = 3)
+    assert(a1.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq ==
+      a2.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+  }
+
+  test("trained lists drive the IVF probe end to end") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val (_, centroids) = KMeans.fit(e, "vec_id", "embedding", k = 8, iterations = 2)
+    val corpus = KMeans.assign(e, "vec_id", "embedding", centroids)
+    val queries = corpus.filter(col("vec_id") < 3)
+    val topk = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding", "cluster", k = 5)
+    assert(topk.count() == 15)
+    // every neighbor shares the query's trained list
+    val cl = corpus.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    topk.collect().foreach(r => assert(cl(r.getLong(0)) == cl(r.getLong(1))))
+  }
+}
