@@ -96,7 +96,10 @@ object Chunkers {
   def paragraph(data: Seq[String], size: Int, overlap: Int, bound: Double = 0.75,
                 tok: Tokenizer = GraftTokenizer): Vector[Chunk] = {
     val joined = data.mkString
-    val checkBound = (bound * size).toInt
+    // floor(bound*size) of 0 would make the accumulation loop a no-op and
+    // the outer loop spin forever (the reference has the same hazard for
+    // size=1); one-token minimum guarantees progress
+    val checkBound = math.max(1, (bound * size).toInt)
     val paragraphs = ParagraphSplit.split(joined, -1)
     val tokenized = paragraphs.map(p => tok.encode(p))
     val out = new ArrayBuffer[Chunk]()

@@ -129,7 +129,8 @@ object Dedup {
   val simHash64: Column => Column = {
     val f = udf { (words: Seq[String]) =>
       val votes = new Array[Int](64)
-      words.foreach { w =>
+      val safe = if (words == null) Seq.empty[String] else words
+      safe.foreach { w =>
         val h = fnv1a64(w)
         var b = 0
         while (b < 64) {
@@ -162,8 +163,10 @@ object Dedup {
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDistance: Int = 3): DataFrame = {
     require(maxDistance < 4 * 4, "block scheme supports maxDistance < 16")
-    val hashed = df.select(col(idCol).as("id"),
-      simHash64(split(col(textCol), " ")).as("simhash"))
+    val hashed = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        simHash64(split(col(textCol), " ")).as("simhash"))
     val blocks = hashed.select(
       col("id"), col("simhash"),
       posexplode(expr(

@@ -30,13 +30,18 @@ object KMeans {
     * as local array indexed by cluster id). */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
           iterations: Int = 5): (DataFrame, Array[Array[Double]]) = {
-    val spark = df.sparkSession
-    // deterministic init: the k smallest-id vectors
+    require(iterations >= 1, "k-means needs at least one iteration")
+    // deterministic init: the k smallest-id vectors; with fewer than k
+    // rows the effective k shrinks to the row count (every distance
+    // column below is built from the ACTUAL centroid count)
     var centroids: Array[Array[Double]] = df
       .orderBy(col(idCol)).limit(k)
       .select(expr(s"transform($vecCol, x -> cast(x as double))"))
       .collect().map(_.getSeq[Double](0).toArray)
+    require(centroids.nonEmpty, "k-means needs a non-empty input")
+    val kEff = centroids.length
 
+    val arr = (0 until kEff).map(i => s"__d$i").mkString("array(", ",", ")")
     var assigned: DataFrame = null
     var iter = 0
     while (iter < iterations) {
@@ -45,12 +50,9 @@ object KMeans {
       }
       val withDists = df.select((col(idCol) +: col(vecCol) +: distCols.toSeq): _*)
       // argmin with index tiebreak via array_position of the minimum
-      val distArray = expr((0 until k).map(i => s"__d$i").mkString("array(", ",", ")"))
       assigned = withDists
         .withColumn("cluster",
-          (expr(s"array_position(${(0 until k).map(i => s"__d$i").mkString("array(", ",", ")")}, " +
-            s"array_min(${(0 until k).map(i => s"__d$i").mkString("array(", ",", ")")}))") - 1)
-            .cast("int"))
+          (expr(s"array_position($arr, array_min($arr))") - 1).cast("int"))
         .select(col(idCol), col(vecCol), col("cluster"))
       val newCentroids = Centroids.byGroupBy(assigned, "cluster", vecCol)
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap

@@ -34,24 +34,29 @@ object CuratePipeline {
           embedder: Embedder = new HashEmbedder(64)): (Dataset[VectorRecord], Report) = {
     val input = docs.count()
 
-    val quality = docs.filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
+    // each counted stage is persisted so the funnel counts don't
+    // re-execute the whole upstream lineage (with a paid HTTP embedder
+    // that would literally double the API bill); the returned vectors
+    // dataset stays persisted — callers unpersist() after their write
+    val quality = docs.filter(TextAnalysis.qualityScore(col("text")) >= minQuality).persist()
     val nQuality = quality.count()
 
     // exact dedup keep-first: survivors join back to their rows
     val kept = Dedup.exactKeepFirst(quality, "doc_id", "text")
       .select(col("kept_id").as("doc_id"))
-    val exact = quality.join(kept, "doc_id")
+    val exact = quality.join(kept, "doc_id").persist()
     val nExact = exact.count()
 
     // near-dup removal: drop the higher id of every ≥-threshold pair
     val drops = Dedup.minHashLshPairs(exact, "doc_id", "text",
         n = 3, numHashes = 64, bands = 16, threshold = jaccard)
       .select(col("id_b").as("doc_id")).distinct()
-    val surviving = exact.join(drops, Seq("doc_id"), "left_anti")
+    val surviving = exact.join(drops, Seq("doc_id"), "left_anti").persist()
     val nNear = surviving.count()
 
-    val vectors = EmbedPipeline.run(surviving, strategy, chunkSize, chunkOverlap, embedder)
+    val vectors = EmbedPipeline.run(surviving, strategy, chunkSize, chunkOverlap, embedder).persist()
     val nVec = vectors.count()
+    quality.unpersist(); exact.unpersist(); surviving.unpersist()
 
     (vectors, Report(input, nQuality, nExact, nNear, nVec))
   }

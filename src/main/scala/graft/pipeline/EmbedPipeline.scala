@@ -52,6 +52,8 @@ object EmbedPipeline {
     chunks.mapPartitions { it =>
       it.grouped(embedder.maxBatchSize).flatMap { group =>
         val vecs = embedder.embedBatch(group.map(_.chunk_text).toIndexedSeq)
+        require(vecs.length == group.length,
+          s"embedder returned ${vecs.length} vectors for ${group.length} texts — refusing to zip-drop chunks silently")
         group.iterator.zip(vecs.iterator).map { case (c, v) =>
           // sink id carries document context (like the reference's
           // uuid5(batch_id, job_id, i), vector_uploader.py:59) — chunk_id
@@ -89,6 +91,8 @@ object EmbedPipeline {
       it.grouped(embedder.maxBatchSize).flatMap { group =>
         try {
           val vecs = embedder.embedBatch(group.map(_.chunk_text).toIndexedSeq)
+          require(vecs.length == group.length,
+            s"embedder returned ${vecs.length} vectors for ${group.length} texts")
           group.iterator.zip(vecs.iterator).map { case (c, v) =>
             StatusRecord(Uuid5.ofParts(c.doc_id, c.chunk_seq, c.chunk_text),
               c.chunk_text, c.source, v, ok = true, error = "")

@@ -50,32 +50,41 @@ final case class TopKPerKeyExec(keys: Seq[Expression], score: Expression,
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val boundScore = BindReferences.bindReference(scoreExpr, childOutput)
       val boundTie = BindReferences.bindReference(tieExpr, childOutput)
+      // any orderable tiebreak type (long ids, uuid strings, ...) — not
+      // just bigint; evaluated values may be buffer-backed (UTF8String),
+      // so they are copied before entering the heap
+      val tieOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(tieExpr.dataType).asInstanceOf[Ordering[Any]]
+      def copyTie(v: Any): Any = v match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+        case x => x
+      }
       // per-key bounded heap; the root is the WEAKEST kept row under the
       // total order (score desc, tiebreak asc), i.e. the minimum score
       // with the maximum tiebreak — evicted when a better candidate
       // arrives, so ties resolve identically to the window form
-      val cmp = new java.util.Comparator[(Double, Long, InternalRow)] {
-        override def compare(a: (Double, Long, InternalRow), b: (Double, Long, InternalRow)): Int = {
+      val cmp = new java.util.Comparator[(Double, Any, InternalRow)] {
+        override def compare(a: (Double, Any, InternalRow), b: (Double, Any, InternalRow)): Int = {
           val c = java.lang.Double.compare(a._1, b._1)
-          if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+          if (c != 0) c else tieOrd.compare(b._2, a._2)
         }
       }
-      val heaps = new java.util.HashMap[InternalRow, java.util.PriorityQueue[(Double, Long, InternalRow)]]()
+      val heaps = new java.util.HashMap[InternalRow, java.util.PriorityQueue[(Double, Any, InternalRow)]]()
       while (it.hasNext) {
         val row = it.next()
         val s = boundScore.eval(row).asInstanceOf[Double]
-        val t = boundTie.eval(row).asInstanceOf[Long]
+        val t = boundTie.eval(row)
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[(Double, Long, InternalRow)](kk + 1, cmp)
+          heap = new java.util.PriorityQueue[(Double, Any, InternalRow)](kk + 1, cmp)
           heaps.put(key.copy(), heap)
         }
-        if (heap.size() < kk) heap.add((s, t, row.copy()))
+        if (heap.size() < kk) heap.add((s, copyTie(t), row.copy()))
         else {
           val root = heap.peek()
-          if (s > root._1 || (s == root._1 && t < root._2)) {
-            heap.poll(); heap.add((s, t, row.copy()))
+          if (s > root._1 || (s == root._1 && tieOrd.lt(t, root._2))) {
+            heap.poll(); heap.add((s, copyTie(t), row.copy()))
           }
         }
       }

@@ -52,11 +52,15 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[VectorRecord], batchId: Long) =>
         batch.persist()
-        batch.write.mode("append").parquet(outDir)
+        // idempotent by batchId: a crash between this write and the
+        // checkpoint commit re-delivers the batch, which then OVERWRITES
+        // the same directory instead of appending duplicates — this is
+        // what makes checkpoint + foreachBatch actually exactly-once
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         ledgerDir.foreach { dir =>
           EmbedPipeline.ledger(batch.toDF())
             .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(dir)
+            .write.mode("overwrite").parquet(s"$dir/batch=$batchId")
         }
         batch.unpersist()
         ()
@@ -98,16 +102,25 @@ object StreamingIngest {
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout) {
         (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
-          rows.toSeq.sortBy(_._2).foreach { case (_, ts) =>
-            st =
-              if (st.lastTs != Long.MinValue && ts - st.lastTs <= gapSeconds)
-                st.copy(lastTs = ts, nEvents = st.nEvents + 1)
-              else SessionState(st.sessionId + 1, ts, 1L)
+          if (state.hasTimedOut) {
+            // idle user: emit the final session snapshot ONCE and drop
+            // the state (re-arming here would keep it alive forever and
+            // re-emit a duplicate row every timeout period)
+            val st = state.get
+            state.remove()
+            SessionOut(userId, st.sessionId, st.nEvents)
+          } else {
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+            rows.toSeq.sortBy(_._2).foreach { case (_, ts) =>
+              st =
+                if (st.lastTs != Long.MinValue && ts - st.lastTs <= gapSeconds)
+                  st.copy(lastTs = ts, nEvents = st.nEvents + 1)
+                else SessionState(st.sessionId + 1, ts, 1L)
+            }
+            state.update(st)
+            state.setTimeoutDuration("1 hour")
+            SessionOut(userId, st.sessionId, st.nEvents)
           }
-          state.update(st)
-          state.setTimeoutDuration("1 hour")
-          SessionOut(userId, st.sessionId, st.nEvents)
       }
   }
 }
