@@ -175,7 +175,30 @@ object CurationQueries {
         size(col("centroid")).as("dim"))
       .orderBy(col("label"))
 
+  /** t04: reproducible stratified sampling — hash-gated (md5 prefix), so
+    * the same rows are sampled on every engine and every run (rand()
+    * would be neither): ~25% of 'en' docs, ~6% of everything else. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("gate", substring(md5(col("text")), 1, 2))
+      .filter(
+        (col("lang") === "en" && col("gate") < "40") ||
+          (col("lang") =!= "en" && col("gate") < "10"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** t05: token-length histogram of the corpus (10-token buckets). */
+  def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("bucket", (TextAnalysis.wsTokenCount(col("text")) / 10).cast("long") * 10)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.wsTokenCount(col("text")).cast("long")).as("total_tokens"))
+      .orderBy(col("bucket"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t04_sample_stratified" -> sampleStratified _,
+    "t05_token_histogram"   -> tokenHistogram _,
     "a04_vector_stats"    -> vectorStats _,
     "a07_centroids"       -> centroids _,
     "a08_ann_ivf_kmeans"  -> annIvfKmeans _,
@@ -199,6 +222,16 @@ object CurationQueries {
       | + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t04_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (lang = 'en' AND substring(md5(text), 1, 2) < '40')
+        |   OR (lang <> 'en' AND substring(md5(text), 1, 2) < '10')
+        |ORDER BY doc_id""".stripMargin,
+    "t05_token_histogram" ->
+      """SELECT CAST(len(string_split(text, ' ')) // 10 * 10 AS BIGINT) AS bucket,
+        |count(*) AS n_docs,
+        |CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
     "a07_centroids" ->
       """WITH e AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
         |  unnest(range(0, len(embedding))) AS pos FROM embeddings),
