@@ -73,6 +73,19 @@ object PlanReport {
       time(graft.operators.Similarity.bruteForceTopKExec(
         emb10.filter(col("vec_id") < 50), emb10, "vec_id", "embedding", 10).count()))
 
+    // 100× rows for the narrow/linear stages — 500k docs, 60M lineitem
+    val docs100 = docs.crossJoin(spark.range(100).toDF("c"))
+      .select((col("doc_id") * 100 + col("c")).as("doc_id"),
+        concat(col("text"), lit(" t"), col("c")).as("text"),
+        lit("s").as("source"))
+    val li100 = li.crossJoin(spark.range(100).toDF("c"))
+      .withColumn("l_orderkey", col("l_orderkey") * 100 + col("c")).drop("c")
+    sb.append("\n## 100× rows (500k docs / 60M lineitem, uncached synthetic)\n\n")
+    sb.append("| operator | 100× time |\n|---|---|\n")
+    sb.append(f"| hash agg (q01 shape) | ${time(li100.groupBy("l_returnflag").agg(sum("l_quantity")).count())}%.2f s |\n")
+    sb.append(f"| exact dedup (sha256 groupBy) | ${time(graft.operators.Dedup.exactKeepFirst(docs100, "doc_id", "text").count())}%.2f s |\n")
+    sb.append(f"| chunk+embed pipeline | ${time(graft.pipeline.EmbedPipeline.run(docs100).count())}%.2f s |\n")
+
     Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
     println("[plan-report] wrote PLANS.md")
     spark.stop()
