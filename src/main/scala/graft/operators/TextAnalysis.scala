@@ -106,6 +106,29 @@ object TextAnalysis {
     c => f(c)
   }
 
+  /** PII scrubbing: mask email addresses, long digit runs (phone/ids),
+    * and IPv4 literals — the C4-style cleanup pass. Patterns restricted
+    * to the regex subset Java and RE2 interpret identically. */
+  def scrubPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val noIp = regexp_replace(noEmail, "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>")
+    regexp_replace(noIp, "[0-9]{7,}", "<NUM>")
+  }
+
+  /** Repetition ratio: 1 − distinct-bigrams / total-bigrams — the
+    * Gopher-rules repetition signal (high = boilerplate/spam). */
+  def repetitionRatio(text: Column): Column = {
+    val words = split(text, " ")
+    val total = size(words) - 1
+    val distinctBigrams = size(array_distinct(expr(
+      s"""CASE WHEN size(split(${text.toString}, ' ')) < 2 THEN array()
+         |ELSE transform(sequence(0, size(split(${text.toString}, ' ')) - 2),
+         |  i -> concat(element_at(split(${text.toString}, ' '), i + 1), ' ',
+         |              element_at(split(${text.toString}, ' '), i + 2))) END""".stripMargin)))
+    when(total <= 0, lit(0.0))
+      .otherwise(round(lit(1.0) - distinctBigrams.cast("double") / total.cast("double"), 6))
+  }
+
   /** One row per document with the full text-analysis profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

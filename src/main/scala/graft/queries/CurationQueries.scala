@@ -196,9 +196,56 @@ object CurationQueries {
         sum(TextAnalysis.wsTokenCount(col("text")).cast("long")).as("total_tokens"))
       .orderBy(col("bucket"))
 
+  /** t06: PII scrubbing over synthetic planted PII (emails/IPs/ids
+    * appended deterministically so the masks have work to do). */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("dirty", concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or 10.0.0."),
+        (col("doc_id") % 255), lit(" id "), (col("doc_id") + 10000000L)))
+      .select(col("doc_id"), TextAnalysis.scrubPii(col("dirty")).as("clean"))
+      .filter(col("clean").contains("<EMAIL>") && col("clean").contains("<IP>") &&
+        col("clean").contains("<NUM>"))
+      .orderBy(col("doc_id"))
+
+  /** t07: corpus-frequency line dedup (C4-style boilerplate removal):
+    * "lines" (words here) occurring in more than 60% of documents are
+    * dropped from every document; output the per-doc kept-word count. */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val nDocs = docs.count()
+    val frequent = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      .groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > nDocs * 6 / 10)
+      .select(col("w"))
+    // distributed filter: explode words, anti-join the (tiny, broadcast)
+    // frequent set, re-count — no driver-side collection of the corpus
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val keptCounts = words
+      .join(broadcast(frequent), words("word") === frequent("w"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("kept_words"))
+    docs.select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("total_words"))
+      .join(keptCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept_words"), lit(0L)).as("kept_words"),
+        col("total_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t08: repetition ratio (Gopher rules) per document. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t04_sample_stratified" -> sampleStratified _,
     "t05_token_histogram"   -> tokenHistogram _,
+    "t06_pii_scrub"         -> piiScrub _,
+    "t07_line_dedup"        -> lineDedup _,
+    "t08_repetition"        -> repetition _,
     "a04_vector_stats"    -> vectorStats _,
     "a07_centroids"       -> centroids _,
     "a08_ann_ivf_kmeans"  -> annIvfKmeans _,
@@ -222,6 +269,49 @@ object CurationQueries {
       | + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t06_pii_scrub" ->
+      """WITH dirty AS (
+        |  SELECT doc_id, text || ' contact user' || doc_id || '@example.com or 10.0.0.' ||
+        |    (doc_id % 255) || ' id ' || (doc_id + 10000000) AS d
+        |  FROM documents),
+        |clean AS (
+        |  SELECT doc_id, regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(d, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g') AS clean
+        |  FROM dirty)
+        |SELECT doc_id, clean FROM clean
+        |WHERE contains(clean, '<EMAIL>') AND contains(clean, '<IP>') AND contains(clean, '<NUM>')
+        |ORDER BY doc_id""".stripMargin,
+    "t07_line_dedup" ->
+      """WITH nd AS (SELECT count(*) AS n FROM documents),
+        |freq AS (
+        |  SELECT w FROM (
+        |    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        |    FROM documents) t
+        |  GROUP BY w HAVING count(DISTINCT doc_id) > (SELECT n FROM nd) * 6 // 10),
+        |words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |kept AS (
+        |  SELECT doc_id, count(*) AS kept_words FROM words
+        |  WHERE w NOT IN (SELECT w FROM freq) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |CAST(coalesce(k.kept_words, 0) AS BIGINT) AS kept_words,
+        |CAST(len(string_split(d.text, ' ')) AS BIGINT) AS total_words
+        |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "t08_repetition" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) < 2 THEN []
+        |    ELSE list_transform(range(1, len(string_split(text, ' '))),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) END AS bigrams,
+        |    len(string_split(text, ' ')) - 1 AS total
+        |  FROM documents)
+        |SELECT doc_id,
+        |CASE WHEN total <= 0 THEN 0.0
+        |ELSE round(1.0 - len(list_distinct(bigrams)) / CAST(total AS DOUBLE), 6) END AS rep_ratio
+        |FROM b ORDER BY doc_id""".stripMargin,
     "t04_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE (lang = 'en' AND substring(md5(text), 1, 2) < '40')
