@@ -55,11 +55,41 @@ object Relational4 {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** q24: TPC-H Q14-style promo revenue share per ship-year — a
+    * conditional-ratio aggregate over a fact⋈dim join (part broadcast). */
+  def q24PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    val p = part(spark, dir)
+    val disc = col("l_extendedprice").cast(DecimalType(18, 6)) *
+      (lit(BigDecimal(1)).cast(DecimalType(18, 6)) - col("l_discount").cast(DecimalType(18, 6)))
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", disc).otherwise(lit(BigDecimal(0)).cast(DecimalType(18, 6)))), 2)
+          .cast("double").as("promo_revenue"),
+        round(sum(disc), 2).cast("double").as("total_revenue"))
+      .withColumn("promo_pct",
+        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6))
+      .orderBy(col("ship_year"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_range_join" -> q22RangeJoin _,
-    "q23_window_zoo" -> q23WindowZoo _)
+    "q23_window_zoo" -> q23WindowZoo _,
+    "q24_promo_revenue" -> q24PromoRevenue _)
 
   val oracles: Map[String, String] = Map(
+    "q24_promo_revenue" ->
+      """WITH j AS (
+        |  SELECT year(l_shipdate) AS ship_year, p_type,
+        |    CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS disc
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT CAST(ship_year AS BIGINT) AS ship_year,
+        |CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN disc ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS promo_revenue,
+        |CAST(round(sum(disc), 2) AS DOUBLE) AS total_revenue,
+        |round(100.0 * CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN disc ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE)
+        |  / CAST(round(sum(disc), 2) AS DOUBLE), 6) AS promo_pct
+        |FROM j GROUP BY ship_year ORDER BY ship_year""".stripMargin,
     "q22_range_join" ->
       """WITH iv AS (
         |  SELECT o_custkey, min(epoch(o_orderdate)) AS start_s,

@@ -78,6 +78,21 @@ object StreamingIngest {
         col("window.start").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * views within the preceding `windowExpr` — both sides watermarked so
+    * the join state is bounded (unwatermarked stream-stream joins grow
+    * state forever). */
+  def purchaseViewJoin(purchases: DataFrame, views: DataFrame,
+                       watermark: String = "2 hours",
+                       windowExpr: String = "INTERVAL 1 HOUR"): DataFrame = {
+    val p = purchases.withWatermark("ts", watermark).alias("p")
+    val v = views.withWatermark("view_ts", watermark).alias("v")
+    p.join(v, expr(
+      s"p.user_id = v.user_id AND v.view_ts BETWEEN p.ts - $windowExpr AND p.ts"))
+      .select(col("p.user_id").as("user_id"), col("p.event_id").as("purchase_id"),
+        col("v.view_id"), col("p.ts"), col("v.view_ts"))
+  }
+
   /** Streaming exact dedup: drop re-ingested duplicate documents by
     * content hash across micro-batches. With a watermark column the
     * state is bounded ([[Dataset.dropDuplicatesWithinWatermark]]);

@@ -100,6 +100,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 2, "duplicate content must not re-emit")
   }
 
+  test("stream-stream interval join equals the batch join on closed state") {
+    import org.apache.spark.sql.functions.expr
+    val src = tmp("ev_src2"); val ckpt = tmp("ckpt_ss")
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    events.write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def streamSide(t: String, renameTs: Option[String]) = {
+      val s = spark.readStream.schema(schema).parquet(src)
+        .filter(col("event_type") === t)
+      renameTs match {
+        case Some(newTs) => s.select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as(newTs))
+        case None => s.select(col("user_id"), col("event_id"), col("ts"))
+      }
+    }
+    val joined = StreamingIngest.purchaseViewJoin(
+      streamSide("purchase", None), streamSide("view", Some("view_ts")))
+    val q = joined.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("ssj")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ssj").select("purchase_id", "view_id")
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("vuid"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val batch = p.join(v, expr(
+        "user_id = vuid AND view_ts BETWEEN ts - INTERVAL 1 HOUR AND ts"))
+      .select("purchase_id", "view_id")
+    // AvailableNow processes everything; with the watermark trailing the
+    // max event time, all pairs should be emitted and match batch exactly
+    assert(got.count() > 0)
+    assert(batch.except(got).count() == 0 && got.except(batch).count() == 0)
+  }
+
   test("stateful sessionization counts gap-separated sessions per user") {
     import spark.implicits._
     // user 1: two sessions (gap > 1800s); user 2: one session
