@@ -129,6 +129,28 @@ object TextAnalysis {
       .otherwise(round(lit(1.0) - distinctBigrams.cast("double") / total.cast("double"), 6))
   }
 
+  /** Compression ratio (deflate bytes / raw bytes): low ratio means
+    * highly repetitive text — the Gopher-rules quality heuristic.
+    * Deterministic for a given JVM zlib; no SQL-engine twin (rows-only
+    * in the driver gate, pinned by spec). */
+  val compressionRatio: Column => Column = {
+    val f = udf { (s: String) =>
+      if (s == null || s.isEmpty) 1.0
+      else {
+        val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+        deflater.setInput(raw)
+        deflater.finish()
+        val buf = new Array[Byte](raw.length + 64)
+        var n = 0
+        while (!deflater.finished()) n += deflater.deflate(buf, n, buf.length - n)
+        deflater.end()
+        math.round(n.toDouble / raw.length * 1e6) / 1e6
+      }
+    }
+    c => f(c)
+  }
+
   /** One row per document with the full text-analysis profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

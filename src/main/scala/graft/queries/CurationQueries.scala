@@ -240,7 +240,17 @@ object CurationQueries {
       .select(col("doc_id"), TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
       .orderBy(col("doc_id"))
 
+  /** t09: compression-ratio quality signal (rows-only; deflate output
+    * has no SQL-engine twin). Repetitive docs compress far below prose. */
+  def compressionRatio(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.compressionRatio(col("text")).as("deflate_ratio"),
+        TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t09_compression"       -> compressionRatio _,
     "t04_sample_stratified" -> sampleStratified _,
     "t05_token_histogram"   -> tokenHistogram _,
     "t06_pii_scrub"         -> piiScrub _,
