@@ -14,9 +14,11 @@ object TextAnalysis {
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(split(text, " "))
 
-  /** BPE-ish regex token count: alnum runs (the pretokenizer classes). */
+  /** BPE-ish regex token count: alnum runs (the pretokenizer classes).
+    * Built with the Column DSL, not string interpolation, so composed
+    * arguments (coalesce(...), aliases) work. */
   def regexTokenCount(text: Column): Column =
-    size(expr(s"regexp_extract_all(${text.toString}, '[A-Za-z0-9]+', 0)"))
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0)))
 
   /** Exact tokenizer count via the graft tokenizer (UDF path). */
   val graftTokenCount: Column => Column = {
@@ -32,8 +34,8 @@ object TextAnalysis {
   val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
   def stopwordCount(text: Column, stopwords: Seq[String] = EnStopwords): Column = {
-    val list = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
-    size(expr(s"filter(split(${text.toString}, ' '), w -> array_contains($list, w))"))
+    val list = array(stopwords.map(lit): _*)
+    size(filter(split(text, " "), w => array_contains(list, w)))
   }
 
   /** Mean word length: chars-excluding-spaces / word count (double). */
@@ -120,11 +122,10 @@ object TextAnalysis {
   def repetitionRatio(text: Column): Column = {
     val words = split(text, " ")
     val total = size(words) - 1
-    val distinctBigrams = size(array_distinct(expr(
-      s"""CASE WHEN size(split(${text.toString}, ' ')) < 2 THEN array()
-         |ELSE transform(sequence(0, size(split(${text.toString}, ' ')) - 2),
-         |  i -> concat(element_at(split(${text.toString}, ' '), i + 1), ' ',
-         |              element_at(split(${text.toString}, ' '), i + 2))) END""".stripMargin)))
+    val bigrams = transform(
+      sequence(lit(0), size(words) - 2),
+      i => concat(element_at(words, i + 1), lit(" "), element_at(words, i + 2)))
+    val distinctBigrams = size(array_distinct(bigrams))
     when(total <= 0, lit(0.0))
       .otherwise(round(lit(1.0) - distinctBigrams.cast("double") / total.cast("double"), 6))
   }
@@ -141,9 +142,12 @@ object TextAnalysis {
         val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
         deflater.setInput(raw)
         deflater.finish()
-        val buf = new Array[Byte](raw.length + 64)
-        var n = 0
-        while (!deflater.finished()) n += deflater.deflate(buf, n, buf.length - n)
+        // drain into a fixed chunk: incompressible input can EXPAND past
+        // raw.length (a fixed output buffer would make the loop spin
+        // forever once full)
+        val chunk = new Array[Byte](8192)
+        var n = 0L
+        while (!deflater.finished()) n += deflater.deflate(chunk)
         deflater.end()
         math.round(n.toDouble / raw.length * 1e6) / 1e6
       }

@@ -53,8 +53,17 @@ final case class TopKPerKeyExec(keys: Seq[Expression], score: Expression,
       // any orderable tiebreak type (long ids, uuid strings, ...) — not
       // just bigint; evaluated values may be buffer-backed (UTF8String),
       // so they are copied before entering the heap
-      val tieOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+      val baseOrd = org.apache.spark.sql.catalyst.util.TypeUtils
         .getInterpretedOrdering(tieExpr.dataType).asInstanceOf[Ordering[Any]]
+      // null-tolerant (nulls sort LAST ascending = weakest preference),
+      // interpreted orderings themselves NPE on null inputs
+      val tieOrd: Ordering[Any] = new Ordering[Any] {
+        override def compare(a: Any, b: Any): Int =
+          if (a == null && b == null) 0
+          else if (a == null) 1
+          else if (b == null) -1
+          else baseOrd.compare(a, b)
+      }
       def copyTie(v: Any): Any = v match {
         case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
         case x => x

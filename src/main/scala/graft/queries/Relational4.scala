@@ -69,7 +69,7 @@ object Relational4 {
           .cast("double").as("promo_revenue"),
         round(sum(disc), 2).cast("double").as("total_revenue"))
       .withColumn("promo_pct",
-        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6))
+        round(lit(100.0) * col("promo_revenue") / nullif(col("total_revenue"), lit(0.0)), 6))
       .orderBy(col("ship_year"))
   }
 
@@ -88,7 +88,7 @@ object Relational4 {
         |CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN disc ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS promo_revenue,
         |CAST(round(sum(disc), 2) AS DOUBLE) AS total_revenue,
         |round(100.0 * CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN disc ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE)
-        |  / CAST(round(sum(disc), 2) AS DOUBLE), 6) AS promo_pct
+        |  / nullif(CAST(round(sum(disc), 2) AS DOUBLE), 0.0), 6) AS promo_pct
         |FROM j GROUP BY ship_year ORDER BY ship_year""".stripMargin,
     "q22_range_join" ->
       """WITH iv AS (

@@ -41,9 +41,12 @@ object StreamingIngest {
     EmbedPipeline.embedStage(
       EmbedPipeline.chunkStage(docs, strategy, size, overlap), embedder)
 
-  /** Start the ingestion: vectors appended to a parquet store with a
-    * checkpoint (exactly-once). The `foreachBatch` hook mirrors the
-    * reference's per-batch ledger update. */
+  /** Start the ingestion: vectors written to a parquet store laid out
+    * as one `batch=N` partition directory per micro-batch (so a
+    * re-delivered batch overwrites instead of duplicating — effective
+    * exactly-once; readers see an extra `batch` provenance column via
+    * partition discovery). Do not mix with a flat pre-existing store:
+    * partition discovery rejects conflicting layouts. */
   def start(vectors: Dataset[VectorRecord], outDir: String, checkpointDir: String,
             ledgerDir: Option[String] = None): StreamingQuery =
     vectors.writeStream
@@ -118,11 +121,13 @@ object StreamingIngest {
       .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout) {
         (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            // idle user: emit the final session snapshot ONCE and drop
-            // the state (re-arming here would keep it alive forever and
-            // re-emit a duplicate row every timeout period)
+            // idle user: emit the final snapshot ONCE, keep only the
+            // session COUNTER (removing the whole state would restart
+            // numbering at 1 and collide with earlier sessions), and
+            // don't re-arm — the tiny counter state next fires a timeout
+            // only after new activity re-arms it
             val st = state.get
-            state.remove()
+            state.update(SessionState(st.sessionId, Long.MinValue, 0L))
             SessionOut(userId, st.sessionId, st.nEvents)
           } else {
             var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
