@@ -58,6 +58,14 @@ object CurationQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** d06: winnowing-fingerprint near-dup pairs — catches shared
+    * PASSAGES (copied spans), which set-level Jaccard dilutes away
+    * (rows-only; CurationSpec pins shared-substring semantics). */
+  def dedupWinnow(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowPairs(documents(spark, dir), "doc_id", "text",
+        k = 12, w = 4, minShared = 25)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** a01: exact brute-force cosine top-10 for query vectors vec_id<5 —
     * broadcast queries, scored corpus flows into the custom TopKPerKey
     * operator (bounded heaps, survivors-only shuffle; proven equal to
@@ -266,6 +274,7 @@ object CurationQueries {
     "d03_dedup_minhash"   -> dedupMinHash _,
     "d04_dedup_simhash"   -> dedupSimHash _,
     "d05_dedup_embedding" -> dedupEmbedding _,
+    "d06_dedup_winnow"    -> dedupWinnow _,
     "a01_ann_bruteforce"  -> annBruteForce _,
     "a02_ann_signlsh"     -> annSignLsh _,
     "a03_ann_ivf"         -> annIvf _,

@@ -96,6 +96,20 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow pairs: planted copied passages are detected") {
+    import spark.implicits._
+    val base = "completely original text about spark catalyst plans and shuffles " * 3
+    val passage = "this exact passage is copied verbatim between two documents only"
+    val docs = Seq(
+      (1L, base + passage),
+      (2L, "different framing words " + passage + " and a different tail here"),
+      (3L, "nothing in common with the others at all in any way whatsoever"))
+      .toDF("doc_id", "text")
+    val found = pairs(Dedup.winnowPairs(docs, "doc_id", "text", k = 8, w = 4, minShared = 5))
+    assert(found.contains((1L, 2L)), "shared passage must be detected")
+    assert(!found.exists(p => p._1 == 3L || p._2 == 3L), "disjoint doc must not pair")
+  }
+
   test("HLL approx distinct within 5% of exact counts") {
     val approx = CurationQueries.approxDistinct(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
