@@ -129,9 +129,20 @@ object Dedup {
     * away in long documents). Inverted fingerprint index + count join —
     * same scale shape as the shingle index, but ~w× fewer postings. */
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
-                  k: Int = 8, w: Int = 4, minShared: Int = 5): DataFrame = {
-    val fps = df.select(col(idCol).as("id"),
+                  k: Int = 8, w: Int = 4, minShared: Int = 5,
+                  maxFpDocFreq: Option[Int] = None): DataFrame = {
+    val raw = df.select(col(idCol).as("id"),
       explode(TextAnalysis.winnowFingerprints(k, w)(col(textCol))).as("fp"))
+    // stop-fingerprint guard (same role as jaccardPairs'
+    // maxShingleDocFreq): one corpus-wide boilerplate k-gram would make
+    // the self-join quadratic in its document frequency
+    val fps = maxFpDocFreq match {
+      case Some(maxDf) =>
+        val rare = raw.groupBy(col("fp"))
+          .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf).select("fp")
+        raw.join(rare, "fp")
+      case None => raw
+    }
     fps.as("a")
       .join(fps.as("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -55,13 +55,14 @@ final case class TopKPerKeyExec(keys: Seq[Expression], score: Expression,
       // so they are copied before entering the heap
       val baseOrd = org.apache.spark.sql.catalyst.util.TypeUtils
         .getInterpretedOrdering(tieExpr.dataType).asInstanceOf[Ordering[Any]]
-      // null-tolerant (nulls sort LAST ascending = weakest preference),
-      // interpreted orderings themselves NPE on null inputs
+      // null-tolerant with NULLS FIRST ascending — Spark's default for
+      // Window.orderBy(tie) — so null-tie rows resolve identically to
+      // the window row_number form (interpreted orderings NPE on nulls)
       val tieOrd: Ordering[Any] = new Ordering[Any] {
         override def compare(a: Any, b: Any): Int =
           if (a == null && b == null) 0
-          else if (a == null) 1
-          else if (b == null) -1
+          else if (a == null) -1
+          else if (b == null) 1
           else baseOrd.compare(a, b)
       }
       def copyTie(v: Any): Any = v match {

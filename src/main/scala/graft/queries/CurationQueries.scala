@@ -63,7 +63,7 @@ object CurationQueries {
     * (rows-only; CurationSpec pins shared-substring semantics). */
   def dedupWinnow(spark: SparkSession, dir: String): DataFrame =
     Dedup.winnowPairs(documents(spark, dir), "doc_id", "text",
-        k = 12, w = 4, minShared = 25)
+        k = 12, w = 4, minShared = 25, maxFpDocFreq = Some(100))
       .orderBy(col("id_a"), col("id_b"))
 
   /** a01: exact brute-force cosine top-10 for query vectors vec_id<5 —

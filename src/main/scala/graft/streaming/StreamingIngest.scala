@@ -106,13 +106,18 @@ object StreamingIngest {
       .withColumn("text_hash", sha2(col("text"), 256))
       .dropDuplicates("text_hash")
 
-  /** Per-user session state for [[sessionize]]. */
-  final case class SessionState(sessionId: Long, lastTs: Long, nEvents: Long)
+  /** Per-user session state for [[sessionize]]: the session id IS the
+    * first-event timestamp — unique per session without a counter, so
+    * expired state can be REMOVED outright (a counter would need
+    * immortal per-user state to avoid id collisions after idling, which
+    * grows without bound on high-cardinality keys). */
+  final case class SessionState(sessionStartTs: Long, lastTs: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long)
 
   /** Stateful sessionization with mapGroupsWithState: custom per-key
-    * state (gap-based session ids), processing-time timeout to expire
-    * idle users — the KeyValueGroupedDataset custom-state surface. */
+    * state (gap-based sessions, ids = session start timestamps),
+    * processing-time timeout fully expiring idle users — the
+    * KeyValueGroupedDataset custom-state surface with bounded state. */
   def sessionize(events: Dataset[(Long, Long)], gapSeconds: Long = 1800L): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -121,25 +126,23 @@ object StreamingIngest {
       .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout) {
         (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            // idle user: emit the final snapshot ONCE, keep only the
-            // session COUNTER (removing the whole state would restart
-            // numbering at 1 and collide with earlier sessions), and
-            // don't re-arm — the tiny counter state next fires a timeout
-            // only after new activity re-arms it
+            // idle user: emit the final snapshot ONCE and drop the state
+            // entirely — timestamp-derived ids cannot collide with a
+            // later session, so nothing needs to survive
             val st = state.get
-            state.update(SessionState(st.sessionId, Long.MinValue, 0L))
-            SessionOut(userId, st.sessionId, st.nEvents)
+            state.remove()
+            SessionOut(userId, st.sessionStartTs, st.nEvents)
           } else {
-            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+            var st = state.getOption.getOrElse(SessionState(Long.MinValue, Long.MinValue, 0L))
             rows.toSeq.sortBy(_._2).foreach { case (_, ts) =>
               st =
                 if (st.lastTs != Long.MinValue && ts - st.lastTs <= gapSeconds)
                   st.copy(lastTs = ts, nEvents = st.nEvents + 1)
-                else SessionState(st.sessionId + 1, ts, 1L)
+                else SessionState(ts, ts, 1L)
             }
             state.update(st)
             state.setTimeoutDuration("1 hour")
-            SessionOut(userId, st.sessionId, st.nEvents)
+            SessionOut(userId, st.sessionStartTs, st.nEvents)
           }
       }
   }

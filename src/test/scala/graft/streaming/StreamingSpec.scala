@@ -143,9 +143,11 @@ class StreamingSpec extends AnyFunSuite {
     val events = Seq(
       (1L, 1000L), (1L, 1500L), (1L, 4000L),
       (2L, 100L), (2L, 200L)).toDS()
+    // session ids are session-start timestamps (no counter state to
+    // keep alive after expiry): user 1's second session starts at 4000
     val out = StreamingIngest.sessionize(events, gapSeconds = 1800L)
       .collect().map(s => s.user_id -> s).toMap
-    assert(out(1L).session_id == 2L && out(1L).n_events == 1L)
-    assert(out(2L).session_id == 1L && out(2L).n_events == 2L)
+    assert(out(1L).session_id == 4000L && out(1L).n_events == 1L)
+    assert(out(2L).session_id == 100L && out(2L).n_events == 2L)
   }
 }
