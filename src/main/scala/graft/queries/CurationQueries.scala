@@ -120,13 +120,15 @@ object CurationQueries {
         sum(TextAnalysis.wsTokenCount(col("text")).cast("long")).as("total_tokens"))
       .orderBy(col("lang"))
 
-  /** t03: winnowing fingerprints (rows-only; UDF path). */
+  /** t03: winnowing fingerprints (rows-only; UDF path). The raw
+    * fingerprint array is projected to (count, xxhash64) — the driver's
+    * row-sorter cannot hash array cells; the hash pins the contents. */
   def winnow(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .select(col("doc_id"),
         TextAnalysis.winnowFingerprints()(col("text")).as("fingerprints"))
       .select(col("doc_id"), size(col("fingerprints")).as("n_fp"),
-        col("fingerprints"))
+        xxhash64(to_json(col("fingerprints"))).as("fp_hash"))
       .orderBy(col("doc_id"))
 
   /** a04: per-label vector statistics — array-function coverage (fold
@@ -221,11 +223,16 @@ object CurationQueries {
     * dropped from every document; output the per-doc kept-word count. */
   def lineDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = documents(spark, dir)
-    val nDocs = docs.count()
+    // corpus size as a broadcast scalar (the q13 pattern) — one Spark job,
+    // no driver-side count() materialization
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val frequent = docs
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
       .groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") > nDocs * 6 / 10)
+      .crossJoin(broadcast(nDocs))
+      // df and n_docs are integral, so `>` against the floored long
+      // threshold matches the oracle's integer `// 10`
+      .filter(col("df") > floor(col("n_docs") * 6 / 10))
       .select(col("w"))
     // distributed filter: explode words, anti-join the (tiny, broadcast)
     // frequent set, re-count — no driver-side collection of the corpus

@@ -76,10 +76,15 @@ object PipelineQueries {
 
   /** The full ingestion pipeline (§3.1): chunk → deterministic local
     * embed → vector records (rows-only: hash embeddings have no SQL
-    * equivalent; determinism is asserted by EmbedPipelineSpec). */
+    * equivalent; determinism is asserted by EmbedPipelineSpec). The raw
+    * vector is projected to (dim, xxhash64) — the driver's row-sorter
+    * cannot hash array cells, and the hash pins the full contents. */
   def embedPipeline(spark: SparkSession, dir: String): DataFrame =
     graft.pipeline.EmbedPipeline.run(documents(spark, dir))
       .toDF()
+      .select(col("id"), col("source_document"),
+        size(col("vector")).as("n_dim"),
+        xxhash64(to_json(col("vector"))).as("vector_hash"))
       .orderBy(col("id"))
 
   /** p09: multimodal pipeline over synthetic payloads derived from the
