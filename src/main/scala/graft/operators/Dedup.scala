@@ -58,7 +58,14 @@ object Dedup {
         exploded.join(freq, "shingle")
       case None => exploded
     }
-    val sizes = sh.select(col("id"), size(col("shingles")).as("n_sh"))
+    // denominator must use the same shingle universe as the numerator:
+    // when the stop-shingle guard is active, sizes come from the FILTERED
+    // postings, otherwise near-threshold pairs are systematically missed
+    // (intersection filtered, union not)
+    val sizes = maxShingleDocFreq match {
+      case Some(_) => filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
+      case None    => sh.select(col("id"), size(col("shingles")).as("n_sh"))
+    }
     val inter = filtered.as("a")
       .join(filtered.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -82,9 +89,20 @@ object Dedup {
   /** MinHash+LSH near-dup pairs: band the signature, bucket-join on
     * (band, hash(band slice)), then verify candidates with exact Jaccard
     * on the shingle sets. Returns (id_a, id_b, jaccard) with jaccard ≥
-    * threshold. */
+    * threshold.
+    *
+    * `maxBucketDf` is the hot-bucket guard: the bucket self-join is
+    * quadratic in bucket size, and dedup corpora are exactly the ones
+    * with giant duplicate clusters (10⁵ copies of one boilerplate page =
+    * one bucket = 10¹⁰ candidate pairs). Buckets larger than the cap
+    * collapse to representative links — each member pairs with the
+    * bucket's minimum id only (O(size), not O(size²)); members of an
+    * oversized bucket are near-certain duplicates, so the cluster is
+    * still connected through its representative and survives the exact
+    * Jaccard verify. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-                      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+                      numHashes: Int, bands: Int, threshold: Double,
+                      maxBucketDf: Option[Int] = Some(100)): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     // signatures straight from the word array (no shingle strings, no
@@ -101,12 +119,30 @@ object Dedup {
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $r + 1, $r)))")))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
-    val candidates = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val candidates = (maxBucketDf match {
+      case Some(cap) =>
+        // per-bucket membership count + representative in one pass over
+        // the same (band, bucket) shuffle key the pair join uses
+        val stats = buckets.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("bdf"), min(col("id")).as("rep"))
+        val tagged = buckets.join(stats, Seq("band", "bucket"))
+        val small = tagged.filter(col("bdf") <= cap)
+          .select(col("band"), col("bucket"), col("id"))
+        val smallPairs = small.as("a")
+          .join(small.as("b"),
+            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        val hotLinks = tagged.filter(col("bdf") > cap && col("id") =!= col("rep"))
+          .select(col("rep").as("id_a"), col("id").as("id_b"))
+        smallPairs.unionAll(hotLinks)
+      case None =>
+        buckets.as("a")
+          .join(buckets.as("b"),
+            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    }).distinct()
     // exact-Jaccard verification materializes shingle SETS only for the
     // documents that appear in a candidate pair (a tiny fraction)
     val involved = candidates.select(col("id_a").as("id"))
@@ -184,27 +220,69 @@ object Dedup {
     h
   }
 
-  /** SimHash near-dup pairs with hamming distance ≤ maxDistance (< 16):
-    * pigeonhole on four 16-bit blocks — any pair within distance 3 agrees
-    * on ≥1 block, so the join key is (block idx, block value). */
+  /** SimHash near-dup pairs with hamming distance ≤ maxDistance:
+    * pigeonhole on maxDistance+1 blocks — at most maxDistance bits
+    * differ, so at least one block is bit-identical and the join key is
+    * (block idx, block value). Block count derives from the REQUESTED
+    * distance (4 fixed blocks would silently lose recall past distance 3).
+    *
+    * Scale posture: wider distances mean more/narrower blocks and denser
+    * key spaces (d+1 blocks of 64/(d+1) bits). `maxBlockDf` caps the
+    * per-(block, value) bucket population before the self-join — the
+    * same guard as jaccardPairs/winnowPairs/minHashLshPairs; at 10⁸+
+    * docs the narrow-block buckets saturate and candidate generation
+    * goes corpus-wide quadratic without it. Capped buckets collapse to
+    * representative links (min-id star), keeping clusters connected. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDistance: Int = 3): DataFrame = {
-    require(maxDistance < 4 * 4, "block scheme supports maxDistance < 16")
+                   maxDistance: Int = 3,
+                   maxBlockDf: Option[Int] = None): DataFrame = {
+    require(maxDistance >= 0 && maxDistance < 32,
+      "pigeonhole needs maxDistance+1 blocks of >= 2 bits each")
+    val nBlocks = maxDistance + 1
+    // distribute the 64 bits as evenly as possible across the blocks
+    val widths = Array.tabulate(nBlocks)(i => 64 / nBlocks + (if (i < 64 % nBlocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val blockExprs = (0 until nBlocks).map { b =>
+      val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
+      s"shiftright(simhash, ${offsets(b)}) & ${mask}L"
+    }
     val hashed = df
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         simHash64(split(col(textCol), " ")).as("simhash"))
     val blocks = hashed.select(
       col("id"), col("simhash"),
-      posexplode(expr(
-        "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)")))
+      posexplode(expr(s"array(${blockExprs.mkString(", ")})")))
       .select(col("id"), col("simhash"), col("pos").as("block"), col("col").as("block_val"))
-    blocks.as("a")
-      .join(blocks.as("b"),
-        col("a.block") === col("b.block") && col("a.block_val") === col("b.block_val") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+    val paired = maxBlockDf match {
+      case Some(cap) =>
+        val stats = blocks.groupBy(col("block"), col("block_val"))
+          .agg(count(lit(1)).as("bdf"), min(col("id")).as("rep"))
+        val tagged = blocks.join(stats, Seq("block", "block_val"))
+        val small = tagged.filter(col("bdf") <= cap)
+        val smallPairs = small.as("a")
+          .join(small.as("b"),
+            col("a.block") === col("b.block") && col("a.block_val") === col("b.block_val") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+        val reps = hashed.select(col("id").as("rid"), col("simhash").as("rep_sh"))
+        val hotLinks = tagged.filter(col("bdf") > cap && col("id") =!= col("rep"))
+          .join(reps, col("rep") === col("rid"))
+          .select(col("rep").as("id_a"), col("id").as("id_b"),
+            col("rep_sh").as("sh_a"), col("simhash").as("sh_b"))
+        smallPairs.unionAll(hotLinks)
+      case None =>
+        blocks.as("a")
+          .join(blocks.as("b"),
+            col("a.block") === col("b.block") && col("a.block_val") === col("b.block_val") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+    }
+    paired
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDistance)
   }

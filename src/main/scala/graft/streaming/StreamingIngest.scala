@@ -114,16 +114,24 @@ object StreamingIngest {
   final case class SessionState(sessionStartTs: Long, lastTs: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long)
 
-  /** Stateful sessionization with mapGroupsWithState: custom per-key
+  /** Stateful sessionization with flatMapGroupsWithState: custom per-key
     * state (gap-based sessions, ids = session start timestamps),
     * processing-time timeout fully expiring idle users — the
-    * KeyValueGroupedDataset custom-state surface with bounded state. */
+    * KeyValueGroupedDataset custom-state surface with bounded state.
+    *
+    * Every session CLOSED while folding a batch is emitted (a key can
+    * close several sessions in one micro-batch — mapGroupsWithState's
+    * one-row-per-key contract would silently drop all but the last),
+    * plus a snapshot of the still-open session; the open session is
+    * re-emitted with updated counts in later batches and finally on
+    * timeout, so downstream consumers keep the max-n_events row per
+    * (user_id, session_id). */
   def sessionize(events: Dataset[(Long, Long)], gapSeconds: Long = 1800L): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             // idle user: emit the final snapshot ONCE and drop the state
@@ -131,18 +139,23 @@ object StreamingIngest {
             // later session, so nothing needs to survive
             val st = state.get
             state.remove()
-            SessionOut(userId, st.sessionStartTs, st.nEvents)
+            Iterator.single(SessionOut(userId, st.sessionStartTs, st.nEvents))
           } else {
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
             var st = state.getOption.getOrElse(SessionState(Long.MinValue, Long.MinValue, 0L))
             rows.toSeq.sortBy(_._2).foreach { case (_, ts) =>
               st =
                 if (st.lastTs != Long.MinValue && ts - st.lastTs <= gapSeconds)
                   st.copy(lastTs = ts, nEvents = st.nEvents + 1)
-                else SessionState(ts, ts, 1L)
+                else {
+                  if (st.lastTs != Long.MinValue)
+                    closed += SessionOut(userId, st.sessionStartTs, st.nEvents)
+                  SessionState(ts, ts, 1L)
+                }
             }
             state.update(st)
             state.setTimeoutDuration("1 hour")
-            SessionOut(userId, st.sessionStartTs, st.nEvents)
+            (closed :+ SessionOut(userId, st.sessionStartTs, st.nEvents)).iterator
           }
       }
   }

@@ -50,6 +50,59 @@ class CurationSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"simhash near-copy recall $recall on long docs")
   }
 
+  test("minhash hot-bucket guard keeps duplicate clusters connected") {
+    import spark.implicits._
+    // 6 identical docs -> every band bucket has df 6 > cap 2; without the
+    // guard this is a 15-pair clique, with it each member links to the
+    // representative (min id) and the cluster stays connected
+    val boiler = "identical boilerplate page repeated across many crawled hosts " * 4
+    val docs = ((1L to 6L).map(i => (i, boiler)) :+ (99L, "entirely unrelated text " * 8))
+      .toDF("doc_id", "text")
+    val found = pairs(Dedup.minHashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 16, threshold = 0.5, maxBucketDf = Some(2)))
+    (2L to 6L).foreach(i => assert(found.contains((1L, i)),
+      s"member $i must link to representative 1"))
+    assert(!found.exists(p => p._1 == 99L || p._2 == 99L))
+    // and the guard must not change results when no bucket is hot
+    val unguarded = pairs(Dedup.minHashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 16, threshold = 0.5, maxBucketDf = None))
+    assert(found.subsetOf(unguarded))
+  }
+
+  test("simhash block scheme derives from requested distance (no silent recall loss)") {
+    import spark.implicits._
+    // two docs at a known small hamming distance: with maxDistance=8 the
+    // pigeonhole must use 9 blocks, guaranteeing detection for d<=8
+    val d = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 300)
+    val planted = d.unionAll(d
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", concat(col("text"), lit(" zq"))))
+    val hams = planted.select(col("doc_id"),
+      graft.operators.Dedup.simHash64(split(col("text"), " ")).as("h"))
+    val hamByPair = hams.as("a").join(hams.as("b"),
+        col("a.doc_id") + 1000000L === col("b.doc_id"))
+      .select(col("a.doc_id"), bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("long").as("ham"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val within8 = hamByPair.filter(_._2 <= 8).keySet
+    assert(within8.nonEmpty, "fixture should contain pairs within hamming 8")
+    val found = pairs(Dedup.simHashPairs(planted, "doc_id", "text", maxDistance = 8))
+    within8.foreach(i => assert(found.contains((i, i + 1000000L)),
+      s"pair at hamming ${hamByPair(i)} <= 8 must be found (pigeonhole guarantee)"))
+  }
+
+  test("simhash maxBlockDf guard keeps exact-duplicate clusters connected") {
+    import spark.implicits._
+    val boiler = "the same navigation header and footer on every page of the site " * 3
+    val docs = ((1L to 5L).map(i => (i, boiler)) :+ (99L, "totally different content " * 10))
+      .toDF("doc_id", "text")
+    val found = pairs(Dedup.simHashPairs(docs, "doc_id", "text",
+      maxDistance = 3, maxBlockDf = Some(2)))
+    (2L to 5L).foreach(i => assert(found.contains((1L, i)),
+      s"member $i must link to representative 1 despite the df cap"))
+    assert(!found.exists(p => p._1 == 99L || p._2 == 99L))
+  }
+
   test("embedding near-dup finds exactly the planted duplicate vectors") {
     val found = pairs(CurationQueries.dedupEmbedding(spark, sfDir))
     val planted = graft.Tables.embeddings(spark, sfDir)

@@ -33,7 +33,10 @@ class CuratePipelineSpec extends AnyFunSuite {
   test("entry flagship returns rows (driver smoke contract)") {
     val entry = graft.SparkEntry.entry(spark)
     assert(entry.count() > 0)
-    assert(entry.columns.contains("id") && entry.columns.contains("vector"))
+    // driver-check contract: no raw array columns in declared outputs —
+    // the vector is witnessed by its dimension and a content hash
+    assert(entry.columns.contains("id") && entry.columns.contains("vector_hash"))
+    assert(!entry.schema.exists(_.dataType.typeName == "array"))
   }
 
   test("Graft.install is idempotent and registers the SQL surface") {
