@@ -24,9 +24,28 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 final case class TopKPerKeyNode(keys: Seq[Expression], score: Expression,
                                 tiebreak: Expression, k: Int,
                                 child: LogicalPlan) extends UnaryNode {
+  require(TopKPerKeyExec.scoreToDouble(score.dataType).isDefined,
+    s"TopKPerKey score must be numeric, got ${score.dataType.catalogString}")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
     copy(child = newChild)
+}
+
+object TopKPerKeyExec {
+  import org.apache.spark.sql.types._
+  /** Numeric-eval-result → Double widening (None for non-numeric types —
+    * rejected at node construction, so a float/int score column works
+    * instead of ClassCastException-ing mid-task). */
+  def scoreToDouble(dt: DataType): Option[Any => Double] = dt match {
+    case DoubleType  => Some(v => v.asInstanceOf[Double])
+    case FloatType   => Some(v => v.asInstanceOf[Float].toDouble)
+    case LongType    => Some(v => v.asInstanceOf[Long].toDouble)
+    case IntegerType => Some(v => v.asInstanceOf[Int].toDouble)
+    case ShortType   => Some(v => v.asInstanceOf[Short].toDouble)
+    case ByteType    => Some(v => v.asInstanceOf[Byte].toDouble)
+    case _: DecimalType => Some(v => v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble)
+    case _ => None
+  }
 }
 
 final case class TopKPerKeyExec(keys: Seq[Expression], score: Expression,
@@ -69,33 +88,41 @@ final case class TopKPerKeyExec(keys: Seq[Expression], score: Expression,
         case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
         case x => x
       }
+      // score widening chosen from the static type (node construction
+      // already rejected non-numeric score expressions)
+      val toDouble = TopKPerKeyExec.scoreToDouble(scoreExpr.dataType).get
       // per-key bounded heap; the root is the WEAKEST kept row under the
       // total order (score desc, tiebreak asc), i.e. the minimum score
       // with the maximum tiebreak — evicted when a better candidate
-      // arrives, so ties resolve identically to the window form
-      val cmp = new java.util.Comparator[(Double, Any, InternalRow)] {
-        override def compare(a: (Double, Any, InternalRow), b: (Double, Any, InternalRow)): Int = {
-          val c = java.lang.Double.compare(a._1, b._1)
+      // arrives, so ties resolve identically to the window form. A null
+      // score is the weakest of all (Window desc orders NULLS LAST), so
+      // it is boxed as null and compares below every non-null score.
+      val cmp = new java.util.Comparator[(java.lang.Double, Any, InternalRow)] {
+        override def compare(a: (java.lang.Double, Any, InternalRow),
+                             b: (java.lang.Double, Any, InternalRow)): Int = {
+          val c =
+            if (a._1 == null && b._1 == null) 0
+            else if (a._1 == null) -1
+            else if (b._1 == null) 1
+            else java.lang.Double.compare(a._1, b._1)
           if (c != 0) c else tieOrd.compare(b._2, a._2)
         }
       }
-      val heaps = new java.util.HashMap[InternalRow, java.util.PriorityQueue[(Double, Any, InternalRow)]]()
+      val heaps = new java.util.HashMap[InternalRow, java.util.PriorityQueue[(java.lang.Double, Any, InternalRow)]]()
       while (it.hasNext) {
         val row = it.next()
-        val s = boundScore.eval(row).asInstanceOf[Double]
+        val raw = boundScore.eval(row)
+        val s: java.lang.Double = if (raw == null) null else Double.box(toDouble(raw))
         val t = boundTie.eval(row)
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[(Double, Any, InternalRow)](kk + 1, cmp)
+          heap = new java.util.PriorityQueue[(java.lang.Double, Any, InternalRow)](kk + 1, cmp)
           heaps.put(key.copy(), heap)
         }
         if (heap.size() < kk) heap.add((s, copyTie(t), row.copy()))
-        else {
-          val root = heap.peek()
-          if (s > root._1 || (s == root._1 && tieOrd.lt(t, root._2))) {
-            heap.poll(); heap.add((s, copyTie(t), row.copy()))
-          }
+        else if (cmp.compare((s, t, row), heap.peek()) > 0) {
+          heap.poll(); heap.add((s, copyTie(t), row.copy()))
         }
       }
       val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()

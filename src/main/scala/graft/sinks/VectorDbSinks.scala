@@ -34,6 +34,9 @@ object VectorDbSinks {
     /** Wrap a micro-batch of entries into the POST body. */
     def body(entries: Seq[String]): String
     def path: String
+    /** Auth header (name, value) for this store: Pinecone and Qdrant
+      * take an `Api-Key` header, Weaviate expects a Bearer token. */
+    def authHeader(apiKey: String): (String, String) = ("Api-Key", apiKey)
   }
 
   private def vec(r: VectorRecord): String = r.vector.mkString("[", ",", "]")
@@ -67,6 +70,8 @@ object VectorDbSinks {
     override def body(entries: Seq[String]): String =
       entries.mkString("""{"objects":[""", ",", "]}")
     override val path = "/v1/batch/objects"
+    override def authHeader(apiKey: String): (String, String) =
+      ("Authorization", s"Bearer $apiKey")
   }
 
   def shapeFor(vectorDbType: String): PayloadShape = vectorDbType.toUpperCase match {
@@ -101,10 +106,11 @@ object VectorDbSinks {
         var ok = false
         while (!ok && attempt < attempts) {
           try {
+            val auth = shape.authHeader(apiKey)
             val req = HttpRequest.newBuilder(URI.create(s"$baseUrl${shape.path}"))
               .timeout(Duration.ofSeconds(30))
               .header("Content-Type", "application/json")
-              .header("Api-Key", apiKey)
+              .header(auth._1, auth._2)
               .POST(HttpRequest.BodyPublishers.ofString(body))
               .build()
             ok = client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode() == 200

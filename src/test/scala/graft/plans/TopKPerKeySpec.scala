@@ -45,6 +45,39 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(out.toSeq == Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L))
   }
 
+  test("null scores rank last (window desc NULLS LAST parity) and float scores work") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies.filterNot(_ == TopKStrategy) :+ TopKStrategy
+    // ids 0-3 have real scores, 4-9 null; k=6 must keep all scored rows
+    // then fill with the lowest-id null rows — exactly the window form
+    val df = (0L until 10L).map(i => (1L, i, if (i < 4) Some(i * 1.0f) else None))
+      .toDF("k", "id", "s").repartition(3)
+    val plan = ColumnBridge.logicalPlan(df)
+    val out = ColumnBridge.ofRows(spark, TopKPerKeyNode(
+        Seq(plan.output.find(_.name == "k").get),
+        plan.output.find(_.name == "s").get,
+        plan.output.find(_.name == "id").get, 6, plan))
+      .collect().map(_.getLong(1)).sorted
+    val viaWindow = df.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy(col("s").desc, col("id").asc)))
+      .filter(col("rn") <= 6).collect().map(_.getLong(1)).sorted
+    assert(out.toSeq == viaWindow.toSeq, "float score + null rows must match window form")
+  }
+
+  test("non-numeric score is rejected at node construction") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val df = Seq((1L, 2L, "x")).toDF("k", "id", "s")
+    val plan = ColumnBridge.logicalPlan(df)
+    assertThrows[IllegalArgumentException] {
+      TopKPerKeyNode(Seq(plan.output.head), plan.output.find(_.name == "s").get,
+        plan.output.find(_.name == "id").get, 3, plan)
+    }
+  }
+
   test("plan shows two-phase TopKPerKeyExec with one exchange between") {
     val e = graft.Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") < 2)

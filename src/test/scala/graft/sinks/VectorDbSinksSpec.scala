@@ -69,6 +69,27 @@ class VectorDbSinksSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("auth headers per store: Api-Key for Pinecone/Qdrant, Bearer for Weaviate") {
+    import spark.implicits._
+    assert(VectorDbSinks.Pinecone.authHeader("k") == ("Api-Key", "k"))
+    assert(VectorDbSinks.Qdrant.authHeader("k") == ("Api-Key", "k"))
+    assert(VectorDbSinks.Weaviate.authHeader("k") == ("Authorization", "Bearer k"))
+    // end-to-end: the Weaviate sink actually sends the Bearer header
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/batch/objects", (ex: HttpExchange) => {
+      seen.add(ex.getRequestHeaders.getFirst("Authorization"))
+      respond(ex, 200, "ok")
+    })
+    server.start()
+    try {
+      val records = Seq(rec).toDS().coalesce(1)
+      VectorDbSinks.upsert(records, s"http://127.0.0.1:${server.getAddress.getPort}",
+        "secret", VectorDbSinks.Weaviate, "job-w", attempts = 1)
+      assert(seen.peek() == "Bearer secret")
+    } finally server.stop(0)
+  }
+
   test("request validation mirrors the reference's dispatch order") {
     val ok = IngestRequest(vectorDb = Some(VectorDbConfig("QDRANT", "idx")),
       vectorDbKey = Some("k"))
