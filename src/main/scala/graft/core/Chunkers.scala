@@ -63,7 +63,7 @@ object Chunkers {
   /** EXACT: sliding token windows of `size`, step `size-overlap`
     * (worker.py:188-204). */
   def exact(data: Seq[String], size: Int, overlap: Int,
-            tok: Tokenizer = GraftTokenizer): Vector[Chunk] = {
+            tok: Tokenizer = Tokenizers.default): Vector[Chunk] = {
     val step = requireStep(size, overlap)
     val tokens = tok.encode(data.mkString)
     val out = Vector.newBuilder[Chunk]
@@ -94,7 +94,7 @@ object Chunkers {
     * `bound*size` tokens; chunks over `size` tokens fall back to EXACT
     * (worker.py:218-250). */
   def paragraph(data: Seq[String], size: Int, overlap: Int, bound: Double = 0.75,
-                tok: Tokenizer = GraftTokenizer): Vector[Chunk] = {
+                tok: Tokenizer = Tokenizers.default): Vector[Chunk] = {
     val joined = data.mkString
     // floor(bound*size) of 0 would make the accumulation loop a no-op and
     // the outer loop spin forever (the reference has the same hazard for
@@ -148,7 +148,7 @@ object Chunkers {
   /** SENTENCE: regex-split sentences; oversize (tokens) falls back to
     * EXACT (worker.py:281-301). */
   def sentence(data: Seq[String], size: Int, overlap: Int,
-               tok: Tokenizer = GraftTokenizer): Vector[Chunk] = {
+               tok: Tokenizer = Tokenizers.default): Vector[Chunk] = {
     val sentences = SentenceSplit.split(data.mkString, -1)
     val out = new ArrayBuffer[Chunk]()
     var i = 0
@@ -177,7 +177,7 @@ object Chunkers {
 
   /** Strategy dispatcher (worker.py:115-154). */
   def chunk(strategy: ChunkStrategy, data: Seq[String], size: Int, overlap: Int,
-            tok: Tokenizer = GraftTokenizer): Vector[Chunk] = strategy match {
+            tok: Tokenizer = Tokenizers.default): Vector[Chunk] = strategy match {
     case ChunkStrategy.Exact                 => exact(data, size, overlap, tok)
     case ChunkStrategy.ExactByCharacters     => exactByCharacters(data, size, overlap)
     case ChunkStrategy.Paragraph             => paragraph(data, size, overlap, tok = tok)

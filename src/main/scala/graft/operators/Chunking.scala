@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.core.{Chunk, ChunkStrategy, Chunkers, GraftTokenizer, Tokenizer, Uuid5}
+import graft.core.{Chunk, ChunkStrategy, Chunkers, Tokenizer, Tokenizers, Uuid5}
 
 /** DataFrame-level chunking: one document row in, N chunk rows out
   * (the reference's extract→chunk stages, SURVEY.md §2.2-2.3).
@@ -23,7 +23,7 @@ object Chunking {
 
   /** Chunk array column via the pure-Scala chunkers (any strategy). */
   def chunkUdf(strategy: ChunkStrategy, size: Int, overlap: Int,
-               tok: Tokenizer = GraftTokenizer): Column = {
+               tok: Tokenizer = Tokenizers.default): Column = {
     val f = udf { (text: String) =>
       if (text == null) Array.empty[Chunk]
       else Chunkers.chunk(strategy, Seq(text), size, overlap, tok).toArray

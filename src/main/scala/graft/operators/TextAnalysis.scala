@@ -22,7 +22,7 @@ object TextAnalysis {
 
   /** Exact tokenizer count via the graft tokenizer (UDF path). */
   val graftTokenCount: Column => Column = {
-    val f = udf { (s: String) => if (s == null) 0 else GraftTokenizer.count(s) }
+    val f = udf { (s: String) => if (s == null) 0 else graft.core.Tokenizers.default.count(s) }
     c => f(c)
   }
 

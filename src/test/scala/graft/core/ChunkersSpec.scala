@@ -3,10 +3,13 @@ package graft.core
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Golden tests ported from the reference's chunker suite
-  * (reference: src/worker/tests/test_worker.py:221-344). Where a count
-  * depended on cl100k_base sub-word splits that the stand-in
-  * [[GraftTokenizer]] intentionally simplifies, the expected value is
-  * recomputed from the documented tokenizer rule and the divergence noted.
+  * (reference: src/worker/tests/test_worker.py:221-344). The token-window
+  * chunkers run the real BPE engine ([[BpeTokenizer]], exact cl100k
+  * algorithm + pre-tokenizer) when a cl100k ranks file is supplied;
+  * offline the default is the [[GraftTokenizer]] stand-in. Counts that
+  * depend on cl100k sub-word splits are verified BOTH ways: with the
+  * stand-in (recomputed expected value, divergence noted) and with a
+  * BPE rank table reproducing the reference's exact count.
   */
 class ChunkersSpec extends AnyFunSuite {
 
@@ -70,6 +73,25 @@ class ChunkersSpec extends AnyFunSuite {
       "I am still a sentence! Can I consider myself a sentence... " +
       "Blahblahblahblahblah Blahblahblahblahblah Blahblahblahblahblah .")
     assert(Chunkers.sentence(data2, size = 10, overlap = 0).length == 6)
+  }
+
+  // test_worker.py:271-277 under the REAL BPE engine: a rank table in
+  // which common words are whole tokens and " Blahblah" splits in two
+  // (cl100k's behavior) reproduces the reference's count of 6 exactly —
+  // 13 tokens > 10 triggers the EXACT fallback (2 chunks) after the 4
+  // one-chunk sentences.
+  test("SENTENCE oversize fallback matches the reference (6) via BPE ranks") {
+    val mergeChain = Seq(" B" -> 0, " Bl" -> 1, " Bla" -> 2, " Blah" -> 3,
+      "bl" -> 4, "bla" -> 5, "blah" -> 6)
+    val wholeWords = Seq(" I", " am", " a", " sentence", " but", " with",
+      " question", " still", " Can", " consider", " myself", "...", " .")
+    val bpe = BpeTokenizer.fromRanks(
+      (mergeChain ++ wholeWords.zipWithIndex.map { case (w, i) => (w, 100 + i) }).toMap)
+    val data = Seq("I am a sentence. I am a sentence but with a question? " +
+      "I am still a sentence! Can I consider myself a sentence... " +
+      "Blahblah Blahblah Blahblah Blahblah Blahblah Blahblah .")
+    assert(bpe.encode(" Blahblah") == IndexedSeq(" Blah", "blah"))
+    assert(Chunkers.sentence(data, size = 10, overlap = 0, tok = bpe).length == 6)
   }
 
   // test_worker.py:279-287 — overlap slice starts at token 8 = " longer"

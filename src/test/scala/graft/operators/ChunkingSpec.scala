@@ -41,6 +41,26 @@ class ChunkingSpec extends AnyFunSuite {
     }
   }
 
+  test("p03 exact-count: every document yields ceil-window token chunk counts") {
+    // exact-count gate for p03_chunk_exact_tokens: the chunk count per
+    // document is a closed-form function of the tokenizer's token count
+    // (windows of 32, step 24), so the full-corpus counts are pinned
+    // without a DuckDB oracle
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val actual = Chunking.chunkDocuments(docs, ChunkStrategy.Exact, 32, 8)
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tok = graft.core.Tokenizers.default
+    var total = 0L
+    docs.collect().foreach { r =>
+      val n = tok.count(r.getString(1))
+      val want = if (n == 0) 0L else ((n - 1) / 24 + 1).toLong
+      if (want > 0) assert(actual(r.getLong(0)) == want, s"doc ${r.getLong(0)}: $n tokens")
+      total += want
+    }
+    assert(actual.values.sum == total)
+  }
+
   test("splitBlocks reassembles all words in order, no empty blocks") {
     val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
     val blocks = Chunking.splitBlocks(docs, 10).collect()
