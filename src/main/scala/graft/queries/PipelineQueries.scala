@@ -112,7 +112,65 @@ object PipelineQueries {
       .orderBy(col("media_id"))
   }
 
+  /** p10: S2 PDF extraction end-to-end over the reference fixture —
+    * binaryFile scan → [[graft.sources.PdfText]] per-page text. The
+    * oracle is the pre-extracted per-page profile (page count, char and
+    * word counts, md5), verified word-for-word against the fixture's
+    * source text (test_text.txt) in PdfDocxSpec. */
+  def pdfPages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .load("/root/reference/src/api/tests/fixtures/test_pdf.pdf")
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        graft.sources.PdfText.extractPages(bytes).zipWithIndex.map { case (p0, i) =>
+          val p = if (p0.isEmpty || p0.endsWith("\n")) p0 else p0 + "\n"
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val h = md.digest(p.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .map("%02x".format(_)).mkString
+          (i + 1, p.length, p.split("\\s+").count(_.nonEmpty), h)
+        }
+      }
+      .toDF("page", "n_chars", "n_words", "page_md5")
+      .orderBy(col("page"))
+  }
+
+  /** p11: S3 DOCX extraction end-to-end — the first 5 documents become
+    * paragraphs of a generated .docx (zip + WordprocessingML), which is
+    * then scanned with binaryFile and extracted with
+    * [[graft.sources.DocxText]]; round-trip must reproduce the document
+    * texts exactly (oracle: the documents table itself). */
+  def docxParagraphs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val texts = documents(spark, dir)
+      .orderBy(col("doc_id")).limit(5)
+      .select(col("text")).collect().map(_.getString(0))
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body>""" +
+        texts.map(t => s"""<w:p><w:r><w:t xml:space="preserve">${esc(t)}</w:t></w:r></w:p>""").mkString +
+        """</w:body></w:document>"""
+    val tmp = java.nio.file.Files.createTempDirectory("graft_docx")
+    val f = tmp.resolve("docs.docx")
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    z.write(xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    z.closeEntry(); z.close()
+    java.nio.file.Files.write(f, bos.toByteArray)
+    spark.read.format("binaryFile").load(f.toString)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(bytes => graft.sources.DocxText.extractParagraphs(bytes).zipWithIndex
+        .map { case (t, i) => (i + 1, t) })
+      .toDF("paragraph", "text")
+      .orderBy(col("paragraph"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p10_pdf_pages"         -> pdfPages _,
+    "p11_docx_paragraphs"   -> docxParagraphs _,
     "p08_embed_pipeline"    -> embedPipeline _,
     "p09_media_pipeline"    -> mediaPipeline _,
     "p01_split_blocks"      -> splitBlocks _,
@@ -124,6 +182,55 @@ object PipelineQueries {
     "p07_job_status_lookup" -> jobStatusLookup _)
 
   val oracles: Map[String, String] = Map(
+    "p10_pdf_pages" ->
+      """SELECT * FROM (VALUES
+        |(1, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(2, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(3, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(4, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(5, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(6, 2104, 323, '2dff835c0e138d4fe46a95d7df34735d'),
+        |(7, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(8, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(9, 2104, 323, '2cba39c48b87024853339fa01cc23063'),
+        |(10, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(11, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(12, 2104, 323, '7c32004396787c482072cff61befcc1f'),
+        |(13, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(14, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(15, 2104, 323, '80af39404b0398e72d8e9a5f1af2fec3'),
+        |(16, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(17, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(18, 2104, 323, 'dbf516bc90e86bd177cecf629a5847c8'),
+        |(19, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(20, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(21, 2104, 323, '721f6177a6014e61a7da7b5276aa5394'),
+        |(22, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(23, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(24, 2104, 323, '738e4df0d24ed76ea4ef43a5a3f5f87f'),
+        |(25, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(26, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(27, 2104, 323, 'e99313785222921dc55717e0a0caf254'),
+        |(28, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(29, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(30, 2104, 323, 'b04a5a1e34178b2eb4310d50d1b98ee6'),
+        |(31, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(32, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(33, 2104, 323, 'df501c9575334c54b757b519df22b545'),
+        |(34, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(35, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(36, 2104, 323, 'a6cee80309de6c2254594f1295b92ea4'),
+        |(37, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(38, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(39, 2104, 323, 'b7d6e4440c8022b32cf0a858f45552a7'),
+        |(40, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(41, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),
+        |(42, 1014, 156, '63566c29fb249d95dcfc7a9a7b2a62fa')
+        |) AS t(page, n_chars, n_words, page_md5) ORDER BY page""".stripMargin,
+    "p11_docx_paragraphs" ->
+      """SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS paragraph, text
+        |FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 5)
+        |ORDER BY paragraph""".stripMargin,
     "p01_split_blocks" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |b AS (SELECT doc_id, words,

@@ -22,10 +22,14 @@ import org.apache.spark.sql.functions._
   *    otherwise;
   *  - intake accounting via `observe()` (A3) instead of driver loops.
   *
-  * PDF (S2) and DOCX (S3) extraction need PDFBox/POI which are not in
-  * this build's jar set; [[extractText]] routes those formats to a
-  * clearly-marked deterministic stub so the dispatch plumbing, schema
-  * and accounting are real and tested end-to-end.
+  * PDF (S2) extraction runs [[PdfText]] (JDK-only Flate + text-operator
+  * interpreter, pages concatenated like extract.py:93-97); DOCX (S3)
+  * runs [[DocxText]] (zip + StAX over word/document.xml, paragraphs
+  * joined with \n like extract.py:74-76). Both degrade to a marked
+  * placeholder string on undecodable input instead of failing the scan
+  * (the reference fails the whole job on a parse error; at 100 TB a
+  * poison file must not kill the batch — failures stay countable via
+  * the placeholder prefix).
   */
 object DocumentReader {
 
@@ -78,17 +82,25 @@ object DocumentReader {
     b.append(q).result()
   }
 
-  /** STUB (PDFBox unavailable in this jar set): deterministic stand-in
-    * for per-page PDF text extraction — real impl would be
-    * `PDFTextStripper` over each page, pages concatenated
-    * (reference extract.py:93-97). */
-  private[sources] def extractPdfStub(bytes: Array[Byte]): String =
-    s"[pdf:${bytes.length} bytes]"
+  /** Per-page PDF extraction via [[PdfText]]; a PDF that yields no text
+    * at all (encrypted, image-only, unsupported filters) degrades to a
+    * marked placeholder so poison files stay countable, not fatal. */
+  private[sources] def extractPdf(bytes: Array[Byte]): String =
+    try {
+      val t = PdfText.extractText(bytes)
+      if (t.nonEmpty) t else s"[pdf:unextractable:${bytes.length} bytes]"
+    } catch { case scala.util.control.NonFatal(_) =>
+      s"[pdf:unextractable:${bytes.length} bytes]"
+    }
 
-  /** STUB (POI unavailable): DOCX paragraphs joined with \n
-    * (reference extract.py:74-76). */
-  private[sources] def extractDocxStub(bytes: Array[Byte]): String =
-    s"[docx:${bytes.length} bytes]"
+  /** DOCX paragraphs joined with \n via [[DocxText]]. */
+  private[sources] def extractDocx(bytes: Array[Byte]): String =
+    try {
+      val t = DocxText.extractText(bytes)
+      if (t.nonEmpty) t else s"[docx:unextractable:${bytes.length} bytes]"
+    } catch { case scala.util.control.NonFatal(_) =>
+      s"[docx:unextractable:${bytes.length} bytes]"
+    }
 
   /** Format dispatch (the extractor's parse-by-format switch,
     * extract.py:65-100). */
@@ -96,8 +108,8 @@ object DocumentReader {
     (bytes, ext) =>
       if (bytes == null) null
       else ext match {
-        case ".pdf" => extractPdfStub(bytes)
-        case ".docx" => extractDocxStub(bytes)
+        case ".pdf" => extractPdf(bytes)
+        case ".docx" => extractDocx(bytes)
         case ".html" =>
           val s = new String(bytes, StandardCharsets.UTF_8)
           if (faithfulHtml) pythonRepr(s) // S5 quirk: repr(), no stripping

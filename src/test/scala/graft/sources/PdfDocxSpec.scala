@@ -1,0 +1,116 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class PdfDocxSpec extends AnyFunSuite {
+
+  private val fixtureDir = "/root/reference/src/api/tests/fixtures"
+
+  test("reference test_pdf.pdf: 42 pages, full word-for-word recovery of the source text") {
+    val pdf = Files.readAllBytes(Paths.get(s"$fixtureDir/test_pdf.pdf"))
+    val pages = PdfText.extractPages(pdf)
+    assert(pages.length == 42)
+    // the PDF is test_text.txt typeset in Courier; layout wraps lines,
+    // so parity is exact at the word-sequence level
+    val src = Files.readString(Paths.get(s"$fixtureDir/test_text.txt"))
+    val srcWords = src.split("\\s+").filter(_.nonEmpty).toSeq
+    val gotWords = PdfText.extractText(pdf).split("\\s+").filter(_.nonEmpty).toSeq
+    assert(gotWords.length == srcWords.length,
+      s"word counts: got ${gotWords.length}, want ${srcWords.length}")
+    assert(gotWords == srcWords, "extracted word sequence must equal the source")
+  }
+
+  test("hand-built uncompressed PDF: literal escapes, hex strings, line operators") {
+    val content =
+      "BT /F1 12 Tf 72 700 Td (Hello \\(world\\)) Tj 0 -14 Td " +
+        "[(Kerned) -20 ( pa) 5 (irs)] TJ T* (third\\tline) Tj ET " +
+        "BT 72 600 Td <48692068657821> Tj ET"
+    val pdf = miniPdf(content)
+    val pages = PdfText.extractPages(pdf.getBytes(StandardCharsets.ISO_8859_1))
+    assert(pages.length == 1)
+    val lines = pages.head.split("\n").toSeq
+    assert(lines(0) == "Hello (world)")
+    assert(lines(1) == "Kerned pairs")
+    assert(lines(2) == "third\tline")
+    assert(lines(3) == "Hi hex!")
+  }
+
+  test("octal escapes and WinAnsi high bytes decode") {
+    // \050 = '(' ; byte 0x93/0x94 are curly quotes in WinAnsi
+    val content = "BT (\\050ok\\051 \\223q\\224) Tj ET"
+    val pdf = miniPdf(content)
+    val pages = PdfText.extractPages(pdf.getBytes(StandardCharsets.ISO_8859_1))
+    assert(pages.head == "(ok) \u201Cq\u201D")
+  }
+
+  test("DOCX: paragraphs joined with newline; runs, tabs and breaks inside a paragraph") {
+    val documentXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+        |<w:body>
+        |<w:p><w:r><w:t>First paragraph, </w:t></w:r><w:r><w:t>two runs.</w:t></w:r></w:p>
+        |<w:p><w:r><w:t>Col A</w:t><w:tab/><w:t>Col B</w:t></w:r></w:p>
+        |<w:p><w:r><w:t>Line one</w:t><w:br/><w:t>line two</w:t></w:r></w:p>
+        |<w:p/>
+        |<w:p><w:r><w:t xml:space="preserve"> spaced </w:t></w:r></w:p>
+        |</w:body></w:document>""".stripMargin
+    val docx = zip("word/document.xml" -> documentXml.getBytes(StandardCharsets.UTF_8),
+      "[Content_Types].xml" -> "<Types/>".getBytes(StandardCharsets.UTF_8))
+    assert(DocxText.extractParagraphs(docx) ==
+      Vector("First paragraph, two runs.", "Col A\tCol B", "Line one\nline two", "", " spaced "))
+    assert(DocxText.extractText(docx) ==
+      "First paragraph, two runs.\nCol A\tCol B\nLine one\nline two\n\n spaced ")
+  }
+
+  test("DocumentReader dispatch routes real bytes through the extractors") {
+    val pdf = Files.readAllBytes(Paths.get(s"$fixtureDir/test_pdf.pdf"))
+    val extract = DocumentReader.extractText()
+    val viaPdf = extract(pdf, ".pdf")
+    assert(viaPdf.startsWith("Welcome to vector flow!!!"))
+    val docx = zip("word/document.xml" ->
+      """<w:document xmlns:w="x"><w:body><w:p><w:r><w:t>docx body</w:t></w:r></w:p></w:body></w:document>"""
+        .getBytes(StandardCharsets.UTF_8))
+    assert(extract(docx, ".docx") == "docx body")
+    // junk still degrades to the countable placeholder, never throws
+    assert(extract(Array[Byte](1, 2, 3), ".pdf").startsWith("[pdf:unextractable:"))
+    assert(extract(Array[Byte](1, 2, 3), ".docx").startsWith("[docx:unextractable:"))
+  }
+
+  private def miniPdf(content: String): String = {
+    s"""%PDF-1.4
+       |1 0 obj
+       |<</Type/Catalog/Pages 2 0 R>>
+       |endobj
+       |2 0 obj
+       |<</Type/Pages/Count 1/Kids[3 0 R]>>
+       |endobj
+       |3 0 obj
+       |<</Type/Page/Parent 2 0 R/Contents 4 0 R>>
+       |endobj
+       |4 0 obj
+       |<</Length ${content.length}>>
+       |stream
+       |$content
+       |endstream
+       |endobj
+       |trailer
+       |<</Root 1 0 R>>
+       |%%EOF""".stripMargin
+  }
+
+  private def zip(entries: (String, Array[Byte])*): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    entries.foreach { case (name, bytes) =>
+      z.putNextEntry(new ZipEntry(name))
+      z.write(bytes)
+      z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+}
