@@ -10,12 +10,13 @@ import org.apache.spark.sql.functions._
   * batch UDFs — same batch shape: one partition in, an iterator of
   * decoded rows out).
   *
-  * The actual codec work (JPEG decode, audio PCM, video frames) needs
-  * native libraries this container does not ship, so [[decodeImageStub]]
-  * is a clearly-marked deterministic stand-in: it "decodes" a synthetic
-  * header carried in the payload's first bytes. Schema, partitioning,
-  * batch shape, and downstream feature plumbing are real and tested;
-  * swapping the stub for a real codec touches exactly one function.
+  * Image decode is REAL for PNG/JPEG/GIF/BMP via `javax.imageio`
+  * (JDK-built-in codecs, no external jars): dimensions, channel count,
+  * and a 4x4-grid mean-luminance feature vector. Payloads that are not
+  * a recognized image format fall back to [[decodeImageStub]], the
+  * deterministic synthetic-header stand-in (audio PCM / video frame
+  * codecs are genuinely absent from this container — those stay
+  * stubbed and marked).
   */
 object Multimodal {
 
@@ -30,11 +31,11 @@ object Multimodal {
   /** Sampled video frame reference. */
   final case class FrameRef(media_id: Long, frame_idx: Int, ts_ms: Long)
 
-  /** STUB decode (no image codecs in this build): reads width/height/
-    * channels from the first 6 payload bytes (big-endian u16,u16,u16)
-    * and derives a 16-dim feature vector from a rolling byte hash —
-    * deterministic in the payload. A real implementation replaces only
-    * this function with an ImageIO/codec call. */
+  /** Synthetic-header fallback for payloads that are NOT a recognized
+    * image format (the marked stub path for codecs the container lacks):
+    * reads width/height/channels from the first 6 payload bytes
+    * (big-endian u16,u16,u16) and derives a 16-dim feature vector from
+    * a rolling byte hash — deterministic in the payload. */
   def decodeImageStub(r: MediaRow): DecodedImage = {
     val p = r.payload
     require(p.length >= 6, s"payload too short for header: ${p.length}")
@@ -51,6 +52,54 @@ object Multimodal {
     DecodedImage(r.media_id, w, h, c, features)
   }
 
+  /** PNG / JPEG / GIF / BMP magic bytes. */
+  private def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 0xff.toByte && p(1) == 0xd8.toByte) ||
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') ||
+      (p(0) == 'B' && p(1) == 'M'))
+
+  /** REAL image decode via the JDK's ImageIO codecs: width/height,
+    * color-model channel count, and a 16-dim feature vector = mean
+    * luminance (Rec.601, [0,1]) over a 4x4 spatial grid. Non-image
+    * payloads (and codec failures) fall back to the synthetic-header
+    * stub so mixed batches never fail the task. */
+  def decodeImage(r: MediaRow): DecodedImage = {
+    val p = r.payload
+    val img =
+      if (!looksLikeImage(p)) null
+      else
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+        catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) decodeImageStub(r)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val c = img.getColorModel.getNumComponents
+      val sums = new Array[Double](16)
+      val counts = new Array[Long](16)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(3, y * 4 / h)
+        var x = 0
+        while (x < w) {
+          val cell = cy * 4 + math.min(3, x * 4 / w)
+          val rgb = img.getRGB(x, y)
+          val lum = (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)) / 255.0
+          sums(cell) += lum
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val features = Array.tabulate(16)(i =>
+        if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
+      DecodedImage(r.media_id, w, h, c, features)
+    }
+  }
+
   /** Decode stage: one partition per task, batched iteration — the
     * mapInPandas shape. Repartition upstream to bound decoded-batch
     * memory (payloads dominate; at 100 TB size partitions by bytes,
@@ -58,7 +107,7 @@ object Multimodal {
   def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions(_.map(decodeImageStub))
+    media.mapPartitions(_.map(decodeImage))
   }
 
   /** Resize metadata transform: pure-Catalyst scaling of the decoded

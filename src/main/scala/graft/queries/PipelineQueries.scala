@@ -168,9 +168,39 @@ object PipelineQueries {
       .orderBy(col("paragraph"))
   }
 
+  /** p12: REAL image decode through the JDK PNG codec — every 5th
+    * document becomes a uniform-size PNG generated from its doc_id,
+    * decoded by [[graft.operators.Multimodal.decodeImage]]; dimensions
+    * and channel count round-trip exactly (oracle: closed-form over
+    * doc_id). Luminance features are pinned separately in
+    * MultimodalSpec. */
+  def imageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"))
+      .map { r =>
+        val id = r.getLong(0)
+        val w = 32 + (id % 32).toInt
+        val h = 16 + (id % 16).toInt
+        val rgb = (((id % 256) << 16) | (((id * 2) % 256) << 8) | ((id * 3) % 256)).toInt
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Multimodal.MediaRow(id, "image", bos.toByteArray)
+      }
+    Multimodal.decodeImages(media).toDF()
+      .select(col("media_id"), col("width"), col("height"), col("channels"))
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p10_pdf_pages"         -> pdfPages _,
     "p11_docx_paragraphs"   -> docxParagraphs _,
+    "p12_image_decode"      -> imageDecode _,
     "p08_embed_pipeline"    -> embedPipeline _,
     "p09_media_pipeline"    -> mediaPipeline _,
     "p01_split_blocks"      -> splitBlocks _,
@@ -231,6 +261,12 @@ object PipelineQueries {
       """SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS paragraph, text
         |FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 5)
         |ORDER BY paragraph""".stripMargin,
+    "p12_image_decode" ->
+      """SELECT doc_id AS media_id,
+        |CAST(32 + doc_id % 32 AS INT) AS width,
+        |CAST(16 + doc_id % 16 AS INT) AS height,
+        |CAST(3 AS INT) AS channels
+        |FROM documents WHERE doc_id % 5 = 0 ORDER BY media_id""".stripMargin,
     "p01_split_blocks" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |b AS (SELECT doc_id, words,

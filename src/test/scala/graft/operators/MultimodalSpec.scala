@@ -39,6 +39,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded(1L).features.toSeq == again(1L).features.toSeq, "decode must be deterministic")
   }
 
+  private def png(w: Int, h: Int)(colorAt: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, colorAt(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("REAL PNG decode: dimensions, channels, and grid luminance features") {
+    import spark.implicits._
+    // left half black, right half white -> grid columns 0,1 dark and 2,3 bright
+    val halves = png(64, 32)((x, _) => if (x < 32) 0x000000 else 0xffffff)
+    // uniform mid gray 128 -> every cell 128/255 luminance
+    val gray = png(16, 16)((_, _) => 0x808080)
+    val rows = decodeImages(Seq(
+      MediaRow(10L, "image", halves),
+      MediaRow(11L, "image", gray)).toDS())
+      .collect().map(d => d.media_id -> d).toMap
+    assert(rows(10L).width == 64 && rows(10L).height == 32 && rows(10L).channels == 3)
+    val f = rows(10L).features
+    assert(f.length == 16)
+    (0 until 4).foreach { row =>
+      assert(f(row * 4) == 0f && f(row * 4 + 1) == 0f, "left cells black")
+      assert(math.abs(f(row * 4 + 2) - 1f) < 1e-6 && math.abs(f(row * 4 + 3) - 1f) < 1e-6,
+        "right cells white")
+    }
+    val g = rows(11L).features
+    assert(g.forall(v => math.abs(v - 128f / 255f) < 1e-6), "uniform gray everywhere")
+  }
+
+  test("JPEG decode also goes through the real codec") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(48, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = img.createGraphics()
+    g2.setColor(java.awt.Color.WHITE); g2.fillRect(0, 0, 48, 24); g2.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val d = decodeImages(Seq(MediaRow(20L, "image", bos.toByteArray)).toDS()).head()
+    assert(d.width == 48 && d.height == 24)
+    assert(d.features.forall(_ > 0.95f), "white jpeg decodes bright")
+  }
+
+  test("non-image payloads fall back to the synthetic-header stub") {
+    import spark.implicits._
+    val d = decodeImages(Seq(MediaRow(30L, "image", payload(320, 200, 3, 0L, 64))).toDS()).head()
+    assert(d.width == 320 && d.height == 200 && d.channels == 3)
+  }
+
   test("resize plan computes bounded dimensions without touching payloads") {
     val resized = resizePlan(decodeImages(media), maxSide = 512)
       .select("media_id", "out_width", "out_height")
