@@ -30,8 +30,8 @@ object Relational4 {
         col("start_s"),
         (col("end_s") + (col("o_custkey") % 200) * lit(6000000.0)).as("end_s"))
     RangeJoin.binned(ev, intervals, "point", "start_s", "end_s",
-        binWidth = 86400L * 365)
-      .filter(col("user_id") === col("o_custkey"))
+        binWidth = 86400L * 365,
+        equiKeys = Seq("user_id" -> "o_custkey"))
       .select(col("event_id"), col("user_id"))
       .orderBy(col("event_id"))
   }

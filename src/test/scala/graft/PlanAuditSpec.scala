@@ -52,6 +52,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected broadcast of the query vectors:\n$p")
   }
 
+  test("q22: user key sits in the range-join condition, not a post-join filter") {
+    val p = plan("q22_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$p")
+    // the equi-join keys must include user_id/o_custkey alongside __bin
+    val joinLine = p.linesIterator.find(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("__bin")).getOrElse("")
+    assert(joinLine.contains("user_id") && joinLine.contains("o_custkey"),
+      s"user key not in the join keys:\n$p")
+  }
+
   test("p05: documents filter pushes down to parquet") {
     val p = plan("p05_doc_filter")
     // PushedFilters rendering truncates long lists; the range predicate in
