@@ -20,7 +20,8 @@ object Bench {
     "q17_asof_join",
     "p02_chunk_exact_chars", "p08_embed_pipeline",
     "d01_dedup_exact", "d03_dedup_minhash",
-    "a01_ann_bruteforce", "a05_embed_quantize", "t01_text_profile")
+    "a01_ann_bruteforce", "a05_embed_quantize", "a08_ann_ivf_kmeans",
+    "t01_text_profile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -121,21 +121,25 @@ object Dedup {
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
     val candidates = (maxBucketDf match {
       case Some(cap) =>
-        // per-bucket membership count + representative in one pass over
-        // the same (band, bucket) shuffle key the pair join uses
-        val stats = buckets.groupBy(col("band"), col("bucket"))
-          .agg(count(lit(1)).as("bdf"), min(col("id")).as("rep"))
-        val tagged = buckets.join(stats, Seq("band", "bucket"))
-        val small = tagged.filter(col("bdf") <= cap)
-          .select(col("band"), col("bucket"), col("id"))
-        val smallPairs = small.as("a")
-          .join(small.as("b"),
-            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-              col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        val hotLinks = tagged.filter(col("bdf") > cap && col("id") =!= col("rep"))
-          .select(col("rep").as("id_a"), col("id").as("id_b"))
-        smallPairs.unionAll(hotLinks)
+        // ONE shuffle: gather each bucket's sorted member list, then
+        // generate pairs with codegen'd array ops — all pairs for small
+        // buckets, a star to the minimum id for oversized ones (the
+        // hot-bucket members are near-certain duplicates; the star keeps
+        // the cluster connected at O(size) instead of O(size²)). A
+        // pathological bucket's id array lives in one row (8 B/id — a
+        // 10⁶-member bucket is 8 MB), which is exactly the bounded cost
+        // the guard trades for never materializing its pair clique.
+        buckets.groupBy(col("band"), col("bucket"))
+          .agg(sort_array(collect_list(col("id"))).as("ids"))
+          .filter(size(col("ids")) >= 2)
+          .select(explode(when(size(col("ids")) <= cap,
+              expr("""flatten(transform(ids, (x, i) ->
+                     |  transform(slice(ids, i + 2, size(ids)), y ->
+                     |    struct(x AS id_a, y AS id_b))))""".stripMargin))
+            .otherwise(
+              expr("""transform(slice(ids, 2, size(ids) - 1), y ->
+                     |  struct(ids[0] AS id_a, y AS id_b))""".stripMargin))).as("p"))
+          .select(col("p.id_a"), col("p.id_b"))
       case None =>
         buckets.as("a")
           .join(buckets.as("b"),
@@ -256,22 +260,23 @@ object Dedup {
       .select(col("id"), col("simhash"), col("pos").as("block"), col("col").as("block_val"))
     val paired = maxBlockDf match {
       case Some(cap) =>
-        val stats = blocks.groupBy(col("block"), col("block_val"))
-          .agg(count(lit(1)).as("bdf"), min(col("id")).as("rep"))
-        val tagged = blocks.join(stats, Seq("block", "block_val"))
-        val small = tagged.filter(col("bdf") <= cap)
-        val smallPairs = small.as("a")
-          .join(small.as("b"),
-            col("a.block") === col("b.block") && col("a.block_val") === col("b.block_val") &&
-              col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-            col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-        val reps = hashed.select(col("id").as("rid"), col("simhash").as("rep_sh"))
-        val hotLinks = tagged.filter(col("bdf") > cap && col("id") =!= col("rep"))
-          .join(reps, col("rep") === col("rid"))
-          .select(col("rep").as("id_a"), col("id").as("id_b"),
-            col("rep_sh").as("sh_a"), col("simhash").as("sh_b"))
-        smallPairs.unionAll(hotLinks)
+        // same one-shuffle shape as minHashLshPairs' guard: gather each
+        // (block, value) bucket's sorted (id, simhash) members, emit all
+        // pairs for small buckets and a min-id star for saturated ones —
+        // the simhash rides in the struct, so no join back to `hashed`
+        blocks.groupBy(col("block"), col("block_val"))
+          .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("ms"))
+          .filter(size(col("ms")) >= 2)
+          .select(explode(when(size(col("ms")) <= cap,
+              expr("""flatten(transform(ms, (x, i) ->
+                     |  transform(slice(ms, i + 2, size(ms)), y ->
+                     |    struct(x.id AS id_a, y.id AS id_b,
+                     |           x.simhash AS sh_a, y.simhash AS sh_b))))""".stripMargin))
+            .otherwise(
+              expr("""transform(slice(ms, 2, size(ms) - 1), y ->
+                     |  struct(ms[0].id AS id_a, y.id AS id_b,
+                     |         ms[0].simhash AS sh_a, y.simhash AS sh_b))""".stripMargin))).as("p"))
+          .select(col("p.id_a"), col("p.id_b"), col("p.sh_a"), col("p.sh_b"))
       case None =>
         blocks.as("a")
           .join(blocks.as("b"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Lloyd's k-means over an embedding column — the IVF coarse-quantizer
@@ -10,20 +10,41 @@ import org.apache.spark.sql.functions._
   * Deterministic throughout: init picks the k vectors with the smallest
   * ids (stable under re-runs and task retries); assignment breaks
   * distance ties by centroid index. Each iteration is one broadcast of
-  * k centroids + one narrow assignment pass + one centroid
+  * the k×dim centroid matrix + one narrow assignment pass + one centroid
   * recomputation ([[Centroids.byGroupBy]]) — no quadratic anything, and
   * the per-iteration shuffle carries (cluster, dim, partial-sum) rows
   * only.
+  *
+  * Assignment scores ALL k centroids in one pass over a broadcast
+  * matrix (single UDF, O(k·dim) per row) rather than k per-centroid
+  * expression columns — k is bounded by broadcast size (k·dim doubles,
+  * e.g. 4096 lists × 768 dims ≈ 25 MB), not by codegen limits, which
+  * caps the old column-per-centroid form at O(100).
   */
 object KMeans {
 
-  /** Squared-L2 distance between a row vector column and a broadcast
-    * literal centroid (array of doubles). */
-  private def sqDist(vecCol: String, centroid: Array[Double]): org.apache.spark.sql.Column = {
-    val lits = centroid.mkString("array(", "d,", "d)")
-    expr(
-      s"""aggregate(zip_with(transform($vecCol, x -> cast(x as double)), $lits,
-         |  (x, c) -> (x - c) * (x - c)), 0d, (acc, v) -> acc + v)""".stripMargin)
+  /** Argmin over squared-L2 distances to a broadcast centroid matrix;
+    * ties break toward the lower centroid index. One pass, all k. */
+  private def argminCluster(df: DataFrame, vecCol: String,
+                            centroids: Array[Array[Double]]): Column = {
+    val bc = df.sparkSession.sparkContext.broadcast(centroids)
+    val f = udf { (v: Seq[Double]) =>
+      val cs = bc.value
+      var best = 0
+      var bestD = Double.MaxValue
+      var i = 0
+      while (i < cs.length) {
+        val c = cs(i)
+        var d = 0.0
+        var j = 0
+        val dim = math.min(c.length, v.length)
+        while (j < dim) { val x = v(j) - c(j); d += x * x; j += 1 }
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+    f(expr(s"transform($vecCol, x -> cast(x as double))"))
   }
 
   /** Train k centroids; returns (assignments DF (id, cluster), centroids
@@ -31,47 +52,47 @@ object KMeans {
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
           iterations: Int = 5): (DataFrame, Array[Array[Double]]) = {
     require(iterations >= 1, "k-means needs at least one iteration")
+    // the trainer drives 1 + iterations actions over the same rows —
+    // cache the 2-column projection once instead of re-scanning the
+    // source per iteration (at 100 TB the input would be a sampled
+    // training subset; the cache bounds to that subset, not the corpus).
+    // Spread the subset across all cores: assignment is O(n·k·dim) CPU
+    // and a small training file otherwise lands in ONE input partition,
+    // serializing the whole fit. Results are partitioning-independent
+    // (argmin is per-row pure; centroid means are exact decimal sums).
+    val base = df.select(col(idCol), col(vecCol))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .cache()
     // deterministic init: the k smallest-id vectors; with fewer than k
-    // rows the effective k shrinks to the row count (every distance
-    // column below is built from the ACTUAL centroid count)
-    var centroids: Array[Array[Double]] = df
+    // rows the effective k shrinks to the row count
+    var centroids: Array[Array[Double]] = base
       .orderBy(col(idCol)).limit(k)
       .select(expr(s"transform($vecCol, x -> cast(x as double))"))
       .collect().map(_.getSeq[Double](0).toArray)
     require(centroids.nonEmpty, "k-means needs a non-empty input")
-    val kEff = centroids.length
 
-    val arr = (0 until kEff).map(i => s"__d$i").mkString("array(", ",", ")")
     var assigned: DataFrame = null
     var iter = 0
     while (iter < iterations) {
-      val distCols = centroids.zipWithIndex.map { case (c, i) =>
-        sqDist(vecCol, c).as(s"__d$i")
-      }
-      val withDists = df.select((col(idCol) +: col(vecCol) +: distCols.toSeq): _*)
-      // argmin with index tiebreak via array_position of the minimum
-      assigned = withDists
-        .withColumn("cluster",
-          (expr(s"array_position($arr, array_min($arr))") - 1).cast("int"))
-        .select(col(idCol), col(vecCol), col("cluster"))
+      assigned = base
+        .select(col(idCol), col(vecCol),
+          argminCluster(base, vecCol, centroids).as("cluster"))
       val newCentroids = Centroids.byGroupBy(assigned, "cluster", vecCol)
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
       // empty clusters keep their previous centroid
       centroids = centroids.zipWithIndex.map { case (old, i) => newCentroids.getOrElse(i, old) }
       iter += 1
     }
+    // lazy unpersist: later evaluations of `assigned` recompute from the
+    // source, which stays correct (assignment is a pure function of the
+    // returned centroids)
+    base.unpersist(false)
     (assigned.select(col(idCol), col("cluster")), centroids)
   }
 
   /** Assign an arbitrary dataframe to the trained lists (for IVF probe). */
   def assign(df: DataFrame, idCol: String, vecCol: String,
-             centroids: Array[Array[Double]]): DataFrame = {
-    val k = centroids.length
-    val distCols = centroids.zipWithIndex.map { case (c, i) => sqDist(vecCol, c).as(s"__d$i") }
-    val arr = (0 until k).map(i => s"__d$i").mkString("array(", ",", ")")
-    df.select((col(idCol) +: col(vecCol) +: distCols.toSeq): _*)
-      .withColumn("cluster",
-        (expr(s"array_position($arr, array_min($arr))") - 1).cast("int"))
-      .select(col(idCol), col(vecCol), col("cluster"))
-  }
+             centroids: Array[Array[Double]]): DataFrame =
+    df.select(col(idCol), col(vecCol),
+      argminCluster(df, vecCol, centroids).as("cluster"))
 }

@@ -96,8 +96,18 @@ object CurationQueries {
     * assign corpus and queries, probe (rows-only; KMeansSpec pins
     * determinism, blob separation, and list membership). */
   def annIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    // corpus assignment is O(n·k·dim) CPU — spread the small parquet
+    // (one input split) across the cores like a real corpus would be
     val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val (_, centroids) = graft.operators.KMeans.fit(e, "vec_id", "embedding", k = 8, iterations = 2)
+      .repartition(spark.sparkContext.defaultParallelism)
+    // coarse-list count scales with the corpus (~16 vectors/list, capped
+    // at 256): k=256 is viable only because assignment scores the whole
+    // broadcast centroid matrix in one pass (the per-centroid-column
+    // form topped out around k~100 on codegen limits); at sf0.1+ this
+    // runs the full k=256
+    val n = e.count()
+    val k = math.max(8, math.min(256, (n / 16).toInt))
+    val (_, centroids) = graft.operators.KMeans.fit(e, "vec_id", "embedding", k = k, iterations = 2)
     val corpus = graft.operators.KMeans.assign(e, "vec_id", "embedding", centroids)
     Similarity.ivfTopK(corpus.filter(col("vec_id") < 5), corpus,
         "vec_id", "embedding", "cluster", k = 10)

@@ -42,6 +42,29 @@ class KMeansSpec extends AnyFunSuite {
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
   }
 
+  test("matrix scorer at k=256 matches local brute-force argmin") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    // 256 deterministic "centroids" from the data itself — at this k the
+    // old per-centroid-column form was past its codegen ceiling
+    val centroids = e.orderBy(col("vec_id")).limit(256)
+      .select(expr("transform(embedding, x -> cast(x as double))"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    assert(centroids.length == 256)
+    val assigned = KMeans.assign(e, "vec_id", "embedding", centroids)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    vecs.foreach { case (id, v) =>
+      var best = 0; var bestD = Double.MaxValue
+      centroids.zipWithIndex.foreach { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < c.length) { val x = v(j) - c(j); d += x * x; j += 1 }
+        if (d < bestD) { bestD = d; best = i }
+      }
+      assert(assigned(id) == best, s"vec $id: got ${assigned(id)}, want $best")
+    }
+  }
+
   test("trained lists drive the IVF probe end to end") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), col("embedding"))
