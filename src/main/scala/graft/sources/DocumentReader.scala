@@ -103,13 +103,18 @@ object DocumentReader {
     }
 
   /** Format dispatch (the extractor's parse-by-format switch,
-    * extract.py:65-100). */
-  def extractText(faithfulHtml: Boolean = true): (Array[Byte], String) => String = {
+    * extract.py:65-100). `markdownSections=false` is the API `/embed`
+    * raw-read branch (app.py:236-243); `true` is the extractor branch's
+    * MarkdownReader section split (extract.py:78-88). */
+  def extractText(faithfulHtml: Boolean = true,
+                  markdownSections: Boolean = false): (Array[Byte], String) => String = {
     (bytes, ext) =>
       if (bytes == null) null
       else ext match {
         case ".pdf" => extractPdf(bytes)
         case ".docx" => extractDocx(bytes)
+        case ".md" if markdownSections =>
+          MarkdownText.extractText(new String(bytes, StandardCharsets.UTF_8))
         case ".html" =>
           val s = new String(bytes, StandardCharsets.UTF_8)
           if (faithfulHtml) pythonRepr(s) // S5 quirk: repr(), no stripping

@@ -66,6 +66,28 @@ class PdfDocxSpec extends AnyFunSuite {
       "First paragraph, two runs.\nCol A\tCol B\nLine one\nline two\n\n spaced ")
   }
 
+  test("Markdown: links stripped, header sections, extractor-path join") {
+    val md =
+      """intro before any header
+        |# Title
+        |Some text with a [link](http://x) and an image ![alt](img.png).
+        |## Sub
+        |more body
+        |""".stripMargin
+    val secs = MarkdownText.sections(md)
+    assert(secs.map(_._1) == Vector(None, Some("Title"), Some("Sub")))
+    assert(secs(1)._2 == "Some text with a link and an image .\n")
+    assert(secs(2)._2 == "more body\n\n")
+    val joined = MarkdownText.extractText(md)
+    assert(joined.contains("\n\nTitle\nSome text with a link"))
+    // default dispatch stays the /embed raw-read branch
+    val raw = DocumentReader.extractText()(md.getBytes(StandardCharsets.UTF_8), ".md")
+    assert(raw == md)
+    val sectioned = DocumentReader.extractText(markdownSections = true)(
+      md.getBytes(StandardCharsets.UTF_8), ".md")
+    assert(sectioned == joined)
+  }
+
   test("DocumentReader dispatch routes real bytes through the extractors") {
     val pdf = Files.readAllBytes(Paths.get(s"$fixtureDir/test_pdf.pdf"))
     val extract = DocumentReader.extractText()
