@@ -31,12 +31,13 @@ object PdfText {
 
   /** Per-page text, in document page order. */
   def extractPages(pdf: Array[Byte]): Vector[String] = {
-    val objs = scanObjects(pdf)
-    val pageIds = pageOrder(pdf, objs)
+    val ordered = scanObjects(pdf)
+    val objs = ordered.toMap
+    val pageIds = pageOrder(ordered, objs)
     pageIds.map { pid =>
-      contentRefs(pdf, objs(pid))
+      contentRefs(objs(pid))
         .flatMap(objs.get)
-        .flatMap(streamBytes(pdf, _))
+        .flatMap(streamBytes)
         .map(extractContent)
         .mkString
     }
@@ -55,33 +56,60 @@ object PdfText {
   private val ObjPattern =
     java.util.regex.Pattern.compile("""(?<![0-9])(\d+) (\d+) obj\b""")
 
-  /** objectNumber -> body bytes-range (between `obj` and `endobj`). */
-  private def scanObjects(pdf: Array[Byte]): Map[Int, (Int, Int)] = {
-    // objects are located lexically; ASCII-decode via latin1 so byte
-    // offsets == char offsets
-    val s = new String(pdf, StandardCharsets8859)
-    val m = ObjPattern.matcher(s)
-    val out = Map.newBuilder[Int, (Int, Int)]
-    while (m.find()) {
-      val end = s.indexOf("endobj", m.end())
-      if (end > 0) out += m.group(1).toInt -> (m.end(), end)
-    }
-    out.result()
-  }
-
   private val StandardCharsets8859 = java.nio.charset.StandardCharsets.ISO_8859_1
 
-  private implicit class RangeOps(private val range: (Int, Int)) extends AnyVal {
-    def sliceOf(pdf: Array[Byte]): Array[Byte] =
-      java.util.Arrays.copyOfRange(pdf, range._1, range._2)
+  /** (objectNumber, body bytes) in file order: regular `N G obj` objects
+    * located lexically, then objects embedded in /Type/ObjStm object
+    * streams (where most modern writers keep page and catalog dicts).
+    * On duplicate ids the regular object wins (no xref consulted). */
+  private def scanObjects(pdf: Array[Byte]): Vector[(Int, Array[Byte])] = {
+    // latin1-decode so byte offsets == char offsets
+    val s = new String(pdf, StandardCharsets8859)
+    val m = ObjPattern.matcher(s)
+    val regular = Vector.newBuilder[(Int, Array[Byte])]
+    while (m.find()) {
+      val end = s.indexOf("endobj", m.end())
+      if (end > 0)
+        regular += m.group(1).toInt -> java.util.Arrays.copyOfRange(pdf, m.end(), end)
+    }
+    val reg = regular.result()
+    val seen = reg.map(_._1).toSet
+    val embedded = reg.flatMap { case (_, body) => parseObjStm(body) }
+      .filterNot { case (id, _) => seen(id) }
+    reg ++ embedded
+  }
+
+  /** Objects embedded in an object stream: the inflated payload starts
+    * with /N (objnum, offset) integer pairs; object i's body runs from
+    * /First + offset(i) to the next offset. Streams themselves cannot
+    * nest in an ObjStm, so these bodies are dict/array objects only. */
+  private def parseObjStm(body: Array[Byte]): Vector[(Int, Array[Byte])] = {
+    val head = new String(body, 0, math.min(body.length, 512), StandardCharsets8859)
+    if (!head.contains("/ObjStm")) Vector.empty
+    else (for {
+      payload <- streamBytes(body)
+      n <- """/N\s+(\d+)""".r.findFirstMatchIn(head).map(_.group(1).toInt)
+      first <- """/First\s+(\d+)""".r.findFirstMatchIn(head).map(_.group(1).toInt)
+      if first <= payload.length
+    } yield {
+      val header = new String(payload, 0, first, StandardCharsets8859)
+        .trim.split("\\s+").filter(_.nonEmpty).map(_.toInt)
+      val pairs = header.grouped(2).take(n).collect { case Array(id, off) => (id, off) }.toVector
+      pairs.zipWithIndex.map { case ((id, off), i) =>
+        val from = math.min(first + off, payload.length)
+        val until = if (i + 1 < pairs.length) math.min(first + pairs(i + 1)._2, payload.length)
+                    else payload.length
+        id -> java.util.Arrays.copyOfRange(payload, from, until)
+      }
+    }).getOrElse(Vector.empty)
   }
 
   /** Page object ids in document order: root /Pages /Kids when present,
     * else every /Type/Page object in file order. */
-  private def pageOrder(pdf: Array[Byte], objs: Map[Int, (Int, Int)]): Vector[Int] = {
-    val s = new String(pdf, StandardCharsets8859)
-    def bodyOf(id: Int): String = { val (a, b) = objs(id); s.substring(a, b) }
-    val pagesNode = objs.keys.toVector.sorted.find(id => {
+  private def pageOrder(ordered: Vector[(Int, Array[Byte])],
+                        objs: Map[Int, Array[Byte]]): Vector[Int] = {
+    def bodyOf(id: Int): String = new String(objs(id), StandardCharsets8859)
+    val pagesNode = ordered.map(_._1).find(id => {
       val b = bodyOf(id)
       b.contains("/Type/Pages") || b.contains("/Type /Pages")
     })
@@ -91,14 +119,14 @@ object PdfText {
       """(\d+)\s+\d+\s+R""".r.findAllMatchIn(kids).map(_.group(1).toInt).toVector
     }.filter(objs.contains)
     if (fromKids.nonEmpty) fromKids
-    else objs.toVector.sortBy(_._2._1).collect {
-      case (id, (a, b)) if s.substring(a, b).contains("/Type/Page") => id
+    else ordered.collect {
+      case (id, body) if new String(body, StandardCharsets8859).contains("/Type/Page") => id
     }
   }
 
   /** /Contents N 0 R  or  /Contents[ a 0 R b 0 R ]. */
-  private def contentRefs(pdf: Array[Byte], body: (Int, Int)): Vector[Int] = {
-    val s = new String(pdf, body._1, body._2 - body._1, StandardCharsets8859)
+  private def contentRefs(body: Array[Byte]): Vector[Int] = {
+    val s = new String(body, StandardCharsets8859)
     """/Contents\s*\[([^\]]*)\]""".r.findFirstMatchIn(s) match {
       case Some(arr) =>
         """(\d+)\s+\d+\s+R""".r.findAllMatchIn(arr.group(1)).map(_.group(1).toInt).toVector
@@ -108,18 +136,17 @@ object PdfText {
   }
 
   /** Extract and (if Flate) inflate a stream object's payload. */
-  private def streamBytes(pdf: Array[Byte], body: (Int, Int)): Option[Array[Byte]] = {
-    val (from, until) = body
-    val s = new String(pdf, from, until - from, StandardCharsets8859)
+  private def streamBytes(body: Array[Byte]): Option[Array[Byte]] = {
+    val s = new String(body, StandardCharsets8859)
     val sm = """stream\r?\n""".r.findFirstMatchIn(s)
     sm.map { m =>
-      val dataStart = from + m.end
+      val dataStart = m.end
       val endIdx = s.indexOf("endstream", m.end)
-      var dataEnd = if (endIdx >= 0) from + endIdx else until
+      var dataEnd = if (endIdx >= 0) endIdx else body.length
       // strip the EOL that precedes `endstream`
-      if (dataEnd > dataStart && pdf(dataEnd - 1) == '\n') dataEnd -= 1
-      if (dataEnd > dataStart && pdf(dataEnd - 1) == '\r') dataEnd -= 1
-      val raw = java.util.Arrays.copyOfRange(pdf, dataStart, dataEnd)
+      if (dataEnd > dataStart && body(dataEnd - 1) == '\n') dataEnd -= 1
+      if (dataEnd > dataStart && body(dataEnd - 1) == '\r') dataEnd -= 1
+      val raw = java.util.Arrays.copyOfRange(body, dataStart, dataEnd)
       if (s.substring(0, m.start).contains("FlateDecode")) inflate(raw) else raw
     }
   }

@@ -66,6 +66,37 @@ class PdfDocxSpec extends AnyFunSuite {
       "First paragraph, two runs.\nCol A\tCol B\nLine one\nline two\n\n spaced ")
   }
 
+  test("page dicts inside a /Type/ObjStm object stream are found") {
+    // modern writers keep page/catalog dicts in object streams; build one
+    // with the Pages node (2) and the Page dict (3) embedded
+    val body2 = "<</Type/Pages/Count 1/Kids[3 0 R]>>"
+    val body3 = "<</Type/Page/Parent 2 0 R/Contents 4 0 R>>"
+    val header = s"2 0 3 ${body2.length}"
+    val first = header.length + 1
+    val payload = header + "\n" + body2 + body3
+    val content = "BT 72 700 Td (from objstm) Tj ET"
+    val pdf =
+      s"""%PDF-1.5
+         |1 0 obj
+         |<</Type/Catalog/Pages 2 0 R>>
+         |endobj
+         |5 0 obj
+         |<</Type/ObjStm/N 2/First $first/Length ${payload.length}>>
+         |stream
+         |$payload
+         |endstream
+         |endobj
+         |4 0 obj
+         |<</Length ${content.length}>>
+         |stream
+         |$content
+         |endstream
+         |endobj
+         |%%EOF""".stripMargin
+    val pages = PdfText.extractPages(pdf.getBytes(StandardCharsets.ISO_8859_1))
+    assert(pages == Vector("from objstm"))
+  }
+
   test("Markdown: links stripped, header sections, extractor-path join") {
     val md =
       """intro before any header
