@@ -140,12 +140,15 @@ object BpeTokenizer {
     * per line. */
   def parseRanks(lines: Iterator[String]): java.util.HashMap[Bytes, java.lang.Integer] = {
     val m = new java.util.HashMap[Bytes, java.lang.Integer]()
+    var lineNo = 0
     lines.foreach { line =>
+      lineNo += 1
       val t = line.trim
       if (t.nonEmpty) {
         val sp = t.indexOf(' ')
+        require(sp > 0, s"ranks line $lineNo is not 'base64 rank': '$t'")
         val bytes = Base64.getDecoder.decode(t.substring(0, sp))
-        m.put(new Bytes(bytes, 0, bytes.length), t.substring(sp + 1).toInt)
+        m.put(new Bytes(bytes, 0, bytes.length), t.substring(sp + 1).trim.toInt)
       }
     }
     m
@@ -172,10 +175,11 @@ object Tokenizers {
     * `graft.bpe.ranks`, env `GRAFT_BPE_RANKS`, or classpath resource
     * `/cl100k_base.tiktoken`); otherwise the deterministic stand-in. */
   lazy val default: Tokenizer = {
-    val fromProp = sys.props.get("graft.bpe.ranks").orElse(sys.env.get("GRAFT_BPE_RANKS"))
+    def fromProp = sys.props.get("graft.bpe.ranks").orElse(sys.env.get("GRAFT_BPE_RANKS"))
       .filter(p => new java.io.File(p).isFile)
       .map(BpeTokenizer.fromFile)
-    val fromResource = Option(getClass.getResourceAsStream("/cl100k_base.tiktoken")).map { in =>
+    // by-need: only the winning source is opened and parsed
+    def fromResource = Option(getClass.getResourceAsStream("/cl100k_base.tiktoken")).map { in =>
       val src = scala.io.Source.fromInputStream(in, "UTF-8")
       try new BpeTokenizer(BpeTokenizer.parseRanks(src.getLines())) finally src.close()
     }

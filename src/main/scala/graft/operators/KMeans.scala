@@ -28,21 +28,26 @@ object KMeans {
   private def argminCluster(df: DataFrame, vecCol: String,
                             centroids: Array[Array[Double]]): Column = {
     val bc = df.sparkSession.sparkContext.broadcast(centroids)
+    // boxed return so a null vector yields a null cluster (matching the
+    // old expression pipeline's null propagation) instead of an NPE
     val f = udf { (v: Seq[Double]) =>
-      val cs = bc.value
-      var best = 0
-      var bestD = Double.MaxValue
-      var i = 0
-      while (i < cs.length) {
-        val c = cs(i)
-        var d = 0.0
-        var j = 0
-        val dim = math.min(c.length, v.length)
-        while (j < dim) { val x = v(j) - c(j); d += x * x; j += 1 }
-        if (d < bestD) { bestD = d; best = i }
-        i += 1
+      if (v == null) null
+      else {
+        val cs = bc.value
+        var best = 0
+        var bestD = Double.MaxValue
+        var i = 0
+        while (i < cs.length) {
+          val c = cs(i)
+          var d = 0.0
+          var j = 0
+          val dim = math.min(c.length, v.length)
+          while (j < dim) { val x = v(j) - c(j); d += x * x; j += 1 }
+          if (d < bestD) { bestD = d; best = i }
+          i += 1
+        }
+        Int.box(best)
       }
-      best
     }
     f(expr(s"transform($vecCol, x -> cast(x as double))"))
   }

@@ -38,7 +38,10 @@ object Multimodal {
     * a rolling byte hash — deterministic in the payload. */
   def decodeImageStub(r: MediaRow): DecodedImage = {
     val p = r.payload
-    require(p.length >= 6, s"payload too short for header: ${p.length}")
+    // poison row (truncated header): degrade to a zero record — a batch
+    // must never die on one bad payload
+    if (p == null || p.length < 6)
+      return DecodedImage(r.media_id, 0, 0, 0, new Array[Float](16))
     def u16(i: Int): Int = ((p(i) & 0xff) << 8) | (p(i + 1) & 0xff)
     val (w, h, c) = (u16(0), u16(2), u16(4))
     val features = new Array[Float](16)

@@ -22,7 +22,12 @@ object TextAnalysis {
 
   /** Exact tokenizer count via the graft tokenizer (UDF path). */
   val graftTokenCount: Column => Column = {
-    val f = udf { (s: String) => if (s == null) 0 else graft.core.Tokenizers.default.count(s) }
+    // resolve the tokenizer ON THE DRIVER and capture it in the closure:
+    // executors don't see driver system properties / local ranks files,
+    // so a lazy executor-side Tokenizers.default could silently diverge
+    // from the chunkers' driver-resolved tokenizer
+    val tok = graft.core.Tokenizers.default
+    val f = udf { (s: String) => if (s == null) 0 else tok.count(s) }
     c => f(c)
   }
 

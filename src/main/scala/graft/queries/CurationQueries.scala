@@ -96,10 +96,7 @@ object CurationQueries {
     * assign corpus and queries, probe (rows-only; KMeansSpec pins
     * determinism, blob separation, and list membership). */
   def annIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
-    // corpus assignment is O(n·k·dim) CPU — spread the small parquet
-    // (one input split) across the cores like a real corpus would be
     val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-      .repartition(spark.sparkContext.defaultParallelism)
     // coarse-list count scales with the corpus (~16 vectors/list, capped
     // at 256): k=256 is viable only because assignment scores the whole
     // broadcast centroid matrix in one pass (the per-centroid-column
@@ -107,8 +104,12 @@ object CurationQueries {
     // runs the full k=256
     val n = e.count()
     val k = math.max(8, math.min(256, (n / 16).toInt))
+    // fit() repartitions its own training projection internally; only
+    // the corpus-assignment pass needs the explicit spread here (the
+    // small parquet is one input split, and assignment is O(n·k·dim))
     val (_, centroids) = graft.operators.KMeans.fit(e, "vec_id", "embedding", k = k, iterations = 2)
-    val corpus = graft.operators.KMeans.assign(e, "vec_id", "embedding", centroids)
+    val corpus = graft.operators.KMeans.assign(
+      e.repartition(spark.sparkContext.defaultParallelism), "vec_id", "embedding", centroids)
     Similarity.ivfTopK(corpus.filter(col("vec_id") < 5), corpus,
         "vec_id", "embedding", "cluster", k = 10)
       .orderBy(col("query_id"), col("rank"))

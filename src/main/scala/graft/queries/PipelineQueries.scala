@@ -154,12 +154,12 @@ object PipelineQueries {
         """</w:body></w:document>"""
     val tmp = java.nio.file.Files.createTempDirectory("graft_docx")
     val f = tmp.resolve("docs.docx")
-    val bos = new java.io.ByteArrayOutputStream()
-    val z = new java.util.zip.ZipOutputStream(bos)
+    // JVM-exit cleanup (file first — deleteOnExit runs in reverse order)
+    tmp.toFile.deleteOnExit(); f.toFile.deleteOnExit()
+    val z = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(f))
     z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
     z.write(xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     z.closeEntry(); z.close()
-    java.nio.file.Files.write(f, bos.toByteArray)
     spark.read.format("binaryFile").load(f.toString)
       .select(col("content")).as[Array[Byte]]
       .flatMap(bytes => graft.sources.DocxText.extractParagraphs(bytes).zipWithIndex

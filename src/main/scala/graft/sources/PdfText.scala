@@ -104,23 +104,46 @@ object PdfText {
     }).getOrElse(Vector.empty)
   }
 
-  /** Page object ids in document order: root /Pages /Kids when present,
-    * else every /Type/Page object in file order. */
+  private val PagesType = """/Type\s*/Pages\b""".r
+  private val PageType = """/Type\s*/Page\b(?!s)""".r
+
+  /** Page object ids in document order: recursive walk of the /Pages
+    * tree (writers like iText nest intermediate /Pages nodes, so a
+    * one-level /Kids read would lose every leaf below them), else every
+    * /Type/Page object in file order. */
   private def pageOrder(ordered: Vector[(Int, Array[Byte])],
                         objs: Map[Int, Array[Byte]]): Vector[Int] = {
     def bodyOf(id: Int): String = new String(objs(id), StandardCharsets8859)
-    val pagesNode = ordered.map(_._1).find(id => {
-      val b = bodyOf(id)
-      b.contains("/Type/Pages") || b.contains("/Type /Pages")
-    })
-    val fromKids = pagesNode.toVector.flatMap { id =>
-      val b = bodyOf(id)
+    def kidsOf(b: String): Vector[Int] = {
       val kids = """/Kids\s*\[([^\]]*)\]""".r.findFirstMatchIn(b).map(_.group(1)).getOrElse("")
       """(\d+)\s+\d+\s+R""".r.findAllMatchIn(kids).map(_.group(1).toInt).toVector
-    }.filter(objs.contains)
-    if (fromKids.nonEmpty) fromKids
+    }
+    // depth-first, kid order = document order; visited-set guards
+    // malformed cyclic trees
+    def walk(id: Int, visited: Set[Int]): Vector[Int] =
+      if (visited(id) || !objs.contains(id)) Vector.empty
+      else {
+        val b = bodyOf(id)
+        if (PagesType.findFirstIn(b).isDefined || kidsOf(b).nonEmpty && PageType.findFirstIn(b).isEmpty)
+          kidsOf(b).flatMap(walk(_, visited + id))
+        else if (PageType.findFirstIn(b).isDefined) Vector(id)
+        else Vector.empty
+      }
+    // prefer the catalog's /Pages ref (the true root — the first
+    // Pages-typed object in file order may be a nested intermediate)
+    val fromCatalog = ordered.collectFirst {
+      case (_, body) if """/Type\s*/Catalog\b""".r
+          .findFirstIn(new String(body, StandardCharsets8859)).isDefined =>
+        """/Pages\s+(\d+)\s+\d+\s+R""".r
+          .findFirstMatchIn(new String(body, StandardCharsets8859)).map(_.group(1).toInt)
+    }.flatten
+    val root = fromCatalog.orElse(ordered.find { case (_, body) =>
+      PagesType.findFirstIn(new String(body, StandardCharsets8859)).isDefined
+    }.map(_._1))
+    val fromTree = root.toVector.flatMap(walk(_, Set.empty))
+    if (fromTree.nonEmpty) fromTree
     else ordered.collect {
-      case (id, body) if new String(body, StandardCharsets8859).contains("/Type/Page") => id
+      case (id, body) if PageType.findFirstIn(new String(body, StandardCharsets8859)).isDefined => id
     }
   }
 

@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.core.Chunkers
 import graft.operators.{Dedup, KMeans, Similarity}
 
-/** Regressions for the round-1 code-review findings. */
+/** Regressions for the round-1 and round-2 code-review findings. */
 class ReviewRegressionSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -15,6 +15,76 @@ class ReviewRegressionSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  test("nested /Pages trees walk to the leaf pages (r2 review)") {
+    import java.nio.charset.StandardCharsets
+    // catalog -> root Pages -> two intermediate Pages -> one leaf each
+    def content(i: Int) = s"BT 72 700 Td (leaf $i) Tj ET"
+    val pdf =
+      s"""%PDF-1.4
+         |1 0 obj
+         |<</Type/Catalog/Pages 2 0 R>>
+         |endobj
+         |2 0 obj
+         |<</Type/Pages/Count 2/Kids[3 0 R 4 0 R]>>
+         |endobj
+         |3 0 obj
+         |<</Type/Pages/Parent 2 0 R/Count 1/Kids[5 0 R]>>
+         |endobj
+         |4 0 obj
+         |<</Type/Pages/Parent 2 0 R/Count 1/Kids[6 0 R]>>
+         |endobj
+         |5 0 obj
+         |<</Type/Page/Parent 3 0 R/Contents 7 0 R>>
+         |endobj
+         |6 0 obj
+         |<</Type/Page/Parent 4 0 R/Contents 8 0 R>>
+         |endobj
+         |7 0 obj
+         |<</Length ${content(1).length}>>
+         |stream
+         |${content(1)}
+         |endstream
+         |endobj
+         |8 0 obj
+         |<</Length ${content(2).length}>>
+         |stream
+         |${content(2)}
+         |endstream
+         |endobj
+         |%%EOF""".stripMargin
+    val pages = graft.sources.PdfText.extractPages(pdf.getBytes(StandardCharsets.ISO_8859_1))
+    assert(pages == Vector("leaf 1", "leaf 2"),
+      "intermediate /Pages nodes must not become phantom empty pages")
+  }
+
+  test("null embedding rows get a null cluster, not an NPE (r2 review)") {
+    import spark.implicits._
+    val df = Seq((1L, Some(Array(1f, 2f))), (2L, None), (3L, Some(Array(5f, 6f))))
+      .toDF("id", "v")
+    val centroids = Array(Array(1.0, 2.0), Array(5.0, 6.0))
+    val rows = KMeans.assign(df, "id", "v", centroids)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1 else r.getInt(2))).toMap
+    assert(rows(1L) == 0 && rows(3L) == 1)
+    assert(rows(2L) == -1, "null vector must yield null cluster")
+  }
+
+  test("short media payloads degrade to a zero record, never throw (r2 review)") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val rows = Multimodal.decodeImages(Seq(
+      Multimodal.MediaRow(1L, "image", Array[Byte](66, 77)),       // 'BM' truncated
+      Multimodal.MediaRow(2L, "image", Array[Byte](1, 2, 3, 4, 5)) // garbage
+    ).toDS()).collect().map(d => d.media_id -> d).toMap
+    assert(rows(1L).width == 0 && rows(1L).features.forall(_ == 0f))
+    assert(rows(2L).width == 0)
+  }
+
+  test("malformed ranks lines fail with a clear parse error (r2 review)") {
+    val e = intercept[IllegalArgumentException](
+      graft.core.BpeTokenizer.parseRanks(Iterator("dGU= 0", "broken-no-rank")))
+    assert(e.getMessage.contains("line 2"))
+  }
 
   test("paragraph chunker terminates when floor(bound*size) == 0") {
     // size=1, bound=0.75 -> checkBound would floor to 0 and spin forever
