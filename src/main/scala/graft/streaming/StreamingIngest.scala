@@ -70,6 +70,27 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming vector-DB upsert (K1-K3 in streaming mode): each
+    * micro-batch flows through [[graft.sinks.VectorDbSinks.upsert]] with
+    * the batchId as the uuid5 jobId component — re-delivered batches
+    * re-send the SAME record ids, so the store's upsert semantics make
+    * checkpoint + foreachBatch effectively exactly-once end to end
+    * (the reference's own idempotency design, README.md:210). */
+  def startVectorDb(vectors: Dataset[VectorRecord], checkpointDir: String,
+                    baseUrl: String, apiKey: String,
+                    shape: graft.sinks.VectorDbSinks.PayloadShape,
+                    jobId: String): StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[VectorRecord], batchId: Long) =>
+        graft.sinks.VectorDbSinks.upsert(batch, baseUrl, apiKey, shape,
+          jobId = s"$jobId-$batchId")
+        ()
+      }
+      .start()
+
   /** Watermarked tumbling-window aggregation over an event stream —
     * late data beyond the watermark is dropped, bounding state. */
   def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =

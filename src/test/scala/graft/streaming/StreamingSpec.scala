@@ -47,6 +47,38 @@ class StreamingSpec extends AnyFunSuite {
       "restart must not duplicate previously written vectors")
   }
 
+  test("streaming vector-DB sink upserts each micro-batch; restart sends nothing new") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val drop = tmp("vdrop"); val ckpt = tmp("vckpt")
+    Files.writeString(Paths.get(drop, "doc_a.txt"), "vector store upsert " * 40)
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/points", (ex: HttpExchange) => {
+      received.add(new String(ex.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      val ok = "ok".getBytes
+      ex.sendResponseHeaders(200, ok.length.toLong)
+      ex.getResponseBody.write(ok); ex.close()
+    })
+    server.start()
+    try {
+      def run(): Unit = {
+        val q = StreamingIngest.startVectorDb(
+          StreamingIngest.embedStream(StreamingIngest.readDocuments(spark, drop)),
+          ckpt, s"http://127.0.0.1:${server.getAddress.getPort}", "key",
+          graft.sinks.VectorDbSinks.Qdrant, jobId = "stream-job")
+        q.awaitTermination()
+      }
+      run()
+      val posts = received.size()
+      assert(posts > 0, "micro-batch must reach the vector store")
+      assert(received.peek().startsWith("""{"points":["""))
+      // same checkpoint, no new files -> nothing re-sent
+      run()
+      assert(received.size() == posts, "restart with no new data must not re-upsert")
+    } finally server.stop(0)
+  }
+
   test("watermarked hourly rollup matches the batch aggregation") {
     val src = tmp("events_src"); val ckpt = tmp("ckpt2")
     val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
