@@ -225,5 +225,20 @@ object GraftFunctions {
         exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("chunk_text",
       exprs => ChunkGenerator(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
+    // document extraction over binary columns (SQL surface for the S2/S3/
+    // S4 extractors; Scala UDFs — extraction is I/O-shaped, not a
+    // codegen hot path)
+    spark.udf.register("graft_extract",
+      (bytes: Array[Byte], ext: String) =>
+        graft.sources.DocumentReader.extractText()(bytes, ext))
+    spark.udf.register("pdf_pages",
+      (bytes: Array[Byte]) =>
+        if (bytes == null) null else graft.sources.PdfText.extractPages(bytes))
+    spark.udf.register("docx_paragraphs",
+      (bytes: Array[Byte]) =>
+        if (bytes == null) null else graft.sources.DocxText.extractParagraphs(bytes))
+    spark.udf.register("markdown_text",
+      (md: String) =>
+        if (md == null) null else graft.sources.MarkdownText.extractText(md))
   }
 }

@@ -43,6 +43,22 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("literal"))
   }
 
+  test("SQL extractors: pdf_pages / graft_extract / markdown_text over binary scans") {
+    GraftFunctions.register(spark)
+    spark.read.format("binaryFile")
+      .load("/root/reference/src/api/tests/fixtures/test_pdf.pdf")
+      .createOrReplaceTempView("pdf_files")
+    val row = spark.sql(
+      """SELECT size(pdf_pages(content)) AS n_pages,
+        |       substring(graft_extract(content, '.pdf'), 1, 25) AS head
+        |FROM pdf_files""".stripMargin).head()
+    assert(row.getInt(0) == 42)
+    assert(row.getString(1) == "Welcome to vector flow!!!")
+    val md = spark.sql(
+      "SELECT markdown_text('# T\\nbody [x](http://y)') AS t").head().getString(0)
+    assert(md.contains("T\nbody x"))
+  }
+
   test("salted aggregation equals plain groupBy on skewed data") {
     import spark.implicits._
     // 90% of rows share one key — the classic hot-key shape
