@@ -100,4 +100,34 @@ object KMeans {
              centroids: Array[Array[Double]]): DataFrame =
     df.select(col(idCol), col(vecCol),
       argminCluster(df, vecCol, centroids).as("cluster"))
+
+  /** Multi-probe assignment: each row explodes to its `p` NEAREST lists
+    * (distance order, index tiebreak). Probing several lists is how real
+    * IVF trades compute for recall — a query near a list boundary finds
+    * neighbors that fell just across it. `p = centroids.length`
+    * degenerates to exact brute force over all lists. */
+  def assignTopP(df: DataFrame, idCol: String, vecCol: String,
+                 centroids: Array[Array[Double]], p: Int): DataFrame = {
+    require(p >= 1, "probe count must be >= 1")
+    val bc = df.sparkSession.sparkContext.broadcast(centroids)
+    val pp = p
+    val f = udf { (v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        val cs = bc.value
+        // (distance, index) sorted ascending; ties break toward the
+        // lower index — consistent with argminCluster for p = 1
+        cs.indices.map { i =>
+          val c = cs(i)
+          var d = 0.0
+          var j = 0
+          val dim = math.min(c.length, v.length)
+          while (j < dim) { val x = v(j) - c(j); d += x * x; j += 1 }
+          (d, i)
+        }.sorted.take(math.min(pp, cs.length)).map(_._2).toArray
+      }
+    }
+    df.select(col(idCol), col(vecCol),
+      explode(f(expr(s"transform($vecCol, x -> cast(x as double))"))).as("cluster"))
+  }
 }

@@ -110,7 +110,11 @@ object CurationQueries {
     val (_, centroids) = graft.operators.KMeans.fit(e, "vec_id", "embedding", k = k, iterations = 2)
     val corpus = graft.operators.KMeans.assign(
       e.repartition(spark.sparkContext.defaultParallelism), "vec_id", "embedding", centroids)
-    Similarity.ivfTopK(corpus.filter(col("vec_id") < 5), corpus,
+    // queries probe their 4 nearest lists (multi-probe recall;
+    // KMeansSpec proves full-probe == brute force)
+    val probes = graft.operators.KMeans.assignTopP(
+      e.filter(col("vec_id") < 5), "vec_id", "embedding", centroids, p = 4)
+    Similarity.ivfTopK(probes, corpus,
         "vec_id", "embedding", "cluster", k = 10)
       .orderBy(col("query_id"), col("rank"))
   }

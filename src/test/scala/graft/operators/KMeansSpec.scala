@@ -65,6 +65,24 @@ class KMeansSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe IVF: recall rises with probes; full probe == brute force") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val (_, centroids) = KMeans.fit(e, "vec_id", "embedding", k = 8, iterations = 2)
+    val corpus = KMeans.assign(e, "vec_id", "embedding", centroids)
+    val queries = e.filter(col("vec_id") < 3)
+    def top(p: Int) = Similarity.ivfTopK(
+        KMeans.assignTopP(queries, "vec_id", "embedding", centroids, p),
+        corpus, "vec_id", "embedding", "cluster", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = top(1); val p3 = top(3); val pAll = top(8)
+    assert(p1.intersect(brute).size <= p3.intersect(brute).size,
+      "more probes must not lower recall")
+    assert(pAll == brute, "probing every list must equal brute force")
+  }
+
   test("trained lists drive the IVF probe end to end") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), col("embedding"))
