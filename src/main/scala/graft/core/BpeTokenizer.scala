@@ -42,11 +42,31 @@ final class BpeTokenizer(ranks: java.util.HashMap[BpeTokenizer.Bytes, java.lang.
     val m = BpeTokenizer.Pretokenizer.matcher(text)
     while (m.find()) {
       val piece = m.group()
-      val bytes = piece.getBytes(StandardCharsets.UTF_8)
-      if (ranks.containsKey(new Bytes(bytes, 0, bytes.length))) out += piece
-      else out ++= bpeSplit(piece, bytes)
+      // the merge loop is quadratic in piece length and `\p{L}+` pieces
+      // are unbounded — one multi-MB "word" in a crawled corpus must
+      // not stall a task. Oversized pieces BPE in fixed char slices
+      // (boundary merges are lost at the slice seams; real vocab
+      // entries are <128 bytes, so counts shift only at the seams).
+      if (piece.length <= BpeTokenizer.MaxPieceChars) encodePiece(piece, out)
+      else {
+        // fixed slices, never splitting a surrogate pair
+        var from = 0
+        while (from < piece.length) {
+          var until = math.min(from + BpeTokenizer.MaxPieceChars, piece.length)
+          if (until < piece.length && Character.isHighSurrogate(piece.charAt(until - 1)))
+            until -= 1
+          encodePiece(piece.substring(from, until), out)
+          from = until
+        }
+      }
     }
     out.toIndexedSeq
+  }
+
+  private def encodePiece(piece: String, out: ArrayBuffer[String]): Unit = {
+    val bytes = piece.getBytes(StandardCharsets.UTF_8)
+    if (ranks.containsKey(new Bytes(bytes, 0, bytes.length))) out += piece
+    else out ++= bpeSplit(piece, bytes)
   }
 
   /** Standard BPE: start from single bytes, repeatedly merge the
@@ -98,6 +118,10 @@ final class BpeTokenizer(ranks: java.util.HashMap[BpeTokenizer.Bytes, java.lang.
 }
 
 object BpeTokenizer {
+
+  /** DoS guard: pieces longer than this BPE in fixed slices (the merge
+    * loop is O(piece²)). 2048 chars is ~40× any real vocab entry. */
+  final val MaxPieceChars = 2048
 
   /** cl100k_base pre-tokenization pattern, published in tiktoken
     * (openai_public.py). Java regex: \p{L}/\p{N} are Unicode classes by

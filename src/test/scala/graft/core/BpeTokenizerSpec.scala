@@ -64,6 +64,17 @@ class BpeTokenizerSpec extends AnyFunSuite {
     } finally f.delete()
   }
 
+  test("multi-megabyte single 'word' tokenizes in bounded time, losslessly") {
+    val monster = "a" * 3000000
+    val t0 = System.nanoTime()
+    val toks = bpe.encode(monster)
+    assert((System.nanoTime() - t0) / 1e9 < 30.0, "oversized piece must not stall")
+    assert(toks.mkString == monster, "slicing must stay lossless")
+    // surrogate pairs (emoji) at slice boundaries must not split
+    val emojis = "😀" * 1500000
+    assert(bpe.encode(emojis).mkString == emojis, "surrogate pairs survive slicing")
+  }
+
   test("stand-in default also passes the reference golden counts") {
     // without a ranks file the default tokenizer is the stand-in, whose
     // 4-char long-word split matches the golden fixture exactly
