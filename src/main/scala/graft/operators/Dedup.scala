@@ -119,34 +119,7 @@ object Dedup {
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $r + 1, $r)))")))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
-    val candidates = (maxBucketDf match {
-      case Some(cap) =>
-        // ONE shuffle: gather each bucket's sorted member list, then
-        // generate pairs with codegen'd array ops — all pairs for small
-        // buckets, a star to the minimum id for oversized ones (the
-        // hot-bucket members are near-certain duplicates; the star keeps
-        // the cluster connected at O(size) instead of O(size²)). A
-        // pathological bucket's id array lives in one row (8 B/id — a
-        // 10⁶-member bucket is 8 MB), which is exactly the bounded cost
-        // the guard trades for never materializing its pair clique.
-        buckets.groupBy(col("band"), col("bucket"))
-          .agg(sort_array(collect_list(col("id"))).as("ids"))
-          .filter(size(col("ids")) >= 2)
-          .select(explode(when(size(col("ids")) <= cap,
-              expr("""flatten(transform(ids, (x, i) ->
-                     |  transform(slice(ids, i + 2, size(ids)), y ->
-                     |    struct(x AS id_a, y AS id_b))))""".stripMargin))
-            .otherwise(
-              expr("""transform(slice(ids, 2, size(ids) - 1), y ->
-                     |  struct(ids[0] AS id_a, y AS id_b))""".stripMargin))).as("p"))
-          .select(col("p.id_a"), col("p.id_b"))
-      case None =>
-        buckets.as("a")
-          .join(buckets.as("b"),
-            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-              col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    }).distinct()
+    val candidates = bucketCandidates(buckets, maxBucketDf)
     // exact-Jaccard verification materializes shingle SETS only for the
     // documents that appear in a candidate pair (a tiny fraction)
     val involved = candidates.select(col("id_a").as("id"))
@@ -296,6 +269,65 @@ object Dedup {
     * exact pairwise on `left` × `right` with cosine ≥ threshold, computed
     * in double for cross-engine determinism. For the full-scale path use
     * [[Similarity.signLshBuckets]] first and verify within buckets. */
+  /** Distinct candidate pairs (id_a < id_b) from a (id, band, bucket)
+    * frame. ONE shuffle: gather each bucket's sorted member list, then
+    * generate pairs with codegen'd array ops — all pairs for small
+    * buckets, a star to the minimum id for buckets over `maxBucketDf`
+    * (hot-bucket members are near-certain duplicates; the star keeps
+    * the cluster connected at O(size) instead of O(size²)). A
+    * pathological bucket's id array lives in one row (8 B/id — a
+    * 10⁶-member bucket is 8 MB), exactly the bounded cost the guard
+    * trades for never materializing its pair clique. */
+  private def bucketCandidates(buckets: DataFrame, maxBucketDf: Option[Int]): DataFrame =
+    (maxBucketDf match {
+      case Some(cap) =>
+        buckets.groupBy(col("band"), col("bucket"))
+          .agg(sort_array(collect_list(col("id"))).as("ids"))
+          .filter(size(col("ids")) >= 2)
+          .select(explode(when(size(col("ids")) <= cap,
+              expr("""flatten(transform(ids, (x, i) ->
+                     |  transform(slice(ids, i + 2, size(ids)), y ->
+                     |    struct(x AS id_a, y AS id_b))))""".stripMargin))
+            .otherwise(
+              expr("""transform(slice(ids, 2, size(ids) - 1), y ->
+                     |  struct(ids[0] AS id_a, y AS id_b))""".stripMargin))).as("p"))
+          .select(col("p.id_a"), col("p.id_b"))
+      case None =>
+        buckets.as("a")
+          .join(buckets.as("b"),
+            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    }).distinct()
+
+  /** Scale path for embedding near-dup (the all-pairs [[cosinePairs]]
+    * is verification-grade only): `bands` independent sign-LSH banks
+    * bucket the vectors (a pair is a candidate if ANY bank agrees),
+    * then exact cosine verifies the candidates. Identical vectors share
+    * every bank's bucket, so exact duplicates have recall 1; near-dup
+    * recall is 1-(1-p^nPlanes)^bands with p = 1 - angle/π. Same
+    * hot-bucket guard as the other LSH families. */
+  def cosinePairsLsh(vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
+                     threshold: Double, nPlanes: Int = 8, bands: Int = 4,
+                     maxBucketDf: Option[Int] = Some(100)): DataFrame = {
+    val base = vectors
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("__v"))
+    val bankCols = (0 until bands).map(b =>
+      Similarity.signLshBucket("__v", dim, nPlanes, seed = 0x5eedL + b))
+    val buckets = base
+      .select(col("id"), posexplode(array(bankCols: _*)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    val candidates = bucketCandidates(buckets, maxBucketDf)
+    candidates
+      .join(base.select(col("id").as("id_a"), col("__v").as("va")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("__v").as("vb")), "id_b")
+      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   def cosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
     val dbl = expr(s"transform($vecCol, x -> cast(x as double))")

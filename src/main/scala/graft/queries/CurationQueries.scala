@@ -58,6 +58,21 @@ object CurationQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** d07: the SCALE path for d05 — sign-LSH banked candidates + exact
+    * cosine verify. On this corpus every ≥0.95 pair is an exact planted
+    * duplicate (natural max ~0.51), and identical vectors share every
+    * bank's bucket, so recall is structurally 1 here and the output
+    * equals d05's — giving the LSH path a full DuckDB oracle. */
+  def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val planted = e.unionAll(
+      e.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+    Dedup.cosinePairsLsh(planted, "vec_id", "embedding", dim = 64,
+        threshold = 0.95, nPlanes = 8, bands = 4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** d06: winnowing-fingerprint near-dup pairs — catches shared
     * PASSAGES (copied spans), which set-level Jaccard dilutes away
     * (rows-only; CurationSpec pins shared-substring semantics). */
@@ -296,6 +311,7 @@ object CurationQueries {
     "d03_dedup_minhash"   -> dedupMinHash _,
     "d04_dedup_simhash"   -> dedupSimHash _,
     "d05_dedup_embedding" -> dedupEmbedding _,
+    "d07_dedup_embedding_lsh" -> dedupEmbeddingLsh _,
     "d06_dedup_winnow"    -> dedupWinnow _,
     "a01_ann_bruteforce"  -> annBruteForce _,
     "a02_ann_signlsh"     -> annSignLsh _,
@@ -422,6 +438,16 @@ object CurationQueries {
         |WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
     "d05_dedup_embedding" ->
+      """WITH planted AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0),
+        |d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM planted)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |FROM d a JOIN d b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
+    "d07_dedup_embedding_lsh" ->
       """WITH planted AS (
         |  SELECT vec_id, embedding FROM embeddings
         |  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0),

@@ -112,6 +112,29 @@ class CurationSpec extends AnyFunSuite {
     assert(found == planted, "natural corpus max cosine is ~0.51, so only planted pairs pass 0.95")
   }
 
+  test("LSH cosine dedup finds every exact duplicate; subset of all-pairs") {
+    val e = graft.Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val planted = e.unionAll(e.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L))
+    val lsh = pairs(Dedup.cosinePairsLsh(planted, "vec_id", "embedding",
+      dim = 64, threshold = 0.95))
+    val exact = pairs(Dedup.cosinePairs(planted, "vec_id", "embedding", threshold = 0.95))
+    // exact-cosine verify makes FPs impossible; identical vectors share
+    // every bank's bucket, so exact duplicates are structurally found
+    assert(lsh.subsetOf(exact))
+    val plantedPairs = e.filter(col("vec_id") % 10 === 0)
+      .select("vec_id").collect().map(_.getLong(0))
+      .map(i => (i, i + 1000000L)).toSet
+    assert(plantedPairs.subsetOf(lsh), "exact duplicates have recall 1 under any bank")
+    // the hot-bucket guard keeps a 300-copy vector cluster linear and connected
+    import spark.implicits._
+    val vec = Array.tabulate(64)(i => (i % 7).toFloat - 3f)
+    val hot = (1L to 300L).map(i => (i, vec)).toDF("vec_id", "embedding")
+    val found = pairs(Dedup.cosinePairsLsh(hot, "vec_id", "embedding",
+      dim = 64, threshold = 0.95, maxBucketDf = Some(50)))
+    (2L to 300L).foreach(i => assert(found.contains((1L, i))))
+  }
+
   test("identical vectors always share a sign-LSH bucket") {
     val e = graft.Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val b1 = e.withColumn("b", Similarity.signLshBucket("embedding", 64, 8)).select("vec_id", "b")
