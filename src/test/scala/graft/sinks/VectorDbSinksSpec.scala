@@ -90,6 +90,53 @@ class VectorDbSinksSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("DataSourceV2 writer: batched upserts, commit accounting, deterministic ids") {
+    import spark.implicits._
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/points", (ex: HttpExchange) => {
+      received.add(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      respond(ex, 200, "ok")
+    })
+    server.start()
+    try {
+      def writeOnce(): Unit = (0 until 300)
+        .map(i => VectorRecord(s"r$i", s"text$i", "doc", Array(i.toFloat)))
+        .toDS().toDF().coalesce(1)
+        .write.format("graft.sinks.VectorDbDataSource")
+        .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+        .option("apiKey", "key").option("shape", "QDRANT").option("jobId", "dsv2-job")
+        .mode("append").save()
+      writeOnce()
+      // 300 rows -> POSTs of 128/128/44
+      assert(received.size() == 3)
+      val stats = VectorDbDataSource.lastCommitStats
+      assert(stats.exists(s => s.uploaded == 300L && s.failed == 0L && s.tasks == 1))
+      def ids(bodies: Iterable[String]): Set[String] =
+        bodies.flatMap("\"id\":\"([0-9a-f-]+)\"".r.findAllMatchIn(_).map(_.group(1))).toSet
+      val first = ids(scala.jdk.CollectionConverters.IteratorHasAsScala(
+        received.iterator()).asScala.toList)
+      assert(first.size == 300)
+      received.clear()
+      // re-run: identical uuid5 ids -> pure upsert overwrite, no growth
+      writeOnce()
+      val second = ids(scala.jdk.CollectionConverters.IteratorHasAsScala(
+        received.iterator()).asScala.toList)
+      assert(second == first, "re-delivery must target identical record ids")
+    } finally server.stop(0)
+  }
+
+  test("DataSourceV2 writer rejects unknown shapes at planning time") {
+    import spark.implicits._
+    val df = Seq(VectorRecord("a", "t", "d", Array(1f))).toDS().toDF()
+    val e = intercept[Exception] {
+      df.write.format("graft.sinks.VectorDbDataSource")
+        .option("url", "http://x").option("shape", "MILVUS").mode("append").save()
+    }
+    assert(e.getMessage.contains("Unsupported vector DB type") ||
+      e.getCause != null && e.getCause.getMessage.contains("Unsupported vector DB type"))
+  }
+
   test("request validation mirrors the reference's dispatch order") {
     val ok = IngestRequest(vectorDb = Some(VectorDbConfig("QDRANT", "idx")),
       vectorDbKey = Some("k"))
