@@ -205,11 +205,15 @@ object Dedup {
     *
     * Scale posture: wider distances mean more/narrower blocks and denser
     * key spaces (d+1 blocks of 64/(d+1) bits). `maxBlockDf` caps the
-    * per-(block, value) bucket population before the self-join — the
-    * same guard as jaccardPairs/winnowPairs/minHashLshPairs; at 10⁸+
+    * per-(block, value) bucket population before the self-join; at 10⁸+
     * docs the narrow-block buckets saturate and candidate generation
-    * goes corpus-wide quadratic without it. Capped buckets collapse to
-    * representative links (min-id star), keeping clusters connected. */
+    * goes corpus-wide quadratic without it. UNLIKE the minhash guard,
+    * the star collapse here is lossy beyond exact copies: sharing one
+    * block proves only 64/(d+1) common bits, so an oversized bucket's
+    * min-id representative may be far from two members that are
+    * mutually close — their star links fail the hamming filter and the
+    * pair is lost. Default None keeps exact pigeonhole semantics; set a
+    * cap only when saturation is the bigger risk. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDistance: Int = 3,
                    maxBlockDf: Option[Int] = None): DataFrame = {
@@ -231,33 +235,13 @@ object Dedup {
       col("id"), col("simhash"),
       posexplode(expr(s"array(${blockExprs.mkString(", ")})")))
       .select(col("id"), col("simhash"), col("pos").as("block"), col("col").as("block_val"))
-    val paired = maxBlockDf match {
-      case Some(cap) =>
-        // same one-shuffle shape as minHashLshPairs' guard: gather each
-        // (block, value) bucket's sorted (id, simhash) members, emit all
-        // pairs for small buckets and a min-id star for saturated ones —
-        // the simhash rides in the struct, so no join back to `hashed`
-        blocks.groupBy(col("block"), col("block_val"))
-          .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("ms"))
-          .filter(size(col("ms")) >= 2)
-          .select(explode(when(size(col("ms")) <= cap,
-              expr("""flatten(transform(ms, (x, i) ->
-                     |  transform(slice(ms, i + 2, size(ms)), y ->
-                     |    struct(x.id AS id_a, y.id AS id_b,
-                     |           x.simhash AS sh_a, y.simhash AS sh_b))))""".stripMargin))
-            .otherwise(
-              expr("""transform(slice(ms, 2, size(ms) - 1), y ->
-                     |  struct(ms[0].id AS id_a, y.id AS id_b,
-                     |         ms[0].simhash AS sh_a, y.simhash AS sh_b))""".stripMargin))).as("p"))
-          .select(col("p.id_a"), col("p.id_b"), col("p.sh_a"), col("p.sh_b"))
-      case None =>
-        blocks.as("a")
-          .join(blocks.as("b"),
-            col("a.block") === col("b.block") && col("a.block_val") === col("b.block_val") &&
-              col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-            col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-    }
+    // the simhash rides inside the member struct, so no join back to
+    // `hashed` is needed to recover it for the hamming check
+    val paired = memberPairs(
+      blocks.select(col("block").as("band"), col("block_val").as("bucket"),
+        struct(col("id"), col("simhash")).as("m")), maxBlockDf)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
     paired
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
@@ -265,40 +249,49 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
   }
 
-  /** Embedding-cosine near-dup pairs over a (small) candidate space:
-    * exact pairwise on `left` × `right` with cosine ≥ threshold, computed
-    * in double for cross-engine determinism. For the full-scale path use
-    * [[Similarity.signLshBuckets]] first and verify within buckets. */
-  /** Distinct candidate pairs (id_a < id_b) from a (id, band, bucket)
-    * frame. ONE shuffle: gather each bucket's sorted member list, then
-    * generate pairs with codegen'd array ops — all pairs for small
-    * buckets, a star to the minimum id for buckets over `maxBucketDf`
-    * (hot-bucket members are near-certain duplicates; the star keeps
-    * the cluster connected at O(size) instead of O(size²)). A
-    * pathological bucket's id array lives in one row (8 B/id — a
-    * 10⁶-member bucket is 8 MB), exactly the bounded cost the guard
-    * trades for never materializing its pair clique. */
-  private def bucketCandidates(buckets: DataFrame, maxBucketDf: Option[Int]): DataFrame =
-    (maxBucketDf match {
-      case Some(cap) =>
+  /** Member-struct pairs (a, b) with a.id < b.id from a
+    * (band, bucket, m) frame, where `m` is a struct whose FIRST field is
+    * named `id` (sort_array orders by it; extra fields ride along as
+    * payload). With a cap: ONE shuffle gathers each bucket's sorted
+    * member list, then pairs are generated with codegen'd array ops —
+    * all pairs for small buckets, a star to the minimum id for buckets
+    * over the cap (O(size) instead of O(size²)); a pathological bucket's
+    * member array lives in one row, exactly the bounded cost the guard
+    * trades for never materializing its pair clique. Without a cap: the
+    * classic bucket self-join. Callers project/dedup the result. */
+  private def memberPairs(buckets: DataFrame, cap: Option[Int]): DataFrame =
+    cap match {
+      case Some(c) =>
         buckets.groupBy(col("band"), col("bucket"))
-          .agg(sort_array(collect_list(col("id"))).as("ids"))
-          .filter(size(col("ids")) >= 2)
-          .select(explode(when(size(col("ids")) <= cap,
-              expr("""flatten(transform(ids, (x, i) ->
-                     |  transform(slice(ids, i + 2, size(ids)), y ->
-                     |    struct(x AS id_a, y AS id_b))))""".stripMargin))
+          .agg(sort_array(collect_list(col("m"))).as("ms"))
+          .filter(size(col("ms")) >= 2)
+          .select(explode(when(size(col("ms")) <= c,
+              expr("""flatten(transform(ms, (x, i) ->
+                     |  transform(slice(ms, i + 2, size(ms)), y ->
+                     |    struct(x AS a, y AS b))))""".stripMargin))
             .otherwise(
-              expr("""transform(slice(ids, 2, size(ids) - 1), y ->
-                     |  struct(ids[0] AS id_a, y AS id_b))""".stripMargin))).as("p"))
-          .select(col("p.id_a"), col("p.id_b"))
+              expr("""transform(slice(ms, 2, size(ms) - 1), y ->
+                     |  struct(ms[0] AS a, y AS b))""".stripMargin))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
       case None =>
-        buckets.as("a")
-          .join(buckets.as("b"),
-            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-              col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    }).distinct()
+        buckets.as("x")
+          .join(buckets.as("y"),
+            col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+              col("x.m.id") < col("y.m.id"))
+          .select(col("x.m").as("a"), col("y.m").as("b"))
+    }
+
+  /** Distinct candidate id pairs (id_a < id_b) from a (id, band, bucket)
+    * frame — [[memberPairs]] with an id-only member struct. The min-id
+    * star is semantics-preserving HERE because LSH bucket membership is
+    * only candidate generation: every emitted pair still passes the
+    * exact verify, and hot-bucket members are near-certain duplicates of
+    * the representative. */
+  private def bucketCandidates(buckets: DataFrame, maxBucketDf: Option[Int]): DataFrame =
+    memberPairs(buckets.select(col("band"), col("bucket"), struct(col("id")).as("m")),
+        maxBucketDf)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
 
   /** Scale path for embedding near-dup (the all-pairs [[cosinePairs]]
     * is verification-grade only): `bands` independent sign-LSH banks

@@ -127,7 +127,9 @@ object KMeans {
         }.sorted.take(math.min(pp, cs.length)).map(_._2).toArray
       }
     }
+    // explode_outer: a null-vector row survives with a null cluster,
+    // matching assign()'s contract (plain explode would drop the row)
     df.select(col(idCol), col(vecCol),
-      explode(f(expr(s"transform($vecCol, x -> cast(x as double))"))).as("cluster"))
+      explode_outer(f(expr(s"transform($vecCol, x -> cast(x as double))"))).as("cluster"))
   }
 }

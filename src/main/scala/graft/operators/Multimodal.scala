@@ -71,7 +71,7 @@ object Multimodal {
   def decodeImage(r: MediaRow): DecodedImage = {
     val p = r.payload
     val img =
-      if (!looksLikeImage(p)) null
+      if (p == null || !looksLikeImage(p)) null
       else
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
         catch { case scala.util.control.NonFatal(_) => null }

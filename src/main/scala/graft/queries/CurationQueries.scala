@@ -68,8 +68,13 @@ object CurationQueries {
     val planted = e.unionAll(
       e.filter(col("vec_id") % 10 === 0)
         .withColumn("vec_id", col("vec_id") + 1000000L))
+    // the hot-bucket cap is OFF here: this query's contract is exact
+    // oracle parity, and under the cap an oversized bucket emits only
+    // min-id star links, which at n >> 256·cap could drop a planted
+    // pair whose members are both non-representatives. Production
+    // corpora keep the default cap and accept that recall trade.
     Dedup.cosinePairsLsh(planted, "vec_id", "embedding", dim = 64,
-        threshold = 0.95, nPlanes = 8, bands = 4)
+        threshold = 0.95, nPlanes = 8, bands = 4, maxBucketDf = None)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -117,6 +122,9 @@ object CurationQueries {
     // broadcast centroid matrix in one pass (the per-centroid-column
     // form topped out around k~100 on codegen limits); at sf0.1+ this
     // runs the full k=256
+    // one count() job to SIZE the model (a hyperparameter needs corpus
+    // cardinality before training starts — unlike lineDedup's removed
+    // count, this can't fold into the dataflow as a broadcast scalar)
     val n = e.count()
     val k = math.max(8, math.min(256, (n / 16).toInt))
     // fit() repartitions its own training projection internally; only

@@ -137,11 +137,16 @@ private[sinks] class VdbDataWriter(conf: VdbWriteConf, schema: StructType,
   private var failed = 0L
 
   override def write(row: InternalRow): Unit = {
-    val vec = row.getArray(idxVec).toFloatArray()
+    // null-safe: a poison row (null text/doc/vector) must not kill the
+    // task — ship empties instead (uuid5 ids stay deterministic)
+    val vec = if (row.isNullAt(idxVec)) Array.empty[Float]
+              else row.getArray(idxVec).toFloatArray()
+    def str(i: Int): String =
+      if (row.isNullAt(i)) "" else row.getUTF8String(i).toString
     buf += graft.pipeline.VectorRecord(
       id = "", // id assigned by shape.entry from (jobId, partitionId, i)
-      source_text = row.getUTF8String(idxText).toString,
-      source_document = row.getUTF8String(idxDoc).toString,
+      source_text = str(idxText),
+      source_document = str(idxDoc),
       vector = vec)
     if (buf.length >= conf.batchSize) flush()
   }
@@ -151,27 +156,9 @@ private[sinks] class VdbDataWriter(conf: VdbWriteConf, schema: StructType,
       val entries = buf.map { r =>
         val e = shape.entry(r, conf.jobId, partitionId.toLong, i); i += 1; e
       }
-      val body = shape.body(entries.toSeq)
-      var attempt = 0
-      var ok = false
-      while (!ok && attempt < conf.attempts) {
-        try {
-          val auth = shape.authHeader(conf.apiKey)
-          val req = java.net.http.HttpRequest
-            .newBuilder(java.net.URI.create(s"${conf.url}${shape.path}"))
-            .timeout(java.time.Duration.ofSeconds(30))
-            .header("Content-Type", "application/json")
-            .header(auth._1, auth._2)
-            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
-            .build()
-          ok = client.send(req,
-            java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode() == 200
-        } catch { case _: java.io.IOException => }
-        if (!ok) {
-          attempt += 1
-          if (attempt < conf.attempts) Thread.sleep(100L * (1L << (attempt - 1)))
-        }
-      }
+      val ok = VectorDbSinks.postWithRetry(client, s"${conf.url}${shape.path}",
+        shape.authHeader(conf.apiKey), shape.body(entries.toSeq),
+        conf.attempts, baseDelayMs = 200L)
       if (ok) uploaded += buf.length else failed += buf.length
       buf.clear()
     }

@@ -84,6 +84,34 @@ object VectorDbSinks {
       s"Unsupported vector DB type: $other (implemented: PINECONE, QDRANT, WEAVIATE)")
   }
 
+  /** POST `body` to `url` with `attempts` tries and exponential backoff
+    * starting at `baseDelayMs`; returns success. Shared transport for
+    * the foreachPartition sink and the DataSourceV2 writer — a protocol
+    * fix (status handling, retry policy) lands in exactly one place. */
+  private[sinks] def postWithRetry(client: HttpClient, url: String,
+                                   auth: (String, String), body: String,
+                                   attempts: Int, baseDelayMs: Long): Boolean = {
+    var attempt = 0
+    var ok = false
+    while (!ok && attempt < attempts) {
+      try {
+        val req = HttpRequest.newBuilder(URI.create(url))
+          .timeout(Duration.ofSeconds(30))
+          .header("Content-Type", "application/json")
+          .header(auth._1, auth._2)
+          .POST(HttpRequest.BodyPublishers.ofString(body))
+          .build()
+        ok = client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode() == 200
+      } catch { case _: java.io.IOException => }
+      if (!ok) {
+        attempt += 1
+        if (attempt < attempts && baseDelayMs > 0)
+          Thread.sleep(baseDelayMs * (1L << (attempt - 1)))
+      }
+    }
+    ok
+  }
+
   /** Upsert `records` to an endpoint speaking `shape`, 128 per POST,
     * `attempts` tries with exponential backoff. Partition-local batch
     * indices feed the uuid5 ids (partitionId → batchId, like the
@@ -101,26 +129,8 @@ object VectorDbSinks {
         val entries = batch.map { r =>
           val e = shape.entry(r, jobId, partitionId, i); i += 1; e
         }
-        val body = shape.body(entries)
-        var attempt = 0
-        var ok = false
-        while (!ok && attempt < attempts) {
-          try {
-            val auth = shape.authHeader(apiKey)
-            val req = HttpRequest.newBuilder(URI.create(s"$baseUrl${shape.path}"))
-              .timeout(Duration.ofSeconds(30))
-              .header("Content-Type", "application/json")
-              .header(auth._1, auth._2)
-              .POST(HttpRequest.BodyPublishers.ofString(body))
-              .build()
-            ok = client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode() == 200
-          } catch { case _: java.io.IOException => }
-          if (!ok) {
-            attempt += 1
-            if (attempt < attempts && baseDelayMs > 0)
-              Thread.sleep(baseDelayMs * (1L << (attempt - 1)))
-          }
-        }
+        val ok = postWithRetry(client, s"$baseUrl${shape.path}",
+          shape.authHeader(apiKey), shape.body(entries), attempts, baseDelayMs)
         if (ok) { if (uploaded != null) uploaded.add(batch.length.toLong) }
         else if (failed != null) failed.add(batch.length.toLong)
       }

@@ -80,6 +80,51 @@ class ReviewRegressionSpec extends AnyFunSuite {
     assert(rows(2L).width == 0)
   }
 
+  test("null media payload never kills the decode batch (r2 review 2)") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val d = Multimodal.decodeImages(Seq(
+      Multimodal.MediaRow(1L, "image", null)).toDS()).head()
+    assert(d.width == 0 && d.channels == 0)
+  }
+
+  test("assignTopP keeps null-vector rows with a null cluster (r2 review 2)") {
+    import spark.implicits._
+    val df = Seq((1L, Some(Array(1f, 2f))), (2L, None)).toDF("id", "v")
+    val centroids = Array(Array(1.0, 2.0), Array(5.0, 6.0))
+    val rows = KMeans.assignTopP(df, "id", "v", centroids, p = 2).collect()
+    assert(rows.count(_.getLong(0) == 1L) == 2, "valid row explodes to p probes")
+    val nullRow = rows.filter(_.getLong(0) == 2L)
+    assert(nullRow.length == 1 && nullRow.head.isNullAt(2),
+      "null vector must survive with a null cluster, like assign()")
+  }
+
+  test("DSv2 writer ships empties for null fields instead of NPEing (r2 review 2)") {
+    import spark.implicits._
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/points", (ex: com.sun.net.httpserver.HttpExchange) => {
+      received.add(new String(ex.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      val ok = "ok".getBytes
+      ex.sendResponseHeaders(200, ok.length.toLong)
+      ex.getResponseBody.write(ok); ex.close()
+    })
+    server.start()
+    try {
+      Seq(("a", Option.empty[String], Option("d"), Option(Array(1f))),
+          ("b", Option("t"), Option.empty[String], Option.empty[Array[Float]]))
+        .toDF("id", "source_text", "source_document", "vector")
+        .coalesce(1)
+        .write.format("graft.sinks.VectorDbDataSource")
+        .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+        .option("shape", "QDRANT").option("jobId", "nulls")
+        .mode("append").save()
+      assert(received.size() == 1, "both poison rows still ship")
+    } finally server.stop(0)
+  }
+
   test("malformed ranks lines fail with a clear parse error (r2 review)") {
     val e = intercept[IllegalArgumentException](
       graft.core.BpeTokenizer.parseRanks(Iterator("dGU= 0", "broken-no-rank")))
