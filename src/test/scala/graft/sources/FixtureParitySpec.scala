@@ -65,6 +65,29 @@ class FixtureParitySpec extends AnyFunSuite {
     assert(bySource("test_long_text.txt") > bySource("test_short_text.txt") * 100)
   }
 
+  test("REAL reference PDF through the full pipeline: extract -> chunk -> embed") {
+    // the actual 42-page fixture, not a synthetic stand-in: intake
+    // dispatches .pdf to PdfText, and the extracted text must carry the
+    // full word mass of the source through chunking into vectors
+    val dir = Files.createTempDirectory("pdf_e2e")
+    Files.copy(Paths.get("/root/reference/src/api/tests/fixtures/test_pdf.pdf"),
+      dir.resolve("test_pdf.pdf"))
+    val docs = DocumentReader.intake(spark, dir.toString)
+    val extracted = docs.collect()
+    assert(extracted.length == 1)
+    val text = extracted.head.getString(2)
+    assert(text.startsWith("Welcome to vector flow!!!"))
+    val srcWords = Files.readString(
+      Paths.get("/root/reference/src/api/tests/fixtures/test_text.txt"))
+      .split("\\s+").count(_.nonEmpty)
+    assert(text.split("\\s+").count(_.nonEmpty) == srcWords,
+      "extraction must preserve the full word mass")
+    val vectors = graft.pipeline.EmbedPipeline.run(docs).collect()
+    // ~87k chars at 256-char windows, 128 step -> ~680 chunks
+    assert(vectors.length > 600 && vectors.length < 800, s"${vectors.length} chunks")
+    assert(vectors.map(_.id).distinct.length == vectors.length)
+  }
+
   test("intake + ledger lifecycle: every fixture lands COMPLETED") {
     val dir = writeFixtures()
     val docs = DocumentReader.intake(spark, dir)
