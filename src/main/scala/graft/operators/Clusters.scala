@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup cluster formation: connected components over a near-dup pair
+  * graph, plus canonical-document selection.
+  *
+  * Pair emitters ([[Dedup.jaccardPairs]], [[Dedup.minHashLshPairs]],
+  * [[Dedup.simHashPairs]], [[Dedup.cosinePairsLsh]]) produce edges; a
+  * real dedup pass must then KEEP one document per transitive cluster —
+  * A~B and B~C must drop two of three even when A~C was never emitted
+  * (exactly the situation the LSH hot-bucket guard's representative
+  * links create). The reference's own dedup is name-granular keep-first
+  * (src/api/app.py:103-105); this is the content-granular, transitive
+  * generalization.
+  *
+  * Scale design (100 TB posture):
+  *  - iterative min-label propagation: per round, every node adopts the
+  *    minimum label among itself and its neighbors. Rounds needed equal
+  *    the graph eccentricity of each component's minimum node — for
+  *    near-dup graphs components are quasi-cliques (or stars around a
+  *    representative after the hot-bucket guard), so 2-4 rounds in
+  *    practice; `maxIterations` bounds adversarial chains.
+  *  - each round is two shuffles (neighbor-min aggregation + label
+  *    join), all on the id key — no text or payload moves.
+  *  - lineage is cut per round with `localCheckpoint` (on a real
+  *    cluster, point `spark.sparkContext.setCheckpointDir` at durable
+  *    storage and switch to `checkpoint` for executor-loss safety).
+  *  - convergence is detected with a per-round `changed == 0` count —
+  *    one tiny driver-side scalar per round, not a collect of labels.
+  */
+object Clusters {
+
+  /** Connected components of the undirected graph given by
+    * `pairs(idACol, idBCol)`. Returns one row per node that appears in
+    * at least one pair: `(id, cluster_id)` with `cluster_id` = minimum
+    * node id in the component. */
+  def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
+                          idBCol: String = "id_b",
+                          maxIterations: Int = 25): DataFrame = {
+    require(maxIterations >= 1, "maxIterations must be positive")
+    val fwd = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIterations && !converged) {
+      // min label among each node's neighbors, then fold in its own
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.filter(col("label") < col("old_label")).isEmpty
+      labels = next.select(col("id"), col("label"))
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Canonical-document selection over a near-dup pair graph: every
+    * document gets its `cluster_id` (itself when it appears in no pair)
+    * and `keep` — true only for the cluster's canonical member, the
+    * minimum id. Dropping `keep = false` rows is the dedup pass. */
+  def canonicalize(docs: DataFrame, pairs: DataFrame, idCol: String,
+                   maxIterations: Int = 25): DataFrame = {
+    val cc = connectedComponents(pairs, maxIterations = maxIterations)
+    docs.join(cc, docs(idCol) === cc("id"), "left")
+      .select(docs("*"),
+        coalesce(col("cluster_id"), docs(idCol)).as("cluster_id"))
+      .withColumn("keep", col(idCol) === col("cluster_id"))
+  }
+}

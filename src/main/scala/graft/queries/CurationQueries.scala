@@ -78,6 +78,20 @@ object CurationQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** d08: dedup cluster formation — connected components over the d02
+    * Jaccard pair graph (min-label propagation), with per-cluster size.
+    * The oracle walks the same graph with a recursive CTE, so the
+    * transitive-closure semantics themselves are hash-checked. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(documents(spark, dir), "doc_id", "text",
+      n = 3, threshold = 0.5)
+    val cc = graft.operators.Clusters.connectedComponents(pairs)
+    val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .select(col("id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("id"))
+  }
+
   /** d06: winnowing-fingerprint near-dup pairs — catches shared
     * PASSAGES (copied spans), which set-level Jaccard dilutes away
     * (rows-only; CurationSpec pins shared-substring semantics). */
@@ -321,6 +335,7 @@ object CurationQueries {
     "d05_dedup_embedding" -> dedupEmbedding _,
     "d07_dedup_embedding_lsh" -> dedupEmbeddingLsh _,
     "d06_dedup_winnow"    -> dedupWinnow _,
+    "d08_dedup_clusters"  -> dedupClusters _,
     "a01_ann_bruteforce"  -> annBruteForce _,
     "a02_ann_signlsh"     -> annSignLsh _,
     "a03_ann_ivf"         -> annIvf _,
@@ -445,6 +460,33 @@ object CurationQueries {
         |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "d08_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text,' ')) - 2),
+        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS shingles
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+        |cc AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+        |SELECT id, cluster_id,
+        |count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM cc ORDER BY id""".stripMargin,
     "d05_dedup_embedding" ->
       """WITH planted AS (
         |  SELECT vec_id, embedding FROM embeddings
