@@ -136,6 +136,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minShared` distinct word n-grams with a benchmark/eval document
+    * (the GPT-3/Pile 13-gram-overlap rule; n is a parameter because
+    * short eval items need smaller n). Returns
+    * (doc_id, bench_id, shared_ngrams).
+    *
+    * Scale posture: inverted n-gram index join, like [[jaccardPairs]],
+    * but the benchmark side is an eval suite — thousands of rows, not
+    * billions — so its postings broadcast and the corpus NEVER
+    * shuffles: one scan, map-side join, partial agg. `maxNgramDocFreq`
+    * (applied to the corpus side) drops boilerplate n-grams that would
+    * otherwise pair every corpus doc with every benchmark item quoting
+    * them. */
+  def contaminationPairs(corpus: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String,
+                         benchIdCol: String, benchTextCol: String,
+                         n: Int, minShared: Int = 1,
+                         maxNgramDocFreq: Option[Int] = None): DataFrame = {
+    val corpusNg = withShingles(corpus, idCol, textCol, n)
+      .select(col("id").as("doc_id"), explode(col("shingles")).as("ngram"))
+    val guarded = maxNgramDocFreq match {
+      case Some(maxDf) =>
+        val rare = corpusNg.groupBy("ngram")
+          .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf).select("ngram")
+        corpusNg.join(rare, "ngram")
+      case None => corpusNg
+    }
+    val benchNg = withShingles(bench, benchIdCol, benchTextCol, n)
+      .select(col("id").as("bench_id"), explode(col("shingles")).as("ngram"))
+    guarded.join(broadcast(benchNg), "ngram")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
   /** Winnowing-based near-dup pairs: documents sharing at least
     * `minShared` winnowing fingerprints (Schleimer et al. local
     * fingerprints catch copied PASSAGES, which set-level Jaccard dilutes

@@ -316,7 +316,24 @@ object CurationQueries {
         TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
       .orderBy(col("doc_id"))
 
+  /** t10: benchmark decontamination — every (corpus doc, eval item)
+    * pair sharing a distinct word 8-gram, with the shared count. The
+    * "eval set" is carved from the corpus deterministically (first 60
+    * words of every 25th doc), so each eval item is guaranteed to hit
+    * its source doc — plus that doc's near-dups, which is precisely the
+    * leak decontamination exists to find. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val bench = d.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("bench_id"),
+        array_join(slice(split(col("text"), " "), 1, 60), " ").as("bench_text"))
+    Dedup.contaminationPairs(d, bench, "doc_id", "text", "bench_id", "bench_text",
+        n = 8)
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_contamination"     -> contamination _,
     "t09_compression"       -> compressionRatio _,
     "t04_sample_stratified" -> sampleStratified _,
     "t05_token_histogram"   -> tokenHistogram _,
@@ -349,6 +366,25 @@ object CurationQueries {
       | + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t10_contamination" ->
+      """WITH bench AS (
+        |  SELECT doc_id AS bench_id,
+        |         array_to_string(string_split(text,' ')[1:60], ' ') AS bench_text
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |cng AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text,' ')) - 7),
+        |    i -> array_to_string(string_split(text,' ')[i:i+7], ' ')))) AS ngram
+        |  FROM documents),
+        |bng AS (
+        |  SELECT bench_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(bench_text,' ')) - 7),
+        |    i -> array_to_string(string_split(bench_text,' ')[i:i+7], ' ')))) AS ngram
+        |  FROM bench)
+        |SELECT c.doc_id, b.bench_id, count(*) AS shared_ngrams
+        |FROM cng c JOIN bng b ON c.ngram = b.ngram
+        |GROUP BY 1, 2
+        |ORDER BY doc_id, bench_id""".stripMargin,
     "t06_pii_scrub" ->
       """WITH dirty AS (
         |  SELECT doc_id, text || ' contact user' || doc_id || '@example.com or 10.0.0.' ||
