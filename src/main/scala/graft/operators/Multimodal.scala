@@ -14,9 +14,15 @@ import org.apache.spark.sql.functions._
   * (JDK-built-in codecs, no external jars): dimensions, channel count,
   * and a 4x4-grid mean-luminance feature vector. Payloads that are not
   * a recognized image format fall back to [[decodeImageStub]], the
-  * deterministic synthetic-header stand-in (audio PCM / video frame
-  * codecs are genuinely absent from this container — those stay
-  * stubbed and marked).
+  * deterministic synthetic-header stand-in.
+  *
+  * Audio decode is REAL for RIFF/WAVE PCM (8/16-bit, any channel
+  * count) via a hand-rolled chunk parser — the container ships no
+  * audio libs, but WAV is a public fixed layout: sample rate,
+  * channels, frame count, duration, RMS/peak level, and a 16-bin RMS
+  * envelope. Compressed codecs (MP3/FLAC/OGG) and video frame decode
+  * are genuinely absent from this container — those fall to the
+  * marked deterministic stubs.
   */
 object Multimodal {
 
@@ -101,6 +107,124 @@ object Multimodal {
         if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
       DecodedImage(r.media_id, w, h, c, features)
     }
+  }
+
+  /** Decoded audio clip: stream parameters, level stats in [0,1], and a
+    * 16-bin RMS envelope over time. */
+  final case class DecodedAudio(media_id: Long, sample_rate: Int, channels: Int,
+                                bits: Int, n_frames: Long, duration_ms: Long,
+                                rms: Double, peak: Double, envelope: Array[Float])
+
+  /** RIFF/WAVE magic. */
+  private def looksLikeWav(p: Array[Byte]): Boolean =
+    p != null && p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** Deterministic stand-in for compressed audio codecs (MP3/FLAC/OGG)
+    * the container lacks — marked STUB, mirrors [[decodeImageStub]]:
+    * degrade, never fail the batch. */
+  def decodeAudioStub(r: MediaRow): DecodedAudio = {
+    val p = r.payload
+    if (p == null || p.length < 8)
+      return DecodedAudio(r.media_id, 0, 0, 0, 0L, 0L, 0.0, 0.0, new Array[Float](16))
+    var acc = 0x9e3779b9
+    val env = new Array[Float](16)
+    var i = 0
+    while (i < p.length) {
+      acc = acc * 31 + (p(i) & 0xff)
+      env(i % 16) = ((acc & 0xffff).toFloat / 65535f)
+      i += 1
+    }
+    DecodedAudio(r.media_id, 8000, 1, 16, p.length.toLong, p.length.toLong * 1000 / 8000,
+      0.0, 0.0, env)
+  }
+
+  /** REAL WAV/PCM decode: walks RIFF chunks for `fmt ` and `data`,
+    * supports PCM (format 1) at 8-bit unsigned or 16-bit signed LE,
+    * any channel count. Levels are computed over every sample
+    * (channels mixed into the stats, not averaged per frame) and
+    * normalized to [0,1] by the sample-format full scale; the envelope
+    * is RMS over 16 equal spans of the frame axis. Non-WAV and
+    * malformed payloads fall back to [[decodeAudioStub]]. */
+  def decodeAudio(r: MediaRow): DecodedAudio = {
+    val p = r.payload
+    if (!looksLikeWav(p)) return decodeAudioStub(r)
+    def u16(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long =
+      (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) | ((p(i + 2) & 0xffL) << 16) |
+        ((p(i + 3) & 0xffL) << 24)
+    try {
+      var off = 12
+      var fmtOff = -1
+      var dataOff = -1
+      var dataLen = 0
+      while (off + 8 <= p.length && (fmtOff < 0 || dataOff < 0)) {
+        val id = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = u32(off + 4).toInt
+        if (id == "fmt ") fmtOff = off + 8
+        else if (id == "data") { dataOff = off + 8; dataLen = math.min(size, p.length - dataOff) }
+        // chunks are word-aligned: odd sizes carry a pad byte
+        off += 8 + size + (size & 1)
+      }
+      if (fmtOff < 0 || dataOff < 0) return decodeAudioStub(r)
+      val audioFormat = u16(fmtOff)
+      val channels = u16(fmtOff + 2)
+      val sampleRate = u32(fmtOff + 4).toInt
+      val bits = u16(fmtOff + 14)
+      if (audioFormat != 1 || (bits != 8 && bits != 16) || channels < 1 || sampleRate < 1)
+        return decodeAudioStub(r)
+      val bytesPerSample = bits / 8
+      val nSamples = dataLen / bytesPerSample
+      val nFrames = nSamples.toLong / channels
+      val fullScale = if (bits == 16) 32768.0 else 128.0
+      var sumSq = 0.0
+      var peakAbs = 0L
+      val envSumSq = new Array[Double](16)
+      val envN = new Array[Long](16)
+      var s = 0
+      while (s < nSamples) {
+        val v: Long =
+          if (bits == 16) u16(dataOff + s * 2).toShort.toLong
+          else (p(dataOff + s) & 0xff) - 128L // 8-bit WAV is unsigned
+        val sq = (v * v).toDouble
+        sumSq += sq
+        if (math.abs(v) > peakAbs) peakAbs = math.abs(v)
+        val frame = s / channels
+        val bin = if (nFrames == 0) 0 else math.min(15, (frame * 16 / nFrames).toInt)
+        envSumSq(bin) += sq
+        envN(bin) += 1
+        s += 1
+      }
+      val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples) / fullScale
+      val envelope = Array.tabulate(16)(i =>
+        if (envN(i) == 0) 0f else (math.sqrt(envSumSq(i) / envN(i)) / fullScale).toFloat)
+      DecodedAudio(r.media_id, sampleRate, channels, bits, nFrames,
+        nFrames * 1000L / sampleRate, rms, peakAbs / fullScale, envelope)
+    } catch { case scala.util.control.NonFatal(_) => decodeAudioStub(r) }
+  }
+
+  /** Audio decode stage — same mapPartitions batch shape as
+    * [[decodeImages]]. */
+  def decodeAudios(media: Dataset[MediaRow]): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(decodeAudio))
+  }
+
+  /** Minimal RIFF/WAVE PCM writer (tests + synthetic payloads):
+    * interleaved 16-bit signed LE samples. */
+  def wavPcm16(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+    b.put("data".getBytes).putInt(dataLen)
+    samples.foreach(b.putShort)
+    b.array()
   }
 
   /** Decode stage: one partition per task, batched iteration — the

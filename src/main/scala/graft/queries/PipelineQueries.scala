@@ -197,10 +197,37 @@ object PipelineQueries {
       .orderBy(col("media_id"))
   }
 
+  /** p13: REAL WAV/PCM audio decode round-trip — synthetic integer
+    * sawtooth clips (pure integer waveform, so the oracle can recompute
+    * RMS/peak exactly in SQL) written as RIFF bytes, decoded by the
+    * hand-rolled chunk parser. */
+  def audioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"))
+      .map { r =>
+        val id = r.getLong(0)
+        val sr = (8000 + (id % 4) * 4000).toInt
+        val n = (500 + (id % 50) * 16).toInt
+        val samples = Array.tabulate(n)(i =>
+          ((((i.toLong * 37 + id) % 256) - 128) * 256).toShort)
+        Multimodal.MediaRow(id, "audio", Multimodal.wavPcm16(sr, 1, samples))
+      }
+    Multimodal.decodeAudios(media).toDF()
+      .select(col("media_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("channels"), col("bits"), col("n_frames"), col("duration_ms"),
+        round(col("rms"), 6).as("rms"), round(col("peak"), 6).as("peak"))
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p10_pdf_pages"         -> pdfPages _,
     "p11_docx_paragraphs"   -> docxParagraphs _,
     "p12_image_decode"      -> imageDecode _,
+    "p13_audio_decode"      -> audioDecode _,
     "p08_embed_pipeline"    -> embedPipeline _,
     "p09_media_pipeline"    -> mediaPipeline _,
     "p01_split_blocks"      -> splitBlocks _,
@@ -267,6 +294,21 @@ object PipelineQueries {
         |CAST(16 + doc_id % 16 AS INT) AS height,
         |CAST(3 AS INT) AS channels
         |FROM documents WHERE doc_id % 5 = 0 ORDER BY media_id""".stripMargin,
+    "p13_audio_decode" ->
+      """WITH params AS (
+        |  SELECT doc_id, 8000 + (doc_id % 4) * 4000 AS sample_rate,
+        |         500 + (doc_id % 50) * 16 AS n_frames
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |vals AS (
+        |  SELECT doc_id, sample_rate, n_frames,
+        |         (((i * 37 + doc_id) % 256) - 128) * 256 AS s
+        |  FROM params, unnest(generate_series(0, n_frames - 1)) AS t(i))
+        |SELECT doc_id AS media_id, sample_rate,
+        |CAST(1 AS INT) AS channels, CAST(16 AS INT) AS bits,
+        |n_frames, (n_frames * 1000) // sample_rate AS duration_ms,
+        |round(sqrt(sum(CAST(s AS DOUBLE) * s) / n_frames) / 32768.0, 6) AS rms,
+        |round(max(abs(s)) / 32768.0, 6) AS peak
+        |FROM vals GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY media_id""".stripMargin,
     "p01_split_blocks" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |b AS (SELECT doc_id, words,

@@ -112,4 +112,47 @@ class MultimodalSpec extends AnyFunSuite {
     val ids = recs.select("id").collect().map(_.getString(0))
     assert(ids.distinct.length == 3 && ids.forall(_.length == 36))
   }
+
+  test("wav pcm16 round-trip recovers stream parameters and exact levels") {
+    // constant amplitude 16384 -> rms = peak = 0.5 exactly
+    val samples = Array.fill(8000)(16384.toShort)
+    val d = decodeAudio(MediaRow(1L, "audio", wavPcm16(16000, 1, samples)))
+    assert(d.sample_rate == 16000 && d.channels == 1 && d.bits == 16)
+    assert(d.n_frames == 8000 && d.duration_ms == 500)
+    assert(d.rms == 0.5 && d.peak == 0.5)
+    assert(d.envelope.forall(_ == 0.5f))
+  }
+
+  test("stereo frames and the rms envelope track the signal over time") {
+    // first half silence, second half full-scale square -> envelope
+    // bins 0-7 are 0, bins 8-15 are 1; interleaved stereo halves frames
+    val n = 3200
+    val samples = Array.tabulate(n)(i =>
+      if (i < n / 2) 0.toShort else (if (i % 2 == 0) 32767 else -32767).toShort)
+    val d = decodeAudio(MediaRow(2L, "audio", wavPcm16(8000, 2, samples)))
+    assert(d.channels == 2 && d.n_frames == n / 2 && d.duration_ms == n / 2 * 1000L / 8000)
+    assert(d.envelope.take(8).forall(_ == 0f))
+    assert(d.envelope.drop(8).forall(e => math.abs(e - 32767f / 32768f) < 1e-6))
+    assert(d.peak == 32767.0 / 32768.0)
+  }
+
+  test("non-wav audio payloads degrade to the marked stub, never fail") {
+    val mp3ish = Array[Byte](0x49, 0x44, 0x33, 4, 0, 0, 0, 0, 0, 10)
+    val d = decodeAudio(MediaRow(3L, "audio", mp3ish))
+    assert(d.sample_rate == 8000 && d.n_frames == mp3ish.length.toLong)
+    // truncated RIFF header (claims WAVE, no chunks)
+    val torn = "RIFFxxxxWAVE".getBytes
+    val t = decodeAudio(MediaRow(4L, "audio", torn))
+    assert(t.rms == 0.0 && t.envelope.length == 16)
+  }
+
+  test("audio decode stage runs as a partition-batched dataset map") {
+    import spark.implicits._
+    val clips = Seq(
+      MediaRow(10L, "audio", wavPcm16(8000, 1, Array.fill(800)(8192.toShort))),
+      MediaRow(11L, "audio", wavPcm16(44100, 1, Array.fill(441)(0.toShort)))).toDS()
+    val out = decodeAudios(clips).collect().map(d => d.media_id -> d).toMap
+    assert(out(10L).rms == 0.25 && out(10L).duration_ms == 100)
+    assert(out(11L).sample_rate == 44100 && out(11L).rms == 0.0 && out(11L).duration_ms == 10)
+  }
 }
