@@ -23,6 +23,7 @@ object SparkEntry {
       graft.queries.Relational2.queries ++
       graft.queries.Relational3.queries ++
       graft.queries.Relational4.queries ++
+      graft.queries.Relational5.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.CurationQueries.queries
 
@@ -33,6 +34,7 @@ object SparkEntry {
       graft.queries.Relational2.oracles ++
       graft.queries.Relational3.oracles ++
       graft.queries.Relational4.oracles ++
+      graft.queries.Relational5.oracles ++
       graft.queries.PipelineQueries.oracles ++
       graft.queries.CurationQueries.oracles
 }

@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables._
+
+/** Fifth relational batch: grouping sets, correlated EXISTS/NOT EXISTS
+  * subqueries, and the lateral-explode + map-type scalar surface. */
+object Relational5 {
+
+  /** q25: GROUPING SETS — the general form rollup (q08) and cube (q18)
+    * specialize: ((flag, status), (flag), ()) in one pass. One shuffle;
+    * Catalyst expands the sets map-side (Expand node), so the fact
+    * table is still read once at 100 TB. */
+  def q25GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity").cast(DecimalType(18, 6))), 2).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** q26: correlated EXISTS + NOT EXISTS — customers with a finalized
+    * order but no pending one. Catalyst decorrelates both predicates
+    * into one semi- and one anti-join on c_custkey
+    * (RewritePredicateSubquery), so no per-row subquery ever runs —
+    * the plan shape that survives 100 TB. */
+  def q26Exists(spark: SparkSession, dir: String): DataFrame = {
+    customer(spark, dir).createOrReplaceTempView("q26_customer")
+    orders(spark, dir).createOrReplaceTempView("q26_orders")
+    spark.sql(
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM q26_customer c
+        |WHERE EXISTS (SELECT 1 FROM q26_orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM q26_orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** q27: lateral explode of the leading words with positional index,
+    * plus MapType construction/extraction (map_from_arrays +
+    * element_at) riding through codegen. Narrow (no shuffle): explode
+    * and the scalar surface both run inside the scan stage. */
+  def q27LateralWords(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(slice(split(col("text"), " "), 1, 10)).as(Seq("pos", "word")))
+      .withColumn("m",
+        map_from_arrays(array(lit("len"), lit("pos")),
+          array(length(col("word")).cast("long"), col("pos").cast("long"))))
+      .select(col("doc_id"), col("pos"),
+        col("word"),
+        element_at(col("m"), "len").as("word_len"),
+        col("word").isin(stop: _*).cast("int").as("is_stop"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_grouping_sets" -> q25GroupingSets _,
+    "q26_exists"        -> q26Exists _,
+    "q27_lateral_words" -> q27LateralWords _)
+
+  val oracles: Map[String, String] = Map(
+    "q25_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |coalesce(l_linestatus, 'ALL') AS linestatus,
+        |CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+        |count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q26_exists" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "q27_lateral_words" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ')[1:10] AS ws FROM documents)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS pos, ws[i] AS word,
+        |CAST(length(ws[i]) AS BIGINT) AS word_len,
+        |CAST(list_contains(['the','a','of','and','to','in','is'], ws[i]) AS INT) AS is_stop
+        |FROM w, unnest(generate_series(1, len(ws))) AS t(i)
+        |ORDER BY doc_id, pos""".stripMargin)
+}

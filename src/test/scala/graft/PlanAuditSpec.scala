@@ -72,6 +72,31 @@ class PlanAuditSpec extends AnyFunSuite {
       s"intake predicates not pushed:\n$p")
   }
 
+  test("q25: grouping sets expand map-side — one scan, one shuffle") {
+    val p = plan("q25_grouping_sets")
+    assert(p.contains("Expand"), s"expected Expand node for grouping sets:\n$p")
+    // expansion happens before the exchange: scan is read once, the
+    // 3 grouping sets do not re-read the fact table
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"fact table must be scanned once, saw $scans:\n$p")
+  }
+
+  test("q26: EXISTS/NOT EXISTS decorrelate to semi and anti joins") {
+    val p = plan("q26_exists")
+    assert(p.contains("LeftSemi"), s"EXISTS must become a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must become an anti join:\n$p")
+    assert(!p.toLowerCase.contains("subquery"),
+      s"no per-row subquery may survive decorrelation:\n$p")
+  }
+
+  test("q27: lateral explode stays narrow (no shuffle before the sort)") {
+    val p = plan("q27_lateral_words")
+    assert(p.contains("Generate"), s"expected Generate (posexplode):\n$p")
+    val beforeSort = p.substring(p.indexOf("Generate"))
+    assert(!beforeSort.contains("Exchange"),
+      s"explode and scalar surface must run inside the scan stage:\n$p")
+  }
+
   test("embed pipeline plan has no shuffle before the sink") {
     val df = queries.PipelineQueries.embedPipeline(spark, dir)
     // the orderBy in the query surface adds an exchange; audit the raw
