@@ -119,13 +119,23 @@ object Dedup {
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $r + 1, $r)))")))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    // the candidate pair list is consumed three times below (both sides
+    // of the involved-docs union, then the verify join) and Catalyst has
+    // no common-subtree reuse across DataFrame branches — without
+    // materialization the whole signature+bucket subtree re-runs per
+    // consumer. The pair list is tiny (survivors only), so persist it;
+    // LRU evicts it once the query finishes.
     val candidates = bucketCandidates(buckets, maxBucketDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact-Jaccard verification materializes shingle SETS only for the
     // documents that appear in a candidate pair (a tiny fraction)
     val involved = candidates.select(col("id_a").as("id"))
       .unionAll(candidates.select(col("id_b").as("id"))).distinct()
+    // same reuse argument: the shingle sets of involved docs feed both
+    // the id_a and id_b joins
     val sh = withShingles(
       df.join(involved, df(idCol) === involved("id"), "left_semi"), idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     candidates
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
