@@ -160,6 +160,37 @@ object TextAnalysis {
     c => f(c)
   }
 
+  /** Unigram-frequency document scoring — the scalable stand-in for
+    * LM-perplexity quality filters: build the corpus's top-`vocabSize`
+    * vocabulary (one word-count aggregation + TakeOrdered; ties break
+    * by word so the cut is deterministic), broadcast it back, and score
+    * every document by out-of-vocabulary ratio and mean in-vocabulary
+    * word frequency. All sums are integer-exact, so the scores
+    * hash-match across engines.
+    *
+    * Scale posture: the vocabulary is bounded (top-N of a hash agg),
+    * the per-doc pass is explode → broadcast join → partial agg — the
+    * corpus shuffles only (doc_id, partial counts), never text. */
+  def unigramScores(docs: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("word"))
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(vocabSize)
+    words.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        count(col("freq")).as("n_in_vocab"),
+        sum(coalesce(col("freq"), lit(0L))).as("sum_freq"))
+      .select(col("doc_id"), col("n_words"), col("n_in_vocab"),
+        round(lit(1.0) - col("n_in_vocab") / col("n_words").cast("double"), 6)
+          .as("oov_ratio"),
+        when(col("n_in_vocab") === 0, lit(0.0))
+          .otherwise(round(col("sum_freq") / col("n_in_vocab").cast("double"), 6))
+          .as("mean_freq"))
+  }
+
   /** One row per document with the full text-analysis profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

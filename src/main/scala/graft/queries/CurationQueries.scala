@@ -332,7 +332,16 @@ object CurationQueries {
       .orderBy(col("doc_id"), col("bench_id"))
   }
 
+  /** t11: unigram-frequency quality scores against the corpus's own
+    * top-500 vocabulary — the LM-perplexity-filter shape with
+    * integer-exact arithmetic (so the oracle hash-matches). */
+  def unigramScore(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramScores(documents(spark, dir), "doc_id", "text",
+        vocabSize = 500)
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_unigram_score"     -> unigramScore _,
     "t10_contamination"     -> contamination _,
     "t09_compression"       -> compressionRatio _,
     "t04_sample_stratified" -> sampleStratified _,
@@ -366,6 +375,20 @@ object CurationQueries {
       | + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t11_unigram_score" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |vocab AS (
+        |  SELECT word, count(*) AS freq FROM words
+        |  GROUP BY word ORDER BY freq DESC, word LIMIT 500)
+        |SELECT w.doc_id, count(*) AS n_words,
+        |count(v.freq) AS n_in_vocab,
+        |round(1.0 - count(v.freq) / CAST(count(*) AS DOUBLE), 6) AS oov_ratio,
+        |CASE WHEN count(v.freq) = 0 THEN 0.0
+        |     ELSE round(sum(coalesce(v.freq, 0)) / CAST(count(v.freq) AS DOUBLE), 6)
+        |END AS mean_freq
+        |FROM words w LEFT JOIN vocab v ON w.word = v.word
+        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
     "t10_contamination" ->
       """WITH bench AS (
         |  SELECT doc_id AS bench_id,

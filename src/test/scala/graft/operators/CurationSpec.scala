@@ -200,6 +200,28 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("unigram scores: vocabulary cut, oov ratio, and exact mean frequency") {
+    import spark.implicits._
+    // corpus counts: the=5, cat=3, sat=2, dog=1, mat=1 -> top-3 vocab
+    // is {the, cat, sat}
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat sat the mat"),
+      (3L, "the cat dog the")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramScores(docs, "doc_id", "text", vocabSize = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // doc 1: 3 words, all in vocab; mean freq = (5+3+2)/3
+    assert(got(1L) === ((3L, 3L, 0.0, round6(10.0 / 3))))
+    // doc 2: 5 words, 4 in vocab (mat is OOV); mean = (5+3+2+5)/4
+    assert(got(2L) === ((5L, 4L, 0.2, 3.75)))
+    // doc 3: 4 words, 3 in vocab (dog OOV); mean = (5+3+5)/3
+    assert(got(3L) === ((4L, 3L, 0.25, round6(13.0 / 3))))
+  }
+
+  private def round6(x: Double): Double = BigDecimal(x)
+    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("winnowing fingerprints: shared substrings produce shared fingerprints") {
     import spark.implicits._
     val docs = Seq(
