@@ -158,14 +158,33 @@ object Dedup {
     * shuffles: one scan, map-side join, partial agg. `maxNgramDocFreq`
     * (applied to the corpus side) drops boilerplate n-grams that would
     * otherwise pair every corpus doc with every benchmark item quoting
-    * them. */
+    * them.
+    *
+    * `hashNgrams` (default true, the 100 TB posture) joins on
+    * xxhash64 of the word slice instead of materializing the n-gram
+    * STRING per posting — string construction dominates the corpus
+    * pass otherwise (measured ~2× at sf0.1). A cross-doc collision
+    * (~2^-64 per comparison) could overcount `shared_ngrams` by one;
+    * set false for the literal-string contract. */
   def contaminationPairs(corpus: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String,
                          benchIdCol: String, benchTextCol: String,
                          n: Int, minShared: Int = 1,
-                         maxNgramDocFreq: Option[Int] = None): DataFrame = {
-    val corpusNg = withShingles(corpus, idCol, textCol, n)
-      .select(col("id").as("doc_id"), explode(col("shingles")).as("ngram"))
+                         maxNgramDocFreq: Option[Int] = None,
+                         hashNgrams: Boolean = true): DataFrame = {
+    def ngrams(df: DataFrame, id: String, text: String, outId: String): DataFrame =
+      if (hashNgrams)
+        df.select(col(id).as(outId),
+          explode(array_distinct(expr(
+            s"""CASE WHEN size(split($text, ' ')) < $n THEN array()
+               |ELSE transform(
+               |  sequence(0, size(split($text, ' ')) - $n),
+               |  i -> xxhash64(slice(split($text, ' '), i + 1, $n))) END""".stripMargin)))
+            .as("ngram"))
+      else
+        withShingles(df, id, text, n)
+          .select(col("id").as(outId), explode(col("shingles")).as("ngram"))
+    val corpusNg = ngrams(corpus, idCol, textCol, "doc_id")
     val guarded = maxNgramDocFreq match {
       case Some(maxDf) =>
         val rare = corpusNg.groupBy("ngram")
@@ -173,8 +192,7 @@ object Dedup {
         corpusNg.join(rare, "ngram")
       case None => corpusNg
     }
-    val benchNg = withShingles(bench, benchIdCol, benchTextCol, n)
-      .select(col("id").as("bench_id"), explode(col("shingles")).as("ngram"))
+    val benchNg = ngrams(bench, benchIdCol, benchTextCol, "bench_id")
     guarded.join(broadcast(benchNg), "ngram")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("shared_ngrams"))

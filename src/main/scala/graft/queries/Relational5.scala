@@ -66,10 +66,30 @@ object Relational5 {
       .orderBy(col("doc_id"), col("pos"))
   }
 
+  /** q28: FULL OUTER join of two independent aggregates (order volume
+    * vs event volume per entity) with null-safe equality on the
+    * mismatch flag — the one outer-join shape q03/q11/q17/q22 don't
+    * cover. Both sides pre-aggregate before the join, so the shuffle
+    * carries one row per entity, not the fact tables. */
+  def q28FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    val ev = events(spark, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    o.join(ev, o("o_custkey") === ev("user_id"), "full_outer")
+      .select(
+        coalesce(col("o_custkey"), col("user_id")).as("entity_id"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("n_orders").eqNullSafe(col("n_events")).cast("int").as("balanced"))
+      .orderBy(col("entity_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_grouping_sets" -> q25GroupingSets _,
     "q26_exists"        -> q26Exists _,
-    "q27_lateral_words" -> q27LateralWords _)
+    "q27_lateral_words" -> q27LateralWords _,
+    "q28_full_outer"    -> q28FullOuter _)
 
   val oracles: Map[String, String] = Map(
     "q25_grouping_sets" ->
@@ -88,6 +108,15 @@ object Relational5 {
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin,
+    "q28_full_outer" ->
+      """WITH o AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey),
+        |ev AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+        |SELECT coalesce(o_custkey, user_id) AS entity_id,
+        |coalesce(n_orders, 0) AS n_orders,
+        |coalesce(n_events, 0) AS n_events,
+        |CAST(n_orders IS NOT DISTINCT FROM n_events AS INT) AS balanced
+        |FROM o FULL OUTER JOIN ev ON o_custkey = user_id
+        |ORDER BY entity_id""".stripMargin,
     "q27_lateral_words" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ')[1:10] AS ws FROM documents)
         |SELECT doc_id, CAST(i - 1 AS INT) AS pos, ws[i] AS word,

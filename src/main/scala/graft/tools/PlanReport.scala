@@ -20,8 +20,9 @@ object PlanReport {
 
     val planQueries = Seq(
       "q01_pricing_summary", "q03_revenue_nation", "q04_top_orders",
-      "q17_asof_join", "q22_range_join", "p02_chunk_exact_chars",
-      "d03_dedup_minhash", "a01_ann_bruteforce")
+      "q17_asof_join", "q22_range_join", "q25_grouping_sets", "q26_exists",
+      "p02_chunk_exact_chars", "d03_dedup_minhash", "a01_ann_bruteforce",
+      "t10_contamination", "t11_unigram_score")
     sb.append("\n## Physical plans (executed, AQE final)\n")
     planQueries.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
@@ -61,6 +62,15 @@ object PlanReport {
       val t10 = time(f10)
       sb.append(f"| $name | $t1%.2f s | $t10%.2f s | ${t10 / t1}%.1f× |\n")
     }
+    // for operators that persist internal results (minhash LSH), a
+    // warmed re-run would measure cache reads, not the operator — warm
+    // JIT/codegen on a small slice and time the FIRST full run instead
+    def rowFirstRun(name: String, warm: => Long, f1: => Long, f10: => Long): Unit = {
+      warm
+      val t1 = time(f1)
+      val t10 = time(f10)
+      sb.append(f"| $name | $t1%.2f s | $t10%.2f s | ${t10 / t1}%.1f× |\n")
+    }
 
     row("hash agg (q01 shape)",
       li.groupBy("l_returnflag").agg(sum("l_quantity")).count(),
@@ -68,7 +78,9 @@ object PlanReport {
     row("exact dedup (sha256 groupBy)",
       graft.operators.Dedup.exactKeepFirst(docs, "doc_id", "text").count(),
       graft.operators.Dedup.exactKeepFirst(docs10, "doc_id", "text").count())
-    row("minhash LSH near-dup (guarded)",
+    rowFirstRun("minhash LSH near-dup (guarded)",
+      graft.operators.Dedup.minHashLshPairs(
+        docs.limit(500), "doc_id", "text", 3, 64, 16, 0.5).count(),
       graft.operators.Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5).count(),
       graft.operators.Dedup.minHashLshPairs(docs10, "doc_id", "text", 3, 64, 16, 0.5).count())
     row("simhash near-dup (guarded)",
@@ -84,6 +96,30 @@ object PlanReport {
         emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding", 10).count(),
       graft.operators.Similarity.bruteForceTopKExec(
         emb10.filter(col("vec_id") < 50), emb10, "vec_id", "embedding", 10).count())
+    // connected components measured on a fixed pair graph (1× = the d02
+    // pairs at sf0.1; 10× = ten disjoint shifted copies) so the slope
+    // isolates label propagation from pair generation
+    val pairs1 = graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").cache()
+    pairs1.count()
+    val pairs10 = pairs1.crossJoin(spark.range(10).toDF("c"))
+      .select((col("id_a") * 10 + col("c")).as("id_a"),
+        (col("id_b") * 10 + col("c")).as("id_b")).cache()
+    pairs10.count()
+    row("dedup clusters (min-label propagation)",
+      graft.operators.Clusters.connectedComponents(pairs1).count(),
+      graft.operators.Clusters.connectedComponents(pairs10).count())
+    def bench(d: org.apache.spark.sql.DataFrame) = d.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("bench_id"),
+        array_join(slice(split(col("text"), " "), 1, 60), " ").as("bench_text"))
+    row("decontamination (8-gram vs eval set)",
+      graft.operators.Dedup.contaminationPairs(docs, bench(docs),
+        "doc_id", "text", "bench_id", "bench_text", 8).count(),
+      graft.operators.Dedup.contaminationPairs(docs10, bench(docs10),
+        "doc_id", "text", "bench_id", "bench_text", 8).count())
+    row("unigram scoring (broadcast vocab)",
+      graft.operators.TextAnalysis.unigramScores(docs, "doc_id", "text", 500).count(),
+      graft.operators.TextAnalysis.unigramScores(docs10, "doc_id", "text", 500).count())
 
     sb.append(
       """
@@ -92,7 +128,10 @@ object PlanReport {
         |every document, so the true pair set itself explodes (~250k pairs at
         |10× vs ~250 at 1×); per OUTPUT row the 10× run is far cheaper. Copy
         |buckets stay under the df cap, so the hot-bucket guard correctly
-        |stays out of the way.
+        |stays out of the way. Decontamination is output-bound the same way:
+        |×10 copies the eval items' source docs too, so every eval item hits
+        |all ten copies (~100× matched postings). Cluster propagation and
+        |unigram scoring — fixed-round shuffles on bounded keys — hold ~2×.
         |""".stripMargin)
 
     // hot-bucket guard: adversarial boilerplate cluster

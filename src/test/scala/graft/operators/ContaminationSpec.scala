@@ -53,6 +53,18 @@ class ContaminationSpec extends AnyFunSuite {
     assert(guarded.count() === 0) // the shared n-grams exceed df cap
   }
 
+  test("hashed-ngram mode returns exactly the string-mode result") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val bench = d.limit(20).withColumnRenamed("doc_id", "bench_id")
+      .withColumnRenamed("text", "bench_text")
+    def run(hashed: Boolean) = Dedup.contaminationPairs(d, bench,
+        "doc_id", "text", "bench_id", "bench_text", n = 8, hashNgrams = hashed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(true) === run(false))
+  }
+
   test("t10 flags every eval item's source document") {
     val got = graft.queries.CurationQueries.contamination(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
