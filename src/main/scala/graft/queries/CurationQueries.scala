@@ -92,6 +92,18 @@ object CurationQueries {
       .orderBy(col("id"))
   }
 
+  /** d09: the end-to-end dedup DECISION — every document labeled with
+    * its near-dup cluster and whether it is the kept canonical copy
+    * (cluster minimum; singletons keep themselves). Dropping
+    * keep = 0 rows IS the dedup pass. */
+  def dedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val pairs = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5)
+    graft.operators.Clusters.canonicalize(d, pairs, "doc_id")
+      .select(col("doc_id"), col("cluster_id"), col("keep").cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d06: winnowing-fingerprint near-dup pairs — catches shared
     * PASSAGES (copied spans), which set-level Jaccard dilutes away
     * (rows-only; CurationSpec pins shared-substring semantics). */
@@ -362,6 +374,7 @@ object CurationQueries {
     "d07_dedup_embedding_lsh" -> dedupEmbeddingLsh _,
     "d06_dedup_winnow"    -> dedupWinnow _,
     "d08_dedup_clusters"  -> dedupClusters _,
+    "d09_dedup_keep"      -> dedupKeep _,
     "a01_ann_bruteforce"  -> annBruteForce _,
     "a02_ann_signlsh"     -> annSignLsh _,
     "a03_ann_ivf"         -> annIvf _,
@@ -546,6 +559,35 @@ object CurationQueries {
         |SELECT id, cluster_id,
         |count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM cc ORDER BY id""".stripMargin,
+    "d09_dedup_keep" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text,' ')) - 2),
+        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS shingles
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+        |cc AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+        |SELECT d.doc_id,
+        |coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+        |CAST(d.doc_id = coalesce(cc.cluster_id, d.doc_id) AS INT) AS keep
+        |FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "d05_dedup_embedding" ->
       """WITH planted AS (
         |  SELECT vec_id, embedding FROM embeddings
