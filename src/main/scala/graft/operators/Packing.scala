@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LM training: lay documents end-to-end in a
+  * deterministic order (doc id) and cut the token stream into
+  * fixed-length training sequences — every document gets its global
+  * token offset, the sequence it starts in, and its offset inside that
+  * sequence. (The packing layout used by published LM training
+  * pipelines; the reference has no analogue — north-star operator.)
+  *
+  * The global token offset is a prefix sum, which does not exist as a
+  * scalable Spark primitive (a bare `Window.orderBy` collapses the
+  * corpus into ONE task). This implementation is a two-level
+  * hierarchical prefix sum:
+  *   1. within-bucket running sums — `Window.partitionBy(bucket)`,
+  *      fully parallel;
+  *   2. bucket totals — one row per bucket, prefix-summed in a single
+  *      small task (`bucketWidth` ids per bucket ⇒ corpus/bucketWidth
+  *      rows; 10¹⁰ docs at the default width is 10⁷ rows — one task
+  *      holds it; a third level lifts the bound to 10¹³+);
+  *   3. join the bucket offsets back on the bucket key (co-partitioned
+  *      with step 1's window shuffle).
+  * Only (id, token-count) pairs ever shuffle — never text. The result
+  * is independent of partitioning: prefix sums are associative.
+  */
+object Packing {
+
+  /** Whitespace token count — the packing weight. */
+  private def tokenCount(textCol: Column): Column =
+    size(split(textCol, " ")).cast("long")
+
+  /** One row per document: `(doc_id, n_tokens, start_token, seq_id,
+    * seq_offset)` where `start_token` is the document's global offset
+    * in the id-ordered token stream and `seq_id` = `start_token /
+    * seqLen` is the fixed-length training sequence its first token
+    * lands in. */
+  def sequencePack(docs: DataFrame, idCol: String, textCol: String,
+                   seqLen: Int, bucketWidth: Int = 1024): DataFrame = {
+    require(seqLen >= 1, "sequence length must be positive")
+    require(bucketWidth >= 1, "bucket width must be positive")
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      tokenCount(col(textCol)).as("n_tokens"),
+      floor(col(idCol) / bucketWidth).as("__bucket"))
+    val wIn = Window.partitionBy(col("__bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inBucket = toks.withColumn("__in_off",
+      coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+    val wBuckets = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = toks.groupBy(col("__bucket"))
+      .agg(sum(col("n_tokens")).as("__bsum"))
+      .withColumn("__b_off", coalesce(sum(col("__bsum")).over(wBuckets), lit(0L)))
+      .select(col("__bucket"), col("__b_off"))
+    inBucket.join(bucketOffsets, "__bucket")
+      .withColumn("start_token", col("__b_off") + col("__in_off"))
+      .select(col("doc_id"), col("n_tokens"), col("start_token"),
+        (col("start_token") / seqLen).cast("long").as("seq_id"),
+        (col("start_token") % seqLen).as("seq_offset"))
+  }
+}

@@ -223,7 +223,16 @@ object PipelineQueries {
       .orderBy(col("media_id"))
   }
 
+  /** p14: sequence packing for LM training — every document's global
+    * token offset, training-sequence id and in-sequence offset at
+    * seqLen = 2048, via the hierarchical distributed prefix sum. */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.sequencePack(
+        documents(spark, dir), "doc_id", "text", seqLen = 2048)
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p14_sequence_pack"     -> sequencePack _,
     "p10_pdf_pages"         -> pdfPages _,
     "p11_docx_paragraphs"   -> docxParagraphs _,
     "p12_image_decode"      -> imageDecode _,
@@ -294,6 +303,18 @@ object PipelineQueries {
         |CAST(16 + doc_id % 16 AS INT) AS height,
         |CAST(3 AS INT) AS channels
         |FROM documents WHERE doc_id % 5 = 0 ORDER BY media_id""".stripMargin,
+    "p14_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_token,
+        |coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS seq_id,
+        |coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 2048 AS seq_offset
+        |FROM t ORDER BY doc_id""".stripMargin,
     "p13_audio_decode" ->
       """WITH params AS (
         |  SELECT doc_id, 8000 + (doc_id % 4) * 4000 AS sample_rate,
