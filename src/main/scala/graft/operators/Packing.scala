@@ -28,37 +28,55 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** Whitespace token count — the packing weight. */
+  /** Packing weight: [[TextAnalysis.wsTokenCount]] (the same
+    * tokenization the curation operators count with), null text = 0
+    * tokens (size(split(null)) would be -1 and corrupt every
+    * downstream offset). */
   private def tokenCount(textCol: Column): Column =
-    size(split(textCol, " ")).cast("long")
+    when(textCol.isNull, lit(0L))
+      .otherwise(TextAnalysis.wsTokenCount(textCol).cast("long"))
 
   /** One row per document: `(doc_id, n_tokens, start_token, seq_id,
     * seq_offset)` where `start_token` is the document's global offset
-    * in the id-ordered token stream and `seq_id` = `start_token /
+    * in the id-ordered token stream and `seq_id` = `start_token div
     * seqLen` is the fixed-length training sequence its first token
-    * lands in. */
+    * lands in.
+    *
+    * Contract: ids must be non-null (a total order needs them; null-id
+    * rows are excluded explicitly). Duplicate ids are ordered by
+    * (id, n_tokens) so the output multiset is deterministic — two rows
+    * tied on both are interchangeable. */
   def sequencePack(docs: DataFrame, idCol: String, textCol: String,
                    seqLen: Int, bucketWidth: Int = 1024): DataFrame = {
     require(seqLen >= 1, "sequence length must be positive")
     require(bucketWidth >= 1, "bucket width must be positive")
-    val toks = docs.select(
-      col(idCol).as("doc_id"),
-      tokenCount(col(textCol)).as("n_tokens"),
-      floor(col(idCol) / bucketWidth).as("__bucket"))
-    val wIn = Window.partitionBy(col("__bucket")).orderBy(col("doc_id"))
+    val toks = docs
+      .filter(col(idCol).isNotNull)
+      .select(
+        col(idCol).as("doc_id"),
+        tokenCount(col(textCol)).as("n_tokens"),
+        floor(col(idCol) / bucketWidth).as("__bucket"))
+    val wIn = Window.partitionBy(col("__bucket"))
+      .orderBy(col("doc_id"), col("n_tokens"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val inBucket = toks.withColumn("__in_off",
       coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+    // bucket totals come off the already-windowed side — the groupBy
+    // reuses the window's hash partitioning on __bucket, so the corpus
+    // is scanned and tokenized ONCE (a second `toks` subtree would
+    // re-read the text column, the heaviest in the corpus)
     val wBuckets = Window.orderBy(col("__bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bucketOffsets = toks.groupBy(col("__bucket"))
+    val bucketOffsets = inBucket.groupBy(col("__bucket"))
       .agg(sum(col("n_tokens")).as("__bsum"))
       .withColumn("__b_off", coalesce(sum(col("__bsum")).over(wBuckets), lit(0L)))
       .select(col("__bucket"), col("__b_off"))
+    // integer division throughout: double division would round seq_id
+    // off-by-one past 2^53 tokens, exactly the scale this design targets
     inBucket.join(bucketOffsets, "__bucket")
       .withColumn("start_token", col("__b_off") + col("__in_off"))
       .select(col("doc_id"), col("n_tokens"), col("start_token"),
-        (col("start_token") / seqLen).cast("long").as("seq_id"),
+        expr(s"start_token div $seqLen").as("seq_id"),
         (col("start_token") % seqLen).as("seq_offset"))
   }
 }

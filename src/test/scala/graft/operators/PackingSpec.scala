@@ -40,6 +40,18 @@ class PackingSpec extends AnyFunSuite {
     assert(fine === coarse)
   }
 
+  test("null text counts zero tokens; null ids are excluded (r2 review)") {
+    val docs = Seq(
+      (java.lang.Long.valueOf(1L), "a b"),
+      (java.lang.Long.valueOf(2L), null),
+      (null.asInstanceOf[java.lang.Long], "x y z"),
+      (java.lang.Long.valueOf(3L), "c")).toDF("doc_id", "text")
+    val got = collectPack(Packing.sequencePack(docs, "doc_id", "text", seqLen = 4))
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(2L) === ((0L, 2L, 0L, 2L))) // null text = 0 tokens
+    assert(got(3L)._2 === 2L)              // offsets unshifted past it
+  }
+
   test("sparse non-contiguous ids pack without gaps in the token stream") {
     val docs = Seq((5L, "a b"), (5000L, "c"), (5000000L, "d e f"))
       .toDF("doc_id", "text")
