@@ -50,24 +50,27 @@ object Packing {
                    seqLen: Int, bucketWidth: Int = 1024): DataFrame = {
     require(seqLen >= 1, "sequence length must be positive")
     require(bucketWidth >= 1, "bucket width must be positive")
+    // the (id, count, bucket) projection feeds BOTH the window branch
+    // and the bucket-totals branch; without materialization Catalyst
+    // prunes each branch independently back to the parquet scan and the
+    // text column — the heaviest in the corpus — is read and tokenized
+    // twice. Persist the narrow projection (three fixed-width columns);
+    // LRU evicts it after the query.
     val toks = docs
       .filter(col(idCol).isNotNull)
       .select(
         col(idCol).as("doc_id"),
         tokenCount(col(textCol)).as("n_tokens"),
         floor(col(idCol) / bucketWidth).as("__bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wIn = Window.partitionBy(col("__bucket"))
       .orderBy(col("doc_id"), col("n_tokens"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val inBucket = toks.withColumn("__in_off",
       coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
-    // bucket totals come off the already-windowed side — the groupBy
-    // reuses the window's hash partitioning on __bucket, so the corpus
-    // is scanned and tokenized ONCE (a second `toks` subtree would
-    // re-read the text column, the heaviest in the corpus)
     val wBuckets = Window.orderBy(col("__bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bucketOffsets = inBucket.groupBy(col("__bucket"))
+    val bucketOffsets = toks.groupBy(col("__bucket"))
       .agg(sum(col("n_tokens")).as("__bsum"))
       .withColumn("__b_off", coalesce(sum(col("__bsum")).over(wBuckets), lit(0L)))
       .select(col("__bucket"), col("__b_off"))

@@ -22,7 +22,7 @@ object PlanReport {
       "q01_pricing_summary", "q03_revenue_nation", "q04_top_orders",
       "q17_asof_join", "q22_range_join", "q25_grouping_sets", "q26_exists",
       "p02_chunk_exact_chars", "d03_dedup_minhash", "a01_ann_bruteforce",
-      "t10_contamination", "t11_unigram_score")
+      "t10_contamination", "t11_unigram_score", "p14_sequence_pack")
     sb.append("\n## Physical plans (executed, AQE final)\n")
     planQueries.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
@@ -120,6 +120,9 @@ object PlanReport {
     row("unigram scoring (broadcast vocab)",
       graft.operators.TextAnalysis.unigramScores(docs, "doc_id", "text", 500).count(),
       graft.operators.TextAnalysis.unigramScores(docs10, "doc_id", "text", 500).count())
+    row("sequence packing (hierarchical prefix sum)",
+      graft.operators.Packing.sequencePack(docs, "doc_id", "text", 2048).count(),
+      graft.operators.Packing.sequencePack(docs10, "doc_id", "text", 2048).count())
 
     sb.append(
       """

@@ -97,6 +97,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"explode and scalar surface must run inside the scan stage:\n$p")
   }
 
+  test("p14: packing scans and tokenizes the corpus exactly once") {
+    val p = plan("p14_sequence_pack")
+    // both consumers (window branch, bucket-totals branch) must read
+    // the persisted narrow projection; the parquet text scan then runs
+    // once, at cache fill (the plan string repeats the cached
+    // relation's defining FileScan per occurrence — count cache READS)
+    val cacheReads = "InMemoryTableScan".r.findAllIn(p).length
+    assert(cacheReads >= 2,
+      s"both branches must read the persisted projection ($cacheReads cache reads):\n$p")
+    assert(!p.split("InMemoryRelation").head.contains("FileScan parquet"),
+      s"no direct text re-scan outside the cached projection:\n$p")
+  }
+
   test("embed pipeline plan has no shuffle before the sink") {
     val df = queries.PipelineQueries.embedPipeline(spark, dir)
     // the orderBy in the query surface adds an exchange; audit the raw
