@@ -166,6 +166,16 @@ object Dedup {
     * pass otherwise (measured ~2× at sf0.1). A cross-doc collision
     * (~2^-64 per comparison) could overcount `shared_ngrams` by one;
     * set false for the literal-string contract. */
+  /** Distinct xxhash64 word-n-gram hashes of a text column — the
+    * shared n-gram key for [[contaminationPairs]] and the streaming
+    * decontamination filter (both sides MUST hash identically). */
+  def hashedNgrams(textCol: String, n: Int): Column =
+    array_distinct(expr(
+      s"""CASE WHEN size(split($textCol, ' ')) < $n THEN array()
+         |ELSE transform(
+         |  sequence(0, size(split($textCol, ' ')) - $n),
+         |  i -> xxhash64(slice(split($textCol, ' '), i + 1, $n))) END""".stripMargin))
+
   def contaminationPairs(corpus: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String,
                          benchIdCol: String, benchTextCol: String,
@@ -175,12 +185,7 @@ object Dedup {
     def ngrams(df: DataFrame, id: String, text: String, outId: String): DataFrame =
       if (hashNgrams)
         df.select(col(id).as(outId),
-          explode(array_distinct(expr(
-            s"""CASE WHEN size(split($text, ' ')) < $n THEN array()
-               |ELSE transform(
-               |  sequence(0, size(split($text, ' ')) - $n),
-               |  i -> xxhash64(slice(split($text, ' '), i + 1, $n))) END""".stripMargin)))
-            .as("ngram"))
+          explode(hashedNgrams(text, n)).as("ngram"))
       else
         withShingles(df, id, text, n)
           .select(col("id").as(outId), explode(col("shingles")).as("ngram"))

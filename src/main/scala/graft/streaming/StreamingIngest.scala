@@ -127,6 +127,28 @@ object StreamingIngest {
       .withColumn("text_hash", sha2(col("text"), 256))
       .dropDuplicates("text_hash")
 
+  /** Static eval-suite n-gram hashes for [[curateStream]]: collected
+    * once on the driver (an eval suite is bounded — thousands of items,
+    * not a corpus) and shipped to every task as a literal array. */
+  def benchNgramHashes(bench: DataFrame, textCol: String, n: Int): Seq[Long] =
+    bench.select(explode(graft.operators.Dedup.hashedNgrams(textCol, n)).as("h"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+
+  /** Streaming curation: quality-gate incoming documents and drop any
+    * that quote the (static) benchmark set — decontamination applied at
+    * ingest time. The eval-side n-grams are a broadcast literal and the
+    * check is pure Catalyst (`arrays_overlap` on xxhash64 n-gram keys,
+    * the SAME hashing as the batch [[graft.operators.Dedup.contaminationPairs]]),
+    * so the stream stays stateless: no streaming-join restrictions, no
+    * state store, works in append mode. */
+  def curateStream(docs: DataFrame, benchHashes: Seq[Long], n: Int = 8,
+                   minQuality: Double = 0.0): DataFrame =
+    docs
+      .filter(graft.operators.TextAnalysis.qualityScore(col("text")) >= minQuality)
+      .withColumn("__ng", graft.operators.Dedup.hashedNgrams("text", n))
+      .filter(!arrays_overlap(col("__ng"), typedLit(benchHashes)))
+      .drop("__ng")
+
   /** Per-user session state for [[sessionize]]: the session id IS the
     * first-event timestamp — unique per session without a counter, so
     * expired state can be REMOVED outright (a counter would need

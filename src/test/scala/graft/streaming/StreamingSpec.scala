@@ -132,6 +132,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 2, "duplicate content must not re-emit")
   }
 
+  test("streaming curation drops benchmark quotes and low-quality docs at ingest") {
+    import spark.implicits._
+    val drop = tmp("drop3"); val ckpt = tmp("ckpt_cur"); val out = tmp("curate_out")
+    val quote = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    // clean prose long enough to clear the quality gate
+    val clean = "a perfectly ordinary document about the weather and the many " +
+      "ships that sail the northern seas in the long summer months"
+    Files.writeString(Paths.get(drop, "contaminated.txt"), s"prefix words $quote suffix")
+    Files.writeString(Paths.get(drop, "clean.txt"), clean)
+    Files.writeString(Paths.get(drop, "junk.txt"), "@@@ ###")
+    val benchHashes = StreamingIngest.benchNgramHashes(
+      Seq(quote).toDF("bench_text"), "bench_text", n = 8)
+    assert(benchHashes.nonEmpty)
+    val q = StreamingIngest.curateStream(
+        StreamingIngest.readDocuments(spark, drop), benchHashes, n = 8,
+        minQuality = 0.3)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(out); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val kept = spark.read.parquet(out).select("text").collect().map(_.getString(0))
+    val preview = kept.take(2).mkString(" | ")
+    assert(kept.toSeq == Seq(clean),
+      s"only the clean doc may survive, got ${kept.length}: $preview")
+    // the survivor agrees with the batch operator's verdict
+    val batchPairs = graft.operators.Dedup.contaminationPairs(
+      Seq((1L, s"prefix words $quote suffix"), (2L, clean)).toDF("doc_id", "text"),
+      Seq((9L, quote)).toDF("bench_id", "bench_text"),
+      "doc_id", "text", "bench_id", "bench_text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchPairs == Set(1L))
+  }
+
   test("stream-stream interval join equals the batch join on closed state") {
     import org.apache.spark.sql.functions.expr
     val src = tmp("ev_src2"); val ckpt = tmp("ckpt_ss")
