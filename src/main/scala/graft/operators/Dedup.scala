@@ -99,10 +99,20 @@ object Dedup {
     * bucket's minimum id only (O(size), not O(size²)); members of an
     * oversized bucket are near-certain duplicates, so the cluster is
     * still connected through its representative and survives the exact
-    * Jaccard verify. */
+    * Jaccard verify.
+    *
+    * `minSignatureAgreement` (optional) pre-filters candidates by the
+    * fraction of agreeing signature lanes — an unbiased Jaccard
+    * estimate (E[agreement] = j, σ = sqrt(j(1−j)/numHashes)) computed
+    * from arrays already in hand, BEFORE shingle sets are materialized
+    * for the exact verify. Set it ~3σ below `threshold` (e.g. 0.3 for
+    * threshold 0.5 at 64 hashes) to cut the verify join with recall
+    * loss bounded by the normal tail; None (default) keeps the exact
+    * subset-of-all-pairs contract. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                       numHashes: Int, bands: Int, threshold: Double,
-                      maxBucketDf: Option[Int] = Some(100)): DataFrame = {
+                      maxBucketDf: Option[Int] = Some(100),
+                      minSignatureAgreement: Option[Double] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     // signatures straight from the word array (no shingle strings, no
@@ -125,8 +135,20 @@ object Dedup {
     // materialization the whole signature+bucket subtree re-runs per
     // consumer. The pair list is tiny (survivors only), so persist it;
     // LRU evicts it once the query finishes.
-    val candidates = bucketCandidates(buckets, maxBucketDf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rawCandidates = bucketCandidates(buckets, maxBucketDf)
+    // optional estimated-Jaccard pre-filter: signatures are one narrow
+    // array column, far cheaper to join than materializing shingle sets
+    val candidates = (minSignatureAgreement match {
+      case Some(minAgree) =>
+        val minLanes = math.ceil(minAgree * numHashes).toInt
+        rawCandidates
+          .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+          .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+          .filter(expr(
+            s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) >= $minLanes"))
+          .select(col("id_a"), col("id_b"))
+      case None => rawCandidates
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact-Jaccard verification materializes shingle SETS only for the
     // documents that appear in a candidate pair (a tiny fraction)
     val involved = candidates.select(col("id_a").as("id"))

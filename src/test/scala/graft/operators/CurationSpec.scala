@@ -28,6 +28,22 @@ class CurationSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall too low (16 bands of 4 should catch j>=0.5)")
   }
 
+  test("signature-agreement pre-filter: full recall at 3-sigma slack, selective when tight") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val exact = pairs(Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5))
+    // 3 sigma below threshold (0.5 - 3*sqrt(0.25/64) ~= 0.31): estimator
+    // noise stays inside the slack, so nothing true is lost here
+    val slack = pairs(Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5,
+      minSignatureAgreement = Some(0.31)))
+    assert(slack === exact, "3-sigma slack must keep every verified pair")
+    // an over-tight cut (0.95 agreement ~ jaccard 0.95) must actually
+    // filter: only near-identical pairs survive to the verify
+    val tight = pairs(Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5,
+      minSignatureAgreement = Some(0.95)))
+    assert(tight.subsetOf(exact) && tight.size < exact.size,
+      s"tight cut should drop mid-similarity pairs (${tight.size} vs ${exact.size})")
+  }
+
   test("simhash: exact copies at hamming 0; near-copies mostly within 3") {
     import spark.implicits._
     val d = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
