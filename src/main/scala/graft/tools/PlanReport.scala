@@ -183,6 +183,14 @@ object PlanReport {
     graft.operators.Multimodal.decodeImages(media).count() // warm
     val tPng = time(graft.operators.Multimodal.decodeImages(media).count())
     sb.append(f"| Multimodal.decodeImage (PNG) | 5,000 × 64×32 PNGs | $tPng%.2f s | ${5000 / tPng}%.0f imgs/s |\n")
+    val wav = graft.operators.Multimodal.wavPcm16(16000, 1,
+      Array.tabulate(16000)(i => ((i % 256 - 128) * 256).toShort))
+    val clips = spark.range(5000).repartition(32)
+      .map(i => graft.operators.Multimodal.MediaRow(i, "audio", wav)).cache()
+    clips.count()
+    graft.operators.Multimodal.decodeAudios(clips).count() // warm
+    val tWav = time(graft.operators.Multimodal.decodeAudios(clips).count())
+    sb.append(f"| Multimodal.decodeAudio (WAV) | 5,000 × 1 s/16 kHz PCM clips | $tWav%.2f s | ${5000 / tWav}%.0f clips/s ≈ ${5000.0 / tWav / 3600}%.1f audio-hours/s |\n")
     sb.append("\nExtraction is embarrassingly parallel (per-row mapPartitions, no\nshuffle); at 100 TB the bound is scan bandwidth, not the extractors.\n")
 
     // 100× rows for the narrow/linear stages — 500k docs, 60M lineitem
