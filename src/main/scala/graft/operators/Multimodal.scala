@@ -20,9 +20,15 @@ import org.apache.spark.sql.functions._
   * count) via a hand-rolled chunk parser — the container ships no
   * audio libs, but WAV is a public fixed layout: sample rate,
   * channels, frame count, duration, RMS/peak level, and a 16-bin RMS
-  * envelope. Compressed codecs (MP3/FLAC/OGG) and video frame decode
-  * are genuinely absent from this container — those fall to the
-  * marked deterministic stubs.
+  * envelope.
+  *
+  * Video METADATA is REAL for MP4/ISO-BMFF via a hand-rolled box
+  * walker (ftyp/moov/mvhd/trak/tkhd/mdia/hdlr are a fixed public
+  * layout): duration, timescale, track count/types, and the video
+  * track's pixel dimensions — enough to drive real frame-sampling
+  * plans. Compressed A/V codecs (MP3/FLAC/OGG, H.264 frame decode)
+  * are genuinely absent from this container — sample DATA decode
+  * falls to the marked deterministic stubs.
   */
 object Multimodal {
 
@@ -225,6 +231,139 @@ object Multimodal {
     b.put("data".getBytes).putInt(dataLen)
     samples.foreach(b.putShort)
     b.array()
+  }
+
+  /** Parsed MP4 container metadata (no sample-data decode). */
+  final case class VideoMeta(media_id: Long, duration_ms: Long, timescale: Long,
+                             n_tracks: Int, has_video: Boolean, has_audio: Boolean,
+                             width: Int, height: Int)
+
+  /** ISO-BMFF magic: a plausible leading box whose type is `ftyp` or
+    * `moov` (streaming-friendly files may lead with either). */
+  private def looksLikeMp4(p: Array[Byte]): Boolean =
+    p != null && p.length >= 8 && {
+      val t = new String(p, 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      t == "ftyp" || t == "moov"
+    }
+
+  /** REAL MP4/ISO-BMFF metadata parse: walks the box tree (size+fourcc
+    * headers; containers moov/trak/mdia recursed) for `mvhd` (v0/v1
+    * timescale + duration), per-track `hdlr` (vide/soun handler types)
+    * and the first video track's `tkhd` pixel dimensions (16.16 fixed
+    * point). Returns null-object zeros for non-MP4 / torn payloads —
+    * a batch never dies on one bad file. */
+  def decodeVideoMeta(r: MediaRow): VideoMeta = {
+    val p = r.payload
+    val none = VideoMeta(r.media_id, 0L, 0L, 0, has_video = false, has_audio = false, 0, 0)
+    if (!looksLikeMp4(p)) return none
+    def u32(i: Int): Long =
+      ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
+        ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    def fourcc(i: Int): String =
+      new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    var timescale = 0L
+    var duration = 0L
+    var nTracks = 0
+    var hasVideo = false
+    var hasAudio = false
+    var width = 0
+    var height = 0
+    var trackW = 0
+    var trackH = 0
+    val containers = Set("moov", "trak", "mdia")
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val size = u32(off)
+        if (size < 8 || off + size > end) return // torn box: stop cleanly
+        val typ = fourcc(off + 4)
+        val body = off + 8
+        typ match {
+          case "mvhd" =>
+            val v = p(body) & 0xff
+            if (v == 1 && size >= 8 + 4 + 16 + 4 + 8) {
+              timescale = u32(body + 20); duration = u64(body + 24)
+            } else if (v == 0 && size >= 8 + 4 + 8 + 4 + 4) {
+              timescale = u32(body + 12); duration = u32(body + 16)
+            }
+          case "trak" =>
+            nTracks += 1; trackW = 0; trackH = 0
+            walk(body, off + size.toInt)
+          case "tkhd" =>
+            val v = p(body) & 0xff
+            val dimOff = if (v == 1) body + 88 else body + 76
+            if (dimOff + 8 <= off + size) {
+              trackW = (u32(dimOff) >> 16).toInt   // 16.16 fixed point
+              trackH = (u32(dimOff + 4) >> 16).toInt
+            }
+          case "hdlr" =>
+            if (body + 12 + 4 <= off + size) fourcc(body + 8) match {
+              case "vide" =>
+                hasVideo = true
+                if (width == 0) { width = trackW; height = trackH }
+              case "soun" => hasAudio = true
+              case _ => ()
+            }
+          case t if containers(t) => walk(body, off + size.toInt)
+          case _ => ()
+        }
+        off += size.toInt
+      }
+    }
+    try {
+      walk(0, p.length)
+      if (timescale == 0) none
+      else VideoMeta(r.media_id, duration * 1000L / timescale, timescale,
+        nTracks, hasVideo, hasAudio, width, height)
+    } catch { case scala.util.control.NonFatal(_) => none }
+  }
+
+  /** Video-metadata stage — same mapPartitions batch shape. */
+  def decodeVideoMetas(media: Dataset[MediaRow]): Dataset[VideoMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(decodeVideoMeta))
+  }
+
+  /** Minimal MP4 writer (tests + synthetic payloads): ftyp + moov with
+    * one mvhd (v0) and one trak (tkhd + mdia/hdlr) per entry of
+    * `tracks` = (handler fourcc e.g. "vide"/"soun", width, height). */
+  def mp4Meta(timescale: Int, duration: Long,
+              tracks: Seq[(String, Int, Int)]): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes ++ Array[Byte](0, 0, 0, 1) ++ "isom".getBytes)
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0)                      // version 0 + flags
+      b.putInt(0).putInt(0)            // ctime mtime
+      b.putInt(timescale).putInt(duration.toInt)
+      b.array()
+    }
+    val traks = tracks.map { case (handler, w, h) =>
+      val tkhd = {
+        val b = java.nio.ByteBuffer.allocate(84)
+        b.putInt(0)                    // version + flags
+        b.putInt(0).putInt(0)          // ctime mtime
+        b.putInt(1).putInt(0)          // track id + reserved
+        b.putInt(duration.toInt)
+        b.position(76)                 // reserved/layer/volume/matrix
+        b.putInt(w << 16).putInt(h << 16)
+        b.array()
+      }
+      val hdlr = {
+        val b = java.nio.ByteBuffer.allocate(24)
+        b.putInt(0).putInt(0)          // version+flags, predefined
+        b.put(handler.getBytes("US-ASCII"))
+        b.array()
+      }
+      box("trak", box("tkhd", tkhd) ++ box("mdia", box("hdlr", hdlr)))
+    }
+    ftyp ++ box("moov", box("mvhd", mvhd) ++ traks.flatten.toArray)
   }
 
   /** Decode stage: one partition per task, batched iteration — the

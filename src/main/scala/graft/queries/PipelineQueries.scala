@@ -231,7 +231,35 @@ object PipelineQueries {
         documents(spark, dir), "doc_id", "text", seqLen = 2048)
       .orderBy(col("doc_id"))
 
+  /** p15: REAL MP4 container-metadata parse round-trip — synthetic
+    * box trees (duration/timescale/tracks derived from doc_id by pure
+    * integer arithmetic, so the oracle recomputes them in SQL),
+    * written by the minimal writer, parsed by the box walker. */
+  def videoMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"))
+      .map { r =>
+        val id = r.getLong(0)
+        val ts = (1000 + (id % 10) * 100).toInt
+        val dur = 30000L + id % 5000
+        val tracks = Seq(("vide", (640 + (id % 64) * 2).toInt, (360 + (id % 36)).toInt)) ++
+          (if (id % 2 == 0) Seq(("soun", 0, 0)) else Nil)
+        Multimodal.MediaRow(id, "video", Multimodal.mp4Meta(ts, dur, tracks))
+      }
+    Multimodal.decodeVideoMetas(media).toDF()
+      .select(col("media_id"), col("duration_ms"), col("timescale"),
+        col("n_tracks"),
+        col("has_video").cast("int").as("has_video"),
+        col("has_audio").cast("int").as("has_audio"),
+        col("width"), col("height"))
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p15_video_meta"        -> videoMeta _,
     "p14_sequence_pack"     -> sequencePack _,
     "p10_pdf_pages"         -> pdfPages _,
     "p11_docx_paragraphs"   -> docxParagraphs _,
@@ -302,6 +330,16 @@ object PipelineQueries {
         |CAST(32 + doc_id % 32 AS INT) AS width,
         |CAST(16 + doc_id % 16 AS INT) AS height,
         |CAST(3 AS INT) AS channels
+        |FROM documents WHERE doc_id % 5 = 0 ORDER BY media_id""".stripMargin,
+    "p15_video_meta" ->
+      """SELECT doc_id AS media_id,
+        |((30000 + doc_id % 5000) * 1000) // (1000 + (doc_id % 10) * 100) AS duration_ms,
+        |1000 + (doc_id % 10) * 100 AS timescale,
+        |CAST(1 + CAST(doc_id % 2 = 0 AS INT) AS INT) AS n_tracks,
+        |CAST(1 AS INT) AS has_video,
+        |CAST(doc_id % 2 = 0 AS INT) AS has_audio,
+        |CAST(640 + (doc_id % 64) * 2 AS INT) AS width,
+        |CAST(360 + doc_id % 36 AS INT) AS height
         |FROM documents WHERE doc_id % 5 = 0 ORDER BY media_id""".stripMargin,
     "p14_sequence_pack" ->
       """WITH t AS (

@@ -146,6 +146,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(t.rms == 0.0 && t.envelope.length == 16)
   }
 
+  test("mp4 metadata round-trip: duration, tracks, handler types, dimensions") {
+    val bytes = mp4Meta(timescale = 1200, duration = 36000L,
+      tracks = Seq(("vide", 1280, 720), ("soun", 0, 0)))
+    val m = decodeVideoMeta(MediaRow(1L, "video", bytes))
+    assert(m.timescale == 1200L && m.duration_ms == 30000L)
+    assert(m.n_tracks == 2 && m.has_video && m.has_audio)
+    assert(m.width == 1280 && m.height == 720)
+    // audio-only container
+    val a = decodeVideoMeta(MediaRow(2L, "video",
+      mp4Meta(1000, 5000L, Seq(("soun", 0, 0)))))
+    assert(a.n_tracks == 1 && !a.has_video && a.has_audio && a.width == 0)
+  }
+
+  test("non-mp4 and torn payloads yield the zero record, never an error") {
+    val z = decodeVideoMeta(MediaRow(3L, "video", Array[Byte](1, 2, 3)))
+    assert(z.timescale == 0L && z.n_tracks == 0)
+    // valid magic, truncated mid-box: the walker stops cleanly
+    val torn = mp4Meta(1000, 5000L, Seq(("vide", 64, 64))).take(40)
+    val t = decodeVideoMeta(MediaRow(4L, "video", torn))
+    assert(t.media_id == 4L && t.n_tracks == 0)
+  }
+
   test("audio decode stage runs as a partition-batched dataset map") {
     import spark.implicits._
     val clips = Seq(
