@@ -226,6 +226,49 @@ object Dedup {
       .filter(col("shared_ngrams") >= minShared)
   }
 
+  /** Duplicated-window profile — the exact-substring dedup signal of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL'22), at word-window granularity: for each document,
+    * how many of its distinct word `n`-grams also occur in at least one
+    * OTHER document, plus the ratio. Dropping or trimming documents with
+    * a high `dup_ratio` is the span-level dedup pass that survives
+    * paraphrase-level edits (unlike whole-document exact dedup) without
+    * the cost of suffix arrays.
+    *
+    * Scale posture: windows are hashed (xxhash64) before they shuffle,
+    * so the exchange carries (doc_id, 8-byte hash) postings, never text.
+    * Document frequency comes from a window aggregate partitioned by the
+    * hash — ONE shuffle for df + one partial-agg shuffle on doc_id, and
+    * a corpus-wide boilerplate window costs df postings (linear), never
+    * df² pairs: this operator intentionally counts duplication without
+    * materializing the pair graph, which is what makes it safe where
+    * [[jaccardPairs]] needs its stop-shingle guard.
+    *
+    * Within-document repeats do not count (windows are per-doc
+    * distinct): the signal is cross-document duplication; use
+    * [[graft.operators.TextAnalysis.repetitionRatio]] for
+    * within-document repetition. */
+  def duplicatedWindows(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, hashWindows: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val postings =
+      if (hashWindows)
+        df.select(col(idCol).as("doc_id"),
+          explode(hashedNgrams(textCol, n)).as("w"))
+      else
+        withShingles(df, idCol, textCol, n)
+          .select(col("id").as("doc_id"), explode(col("shingles")).as("w"))
+    postings
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows") / col("n_windows").cast("double"), 6)
+          .as("dup_ratio"))
+  }
+
   /** Winnowing-based near-dup pairs: documents sharing at least
     * `minShared` winnowing fingerprints (Schleimer et al. local
     * fingerprints catch copied PASSAGES, which set-level Jaccard dilutes

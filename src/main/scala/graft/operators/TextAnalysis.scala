@@ -191,6 +191,48 @@ object TextAnalysis {
           .as("mean_freq"))
   }
 
+  /** Domain-mixture statistics and temperature-weighted sampling
+    * budgets — the corpus-mixing step of a training-data pipeline
+    * (mixture weights ∝ token-count^alpha, the multilingual/domain
+    * rebalancing rule of the XLM-R / Pile lineage): a domain's raw token
+    * share is flattened by `alpha` < 1 so small domains are upsampled,
+    * then a global token `budget` is allocated proportionally.
+    *
+    * Determinism contract (the oracle hash-compares): sqrt is IEEE
+    * correctly-rounded, so per-domain `round(sqrt(tokens), 6)` is
+    * engine-exact; the cross-domain total sums those rounded values as
+    * DECIMAL (order-free), and every double division happens on
+    * identical inputs. Only alpha = 0.5 keeps this contract (pow is not
+    * correctly-rounded in general); other alphas are allowed but
+    * oracle-checkable only if the other engine's pow bit-matches.
+    *
+    * Scale posture: one partial-agg shuffle on the domain key; the
+    * domain table (tiny) then cross-joins a broadcast 1-row total —
+    * the q13 broadcast-scalar pattern, no driver-side collect. */
+  def domainMixture(docs: DataFrame, domainCol: String, textCol: String,
+                    budget: Long, alpha: Double = 0.5): DataFrame = {
+    require(alpha == 0.5,
+      "oracle-exact mixture weights require alpha = 0.5 (IEEE sqrt); " +
+        "generalize only with a bit-compatible pow on the oracle side")
+    val per = docs.groupBy(col(domainCol).as("domain"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(wsTokenCount(col(textCol)).cast("long")).as("total_tokens"))
+      .withColumn("w_raw", round(sqrt(col("total_tokens").cast("double")), 6))
+    val totals = per.agg(
+      sum(col("total_tokens")).as("all_tokens"),
+      sum(col("w_raw").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+        .as("w_sum"))
+    per.crossJoin(broadcast(totals))
+      .select(
+        col("domain"), col("n_docs"), col("total_tokens"),
+        round(col("total_tokens") / col("all_tokens").cast("double"), 6)
+          .as("token_share"),
+        round(col("w_raw") / col("w_sum").cast("double"), 6).as("weight"),
+        floor(round(col("w_raw") / col("w_sum").cast("double"), 6) * budget)
+          .cast("long").as("sample_tokens"))
+  }
+
   /** One row per document with the full text-analysis profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

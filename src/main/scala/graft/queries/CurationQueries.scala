@@ -344,6 +344,23 @@ object CurationQueries {
       .orderBy(col("doc_id"), col("bench_id"))
   }
 
+  /** d10: duplicated-window profile — the Lee-et-al. exact-substring
+    * dedup signal: per document, its distinct word 8-grams that occur in
+    * at least one other document (count + ratio). Windows shuffle as
+    * xxhash64 hashes (never text); the oracle groups the raw strings —
+    * identical counts absent a 64-bit collision (~1e-8 at sf0.1). */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedWindows(documents(spark, dir), "doc_id", "text", n = 8)
+      .orderBy(col("doc_id"))
+
+  /** t12: domain-mixture statistics + temperature-weighted sampling
+    * budgets (weight ∝ tokens^0.5, XLM-R-style rebalancing) over the
+    * `source` column, allocating a 1M-token budget. */
+  def domainMixture(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.domainMixture(documents(spark, dir), "source", "text",
+        budget = 1000000L)
+      .orderBy(col("domain"))
+
   /** t11: unigram-frequency quality scores against the corpus's own
     * top-500 vocabulary — the LM-perplexity-filter shape with
     * integer-exact arithmetic (so the oracle hash-matches). */
@@ -353,6 +370,8 @@ object CurationQueries {
       .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_dedup_substring"   -> dedupSubstring _,
+    "t12_domain_mixture"    -> domainMixture _,
     "t11_unigram_score"     -> unigramScore _,
     "t10_contamination"     -> contamination _,
     "t09_compression"       -> compressionRatio _,
@@ -388,6 +407,30 @@ object CurationQueries {
       | + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d10_dedup_substring" ->
+      """WITH ng AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text,' ')) - 7),
+        |    i -> array_to_string(string_split(text,' ')[i:i+7], ' ')))) AS w
+        |  FROM documents),
+        |d AS (SELECT doc_id, count(*) OVER (PARTITION BY w) AS df FROM ng)
+        |SELECT doc_id, count(*) AS n_windows,
+        |CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+        |round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t12_domain_mixture" ->
+      """WITH per AS (
+        |  SELECT source AS domain, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT *, round(sqrt(CAST(total_tokens AS DOUBLE)), 6) AS w_raw FROM per),
+        |tot AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS all_tokens,
+        |  sum(CAST(w_raw AS DECIMAL(28,6))) AS w_sum FROM w)
+        |SELECT domain, n_docs, total_tokens,
+        |round(total_tokens / CAST(all_tokens AS DOUBLE), 6) AS token_share,
+        |round(w_raw / CAST(w_sum AS DOUBLE), 6) AS weight,
+        |CAST(floor(round(w_raw / CAST(w_sum AS DOUBLE), 6) * 1000000) AS BIGINT) AS sample_tokens
+        |FROM w, tot ORDER BY domain""".stripMargin,
     "t11_unigram_score" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

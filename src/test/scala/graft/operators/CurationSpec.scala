@@ -238,6 +238,53 @@ class CurationSpec extends AnyFunSuite {
   private def round6(x: Double): Double = BigDecimal(x)
     .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("duplicated windows: cross-doc spans counted, within-doc repeats not") {
+    import spark.implicits._
+    // doc 1 and doc 2 share one exact 4-word span ("a b c d"); doc 3 is
+    // disjoint; doc 4 repeats its own window twice (must NOT count:
+    // windows are per-doc distinct and df is cross-document)
+    val docs = Seq(
+      (1L, "a b c d x1 y1 z1"),
+      (2L, "p q a b c d r s"),
+      (3L, "u v w m n o t k"),
+      (4L, "h i j k h i j k h i j k")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedWindows(docs, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: 4 distinct windows, 1 duplicated ("a b c d")
+    assert(got(1L) === ((4L, 1L)))
+    // doc 2: 5 windows, 1 duplicated
+    assert(got(2L) === ((5L, 1L)))
+    assert(got(3L) === ((5L, 0L)))
+    // doc 4: 12 words -> 9 window positions but only 4 distinct windows
+    // (the text is "h i j k" cycled), none shared with other docs
+    assert(got(4L) === ((4L, 0L)))
+  }
+
+  test("duplicated windows: hashed and string window keys agree") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    def rows(hashed: Boolean) =
+      Dedup.duplicatedWindows(docs, "doc_id", "text", n = 8, hashWindows = hashed)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(hashed = true) === rows(hashed = false),
+      "xxhash64 window keys must not change any df count on this corpus")
+  }
+
+  test("domain mixture: sqrt temperature flattens shares, budget allocation") {
+    import spark.implicits._
+    // 400 vs 100 tokens -> raw shares 0.8/0.2 but sqrt weights 2:1
+    val docs = Seq(
+      (1L, "a", ("w " * 400).trim),  // 400 tokens
+      (2L, "b", ("w " * 100).trim))  // 100 tokens
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.domainMixture(docs, "source", "text", budget = 900000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(got("a") === ((1L, 400L, 0.8, round6(2.0 / 3), 600000L)))
+    assert(got("b") === ((1L, 100L, 0.2, round6(1.0 / 3), 299999L)))
+    // flattening: big domain's weight < its raw share, small domain's >
+    assert(got("a")._4 < got("a")._3 && got("b")._4 > got("b")._3)
+  }
+
   test("winnowing fingerprints: shared substrings produce shared fingerprints") {
     import spark.implicits._
     val docs = Seq(
