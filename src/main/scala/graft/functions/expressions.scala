@@ -180,6 +180,34 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "cosine_similarity"
 }
 
+/** `bloom_hit_count(hashes)` → int: how many elements of an
+  * array<bigint> of hashes might be in the Bloom bitset. The bitset
+  * rides along as a plan constant (ctx.addReferenceObj in codegen — the
+  * pattern Spark's own subquery-result literals use), so the probe is a
+  * scan-side static call with no join and no shuffle. */
+case class BloomHitCount(child: Expression, bits: Array[Long], numHashes: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bloom_hit_count needs array<bigint> of hashes, got $t")
+    }
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    graft.operators.BloomBits.hitCount(input.asInstanceOf[ArrayData], bits, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bitsRef = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.operators.BloomBits.hitCount($c, $bitsRef, $numHashes);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "bloom_hit_count"
+}
+
 /** `uuid5(name)` → RFC 4122 v5 UUID string of the UTF-8 name
   * (DNS namespace — the reference's generate_uuid_from_tuple). */
 case class Uuid5Expr(child: Expression)
@@ -211,6 +239,9 @@ object GraftFunctions {
 
   def uuid5(name: Column): Column =
     ColumnBridge.column(Uuid5Expr(ColumnBridge.expression(name)))
+
+  def bloomHitCount(hashes: Column, bits: Array[Long], numHashes: Int): Column =
+    ColumnBridge.column(BloomHitCount(ColumnBridge.expression(hashes), bits, numHashes))
 
   /** Register `cosine_similarity` / `uuid5` / `minhash_signature` for the
     * SQL surface. */

@@ -344,6 +344,24 @@ object CurationQueries {
       .orderBy(col("doc_id"), col("bench_id"))
   }
 
+  /** t13: Bloom-filter decontamination — the scan-side variant of t10:
+    * the eval set (same carve-out) collapses to a 1 MiB bitset of its
+    * 8-gram hashes; every corpus document is then scored by one
+    * codegen'd probe expression, no join and no corpus shuffle. At this
+    * filter size the false-positive odds are ~1e-10 per probe, so the
+    * output provably equals the exact-join oracle (Bloom error is
+    * one-sided: zero false negatives). */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val bench = d.filter(col("doc_id") % 25 === 0)
+      .select(array_join(slice(split(col("text"), " "), 1, 60), " ").as("bench_text"))
+    val bits = graft.operators.Bloom.ngramFilter(bench, "bench_text", n = 8)
+    d.select(col("doc_id"),
+        graft.operators.Bloom.ngramHitCount("text", 8, bits).cast("long").as("n_hits"))
+      .filter(col("n_hits") >= 1)
+      .orderBy(col("doc_id"))
+  }
+
   /** d10: duplicated-window profile — the Lee-et-al. exact-substring
     * dedup signal: per document, its distinct word 8-grams that occur in
     * at least one other document (count + ratio). Windows shuffle as
@@ -372,6 +390,7 @@ object CurationQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d10_dedup_substring"   -> dedupSubstring _,
     "t12_domain_mixture"    -> domainMixture _,
+    "t13_bloom_decontam"    -> bloomDecontaminate _,
     "t11_unigram_score"     -> unigramScore _,
     "t10_contamination"     -> contamination _,
     "t09_compression"       -> compressionRatio _,
@@ -418,6 +437,23 @@ object CurationQueries {
         |CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
         |round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
         |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t13_bloom_decontam" ->
+      """WITH bench AS (
+        |  SELECT array_to_string(string_split(text,' ')[1:60], ' ') AS bench_text
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |bng AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(bench_text,' ')) - 7),
+        |    i -> array_to_string(string_split(bench_text,' ')[i:i+7], ' ')))) AS ngram
+        |  FROM bench),
+        |cng AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text,' ')) - 7),
+        |    i -> array_to_string(string_split(text,' ')[i:i+7], ' ')))) AS ngram
+        |  FROM documents)
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM cng c JOIN bng b ON c.ngram = b.ngram
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     "t12_domain_mixture" ->
       """WITH per AS (
         |  SELECT source AS domain, count(*) AS n_docs,

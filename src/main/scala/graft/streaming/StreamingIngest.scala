@@ -149,6 +149,20 @@ object StreamingIngest {
       .filter(!arrays_overlap(col("__ng"), typedLit(benchHashes)))
       .drop("__ng")
 
+  /** [[curateStream]] with the eval set as a Bloom bitset instead of a
+    * literal hash array: probe cost is O(numHashes) per n-gram
+    * regardless of eval-suite size, and the plan carries a fixed ~1 MiB
+    * constant instead of an ever-growing literal. Error is one-sided —
+    * a false positive drops a clean document (conservative for
+    * decontamination), a contaminated one is never kept. Still
+    * stateless: append mode, no state store. */
+  def curateStreamBloom(docs: DataFrame, bits: Array[Long], n: Int = 8,
+                        minQuality: Double = 0.0,
+                        numHashes: Int = graft.operators.Bloom.DefaultNumHashes): DataFrame =
+    docs
+      .filter(graft.operators.TextAnalysis.qualityScore(col("text")) >= minQuality)
+      .filter(graft.operators.Bloom.ngramHitCount("text", n, bits, numHashes) === 0)
+
   /** Per-user session state for [[sessionize]]: the session id IS the
     * first-event timestamp — unique per session without a counter, so
     * expired state can be REMOVED outright (a counter would need

@@ -168,6 +168,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchPairs == Set(1L))
   }
 
+  test("bloom-filter streaming curation agrees with the literal-array path") {
+    import spark.implicits._
+    val drop = tmp("drop4"); val ckpt = tmp("ckpt_curb"); val out = tmp("curate_bloom_out")
+    val quote = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    val clean = "a perfectly ordinary document about the weather and the many " +
+      "ships that sail the northern seas in the long summer months"
+    Files.writeString(Paths.get(drop, "contaminated.txt"), s"prefix words $quote suffix")
+    Files.writeString(Paths.get(drop, "clean.txt"), clean)
+    Files.writeString(Paths.get(drop, "junk.txt"), "@@@ ###")
+    val bits = graft.operators.Bloom.ngramFilter(
+      Seq(quote).toDF("bench_text"), "bench_text", n = 8)
+    val q = StreamingIngest.curateStreamBloom(
+        StreamingIngest.readDocuments(spark, drop), bits, n = 8,
+        minQuality = 0.3)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(out); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val kept = spark.read.parquet(out).select("text").collect().map(_.getString(0))
+    assert(kept.toSeq == Seq(clean),
+      s"bloom gate must keep exactly the clean doc, got ${kept.length}")
+  }
+
   test("stream-stream interval join equals the batch join on closed state") {
     import org.apache.spark.sql.functions.expr
     val src = tmp("ev_src2"); val ckpt = tmp("ckpt_ss")
