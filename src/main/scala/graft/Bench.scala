@@ -21,7 +21,8 @@ object Bench {
     "p02_chunk_exact_chars", "p08_embed_pipeline",
     "d01_dedup_exact", "d03_dedup_minhash",
     "a01_ann_bruteforce", "a05_embed_quantize", "a08_ann_ivf_kmeans",
-    "t01_text_profile", "t10_contamination", "t11_unigram_score")
+    "t01_text_profile", "t10_contamination", "t11_unigram_score",
+    "d10_dedup_substring", "t12_domain_mixture", "t13_bloom_decontam")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

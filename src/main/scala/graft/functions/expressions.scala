@@ -117,6 +117,43 @@ object helpers {
 
   def uuid5(name: UTF8String): UTF8String =
     UTF8String.fromString(graft.core.Uuid5.of(name.toString))
+
+  /** Distinct word n-gram hashes: each word XXH64-hashed once, each
+    * window the hashLong-fold of its n word hashes (the same scheme as
+    * [[minHashFromWords]] — no window array copies, no re-hashing of
+    * word bytes per window), deduplicated by sort + unique scan. The
+    * interpreted `transform(sequence(..), i -> xxhash64(slice(..)))`
+    * form of this re-hashed every word n times through three
+    * interpreted higher-order functions — it was the dominant cost of
+    * every n-gram consumer (decontamination, duplicated windows). */
+  def ngramHashes(arr: ArrayData, n: Int): ArrayData = {
+    val nw = arr.numElements()
+    if (nw < n) return new GenericArrayData(Array.empty[Long])
+    val wh = new Array[Long](nw)
+    var i = 0
+    while (i < nw) {
+      val s = arr.getUTF8String(i)
+      wh(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      i += 1
+    }
+    val out = new Array[Long](nw - n + 1)
+    var start = 0
+    while (start <= nw - n) {
+      var h = wh(start)
+      var j = 1
+      while (j < n) { h = XXH64.hashLong(wh(start + j), h); j += 1 }
+      out(start) = h
+      start += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 1
+    var r = 1
+    while (r < out.length) {
+      if (out(r) != out(r - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
 }
 
 /** `minhash_signature(shingles, numHashes)` → array<bigint>. */
@@ -178,6 +215,31 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "cosine_similarity"
+}
+
+/** `ngram_hashes(words, n)` → array<bigint>: distinct word n-gram
+  * hashes (sorted). The shared n-gram key of the decontamination and
+  * duplicated-window operators — all producers and consumers MUST go
+  * through this one expression so keys compare equal across them. */
+case class NgramHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_hashes needs array<string> of words, got $t")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    helpers.ngramHashes(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.helpers.ngramHashes($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "ngram_hashes"
 }
 
 /** `bloom_hit_count(hashes)` → int: how many elements of an
@@ -242,6 +304,9 @@ object GraftFunctions {
 
   def bloomHitCount(hashes: Column, bits: Array[Long], numHashes: Int): Column =
     ColumnBridge.column(BloomHitCount(ColumnBridge.expression(hashes), bits, numHashes))
+
+  def ngramHashes(words: Column, n: Int): Column =
+    ColumnBridge.column(NgramHashes(ColumnBridge.expression(words), n))
 
   /** Register `cosine_similarity` / `uuid5` / `minhash_signature` for the
     * SQL surface. */

@@ -40,11 +40,19 @@ object Bloom {
     val words = numBits / 64
     hashes.select(col(hashCol).cast("long")).as[Long]
       .mapPartitions { it =>
-        val bits = new Array[Long](words)
-        it.foreach(h => BloomBits.set(bits, h, numHashes))
-        Iterator.single(bits)
+        // empty partitions contribute nothing — without this guard every
+        // idle partition ships a zero bitset (32 cores × 1 MiB) through
+        // the merge
+        if (!it.hasNext) Iterator.empty
+        else {
+          val bits = new Array[Long](words)
+          it.foreach(h => BloomBits.set(bits, h, numHashes))
+          Iterator.single(bits)
+        }
       }
-      .reduce { (a, b) =>
+      // fold, not reduce: an empty input (empty eval set) yields the
+      // all-zero filter instead of throwing
+      .rdd.fold(new Array[Long](words)) { (a, b) =>
         var i = 0
         while (i < a.length) { a(i) |= b(i); i += 1 }
         a

@@ -192,11 +192,7 @@ object Dedup {
     * shared n-gram key for [[contaminationPairs]] and the streaming
     * decontamination filter (both sides MUST hash identically). */
   def hashedNgrams(textCol: String, n: Int): Column =
-    array_distinct(expr(
-      s"""CASE WHEN size(split($textCol, ' ')) < $n THEN array()
-         |ELSE transform(
-         |  sequence(0, size(split($textCol, ' ')) - $n),
-         |  i -> xxhash64(slice(split($textCol, ' '), i + 1, $n))) END""".stripMargin))
+    graft.functions.GraftFunctions.ngramHashes(split(col(textCol), " "), n)
 
   def contaminationPairs(corpus: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String,
