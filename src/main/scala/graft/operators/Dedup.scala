@@ -150,13 +150,19 @@ object Dedup {
       case None => rawCandidates
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact-Jaccard verification materializes shingle SETS only for the
-    // documents that appear in a candidate pair (a tiny fraction)
+    // documents that appear in a candidate pair (a tiny fraction) — and
+    // as 8-byte hashes, not strings (ngramHashes): set sizes and
+    // intersections are identical absent a 64-bit collision, and on
+    // duplicate-heavy corpora (involved ≈ everyone) string
+    // materialization dominated the verify (measured 2.5 s of the sf0.1
+    // corpus pass, ~4× the whole hashed verify)
     val involved = candidates.select(col("id_a").as("id"))
       .unionAll(candidates.select(col("id_b").as("id"))).distinct()
     // same reuse argument: the shingle sets of involved docs feed both
     // the id_a and id_b joins
-    val sh = withShingles(
-      df.join(involved, df(idCol) === involved("id"), "left_semi"), idCol, textCol, n)
+    val sh = df.join(involved, df(idCol) === involved("id"), "left_semi")
+      .select(col(idCol).as("id"),
+        graft.functions.GraftFunctions.ngramHashes(split(col(textCol), " "), n).as("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     candidates
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")

@@ -32,7 +32,10 @@ object ProfileMinhash {
       graft.functions.GraftFunctions.minhashWords(split(col("text"), " "), 64, 3).as("sig"))
     time("signatures (fused words path)")(sigNew.select(max(expr("sig[0]"))).collect())
     val sh = Dedup.withShingles(docs, "doc_id", "text", 3)
-    time("shingle strings (verify path)")(sh.select(max(size(col("shingles")))).collect())
+    time("shingle strings (d02 oracle path)")(sh.select(max(size(col("shingles")))).collect())
+    val shh = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.ngramHashes(split(col("text"), " "), 3).as("shingles"))
+    time("hashed shingles (d03 verify path)")(shh.select(max(size(col("shingles")))).collect())
     time("full d03")(Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5).count())
     time("full d03 again (warm)")(Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5).count())
 
