@@ -244,10 +244,16 @@ case class NgramHashes(child: Expression, n: Int)
 
 /** `bloom_hit_count(hashes)` → int: how many elements of an
   * array<bigint> of hashes might be in the Bloom bitset. The bitset
-  * rides along as a plan constant (ctx.addReferenceObj in codegen — the
-  * pattern Spark's own subquery-result literals use), so the probe is a
-  * scan-side static call with no join and no shuffle. */
-case class BloomHitCount(child: Expression, bits: Array[Long], numHashes: Int)
+  * travels as a Spark BROADCAST, not a plan constant: a plan-embedded
+  * array serializes into every stage's task binary (the scheduler warns
+  * at 1 MiB), while a broadcast ships once per executor over the
+  * torrent protocol — the difference between O(stages) and O(executors)
+  * copies of the filter on a 1000-executor cluster. Codegen caches
+  * `.value` in per-instance mutable state, so the per-row probe is
+  * still a static call on a local long[]. */
+case class BloomHitCount(child: Expression,
+                         bitsBc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+                         numHashes: Int)
     extends UnaryExpression {
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -258,12 +264,16 @@ case class BloomHitCount(child: Expression, bits: Array[Long], numHashes: Int)
           s"bloom_hit_count needs array<bigint> of hashes, got $t")
     }
   override def dataType: DataType = IntegerType
+  @transient private lazy val localBits: Array[Long] = bitsBc.value
   override def nullSafeEval(input: Any): Any =
-    graft.operators.BloomBits.hitCount(input.asInstanceOf[ArrayData], bits, numHashes)
+    graft.operators.BloomBits.hitCount(input.asInstanceOf[ArrayData], localBits, numHashes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val bitsRef = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    val bcRef = ctx.addReferenceObj("bloomBc", bitsBc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val bitsVar = ctx.addMutableState("long[]", "bloomBits",
+      v => s"$v = (long[]) $bcRef.value();")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.operators.BloomBits.hitCount($c, $bitsRef, $numHashes);")
+      s"${ev.value} = graft.operators.BloomBits.hitCount($c, $bitsVar, $numHashes);")
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -302,8 +312,10 @@ object GraftFunctions {
   def uuid5(name: Column): Column =
     ColumnBridge.column(Uuid5Expr(ColumnBridge.expression(name)))
 
-  def bloomHitCount(hashes: Column, bits: Array[Long], numHashes: Int): Column =
-    ColumnBridge.column(BloomHitCount(ColumnBridge.expression(hashes), bits, numHashes))
+  def bloomHitCount(hashes: Column, bits: Array[Long], numHashes: Int): Column = {
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(bits)
+    ColumnBridge.column(BloomHitCount(ColumnBridge.expression(hashes), bc, numHashes))
+  }
 
   def ngramHashes(words: Column, n: Int): Column =
     ColumnBridge.column(NgramHashes(ColumnBridge.expression(words), n))

@@ -344,6 +344,32 @@ object CurationQueries {
       .orderBy(col("doc_id"), col("bench_id"))
   }
 
+  /** p16: the END-TO-END training-data prep pass, hash-checked as ONE
+    * query: quality gate → exact dedup keep-first (duplicates planted
+    * by a shifted self-union so the stage provably drops rows) → Bloom
+    * decontamination (scan-side probe; ~1e-10 fp keeps exact-join
+    * parity) → sequence packing at seqLen 512. Every stage is verified
+    * on its own elsewhere (t01, d01, t13, p14); this row proves the
+    * COMPOSITION — stage order, survivor sets, and the packed offsets —
+    * against an independent engine. */
+  def curatePack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val planted = d.unionAll(d.withColumn("doc_id", col("doc_id") + 1000000L))
+    val quality = planted.filter(TextAnalysis.qualityScore(col("text")) >= 0.3)
+    // keep-first: one shuffle on the 32-byte digest, not the text
+    val kept = quality
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+    val bench = d.filter(col("doc_id") % 25 === 0)
+      .select(array_join(slice(split(col("text"), " "), 1, 60), " ").as("bench_text"))
+    val bits = graft.operators.Bloom.ngramFilter(bench, "bench_text", n = 8)
+    val clean = kept.filter(graft.operators.Bloom.ngramHitCount("text", 8, bits) === 0)
+    graft.operators.Packing.sequencePack(clean, "doc_id", "text", seqLen = 512)
+      .orderBy(col("doc_id"))
+  }
+
   /** t13: Bloom-filter decontamination — the scan-side variant of t10:
     * the eval set (same carve-out) collapses to a 1 MiB bitset of its
     * 8-gram hashes; every corpus document is then scored by one
@@ -391,6 +417,7 @@ object CurationQueries {
     "d10_dedup_substring"   -> dedupSubstring _,
     "t12_domain_mixture"    -> domainMixture _,
     "t13_bloom_decontam"    -> bloomDecontaminate _,
+    "p16_curate_pack"       -> curatePack _,
     "t11_unigram_score"     -> unigramScore _,
     "t10_contamination"     -> contamination _,
     "t09_compression"       -> compressionRatio _,
@@ -437,6 +464,40 @@ object CurationQueries {
         |CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
         |round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
         |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "p16_curate_pack" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         |q AS (
+         |  SELECT doc_id, text FROM planted
+         |  WHERE round($qualitySql, 6) >= 0.3),
+         |k AS (SELECT min(doc_id) AS keep_id FROM q GROUP BY sha256(text)),
+         |kept AS (SELECT q.doc_id, q.text FROM q JOIN k ON q.doc_id = k.keep_id),
+         |bench AS (
+         |  SELECT array_to_string(string_split(text,' ')[1:60], ' ') AS bench_text
+         |  FROM documents WHERE doc_id % 25 = 0),
+         |bng AS (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform(
+         |    generate_series(1, len(string_split(bench_text,' ')) - 7),
+         |    i -> array_to_string(string_split(bench_text,' ')[i:i+7], ' ')))) AS ngram
+         |  FROM bench),
+         |dirty AS (
+         |  SELECT DISTINCT kn.doc_id FROM (
+         |    SELECT doc_id, unnest(list_distinct(list_transform(
+         |      generate_series(1, len(string_split(text,' ')) - 7),
+         |      i -> array_to_string(string_split(text,' ')[i:i+7], ' ')))) AS ngram
+         |    FROM kept) kn JOIN bng ON kn.ngram = bng.ngram),
+         |clean AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dirty))
+         |SELECT doc_id, n_tokens,
+         |coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_token,
+         |coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS seq_id,
+         |coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 512 AS seq_offset
+         |FROM clean ORDER BY doc_id""".stripMargin,
     "t13_bloom_decontam" ->
       """WITH bench AS (
         |  SELECT array_to_string(string_split(text,' ')[1:60], ' ') AS bench_text

@@ -85,11 +85,30 @@ object Relational5 {
       .orderBy(col("entity_id"))
   }
 
+  /** q29: UNPIVOT (melt) — the wide per-flag measure matrix back to
+    * long form, the inverse of q12's pivot. Spark lowers `unpivot` to
+    * the same Expand node as grouping sets: the aggregate output is
+    * read once and fanned out map-side, no extra shuffle. */
+  def q29Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(col("l_quantity").cast(DecimalType(18, 6))), 2).cast("double").as("qty"),
+        round(sum(col("l_extendedprice").cast(DecimalType(18, 6))), 2).cast("double").as("price"),
+        round(sum(col("l_discount").cast(DecimalType(18, 6))), 2).cast("double").as("disc"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("disc")),
+        "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_grouping_sets" -> q25GroupingSets _,
     "q26_exists"        -> q26Exists _,
     "q27_lateral_words" -> q27LateralWords _,
-    "q28_full_outer"    -> q28FullOuter _)
+    "q28_full_outer"    -> q28FullOuter _,
+    "q29_unpivot"       -> q29Unpivot _)
 
   val oracles: Map[String, String] = Map(
     "q25_grouping_sets" ->
@@ -117,6 +136,17 @@ object Relational5 {
         |CAST(n_orders IS NOT DISTINCT FROM n_events AS INT) AS balanced
         |FROM o FULL OUTER JOIN ev ON o_custkey = user_id
         |ORDER BY entity_id""".stripMargin,
+    "q29_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS qty,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS price,
+        |    CAST(round(sum(CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'qty' AS measure, qty AS value FROM w
+        |UNION ALL SELECT l_returnflag, 'price', price FROM w
+        |UNION ALL SELECT l_returnflag, 'disc', disc FROM w
+        |ORDER BY l_returnflag, measure""".stripMargin,
     "q27_lateral_words" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ')[1:10] AS ws FROM documents)
         |SELECT doc_id, CAST(i - 1 AS INT) AS pos, ws[i] AS word,
