@@ -339,12 +339,19 @@ object GraftFunctions {
     spark.udf.register("graft_extract",
       (bytes: Array[Byte], ext: String) =>
         graft.sources.DocumentReader.extractText()(bytes, ext))
+    // poison-file guard (same contract as DocumentReader.extractPdf/
+    // extractDocx): a corrupt payload degrades to an empty page list
+    // instead of throwing through the scan and failing the whole batch
     spark.udf.register("pdf_pages",
       (bytes: Array[Byte]) =>
-        if (bytes == null) null else graft.sources.PdfText.extractPages(bytes))
+        if (bytes == null) null
+        else try graft.sources.PdfText.extractPages(bytes)
+        catch { case scala.util.control.NonFatal(_) => Vector.empty[String] })
     spark.udf.register("docx_paragraphs",
       (bytes: Array[Byte]) =>
-        if (bytes == null) null else graft.sources.DocxText.extractParagraphs(bytes))
+        if (bytes == null) null
+        else try graft.sources.DocxText.extractParagraphs(bytes)
+        catch { case scala.util.control.NonFatal(_) => Vector.empty[String] })
     spark.udf.register("markdown_text",
       (md: String) =>
         if (md == null) null else graft.sources.MarkdownText.extractText(md))

@@ -61,6 +61,14 @@ object Clusters {
       labels = next.select(col("id"), col("label"))
       iter += 1
     }
+    // loud, not silent: un-converged labels would split one true cluster
+    // into several, and the dedup pass would then KEEP extra copies with
+    // no signal anything went wrong (hitting the cap is otherwise
+    // indistinguishable from convergence to the caller)
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge within $maxIterations rounds — " +
+        "the graph has a label-propagation chain longer than the cap; " +
+        "raise maxIterations (rounds needed = eccentricity of each component's minimum node)")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

@@ -161,17 +161,27 @@ object Multimodal {
       (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) | ((p(i + 2) & 0xffL) << 16) |
         ((p(i + 3) & 0xffL) << 24)
     try {
-      var off = 12
+      // the walk offset and chunk size stay Long: a size field >= 2 GiB
+      // wrapped to a negative Int here, advancing the walk by <= 0 — an
+      // infinite loop inside a Spark task that the NonFatal catch can
+      // never interrupt. In Long the advance is always >= 8, so the walk
+      // terminates on any byte pattern; an oversized/truncated data
+      // chunk clamps (in Long — an Int min would re-wrap) to the bytes
+      // actually present, keeping truncated-but-decodable files decodable.
+      var off = 12L
       var fmtOff = -1
       var dataOff = -1
       var dataLen = 0
       while (off + 8 <= p.length && (fmtOff < 0 || dataOff < 0)) {
-        val id = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-        val size = u32(off + 4).toInt
-        if (id == "fmt ") fmtOff = off + 8
-        else if (id == "data") { dataOff = off + 8; dataLen = math.min(size, p.length - dataOff) }
+        val id = new String(p, off.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = u32(off.toInt + 4)
+        if (id == "fmt ") fmtOff = off.toInt + 8
+        else if (id == "data") {
+          dataOff = off.toInt + 8
+          dataLen = math.max(0L, math.min(size, (p.length - dataOff).toLong)).toInt
+        }
         // chunks are word-aligned: odd sizes carry a pad byte
-        off += 8 + size + (size & 1)
+        off += 8L + size + (size & 1L)
       }
       if (fmtOff < 0 || dataOff < 0) return decodeAudioStub(r)
       val audioFormat = u16(fmtOff)
@@ -196,8 +206,12 @@ object Multimodal {
         val sq = (v * v).toDouble
         sumSq += sq
         if (math.abs(v) > peakAbs) peakAbs = math.abs(v)
-        val frame = s / channels
-        val bin = if (nFrames == 0) 0 else math.min(15, (frame * 16 / nFrames).toInt)
+        // frame*16 must widen to Long BEFORE multiplying: at >= 2^27
+        // samples the Int product wraps negative and indexes out of the
+        // envelope array (silently degrading a valid file to the stub
+        // via the catch)
+        val frame = s.toLong / channels
+        val bin = if (nFrames == 0) 0 else math.min(15L, frame * 16 / nFrames).toInt
         envSumSq(bin) += sq
         envN(bin) += 1
         s += 1

@@ -124,7 +124,7 @@ object PipelineQueries {
       .select(col("content")).as[Array[Byte]]
       .flatMap { bytes =>
         graft.sources.PdfText.extractPages(bytes).zipWithIndex.map { case (p0, i) =>
-          val p = if (p0.isEmpty || p0.endsWith("\n")) p0 else p0 + "\n"
+          val p = graft.sources.PdfText.pageWithTrailingNewline(p0)
           val md = java.security.MessageDigest.getInstance("MD5")
           val h = md.digest(p.getBytes(java.nio.charset.StandardCharsets.UTF_8))
             .map("%02x".format(_)).mkString

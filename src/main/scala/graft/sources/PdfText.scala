@@ -43,13 +43,16 @@ object PdfText {
     }
   }
 
+  /** fitz-parity page normalization: `get_text` ends each non-empty
+    * page's last line with \n. ONE definition — the p10 query and the
+    * whole-document form must never drift apart on this rule. */
+  def pageWithTrailingNewline(p: String): String =
+    if (p.isEmpty || p.endsWith("\n")) p else p + "\n"
+
   /** The reference's whole-document form: per-page text concatenated
-    * with a trailing newline per page (fitz `get_text` ends each page's
-    * last line with \n). */
+    * with a trailing newline per page. */
   def extractText(pdf: Array[Byte]): String =
-    extractPages(pdf).map { p =>
-      if (p.isEmpty || p.endsWith("\n")) p else p + "\n"
-    }.mkString
+    extractPages(pdf).map(pageWithTrailingNewline).mkString
 
   // ---- object scan ----
 

@@ -36,15 +36,19 @@ class ClustersSpec extends AnyFunSuite {
     assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
   }
 
-  test("maxIterations caps the propagation rounds") {
-    // a 4-hop path needs 4 rounds to converge; 1 round must not claim
-    // convergence but still returns a valid partial labeling
-    val partial = Clusters.connectedComponents(
-      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b"),
-      maxIterations = 1)
+  test("hitting maxIterations without convergence fails loudly, never silently") {
+    // a 4-hop path needs 4 rounds; capping at 1 must THROW — a partial
+    // labeling would split one true cluster and the dedup pass would
+    // keep extra copies with no signal (r2 review finding)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Clusters.connectedComponents(pairs, maxIterations = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // the same graph with a sufficient cap converges to the global min
+    val full = Clusters.connectedComponents(pairs, maxIterations = 10)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(partial(2L) === 1L) // one hop propagated
-    assert(partial(4L) === 3L) // not yet the global min
+    assert(full.values.toSet === Set(1L))
   }
 
   test("empty pair graph yields empty labeling") {

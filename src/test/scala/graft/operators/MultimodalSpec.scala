@@ -146,6 +146,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(t.rms == 0.0 && t.envelope.length == 16)
   }
 
+  test("adversarial wav chunk sizes: huge/wrapping sizes degrade, never hang") {
+    // chunk size 0xFFFFFFF8 wrapped to Int -8 made the walk advance by
+    // zero — an infinite loop inside the task (r2 review finding). Any
+    // size past the payload end must degrade to the stub.
+    val evil = java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("RIFF".getBytes); evil.putInt(24); evil.put("WAVE".getBytes)
+    evil.put("junk".getBytes); evil.putInt(0xFFFFFFF8) // 4294967288 as u32
+    val d = decodeAudio(MediaRow(7L, "audio", evil.array()))
+    assert(d.sample_rate == 8000, "wrapping chunk size must fall back to the stub")
+    // a truncated data chunk (size field > remaining bytes) clamps to
+    // the bytes present — frame counts never go negative
+    val tr = java.nio.ByteBuffer.allocate(48).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tr.put("RIFF".getBytes); tr.putInt(40); tr.put("WAVE".getBytes)
+    tr.put("fmt ".getBytes); tr.putInt(16)
+    tr.putShort(1); tr.putShort(1); tr.putInt(8000); tr.putInt(16000)
+    tr.putShort(2); tr.putShort(16)
+    tr.put("data".getBytes); tr.putInt(1000000) // claims 1 MB, has 4 bytes
+    tr.putShort(100); tr.putShort(-100)
+    val t = decodeAudio(MediaRow(8L, "audio", tr.array()))
+    assert(t.n_frames == 2 && t.duration_ms >= 0, s"clamped frames, got ${t.n_frames}")
+  }
+
   test("mp4 metadata round-trip: duration, tracks, handler types, dimensions") {
     val bytes = mp4Meta(timescale = 1200, duration = 36000L,
       tracks = Seq(("vide", 1280, 720), ("soun", 0, 0)))

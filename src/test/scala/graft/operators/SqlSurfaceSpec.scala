@@ -57,6 +57,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val md = spark.sql(
       "SELECT markdown_text('# T\\nbody [x](http://y)') AS t").head().getString(0)
     assert(md.contains("T\nbody x"))
+    // poison-file guard (r2 review finding): corrupt payloads degrade to
+    // an empty page list instead of throwing through the scan — bytes
+    // chosen to trip the object scanner ('<obj num> 0 obj' over raw data)
+    val poison = spark.sql(
+      """SELECT size(pdf_pages(CAST('99999999999 0 obj garbage' AS BINARY))) AS p,
+        |       size(docx_paragraphs(CAST('PK torn zip' AS BINARY))) AS d""".stripMargin).head()
+    assert(poison.getInt(0) == 0 && poison.getInt(1) == 0)
   }
 
   test("salted aggregation equals plain groupBy on skewed data") {
