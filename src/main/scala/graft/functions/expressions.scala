@@ -118,6 +118,61 @@ object helpers {
   def uuid5(name: UTF8String): UTF8String =
     UTF8String.fromString(graft.core.Uuid5.of(name.toString))
 
+  /** Gopher-rules repetition fractions, one scan-local pass per
+    * document: [top-2-gram, top-3-gram, top-4-gram, dup-5-gram] char
+    * fractions (Rae et al. 2021 §A1.1 — the fraction of characters in
+    * the single most frequent n-gram for small n, and in ALL duplicated
+    * n-grams for larger n; overlaps intentionally not de-overlapped, so
+    * dup fractions can exceed 1 on degenerate text). The top n-gram
+    * tie-breaks to the lexicographically smallest, so the statistic is
+    * engine-reproducible. A native one-pass expression because per-doc
+    * frequency maps must NOT become a corpus-wide (doc, gram) shuffle —
+    * this is scan-side profiling, like [[ngramHashes]]. */
+  def gopherFractions(text: UTF8String): ArrayData = {
+    val s = text.toString
+    // match Spark's split(text, ' ') exactly: trailing empties kept
+    val words = s.split(" ", -1)
+    val len = s.length.toDouble
+    val out = new Array[Double](4)
+    if (len > 0) {
+      var slot = 0
+      var n = 2
+      while (n <= 4) {
+        val counts = new java.util.HashMap[String, Int]()
+        var i = 0
+        while (i + n <= words.length) {
+          val g = words.slice(i, i + n).mkString(" ")
+          counts.merge(g, 1, Integer.sum)
+          i += 1
+        }
+        var bestGram: String = null
+        var bestCnt = 0
+        counts.forEach { (g, c) =>
+          if (c > bestCnt || (c == bestCnt && (bestGram == null || g.compareTo(bestGram) < 0))) {
+            bestGram = g; bestCnt = c
+          }
+        }
+        // raw IEEE result — rounding happens in the query layer
+        // (round(x, 6)) so both engines apply the same HALF_UP rule
+        out(slot) =
+          if (bestGram == null) 0.0
+          else bestCnt * bestGram.length / len
+        slot += 1
+        n += 1
+      }
+      val c5 = new java.util.HashMap[String, Int]()
+      var i = 0
+      while (i + 5 <= words.length) {
+        c5.merge(words.slice(i, i + 5).mkString(" "), 1, Integer.sum)
+        i += 1
+      }
+      var dupChars = 0L
+      c5.forEach { (g, c) => if (c >= 2) dupChars += c.toLong * g.length }
+      out(3) = dupChars / len
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct word n-gram hashes: each word XXH64-hashed once, each
     * window the hashLong-fold of its n word hashes (the same scheme as
     * [[minHashFromWords]] — no window array copies, no re-hashing of
@@ -215,6 +270,29 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "cosine_similarity"
+}
+
+/** `gopher_fractions(text)` → array<double> [top2, top3, top4, dup5]
+  * char fractions — scan-local Gopher repetition rules. */
+case class GopherFractions(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"gopher_fractions needs a string column, got $t")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    helpers.gopherFractions(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.helpers.gopherFractions($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "gopher_fractions"
 }
 
 /** `ngram_hashes(words, n)` → array<bigint>: distinct word n-gram
@@ -320,6 +398,9 @@ object GraftFunctions {
   def ngramHashes(words: Column, n: Int): Column =
     ColumnBridge.column(NgramHashes(ColumnBridge.expression(words), n))
 
+  def gopherFractions(text: Column): Column =
+    ColumnBridge.column(GopherFractions(ColumnBridge.expression(text)))
+
   /** Register `cosine_similarity` / `uuid5` / `minhash_signature` for the
     * SQL surface. */
   def register(spark: SparkSession): Unit = {
@@ -331,6 +412,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("minhash_signature",
       exprs => MinHashSignature(exprs(0),
         exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("ngram_hashes",
+      exprs => NgramHashes(exprs(0),
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("gopher_fractions",
+      exprs => GopherFractions(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("chunk_text",
       exprs => ChunkGenerator(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
     // document extraction over binary columns (SQL surface for the S2/S3/

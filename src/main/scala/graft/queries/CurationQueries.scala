@@ -413,7 +413,22 @@ object CurationQueries {
         vocabSize = 500)
       .orderBy(col("doc_id"))
 
+  /** t14: Gopher top-/duplicated-n-gram char fractions (Rae et al.
+    * §A1.1) — one scan-local native-expression pass per document. */
+  def gopherFractions(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherNgramFractions(documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** t15: top-3 TF-IDF keywords per document (rational idf — tf·N/df —
+    * so scores and the top-k cut are engine-exact; see
+    * [[TextAnalysis.tfIdfKeywords]]). */
+  def tfIdf(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfIdfKeywords(documents(spark, dir), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("rank"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_gopher_ngrams"     -> gopherFractions _,
+    "t15_tfidf_keywords"    -> tfIdf _,
     "d10_dedup_substring"   -> dedupSubstring _,
     "t12_domain_mixture"    -> domainMixture _,
     "t13_bloom_decontam"    -> bloomDecontaminate _,
@@ -453,6 +468,54 @@ object CurationQueries {
       | + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t14_gopher_ngrams" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+        |c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM (
+        |  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram
+        |  FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)) GROUP BY 1, 2),
+        |t2 AS (SELECT doc_id, cnt, gram FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+        |  FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM (
+        |  SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+        |  FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)) GROUP BY 1, 2),
+        |t3 AS (SELECT doc_id, cnt, gram FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+        |  FROM c3) WHERE rn = 1),
+        |c4 AS (SELECT doc_id, gram, count(*) AS cnt FROM (
+        |  SELECT doc_id, array_to_string(ws[i:i+3], ' ') AS gram
+        |  FROM w, unnest(generate_series(1, len(ws) - 3)) AS t(i)) GROUP BY 1, 2),
+        |t4 AS (SELECT doc_id, cnt, gram FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+        |  FROM c4) WHERE rn = 1),
+        |c5 AS (SELECT doc_id, gram, count(*) AS cnt FROM (
+        |  SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+        |  FROM w, unnest(generate_series(1, len(ws) - 4)) AS t(i)) GROUP BY 1, 2),
+        |d5 AS (SELECT doc_id, CAST(sum(cnt * length(gram)) AS BIGINT) AS dup_chars
+        |  FROM c5 WHERE cnt >= 2 GROUP BY 1)
+        |SELECT w.doc_id,
+        |round(coalesce(t2.cnt * length(t2.gram) / length(w.text), 0), 6) AS top2_frac,
+        |round(coalesce(t3.cnt * length(t3.gram) / length(w.text), 0), 6) AS top3_frac,
+        |round(coalesce(t4.cnt * length(t4.gram) / length(w.text), 0), 6) AS top4_frac,
+        |round(coalesce(d5.dup_chars / length(w.text), 0), 6) AS dup5_frac
+        |FROM w LEFT JOIN t2 ON w.doc_id = t2.doc_id
+        |LEFT JOIN t3 ON w.doc_id = t3.doc_id
+        |LEFT JOIN t4 ON w.doc_id = t4.doc_id
+        |LEFT JOIN d5 ON w.doc_id = d5.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
+    "t15_tfidf_keywords" ->
+      """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |    round(t.tf * (CAST(n.n_docs AS DOUBLE) / d.df), 6) AS score
+        |  FROM tf t JOIN df d USING (term), n),
+        |ranked AS (SELECT *, CAST(row_number() OVER (
+        |  PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank FROM scored)
+        |SELECT doc_id, rank, term, tf, df, score FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "d10_dedup_substring" ->
       """WITH ng AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(

@@ -285,6 +285,42 @@ class CurationSpec extends AnyFunSuite {
     assert(got("a")._4 < got("a")._3 && got("b")._4 > got("b")._3)
   }
 
+  test("gopher fractions: top n-gram and duplicated n-gram char coverage") {
+    import spark.implicits._
+    // "a b a b a b" (11 chars): bigrams = [a b, b a, a b, b a, a b] ->
+    // top "a b" cnt 3, len 3 -> 9/11; 5-grams "a b a b a" x1,
+    // "b a b a b" x1 -> no dups
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "x y z w v u t s"),                  // all n-grams unique
+      (3L, "c c c c c c c c c c")).toDF("doc_id", "text") // total repetition
+    val got = TextAnalysis.gopherNgramFractions(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L)._1 === round6(9.0 / 11))
+    assert(got(2L)._4 === 0.0, "unique text has no duplicated 5-grams")
+    // doc 3: 10 c's (19 chars); top bigram "c c" (3 chars) x9 -> 27/19;
+    // dup 5-grams: "c c c c c" (9 chars) x6 -> 54/19 (overlaps counted)
+    assert(got(3L)._1 === round6(27.0 / 19))
+    assert(got(3L)._4 === round6(54.0 / 19))
+  }
+
+  test("tf-idf keywords: rational idf ranks rare terms over common ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared shared rare1"),
+      (2L, "shared unique2 unique2 unique2"),
+      (3L, "shared other other")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdfKeywords(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // doc 1: rare1 tf=1 df=1 -> 3.0; shared tf=2 df=3 -> 2.0
+    assert(got((1L, 1L)) === "rare1" && got((1L, 2L)) === "shared")
+    // doc 2: unique2 tf=3 df=1 -> 9.0 beats shared 1.0
+    assert(got((2L, 1L)) === "unique2")
+    // doc 3: other tf=2 df=1 -> 6.0 beats shared
+    assert(got((3L, 1L)) === "other")
+  }
+
   test("winnowing fingerprints: shared substrings produce shared fingerprints") {
     import spark.implicits._
     val docs = Seq(
