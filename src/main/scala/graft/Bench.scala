@@ -23,7 +23,8 @@ object Bench {
     "a01_ann_bruteforce", "a05_embed_quantize", "a08_ann_ivf_kmeans",
     "t01_text_profile", "t10_contamination", "t11_unigram_score",
     "d10_dedup_substring", "t12_domain_mixture", "t13_bloom_decontam",
-    "p16_curate_pack", "t14_gopher_ngrams", "t15_tfidf_keywords")
+    "p16_curate_pack", "t14_gopher_ngrams", "t15_tfidf_keywords",
+    "t16_quality_verdict")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

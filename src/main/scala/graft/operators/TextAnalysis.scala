@@ -243,6 +243,37 @@ object TextAnalysis {
         col("tf"), col("df"), col("score"))
   }
 
+  /** The document-level KEEP/DROP verdict — the C4/Gopher-style quality
+    * filter decision that real pipelines apply, combining the
+    * independent signals into one row per document: composite quality,
+    * within-doc repetition, top-bigram coverage (Gopher rule), OOV
+    * ratio against the corpus vocabulary, and a length floor. All
+    * thresholds compare the ROUNDED 6-decimal signals, so the verdict
+    * bit is engine-exact. Dropping keep = 0 rows IS the quality pass
+    * (the d09 pattern, for quality instead of duplication).
+    *
+    * Scale posture: every signal but OOV is scan-local (one projection);
+    * OOV adds the bounded vocabulary aggregate + broadcast join of
+    * [[unigramScores]]. One shuffle total (the unigram partial agg). */
+  def qualityVerdict(docs: DataFrame, idCol: String, textCol: String,
+                     minQuality: Double = 0.3, maxRepetition: Double = 0.1,
+                     maxTop2Frac: Double = 0.15, maxOovRatio: Double = 0.7,
+                     minWords: Long = 20, vocabSize: Int = 500): DataFrame = {
+    val g = graft.functions.GraftFunctions.gopherFractions(col(textCol))
+    val signals = docs.select(col(idCol).as("doc_id"),
+      qualityScore(col(textCol)).as("quality"),
+      repetitionRatio(col(textCol)).as("rep_ratio"),
+      round(element_at(g, 1), 6).as("top2_frac"))
+    val oov = unigramScores(docs, idCol, textCol, vocabSize)
+      .select(col("doc_id"), col("n_words"), col("oov_ratio"))
+    signals.join(oov, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("quality"),
+        col("rep_ratio"), col("top2_frac"), col("oov_ratio"),
+        (col("quality") >= minQuality && col("rep_ratio") <= maxRepetition &&
+          col("top2_frac") <= maxTop2Frac && col("oov_ratio") <= maxOovRatio &&
+          col("n_words") >= minWords).cast("int").as("keep"))
+  }
+
   /** Domain-mixture statistics and temperature-weighted sampling
     * budgets — the corpus-mixing step of a training-data pipeline
     * (mixture weights ∝ token-count^alpha, the multilingual/domain

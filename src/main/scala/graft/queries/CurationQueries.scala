@@ -426,9 +426,17 @@ object CurationQueries {
     TextAnalysis.tfIdfKeywords(documents(spark, dir), "doc_id", "text", k = 3)
       .orderBy(col("doc_id"), col("rank"))
 
+  /** t16: the document-level quality KEEP/DROP verdict — C4/Gopher
+    * thresholds over the combined signal row (see
+    * [[TextAnalysis.qualityVerdict]]). */
+  def qualityVerdict(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityVerdict(documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t14_gopher_ngrams"     -> gopherFractions _,
     "t15_tfidf_keywords"    -> tfIdf _,
+    "t16_quality_verdict"   -> qualityVerdict _,
     "d10_dedup_substring"   -> dedupSubstring _,
     "t12_domain_mixture"    -> domainMixture _,
     "t13_bloom_decontam"    -> bloomDecontaminate _,
@@ -503,6 +511,32 @@ object CurationQueries {
         |LEFT JOIN t4 ON w.doc_id = t4.doc_id
         |LEFT JOIN d5 ON w.doc_id = d5.doc_id
         |ORDER BY w.doc_id""".stripMargin,
+    "t16_quality_verdict" ->
+      s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         |c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM (
+         |  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram
+         |  FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)) GROUP BY 1, 2),
+         |t2 AS (SELECT doc_id, cnt, gram FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+         |  FROM c2) WHERE rn = 1),
+         |words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |vocab AS (SELECT word, count(*) AS freq FROM words
+         |  GROUP BY word ORDER BY freq DESC, word LIMIT 500),
+         |ov AS (SELECT wd.doc_id, count(*) AS n_words,
+         |  round(1.0 - count(v.freq) / CAST(count(*) AS DOUBLE), 6) AS oov_ratio
+         |  FROM words wd LEFT JOIN vocab v ON wd.word = v.word GROUP BY wd.doc_id),
+         |sig AS (SELECT w.doc_id,
+         |  round($qualitySql, 6) AS quality,
+         |  CASE WHEN len(ws) < 2 THEN 0.0
+         |    ELSE round(1.0 - len(list_distinct(list_transform(range(1, len(ws)),
+         |      i -> ws[i] || ' ' || ws[i + 1]))) / CAST(len(ws) - 1 AS DOUBLE), 6) END AS rep_ratio,
+         |  round(coalesce(t2.cnt * length(t2.gram) / length(w.text), 0), 6) AS top2_frac
+         |  FROM w LEFT JOIN t2 ON w.doc_id = t2.doc_id)
+         |SELECT s.doc_id, ov.n_words, s.quality, s.rep_ratio, s.top2_frac, ov.oov_ratio,
+         |CAST(s.quality >= 0.3 AND s.rep_ratio <= 0.1 AND s.top2_frac <= 0.15
+         |  AND ov.oov_ratio <= 0.7 AND ov.n_words >= 20 AS INT) AS keep
+         |FROM sig s JOIN ov ON s.doc_id = ov.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
     "t15_tfidf_keywords" ->
       """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),

@@ -321,6 +321,25 @@ class CurationSpec extends AnyFunSuite {
     assert(got((3L, 1L)) === "other")
   }
 
+  test("quality verdict: each gate rejects its own failure mode") {
+    import spark.implicits._
+    val good = "the ship sailed north in clear weather and the crew of forty " +
+      "spoke of the long summer voyage to the island markets in the east " +
+      "where traders sold grain and cloth and salt to the harbour towns"
+    val docs = Seq(
+      (1L, good),                                     // passes everything
+      (2L, "x! y? z# @@ ##"),                         // low quality + short
+      (3L, ("the spam " * 40).trim),                  // repetition + top2
+      (4L, good.split(" ").take(10).mkString(" ")))   // under the length floor
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.qualityVerdict(docs, "doc_id", "text",
+        vocabSize = 50)
+      .collect().map(r => r.getLong(0) -> r.getInt(6)).toMap
+    assert(got(1L) === 1, "clean prose must be kept")
+    assert(got(2L) === 0 && got(3L) === 0 && got(4L) === 0,
+      s"each planted failure mode must be dropped: $got")
+  }
+
   test("winnowing fingerprints: shared substrings produce shared fingerprints") {
     import spark.implicits._
     val docs = Seq(
