@@ -130,19 +130,34 @@ object helpers {
     * this is scan-side profiling, like [[ngramHashes]]. */
   def gopherFractions(text: UTF8String): ArrayData = {
     val s = text.toString
-    // match Spark's split(text, ' ') exactly: trailing empties kept
-    val words = s.split(" ", -1)
     val len = s.length.toDouble
     val out = new Array[Double](4)
     if (len > 0) {
+      // word start/end offsets of the single-space split (empties kept,
+      // matching Spark's split(text, ' ')). An n-gram's joined string
+      // equals the SUBSTRING spanning its words — words.slice.mkString
+      // rebuilt that substring through two allocations per window, which
+      // dominated the 500k-doc pass (29 s -> single-digit seconds).
+      var nw = 1
+      var i = 0
+      while (i < s.length) { if (s.charAt(i) == ' ') nw += 1; i += 1 }
+      val starts = new Array[Int](nw)
+      val ends = new Array[Int](nw)
+      var w = 0
+      starts(0) = 0
+      i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == ' ') { ends(w) = i; w += 1; starts(w) = i + 1 }
+        i += 1
+      }
+      ends(w) = s.length
       var slot = 0
       var n = 2
       while (n <= 4) {
         val counts = new java.util.HashMap[String, Int]()
-        var i = 0
-        while (i + n <= words.length) {
-          val g = words.slice(i, i + n).mkString(" ")
-          counts.merge(g, 1, Integer.sum)
+        i = 0
+        while (i + n <= nw) {
+          counts.merge(s.substring(starts(i), ends(i + n - 1)), 1, Integer.sum)
           i += 1
         }
         var bestGram: String = null
@@ -161,9 +176,9 @@ object helpers {
         n += 1
       }
       val c5 = new java.util.HashMap[String, Int]()
-      var i = 0
-      while (i + 5 <= words.length) {
-        c5.merge(words.slice(i, i + 5).mkString(" "), 1, Integer.sum)
+      i = 0
+      while (i + 5 <= nw) {
+        c5.merge(s.substring(starts(i), ends(i + 4)), 1, Integer.sum)
         i += 1
       }
       var dupChars = 0L
@@ -171,6 +186,35 @@ object helpers {
       out(3) = dupChars / len
     }
     new GenericArrayData(out)
+  }
+
+  /** Raw repetition ratio 1 − distinct-bigrams/total-bigrams (0.0 for
+    * texts under two words) — same substring-span construction as
+    * [[gopherFractions]]. The HOF form (`transform(sequence(..),
+    * i -> concat(element_at..))` + `array_distinct`) cost 27 s over
+    * 50k docs; this pass is sub-second. Rounding stays in the query
+    * layer. */
+  def repetitionRatioRaw(text: UTF8String): Double = {
+    val s = text.toString
+    var nw = 1
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) == ' ') nw += 1; i += 1 }
+    val total = nw - 1
+    if (total <= 0) return 0.0
+    val starts = new Array[Int](nw)
+    val ends = new Array[Int](nw)
+    var w = 0
+    starts(0) = 0
+    i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == ' ') { ends(w) = i; w += 1; starts(w) = i + 1 }
+      i += 1
+    }
+    ends(w) = s.length
+    val distinct = new java.util.HashSet[String]()
+    i = 0
+    while (i + 2 <= nw) { distinct.add(s.substring(starts(i), ends(i + 1))); i += 1 }
+    1.0 - distinct.size.toDouble / total.toDouble
   }
 
   /** Distinct word n-gram hashes: each word XXH64-hashed once, each
@@ -295,6 +339,29 @@ case class GopherFractions(child: Expression)
   override def prettyName: String = "gopher_fractions"
 }
 
+/** `repetition_ratio(text)` → double: raw 1 − distinct/total bigram
+  * ratio, scan-local. */
+case class RepetitionRatioExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"repetition_ratio needs a string column, got $t")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    helpers.repetitionRatioRaw(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.helpers.repetitionRatioRaw($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "repetition_ratio"
+}
+
 /** `ngram_hashes(words, n)` → array<bigint>: distinct word n-gram
   * hashes (sorted). The shared n-gram key of the decontamination and
   * duplicated-window operators — all producers and consumers MUST go
@@ -400,6 +467,9 @@ object GraftFunctions {
 
   def gopherFractions(text: Column): Column =
     ColumnBridge.column(GopherFractions(ColumnBridge.expression(text)))
+
+  def repetitionRatioRaw(text: Column): Column =
+    ColumnBridge.column(RepetitionRatioExpr(ColumnBridge.expression(text)))
 
   /** Register `cosine_similarity` / `uuid5` / `minhash_signature` for the
     * SQL surface. */

@@ -123,17 +123,12 @@ object TextAnalysis {
   }
 
   /** Repetition ratio: 1 − distinct-bigrams / total-bigrams — the
-    * Gopher-rules repetition signal (high = boilerplate/spam). */
-  def repetitionRatio(text: Column): Column = {
-    val words = split(text, " ")
-    val total = size(words) - 1
-    val bigrams = transform(
-      sequence(lit(0), size(words) - 2),
-      i => concat(element_at(words, i + 1), lit(" "), element_at(words, i + 2)))
-    val distinctBigrams = size(array_distinct(bigrams))
-    when(total <= 0, lit(0.0))
-      .otherwise(round(lit(1.0) - distinctBigrams.cast("double") / total.cast("double"), 6))
-  }
+    * Gopher-rules repetition signal (high = boilerplate/spam). Native
+    * scan-local expression: the interpreted HOF form (transform +
+    * concat + array_distinct) cost 27 s over 50k docs, ~20× the rest
+    * of the profile combined. */
+  def repetitionRatio(text: Column): Column =
+    round(graft.functions.GraftFunctions.repetitionRatioRaw(text), 6)
 
   /** Compression ratio (deflate bytes / raw bytes): low ratio means
     * highly repetitive text — the Gopher-rules quality heuristic.

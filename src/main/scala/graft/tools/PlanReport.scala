@@ -23,7 +23,8 @@ object PlanReport {
       "q17_asof_join", "q22_range_join", "q25_grouping_sets", "q26_exists",
       "p02_chunk_exact_chars", "d03_dedup_minhash", "a01_ann_bruteforce",
       "t10_contamination", "t11_unigram_score", "p14_sequence_pack",
-      "d10_dedup_substring", "t13_bloom_decontam", "p16_curate_pack")
+      "d10_dedup_substring", "t13_bloom_decontam", "p16_curate_pack",
+      "t15_tfidf_keywords", "t16_quality_verdict")
     sb.append("\n## Physical plans (executed, AQE final)\n")
     planQueries.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
@@ -225,6 +226,23 @@ object PlanReport {
     sb.append(f"| hash agg (q01 shape) | ${time(li100.groupBy("l_returnflag").agg(sum("l_quantity")).count())}%.2f s |\n")
     sb.append(f"| exact dedup (sha256 groupBy) | ${time(graft.operators.Dedup.exactKeepFirst(docs100, "doc_id", "text").count())}%.2f s |\n")
     sb.append(f"| chunk+embed pipeline | ${time(graft.pipeline.EmbedPipeline.run(docs100).count())}%.2f s |\n")
+    locally {
+      val bits100 = graft.operators.Bloom.ngramFilter(bench(docs), "bench_text", 8)
+      sb.append(f"| bloom decontamination probe | ${time(
+        docs100.filter(graft.operators.Bloom.ngramHitCount("text", 8, bits100) >= 1).count())}%.2f s |\n")
+    }
+    sb.append(f"| duplicated windows (8-gram df) | ${time(
+      graft.operators.Dedup.duplicatedWindows(docs100, "doc_id", "text", 8).count())}%.2f s |\n")
+    // collect the max of the output column, not count(): a bare count()
+    // (or a count over the agg) lets Catalyst prune the pure projection
+    sb.append(f"| gopher n-gram fractions (scan-local) | ${time(
+      graft.operators.TextAnalysis.gopherNgramFractions(docs100, "doc_id", "text")
+        .agg(max(col("dup5_frac"))).collect().length.toLong)}%.2f s |\n")
+    sb.append(f"| domain mixture | ${time(
+      graft.operators.TextAnalysis.domainMixture(docs100, "source", "text", 1000000L).count())}%.2f s |\n")
+    sb.append(f"| quality keep/drop verdict | ${time(
+      graft.operators.TextAnalysis.qualityVerdict(docs100, "doc_id", "text")
+        .agg(sum(col("keep"))).collect().length.toLong)}%.2f s |\n")
 
     Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
     println("[plan-report] wrote PLANS.md")
