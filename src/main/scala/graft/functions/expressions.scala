@@ -188,6 +188,60 @@ object helpers {
     new GenericArrayData(out)
   }
 
+  /** Raw composite quality score — MUST mirror the oracle's IEEE
+    * expression shape exactly (CurationQueries.qualitySql):
+    * 0.5·(stopHits/wsTokens) + 0.3·min(1, len/500) + 0.2·(1−punct/len),
+    * each ratio a single double division of exact integers, summed
+    * left-to-right. The Catalyst form spent its time in two
+    * regexp_replace passes and an interpreted stopword filter; this is
+    * one char/word scan. Empty text scores 0. Rounding stays in the
+    * query layer. */
+  def qualityScoreRaw(text: UTF8String): Double = {
+    val s = text.toString
+    if (s.isEmpty) return 0.0
+    // count per CODE POINT, not UTF-16 unit: Spark's length() is
+    // numChars and Java regex classes match code points, so a non-BMP
+    // char must count once here too
+    var punct = 0
+    var len = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      len += 1
+      val alnumSpace = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+        (cp >= '0' && cp <= '9') || cp == ' '
+      if (!alnumSpace) punct += 1
+      i += Character.charCount(cp)
+    }
+    var wsTokens = 1
+    var stopHits = 0
+    var start = 0
+    i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        val wl = i - start
+        // EnStopwords: the / a / of / and / to / in / is
+        if (wl == 1) {
+          if (s.charAt(start) == 'a') stopHits += 1
+        } else if (wl == 2) {
+          val c0 = s.charAt(start); val c1 = s.charAt(start + 1)
+          if ((c0 == 'o' && c1 == 'f') || (c0 == 't' && c1 == 'o') ||
+              (c0 == 'i' && (c1 == 'n' || c1 == 's'))) stopHits += 1
+        } else if (wl == 3) {
+          val c0 = s.charAt(start); val c1 = s.charAt(start + 1); val c2 = s.charAt(start + 2)
+          if ((c0 == 't' && c1 == 'h' && c2 == 'e') ||
+              (c0 == 'a' && c1 == 'n' && c2 == 'd')) stopHits += 1
+        }
+        if (i < s.length) wsTokens += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    0.5 * (stopHits.toDouble / wsTokens.toDouble) +
+      0.3 * math.min(1.0, len.toDouble / 500.0) +
+      0.2 * (1.0 - punct.toDouble / len.toDouble)
+  }
+
   /** Raw repetition ratio 1 − distinct-bigrams/total-bigrams (0.0 for
     * texts under two words) — same substring-span construction as
     * [[gopherFractions]]. The HOF form (`transform(sequence(..),
@@ -339,6 +393,29 @@ case class GopherFractions(child: Expression)
   override def prettyName: String = "gopher_fractions"
 }
 
+/** `quality_score(text)` → double: raw composite quality, scan-local
+  * (rounding in the query layer). */
+case class QualityScoreExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quality_score needs a string column, got $t")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    helpers.qualityScoreRaw(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.helpers.qualityScoreRaw($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "quality_score"
+}
+
 /** `repetition_ratio(text)` → double: raw 1 − distinct/total bigram
   * ratio, scan-local. */
 case class RepetitionRatioExpr(child: Expression)
@@ -470,6 +547,9 @@ object GraftFunctions {
 
   def repetitionRatioRaw(text: Column): Column =
     ColumnBridge.column(RepetitionRatioExpr(ColumnBridge.expression(text)))
+
+  def qualityScoreRaw(text: Column): Column =
+    ColumnBridge.column(QualityScoreExpr(ColumnBridge.expression(text)))
 
   /** Register `cosine_similarity` / `uuid5` / `minhash_signature` for the
     * SQL surface. */

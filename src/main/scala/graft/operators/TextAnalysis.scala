@@ -55,11 +55,11 @@ object TextAnalysis {
     * division would otherwise raise DIVIDE_BY_ZERO and kill the job on
     * the first empty document. */
   def qualityScore(text: Column): Column =
-    when(length(text) === 0, lit(0.0)).otherwise(round(
-      lit(0.5) * (stopwordCount(text).cast("double") / wsTokenCount(text).cast("double")) +
-        lit(0.3) * least(lit(1.0), length(text).cast("double") / lit(500.0)) +
-        lit(0.2) * (lit(1.0) - punctCount(text).cast("double") / length(text).cast("double")),
-      6))
+    // native scan-local expression (one char/word pass; the Catalyst
+    // form spent ~2.4 s/50k docs in two regexp passes + an interpreted
+    // stopword filter). The helper hard-codes EnStopwords and mirrors
+    // the oracle's IEEE expression shape term for term.
+    round(graft.functions.GraftFunctions.qualityScoreRaw(text), 6)
 
   /** Marker-word lists per language for the n-gram/lexicon language-id
     * heuristic. */
