@@ -271,6 +271,36 @@ object helpers {
     1.0 - distinct.size.toDouble / total.toDouble
   }
 
+  /** Distinct word n-gram STRINGS in first-occurrence order — the
+    * oracle-facing twin of [[ngramHashes]] (d02's DuckDB oracle joins
+    * on the strings, so they must exist; everything hash-keyed should
+    * use ngramHashes instead). Same substring-span construction. */
+  def ngramStrings(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    var nw = 1
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) == ' ') nw += 1; i += 1 }
+    if (nw < n) return new GenericArrayData(Array.empty[AnyRef])
+    val starts = new Array[Int](nw)
+    val ends = new Array[Int](nw)
+    var w = 0
+    starts(0) = 0
+    i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == ' ') { ends(w) = i; w += 1; starts(w) = i + 1 }
+      i += 1
+    }
+    ends(w) = s.length
+    val seen = new java.util.LinkedHashSet[String]()
+    i = 0
+    while (i + n <= nw) { seen.add(s.substring(starts(i), ends(i + n - 1))); i += 1 }
+    val out = new Array[AnyRef](seen.size)
+    var j = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Distinct word n-gram hashes: each word XXH64-hashed once, each
     * window the hashLong-fold of its n word hashes (the same scheme as
     * [[minHashFromWords]] — no window array copies, no re-hashing of
@@ -439,6 +469,29 @@ case class RepetitionRatioExpr(child: Expression)
   override def prettyName: String = "repetition_ratio"
 }
 
+/** `ngram_strings(text, n)` → array<string>: distinct word n-gram
+  * strings (first-occurrence order), scan-local. */
+case class NgramStrings(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_strings needs a string column, got $t")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    helpers.ngramStrings(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.helpers.ngramStrings($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "ngram_strings"
+}
+
 /** `ngram_hashes(words, n)` → array<bigint>: distinct word n-gram
   * hashes (sorted). The shared n-gram key of the decontamination and
   * duplicated-window operators — all producers and consumers MUST go
@@ -541,6 +594,9 @@ object GraftFunctions {
 
   def ngramHashes(words: Column, n: Int): Column =
     ColumnBridge.column(NgramHashes(ColumnBridge.expression(words), n))
+
+  def ngramStrings(text: Column, n: Int): Column =
+    ColumnBridge.column(NgramStrings(ColumnBridge.expression(text), n))
 
   def gopherFractions(text: Column): Column =
     ColumnBridge.column(GopherFractions(ColumnBridge.expression(text)))

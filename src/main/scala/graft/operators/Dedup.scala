@@ -22,18 +22,13 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** documents(id, text) -> (id, shingles: array<string>) with distinct
-    * word n-grams. */
+    * word n-grams — the native scan-local [[graft.functions.NgramStrings]]
+    * pass (the interpreted transform/slice/array_join form was the
+    * dominant cost of every string-shingle consumer). */
   def withShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(
       col(idCol).as("id"),
-      // docs shorter than n words have no shingles; without the guard
-      // sequence(0, negative) counts DOWN and slice(_, 0, _) throws
-      array_distinct(expr(
-        s"""CASE WHEN size(split($textCol, ' ')) < $n THEN array()
-           |ELSE transform(
-           |  sequence(0, size(split($textCol, ' ')) - $n),
-           |  i -> array_join(slice(split($textCol, ' '), i + 1, $n), ' ')) END""".stripMargin))
-        .as("shingles"))
+      graft.functions.GraftFunctions.ngramStrings(col(textCol), n).as("shingles"))
 
   /** Exact dedup, keep-first: one row per distinct text (minimum id
     * wins). The shuffle key is the sha256 digest, not the document. */
