@@ -24,6 +24,39 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object helpers {
 
+  /** XXH64 of a possibly-null array element — type checks admit
+    * containsNull arrays, so a null element must hash (as the bare
+    * seed) rather than NPE inside a task (r2 review finding). */
+  private def hashElem(s: UTF8String): Long =
+    if (s == null) 42L
+    else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+
+  /** Word start/end offsets of the single-space split (empties kept,
+    * matching Spark's split(text, ' ')): ONE definition of the span
+    * scaffolding shared by every scan-local text helper. Returns
+    * (starts, ends, wordCount). */
+  private def wordSpans(s: String): (Array[Int], Array[Int], Int) = {
+    var nw = 1
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) == ' ') nw += 1; i += 1 }
+    val starts = new Array[Int](nw)
+    val ends = new Array[Int](nw)
+    var w = 0
+    starts(0) = 0
+    i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == ' ') { ends(w) = i; w += 1; starts(w) = i + 1 }
+      i += 1
+    }
+    ends(w) = s.length
+    (starts, ends, nw)
+  }
+
+  /** Code-point count of a string — fraction arithmetic must use code
+    * points (what Spark's length() and DuckDB's length() count), not
+    * UTF-16 units, or any non-BMP char breaks oracle parity. */
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
   /** MinHash signature: one base XXH64 per shingle, then `num` lanes of
     * SplitMix64-style remixing folded to their minima in a single pass. */
   def minHashSignature(arr: ArrayData, num: Int): ArrayData = {
@@ -32,8 +65,7 @@ object helpers {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      val base = hashElem(arr.getUTF8String(i))
       var lane = 0
       while (lane < num) {
         var z = base + lane * 0x9e3779b97f4a7c15L
@@ -61,8 +93,7 @@ object helpers {
       val wh = new Array[Long](n)
       var i = 0
       while (i < n) {
-        val s = arr.getUTF8String(i)
-        wh(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        wh(i) = hashElem(arr.getUTF8String(i))
         i += 1
       }
       var start = 0
@@ -128,63 +159,58 @@ object helpers {
     * engine-reproducible. A native one-pass expression because per-doc
     * frequency maps must NOT become a corpus-wide (doc, gram) shuffle —
     * this is scan-side profiling, like [[ngramHashes]]. */
-  def gopherFractions(text: UTF8String): ArrayData = {
+  /** Raw top-`n`-gram char fraction for ONE n — the building block of
+    * [[gopherFractions]], exposed separately so consumers that need a
+    * single slot (the quality verdict uses top-2 only) don't pay for
+    * the other three frequency maps. Lengths are CODE POINTS (oracle
+    * parity on non-BMP text); the count×length product is Long so
+    * degenerate half-gigabyte documents can't wrap negative. */
+  def topGramFraction(text: UTF8String, n: Int): Double = {
     val s = text.toString
-    val len = s.length.toDouble
-    val out = new Array[Double](4)
-    if (len > 0) {
-      // word start/end offsets of the single-space split (empties kept,
-      // matching Spark's split(text, ' ')). An n-gram's joined string
-      // equals the SUBSTRING spanning its words — words.slice.mkString
-      // rebuilt that substring through two allocations per window, which
-      // dominated the 500k-doc pass (29 s -> single-digit seconds).
-      var nw = 1
-      var i = 0
-      while (i < s.length) { if (s.charAt(i) == ' ') nw += 1; i += 1 }
-      val starts = new Array[Int](nw)
-      val ends = new Array[Int](nw)
-      var w = 0
-      starts(0) = 0
-      i = 0
-      while (i < s.length) {
-        if (s.charAt(i) == ' ') { ends(w) = i; w += 1; starts(w) = i + 1 }
-        i += 1
-      }
-      ends(w) = s.length
-      var slot = 0
-      var n = 2
-      while (n <= 4) {
-        val counts = new java.util.HashMap[String, Int]()
-        i = 0
-        while (i + n <= nw) {
-          counts.merge(s.substring(starts(i), ends(i + n - 1)), 1, Integer.sum)
-          i += 1
-        }
-        var bestGram: String = null
-        var bestCnt = 0
-        counts.forEach { (g, c) =>
-          if (c > bestCnt || (c == bestCnt && (bestGram == null || g.compareTo(bestGram) < 0))) {
-            bestGram = g; bestCnt = c
-          }
-        }
-        // raw IEEE result — rounding happens in the query layer
-        // (round(x, 6)) so both engines apply the same HALF_UP rule
-        out(slot) =
-          if (bestGram == null) 0.0
-          else bestCnt * bestGram.length / len
-        slot += 1
-        n += 1
-      }
-      val c5 = new java.util.HashMap[String, Int]()
-      i = 0
-      while (i + 5 <= nw) {
-        c5.merge(s.substring(starts(i), ends(i + 4)), 1, Integer.sum)
-        i += 1
-      }
-      var dupChars = 0L
-      c5.forEach { (g, c) => if (c >= 2) dupChars += c.toLong * g.length }
-      out(3) = dupChars / len
+    if (s.isEmpty) return 0.0
+    val (starts, ends, nw) = wordSpans(s)
+    val counts = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i + n <= nw) {
+      counts.merge(s.substring(starts(i), ends(i + n - 1)), 1, Integer.sum)
+      i += 1
     }
+    var bestGram: String = null
+    var bestCnt = 0
+    counts.forEach { (g, c) =>
+      if (c > bestCnt || (c == bestCnt && (bestGram == null || g.compareTo(bestGram) < 0))) {
+        bestGram = g; bestCnt = c
+      }
+    }
+    // raw IEEE result — rounding happens in the query layer (round(x,6))
+    // so both engines apply the same HALF_UP rule
+    if (bestGram == null) 0.0
+    else bestCnt.toLong * cpLen(bestGram) / cpLen(s).toDouble
+  }
+
+  /** Raw duplicated-`n`-gram char fraction (chars in every n-gram
+    * occurring ≥ 2 times; overlaps intentionally counted). */
+  def dupGramFraction(text: UTF8String, n: Int): Double = {
+    val s = text.toString
+    if (s.isEmpty) return 0.0
+    val (starts, ends, nw) = wordSpans(s)
+    val counts = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i + n <= nw) {
+      counts.merge(s.substring(starts(i), ends(i + n - 1)), 1, Integer.sum)
+      i += 1
+    }
+    var dupChars = 0L
+    counts.forEach { (g, c) => if (c >= 2) dupChars += c.toLong * cpLen(g) }
+    dupChars / cpLen(s).toDouble
+  }
+
+  def gopherFractions(text: UTF8String): ArrayData = {
+    val out = new Array[Double](4)
+    out(0) = topGramFraction(text, 2)
+    out(1) = topGramFraction(text, 3)
+    out(2) = topGramFraction(text, 4)
+    out(3) = dupGramFraction(text, 5)
     new GenericArrayData(out)
   }
 
@@ -250,23 +276,11 @@ object helpers {
     * layer. */
   def repetitionRatioRaw(text: UTF8String): Double = {
     val s = text.toString
-    var nw = 1
-    var i = 0
-    while (i < s.length) { if (s.charAt(i) == ' ') nw += 1; i += 1 }
+    val (starts, ends, nw) = wordSpans(s)
     val total = nw - 1
     if (total <= 0) return 0.0
-    val starts = new Array[Int](nw)
-    val ends = new Array[Int](nw)
-    var w = 0
-    starts(0) = 0
-    i = 0
-    while (i < s.length) {
-      if (s.charAt(i) == ' ') { ends(w) = i; w += 1; starts(w) = i + 1 }
-      i += 1
-    }
-    ends(w) = s.length
     val distinct = new java.util.HashSet[String]()
-    i = 0
+    var i = 0
     while (i + 2 <= nw) { distinct.add(s.substring(starts(i), ends(i + 1))); i += 1 }
     1.0 - distinct.size.toDouble / total.toDouble
   }
@@ -277,22 +291,10 @@ object helpers {
     * use ngramHashes instead). Same substring-span construction. */
   def ngramStrings(text: UTF8String, n: Int): ArrayData = {
     val s = text.toString
-    var nw = 1
-    var i = 0
-    while (i < s.length) { if (s.charAt(i) == ' ') nw += 1; i += 1 }
+    val (starts, ends, nw) = wordSpans(s)
     if (nw < n) return new GenericArrayData(Array.empty[AnyRef])
-    val starts = new Array[Int](nw)
-    val ends = new Array[Int](nw)
-    var w = 0
-    starts(0) = 0
-    i = 0
-    while (i < s.length) {
-      if (s.charAt(i) == ' ') { ends(w) = i; w += 1; starts(w) = i + 1 }
-      i += 1
-    }
-    ends(w) = s.length
     val seen = new java.util.LinkedHashSet[String]()
-    i = 0
+    var i = 0
     while (i + n <= nw) { seen.add(s.substring(starts(i), ends(i + n - 1))); i += 1 }
     val out = new Array[AnyRef](seen.size)
     var j = 0
@@ -315,8 +317,7 @@ object helpers {
     val wh = new Array[Long](nw)
     var i = 0
     while (i < nw) {
-      val s = arr.getUTF8String(i)
-      wh(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      wh(i) = hashElem(arr.getUTF8String(i))
       i += 1
     }
     val out = new Array[Long](nw - n + 1)
@@ -444,6 +445,30 @@ case class QualityScoreExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "quality_score"
+}
+
+/** `top_gram_fraction(text, n)` → double: raw char fraction of the
+  * single most frequent word n-gram (one slot of gopher_fractions,
+  * without paying for the other three maps). */
+case class TopGramFraction(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"top_gram_fraction needs a string column, got $t")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    helpers.topGramFraction(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.helpers.topGramFraction($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "top_gram_fraction"
 }
 
 /** `repetition_ratio(text)` → double: raw 1 − distinct/total bigram
@@ -606,6 +631,9 @@ object GraftFunctions {
 
   def qualityScoreRaw(text: Column): Column =
     ColumnBridge.column(QualityScoreExpr(ColumnBridge.expression(text)))
+
+  def topGramFraction(text: Column, n: Int): Column =
+    ColumnBridge.column(TopGramFraction(ColumnBridge.expression(text), n))
 
   /** Register `cosine_similarity` / `uuid5` / `minhash_signature` for the
     * SQL surface. */

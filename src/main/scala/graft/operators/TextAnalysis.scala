@@ -254,11 +254,13 @@ object TextAnalysis {
                      minQuality: Double = 0.3, maxRepetition: Double = 0.1,
                      maxTop2Frac: Double = 0.15, maxOovRatio: Double = 0.7,
                      minWords: Long = 20, vocabSize: Int = 500): DataFrame = {
-    val g = graft.functions.GraftFunctions.gopherFractions(col(textCol))
     val signals = docs.select(col(idCol).as("doc_id"),
       qualityScore(col(textCol)).as("quality"),
       repetitionRatio(col(textCol)).as("rep_ratio"),
-      round(element_at(g, 1), 6).as("top2_frac"))
+      // top-2 slot only: the full gopherFractions pass would build the
+      // 3-, 4-, and dup-5-gram maps just to discard them (r2 review)
+      round(graft.functions.GraftFunctions.topGramFraction(col(textCol), 2), 6)
+        .as("top2_frac"))
     val oov = unigramScores(docs, idCol, textCol, vocabSize)
       .select(col("doc_id"), col("n_words"), col("oov_ratio"))
     signals.join(oov, "doc_id")

@@ -305,6 +305,18 @@ class CurationSpec extends AnyFunSuite {
     assert(got(3L)._4 === round6(54.0 / 19))
   }
 
+  test("gopher fractions count code points, not UTF-16 units (r2 review)") {
+    import spark.implicits._
+    // an emoji is ONE code point but two UTF-16 units; fractions must
+    // match what length()-based engines compute: top bigram
+    // "😀 a" (3 cp) x3 over 11 cp total -> 9/11
+    val docs = Seq((1L, "😀 a 😀 a 😀 a"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherNgramFractions(docs, "doc_id", "text")
+      .collect().map(r => r.getDouble(1)).head
+    assert(got === round6(9.0 / 11), s"expected 9/11 in code points, got $got")
+  }
+
   test("tf-idf keywords: rational idf ranks rare terms over common ones") {
     import spark.implicits._
     val docs = Seq(
