@@ -388,6 +388,26 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** d11: dedup impact BY SOURCE — the d09 keep/drop decision joined
+    * back to the domain dimension: per source, how many documents
+    * survive near-dup dedup and the duplicate rate. The analytics view
+    * a curation team actually reads (which crawls/domains are mostly
+    * boilerplate), composing cluster formation with the t12 mixture
+    * dimension. */
+  def dupBySource(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("text"), col("source"))
+    val pairs = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5)
+    graft.operators.Clusters.canonicalize(d, pairs, "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        round((col("n_docs") - col("n_kept")) / col("n_docs").cast("double"), 6)
+          .as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
   /** d10: duplicated-window profile — the Lee-et-al. exact-substring
     * dedup signal: per document, its distinct word 8-grams that occur in
     * at least one other document (count + ratio). Windows shuffle as
@@ -437,6 +457,7 @@ object CurationQueries {
     "t14_gopher_ngrams"     -> gopherFractions _,
     "t15_tfidf_keywords"    -> tfIdf _,
     "t16_quality_verdict"   -> qualityVerdict _,
+    "d11_dup_by_source"     -> dupBySource _,
     "d10_dedup_substring"   -> dedupSubstring _,
     "t12_domain_mixture"    -> domainMixture _,
     "t13_bloom_decontam"    -> bloomDecontaminate _,
@@ -825,6 +846,38 @@ object CurationQueries {
         |CAST(d.doc_id = coalesce(cc.cluster_id, d.doc_id) AS INT) AS keep
         |FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "d11_dup_by_source" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text,' ')) - 2),
+        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS shingles
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+        |cc AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+        |keep AS (
+        |  SELECT d.doc_id, d.source,
+        |    CAST(d.doc_id = coalesce(cc.cluster_id, d.doc_id) AS INT) AS keep
+        |  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |CAST(sum(keep) AS BIGINT) AS n_kept,
+        |round((count(*) - sum(keep)) / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+        |FROM keep GROUP BY source ORDER BY source""".stripMargin,
     "d05_dedup_embedding" ->
       """WITH planted AS (
         |  SELECT vec_id, embedding FROM embeddings
