@@ -149,6 +149,26 @@ object StreamingIngest {
       .filter(!arrays_overlap(col("__ng"), typedLit(benchHashes)))
       .drop("__ng")
 
+  /** Streaming NEAR-dedup: drop documents whose full MinHash signature
+    * equals an earlier document's — exact duplicates always collide,
+    * and near-copies collide when every one of the `numHashes` lanes
+    * agrees (P = jaccard^numHashes, so 16 lanes ≈ only >0.95-similar
+    * near-copies). This is the streaming-safe point on the dedup
+    * spectrum: state is one 8-byte key per distinct signature (the
+    * xxhash64 of the lane array), no pair joins, no candidate buckets —
+    * the full LSH pass stays a batch job over the landed corpus, this
+    * gate just keeps the stream from re-landing what it already saw.
+    * Shorter-than-`n`-words documents pass through (their signature is
+    * the all-sentinel array, which would otherwise collide them all). */
+  def nearDedupStream(docs: DataFrame, n: Int = 3, numHashes: Int = 16): DataFrame =
+    docs
+      .withColumn("__sig_key",
+        when(size(split(col("text"), " ")) < n, xxhash64(col("text")))
+          .otherwise(xxhash64(graft.functions.GraftFunctions.minhashWords(
+            split(col("text"), " "), numHashes, n))))
+      .dropDuplicates("__sig_key")
+      .drop("__sig_key")
+
   /** [[curateStream]] with the eval set as a Bloom bitset instead of a
     * literal hash array: probe cost is O(numHashes) per n-gram
     * regardless of eval-suite size, and the plan carries a fixed ~1 MiB

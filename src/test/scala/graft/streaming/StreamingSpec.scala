@@ -168,6 +168,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchPairs == Set(1L))
   }
 
+  test("streaming near-dedup drops signature-identical near-copies, keeps distinct docs") {
+    val drop = tmp("drop5"); val ckpt = tmp("ckpt_nd"); val out = tmp("neardedup_out")
+    val base = "the quick brown fox jumps over the lazy dog near the river " * 4
+    Files.writeString(Paths.get(drop, "a.txt"), base)
+    Files.writeString(Paths.get(drop, "b.txt"), base) // exact copy -> dropped
+    Files.writeString(Paths.get(drop, "c.txt"), "an entirely different document about winter shipping lanes " * 4)
+    Files.writeString(Paths.get(drop, "d.txt"), "tiny")
+    Files.writeString(Paths.get(drop, "e.txt"), "small")
+    val q = StreamingIngest.nearDedupStream(StreamingIngest.readDocuments(spark, drop))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(out); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val kept = spark.read.parquet(out).count()
+    // a|b collapse to one; c, d, e survive (short docs keyed by text,
+    // not the sentinel signature)
+    assert(kept == 4, s"expected 4 survivors, got $kept")
+  }
+
   test("bloom-filter streaming curation agrees with the literal-array path") {
     import spark.implicits._
     val drop = tmp("drop4"); val ckpt = tmp("ckpt_curb"); val out = tmp("curate_bloom_out")
