@@ -214,6 +214,33 @@ object helpers {
     new GenericArrayData(out)
   }
 
+  /** Language id in one word pass — the four per-language marker
+    * filters ([[graft.operators.TextAnalysis.LangMarkers]]) counted
+    * together, then the fixed-priority argmax (en > de > es > fr >
+    * und). Marker membership is exact word equality, and a word can hit
+    * several languages' lists ("la" is both es and fr), matching the
+    * independent-filter semantics exactly. */
+  def langId(text: UTF8String): UTF8String = {
+    val s = text.toString
+    val (starts, ends, nw) = wordSpans(s)
+    var en = 0; var de = 0; var es = 0; var fr = 0
+    var i = 0
+    while (i < nw) {
+      val w = s.substring(starts(i), ends(i))
+      if (w == "the" || w == "a" || w == "is" || w == "and" || w == "of") en += 1
+      if (w == "der" || w == "die" || w == "das" || w == "und" || w == "ist") de += 1
+      if (w == "el" || w == "la" || w == "que" || w == "y" || w == "es") es += 1
+      if (w == "le" || w == "la" || w == "et" || w == "est" || w == "les") fr += 1
+      i += 1
+    }
+    UTF8String.fromString(
+      if (en >= de && en >= es && en >= fr && en > 0) "en"
+      else if (de >= es && de >= fr && de > 0) "de"
+      else if (es >= fr && es > 0) "es"
+      else if (fr > 0) "fr"
+      else "und")
+  }
+
   /** Raw composite quality score — MUST mirror the oracle's IEEE
     * expression shape exactly (CurationQueries.qualitySql):
     * 0.5·(stopHits/wsTokens) + 0.3·min(1, len/500) + 0.2·(1−punct/len),
@@ -471,6 +498,29 @@ case class TopGramFraction(child: Expression, n: Int)
   override def prettyName: String = "top_gram_fraction"
 }
 
+/** `lang_id(text)` → string: fixed-priority marker-count language id,
+  * one scan-local word pass. */
+case class LangIdExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lang_id needs a string column, got $t")
+    }
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    helpers.langId(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.helpers.langId($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "lang_id"
+}
+
 /** `repetition_ratio(text)` → double: raw 1 − distinct/total bigram
   * ratio, scan-local. */
 case class RepetitionRatioExpr(child: Expression)
@@ -634,6 +684,9 @@ object GraftFunctions {
 
   def topGramFraction(text: Column, n: Int): Column =
     ColumnBridge.column(TopGramFraction(ColumnBridge.expression(text), n))
+
+  def langId(text: Column): Column =
+    ColumnBridge.column(LangIdExpr(ColumnBridge.expression(text)))
 
   /** Register `cosine_similarity` / `uuid5` / `minhash_signature` for the
     * SQL surface. */

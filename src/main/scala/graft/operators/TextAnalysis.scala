@@ -70,16 +70,12 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "est", "les"))
 
   /** Language id: argmax of marker-hit counts, fixed priority order on
-    * ties (en > de > es > fr > und). */
-  def langId(text: Column): Column = {
-    val scores = LangMarkers.view.mapValues(ws => stopwordCount(text, ws)).toMap
-    val en = scores("en"); val de = scores("de"); val es = scores("es"); val fr = scores("fr")
-    when(en >= de && en >= es && en >= fr && en > 0, "en")
-      .when(de >= es && de >= fr && de > 0, "de")
-      .when(es >= fr && es > 0, "es")
-      .when(fr > 0, "fr")
-      .otherwise("und")
-  }
+    * ties (en > de > es > fr > und). Native single-pass expression —
+    * the four independent marker filters ran as interpreted HOFs, the
+    * last non-scan-local signal in the t01 profile. The native helper
+    * hard-codes [[LangMarkers]]; change them together. */
+  def langId(text: Column): Column =
+    graft.functions.GraftFunctions.langId(text)
 
   /** Bag-of-words fingerprint: md5 of the sorted distinct word set —
     * order-insensitive exact-content signature (pure Catalyst). */
