@@ -225,7 +225,10 @@ object TextAnalysis {
     val scored = tf.join(df, "term").crossJoin(broadcast(n))
       .withColumn("score",
         round(col("tf") * (col("n_docs").cast("double") / col("df").cast("double")), 6))
-    scored
+    // bounded-heap prune BEFORE the ranking window: the window alone
+    // would shuffle and sort every (doc, term) pair; after the prune it
+    // ranks ≤ k rows per document (the a01 TopKPerKeyExec shape)
+    graft.plans.TopKPerKey.prune(scored, "doc_id", "score", "term", k)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("term"))).cast("long"))

@@ -135,6 +135,29 @@ final case class TopKPerKeyExec(keys: Seq[Expression], score: Expression,
     copy(child = newChild)
 }
 
+/** Column-name entry point for any grouped top-k consumer. */
+object TopKPerKey {
+  /** Prune `df` to (at most) the top-k rows per key under
+    * (score desc, tie asc) WITHOUT ranking or sorting: output columns
+    * unchanged, row order unspecified — follow with the row_number
+    * window over the survivors when a rank column is needed. Shuffle
+    * carries ≤ k·|keys|·|partitions| rows instead of the full input. */
+  def prune(df: org.apache.spark.sql.DataFrame, keyCol: String, scoreCol: String,
+            tieCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    val plan = ColumnBridge.logicalPlan(df)
+    def attr(n: String) = plan.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column '$n' in ${plan.output.map(_.name).mkString(", ")}"))
+    ColumnBridge.ofRows(spark,
+      TopKPerKeyNode(Seq(attr(keyCol)), attr(scoreCol), attr(tieCol), k, plan))
+  }
+}
+
 /** Plans TopKPerKeyNode as final(partial(child)). */
 object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
