@@ -111,7 +111,9 @@ object Similarity {
       .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
-    scored
+    // bounded-heap prune before the ranking window (the a01 shape):
+    // the shuffle carries survivors, not every bucket candidate
+    graft.plans.TopKPerKey.prune(scored, "query_id", "score", "neighbor_id", k)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
@@ -131,7 +133,10 @@ object Similarity {
       .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
-    scored
+    // survivors-only shuffle; a multi-probe query's candidates stay
+    // distinct (each corpus vector lives in exactly one list), so the
+    // prune-then-rank result equals the full window
+    graft.plans.TopKPerKey.prune(scored, "query_id", "score", "neighbor_id", k)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
