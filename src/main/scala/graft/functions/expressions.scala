@@ -704,6 +704,18 @@ object GraftFunctions {
         exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("gopher_fractions",
       exprs => GopherFractions(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("ngram_strings",
+      exprs => NgramStrings(exprs(0),
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("top_gram_fraction",
+      exprs => TopGramFraction(exprs(0),
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("repetition_ratio",
+      exprs => RepetitionRatioExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("quality_score",
+      exprs => QualityScoreExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("lang_id",
+      exprs => LangIdExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("chunk_text",
       exprs => ChunkGenerator(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
     // document extraction over binary columns (SQL surface for the S2/S3/

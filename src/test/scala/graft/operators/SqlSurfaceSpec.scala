@@ -66,6 +66,29 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(poison.getInt(0) == 0 && poison.getInt(1) == 0)
   }
 
+  test("SQL text-signal functions match their Column twins") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((1L, "the cat sat on the cat mat the cat sat"))
+      .toDF("doc_id", "text").createOrReplaceTempView("sqlsig_docs")
+    val row = spark.sql(
+      """SELECT round(quality_score(text), 6) AS q,
+        |       round(repetition_ratio(text), 6) AS r,
+        |       round(top_gram_fraction(text, 2), 6) AS t2,
+        |       lang_id(text) AS lang,
+        |       size(ngram_strings(text, 3)) AS n3,
+        |       size(ngram_hashes(split(text, ' '), 3)) AS h3
+        |FROM sqlsig_docs""".stripMargin).head()
+    val df = spark.table("sqlsig_docs")
+    val expect = df.select(
+      graft.operators.TextAnalysis.qualityScore(col("text")),
+      graft.operators.TextAnalysis.repetitionRatio(col("text"))).head()
+    assert(row.getDouble(0) == expect.getDouble(0))
+    assert(row.getDouble(1) == expect.getDouble(1))
+    assert(row.getDouble(2) > 0 && row.getString(3) == "en")
+    assert(row.getInt(4) == row.getInt(5), "string and hashed n-gram counts agree")
+  }
+
   test("salted aggregation equals plain groupBy on skewed data") {
     import spark.implicits._
     // 90% of rows share one key — the classic hot-key shape
