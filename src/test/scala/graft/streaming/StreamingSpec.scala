@@ -188,6 +188,21 @@ class StreamingSpec extends AnyFunSuite {
     // a|b collapse to one; c, d, e survive (short docs keyed by text,
     // not the sentinel signature)
     assert(kept == 4, s"expected 4 survivors, got $kept")
+    // restart: a later near-copy of `base` (one appended word out of
+    // 40+ — signature-identical at 16 lanes w.h.p.? no: ANY lane
+    // changing breaks equality, so use an exact re-delivery) must not
+    // re-emit after the state restores from the checkpoint
+    Files.writeString(Paths.get(drop, "f.txt"), base)
+    val q2 = StreamingIngest.nearDedupStream(StreamingIngest.readDocuments(spark, drop))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(out); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() == 4,
+      "re-delivered duplicate content must not re-emit after restart")
   }
 
   test("bloom-filter streaming curation agrees with the literal-array path") {
