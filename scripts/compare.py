@@ -68,6 +68,13 @@ def main():
         elif len(got) != len(want):
             errs.append(f"rows got={len(got)} want={len(want)}")
         else:
+            # The driver hashes raw values, so an int64 column vs the same
+            # numbers as float64 (e.g. DuckDB HUGEINT window sums) is a
+            # hash MISMATCH even though float(x) == int(x) — flag it here.
+            for c in got.columns:
+                gk, wk = got[c].dtype.kind, want[c].dtype.kind
+                if {gk, wk} <= {"i", "u", "f"} and (gk == "f") != (wk == "f"):
+                    errs.append(f"col {c}: dtype kind got={got[c].dtype} want={want[c].dtype}")
             for c in got.columns:
                 gv = [norm_cell(x) for x in got[c]]
                 wv = [norm_cell(x) for x in want[c]]

@@ -609,12 +609,12 @@ object CurationQueries {
          |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
          |  FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dirty))
          |SELECT doc_id, n_tokens,
-         |coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_token,
-         |coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS seq_id,
-         |coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 512 AS seq_offset
+         |CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token,
+         |CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS seq_id,
+         |CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 512 AS BIGINT) AS seq_offset
          |FROM clean ORDER BY doc_id""".stripMargin,
     "t13_bloom_decontam" ->
       """WITH bench AS (

@@ -346,12 +346,12 @@ object PipelineQueries {
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |  FROM documents)
         |SELECT doc_id, n_tokens,
-        |coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_token,
-        |coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS seq_id,
-        |coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 2048 AS seq_offset
+        |CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token,
+        |CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS seq_id,
+        |CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 2048 AS BIGINT) AS seq_offset
         |FROM t ORDER BY doc_id""".stripMargin,
     "p13_audio_decode" ->
       """WITH params AS (
