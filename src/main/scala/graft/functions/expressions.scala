@@ -330,6 +330,50 @@ object helpers {
     new GenericArrayData(out)
   }
 
+  /** Thread-local MD5 digester for [[hashedClassifierScore]] —
+    * MessageDigest is not thread-safe and not cheap to instantiate per
+    * word. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Raw hashed-linear classifier score — the shape of the GPT-3 /
+    * CCNet-style quality-classifier filter (a linear model over hashed
+    * bag-of-words features), with a FIXED deterministic weight table so
+    * both engines can recompute it exactly:
+    *
+    *   bucket(w)  = (first 4 bytes of md5(w), big-endian unsigned) mod numBuckets
+    *   weight(b)  = (b * 2654435761) mod 2001 − 1000        ∈ [−1000, 1000]
+    *   score      = Σ weight(bucket(word)) / (1000.0 · nWords)
+    *
+    * md5 (not xxhash) because the ORACLE must hash identically —
+    * DuckDB exposes md5 but not xxhash64; a production deployment would
+    * swap in real trained weights (the table is the contract, the
+    * hashing pipeline is the operator). The division is the only
+    * floating-point operation (exact integer sum / exact integer-valued
+    * double), so results are IEEE-identical across engines; rounding
+    * stays in the query layer. One scan-local pass, no shuffle. */
+  def hashedClassifierScore(text: UTF8String, numBuckets: Int): Double = {
+    val s = text.toString
+    val (starts, ends, nw) = wordSpans(s)
+    val md = md5Local.get()
+    var sum = 0L
+    var i = 0
+    while (i < nw) {
+      md.reset()
+      val bytes = s.substring(starts(i), ends(i))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = md.digest(bytes)
+      val u32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val bucket = u32 % numBuckets
+      sum += (bucket * 2654435761L) % 2001L - 1000L
+      i += 1
+    }
+    sum / (1000.0 * nw)
+  }
+
   /** Distinct word n-gram hashes: each word XXH64-hashed once, each
     * window the hashLong-fold of its n word hashes (the same scheme as
     * [[minHashFromWords]] — no window array copies, no re-hashing of
@@ -592,6 +636,31 @@ case class NgramHashes(child: Expression, n: Int)
   override def prettyName: String = "ngram_hashes"
 }
 
+/** `classifier_score(text, numBuckets)` → double: raw hashed-linear
+  * quality-classifier score (md5 feature hashing, fixed weight table),
+  * scan-local; rounding in the query layer. */
+case class ClassifierScoreExpr(child: Expression, numBuckets: Int)
+    extends UnaryExpression {
+  require(numBuckets >= 1, "classifier_score needs a positive bucket count")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"classifier_score needs a string column, got $t")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    helpers.hashedClassifierScore(input.asInstanceOf[UTF8String], numBuckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.helpers.hashedClassifierScore($c, $numBuckets);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "classifier_score"
+}
+
 /** `bloom_hit_count(hashes)` → int: how many elements of an
   * array<bigint> of hashes might be in the Bloom bitset. The bitset
   * travels as a Spark BROADCAST, not a plan constant: a plan-embedded
@@ -688,6 +757,9 @@ object GraftFunctions {
   def langId(text: Column): Column =
     ColumnBridge.column(LangIdExpr(ColumnBridge.expression(text)))
 
+  def classifierScore(text: Column, numBuckets: Int): Column =
+    ColumnBridge.column(ClassifierScoreExpr(ColumnBridge.expression(text), numBuckets))
+
   /** Register `cosine_similarity` / `uuid5` / `minhash_signature` for the
     * SQL surface. */
   def register(spark: SparkSession): Unit = {
@@ -716,6 +788,9 @@ object GraftFunctions {
       exprs => QualityScoreExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("lang_id",
       exprs => LangIdExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("classifier_score",
+      exprs => ClassifierScoreExpr(exprs(0),
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("chunk_text",
       exprs => ChunkGenerator(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
     // document extraction over binary columns (SQL surface for the S2/S3/

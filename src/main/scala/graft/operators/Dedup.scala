@@ -451,6 +451,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): k-means-cluster the embedding space, generate
+    * candidate pairs WITHIN clusters only, verify with exact cosine ≥
+    * `threshold`, then keep one document per connected near-dup
+    * component (minimum id). Returns one row per input vector:
+    * `(id, cluster_id, keep)` — dropping keep = 0 rows is the semantic
+    * dedup pass.
+    *
+    * Scale posture: the quadratic candidate step is bounded BY K — each
+    * cluster is an independent all-pairs of ~n/k members, which is
+    * exactly how the paper makes web-scale feasible (k grows with the
+    * corpus so cluster populations stay bounded; the LAION run used
+    * 50k clusters). Cross-cluster near-dups are forgone by design —
+    * that recall trade, not an index, is the operator's contract.
+    * `maxClusterPairs` additionally star-collapses clusters that
+    * exceed the cap (same representative-link semantics as the LSH
+    * hot-bucket guard) for corpora whose duplicate mass defeats the
+    * n/k bound. */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iterations: Int = 2, threshold: Double = 0.95,
+                    maxClusterPairs: Option[Int] = None): DataFrame = {
+    val base = vectors
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("__v"))
+    val (_, centroids) = KMeans.fit(base, "id", "__v", k, iterations)
+    val assigned = KMeans.assign(
+      base.repartition(base.sparkSession.sparkContext.defaultParallelism),
+      "id", "__v", centroids)
+    val candidates = bucketCandidates(
+      assigned.select(col("id"), lit(0).as("band"), col("cluster").as("bucket")),
+      maxClusterPairs)
+    val pairs = candidates
+      .join(base.select(col("id").as("id_a"), col("__v").as("va")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("__v").as("vb")), "id_b")
+      .filter(Similarity.cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    Clusters.canonicalize(base.select(col("id")), pairs, "id")
+      .select(col("id"), col("cluster_id"), col("keep").cast("int").as("keep"))
+  }
+
   def cosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
     val dbl = expr(s"transform($vecCol, x -> cast(x as double))")

@@ -453,7 +453,36 @@ object CurationQueries {
     TextAnalysis.qualityVerdict(documents(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** t17: hashed-linear quality-classifier scores — the GPT-3/CCNet
+    * classifier-filter shape (linear model over md5-hashed bag-of-words
+    * features, fixed deterministic weight table) as one scan-local
+    * native-expression pass; keep = rounded score ≥ 0. */
+  def classifierScore(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"),
+        round(graft.functions.GraftFunctions.classifierScore(col("text"), 4096), 6)
+          .as("clf_score"))
+      .withColumn("keep", (col("clf_score") >= 0.0).cast("int"))
+      .orderBy(col("doc_id"))
+
+  /** d12: SemDeDup semantic dedup over planted duplicate embeddings —
+    * k-means clusters bound the pair space, exact cosine verifies, one
+    * kept copy per near-dup component (rows-only: the k-means step has
+    * no DuckDB twin; SemDedupSpec pins planted-dup recall and keep
+    * semantics against d05's brute force). */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val planted = e.unionAll(
+      e.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+    Dedup.semanticDedup(planted, "vec_id", "embedding",
+        k = 16, iterations = 2, threshold = 0.95)
+      .orderBy(col("id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_classifier_score"  -> classifierScore _,
+    "d12_semantic_dedup"    -> semDedup _,
     "t14_gopher_ngrams"     -> gopherFractions _,
     "t15_tfidf_keywords"    -> tfIdf _,
     "t16_quality_verdict"   -> qualityVerdict _,
@@ -497,6 +526,15 @@ object CurationQueries {
       | + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t17_classifier_score" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    round(list_sum(list_transform(string_split(text, ' '),
+        |      w -> ((('0x' || substr(md5(w), 1, 8))::BIGINT % 4096) * 2654435761) % 2001 - 1000))
+        |      / (1000.0 * len(string_split(text, ' '))), 6) AS clf_score
+        |  FROM documents)
+        |SELECT doc_id, clf_score, CAST(clf_score >= 0.0 AS INT) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     "t14_gopher_ngrams" ->
       """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
         |c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM (
