@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns for training-data pipelines: image/audio/video
@@ -389,6 +389,33 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions(_.map(decodeImage))
   }
+
+  /** 12-bit row-difference dHash over the 4×4 luminance-grid features
+    * of [[decodeImage]]: bit (cy·3 + cx) set iff cell (cy,cx) is
+    * brighter than its right neighbor — the classic difference-hash
+    * layout (row-adjacent gradient signs), at the grid resolution the
+    * decoder already extracts. Pure Catalyst (12 static comparisons,
+    * codegen'd); equal-feature ties compare false on both engines
+    * because the comparison is strict. */
+  def dHash(featuresCol: Column): Column =
+    (for (cy <- 0 until 4; cx <- 0 until 3) yield {
+      val cell = cy * 4 + cx
+      val idx = cy * 3 + cx
+      when(featuresCol.getItem(cell) > featuresCol.getItem(cell + 1),
+        lit(1L << idx)).otherwise(lit(0L))
+    }).reduce(_ + _)
+
+  /** Perceptual dedup groups: one row per distinct dHash with the
+    * kept (minimum) media id and copy count — [[graft.operators.Dedup.exactKeepFirst]]
+    * at perceptual rather than byte identity. The shuffle key is the
+    * 8-byte hash, never pixels: decode and hashing are scan-local, so
+    * the exchange carries (hash, id) pairs — the 100 TB posture for
+    * image-corpus dedup. */
+  def dHashGroups(decoded: DataFrame): DataFrame =
+    decoded
+      .select(col("media_id"), dHash(col("features")).as("dhash"))
+      .groupBy(col("dhash"))
+      .agg(min(col("media_id")).as("kept_id"), count(lit(1)).as("n_copies"))
 
   /** Resize metadata transform: pure-Catalyst scaling of the decoded
     * dimensions (the real pixel resample would live in the same

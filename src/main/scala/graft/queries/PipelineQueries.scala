@@ -223,6 +223,46 @@ object PipelineQueries {
       .orderBy(col("media_id"))
   }
 
+  /** d13: perceptual-hash image dedup — REAL decode (ImageIO PNG) →
+    * 4×4 luminance-grid features → 12-bit row-difference dHash →
+    * exact-hash grouping, keep-first. The synthetic images are
+    * vertical-stripe gradients (pixel v = ((x+g) mod 16)², gray, pattern
+    * g = (doc_id div 5) mod 25), so the ORACLE recomputes every cell sum
+    * in exact integer arithmetic; adjacent-cell margins are ≥ 28 v-units
+    * by construction, far above float feature rounding, so the
+    * comparison bits are engine-exact. Perceptual (not byte) identity:
+    * distinct g with equal stripe ORDER relations collide on purpose —
+    * that is what makes it a perceptual hash. */
+  def imageDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"))
+      .map { r =>
+        val id = r.getLong(0)
+        val g = ((id / 5) % 25).toInt
+        val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            val t = (x + g) % 16
+            val v = t * t // <= 225, fits a byte
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Multimodal.MediaRow(id, "image", bos.toByteArray)
+      }
+    val decoded = Multimodal.decodeImages(media).toDF()
+    Multimodal.dHashGroups(decoded)
+      .orderBy(col("kept_id"))
+  }
+
   /** p14: sequence packing for LM training — every document's global
     * token offset, training-sequence id and in-sequence offset at
     * seqLen = 2048, via the hierarchical distributed prefix sum. */
@@ -259,6 +299,7 @@ object PipelineQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_image_dedup"       -> imageDedup _,
     "p15_video_meta"        -> videoMeta _,
     "p14_sequence_pack"     -> sequencePack _,
     "p10_pdf_pages"         -> pdfPages _,
@@ -276,6 +317,25 @@ object PipelineQueries {
     "p07_job_status_lookup" -> jobStatusLookup _)
 
   val oracles: Map[String, String] = Map(
+    "d13_image_dedup" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, (doc_id // 5) % 25 AS g
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |cells AS (
+        |  SELECT i.doc_id, (x // 4) AS cx,
+        |         sum(((x + g) % 16) * ((x + g) % 16)) AS s
+        |  FROM imgs i, generate_series(0, 15) t(x)
+        |  GROUP BY i.doc_id, (x // 4)),
+        |bits AS (
+        |  SELECT a.doc_id,
+        |    CAST(sum(CASE WHEN a.s > b.s
+        |      THEN (CAST(1 AS BIGINT) << (cy * 3 + CAST(a.cx AS INT))) ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM cells a
+        |  JOIN cells b ON a.doc_id = b.doc_id AND b.cx = a.cx + 1,
+        |       generate_series(0, 3) r(cy)
+        |  GROUP BY a.doc_id)
+        |SELECT dhash, min(doc_id) AS kept_id, count(*) AS n_copies
+        |FROM bits GROUP BY dhash ORDER BY kept_id""".stripMargin,
     "p10_pdf_pages" ->
       """SELECT * FROM (VALUES
         |(1, 2106, 324, '6697a22bf56a066f2e4b476323c7a7b5'),

@@ -199,4 +199,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(10L).rms == 0.25 && out(10L).duration_ms == 100)
     assert(out(11L).sample_rate == 44100 && out(11L).rms == 0.0 && out(11L).duration_ms == 10)
   }
+
+  /** 16x16 gray PNG with per-column value v(x). */
+  private def stripePng(v: Int => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val p = v(x) & 0xff
+      img.setRGB(x, y, (p << 16) | (p << 8) | p)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash: gradient sign bits, tie cells compare false, identical images collide") {
+    import spark.implicits._
+    val rows = Seq(
+      MediaRow(1L, "image", stripePng(x => x * 10)),        // strictly brighter to the right
+      MediaRow(2L, "image", stripePng(x => 150 - x * 10)),  // strictly darker to the right
+      MediaRow(3L, "image", stripePng(_ => 77)),            // flat: all ties
+      MediaRow(4L, "image", stripePng(x => x * 10))         // byte-identical to 1
+    ).toDS()
+    val dh = decodeImages(rows).toDF()
+      .select(col("media_id"), dHash(col("features")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dh(1L) === 0L, "brighter-to-the-right means no cell exceeds its right neighbor")
+    assert(dh(2L) === 0xfffL, "darker-to-the-right sets all 12 row bits")
+    assert(dh(3L) === 0L, "strict comparison: exact ties contribute no bits")
+    assert(dh(4L) === dh(1L))
+    val groups = dHashGroups(decodeImages(rows).toDF()).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(groups(dh(2L)) === ((2L, 1L)))
+    assert(groups(0L)._2 === 3L, "ids 1, 3, 4 share dhash 0 (flat and ascending both yield 0)")
+    assert(groups(0L)._1 === 1L, "keep-first: minimum id is the kept copy")
+  }
 }
