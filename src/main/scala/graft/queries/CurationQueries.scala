@@ -168,6 +168,24 @@ object CurationQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** a09: product-quantized ANN, full FAISS shape — PQ codebooks
+    * trained (one Lloyd's job per iteration for all 8 subspaces),
+    * corpus encoded to 8 codes per vector (32× compression at 64 float
+    * dims), ADC shortlist over the compressed corpus, exact cosine
+    * re-rank of the shortlist only (rows-only: k-means training has no
+    * DuckDB twin; PqSpec pins determinism, planted-duplicate rank 1,
+    * and refined recall vs exact brute force). */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val model = graft.operators.ProductQuantizer.fit(
+      e, "vec_id", "embedding", m = 8, k = 16, iterations = 2)
+    val codes = graft.operators.ProductQuantizer.encode(e, "vec_id", "embedding", model)
+    graft.operators.ProductQuantizer.adcTopKRefined(
+        e.filter(col("vec_id") < 5), codes, e, model, "vec_id", "embedding",
+        shortlist = 100, topK = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** t01: per-document text-analysis profile (token counts, quality,
     * lang id, bag-of-words fingerprint) — all pure Catalyst. */
   def textProfile(spark: SparkSession, dir: String): DataFrame =
@@ -513,6 +531,7 @@ object CurationQueries {
     "d06_dedup_winnow"    -> dedupWinnow _,
     "d08_dedup_clusters"  -> dedupClusters _,
     "d09_dedup_keep"      -> dedupKeep _,
+    "a09_ann_pq"          -> annPq _,
     "a01_ann_bruteforce"  -> annBruteForce _,
     "a02_ann_signlsh"     -> annSignLsh _,
     "a03_ann_ivf"         -> annIvf _,
