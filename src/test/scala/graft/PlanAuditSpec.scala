@@ -119,4 +119,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"chunk+embed must stay narrow:\n$p")
     assert(df.columns.contains("id"))
   }
+
+  test("t17: classifier scoring is scan-local — no hash exchange, one scan") {
+    val p = plan("t17_classifier_score")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"classifier scoring must not shuffle on any key:\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"one corpus scan expected, saw $scans:\n$p")
+  }
+
+  test("d13: image dedup shuffles 8-byte hashes, never pixels") {
+    val p = plan("d13_image_dedup")
+    // decode + dHash are scan-local; the only hash exchange is the
+    // groupBy on dhash, and its input schema carries no binary column
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.size == 1, s"expected exactly the dhash exchange:\n$p")
+    assert(exchanges.head.contains("dhash"), s"exchange not keyed on dhash:\n$p")
+    assert(!p.contains("payload"), s"payload bytes must not survive past decode:\n$p")
+  }
+
+  test("a09: ADC shortlist flows through the bounded-heap top-k, queries broadcast") {
+    val p = queries.CurationQueries.annPq(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), s"shortlist must prune through TopKPerKeyExec:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query tables must broadcast:\n$p")
+  }
 }
