@@ -374,6 +374,42 @@ object helpers {
     sum / (1000.0 * nw)
   }
 
+  /** Per-window hashed-feature BUCKET ids, duplicates KEPT (the bag
+    * semantics DSIR-style n-gram LMs need — [[ngramHashes]] dedups and
+    * would collapse repeated features): one XXH64 per word, window
+    * folds, bucket = nonneg hash mod `buckets`. */
+  def ngramBuckets(arr: ArrayData, n: Int, buckets: Int): ArrayData = {
+    val nw = arr.numElements()
+    if (nw < n) return new GenericArrayData(Array.empty[Int])
+    val wh = new Array[Long](nw)
+    var i = 0
+    while (i < nw) {
+      wh(i) = hashElem(arr.getUTF8String(i))
+      i += 1
+    }
+    val out = new Array[Int](nw - n + 1)
+    var start = 0
+    while (start <= nw - n) {
+      var h = wh(start)
+      var j = 1
+      while (j < n) { h = XXH64.hashLong(wh(start + j), h); j += 1 }
+      out(start) = java.lang.Math.floorMod(h, buckets.toLong).toInt
+      start += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Σ table(bucket) over an int-array column — the scan-local scoring
+    * pass of a broadcast lookup model (left-to-right order, so the
+    * float sum is deterministic). */
+  def sumLookup(arr: ArrayData, table: Array[Double]): Double = {
+    var s = 0.0
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) { s += table(arr.getInt(i)); i += 1 }
+    s
+  }
+
   /** Distinct word n-gram hashes: each word XXH64-hashed once, each
     * window the hashLong-fold of its n word hashes (the same scheme as
     * [[minHashFromWords]] — no window array copies, no re-hashing of
@@ -636,6 +672,61 @@ case class NgramHashes(child: Expression, n: Int)
   override def prettyName: String = "ngram_hashes"
 }
 
+/** `ngram_buckets(words, n, buckets)` → array<int>: per-window hashed
+  * feature bucket ids, duplicates kept (bag-of-n-grams features). */
+case class NgramBuckets(child: Expression, n: Int, buckets: Int)
+    extends UnaryExpression {
+  require(n >= 1 && buckets >= 1, "ngram_buckets needs positive n and bucket count")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_buckets needs array<string> of words, got $t")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    helpers.ngramBuckets(input.asInstanceOf[ArrayData], n, buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.helpers.ngramBuckets($c, $n, $buckets);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "ngram_buckets"
+}
+
+/** `sum_lookup(bucketIds)` → double: Σ table(bucket) against a
+  * BROADCAST double table (the [[BloomHitCount]] shipping pattern —
+  * one torrent copy per executor, never a plan constant). */
+case class SumLookup(child: Expression,
+                     tableBc: org.apache.spark.broadcast.Broadcast[Array[Double]])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sum_lookup needs array<int> of bucket ids, got $t")
+    }
+  override def dataType: DataType = DoubleType
+  @transient private lazy val localTable: Array[Double] = tableBc.value
+  override def nullSafeEval(input: Any): Any =
+    helpers.sumLookup(input.asInstanceOf[ArrayData], localTable)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("sumLookupBc", tableBc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val tableVar = ctx.addMutableState("double[]", "sumLookupTable",
+      v => s"$v = (double[]) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.helpers.sumLookup($c, $tableVar);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "sum_lookup"
+}
+
 /** `classifier_score(text, numBuckets)` → double: raw hashed-linear
   * quality-classifier score (md5 feature hashing, fixed weight table),
   * scan-local; rounding in the query layer. */
@@ -759,6 +850,14 @@ object GraftFunctions {
 
   def classifierScore(text: Column, numBuckets: Int): Column =
     ColumnBridge.column(ClassifierScoreExpr(ColumnBridge.expression(text), numBuckets))
+
+  def ngramBuckets(words: Column, n: Int, buckets: Int): Column =
+    ColumnBridge.column(NgramBuckets(ColumnBridge.expression(words), n, buckets))
+
+  def sumLookup(bucketIds: Column, table: Array[Double]): Column = {
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(table)
+    ColumnBridge.column(SumLookup(ColumnBridge.expression(bucketIds), bc))
+  }
 
   /** Register `cosine_similarity` / `uuid5` / `minhash_signature` for the
     * SQL surface. */

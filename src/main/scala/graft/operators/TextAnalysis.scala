@@ -270,6 +270,52 @@ object TextAnalysis {
           col("n_words") >= minWords).cast("int").as("keep"))
   }
 
+  /** DSIR importance weights (Xie et al., NeurIPS 2023 — "Data
+    * Selection for Language Models via Importance Resampling"): fit
+    * hashed bag-of-n-grams unigram-count LMs for the TARGET
+    * distribution (the data you want more of) and the RAW corpus, then
+    * score every raw document with its log importance weight
+    * `log w(x) = Σ_f [ln p_target(f) − ln p_raw(f)]` (add-one
+    * smoothing). Resampling raw by `exp(log_w)` yields target-like
+    * data — the modern data-selection operator behind quality-targeted
+    * pretraining corpora.
+    *
+    * Scale posture: both LMs aggregate to exactly `buckets` keys (one
+    * partial-agg shuffle each, collected as a bounded array — 8k
+    * doubles, not a corpus structure); the per-document score is then
+    * ONE scan-local native-expression pass over the broadcast log-ratio
+    * table (`SumLookup` — table ships once per executor). No joins, no
+    * per-feature shuffle of the corpus. Rows-only vs the oracle:
+    * xxhash64 feature hashing and `ln` have no bit-exact DuckDB twin
+    * (DsirSpec pins the semantics instead). */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, n: Int = 2, buckets: Int = 8192): DataFrame = {
+    import graft.functions.GraftFunctions.{ngramBuckets, sumLookup}
+    def bucketCounts(df: DataFrame): Array[Long] = {
+      val rows = df
+        .select(explode(ngramBuckets(split(col(textCol), " "), n, buckets)).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("c"))
+        .collect()
+      val out = new Array[Long](buckets)
+      rows.foreach(r => out(r.getInt(0)) = r.getLong(1))
+      out
+    }
+    val tc = bucketCounts(target)
+    val rc = bucketCounts(raw)
+    val tTot = tc.sum.toDouble + buckets
+    val rTot = rc.sum.toDouble + buckets
+    // log-ratio per bucket, fixed evaluation shape: ln((tc+1)/(T+B)) −
+    // ln((rc+1)/(R+B)) — an unseen-everywhere bucket scores ln(R+B)−ln(T+B)
+    val table = Array.tabulate(buckets)(b =>
+      math.log((tc(b) + 1.0) / tTot) - math.log((rc(b) + 1.0) / rTot))
+    raw.select(
+      col(idCol).as("doc_id"),
+      ngramBuckets(split(col(textCol), " "), n, buckets).as("__f"))
+      .select(col("doc_id"),
+        size(col("__f")).cast("long").as("n_features"),
+        round(sumLookup(col("__f"), table), 6).as("log_weight"))
+  }
+
   /** Domain-mixture statistics and temperature-weighted sampling
     * budgets — the corpus-mixing step of a training-data pipeline
     * (mixture weights ∝ token-count^alpha, the multilingual/domain

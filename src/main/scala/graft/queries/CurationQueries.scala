@@ -186,6 +186,18 @@ object CurationQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** t18: DSIR importance weights — hashed bigram LMs for the target
+    * (declared-English documents) vs the raw corpus; per-doc log
+    * importance weight in one scan-local pass over the broadcast
+    * log-ratio table (rows-only: xxhash64 + ln have no bit-exact DuckDB
+    * twin; DsirSpec pins that target-like documents outscore the rest). */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    TextAnalysis.dsirWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", n = 2, buckets = 8192)
+      .orderBy(col("doc_id"))
+  }
+
   /** t01: per-document text-analysis profile (token counts, quality,
     * lang id, bag-of-words fingerprint) — all pure Catalyst. */
   def textProfile(spark: SparkSession, dir: String): DataFrame =
@@ -500,6 +512,7 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t17_classifier_score"  -> classifierScore _,
+    "t18_dsir_weights"      -> dsirWeights _,
     "d12_semantic_dedup"    -> semDedup _,
     "t14_gopher_ngrams"     -> gopherFractions _,
     "t15_tfidf_keywords"    -> tfIdf _,
