@@ -24,7 +24,8 @@ object Bench {
     "t01_text_profile", "t10_contamination", "t11_unigram_score",
     "d10_dedup_substring", "t12_domain_mixture", "t13_bloom_decontam",
     "p16_curate_pack", "t14_gopher_ngrams", "t15_tfidf_keywords",
-    "t16_quality_verdict", "t17_classifier_score", "d13_image_dedup")
+    "t16_quality_verdict", "t17_classifier_score", "d13_image_dedup",
+    "d14_span_removal", "a10_hybrid_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

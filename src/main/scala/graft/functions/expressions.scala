@@ -399,6 +399,34 @@ object helpers {
     new GenericArrayData(out)
   }
 
+  /** Per-window n-gram hashes in POSITION order, duplicates kept —
+    * element i is the hash of words[i..i+n-1]. The positional key of
+    * exact-substring REMOVAL
+    * ([[graft.operators.Dedup.removeDuplicateSpans]]): removal needs
+    * to know WHERE a duplicated window starts, which the
+    * deduped/sorted [[ngramHashes]] form discards. Same per-word
+    * XXH64 + window fold, so keys compare equal across producers. */
+  def ngramHashSeq(arr: ArrayData, n: Int): ArrayData = {
+    val nw = arr.numElements()
+    if (nw < n) return new GenericArrayData(Array.empty[Long])
+    val wh = new Array[Long](nw)
+    var i = 0
+    while (i < nw) {
+      wh(i) = hashElem(arr.getUTF8String(i))
+      i += 1
+    }
+    val out = new Array[Long](nw - n + 1)
+    var start = 0
+    while (start <= nw - n) {
+      var h = wh(start)
+      var j = 1
+      while (j < n) { h = XXH64.hashLong(wh(start + j), h); j += 1 }
+      out(start) = h
+      start += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Σ table(bucket) over an int-array column — the scan-local scoring
     * pass of a broadcast lookup model (left-to-right order, so the
     * float sum is deterministic). */
@@ -696,6 +724,31 @@ case class NgramBuckets(child: Expression, n: Int, buckets: Int)
   override def prettyName: String = "ngram_buckets"
 }
 
+/** `ngram_hash_seq(words, n)` → array<bigint>: per-window n-gram
+  * hashes in position order, duplicates kept (element i = hash of
+  * words[i..i+n-1]) — the positional twin of [[NgramHashes]]. */
+case class NgramHashSeq(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "ngram_hash_seq needs positive n")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_hash_seq needs array<string> of words, got $t")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    helpers.ngramHashSeq(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.helpers.ngramHashSeq($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "ngram_hash_seq"
+}
+
 /** `sum_lookup(bucketIds)` → double: Σ table(bucket) against a
   * BROADCAST double table (the [[BloomHitCount]] shipping pattern —
   * one torrent copy per executor, never a plan constant). */
@@ -832,6 +885,9 @@ object GraftFunctions {
 
   def ngramStrings(text: Column, n: Int): Column =
     ColumnBridge.column(NgramStrings(ColumnBridge.expression(text), n))
+
+  def ngramHashSeq(words: Column, n: Int): Column =
+    ColumnBridge.column(NgramHashSeq(ColumnBridge.expression(words), n))
 
   def gopherFractions(text: Column): Column =
     ColumnBridge.column(GopherFractions(ColumnBridge.expression(text)))

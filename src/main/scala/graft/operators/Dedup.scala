@@ -266,6 +266,52 @@ object Dedup {
           .as("dup_ratio"))
   }
 
+  /** Exact-substring REMOVAL — the action to [[duplicatedWindows]]'
+    * signal (Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better", as the word-window approximation of
+    * their suffix-array method): every word covered by an n-word
+    * window whose content occurred EARLIER in the corpus (lower
+    * doc_id, or lower start position within the same doc) is dropped;
+    * first occurrences survive. One row per input doc:
+    * (doc_id, n_words, n_removed, kept_text).
+    *
+    * Scale posture: windows travel as 8-byte xxhash64 keys + (doc,
+    * pos) — never as strings; ONE shuffle on the window hash ranks
+    * occurrences (first occurrence = row_number 1); covered positions
+    * fold back to one int-array per affected doc (bounded by doc
+    * length); the text is rebuilt scan-side by an indexed-lambda
+    * filter over the original word array, so document text itself
+    * never shuffles. A cross-doc hash collision (~2⁻⁶⁴ per window
+    * comparison) could drop a non-duplicate span — same approximate
+    * contract as [[duplicatedWindows]]. */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("__ws"))
+    // (doc, 1-based window start, window hash); docs shorter than one
+    // window contribute no rows and pass through untouched below
+    val wins = base.select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.ngramHashSeq(col("__ws"), n)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("wh"))
+    val ranked = wins.withColumn("rn", row_number().over(
+      Window.partitionBy(col("wh")).orderBy(col("doc_id"), col("pos"))))
+    // duplicated instances cover positions [pos, pos+n-1]; overlapping
+    // spans collapse via collect_set
+    val removed = ranked.filter(col("rn") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("rp"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("rp")).as("removed"))
+    base.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("__ws")).cast("long").as("n_words"),
+        coalesce(size(col("removed")), lit(0)).cast("long").as("n_removed"),
+        array_join(expr(
+          "filter(__ws, (w, i) -> removed IS NULL OR NOT array_contains(removed, i + 1))"),
+          " ").as("kept_text"))
+  }
+
   /** Winnowing-based near-dup pairs: documents sharing at least
     * `minShared` winnowing fingerprints (Schleimer et al. local
     * fingerprints catch copied PASSAGES, which set-level Jaccard dilutes

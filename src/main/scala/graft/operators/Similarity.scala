@@ -141,4 +141,95 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
+
+  /** Hybrid lexical+vector retrieval with reciprocal-rank fusion — the
+    * standard hybrid-search shape of modern vector stores (and the
+    * retrieval mode the reference's vector-DB sinks feed). Each leg
+    * produces a per-query candidate ranking:
+    *
+    *  - lexical: candidates share ≥1 distinct term with the query,
+    *    ranked by (shared distinct terms desc, Σ document-frequency of
+    *    the shared terms asc — rarer terms win ties — then id). All
+    *    integer comparisons: engine-exact by construction.
+    *  - vector: exact cosine (the [[bruteForceTopK]] shape).
+    *
+    * Fusion scores 1/(rrfK + rank_lex) + 1/(rrfK + rank_vec) (Cormack
+    * et al. 2009, rrfK = 60), a missing leg contributing 0 — two IEEE
+    * divisions and one add, so fused scores are engine-exact too (the
+    * t15 rational-score principle).
+    *
+    * Scale posture: the query set broadcasts twice (term postings and
+    * vectors) — the corpus never shuffles for candidate generation;
+    * document frequencies are computed for QUERY terms only (map-side
+    * partial agg over one corpus-terms scan, a query-vocabulary-sized
+    * result re-broadcast); the lexical leg shuffles only aggregated
+    * (query, doc, n_shared, df_sum) tuples and the vector leg prunes
+    * through the bounded-heap [[graft.plans.TopKPerKey]] operator, so
+    * its shuffle carries ≤ depth·|queries| survivors.
+    *
+    * Output: (query_id, doc_id, n_shared, rank_lex, rank_vec,
+    * cos_score, rrf, rank), rank 1..k by (rrf desc, doc_id); a leg the
+    * doc didn't reach within `depth` reports rank 0 / score 0. */
+  def hybridTopK(queries: DataFrame, corpus: DataFrame,
+                 idCol: String, textCol: String, vecCol: String,
+                 qIdCol: String, qTextCol: String, qVecCol: String,
+                 k: Int, depth: Int, rrfK: Int = 60): DataFrame = {
+    require(depth >= k, "leg depth must be >= final k")
+    val q = queries.select(col(qIdCol).as("query_id"),
+      col(qTextCol).as("qtext"), asDouble(qVecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("doc_id"),
+      col(textCol).as("dtext"), asDouble(vecCol).as("cv"))
+
+    // --- lexical leg ---
+    val qterms = q.select(col("query_id"),
+      explode(array_distinct(split(col("qtext"), " "))).as("term"))
+    val cterms = c.select(col("doc_id"),
+      explode(array_distinct(split(col("dtext"), " "))).as("term"))
+    // df over query terms only: map-side semi-join against the broadcast
+    // query vocabulary, partial agg, tiny result re-broadcast
+    val dfq = cterms
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val hits = cterms
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfq), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"), sum(col("df")).as("df_sum"))
+    val wLex = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_shared").desc, col("df_sum").asc, col("doc_id"))
+    val lex = hits.withColumn("rank_lex", row_number().over(wLex))
+      .filter(col("rank_lex") <= depth)
+      .select(col("query_id"), col("doc_id"), col("n_shared"), col("rank_lex"))
+
+    // --- vector leg (the a01 broadcast + bounded-heap shape) ---
+    val scoredVec = c.select(col("doc_id"), col("cv"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))),
+        col("query_id") =!= col("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos_score"))
+    val wVec = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_score").desc, col("doc_id"))
+    val vec = graft.plans.TopKPerKey
+      .prune(scoredVec, "query_id", "cos_score", "doc_id", depth)
+      .withColumn("rank_vec", row_number().over(wVec))
+      .filter(col("rank_vec") <= depth)
+      .select(col("query_id"), col("doc_id"), col("cos_score"), col("rank_vec"))
+
+    // --- reciprocal-rank fusion ---
+    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_vec")), lit(0.0)), 6))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).cast("long").as("n_shared"),
+        coalesce(col("rank_lex"), lit(0)).cast("long").as("rank_lex"),
+        coalesce(col("rank_vec"), lit(0)).cast("long").as("rank_vec"),
+        coalesce(col("cos_score"), lit(0.0)).as("cos_score"),
+        col("rrf"), col("rank").cast("long").as("rank"))
+  }
 }

@@ -510,7 +510,40 @@ object CurationQueries {
       .orderBy(col("id"))
   }
 
+  /** d14: exact-substring removal over a corpus with planted full-copy
+    * docs (8-word windows, the d10 scale) — copies lose every word to
+    * the earlier occurrence, originals keep theirs, and natural
+    * cross-doc / within-doc 8-gram repeats are stripped too (see
+    * [[Dedup.removeDuplicateSpans]]). */
+  def dedupSpanRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val planted = d.unionAll(d.withColumn("doc_id", col("doc_id") + 1000000L))
+    Dedup.removeDuplicateSpans(planted, "doc_id", "text", n = 8)
+      .orderBy(col("doc_id"))
+  }
+
+  /** a10: hybrid lexical+vector search — RRF fusion of the shared-rare-
+    * term lexical ranking with the exact cosine ranking (leg depth 20,
+    * final k 10). Queries are every 50th document: its first 12 words
+    * as the query string, its embedding as the query vector (see
+    * [[Similarity.hybridTopK]]). */
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    val c = documents(spark, dir).select(col("doc_id"), col("text"))
+      .join(embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+    val q = c.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(split(col("text"), " "), 1, 12), " ").as("qtext"),
+        col("embedding").as("qvec"))
+    Similarity.hybridTopK(q, c, "doc_id", "text", "embedding",
+        "qid", "qtext", "qvec", k = 10, depth = 20)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_span_removal"      -> dedupSpanRemoval _,
+    "a10_hybrid_search"     -> hybridSearch _,
     "t17_classifier_score"  -> classifierScore _,
     "t18_dsir_weights"      -> dsirWeights _,
     "d12_semantic_dedup"    -> semDedup _,
@@ -558,6 +591,73 @@ object CurationQueries {
       | + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d14_span_removal" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM planted),
+        |wins AS (
+        |  SELECT doc_id, i AS pos, array_to_string(ws[i:i+7], ' ') AS win
+        |  FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(i)),
+        |ranked AS (SELECT doc_id, pos,
+        |  row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn FROM wins),
+        |cov AS (SELECT DISTINCT doc_id, pos + j AS rp
+        |  FROM ranked, unnest(generate_series(0, 7)) AS s(j) WHERE rn > 1),
+        |pos AS (SELECT doc_id, i AS p, ws[i] AS word
+        |  FROM w, unnest(generate_series(1, len(ws))) AS t(i)),
+        |kept AS (SELECT p.doc_id, p.p, p.word FROM pos p LEFT JOIN cov
+        |  ON p.doc_id = cov.doc_id AND p.p = cov.rp WHERE cov.rp IS NULL),
+        |agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS kept_text
+        |  FROM kept GROUP BY doc_id),
+        |rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+        |  CAST(coalesce(rem.n_removed, 0) AS BIGINT) AS n_removed,
+        |  coalesce(agg.kept_text, '') AS kept_text
+        |FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
+        |LEFT JOIN rem ON w.doc_id = rem.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
+    "a10_hybrid_search" ->
+      """WITH corpus AS (SELECT d.doc_id, d.text, CAST(e.embedding AS DOUBLE[]) AS v
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |q AS (SELECT doc_id AS query_id,
+        |    array_to_string(string_split(text, ' ')[1:12], ' ') AS qtext, v AS qv
+        |  FROM corpus WHERE doc_id % 50 = 0),
+        |qt AS (SELECT query_id, unnest(list_distinct(string_split(qtext, ' '))) AS term FROM q),
+        |ct AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term FROM corpus),
+        |dfq AS (SELECT term, count(*) AS df FROM ct
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+        |hits AS (SELECT qt.query_id, ct.doc_id, count(*) AS n_shared, sum(dfq.df) AS df_sum
+        |  FROM ct JOIN qt USING (term) JOIN dfq USING (term)
+        |  WHERE ct.doc_id <> qt.query_id GROUP BY 1, 2),
+        |lex AS (SELECT * FROM (SELECT query_id, doc_id, n_shared,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY n_shared DESC, df_sum ASC, doc_id) AS rank_lex
+        |  FROM hits) WHERE rank_lex <= 20),
+        |vec AS (SELECT * FROM (SELECT query_id, doc_id, cos_score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_score DESC, doc_id) AS rank_vec
+        |  FROM (SELECT q.query_id, c.doc_id,
+        |      round(list_cosine_similarity(q.qv, c.v), 6) AS cos_score
+        |    FROM q JOIN corpus c ON q.query_id <> c.doc_id))
+        |  WHERE rank_vec <= 20),
+        |fused AS (
+        |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+        |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |    coalesce(l.n_shared, 0) AS n_shared,
+        |    coalesce(l.rank_lex, 0) AS rank_lex,
+        |    coalesce(v.rank_vec, 0) AS rank_vec,
+        |    coalesce(v.cos_score, 0.0) AS cos_score,
+        |    round(coalesce(1.0 / (60 + l.rank_lex), 0) +
+        |          coalesce(1.0 / (60 + v.rank_vec), 0), 6) AS rrf
+        |  FROM lex l FULL OUTER JOIN vec v
+        |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+        |SELECT * FROM (
+        |  SELECT query_id, doc_id, CAST(n_shared AS BIGINT) AS n_shared,
+        |    CAST(rank_lex AS BIGINT) AS rank_lex, CAST(rank_vec AS BIGINT) AS rank_vec,
+        |    cos_score, rrf,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+        |  FROM fused)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "t17_classifier_score" ->
       """WITH s AS (
         |  SELECT doc_id,
