@@ -142,6 +142,88 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** BM25 top-k lexical retrieval (Robertson & Spärck Jones probabilistic
+    * ranking; the Okapi BM25 shape every full-text engine ships) with a
+    * RATIONAL idf — idf(t) = (N − df + 0.5)/(df + 0.5) instead of
+    * ln(1 + (N − df + 0.5)/(df + 0.5)) — for the t15 reason: ln is not
+    * correctly rounded and differs across libm implementations, while the
+    * rational form is two adds and one IEEE division, bit-identical in
+    * every engine. The transform is monotone in the classic idf, so
+    * single-term rankings are unchanged and multi-term rankings simply
+    * weight rare terms more sharply (documented variant, not an accident).
+    *
+    * Engine-exactness of the SUM: float addition is not associative, so
+    * summing per-term double contributions in engine-dependent order
+    * would break cross-engine hashes. Each (query, doc, term)
+    * contribution — idf(t) · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)),
+    * every factor a deterministic IEEE expression of integers — is
+    * rounded to a scaled BIGINT (×10⁶) BEFORE aggregation; integer
+    * addition is order-free, and the final score is the exact quotient
+    * scaled back. Ranking orders by the integer, so the cut is exact too.
+    *
+    * Scale posture: the corpus never shuffles for candidate generation —
+    * corpus words are filtered map-side against the broadcast query
+    * vocabulary, so the only shuffled rows are (doc, query-term) hits;
+    * df and the N/Σdl scalars are query-vocab-sized / single-row
+    * aggregates re-broadcast (q13 pattern); candidates prune through the
+    * bounded-heap [[graft.plans.TopKPerKey]] operator before the ranking
+    * window, so the final sort sees ≤ k rows per query.
+    *
+    * Output: (query_id, doc_id, bm25, rank), rank 1..k by
+    * (score desc, doc_id). Docs sharing no term with the query simply
+    * don't appear (score would be 0). */
+  def bm25TopK(queries: DataFrame, corpus: DataFrame,
+               idCol: String, textCol: String,
+               qIdCol: String, qTextCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val c = corpus.select(col(idCol).as("doc_id"), col(textCol).as("dtext"),
+      size(split(col(textCol), " ")).cast("long").as("dl"))
+    val q = queries.select(col(qIdCol).as("query_id"), col(qTextCol).as("qtext"))
+
+    // single-row corpus stats, broadcast (no driver collect)
+    val stats = c.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+    val qterms = q.select(col("query_id"),
+      explode(array_distinct(split(col("qtext"), " "))).as("term"))
+    val cwords = c.select(col("doc_id"), col("dl"),
+      explode(split(col("dtext"), " ")).as("term"))
+    // map-side semi-join against the broadcast query vocabulary: only
+    // query-term occurrences ever reach a shuffle
+    val tf = cwords
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    // per-(query, doc, term) contribution, scaled to integer before the
+    // order-sensitive sum; expression text mirrors the DuckDB oracle so
+    // both engines evaluate the identical IEEE operation sequence
+    val contrib = tf
+      .join(broadcast(df), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("c", expr(
+        // D suffixes force DOUBLE literals (bare 0.5/1.2 would parse as
+        // DECIMAL in both engines and change the arithmetic); the
+        // operation sequence mirrors the DuckDB oracle token-for-token
+        s"""cast(round(((n_docs - df + 0.5D) / (df + 0.5D)) *
+           |  (tf * (${k1}D + 1) / (tf + ${k1}D * (1 - ${b}D + ${b}D * dl /
+           |    (cast(sum_dl as double) / n_docs)))) * 1e6, 0) as bigint)"""
+          .stripMargin))
+    val scored = contrib
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("score_scaled"))
+      .withColumn("bm25", round(col("score_scaled").cast("double") / 1e6, 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_scaled").desc, col("doc_id"))
+    graft.plans.TopKPerKey
+      .prune(scored.withColumn("s", col("score_scaled").cast("double")),
+        "query_id", "s", "doc_id", k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("bm25"), col("rank"))
+  }
+
   /** Hybrid lexical+vector retrieval with reciprocal-rank fusion — the
     * standard hybrid-search shape of modern vector stores (and the
     * retrieval mode the reference's vector-DB sinks feed). Each leg

@@ -541,7 +541,21 @@ object CurationQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** a11: BM25 lexical top-k retrieval — the Okapi ranking with the
+    * rational idf and scaled-integer summation (engine-exact; see
+    * [[Similarity.bm25TopK]]). Same query shape as a10: every 50th
+    * document's first 12 words, k = 10. */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val c = documents(spark, dir).select(col("doc_id"), col("text"))
+    val q = c.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(split(col("text"), " "), 1, 12), " ").as("qtext"))
+    Similarity.bm25TopK(q, c, "doc_id", "text", "qid", "qtext", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a11_bm25_topk"         -> bm25Search _,
     "d14_span_removal"      -> dedupSpanRemoval _,
     "a10_hybrid_search"     -> hybridSearch _,
     "t17_classifier_score"  -> classifierScore _,
@@ -616,6 +630,33 @@ object CurationQueries {
         |FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
         |LEFT JOIN rem ON w.doc_id = rem.doc_id
         |ORDER BY w.doc_id""".stripMargin,
+    "a11_bm25_topk" ->
+      """WITH corpus AS (SELECT doc_id, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM corpus),
+        |q AS (SELECT doc_id AS query_id,
+        |    array_to_string(string_split(text, ' ')[1:12], ' ') AS qtext
+        |  FROM corpus WHERE doc_id % 50 = 0),
+        |qt AS (SELECT query_id, unnest(list_distinct(string_split(qtext, ' '))) AS term FROM q),
+        |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+        |  FROM (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term FROM corpus)
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |contrib AS (SELECT qt.query_id, tf.doc_id,
+        |    CAST(round(((s.n_docs - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE))) *
+        |      (tf.tf * (CAST(1.2 AS DOUBLE) + 1) / (tf.tf + CAST(1.2 AS DOUBLE) *
+        |        (1 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * tf.dl /
+        |          (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) * 1e6) AS BIGINT) AS c
+        |  FROM tf JOIN qt USING (term) JOIN df USING (term), stats s),
+        |scored AS (SELECT query_id, doc_id, sum(c) AS score_scaled
+        |  FROM contrib GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, doc_id,
+        |    round(CAST(score_scaled AS DOUBLE) / 1e6, 6) AS bm25,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_scaled DESC, doc_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT query_id, doc_id, bm25, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "a10_hybrid_search" ->
       """WITH corpus AS (SELECT d.doc_id, d.text, CAST(e.embedding AS DOUBLE[]) AS v
         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),

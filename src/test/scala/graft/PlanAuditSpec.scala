@@ -138,6 +138,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("payload"), s"payload bytes must not survive past decode:\n$p")
   }
 
+  test("a11: BM25 joins all broadcast, candidates prune through the bounded heap") {
+    val p = plan("a11_bm25_topk")
+    // query vocabulary, df table, and the stats row broadcast — the
+    // corpus-words stream never shuffles for a join (its only exchanges
+    // are the tf/score partial aggregations)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"BM25 lookup tables must broadcast:\n$p")
+    assert(p.contains("TopKPerKey"),
+      s"candidates must prune through TopKPerKeyExec before ranking:\n$p")
+  }
+
   test("a09: ADC shortlist flows through the bounded-heap top-k, queries broadcast") {
     val p = queries.CurationQueries.annPq(spark, dir)
       .queryExecution.executedPlan.toString
