@@ -358,6 +358,50 @@ object TextAnalysis {
           .cast("long").as("sample_tokens"))
   }
 
+  /** Per-source boilerplate line removal — the CCNet/trafilatura cleanup
+    * every web-scale corpus needs: nav menus, footers, cookie banners
+    * repeat VERBATIM across a site's pages, so a line occurring in
+    * ≥ `minDocFreq` distinct documents of the SAME source is boilerplate
+    * and is stripped from every document (repeated lines within one
+    * document count once toward the frequency).
+    *
+    * Scale posture: lines shuffle as 8-byte xxhash64(source, line) keys,
+    * never as text (the d10 convention); the document frequency is a
+    * partial-agg'd count over per-doc-distinct keys; the boilerplate key
+    * set (lines crossing the threshold — nav/footer-sized, far smaller
+    * than the corpus) re-broadcasts for a map-side LEFT ANTI filter, so
+    * the corpus itself is scanned twice but never shuffled on a
+    * high-cardinality key. The rebuild aggregates (pos, line) pairs per
+    * document — the only corpus-keyed shuffle, carrying kept lines only.
+    *
+    * Output: (doc_id, n_lines, n_kept, clean_text), empty string when
+    * every line was boilerplate. */
+  def removeBoilerplate(docs: DataFrame, idCol: String, srcCol: String,
+                        textCol: String, minDocFreq: Long): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(srcCol).as("src"),
+      col(textCol).as("text"))
+    val lines = base.select(col("doc_id"), col("src"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("lk", xxhash64(col("src"), col("line")))
+    // df over per-document-DISTINCT keys; the distinct is itself the
+    // partial-agg'd first phase of the count
+    val boiler = lines.select(col("lk"), col("doc_id")).distinct()
+      .groupBy(col("lk")).agg(count(lit(1)).as("line_df"))
+      .filter(col("line_df") >= minDocFreq)
+      .select(col("lk"))
+    val kept = lines.join(broadcast(boiler), Seq("lk"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x("line")), "\n").as("clean_text"))
+    base.select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** One row per document with the full text-analysis profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

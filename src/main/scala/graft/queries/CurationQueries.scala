@@ -554,7 +554,29 @@ object CurationQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** t20: per-source boilerplate line removal. The corpus has no line
+    * structure, so the wrapper plants it the d14 way: each document
+    * becomes a per-source nav header, its words in 10-word body lines,
+    * and a per-source footer — every doc of a source shares the
+    * nav/footer (df = docs-per-source ≥ 5 ⇒ stripped), body lines are
+    * stripped only where the corpus's own duplicate texts push a line's
+    * within-source df to the threshold (see
+    * [[TextAnalysis.removeBoilerplate]]). */
+  def boilerplateRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val lined = documents(spark, dir).select(col("doc_id"), col("source"),
+      expr("""array_join(concat(
+             |  array(concat('nav ', source, ' home about contact')),
+             |  transform(sequence(0, (size(split(text, ' ')) + 9) div 10 - 1),
+             |    i -> array_join(slice(split(text, ' '), i*10+1, 10), ' ')),
+             |  array(concat('footer ', source, ' copyright'))), '\n')"""
+        .stripMargin).as("ltext"))
+    TextAnalysis.removeBoilerplate(lined, "doc_id", "source", "ltext",
+        minDocFreq = 5L)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_boilerplate"       -> boilerplateRemoval _,
     "a11_bm25_topk"         -> bm25Search _,
     "d14_span_removal"      -> dedupSpanRemoval _,
     "a10_hybrid_search"     -> hybridSearch _,
@@ -630,6 +652,27 @@ object CurationQueries {
         |FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
         |LEFT JOIN rem ON w.doc_id = rem.doc_id
         |ORDER BY w.doc_id""".stripMargin,
+    "t20_boilerplate" ->
+      """WITH docs AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |lined AS (SELECT doc_id, source,
+        |    ['nav ' || source || ' home about contact'] ||
+        |    list_transform(generate_series(0, (len(ws) + 9) // 10 - 1),
+        |      i -> array_to_string(ws[i*10+1 : i*10+10], ' ')) ||
+        |    ['footer ' || source || ' copyright'] AS ls
+        |  FROM docs),
+        |lines AS (SELECT doc_id, source, i AS pos, ls[i] AS line
+        |  FROM lined, unnest(generate_series(1, len(ls))) AS t(i)),
+        |df AS (SELECT source, line, count(DISTINCT doc_id) AS line_df
+        |  FROM lines GROUP BY 1, 2),
+        |kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+        |  JOIN df ON df.source = l.source AND df.line = l.line
+        |  WHERE df.line_df < 5),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    array_to_string(list(line ORDER BY pos), chr(10)) AS clean_text
+        |  FROM kept GROUP BY 1)
+        |SELECT l.doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |  coalesce(a.n_kept, 0) AS n_kept, coalesce(a.clean_text, '') AS clean_text
+        |FROM lined l LEFT JOIN agg a USING (doc_id) ORDER BY l.doc_id""".stripMargin,
     "a11_bm25_topk" ->
       """WITH corpus AS (SELECT doc_id, text,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
