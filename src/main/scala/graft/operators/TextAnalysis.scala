@@ -358,6 +358,66 @@ object TextAnalysis {
           .cast("long").as("sample_tokens"))
   }
 
+  /** Corpus-trained bigram language-model scoring — the CCNet-style
+    * fluency signal: train an add-one-smoothed bigram LM on the corpus
+    * itself (p(w2|w1) = (c(w1w2)+1)/(c(w1·)+V), context counts derived
+    * from the bigram table, V = corpus vocabulary size) and score each
+    * document by its mean negative log-probability. Low nll = phrasing
+    * that repeats corpus-typical bigrams; high nll = atypical/garbled
+    * text. Scoring the training corpus itself means no OOV path.
+    *
+    * Engine-exactness: ln is evaluated once per DISTINCT bigram (not per
+    * token) on an IEEE-exact integer ratio, rounded to a scaled BIGINT,
+    * then multiplied by the per-doc occurrence count and summed — integer
+    * arithmetic end-to-end after the single ln call, so cross-engine
+    * divergence would need libm to differ by more than one part in 10¹⁰
+    * on one of the ~vocab² distinct inputs (the a11/t15 principle).
+    *
+    * Scale posture: bigrams leave the scan as 8-byte xxhash64 keys only;
+    * the model is two partial-agg'd counts (bigram table, context table
+    * folded FROM it — one corpus pass, not two); V rides in as a
+    * broadcast scalar (q13 pattern); scoring joins per-doc distinct
+    * bigram counts against the model on the hash key. Model tables scale
+    * with vocabulary², not corpus size.
+    *
+    * Output: (doc_id, n_bigrams, nll); docs with < 2 words report (0, 0.0). */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("ws"))
+    val bi = base.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("ws"),
+        explode(expr("sequence(1, size(ws) - 1)")).as("i"))
+      .select(col("doc_id"),
+        expr("xxhash64(element_at(ws, i))").as("h1"),
+        expr("xxhash64(element_at(ws, i), element_at(ws, i + 1))").as("h12"))
+    val bcnt = bi.groupBy(col("h12"))
+      .agg(max(col("h1")).as("h1"), count(lit(1)).as("c12"))
+    val ccnt = bcnt.groupBy(col("h1")).agg(sum(col("c12")).as("cctx"))
+    val vrow = base.select(explode(col("ws")).as("w"))
+      .agg(count_distinct(expr("xxhash64(w)")).as("v"))
+    val docBi = bi.groupBy(col("doc_id"), col("h12"))
+      .agg(count(lit(1)).as("k"))
+    val scores = docBi
+      .join(bcnt, Seq("h12"))
+      .join(ccnt, Seq("h1"))
+      .crossJoin(broadcast(vrow))
+      .withColumn("c", expr(
+        "k * cast(round(ln(cast(c12 + 1 as double) / (cctx + v)) * 1e6, 0) as bigint)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("s"), sum(col("k")).as("nb"))
+    // the mean is rounded HALF-AWAY IN INTEGER ARITHMETIC on the exact
+    // rational -s/nb (micro-nats): s/1e6/nb as a double lands exactly on
+    // 6th-decimal .5 boundaries (s is 1e6-scaled), where Spark's
+    // BigDecimal rounding and DuckDB's multiply-then-round disagree —
+    // floor((-2s + nb) / 2nb) is boundary-free and engine-exact
+    base.select(col("doc_id"),
+        greatest(size(col("ws")) - 1, lit(0)).cast("long").as("n_bigrams"))
+      .join(scores, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_bigrams"),
+        coalesce(expr("((-2 * s + nb) div (2 * nb))").cast("double") / 1e6,
+          lit(0.0)).as("nll"))
+  }
+
   /** Per-source boilerplate line removal — the CCNet/trafilatura cleanup
     * every web-scale corpus needs: nav menus, footers, cookie banners
     * repeat VERBATIM across a site's pages, so a line occurring in

@@ -575,7 +575,15 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t19: bigram-LM fluency scoring — add-one-smoothed bigram model
+    * trained on the corpus itself, documents scored by mean negative
+    * log-probability (see [[TextAnalysis.bigramLmScore]]). */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLmScore(documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_bigram_lm"         -> bigramLm _,
     "t20_boilerplate"       -> boilerplateRemoval _,
     "a11_bm25_topk"         -> bm25Search _,
     "d14_span_removal"      -> dedupSpanRemoval _,
@@ -652,6 +660,22 @@ object CurationQueries {
         |FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
         |LEFT JOIN rem ON w.doc_id = rem.doc_id
         |ORDER BY w.doc_id""".stripMargin,
+    "t19_bigram_lm" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bi AS (SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS big
+        |  FROM ws, unnest(generate_series(1, len(w) - 1)) AS t(i) WHERE len(w) >= 2),
+        |bcnt AS (SELECT big, max(w1) AS w1, count(*) AS c12 FROM bi GROUP BY 1),
+        |ccnt AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS cctx FROM bcnt GROUP BY 1),
+        |v AS (SELECT count(DISTINCT u) AS v FROM (SELECT unnest(w) AS u FROM ws)),
+        |docbi AS (SELECT doc_id, big, count(*) AS k FROM bi GROUP BY 1, 2),
+        |sc AS (SELECT d.doc_id,
+        |    CAST(sum(d.k * CAST(round(ln(CAST(b.c12 + 1 AS DOUBLE) / (c.cctx + v.v)) * 1e6) AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(sum(d.k) AS BIGINT) AS nb
+        |  FROM docbi d JOIN bcnt b USING (big) JOIN ccnt c ON b.w1 = c.w1, v
+        |  GROUP BY 1)
+        |SELECT w.doc_id, CAST(coalesce(sc.nb, 0) AS BIGINT) AS n_bigrams,
+        |  coalesce(CAST((-2 * sc.s + sc.nb) // (2 * sc.nb) AS DOUBLE) / 1e6, 0.0) AS nll
+        |FROM ws w LEFT JOIN sc USING (doc_id) ORDER BY w.doc_id""".stripMargin,
     "t20_boilerplate" ->
       """WITH docs AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
         |lined AS (SELECT doc_id, source,
