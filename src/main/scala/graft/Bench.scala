@@ -25,7 +25,8 @@ object Bench {
     "d10_dedup_substring", "t12_domain_mixture", "t13_bloom_decontam",
     "p16_curate_pack", "t14_gopher_ngrams", "t15_tfidf_keywords",
     "t16_quality_verdict", "t17_classifier_score", "d13_image_dedup",
-    "d14_span_removal", "a10_hybrid_search", "a11_bm25_topk")
+    "d14_span_removal", "a10_hybrid_search", "a11_bm25_topk",
+    "t19_bigram_lm", "t20_boilerplate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

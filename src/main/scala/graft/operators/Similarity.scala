@@ -183,24 +183,34 @@ object Similarity {
     // single-row corpus stats, broadcast (no driver collect)
     val stats = c.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
 
+    // terms live as 8-byte xxhash64 keys from the scan projection on —
+    // strings never shuffle or join (the d10 convention)
     val qterms = q.select(col("query_id"),
-      explode(array_distinct(split(col("qtext"), " "))).as("term"))
+        explode(array_distinct(split(col("qtext"), " "))).as("term"))
+      .select(col("query_id"), xxhash64(col("term")).as("ht"))
     val cwords = c.select(col("doc_id"), col("dl"),
-      explode(split(col("dtext"), " ")).as("term"))
+        explode(split(col("dtext"), " ")).as("term"))
+      .select(col("doc_id"), col("dl"), xxhash64(col("term")).as("ht"))
     // map-side semi-join against the broadcast query vocabulary: only
     // query-term occurrences ever reach a shuffle
+    // persist: tf feeds both the df aggregation and the weight join —
+    // without it the corpus-words scan + semi-join + agg run twice
+    // (the t15 pattern)
     val tf = cwords
-      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
-      .groupBy(col("doc_id"), col("term"))
+      .join(broadcast(qterms.select(col("ht")).distinct()), Seq("ht"))
+      .groupBy(col("doc_id"), col("ht"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = tf.groupBy(col("ht")).agg(count(lit(1)).as("df"))
 
-    // per-(query, doc, term) contribution, scaled to integer before the
-    // order-sensitive sum; expression text mirrors the DuckDB oracle so
-    // both engines evaluate the identical IEEE operation sequence
-    val contrib = tf
-      .join(broadcast(df), Seq("term"))
-      .join(broadcast(qterms), Seq("term"))
+    // per-(doc, term) weight — idf·tf-norm is QUERY-INDEPENDENT, so the
+    // float work runs on the (doc, term) table BEFORE the query fan-out
+    // (dense query vocabularies fan each row out to every query sharing
+    // the term; evaluating first costs |tf| evaluations instead of
+    // |tf|·|queries-per-term|). Scaled to integer here, so downstream is
+    // integer-only and order-free.
+    val weights = tf
+      .join(broadcast(df), Seq("ht"))
       .crossJoin(broadcast(stats))
       .withColumn("c", expr(
         // D suffixes force DOUBLE literals (bare 0.5/1.2 would parse as
@@ -210,7 +220,8 @@ object Similarity {
            |  (tf * (${k1}D + 1) / (tf + ${k1}D * (1 - ${b}D + ${b}D * dl /
            |    (cast(sum_dl as double) / n_docs)))) * 1e6, 0) as bigint)"""
           .stripMargin))
-    val scored = contrib
+    val scored = weights
+      .join(broadcast(qterms), Seq("ht"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c")).as("score_scaled"))
       .withColumn("bm25", round(col("score_scaled").cast("double") / 1e6, 6))
