@@ -142,6 +142,47 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** Johnson–Lindenstrauss sign random projection — the standard
+    * dimensionality reduction for embedding columns (Achlioptas 2003:
+    * ±1 entries preserve pairwise distances in expectation like Gaussian
+    * ones, and the projection is one integer dot product per output
+    * dimension). The k×d sign matrix derives from MD5 parities of
+    * "rp{j}_{d}", computed ONCE on the driver and baked into the plan as
+    * literals — deterministic across engines (the t17 md5 principle),
+    * free at row scope, and reproducible from the seed strings alone.
+    *
+    * Engine-exactness: float32 inputs are exact in double; each value is
+    * quantized to 2⁻²⁰ units (round(v·2²⁰) as BIGINT), the dot product
+    * is pure integer arithmetic (order-free), and the de-scale divides
+    * by a power of two — exact in IEEE — so outputs are bit-identical
+    * across engines with no rounding step at all.
+    *
+    * Scale posture: entirely scan-local — one narrow projection, no
+    * shuffle, no UDF; the matrix rides in the plan (k·d ints), not in a
+    * join. The 100 TB shape for "shrink every embedding 4×".
+    *
+    * Output: (id, proj_dim 1..k, y) long-format. */
+  def signProjection(vectors: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, k: Int, seed: String = "rp"): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, d: Int): Int = {
+      val hex = md.digest(s"$seed${j}_$d".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+    }
+    val vq = expr(
+      s"transform($vecCol, x -> cast(round(cast(x as double) * 1048576, 0) as bigint))")
+    val projections = (1 to k).map { j =>
+      val arr = (1 to dim).map(d => sign(j, d)).mkString("array(", ",", ")")
+      expr(s"aggregate(sequence(1, $dim), 0L, (acc, d) -> " +
+        s"acc + element_at(vq, d) * element_at($arr, d))")
+    }
+    vectors.select(col(idCol).as("id"), vq.as("vq"))
+      .select(col("id"), posexplode(array(projections: _*)).as(Seq("pos", "sy")))
+      .select(col("id"), (col("pos") + 1).cast("long").as("proj_dim"),
+        (col("sy").cast("double") / 1048576).as("y"))
+  }
+
   /** BM25 top-k lexical retrieval (Robertson & Spärck Jones probabilistic
     * ranking; the Okapi BM25 shape every full-text engine ships) with a
     * RATIONAL idf — idf(t) = (N − df + 0.5)/(df + 0.5) instead of

@@ -582,7 +582,17 @@ object CurationQueries {
     TextAnalysis.bigramLmScore(documents(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** a12: JL sign random projection 64 → 16 dims over the embeddings
+    * table (see [[Similarity.signProjection]]). */
+  def randomProjection(spark: SparkSession, dir: String): DataFrame =
+    Similarity.signProjection(
+        embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", dim = 64, k = 16)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("vec_id"), col("proj_dim"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a12_random_projection" -> randomProjection _,
     "t19_bigram_lm"         -> bigramLm _,
     "t20_boilerplate"       -> boilerplateRemoval _,
     "a11_bm25_topk"         -> bm25Search _,
@@ -660,6 +670,18 @@ object CurationQueries {
         |FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
         |LEFT JOIN rem ON w.doc_id = rem.doc_id
         |ORDER BY w.doc_id""".stripMargin,
+    "a12_random_projection" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS vq
+        |  FROM embeddings),
+        |cells AS (SELECT vec_id, j, vq[d] *
+        |    (CASE WHEN ('0x' || substr(md5('rp' || j || '_' || d), 1, 8))::BIGINT % 2 = 0
+        |      THEN 1 ELSE -1 END) AS c
+        |  FROM q, unnest(generate_series(1, 16)) AS tj(j),
+        |    unnest(generate_series(1, 64)) AS td(d)),
+        |p AS (SELECT vec_id, j, CAST(sum(c) AS BIGINT) AS sy FROM cells GROUP BY 1, 2)
+        |SELECT vec_id, CAST(j AS BIGINT) AS proj_dim, CAST(sy AS DOUBLE) / 1048576 AS y
+        |FROM p ORDER BY vec_id, proj_dim""".stripMargin,
     "t19_bigram_lm" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |bi AS (SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS big
