@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distributed linear algebra over embedding columns: the Gram matrix
+  * (one aggregation, d²-bounded output) and PCA built on it (driver-side
+  * Jacobi eigensolver on the d×d matrix — d² is a constant, corpus data
+  * never reaches the driver — then a scan-local projection through the
+  * broadcast eigenvectors, the a12 shape).
+  *
+  * Engine-exactness of the Gram pass: inputs quantize to 2⁻²⁰ units,
+  * products and sums are pure integer arithmetic (DECIMAL(38,0) partials
+  * — a 100 TB corpus overflows i64 sums), and the de-scale divides by
+  * 2⁴⁰; the only rounding is the final correctly-rounded decimal→double
+  * conversion, identical in both engines. */
+object LinAlg {
+
+  private def quantized(vecCol: String): Column =
+    expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1048576, 0) as bigint))")
+
+  /** Upper-triangle Gram matrix G = XᵀX in long format (d1 ≤ d2, g).
+    * One corpus scan; the shuffle carries ≤ d(d+1)/2 partial rows per
+    * partition (map-side combine), so output and exchange are d²-bound
+    * regardless of corpus size. */
+  def gramMatrix(vectors: DataFrame, vecCol: String, dim: Int): DataFrame =
+    vectors.select(quantized(vecCol).as("vq"))
+      .select(col("vq"), explode(expr(s"sequence(1, $dim)")).as("d1"))
+      .select(col("vq"), col("d1"),
+        explode(expr(s"sequence(d1, $dim)")).as("d2"))
+      .select(col("d1"), col("d2"),
+        (expr("element_at(vq, d1)") * expr("element_at(vq, d2)")).as("p"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(sum(col("p").cast(DecimalType(38, 0))).as("s"))
+      .select(col("d1").cast("long").as("d1"), col("d2").cast("long").as("d2"),
+        (col("s").cast("double") / 1099511627776.0).as("g"))
+
+  /** Per-dimension sums (for centering) and the row count, one pass. */
+  private def moments(vectors: DataFrame, vecCol: String,
+                      dim: Int): (Array[Double], Long) = {
+    val row = vectors.select(quantized(vecCol).as("vq"))
+      .select(explode(expr(s"sequence(1, $dim)")).as("d"),
+        col("vq"))
+      .select(col("d"), expr("element_at(vq, d)").as("v"))
+      .groupBy(col("d")).agg(sum(col("v").cast(DecimalType(38, 0))).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+    val sums = Array.ofDim[Double](dim)
+    var n = 0L
+    row.foreach { r =>
+      sums(r.getInt(0) - 1) = r.getDecimal(1).doubleValue() / 1048576.0
+      n = r.getLong(2)
+    }
+    (sums, n)
+  }
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix — deterministic
+    * sweep order, converges quadratically; d is O(100), so this is
+    * microseconds on the driver. Returns (eigenvalues, eigenvectors as
+    * columns) sorted by eigenvalue descending. */
+  private[operators] def jacobiEigen(a0: Array[Array[Double]])
+  : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 50 && off > 1e-12) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > 1e-300) {
+            off = math.max(off, math.abs(a(p)(q)))
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            // theta == 0 means tan(2φ) = ∞ → t = 1 (signum(0) would
+            // produce the identity rotation and never converge)
+            val t = if (theta == 0.0) 1.0
+              else math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    val evals = order.map(i => a(i)(i)).toArray
+    val evecs = order.map(i => (0 until d).map(r => v(r)(i)).toArray).toArray
+    // sign convention: largest-|component| entry positive, so the basis
+    // is deterministic (eigenvectors are defined up to sign)
+    evecs.foreach { e =>
+      val m = e.indices.maxBy(i => (math.abs(e(i)), -i))
+      if (e(m) < 0) e.indices.foreach(i => e(i) = -e(i))
+    }
+    (evals, evecs)
+  }
+
+  /** PCA: covariance from the Gram pass + centering moments, driver-side
+    * Jacobi on the d×d matrix, then a scan-local projection of the
+    * CENTERED vectors through the top-k eigenvector literals. Two corpus
+    * scans (gram+moments, projection), zero corpus shuffles beyond the
+    * d²-bound aggregations.
+    *
+    * Output: (id, pc 1..k, y) long format, plus the explained variance
+    * per component via [[pcaEigenvalues]] if needed. */
+  def pcaProject(vectors: DataFrame, idCol: String, vecCol: String,
+                 dim: Int, k: Int): DataFrame = {
+    require(k >= 1 && k <= dim, "need 1 <= k <= dim")
+    val (cov, means) = covariance(vectors, vecCol, dim)
+    val (_, evecs) = jacobiEigen(cov)
+    val projections = (1 to k).map { j =>
+      val e = evecs(j - 1)
+      val arr = e.mkString("array(", "D,", "D)")
+      val mArr = means.mkString("array(", "D,", "D)")
+      expr(s"""aggregate(sequence(1, $dim), 0D, (acc, d) ->
+             |  acc + (cast(element_at($vecCol, d) as double) -
+             |    element_at($mArr, d)) * element_at($arr, d))""".stripMargin)
+    }
+    vectors.select(col(idCol).as("id"),
+        posexplode(array(projections: _*)).as(Seq("pos", "y")))
+      .select(col("id"), (col("pos") + 1).cast("long").as("pc"), col("y"))
+  }
+
+  /** Sample covariance matrix (dense, driver-side d×d) and the mean
+    * vector, from one gram pass + one moments pass. */
+  private[operators] def covariance(vectors: DataFrame, vecCol: String,
+                                    dim: Int): (Array[Array[Double]], Array[Double]) = {
+    val (sums, n) = moments(vectors, vecCol, dim)
+    require(n >= 2, "covariance needs at least 2 rows")
+    val means = sums.map(_ / n)
+    val g = Array.ofDim[Double](dim, dim)
+    gramMatrix(vectors, vecCol, dim).collect().foreach { r =>
+      val d1 = r.getLong(0).toInt - 1; val d2 = r.getLong(1).toInt - 1
+      g(d1)(d2) = r.getDouble(2); g(d2)(d1) = r.getDouble(2)
+    }
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      (g(i)(j) - n * means(i) * means(j)) / (n - 1.0))
+    (cov, means)
+  }
+
+  /** Eigenvalues of the sample covariance (explained variance per
+    * component, descending). */
+  def pcaEigenvalues(vectors: DataFrame, vecCol: String, dim: Int): Array[Double] =
+    jacobiEigen(covariance(vectors, vecCol, dim)._1)._1
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, LinAlg, Similarity, TextAnalysis}
 
 /** Training-data curation surface: dedup family, similarity search, and
   * text analysis over the `documents`/`embeddings` tables. */
@@ -591,7 +591,27 @@ object CurationQueries {
       .withColumnRenamed("id", "vec_id")
       .orderBy(col("vec_id"), col("proj_dim"))
 
+  /** a13: upper-triangle Gram matrix of the embeddings table — the
+    * d²-bounded aggregation PCA builds on (see [[LinAlg.gramMatrix]]). */
+  def gramMatrix(spark: SparkSession, dir: String): DataFrame =
+    LinAlg.gramMatrix(
+        embeddings(spark, dir).select(col("embedding")), "embedding", dim = 64)
+      .orderBy(col("d1"), col("d2"))
+
+  /** a14: PCA projection 64 → 8 dims — covariance via the a13 Gram pass,
+    * driver-side Jacobi eigensolver (d×d is a constant), scan-local
+    * centered projection through eigenvector literals (rows-only: no
+    * DuckDB eigensolver; PcaSpec pins the math). */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame =
+    LinAlg.pcaProject(
+        embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", dim = 64, k = 8)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("vec_id"), col("pc"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a13_gram_matrix"       -> gramMatrix _,
+    "a14_pca_project"       -> pcaProject _,
     "a12_random_projection" -> randomProjection _,
     "t19_bigram_lm"         -> bigramLm _,
     "t20_boilerplate"       -> boilerplateRemoval _,
@@ -670,6 +690,18 @@ object CurationQueries {
         |FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
         |LEFT JOIN rem ON w.doc_id = rem.doc_id
         |ORDER BY w.doc_id""".stripMargin,
+    "a13_gram_matrix" ->
+      """WITH q AS (SELECT list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS vq
+        |  FROM embeddings),
+        |pairs AS (SELECT d1, d2, vq[d1] * vq[d2] AS p FROM q,
+        |  unnest(generate_series(1, 64)) AS t1(d1),
+        |  unnest(generate_series(1, 64)) AS t2(d2)
+        |  WHERE d2 >= d1),
+        |g AS (SELECT d1, d2, sum(p) AS s FROM pairs GROUP BY 1, 2)
+        |SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+        |  CAST(s AS DOUBLE) / 1099511627776 AS g
+        |FROM g ORDER BY d1, d2""".stripMargin,
     "a12_random_projection" ->
       """WITH q AS (SELECT vec_id, list_transform(embedding,
         |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS vq

@@ -24,7 +24,9 @@ object PlanReport {
       "p02_chunk_exact_chars", "d03_dedup_minhash", "a01_ann_bruteforce",
       "t10_contamination", "t11_unigram_score", "p14_sequence_pack",
       "d10_dedup_substring", "t13_bloom_decontam", "p16_curate_pack",
-      "t15_tfidf_keywords", "t16_quality_verdict")
+      "t15_tfidf_keywords", "t16_quality_verdict",
+      "d14_span_removal", "a10_hybrid_search", "a11_bm25_topk",
+      "a12_random_projection", "t19_bigram_lm", "t20_boilerplate")
     sb.append("\n## Physical plans (executed, AQE final)\n")
     planQueries.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
@@ -139,6 +141,42 @@ object PlanReport {
     row("domain mixture (per-source budget)",
       graft.operators.TextAnalysis.domainMixture(docs, "source", "text", 1000000L).count(),
       graft.operators.TextAnalysis.domainMixture(docs10, "source", "text", 1000000L).count())
+    locally {
+      // BM25 slope at FIXED query load (10 queries): isolates corpus
+      // scaling — the fan-out grows with corpus rows, not queries²
+      def bmq(d: org.apache.spark.sql.DataFrame) = d.filter(col("doc_id") % 500 === 0)
+        .filter(col("doc_id") < 5000)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 12), " ").as("qtext"))
+      rowFirstRun("BM25 top-10 (fixed 10-query load)",
+        graft.operators.Similarity.bm25TopK(bmq(docs), docs.limit(500),
+          "doc_id", "text", "qid", "qtext", 10).count(),
+        graft.operators.Similarity.bm25TopK(bmq(docs), docs,
+          "doc_id", "text", "qid", "qtext", 10).count(),
+        graft.operators.Similarity.bm25TopK(bmq(docs), docs10,
+          "doc_id", "text", "qid", "qtext", 10).count())
+    }
+    row("bigram LM scoring (vocab-bounded model)",
+      graft.operators.TextAnalysis.bigramLmScore(docs, "doc_id", "text").count(),
+      graft.operators.TextAnalysis.bigramLmScore(docs10, "doc_id", "text").count())
+    locally {
+      // boilerplate: 10-word body lines; the ×10 copies differ only in
+      // their tail line, so shared lines cross the df threshold — the
+      // adversarial single-source case
+      def lined(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+        col("source"),
+        expr("""array_join(transform(sequence(0, (size(split(text, ' ')) + 9) div 10 - 1),
+               |  i -> array_join(slice(split(text, ' '), i*10+1, 10), ' ')), '\n')"""
+          .stripMargin).as("ltext"))
+      row("boilerplate line removal",
+        graft.operators.TextAnalysis.removeBoilerplate(
+          lined(docs), "doc_id", "source", "ltext", 5L).count(),
+        graft.operators.TextAnalysis.removeBoilerplate(
+          lined(docs10), "doc_id", "source", "ltext", 5L).count())
+    }
+    row("JL sign projection 64->16 (scan-local)",
+      graft.operators.Similarity.signProjection(emb, "vec_id", "embedding", 64, 16).count(),
+      graft.operators.Similarity.signProjection(emb10, "vec_id", "embedding", 64, 16).count())
 
     sb.append(
       """
