@@ -82,4 +82,48 @@ object Packing {
         expr(s"start_token div $seqLen").as("seq_id"),
         (col("start_token") % seqLen).as("seq_offset"))
   }
+
+  /** Vocabulary encoding + fixed-window packing — the classic LM
+    * training prep: build a frequency-ranked vocabulary (id 1 =
+    * commonest word, ties by word), encode every document to token ids,
+    * lay the id stream end-to-end in doc order via [[sequencePack]]'s
+    * hierarchical prefix sum, and cut it into `seqLen`-token training
+    * sequences. Sequences cross document boundaries by design (the
+    * GPT-style packed layout).
+    *
+    * Scale posture: documents join their global offset at DOC
+    * granularity BEFORE the token explode, so tokens never shuffle for
+    * the offset; the vocabulary broadcasts (frequency-ranked vocabs are
+    * ≤ 10⁷ entries for real corpora — beyond that swap the broadcast
+    * for a shuffle join); the per-sequence aggregation partial-aggs
+    * map-side, so only sequence-level rows (tokens/seqLen) reach the
+    * exchange. The vocabulary ranking window is one task over
+    * vocab-bounded rows, not corpus rows.
+    *
+    * Output: one row per training sequence — (seq_id, n_tokens, sum_id,
+    * first_id, last_id); the tail sequence may be short. All-integer,
+    * order-free aggregates (count/sum/min_by/max_by on the unique global
+    * index), so the result is engine-exact. */
+  def vocabEncode(docs: DataFrame, idCol: String, textCol: String,
+                  seqLen: Int): DataFrame = {
+    require(seqLen >= 1, "sequence length must be positive")
+    val offsets = sequencePack(docs, idCol, textCol, seqLen)
+      .select(col("doc_id"), col("start_token"))
+    val w = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+    val vocab = w.select(explode(col("ws")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("id", row_number().over(
+        Window.orderBy(col("cnt").desc, col("word"))).cast("long"))
+      .select(col("word"), col("id"))
+    val enc = w.join(offsets, "doc_id")
+      .select(col("start_token"),
+        posexplode(col("ws")).as(Seq("pos", "word")))
+      .select((col("start_token") + col("pos")).as("idx"), col("word"))
+      .join(broadcast(vocab), "word")
+    enc.groupBy(expr(s"idx div $seqLen").as("seq_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("id")).as("sum_id"),
+        min_by(col("id"), col("idx")).as("first_id"),
+        max_by(col("id"), col("idx")).as("last_id"))
+  }
 }

@@ -298,7 +298,17 @@ object PipelineQueries {
       .orderBy(col("media_id"))
   }
 
+  /** p17: vocabulary encoding + fixed-window packing — frequency-ranked
+    * vocab, documents encoded to token ids, the id stream cut into
+    * 128-token training sequences crossing doc boundaries (see
+    * [[graft.operators.Packing.vocabEncode]]). */
+  def vocabEncode(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.vocabEncode(
+        documents(spark, dir), "doc_id", "text", seqLen = 128)
+      .orderBy(col("seq_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p17_vocab_encode"      -> vocabEncode _,
     "d13_image_dedup"       -> imageDedup _,
     "p15_video_meta"        -> videoMeta _,
     "p14_sequence_pack"     -> sequencePack _,
@@ -401,6 +411,23 @@ object PipelineQueries {
         |CAST(640 + (doc_id % 64) * 2 AS INT) AS width,
         |CAST(360 + doc_id % 36 AS INT) AS height
         |FROM documents WHERE doc_id % 5 = 0 ORDER BY media_id""".stripMargin,
+    "p17_vocab_encode" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n FROM w),
+        |off AS (SELECT doc_id, CAST(coalesce(sum(n) OVER (ORDER BY doc_id, n
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
+        |  FROM t),
+        |vocab AS (SELECT word, CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS id
+        |  FROM (SELECT word, count(*) AS cnt
+        |    FROM (SELECT unnest(ws) AS word FROM w) GROUP BY 1)),
+        |pos AS (SELECT doc_id, i, ws[i] AS word
+        |  FROM w, unnest(generate_series(1, len(ws))) AS tt(i)),
+        |enc AS (SELECT o.start_token + p.i - 1 AS idx, v.id
+        |  FROM pos p JOIN off o USING (doc_id) JOIN vocab v USING (word))
+        |SELECT idx // 128 AS seq_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(id) AS BIGINT) AS sum_id,
+        |  arg_min(id, idx) AS first_id, arg_max(id, idx) AS last_id
+        |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin,
     "p14_sequence_pack" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

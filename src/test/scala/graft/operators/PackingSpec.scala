@@ -60,4 +60,27 @@ class PackingSpec extends AnyFunSuite {
     assert(got(5000L)._2 === 2L)
     assert(got(5000000L)._2 === 3L)
   }
+
+  private def collectEnc(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+  test("vocabEncode: frequency-ranked ids, doc-crossing windows, short tail") {
+    // vocab: a(3) -> 1, b(3) -> 2, c(1) -> 3 (count desc, word asc);
+    // stream: doc1 [b a b] = [2 1 2], doc2 [a c a b] = [1 3 1 2]
+    val docs = Seq((1L, "b a b"), (2L, "a c a b")).toDF("doc_id", "text")
+    val got = collectEnc(Packing.vocabEncode(docs, "doc_id", "text", seqLen = 4))
+    // (n_tokens, sum_id, first_id, last_id)
+    assert(got(0L) === ((4L, 6L, 2L, 1L))) // [2 1 2 1] spans both docs
+    assert(got(1L) === ((3L, 6L, 3L, 2L))) // [3 1 2] short tail
+  }
+
+  test("vocabEncode: tie ids are assigned by word order and all tokens covered") {
+    val docs = Seq((1L, "z y z y")).toDF("doc_id", "text")
+    // y and z tie at 2 -> y=1, z=2; stream [2 1 2 1]
+    val got = collectEnc(Packing.vocabEncode(docs, "doc_id", "text", seqLen = 2))
+    assert(got(0L) === ((2L, 3L, 2L, 1L)))
+    assert(got(1L) === ((2L, 3L, 2L, 1L)))
+    assert(got.values.map(_._1).sum === 4L)
+  }
 }
