@@ -609,7 +609,41 @@ object CurationQueries {
       .withColumnRenamed("id", "vec_id")
       .orderBy(col("vec_id"), col("pc"))
 
+  /** p18: the FULL modern curation pipeline hash-checked as ONE query —
+    * boilerplate line removal (t20) → corpus-trained bigram-LM fluency
+    * gate (t19, nll ≤ 3.45) → exact dedup keep-first (d01) → vocabulary
+    * encoding + fixed-window packing (p17). Every stage is individually
+    * oracled; this pins their COMPOSITION (stage order, survivor sets,
+    * and the packed id stream) end to end. */
+  def curateFull(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d0 = documents(spark, dir)
+    // planted full copies: the dedup stage must actually collapse
+    // something (the p16 convention); copies share the original's source
+    val planted = d0.unionAll(d0.withColumn("doc_id", col("doc_id") + 1000000L))
+    val lined = planted.select(col("doc_id"), col("source"),
+      expr("""array_join(concat(
+             |  array(concat('nav ', source, ' home about contact')),
+             |  transform(sequence(0, (size(split(text, ' ')) + 9) div 10 - 1),
+             |    i -> array_join(slice(split(text, ' '), i*10+1, 10), ' ')),
+             |  array(concat('footer ', source, ' copyright'))), '\n')"""
+        .stripMargin).as("ltext"))
+    val cleaned = TextAnalysis.removeBoilerplate(lined, "doc_id", "source",
+        "ltext", minDocFreq = 5L)
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), translate(col("clean_text"), "\n", " ").as("text"))
+    val lm = TextAnalysis.bigramLmScore(cleaned, "doc_id", "text")
+    val gated = cleaned.join(
+      lm.filter(col("nll") <= 3.45).select(col("doc_id")), "doc_id")
+    val kept = gated.withColumn("__rn", row_number().over(
+        Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+    graft.operators.Packing.vocabEncode(kept, "doc_id", "text", seqLen = 128)
+      .orderBy(col("seq_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p18_curate_full"       -> curateFull _,
     "a13_gram_matrix"       -> gramMatrix _,
     "a14_pca_project"       -> pcaProject _,
     "a12_random_projection" -> randomProjection _,
@@ -690,6 +724,62 @@ object CurationQueries {
         |FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
         |LEFT JOIN rem ON w.doc_id = rem.doc_id
         |ORDER BY w.doc_id""".stripMargin,
+    "p18_curate_full" ->
+      """WITH planted AS (SELECT doc_id, source, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, source, text FROM documents),
+        |docs AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM planted),
+        |lined AS (SELECT doc_id, source,
+        |    ['nav ' || source || ' home about contact'] ||
+        |    list_transform(generate_series(0, (len(ws) + 9) // 10 - 1),
+        |      i -> array_to_string(ws[i*10+1 : i*10+10], ' ')) ||
+        |    ['footer ' || source || ' copyright'] AS ls
+        |  FROM docs),
+        |lines AS (SELECT doc_id, source, i AS pos, ls[i] AS line
+        |  FROM lined, unnest(generate_series(1, len(ls))) AS t(i)),
+        |ldf AS (SELECT source, line, count(DISTINCT doc_id) AS line_df
+        |  FROM lines GROUP BY 1, 2),
+        |keptl AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+        |  JOIN ldf ON ldf.source = l.source AND ldf.line = l.line
+        |  WHERE ldf.line_df < 5),
+        |cleaned AS (SELECT doc_id, array_to_string(list(line ORDER BY pos), ' ') AS text
+        |  FROM keptl GROUP BY 1),
+        |cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM cleaned),
+        |bi AS (SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS big
+        |  FROM cw, unnest(generate_series(1, len(w) - 1)) AS t(i) WHERE len(w) >= 2),
+        |bcnt AS (SELECT big, max(w1) AS w1, count(*) AS c12 FROM bi GROUP BY 1),
+        |ccnt AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS cctx FROM bcnt GROUP BY 1),
+        |v AS (SELECT count(DISTINCT u) AS v FROM (SELECT unnest(w) AS u FROM cw)),
+        |docbi AS (SELECT doc_id, big, count(*) AS k FROM bi GROUP BY 1, 2),
+        |sc AS (SELECT d.doc_id,
+        |    CAST(sum(d.k * CAST(round(ln(CAST(b.c12 + 1 AS DOUBLE) / (c.cctx + v.v)) * 1e6) AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(sum(d.k) AS BIGINT) AS nb
+        |  FROM docbi d JOIN bcnt b USING (big) JOIN ccnt c ON b.w1 = c.w1, v
+        |  GROUP BY 1),
+        |nll AS (SELECT cw.doc_id,
+        |    coalesce(CAST((-2 * sc.s + sc.nb) // (2 * sc.nb) AS DOUBLE) / 1e6, 0.0) AS nll
+        |  FROM cw LEFT JOIN sc USING (doc_id)),
+        |gated AS (SELECT c.doc_id, c.text FROM cleaned c
+        |  JOIN nll USING (doc_id) WHERE nll.nll <= 3.45),
+        |kept AS (SELECT doc_id, text FROM (
+        |  SELECT doc_id, text,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM gated)
+        |  WHERE rn = 1),
+        |w2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
+        |t2 AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n FROM w2),
+        |off AS (SELECT doc_id, CAST(coalesce(sum(n) OVER (ORDER BY doc_id, n
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
+        |  FROM t2),
+        |vocab AS (SELECT word, CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS id
+        |  FROM (SELECT word, count(*) AS cnt
+        |    FROM (SELECT unnest(ws) AS word FROM w2) GROUP BY 1)),
+        |pos2 AS (SELECT doc_id, i, ws[i] AS word
+        |  FROM w2, unnest(generate_series(1, len(ws))) AS tt(i)),
+        |enc AS (SELECT o.start_token + p.i - 1 AS idx, vv.id
+        |  FROM pos2 p JOIN off o USING (doc_id) JOIN vocab vv USING (word))
+        |SELECT idx // 128 AS seq_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(id) AS BIGINT) AS sum_id,
+        |  arg_min(id, idx) AS first_id, arg_max(id, idx) AS last_id
+        |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin,
     "a13_gram_matrix" ->
       """WITH q AS (SELECT list_transform(embedding,
         |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS vq
