@@ -183,6 +183,100 @@ object ProductQuantizer {
     * the test corpus: 0.3 raw → 0.94 refined @ shortlist 100).
     * Output matches [[Similarity.bruteForceTopK]]:
     * (query_id, neighbor_id, score, rank) by (cosine desc, id). */
+  /** The COMPLETE FAISS IVF-PQ shape: a coarse k-means quantizer routes
+    * vectors to inverted lists, PQ encodes the RESIDUAL (v − centroid —
+    * residuals cluster tighter than raw vectors, so the same codebook
+    * budget buys less quantization error), queries probe their `nprobe`
+    * nearest lists only, ADC scores ride per-(query, list) tables built
+    * on the query's residual against that list's centroid, and an exact
+    * cosine refine touches only shortlist members.
+    *
+    * Scale posture: the corpus is scanned for training (bounded sample
+    * at real scale), once for encode, and once per search — the search
+    * scan touches only probed lists (`nprobe/coarseK` of the data) at
+    * PQ-compressed width; candidate pruning goes through the
+    * bounded-heap [[graft.plans.TopKPerKey]] operator; the per-(query,
+    * list) tables broadcast (|queries|·nprobe·m·k doubles).
+    *
+    * Output matches [[Similarity.bruteForceTopK]]:
+    * (query_id, neighbor_id, score, rank) by (cosine desc, id). */
+  def ivfAdcTopKRefined(queries: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String,
+                        coarseK: Int, nprobe: Int, m: Int, k: Int,
+                        iterations: Int, shortlist: Int, topK: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= coarseK, "need 1 <= nprobe <= coarseK")
+    require(shortlist >= topK, "shortlist must be at least topK")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // 1. coarse quantizer + list assignment
+    val (_, cents) = KMeans.fit(corpus, idCol, vecCol, coarseK, iterations)
+    val assigned = KMeans.assign(corpus, idCol, vecCol, cents)
+    // 2. residual vectors, scan-local against the broadcast centroids
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val residUdf = udf { (v: Seq[Double], cl: Int) =>
+      if (v == null) null
+      else {
+        val c = bcCents.value(cl)
+        Array.tabulate(v.length)(i => v(i) - (if (i < c.length) c(i) else 0.0))
+      }
+    }
+    val resid = assigned.select(col(idCol).as("id"), col("cluster"),
+      residUdf(asDouble(vecCol), col("cluster")).as("rv"))
+    // 3. ONE residual codebook pooled across lists (the FAISS default)
+    val model = fit(resid, "id", "rv", m, k, iterations)
+    val codes = encode(resid, "id", "rv", model)
+      .join(resid.select(col("id"), col("cluster")), "id")
+    // 4. per-(query, probed list) ADC tables on the query's residual
+    val qRows = queries
+      .select(col(idCol).cast("long").as("query_id"), asDouble(vecCol).as("qv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qTables = qRows.flatMap { case (qid, qv) =>
+      val byDist = cents.indices.map { li =>
+        val c = cents(li)
+        var d = 0.0; var j = 0
+        while (j < math.min(c.length, qv.length)) {
+          val x = qv(j) - c(j); d += x * x; j += 1
+        }
+        (d, li)
+      }.sorted.take(nprobe)
+      byDist.map { case (_, li) =>
+        val c = cents(li)
+        val qr = Array.tabulate(qv.length)(i =>
+          qv(i) - (if (i < c.length) c(i) else 0.0))
+        (qid, li, adcTable(qr, model))
+      }
+    }.toSeq
+    val qDf = qTables.toDF("query_id", "cluster", "table")
+    // 5. ADC over probed lists only — the join key IS the list id
+    val scored = codes
+      .join(broadcast(qDf), Seq("cluster"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("adc_dist", round(
+        (0 until model.m)
+          .map(s => element_at(col("table"),
+            lit(s * model.k) + element_at(col("codes"), s + 1) + 1))
+          .reduce(_ + _), 6))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("adc_dist"))
+    val candidates = graft.plans.TopKPerKey.prune(
+        scored.withColumn("neg_dist", -col("adc_dist")),
+        "query_id", "neg_dist", "neighbor_id", shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // 6. exact refine on the shortlist
+    val q = queries.select(col(idCol).as("query_id"), asDouble(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(vecCol).as("cv"))
+    val refined = candidates
+      .join(c, "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("score", round(Similarity.cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    refined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
   def adcTopKRefined(queries: DataFrame, encodedCorpus: DataFrame,
                      corpus: DataFrame, model: Model,
                      idCol: String, vecCol: String,

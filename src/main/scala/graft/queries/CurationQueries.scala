@@ -186,6 +186,20 @@ object CurationQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** a15: the complete FAISS IVF-PQ search — coarse k-means lists,
+    * residual product quantization, 4-probe ADC shortlist, exact cosine
+    * refine (rows-only: two k-means trainers have no DuckDB twin;
+    * IvfPqSpec pins full-probe equivalence with brute force and recall).
+    * See [[graft.operators.ProductQuantizer.ivfAdcTopKRefined]]. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    graft.operators.ProductQuantizer.ivfAdcTopKRefined(
+        e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+        coarseK = 16, nprobe = 4, m = 8, k = 16, iterations = 2,
+        shortlist = 100, topK = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** t18: DSIR importance weights — hashed bigram LMs for the target
     * (declared-English documents) vs the raw corpus; per-doc log
     * importance weight in one scan-local pass over the broadcast
@@ -650,6 +664,7 @@ object CurationQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a15_ann_ivfpq"         -> annIvfPq _,
     "p18_curate_full"       -> curateFull _,
     "a13_gram_matrix"       -> gramMatrix _,
     "a14_pca_project"       -> pcaProject _,
