@@ -25,21 +25,28 @@ object LinAlg {
     * partition (map-side combine), so output and exchange are d²-bound
     * regardless of corpus size. */
   def gramMatrix(vectors: DataFrame, vecCol: String, dim: Int): DataFrame =
-    vectors.select(quantized(vecCol).as("vq"))
+    vectors.filter(col(vecCol).isNotNull)
+      .select(quantized(vecCol).as("vq"))
       .select(col("vq"), explode(expr(s"sequence(1, $dim)")).as("d1"))
       .select(col("vq"), col("d1"),
         explode(expr(s"sequence(d1, $dim)")).as("d2"))
+      // each factor casts to DECIMAL(19,0) BEFORE the multiply: a
+      // bigint×bigint product wraps silently past 2^63 (|v| > ~2897
+      // after quantization), while (19,0)×(19,0) → (38,0) holds any
+      // pair of longs exactly
       .select(col("d1"), col("d2"),
-        (expr("element_at(vq, d1)") * expr("element_at(vq, d2)")).as("p"))
+        (expr("element_at(vq, d1)").cast(DecimalType(19, 0)) *
+          expr("element_at(vq, d2)").cast(DecimalType(19, 0))).as("p"))
       .groupBy(col("d1"), col("d2"))
-      .agg(sum(col("p").cast(DecimalType(38, 0))).as("s"))
+      .agg(sum(col("p")).as("s"))
       .select(col("d1").cast("long").as("d1"), col("d2").cast("long").as("d2"),
         (col("s").cast("double") / 1099511627776.0).as("g"))
 
   /** Per-dimension sums (for centering) and the row count, one pass. */
   private def moments(vectors: DataFrame, vecCol: String,
                       dim: Int): (Array[Double], Long) = {
-    val row = vectors.select(quantized(vecCol).as("vq"))
+    val row = vectors.filter(col(vecCol).isNotNull)
+      .select(quantized(vecCol).as("vq"))
       .select(explode(expr(s"sequence(1, $dim)")).as("d"),
         col("vq"))
       .select(col("d"), expr("element_at(vq, d)").as("v"))
@@ -120,17 +127,26 @@ object LinAlg {
 
   /** PCA: covariance from the Gram pass + centering moments, driver-side
     * Jacobi on the d×d matrix, then a scan-local projection of the
-    * CENTERED vectors through the top-k eigenvector literals. Two corpus
-    * scans (gram+moments, projection), zero corpus shuffles beyond the
-    * d²-bound aggregations.
+    * CENTERED vectors through the top-k eigenvector literals. Three
+    * corpus scans total (moments, gram, projection), zero corpus
+    * shuffles beyond the d²-bound aggregations. Null-vector rows are
+    * excluded throughout.
     *
-    * Output: (id, pc 1..k, y) long format, plus the explained variance
-    * per component via [[pcaEigenvalues]] if needed. */
+    * Output: (id, pc 1..k, y) long format. Use [[pca]] when the
+    * explained variances are needed too — calling [[pcaEigenvalues]]
+    * separately would recompute the covariance (two more scans). */
   def pcaProject(vectors: DataFrame, idCol: String, vecCol: String,
-                 dim: Int, k: Int): DataFrame = {
+                 dim: Int, k: Int): DataFrame =
+    pca(vectors, idCol, vecCol, dim, k)._1
+
+  /** [[pcaProject]] plus the explained variance per component
+    * (eigenvalues of the sample covariance, descending) from the same
+    * single covariance computation. */
+  def pca(vectors: DataFrame, idCol: String, vecCol: String,
+          dim: Int, k: Int): (DataFrame, Array[Double]) = {
     require(k >= 1 && k <= dim, "need 1 <= k <= dim")
     val (cov, means) = covariance(vectors, vecCol, dim)
-    val (_, evecs) = jacobiEigen(cov)
+    val (evals, evecs) = jacobiEigen(cov)
     val projections = (1 to k).map { j =>
       val e = evecs(j - 1)
       val arr = e.mkString("array(", "D,", "D)")
@@ -139,9 +155,11 @@ object LinAlg {
              |  acc + (cast(element_at($vecCol, d) as double) -
              |    element_at($mArr, d)) * element_at($arr, d))""".stripMargin)
     }
-    vectors.select(col(idCol).as("id"),
+    val projected = vectors.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"),
         posexplode(array(projections: _*)).as(Seq("pos", "y")))
       .select(col("id"), (col("pos") + 1).cast("long").as("pc"), col("y"))
+    (projected, evals.take(k))
   }
 
   /** Sample covariance matrix (dense, driver-side d×d) and the mean
@@ -162,7 +180,9 @@ object LinAlg {
   }
 
   /** Eigenvalues of the sample covariance (explained variance per
-    * component, descending). */
+    * component, descending). Standalone — recomputes the covariance
+    * (two corpus scans); when a projection is also needed, use [[pca]]
+    * to pay for the covariance once. */
   def pcaEigenvalues(vectors: DataFrame, vecCol: String, dim: Int): Array[Double] =
     jacobiEigen(covariance(vectors, vecCol, dim)._1)._1
 }

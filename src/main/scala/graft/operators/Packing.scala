@@ -107,8 +107,18 @@ object Packing {
   def vocabEncode(docs: DataFrame, idCol: String, textCol: String,
                   seqLen: Int): DataFrame = {
     require(seqLen >= 1, "sequence length must be positive")
+    // ids must be UNIQUE here (unlike sequencePack, which orders
+    // duplicates deterministically): the offset join below would
+    // cross-match duplicate ids and silently corrupt the token stream.
+    // The guard rides the doc-level aggregation — no extra job, and a
+    // violation fails the query loudly instead of corrupting output.
     val offsets = sequencePack(docs, idCol, textCol, seqLen)
-      .select(col("doc_id"), col("start_token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n"), min(col("start_token")).as("start_token"))
+      .select(col("doc_id"),
+        when(col("__n") === 1, col("start_token"))
+          .otherwise(raise_error(concat(lit("vocabEncode: duplicate doc id "),
+            col("doc_id").cast("string")))).as("start_token"))
     // NOT persisted: the split projection feeds the vocabulary agg and
     // the encode explode, but caching the array column costs more than
     // re-splitting inside two fused codegen stages (0.74 s vs 2.2 s

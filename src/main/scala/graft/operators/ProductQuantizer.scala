@@ -220,8 +220,13 @@ object ProductQuantizer {
         Array.tabulate(v.length)(i => v(i) - (if (i < c.length) c(i) else 0.0))
       }
     }
+    // persist: the residual stream feeds the PQ trainer, the encode
+    // pass, AND the cluster join-back (encode drops the cluster column)
+    // — unpersisted, the corpus scan + assignment + residual UDFs would
+    // re-run for each
     val resid = assigned.select(col(idCol).as("id"), col("cluster"),
       residUdf(asDouble(vecCol), col("cluster")).as("rv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 3. ONE residual codebook pooled across lists (the FAISS default)
     val model = fit(resid, "id", "rv", m, k, iterations)
     val codes = encode(resid, "id", "rv", model)

@@ -576,18 +576,24 @@ object CurationQueries {
     * stripped only where the corpus's own duplicate texts push a line's
     * within-source df to the threshold (see
     * [[TextAnalysis.removeBoilerplate]]). */
-  def boilerplateRemoval(spark: SparkSession, dir: String): DataFrame = {
-    val lined = documents(spark, dir).select(col("doc_id"), col("source"),
+  /** Planted line structure for the boilerplate queries: a per-source
+    * nav header, the document's words in 10-word body lines, and a
+    * per-source footer, '\n'-joined. ONE definition — t20, p18, and the
+    * profiling harness must stay in sync with the DuckDB oracles that
+    * replay this construction. */
+  def withPlantedLines(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
       expr("""array_join(concat(
              |  array(concat('nav ', source, ' home about contact')),
              |  transform(sequence(0, (size(split(text, ' ')) + 9) div 10 - 1),
              |    i -> array_join(slice(split(text, ' '), i*10+1, 10), ' ')),
              |  array(concat('footer ', source, ' copyright'))), '\n')"""
         .stripMargin).as("ltext"))
-    TextAnalysis.removeBoilerplate(lined, "doc_id", "source", "ltext",
-        minDocFreq = 5L)
+
+  def boilerplateRemoval(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.removeBoilerplate(withPlantedLines(documents(spark, dir)),
+        "doc_id", "source", "ltext", minDocFreq = 5L)
       .orderBy(col("doc_id"))
-  }
 
   /** t19: bigram-LM fluency scoring — add-one-smoothed bigram model
     * trained on the corpus itself, documents scored by mean negative
@@ -635,13 +641,7 @@ object CurationQueries {
     // planted full copies: the dedup stage must actually collapse
     // something (the p16 convention); copies share the original's source
     val planted = d0.unionAll(d0.withColumn("doc_id", col("doc_id") + 1000000L))
-    val lined = planted.select(col("doc_id"), col("source"),
-      expr("""array_join(concat(
-             |  array(concat('nav ', source, ' home about contact')),
-             |  transform(sequence(0, (size(split(text, ' ')) + 9) div 10 - 1),
-             |    i -> array_join(slice(split(text, ' '), i*10+1, 10), ' ')),
-             |  array(concat('footer ', source, ' copyright'))), '\n')"""
-        .stripMargin).as("ltext"))
+    val lined = withPlantedLines(planted)
     // persist each stage boundary: the LM alone scans its input ~5×
     // (bigram table, context fold, vocab scalar, per-doc counts), and
     // every un-persisted scan would cascade back through the boilerplate
@@ -806,7 +806,7 @@ object CurationQueries {
       """WITH q AS (SELECT list_transform(embedding,
         |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS vq
         |  FROM embeddings),
-        |pairs AS (SELECT d1, d2, vq[d1] * vq[d2] AS p FROM q,
+        |pairs AS (SELECT d1, d2, CAST(vq[d1] AS HUGEINT) * vq[d2] AS p FROM q,
         |  unnest(generate_series(1, 64)) AS t1(d1),
         |  unnest(generate_series(1, 64)) AS t2(d2)
         |  WHERE d2 >= d1),

@@ -26,7 +26,8 @@ object PlanReport {
       "d10_dedup_substring", "t13_bloom_decontam", "p16_curate_pack",
       "t15_tfidf_keywords", "t16_quality_verdict",
       "d14_span_removal", "a10_hybrid_search", "a11_bm25_topk",
-      "a12_random_projection", "t19_bigram_lm", "t20_boilerplate")
+      "a12_random_projection", "t19_bigram_lm", "t20_boilerplate",
+      "a13_gram_matrix", "p17_vocab_encode", "p18_curate_full")
     sb.append("\n## Physical plans (executed, AQE final)\n")
     planQueries.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)

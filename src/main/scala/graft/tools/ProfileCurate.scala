@@ -26,13 +26,7 @@ object ProfileCurate {
     val d0 = graft.Tables.documents(spark, dir)
     d0.count()
     val planted = d0.unionAll(d0.withColumn("doc_id", col("doc_id") + 1000000L))
-    val lined = planted.select(col("doc_id"), col("source"),
-      expr("""array_join(concat(
-             |  array(concat('nav ', source, ' home about contact')),
-             |  transform(sequence(0, (size(split(text, ' ')) + 9) div 10 - 1),
-             |    i -> array_join(slice(split(text, ' '), i*10+1, 10), ' ')),
-             |  array(concat('footer ', source, ' copyright'))), '\n')"""
-        .stripMargin).as("ltext"))
+    val lined = graft.queries.CurationQueries.withPlantedLines(planted)
     val cleaned = TextAnalysis.removeBoilerplate(lined, "doc_id", "source",
         "ltext", minDocFreq = 5L)
       .filter(col("n_kept") > 0)

@@ -23,9 +23,12 @@ class BigramLmSpec extends AnyFunSuite {
   /** The operator's exact arithmetic: scaled-long ln per distinct bigram,
     * count-weighted integer sum, mean, 6-decimal round. */
   private def nll(terms: Seq[(Long, Long, Long)], v: Long): Double = {
-    // (k, c12, cctx)
+    // (k, c12, cctx); HALF_UP like Spark's round() — math.rint is
+    // half-even and would diverge on exact .5 boundaries
     val s = terms.map { case (k, c12, cctx) =>
-      k * math.rint(math.log((c12 + 1).toDouble / (cctx + v)) * 1e6).toLong
+      k * java.math.BigDecimal.valueOf(
+        math.log((c12 + 1).toDouble / (cctx + v)) * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
     }.sum
     val nb = terms.map(_._1).sum
     ((-2 * s + nb) / (2 * nb)).toDouble / 1e6

@@ -33,7 +33,10 @@ class Bm25Spec extends AnyFunSuite {
     val scaled = terms.map { case (tf, df, dl) =>
       val idf = (nDocs - df + 0.5) / (df + 0.5)
       val tfn = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
-      math.rint(idf * tfn * 1e6).toLong
+      // HALF_UP like Spark's round() — math.rint is half-even and would
+      // diverge on exact .5 boundaries
+      java.math.BigDecimal.valueOf(idf * tfn * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
     }.sum
     scaled.toDouble / 1e6
   }
