@@ -307,7 +307,18 @@ object PipelineQueries {
         documents(spark, dir), "doc_id", "text", seqLen = 128)
       .orderBy(col("seq_id"))
 
+  /** p19: distributed BPE training over the corpus — 24 merges learned
+    * from the word-frequency dict, emitted as the merge table (rows-only:
+    * iterative training has no DuckDB twin; BpeTrainSpec pins the merge
+    * sequence on the classic hand-computable corpus and the round-trip
+    * through the real BPE encoder). */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.BpeTrain.trainTable(
+        documents(spark, dir), "text", numMerges = 24)
+      .orderBy(col("rank"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p19_bpe_train"         -> bpeTrain _,
     "p17_vocab_encode"      -> vocabEncode _,
     "d13_image_dedup"       -> imageDedup _,
     "p15_video_meta"        -> videoMeta _,

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[BpeTrain]] — merge sequence on the classic hand-computable corpus,
+  * deterministic tie-breaks, the minFreq stop, non-overlapping merge
+  * application, and the round-trip into the real BPE encoder. */
+class BpeTrainSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  /** The Sennrich/HF tutorial corpus: hug×10 pug×5 pun×12 bun×4 hugs×5. */
+  private def corpus = Seq(
+    (Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++ Seq.fill(12)("pun") ++
+      Seq.fill(4)("bun") ++ Seq.fill(5)("hugs")).mkString(" "))
+    .toDF("text")
+
+  test("learns the textbook merge sequence with exact weights") {
+    val m = BpeTrain.train(corpus, "text", numMerges = 3)
+    // round 1: (u,g)=20 beats (p,u)=17; merging ug drops (p,u) to 12
+    // (only 'pun' keeps it), so round 2 is (u,n)=16, then (h,ug)=15
+    assert(m.map(x => (x.left, x.right, x.weight)) === Seq(
+      ("u", "g", 20L), ("u", "n", 16L), ("h", "ug", 15L)))
+    assert(m.map(_.merged) === Seq("ug", "un", "hug"))
+  }
+
+  test("equal-weight pairs break ties lexicographically") {
+    val m = BpeTrain.train(Seq("xy xy ab ab").toDF("text"), "text", 1)
+    // (x,y) and (a,b) both weigh 2 -> (a,b) wins on pair order
+    assert((m.head.left, m.head.right) === (("a", "b")))
+  }
+
+  test("training stops when no pair reaches minFreq") {
+    val m = BpeTrain.train(Seq("abc def ghi").toDF("text"), "text",
+      numMerges = 10, minFreq = 2)
+    assert(m.isEmpty)
+  }
+
+  test("merge application is greedy non-overlapping (aaa -> [aa, a])") {
+    val m = BpeTrain.train(Seq("aaa aaa").toDF("text"), "text", 1)
+    assert((m.head.left, m.head.right) === (("a", "a")))
+    // after merging (a,a) in 'aaa' the remaining pair is (aa, a): one
+    // occurrence per word = weight 2 for the second merge
+    val m2 = BpeTrain.train(Seq("aaa aaa").toDF("text"), "text", 2)
+    assert((m2(1).left, m2(1).right, m2(1).weight) === (("aa", "a", 2L)))
+  }
+
+  test("local and distributed training paths learn identical merges") {
+    val local = BpeTrain.train(corpus, "text", numMerges = 5)
+    val dist = BpeTrain.train(corpus, "text", numMerges = 5, maxLocalVocab = 0L)
+    assert(local === dist)
+  }
+
+  test("learned ranks drive the real BPE encoder") {
+    val merges = BpeTrain.train(corpus, "text", numMerges = 3)
+    val tok = graft.core.BpeTokenizer.fromRanks(
+      BpeTrain.ranks(merges, baseChars = Seq("b", "s", "p")))
+    // merges: ug, un, hug — encode applies lowest rank first
+    assert(tok.encode("hug") === Seq("hug"))
+    assert(tok.encode("pun") === Seq("p", "un"))
+    assert(tok.encode("bugs") === Seq("b", "ug", "s"))
+  }
+}
