@@ -158,6 +158,43 @@ object BpeTrain {
     base ++ merges.map(m => m.merged -> (base.size + m.rank)).toMap
   }
 
+  /** Encode the corpus with merges just trained on it: one training
+    * pass, then a scan-local UDF over the broadcast rank table — the
+    * full train→encode loop as one operator. Output per document:
+    * (doc_id, n_chars, n_bpe_tokens, chars_per_token), the
+    * chars-per-token compression every tokenizer evaluation reports.
+    * The ratio rounds half-away in integer micro-units (t19 rule). */
+  def trainEncode(docs: DataFrame, idCol: String, textCol: String,
+                  numMerges: Int, minFreq: Long = 2L): DataFrame = {
+    val merges = train(docs, textCol, numMerges, minFreq)
+    // base chars: every character the corpus uses (bounded alphabet),
+    // so no word falls outside the rank table
+    val baseChars = docs.select(explode(split(col(textCol), "")).as("c"))
+      .filter(col("c") =!= " ").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val rankMap = ranks(merges, baseChars)
+    val bc = docs.sparkSession.sparkContext.broadcast(rankMap)
+    // transient-lazy tokenizer: built once per task from the broadcast
+    // ranks, not once per row
+    val enc = new (String => Long) with Serializable {
+      @transient private lazy val tok =
+        graft.core.BpeTokenizer.fromRanks(bc.value)
+      def apply(text: String): Long =
+        if (text == null) 0L
+        else text.split(" ").iterator.filter(_.nonEmpty)
+          .map(w => tok.encode(w).length.toLong).sum
+    }
+    val countUdf = udf(enc)
+    docs.select(col(idCol).as("doc_id"),
+        length(col(textCol)).cast("long").as("n_chars"),
+        countUdf(col(textCol)).as("n_bpe_tokens"))
+      .withColumn("chars_per_token",
+        when(col("n_bpe_tokens") === 0, lit(0.0))
+          .otherwise(expr(
+            "((2 * n_chars * 1000000 + n_bpe_tokens) div (2 * n_bpe_tokens))")
+            .cast("double") / 1e6))
+  }
+
   /** The merge table as a DataFrame (for the query surface). */
   def trainTable(docs: DataFrame, textCol: String, numMerges: Int,
                  minFreq: Long = 2L, maxLocalVocab: Long = 100000L): DataFrame = {

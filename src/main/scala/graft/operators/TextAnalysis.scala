@@ -358,6 +358,32 @@ object TextAnalysis {
           .cast("long").as("sample_tokens"))
   }
 
+  /** Readability profile — the Flesch-family signal on the syllable
+    * heuristic every readability library uses (a syllable ≈ one maximal
+    * vowel group [aeiouy]+ per word): per-document word count, syllable
+    * count, long-word (≥ 3 syllables) count, and the mean
+    * syllables-per-word. Entirely scan-local (one projection, no
+    * shuffle); counts are integers and the mean rounds half-away in
+    * integer arithmetic (the t19 boundary rule — a quotient in
+    * micro-units can land exactly on a .5 rounding boundary, e.g. any
+    * word count divisible by 128). */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol).as("doc_id"),
+        wsTokenCount(t).cast("long").as("n_words"),
+        expr(s"""aggregate(split($textCol, ' '), 0L, (acc, w) ->
+               |  acc + size(regexp_extract_all(w, '[aeiouy]+', 0)))"""
+          .stripMargin).as("n_syllables"),
+        expr(s"""aggregate(split($textCol, ' '), 0L, (acc, w) ->
+               |  acc + CASE WHEN size(regexp_extract_all(w, '[aeiouy]+', 0)) >= 3
+               |    THEN 1L ELSE 0L END)""".stripMargin).as("n_long_words"))
+      .withColumn("mean_syllables",
+        when(col("n_words") === 0, lit(0.0))
+          .otherwise(expr(
+            "((2 * n_syllables * 1000000 + n_words) div (2 * n_words))")
+            .cast("double") / 1e6))
+  }
+
   /** Corpus-trained bigram language-model scoring — the CCNet-style
     * fluency signal: train an add-one-smoothed bigram LM on the corpus
     * itself (p(w2|w1) = (c(w1w2)+1)/(c(w1·)+V), context counts derived

@@ -663,7 +663,15 @@ object CurationQueries {
       .orderBy(col("seq_id"))
   }
 
+  /** t21: readability profile — syllable-heuristic word/syllable/long-
+    * word counts and the integer-exact mean (see
+    * [[TextAnalysis.readability]]). */
+  def readabilityProfile(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readability(documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_readability"       -> readabilityProfile _,
     "a15_ann_ivfpq"         -> annIvfPq _,
     "p18_curate_full"       -> curateFull _,
     "a13_gram_matrix"       -> gramMatrix _,
@@ -746,6 +754,20 @@ object CurationQueries {
         |FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
         |LEFT JOIN rem ON w.doc_id = rem.doc_id
         |ORDER BY w.doc_id""".stripMargin,
+    "t21_readability" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |syl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(coalesce(list_sum(list_transform(ws,
+        |    x -> len(regexp_extract_all(x, '[aeiouy]+')))), 0) AS BIGINT) AS n_syllables,
+        |  CAST(coalesce(list_sum(list_transform(ws,
+        |    x -> CASE WHEN len(regexp_extract_all(x, '[aeiouy]+')) >= 3
+        |      THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_long_words
+        |  FROM w)
+        |SELECT doc_id, n_words, n_syllables, n_long_words,
+        |  CASE WHEN n_words = 0 THEN 0.0
+        |    ELSE CAST((2 * n_syllables * 1000000 + n_words) // (2 * n_words) AS DOUBLE) / 1e6
+        |  END AS mean_syllables
+        |FROM syl ORDER BY doc_id""".stripMargin,
     "p18_curate_full" ->
       """WITH planted AS (SELECT doc_id, source, text FROM documents
         |  UNION ALL SELECT doc_id + 1000000, source, text FROM documents),

@@ -317,7 +317,17 @@ object PipelineQueries {
         documents(spark, dir), "text", numMerges = 24)
       .orderBy(col("rank"))
 
+  /** p20: the trained BPE applied back to its corpus — per-doc token
+    * counts and chars-per-token compression (rows-only; BpeTrainSpec +
+    * the p19 pins cover the training; the encode UDF is the real
+    * engine). */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.BpeTrain.trainEncode(
+        documents(spark, dir), "doc_id", "text", numMerges = 24)
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p20_bpe_encode"        -> bpeEncode _,
     "p19_bpe_train"         -> bpeTrain _,
     "p17_vocab_encode"      -> vocabEncode _,
     "d13_image_dedup"       -> imageDedup _,

@@ -58,6 +58,27 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(local === dist)
   }
 
+  test("trainEncode compresses: more merges, fewer tokens, ratio >= 1") {
+    val docs = Seq((1L, corpusText), (2L, "zq zq zq")).toDF("doc_id", "text")
+    def totals(k: Int) = BpeTrain.trainEncode(docs, "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val t1 = totals(1); val t5 = totals(5)
+    // merges only ever shrink the token stream
+    assert(t5(1L)._2 <= t1(1L)._2)
+    // chars_per_token >= 1 whenever tokens exist (a token is >= 1 char)
+    Seq(t1, t5).foreach(_.values.foreach { case (_, n, r) =>
+      assert(n == 0 || r >= 1.0)
+    })
+    // 'zq zq zq': (z,q) weighs 3 and ranks 8th after ug/un/hug/pun/
+    // hugs/pug/bun — once merged, 3 words x 1 token
+    assert(totals(8)(2L)._2 === 3L)
+  }
+
+  private def corpusText: String =
+    (Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++ Seq.fill(12)("pun") ++
+      Seq.fill(4)("bun") ++ Seq.fill(5)("hugs")).mkString(" ")
+
   test("learned ranks drive the real BPE encoder") {
     val merges = BpeTrain.train(corpus, "text", numMerges = 3)
     val tok = graft.core.BpeTokenizer.fromRanks(
