@@ -27,7 +27,8 @@ object Bench {
     "t16_quality_verdict", "t17_classifier_score", "d13_image_dedup",
     "d14_span_removal", "a10_hybrid_search", "a11_bm25_topk",
     "t19_bigram_lm", "t20_boilerplate", "a12_random_projection",
-    "a13_gram_matrix", "p17_vocab_encode", "p18_curate_full")
+    "a13_gram_matrix", "p17_vocab_encode", "p18_curate_full",
+    "t21_readability", "p20_bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

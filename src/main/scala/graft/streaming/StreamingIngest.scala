@@ -91,6 +91,54 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming sequence packing — the streaming analogue of
+    * [[graft.operators.Packing.sequencePack]]: every arriving document
+    * gets a GLOBAL token offset that keeps growing across micro-batches,
+    * so training sequences can be cut from an unbounded ingest stream.
+    *
+    * Within one micro-batch the batch-local offsets come from the same
+    * hierarchical prefix sum as the batch operator; the cross-batch base
+    * is recovered from the SINK (max(start_token + n_tokens) over what
+    * was already written), not from driver memory — a restart re-reads
+    * the high-water mark, and the per-batchId overwrite directories make
+    * re-delivered batches idempotent, so offsets stay contiguous and
+    * duplicate-free under crash/replay (the `start` sink's exactly-once
+    * recipe applied to a stateful quantity).
+    *
+    * One-task-per-batch bound: only the high-water-mark read touches
+    * prior output, and it reads the tiny per-batch ledger column, not
+    * the corpus. */
+  def packStream(docs: DataFrame, outDir: String, checkpointDir: String,
+                 seqLen: Int, idCol: String = "doc_id",
+                 textCol: String = "text"): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        // high-water mark from already-committed batches (restart-safe:
+        // derived from the sink, never from driver state)
+        val base: Long =
+          try {
+            val prior = spark.read.parquet(s"$outDir/*")
+              .filter(col("batch_id") < batchId)
+            if (prior.isEmpty) 0L
+            else prior.agg(max(col("start_token") + col("n_tokens")))
+              .head().getLong(0)
+          } catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+        val packed = graft.operators.Packing
+          .sequencePack(batch.toDF(), idCol, textCol, seqLen)
+          .withColumn("start_token", col("start_token") + base)
+          .select(col("doc_id"), col("n_tokens"), col("start_token"),
+            expr(s"start_token div $seqLen").as("seq_id"),
+            (col("start_token") % seqLen).as("seq_offset"),
+            lit(batchId).as("batch_id"))
+        packed.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+
   /** Watermarked tumbling-window aggregation over an event stream —
     * late data beyond the watermark is dropped, bounding state. */
   def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =

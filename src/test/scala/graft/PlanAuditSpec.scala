@@ -149,6 +149,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"candidates must prune through TopKPerKeyExec before ranking:\n$p")
   }
 
+  test("t21: readability is scan-local — no hash exchange, one scan") {
+    val p = plan("t21_readability")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"readability must not shuffle on any key:\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"one corpus scan expected, saw $scans:\n$p")
+  }
+
+  test("t20: the boilerplate filter is a broadcast anti join, lines never sort-merge") {
+    val p = plan("t20_boilerplate")
+    val anti = p.linesIterator.filter(_.contains("LeftAnti")).toList
+    assert(anti.nonEmpty && anti.forall(_.contains("Broadcast")),
+      s"boilerplate key set must broadcast for the anti join:\n$p")
+  }
+
   test("a09: ADC shortlist flows through the bounded-heap top-k, queries broadcast") {
     val p = queries.CurationQueries.annPq(spark, dir)
       .queryExecution.executedPlan.toString

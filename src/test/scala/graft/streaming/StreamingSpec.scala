@@ -268,6 +268,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.except(got).count() == 0 && got.except(batch).count() == 0)
   }
 
+  test("streaming sequence packing: offsets stay contiguous across batches and restarts") {
+    val drop = tmp("pdrop"); val out = tmp("pout"); val ckpt = tmp("pckpt")
+    Files.writeString(Paths.get(drop, "a.txt"), "one two three four five")
+    Files.writeString(Paths.get(drop, "b.txt"), "six seven eight")
+
+    val q1 = StreamingIngest.packStream(
+      StreamingIngest.readDocuments(spark, drop), out, ckpt, seqLen = 4)
+    q1.awaitTermination()
+    val first = spark.read.parquet(s"$out/*")
+    assert(first.count() === 2)
+    assert(first.agg(sum("n_tokens")).head().getLong(0) === 8L)
+    // offsets tile the token stream exactly: sorted starts == running sums
+    def contiguous(df: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = df.select("start_token", "n_tokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      rows.foldLeft(0L) { case (expected, (start, n)) =>
+        assert(start === expected, s"gap or overlap at offset $start")
+        start + n
+      }
+      ()
+    }
+    contiguous(first)
+
+    // two more files land; restart continues from the sink's high-water
+    // mark — offsets keep growing, nothing is re-packed or duplicated
+    Files.writeString(Paths.get(drop, "c.txt"), "nine ten")
+    Files.writeString(Paths.get(drop, "d.txt"), "eleven twelve thirteen")
+    val q2 = StreamingIngest.packStream(
+      StreamingIngest.readDocuments(spark, drop), out, ckpt, seqLen = 4)
+    q2.awaitTermination()
+    val all = spark.read.parquet(s"$out/*")
+    assert(all.count() === 4)
+    assert(all.select("doc_id").distinct().count() === 4)
+    contiguous(all)
+    assert(all.agg(max(col("start_token") + col("n_tokens"))).head().getLong(0) === 13L)
+  }
+
   test("stateful sessionization counts gap-separated sessions per user") {
     import spark.implicits._
     // user 1: two sessions (gap > 1800s); user 2: one session
