@@ -493,6 +493,36 @@ object TextAnalysis {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Materialize the [[domainMixture]] budgets: per-domain deterministic
+    * hash-gated sampling at exactly the rate the mixture computed —
+    * a document is kept iff its md5 bucket (32-bit) falls under
+    * sample_tokens/total_tokens of the gate space. The comparison
+    * cross-multiplies in DECIMAL so the rate is an EXACT rational
+    * (no float rate, no boundary drift; i64 products would overflow at
+    * 100 TB token totals), and md5-gating makes the sample reproducible
+    * across engines and runs (the t04 principle). Domains whose budget
+    * meets or exceeds their total keep everything.
+    *
+    * Scale posture: one corpus pass for the budgets (domain-bounded
+    * aggregate), one for the gate — the budget table broadcasts; the
+    * gate is scan-local. Output: kept (doc_id, domain, n_tokens). */
+  def mixtureSample(docs: DataFrame, idCol: String, domainCol: String,
+                    textCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val budgets = domainMixture(docs, domainCol, textCol, budget)
+      .select(col("domain"), col("total_tokens"), col("sample_tokens"))
+    docs.select(col(idCol).as("doc_id"), col(domainCol).as("domain"),
+        wsTokenCount(col(textCol)).cast("long").as("n_tokens"),
+        expr(s"cast(conv(substring(md5($textCol), 1, 8), 16, 10) as bigint)")
+          .as("__gate"))
+      .join(broadcast(budgets), "domain")
+      .filter(col("__gate").cast(DecimalType(19, 0)) *
+        col("total_tokens").cast(DecimalType(19, 0)) <
+        col("sample_tokens").cast(DecimalType(19, 0)) *
+          lit(4294967296L).cast(DecimalType(19, 0)))
+      .select(col("doc_id"), col("domain"), col("n_tokens"))
+  }
+
   /** One row per document with the full text-analysis profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

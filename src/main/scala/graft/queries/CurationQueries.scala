@@ -670,7 +670,16 @@ object CurationQueries {
     TextAnalysis.readability(documents(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** t22: the t12 mixture budgets MATERIALIZED — per-domain md5-gated
+    * sampling at the exact rational rate sample_tokens/total_tokens
+    * (see [[TextAnalysis.mixtureSample]]); budget 10k tokens (~37% of the sf0.01 corpus, so the gate genuinely drops docs). */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.mixtureSample(documents(spark, dir), "doc_id", "source",
+        "text", budget = 10000L)
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_mixture_sample"    -> mixtureSample _,
     "t21_readability"       -> readabilityProfile _,
     "a15_ann_ivfpq"         -> annIvfPq _,
     "p18_curate_full"       -> curateFull _,
@@ -754,6 +763,22 @@ object CurationQueries {
         |FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
         |LEFT JOIN rem ON w.doc_id = rem.doc_id
         |ORDER BY w.doc_id""".stripMargin,
+    "t22_mixture_sample" ->
+      """WITH per AS (
+        |  SELECT source AS domain, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT *, round(sqrt(CAST(total_tokens AS DOUBLE)), 6) AS w_raw FROM per),
+        |tot AS (SELECT sum(CAST(w_raw AS DECIMAL(28,6))) AS w_sum FROM w),
+        |budgets AS (SELECT domain, total_tokens,
+        |  CAST(floor(round(w_raw / CAST(w_sum AS DOUBLE), 6) * 10000) AS BIGINT) AS sample_tokens
+        |  FROM w, tot)
+        |SELECT d.doc_id, d.source AS domain,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        |FROM documents d JOIN budgets b ON d.source = b.domain
+        |WHERE CAST(('0x' || substr(md5(d.text), 1, 8))::BIGINT AS HUGEINT) * b.total_tokens
+        |  < CAST(b.sample_tokens AS HUGEINT) * 4294967296
+        |ORDER BY d.doc_id""".stripMargin,
     "t21_readability" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |syl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,

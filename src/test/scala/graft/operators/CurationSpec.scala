@@ -285,6 +285,35 @@ class CurationSpec extends AnyFunSuite {
     assert(got("a")._4 < got("a")._3 && got("b")._4 > got("b")._3)
   }
 
+  test("mixture sample: materialized rates track budgets, full-keep above total") {
+    import spark.implicits._
+    // many small docs per domain so the hash gate's sampling noise
+    // stays well inside the asserted band
+    val docs = (1 to 400).map { i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", s"w$i x y z q")
+    }.toDF("doc_id", "source", "text")
+    // equal 1000-token domains -> equal budgets of ~half the corpus
+    val kept = TextAnalysis.mixtureSample(docs, "doc_id", "source", "text",
+        budget = 1000L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDomain = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // each domain: 200 docs, budget 500/1000 tokens -> ~100 kept; the
+    // 32-bit md5 gate is binomial(200, .5): +-4 sigma ~ 28
+    Seq("a", "b").foreach { d =>
+      assert(byDomain(d) > 70 && byDomain(d) < 130,
+        s"domain $d kept ${byDomain(d)} of 200 at rate 0.5")
+    }
+    // determinism: same input, same sample
+    val again = TextAnalysis.mixtureSample(docs, "doc_id", "source", "text",
+        budget = 1000L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // budget >= total keeps everything
+    val all = TextAnalysis.mixtureSample(docs, "doc_id", "source", "text",
+        budget = 10000L).count()
+    assert(all === 400L)
+  }
+
   test("gopher fractions: top n-gram and duplicated n-gram char coverage") {
     import spark.implicits._
     // "a b a b a b" (11 chars): bigrams = [a b, b a, a b, b a, a b] ->
