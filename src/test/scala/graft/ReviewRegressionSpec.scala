@@ -169,6 +169,39 @@ class ReviewRegressionSpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 3L)))
   }
 
+  test("vocabEncode rejects duplicate doc ids loudly (r3 review)") {
+    import spark.implicits._
+    val dup = Seq((7L, "a b"), (7L, "c d"), (8L, "e")).toDF("doc_id", "text")
+    val e = intercept[Exception](
+      graft.operators.Packing.vocabEncode(dup, "doc_id", "text", 4).collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("duplicate doc id")),
+      s"expected the duplicate-id guard, got: $e")
+  }
+
+  test("gram matrix survives large-magnitude values without i64 wrap (r3 review)") {
+    import spark.implicits._
+    // q = 3000 * 2^20; q^2 = 9.9e18 > Long.MaxValue — the decimal cast
+    // before the multiply keeps it exact: g = 3000^2 = 9e6
+    val df = Seq((1L, Seq(3000.0f, 3000.0f))).toDF("id", "vec")
+    val g = graft.operators.LinAlg.gramMatrix(df, "vec", 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(g((1L, 1L)) === 9000000.0)
+    assert(g((1L, 2L)) === 9000000.0)
+  }
+
+  test("LinAlg excludes null vectors instead of skewing n or NPEing (r3 review)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(3.0f, 0.0f)),
+      (3L, null.asInstanceOf[Seq[Float]])).toDF("id", "vec")
+    // covariance over the two non-null rows: var(x)= (1-2)^2+(3-2)^2 / 1 = 2
+    val (proj, evals) = graft.operators.LinAlg.pca(df, "id", "vec", 2, 1)
+    assert(math.abs(evals(0) - 2.0) < 1e-9)
+    assert(proj.count() === 2) // null row projects to nothing
+  }
+
   test("embedder returning short batches fails loudly instead of dropping chunks") {
     import spark.implicits._
     val lying = new graft.pipeline.Embedder {
