@@ -43,7 +43,15 @@ object BpeTrain {
     * Both paths implement identical arithmetic and tie-breaks —
     * BpeTrainSpec asserts sequence equality. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-            minFreq: Long = 2L, maxLocalVocab: Long = 100000L): Seq[Merge] = {
+            minFreq: Long = 2L, maxLocalVocab: Long = 100000L): Seq[Merge] =
+    trainFull(docs, textCol, numMerges, minFreq, maxLocalVocab)._1
+
+  /** [[train]] plus the corpus ALPHABET (every distinct character),
+    * extracted from the word dict the training pass already built — no
+    * second corpus scan. */
+  def trainFull(docs: DataFrame, textCol: String, numMerges: Int,
+                minFreq: Long = 2L, maxLocalVocab: Long = 100000L)
+  : (Seq[Merge], Seq[String]) = {
     require(numMerges >= 1, "need at least one merge")
     val spark = docs.sparkSession
     var dict = docs.filter(col(textCol).isNotNull)
@@ -59,8 +67,11 @@ object BpeTrain {
       val rows = dict.collect()
         .map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
       dict.unpersist(false)
-      return trainLocal(rows, numMerges, minFreq)
+      val alphabet = rows.iterator.flatMap(_._1).toSeq.distinct.sorted
+      return (trainLocal(rows, numMerges, minFreq), alphabet)
     }
+    val alphabet = dict.select(explode(col("syms")).as("c")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
 
     val merges = ArrayBuffer.empty[Merge]
     var i = 0
@@ -102,11 +113,30 @@ object BpeTrain {
       i += 1
     }
     dict.unpersist(false)
-    merges.toSeq
+    (merges.toSeq, alphabet)
+  }
+
+  /** UTF-8 binary string ordering — Spark's `orderBy` on strings
+    * compares UTF-8 bytes unsigned, while Java's `compareTo` compares
+    * UTF-16 units; they disagree for supplementary characters vs
+    * U+E000..U+FFFF, so the LOCAL tie-break must use the same byte
+    * ordering as the distributed path or merge sequences diverge
+    * depending only on which path ran. */
+  private val utf8Ordering: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    var r = 0
+    while (r == 0 && i < n) {
+      r = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      i += 1
+    }
+    if (r != 0) r else java.lang.Integer.compare(x.length, y.length)
   }
 
   /** Driver-side merge loop — identical arithmetic and (weight desc,
-    * pair asc) tie-break as the distributed path. */
+    * pair asc in UTF-8 byte order) tie-break as the distributed path. */
   private def trainLocal(dict0: Array[(Array[String], Long)], numMerges: Int,
                          minFreq: Long): Seq[Merge] = {
     var dict = dict0
@@ -123,6 +153,7 @@ object BpeTrain {
           j += 1
         }
       }
+      implicit val ord: Ordering[String] = utf8Ordering
       val best = counts.toSeq
         .sortBy { case ((l, r), w) => (-w, l, r) }
         .headOption
@@ -164,35 +195,57 @@ object BpeTrain {
     * (doc_id, n_chars, n_bpe_tokens, chars_per_token), the
     * chars-per-token compression every tokenizer evaluation reports.
     * The ratio rounds half-away in integer micro-units (t19 rule). */
+  /** Char-level greedy BPE encode: apply the lowest-ranked applicable
+    * merge until none applies — the standard encode loop, over the SAME
+    * character symbols training used. (The byte-level
+    * [[graft.core.BpeTokenizer]] would split multi-byte characters into
+    * bytes whose partial sequences are never in a char-trained rank
+    * table, and its cl100k pre-tokenizer would cut words at
+    * apostrophe/digit boundaries training never saw — char-trained
+    * ranks must be applied char-wise.) */
+  private[operators] def encodeWord(word: String,
+                                    rankMap: Map[String, Int]): Seq[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray
+    var continue = syms.length >= 2
+    while (continue) {
+      var bestIdx = -1
+      var bestRank = Int.MaxValue
+      var j = 0
+      while (j + 1 < syms.length) {
+        rankMap.get(syms(j) + syms(j + 1)) match {
+          case Some(r) if r < bestRank => bestRank = r; bestIdx = j
+          case _ =>
+        }
+        j += 1
+      }
+      if (bestIdx < 0) continue = false
+      else {
+        syms = (syms.take(bestIdx) :+ (syms(bestIdx) + syms(bestIdx + 1))) ++
+          syms.drop(bestIdx + 2)
+        continue = syms.length >= 2
+      }
+    }
+    syms.toSeq
+  }
+
   def trainEncode(docs: DataFrame, idCol: String, textCol: String,
                   numMerges: Int, minFreq: Long = 2L): DataFrame = {
-    val merges = train(docs, textCol, numMerges, minFreq)
-    // base chars: every character the corpus uses (bounded alphabet),
-    // so no word falls outside the rank table
-    val baseChars = docs.select(explode(split(col(textCol), "")).as("c"))
-      .filter(col("c") =!= " ").distinct()
-      .collect().map(_.getString(0)).toSeq
-    val rankMap = ranks(merges, baseChars)
+    // alphabet comes back from the training pass's own dict — no second
+    // corpus scan
+    val (merges, alphabet) = trainFull(docs, textCol, numMerges, minFreq)
+    val rankMap = ranks(merges, alphabet)
     val bc = docs.sparkSession.sparkContext.broadcast(rankMap)
-    // transient-lazy tokenizer: built once per task from the broadcast
-    // ranks, not once per row
-    val enc = new (String => Long) with Serializable {
-      @transient private lazy val tok =
-        graft.core.BpeTokenizer.fromRanks(bc.value)
-      def apply(text: String): Long =
-        if (text == null) 0L
-        else text.split(" ").iterator.filter(_.nonEmpty)
-          .map(w => tok.encode(w).length.toLong).sum
+    val countUdf = udf { (text: String) =>
+      if (text == null) 0L
+      else text.split(" ").iterator.filter(_.nonEmpty)
+        .map(w => encodeWord(w, bc.value).length.toLong).sum
     }
-    val countUdf = udf(enc)
     docs.select(col(idCol).as("doc_id"),
         length(col(textCol)).cast("long").as("n_chars"),
         countUdf(col(textCol)).as("n_bpe_tokens"))
       .withColumn("chars_per_token",
         when(col("n_bpe_tokens") === 0, lit(0.0))
-          .otherwise(expr(
-            "((2 * n_chars * 1000000 + n_bpe_tokens) div (2 * n_bpe_tokens))")
-            .cast("double") / 1e6))
+          .otherwise(TextAnalysis.microMean("n_chars", "n_bpe_tokens")))
   }
 
   /** The merge table as a DataFrame (for the query surface). */

@@ -367,21 +367,32 @@ object TextAnalysis {
     * integer arithmetic (the t19 boundary rule — a quotient in
     * micro-units can land exactly on a .5 rounding boundary, e.g. any
     * word count divisible by 128). */
+  /** Half-away-rounded mean in micro-units — the t19/t21 boundary rule:
+    * `num/den` as a double can land exactly on a 6th-decimal .5
+    * boundary where engines' round() implementations disagree;
+    * `floor((2·num·10⁶ + den) / 2·den)` is boundary-free integer
+    * arithmetic. `den` must be positive. */
+  def microMean(numCol: String, denCol: String): Column =
+    expr(s"((2 * $numCol * 1000000 + $denCol) div (2 * $denCol))")
+      .cast("double") / 1e6
+
   def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+    // null text = zero counts (size(split(null)) would be -1 — the trap
+    // Packing.tokenCount documents)
+    val t = coalesce(col(textCol), lit(""))
+    val nWords = when(col(textCol).isNull, lit(0L))
+      .otherwise(wsTokenCount(t).cast("long"))
     docs.select(col(idCol).as("doc_id"),
-        wsTokenCount(t).cast("long").as("n_words"),
-        expr(s"""aggregate(split($textCol, ' '), 0L, (acc, w) ->
+        nWords.as("n_words"),
+        coalesce(expr(s"""aggregate(split($textCol, ' '), 0L, (acc, w) ->
                |  acc + size(regexp_extract_all(w, '[aeiouy]+', 0)))"""
-          .stripMargin).as("n_syllables"),
-        expr(s"""aggregate(split($textCol, ' '), 0L, (acc, w) ->
+          .stripMargin), lit(0L)).as("n_syllables"),
+        coalesce(expr(s"""aggregate(split($textCol, ' '), 0L, (acc, w) ->
                |  acc + CASE WHEN size(regexp_extract_all(w, '[aeiouy]+', 0)) >= 3
-               |    THEN 1L ELSE 0L END)""".stripMargin).as("n_long_words"))
+               |    THEN 1L ELSE 0L END)""".stripMargin), lit(0L)).as("n_long_words"))
       .withColumn("mean_syllables",
         when(col("n_words") === 0, lit(0.0))
-          .otherwise(expr(
-            "((2 * n_syllables * 1000000 + n_words) div (2 * n_words))")
-            .cast("double") / 1e6))
+          .otherwise(microMean("n_syllables", "n_words")))
   }
 
   /** Corpus-trained bigram language-model scoring — the CCNet-style

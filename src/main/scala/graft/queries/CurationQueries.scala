@@ -568,14 +568,6 @@ object CurationQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** t20: per-source boilerplate line removal. The corpus has no line
-    * structure, so the wrapper plants it the d14 way: each document
-    * becomes a per-source nav header, its words in 10-word body lines,
-    * and a per-source footer — every doc of a source shares the
-    * nav/footer (df = docs-per-source ≥ 5 ⇒ stripped), body lines are
-    * stripped only where the corpus's own duplicate texts push a line's
-    * within-source df to the threshold (see
-    * [[TextAnalysis.removeBoilerplate]]). */
   /** Planted line structure for the boilerplate queries: a per-source
     * nav header, the document's words in 10-word body lines, and a
     * per-source footer, '\n'-joined. ONE definition — t20, p18, and the
@@ -590,6 +582,12 @@ object CurationQueries {
              |  array(concat('footer ', source, ' copyright'))), '\n')"""
         .stripMargin).as("ltext"))
 
+  /** t20: per-source boilerplate line removal over the planted line
+    * structure — every doc of a source shares the nav/footer
+    * (df = docs-per-source ≥ 5 ⇒ stripped); body lines are stripped
+    * only where the corpus's own duplicate texts push a line's
+    * within-source df to the threshold (see
+    * [[TextAnalysis.removeBoilerplate]]). */
   def boilerplateRemoval(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.removeBoilerplate(withPlantedLines(documents(spark, dir)),
         "doc_id", "source", "ltext", minDocFreq = 5L)

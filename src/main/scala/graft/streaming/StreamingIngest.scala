@@ -118,15 +118,24 @@ object StreamingIngest {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         // high-water mark from already-committed batches (restart-safe:
-        // derived from the sink, never from driver state)
-        val base: Long =
-          try {
-            val prior = spark.read.parquet(s"$outDir/*")
-              .filter(col("batch_id") < batchId)
-            if (prior.isEmpty) 0L
-            else prior.agg(max(col("start_token") + col("n_tokens")))
-              .head().getLong(0)
-          } catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+        // derived from the sink, never from driver state). Offsets are
+        // monotone across batches, so the mark lives in the HIGHEST
+        // prior batch directory — read only that one, keeping the
+        // per-batch cost O(one batch), not O(stream history)
+        val base: Long = {
+          val dir = new org.apache.hadoop.fs.Path(outDir)
+          val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val priorIds =
+            if (!fs.exists(dir)) Seq.empty[Long]
+            else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+              .filter(_.startsWith("batch="))
+              .map(_.stripPrefix("batch=").toLong)
+              .filter(_ < batchId)
+          if (priorIds.isEmpty) 0L
+          else spark.read.parquet(s"$outDir/batch=${priorIds.max}")
+            .agg(max(col("start_token") + col("n_tokens")))
+            .head().getLong(0)
+        }
         val packed = graft.operators.Packing
           .sequencePack(batch.toDF(), idCol, textCol, seqLen)
           .withColumn("start_token", col("start_token") + base)

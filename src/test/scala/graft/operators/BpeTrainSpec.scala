@@ -79,6 +79,17 @@ class BpeTrainSpec extends AnyFunSuite {
     (Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++ Seq.fill(12)("pun") ++
       Seq.fill(4)("bun") ++ Seq.fill(5)("hugs")).mkString(" ")
 
+  test("multi-byte characters encode at char level, not byte level (r3 review)") {
+    // 你/好 are 3-byte UTF-8: a byte-level encoder could never apply a
+    // char-trained merge (its partial byte sequences aren't ranked) and
+    // would emit 6 byte-tokens per word; char-level encode applies the
+    // learned (你,好) merge -> one token per word
+    val docs = Seq((1L, "你好 你好 你好")).toDF("doc_id", "text")
+    val out = BpeTrain.trainEncode(docs, "doc_id", "text", numMerges = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).head
+    assert(out === ((8L, 3L, 2.666667)))
+  }
+
   test("learned ranks drive the real BPE encoder") {
     val merges = BpeTrain.train(corpus, "text", numMerges = 3)
     val tok = graft.core.BpeTokenizer.fromRanks(
