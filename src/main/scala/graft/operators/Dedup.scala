@@ -312,6 +312,46 @@ object Dedup {
           " ").as("kept_text"))
   }
 
+  /** Contamination EXCISION — the removal counterpart of the t10/t13
+    * detection operators: every word covered by an n-gram window that
+    * also appears in the eval set is dropped and the text rebuilt, so a
+    * verbatim benchmark quote disappears from the training corpus while
+    * the rest of the document survives (document-level dropping wastes
+    * everything else the page said). The [[removeDuplicateSpans]]
+    * machinery pointed at an EXTERNAL n-gram set instead of earlier
+    * occurrences.
+    *
+    * Scale posture: corpus windows ride as 8-byte `ngram_hash_seq`
+    * hashes; the eval-side hash set is distinct-aggregated (eval sets
+    * are bounded) and BROADCAST, so the corpus is never shuffled for
+    * matching — only (doc, covered-position) rows for contaminated docs
+    * reach the rebuild aggregation. */
+  def exciseContamination(docs: DataFrame, idCol: String, textCol: String,
+                          bench: DataFrame, benchTextCol: String,
+                          n: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("__ws"))
+    val wins = base.select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.ngramHashSeq(col("__ws"), n)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("wh"))
+    val evalHashes = bench.select(explode(
+        graft.functions.GraftFunctions.ngramHashSeq(
+          split(col(benchTextCol), " "), n)).as("wh"))
+      .distinct()
+    val removed = wins.join(broadcast(evalHashes), Seq("wh"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("rp"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("rp")).as("removed"))
+    base.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("__ws")).cast("long").as("n_words"),
+        coalesce(size(col("removed")), lit(0)).cast("long").as("n_removed"),
+        array_join(expr(
+          "filter(__ws, (w, i) -> removed IS NULL OR NOT array_contains(removed, i + 1))"),
+          " ").as("kept_text"))
+  }
+
   /** Winnowing-based near-dup pairs: documents sharing at least
     * `minShared` winnowing fingerprints (Schleimer et al. local
     * fingerprints catch copied PASSAGES, which set-level Jaccard dilutes

@@ -676,7 +676,20 @@ object CurationQueries {
         "text", budget = 10000L)
       .orderBy(col("doc_id"))
 
+  /** t23: contamination EXCISION — the t10/t13 eval carve-out (every
+    * 25th doc's first 60 words) excised from the corpus by 8-gram span
+    * removal; the quoted docs lose their quoted prefix, everything else
+    * survives (see [[Dedup.exciseContamination]]). */
+  def decontamExcise(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val bench = d.filter(col("doc_id") % 25 === 0)
+      .select(array_join(slice(split(col("text"), " "), 1, 60), " ").as("bench_text"))
+    Dedup.exciseContamination(d, "doc_id", "text", bench, "bench_text", n = 8)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_decontam_excise"   -> decontamExcise _,
     "t22_mixture_sample"    -> mixtureSample _,
     "t21_readability"       -> readabilityProfile _,
     "a15_ann_ivfpq"         -> annIvfPq _,
@@ -761,6 +774,29 @@ object CurationQueries {
         |FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
         |LEFT JOIN rem ON w.doc_id = rem.doc_id
         |ORDER BY w.doc_id""".stripMargin,
+    "t23_decontam_excise" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bench AS (SELECT string_split(text, ' ')[1:60] AS bw
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |bg AS (SELECT DISTINCT array_to_string(bw[i:i+7], ' ') AS g
+        |  FROM bench, unnest(generate_series(1, len(bw) - 7)) AS t(i)),
+        |wins AS (SELECT doc_id, i AS pos, array_to_string(ws[i:i+7], ' ') AS g
+        |  FROM d, unnest(generate_series(1, len(ws) - 7)) AS t(i)),
+        |cov AS (SELECT DISTINCT w.doc_id, w.pos + j AS rp
+        |  FROM wins w JOIN bg USING (g), unnest(generate_series(0, 7)) AS s(j)),
+        |pos AS (SELECT doc_id, i AS p, ws[i] AS word
+        |  FROM d, unnest(generate_series(1, len(ws))) AS t(i)),
+        |kept AS (SELECT p.doc_id, p.p, p.word FROM pos p LEFT JOIN cov
+        |  ON p.doc_id = cov.doc_id AND p.p = cov.rp WHERE cov.rp IS NULL),
+        |agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS kept_text
+        |  FROM kept GROUP BY doc_id),
+        |rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_words,
+        |  CAST(coalesce(rem.n_removed, 0) AS BIGINT) AS n_removed,
+        |  coalesce(agg.kept_text, '') AS kept_text
+        |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |LEFT JOIN rem ON d.doc_id = rem.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "t22_mixture_sample" ->
       """WITH per AS (
         |  SELECT source AS domain, count(*) AS n_docs,

@@ -68,4 +68,36 @@ class SpanRemovalSpec extends AnyFunSuite {
     assert(got(3L)._2 === 0L)
     assert(got(9L)._2 === 5L)
   }
+
+  private def excise(n: Int, bench: Seq[String],
+                     docs: (Long, String)*): Map[Long, (Long, Long, String)] =
+    Dedup.exciseContamination(docs.toDF("doc_id", "text"), "doc_id", "text",
+        bench.toDF("bench_text"), "bench_text", n)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+
+  test("excision removes exactly the eval-quoted span, keeps the rest") {
+    val got = excise(4, Seq("q1 q2 q3 q4"),
+      1L -> "intro words q1 q2 q3 q4 outro words",
+      2L -> "clean document with no quote at all")
+    assert(got(1L) === ((8L, 4L, "intro words outro words")))
+    assert(got(2L)._2 === 0L)
+    assert(got(2L)._3 === "clean document with no quote at all")
+  }
+
+  test("excision covers overlapping eval windows once and both quote sites") {
+    // the eval text contributes two overlapping 4-gram windows; a doc
+    // quoting 5 eval words loses all 5 (union of covers), and a second
+    // quote of the same n-gram elsewhere is excised too
+    val got = excise(4, Seq("q1 q2 q3 q4 q5"),
+      1L -> "a q1 q2 q3 q4 q5 b q1 q2 q3 q4 c")
+    assert(got(1L) === ((12L, 9L, "a b c")))
+  }
+
+  test("eval text shorter than one window excises nothing") {
+    val got = excise(4, Seq("q1 q2"),
+      1L -> "q1 q2 and more words here")
+    assert(got(1L)._2 === 0L)
+  }
 }
