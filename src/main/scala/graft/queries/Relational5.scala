@@ -103,7 +103,25 @@ object Relational5 {
       .orderBy(col("l_returnflag"), col("measure"))
   }
 
+  /** q30: the skew remedy PROVEN equal to the plain aggregation — the
+    * two-phase salted groupBy (see [[graft.operators.Skew.saltedStats]])
+    * over decimal-exact values, hash-compared against DuckDB's unsalted
+    * GROUP BY. Exactness requires algebraic partials over an exact
+    * type: decimal sums merge order-free where double sums would not. */
+  def q30SkewSalted(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedStats(
+        lineitem(spark, dir).select(col("l_returnflag"), col("l_orderkey"),
+          col("l_quantity").cast(DecimalType(12, 2)).as("qty")),
+        key = "l_returnflag", valueCol = "qty", saltSource = "l_orderkey",
+        buckets = 16)
+      .select(col("l_returnflag"), col("n"),
+        col("sum").cast("double").as("sum_qty"),
+        col("min").cast("double").as("min_qty"),
+        col("max").cast("double").as("max_qty"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_skew_salted"   -> q30SkewSalted _,
     "q25_grouping_sets" -> q25GroupingSets _,
     "q26_exists"        -> q26Exists _,
     "q27_lateral_words" -> q27LateralWords _,
@@ -111,6 +129,13 @@ object Relational5 {
     "q29_unpivot"       -> q29Unpivot _)
 
   val oracles: Map[String, String] = Map(
+    "q30_skew_salted" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |CAST(min(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS min_qty,
+        |CAST(max(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q25_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |coalesce(l_linestatus, 'ALL') AS linestatus,
