@@ -27,7 +27,9 @@ object PlanReport {
       "t15_tfidf_keywords", "t16_quality_verdict",
       "d14_span_removal", "a10_hybrid_search", "a11_bm25_topk",
       "a12_random_projection", "t19_bigram_lm", "t20_boilerplate",
-      "a13_gram_matrix", "p17_vocab_encode", "p18_curate_full")
+      "a13_gram_matrix", "p17_vocab_encode", "p18_curate_full",
+      "t21_readability", "t22_mixture_sample", "t23_decontam_excise",
+      "q30_skew_salted")
     sb.append("\n## Physical plans (executed, AQE final)\n")
     planQueries.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
