@@ -44,14 +44,21 @@ object BpeTrain {
     * BpeTrainSpec asserts sequence equality. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
             minFreq: Long = 2L, maxLocalVocab: Long = 100000L): Seq[Merge] =
-    trainFull(docs, textCol, numMerges, minFreq, maxLocalVocab)._1
+    core(docs, textCol, numMerges, minFreq, maxLocalVocab,
+      needAlphabet = false)._1
 
   /** [[train]] plus the corpus ALPHABET (every distinct character),
     * extracted from the word dict the training pass already built — no
-    * second corpus scan. */
+    * second corpus scan (and no alphabet job at all for plain [[train]]
+    * callers on the distributed path). */
   def trainFull(docs: DataFrame, textCol: String, numMerges: Int,
                 minFreq: Long = 2L, maxLocalVocab: Long = 100000L)
-  : (Seq[Merge], Seq[String]) = {
+  : (Seq[Merge], Seq[String]) =
+    core(docs, textCol, numMerges, minFreq, maxLocalVocab, needAlphabet = true)
+
+  private def core(docs: DataFrame, textCol: String, numMerges: Int,
+                   minFreq: Long, maxLocalVocab: Long,
+                   needAlphabet: Boolean): (Seq[Merge], Seq[String]) = {
     require(numMerges >= 1, "need at least one merge")
     val spark = docs.sparkSession
     var dict = docs.filter(col(textCol).isNotNull)
@@ -70,8 +77,10 @@ object BpeTrain {
       val alphabet = rows.iterator.flatMap(_._1).toSeq.distinct.sorted
       return (trainLocal(rows, numMerges, minFreq), alphabet)
     }
-    val alphabet = dict.select(explode(col("syms")).as("c")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+    val alphabet =
+      if (!needAlphabet) Seq.empty[String]
+      else dict.select(explode(col("syms")).as("c")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
 
     val merges = ArrayBuffer.empty[Merge]
     var i = 0
@@ -189,12 +198,6 @@ object BpeTrain {
     base ++ merges.map(m => m.merged -> (base.size + m.rank)).toMap
   }
 
-  /** Encode the corpus with merges just trained on it: one training
-    * pass, then a scan-local UDF over the broadcast rank table — the
-    * full train→encode loop as one operator. Output per document:
-    * (doc_id, n_chars, n_bpe_tokens, chars_per_token), the
-    * chars-per-token compression every tokenizer evaluation reports.
-    * The ratio rounds half-away in integer micro-units (t19 rule). */
   /** Char-level greedy BPE encode: apply the lowest-ranked applicable
     * merge until none applies — the standard encode loop, over the SAME
     * character symbols training used. (The byte-level
@@ -228,6 +231,12 @@ object BpeTrain {
     syms.toSeq
   }
 
+  /** Encode the corpus with merges just trained on it: one training
+    * pass, then a scan-local UDF over the broadcast rank table — the
+    * full train→encode loop as one operator. Output per document:
+    * (doc_id, n_chars, n_bpe_tokens, chars_per_token), the
+    * chars-per-token compression every tokenizer evaluation reports.
+    * The ratio rounds half-away in integer micro-units (t19 rule). */
   def trainEncode(docs: DataFrame, idCol: String, textCol: String,
                   numMerges: Int, minFreq: Long = 2L): DataFrame = {
     // alphabet comes back from the training pass's own dict — no second

@@ -47,7 +47,8 @@ object Packing {
     * (id, n_tokens) so the output multiset is deterministic — two rows
     * tied on both are interchangeable. */
   def sequencePack(docs: DataFrame, idCol: String, textCol: String,
-                   seqLen: Int, bucketWidth: Int = 1024): DataFrame = {
+                   seqLen: Int, bucketWidth: Int = 1024,
+                   persistToks: Boolean = true): DataFrame = {
     require(seqLen >= 1, "sequence length must be positive")
     require(bucketWidth >= 1, "bucket width must be positive")
     // the (id, count, bucket) projection feeds BOTH the window branch
@@ -55,14 +56,21 @@ object Packing {
     // prunes each branch independently back to the parquet scan and the
     // text column — the heaviest in the corpus — is read and tokenized
     // twice. Persist the narrow projection (three fixed-width columns);
-    // LRU evicts it after the query.
-    val toks = docs
+    // LRU evicts it after the query. Callers that invoke this operator
+    // REPEATEDLY in one session (packStream: once per micro-batch) pass
+    // persistToks=false — per-call cache entries are only freed by
+    // unpersist, so they would accumulate for the session's life, and a
+    // micro-batch is small enough to tokenize twice.
+    val toksRaw = docs
       .filter(col(idCol).isNotNull)
       .select(
         col(idCol).as("doc_id"),
         tokenCount(col(textCol)).as("n_tokens"),
         floor(col(idCol) / bucketWidth).as("__bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks =
+      if (persistToks)
+        toksRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else toksRaw
     val wIn = Window.partitionBy(col("__bucket"))
       .orderBy(col("doc_id"), col("n_tokens"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -378,18 +378,21 @@ object TextAnalysis {
 
   def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // null text = zero counts (size(split(null)) would be -1 — the trap
-    // Packing.tokenCount documents)
+    // Packing.tokenCount documents). Lowercase before the vowel regex —
+    // readability libraries lowercase first; '[aeiouy]+' alone would
+    // under-syllable every capitalized word. ONE regex pass per word:
+    // the per-word counts materialize once, both folds read them.
     val t = coalesce(col(textCol), lit(""))
     val nWords = when(col(textCol).isNull, lit(0L))
       .otherwise(wsTokenCount(t).cast("long"))
-    docs.select(col(idCol).as("doc_id"),
-        nWords.as("n_words"),
-        coalesce(expr(s"""aggregate(split($textCol, ' '), 0L, (acc, w) ->
-               |  acc + size(regexp_extract_all(w, '[aeiouy]+', 0)))"""
-          .stripMargin), lit(0L)).as("n_syllables"),
-        coalesce(expr(s"""aggregate(split($textCol, ' '), 0L, (acc, w) ->
-               |  acc + CASE WHEN size(regexp_extract_all(w, '[aeiouy]+', 0)) >= 3
-               |    THEN 1L ELSE 0L END)""".stripMargin), lit(0L)).as("n_long_words"))
+    docs.select(col(idCol).as("doc_id"), nWords.as("n_words"),
+        coalesce(expr(s"""transform(split($textCol, ' '),
+               |  w -> size(regexp_extract_all(lower(w), '[aeiouy]+', 0)))"""
+          .stripMargin), expr("array()")).as("__syl"))
+      .select(col("doc_id"), col("n_words"),
+        expr("aggregate(__syl, 0L, (acc, x) -> acc + x)").as("n_syllables"),
+        expr("aggregate(__syl, 0L, (acc, x) -> acc + CASE WHEN x >= 3 THEN 1L ELSE 0L END)")
+          .as("n_long_words"))
       .withColumn("mean_syllables",
         when(col("n_words") === 0, lit(0.0))
           .otherwise(microMean("n_syllables", "n_words")))

@@ -814,13 +814,13 @@ object CurationQueries {
         |  < CAST(b.sample_tokens AS HUGEINT) * 4294967296
         |ORDER BY d.doc_id""".stripMargin,
     "t21_readability" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |syl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
-        |  CAST(coalesce(list_sum(list_transform(ws,
-        |    x -> len(regexp_extract_all(x, '[aeiouy]+')))), 0) AS BIGINT) AS n_syllables,
-        |  CAST(coalesce(list_sum(list_transform(ws,
-        |    x -> CASE WHEN len(regexp_extract_all(x, '[aeiouy]+')) >= 3
-        |      THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_long_words
+      """WITH w AS (SELECT doc_id, list_transform(string_split(text, ' '),
+        |    x -> len(regexp_extract_all(lower(x), '[aeiouy]+'))) AS sylc,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words FROM documents),
+        |syl AS (SELECT doc_id, n_words,
+        |  CAST(coalesce(list_sum(sylc), 0) AS BIGINT) AS n_syllables,
+        |  CAST(coalesce(list_sum(list_transform(sylc,
+        |    x -> CASE WHEN x >= 3 THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_long_words
         |  FROM w)
         |SELECT doc_id, n_words, n_syllables, n_long_words,
         |  CASE WHEN n_words = 0 THEN 0.0

@@ -131,13 +131,19 @@ object StreamingIngest {
               .filter(_.startsWith("batch="))
               .map(_.stripPrefix("batch=").toLong)
               .filter(_ < batchId)
-          if (priorIds.isEmpty) 0L
-          else spark.read.parquet(s"$outDir/batch=${priorIds.max}")
-            .agg(max(col("start_token") + col("n_tokens")))
-            .head().getLong(0)
+          // walk DOWN from the highest prior dir until one has rows: an
+          // EMPTY micro-batch (e.g. a zero-row file) leaves a rowless
+          // dir whose max is null — the mark then lives one dir earlier
+          // (almost always the first read; all-empty history → 0)
+          priorIds.sorted(Ordering[Long].reverse).iterator.map { id =>
+            spark.read.parquet(s"$outDir/batch=$id")
+              .agg(max(col("start_token") + col("n_tokens"))).head()
+          }.collectFirst { case r if !r.isNullAt(0) => r.getLong(0) }
+            .getOrElse(0L)
         }
         val packed = graft.operators.Packing
-          .sequencePack(batch.toDF(), idCol, textCol, seqLen)
+          .sequencePack(batch.toDF(), idCol, textCol, seqLen,
+            persistToks = false)
           .withColumn("start_token", col("start_token") + base)
           .select(col("doc_id"), col("n_tokens"), col("start_token"),
             expr(s"start_token div $seqLen").as("seq_id"),

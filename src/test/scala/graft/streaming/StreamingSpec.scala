@@ -303,6 +303,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.select("doc_id").distinct().count() === 4)
     contiguous(all)
     assert(all.agg(max(col("start_token") + col("n_tokens"))).head().getLong(0) === 13L)
+
+    // an EMPTY file produces a zero-row batch (rowless dir); the next
+    // batch must walk past it to the high-water mark instead of NPEing
+    Files.writeString(Paths.get(drop, "e_empty.txt"), "")
+    val q3 = StreamingIngest.packStream(
+      StreamingIngest.readDocuments(spark, drop), out, ckpt, seqLen = 4)
+    q3.awaitTermination()
+    Files.writeString(Paths.get(drop, "f.txt"), "fourteen fifteen")
+    val q4 = StreamingIngest.packStream(
+      StreamingIngest.readDocuments(spark, drop), out, ckpt, seqLen = 4)
+    q4.awaitTermination()
+    val withTail = spark.read.parquet(s"$out/*").filter(col("n_tokens") > 0)
+    contiguous(withTail)
+    assert(withTail.agg(max(col("start_token") + col("n_tokens")))
+      .head().getLong(0) === 15L)
   }
 
   test("stateful sessionization counts gap-separated sessions per user") {
