@@ -537,6 +537,23 @@ object TextAnalysis {
       .select(col("doc_id"), col("domain"), col("n_tokens"))
   }
 
+  /** Blocked-wordlist policy filter — the C4/FineWeb "bad words" gate:
+    * count the DISTINCT blocked terms a document contains (word-exact
+    * match on the whitespace tokens, the C4 rule) and keep documents
+    * with none. The list rides as a plan literal (policy lists are
+    * hundreds of terms); the whole operator is one scan-local
+    * projection — no shuffle, no UDF, integer-exact. */
+  def wordlistFilter(docs: DataFrame, idCol: String, textCol: String,
+                     blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "need at least one blocked term")
+    val arr = blocked.map(w => w.replace("'", "\\'"))
+      .mkString("array('", "','", "')")
+    docs.select(col(idCol).as("doc_id"),
+        expr(s"size(array_intersect(array_distinct(split($textCol, ' ')), $arr))")
+          .cast("long").as("n_blocked"))
+      .withColumn("keep", (col("n_blocked") === 0).cast("int"))
+  }
+
   /** One row per document with the full text-analysis profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

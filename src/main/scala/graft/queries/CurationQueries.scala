@@ -688,7 +688,16 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t24: blocked-wordlist policy gate — the C4/FineWeb rule over a
+    * fixed term list (corpus words drawn so some docs match); see
+    * [[TextAnalysis.wordlistFilter]]. */
+  def wordlistGate(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.wordlistFilter(documents(spark, dir), "doc_id", "text",
+        blocked = Seq("spark", "vector", "stream"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_wordlist_filter"   -> wordlistGate _,
     "t23_decontam_excise"   -> decontamExcise _,
     "t22_mixture_sample"    -> mixtureSample _,
     "t21_readability"       -> readabilityProfile _,
@@ -774,6 +783,13 @@ object CurationQueries {
         |FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
         |LEFT JOIN rem ON w.doc_id = rem.doc_id
         |ORDER BY w.doc_id""".stripMargin,
+    "t24_wordlist_filter" ->
+      """SELECT doc_id,
+        |CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |  ['spark', 'vector', 'stream'])) AS BIGINT) AS n_blocked,
+        |CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |  ['spark', 'vector', 'stream'])) = 0 AS INT) AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t23_decontam_excise" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |bench AS (SELECT string_split(text, ' ')[1:60] AS bw

@@ -314,6 +314,23 @@ class CurationSpec extends AnyFunSuite {
     assert(all === 400L)
   }
 
+  test("wordlist filter: word-exact matches, distinct counting, keep bit") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean words only"),
+      (2L, "bad and bad again"),          // repeated term counts once
+      (3L, "badge is not bad-word bad"),  // substring/hyphen no match; 'bad' does
+      (4L, "worse and bad together")      // two distinct blocked terms
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.wordlistFilter(docs, "doc_id", "text",
+        blocked = Seq("bad", "worse"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got(1L) === ((0L, 1)))
+    assert(got(2L) === ((1L, 0)))
+    assert(got(3L) === ((1L, 0)))
+    assert(got(4L) === ((2L, 0)))
+  }
+
   test("gopher fractions: top n-gram and duplicated n-gram char coverage") {
     import spark.implicits._
     // "a b a b a b" (11 chars): bigrams = [a b, b a, a b, b a, a b] ->
