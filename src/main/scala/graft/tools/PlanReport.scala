@@ -180,6 +180,28 @@ object PlanReport {
     row("JL sign projection 64->16 (scan-local)",
       graft.operators.Similarity.signProjection(emb, "vec_id", "embedding", 64, 16).count(),
       graft.operators.Similarity.signProjection(emb10, "vec_id", "embedding", 64, 16).count())
+    row("mixture-budget sampling (broadcast gate)",
+      graft.operators.TextAnalysis.mixtureSample(docs, "doc_id", "source", "text", 100000L).count(),
+      graft.operators.TextAnalysis.mixtureSample(docs10, "doc_id", "source", "text", 1000000L).count())
+    locally {
+      // consume kept_text and n_removed: a bare count() would let the
+      // optimizer prune the rebuild (and answer from cache statistics),
+      // timing nothing
+      def bench(d: org.apache.spark.sql.DataFrame) = d.filter(col("doc_id") % 25 === 0)
+        .select(array_join(slice(split(col("text"), " "), 1, 60), " ").as("bench_text"))
+      def force(d: org.apache.spark.sql.DataFrame): Long =
+        d.agg(sum(length(col("kept_text"))), sum(col("n_removed"))).head().getLong(1)
+      row("contamination excision (span rebuild)",
+        force(graft.operators.Dedup.exciseContamination(docs, "doc_id", "text",
+          bench(docs), "bench_text", 8)),
+        force(graft.operators.Dedup.exciseContamination(docs10, "doc_id", "text",
+          bench(docs10), "bench_text", 8)))
+    }
+    row("wordlist policy gate (scan-local)",
+      graft.operators.TextAnalysis.wordlistFilter(docs, "doc_id", "text",
+        Seq("spark", "vector", "stream")).agg(sum("n_blocked")).head().getLong(0),
+      graft.operators.TextAnalysis.wordlistFilter(docs10, "doc_id", "text",
+        Seq("spark", "vector", "stream")).agg(sum("n_blocked")).head().getLong(0))
 
     sb.append(
       """
