@@ -74,7 +74,9 @@ object BpeTrain {
       val rows = dict.collect()
         .map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
       dict.unpersist(false)
-      val alphabet = rows.iterator.flatMap(_._1).toSeq.distinct.sorted
+      val alphabet =
+        if (!needAlphabet) Seq.empty[String]
+        else rows.iterator.flatMap(_._1).toSeq.distinct.sorted
       return (trainLocal(rows, numMerges, minFreq), alphabet)
     }
     val alphabet =

@@ -284,21 +284,26 @@ object Dedup {
     * never shuffles. A cross-doc hash collision (~2⁻⁶⁴ per window
     * comparison) could drop a non-duplicate span — same approximate
     * contract as [[duplicatedWindows]]. */
-  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-                           n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = docs.select(col(idCol).as("doc_id"),
-      split(col(textCol), " ").as("__ws"))
-    // (doc, 1-based window start, window hash); docs shorter than one
-    // window contribute no rows and pass through untouched below
-    val wins = base.select(col("doc_id"),
+  /** Shared span machinery for [[removeDuplicateSpans]] and
+    * [[exciseContamination]] — the two operators differ ONLY in how the
+    * removed window-start set is derived, and their DuckDB oracles
+    * assume byte-identical base/window/rebuild semantics. */
+  private def spanBase(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__ws"))
+
+  /** (doc, 1-based window start, window hash); docs shorter than one
+    * window contribute no rows and pass through untouched in the
+    * rebuild. */
+  private def spanWindows(base: DataFrame, n: Int): DataFrame =
+    base.select(col("doc_id"),
         posexplode(graft.functions.GraftFunctions.ngramHashSeq(col("__ws"), n)))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("wh"))
-    val ranked = wins.withColumn("rn", row_number().over(
-      Window.partitionBy(col("wh")).orderBy(col("doc_id"), col("pos"))))
-    // duplicated instances cover positions [pos, pos+n-1]; overlapping
-    // spans collapse via collect_set
-    val removed = ranked.filter(col("rn") > 1)
+
+  /** Drop every word covered by a removed window start ([pos, pos+n-1];
+    * overlapping spans collapse via collect_set) and rebuild the text. */
+  private def removeCovered(base: DataFrame, starts: DataFrame,
+                            n: Int): DataFrame = {
+    val removed = starts
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("rp"))
       .groupBy(col("doc_id"))
@@ -310,6 +315,15 @@ object Dedup {
         array_join(expr(
           "filter(__ws, (w, i) -> removed IS NULL OR NOT array_contains(removed, i + 1))"),
           " ").as("kept_text"))
+  }
+
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = spanBase(docs, idCol, textCol)
+    val ranked = spanWindows(base, n).withColumn("rn", row_number().over(
+      Window.partitionBy(col("wh")).orderBy(col("doc_id"), col("pos"))))
+    removeCovered(base, ranked.filter(col("rn") > 1), n)
   }
 
   /** Contamination EXCISION — the removal counterpart of the t10/t13
@@ -329,27 +343,13 @@ object Dedup {
   def exciseContamination(docs: DataFrame, idCol: String, textCol: String,
                           bench: DataFrame, benchTextCol: String,
                           n: Int): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"),
-      split(col(textCol), " ").as("__ws"))
-    val wins = base.select(col("doc_id"),
-        posexplode(graft.functions.GraftFunctions.ngramHashSeq(col("__ws"), n)))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("wh"))
+    val base = spanBase(docs, idCol, textCol)
     val evalHashes = bench.select(explode(
         graft.functions.GraftFunctions.ngramHashSeq(
           split(col(benchTextCol), " "), n)).as("wh"))
       .distinct()
-    val removed = wins.join(broadcast(evalHashes), Seq("wh"))
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("rp"))
-      .groupBy(col("doc_id"))
-      .agg(collect_set(col("rp")).as("removed"))
-    base.join(removed, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        size(col("__ws")).cast("long").as("n_words"),
-        coalesce(size(col("removed")), lit(0)).cast("long").as("n_removed"),
-        array_join(expr(
-          "filter(__ws, (w, i) -> removed IS NULL OR NOT array_contains(removed, i + 1))"),
-          " ").as("kept_text"))
+    removeCovered(base,
+      spanWindows(base, n).join(broadcast(evalHashes), Seq("wh")), n)
   }
 
   /** Winnowing-based near-dup pairs: documents sharing at least

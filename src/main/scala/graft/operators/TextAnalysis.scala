@@ -358,15 +358,6 @@ object TextAnalysis {
           .cast("long").as("sample_tokens"))
   }
 
-  /** Readability profile — the Flesch-family signal on the syllable
-    * heuristic every readability library uses (a syllable ≈ one maximal
-    * vowel group [aeiouy]+ per word): per-document word count, syllable
-    * count, long-word (≥ 3 syllables) count, and the mean
-    * syllables-per-word. Entirely scan-local (one projection, no
-    * shuffle); counts are integers and the mean rounds half-away in
-    * integer arithmetic (the t19 boundary rule — a quotient in
-    * micro-units can land exactly on a .5 rounding boundary, e.g. any
-    * word count divisible by 128). */
   /** Half-away-rounded mean in micro-units — the t19/t21 boundary rule:
     * `num/den` as a double can land exactly on a 6th-decimal .5
     * boundary where engines' round() implementations disagree;
@@ -376,6 +367,12 @@ object TextAnalysis {
     expr(s"((2 * $numCol * 1000000 + $denCol) div (2 * $denCol))")
       .cast("double") / 1e6
 
+  /** Readability profile — the Flesch-family signal on the syllable
+    * heuristic every readability library uses (a syllable ≈ one maximal
+    * vowel group per LOWERCASED word): per-document word count, syllable
+    * count, long-word (≥ 3 syllables) count, and the [[microMean]]
+    * syllables-per-word. Entirely scan-local — one projection, no
+    * shuffle, one regex pass per word. */
   def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // null text = zero counts (size(split(null)) would be -1 — the trap
     // Packing.tokenCount documents). Lowercase before the vowel regex —
@@ -546,11 +543,15 @@ object TextAnalysis {
   def wordlistFilter(docs: DataFrame, idCol: String, textCol: String,
                      blocked: Seq[String]): DataFrame = {
     require(blocked.nonEmpty, "need at least one blocked term")
-    val arr = blocked.map(w => w.replace("'", "\\'"))
-      .mkString("array('", "','", "')")
+    // typed literal, not SQL splicing — terms with quotes/backslashes
+    // are data, not syntax. array_intersect already returns distinct
+    // elements; null text = zero matches (classified, not NULL'd out
+    // of both sides of the gate).
+    val terms = typedLit(blocked)
     docs.select(col(idCol).as("doc_id"),
-        expr(s"size(array_intersect(array_distinct(split($textCol, ' ')), $arr))")
-          .cast("long").as("n_blocked"))
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(array_intersect(split(col(textCol), " "), terms))
+            .cast("long")).as("n_blocked"))
       .withColumn("keep", (col("n_blocked") === 0).cast("int"))
   }
 

@@ -128,7 +128,9 @@ object StreamingIngest {
           val priorIds =
             if (!fs.exists(dir)) Seq.empty[Long]
             else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-              .filter(_.startsWith("batch="))
+              // strict match: a stray batch=5.bak entry would NumberFormat-crash
+              // every future trigger otherwise
+              .filter(_.matches("batch=\\d+"))
               .map(_.stripPrefix("batch=").toLong)
               .filter(_ < batchId)
           // walk DOWN from the highest prior dir until one has rows: an
