@@ -306,6 +306,33 @@ object PlanReport {
     sb.append(f"| quality keep/drop verdict | ${time(
       graft.operators.TextAnalysis.qualityVerdict(docs100, "doc_id", "text")
         .agg(sum(col("keep"))).collect().length.toLong)}%.2f s |\n")
+    sb.append(f"| bigram LM scoring (vocab-bounded model) | ${time(
+      graft.operators.TextAnalysis.bigramLmScore(docs100, "doc_id", "text")
+        .agg(sum(col("nll"))).collect().length.toLong)}%.2f s |\n")
+    locally {
+      def bmq(d: org.apache.spark.sql.DataFrame) = d.filter(col("doc_id") % 50000 === 0)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 12), " ").as("qtext"))
+      sb.append(f"| BM25 top-10 (10-query load) | ${time(
+        graft.operators.Similarity.bm25TopK(bmq(docs100), docs100,
+          "doc_id", "text", "qid", "qtext", 10).count())}%.2f s |\n")
+    }
+    sb.append(f"| wordlist policy gate | ${time(
+      graft.operators.TextAnalysis.wordlistFilter(docs100, "doc_id", "text",
+        Seq("spark", "vector", "stream")).agg(sum("n_blocked")).collect().length.toLong)}%.2f s |\n")
+    sb.append(f"| vocab encode + pack (prefix sum) | ${time(
+      graft.operators.Packing.vocabEncode(docs100, "doc_id", "text", 2048).count())}%.2f s |\n")
+    sb.append(
+      """
+        |All rows run against the UNCACHED synthetic expansion, so each
+        |internal scan of the input re-pays the ×100 generation: bigram LM
+        |evaluates its source four times (bigram stream twice, vocabulary
+        |scalar, doc counts) and BM25 twice, which is why their cells run
+        |~4×/2× their single-scan cost — per-scan they are linear like the
+        |rest. On real 100 TB inputs the scans read parquet, not a
+        |crossJoin, and the multi-scan operators read their PERSISTED
+        |narrow projections instead (the p18 stage-boundary pattern).
+        |""".stripMargin)
 
     Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
     println("[plan-report] wrote PLANS.md")
