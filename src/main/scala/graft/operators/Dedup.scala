@@ -284,6 +284,34 @@ object Dedup {
     * never shuffles. A cross-doc hash collision (~2⁻⁶⁴ per window
     * comparison) could drop a non-duplicate span — same approximate
     * contract as [[duplicatedWindows]]. */
+  /** Incremental (snapshot-delta) dedup — the daily-crawl workflow: a
+    * NEW batch of documents deduplicates against the ACCUMULATED corpus
+    * without rescanning it as pairs. New docs are dropped when their
+    * content digest already exists in the base snapshot OR when an
+    * earlier new doc (by id) carries the same digest — so
+    * base ∪ keep(new) stays exact-duplicate-free and the operation is
+    * associative across days.
+    *
+    * Scale posture: both sides shuffle/join on the 32-byte digest, never
+    * text (the d01 convention); the base side needs only its digest
+    * column (at 100 TB the accumulated digests are a fraction of corpus
+    * bytes and prune to one column at the scan). Output: kept new rows
+    * only — (id, n_copies) where n_copies counts the new batch's
+    * collapsed duplicates of that content. */
+  def incrementalKeepNew(newDocs: DataFrame, idCol: String, textCol: String,
+                         base: DataFrame, baseTextCol: String): DataFrame = {
+    val newDigests = newDocs.select(col(idCol).as("id"),
+      sha2(col(textCol), 256).as("digest"))
+    val baseDigests = base.select(sha2(col(baseTextCol), 256).as("digest"))
+      .distinct()
+    // keep-first WITHIN the new batch, then anti-join the base digests
+    newDigests
+      .groupBy(col("digest"))
+      .agg(min(col("id")).as("id"), count(lit(1)).as("n_copies"))
+      .join(baseDigests, Seq("digest"), "left_anti")
+      .select(col("id"), col("n_copies"))
+  }
+
   /** Shared span machinery for [[removeDuplicateSpans]] and
     * [[exciseContamination]] — the two operators differ ONLY in how the
     * removed window-start set is derived, and their DuckDB oracles

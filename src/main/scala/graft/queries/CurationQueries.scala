@@ -696,7 +696,29 @@ object CurationQueries {
         blocked = Seq("spark", "vector", "stream"))
       .orderBy(col("doc_id"))
 
+  /** d15: incremental snapshot-delta dedup — "yesterday" is the corpus;
+    * "today" is a batch of half re-crawled copies (planted) and half
+    * genuinely new variants; kept = new content only, keep-first within
+    * the batch (see [[Dedup.incrementalKeepNew]]). */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = documents(spark, dir).select(col("doc_id"), col("text"))
+    // today's batch: even ids re-crawl yesterday's pages verbatim (must
+    // drop), odd ids arrive twice with a fresh suffix (in-batch dup —
+    // keep-first once)
+    val today = base.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionAll(base.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" fresh")).as("text")))
+      .unionAll(base.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" fresh")).as("text")))
+    Dedup.incrementalKeepNew(today, "doc_id", "text", base, "text")
+      .orderBy(col("id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_incremental_dedup" -> incrementalDedup _,
     "t24_wordlist_filter"   -> wordlistGate _,
     "t23_decontam_excise"   -> decontamExcise _,
     "t22_mixture_sample"    -> mixtureSample _,
@@ -783,6 +805,20 @@ object CurationQueries {
         |FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
         |LEFT JOIN rem ON w.doc_id = rem.doc_id
         |ORDER BY w.doc_id""".stripMargin,
+    "d15_incremental_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |today AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' fresh' FROM base WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text || ' fresh' FROM base WHERE doc_id % 2 = 1),
+        |grouped AS (SELECT text, min(doc_id) AS id,
+        |    CAST(count(*) AS BIGINT) AS n_copies
+        |  FROM today GROUP BY text)
+        |SELECT id, n_copies FROM grouped
+        |WHERE text NOT IN (SELECT text FROM base)
+        |ORDER BY id""".stripMargin,
     "t24_wordlist_filter" ->
       """SELECT doc_id,
         |CAST(len(list_intersect(list_distinct(string_split(text, ' ')),

@@ -314,6 +314,25 @@ class CurationSpec extends AnyFunSuite {
     assert(all === 400L)
   }
 
+  test("incremental dedup: base content dropped, in-batch keep-first, associative") {
+    import spark.implicits._
+    val base = Seq((1L, "old page"), (2L, "other page")).toDF("doc_id", "text")
+    val day1 = Seq(
+      (10L, "old page"),   // re-crawl -> dropped
+      (11L, "new page"), (12L, "new page"), // in-batch dup -> keep 11 (x2)
+      (13L, "unique page")).toDF("doc_id", "text")
+    val kept1 = Dedup.incrementalKeepNew(day1, "doc_id", "text", base, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept1 === Map(11L -> 2L, 13L -> 1L))
+    // associativity: day2 dedups against base ∪ kept(day1)
+    val accumulated = base.unionAll(
+      day1.filter(col("doc_id").isin(11L, 13L)).select(col("doc_id"), col("text")))
+    val day2 = Seq((20L, "new page"), (21L, "day two page")).toDF("doc_id", "text")
+    val kept2 = Dedup.incrementalKeepNew(day2, "doc_id", "text", accumulated, "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 === Set(21L)) // 'new page' now lives in the accumulated corpus
+  }
+
   test("wordlist filter: word-exact matches, distinct counting, keep bit") {
     import spark.implicits._
     val docs = Seq(
