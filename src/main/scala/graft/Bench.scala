@@ -29,7 +29,7 @@ object Bench {
     "t19_bigram_lm", "t20_boilerplate", "a12_random_projection",
     "a13_gram_matrix", "p17_vocab_encode", "p18_curate_full",
     "t21_readability", "p20_bpe_encode", "t22_mixture_sample",
-    "t23_decontam_excise")
+    "t23_decontam_excise", "t24_wordlist_filter", "d15_incremental_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
