@@ -194,10 +194,19 @@ object BpeTrain {
     * merge order — the rank ordering the encoder's lowest-rank-first
     * loop needs to reproduce training segmentation. */
   def ranks(merges: Seq[Merge], baseChars: Seq[String] = Nil): Map[String, Int] = {
+    // codepoint (UTF-8 byte) order, not default UTF-16 String order — the
+    // two disagree for supplementary characters vs U+E000..U+FFFF and the
+    // rank table must match the training path's byte ordering
     val chars = (merges.flatMap(m => (m.left + m.right).map(_.toString)) ++
-      baseChars).distinct.sorted
+      baseChars).distinct.sorted(utf8Ordering)
     val base = chars.zipWithIndex.toMap
-    base ++ merges.map(m => m.merged -> (base.size + m.rank)).toMap
+    // earlier-wins on merged-token collisions: two different merges can
+    // produce the same string (e.g. (a,bc) and (ab,c) both → "abc");
+    // the encoder's lowest-rank-first loop must see the FIRST (lowest)
+    // rank or encode segmentation diverges from training
+    merges.foldLeft(base) { (m, mg) =>
+      if (m.contains(mg.merged)) m else m + (mg.merged -> (base.size + mg.rank))
+    }
   }
 
   /** Char-level greedy BPE encode: apply the lowest-ranked applicable

@@ -300,9 +300,15 @@ object Dedup {
     * collapsed duplicates of that content. */
   def incrementalKeepNew(newDocs: DataFrame, idCol: String, textCol: String,
                          base: DataFrame, baseTextCol: String): DataFrame = {
-    val newDigests = newDocs.select(col(idCol).as("id"),
-      sha2(col(textCol), 256).as("digest"))
-    val baseDigests = base.select(sha2(col(baseTextCol), 256).as("digest"))
+    // null text is classified out on BOTH sides (not digested): a null
+    // digest never equi-joins, so null new rows would always be "kept"
+    // while a SQL NOT IN oracle with a null base row keeps nothing —
+    // excluding nulls explicitly makes Spark and oracle agree on
+    // null-bearing inputs instead of silently diverging
+    val newDigests = newDocs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), sha2(col(textCol), 256).as("digest"))
+    val baseDigests = base.filter(col(baseTextCol).isNotNull)
+      .select(sha2(col(baseTextCol), 256).as("digest"))
       .distinct()
     // keep-first WITHIN the new batch, then anti-join the base digests
     newDigests

@@ -203,7 +203,8 @@ object ProductQuantizer {
   def ivfAdcTopKRefined(queries: DataFrame, corpus: DataFrame,
                         idCol: String, vecCol: String,
                         coarseK: Int, nprobe: Int, m: Int, k: Int,
-                        iterations: Int, shortlist: Int, topK: Int): DataFrame = {
+                        iterations: Int, shortlist: Int, topK: Int,
+                        persistResid: Boolean = true): DataFrame = {
     require(nprobe >= 1 && nprobe <= coarseK, "need 1 <= nprobe <= coarseK")
     require(shortlist >= topK, "shortlist must be at least topK")
     val spark = corpus.sparkSession
@@ -223,10 +224,15 @@ object ProductQuantizer {
     // persist: the residual stream feeds the PQ trainer, the encode
     // pass, AND the cluster join-back (encode drops the cluster column)
     // — unpersisted, the corpus scan + assignment + residual UDFs would
-    // re-run for each
-    val resid = assigned.select(col(idCol).as("id"), col("cluster"),
+    // re-run for each. Repeated-invocation callers pass
+    // persistResid=false (the sequencePack persistToks convention:
+    // per-call cache entries accumulate until unpersist).
+    val residRaw = assigned.select(col(idCol).as("id"), col("cluster"),
       residUdf(asDouble(vecCol), col("cluster")).as("rv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val resid =
+      if (persistResid)
+        residRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else residRaw
     // 3. ONE residual codebook pooled across lists (the FAISS default)
     val model = fit(resid, "id", "rv", m, k, iterations)
     val codes = encode(resid, "id", "rv", model)

@@ -216,7 +216,8 @@ object Similarity {
   def bm25TopK(queries: DataFrame, corpus: DataFrame,
                idCol: String, textCol: String,
                qIdCol: String, qTextCol: String,
-               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k: Int, k1: Double = 1.2, b: Double = 0.75,
+               persistTf: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("doc_id"), col(textCol).as("dtext"),
       size(split(col(textCol), " ")).cast("long").as("dl"))
     val q = queries.select(col(qIdCol).as("query_id"), col(qTextCol).as("qtext"))
@@ -236,12 +237,18 @@ object Similarity {
     // query-term occurrences ever reach a shuffle
     // persist: tf feeds both the df aggregation and the weight join —
     // without it the corpus-words scan + semi-join + agg run twice
-    // (the t15 pattern)
-    val tf = cwords
+    // (the t15 pattern). Callers invoking bm25TopK repeatedly in one
+    // session pass persistTf=false (per-call cache entries are only
+    // freed by unpersist and would otherwise accumulate for the
+    // session's life — the sequencePack persistToks convention).
+    val tfRaw = cwords
       .join(broadcast(qterms.select(col("ht")).distinct()), Seq("ht"))
       .groupBy(col("doc_id"), col("ht"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf =
+      if (persistTf)
+        tfRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else tfRaw
     val df = tf.groupBy(col("ht")).agg(count(lit(1)).as("df"))
 
     // per-(doc, term) weight — idf·tf-norm is QUERY-INDEPENDENT, so the
@@ -268,6 +275,12 @@ object Similarity {
       .withColumn("bm25", round(col("score_scaled").cast("double") / 1e6, 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_scaled").desc, col("doc_id"))
+    // precision bound: the heap prune compares score_scaled widened to
+    // double (exact for |score| < 2^53 micro-units ≈ 9e9 bm25 points —
+    // unreachable: per-term contributions are idf·(k1+1) ≤ N·2.2 scaled
+    // ×1e6, so crossing 2^53 needs N·terms ≈ 4e9); the window then
+    // ranks by the exact BIGINT. Below that bound prune and window
+    // agree exactly; document rather than widen the heap to longs.
     graft.plans.TopKPerKey
       .prune(scored.withColumn("s", col("score_scaled").cast("double")),
         "query_id", "s", "doc_id", k)

@@ -496,8 +496,12 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
           x => x("line")), "\n").as("clean_text"))
+    // null text = 0 lines (size(split(null)) is -1 under legacy
+    // sizeOfNull), matching the null classification of the sibling
+    // operators (readability, wordlistFilter, Packing.tokenCount)
     base.select(col("doc_id"),
-        size(split(col("text"), "\n")).cast("long").as("n_lines"))
+        when(col("text").isNull, lit(0L))
+          .otherwise(size(split(col("text"), "\n")).cast("long")).as("n_lines"))
       .join(kept, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

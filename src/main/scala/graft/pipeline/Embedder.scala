@@ -61,6 +61,41 @@ final class HashEmbedder(override val dim: Int = 64) extends Embedder {
   }
 }
 
+/** Deterministic ORACLE-RECOMPUTABLE embedder — the flagship pipeline's
+  * test embedder, built so a SQL engine can recompute every component
+  * exactly (the t17 ClassifierScoreExpr md5-arithmetic principle):
+  *
+  *   component(text, k) = (u32(md5(text ++ ":" ++ k)) mod 2001) − 1000
+  *
+  * where u32 is the first 4 bytes of the digest, big-endian unsigned
+  * (DuckDB: `('0x' || substr(md5(t || ':' || k), 1, 8))::BIGINT`).
+  * Components are exact integers in [−1000, 1000] — fixed-point with a
+  * 1e-3 scale, stored as Float (integers ≤ 2^24 are exact) — so there is
+  * no float rounding anywhere and the vectors hash identically across
+  * engines. Like [[HashEmbedder]] it stands in for a real embedding
+  * service with zero egress while exercising the identical dataflow;
+  * unlike it, the p08 CORRECTNESS row can hash-check the output.
+  * Consumers needing unit vectors normalize downstream. */
+final class Md5Embedder(override val dim: Int = 64) extends Embedder {
+  override def embedBatch(texts: IndexedSeq[String]): IndexedSeq[Array[Float]] =
+    texts.map(embedOne)
+
+  def embedOne(text: String): Array[Float] = {
+    val md = MessageDigest.getInstance("MD5")
+    val v = new Array[Float](dim)
+    var k = 0
+    while (k < dim) {
+      val d = md.digest((text + ":" + k).getBytes(StandardCharsets.UTF_8))
+      val u32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      v(k) = (u32 % 2001L - 1000L).toFloat
+      md.reset()
+      k += 1
+    }
+    v
+  }
+}
+
 /** Retry/backoff wrapper: `attempts` tries with exponential backoff
   * `baseDelayMs * 2^i` (reference get_openai_embedding: 5 attempts,
   * 2^i s backoff, src/worker/worker.py:77-90). */

@@ -806,7 +806,7 @@ object CurationQueries {
         |LEFT JOIN rem ON w.doc_id = rem.doc_id
         |ORDER BY w.doc_id""".stripMargin,
     "d15_incremental_dedup" ->
-      """WITH base AS (SELECT doc_id, text FROM documents),
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
         |today AS (
         |  SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE doc_id % 2 = 0
         |  UNION ALL
@@ -815,7 +815,7 @@ object CurationQueries {
         |  SELECT doc_id + 3000000, text || ' fresh' FROM base WHERE doc_id % 2 = 1),
         |grouped AS (SELECT text, min(doc_id) AS id,
         |    CAST(count(*) AS BIGINT) AS n_copies
-        |  FROM today GROUP BY text)
+        |  FROM today WHERE text IS NOT NULL GROUP BY text)
         |SELECT id, n_copies FROM grouped
         |WHERE text NOT IN (SELECT text FROM base)
         |ORDER BY id""".stripMargin,

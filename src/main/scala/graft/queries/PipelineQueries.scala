@@ -28,17 +28,30 @@ object PipelineQueries {
       .withColumn("chunk_start", col("chunk_start").cast("long"))
       .orderBy(col("doc_id"), col("chunk_start"))
 
-  /** T2 EXACT token windows via the chunker UDF (rows-only check: token
-    * windows have no DuckDB equivalent). Includes the UUIDv5 chunk id. */
+  /** T2 EXACT token windows via the chunker UDF. Hash-checked: on this
+    * corpus (single-space lowercase words, all under the 16-char
+    * sub-piece bound) the stand-in tokenizer reduces to
+    * `regexp_extract_all(text, ' ?[a-z]+')`, so DuckDB retokenizes and
+    * rebuilds every 32-token / step-24 window exactly. The UUIDv5
+    * chunk id is not SQL-recomputable (DuckDB has no sha1) and is
+    * pinned by ChunkingSpec/golden tests instead. */
   def chunkExactTokens(spark: SparkSession, dir: String): DataFrame =
     Chunking.chunkDocuments(documents(spark, dir), ChunkStrategy.Exact,
         size = 32, overlap = 8)
+      .select(col("doc_id"), col("chunk_seq").cast("long").as("chunk_seq"),
+        col("chunk_text"))
       .orderBy(col("doc_id"), col("chunk_seq"))
 
-  /** T6 SENTENCE strategy over '.'-delimited text (rows-only). */
+  /** T6 SENTENCE strategy. Hash-checked via the same tokenizer
+    * reduction as p03: the corpus has no sentence terminators, so the
+    * one "sentence" is the whole document — documents over 24 tokens
+    * exercise the EXACT fallback (24-token windows, step 20), short
+    * ones the single-sentence branch. */
   def chunkSentences(spark: SparkSession, dir: String): DataFrame =
     Chunking.chunkDocuments(documents(spark, dir), ChunkStrategy.Sentence,
         size = 24, overlap = 4)
+      .select(col("doc_id"), col("chunk_seq").cast("long").as("chunk_seq"),
+        col("chunk_text"))
       .orderBy(col("doc_id"), col("chunk_seq"))
 
   /** F1-F3 intake filters: size window + language predicate, projected
@@ -74,18 +87,25 @@ object PipelineQueries {
       .select(col("job_id"), col("job_status"))
       .orderBy(col("job_id"))
 
-  /** The full ingestion pipeline (§3.1): chunk → deterministic local
-    * embed → vector records (rows-only: hash embeddings have no SQL
-    * equivalent; determinism is asserted by EmbedPipelineSpec). The raw
-    * vector is projected to (dim, xxhash64) — the driver's row-sorter
-    * cannot hash array cells, and the hash pins the full contents. */
+  /** The full ingestion pipeline (§3.1), FLAGSHIP, hash-checked end to
+    * end: chunk (EXACT_BY_CHARACTERS 256/128) → deterministic local
+    * embed → vector records. The [[graft.pipeline.Md5Embedder]] makes
+    * every vector component an exact md5-arithmetic integer (the t17
+    * ClassifierScoreExpr principle), and each component explodes to its
+    * own row, so the oracle retokenizes the chunks AND recomputes the
+    * complete vector contents in SQL — nothing is fingerprinted away.
+    * The uuid5 record id alone is not SQL-recomputable (no sha1 in
+    * DuckDB); EmbedPipelineSpec pins it. */
   def embedPipeline(spark: SparkSession, dir: String): DataFrame =
-    graft.pipeline.EmbedPipeline.run(documents(spark, dir))
+    graft.pipeline.EmbedPipeline.run(documents(spark, dir),
+        embedder = new graft.pipeline.Md5Embedder(64))
       .toDF()
-      .select(col("id"), col("source_document"),
-        size(col("vector")).as("n_dim"),
-        xxhash64(to_json(col("vector"))).as("vector_hash"))
-      .orderBy(col("id"))
+      .select(col("source_document"), md5(col("source_text")).as("chunk_md5"),
+        posexplode(col("vector")))
+      .select(col("source_document"), col("chunk_md5"),
+        col("pos").cast("long").as("dim_k"),
+        col("col").cast("long").as("component"))
+      .orderBy(col("source_document"), col("chunk_md5"), col("dim_k"))
 
   /** p09: multimodal pipeline over synthetic payloads derived from the
     * documents table — binary header encode → mapPartitions decode stub →
@@ -492,6 +512,40 @@ object PipelineQueries {
         |SELECT doc_id, s AS chunk_start,
         |substring(text, CAST(s + 1 AS INT), 256) AS chunk_text
         |FROM starts ORDER BY doc_id, chunk_start""".stripMargin,
+    "p03_chunk_exact_tokens" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, ' ?[a-z]+') AS tk
+        |  FROM documents)
+        |SELECT doc_id, s // 24 AS chunk_seq,
+        |       array_to_string(tk[s + 1 : s + 32], '') AS chunk_text
+        |FROM toks, unnest(generate_series(0, len(tk) - 1, 24)) AS t(s)
+        |ORDER BY doc_id, chunk_seq""".stripMargin,
+    "p04_chunk_sentences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, regexp_extract_all(text, ' ?[a-z]+') AS tk
+        |  FROM documents)
+        |SELECT doc_id, s // 20 AS chunk_seq,
+        |       array_to_string(tk[s + 1 : s + 24], '') AS chunk_text
+        |FROM toks, unnest(generate_series(0, len(tk) - 1, 20)) AS t(s)
+        |WHERE len(tk) > 24
+        |UNION ALL
+        |SELECT doc_id, CAST(0 AS BIGINT) AS chunk_seq, text AS chunk_text
+        |FROM toks WHERE len(tk) <= 24
+        |ORDER BY doc_id, chunk_seq""".stripMargin,
+    "p08_embed_pipeline" ->
+      """WITH chunks AS (
+        |  SELECT source AS source_document,
+        |         substring(text, CAST(s + 1 AS INT), 256) AS ct
+        |  FROM documents,
+        |       unnest(generate_series(0, length(text) - 1, 128)) AS t(s)),
+        |comp AS (
+        |  SELECT source_document, md5(ct) AS chunk_md5, k AS dim_k,
+        |    ('0x' || substr(md5(ct || ':' || k), 1, 8))::BIGINT % 2001 - 1000
+        |      AS component
+        |  FROM chunks, unnest(generate_series(0, 63)) AS t2(k))
+        |SELECT source_document, chunk_md5, CAST(dim_k AS BIGINT) AS dim_k,
+        |       CAST(component AS BIGINT) AS component
+        |FROM comp ORDER BY source_document, chunk_md5, dim_k""".stripMargin,
     "p05_doc_filter" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE n_chars BETWEEN 100 AND 500 AND lang <> 'zh'

@@ -117,7 +117,8 @@ class PlanAuditSpec extends AnyFunSuite {
     val raw = pipeline.EmbedPipeline.run(Tables.documents(spark, dir))
     val p = raw.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"chunk+embed must stay narrow:\n$p")
-    assert(df.columns.contains("id"))
+    // oracle surface: per-component rows, no raw arrays
+    assert(df.columns.contains("chunk_md5") && df.columns.contains("component"))
   }
 
   test("t17: classifier scoring is scan-local — no hash exchange, one scan") {

@@ -34,8 +34,9 @@ class CuratePipelineSpec extends AnyFunSuite {
     val entry = graft.SparkEntry.entry(spark)
     assert(entry.count() > 0)
     // driver-check contract: no raw array columns in declared outputs —
-    // the vector is witnessed by its dimension and a content hash
-    assert(entry.columns.contains("id") && entry.columns.contains("vector_hash"))
+    // the vector is witnessed per-component (the p08 oracle explodes
+    // every md5-arithmetic component to its own hash-checked row)
+    assert(entry.columns.contains("chunk_md5") && entry.columns.contains("component"))
     assert(!entry.schema.exists(_.dataType.typeName == "array"))
   }
 

@@ -36,6 +36,24 @@ class EmbedPipelineSpec extends AnyFunSuite {
     assert(math.abs(n - 1.0) < 1e-4)
   }
 
+  test("Md5Embedder components are exact md5-arithmetic integers") {
+    val e = new Md5Embedder(8)
+    val v = e.embedOne("hello")
+    // recompute component 0 by hand: u32(md5("hello:0")) % 2001 - 1000
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest("hello:0".getBytes(StandardCharsets.UTF_8))
+    val u32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    assert(v(0) == (u32 % 2001L - 1000L).toFloat)
+    // every component is an integer in [-1000, 1000] — fixed-point with
+    // no float rounding, the property the p08 oracle depends on
+    assert(v.forall(c => c == math.rint(c) && math.abs(c) <= 1000f))
+    assert(v.length == 8)
+    // deterministic
+    assert(e.embedOne("hello").toSeq == v.toSeq)
+    assert(e.embedOne("world").toSeq != v.toSeq)
+  }
+
   test("embed batching respects maxBatchSize and preserves order") {
     val calls = new AtomicInteger(0)
     val tiny = new Embedder {
