@@ -169,6 +169,31 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Min-id STAR links over the verified MinHash near-dup graph — the
+    * 100 TB output contract. [[minHashLshPairs]] emits every verified
+    * pair, and on a duplicate-heavy corpus the pair SET is quadratic in
+    * cluster size even though candidate work stays linear (the measured
+    * 10×-rows slope was 27×, dominated by pair materialization). Star
+    * links are linear: each involved document emits ONE row
+    * (rep_id, id) where rep_id = min(its verified partners ∪ itself) —
+    * the same representation the hot-bucket guard uses inside oversized
+    * buckets. One label-propagation iteration short of full components;
+    * feed [[graft.operators.Clusters.connectedComponents]] when exact
+    * cluster ids are needed, or drop every id ≠ rep_id for the common
+    * keep-one-per-star dedup decision. */
+  def minHashLshLinks(df: DataFrame, idCol: String, textCol: String, n: Int,
+                      numHashes: Int, bands: Int, threshold: Double,
+                      maxBucketDf: Option[Int] = Some(100),
+                      minSignatureAgreement: Option[Double] = None): DataFrame = {
+    val pairs = minHashLshPairs(df, idCol, textCol, n, numHashes, bands,
+      threshold, maxBucketDf, minSignatureAgreement)
+    pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
+      .groupBy(col("id"))
+      .agg(min(col("nb")).as("__mn"))
+      .select(least(col("__mn"), col("id")).as("rep_id"), col("id"))
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least
     * `minShared` distinct word n-grams with a benchmark/eval document
     * (the GPT-3/Pile 13-gram-overlap rule; n is a parameter because

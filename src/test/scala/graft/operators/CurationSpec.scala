@@ -28,6 +28,24 @@ class CurationSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall too low (16 bands of 4 should catch j>=0.5)")
   }
 
+  test("star links: one row per involved doc, min partner as representative") {
+    import spark.implicits._
+    // cluster {1,2,3} pairwise-similar, cluster {10,11}, singleton 99
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    val t2 = "completely different words about spark shuffles and joins " * 4
+    val docs = Seq((1L, t1), (2L, t1 + "iota"), (3L, t1 + "kappa"),
+      (10L, t2), (11L, t2 + "extra"), (99L, "tiny unrelated text here okay"))
+      .toDF("doc_id", "text")
+    val links = Dedup.minHashLshLinks(docs, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // linear contract: one row per involved doc; 99 is not involved
+    assert(links.map(_._2) === Set(1L, 2L, 3L, 10L, 11L))
+    assert(links === Set((1L, 1L), (1L, 2L), (1L, 3L), (10L, 10L), (10L, 11L)))
+    // keep-one-per-star: dropping id != rep_id keeps exactly the reps
+    assert(links.filter(l => l._1 == l._2).map(_._2) === Set(1L, 10L))
+  }
+
   test("signature-agreement pre-filter: full recall at 3-sigma slack, selective when tight") {
     val docs = graft.Tables.documents(spark, sfDir)
     val exact = pairs(Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.5))
