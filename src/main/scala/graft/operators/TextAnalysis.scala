@@ -418,14 +418,22 @@ object TextAnalysis {
     * with vocabulary², not corpus size.
     *
     * Output: (doc_id, n_bigrams, nll); docs with < 2 words report (0, 0.0). */
-  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"),
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+                    persistWords: Boolean = true): DataFrame = {
+    // the narrow word-array projection feeds FOUR consumers (bigram
+    // stream ×2 — model counts and per-doc counts —, the vocab scalar,
+    // and the final n_bigrams join); unpersisted, each cascades back
+    // through the caller's upstream pipeline, which at 100× rows was
+    // measured at 54 s of redundant rescans. Persisting the projection
+    // caps every caller at ONE input scan. Repeated-invocation callers
+    // (streaming micro-batches) pass persistWords=false — the
+    // sequencePack persistToks convention.
+    val baseRaw = docs.select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("ws"))
-    // NOT persisted: the bigram stream feeds both the model counts and
-    // the per-doc counts, but rebuilding it is one codegen'd
-    // scan+explode — measured cheaper than writing/reading a 4M-row
-    // cache (0.19 s vs 0.52 s at sf0.1), and callers that persist their
-    // INPUT (p18) bound the recompute to the cached projection
+    val base =
+      if (persistWords)
+        baseRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else baseRaw
     val bi = base.filter(size(col("ws")) >= 2)
       .select(col("doc_id"), col("ws"),
         explode(expr("sequence(1, size(ws) - 1)")).as("i"))
