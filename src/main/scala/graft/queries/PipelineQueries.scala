@@ -321,6 +321,41 @@ object PipelineQueries {
       .orderBy(col("media_id"))
   }
 
+  /** p21: S7 presigned-URL ingestion end-to-end over the reference's
+    * own fixtures as `file:` URIs (zero egress; the HTTP path is
+    * exercised by UrlFetchSpec's stub server) — executor-side fetch,
+    * content-not-extension MIME sniff, extractor dispatch, 1000-line
+    * batching, the dead text/plain branch replicated (SURVEY §7 quirk
+    * 5) and a 404 row. Oracle: pinned literal profile — the fixture
+    * bytes are immutable and the generated DOCX paragraphs are fixed
+    * strings. */
+  def urlFetch(spark: SparkSession, dir: String): DataFrame = {
+    val fx = "file:///root/reference/src/api/tests/fixtures"
+    val texts = Seq("alpha beta", "gamma", "delta epsilon zeta")
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body>""" +
+        texts.map(t => s"""<w:p><w:r><w:t xml:space="preserve">${esc(t)}</w:t></w:r></w:p>""").mkString +
+        """</w:body></w:document>"""
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s7")
+    val f = tmp.resolve("presigned.docx")
+    tmp.toFile.deleteOnExit(); f.toFile.deleteOnExit()
+    val z = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(f))
+    z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    z.write(xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    z.closeEntry(); z.close()
+    val urls = Seq(
+      s"$fx/test_text.txt", s"$fx/test_medium_text.txt",
+      s"$fx/test_long_text.txt", s"$fx/test_html.html", s"$fx/test_file",
+      s"$fx/test_pdf.pdf", f.toUri.toString, s"$fx/missing.txt?X-Amz-Expires=60")
+    graft.sources.UrlFetch.fetchUrls(spark, urls)
+      .select(col("file_name"), col("status"), col("mime_type"),
+        col("n_chars"), col("n_batches"), col("error"))
+      .orderBy(col("file_name"))
+  }
+
   /** p17: vocabulary encoding + fixed-window packing — frequency-ranked
     * vocab, documents encoded to token ids, the id stream cut into
     * 128-token training sequences crossing doc boundaries (see
@@ -350,6 +385,7 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p21_url_fetch"         -> urlFetch _,
     "p20_bpe_encode"        -> bpeEncode _,
     "p19_bpe_train"         -> bpeTrain _,
     "p17_vocab_encode"      -> vocabEncode _,
@@ -452,6 +488,21 @@ object PipelineQueries {
         |  CAST(ceil(width * scale) AS INT) AS out_width,
         |  CAST(ceil(height * scale) AS INT) AS out_height
         |FROM s ORDER BY media_id""".stripMargin,
+    "p21_url_fetch" ->
+      """SELECT file_name, CAST(status AS INT) AS status, mime_type,
+        |       CAST(n_chars AS BIGINT) AS n_chars,
+        |       CAST(n_batches AS BIGINT) AS n_batches, error
+        |FROM (VALUES
+        |('missing.txt', 404, '', 0, NULL, 'Failed to download file'),
+        |('presigned.docx', 200, 'application/vnd.openxmlformats-officedocument.wordprocessingml.document', 35, 1, ''),
+        |('test_file', 200, 'text/plain', 3956, NULL, 'DEAD_BRANCH'),
+        |('test_html.html', 400, 'text/html', 0, NULL, 'Uploaded file is not a TXT, PDF, HTML or DOCX file'),
+        |('test_long_text.txt', 200, 'text/plain', 900000, NULL, 'DEAD_BRANCH'),
+        |('test_medium_text.txt', 200, 'text/plain', 10552, NULL, 'DEAD_BRANCH'),
+        |('test_pdf.pdf', 200, 'application/pdf', 87336, 3, ''),
+        |('test_text.txt', 200, 'text/plain', 85107, NULL, 'DEAD_BRANCH')
+        |) AS t(file_name, status, mime_type, n_chars, n_batches, error)
+        |ORDER BY file_name""".stripMargin,
     "p19_bpe_train" ->
       """SELECT CAST(rank AS BIGINT) AS rank, l AS "left", r AS "right",
         |       merged, CAST(weight AS BIGINT) AS weight
