@@ -209,4 +209,17 @@ object Tokenizers {
     }
     fromProp.orElse(fromResource).getOrElse(GraftTokenizer)
   }
+
+  /** Self-trained ranks shipped as a repo resource
+    * (`graft_trained.tiktoken`, exported by
+    * [[graft.tools.ExportRanks]] from BpeTrain on the test corpus):
+    * token boundaries that are reproducible from the training run alone
+    * — the documented stand-in for the unobtainable cl100k data file.
+    * NOT the default: [[default]]'s GraftTokenizer boundaries are
+    * pinned by the p03/p04 oracles; opt in per call site. */
+  lazy val trained: Option[Tokenizer] =
+    Option(getClass.getResourceAsStream("/graft_trained.tiktoken")).map { in =>
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      try new BpeTokenizer(BpeTokenizer.parseRanks(src.getLines())) finally src.close()
+    }
 }

@@ -44,8 +44,17 @@ object ProfileMinhash {
       .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
         concat(col("text"), lit(" tail"), col("copy")).as("text"))
     println(s"[profile] scaled docs: ${big.count()}")
-    time("d03 at 10x docs")(
+    val p10 = time("d03 at 10x docs")(
       Dedup.minHashLshPairs(big, "doc_id", "text", 3, 64, 16, 0.5).count())
+    println(s"[profile] d03 pairs at 10x: $p10")
+    // the star-link output contract: same candidate/verify work, but
+    // ~cluster-linear rows instead of quadratic pair materialization
+    val l1 = time("d03 star links at 1x")(
+      Dedup.minHashLshLinks(docs, "doc_id", "text", 3, 64, 16, 0.5).count())
+    println(s"[profile] links at 1x: $l1")
+    val l10 = time("d03 star links at 10x docs")(
+      Dedup.minHashLshLinks(big, "doc_id", "text", 3, 64, 16, 0.5).count())
+    println(s"[profile] links at 10x: $l10")
     spark.stop()
   }
 }
