@@ -18,7 +18,7 @@ object Bench {
     "q01_pricing_summary", "q03_revenue_nation", "q05_running_spend",
     "q09_events_hourly", "q10_sessions",
     "q17_asof_join",
-    "p02_chunk_exact_chars", "p08_embed_pipeline",
+    "p02_chunk_exact_chars", "p03_chunk_exact_tokens", "p08_embed_pipeline",
     "d01_dedup_exact", "d03_dedup_minhash",
     "a01_ann_bruteforce", "a05_embed_quantize", "a08_ann_ivf_kmeans",
     "t01_text_profile", "t10_contamination", "t11_unigram_score",
@@ -27,7 +27,7 @@ object Bench {
     "t16_quality_verdict", "t17_classifier_score", "d13_image_dedup",
     "d14_span_removal", "a10_hybrid_search", "a11_bm25_topk",
     "t19_bigram_lm", "t20_boilerplate", "a12_random_projection",
-    "a13_gram_matrix", "p17_vocab_encode", "p18_curate_full",
+    "a13_gram_matrix", "a14_pca_project", "p17_vocab_encode", "p18_curate_full",
     "t21_readability", "p20_bpe_encode", "t22_mixture_sample",
     "t23_decontam_excise", "t24_wordlist_filter", "d15_incremental_dedup")
 

@@ -652,7 +652,11 @@ object CurationQueries {
     * query is constructed — Verify materializes every query before
     * dumping oracle_sql.json, so the splice is always populated on the
     * driver's path; standalone callers that never build a14 simply get
-    * no a14 oracle entry. */
+    * no a14 oracle entry. CONTRACT: last-writer-wins — the literals
+    * belong to whichever dataset built a14 most recently, which is
+    * correct for the driver's one-dataset-per-JVM Verify flow; a
+    * harness verifying several datasets in one JVM must re-run the a14
+    * query for the dataset it dumps oracles for. */
   @volatile private var a14Oracle: Option[String] = None
 
   private def a14OracleSql(n: Long, sums: Array[Long],
@@ -1415,7 +1419,7 @@ object CurationQueries {
         |    len(string_split(text, ' ')) - 1 AS total
         |  FROM documents)
         |SELECT d.doc_id,
-        |CAST(round(CAST(z.n_deflate AS DOUBLE) / length(d.text) * 1e6, 0) AS BIGINT) / 1e6 AS deflate_ratio,
+        |CAST(round(CAST(z.n_deflate AS DOUBLE) / octet_length(CAST(d.text AS BLOB)) * 1e6, 0) AS BIGINT) / 1e6 AS deflate_ratio,
         |CASE WHEN b.total <= 0 THEN 0.0
         |ELSE round(1.0 - len(list_distinct(b.bigrams)) / CAST(b.total AS DOUBLE), 6) END AS rep_ratio
         |FROM documents d JOIN dz z USING (doc_id) JOIN b USING (doc_id)

@@ -329,8 +329,10 @@ object PipelineQueries {
     * 5) and a 404 row. Oracle: pinned literal profile — the fixture
     * bytes are immutable and the generated DOCX paragraphs are fixed
     * strings. */
-  def urlFetch(spark: SparkSession, dir: String): DataFrame = {
-    val fx = "file:///root/reference/src/api/tests/fixtures"
+  /** The fixture DOCX is fully deterministic — built ONCE per JVM
+    * (repeated query construction must not leak temp dirs or grow the
+    * deleteOnExit registry). */
+  private lazy val presignedDocxUri: String = {
     val texts = Seq("alpha beta", "gamma", "delta epsilon zeta")
     def esc(s: String): String =
       s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
@@ -346,10 +348,15 @@ object PipelineQueries {
     z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
     z.write(xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     z.closeEntry(); z.close()
+    f.toUri.toString
+  }
+
+  def urlFetch(spark: SparkSession, dir: String): DataFrame = {
+    val fx = "file:///root/reference/src/api/tests/fixtures"
     val urls = Seq(
       s"$fx/test_text.txt", s"$fx/test_medium_text.txt",
       s"$fx/test_long_text.txt", s"$fx/test_html.html", s"$fx/test_file",
-      s"$fx/test_pdf.pdf", f.toUri.toString, s"$fx/missing.txt?X-Amz-Expires=60")
+      s"$fx/test_pdf.pdf", presignedDocxUri, s"$fx/missing.txt?X-Amz-Expires=60")
     graft.sources.UrlFetch.fetchUrls(spark, urls)
       .select(col("file_name"), col("status"), col("mime_type"),
         col("n_chars"), col("n_batches"), col("error"))

@@ -43,9 +43,11 @@ object UrlFetch {
                               mime_type: String, n_chars: Long,
                               n_batches: java.lang.Long, error: String)
 
-  /** Last path segment, query string dropped (app.py:283-289). */
+  /** Last path segment, query string dropped (app.py:283-289). Null-safe
+    * on opaque URIs (`mailto:` etc. have no path). */
   def s3FileName(url: String): String = {
     val path = URI.create(url).getPath
+    if (path == null) return ""
     val parts = path.replaceAll("^/+", "").split("/")
     if (parts.isEmpty) "" else parts.last
   }
@@ -69,7 +71,12 @@ object UrlFetch {
         "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
       else "application/zip"
     }
-    val head = bytes.take(1024)
+    // truncate BACK to a character boundary first: a multi-byte scalar
+    // split at the 1 KB window edge is sniffing artifact, not binary
+    var headLen = math.min(1024, bytes.length)
+    if (headLen < bytes.length)
+      while (headLen > 0 && !graft.core.BpeTokenizer.isCharBoundary(bytes, headLen)) headLen -= 1
+    val head = java.util.Arrays.copyOfRange(bytes, 0, headLen)
     val decoded =
       try {
         StandardCharsets.UTF_8.newDecoder()
@@ -105,7 +112,12 @@ object UrlFetch {
   def processOne(client: HttpClient, url: String, linesPerBatch: Int,
                  replicateTextPlainQuirk: Boolean,
                  timeout: Duration = Duration.ofSeconds(30)): FetchedDoc = {
-    val name = s3FileName(url)
+    // one bad row must produce one error ROW, never a task failure:
+    // even URI parsing (unencoded spaces, opaque URIs) stays inside
+    // the try — the name falls back to the raw url on parse failure
+    val name =
+      try s3FileName(url)
+      catch { case scala.util.control.NonFatal(_) => url }
     val (status, bytes) =
       try fetchBytes(client, url, timeout)
       catch {
@@ -139,16 +151,31 @@ object UrlFetch {
     }
   }
 
-  /** Executor-side fetch of a URL column: one row per URL in, one
-    * [[FetchedDoc]] row out. */
+  /** Executor-side fetch of a URL COLUMN — the 100 TB entry point: a
+    * million presigned URLs is a million-row DataFrame flowing straight
+    * into `mapPartitions`, never a driver loop. One HttpClient per
+    * partition; redirects followed (the reference's requests.get does —
+    * presigned stores answer 307 region redirects). */
+  def fetchUrlColumn(urls: org.apache.spark.sql.Dataset[String],
+                     linesPerBatch: Int = 1000,
+                     replicateTextPlainQuirk: Boolean = true): DataFrame = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    urls.mapPartitions { it =>
+      val client = HttpClient.newBuilder()
+        .followRedirects(HttpClient.Redirect.NORMAL)
+        .connectTimeout(Duration.ofSeconds(30)).build()
+      it.map(processOne(client, _, linesPerBatch, replicateTextPlainQuirk))
+    }.toDF()
+  }
+
+  /** Convenience wrapper over [[fetchUrlColumn]] for driver-known URL
+    * lists (tests, the p21 fixture query). */
   def fetchUrls(spark: SparkSession, urls: Seq[String],
                 linesPerBatch: Int = 1000,
                 replicateTextPlainQuirk: Boolean = true): DataFrame = {
     import spark.implicits._
-    urls.toDF("url").as[String].mapPartitions { it =>
-      val client = HttpClient.newBuilder()
-        .connectTimeout(Duration.ofSeconds(30)).build()
-      it.map(processOne(client, _, linesPerBatch, replicateTextPlainQuirk))
-    }.toDF()
+    fetchUrlColumn(urls.toDF("url").as[String], linesPerBatch,
+      replicateTextPlainQuirk)
   }
 }

@@ -69,6 +69,44 @@ class UrlFetchSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("mid-character 1KB truncation still sniffs text/plain") {
+    // 1023 ASCII bytes then a 2-byte UTF-8 char spanning the window edge
+    val s = "a" * 1023 + "é" + ("plain text continues " * 20)
+    assert(UrlFetch.sniffMime(s.getBytes(StandardCharsets.UTF_8)) == "text/plain")
+  }
+
+  test("malformed URLs produce error rows, not task failures") {
+    val rows = UrlFetch.fetchUrls(spark,
+        Seq("http://host/with space.txt", "mailto:someone@example.com"))
+      .collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getInt(2) == -1, s"expected error row: $r")
+      assert(!r.isNullAt(6) && r.getString(6).nonEmpty)
+    }
+  }
+
+  test("redirects are followed like the reference's requests.get") {
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    val body = "redirected content line".getBytes(StandardCharsets.UTF_8)
+    server.createContext("/old/doc.txt", ex => {
+      ex.getResponseHeaders.add("Location",
+        s"http://127.0.0.1:${server.getAddress.getPort}/new/doc.txt")
+      ex.sendResponseHeaders(307, -1); ex.close()
+    })
+    server.createContext("/new/doc.txt", ex => {
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.close()
+    })
+    server.start()
+    try {
+      val r = UrlFetch.fetchUrls(spark,
+        Seq(s"http://127.0.0.1:${server.getAddress.getPort}/old/doc.txt")).collect().head
+      assert(r.getInt(2) == 200)
+      assert(r.getLong(4) == body.length.toLong)
+    } finally server.stop(0)
+  }
+
   test("pdf and docx fetched bytes run the real extractors") {
     val fx = "file:///root/reference/src/api/tests/fixtures"
     val row = UrlFetch.fetchUrls(spark, Seq(s"$fx/test_pdf.pdf")).collect().head
