@@ -625,6 +625,66 @@ object Dedup {
     val assigned = KMeans.assign(
       base.repartition(base.sparkSession.sparkContext.defaultParallelism),
       "id", "__v", centroids)
+    semanticTail(base, assigned, threshold, maxClusterPairs)
+  }
+
+  /** Engine-exact variant of [[semanticDedup]] (the a14
+    * `pcaProjectExact` pattern): k-means TRAINING stays the
+    * double-precision [[KMeans.fit]], but the final cluster assignment
+    * runs in fixed point — vectors and the trained centroids are
+    * quantized to `scale`-scaled BIGINTs and the squared-L2 argmin is
+    * exact integer arithmetic with index tiebreak. A SQL twin holding
+    * the returned quantized-centroid literals replays the assignment
+    * bit-for-bit (no cross-engine float-summation-order hazard);
+    * everything downstream — within-cluster pairs, the cosine verify,
+    * min-label components, keep selection — was already
+    * engine-portable (d05/d08/d09 oracles). [[semanticDedup]] remains
+    * the double-precision production surface. */
+  def semanticDedupExact(vectors: DataFrame, idCol: String, vecCol: String,
+                         k: Int, iterations: Int = 2, threshold: Double = 0.95,
+                         maxClusterPairs: Option[Int] = None,
+                         scale: Long = 1L << 20): (DataFrame, Array[Array[Long]]) = {
+    val base = vectors
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("__v"))
+    val (_, centroids) = KMeans.fit(base, "id", "__v", k, iterations)
+    // centroid quantization happens ONCE on the driver and the result is
+    // spliced into the oracle as literals, so its rounding mode cannot
+    // diverge across engines; only the per-row vector quantization must
+    // match, and it uses the same round() construction in both
+    val centroidsQ = centroids.map(_.map(x => math.round(x * scale)))
+    val bc = base.sparkSession.sparkContext.broadcast(centroidsQ)
+    val argmin = udf { (vq: Seq[Long]) =>
+      if (vq == null) null
+      else {
+        val cs = bc.value
+        var best = 0
+        var bestD = Long.MaxValue
+        var i = 0
+        while (i < cs.length) {
+          val c = cs(i)
+          var d = 0L
+          var j = 0
+          val dim = math.min(c.length, vq.length)
+          while (j < dim) { val x = vq(j) - c(j); d += x * x; j += 1 }
+          if (d < bestD) { bestD = d; best = i }
+          i += 1
+        }
+        Int.box(best)
+      }
+    }
+    val vq = expr(s"transform(__v, x -> cast(round(cast(x as double) * $scale, 0) as bigint))")
+    val assigned = base
+      .repartition(base.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"), col("__v"), argmin(vq).as("cluster"))
+    (semanticTail(base, assigned, threshold, maxClusterPairs), centroidsQ)
+  }
+
+  /** Shared tail of the SemDeDup variants: within-cluster candidate
+    * pairs → exact cosine verify → connected components → min-id keep. */
+  private def semanticTail(base: DataFrame, assigned: DataFrame,
+                           threshold: Double,
+                           maxClusterPairs: Option[Int]): DataFrame = {
     val candidates = bucketCandidates(
       assigned.select(col("id"), lit(0).as("band"), col("cluster").as("bucket")),
       maxClusterPairs)

@@ -522,17 +522,65 @@ object CurationQueries {
 
   /** d12: SemDeDup semantic dedup over planted duplicate embeddings —
     * k-means clusters bound the pair space, exact cosine verifies, one
-    * kept copy per near-dup component (rows-only: the k-means step has
-    * no DuckDB twin; SemDedupSpec pins planted-dup recall and keep
-    * semantics against d05's brute force). */
+    * kept copy per near-dup component. Oracle-checked end to end via
+    * the ENGINE-EXACT assignment variant: DuckDB has no k-means
+    * trainer, but it doesn't need one — the trained centroids are plan
+    * literals once fit() returns, so they are quantized and spliced
+    * into the oracle SQL (the a14 pattern), and DuckDB replays the
+    * fixed-point argmin assignment, within-cluster pairs, cosine
+    * verify, and min-label components bit-for-bit. SemDedupSpec
+    * additionally pins planted-dup recall against d05's brute force. */
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val planted = e.unionAll(
       e.filter(col("vec_id") % 10 === 0)
         .withColumn("vec_id", col("vec_id") + 1000000L))
-    Dedup.semanticDedup(planted, "vec_id", "embedding",
-        k = 16, iterations = 2, threshold = 0.95)
-      .orderBy(col("id"))
+    val (df, centroidsQ) = Dedup.semanticDedupExact(planted, "vec_id",
+      "embedding", k = 16, iterations = 2, threshold = 0.95)
+    d12Oracle = Some(d12OracleSql(centroidsQ))
+    df.orderBy(col("id"))
+  }
+
+  /** d12's oracle carries the trained-then-quantized centroid literals,
+    * so it is BUILT when the d12 query is constructed — same lifecycle
+    * and last-writer-wins contract as [[a14Oracle]]. */
+  @volatile private var d12Oracle: Option[String] = None
+
+  private def d12OracleSql(centroidsQ: Array[Array[Long]]): String = {
+    val cents = centroidsQ.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.mkString("[", ", ", "]")})" }.mkString(",\n    ")
+    s"""WITH RECURSIVE planted AS (
+       |  SELECT vec_id AS id, embedding FROM embeddings
+       |  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0),
+       |v AS (SELECT id, CAST(embedding AS DOUBLE[]) AS vd,
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT)) AS vq
+       |  FROM planted WHERE embedding IS NOT NULL),
+       |cents(ci, cq) AS (VALUES
+       |    $cents),
+       |dist AS (
+       |  SELECT v.id, c.ci,
+       |    list_sum(list_transform(generate_series(1, len(v.vq)), d ->
+       |      (v.vq[d] - c.cq[d]) * (v.vq[d] - c.cq[d]))) AS dist
+       |  FROM v CROSS JOIN cents c),
+       |asg AS (SELECT id, ci AS cluster FROM (
+       |  SELECT id, ci, row_number() OVER (PARTITION BY id ORDER BY dist, ci) AS rn
+       |  FROM dist) r WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.id < b.id
+       |  JOIN v va ON va.id = a.id JOIN v vb ON vb.id = b.id
+       |  WHERE list_cosine_similarity(va.vd, vb.vd) >= 0.95),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, lab) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+       |cc AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+       |SELECT v.id, coalesce(cc.cluster_id, v.id) AS cluster_id,
+       |  CAST(v.id = coalesce(cc.cluster_id, v.id) AS INT) AS keep
+       |FROM v LEFT JOIN cc ON cc.id = v.id
+       |ORDER BY v.id""".stripMargin
   }
 
   /** d14: exact-substring removal over a corpus with planted full-copy
@@ -849,7 +897,8 @@ object CurationQueries {
       | + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE)))""".stripMargin
 
   def oracles: Map[String, String] =
-    staticOracles ++ a14Oracle.map("a14_pca_project" -> _)
+    staticOracles ++ a14Oracle.map("a14_pca_project" -> _) ++
+      d12Oracle.map("d12_semantic_dedup" -> _)
 
   private val staticOracles: Map[String, String] = Map(
     "d14_span_removal" ->

@@ -84,6 +84,27 @@ class SemDedupClassifierSpec extends AnyFunSuite {
       s"missing=${brute.diff(dropped).take(3)} extra=${dropped.diff(brute).take(3)}")
   }
 
+  test("fixed-point exact assignment agrees with the double-precision surface") {
+    // the d12 oracle path quantizes vectors+centroids to 2^20 fixed
+    // point for an engine-portable argmin; on this corpus (clusters far
+    // wider than a quantization ulp) the assignment — and therefore the
+    // whole (id, cluster_id, keep) output — must match the double form
+    val e = graft.Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val planted = e.unionAll(
+      e.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+    val dbl = Dedup.semanticDedup(planted, "vec_id", "embedding",
+        k = 8, iterations = 2, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val (exactDf, centroidsQ) = Dedup.semanticDedupExact(planted, "vec_id",
+      "embedding", k = 8, iterations = 2, threshold = 0.95)
+    val exact = exactDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(exact === dbl,
+      s"missing=${dbl.diff(exact).take(3)} extra=${exact.diff(dbl).take(3)}")
+    assert(centroidsQ.length === 8 && centroidsQ.forall(_.length === 64))
+  }
+
   test("hot-cluster cap is a documented recall trade: dropped set shrinks, never grows") {
     val e = graft.Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val planted = e.unionAll(
