@@ -651,32 +651,12 @@ object Dedup {
     // centroid quantization happens ONCE on the driver and the result is
     // spliced into the oracle as literals, so its rounding mode cannot
     // diverge across engines; only the per-row vector quantization must
-    // match, and it uses the same round() construction in both
+    // match, and KMeans.assignExact uses the same round() construction
+    // in both
     val centroidsQ = centroids.map(_.map(x => math.round(x * scale)))
-    val bc = base.sparkSession.sparkContext.broadcast(centroidsQ)
-    val argmin = udf { (vq: Seq[Long]) =>
-      if (vq == null) null
-      else {
-        val cs = bc.value
-        var best = 0
-        var bestD = Long.MaxValue
-        var i = 0
-        while (i < cs.length) {
-          val c = cs(i)
-          var d = 0L
-          var j = 0
-          val dim = math.min(c.length, vq.length)
-          while (j < dim) { val x = vq(j) - c(j); d += x * x; j += 1 }
-          if (d < bestD) { bestD = d; best = i }
-          i += 1
-        }
-        Int.box(best)
-      }
-    }
-    val vq = expr(s"transform(__v, x -> cast(round(cast(x as double) * $scale, 0) as bigint))")
-    val assigned = base
-      .repartition(base.sparkSession.sparkContext.defaultParallelism)
-      .select(col("id"), col("__v"), argmin(vq).as("cluster"))
+    val assigned = KMeans.assignExact(
+      base.repartition(base.sparkSession.sparkContext.defaultParallelism),
+      "id", "__v", centroidsQ, scale)
     (semanticTail(base, assigned, threshold, maxClusterPairs), centroidsQ)
   }
 

@@ -101,6 +101,72 @@ object KMeans {
     df.select(col(idCol), col(vecCol),
       argminCluster(df, vecCol, centroids).as("cluster"))
 
+  /** Fixed-point exact assignment (the a14/d12 engine-exact pattern):
+    * vectors are quantized to `scale`-scaled BIGINTs and the squared-L2
+    * argmin against pre-quantized centroids runs in pure integer
+    * arithmetic with index tiebreak — bit-replayable by a SQL twin
+    * holding the `centroidsQ` literals, with no float-summation-order
+    * hazard. [[assign]] remains the double-precision production
+    * surface. */
+  def assignExact(df: DataFrame, idCol: String, vecCol: String,
+                  centroidsQ: Array[Array[Long]],
+                  scale: Long = 1L << 20): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(centroidsQ)
+    val f = udf { (vq: Seq[Long]) =>
+      if (vq == null) null
+      else {
+        val cs = bc.value
+        var best = 0
+        var bestD = Long.MaxValue
+        var i = 0
+        while (i < cs.length) {
+          val c = cs(i)
+          var d = 0L
+          var j = 0
+          val dim = math.min(c.length, vq.length)
+          while (j < dim) { val x = vq(j) - c(j); d += x * x; j += 1 }
+          if (d < bestD) { bestD = d; best = i }
+          i += 1
+        }
+        Int.box(best)
+      }
+    }
+    df.select(col(idCol), col(vecCol), f(quantized(vecCol, scale)).as("cluster"))
+  }
+
+  /** Fixed-point multi-probe: each row explodes to its `p` nearest
+    * lists by (integer distance, index) — [[assignTopP]] made
+    * engine-exact the same way as [[assignExact]]. */
+  def assignTopPExact(df: DataFrame, idCol: String, vecCol: String,
+                      centroidsQ: Array[Array[Long]], p: Int,
+                      scale: Long = 1L << 20): DataFrame = {
+    require(p >= 1, "probe count must be >= 1")
+    val bc = df.sparkSession.sparkContext.broadcast(centroidsQ)
+    val pp = p
+    val f = udf { (vq: Seq[Long]) =>
+      if (vq == null) null
+      else {
+        val cs = bc.value
+        cs.indices.map { i =>
+          val c = cs(i)
+          var d = 0L
+          var j = 0
+          val dim = math.min(c.length, vq.length)
+          while (j < dim) { val x = vq(j) - c(j); d += x * x; j += 1 }
+          (d, i)
+        }.sorted.take(math.min(pp, cs.length)).map(_._2).toArray
+      }
+    }
+    df.select(col(idCol), col(vecCol),
+      explode_outer(f(quantized(vecCol, scale))).as("cluster"))
+  }
+
+  /** The vector quantization both exact paths and their SQL twins use:
+    * round(x·scale) as BIGINT, via the SQL round() so the rounding mode
+    * cannot drift across engines. */
+  private def quantized(vecCol: String, scale: Long): Column =
+    expr(s"transform($vecCol, x -> cast(round(cast(x as double) * $scale, 0) as bigint))")
+
   /** Multi-probe assignment: each row explodes to its `p` NEAREST lists
     * (distance order, index tiebreak). Probing several lists is how real
     * IVF trades compute for recall — a query near a list boundary finds

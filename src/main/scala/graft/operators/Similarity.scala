@@ -81,19 +81,36 @@ object Similarity {
   }
 
   /** Sign-LSH bucket id: `nPlanes` deterministic hyperplanes; bit j is
-    * the sign of v · plane_j. Planes are seeded pseudo-random unit-free
-    * directions derived from splitmix64(planeSeed, j, dim-index) — pure
-    * Catalyst, no shuffle, computed in one projection. */
-  def signLshBucket(vecCol: String, dim: Int, nPlanes: Int, seed: Long = 42L): Column = {
-    // plane(j)(d) = splitmix-derived float in [-1,1); dot sign via fold
+    * the sign of the FIXED-POINT dot product vq · plane_j, where
+    * vq = round(v·2^20) and plane_j(d) = the high 32 bits of
+    * xxhash64(seed, j, d) — pure Catalyst integer arithmetic, no
+    * shuffle, computed in one projection. The integer form is
+    * engine-exact (the a12/a14 principle): a SQL twin holding the plane
+    * literals ([[signLshPlanes]]) replays every bucket bit-for-bit,
+    * with no float-summation-order or sign-boundary hazard. Bounds:
+    * |v| ≲ 500 keeps dim·|vq·plane| inside BIGINT (2^20 · 2^9 · 2^31 ·
+    * 2^6 = 2^66 would overflow at |v| ≈ 2^12; embeddings are unit-ish). */
+  def signLshBucket(vecCol: String, dim: Int, nPlanes: Int, seed: Long = 42L): Column =
     expr(
       s"""aggregate(sequence(0, ${nPlanes - 1}), 0L, (acc, j) ->
          |  acc + shiftleft(
-         |    CASE WHEN aggregate(sequence(0, ${dim - 1}), 0d,
-         |      (s, d) -> s + cast(element_at($vecCol, d + 1) as double) *
-         |        (cast(xxhash64($seed, j, d) as double) / 9.223372036854776e18)) >= 0d
+         |    CASE WHEN aggregate(sequence(0, ${dim - 1}), 0L,
+         |      (s, d) -> s + cast(round(cast(element_at($vecCol, d + 1) as double) * 1048576, 0) as bigint) *
+         |        shiftright(xxhash64($seed, j, d), 32)) >= 0L
          |    THEN 1L ELSE 0L END, j))""".stripMargin)
-  }
+
+  /** The plane matrix [[signLshBucket]] folds over, materialized
+    * driver-side (one 1-row job running the SAME expression text, so
+    * the xxhash64 argument typing cannot drift) — for splicing into an
+    * oracle as literals. planes(j)(d) = xxhash64(seed, j, d) >> 32. */
+  def signLshPlanes(spark: org.apache.spark.sql.SparkSession, dim: Int,
+                    nPlanes: Int, seed: Long = 42L): Array[Array[Long]] =
+    spark.range(1).select(expr(
+      s"""transform(sequence(0, ${nPlanes - 1}), j ->
+         |  transform(sequence(0, ${dim - 1}), d ->
+         |    shiftright(xxhash64($seed, j, d), 32)))""".stripMargin).as("p"))
+      .collect()(0).getSeq[scala.collection.Seq[Long]](0)
+      .map(_.toArray).toArray
 
   /** ANN via sign-LSH: bucket corpus and queries with the same planes,
     * join on bucket, exact cosine re-rank within the bucket, top-k.

@@ -125,13 +125,49 @@ object CurationQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** a02: sign-LSH bucketed ANN, same queries (rows-only; SimilaritySpec
-    * asserts bucket-restricted exactness + recall vs a01). */
+  /** a02: sign-LSH bucketed ANN, same queries — oracle-checked end to
+    * end: buckets are fixed-point integer dot-product signs against
+    * xxhash64-derived planes, so splicing the plane literals (computed
+    * once driver-side) lets DuckDB replay bucketing, the bucket-join
+    * candidate restriction, and the exact re-rank bit-for-bit.
+    * SimilaritySpec additionally asserts recall vs a01. */
   def annSignLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    a02Oracle = Some(a02OracleSql(
+      Similarity.signLshPlanes(spark, dim = 64, nPlanes = 4)))
     Similarity.signLshTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
         dim = 64, k = 10, nPlanes = 4)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** a02's oracle carries the sign-LSH plane literals — same lifecycle
+    * and last-writer-wins contract as [[a14Oracle]] (the planes depend
+    * only on (seed, dim, nPlanes), not the dataset, but building the
+    * SQL lazily keeps standalone callers job-free). */
+  @volatile private var a02Oracle: Option[String] = None
+
+  private def a02OracleSql(planes: Array[Array[Long]]): String = {
+    val pm = planes.map(_.mkString("[", ", ", "]")).mkString("[", ",\n    ", "]")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd,
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |p AS (SELECT $pm AS pm),
+       |b AS (SELECT vec_id, vd,
+       |  list_sum(list_transform(generate_series(1, ${planes.length}), j ->
+       |    CASE WHEN list_sum(list_transform(generate_series(1, ${planes.head.length}), d ->
+       |      vq[d] * pm[j][d])) >= 0
+       |    THEN (1::BIGINT << (j - 1)) ELSE 0::BIGINT END)) AS bucket
+       |  FROM v, p),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(q.vd, c.vd), 6) AS score
+       |  FROM b q JOIN b c ON q.bucket = c.bucket
+       |    AND q.vec_id < 5 AND q.vec_id <> c.vec_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, score, rank FROM ranked
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
   /** a03: IVF-style probe using the label column as the inverted list —
@@ -145,8 +181,13 @@ object CurationQueries {
   }
 
   /** a08: IVF with a k-means-trained coarse quantizer — train lists,
-    * assign corpus and queries, probe (rows-only; KMeansSpec pins
-    * determinism, blob separation, and list membership). */
+    * assign corpus and queries, probe. Oracle-checked end to end via
+    * the ENGINE-EXACT assignment variants: the trained centroids are
+    * quantized and spliced into the oracle (the d12 pattern), DuckDB
+    * replays the fixed-point corpus argmin, the queries' 4-probe list
+    * selection, and the within-list exact re-rank bit-for-bit.
+    * KMeansSpec additionally pins trainer determinism, blob separation,
+    * and full-probe == brute force. */
   def annIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     // coarse-list count scales with the corpus (~16 vectors/list, capped
@@ -163,15 +204,55 @@ object CurationQueries {
     // the corpus-assignment pass needs the explicit spread here (the
     // small parquet is one input split, and assignment is O(n·k·dim))
     val (_, centroids) = graft.operators.KMeans.fit(e, "vec_id", "embedding", k = k, iterations = 2)
-    val corpus = graft.operators.KMeans.assign(
-      e.repartition(spark.sparkContext.defaultParallelism), "vec_id", "embedding", centroids)
+    val centroidsQ = centroids.map(_.map(x => math.round(x * 1048576.0)))
+    a08Oracle = Some(a08OracleSql(centroidsQ))
+    val corpus = graft.operators.KMeans.assignExact(
+      e.repartition(spark.sparkContext.defaultParallelism), "vec_id", "embedding", centroidsQ)
     // queries probe their 4 nearest lists (multi-probe recall;
     // KMeansSpec proves full-probe == brute force)
-    val probes = graft.operators.KMeans.assignTopP(
-      e.filter(col("vec_id") < 5), "vec_id", "embedding", centroids, p = 4)
+    val probes = graft.operators.KMeans.assignTopPExact(
+      e.filter(col("vec_id") < 5), "vec_id", "embedding", centroidsQ, p = 4)
     Similarity.ivfTopK(probes, corpus,
         "vec_id", "embedding", "cluster", k = 10)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** a08's oracle carries the trained-then-quantized coarse-centroid
+    * literals — same lifecycle and last-writer-wins contract as
+    * [[a14Oracle]]. */
+  @volatile private var a08Oracle: Option[String] = None
+
+  private def a08OracleSql(centroidsQ: Array[Array[Long]]): String = {
+    val cents = centroidsQ.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.mkString("[", ", ", "]")})" }.mkString(",\n    ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd,
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |cents(ci, cq) AS (VALUES
+       |    $cents),
+       |dist AS (
+       |  SELECT v.vec_id, c.ci,
+       |    list_sum(list_transform(generate_series(1, len(v.vq)), d ->
+       |      (v.vq[d] - c.cq[d]) * (v.vq[d] - c.cq[d]))) AS dist
+       |  FROM v CROSS JOIN cents c),
+       |rankd AS (SELECT vec_id, ci,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rn
+       |  FROM dist),
+       |corpus AS (SELECT vec_id, ci AS cluster FROM rankd WHERE rn = 1),
+       |probes AS (SELECT vec_id, ci AS cluster FROM rankd
+       |  WHERE vec_id < 5 AND rn <= 4),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(qv.vd, cv.vd), 6) AS score
+       |  FROM probes q JOIN corpus c ON q.cluster = c.cluster
+       |    AND q.vec_id <> c.vec_id
+       |  JOIN v qv ON qv.vec_id = q.vec_id
+       |  JOIN v cv ON cv.vec_id = c.vec_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, score, rank FROM ranked
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
   /** a09: product-quantized ANN, full FAISS shape — PQ codebooks
@@ -898,7 +979,9 @@ object CurationQueries {
 
   def oracles: Map[String, String] =
     staticOracles ++ a14Oracle.map("a14_pca_project" -> _) ++
-      d12Oracle.map("d12_semantic_dedup" -> _)
+      d12Oracle.map("d12_semantic_dedup" -> _) ++
+      a02Oracle.map("a02_ann_signlsh" -> _) ++
+      a08Oracle.map("a08_ann_ivf_kmeans" -> _)
 
   private val staticOracles: Map[String, String] = Map(
     "d14_span_removal" ->

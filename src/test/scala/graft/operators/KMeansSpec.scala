@@ -42,6 +42,31 @@ class KMeansSpec extends AnyFunSuite {
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
   }
 
+  test("fixed-point assignExact/assignTopPExact agree with the double surfaces") {
+    // the a08/d12 oracle path quantizes to 2^20 fixed point; on this
+    // corpus (list boundaries far wider than a quantization ulp) the
+    // integer argmin must agree with the double argmin, and the p=1
+    // multi-probe must degenerate to the single assignment
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val (_, centroids) = KMeans.fit(e, "vec_id", "embedding", k = 8, iterations = 2)
+    val centroidsQ = centroids.map(_.map(x => math.round(x * 1048576.0)))
+    val dbl = KMeans.assign(e, "vec_id", "embedding", centroids)
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val exact = KMeans.assignExact(e, "vec_id", "embedding", centroidsQ)
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(exact === dbl)
+    val p1 = KMeans.assignTopPExact(e, "vec_id", "embedding", centroidsQ, p = 1)
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(p1 === exact)
+    // multi-probe emits p rows per vector, first probe = the assignment
+    val p3 = KMeans.assignTopPExact(e, "vec_id", "embedding", centroidsQ, p = 3)
+    assert(p3.count() === 3 * e.count())
+  }
+
   test("matrix scorer at k=256 matches local brute-force argmin") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), col("embedding"))
