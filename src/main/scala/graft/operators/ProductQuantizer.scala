@@ -310,4 +310,241 @@ object ProductQuantizer {
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
+
+  // ------------------------------------------------------------------
+  // Engine-exact (fixed-point) surfaces — the a14/d12 oracle pattern.
+  // Training stays double-precision; encode and ADC run in pure integer
+  // arithmetic against 2^20-quantized codebooks, so a SQL twin holding
+  // the quantized literals replays shortlists bit-for-bit. ADC values
+  // are bounded by dim·(2^22)^2 ≈ 2^50 < 2^53, so even a double-keyed
+  // heap prune compares them exactly.
+  // ------------------------------------------------------------------
+
+  /** Codebooks quantized for the exact paths: round(c·scale) as BIGINT,
+    * done once on the driver and spliced into the oracle as literals. */
+  def quantizeModel(model: Model, scale: Long = 1L << 20): Array[Array[Array[Long]]] =
+    model.codebooks.map(_.map(_.map(x => math.round(x * scale.toDouble))))
+
+  /** round(v·scale) as BIGINT via the SQL round(), so the rounding mode
+    * matches the oracle's by construction. */
+  private def quantizedCol(vecCol: String, scale: Long): Column =
+    expr(s"transform($vecCol, x -> cast(round(cast(x as double) * $scale, 0) as bigint))")
+
+  /** [[encode]] in fixed point: per-subspace integer argmin (ties to
+    * the lower code) over the quantized codebooks. */
+  def encodeExact(vectors: DataFrame, idCol: String, vecCol: String,
+                  booksQ: Array[Array[Array[Long]]],
+                  scale: Long = 1L << 20): DataFrame = {
+    val bc = vectors.sparkSession.sparkContext.broadcast(booksQ)
+    val subDim = booksQ(0)(0).length
+    val codeUdf = udf { (vq: Seq[Long]) =>
+      if (vq == null) null
+      else {
+        val books = bc.value
+        Array.tabulate(books.length) { s =>
+          var best = 0
+          var bestD = Long.MaxValue
+          var c = 0
+          while (c < books(s).length) {
+            val cb = books(s)(c)
+            var d = 0L
+            var j = 0
+            while (j < cb.length) { val x = vq(s * subDim + j) - cb(j); d += x * x; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          best
+        }
+      }
+    }
+    vectors
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), codeUdf(quantizedCol(vecCol, scale)).as("codes"))
+  }
+
+  /** [[adcTopKRefined]] in fixed point: integer ADC shortlist (the
+    * query tables are integer squared distances from the quantized
+    * query subvectors to the quantized codebooks), exact cosine refine.
+    * Returns the result plus the quantized codebooks for the oracle
+    * splice. */
+  def adcTopKRefinedExact(queries: DataFrame, corpus: DataFrame, model: Model,
+                          idCol: String, vecCol: String,
+                          shortlist: Int, topK: Int,
+                          scale: Long = 1L << 20): (DataFrame, Array[Array[Array[Long]]]) = {
+    require(shortlist >= topK, "shortlist must be at least topK")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val booksQ = quantizeModel(model, scale)
+    val codes = encodeExact(corpus, idCol, vecCol, booksQ, scale)
+    val qRows = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        quantizedCol(vecCol, scale).as("vq"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val qTables = qRows.map { case (qid, vq) =>
+      val t = new Array[Long](model.m * model.k)
+      var s = 0
+      while (s < model.m) {
+        var c = 0
+        while (c < model.k) {
+          val cb = booksQ(s)(c)
+          var d = 0L
+          var j = 0
+          while (j < cb.length) { val x = vq(s * model.subDim + j) - cb(j); d += x * x; j += 1 }
+          t(s * model.k + c) = d
+          c += 1
+        }
+        s += 1
+      }
+      (qid, t)
+    }.toSeq
+    val qDf = qTables.toDF("query_id", "table")
+    val scored = codes
+      .select(col("id").as("neighbor_id"), col("codes"))
+      .join(broadcast(qDf), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist",
+        (0 until model.m)
+          .map(s => element_at(col("table"),
+            lit(s * model.k) + element_at(col("codes"), s + 1) + 1))
+          .reduce(_ + _))
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id"))
+    // negated BIGINT distance: TopKPerKey keeps top scores under the
+    // native long ordering, so the integer shortlist is exact at any
+    // magnitude (no double-widening bound)
+    val candidates = graft.plans.TopKPerKey.prune(
+        scored.withColumn("neg_dist", -col("adc_dist")),
+        "query_id", "neg_dist", "neighbor_id", shortlist)
+      .withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(vecCol).as("cv"))
+    val refined = candidates
+      .join(c, "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("score", round(Similarity.cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    (refined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank")),
+     booksQ)
+  }
+
+  /** [[ivfAdcTopKRefined]] in fixed point: the coarse assignment, the
+    * residuals (computed by exact integer subtraction in the
+    * `scale`-scaled space — no second rounding), the PQ encode, and the
+    * ADC shortlist all run in integer arithmetic. The PQ TRAINER runs
+    * on the scaled-integer residuals cast to double (scaling every
+    * input by one constant leaves Lloyd's geometry unchanged) and its
+    * codebooks round to integers in the same scaled space, so a SQL
+    * twin holding the quantized coarse centroids + codebooks replays
+    * list routing, residual encoding, and the shortlist bit-for-bit.
+    * Returns (result, quantized coarse centroids, quantized codebooks)
+    * for the oracle splice. */
+  def ivfAdcTopKRefinedExact(queries: DataFrame, corpus: DataFrame,
+                             idCol: String, vecCol: String,
+                             coarseK: Int, nprobe: Int, m: Int, k: Int,
+                             iterations: Int, shortlist: Int, topK: Int,
+                             scale: Long = 1L << 20,
+                             persistResid: Boolean = true)
+      : (DataFrame, Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    require(nprobe >= 1 && nprobe <= coarseK, "need 1 <= nprobe <= coarseK")
+    require(shortlist >= topK, "shortlist must be at least topK")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (_, cents) = KMeans.fit(corpus, idCol, vecCol, coarseK, iterations)
+    val centsQ = cents.map(_.map(x => math.round(x * scale.toDouble)))
+    val assigned = KMeans.assignExact(corpus, idCol, vecCol, centsQ, scale)
+    val bcCents = spark.sparkContext.broadcast(centsQ)
+    val residUdf = udf { (vq: Seq[Long], cl: java.lang.Integer) =>
+      if (vq == null || cl == null) null
+      else {
+        val c = bcCents.value(cl)
+        Array.tabulate(vq.length)(i => vq(i) - (if (i < c.length) c(i) else 0L))
+      }
+    }
+    // same persist rationale (and accumulation caveat) as
+    // ivfAdcTopKRefined: the residual stream feeds trainer + encode +
+    // cluster join-back
+    val residRaw = assigned.select(col(idCol).as("id"), col("cluster"),
+      residUdf(quantizedCol(vecCol, scale), col("cluster")).as("rvq"))
+    val resid =
+      if (persistResid)
+        residRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else residRaw
+    val model = fit(resid, "id", "rvq", m, k, iterations)
+    val booksQ = model.codebooks.map(_.map(_.map(x => math.round(x))))
+    val codes = encodeExact(resid, "id", "rvq", booksQ, scale = 1L)
+      .join(resid.select(col("id"), col("cluster")), "id")
+    val qRows = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        quantizedCol(vecCol, scale).as("vq"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val qTables = qRows.flatMap { case (qid, vq) =>
+      val byDist = centsQ.indices.map { li =>
+        val c = centsQ(li)
+        var d = 0L
+        var j = 0
+        val dim = math.min(c.length, vq.length)
+        while (j < dim) { val x = vq(j) - c(j); d += x * x; j += 1 }
+        (d, li)
+      }.sorted.take(nprobe)
+      byDist.map { case (_, li) =>
+        val c = centsQ(li)
+        val qr = Array.tabulate(vq.length)(i =>
+          vq(i) - (if (i < c.length) c(i) else 0L))
+        val t = new Array[Long](m * k)
+        var s = 0
+        while (s < m) {
+          var cc = 0
+          while (cc < k) {
+            val cb = booksQ(s)(cc)
+            var d = 0L
+            var j = 0
+            while (j < cb.length) { val x = qr(s * model.subDim + j) - cb(j); d += x * x; j += 1 }
+            t(s * k + cc) = d
+            cc += 1
+          }
+          s += 1
+        }
+        (qid, li, t)
+      }
+    }.toSeq
+    val qDf = qTables.toDF("query_id", "cluster", "table")
+    val scored = codes
+      .join(broadcast(qDf), Seq("cluster"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("adc_dist",
+        (0 until m)
+          .map(s => element_at(col("table"),
+            lit(s * k) + element_at(col("codes"), s + 1) + 1))
+          .reduce(_ + _))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("adc_dist"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id"))
+    val candidates = graft.plans.TopKPerKey.prune(
+        scored.withColumn("neg_dist", -col("adc_dist")),
+        "query_id", "neg_dist", "neighbor_id", shortlist)
+      .withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(vecCol).as("cv"))
+    val refined = candidates
+      .join(c, "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("score", round(Similarity.cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    (refined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank")),
+     centsQ, booksQ)
+  }
 }

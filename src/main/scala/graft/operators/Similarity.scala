@@ -292,15 +292,11 @@ object Similarity {
       .withColumn("bm25", round(col("score_scaled").cast("double") / 1e6, 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_scaled").desc, col("doc_id"))
-    // precision bound: the heap prune compares score_scaled widened to
-    // double (exact for |score| < 2^53 micro-units ≈ 9e9 bm25 points —
-    // unreachable: per-term contributions are idf·(k1+1) ≤ N·2.2 scaled
-    // ×1e6, so crossing 2^53 needs N·terms ≈ 4e9); the window then
-    // ranks by the exact BIGINT. Below that bound prune and window
-    // agree exactly; document rather than widen the heap to longs.
+    // the heap prune compares score_scaled AS BIGINT (TopKPerKey keeps
+    // native orderings), so prune and window agree exactly at any
+    // magnitude — no 2^53 widening bound
     graft.plans.TopKPerKey
-      .prune(scored.withColumn("s", col("score_scaled").cast("double")),
-        "query_id", "s", "doc_id", k)
+      .prune(scored, "query_id", "score_scaled", "doc_id", k)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("bm25"), col("rank"))

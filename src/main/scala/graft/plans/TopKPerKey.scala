@@ -24,7 +24,7 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 final case class TopKPerKeyNode(keys: Seq[Expression], score: Expression,
                                 tiebreak: Expression, k: Int,
                                 child: LogicalPlan) extends UnaryNode {
-  require(TopKPerKeyExec.scoreToDouble(score.dataType).isDefined,
+  require(TopKPerKeyExec.scoreOrdering(score.dataType).isDefined,
     s"TopKPerKey score must be numeric, got ${score.dataType.catalogString}")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
@@ -33,17 +33,18 @@ final case class TopKPerKeyNode(keys: Seq[Expression], score: Expression,
 
 object TopKPerKeyExec {
   import org.apache.spark.sql.types._
-  /** Numeric-eval-result → Double widening (None for non-numeric types —
-    * rejected at node construction, so a float/int score column works
-    * instead of ClassCastException-ing mid-task). */
-  def scoreToDouble(dt: DataType): Option[Any => Double] = dt match {
-    case DoubleType  => Some(v => v.asInstanceOf[Double])
-    case FloatType   => Some(v => v.asInstanceOf[Float].toDouble)
-    case LongType    => Some(v => v.asInstanceOf[Long].toDouble)
-    case IntegerType => Some(v => v.asInstanceOf[Int].toDouble)
-    case ShortType   => Some(v => v.asInstanceOf[Short].toDouble)
-    case ByteType    => Some(v => v.asInstanceOf[Byte].toDouble)
-    case _: DecimalType => Some(v => v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble)
+  /** Numeric score types get their NATIVE interpreted ordering (None
+    * for non-numeric — rejected at node construction, so a bad score
+    * column fails fast instead of ClassCastException-ing mid-task).
+    * Native means EXACT: a BIGINT or DECIMAL score is never widened to
+    * double, so two scores differing only below double ulp (reachable
+    * once scaled integers exceed 2^53) order identically here and in
+    * the row_number window form the prune must agree with. */
+  def scoreOrdering(dt: DataType): Option[Ordering[Any]] = dt match {
+    case DoubleType | FloatType | LongType | IntegerType | ShortType |
+         ByteType | _: DecimalType =>
+      Some(org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(dt).asInstanceOf[Ordering[Any]])
     case _ => None
   }
 }
@@ -88,36 +89,36 @@ final case class TopKPerKeyExec(keys: Seq[Expression], score: Expression,
         case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
         case x => x
       }
-      // score widening chosen from the static type (node construction
-      // already rejected non-numeric score expressions)
-      val toDouble = TopKPerKeyExec.scoreToDouble(scoreExpr.dataType).get
+      // score ordering chosen from the static type (node construction
+      // already rejected non-numeric score expressions); NATIVE, so
+      // long/decimal scores compare exactly — see scoreOrdering
+      val scoreOrd = TopKPerKeyExec.scoreOrdering(scoreExpr.dataType).get
       // per-key bounded heap; the root is the WEAKEST kept row under the
       // total order (score desc, tiebreak asc), i.e. the minimum score
       // with the maximum tiebreak — evicted when a better candidate
       // arrives, so ties resolve identically to the window form. A null
       // score is the weakest of all (Window desc orders NULLS LAST), so
-      // it is boxed as null and compares below every non-null score.
-      val cmp = new java.util.Comparator[(java.lang.Double, Any, InternalRow)] {
-        override def compare(a: (java.lang.Double, Any, InternalRow),
-                             b: (java.lang.Double, Any, InternalRow)): Int = {
+      // it compares below every non-null score.
+      val cmp = new java.util.Comparator[(Any, Any, InternalRow)] {
+        override def compare(a: (Any, Any, InternalRow),
+                             b: (Any, Any, InternalRow)): Int = {
           val c =
             if (a._1 == null && b._1 == null) 0
             else if (a._1 == null) -1
             else if (b._1 == null) 1
-            else java.lang.Double.compare(a._1, b._1)
+            else scoreOrd.compare(a._1, b._1)
           if (c != 0) c else tieOrd.compare(b._2, a._2)
         }
       }
-      val heaps = new java.util.HashMap[InternalRow, java.util.PriorityQueue[(java.lang.Double, Any, InternalRow)]]()
+      val heaps = new java.util.HashMap[InternalRow, java.util.PriorityQueue[(Any, Any, InternalRow)]]()
       while (it.hasNext) {
         val row = it.next()
-        val raw = boundScore.eval(row)
-        val s: java.lang.Double = if (raw == null) null else Double.box(toDouble(raw))
+        val s = boundScore.eval(row)
         val t = boundTie.eval(row)
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[(java.lang.Double, Any, InternalRow)](kk + 1, cmp)
+          heap = new java.util.PriorityQueue[(Any, Any, InternalRow)](kk + 1, cmp)
           heaps.put(key.copy(), heap)
         }
         if (heap.size() < kk) heap.add((s, copyTie(t), row.copy()))

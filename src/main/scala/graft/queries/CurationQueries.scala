@@ -259,32 +259,172 @@ object CurationQueries {
     * trained (one Lloyd's job per iteration for all 8 subspaces),
     * corpus encoded to 8 codes per vector (32× compression at 64 float
     * dims), ADC shortlist over the compressed corpus, exact cosine
-    * re-rank of the shortlist only (rows-only: k-means training has no
-    * DuckDB twin; PqSpec pins determinism, planted-duplicate rank 1,
-    * and refined recall vs exact brute force). */
+    * re-rank of the shortlist only. Oracle-checked end to end via the
+    * ENGINE-EXACT encode/ADC variants: the trained codebooks are
+    * quantized and spliced into the oracle, where the query's ADC
+    * table is the SAME `(vector, subspace, code) → integer distance`
+    * relation that encodes the corpus — DuckDB replays encoding, the
+    * 100-candidate shortlist, and the refine bit-for-bit. PqSpec
+    * additionally pins determinism, planted-duplicate rank 1, and
+    * refined recall vs exact brute force. */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val model = graft.operators.ProductQuantizer.fit(
       e, "vec_id", "embedding", m = 8, k = 16, iterations = 2)
-    val codes = graft.operators.ProductQuantizer.encode(e, "vec_id", "embedding", model)
-    graft.operators.ProductQuantizer.adcTopKRefined(
-        e.filter(col("vec_id") < 5), codes, e, model, "vec_id", "embedding",
-        shortlist = 100, topK = 10)
-      .orderBy(col("query_id"), col("rank"))
+    val (df, booksQ) = graft.operators.ProductQuantizer.adcTopKRefinedExact(
+      e.filter(col("vec_id") < 5), e, model, "vec_id", "embedding",
+      shortlist = 100, topK = 10)
+    a09Oracle = Some(a09OracleSql(booksQ, model.subDim))
+    df.orderBy(col("query_id"), col("rank"))
+  }
+
+  /** a09's oracle carries the trained-then-quantized PQ codebook
+    * literals — same lifecycle and last-writer-wins contract as
+    * [[a14Oracle]]. */
+  @volatile private var a09Oracle: Option[String] = None
+
+  private def a09OracleSql(booksQ: Array[Array[Array[Long]]],
+                           subDim: Int): String = {
+    val books = booksQ.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (cb, c) =>
+        s"($s, $c, ${cb.mkString("[", ", ", "]")})" } }.mkString(",\n    ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd,
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |books(s, c, cq) AS (VALUES
+       |    $books),
+       |enc AS (
+       |  SELECT v.vec_id, b.s, b.c,
+       |    list_sum(list_transform(generate_series(1, $subDim), d ->
+       |      (v.vq[b.s * $subDim + d] - b.cq[d]) * (v.vq[b.s * $subDim + d] - b.cq[d]))) AS dist
+       |  FROM v CROSS JOIN books b),
+       |codes AS (SELECT vec_id, s, c AS code FROM (
+       |  SELECT vec_id, s, c,
+       |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS rn
+       |  FROM enc) r WHERE rn = 1),
+       |adc AS (
+       |  SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id,
+       |    sum(e.dist) AS adc_dist
+       |  FROM (SELECT vec_id FROM v WHERE vec_id < 5) q
+       |  JOIN codes cd ON cd.vec_id <> q.vec_id
+       |  JOIN enc e ON e.vec_id = q.vec_id AND e.s = cd.s AND e.c = cd.code
+       |  GROUP BY 1, 2),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+       |  FROM adc) r WHERE rn <= 100),
+       |refined AS (
+       |  SELECT sh.query_id, sh.neighbor_id,
+       |    round(list_cosine_similarity(qv.vd, cv.vd), 6) AS score
+       |  FROM short sh
+       |  JOIN v qv ON qv.vec_id = sh.query_id
+       |  JOIN v cv ON cv.vec_id = sh.neighbor_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       |  FROM refined)
+       |SELECT query_id, neighbor_id, score, rank FROM ranked
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
   /** a15: the complete FAISS IVF-PQ search — coarse k-means lists,
     * residual product quantization, 4-probe ADC shortlist, exact cosine
-    * refine (rows-only: two k-means trainers have no DuckDB twin;
-    * IvfPqSpec pins full-probe equivalence with brute force and recall).
-    * See [[graft.operators.ProductQuantizer.ivfAdcTopKRefined]]. */
+    * refine. Oracle-checked end to end via the ENGINE-EXACT variant:
+    * both trained models (coarse centroids + residual codebooks) are
+    * quantized and spliced into the oracle, and DuckDB replays list
+    * routing, integer residuals, residual encoding, the per-(query,
+    * probed-list) ADC tables, the 100-candidate shortlist, and the
+    * refine bit-for-bit. IvfPqSpec additionally pins full-probe
+    * equivalence with brute force and recall.
+    * See [[graft.operators.ProductQuantizer.ivfAdcTopKRefinedExact]]. */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    graft.operators.ProductQuantizer.ivfAdcTopKRefined(
+    val (df, centsQ, booksQ) =
+      graft.operators.ProductQuantizer.ivfAdcTopKRefinedExact(
         e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
         coarseK = 16, nprobe = 4, m = 8, k = 16, iterations = 2,
         shortlist = 100, topK = 10)
-      .orderBy(col("query_id"), col("rank"))
+    a15Oracle = Some(a15OracleSql(centsQ, booksQ, subDim = 8))
+    df.orderBy(col("query_id"), col("rank"))
+  }
+
+  /** a15's oracle carries both trained-then-quantized model literals —
+    * same lifecycle and last-writer-wins contract as [[a14Oracle]]. */
+  @volatile private var a15Oracle: Option[String] = None
+
+  private def a15OracleSql(centsQ: Array[Array[Long]],
+                           booksQ: Array[Array[Array[Long]]],
+                           subDim: Int): String = {
+    val cents = centsQ.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.mkString("[", ", ", "]")})" }.mkString(",\n    ")
+    val books = booksQ.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (cb, c) =>
+        s"($s, $c, ${cb.mkString("[", ", ", "]")})" } }.mkString(",\n    ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd,
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |cents(ci, cq) AS (VALUES
+       |    $cents),
+       |books(s, c, bq) AS (VALUES
+       |    $books),
+       |cdist AS (
+       |  SELECT v.vec_id, c.ci,
+       |    list_sum(list_transform(generate_series(1, len(v.vq)), d ->
+       |      (v.vq[d] - c.cq[d]) * (v.vq[d] - c.cq[d]))) AS dist
+       |  FROM v CROSS JOIN cents c),
+       |crank AS (SELECT vec_id, ci,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rn
+       |  FROM cdist),
+       |asg AS (SELECT vec_id, ci AS cluster FROM crank WHERE rn = 1),
+       |resid AS (
+       |  SELECT v.vec_id, a.cluster,
+       |    list_transform(generate_series(1, len(v.vq)), d -> v.vq[d] - c.cq[d]) AS rq
+       |  FROM v JOIN asg a ON a.vec_id = v.vec_id
+       |  JOIN cents c ON c.ci = a.cluster),
+       |enc AS (
+       |  SELECT r.vec_id, b.s, b.c,
+       |    list_sum(list_transform(generate_series(1, $subDim), d ->
+       |      (r.rq[b.s * $subDim + d] - b.bq[d]) * (r.rq[b.s * $subDim + d] - b.bq[d]))) AS dist
+       |  FROM resid r CROSS JOIN books b),
+       |codes AS (SELECT vec_id, s, c AS code FROM (
+       |  SELECT vec_id, s, c,
+       |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS rn
+       |  FROM enc) r WHERE rn = 1),
+       |probes AS (SELECT vec_id, ci AS cluster FROM crank
+       |  WHERE vec_id < 5 AND rn <= 4),
+       |qresid AS (
+       |  SELECT p.vec_id, p.cluster,
+       |    list_transform(generate_series(1, len(v.vq)), d -> v.vq[d] - c.cq[d]) AS rq
+       |  FROM probes p JOIN v ON v.vec_id = p.vec_id
+       |  JOIN cents c ON c.ci = p.cluster),
+       |qenc AS (
+       |  SELECT r.vec_id, r.cluster, b.s, b.c,
+       |    list_sum(list_transform(generate_series(1, $subDim), d ->
+       |      (r.rq[b.s * $subDim + d] - b.bq[d]) * (r.rq[b.s * $subDim + d] - b.bq[d]))) AS dist
+       |  FROM qresid r CROSS JOIN books b),
+       |adc AS (
+       |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |    sum(qe.dist) AS adc_dist
+       |  FROM probes p
+       |  JOIN asg a ON a.cluster = p.cluster AND a.vec_id <> p.vec_id
+       |  JOIN codes cd ON cd.vec_id = a.vec_id
+       |  JOIN qenc qe ON qe.vec_id = p.vec_id AND qe.cluster = p.cluster
+       |    AND qe.s = cd.s AND qe.c = cd.code
+       |  GROUP BY 1, 2),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+       |  FROM adc) r WHERE rn <= 100),
+       |refined AS (
+       |  SELECT sh.query_id, sh.neighbor_id,
+       |    round(list_cosine_similarity(qv.vd, cv.vd), 6) AS score
+       |  FROM short sh
+       |  JOIN v qv ON qv.vec_id = sh.query_id
+       |  JOIN v cv ON cv.vec_id = sh.neighbor_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       |  FROM refined)
+       |SELECT query_id, neighbor_id, score, rank FROM ranked
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
   /** t18: DSIR importance weights — hashed bigram LMs for the target
@@ -981,7 +1121,9 @@ object CurationQueries {
     staticOracles ++ a14Oracle.map("a14_pca_project" -> _) ++
       d12Oracle.map("d12_semantic_dedup" -> _) ++
       a02Oracle.map("a02_ann_signlsh" -> _) ++
-      a08Oracle.map("a08_ann_ivf_kmeans" -> _)
+      a08Oracle.map("a08_ann_ivf_kmeans" -> _) ++
+      a09Oracle.map("a09_ann_pq" -> _) ++
+      a15Oracle.map("a15_ann_ivfpq" -> _)
 
   private val staticOracles: Map[String, String] = Map(
     "d14_span_removal" ->
