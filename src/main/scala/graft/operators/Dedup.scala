@@ -418,9 +418,10 @@ object Dedup {
     * same scale shape as the shingle index, but ~w× fewer postings. */
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 8, w: Int = 4, minShared: Int = 5,
-                  maxFpDocFreq: Option[Int] = None): DataFrame = {
+                  maxFpDocFreq: Option[Int] = None,
+                  gramHash: String => Long = fnv1a64): DataFrame = {
     val raw = df.select(col(idCol).as("id"),
-      explode(TextAnalysis.winnowFingerprints(k, w)(col(textCol))).as("fp"))
+      explode(TextAnalysis.winnowFingerprints(k, w, gramHash)(col(textCol))).as("fp"))
     // stop-fingerprint guard (same role as jaccardPairs'
     // maxShingleDocFreq): one corpus-wide boilerplate k-gram would make
     // the self-join quadratic in its document frequency
@@ -438,15 +439,15 @@ object Dedup {
       .filter(col("shared_fps") >= minShared)
   }
 
-  /** 64-bit SimHash of the word multiset (FNV-1a word hashes; sign of
-    * per-bit vote). Deterministic UDF — the 64-lane bit vote has no
-    * tidy Catalyst form. */
-  val simHash64: Column => Column = {
+  /** 64-bit SimHash of the word multiset (sign of per-bit vote over
+    * `wordHash` values). Deterministic UDF — the 64-lane bit vote has
+    * no tidy Catalyst form. */
+  def simHash64With(wordHash: String => Long): Column => Column = {
     val f = udf { (words: Seq[String]) =>
       val votes = new Array[Int](64)
       val safe = if (words == null) Seq.empty[String] else words
       safe.foreach { w =>
-        val h = fnv1a64(w)
+        val h = wordHash(w)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -461,6 +462,9 @@ object Dedup {
     c => f(c)
   }
 
+  /** FNV-1a word hashes — the fast production default. */
+  val simHash64: Column => Column = simHash64With(fnv1a64)
+
   def fnv1a64(s: String): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
@@ -469,6 +473,53 @@ object Dedup {
       h *= 0x100000001b3L
       i += 1
     }
+    h
+  }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Engine-exact 60-bit hash: the first 15 md5 hex digits as a
+    * POSITIVE long — DuckDB recomputes it as
+    * ('0x' || substr(md5(s), 1, 15))::BIGINT, and positivity makes
+    * signed and unsigned comparisons agree, so ORDER-sensitive
+    * consumers (the winnowing per-window min) replay identically. */
+  def md5Hash60(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // 15 hex digits = first 7 bytes + the high nibble of byte 8
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** Engine-exact 32-bit bucket hash (the exact t17 shape): first 4
+    * md5 bytes big-endian unsigned — DuckDB recomputes it as
+    * ('0x' || substr(md5(s), 1, 8))::BIGINT. */
+  def md5U32(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Engine-exact word hash (the t17 md5 principle): the first 8 md5
+    * bytes big-endian as a 64-bit value — DuckDB recomputes it as
+    * ('0x' || substr(md5(w), 1, 16))::UBIGINT; same bits on a signed
+    * carrier here. Slower than [[fnv1a64]]; used where an oracle must
+    * replay the hash. */
+  def md5Hash64(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
     h
   }
 
@@ -491,7 +542,8 @@ object Dedup {
     * cap only when saturation is the bigger risk. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDistance: Int = 3,
-                   maxBlockDf: Option[Int] = None): DataFrame = {
+                   maxBlockDf: Option[Int] = None,
+                   wordHash: String => Long = fnv1a64): DataFrame = {
     require(maxDistance >= 0 && maxDistance < 32,
       "pigeonhole needs maxDistance+1 blocks of >= 2 bits each")
     val nBlocks = maxDistance + 1
@@ -505,7 +557,7 @@ object Dedup {
     val hashed = df
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
-        simHash64(split(col(textCol), " ")).as("simhash"))
+        simHash64With(wordHash)(split(col(textCol), " ")).as("simhash"))
     val blocks = hashed.select(
       col("id"), col("simhash"),
       posexplode(expr(s"array(${blockExprs.mkString(", ")})")))

@@ -85,15 +85,21 @@ object TextAnalysis {
   /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     * k-gram rolling hashes, minimum per window of w, deduplicated —
     * the standard local document fingerprint for near-copy detection.
-    * Deterministic UDF (FNV-1a base hash). */
-  def winnowFingerprints(k: Int = 8, w: Int = 4): Column => Column = {
+    * Deterministic UDF; `gramHash` defaults to the fast FNV-1a, and
+    * oracle-checked callers pass [[Dedup.md5Hash60]] (positive 60-bit
+    * values, so the per-window signed min here equals DuckDB's min
+    * over the same hex-parsed BIGINTs; gram extraction is
+    * UTF-16-substring here vs codepoint-substr there — identical on
+    * BMP text, which the test corpus is). */
+  def winnowFingerprints(k: Int = 8, w: Int = 4,
+                         gramHash: String => Long = Dedup.fnv1a64): Column => Column = {
     val f = udf { (s: String) =>
       if (s == null || s.length < k) Array.empty[Long]
       else {
         val n = s.length - k + 1
         val hashes = new Array[Long](n)
         var i = 0
-        while (i < n) { hashes(i) = Dedup.fnv1a64(s.substring(i, i + k)); i += 1 }
+        while (i < n) { hashes(i) = gramHash(s.substring(i, i + k)); i += 1 }
         val out = scala.collection.mutable.LinkedHashSet.empty[Long]
         var start = 0
         while (start + w <= n) {
@@ -314,6 +320,65 @@ object TextAnalysis {
       .select(col("doc_id"),
         size(col("__f")).cast("long").as("n_features"),
         round(sumLookup(col("__f"), table), 6).as("log_weight"))
+  }
+
+  /** [[dsirWeights]] in the ENGINE-EXACT form (the t17 md5 + a14
+    * fixed-point principles): features are md5-bucketed n-gram STRINGS
+    * (DuckDB recomputes ('0x'||substr(md5(g),1,8))::BIGINT % buckets),
+    * and the log-ratio table — still ln, but evaluated ONCE on the
+    * driver — is quantized to 2^-30 units and spliced into the oracle
+    * as literals, so the per-document score is an integer sum divided
+    * by a power of two: bit-identical across engines with no libm call
+    * in either scan. The LM FITTING (bucket counts → smoothed log
+    * ratios) stays driver-side like a14's eigensolve; DsirSpec pins it.
+    * Returns the quantized table for the splice. [[dsirWeights]]
+    * remains the fast xxhash64 production surface. */
+  def dsirWeightsExact(raw: DataFrame, target: DataFrame, idCol: String,
+                       textCol: String, n: Int = 2, buckets: Int = 8192,
+                       scale: Long = 1L << 30): (DataFrame, Array[Long]) = {
+    val nb = buckets
+    val nn = n
+    val featUdf = udf { (s: String) =>
+      if (s == null) Array.empty[Int]
+      else {
+        val words = s.split(" ", -1)
+        if (words.length < nn) Array.empty[Int]
+        else Array.tabulate(words.length - nn + 1) { i =>
+          (Dedup.md5U32(words.slice(i, i + nn).mkString(" ")) % nb).toInt
+        }
+      }
+    }
+    def bucketCounts(df: DataFrame): Array[Long] = {
+      val rows = df
+        .select(explode(featUdf(col(textCol))).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("c"))
+        .collect()
+      val out = new Array[Long](buckets)
+      rows.foreach(r => out(r.getInt(0)) = r.getLong(1))
+      out
+    }
+    val tc = bucketCounts(target)
+    val rc = bucketCounts(raw)
+    val tTot = tc.sum.toDouble + buckets
+    val rTot = rc.sum.toDouble + buckets
+    val tableQ = Array.tabulate(buckets)(b => math.round(
+      (math.log((tc(b) + 1.0) / tTot) - math.log((rc(b) + 1.0) / rTot)) *
+        scale.toDouble))
+    val bcT = raw.sparkSession.sparkContext.broadcast(tableQ)
+    val sumUdf = udf { (fs: Seq[Int]) =>
+      val t = bcT.value
+      var s = 0L
+      var i = 0
+      while (i < fs.length) { s += t(fs(i)); i += 1 }
+      s
+    }
+    val df = raw
+      .select(col(idCol).as("doc_id"), featUdf(col(textCol)).as("__f"))
+      .select(col("doc_id"),
+        size(col("__f")).cast("long").as("n_features"),
+        round(sumUdf(col("__f")).cast("double") / lit(scale.toDouble), 6)
+          .as("log_weight"))
+    (df, tableQ)
   }
 
   /** Domain-mixture statistics and temperature-weighted sampling

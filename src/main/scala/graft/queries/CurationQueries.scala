@@ -38,14 +38,22 @@ object CurationQueries {
         n = 3, numHashes = 64, bands = 16, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** d04: SimHash near-dup pairs, hamming ≤ 3 on planted near-copies
-    * (rows-only; DedupSpec pins semantics). */
+  /** d04: SimHash near-dup pairs, hamming ≤ 3 on planted near-copies —
+    * oracle-checked end to end with the md5 word hash (the t17
+    * principle: DuckDB recomputes the same 64-bit word hashes, per-bit
+    * votes, and hamming distances). The oracle is BRUTE-FORCE all-pairs
+    * hamming: with maxBlockDf=None the pigeonhole blocks are pure
+    * candidate optimization (every pair within the distance provably
+    * shares a block), so the oracle row also verifies the pigeonhole
+    * completeness empirically. DedupSpec additionally pins semantics;
+    * production callers keep the fast FNV-1a default hash. */
   def dedupSimHash(spark: SparkSession, dir: String): DataFrame = {
     val d = documents(spark, dir).select(col("doc_id"), col("text"))
     // plant near-copies: append one word — simhash distance stays small
     val perturbed = d.withColumn("doc_id", col("doc_id") + 1000000L)
       .withColumn("text", concat(col("text"), lit(" the")))
-    Dedup.simHashPairs(d.unionAll(perturbed), "doc_id", "text", maxDistance = 3)
+    Dedup.simHashPairs(d.unionAll(perturbed), "doc_id", "text", maxDistance = 3,
+        wordHash = Dedup.md5Hash64)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -108,11 +116,16 @@ object CurationQueries {
   }
 
   /** d06: winnowing-fingerprint near-dup pairs — catches shared
-    * PASSAGES (copied spans), which set-level Jaccard dilutes away
-    * (rows-only; CurationSpec pins shared-substring semantics). */
+    * PASSAGES (copied spans), which set-level Jaccard dilutes away.
+    * Oracle-checked end to end with the md5 gram hash (the t03
+    * machinery): DuckDB replays gram hashing, the window min, the
+    * stop-fingerprint df guard, and the shared-count join. CurationSpec
+    * additionally pins shared-substring semantics; production callers
+    * keep the fast FNV-1a default. */
   def dedupWinnow(spark: SparkSession, dir: String): DataFrame =
     Dedup.winnowPairs(documents(spark, dir), "doc_id", "text",
-        k = 12, w = 4, minShared = 25, maxFpDocFreq = Some(100))
+        k = 12, w = 4, minShared = 25, maxFpDocFreq = Some(100),
+        gramHash = Dedup.md5Hash60)
       .orderBy(col("id_a"), col("id_b"))
 
   /** a01: exact brute-force cosine top-10 for query vectors vec_id<5 —
@@ -430,13 +443,39 @@ object CurationQueries {
   /** t18: DSIR importance weights — hashed bigram LMs for the target
     * (declared-English documents) vs the raw corpus; per-doc log
     * importance weight in one scan-local pass over the broadcast
-    * log-ratio table (rows-only: xxhash64 + ln have no bit-exact DuckDB
-    * twin; DsirSpec pins that target-like documents outscore the rest). */
+    * log-ratio table. Oracle-checked via the ENGINE-EXACT variant:
+    * md5-bucketed bigram features DuckDB recomputes, plus the
+    * quantized log-ratio table spliced as literals (the ln calls
+    * happen once on the driver, never in a scan, so no libm
+    * divergence). DsirSpec additionally pins that target-like
+    * documents outscore the rest. */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
     val docs = documents(spark, dir)
-    TextAnalysis.dsirWeights(docs, docs.filter(col("lang") === "en"),
-        "doc_id", "text", n = 2, buckets = 8192)
-      .orderBy(col("doc_id"))
+    val (df, tableQ) = TextAnalysis.dsirWeightsExact(docs,
+      docs.filter(col("lang") === "en"), "doc_id", "text",
+      n = 2, buckets = 8192)
+    t18Oracle = Some(t18OracleSql(tableQ))
+    df.orderBy(col("doc_id"))
+  }
+
+  /** t18's oracle carries the corpus-fitted quantized log-ratio table —
+    * same lifecycle and last-writer-wins contract as [[a14Oracle]]. */
+  @volatile private var t18Oracle: Option[String] = None
+
+  private def t18OracleSql(tableQ: Array[Long]): String = {
+    val tq = tableQ.mkString("[", ", ", "]")
+    s"""WITH lits AS (SELECT $tq AS tq),
+       |w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+       |  FROM documents),
+       |f AS (SELECT doc_id,
+       |    list_transform(generate_series(1, len(ws) - 1), i ->
+       |      ('0x' || substr(md5(ws[i] || ' ' || ws[i + 1]), 1, 8))::BIGINT % 8192) AS fs
+       |  FROM w)
+       |SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_features,
+       |  round(CAST(coalesce(list_sum(list_transform(fs, b -> tq[b + 1])), 0) AS DOUBLE)
+       |    / 1073741824.0, 6) AS log_weight
+       |FROM f, lits
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** t01: per-document text-analysis profile (token counts, quality,
@@ -455,15 +494,19 @@ object CurationQueries {
         sum(TextAnalysis.wsTokenCount(col("text")).cast("long")).as("total_tokens"))
       .orderBy(col("lang"))
 
-  /** t03: winnowing fingerprints (rows-only; UDF path). The raw
-    * fingerprint array is projected to (count, xxhash64) — the driver's
-    * row-sorter cannot hash array cells; the hash pins the contents. */
+  /** t03: winnowing fingerprints — oracle-checked end to end with the
+    * md5 gram hash: DuckDB recomputes every k-gram hash, replays the
+    * per-window min with a window frame, and pins the fingerprint SET
+    * via (count, order-free XOR fold). The driver's row-sorter cannot
+    * hash array cells, hence the projection; XOR pins the contents
+    * without depending on the (insertion-ordered) array layout. */
   def winnow(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .select(col("doc_id"),
-        TextAnalysis.winnowFingerprints()(col("text")).as("fingerprints"))
-      .select(col("doc_id"), size(col("fingerprints")).as("n_fp"),
-        xxhash64(to_json(col("fingerprints"))).as("fp_hash"))
+        TextAnalysis.winnowFingerprints(gramHash = Dedup.md5Hash60)(col("text"))
+          .as("fps"))
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+        expr("aggregate(fps, 0L, (a, x) -> a ^ x)").as("fp_xor"))
       .orderBy(col("doc_id"))
 
   /** a04: per-label vector statistics — array-function coverage (fold
@@ -1123,9 +1166,64 @@ object CurationQueries {
       a02Oracle.map("a02_ann_signlsh" -> _) ++
       a08Oracle.map("a08_ann_ivf_kmeans" -> _) ++
       a09Oracle.map("a09_ann_pq" -> _) ++
-      a15Oracle.map("a15_ann_ivfpq" -> _)
+      a15Oracle.map("a15_ann_ivfpq" -> _) ++
+      t18Oracle.map("t18_dsir_weights" -> _)
 
   private val staticOracles: Map[String, String] = Map(
+    "t03_winnow" ->
+      """WITH g AS (SELECT doc_id, i,
+        |    ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT AS h
+        |  FROM documents, unnest(generate_series(1, len(text) - 7)) AS t(i)
+        |  WHERE len(text) >= 8),
+        |wins AS (SELECT doc_id, i,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+        |    count(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM g),
+        |fp AS (SELECT DISTINCT doc_id, m FROM wins WHERE i <= n - 3),
+        |agg AS (SELECT doc_id, count(*) AS n_fp, bit_xor(m) AS fp_xor
+        |  FROM fp GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_fp, 0) AS n_fp,
+        |  coalesce(a.fp_xor, 0) AS fp_xor
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "d06_dedup_winnow" ->
+      """WITH g AS (SELECT doc_id, i,
+        |    ('0x' || substr(md5(substr(text, i, 12)), 1, 15))::BIGINT AS h
+        |  FROM documents, unnest(generate_series(1, len(text) - 11)) AS t(i)
+        |  WHERE len(text) >= 12),
+        |wins AS (SELECT doc_id, i,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+        |    count(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM g),
+        |fp AS (SELECT DISTINCT doc_id, m AS fp FROM wins WHERE i <= n - 3),
+        |rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 100),
+        |fps AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare r USING (fp)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared_fps FROM pairs WHERE shared_fps >= 25
+        |ORDER BY id_a, id_b""".stripMargin,
+    "d04_dedup_simhash" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || ' the' FROM documents),
+        |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM planted),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 16))::UBIGINT AS h FROM w),
+        |votes AS (SELECT doc_id, b,
+        |    sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h, unnest(generate_series(0, 63)) AS t(b)
+        |  GROUP BY 1, 2),
+        |bits AS (SELECT doc_id,
+        |    string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS bs
+        |  FROM votes GROUP BY 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(hamming(a.bs, b.bs) AS INT) AS hamming
+        |FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        |WHERE hamming(a.bs, b.bs) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "d14_span_removal" ->
       """WITH planted AS (
         |  SELECT doc_id, text FROM documents
