@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.Relational4.queries ++
       graft.queries.Relational5.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.Relational4.oracles ++
       graft.queries.Relational5.oracles ++
       graft.queries.PipelineQueries.oracles ++
-      graft.queries.CurationQueries.oracles
+      graft.queries.CurationQueries.oracles ++
+      graft.queries.StreamingQueries.oracles
 }

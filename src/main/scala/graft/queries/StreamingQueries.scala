@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured-Streaming queries with FULL correctness rows (s-series):
+  * each runs a real streaming job — file source → watermarked/stateful
+  * transform → memory sink — to completion under
+  * `Trigger.AvailableNow`, then returns the sink table. Because one
+  * bounded replay delivers every row on time, the streaming result
+  * must EQUAL the equivalent batch SQL — so the DuckDB oracle pins the
+  * unified batch/streaming semantics themselves (watermark windows,
+  * dropDuplicates state, flatMapGroupsWithState sessionization), not
+  * just rows>0. StreamingSpec separately covers the multi-batch /
+  * checkpoint-restart behavior these single-replay rows cannot see. */
+object StreamingQueries {
+
+  private def awaitMemorySink(df: DataFrame, outputMode: String): DataFrame = {
+    val spark = df.sparkSession
+    val name = "s_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val ck = java.nio.file.Files.createTempDirectory("graft_stream_ck")
+    ck.toFile.deleteOnExit()
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .option("checkpointLocation", ck.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    // processAllAvailable + stop, NOT awaitTermination: a
+    // flatMapGroupsWithState query with ProcessingTimeTimeout keeps the
+    // AvailableNow run alive waiting for pending state timeouts, so
+    // awaitTermination never returns (s03 hangs); processAllAvailable
+    // returns once every available row is committed, which is exactly
+    // the single-replay contract these rows verify.
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** A single-table file-source stream: the source requires a
+    * DIRECTORY, so stream the sf dir with a glob pinned to the one
+    * table file (schema from a one-off batch read). */
+  private def tableStream(spark: SparkSession, dir: String,
+                          table: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/$table.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", s"$table.parquet")
+      .parquet(dir)
+  }
+
+  /** The events stream: same nanos handling as [[graft.Tables.events]]. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tableStream(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** s01: watermarked tumbling-window aggregation as a STREAM, q09's
+    * exact output shape — complete mode so every window emits in the
+    * single replay (append mode would hold back windows the final
+    * watermark never passed). Oracle: the q09 SQL verbatim. */
+  def streamHourly(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(18, 6))), 2)
+          .cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+    awaitMemorySink(agg, "complete").orderBy(col("hour"), col("event_type"))
+  }
+
+  /** s02: streaming exact dedup ([[graft.streaming.StreamingIngest
+    * .dedupStream]] — dropDuplicates state across micro-batches)
+    * projected to the content digest; the surviving digest SET equals
+    * batch DISTINCT regardless of which duplicate arrived first. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tableStream(spark, dir, "documents")
+    val dd = graft.streaming.StreamingIngest.dedupStream(docs)
+      .select(col("text_hash"))
+    awaitMemorySink(dd, "append").distinct().orderBy(col("text_hash"))
+  }
+
+  /** s03: flatMapGroupsWithState sessionization as a STREAM — gap-based
+    * sessions with timestamp-derived ids (see [[graft.streaming
+    * .StreamingIngest.sessionize]]). Session boundaries depend only on
+    * the per-user ts SEQUENCE (ties contribute gap 0 either way), so
+    * the output is deterministic and equals the batch window-flag-sum
+    * form the oracle computes. */
+  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val ev = eventsStream(spark, dir)
+      .select(col("user_id").cast("long"), col("ts").cast("long"))
+      .as[(Long, Long)]
+    val sess = graft.streaming.StreamingIngest
+      .sessionize(ev, expireIdle = false).toDF()
+    awaitMemorySink(sess, "append")
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_stream_hourly"   -> streamHourly _,
+    "s02_stream_dedup"    -> streamDedup _,
+    "s03_stream_sessions" -> streamSessions _)
+
+  def oracles: Map[String, String] = Map(
+    // s01 == the batch q09 contract: one bounded replay delivers every
+    // event on time, so the watermark drops nothing
+    "s01_stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |count(*) AS n,
+        |CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "s02_stream_dedup" ->
+      """SELECT DISTINCT sha256(text) AS text_hash FROM documents
+        |ORDER BY text_hash""".stripMargin,
+    "s03_stream_sessions" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts FROM events),
+        |flagged AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > 1800
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_id, count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_id""".stripMargin)
+}

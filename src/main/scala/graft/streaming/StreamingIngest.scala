@@ -267,13 +267,24 @@ object StreamingIngest {
     * plus a snapshot of the still-open session; the open session is
     * re-emitted with updated counts in later batches and finally on
     * timeout, so downstream consumers keep the max-n_events row per
-    * (user_id, session_id). */
-  def sessionize(events: Dataset[(Long, Long)], gapSeconds: Long = 1800L): Dataset[SessionOut] = {
+    * (user_id, session_id).
+    *
+    * `expireIdle=false` swaps the timeout to NoTimeout for BOUNDED
+    * replays (the s03 oracle row): with processing-time timers armed,
+    * the micro-batch engine keeps constructing no-data batches to
+    * service them, so a Trigger.AvailableNow run never settles —
+    * and in a single bounded replay idle-state expiry can change
+    * nothing anyway (every session is already emitted as a
+    * closed row or an open-session snapshot while folding). */
+  def sessionize(events: Dataset[(Long, Long)], gapSeconds: Long = 1800L,
+                 expireIdle: Boolean = true): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeout = if (expireIdle) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
         (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             // idle user: emit the final snapshot ONCE and drop the state
@@ -296,7 +307,7 @@ object StreamingIngest {
                 }
             }
             state.update(st)
-            state.setTimeoutDuration("1 hour")
+            if (expireIdle) state.setTimeoutDuration("1 hour")
             (closed :+ SessionOut(userId, st.sessionStartTs, st.nEvents)).iterator
           }
       }

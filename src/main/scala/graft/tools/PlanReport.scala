@@ -29,7 +29,10 @@ object PlanReport {
       "a12_random_projection", "t19_bigram_lm", "t20_boilerplate",
       "a13_gram_matrix", "p17_vocab_encode", "p18_curate_full",
       "t21_readability", "t22_mixture_sample", "t23_decontam_excise",
-      "q30_skew_salted")
+      "q30_skew_salted",
+      "a02_ann_signlsh", "a08_ann_ivf_kmeans", "a09_ann_pq",
+      "a14_pca_project", "a15_ann_ivfpq", "d04_dedup_simhash",
+      "d12_semantic_dedup", "t18_dsir_weights", "p03_chunk_exact_tokens")
     sb.append("\n## Physical plans (executed, AQE final)\n")
     planQueries.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
@@ -242,6 +245,25 @@ object PlanReport {
     sb.append("\nThe guard preserves cluster connectivity for LSH dedup (every member\n")
     sb.append("links to the representative; CurationSpec proves d03 still recovers\n")
     sb.append("all of d02's exact pairs).\n")
+
+    // star-link mode (measured r4; numbers recorded from the sf0.1 run —
+    // the 10× near-dup expansion is expensive to rebuild per report)
+    sb.append("\n## Star-link output mode (the duplicate-heavy 100 TB contract, r4)\n\n")
+    sb.append("`minHashLshLinks` emits one (rep_id = min partner ∪ self, id) row per\n")
+    sb.append("involved document instead of the full verified pair set. Measured at\n")
+    sb.append("sf0.1 on the 10× near-dup expansion (50k docs in clusters of ~10,\n")
+    sb.append("local[32]):\n\n")
+    sb.append("| output mode | rows | time |\n|---|---|---|\n")
+    sb.append("| pairs (d03 contract) at 1× | (pair set) | 5.0 s cold / 0.6 s warm |\n")
+    sb.append("| pairs at 10× duplicate-heavy | 250,593 | 8.3 s |\n")
+    sb.append("| star links at 1× | 477 | 0.8 s |\n")
+    sb.append("| star links at 10× duplicate-heavy | 50,000 | 3.7 s |\n")
+    sb.append("\nCandidate generation and verification work are identical; the delta is\n")
+    sb.append("pure output materialization — links grow with the number of involved\n")
+    sb.append("DOCUMENTS (exactly N here), pairs with the square of cluster size\n")
+    sb.append("(~5N here, unbounded as clusters grow). At 100 TB the star mode is the\n")
+    sb.append("default recommendation; the pair mode remains the oracle-checked exact\n")
+    sb.append("contract.\n")
 
     // extractor throughput (round-2 operators)
     sb.append("\n## Extractor throughput (warm)\n\n")
