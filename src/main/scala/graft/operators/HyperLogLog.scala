@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Engine-exact HyperLogLog (Flajolet et al. 2007) over md5 hashes.
+  *
+  * Spark's `approx_count_distinct` and DuckDB's `approx_count_distinct`
+  * use different sketches, so the a06 row could only ever be rows-only.
+  * This variant makes the whole estimator deterministic and replayable
+  * by BOTH engines, bit for bit:
+  *
+  *  - item hash: the positive 60-bit md5 prefix ([[Dedup.md5Hash60]]'s
+  *    contract) — DuckDB recomputes it as
+  *    `('0x' || substr(md5(s), 1, 15))::BIGINT`;
+  *  - registers: top [[P]] hash bits pick the register, the rank is the
+  *    leading-zero count of the remaining [[LowBits]] bits + 1 (computed
+  *    as `bitlen` via the binary string — `conv(low, 10, 2)` in Spark,
+  *    `bin(low)` in DuckDB), capped at [[RankCap]] so every 2^(cap-rank)
+  *    term is an exact BIGINT;
+  *  - estimate: the harmonic mean runs entirely in integer arithmetic —
+  *    `Z^-1` is the exact register sum `S = Σ 2^(RankCap - M_j)` and the
+  *    raw estimate is the single floor division `A div S` with
+  *    `A = floor(alpha_m · m² · 2^RankCap · 16)` precomputed on the
+  *    driver (the one double rounding, shared by both engines as a
+  *    spliced literal);
+  *  - small-range correction: linear counting `m·ln(m/V)` through a
+  *    driver-computed literal table indexed by the zero-register count
+  *    V — `ln` never runs in a scan (the t18 DSIR principle), so there
+  *    is no libm to diverge.
+  *
+  * With P=11 (m=2048) the worst observed error on the test corpus is
+  * 2.5% across sf0.001–0.1 (theoretical 1.04/√m ≈ 2.3%). The rank cap
+  * at 30 bounds the countable range at ~m·2^30 ≈ 2·10^12 distinct
+  * items — far above any per-group cardinality this engine aggregates —
+  * and keeps every intermediate in BIGINT range: S ≤ m·2^30 = 2^41 and
+  * A ≈ 2^55.6.
+  *
+  * Scale posture: one scan, then a (group, bucket) shuffle bounded by
+  * m·|groups| rows, then a |groups|-row fold — the same shape as any
+  * partial-aggregated groupBy. Nothing about the estimator is
+  * driver-side except the constants.
+  */
+object HyperLogLog {
+
+  /** Register-index bits: m = 2^P = 2048 registers. */
+  val P = 11
+  val M: Int = 1 << P
+  /** Rank field width: the 60-bit hash minus the P index bits. */
+  val LowBits: Int = 60 - P
+  /** Rank cap keeping 2^(cap-rank) sums in BIGINT range. */
+  val RankCap = 30
+
+  /** alpha_m · m² · 2^RankCap · 16 — the numerator of the harmonic-mean
+    * estimate, pre-scaled so `A div S` yields 16× the raw estimate. */
+  val AScaled: Long = {
+    val alpha = 0.7213 / (1 + 1.079 / M)
+    math.floor(alpha * M.toDouble * M.toDouble * (1L << RankCap).toDouble * 16).toLong
+  }
+
+  /** Use linear counting when the raw estimate ≤ 2.5·m (and V > 0). */
+  val LcThreshold: Long = (2.5 * M * 16).toLong
+
+  /** Linear-counting table: lc(V) = round(m · ln(m / V)), V ∈ [1, m].
+    * Driver-computed once; spliced into both engines as literals. */
+  val lcTable: Array[Long] =
+    (1 to M).map(v => math.round(M.toDouble * math.log(M.toDouble / v))).toArray
+
+  private def lcArray(openBracket: String, closeBracket: String): String =
+    lcTable.mkString(openBracket, ", ", closeBracket)
+
+  /** Per-group approximate distinct count of `prefix|key` strings.
+    * `prefix` domain-separates multiple keys hashed from one table. */
+  def approxCountDistinct(df: DataFrame, groupCol: String, keyCol: String,
+                          prefix: String, outCol: String): DataFrame = {
+    val h = s"cast(conv(substring(md5(concat('$prefix|', " +
+      s"cast($keyCol as string))), 1, 15), 16, 10) as bigint)"
+    val registers = df
+      .select(col(groupCol),
+        expr(s"$h div ${1L << LowBits}").as("bucket"),
+        expr(s"$h % ${1L << LowBits}").as("low"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(expr(s"least(${LowBits + 1} - length(conv(low, 10, 2)), $RankCap)"))
+        .as("mr"))
+    registers
+      .groupBy(col(groupCol))
+      .agg(
+        (lit(M.toLong) - count(lit(1))).as("v"),
+        sum(expr(s"shiftleft(cast(1 as bigint), $RankCap - mr)")).as("sp"))
+      .withColumn("raw16",
+        expr(s"$AScaled div (sp + v * ${1L << RankCap})"))
+      .withColumn(outCol, expr(
+        s"""cast(case when v > 0 and raw16 <= $LcThreshold
+           |  then element_at(${lcArray("array(", ")")}, cast(v as int))
+           |  else raw16 div 16 end as bigint)""".stripMargin))
+      .select(col(groupCol), col(outCol))
+  }
+
+  /** The DuckDB replay of one [[approxCountDistinct]] leg, as a CTE body
+    * producing (rf, `outCol`). */
+  def oracleLeg(table: String, groupCol: String, keyCol: String,
+                prefix: String, outCol: String): String =
+    s"""SELECT rf, CAST(CASE WHEN v > 0 AND raw16 <= $LcThreshold
+       |    THEN ${lcArray("[", "]")}[CAST(v AS INT)]
+       |    ELSE raw16 // 16 END AS BIGINT) AS $outCol
+       |FROM (
+       |  SELECT rf, $M - count(*) AS v,
+       |    $AScaled // (sum(1::BIGINT << ($RankCap - mr))
+       |      + ($M - count(*)) * ${1L << RankCap}) AS raw16
+       |  FROM (
+       |    SELECT rf, bucket,
+       |      max(least(${LowBits + 1} - length(bin(low)), $RankCap)) AS mr
+       |    FROM (
+       |      SELECT rf, h // ${1L << LowBits} AS bucket,
+       |        h % ${1L << LowBits} AS low
+       |      FROM (SELECT $groupCol AS rf,
+       |        ('0x' || substr(md5('$prefix|' || CAST($keyCol AS VARCHAR)), 1, 15))::BIGINT AS h
+       |        FROM $table))
+       |    GROUP BY rf, bucket)
+       |  GROUP BY rf)""".stripMargin
+}

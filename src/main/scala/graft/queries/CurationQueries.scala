@@ -541,16 +541,21 @@ object CurationQueries {
         col("max_err"))
       .orderBy(col("vec_id"))
 
-  /** a06: HLL approximate distinct counts (rows-only: sketch
-    * implementations differ across engines; CurationSpec bounds the
-    * error against exact counts). */
-  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
-    lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
+  /** a06: HLL approximate distinct counts — the engine-exact md5
+    * HyperLogLog ([[graft.operators.HyperLogLog]]): integer registers,
+    * one spliced floor division, literal linear-counting table. DuckDB
+    * replays the whole sketch, so the row is a full rows+schema+hash
+    * oracle; CurationSpec separately bounds the estimate's error
+    * against exact counts (worst 2.5% at p=11 across sf0.001–0.1). */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    val parts = graft.operators.HyperLogLog.approxCountDistinct(
+      li, "l_returnflag", "l_partkey", "p", "approx_parts")
+    val supps = graft.operators.HyperLogLog.approxCountDistinct(
+      li, "l_returnflag", "l_suppkey", "s", "approx_supps")
+    parts.join(supps, Seq("l_returnflag"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** a07: per-label centroids (the IVF/k-means training step) — exact
     * decimal means per dimension, first 3 dims projected for the oracle. */
@@ -1818,6 +1823,17 @@ object CurationQueries {
         |count(*) AS n_docs,
         |CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "a06_approx_distinct" -> {
+      val p = graft.operators.HyperLogLog.oracleLeg(
+        "lineitem", "l_returnflag", "l_partkey", "p", "approx_parts")
+      val s = graft.operators.HyperLogLog.oracleLeg(
+        "lineitem", "l_returnflag", "l_suppkey", "s", "approx_supps")
+      s"""WITH est_p AS ($p),
+         |est_s AS ($s)
+         |SELECT rf AS l_returnflag, approx_parts, approx_supps
+         |FROM est_p JOIN est_s USING (rf)
+         |ORDER BY l_returnflag""".stripMargin
+    },
     "a07_centroids" ->
       """WITH e AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
         |  unnest(range(0, len(embedding))) AS pos FROM embeddings),
