@@ -106,10 +106,56 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** s04: stream-stream interval join ([[graft.streaming.StreamingIngest
+    * .purchaseViewJoin]]) — purchases matched to the same user's views
+    * within the preceding hour, both sides watermarked so join state is
+    * bounded across micro-batches. In the single AvailableNow replay
+    * every pair co-resides in one micro-batch, so the inner join emits
+    * exactly the batch interval-join result the oracle computes (the
+    * watermark governs state PURGING for later batches, never
+    * current-batch matching). */
+  def streamPurchaseViews(spark: SparkSession, dir: String): DataFrame = {
+    def leg(tpe: String): DataFrame =
+      eventsStream(spark, dir).filter(col("event_type") === tpe)
+    val purchases = leg("purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val views = leg("view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val joined = graft.streaming.StreamingIngest
+      .purchaseViewJoin(purchases, views)
+    awaitMemorySink(joined, "append")
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"))
+      .orderBy(col("user_id"), col("purchase_id"), col("view_id"))
+  }
+
+  /** s05: the FLAGSHIP embed pipeline as a STREAM — the same
+    * chunk→embed DataFrame program as batch p08 (the stages are shared
+    * code, only the source differs), with the engine-exact
+    * [[graft.pipeline.Md5Embedder]], projected to p08's exact output
+    * shape. The oracle IS p08's SQL: unified batch/streaming semantics
+    * mean the stream must reproduce the batch result row for row. */
+  def streamEmbedPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tableStream(spark, dir, "documents")
+    val vectors = graft.streaming.StreamingIngest.embedStream(
+      docs, embedder = new graft.pipeline.Md5Embedder(64)).toDF()
+    awaitMemorySink(vectors, "append")
+      .select(col("source_document"), md5(col("source_text")).as("chunk_md5"),
+        posexplode(col("vector")))
+      .select(col("source_document"), col("chunk_md5"),
+        col("pos").cast("long").as("dim_k"),
+        col("col").cast("long").as("component"))
+      .orderBy(col("source_document"), col("chunk_md5"), col("dim_k"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_hourly"   -> streamHourly _,
     "s02_stream_dedup"    -> streamDedup _,
-    "s03_stream_sessions" -> streamSessions _)
+    "s03_stream_sessions" -> streamSessions _,
+    "s04_stream_interval_join" -> streamPurchaseViews _,
+    "s05_stream_embed"    -> streamEmbedPipeline _)
 
   def oracles: Map[String, String] = Map(
     // s01 == the batch q09 contract: one bounded replay delivers every
@@ -122,6 +168,20 @@ object StreamingQueries {
     "s02_stream_dedup" ->
       """SELECT DISTINCT sha256(text) AS text_hash FROM documents
         |ORDER BY text_hash""".stripMargin,
+    // s04 == the batch interval join: one replay puts every pair in the
+    // same micro-batch, so nothing is held back or purged early
+    "s04_stream_interval_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+        |strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+        |FROM events p JOIN events v
+        |ON p.user_id = v.user_id
+        |AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        |ORDER BY p.user_id, purchase_id, view_id""".stripMargin,
+    // s05 == batch p08 verbatim: unified semantics, same stages, same
+    // engine-exact embedder
+    "s05_stream_embed" -> PipelineQueries.oracles("p08_embed_pipeline"),
     "s03_stream_sessions" ->
       """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts FROM events),
         |flagged AS (SELECT user_id, ts,
