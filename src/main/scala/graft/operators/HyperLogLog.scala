@@ -73,8 +73,7 @@ object HyperLogLog {
     * `prefix` domain-separates multiple keys hashed from one table. */
   def approxCountDistinct(df: DataFrame, groupCol: String, keyCol: String,
                           prefix: String, outCol: String): DataFrame = {
-    val h = s"cast(conv(substring(md5(concat('$prefix|', " +
-      s"cast($keyCol as string))), 1, 15), 16, 10) as bigint)"
+    val h = hashExpr(keyCol, prefix)
     val registers = df
       .select(col(groupCol),
         expr(s"$h div ${1L << LowBits}").as("bucket"),
@@ -95,6 +94,65 @@ object HyperLogLog {
            |  else raw16 div 16 end as bigint)""".stripMargin))
       .select(col(groupCol), col(outCol))
   }
+
+  /** The 60-bit md5 item hash as a SQL fragment (the exact string both
+    * [[approxCountDistinct]] and the aggregator input share). */
+  def hashExpr(keyCol: String, prefix: String): String =
+    s"cast(conv(substring(md5(concat('$prefix|', " +
+      s"cast($keyCol as string))), 1, 15), 16, 10) as bigint)"
+
+  /** The estimate from a filled register array — the SAME integer
+    * arithmetic as the SQL path: register sum, one floor division by
+    * [[AScaled]], literal linear-counting table. JVM `Long` division
+    * truncates toward zero == floor for these positive operands. */
+  def estimate(regs: Array[Byte]): Long = {
+    var s = 0L; var v = 0L
+    var i = 0
+    while (i < M) {
+      if (regs(i) == 0) v += 1
+      s += 1L << (RankCap - regs(i)) // reg 0 (empty) contributes 2^RankCap
+      i += 1
+    }
+    val raw16 = AScaled / s
+    if (v > 0 && raw16 <= LcThreshold) lcTable(v.toInt - 1) else raw16 / 16
+  }
+
+  /** HLL registers as a typed `Aggregator` over the 60-bit hash: the
+    * sketch is a commutative monoid (element-wise register max), so
+    * Spark computes map-side partials — each partition ships one
+    * m-byte array, never its rows — and the SAME aggregate runs in a
+    * single streaming `groupBy` (chained stateful aggregations are
+    * unsupported in streams; the two-level SQL form of
+    * [[approxCountDistinct]] cannot stream, this can, with m bytes of
+    * state per group). HllAggSpec proves it equal to the SQL path;
+    * s06 oracle-checks it against the DuckDB replay. */
+  class HllAggregator
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Byte], Long] {
+    override def zero: Array[Byte] = new Array[Byte](M)
+    override def reduce(regs: Array[Byte], h: Long): Array[Byte] = {
+      val bucket = (h >>> LowBits).toInt
+      val low = h & ((1L << LowBits) - 1)
+      val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(low)
+      val rank = math.min(LowBits + 1 - bitlen, RankCap)
+      if (rank > regs(bucket)) regs(bucket) = rank.toByte
+      regs
+    }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    override def finish(regs: Array[Byte]): Long = estimate(regs)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    override def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  /** `approx_distinct(hash)` as a Column (the aggregator over
+    * [[hashExpr]] input). */
+  def hllAgg(keyCol: String, prefix: String): Column =
+    udaf(new HllAggregator).apply(expr(hashExpr(keyCol, prefix)))
 
   /** The DuckDB replay of one [[approxCountDistinct]] leg, as a CTE body
     * producing (rf, `outCol`). */

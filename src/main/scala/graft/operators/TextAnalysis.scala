@@ -632,6 +632,65 @@ object TextAnalysis {
       .withColumn("keep", (col("n_blocked") === 0).cast("int"))
   }
 
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) over the corpus
+    * word stream, engine-exact: every counter is an exact integer sum
+    * over md5-bucketed keys, so DuckDB replays the sketch AND the
+    * min-over-rows estimates bit for bit (the a06 HyperLogLog
+    * principle — determinism makes an approximate operator
+    * oracle-checkable).
+    *
+    * Why a sketch when groupBy(word) is exact: the sketch's state is
+    * `depth × width` counters REGARDLESS of vocabulary size. At 100 TB
+    * the word vocabulary (URLs, typos, code identifiers) can reach
+    * billions of keys, where the exact groupBy's shuffle is the
+    * bottleneck; the sketch shuffles at most `depth × width` keys
+    * (map-side partial aggregation collapses each partition to ≤ that
+    * many rows) and never materializes the tail. Estimates are
+    * one-sided: `est ≥ exact` always (collisions only ADD), with
+    * ε = e/width overcount at δ = e^-depth confidence — the classic
+    * heavy-hitters contract.
+    *
+    * Sketch build: one scan → explode to `depth` (row, bucket) keys
+    * per token → bounded groupBy. Lookup for a key set: broadcast the
+    * keys, probe the sketch on (row, bucket), min over rows. */
+  def countMinSketch(docs: DataFrame, textCol: String,
+                     depth: Int = 4, width: Int = 1024): DataFrame = {
+    val words = docs.select(explode(split(col(textCol), " ")).as("word"))
+    words
+      .select(explode(expr(
+        s"""transform(sequence(0, ${depth - 1}), j ->
+           |  named_struct('j', j,
+           |    'bucket', cast(conv(substring(md5(concat('cm', j, '|', word)),
+           |      1, 8), 16, 10) as bigint) % $width))""".stripMargin)).as("rb"))
+      .groupBy(col("rb.j").as("j"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Heavy-hitter estimates: the exact top-`k` words (the demonstration
+    * query — at scale the candidate set would itself come from the
+    * sketch or a per-partition top-k) probed against the Count-Min
+    * sketch. Output (word, n_exact, n_est) with n_est ≥ n_exact by
+    * construction. */
+  def countMinHeavyHitters(docs: DataFrame, textCol: String,
+                           depth: Int = 4, width: Int = 1024,
+                           k: Int = 20): DataFrame = {
+    val sketch = countMinSketch(docs, textCol, depth, width)
+    val words = docs.select(explode(split(col(textCol), " ")).as("word"))
+    val top = words.groupBy(col("word")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("word")).limit(k)
+    val probes = top.select(col("word"), col("n_exact"),
+      explode(expr(
+        s"""transform(sequence(0, ${depth - 1}), j ->
+           |  named_struct('j', j,
+           |    'bucket', cast(conv(substring(md5(concat('cm', j, '|', word)),
+           |      1, 8), 16, 10) as bigint) % $width))""".stripMargin)).as("pb"))
+      .select(col("word"), col("n_exact"),
+        col("pb.j").as("j"), col("pb.bucket").as("bucket"))
+    broadcast(probes).join(sketch, Seq("j", "bucket"))
+      .groupBy(col("word"), col("n_exact"))
+      .agg(min(col("c")).as("n_est"))
+  }
+
   /** One row per document with the full text-analysis profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -1061,6 +1061,17 @@ object CurationQueries {
         blocked = Seq("spark", "vector", "stream"))
       .orderBy(col("doc_id"))
 
+  /** t25: Count-Min heavy hitters — the exact top-20 corpus words
+    * probed against the engine-exact md5 Count-Min sketch
+    * ([[TextAnalysis.countMinHeavyHitters]]); every counter and every
+    * min-over-rows estimate is integer arithmetic DuckDB replays, so
+    * the approximate operator gets a full hash oracle (the a06
+    * principle). n_est ≥ n_exact by construction; CurationSpec bounds
+    * the overcount. */
+  def countMinHeavy(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.countMinHeavyHitters(documents(spark, dir), "text")
+      .orderBy(col("n_exact").desc, col("word"))
+
   /** d15: incremental snapshot-delta dedup — "yesterday" is the corpus;
     * "today" is a batch of half re-crawled copies (planted) and half
     * genuinely new variants; kept = new content only, keep-first within
@@ -1106,6 +1117,7 @@ object CurationQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d15_incremental_dedup" -> incrementalDedup _,
     "t24_wordlist_filter"   -> wordlistGate _,
+    "t25_countmin_heavy"    -> countMinHeavy _,
     "t23_decontam_excise"   -> decontamExcise _,
     "t22_mixture_sample"    -> mixtureSample _,
     "t21_readability"       -> readabilityProfile _,
@@ -1823,6 +1835,26 @@ object CurationQueries {
         |count(*) AS n_docs,
         |CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "t25_countmin_heavy" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |sk AS (
+        |  SELECT j,
+        |    ('0x' || substr(md5('cm' || j || '|' || word), 1, 8))::BIGINT % 1024
+        |      AS bucket,
+        |    count(*) AS c
+        |  FROM words, unnest(generate_series(0, 3)) AS t(j)
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT word, count(*) AS n_exact FROM words
+        |  GROUP BY word ORDER BY n_exact DESC, word LIMIT 20)
+        |SELECT t.word, t.n_exact, min(sk.c) AS n_est
+        |FROM top t, unnest(generate_series(0, 3)) AS g(j)
+        |JOIN sk ON sk.j = g.j
+        |  AND sk.bucket =
+        |    ('0x' || substr(md5('cm' || g.j || '|' || t.word), 1, 8))::BIGINT % 1024
+        |GROUP BY t.word, t.n_exact
+        |ORDER BY n_exact DESC, word""".stripMargin,
     "a06_approx_distinct" -> {
       val p = graft.operators.HyperLogLog.oracleLeg(
         "lineitem", "l_returnflag", "l_partkey", "p", "approx_parts")

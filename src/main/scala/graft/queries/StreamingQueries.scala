@@ -150,12 +150,30 @@ object StreamingQueries {
       .orderBy(col("source_document"), col("chunk_md5"), col("dim_k"))
   }
 
+  /** s06: streaming approximate distinct — the engine-exact md5 HLL as
+    * a single streaming aggregation. Sketch registers are a
+    * commutative monoid ([[graft.operators.HyperLogLog.HllAggregator]]),
+    * so the stream maintains m bytes of state per group and the
+    * AvailableNow replay must produce the batch estimate exactly; the
+    * oracle replays the whole sketch in DuckDB (the a06 SQL). The
+    * two-level SQL HLL form cannot stream (chained stateful
+    * aggregations); the aggregator form is the streaming-native
+    * sketch path. */
+  def streamApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val est = eventsStream(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(graft.operators.HyperLogLog.hllAgg("user_id", "u")
+        .as("approx_users"))
+    awaitMemorySink(est, "complete").orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_hourly"   -> streamHourly _,
     "s02_stream_dedup"    -> streamDedup _,
     "s03_stream_sessions" -> streamSessions _,
     "s04_stream_interval_join" -> streamPurchaseViews _,
-    "s05_stream_embed"    -> streamEmbedPipeline _)
+    "s05_stream_embed"    -> streamEmbedPipeline _,
+    "s06_stream_approx_distinct" -> streamApproxDistinct _)
 
   def oracles: Map[String, String] = Map(
     // s01 == the batch q09 contract: one bounded replay delivers every
@@ -182,6 +200,15 @@ object StreamingQueries {
     // s05 == batch p08 verbatim: unified semantics, same stages, same
     // engine-exact embedder
     "s05_stream_embed" -> PipelineQueries.oracles("p08_embed_pipeline"),
+    // s06 == the a06 HLL replay over events: one streaming aggregation,
+    // register-monoid state, estimate arithmetic identical by spec
+    "s06_stream_approx_distinct" -> {
+      val leg = graft.operators.HyperLogLog.oracleLeg(
+        "events", "event_type", "user_id", "u", "approx_users")
+      s"""WITH est AS ($leg)
+         |SELECT rf AS event_type, approx_users
+         |FROM est ORDER BY event_type""".stripMargin
+    },
     "s03_stream_sessions" ->
       """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts FROM events),
         |flagged AS (SELECT user_id, ts,

@@ -32,7 +32,8 @@ object PlanReport {
       "q30_skew_salted",
       "a02_ann_signlsh", "a08_ann_ivf_kmeans", "a09_ann_pq",
       "a14_pca_project", "a15_ann_ivfpq", "d04_dedup_simhash",
-      "d12_semantic_dedup", "t18_dsir_weights", "p03_chunk_exact_tokens")
+      "d12_semantic_dedup", "t18_dsir_weights", "p03_chunk_exact_tokens",
+      "a06_approx_distinct")
     sb.append("\n## Physical plans (executed, AQE final)\n")
     planQueries.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
@@ -85,6 +86,11 @@ object PlanReport {
     row("hash agg (q01 shape)",
       li.groupBy("l_returnflag").agg(sum("l_quantity")).count(),
       li10.groupBy("l_returnflag").agg(sum("l_quantity")).count())
+    row("HLL approx distinct (md5, engine-exact)",
+      graft.operators.HyperLogLog.approxCountDistinct(
+        li, "l_returnflag", "l_partkey", "p", "est").count(),
+      graft.operators.HyperLogLog.approxCountDistinct(
+        li10, "l_returnflag", "l_partkey", "p", "est").count())
     row("exact dedup (sha256 groupBy)",
       graft.operators.Dedup.exactKeepFirst(docs, "doc_id", "text").count(),
       graft.operators.Dedup.exactKeepFirst(docs10, "doc_id", "text").count())

@@ -234,6 +234,37 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL aggregator (register monoid) equals the two-level SQL path") {
+    import graft.operators.HyperLogLog
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val viaAgg = li.groupBy(col("l_returnflag"))
+      .agg(HyperLogLog.hllAgg("l_partkey", "p").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaSql = HyperLogLog.approxCountDistinct(
+        li, "l_returnflag", "l_partkey", "p", "est")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaAgg == viaSql,
+      s"aggregator and SQL register paths must agree exactly: $viaAgg vs $viaSql")
+  }
+
+  test("CountMin heavy hitters: one-sided estimates with bounded overcount") {
+    val rows = CurationQueries.countMinHeavy(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20, "top-20 probe set")
+    rows.foreach { case (w, exact, est) =>
+      assert(est >= exact, s"CountMin must never undercount: $w $est < $exact")
+    }
+    // CM guarantee: overcount ≤ e/width · total words at confidence
+    // 1 - e^-depth; assert the deterministic instance beats 2× that
+    // bound on every probe (md5 buckets behave like the random model)
+    val total = graft.Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " "))).count()
+    val bound = 2.0 * math.E / 1024 * total
+    rows.foreach { case (w, exact, est) =>
+      assert(est - exact <= bound, s"$w overcount ${est - exact} > $bound")
+    }
+  }
+
   test("unigram scores: vocabulary cut, oov ratio, and exact mean frequency") {
     import spark.implicits._
     // corpus counts: the=5, cat=3, sat=2, dog=1, mat=1 -> top-3 vocab
