@@ -21,6 +21,7 @@ object Bench {
     "p02_chunk_exact_chars", "p03_chunk_exact_tokens", "p08_embed_pipeline",
     "d01_dedup_exact", "d03_dedup_minhash",
     "a01_ann_bruteforce", "a02_ann_signlsh", "a05_embed_quantize",
+    "a06_approx_distinct", "t25_countmin_heavy",
     "a08_ann_ivf_kmeans", "a09_ann_pq", "a15_ann_ivfpq",
     "t01_text_profile", "t10_contamination", "t11_unigram_score",
     "d10_dedup_substring", "t12_domain_mixture", "t13_bloom_decontam",
