@@ -343,6 +343,153 @@ object Dedup {
       .select(col("id"), col("n_copies"))
   }
 
+  /** Incremental NEAR-dedup — [[incrementalKeepNew]]'s workflow at
+    * near-duplicate granularity: each NEW document is checked for a
+    * near-duplicate (exact word-shingle Jaccard ≥ `threshold`,
+    * which subsumes exact copies at jaccard 1.0) in the accumulated
+    * BASE corpus, without pairing the base against itself. Returns the
+    * matched table only — (id, base_match, best_jaccard) with
+    * base_match = min matching base id — so keep(new) is an anti-join
+    * away and the base's own near-dup structure is out of scope (run
+    * the d03 family within a snapshot; this operator is the
+    * cross-snapshot edge).
+    *
+    * Candidates come from banding MinHash signatures on BOTH sides and
+    * joining new bands against base bands — never new×new or
+    * base×base. `maxBaseBucketDf` guards hot base buckets exactly like
+    * [[minHashLshPairs]]: an over-cap bucket collapses to its min-id
+    * representative, preserving the match/no-match DECISION (members
+    * of an oversized bucket are near-certain duplicates of the rep)
+    * while bounding the join fan-out; `base_match`/`best_jaccard` may
+    * then name the representative rather than the global minimum —
+    * exact reporting inside hot buckets is traded for linear work.
+    *
+    * Scale posture: base shingle sets materialize ONLY for docs named
+    * by a candidate pair (left-semi restriction), as 8-byte hashes;
+    * the daily delta is small next to the base, so the candidate list
+    * — bounded by delta × bands — stays small even when the base is
+    * 100 TB, and the base pays one signature scan plus survivor-only
+    * shingle work. */
+  def nearMatchAgainstBase(newDocs: DataFrame, idCol: String, textCol: String,
+                           base: DataFrame, baseIdCol: String, baseTextCol: String,
+                           n: Int, numHashes: Int, bands: Int, threshold: Double,
+                           maxBaseBucketDf: Option[Int] = Some(100)): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    def bucketsOf(df: DataFrame, id: String, text: String, outId: String): DataFrame =
+      df.filter(size(split(col(text), " ")) >= n)
+        .select(col(id).as(outId),
+          graft.functions.GraftFunctions
+            .minhashWords(split(col(text), " "), numHashes, n).as("sig"))
+        .select(col(outId), posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $r + 1, $r)))")))
+        .select(col(outId), col("pos").as("band"), col("col").as("bucket"))
+
+    val newBuckets = bucketsOf(newDocs, idCol, textCol, "id")
+    val baseBucketsAll = bucketsOf(base, baseIdCol, baseTextCol, "base_id")
+    val baseBuckets = maxBaseBucketDf match {
+      case Some(cap) =>
+        val stats = baseBucketsAll.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("df"), min(col("base_id")).as("rep"))
+        baseBucketsAll.join(
+            stats.filter(col("df") <= cap).select(col("band"), col("bucket")),
+            Seq("band", "bucket"), "left_semi")
+          .unionByName(stats.filter(col("df") > cap)
+            .select(col("rep").as("base_id"), col("band"), col("bucket")))
+      case None => baseBucketsAll
+    }
+    // candidate (new, base) pairs; consumed by the two involved-side
+    // restrictions and the verify join — persist the tiny survivor list
+    val candidates = newBuckets.join(baseBuckets, Seq("band", "bucket"))
+      .select(col("id"), col("base_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def shinglesOf(df: DataFrame, id: String, text: String, outId: String,
+                   involved: DataFrame): DataFrame =
+      df.join(involved, df(id) === involved("__iid"), "left_semi")
+        .select(col(id).as(outId),
+          graft.functions.GraftFunctions
+            .ngramHashes(split(col(text), " "), n).as("sh"))
+    val shNew = shinglesOf(newDocs, idCol, textCol, "id",
+      candidates.select(col("id").as("__iid")).distinct())
+    val shBase = shinglesOf(base, baseIdCol, baseTextCol, "base_id",
+      candidates.select(col("base_id").as("__iid")).distinct())
+    candidates
+      .join(shNew.select(col("id"), col("sh").as("sh_n")), "id")
+      .join(shBase.select(col("base_id"), col("sh").as("sh_b")), "base_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_n"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_n"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("id"))
+      .agg(min(col("base_id")).as("base_match"),
+        round(max(col("jaccard")), 6).as("best_jaccard"))
+  }
+
+  /** [[nearMatchAgainstBase]] in a STREAMABLE plan shape: the batch
+    * form's involved-side restrictions semi-join the inputs by a frame
+    * derived from the new side — on a streaming delta that is a
+    * stream-stream self-join, which Structured Streaming cannot
+    * express without time bounds. Here the new document's shingle
+    * hashes ride its band rows instead (computed once per doc, carried
+    * through the ×bands explode), the base's ride its static bucket
+    * table, and the verify happens directly on the joined row — one
+    * stream-static inner join plus one streaming aggregation, no
+    * self-join. Multi-band agreements produce duplicate candidate
+    * rows; min/max aggregates are duplicate-insensitive, so no
+    * dedup state is needed.
+    *
+    * The trade: new-side shuffle volume carries shingle arrays ×bands
+    * (bounded by the delta size — the side that is small by
+    * construction), and base shingles materialize for every BUCKETED
+    * base doc rather than survivors only. Batch callers should prefer
+    * [[nearMatchAgainstBase]]; IncrementalNearSpec proves the two
+    * forms equal. */
+  def nearMatchAgainstBaseStreamable(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      base: DataFrame, baseIdCol: String, baseTextCol: String,
+      n: Int, numHashes: Int, bands: Int, threshold: Double,
+      maxBaseBucketDf: Option[Int] = Some(100)): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    def withShingleBuckets(df: DataFrame, id: String, text: String,
+                           outId: String, shName: String): DataFrame =
+      df.filter(size(split(col(text), " ")) >= n)
+        .select(col(id).as(outId),
+          graft.functions.GraftFunctions
+            .minhashWords(split(col(text), " "), numHashes, n).as("sig"),
+          graft.functions.GraftFunctions
+            .ngramHashes(split(col(text), " "), n).as(shName))
+        .select(col(outId), col(shName), posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $r + 1, $r)))")))
+        .select(col(outId), col(shName), col("pos").as("band"), col("col").as("bucket"))
+
+    val newBuckets = withShingleBuckets(newDocs, idCol, textCol, "id", "sh_n")
+    val baseBucketsAll = withShingleBuckets(base, baseIdCol, baseTextCol, "base_id", "sh_b")
+    val baseBuckets = maxBaseBucketDf match {
+      case Some(cap) =>
+        // min(struct) picks the min-id member WITH its shingles, so the
+        // representative row keeps everything the verify needs
+        val stats = baseBucketsAll.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("df"),
+            min(struct(col("base_id"), col("sh_b"))).as("m"))
+        baseBucketsAll.join(
+            stats.filter(col("df") <= cap).select(col("band"), col("bucket")),
+            Seq("band", "bucket"), "left_semi")
+          .unionByName(stats.filter(col("df") > cap)
+            .select(col("m.base_id").as("base_id"), col("m.sh_b").as("sh_b"),
+              col("band"), col("bucket")))
+      case None => baseBucketsAll
+    }
+    newBuckets.join(baseBuckets, Seq("band", "bucket"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_n"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_n"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("id"))
+      .agg(min(col("base_id")).as("base_match"),
+        round(max(col("jaccard")), 6).as("best_jaccard"))
+  }
+
   /** Shared span machinery for [[removeDuplicateSpans]] and
     * [[exciseContamination]] — the two operators differ ONLY in how the
     * removed window-start set is derived, and their DuckDB oracles

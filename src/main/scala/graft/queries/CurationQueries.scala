@@ -557,6 +557,47 @@ object CurationQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** a16: KMV bottom-k distinct sketch ([[graft.operators.Kmv]]) — the
+    * same questions as a06 answered by the complementary estimator:
+    * k smallest distinct md5 hashes per group, integer-floor-division
+    * estimate, exact below k. A pure monoid aggregate (map-side
+    * partials ship ≤ k longs per group), and the DuckDB oracle replays
+    * the ENTIRE sketch — hashes, ranking, h_k, division — bit for bit.
+    * KmvSpec additionally bounds the estimate error vs exact counts
+    * and proves the aggregator equal to a Spark SQL window replay. */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    val parts = graft.operators.Kmv.approxCountDistinct(
+      li, "l_returnflag", "l_partkey", "kp", "kmv_parts")
+    val supps = graft.operators.Kmv.approxCountDistinct(
+      li, "l_returnflag", "l_suppkey", "ks", "kmv_supps")
+    parts.join(supps, Seq("l_returnflag"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** t26: deterministic per-stratum bottom-k sample — exactly k docs
+    * per source, chosen by md5-hash order (a uniform draw both engines
+    * replay), WITHOUT sorting any stratum: [[graft.plans.TopKPerKey]]
+    * prunes to the k hash-minimal docs per source with bounded heaps
+    * (survivors-only shuffle), and only the ≤ k·|sources| survivors
+    * meet the rank window. The exact-count complement to t04's
+    * rate-gated sampling: t04 keeps a FRACTION (binomial count), this
+    * keeps an exact COUNT per stratum — the contract audits and
+    * eval-set draws need. */
+  def sampleBottomK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 20
+    val docs = documents(spark, dir)
+      .select(col("source"), col("doc_id"))
+      .withColumn("h", expr(graft.operators.HyperLogLog.hashExpr("doc_id", "smp")))
+      .withColumn("negh", -col("h"))
+    graft.plans.TopKPerKey.prune(docs, "source", "negh", "doc_id", k)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+      .select(col("source"), col("doc_id"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** a07: per-label centroids (the IVF/k-means training step) — exact
     * decimal means per dimension, first 3 dims projected for the oracle. */
   def centroids(spark: SparkSession, dir: String): DataFrame =
@@ -1093,6 +1134,33 @@ object CurationQueries {
       .orderBy(col("id"))
   }
 
+  /** d16: incremental NEAR-dedup — d15's daily-crawl workflow at
+    * near-duplicate granularity ([[Dedup.nearMatchAgainstBase]]).
+    * Today's batch: even ids re-crawl yesterday's pages with a trailing
+    * edit (" updated" — Jaccard ≈ 0.95 vs the source, must match);
+    * odd ids arrive word-reversed (shingle sets disjoint from every
+    * base doc — must NOT match). Output: one row per new doc,
+    * (id, base_match, best_jaccard), nulls = kept. The oracle replays
+    * the exact cross-corpus Jaccard in DuckDB (the d03 convention: LSH
+    * recall loss fails the row — 32 bands of 2 lanes hold candidate
+    * probability ≥ 1−(1−j²)³² ≈ 0.9999 at the 0.5 threshold). */
+  def incrementalNearDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val today = base.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" updated")).as("text"))
+      .unionAll(base.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+    val matched = Dedup.nearMatchAgainstBase(today, "doc_id", "text",
+      base, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 32, threshold = 0.5)
+    today.select(col("doc_id").as("id"))
+      .join(matched, Seq("id"), "left_outer")
+      .orderBy(col("id"))
+  }
+
   /** Exact 3-shingle Jaccard pair SQL — oracle for BOTH d02 (the exact
     * inverted-index path) and d03 (MinHash-LSH, proven recall-complete
     * on this corpus). */
@@ -1116,6 +1184,9 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d15_incremental_dedup" -> incrementalDedup _,
+    "d16_incremental_neardedup" -> incrementalNearDedup _,
+    "a16_kmv_distinct"      -> kmvDistinct _,
+    "t26_sample_bottomk"    -> sampleBottomK _,
     "t24_wordlist_filter"   -> wordlistGate _,
     "t25_countmin_heavy"    -> countMinHeavy _,
     "t23_decontam_excise"   -> decontamExcise _,
@@ -1280,6 +1351,58 @@ object CurationQueries {
         |SELECT id, n_copies FROM grouped
         |WHERE text NOT IN (SELECT text FROM base)
         |ORDER BY id""".stripMargin,
+    "d16_incremental_neardedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |today AS (
+        |  SELECT doc_id + 1000000 AS id, text || ' updated' AS text
+        |  FROM base WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS id,
+        |    array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+        |  FROM base WHERE doc_id % 2 = 1),
+        |shn AS (SELECT id, list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 2),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+        |  FROM today),
+        |shb AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 2),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+        |  FROM base),
+        |inter AS (
+        |  SELECT n.id, b.doc_id AS base_id, count(*) AS n_inter
+        |  FROM (SELECT id, unnest(sh) AS s FROM shn) n
+        |  JOIN (SELECT doc_id, unnest(sh) AS s FROM shb) b ON n.s = b.s
+        |  GROUP BY 1, 2),
+        |j AS (SELECT id, base_id,
+        |    n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jac
+        |  FROM inter
+        |  JOIN (SELECT id, len(sh) AS n_sh FROM shn) sa USING (id)
+        |  JOIN (SELECT doc_id, len(sh) AS n_sh FROM shb) sb ON sb.doc_id = base_id
+        |  WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5),
+        |m AS (SELECT id, min(base_id) AS base_match,
+        |    round(max(jac), 6) AS best_jaccard
+        |  FROM j GROUP BY id)
+        |SELECT t.id, m.base_match, m.best_jaccard
+        |FROM today t LEFT JOIN m USING (id) ORDER BY t.id""".stripMargin,
+    "a16_kmv_distinct" -> {
+      val p = graft.operators.Kmv.oracleLeg(
+        "lineitem", "l_returnflag", "l_partkey", "kp", "kmv_parts")
+      val s = graft.operators.Kmv.oracleLeg(
+        "lineitem", "l_returnflag", "l_suppkey", "ks", "kmv_supps")
+      s"""WITH est_p AS ($p),
+         |est_s AS ($s)
+         |SELECT grp AS l_returnflag, kmv_parts, kmv_supps
+         |FROM est_p JOIN est_s USING (grp)
+         |ORDER BY l_returnflag""".stripMargin
+    },
+    "t26_sample_bottomk" ->
+      """SELECT source, doc_id, rk FROM (
+        |  SELECT source, doc_id, CAST(row_number() OVER (
+        |      PARTITION BY source ORDER BY h, doc_id) AS INT) AS rk
+        |  FROM (SELECT source, doc_id,
+        |      ('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |    FROM documents))
+        |WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
     "t24_wordlist_filter" ->
       """SELECT doc_id,
         |CAST(len(list_intersect(list_distinct(string_split(text, ' ')),

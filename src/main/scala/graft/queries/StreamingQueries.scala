@@ -167,13 +167,53 @@ object StreamingQueries {
     awaitMemorySink(est, "complete").orderBy(col("event_type"))
   }
 
+  /** s07: incremental NEAR-dedup as a STREAM — today's crawl delta
+    * arrives as a stream and is near-matched against the STATIC
+    * accumulated base ([[graft.operators.Dedup
+    * .nearMatchAgainstBaseStreamable]]: the self-join-free plan —
+    * shingles ride the band rows, one stream-static inner join, one
+    * streaming aggregation). Per-doc decisions depend only on the doc
+    * and the static base, so the AvailableNow replay must equal the
+    * batch result regardless of batch boundaries; the oracle is d16's
+    * exact cross-corpus Jaccard SQL restricted to the matched rows. */
+  def streamNearDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val docs = tableStream(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+    val today = docs.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" updated")).as("text"))
+      .unionAll(docs.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+    val matched = graft.operators.Dedup.nearMatchAgainstBaseStreamable(
+      today, "doc_id", "text", base, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 32, threshold = 0.5)
+    awaitMemorySink(matched, "complete").orderBy(col("id"))
+  }
+
+  /** s08: streaming KMV distinct — the bottom-k sketch as a single
+    * streaming aggregation (k·8 bytes of state per group; the
+    * [[graft.operators.Kmv.KmvAggregator]] monoid is the same code
+    * batch a16 runs). Oracle: the full DuckDB sketch replay. */
+  def streamKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val est = eventsStream(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(graft.operators.Kmv.kmvAgg("user_id", "ku").as("kmv_users"))
+    awaitMemorySink(est, "complete").orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_hourly"   -> streamHourly _,
     "s02_stream_dedup"    -> streamDedup _,
     "s03_stream_sessions" -> streamSessions _,
     "s04_stream_interval_join" -> streamPurchaseViews _,
     "s05_stream_embed"    -> streamEmbedPipeline _,
-    "s06_stream_approx_distinct" -> streamApproxDistinct _)
+    "s06_stream_approx_distinct" -> streamApproxDistinct _,
+    "s07_stream_neardedup" -> streamNearDedup _,
+    "s08_stream_kmv"      -> streamKmvDistinct _)
 
   def oracles: Map[String, String] = Map(
     // s01 == the batch q09 contract: one bounded replay delivers every
@@ -207,6 +247,27 @@ object StreamingQueries {
         "events", "event_type", "user_id", "u", "approx_users")
       s"""WITH est AS ($leg)
          |SELECT rf AS event_type, approx_users
+         |FROM est ORDER BY event_type""".stripMargin
+    },
+    // s07 == d16's exact cross-corpus Jaccard, matched rows only (the
+    // streamable plan must find the same matches the batch plan does)
+    "s07_stream_neardedup" -> {
+      val d16 = CurationQueries.oracles("d16_incremental_neardedup")
+      // swap d16's closing keep-table projection for the matched table
+      val matchedOnly = d16.replace(
+        """SELECT t.id, m.base_match, m.best_jaccard
+          |FROM today t LEFT JOIN m USING (id) ORDER BY t.id""".stripMargin,
+        "SELECT id, base_match, best_jaccard FROM m ORDER BY id")
+      require(matchedOnly != d16,
+        "d16 oracle tail changed; update the s07 projection swap")
+      matchedOnly
+    },
+    // s08 == the a16 KMV replay over events: bottom-k monoid state
+    "s08_stream_kmv" -> {
+      val leg = graft.operators.Kmv.oracleLeg(
+        "events", "event_type", "user_id", "ku", "kmv_users")
+      s"""WITH est AS ($leg)
+         |SELECT grp AS event_type, kmv_users
          |FROM est ORDER BY event_type""".stripMargin
     },
     "s03_stream_sessions" ->
