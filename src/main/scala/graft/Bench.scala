@@ -31,7 +31,9 @@ object Bench {
     "t19_bigram_lm", "t20_boilerplate", "a12_random_projection",
     "a13_gram_matrix", "a14_pca_project", "p17_vocab_encode", "p18_curate_full",
     "t21_readability", "p20_bpe_encode", "t22_mixture_sample",
-    "t23_decontam_excise", "t24_wordlist_filter", "d15_incremental_dedup")
+    "t23_decontam_excise", "t24_wordlist_filter", "d15_incremental_dedup",
+    "d16_incremental_neardedup", "a16_kmv_distinct", "q31_profile",
+    "q32_quantiles", "t27_split_assign")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

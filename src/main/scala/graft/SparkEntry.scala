@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.Relational3.queries ++
       graft.queries.Relational4.queries ++
       graft.queries.Relational5.queries ++
+      graft.queries.Relational6.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.CurationQueries.queries ++
       graft.queries.StreamingQueries.queries
@@ -36,6 +37,7 @@ object SparkEntry {
       graft.queries.Relational3.oracles ++
       graft.queries.Relational4.oracles ++
       graft.queries.Relational5.oracles ++
+      graft.queries.Relational6.oracles ++
       graft.queries.PipelineQueries.oracles ++
       graft.queries.CurationQueries.oracles ++
       graft.queries.StreamingQueries.oracles

@@ -119,6 +119,33 @@ object Kmv {
   def kmvAgg(keyCol: String, prefix: String, k: Int = K): Column =
     udaf(new KmvAggregator(k)).apply(expr(HyperLogLog.hashExpr(keyCol, prefix)))
 
+  /** The same 60-bit md5 item hash built from a Column instead of a
+    * spliced column name — for callers whose key is a computed
+    * canonical string ([[Profile]]). NULL canon must be coalesced by
+    * the caller (concat propagates null into the aggregator input). */
+  def hashCol(canon: Column, prefix: String): Column =
+    conv(substring(md5(concat(lit(s"$prefix|"), canon)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** [[kmvAgg]] over a caller-built canonical string Column. */
+  def kmvAggCol(canon: Column, prefix: String, k: Int = K): Column =
+    udaf(new KmvAggregator(k)).apply(hashCol(canon, prefix))
+
+  /** Ungrouped scalar form of [[oracleLeg]]: a parenthesized DuckDB
+    * subquery estimating the distinct count of `canonSql` (a VARCHAR
+    * expression, null-free) over `table` — the whole-table KMV replay
+    * [[Profile.profile]]'s oracle splices once per profiled column. */
+  def oracleScalar(table: String, canonSql: String, prefix: String,
+                   k: Int = K): String =
+    s"""(SELECT CAST(CASE WHEN count(*) < $k THEN count(*)
+       |    ELSE (${k - 1}::HUGEINT * $Range60::HUGEINT)
+       |         // max(CASE WHEN rn = $k THEN h END) END AS BIGINT)
+       | FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+       |       FROM (SELECT DISTINCT
+       |         ('0x' || substr(md5('$prefix|' || $canonSql), 1, 15))::BIGINT AS h
+       |         FROM $table))
+       | WHERE rn <= $k)""".stripMargin
+
   /** Per-group KMV distinct count of `prefix|key` strings. */
   def approxCountDistinct(df: DataFrame, groupCol: String, keyCol: String,
                           prefix: String, outCol: String, k: Int = K): DataFrame =

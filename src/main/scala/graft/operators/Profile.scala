@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Table profiling — the first thing a curation run does to 100 TB of
+  * freshly-crawled parquet: per-column row/null/distinct counts and
+  * value ranges, in ONE scan.
+  *
+  * Distinct counts come from the [[Kmv]] bottom-k sketch (exact below
+  * k, ~1/√(k−2) relative error above, k·8 bytes of state per column)
+  * rather than `COUNT(DISTINCT ...)`: Spark plans multi-column
+  * distinct aggregates through an Expand node that replays the scan
+  * once per distinct column — at 5 profiled columns that is 5× the
+  * input volume through the shuffle. The sketch keeps the profile at
+  * exactly one map-side-combined pass, and stays engine-exact
+  * (DuckDB replays every hash — [[Kmv.oracleScalar]]).
+  *
+  * Everything else is algebraic (count / sum / min / max), so the
+  * global aggregate ships one k-long buffer + 4 scalars per column
+  * from each partition, never rows.
+  */
+object Profile {
+
+  /** One profiled column: `name`, the native column (min/max use its
+    * own type ordering — numeric min, not lexicographic), and its
+    * canonical-string form (the distinct-hash input; must render
+    * identically in Spark and DuckDB — cast ints/decimals, format
+    * timestamps, leave strings). */
+  case class ColSpec(name: String, native: Column, canon: Column)
+
+  private val NullSentinel = "~null~"
+
+  /** The profile: one row per [[ColSpec]] with
+    * (col_name, n_rows, n_null, n_distinct, min_val, max_val);
+    * min/max canonicalized AFTER the native-type aggregate and
+    * truncated to 16 chars (document text would otherwise ride whole
+    * into the result). n_distinct counts NULL as one value (the
+    * sentinel keeps the aggregator input null-free and the DuckDB
+    * replay trivial). */
+  def profile(df: DataFrame, cols: Seq[ColSpec], prefix: String = "prof",
+              k: Int = Kmv.K): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(c.native.isNull, 1L).otherwise(0L)).as(s"${c.name}__nn"),
+        Kmv.kmvAggCol(coalesce(c.canon, lit(NullSentinel)), prefix, k)
+          .as(s"${c.name}__nd"),
+        min(c.native).as(s"${c.name}__min"),
+        max(c.native).as(s"${c.name}__max"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // min/max render via plain cast-to-string of the native aggregate:
+    // callers must profile cast-stable types (ints, strings, decimals,
+    // second-precision timestamps), where Spark and DuckDB agree
+    val rows = cols.map { c =>
+      struct(
+        lit(c.name).as("col_name"),
+        col("__n").as("n_rows"),
+        col(s"${c.name}__nn").as("n_null"),
+        col(s"${c.name}__nd").as("n_distinct"),
+        substring(col(s"${c.name}__min").cast("string"), 1, 16).as("min_val"),
+        substring(col(s"${c.name}__max").cast("string"), 1, 16).as("max_val"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.*"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Exact percentiles by linear interpolation at rank p·(n−1)/100 —
+    * the definition DuckDB's quantile_cont and Spark's percentile
+    * share — computed in integer micro-units so both engines agree to
+    * the last bit (double interpolation would diverge in the last
+    * ulp). Output `pctl_u` is the interpolated value ×1e6×100 (micro
+    * units × the percent denominator): an exact BIGINT, no rounding
+    * anywhere.
+    *
+    * Cost: one shuffle on the group key + a per-group sort — the
+    * information-theoretic floor for EXACT quantiles. The two windows
+    * share one partitioning (single exchange); the percentile fan-out
+    * is a 3-row broadcast filtered to ≤ 2 rows per (group, p) before
+    * the final tiny aggregate. At 100 TB with millions of groups this
+    * shape holds (sort is per-group, spillable); for global quantiles
+    * over one giant group, pre-aggregate to (value, count) first or
+    * use the [[Kmv]]-style sketch families instead.
+    */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueMicro: Column,
+                     percents: Seq[Int]): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+    val ranked = df
+      .select(col(groupCol), valueMicro.as("v6"))
+      .withColumn("rn", row_number().over(w.orderBy(col("v6"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+    val ps = broadcast(
+      df.sparkSession.createDataFrame(percents.map(Tuple1(_))).toDF("p"))
+    ranked.crossJoin(ps)
+      .withColumn("k", expr("(p * (n - 1)) div 100"))
+      .withColumn("frac", expr("(p * (n - 1)) % 100"))
+      .filter(col("rn") === col("k") + 1 || col("rn") === col("k") + 2)
+      .groupBy(col(groupCol), col("p"), col("frac"))
+      .agg(
+        min(when(col("rn") === col("k") + 1, col("v6"))).as("lo"),
+        max(when(col("rn") === col("k") + 2, col("v6"))).as("hi"))
+      .select(col(groupCol), col("p"),
+        (col("lo") * (lit(100) - col("frac")) +
+          coalesce(col("hi"), col("lo")) * col("frac")).as("pctl_u"))
+      .orderBy(col(groupCol), col("p"))
+  }
+}

@@ -1094,6 +1094,25 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t27: deterministic stratified train/val/test split — 98/1/1 by
+    * the md5 hash bucket of doc_id, audited per source. The split is a
+    * pure function of the id (re-runs, backfills, and both engines
+    * agree doc by doc), assignment is a scan-local map (no shuffle),
+    * and the audit is one bounded groupBy whose `bit_xor` checksum is
+    * order-free — so the oracle verifies MEMBERSHIP of every stratum,
+    * not just its size. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("h",
+        expr(graft.operators.HyperLogLog.hashExpr("doc_id", "split")))
+      .withColumn("split",
+        when(col("h") % 100 < 98, "train")
+          .when(col("h") % 100 === 98, "val").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(doc_id)").as("doc_checksum"))
+      .orderBy(col("source"), col("split"))
+
   /** t24: blocked-wordlist policy gate — the C4/FineWeb rule over a
     * fixed term list (corpus words drawn so some docs match); see
     * [[TextAnalysis.wordlistFilter]]. */
@@ -1189,6 +1208,7 @@ object CurationQueries {
     "t26_sample_bottomk"    -> sampleBottomK _,
     "t24_wordlist_filter"   -> wordlistGate _,
     "t25_countmin_heavy"    -> countMinHeavy _,
+    "t27_split_assign"      -> splitAssign _,
     "t23_decontam_excise"   -> decontamExcise _,
     "t22_mixture_sample"    -> mixtureSample _,
     "t21_readability"       -> readabilityProfile _,
@@ -1403,6 +1423,16 @@ object CurationQueries {
         |      ('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
         |    FROM documents))
         |WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
+    "t27_split_assign" ->
+      """WITH s AS (SELECT source, doc_id,
+        |  CASE WHEN h % 100 < 98 THEN 'train'
+        |       WHEN h % 100 = 98 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT source, doc_id,
+        |  ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents))
+        |SELECT source, split, count(*) AS n_docs, bit_xor(doc_id) AS doc_checksum
+        |FROM s GROUP BY source, split
+        |ORDER BY source, split""".stripMargin,
     "t24_wordlist_filter" ->
       """SELECT doc_id,
         |CAST(len(list_intersect(list_distinct(string_split(text, ' ')),

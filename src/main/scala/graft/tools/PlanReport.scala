@@ -33,7 +33,9 @@ object PlanReport {
       "a02_ann_signlsh", "a08_ann_ivf_kmeans", "a09_ann_pq",
       "a14_pca_project", "a15_ann_ivfpq", "d04_dedup_simhash",
       "d12_semantic_dedup", "t18_dsir_weights", "p03_chunk_exact_tokens",
-      "a06_approx_distinct")
+      "a06_approx_distinct",
+      "d16_incremental_neardedup", "a16_kmv_distinct", "q31_profile",
+      "q32_quantiles", "t27_split_assign")
     sb.append("\n## Physical plans (executed, AQE final)\n")
     planQueries.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
