@@ -26,9 +26,10 @@ import org.apache.spark.sql.functions._
   * walker (ftyp/moov/mvhd/trak/tkhd/mdia/hdlr are a fixed public
   * layout): duration, timescale, track count/types, and the video
   * track's pixel dimensions — enough to drive real frame-sampling
-  * plans. Compressed A/V codecs (MP3/FLAC/OGG, H.264 frame decode)
-  * are genuinely absent from this container — sample DATA decode
-  * falls to the marked deterministic stubs.
+  * plans. Compressed A/V codec FRAMING is real too — MP3/ADTS frame
+  * walks and H.264 SPS geometry live in [[CodecMeta]]; only sample
+  * DATA decode for those codecs (Huffman/IMDCT/filterbanks, libs this
+  * container lacks) falls to the marked deterministic stubs.
   */
 object Multimodal {
 

@@ -391,7 +391,45 @@ object PipelineQueries {
         documents(spark, dir), "doc_id", "text", numMerges = 24)
       .orderBy(col("doc_id"))
 
+  /** p22: REAL compressed-codec header parsing round-trip — MP3 frame
+    * walks, AAC/ADTS header walks, H.264 SPS geometry — over synthetic
+    * streams whose parameters derive from doc_id by pure integer
+    * arithmetic (the p15 pattern), so the oracle recomputes every
+    * field in SQL while the Spark side actually walks the bytes.
+    * Sample DATA decode for these codecs remains the documented stub;
+    * headers are what a 100 TB curation pass reads. */
+  def codecMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{CodecMeta, Multimodal}
+    val media = documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"))
+      .map { r =>
+        val id = r.getLong(0)
+        val payload = (id % 3) match {
+          case 0 =>
+            CodecMeta.mp3Frames(mpeg1 = true,
+              bitrateIdx = (1 + (id / 3) % 14).toInt, srIdx = ((id / 3) % 3).toInt,
+              mono = id % 2 == 0, nFrames = (40 + id % 20).toInt)
+          case 1 =>
+            CodecMeta.adtsFrames(profile = (1 + (id / 3) % 2).toInt,
+              srIdx = (3 + (id / 3) % 5).toInt, chanCfg = (1 + id % 2).toInt,
+              frameLen = (100 + id % 50).toInt, nFrames = (30 + id % 20).toInt)
+          case _ =>
+            CodecMeta.h264Sps(widthMb = (20 + id % 21).toInt,
+              heightMb = (15 + id % 16).toInt, levelIdc = (10 + (id / 3) % 42).toInt)
+        }
+        Multimodal.MediaRow(id, "codec", payload)
+      }
+    CodecMeta.parseAll(media).toDF()
+      .select(col("media_id"), col("codec"), col("sample_rate"), col("channels"),
+        col("bitrate_kbps"), col("n_frames"), col("duration_ms"),
+        col("width"), col("height"), col("profile"), col("level").as("level_idc"))
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p22_codec_meta"        -> codecMeta _,
     "p21_url_fetch"         -> urlFetch _,
     "p20_bpe_encode"        -> bpeEncode _,
     "p19_bpe_train"         -> bpeTrain _,
@@ -414,6 +452,42 @@ object PipelineQueries {
     "p07_job_status_lookup" -> jobStatusLookup _)
 
   val oracles: Map[String, String] = Map(
+    "p22_codec_meta" ->
+      """WITH p AS (SELECT doc_id AS id, doc_id % 3 AS kind,
+        |  1 + (doc_id // 3) % 14 AS br_idx, (doc_id // 3) % 3 AS mp3_sr_idx,
+        |  40 + doc_id % 20 AS mp3_frames,
+        |  1 + (doc_id // 3) % 2 AS aac_profile, 3 + (doc_id // 3) % 5 AS aac_sr_idx,
+        |  1 + doc_id % 2 AS aac_ch, 100 + doc_id % 50 AS aac_flen,
+        |  30 + doc_id % 20 AS aac_frames,
+        |  (20 + doc_id % 21) * 16 AS h_w, (15 + doc_id % 16) * 16 AS h_h,
+        |  10 + (doc_id // 3) % 42 AS h_level
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |e AS (SELECT *,
+        |  CASE br_idx WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56
+        |    WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+        |    WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+        |    WHEN 13 THEN 256 ELSE 320 END AS mp3_kbps,
+        |  CASE mp3_sr_idx WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS mp3_sr,
+        |  CASE aac_sr_idx WHEN 3 THEN 48000 WHEN 4 THEN 44100 WHEN 5 THEN 32000
+        |    WHEN 6 THEN 24000 ELSE 22050 END AS aac_sr
+        |  FROM p)
+        |SELECT id AS media_id,
+        |  CASE kind WHEN 0 THEN 'mp3' WHEN 1 THEN 'aac' ELSE 'h264' END AS codec,
+        |  CAST(CASE kind WHEN 0 THEN mp3_sr WHEN 1 THEN aac_sr ELSE 0 END AS INT) AS sample_rate,
+        |  CAST(CASE kind WHEN 0 THEN (CASE WHEN id % 2 = 0 THEN 1 ELSE 2 END)
+        |       WHEN 1 THEN aac_ch ELSE 0 END AS INT) AS channels,
+        |  CAST(CASE kind WHEN 0 THEN mp3_kbps
+        |       WHEN 1 THEN (aac_flen * aac_frames * 8 * aac_sr) // (aac_frames * 1024 * 1000)
+        |       ELSE 0 END AS INT) AS bitrate_kbps,
+        |  CAST(CASE kind WHEN 0 THEN mp3_frames WHEN 1 THEN aac_frames ELSE 0 END AS BIGINT) AS n_frames,
+        |  CAST(CASE kind WHEN 0 THEN (mp3_frames * 1152 * 1000) // mp3_sr
+        |       WHEN 1 THEN (aac_frames * 1024 * 1000) // aac_sr
+        |       ELSE 0 END AS BIGINT) AS duration_ms,
+        |  CAST(CASE kind WHEN 2 THEN h_w ELSE 0 END AS INT) AS width,
+        |  CAST(CASE kind WHEN 2 THEN h_h ELSE 0 END AS INT) AS height,
+        |  CAST(CASE kind WHEN 0 THEN 0 WHEN 1 THEN aac_profile ELSE 66 END AS INT) AS profile,
+        |  CAST(CASE kind WHEN 2 THEN h_level ELSE 0 END AS INT) AS level_idc
+        |FROM e ORDER BY media_id""".stripMargin,
     "d13_image_dedup" ->
       """WITH imgs AS (
         |  SELECT doc_id, (doc_id // 5) % 25 AS g
