@@ -33,7 +33,7 @@ object Bench {
     "t21_readability", "p20_bpe_encode", "t22_mixture_sample",
     "t23_decontam_excise", "t24_wordlist_filter", "d15_incremental_dedup",
     "d16_incremental_neardedup", "a16_kmv_distinct", "q31_profile",
-    "q32_quantiles", "t27_split_assign")
+    "q32_quantiles", "t27_split_assign", "p22_codec_meta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

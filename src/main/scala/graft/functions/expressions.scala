@@ -915,39 +915,41 @@ object GraftFunctions {
     ColumnBridge.column(SumLookup(ColumnBridge.expression(bucketIds), bc))
   }
 
-  /** Register `cosine_similarity` / `uuid5` / `minhash_signature` for the
-    * SQL surface. */
+  private def intLit(e: Expression): Int =
+    e.eval(InternalRow.empty).asInstanceOf[Int]
+
+  /** Name → builder for every native SQL function. One list serves both
+    * session-level [[register]] and extension-level injection
+    * ([[graft.plans.GraftExtensions]]), so the two deployment paths
+    * cannot drift. */
+  val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_similarity" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    "uuid5" -> (exprs => Uuid5Expr(exprs.head)),
+    "minhash_signature" ->
+      (exprs => MinHashSignature(exprs(0), intLit(exprs(1)))),
+    "ngram_hashes" -> (exprs => NgramHashes(exprs(0), intLit(exprs(1)))),
+    "gopher_fractions" -> (exprs => GopherFractions(exprs.head)),
+    "ngram_strings" -> (exprs => NgramStrings(exprs(0), intLit(exprs(1)))),
+    "top_gram_fraction" ->
+      (exprs => TopGramFraction(exprs(0), intLit(exprs(1)))),
+    "repetition_ratio" -> (exprs => RepetitionRatioExpr(exprs.head)),
+    "quality_score" -> (exprs => QualityScoreExpr(exprs.head)),
+    "lang_id" -> (exprs => LangIdExpr(exprs.head)),
+    "classifier_score" ->
+      (exprs => ClassifierScoreExpr(exprs(0), intLit(exprs(1)))),
+    "chunk_text" ->
+      (exprs => ChunkGenerator(exprs(0), exprs(1), exprs(2), exprs(3))))
+
+  /** Register the native SQL functions plus the UDF-shaped extractors
+    * on an existing session. (The extension-config path —
+    * `spark.sql.extensions=graft.plans.GraftExtensions` — injects
+    * [[sqlBuilders]] at session build; the extractor UDFs still need
+    * this call because `spark.udf` does not exist at injection time.) */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("cosine_similarity",
-      exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("uuid5",
-      exprs => Uuid5Expr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("minhash_signature",
-      exprs => MinHashSignature(exprs(0),
-        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "built-in")
-    reg.createOrReplaceTempFunction("ngram_hashes",
-      exprs => NgramHashes(exprs(0),
-        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "built-in")
-    reg.createOrReplaceTempFunction("gopher_fractions",
-      exprs => GopherFractions(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("ngram_strings",
-      exprs => NgramStrings(exprs(0),
-        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "built-in")
-    reg.createOrReplaceTempFunction("top_gram_fraction",
-      exprs => TopGramFraction(exprs(0),
-        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "built-in")
-    reg.createOrReplaceTempFunction("repetition_ratio",
-      exprs => RepetitionRatioExpr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("quality_score",
-      exprs => QualityScoreExpr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("lang_id",
-      exprs => LangIdExpr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("classifier_score",
-      exprs => ClassifierScoreExpr(exprs(0),
-        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "built-in")
-    reg.createOrReplaceTempFunction("chunk_text",
-      exprs => ChunkGenerator(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
+    sqlBuilders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
     // document extraction over binary columns (SQL surface for the S2/S3/
     // S4 extractors; Scala UDFs — extraction is I/O-shaped, not a
     // codegen hot path)

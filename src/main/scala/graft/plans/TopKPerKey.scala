@@ -172,9 +172,21 @@ object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 /** Extension entry point:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`. Injects the
-  * top-k strategy and registers the graft SQL functions. */
+  * top-k strategy and every native graft SQL function
+  * ([[graft.functions.GraftFunctions.sqlBuilders]]) — the config-only
+  * deploy path gets the full SQL surface with no Scala call. The
+  * UDF-shaped extractors (`pdf_pages`, `graft_extract`, …) still come
+  * from `GraftFunctions.register(spark)`: `spark.udf` does not exist
+  * at injection time. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
+    graft.functions.GraftFunctions.sqlBuilders.foreach { case (name, builder) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions.GraftFunctions", name),
+        builder))
+    }
   }
 }

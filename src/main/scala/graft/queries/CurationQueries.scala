@@ -1902,57 +1902,13 @@ object CurationQueries {
         |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "t09_compression" ->
-      """WITH dz(doc_id, n_deflate) AS (VALUES
-        |(0,99),(1,183),(2,135),(3,99),(4,140),(5,164),(6,64),(7,188),(8,204),(9,186),
-        |(10,126),(11,155),(12,171),(13,169),(14,211),(15,130),(16,75),(17,197),(18,196),(19,58),
-        |(20,185),(21,120),(22,206),(23,110),(24,220),(25,219),(26,61),(27,173),(28,169),(29,116),
-        |(30,111),(31,137),(32,223),(33,134),(34,111),(35,200),(36,88),(37,176),(38,117),(39,90),
-        |(40,191),(41,166),(42,154),(43,106),(44,88),(45,199),(46,204),(47,133),(48,105),(49,136),
-        |(50,135),(51,168),(52,62),(53,114),(54,174),(55,112),(56,231),(57,206),(58,182),(59,85),
-        |(60,221),(61,154),(62,186),(63,224),(64,92),(65,76),(66,172),(67,167),(68,111),(69,157),
-        |(70,225),(71,166),(72,133),(73,220),(74,44),(75,159),(76,179),(77,164),(78,135),(79,61),
-        |(80,110),(81,177),(82,143),(83,74),(84,185),(85,102),(86,95),(87,93),(88,148),(89,91),
-        |(90,87),(91,197),(92,100),(93,87),(94,92),(95,152),(96,193),(97,161),(98,223),(99,121),
-        |(100,212),(101,131),(102,210),(103,222),(104,133),(105,166),(106,67),(107,127),(108,67),(109,185),
-        |(110,55),(111,226),(112,161),(113,196),(114,118),(115,96),(116,59),(117,133),(118,186),(119,77),
-        |(120,121),(121,113),(122,81),(123,99),(124,158),(125,115),(126,213),(127,201),(128,201),(129,194),
-        |(130,101),(131,157),(132,170),(133,219),(134,95),(135,231),(136,162),(137,132),(138,178),(139,150),
-        |(140,106),(141,189),(142,229),(143,186),(144,76),(145,187),(146,90),(147,207),(148,110),(149,102),
-        |(150,144),(151,225),(152,124),(153,197),(154,205),(155,179),(156,89),(157,75),(158,78),(159,185),
-        |(160,130),(161,207),(162,208),(163,139),(164,84),(165,85),(166,164),(167,213),(168,126),(169,178),
-        |(170,88),(171,168),(172,80),(173,232),(174,161),(175,103),(176,212),(177,149),(178,121),(179,209),
-        |(180,119),(181,84),(182,174),(183,82),(184,206),(185,152),(186,188),(187,215),(188,139),(189,122),
-        |(190,198),(191,88),(192,90),(193,111),(194,107),(195,164),(196,168),(197,222),(198,136),(199,104),
-        |(200,154),(201,167),(202,208),(203,90),(204,84),(205,183),(206,88),(207,186),(208,82),(209,127),
-        |(210,223),(211,148),(212,137),(213,211),(214,64),(215,227),(216,230),(217,173),(218,204),(219,101),
-        |(220,234),(221,134),(222,141),(223,205),(224,199),(225,194),(226,84),(227,207),(228,208),(229,187),
-        |(230,157),(231,102),(232,162),(233,208),(234,170),(235,130),(236,60),(237,189),(238,140),(239,105),
-        |(240,185),(241,219),(242,188),(243,111),(244,177),(245,202),(246,109),(247,194),(248,203),(249,203),
-        |(250,137),(251,230),(252,140),(253,118),(254,77),(255,96),(256,60),(257,85),(258,190),(259,135),
-        |(260,90),(261,209),(262,136),(263,205),(264,235),(265,142),(266,130),(267,194),(268,123),(269,209),
-        |(270,222),(271,156),(272,222),(273,104),(274,232),(275,49),(276,230),(277,100),(278,183),(279,150),
-        |(280,215),(281,104),(282,111),(283,204),(284,150),(285,228),(286,140),(287,78),(288,110),(289,118),
-        |(290,225),(291,194),(292,199),(293,180),(294,214),(295,115),(296,173),(297,165),(298,117),(299,227),
-        |(300,125),(301,225),(302,213),(303,207),(304,128),(305,56),(306,195),(307,160),(308,81),(309,135),
-        |(310,95),(311,224),(312,174),(313,68),(314,124),(315,208),(316,190),(317,187),(318,203),(319,214),
-        |(320,190),(321,152),(322,139),(323,166),(324,131),(325,168),(326,120),(327,111),(328,220),(329,171),
-        |(330,165),(331,153),(332,119),(333,116),(334,215),(335,159),(336,186),(337,137),(338,75),(339,113),
-        |(340,138),(341,199),(342,82),(343,98),(344,198),(345,166),(346,192),(347,146),(348,94),(349,203),
-        |(350,206),(351,178),(352,231),(353,163),(354,198),(355,160),(356,174),(357,139),(358,57),(359,162),
-        |(360,200),(361,176),(362,72),(363,172),(364,145),(365,65),(366,155),(367,127),(368,60),(369,149),
-        |(370,127),(371,174),(372,101),(373,188),(374,112),(375,166),(376,174),(377,135),(378,172),(379,186),
-        |(380,205),(381,167),(382,94),(383,139),(384,78),(385,185),(386,214),(387,125),(388,166),(389,99),
-        |(390,92),(391,138),(392,94),(393,204),(394,185),(395,202),(396,138),(397,147),(398,83),(399,159),
-        |(400,97),(401,195),(402,107),(403,214),(404,131),(405,160),(406,203),(407,81),(408,71),(409,147),
-        |(410,194),(411,199),(412,182),(413,196),(414,191),(415,162),(416,153),(417,224),(418,194),(419,91),
-        |(420,202),(421,203),(422,177),(423,178),(424,187),(425,93),(426,209),(427,190),(428,153),(429,232),
-        |(430,191),(431,162),(432,178),(433,114),(434,198),(435,112),(436,139),(437,202),(438,111),(439,116),
-        |(440,135),(441,231),(442,204),(443,148),(444,192),(445,156),(446,90),(447,223),(448,146),(449,114),
-        |(450,99),(451,83),(452,177),(453,233),(454,94),(455,59),(456,86),(457,121),(458,167),(459,183),
-        |(460,147),(461,182),(462,169),(463,223),(464,121),(465,168),(466,218),(467,177),(468,123),(469,54),
-        |(470,134),(471,168),(472,121),(473,157),(474,178),(475,70),(476,71),(477,94),(478,150),(479,176),
-        |(480,168),(481,67),(482,105),(483,139),(484,133),(485,97),(486,114),(487,166),(488,121),(489,156),
-        |(490,148),(491,181),(492,69),(493,209),(494,120),(495,180),(496,199),(497,87),(498,212),(499,106)),
+      s"""WITH pins(sf_n, csv) AS (VALUES
+        |  (500, '${OraclePins.deflate500}'),
+        |  (5000, '${OraclePins.deflate5000}')),
+        |sel AS (SELECT string_split(csv, ',') AS s FROM pins
+        |  WHERE sf_n = (SELECT count(*) FROM documents)),
+        |dz AS (SELECT i - 1 AS doc_id, CAST(s[i] AS INT) AS n_deflate
+        |  FROM sel, unnest(generate_series(1, len(s))) AS t(i)),
         |b AS (
         |  SELECT doc_id,
         |    CASE WHEN len(string_split(text, ' ')) < 2 THEN []
@@ -1993,7 +1949,7 @@ object CurationQueries {
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
         |sk AS (
         |  SELECT j,
-        |    ('0x' || substr(md5('cm' || j || '|' || word), 1, 8))::BIGINT % 1024
+        |    ('0x' || substr(md5('cm0|' || word), 1 + j * 8, 8))::BIGINT % 1024
         |      AS bucket,
         |    count(*) AS c
         |  FROM words, unnest(generate_series(0, 3)) AS t(j)
@@ -2005,7 +1961,7 @@ object CurationQueries {
         |FROM top t, unnest(generate_series(0, 3)) AS g(j)
         |JOIN sk ON sk.j = g.j
         |  AND sk.bucket =
-        |    ('0x' || substr(md5('cm' || g.j || '|' || t.word), 1, 8))::BIGINT % 1024
+        |    ('0x' || substr(md5('cm0|' || t.word), 1 + g.j * 8, 8))::BIGINT % 1024
         |GROUP BY t.word, t.n_exact
         |ORDER BY n_exact DESC, word""".stripMargin,
     "a06_approx_distinct" -> {

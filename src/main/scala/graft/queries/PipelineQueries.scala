@@ -585,86 +585,21 @@ object PipelineQueries {
         |) AS t(file_name, status, mime_type, n_chars, n_batches, error)
         |ORDER BY file_name""".stripMargin,
     "p19_bpe_train" ->
-      """SELECT CAST(rank AS BIGINT) AS rank, l AS "left", r AS "right",
+      s"""WITH raw(sf_n, rank, l, r, merged, weight) AS (
+        |  SELECT 500, * FROM (VALUES ${OraclePins.merges500})
+        |  UNION ALL SELECT 5000, * FROM (VALUES ${OraclePins.merges5000}))
+        |SELECT CAST(rank AS BIGINT) AS rank, l AS "left", r AS "right",
         |       merged, CAST(weight AS BIGINT) AS weight
-        |FROM (VALUES
-        |(0, 'e', 'r', 'er', 4568),
-        |(1, 'i', 'n', 'in', 2760),
-        |(2, 'o', 'w', 'ow', 2747),
-        |(3, 'o', 'r', 'or', 2696),
-        |(4, 's', 't', 'st', 2676),
-        |(5, 'm', 'er', 'mer', 1852),
-        |(6, 'a', 't', 'at', 1845),
-        |(7, 'l', 'u', 'lu', 1831),
-        |(8, 'a', 'r', 'ar', 1758),
-        |(9, 'p', 'ar', 'par', 1758),
-        |(10, 'j', 'o', 'jo', 964),
-        |(11, 'jo', 'in', 'join', 964),
-        |(12, 'a', 's', 'as', 947),
-        |(13, 'as', 'h', 'ash', 947),
-        |(14, 'h', 'ash', 'hash', 947),
-        |(15, 'r', 'ow', 'row', 943),
-        |(16, 'at', 'c', 'atc', 937),
-        |(17, 'atc', 'h', 'atch', 937),
-        |(18, 'b', 'atch', 'batch', 937),
-        |(19, 'a', 'n', 'an', 936),
-        |(20, 'c', 'an', 'can', 936),
-        |(21, 's', 'can', 'scan', 936),
-        |(22, 'c', 'o', 'co', 934),
-        |(23, 'c', 'u', 'cu', 934)) AS t(rank, l, r, merged, weight)
+        |FROM raw WHERE sf_n = (SELECT count(*) FROM documents)
         |ORDER BY rank""".stripMargin,
     "p20_bpe_encode" ->
-      """WITH nb(doc_id, n_bpe) AS (VALUES
-        |(0,91),(1,236),(2,148),(3,86),(4,146),(5,185),(6,40),(7,209),(8,269),(9,208),
-        |(10,127),(11,175),(12,186),(13,207),(14,294),(15,139),(16,51),(17,258),(18,241),(19,36),
-        |(20,220),(21,105),(22,290),(23,92),(24,298),(25,293),(26,44),(27,209),(28,198),(29,114),
-        |(30,95),(31,144),(32,290),(33,131),(34,96),(35,257),(36,78),(37,212),(38,114),(39,64),
-        |(40,244),(41,195),(42,168),(43,91),(44,74),(45,244),(46,294),(47,121),(48,90),(49,150),
-        |(50,150),(51,173),(52,37),(53,115),(54,191),(55,96),(56,309),(57,255),(58,239),(59,57),
-        |(60,277),(61,183),(62,218),(63,295),(64,75),(65,61),(66,193),(67,198),(68,94),(69,171),
-        |(70,299),(71,201),(72,121),(73,261),(74,29),(75,171),(76,221),(77,160),(78,127),(79,43),
-        |(80,93),(81,211),(82,138),(83,48),(84,228),(85,91),(86,81),(87,69),(88,160),(89,80),
-        |(90,62),(91,253),(92,92),(93,78),(94,81),(95,168),(96,266),(97,187),(98,302),(99,105),
-        |(100,263),(101,126),(102,298),(103,300),(104,131),(105,190),(106,42),(107,124),(108,59),(109,231),
-        |(110,32),(111,317),(112,177),(113,234),(114,121),(115,75),(116,36),(117,128),(118,233),(119,48),
-        |(120,121),(121,95),(122,55),(123,92),(124,184),(125,113),(126,269),(127,236),(128,258),(129,262),
-        |(130,85),(131,161),(132,188),(133,283),(134,72),(135,313),(136,198),(137,133),(138,221),(139,181),
-        |(140,101),(141,247),(142,286),(143,253),(144,44),(145,222),(146,70),(147,236),(148,123),(149,84),
-        |(150,146),(151,288),(152,126),(153,264),(154,267),(155,200),(156,71),(157,45),(158,64),(159,220),
-        |(160,132),(161,248),(162,260),(163,153),(164,63),(165,58),(166,185),(167,275),(168,121),(169,224),
-        |(170,59),(171,193),(172,60),(173,301),(174,184),(175,96),(176,260),(177,141),(178,123),(179,283),
-        |(180,109),(181,62),(182,196),(183,51),(184,247),(185,180),(186,237),(187,273),(188,143),(189,121),
-        |(190,235),(191,60),(192,76),(193,87),(194,89),(195,186),(196,189),(197,310),(198,139),(199,94),
-        |(200,174),(201,186),(202,270),(203,67),(204,70),(205,200),(206,79),(207,207),(208,60),(209,124),
-        |(210,296),(211,153),(212,154),(213,277),(214,33),(215,281),(216,295),(217,206),(218,286),(219,102),
-        |(220,321),(221,123),(222,146),(223,283),(224,249),(225,240),(226,70),(227,262),(228,264),(229,236),
-        |(230,174),(231,92),(232,165),(233,270),(234,211),(235,131),(236,39),(237,221),(238,151),(239,87),
-        |(240,238),(241,289),(242,218),(243,86),(244,212),(245,266),(246,89),(247,246),(248,243),(249,241),
-        |(250,131),(251,297),(252,139),(253,114),(254,60),(255,85),(256,38),(257,70),(258,222),(259,148),
-        |(260,83),(261,273),(262,150),(263,260),(264,291),(265,154),(266,117),(267,238),(268,127),(269,275),
-        |(270,290),(271,165),(272,276),(273,101),(274,312),(275,24),(276,302),(277,95),(278,209),(279,152),
-        |(280,272),(281,102),(282,96),(283,260),(284,168),(285,289),(286,153),(287,60),(288,107),(289,142),
-        |(290,305),(291,231),(292,230),(293,236),(294,266),(295,111),(296,196),(297,188),(298,109),(299,290),
-        |(300,120),(301,286),(302,278),(303,258),(304,122),(305,37),(306,244),(307,176),(308,50),(309,133),
-        |(310,89),(311,283),(312,212),(313,43),(314,106),(315,259),(316,221),(317,203),(318,255),(319,300),
-        |(320,220),(321,180),(322,146),(323,188),(324,133),(325,180),(326,117),(327,107),(328,296),(329,195),
-        |(330,182),(331,183),(332,118),(333,103),(334,287),(335,187),(336,212),(337,145),(338,46),(339,102),
-        |(340,130),(341,226),(342,66),(343,75),(344,230),(345,175),(346,218),(347,150),(348,68),(349,255),
-        |(350,261),(351,220),(352,316),(353,167),(354,237),(355,211),(356,206),(357,143),(358,24),(359,183),
-        |(360,259),(361,193),(362,52),(363,194),(364,160),(365,34),(366,190),(367,115),(368,42),(369,137),
-        |(370,134),(371,198),(372,78),(373,214),(374,108),(375,190),(376,196),(377,124),(378,189),(379,227),
-        |(380,267),(381,189),(382,71),(383,147),(384,56),(385,215),(386,266),(387,121),(388,196),(389,92),
-        |(390,81),(391,138),(392,82),(393,260),(394,233),(395,276),(396,146),(397,173),(398,65),(399,170),
-        |(400,73),(401,250),(402,88),(403,250),(404,123),(405,167),(406,264),(407,64),(408,49),(409,157),
-        |(410,239),(411,212),(412,200),(413,241),(414,244),(415,176),(416,166),(417,277),(418,245),(419,62),
-        |(420,257),(421,249),(422,200),(423,217),(424,239),(425,76),(426,266),(427,227),(428,159),(429,317),
-        |(430,233),(431,169),(432,213),(433,108),(434,241),(435,84),(436,153),(437,253),(438,98),(439,100),
-        |(440,137),(441,311),(442,269),(443,161),(444,245),(445,174),(446,77),(447,296),(448,172),(449,95),
-        |(450,89),(451,61),(452,205),(453,291),(454,89),(455,41),(456,68),(457,120),(458,184),(459,215),
-        |(460,150),(461,212),(462,187),(463,285),(464,117),(465,188),(466,267),(467,207),(468,122),(469,33),
-        |(470,132),(471,202),(472,127),(473,168),(474,208),(475,48),(476,43),(477,90),(478,174),(479,207),
-        |(480,216),(481,57),(482,89),(483,144),(484,130),(485,83),(486,87),(487,187),(488,125),(489,181),
-        |(490,149),(491,200),(492,48),(493,256),(494,120),(495,223),(496,271),(497,62),(498,275),(499,105))
+      s"""WITH pins(sf_n, csv) AS (VALUES
+        |  (500, '${OraclePins.bpe500}'),
+        |  (5000, '${OraclePins.bpe5000}')),
+        |sel AS (SELECT string_split(csv, ',') AS s FROM pins
+        |  WHERE sf_n = (SELECT count(*) FROM documents)),
+        |nb AS (SELECT i - 1 AS doc_id, CAST(s[i] AS INT) AS n_bpe
+        |  FROM sel, unnest(generate_series(1, len(s))) AS t(i))
         |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
         |  CAST(n.n_bpe AS BIGINT) AS n_bpe_tokens,
         |  CASE WHEN n.n_bpe = 0 THEN 0.0

@@ -89,6 +89,12 @@ class TopKPerKeySpec extends AnyFunSuite {
   }
 
   test("GraftExtensions injects the strategy at session build time") {
+    // getOrCreate returns any ACTIVE session and skips extensions —
+    // clear both handles so a genuinely new session is built (the
+    // SparkContext is reused), then restore the suite session after
+    spark.sparkContext // force the suite session first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val s2 = SparkSession.builder()
       .master("local[2]")
       .config("spark.ui.enabled", "false")
@@ -97,5 +103,17 @@ class TopKPerKeySpec extends AnyFunSuite {
     // the strategy resolves the node without touching experimental hooks
     assert(s2.sessionState.planner.strategies.exists(_.isInstanceOf[TopKStrategy.type]) ||
       s2.sessionState.planner.extraPlanningStrategies.contains(TopKStrategy))
+    // and the native SQL functions are injected with no register() call:
+    // config-only deployments get the full SQL surface
+    val cos = s2.sql(
+      "SELECT cosine_similarity(array(1.0F, 0.0F), array(1.0F, 0.0F)) c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    val id1 = s2.sql("SELECT uuid5('chunk-0-exact') u").collect()(0).getString(0)
+    assert(id1 === graft.core.Uuid5.of("chunk-0-exact"))
+    assert(s2.sql("SELECT lang_id('the of and to a in is') l")
+      .collect()(0).getString(0) === "en")
+    SparkSession.setActiveSession(spark)
+    SparkSession.setDefaultSession(spark)
   }
 }
