@@ -35,7 +35,8 @@ object PlanReport {
       "d12_semantic_dedup", "t18_dsir_weights", "p03_chunk_exact_tokens",
       "a06_approx_distinct",
       "d16_incremental_neardedup", "a16_kmv_distinct", "q31_profile",
-      "q32_quantiles", "t27_split_assign")
+      "q32_quantiles", "t27_split_assign", "t25_countmin_heavy",
+      "p22_codec_meta")
     sb.append("\n## Physical plans (executed, AQE final)\n")
     planQueries.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
@@ -213,6 +214,52 @@ object PlanReport {
         Seq("spark", "vector", "stream")).agg(sum("n_blocked")).head().getLong(0),
       graft.operators.TextAnalysis.wordlistFilter(docs10, "doc_id", "text",
         Seq("spark", "vector", "stream")).agg(sum("n_blocked")).head().getLong(0))
+    row("count-min sketch build (bounded state)",
+      graft.operators.TextAnalysis.countMinSketch(docs, "text").count(),
+      graft.operators.TextAnalysis.countMinSketch(docs10, "text").count())
+    row("KMV distinct sketch (bottom-k agg)",
+      graft.operators.Kmv.approxCountDistinct(
+        li, "l_returnflag", "l_partkey", "p", "est").count(),
+      graft.operators.Kmv.approxCountDistinct(
+        li10, "l_returnflag", "l_partkey", "p", "est").count())
+    row("single-scan table profile (q31 shape)",
+      graft.operators.Profile.profile(docs, Seq(
+        graft.operators.Profile.ColSpec("doc_id", col("doc_id"),
+          col("doc_id").cast("string")),
+        graft.operators.Profile.ColSpec("text", col("text"), col("text"))))
+        .count(),
+      graft.operators.Profile.profile(docs10, Seq(
+        graft.operators.Profile.ColSpec("doc_id", col("doc_id"),
+          col("doc_id").cast("string")),
+        graft.operators.Profile.ColSpec("text", col("text"), col("text"))))
+        .count())
+    row("exact quantiles (per-group sort)",
+      graft.operators.Profile.exactQuantiles(li, "l_returnflag",
+        round(col("l_extendedprice") * 1000000L).cast("long"),
+        Seq(50, 90, 99)).count(),
+      graft.operators.Profile.exactQuantiles(li10, "l_returnflag",
+        round(col("l_extendedprice") * 1000000L).cast("long"),
+        Seq(50, 90, 99)).count())
+    locally {
+      // codec header walk: scan-local byte parsing, MP3 payloads of
+      // ~50 frames; ×10 = ten param-varied copies per doc
+      import spark.implicits._
+      def media(d: org.apache.spark.sql.DataFrame) = d
+        .select(col("doc_id")).as[Long].map { id =>
+          graft.operators.Multimodal.MediaRow(id, "codec",
+            graft.operators.CodecMeta.mp3Frames(mpeg1 = true,
+              bitrateIdx = (1 + id % 14).toInt, srIdx = (id % 3).toInt,
+              mono = id % 2 == 0, nFrames = (40 + id % 20).toInt))
+        }
+      val m1 = media(docs).cache(); m1.count()
+      val m10 = media(docs10).cache(); m10.count()
+      row("codec header walk (MP3 frame parse)",
+        graft.operators.CodecMeta.parseAll(m1).toDF().agg(
+          sum("n_frames")).head().getLong(0),
+        graft.operators.CodecMeta.parseAll(m10).toDF().agg(
+          sum("n_frames")).head().getLong(0))
+      m1.unpersist(false); m10.unpersist(false)
+    }
 
     sb.append(
       """
