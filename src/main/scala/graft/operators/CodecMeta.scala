@@ -44,14 +44,29 @@ object CodecMeta {
   private val Mp3SampleRateV1 = Array(44100, 48000, 32000, -1)
   private val Mp3SampleRateV2 = Array(22050, 24000, 16000, -1)
 
-  /** Skip an ID3v2 tag if present: "ID3" + version(2) + flags(1) +
-    * syncsafe u28 size, then the tag body. */
-  private def skipId3(p: Array[Byte]): Int =
-    if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
-      val size = ((p(6) & 0x7f) << 21) | ((p(7) & 0x7f) << 14) |
-        ((p(8) & 0x7f) << 7) | (p(9) & 0x7f)
-      10 + size
+  /** Length of an ID3v2 tag starting at `off`, or 0: "ID3" +
+    * version(2) + flags(1) + syncsafe u28 size, then the tag body,
+    * plus the 10-byte footer when flags bit 0x10 is set (ID3v2.4). */
+  private def id3LenAt(p: Array[Byte], off: Int): Int =
+    if (off + 10 <= p.length && p(off) == 'I' && p(off + 1) == 'D' &&
+        p(off + 2) == '3') {
+      val size = ((p(off + 6) & 0x7f) << 21) | ((p(off + 7) & 0x7f) << 14) |
+        ((p(off + 8) & 0x7f) << 7) | (p(off + 9) & 0x7f)
+      val footer = if ((p(off + 5) & 0x10) != 0) 10 else 0
+      10 + size + footer
     } else 0
+
+  /** Offset of the first audio byte: past every leading ID3v2 tag
+    * (tags can stack back to back). */
+  private def skipId3(p: Array[Byte]): Int = {
+    var off = 0
+    var len = id3LenAt(p, 0)
+    while (len > 0 && off + len <= p.length) {
+      off += len
+      len = id3LenAt(p, off)
+    }
+    off
+  }
 
   /** REAL MP3 frame-header walk: sync + version/layer/bitrate/
     * samplerate fields per frame, frame length 144000·kbps/sr (+pad)
@@ -64,33 +79,28 @@ object CodecMeta {
     var off = skipId3(p)
     var sr = 0; var ch = 0; var kbps = 0
     var frames = 0L; var samples = 0L
+    // every exit accepts the parsed prefix (torn tail / lost sync) or,
+    // with no complete frame, classifies the payload as not-an-MP3
+    def partial(): Meta =
+      if (frames > 0)
+        Meta(id, "mp3", sr, ch, kbps, frames, samples * 1000L / sr, 0, 0, 0, 0)
+      else none(id)
     while (off + 4 <= p.length) {
       val b1 = p(off) & 0xff; val b2 = p(off + 1) & 0xff
       val b3 = p(off + 2) & 0xff
-      if (b1 != 0xff || (b2 & 0xe0) != 0xe0) {
-        // lost sync: accept what was parsed if any, else not an MP3
-        return if (frames > 0)
-          Meta(id, "mp3", sr, ch, kbps, frames, samples * 1000L / sr, 0, 0, 0, 0)
-        else none(id)
-      }
+      if (b1 != 0xff || (b2 & 0xe0) != 0xe0) return partial()
       val version = (b2 >> 3) & 0x3  // 3=MPEG-1, 2=MPEG-2, 0=MPEG-2.5
       val layer = (b2 >> 1) & 0x3    // 1 = Layer III
       val brIdx = (b3 >> 4) & 0xf
       val srIdx = (b3 >> 2) & 0x3
       val padding = (b3 >> 1) & 0x1
       if (layer != 1 || (version != 3 && version != 2) || srIdx == 3 ||
-          brIdx == 0 || brIdx == 15)
-        return if (frames > 0)
-          Meta(id, "mp3", sr, ch, kbps, frames, samples * 1000L / sr, 0, 0, 0, 0)
-        else none(id)
+          brIdx == 0 || brIdx == 15) return partial()
       val v1 = version == 3
       val fkbps = (if (v1) Mp3BitrateV1L3 else Mp3BitrateV2L3)(brIdx)
       val fsr = (if (v1) Mp3SampleRateV1 else Mp3SampleRateV2)(srIdx)
       val flen = (if (v1) 144000 else 72000) * fkbps / fsr + padding
-      if (flen < 4 || off + flen > p.length)
-        return if (frames > 0)
-          Meta(id, "mp3", sr, ch, kbps, frames, samples * 1000L / sr, 0, 0, 0, 0)
-        else none(id)
+      if (flen < 4 || off + flen > p.length) return partial()
       if (frames == 0L) {
         sr = fsr; kbps = fkbps
         val mode = (p(off + 3) >> 6) & 0x3
@@ -100,8 +110,7 @@ object CodecMeta {
       samples += (if (v1) 1152 else 576)
       off += flen
     }
-    if (frames == 0) none(id)
-    else Meta(id, "mp3", sr, ch, kbps, frames, samples * 1000L / sr, 0, 0, 0, 0)
+    partial()
   }
 
   /** Minimal MPEG-1/2 Layer III frame writer (synthetic payloads +
@@ -150,35 +159,36 @@ object CodecMeta {
     * (frames·1024·1000) kbps, integer floor. */
   def parseAdts(id: Long, p: Array[Byte]): Meta = {
     if (p == null) return none(id)
-    var off = 0
+    var off = skipId3(p) // tagged .aac files are common (the MP3 rule)
     var sr = 0; var ch = 0; var profile = 0
     var frames = 0L; var bytes = 0L
+    def partial(): Meta =
+      if (frames > 0)
+        Meta(id, "aac", sr, ch, (bytes * 8L * sr / (frames * 1024L * 1000L)).toInt,
+          frames, frames * 1024L * 1000L / sr, 0, 0, profile, 0)
+      else none(id)
     while (off + 7 <= p.length) {
       val b1 = p(off) & 0xff; val b2 = p(off + 1) & 0xff
-      if (b1 != 0xff || (b2 & 0xf6) != 0xf0) { // sync + layer==00
-        return if (frames > 0)
-          Meta(id, "aac", sr, ch, (bytes * 8L * sr / (frames * 1024L * 1000L)).toInt,
-            frames, frames * 1024L * 1000L / sr, 0, 0, profile, 0)
-        else none(id)
-      }
+      if (b1 != 0xff || (b2 & 0xf6) != 0xf0) return partial() // sync + layer==00
       val prof = ((p(off + 2) >> 6) & 0x3) + 1
       val srIdx = (p(off + 2) >> 2) & 0xf
       val chanCfg = (((p(off + 2) & 0x1) << 2) | ((p(off + 3) >> 6) & 0x3))
       val flen = (((p(off + 3) & 0x3) << 11) | ((p(off + 4) & 0xff) << 3) |
         ((p(off + 5) >> 5) & 0x7))
       if (AdtsSampleRate(srIdx) < 0 || flen < 7 || off + flen > p.length)
-        return if (frames > 0)
-          Meta(id, "aac", sr, ch, (bytes * 8L * sr / (frames * 1024L * 1000L)).toInt,
-            frames, frames * 1024L * 1000L / sr, 0, 0, profile, 0)
-        else none(id)
-      if (frames == 0L) { sr = AdtsSampleRate(srIdx); ch = chanCfg; profile = prof }
+        return partial()
+      if (frames == 0L) {
+        sr = AdtsSampleRate(srIdx)
+        // channel_configuration 7 means 8 speakers (7.1); 0 means "in
+        // the PCE", which a header walk cannot see — reported as 0
+        ch = if (chanCfg == 7) 8 else chanCfg
+        profile = prof
+      }
       frames += 1
       bytes += flen
       off += flen
     }
-    if (frames == 0) none(id)
-    else Meta(id, "aac", sr, ch, (bytes * 8L * sr / (frames * 1024L * 1000L)).toInt,
-      frames, frames * 1024L * 1000L / sr, 0, 0, profile, 0)
+    partial()
   }
 
   /** Minimal ADTS writer: 7-byte headers (no CRC) + zero payload of
@@ -220,10 +230,12 @@ object CodecMeta {
       bit += n
       v
     }
-    /** Exp-Golomb ue(v). */
+    /** Exp-Golomb ue(v). Codes beyond 24 leading zeros (≈16M values)
+      * are rejected: no legal SPS field needs them, and 31-zero codes
+      * would overflow Int into plausible-looking garbage geometry. */
     def ue(): Int = {
       var zeros = 0
-      while (u(1) == 0) { zeros += 1; if (zeros > 31) throw new IllegalStateException }
+      while (u(1) == 0) { zeros += 1; if (zeros > 24) throw new IllegalStateException }
       if (zeros == 0) 0 else ((1 << zeros) - 1) + u(zeros)
     }
     /** Exp-Golomb se(v). */
@@ -313,7 +325,12 @@ object CodecMeta {
         w -= (cl + cr) * cw
         h -= (ct + cb) * chh
       }
-      Meta(id, "h264", 0, 0, 0, 0L, 0L, w, h, profileIdc, levelIdc)
+      // a corrupt NAL can still reach here with arithmetic that went
+      // negative (oversized crop) or absurd (multiplication overflow);
+      // the contract is zero record, never confident garbage. 16384 is
+      // the level-6.2 ceiling with headroom.
+      if (w <= 0 || h <= 0 || w > 16384 || h > 16384) none(id)
+      else Meta(id, "h264", 0, 0, 0, 0L, 0L, w, h, profileIdc, levelIdc)
     } catch { case scala.util.control.NonFatal(_) => none(id) }
   }
 
@@ -372,16 +389,20 @@ object CodecMeta {
     Array[Byte](0, 0, 0, 1, 0x67) ++ w.finishRbsp()
   }
 
-  /** Dispatch on framing magic: ID3/MP3 sync+layer, ADTS sync+layer,
-    * Annex-B start code — then the matching real parser. */
+  /** Dispatch on framing magic AFTER skipping any ID3v2 tags (both
+    * MP3 and ADTS files carry them): ADTS sync+layer, MP3 sync+layer,
+    * Annex-B start code — then the matching real parser (which
+    * re-skips the tags itself; the walk is a few header bytes). */
   def parse(id: Long, p: Array[Byte]): Meta = {
     if (p == null || p.length < 4) return none(id)
-    val b1 = p(0) & 0xff; val b2 = p(1) & 0xff
-    if (p(0) == 'I' && p(1) == 'D' && p(2) == '3') parseMp3(id, p)
-    else if (b1 == 0xff && (b2 & 0xf6) == 0xf0) parseAdts(id, p)
+    val off = skipId3(p)
+    if (off + 4 > p.length) return none(id)
+    val b1 = p(off) & 0xff; val b2 = p(off + 1) & 0xff
+    if (b1 == 0xff && (b2 & 0xf6) == 0xf0) parseAdts(id, p)
     else if (b1 == 0xff && (b2 & 0xe0) == 0xe0 && ((b2 >> 1) & 0x3) == 1)
       parseMp3(id, p)
-    else if (p(0) == 0 && p(1) == 0 && (p(2) == 1 || p(2) == 0)) parseSps(id, p)
+    else if (off == 0 && p(0) == 0 && p(1) == 0 && (p(2) == 1 || p(2) == 0))
+      parseSps(id, p)
     else none(id)
   }
 

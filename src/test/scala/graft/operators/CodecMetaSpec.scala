@@ -72,4 +72,40 @@ class CodecMetaSpec extends AnyFunSuite {
     val nonSps = Array[Byte](0, 0, 0, 1, 0x65) ++ Array.fill[Byte](8)(0x22)
     assert(CodecMeta.parseSps(2L, nonSps).codec === "unknown")
   }
+
+  test("h264: corrupt geometry degrades to the zero record, never garbage dims") {
+    // type-7 NAL whose RBSP is sync-looking noise: long zero runs make
+    // ue() explode or produce absurd widths — both must yield "unknown"
+    for (fill <- Seq(0x00, 0x80, 0x41, 0x07).map(_.toByte)) {
+      val nal = Array[Byte](0, 0, 0, 1, 0x67) ++ Array.fill[Byte](24)(fill)
+      val m = CodecMeta.parseSps(1L, nal)
+      assert(m.codec === "unknown" ||
+        (m.width > 0 && m.height > 0 && m.width <= 16384 && m.height <= 16384),
+        s"fill=$fill -> ${m.codec} ${m.width}x${m.height}")
+    }
+  }
+
+  test("adts: ID3-tagged AAC dispatches to the aac parser; 7.1 maps to 8 channels") {
+    val aac = CodecMeta.adtsFrames(profile = 2, srIdx = 4, chanCfg = 7,
+      frameLen = 90, nFrames = 12)
+    val tag = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 40) ++
+      new Array[Byte](40)
+    val m = CodecMeta.parse(11L, tag ++ aac)
+    assert(m.codec === "aac" && m.sample_rate === 44100)
+    assert(m.channels === 8, "channel_configuration 7 is the 7.1 layout")
+    assert(m.n_frames === 12L)
+  }
+
+  test("mp3: ID3v2.4 footer flag and stacked tags are both skipped") {
+    val audio = CodecMeta.mp3Frames(mpeg1 = true, bitrateIdx = 9, srIdx = 0,
+      mono = false, nFrames = 7)
+    // tag with footer flag (0x10): header + 20-byte body + 10-byte footer
+    val footered = Array[Byte]('I', 'D', '3', 4, 0, 0x10, 0, 0, 0, 20) ++
+      new Array[Byte](20) ++ Array[Byte]('3', 'D', 'I', 4, 0, 0x10, 0, 0, 0, 20)
+    val m1 = CodecMeta.parse(1L, footered ++ audio)
+    assert(m1.codec === "mp3" && m1.n_frames === 7L, "footer not skipped")
+    val tag = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 10) ++ new Array[Byte](10)
+    val m2 = CodecMeta.parse(2L, tag ++ tag ++ audio)
+    assert(m2.codec === "mp3" && m2.n_frames === 7L, "stacked tags not skipped")
+  }
 }

@@ -95,25 +95,30 @@ class TopKPerKeySpec extends AnyFunSuite {
     spark.sparkContext // force the suite session first
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val s2 = SparkSession.builder()
-      .master("local[2]")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    // the strategy resolves the node without touching experimental hooks
-    assert(s2.sessionState.planner.strategies.exists(_.isInstanceOf[TopKStrategy.type]) ||
-      s2.sessionState.planner.extraPlanningStrategies.contains(TopKStrategy))
-    // and the native SQL functions are injected with no register() call:
-    // config-only deployments get the full SQL surface
-    val cos = s2.sql(
-      "SELECT cosine_similarity(array(1.0F, 0.0F), array(1.0F, 0.0F)) c")
-      .collect()(0).getDouble(0)
-    assert(math.abs(cos - 1.0) < 1e-12)
-    val id1 = s2.sql("SELECT uuid5('chunk-0-exact') u").collect()(0).getString(0)
-    assert(id1 === graft.core.Uuid5.of("chunk-0-exact"))
-    assert(s2.sql("SELECT lang_id('the of and to a in is') l")
-      .collect()(0).getString(0) === "en")
-    SparkSession.setActiveSession(spark)
-    SparkSession.setDefaultSession(spark)
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      // the strategy resolves the node without touching experimental hooks
+      assert(s2.sessionState.planner.strategies.exists(_.isInstanceOf[TopKStrategy.type]) ||
+        s2.sessionState.planner.extraPlanningStrategies.contains(TopKStrategy))
+      // and the native SQL functions are injected with no register() call:
+      // config-only deployments get the full SQL surface
+      val cos = s2.sql(
+        "SELECT cosine_similarity(array(1.0F, 0.0F), array(1.0F, 0.0F)) c")
+        .collect()(0).getDouble(0)
+      assert(math.abs(cos - 1.0) < 1e-12)
+      val id1 = s2.sql("SELECT uuid5('chunk-0-exact') u").collect()(0).getString(0)
+      assert(id1 === graft.core.Uuid5.of("chunk-0-exact"))
+      assert(s2.sql("SELECT lang_id('the of and to a in is') l")
+        .collect()(0).getString(0) === "en")
+    } finally {
+      // a failed assertion must not leave the suite session cleared for
+      // every later test in this JVM
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
   }
 }
