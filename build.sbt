@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output through raw: sbt's LoggedOutput prefixes every
+// line with "[info] ", which breaks JSON-line parsing of Bench's metrics
+// (the driver records parsed:null). StdoutOutput inherits the parent's
+// stdout/stderr verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

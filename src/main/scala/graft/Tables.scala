@@ -20,16 +20,26 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark refuses to read
-    * directly (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the legacy
-    * flag and convert to a microsecond timestamp (`ts div 1000` is exact
-    * long division — a double roundtrip would lose precision at 1.7e18).
+  /** events.ts has shipped as both TIMESTAMP(NANOS) — which Spark refuses
+    * to read directly (PARQUET_TYPE_ILLEGAL) — and plain timestamp[us],
+    * depending on testdata generation. Adapt to whichever type the scan
+    * yields: raw nanos via the legacy flag become a microsecond timestamp
+    * (`ts div 1000` is exact long division — a double roundtrip would lose
+    * precision at 1.7e18); native timestamp[us] (read as TIMESTAMP_NTZ) is
+    * cast to the session-TZ timestamp so downstream query types match the
+    * nanos path (sessions run UTC, so wall-clock == instant).
     * Sub-microsecond truncation is invisible to every query here (they
     * truncate to ≥1 s granularity or compare >30 min gaps). */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -52,11 +52,17 @@ object StreamingQueries {
       .parquet(dir)
   }
 
-  /** The events stream: same nanos handling as [[graft.Tables.events]]. */
+  /** The events stream: same ts-type adaptation as [[graft.Tables.events]]
+    * (raw-nanos long → micros; native timestamp[us] → session-TZ cast). */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tableStream(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = tableStream(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** s01: watermarked tumbling-window aggregation as a STREAM, q09's
