@@ -33,7 +33,9 @@ object Bench {
     "t21_readability", "p20_bpe_encode", "t22_mixture_sample",
     "t23_decontam_excise", "t24_wordlist_filter", "d15_incremental_dedup",
     "d16_incremental_neardedup", "a16_kmv_distinct", "q31_profile",
-    "q32_quantiles", "t27_split_assign", "p22_codec_meta")
+    "q32_quantiles", "t27_split_assign", "p22_codec_meta",
+    "q33_fuzzy_join", "q34_hopping", "q35_resample_ffill",
+    "a17_hll_merge", "t28_outliers", "p23_corpus_shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -48,7 +50,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = SparkEntry.queries
+    // SPARK_GRAFT_BENCH_ONLY=a08_ann_ivf_kmeans,a14_pca_project narrows
+    // the run for local profiling; unset = the full headline set.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = headline.filter(qs.contains)
+      .filter(n => only.forall(_.contains(n)))
 
     names.foreach { n =>
       try qs(n)(spark, "/root/testdata/sf0.001").count()

@@ -25,6 +25,7 @@ object SparkEntry {
       graft.queries.Relational4.queries ++
       graft.queries.Relational5.queries ++
       graft.queries.Relational6.queries ++
+      graft.queries.Relational7.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.CurationQueries.queries ++
       graft.queries.StreamingQueries.queries
@@ -38,6 +39,7 @@ object SparkEntry {
       graft.queries.Relational4.oracles ++
       graft.queries.Relational5.oracles ++
       graft.queries.Relational6.oracles ++
+      graft.queries.Relational7.oracles ++
       graft.queries.PipelineQueries.oracles ++
       graft.queries.CurationQueries.oracles ++
       graft.queries.StreamingQueries.oracles

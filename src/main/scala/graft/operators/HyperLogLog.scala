@@ -154,6 +154,98 @@ object HyperLogLog {
   def hllAgg(keyCol: String, prefix: String): Column =
     udaf(new HllAggregator).apply(expr(hashExpr(keyCol, prefix)))
 
+  /** Cumulative merged distinct count per ordered group (a17): for each
+    * value of `orderCol` (e.g. a day), the HLL estimate over ALL rows
+    * with orderCol ≤ that value — the sketch-MERGEABILITY contract that
+    * makes HLL the 100 TB distinct counter: per-day register vectors
+    * are element-wise-max monoids, so "distinct users ever, by day"
+    * never rescans history. Also emits the per-day (non-cumulative)
+    * estimate for contrast.
+    *
+    * Shape: one scan → (day, bucket) partial-max shuffle bounded by
+    * m·|days| rows, densified against the m-row bucket grid
+    * (broadcast), then a per-BUCKET running max over days — m
+    * independent series of |days| registers, never data rows — and a
+    * |days|-row fold. Everything is the integer [[estimate]]
+    * arithmetic, replayed by DuckDB via [[oracleCumulativeLeg]]. */
+  def cumulativeDistinct(df: DataFrame, orderCol: String, keyCol: String,
+                         prefix: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = hashExpr(keyCol, prefix)
+    val perDay = df
+      .select(col(orderCol).as("d"),
+        expr(s"$h div ${1L << LowBits}").as("bucket"),
+        expr(s"$h % ${1L << LowBits}").as("low"))
+      .groupBy(col("d"), col("bucket"))
+      .agg(max(expr(s"least(${LowBits + 1} - length(conv(low, 10, 2)), $RankCap)"))
+        .as("mr"))
+    val daily = perDay.groupBy(col("d"))
+      .agg((lit(M.toLong) - count(lit(1))).as("v"),
+        sum(expr(s"shiftleft(cast(1 as bigint), $RankCap - mr)")).as("sp"))
+    // dense m-register grid per day so a bucket last touched days ago
+    // still carries into today's merged estimate
+    val grid = perDay.select(col("d")).distinct()
+      .crossJoin(broadcast(
+        df.sparkSession.range(0, M).select(col("id").as("bucket"))))
+    val cum = grid.join(perDay, Seq("d", "bucket"), "left")
+      .withColumn("cmr", max(coalesce(col("mr"), lit(0)))
+        .over(Window.partitionBy(col("bucket")).orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("d"))
+      .agg(sum(when(col("cmr") === 0, 1L).otherwise(0L)).as("v"),
+        sum(expr(s"shiftleft(cast(1 as bigint), $RankCap - cmr)")).as("sp"))
+    // the estimate over this row's (v, sp) registers — same integer
+    // arithmetic as [[approxCountDistinct]]'s tail
+    def est: Column =
+      expr(s"""cast(case when v > 0 and ($AScaled div (sp + v * ${1L << RankCap})) <= $LcThreshold
+              |  then element_at(${lcArray("array(", ")")}, cast(v as int))
+              |  else ($AScaled div (sp + v * ${1L << RankCap})) div 16 end as bigint)"""
+        .stripMargin)
+    daily.select(col("d"), est.as("nd_day"))
+      .join(cum.select(col("d"), est.as("nd_cum")), Seq("d"))
+      .orderBy(col("d"))
+  }
+
+  /** The DuckDB replay of [[cumulativeDistinct]], as a full SELECT over
+    * `table` producing (d, nd_day, nd_cum). `dSql` renders the order
+    * column (e.g. `CAST(ts AS DATE)` pre-formatted by the caller). */
+  def oracleCumulative(table: String, dSql: String, keySql: String,
+                       prefix: String): String = {
+    val estCase = (v: String, raw: String) =>
+      s"""CAST(CASE WHEN $v > 0 AND $raw <= $LcThreshold
+         |  THEN ${lcArray("[", "]")}[CAST($v AS INT)]
+         |  ELSE $raw // 16 END AS BIGINT)""".stripMargin
+    s"""WITH hashed AS (
+       |  SELECT $dSql AS d,
+       |    ('0x' || substr(md5('$prefix|' || CAST($keySql AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM $table),
+       |perday AS (
+       |  SELECT d, h // ${1L << LowBits} AS bucket,
+       |    max(least(${LowBits + 1} - length(bin(h % ${1L << LowBits})), $RankCap)) AS mr
+       |  FROM hashed GROUP BY d, h // ${1L << LowBits}),
+       |daily AS (
+       |  SELECT d, $M - count(*) AS v,
+       |    sum(1::BIGINT << ($RankCap - mr)) AS sp
+       |  FROM perday GROUP BY d),
+       |grid AS (
+       |  SELECT dd.d, b.bucket FROM (SELECT DISTINCT d FROM perday) dd
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${M - 1})) AS bucket) b),
+       |cumreg AS (
+       |  SELECT g.d, g.bucket,
+       |    max(COALESCE(p.mr, 0)) OVER (PARTITION BY g.bucket ORDER BY g.d
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cmr
+       |  FROM grid g LEFT JOIN perday p ON g.d = p.d AND g.bucket = p.bucket),
+       |cum AS (
+       |  SELECT d, sum(CASE WHEN cmr = 0 THEN 1 ELSE 0 END) AS v,
+       |    sum(1::BIGINT << ($RankCap - cmr)) AS sp
+       |  FROM cumreg GROUP BY d)
+       |SELECT daily.d,
+       |  ${estCase("daily.v", s"($AScaled // (daily.sp + daily.v * ${1L << RankCap}))")} AS nd_day,
+       |  ${estCase("cum.v", s"($AScaled // (cum.sp + cum.v * ${1L << RankCap}))")} AS nd_cum
+       |FROM daily JOIN cum ON daily.d = cum.d
+       |ORDER BY daily.d""".stripMargin
+  }
+
   /** The DuckDB replay of one [[approxCountDistinct]] leg, as a CTE body
     * producing (rf, `outCol`). */
   def oracleLeg(table: String, groupCol: String, keyCol: String,

@@ -106,4 +106,41 @@ object Profile {
           coalesce(col("hi"), col("lo")) * col("frac")).as("pctl_u"))
       .orderBy(col(groupCol), col("p"))
   }
+
+  /** Robust outlier detection per group: rows whose deviation from the
+    * group median exceeds `factor`× the median absolute deviation
+    * (Hampel filter — the MAD is the robust σ, immune to the outliers
+    * it hunts, unlike a mean/stddev z-score which the outliers inflate).
+    *
+    * Engine-exact: with `valueMicro` an integer column, both medians
+    * come from [[exactQuantiles]]'s integer interpolation (pctl_u =
+    * 100× the interpolated median), the deviation is computed in the
+    * same ×100 units (dev100 = |100·v − med100|), and the verdict
+    * `100·dev100 > factor·mad10000` compares exact BIGINTs — no double
+    * ever appears. Magnitudes: v ≤ 2^40 micro-units keeps
+    * 100·dev100 ≤ 2^54.
+    *
+    * Cost: two [[exactQuantiles]] passes (each one shuffle + per-group
+    * sort) + one broadcast-able join of the d-row median tables back
+    * onto the scan. At 100 TB the group-median tables are |groups|-row
+    * — always broadcast; the sorts are the exact-median floor (use a
+    * sketch quantile when approximate is acceptable).
+    *
+    * Output: the outlier rows only —
+    * (group, `idCol`, v6, dev100, mad10000), deviations in the scaled
+    * units for auditability. */
+  def madOutliers(df: DataFrame, groupCol: String, idCol: String,
+                  valueMicro: Column, factor: Int = 3): DataFrame = {
+    val v = df.select(col(groupCol), col(idCol), valueMicro.as("v6"))
+    val med = exactQuantiles(v, groupCol, col("v6"), Seq(50))
+      .select(col(groupCol), col("pctl_u").as("med100"))
+    val dev = v.join(broadcast(med), groupCol)
+      .withColumn("dev100", abs(lit(100L) * col("v6") - col("med100")))
+    val mad = exactQuantiles(dev, groupCol, col("dev100"), Seq(50))
+      .select(col(groupCol), col("pctl_u").as("mad10000"))
+    dev.join(broadcast(mad), groupCol)
+      .filter(lit(100L) * col("dev100") > lit(factor.toLong) * col("mad10000"))
+      .select(col(groupCol), col(idCol), col("v6"), col("dev100"),
+        col("mad10000"))
+  }
 }

@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.operators.{FuzzyJoin, HyperLogLog, Profile, Sharding, TimeSeries}
+
+/** Seventh batch (round 5): similarity joins, event-time window
+  * variants, time-series regularization, mergeable-sketch rollups,
+  * robust outliers, and the training-export shuffle. Every query is
+  * engine-exact (integer or decimal arithmetic end to end) with a full
+  * DuckDB oracle. */
+object Relational7 {
+
+  /** q33: fuzzy self-join — customer name pairs within Levenshtein
+    * distance 1 via deletion-neighborhood blocking
+    * ([[FuzzyJoin.levenshtein1SelfJoin]]); the oracle replays the n²
+    * definition directly (viable at sf0.01; the blocked plan is the
+    * point at scale). */
+  def q33FuzzyJoin(spark: SparkSession, dir: String): DataFrame =
+    FuzzyJoin.levenshtein1SelfJoin(
+        customer(spark, dir).select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name")
+      .orderBy(col("ida"), col("idb"))
+
+  /** q34: hopping event-time windows in batch — 1-hour windows sliding
+    * every 15 minutes (each event lands in 4 windows; Spark's Expand
+    * fans rows out BEFORE the aggregate, so partial aggregation still
+    * runs map-side). Decimal sum in the q09 convention. */
+  def q34Hopping(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double")
+          .as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** q35: gap-fill + forward-fill resampling of each event_type's value
+    * series onto a 15-minute grid ([[TimeSeries.resampleFfill]]);
+    * values in exact micro-units so the carried observation is
+    * bit-identical in both engines. */
+  def q35ResampleFfill(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.resampleFfill(
+        events(spark, dir).select(col("event_type"), col("ts"),
+          col("event_id"),
+          expr("cast(round(value * 1000000) as bigint)").as("v6")),
+        "event_type", "ts", "event_id", "v6", stepSec = 900L)
+      .withColumnRenamed("k", "event_type")
+      .orderBy(col("event_type"), col("bucket_ts"))
+
+  /** a17: mergeable-sketch rollup — distinct users per day AND
+    * cumulative-through-day from ONE pass of per-day HLL register
+    * vectors ([[HyperLogLog.cumulativeDistinct]]): the register monoid
+    * is why 100 TB "distinct ever, by day" never rescans history. */
+  def a17HllMerge(spark: SparkSession, dir: String): DataFrame =
+    HyperLogLog.cumulativeDistinct(
+        events(spark, dir).select(
+          date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id")),
+        "day", "user_id", "u5")
+      .withColumnRenamed("d", "day")
+
+  /** t28: Hampel outliers — events whose value deviates from the
+    * event_type median by more than 3× the median absolute deviation,
+    * in exact scaled integers throughout ([[Profile.madOutliers]]). */
+  def t28Outliers(spark: SparkSession, dir: String): DataFrame =
+    Profile.madOutliers(
+        events(spark, dir).select(col("event_type"), col("event_id"),
+          expr("cast(round(value * 1000000) as bigint)").as("v6")),
+        "event_type", "event_id", col("v6"), factor = 3)
+      .orderBy(col("event_type"), col("event_id"))
+
+  /** p23: the training-export shuffle — deterministic salted-md5
+    * pseudorandom order, 16 shards, per-shard positions
+    * ([[Sharding.corpusShuffle]]); no global sort anywhere. */
+  def p23CorpusShuffle(spark: SparkSession, dir: String): DataFrame =
+    Sharding.corpusShuffle(documents(spark, dir).select(col("doc_id")),
+        "doc_id", nShards = 16, salt = "r5")
+      .orderBy(col("shard"), col("pos"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_fuzzy_join"      -> q33FuzzyJoin _,
+    "q34_hopping"         -> q34Hopping _,
+    "q35_resample_ffill"  -> q35ResampleFfill _,
+    "a17_hll_merge"       -> a17HllMerge _,
+    "t28_outliers"        -> t28Outliers _,
+    "p23_corpus_shuffle"  -> p23CorpusShuffle _)
+
+  /** The interpolated-median CTE pair of the q32 convention: median of
+    * `vcol` per group `g` from table `src`, output (g, `outCol`) with
+    * the ×100 interpolation scale. */
+  private def medianCte(src: String, vcol: String, outCol: String): String =
+    s"""SELECT g, lo * (100 - frac) + COALESCE(hi, lo) * frac AS $outCol
+       |FROM (
+       |  SELECT g, (50 * (n - 1)) % 100 AS frac,
+       |    min(CASE WHEN rn = (50 * (n - 1)) // 100 + 1 THEN $vcol END) AS lo,
+       |    max(CASE WHEN rn = (50 * (n - 1)) // 100 + 2 THEN $vcol END) AS hi
+       |  FROM (
+       |    SELECT g, $vcol,
+       |      row_number() OVER (PARTITION BY g ORDER BY $vcol) AS rn,
+       |      count(*) OVER (PARTITION BY g) AS n
+       |    FROM $src)
+       |  WHERE rn = (50 * (n - 1)) // 100 + 1 OR rn = (50 * (n - 1)) // 100 + 2
+       |  GROUP BY g, (50 * (n - 1)) % 100)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q33_fuzzy_join" ->
+      """SELECT ida, idb, dist FROM (
+        |  SELECT a.c_custkey AS ida, b.c_custkey AS idb,
+        |    CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey)
+        |WHERE dist <= 1 ORDER BY ida, idb""".stripMargin,
+    "q34_hopping" ->
+      """WITH e AS (SELECT (epoch_us(ts) // 900000000 - j) * 900 AS ws,
+        |    event_type, value
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j))
+        |SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S')
+        |    AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |    AS sum_value
+        |FROM e GROUP BY ws, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q35_resample_ffill" ->
+      """WITH b AS (SELECT event_type AS k,
+        |    (epoch_us(ts) // 900000000) * 900 AS bucket, ts, event_id,
+        |    CAST(round(value * 1000000) AS BIGINT) AS v6 FROM events),
+        |per AS (SELECT k, bucket, count(*) AS n_obs FROM b GROUP BY k, bucket),
+        |lastv AS (SELECT k, bucket, v6 FROM (
+        |    SELECT k, bucket, v6, row_number() OVER (PARTITION BY k, bucket
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM b) WHERE rn = 1),
+        |bounds AS (SELECT k, min(bucket) AS b0, max(bucket) AS b1
+        |  FROM b GROUP BY k),
+        |grid AS (SELECT k, unnest(generate_series(b0, b1, 900)) AS bucket
+        |  FROM bounds),
+        |filled AS (SELECT g.k, g.bucket, COALESCE(p.n_obs, 0) AS n_obs,
+        |    last_value(l.v6 IGNORE NULLS) OVER (PARTITION BY g.k
+        |      ORDER BY g.bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_last
+        |  FROM grid g LEFT JOIN per p ON g.k = p.k AND g.bucket = p.bucket
+        |  LEFT JOIN lastv l ON g.k = l.k AND g.bucket = l.bucket)
+        |SELECT k AS event_type,
+        |  strftime(make_timestamp(bucket * 1000000), '%Y-%m-%d %H:%M:%S')
+        |    AS bucket_ts,
+        |  n_obs, v_last
+        |FROM filled ORDER BY event_type, bucket_ts""".stripMargin,
+    "a17_hll_merge" -> HyperLogLog.oracleCumulative(
+        "events", "strftime(ts, '%Y-%m-%d')", "user_id", "u5")
+      .replaceFirst("SELECT daily\\.d,", "SELECT daily.d AS day,"),
+    "t28_outliers" ->
+      s"""WITH v AS (SELECT event_type AS g, event_id,
+         |    CAST(round(value * 1000000) AS BIGINT) AS v6 FROM events),
+         |med AS (${medianCte("v", "v6", "med100")}),
+         |d AS (SELECT v.g, v.event_id, v.v6,
+         |    abs(100 * v.v6 - med.med100) AS dev100
+         |  FROM v JOIN med ON v.g = med.g),
+         |mad AS (${medianCte("d", "dev100", "mad10000")})
+         |SELECT d.g AS event_type, d.event_id, d.v6, d.dev100, mad.mad10000
+         |FROM d JOIN mad ON d.g = mad.g
+         |WHERE 100 * d.dev100 > 3 * mad.mad10000
+         |ORDER BY event_type, event_id""".stripMargin,
+    "p23_corpus_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |    ('0x' || substr(md5('r5|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hk
+        |  FROM documents)
+        |SELECT doc_id, hk % 16 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY hk % 16 ORDER BY hk, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM k ORDER BY shard, pos""".stripMargin)
+}
