@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics: ordered funnels and cohort retention —
+  * the two standard product-analytics queries over an event stream,
+  * in exact integer arithmetic (counts and timestamp comparisons
+  * only; nothing floats).
+  */
+object Analytics {
+
+  /** Strict-order funnel: for each stage i, the number of users with a
+    * qualifying event chain e_1 < e_2 < … < e_i where e_1 is the
+    * user's EARLIEST stage-1 event, each later stage is the earliest
+    * qualifying event strictly after the previous stage, and every
+    * stage lands within `windowSec` of e_1 (the classic
+    * first-touch-anchored conversion window).
+    *
+    * Earliest-qualifying is the standard greedy semantics: taking the
+    * earliest event at every stage never forecloses a later stage
+    * (any valid chain's stage-i event is ≥ the greedy one), so the
+    * count per stage is maximal — FunnelSpec pins this against
+    * hand-built chains.
+    *
+    * Shape: one narrow (user, stage-hits) aggregate per stage — each
+    * pass groups the stage's events by user (map-side combined min)
+    * and broadcast-or-shuffle joins the ≤|users|-row frontier, so k
+    * stages cost k bounded aggregates over single-stage slices, not a
+    * per-user event-sequence sort. At 100 TB the frontier table
+    * (|users| rows) is the only state carried between stages.
+    *
+    * Output: (stage_idx 1.., stage, n_users), one row per stage. */
+  def funnelCounts(events: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, stages: Seq[String],
+                   windowSec: Long): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select(col(userCol).as("u"), col(typeCol).as("et"),
+      col(tsCol).as("ts"))
+    // frontier after stage 1: (u, t1, tprev = t1)
+    var frontier = ev.filter(col("et") === stages.head)
+      .groupBy(col("u")).agg(min(col("ts")).as("t1"))
+      .withColumn("tprev", col("t1"))
+    val counts = Seq.newBuilder[(Long, String, Long)]
+    counts += ((1L, stages.head, frontier.count()))
+    stages.zipWithIndex.drop(1).foreach { case (s, i) =>
+      frontier = ev.filter(col("et") === s)
+        .join(frontier, Seq("u"))
+        .filter(col("ts") > col("tprev") &&
+          col("ts") <= col("t1") + expr(s"INTERVAL $windowSec SECONDS"))
+        .groupBy(col("u"), col("t1")).agg(min(col("ts")).as("tprev"))
+      // one count() per stage: the frontier is the next stage's input
+      // anyway, and the count is a |users|-bounded aggregate
+      counts += ((i + 1L, s, frontier.count()))
+    }
+    counts.result().toDF("stage_idx", "stage", "n_users")
+  }
+
+  /** Cohort retention: users grouped by the calendar day of their first
+    * event; for each (cohort day, day offset ≤ `maxOffsetDays`) the
+    * number of cohort users active on cohort+offset. All exact —
+    * distinct (user, day) pairs, then a count per (cohort, offset)
+    * (the pair is unique, so count(*) IS the distinct-user count).
+    *
+    * Shape: one (user) aggregate for cohorts, one (user, day) distinct,
+    * one join on the user key, one bounded groupBy — at 100 TB the
+    * cohort table is |users| rows and the output is
+    * |days|·`maxOffsetDays` rows.
+    *
+    * Output: (cohort_day 'yyyy-MM-dd', day_offset, n_active). */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      maxOffsetDays: Int): DataFrame = {
+    val ev = events.select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+    val cohorts = ev.groupBy(col("u")).agg(min(col("d")).as("c"))
+    ev.distinct()
+      .join(cohorts, Seq("u"))
+      .withColumn("day_offset", datediff(col("d"), col("c")).cast("long"))
+      .filter(col("day_offset") <= maxOffsetDays)
+      .groupBy(col("c"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .select(date_format(col("c"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_active"))
+  }
+}

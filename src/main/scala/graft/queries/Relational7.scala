@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.operators.{FuzzyJoin, HyperLogLog, Profile, Sharding, TimeSeries}
+import graft.operators.{Analytics, FuzzyJoin, HyperLogLog, Profile, Sharding, TimeSeries}
 
 /** Seventh batch (round 5): similarity joins, event-time window
   * variants, time-series regularization, mergeable-sketch rollups,
@@ -82,13 +82,46 @@ object Relational7 {
         "doc_id", nShards = 16, salt = "r5")
       .orderBy(col("shard"), col("pos"))
 
+  /** q36: strict-order conversion funnel view → click → purchase,
+    * anchored at first view, 7-day window ([[Analytics.funnelCounts]]).
+    * Pure counts and timestamp comparisons — nothing floats. */
+  def q36Funnel(spark: SparkSession, dir: String): DataFrame =
+    Analytics.funnelCounts(events(spark, dir), "user_id", "event_type",
+      "ts", Seq("view", "click", "purchase"), windowSec = 604800L)
+
+  /** q37: cohort retention — users by first-event day, active counts at
+    * day offsets 0..7 ([[Analytics.cohortRetention]]). */
+  def q37Retention(spark: SparkSession, dir: String): DataFrame =
+    Analytics.cohortRetention(events(spark, dir), "user_id", "ts",
+        maxOffsetDays = 7)
+      .orderBy(col("cohort_day"), col("day_offset"))
+
+  /** a18: approximate quantiles from a DETERMINISTIC hash sample — rows
+    * whose salted md5 falls under 2⁶⁰/8 (≈12.5%), exact interpolated
+    * quantiles on the sample ([[Profile.exactQuantiles]]). The sample
+    * predicate is a pure function of the row key: order-free,
+    * partition-invariant, MERGEABLE (a union's sample is the union of
+    * samples) — the sketch-family answer when q32's exact per-group
+    * sort is too hot and a ~1/√(pn) rank error is acceptable. */
+  def a18SampleQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val h = HyperLogLog.hashExpr("concat(l_orderkey, '-', l_linenumber)", "qs")
+    Profile.exactQuantiles(
+      lineitem(spark, dir).filter(expr(s"$h < ${1L << 57}")),
+      "l_returnflag",
+      round(col("l_extendedprice") * 1000000L).cast("long"),
+      Seq(50, 90, 99))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_fuzzy_join"      -> q33FuzzyJoin _,
     "q34_hopping"         -> q34Hopping _,
     "q35_resample_ffill"  -> q35ResampleFfill _,
     "a17_hll_merge"       -> a17HllMerge _,
     "t28_outliers"        -> t28Outliers _,
-    "p23_corpus_shuffle"  -> p23CorpusShuffle _)
+    "p23_corpus_shuffle"  -> p23CorpusShuffle _,
+    "q36_funnel"          -> q36Funnel _,
+    "q37_retention"       -> q37Retention _,
+    "a18_sample_quantiles" -> a18SampleQuantiles _)
 
   /** The interpolated-median CTE pair of the q32 convention: median of
     * `vcol` per group `g` from table `src`, output (g, `outCol`) with
@@ -163,6 +196,56 @@ object Relational7 {
          |FROM d JOIN mad ON d.g = mad.g
          |WHERE 100 * d.dev100 > 3 * mad.mad10000
          |ORDER BY event_type, event_id""".stripMargin,
+    "q36_funnel" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id AS u, s1.t1, min(e.ts) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.u
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 604800 SECOND
+        |  GROUP BY e.user_id, s1.t1),
+        |s3 AS (SELECT e.user_id AS u
+        |  FROM events e JOIN s2 ON e.user_id = s2.u
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s2.t1 + INTERVAL 604800 SECOND
+        |  GROUP BY e.user_id)
+        |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+        |  CAST(n_users AS BIGINT) AS n_users
+        |FROM (VALUES
+        |  (1, 'view', (SELECT count(*) FROM s1)),
+        |  (2, 'click', (SELECT count(*) FROM s2)),
+        |  (3, 'purchase', (SELECT count(*) FROM s3)))
+        |  t(stage_idx, stage, n_users)
+        |ORDER BY stage_idx""".stripMargin,
+    "q37_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |c AS (SELECT u, min(d) AS cd FROM ev GROUP BY u)
+        |SELECT strftime(c.cd, '%Y-%m-%d') AS cohort_day,
+        |  CAST(date_diff('day', c.cd, ev.d) AS BIGINT) AS day_offset,
+        |  count(*) AS n_active
+        |FROM ev JOIN c ON ev.u = c.u
+        |WHERE date_diff('day', c.cd, ev.d) <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a18_sample_quantiles" ->
+      s"""WITH r AS (SELECT l_returnflag AS g,
+         |    CAST(round(l_extendedprice * 1000000) AS BIGINT) AS v6
+         |  FROM lineitem
+         |  WHERE ('0x' || substr(md5('qs|' || CAST(l_orderkey AS VARCHAR)
+         |    || '-' || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+         |    < ${1L << 57}),
+         |rk AS (SELECT g, v6, row_number() OVER (PARTITION BY g ORDER BY v6) AS rn,
+         |    count(*) OVER (PARTITION BY g) AS n FROM r),
+         |j AS (SELECT g, p, (p * (n - 1)) // 100 AS k, (p * (n - 1)) % 100 AS frac,
+         |    rn, v6
+         |  FROM rk CROSS JOIN (VALUES (50), (90), (99)) AS ps(p)
+         |  WHERE rn = (p * (n - 1)) // 100 + 1 OR rn = (p * (n - 1)) // 100 + 2),
+         |a AS (SELECT g, p, frac,
+         |    min(CASE WHEN rn = k + 1 THEN v6 END) AS lo,
+         |    max(CASE WHEN rn = k + 2 THEN v6 END) AS hi
+         |  FROM j GROUP BY g, p, frac)
+         |SELECT g AS l_returnflag, p, lo * (100 - frac) + COALESCE(hi, lo) * frac AS pctl_u
+         |FROM a ORDER BY l_returnflag, p""".stripMargin,
     "p23_corpus_shuffle" ->
       """WITH k AS (SELECT doc_id,
         |    ('0x' || substr(md5('r5|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hk
