@@ -44,8 +44,11 @@ object FuzzyJoin {
     * distance. Output: (`a`, `b`, `dist`), ordered by caller. */
   def levenshtein1SelfJoin(df: DataFrame, idCol: String, strCol: String)
   : DataFrame = {
+    // null strings have no edit distance to anything: excluded up front
+    // (explode of a null key array would drop them silently anyway —
+    // this makes the contract explicit)
     val base = df.select(col(idCol).cast("long").as("__id"),
-      col(strCol).as("__s"))
+      col(strCol).as("__s")).filter(col("__s").isNotNull)
     // id + every single-deletion variant, hashed; array_distinct guards
     // strings with repeated characters (del_i == del_j) from emitting
     // duplicate keys and inflating the block join

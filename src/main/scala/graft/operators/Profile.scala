@@ -89,6 +89,9 @@ object Profile {
     val w = Window.partitionBy(col(groupCol))
     val ranked = df
       .select(col(groupCol), valueMicro.as("v6"))
+      // null values would sort first and shift every rank: a quantile
+      // over the non-null population is the only well-defined reading
+      .filter(col("v6").isNotNull)
       .withColumn("rn", row_number().over(w.orderBy(col("v6"))).cast("long"))
       .withColumn("n", count(lit(1)).over(w))
     val ps = broadcast(

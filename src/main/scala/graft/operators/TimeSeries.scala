@@ -36,6 +36,9 @@ object TimeSeries {
     val bucketed = df.select(col(keyCol).as("k"),
         (floor(unix_timestamp(col(tsCol)) / step) * step).as("bucket"),
         col(tsCol).as("ts"), col(idCol).as("id"), col(valueCol).as("v"))
+      // a null timestamp has no bucket; letting it through would create
+      // a null grid bound and poison the key's whole sequence()
+      .filter(col("bucket").isNotNull)
       // last observation per bucket: struct max orders by (ts, id, v);
       // id is unique per row so v never decides the max — the winner is
       // the latest (ts, id), engine-reproducible

@@ -36,7 +36,10 @@ object PlanReport {
       "a06_approx_distinct",
       "d16_incremental_neardedup", "a16_kmv_distinct", "q31_profile",
       "q32_quantiles", "t27_split_assign", "t25_countmin_heavy",
-      "p22_codec_meta")
+      "p22_codec_meta",
+      "q33_fuzzy_join", "q34_hopping", "q35_resample_ffill",
+      "a17_hll_merge", "t28_outliers", "p23_corpus_shuffle",
+      "q36_funnel", "q37_retention", "a18_sample_quantiles")
     sb.append("\n## Physical plans (executed, AQE final)\n")
     planQueries.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
@@ -261,6 +264,85 @@ object PlanReport {
       m1.unpersist(false); m10.unpersist(false)
     }
 
+    locally {
+      // round-5 operators. events ×10 = 10× the users (ids shifted), the
+      // same calendar span — so grid-bounded operators (resample, HLL
+      // rollup) should hold near-flat slopes while per-row ones scale
+      // linearly
+      val ev = graft.Tables.events(spark, dir).cache(); ev.count()
+      val ev10 = ev.crossJoin(spark.range(10).toDF("c"))
+        .select((col("event_id") * 10 + col("c")).as("event_id"),
+          col("ts"), (col("user_id") * 10 + col("c")).as("user_id"),
+          col("event_type"), col("value")).cache()
+      ev10.count()
+      val cust = graft.Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name")).cache()
+      cust.count()
+      // ×10 names append the copy digit TWICE: copies of one base differ
+      // in 2 chars (excluded at k=1), so the true pair set scales ×10
+      // rather than exploding quadratically across copies
+      val cust10 = cust.crossJoin(spark.range(10).toDF("c"))
+        .select((col("c_custkey") * 10 + col("c")).as("c_custkey"),
+          concat(col("c_name"), col("c"), col("c")).as("c_name")).cache()
+      cust10.count()
+      row("fuzzy join (deletion-key blocking)",
+        graft.operators.FuzzyJoin.levenshtein1SelfJoin(
+          cust, "c_custkey", "c_name").count(),
+        graft.operators.FuzzyJoin.levenshtein1SelfJoin(
+          cust10, "c_custkey", "c_name").count())
+      row("hopping windows (4-way Expand agg)",
+        ev.groupBy(window(col("ts"), "1 hour", "15 minutes"),
+          col("event_type")).agg(count(lit(1))).count(),
+        ev10.groupBy(window(col("ts"), "1 hour", "15 minutes"),
+          col("event_type")).agg(count(lit(1))).count())
+      def v6(d: org.apache.spark.sql.DataFrame) = d.select(col("event_type"),
+        col("ts"), col("event_id"),
+        expr("cast(round(value * 1000000) as bigint)").as("v6"))
+      row("resample + ffill (grid-bounded windows)",
+        graft.operators.TimeSeries.resampleFfill(v6(ev), "event_type",
+          "ts", "event_id", "v6", 900L).count(),
+        graft.operators.TimeSeries.resampleFfill(v6(ev10), "event_type",
+          "ts", "event_id", "v6", 900L).count())
+      def byDay(d: org.apache.spark.sql.DataFrame) = d.select(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      row("HLL merge rollup (m-bounded grid)",
+        graft.operators.HyperLogLog.cumulativeDistinct(
+          byDay(ev), "day", "user_id", "u5").count(),
+        graft.operators.HyperLogLog.cumulativeDistinct(
+          byDay(ev10), "day", "user_id", "u5").count())
+      def tv(d: org.apache.spark.sql.DataFrame) = d.select(col("event_type"),
+        col("event_id"), expr("cast(round(value * 1000000) as bigint)").as("v6"))
+      row("MAD outliers (two quantile passes)",
+        graft.operators.Profile.madOutliers(tv(ev), "event_type",
+          "event_id", col("v6"), 3).count(),
+        graft.operators.Profile.madOutliers(tv(ev10), "event_type",
+          "event_id", col("v6"), 3).count())
+      row("corpus shuffle + sharding (per-shard rank)",
+        graft.operators.Sharding.corpusShuffle(
+          docs.select("doc_id"), "doc_id", 16, "s").count(),
+        graft.operators.Sharding.corpusShuffle(
+          docs10.select("doc_id"), "doc_id", 16, "s").count())
+      row("funnel (frontier-bounded stages)",
+        graft.operators.Analytics.funnelCounts(ev, "user_id", "event_type",
+          "ts", Seq("view", "click", "purchase"), 604800L).count(),
+        graft.operators.Analytics.funnelCounts(ev10, "user_id", "event_type",
+          "ts", Seq("view", "click", "purchase"), 604800L).count())
+      row("cohort retention (distinct user-days)",
+        graft.operators.Analytics.cohortRetention(ev, "user_id", "ts", 7).count(),
+        graft.operators.Analytics.cohortRetention(ev10, "user_id", "ts", 7).count())
+      val sampPred = graft.operators.HyperLogLog.hashExpr(
+        "concat(l_orderkey, '-', l_linenumber)", "qs") + s" < ${1L << 57}"
+      row("hash-sampled quantiles (1/8 sample)",
+        graft.operators.Profile.exactQuantiles(li.filter(expr(sampPred)),
+          "l_returnflag", round(col("l_extendedprice") * 1000000L).cast("long"),
+          Seq(50, 90, 99)).count(),
+        graft.operators.Profile.exactQuantiles(li10.filter(expr(sampPred)),
+          "l_returnflag", round(col("l_extendedprice") * 1000000L).cast("long"),
+          Seq(50, 90, 99)).count())
+      ev.unpersist(false); ev10.unpersist(false)
+      cust.unpersist(false); cust10.unpersist(false)
+    }
+
     sb.append(
       """
         |The minhash 10× slope is result growth, not wasted candidate work:
@@ -277,6 +359,17 @@ object PlanReport {
         |is a pure map over the corpus: its slope is row count, dominated at
         |1× by job overhead. Cluster propagation, domain mixture, and
         |unigram scoring — fixed-round shuffles on bounded keys — hold ~2×.
+        |
+        |The fuzzy-join slope is, like minhash, mostly TRUE-PAIR growth: digit-
+        |structured names put ~10 single-substitution neighbors in every
+        |deletion block, so the ×10 corpus carries ~10× the real distance-1
+        |pairs (~2.6M), and the block join's output is within a small constant
+        |of that true pair set (every emitted candidate IS a true pair here —
+        |the exact filter removes only hash flukes). The grid-bounded round-5
+        |operators behave as designed: resample+ffill (1.8×) and the HLL merge
+        |rollup (3.0×) are bounded by grid/register size, not event rows;
+        |funnel and retention (~2.6×) carry only |users|-row frontiers; the
+        |corpus shuffle (0.9×) is one hash projection + per-shard rank.
         |""".stripMargin)
 
     // hot-bucket guard: adversarial boilerplate cluster

@@ -68,6 +68,13 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(pairs(corpus) === brute(corpus))
   }
 
+  test("null strings are excluded, not joined") {
+    val df = Seq((1L, "abc"), (2L, "abd"), (3L, null))
+      .toDF("id", "s")
+    val got = FuzzyJoin.levenshtein1SelfJoin(df, "id", "s").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+  }
+
   test("plan has no cartesian product") {
     val df = (1 to 50).map(i => (i.toLong, s"str$i")).toDF("id", "s")
     val p = FuzzyJoin.levenshtein1SelfJoin(df, "id", "s")

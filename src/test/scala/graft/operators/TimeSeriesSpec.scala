@@ -52,6 +52,17 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.head.getLong(2) === 3L)
   }
 
+  test("null timestamps are dropped, not bucketed") {
+    val rows = Seq(
+      ("K", ts("2024-01-01 00:00:00"), 1L, 5L),
+      ("K", null.asInstanceOf[Timestamp], 2L, 6L))
+      .toDF("k", "ts", "id", "v")
+    val got = TimeSeries.resampleFfill(rows, "k", "ts", "id", "v", 900L)
+      .collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(3) === 5L)
+  }
+
   test("long gap carries the same value across every missing bucket") {
     val rows = Seq(
       ("G", ts("2024-01-01 00:00:00"), 1L, 5L),
