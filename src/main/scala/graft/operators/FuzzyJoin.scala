@@ -41,8 +41,22 @@ import org.apache.spark.sql.functions._
 object FuzzyJoin {
 
   /** Pairs (id_a < id_b) with levenshtein(str_a, str_b) ≤ 1, plus the
-    * distance. Output: (`a`, `b`, `dist`), ordered by caller. */
-  def levenshtein1SelfJoin(df: DataFrame, idCol: String, strCol: String)
+    * distance. Output: (`ida`, `idb`, `dist`), ordered by caller.
+    *
+    * `maxBlockDf` is the hot-block guard (the d03 hot-bucket pattern):
+    * a block shared by B rows expands to B²/2 candidates, and the one
+    * way a deletion block gets huge is a giant cluster of identical or
+    * near-identical strings. Blocks over the cap collapse to min-id
+    * star links — each member pairs with the block's minimum id only,
+    * O(B) not O(B²). When the cap triggers, the output is
+    * DEDUP-GRADE: the duplicate cluster stays connected through its
+    * representative (what cluster formation — d08 — consumes), but the
+    * exhaustive pair list inside the hot cluster is not enumerated;
+    * that list is itself Θ(B²) and no algorithm could emit it any
+    * smaller. Pass `None` for the strict enumerate-every-pair
+    * contract. */
+  def levenshtein1SelfJoin(df: DataFrame, idCol: String, strCol: String,
+                           maxBlockDf: Option[Int] = Some(1000))
   : DataFrame = {
     // null strings have no edit distance to anything: excluded up front
     // (explode of a null key array would drop them silently anyway —
@@ -59,10 +73,26 @@ object FuzzyJoin {
           |                ELSE concat(substring(__s, 1, i - 1),
           |                            substring(__s, i + 1)) END))"""
           .stripMargin))).as("hk"))
-    val cand = keys.as("l").join(keys.as("r"), col("l.hk") === col("r.hk"))
-      .filter(col("l.__id") < col("r.__id"))
-      .select(col("l.__id").as("ida"), col("r.__id").as("idb"))
-      .distinct()
+    val cand = (maxBlockDf match {
+      case Some(cap) =>
+        // per-block pair expansion over the sorted member list: same
+        // volume as the self-join below the cap, min-id star above it
+        keys.groupBy(col("hk"))
+          .agg(sort_array(collect_list(col("__id"))).as("ids"))
+          .filter(size(col("ids")) >= 2)
+          .select(explode(when(size(col("ids")) <= cap,
+              expr("""flatten(transform(ids, (x, i) ->
+                     |  transform(slice(ids, i + 2, size(ids)), y ->
+                     |    struct(x AS ida, y AS idb))))""".stripMargin))
+            .otherwise(
+              expr("""transform(slice(ids, 2, size(ids) - 1), y ->
+                     |  struct(ids[0] AS ida, y AS idb))""".stripMargin))).as("p"))
+          .select(col("p.ida"), col("p.idb"))
+      case None =>
+        keys.as("l").join(keys.as("r"), col("l.hk") === col("r.hk"))
+          .filter(col("l.__id") < col("r.__id"))
+          .select(col("l.__id").as("ida"), col("r.__id").as("idb"))
+    }).distinct()
     cand
       .join(base.select(col("__id").as("ida"), col("__s").as("sa")), Seq("ida"))
       .join(base.select(col("__id").as("idb"), col("__s").as("sb")), Seq("idb"))

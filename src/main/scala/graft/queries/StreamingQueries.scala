@@ -211,6 +211,27 @@ object StreamingQueries {
     awaitMemorySink(est, "complete").orderBy(col("event_type"))
   }
 
+  /** s09: HOPPING windows as a STREAM — q34's 1-hour/15-minute sliding
+    * windows under a watermark; the Expand (4 windows per event)
+    * happens before the stateful aggregation, so window state stays
+    * bounded by the watermark exactly as in the tumbling case.
+    * Complete mode + single replay ⇒ equals batch q34; the oracle is
+    * q34's SQL verbatim. */
+  def streamHopping(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(DecimalType(18, 6))), 2)
+          .cast("double").as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    awaitMemorySink(agg, "complete")
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_hourly"   -> streamHourly _,
     "s02_stream_dedup"    -> streamDedup _,
@@ -219,7 +240,8 @@ object StreamingQueries {
     "s05_stream_embed"    -> streamEmbedPipeline _,
     "s06_stream_approx_distinct" -> streamApproxDistinct _,
     "s07_stream_neardedup" -> streamNearDedup _,
-    "s08_stream_kmv"      -> streamKmvDistinct _)
+    "s08_stream_kmv"      -> streamKmvDistinct _,
+    "s09_stream_hopping"  -> streamHopping _)
 
   def oracles: Map[String, String] = Map(
     // s01 == the batch q09 contract: one bounded replay delivers every
@@ -276,6 +298,9 @@ object StreamingQueries {
          |SELECT grp AS event_type, kmv_users
          |FROM est ORDER BY event_type""".stripMargin
     },
+    // s09 == batch q34: one replay delivers every event on time, so the
+    // watermark holds back no hopping window
+    "s09_stream_hopping" -> Relational7.oracles("q34_hopping"),
     "s03_stream_sessions" ->
       """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts FROM events),
         |flagged AS (SELECT user_id, ts,

@@ -172,4 +172,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query tables must broadcast:\n$p")
   }
+
+  test("p23: shard ranks window per shard — no single-partition exchange") {
+    val p = plan("p23_corpus_shuffle")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global row_number would bottleneck one partition:\n$p")
+    assert(p.contains("Window"), s"expected the per-shard rank window:\n$p")
+  }
+
+  test("q35: ffill windows partition by series key, never globally") {
+    val p = plan("q35_resample_ffill")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"a global ffill window would serialize the grid:\n$p")
+  }
+
+  test("q33: fuzzy join plans without a cartesian product on real data") {
+    val p = plan("q33_fuzzy_join")
+    assert(!p.contains("CartesianProduct"),
+      s"deletion-key blocking degenerated to n²:\n$p")
+  }
+
+  test("t28: MAD median tables broadcast back onto the scan") {
+    val p = plan("t28_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"group-median tables must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the medians join must not shuffle the events:\n$p")
+  }
 }

@@ -68,6 +68,30 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(pairs(corpus) === brute(corpus))
   }
 
+  test("guarded path == unguarded path below the cap") {
+    val corpus = (0 until 80).map(i => (i.toLong, s"base${i / 4}x$i"))
+    val guarded = FuzzyJoin.levenshtein1SelfJoin(
+      corpus.toDF("id", "s"), "id", "s", maxBlockDf = Some(1000))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val strict = FuzzyJoin.levenshtein1SelfJoin(
+      corpus.toDF("id", "s"), "id", "s", maxBlockDf = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(guarded === strict)
+  }
+
+  test("hot block collapses to a connected min-id star, linear output") {
+    // 500 identical strings: strict contract would enumerate ~125k
+    // pairs; the guard emits the 499 star links, all still verified
+    // dist 0, all connected through the representative
+    val hot = (0 until 500).map(i => (i.toLong, "identical boilerplate"))
+    val out = FuzzyJoin.levenshtein1SelfJoin(
+      hot.toDF("id", "s"), "id", "s", maxBlockDf = Some(100)).collect()
+    assert(out.length === 499)
+    assert(out.forall(r => r.getLong(0) === 0L))   // star center = min id
+    assert(out.forall(r => r.getLong(2) === 0L))
+    assert(out.map(_.getLong(1)).toSet === (1L until 500L).toSet)
+  }
+
   test("null strings are excluded, not joined") {
     val df = Seq((1L, "abc"), (2L, "abd"), (3L, null))
       .toDF("id", "s")
