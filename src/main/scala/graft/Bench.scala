@@ -36,7 +36,8 @@ object Bench {
     "q32_quantiles", "t27_split_assign", "p22_codec_meta",
     "q33_fuzzy_join", "q34_hopping", "q35_resample_ffill",
     "a17_hll_merge", "t28_outliers", "p23_corpus_shuffle",
-    "q36_funnel", "q37_retention", "a18_sample_quantiles")
+    "q36_funnel", "q37_retention", "a18_sample_quantiles",
+    "g01_pagerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

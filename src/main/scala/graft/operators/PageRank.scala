@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative PageRank (Brin & Page 1998) in ENGINE-EXACT integer
+  * arithmetic: ranks live as integer mass in units of `Scale`⁻¹, every
+  * per-edge contribution is one floor division `p div outdeg`, and the
+  * damping step is integer `(d·Σ) div 100` — so a SQL engine replaying
+  * the same fixed iteration count reproduces every rank bit for bit
+  * (the a12/a14 quantization principle applied to an ITERATIVE
+  * algorithm; floor-truncated mass is deterministically lost rather
+  * than float-smeared).
+  *
+  * Scale posture: each iteration is one join of the rank vector onto
+  * the edge list (both partitioned by src — AQE keeps the exchange
+  * reused) + one groupBy(dst) with map-side partial sums: k iterations
+  * = k bounded shuffles of |V|-row vectors and |E|-row contributions,
+  * the textbook Pregel cost, with no driver-side state at all (the
+  * per-node seed `Scale div |V|` rides as a scalar subquery, not a
+  * collected literal). Convergence is the caller's k — fixed k is what
+  * makes the run replayable.
+  */
+object PageRank {
+
+  /** Rank unit: ranks sum to ≈ Scale (minus deterministic floor loss). */
+  val Scale: Long = 1000000000000L
+
+  /** k iterations of damped PageRank over a DIRECTED edge list
+    * (`srcCol`, `dstCol`); callers wanting the undirected reading pass
+    * both edge directions. Every node must have outdegree ≥ 1 (no
+    * dangling-mass handling — union the reverse edges to guarantee it,
+    * as the bipartite caller does). Output: (id, rank_scaled). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int, dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    // per-node seed and teleport base as a broadcast scalar: no driver
+    // action, no spliced literal
+    val seed = broadcast(outdeg.agg(
+      expr(s"${Scale}L div count(1)").as("pe")))
+    var p = outdeg.crossJoin(seed)
+      .select(col("src").as("id"), col("pe").as("p"), col("pe"))
+    (1 to iterations).foreach { _ =>
+      p = e.join(p, e("src") === p("id"))
+        .join(outdeg, "src")
+        .select(col("dst"), expr("p div od").as("c"), col("pe"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"), max(col("pe")).as("pe"))
+        .select(col("dst").as("id"),
+          expr(s"((100 - $dampingPct) * pe) div 100 + ($dampingPct * s) div 100")
+            .as("p"),
+          col("pe"))
+    }
+    p.select(col("id"), col("p").as("rank_scaled"))
+  }
+
+  /** The DuckDB replay: `pairsSql` yields the undirected pair list
+    * (a, b) with the caller's id encoding; the oracle expands both
+    * directions itself. Iterations unroll as chained CTEs — same floor
+    * divisions, same literals. */
+  def oracleSql(pairsSql: String, iterations: Int,
+                dampingPct: Int = 85): String = {
+    val base = s"((100 - $dampingPct) * max(p.pe)) // 100"
+    val steps = (1 to iterations).map { i =>
+      s"""p$i AS (
+         |  SELECT e.dst AS id, CAST($base
+         |    + ($dampingPct * sum(p.p // o.od)) // 100 AS BIGINT) AS p,
+         |    max(p.pe) AS pe
+         |  FROM edges e JOIN p${i - 1} p ON e.src = p.id
+         |  JOIN outdeg o ON e.src = o.src
+         |  GROUP BY e.dst)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS ($pairsSql),
+       |edges AS (SELECT a AS src, b AS dst FROM pairs
+       |  UNION ALL SELECT b AS src, a AS dst FROM pairs),
+       |outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+       |seed AS (SELECT $Scale // count(*) AS pe FROM outdeg),
+       |p0 AS (SELECT src AS id, pe AS p, pe FROM outdeg CROSS JOIN seed),
+       |$steps
+       |SELECT id, p AS rank_scaled FROM p$iterations ORDER BY id""".stripMargin
+  }
+}

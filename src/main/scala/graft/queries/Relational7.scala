@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.operators.{Analytics, FuzzyJoin, HyperLogLog, Profile, Sharding, TimeSeries}
+import graft.operators.{Analytics, FuzzyJoin, HyperLogLog, PageRank, Profile, Sharding, TimeSeries}
 
 /** Seventh batch (round 5): similarity joins, event-time window
   * variants, time-series regularization, mergeable-sketch rollups,
@@ -112,6 +112,25 @@ object Relational7 {
       Seq(50, 90, 99))
   }
 
+  /** g01: integer-exact PageRank over the customer↔supplier bipartite
+    * trade graph (nodes: customers as 2k, suppliers as 2k+1; edges:
+    * who-bought-from-whom via orders⋈lineitem, both directions so no
+    * node dangles). 5 fixed iterations, damping 85% — every floor
+    * division replayed by the oracle's unrolled CTE chain
+    * ([[PageRank]]). */
+  def g01PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+    PageRank.pageRank(edges, "src", "dst", iterations = 5)
+      .orderBy(col("id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_fuzzy_join"      -> q33FuzzyJoin _,
     "q34_hopping"         -> q34Hopping _,
@@ -121,7 +140,8 @@ object Relational7 {
     "p23_corpus_shuffle"  -> p23CorpusShuffle _,
     "q36_funnel"          -> q36Funnel _,
     "q37_retention"       -> q37Retention _,
-    "a18_sample_quantiles" -> a18SampleQuantiles _)
+    "a18_sample_quantiles" -> a18SampleQuantiles _,
+    "g01_pagerank"        -> g01PageRank _)
 
   /** The interpolated-median CTE pair of the q32 convention: median of
     * `vcol` per group `g` from table `src`, output (g, `outCol`) with
@@ -246,6 +266,10 @@ object Relational7 {
          |  FROM j GROUP BY g, p, frac)
          |SELECT g AS l_returnflag, p, lo * (100 - frac) + COALESCE(hi, lo) * frac AS pctl_u
          |FROM a ORDER BY l_returnflag, p""".stripMargin,
+    "g01_pagerank" -> PageRank.oracleSql(
+      """SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
+      iterations = 5),
     "p23_corpus_shuffle" ->
       """WITH k AS (SELECT doc_id,
         |    ('0x' || substr(md5('r5|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hk

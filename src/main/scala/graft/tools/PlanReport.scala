@@ -39,7 +39,8 @@ object PlanReport {
       "p22_codec_meta",
       "q33_fuzzy_join", "q34_hopping", "q35_resample_ffill",
       "a17_hll_merge", "t28_outliers", "p23_corpus_shuffle",
-      "q36_funnel", "q37_retention", "a18_sample_quantiles")
+      "q36_funnel", "q37_retention", "a18_sample_quantiles",
+      "g01_pagerank")
     sb.append("\n## Physical plans (executed, AQE final)\n")
     planQueries.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
