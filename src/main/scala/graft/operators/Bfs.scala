@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded-hop BFS: shortest hop distance from a source set to every
+  * reachable node, up to `maxHops` — the Pregel min-propagation
+  * complement to [[PageRank]]'s sum-propagation. Pure integer
+  * semantics (distances are exact smallest hop counts), so both
+  * engines agree trivially; the oracle unrolls the same k frontier
+  * expansions.
+  *
+  * Scale posture: iteration i joins the CURRENT frontier (nodes first
+  * reached at distance i — shrinking, not the whole reached set)
+  * against the edge list, then anti-joins the reached set to keep only
+  * new nodes: k iterations = k (frontier⋈edges) shuffles bounded by
+  * the frontier×degree product, plus one |reached|-row anti join each
+  * round. Distances never revisit a node, so total work across rounds
+  * is O(|E| + |V|) for connected graphs — the textbook BFS bound,
+  * with no driver-side state.
+  */
+object Bfs {
+
+  /** Hop distances from `sources` (a 1-column DataFrame of node ids)
+    * over the directed edge list, capped at `maxHops`.
+    * Output: (id, dist) for every node within the cap (sources at 0). */
+  def hopDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val src = sources.select(col(sources.columns.head).cast("long").as("id"))
+      .distinct()
+    // each iteration references the previous reached set TWICE (anti
+    // join + union), so the un-truncated logical plan doubles per hop —
+    // exponential analysis time by hop ~10. localCheckpoint
+    // materializes each frontier and cuts the lineage: plan size stays
+    // O(1) per iteration (the iterative-algorithm contract; Pregel
+    // systems do the same superstep materialization)
+    var reached = src.withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = reached
+    (1 to maxHops).foreach { i =>
+      val next = e.join(frontier.select(col("id").as("src")), "src")
+        .select(col("dst").as("id")).distinct()
+        .join(reached.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("dist", lit(i.toLong))
+        .localCheckpoint()
+      reached = reached.unionAll(next).localCheckpoint()
+      frontier = next
+    }
+    reached
+  }
+
+  /** The DuckDB replay: `edgeSql` yields (src, dst) directed,
+    * `sourcesSql` yields (id). Frontiers unroll as CTEs with the same
+    * anti-join-the-reached-set step. */
+  def oracleSql(edgeSql: String, sourcesSql: String, maxHops: Int): String = {
+    val steps = (1 to maxHops).map { i =>
+      val prevReached = (0 until i).map(j => s"SELECT id FROM f$j")
+        .mkString(" UNION ALL ")
+      s"""f$i AS (
+         |  SELECT DISTINCT e.dst AS id
+         |  FROM edges e JOIN f${i - 1} f ON e.src = f.id
+         |  WHERE e.dst NOT IN ($prevReached))"""
+        .stripMargin
+    }.mkString(",\n")
+    val all = (0 to maxHops)
+      .map(i => s"SELECT id, CAST($i AS BIGINT) AS dist FROM f$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH edges AS ($edgeSql),
+       |f0 AS (SELECT DISTINCT id FROM ($sourcesSql)),
+       |$steps
+       |$all""".stripMargin
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.operators.{Analytics, FuzzyJoin, HyperLogLog, PageRank, Profile, Sharding, TimeSeries}
+import graft.operators.{Analytics, Bfs, FuzzyJoin, HyperLogLog, PageRank, Profile, Sharding, TimeSeries}
 
 /** Seventh batch (round 5): similarity joins, event-time window
   * variants, time-series regularization, mergeable-sketch rollups,
@@ -118,17 +118,31 @@ object Relational7 {
     * node dangles). 5 fixed iterations, damping 85% — every floor
     * division replayed by the oracle's unrolled CTE chain
     * ([[PageRank]]). */
-  def g01PageRank(spark: SparkSession, dir: String): DataFrame = {
+  def g01PageRank(spark: SparkSession, dir: String): DataFrame =
+    PageRank.pageRank(tradeEdges(spark, dir), "src", "dst", iterations = 5)
+      .orderBy(col("id"))
+
+  /** The undirected customer↔supplier trade edge list g01/g02 share
+    * (customers as 2k, suppliers as 2k+1, both directions). */
+  private def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
     val pairs = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("a"),
         (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+    pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-    PageRank.pageRank(edges, "src", "dst", iterations = 5)
-      .orderBy(col("id"))
+  }
+
+  /** g02: bounded-hop BFS — shortest hop distances from supplier 1
+    * (node 3) over the trade graph, 3 hops ([[Bfs.hopDistances]]):
+    * the Pregel min-propagation complement to g01. */
+  def g02Bfs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Bfs.hopDistances(tradeEdges(spark, dir), "src", "dst",
+        Seq(3L).toDF("id"), maxHops = 3)
+      .orderBy(col("dist"), col("id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -141,7 +155,8 @@ object Relational7 {
     "q36_funnel"          -> q36Funnel _,
     "q37_retention"       -> q37Retention _,
     "a18_sample_quantiles" -> a18SampleQuantiles _,
-    "g01_pagerank"        -> g01PageRank _)
+    "g01_pagerank"        -> g01PageRank _,
+    "g02_bfs"             -> g02Bfs _)
 
   /** The interpolated-median CTE pair of the q32 convention: median of
     * `vcol` per group `g` from table `src`, output (g, `outCol`) with
@@ -270,6 +285,13 @@ object Relational7 {
       """SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
       iterations = 5),
+    "g02_bfs" -> Bfs.oracleSql(
+      """SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |UNION
+        |SELECT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
+      "SELECT CAST(3 AS BIGINT) AS id", maxHops = 3),
     "p23_corpus_shuffle" ->
       """WITH k AS (SELECT doc_id,
         |    ('0x' || substr(md5('r5|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hk

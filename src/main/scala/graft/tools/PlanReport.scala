@@ -40,7 +40,7 @@ object PlanReport {
       "q33_fuzzy_join", "q34_hopping", "q35_resample_ffill",
       "a17_hll_merge", "t28_outliers", "p23_corpus_shuffle",
       "q36_funnel", "q37_retention", "a18_sample_quantiles",
-      "g01_pagerank")
+      "g01_pagerank", "g02_bfs")
     sb.append("\n## Physical plans (executed, AQE final)\n")
     planQueries.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
