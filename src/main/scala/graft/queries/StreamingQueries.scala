@@ -232,6 +232,27 @@ object StreamingQueries {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** s10: the BUILT-IN `session_window` operator as a STREAM — 30-min
+    * gap sessions per user with watermark-bounded state, the native
+    * counterpart of s03's hand-rolled flatMapGroupsWithState
+    * sessionization. Session bounds: [first event, last event + gap);
+    * an event exactly at the previous session's end starts a new one
+    * (>= in the oracle's gap test). Complete mode + single replay ⇒
+    * equals the batch gap-reconstruction the oracle runs. */
+  def streamSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+    awaitMemorySink(agg, "complete")
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_hourly"   -> streamHourly _,
     "s02_stream_dedup"    -> streamDedup _,
@@ -241,7 +262,8 @@ object StreamingQueries {
     "s06_stream_approx_distinct" -> streamApproxDistinct _,
     "s07_stream_neardedup" -> streamNearDedup _,
     "s08_stream_kmv"      -> streamKmvDistinct _,
-    "s09_stream_hopping"  -> streamHopping _)
+    "s09_stream_hopping"  -> streamHopping _,
+    "s10_stream_session_window" -> streamSessionWindow _)
 
   def oracles: Map[String, String] = Map(
     // s01 == the batch q09 contract: one bounded replay delivers every
@@ -301,6 +323,24 @@ object StreamingQueries {
     // s09 == batch q34: one replay delivers every event on time, so the
     // watermark holds back no hopping window
     "s09_stream_hopping" -> Relational7.oracles("q34_hopping"),
+    // s10: session_window merges events with gap < 30 min (an event AT
+    // the boundary opens a new session → >= in the gap test); end =
+    // last event + gap
+    "s10_stream_session_window" ->
+      """WITH f AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id
+        |    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+        |    AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "s03_stream_sessions" ->
       """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts FROM events),
         |flagged AS (SELECT user_id, ts,
