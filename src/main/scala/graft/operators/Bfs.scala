@@ -27,8 +27,14 @@ object Bfs {
   def hopDistances(edges: DataFrame, srcCol: String, dstCol: String,
                    sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0)
+    // cached once: every hop joins the frontier against the edge list,
+    // and uncached `e` would re-derive the caller's edge pipeline
+    // (orders⋈lineitem + distinct for the trade graph) per hop —
+    // persist keeps Catalyst stats (see the PageRank note on why
+    // localCheckpoint is the wrong materialization here)
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val src = sources.select(col(sources.columns.head).cast("long").as("id"))
       .distinct()
     // each iteration references the previous reached set TWICE (anti

@@ -34,9 +34,22 @@ object PageRank {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, dampingPct: Int = 85): DataFrame = {
     require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    // cache the normalized edge list ONCE: every iteration joins
+    // against it, and uncached each of the k iteration plans re-derives
+    // the caller's edge pipeline (for the trade graph an
+    // orders⋈lineitem + distinct) from the source — k full recomputes
+    // of the most expensive subtree. persist (NOT localCheckpoint: an
+    // RDD-backed relation loses Catalyst size stats, which turned every
+    // iteration's |V|-row side into a sort-merge join and measured 3×
+    // SLOWER; InMemoryRelation keeps stats, so broadcast decisions
+    // survive) — entries evict by LRU / caller clearCache once the
+    // result is consumed. outdeg likewise feeds every iteration but is
+    // |V|-bounded.
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-node seed and teleport base as a broadcast scalar: no driver
     // action, no spliced literal
     val seed = broadcast(outdeg.agg(

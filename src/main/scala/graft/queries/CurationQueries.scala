@@ -1040,7 +1040,6 @@ object CurationQueries {
     * oracled; this pins their COMPOSITION (stage order, survivor sets,
     * and the packed id stream) end to end. */
   def curateFull(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d0 = documents(spark, dir)
     // planted full copies: the dedup stage must actually collapse
     // something (the p16 convention); copies share the original's source
@@ -1059,9 +1058,16 @@ object CurationQueries {
     val lm = TextAnalysis.bigramLmScore(cleaned, "doc_id", "text")
     val gated = cleaned.join(
       lm.filter(col("nll") <= 3.45).select(col("doc_id")), "doc_id")
-    val kept = gated.withColumn("__rn", row_number().over(
-        Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
-      .filter(col("__rn") === 1).drop("__rn")
+    // keep-first by content digest WITHOUT a window: the row_number form
+    // shuffles and then SORTS full text rows under the digest key; the
+    // min_by aggregation consumes `gated` once (a second consumer would
+    // re-run the un-persisted LM scoring pipeline), partial-aggregates
+    // map-side (one winner candidate per digest per partition crosses
+    // the wire), and needs no per-group sort
+    val kept = gated
+      .groupBy(sha2(col("text"), 256).as("__dig"))
+      .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("__w"))
+      .select(col("__w.doc_id").as("doc_id"), col("__w.text").as("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.operators.Packing.vocabEncode(kept, "doc_id", "text", seqLen = 128)
       .orderBy(col("seq_id"))
