@@ -37,7 +37,9 @@ object Bench {
     "q33_fuzzy_join", "q34_hopping", "q35_resample_ffill",
     "a17_hll_merge", "t28_outliers", "p23_corpus_shuffle",
     "q36_funnel", "q37_retention", "a18_sample_quantiles",
-    "g01_pagerank", "g02_bfs")
+    "g01_pagerank", "g02_bfs",
+    "q38_scd2", "q39_cdc_merge", "t29_weighted_sample",
+    "p24_zorder_layout")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

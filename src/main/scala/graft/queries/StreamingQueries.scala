@@ -253,7 +253,32 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** s11: streaming CDC compaction — the q39 latest-wins merge as a
+    * stateful streaming aggregation: per-key max_by state merges each
+    * micro-batch's candidate against the running winner (state is one
+    * struct + a counter per key, never the history), complete mode
+    * emits the compacted table; tombstone filtering and the output
+    * projection run on the sink, exactly as a serving layer would.
+    * Oracle: the q39 SQL verbatim — unified batch/stream semantics. */
+  def streamCdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val st = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        expr("cast(round(value * 1000000) as bigint)").as("v6"))
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("ts"), col("event_type"), col("v6")),
+          struct(col("ts"), col("event_id"))).as("__w"),
+        count(lit(1)).as("n_changes"))
+    awaitMemorySink(st, "complete")
+      .filter(col("__w.event_type") =!= "error")
+      .select(col("user_id"), col("__w.event_type").as("last_type"),
+        col("__w.v6").as("last_value6"),
+        date_format(col("__w.ts"), "yyyy-MM-dd HH:mm:ss").as("updated_at"),
+        col("n_changes"))
+      .orderBy(col("user_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_stream_cdc"      -> streamCdcMerge _,
     "s01_stream_hourly"   -> streamHourly _,
     "s02_stream_dedup"    -> streamDedup _,
     "s03_stream_sessions" -> streamSessions _,
@@ -266,6 +291,9 @@ object StreamingQueries {
     "s10_stream_session_window" -> streamSessionWindow _)
 
   def oracles: Map[String, String] = Map(
+    // s11 == the batch q39 contract: latest-wins state merges the same
+    // way whether changes arrive in one batch or many
+    "s11_stream_cdc" -> Relational8.oracles("q39_cdc_merge"),
     // s01 == the batch q09 contract: one bounded replay delivers every
     // event on time, so the watermark drops nothing
     "s01_stream_hourly" ->

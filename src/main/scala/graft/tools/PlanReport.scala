@@ -40,7 +40,9 @@ object PlanReport {
       "q33_fuzzy_join", "q34_hopping", "q35_resample_ffill",
       "a17_hll_merge", "t28_outliers", "p23_corpus_shuffle",
       "q36_funnel", "q37_retention", "a18_sample_quantiles",
-      "g01_pagerank", "g02_bfs")
+      "g01_pagerank", "g02_bfs",
+      "q38_scd2", "q39_cdc_merge", "t29_weighted_sample",
+      "p24_zorder_layout")
     sb.append("\n## Physical plans (executed, AQE final)\n")
     planQueries.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
@@ -340,6 +342,34 @@ object PlanReport {
         graft.operators.Profile.exactQuantiles(li10.filter(expr(sampPred)),
           "l_returnflag", round(col("l_extendedprice") * 1000000L).cast("long"),
           Seq(50, 90, 99)).count())
+      // round-5 continued: change-log, weighted-sample, z-order
+      row("SCD2 intervals (one key shuffle)",
+        graft.operators.Changelog.scd2Intervals(
+          ev, "user_id", "ts", "event_id", "event_type").count(),
+        graft.operators.Changelog.scd2Intervals(
+          ev10, "user_id", "ts", "event_id", "event_type").count())
+      def cdc(d: org.apache.spark.sql.DataFrame) =
+        graft.operators.Changelog.latestState(
+          d.select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"),
+            expr("cast(round(value * 1000000) as bigint)").as("v6")),
+          "user_id", "ts", "event_id",
+          tombstone = col("event_type") === "error",
+          payload = Seq("event_type", "v6"))
+      row("CDC latest-wins compaction (max_by agg)",
+        cdc(ev).count(), cdc(ev10).count())
+      row("weighted sample (E-S TopKPerKey prune)",
+        graft.operators.Sampling.weightedTopK(
+          docs.withColumn("n_chars", length(col("text"))),
+          "source", "doc_id", "n_chars", 50).count(),
+        graft.operators.Sampling.weightedTopK(
+          docs10.withColumn("n_chars", length(col("text"))),
+          "source", "doc_id", "n_chars", 50).count())
+      row("z-order bucket stats (scan-local interleave)",
+        graft.operators.ZOrder.bucketStats(li, "l_partkey", "l_suppkey",
+          16, 1000L, 1200L, 100L, 140L).count(),
+        graft.operators.ZOrder.bucketStats(li10, "l_partkey", "l_suppkey",
+          16, 1000L, 1200L, 100L, 140L).count())
       ev.unpersist(false); ev10.unpersist(false)
       cust.unpersist(false); cust10.unpersist(false)
     }
