@@ -146,4 +146,31 @@ object Profile {
       .select(col(groupCol), col(idCol), col("v6"), col("dev100"),
         col("mad10000"))
   }
+
+  /** Integer-exact equi-width histogram per group: `nBins` bins over
+    * the group's own [min, max] range. The bin index is the exact
+    * integer `((v − min) · nBins) div (max − min + 1)` — always in
+    * [0, nBins), every boundary decided in BIGINT arithmetic (no float
+    * width, no edge-of-bin drift between engines).
+    *
+    * Cost: one bounds pass (map-side-combined min/max per group — a
+    * |groups|-row broadcast) + one binning aggregate; bins are
+    * scan-local once bounds ride the broadcast. Output bounded by
+    * |groups|·nBins: (group, bin, n_rows, v_min, v_max) — per-bin
+    * min/max give the exact occupied sub-range for stats consumers.
+    * Degenerate groups (min = max) land wholly in bin 0. */
+  def histogram(df: DataFrame, groupCol: String, valueMicro: Column,
+                nBins: Int): DataFrame = {
+    require(nBins >= 1, "need at least one bin")
+    val v = df.select(col(groupCol), valueMicro.as("v6"))
+      .filter(col("v6").isNotNull)
+    val bounds = v.groupBy(col(groupCol))
+      .agg(min(col("v6")).as("__mn"), max(col("v6")).as("__mx"))
+    v.join(broadcast(bounds), groupCol)
+      .withColumn("bin", expr(
+        s"((v6 - __mn) * $nBins) div (__mx - __mn + 1)"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v6")).as("v_min"), max(col("v6")).as("v_max"))
+  }
 }

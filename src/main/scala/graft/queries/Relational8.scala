@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.operators.{Changelog, Sampling, ZOrder}
+import graft.operators.{Changelog, Clusters, FuzzyJoin, Profile, Sampling, ZOrder}
 
 /** Eighth batch (round 5, continued): change-log materialization
   * (SCD2 history + CDC latest-wins compaction), deterministic weighted
@@ -58,11 +58,39 @@ object Relational8 {
         bucketShift = 16, aLo = 1000L, aHi = 1200L, bLo = 100L, bHi = 140L)
       .orderBy(col("bucket"))
 
+  /** q40: entity-resolution composite — the q33 fuzzy-join pair graph
+    * (customer names within Levenshtein 1, deletion-neighborhood
+    * blocked) closed into connected components
+    * ([[Clusters.canonicalize]]): every customer gets a canonical
+    * cluster id (the component minimum) and a keep bit. The
+    * record-linkage workflow end to end in one hash-checked query; the
+    * oracle replays the n² pair definition and a recursive-CTE closure. */
+  def q40EntityClusters(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    val pairs = FuzzyJoin.levenshtein1SelfJoin(c, "c_custkey", "c_name")
+      .select(col("ida").as("id_a"), col("idb").as("id_b"))
+    Clusters.canonicalize(c, pairs, "c_custkey")
+      .select(col("c_custkey"), col("c_name"), col("cluster_id"),
+        col("keep").cast("int").as("keep"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q41: integer-exact equi-width histogram — 20 bins of
+    * l_extendedprice (micro-units) per return flag
+    * ([[Profile.histogram]]); one bounds broadcast, one binning
+    * aggregate, |groups|·20 output rows. */
+  def q41Histogram(spark: SparkSession, dir: String): DataFrame =
+    Profile.histogram(lineitem(spark, dir), "l_returnflag",
+        expr("cast(round(l_extendedprice * 1000000) as bigint)"), nBins = 20)
+      .orderBy(col("l_returnflag"), col("bin"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_scd2"            -> q38Scd2 _,
     "q39_cdc_merge"       -> q39CdcMerge _,
     "t29_weighted_sample" -> t29WeightedSample _,
-    "p24_zorder_layout"   -> p24ZorderLayout _)
+    "p24_zorder_layout"   -> p24ZorderLayout _,
+    "q40_entity_clusters" -> q40EntityClusters _,
+    "q41_histogram"       -> q41Histogram _)
 
   val oracles: Map[String, String] = Map(
     "q38_scd2" -> (Changelog.scd2OracleSql("events", "user_id", "ts",
@@ -83,5 +111,34 @@ object Relational8 {
     "p24_zorder_layout" -> (ZOrder.oracleSql("lineitem", "l_partkey",
       "l_suppkey", bucketShift = 16,
       aLo = 1000L, aHi = 1200L, bLo = 100L, bHi = 140L) +
-      "\nORDER BY bucket"))
+      "\nORDER BY bucket"),
+    "q40_entity_clusters" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(id, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+        |cc AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+        |SELECT c.c_custkey, c.c_name,
+        |  COALESCE(cc.cluster_id, c.c_custkey) AS cluster_id,
+        |  CAST(CASE WHEN c.c_custkey = COALESCE(cc.cluster_id, c.c_custkey)
+        |    THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM customer c LEFT JOIN cc ON cc.id = c.c_custkey
+        |ORDER BY c.c_custkey""".stripMargin,
+    "q41_histogram" ->
+      """WITH v AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 1000000) AS BIGINT) AS v6
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |b AS (SELECT l_returnflag, min(v6) AS mn, max(v6) AS mx
+        |  FROM v GROUP BY l_returnflag)
+        |SELECT v.l_returnflag,
+        |  ((v.v6 - b.mn) * 20) // (b.mx - b.mn + 1) AS bin,
+        |  count(*) AS n_rows, min(v.v6) AS v_min, max(v.v6) AS v_max
+        |FROM v JOIN b ON v.l_returnflag = b.l_returnflag
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }
