@@ -39,7 +39,8 @@ object Bench {
     "q36_funnel", "q37_retention", "a18_sample_quantiles",
     "g01_pagerank", "g02_bfs",
     "q38_scd2", "q39_cdc_merge", "t29_weighted_sample",
-    "p24_zorder_layout", "q40_entity_clusters", "q41_histogram")
+    "p24_zorder_layout", "q40_entity_clusters", "q41_histogram",
+    "t30_score_calibration")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

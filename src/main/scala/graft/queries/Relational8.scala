@@ -84,13 +84,35 @@ object Relational8 {
         expr("cast(round(l_extendedprice * 1000000) as bigint)"), nBins = 20)
       .orderBy(col("l_returnflag"), col("bin"))
 
+  /** t30: per-domain quality-score calibration — the t17 classifier
+    * score mapped to its within-source percentile (percent_rank over
+    * (score, doc_id)). Cross-domain thresholds on raw classifier
+    * scores keep whole domains (a domain whose scores all sit high
+    * would survive any global cut); calibrating to per-domain
+    * percentiles makes one `cal >= x` threshold drop the same
+    * FRACTION of every domain — the quality-filter fairness fix.
+    * percent_rank is (rank−1)/(n−1): integer ranks both engines agree
+    * on, one exactly-rounded double division. One shuffle on source. */
+  def t30ScoreCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        round(graft.functions.GraftFunctions.classifierScore(col("text"), 4096), 6)
+          .as("clf_score"))
+      .withColumn("cal", percent_rank().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("clf_score"), col("doc_id"))))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_scd2"            -> q38Scd2 _,
     "q39_cdc_merge"       -> q39CdcMerge _,
     "t29_weighted_sample" -> t29WeightedSample _,
     "p24_zorder_layout"   -> p24ZorderLayout _,
     "q40_entity_clusters" -> q40EntityClusters _,
-    "q41_histogram"       -> q41Histogram _)
+    "q41_histogram"       -> q41Histogram _,
+    "t30_score_calibration" -> t30ScoreCalibration _)
 
   val oracles: Map[String, String] = Map(
     "q38_scd2" -> (Changelog.scd2OracleSql("events", "user_id", "ts",
@@ -140,5 +162,16 @@ object Relational8 {
         |  ((v.v6 - b.mn) * 20) // (b.mx - b.mn + 1) AS bin,
         |  count(*) AS n_rows, min(v.v6) AS v_min, max(v.v6) AS v_max
         |FROM v JOIN b ON v.l_returnflag = b.l_returnflag
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t30_score_calibration" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    round(list_sum(list_transform(string_split(text, ' '),
+        |      w -> ((('0x' || substr(md5(w), 1, 8))::BIGINT % 4096) * 2654435761) % 2001 - 1000))
+        |      / (1000.0 * len(string_split(text, ' '))), 6) AS clf_score
+        |  FROM documents)
+        |SELECT doc_id, source, clf_score,
+        |  percent_rank() OVER (PARTITION BY source
+        |    ORDER BY clf_score, doc_id) AS cal
+        |FROM s ORDER BY doc_id""".stripMargin)
 }

@@ -42,7 +42,8 @@ object PlanReport {
       "q36_funnel", "q37_retention", "a18_sample_quantiles",
       "g01_pagerank", "g02_bfs",
       "q38_scd2", "q39_cdc_merge", "t29_weighted_sample",
-      "p24_zorder_layout", "q40_entity_clusters", "q41_histogram")
+      "p24_zorder_layout", "q40_entity_clusters", "q41_histogram",
+      "t30_score_calibration")
     sb.append("\n## Physical plans (executed, AQE final)\n")
     planQueries.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
