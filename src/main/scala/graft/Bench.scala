@@ -40,7 +40,8 @@ object Bench {
     "g01_pagerank", "g02_bfs",
     "q38_scd2", "q39_cdc_merge", "t29_weighted_sample",
     "p24_zorder_layout", "q40_entity_clusters", "q41_histogram",
-    "t30_score_calibration")
+    "t30_score_calibration",
+    "t31_urlnorm", "t32_unicode_fold", "p25_global_ids", "q42_salted_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

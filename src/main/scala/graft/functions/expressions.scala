@@ -146,6 +146,10 @@ object helpers {
     dot / math.sqrt(na * nb)
   }
 
+  def unicodeNorm(s: UTF8String, form: String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.valueOf(form)))
+
   def uuid5(name: UTF8String): UTF8String =
     UTF8String.fromString(graft.core.Uuid5.of(name.toString))
 
@@ -858,6 +862,37 @@ case class Uuid5Expr(child: Expression)
   override def prettyName: String = "uuid5"
 }
 
+/** `unicode_norm(text, form)` → string: java.text.Normalizer
+  * normalization (NFC/NFD/NFKC/NFKD) as a scan-local codegen'd pass —
+  * the canonicalization step multilingual corpora need before any
+  * hash-keyed dedup (composed `é` and decomposed `e`+U+0301 are
+  * different bytes, so exact dedup silently misses equal text without
+  * it). Accent stripping composes from this plus the built-in
+  * `regexp_replace(…, "\\p{Mn}+", "")` over the NFD form (the utf8proc
+  * strip-accents recipe DuckDB replays). */
+case class UnicodeNormExpr(child: Expression, form: String)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"unicode_norm needs a string column, got $t")
+    }
+  require(Set("NFC", "NFD", "NFKC", "NFKD").contains(form),
+    s"unsupported normalization form $form")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    helpers.unicodeNorm(input.asInstanceOf[UTF8String], form)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.helpers.unicodeNorm($c, "$form");""")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "unicode_norm"
+}
+
 /** Column-level entry points (and SQL registration). */
 object GraftFunctions {
   import org.apache.spark.sql.SparkSession
@@ -907,6 +942,16 @@ object GraftFunctions {
   def classifierScore(text: Column, numBuckets: Int): Column =
     ColumnBridge.column(ClassifierScoreExpr(ColumnBridge.expression(text), numBuckets))
 
+  def unicodeNorm(text: Column, form: String): Column =
+    ColumnBridge.column(UnicodeNormExpr(ColumnBridge.expression(text), form))
+
+  /** NFD → drop combining marks → NFC recompose → lowercase: the full
+    * text-canonicalization chain (`strip_accents` + casefold). */
+  def foldText(text: Column): Column =
+    org.apache.spark.sql.functions.lower(unicodeNorm(
+      org.apache.spark.sql.functions.regexp_replace(
+        unicodeNorm(text, "NFD"), "\\p{Mn}+", ""), "NFC"))
+
   def ngramBuckets(words: Column, n: Int, buckets: Int): Column =
     ColumnBridge.column(NgramBuckets(ColumnBridge.expression(words), n, buckets))
 
@@ -937,6 +982,8 @@ object GraftFunctions {
     "lang_id" -> (exprs => LangIdExpr(exprs.head)),
     "classifier_score" ->
       (exprs => ClassifierScoreExpr(exprs(0), intLit(exprs(1)))),
+    "unicode_norm" -> (exprs => UnicodeNormExpr(exprs(0),
+      exprs(1).eval(InternalRow.empty).asInstanceOf[UTF8String].toString)),
     "chunk_text" ->
       (exprs => ChunkGenerator(exprs(0), exprs(1), exprs(2), exprs(3))))
 

@@ -74,6 +74,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** All-pairs n-gram CONTAINMENT ≥ threshold — the asymmetric
+    * companion to [[jaccardPairs]]: containment(A,B) = |A∩B| /
+    * min(|A|,|B|), i.e. how much of the SMALLER shingle set lies inside
+    * the larger. Jaccard misses doc-inside-doc duplication (a page
+    * quoted whole inside a 10× longer page has J ≈ 0.1 but containment
+    * 1.0); containment is the Broder resemblance/containment split and
+    * the signal behind subset-dedup passes.
+    *
+    * Same inverted-index plan as Jaccard (shingles shuffle once,
+    * candidate volume bounded by shared-shingle density and the
+    * optional stop-shingle guard); only the denominator changes. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+                       threshold: Double,
+                       maxShingleDocFreq: Option[Int] = None): DataFrame = {
+    val sh = withShingles(df, idCol, textCol, n)
+    val exploded = sh.select(col("id"), explode(col("shingles")).as("shingle"))
+    val filtered = maxShingleDocFreq match {
+      case Some(maxDf) =>
+        val freq = exploded.groupBy("shingle")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+          .select("shingle")
+        exploded.join(freq, "shingle")
+      case None => exploded
+    }
+    // the jaccardPairs denominator rule: sizes come from the same
+    // shingle universe as the intersection
+    val sizes = maxShingleDocFreq match {
+      case Some(_) => filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
+      case None    => sh.select(col("id"), size(col("shingles")).as("n_sh"))
+    }
+    filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "sh_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "sh_b"), "id_b")
+      .withColumn("containment",
+        col("n_inter").cast("double") / least(col("sh_a"), col("sh_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** MinHash signature column: the native [[graft.functions.MinHashSignature]]
     * expression — one XXH64 per shingle, all lanes folded in one codegen'd
     * pass (the interpreted transform/array_min form cost 8.2 s of the

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Contiguous global row ids at scale — `row_number() OVER (ORDER BY
+  * key)` without the single-task global window that kills it at 100 TB.
+  *
+  * Two-level rank (the distributed zipWithIndex): range-partition the
+  * rows on the key, rank locally inside each sorted partition (one
+  * sequential counter per task — genuine per-partition imperative
+  * logic, the documented `mapPartitions` carve-out), then add each
+  * partition's starting offset, computed from the per-partition counts.
+  * The counts are DERIVED from the ranked output itself (`max(local
+  * rank)+1` per partition), so the data is scanned once and the only
+  * extra traffic is one |partitions|-row aggregate + a broadcast join.
+  *
+  * The assigned ids are independent of WHERE the range boundaries fall
+  * (any split of a sorted sequence prefix-sums to the same global
+  * ranks), so the output is deterministic even though the range
+  * sampler is not — the property that makes this safe to re-run.
+  *
+  * Requires `keyCol` totally ordered (unique); ids are 0-based and
+  * dense. Output: (`keyCol`, global_id).
+  */
+object GlobalIds {
+
+  def assign(df: DataFrame, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism
+    val ranked = df
+      .select(col(keyCol).cast("long").as("k"))
+      .repartitionByRange(parts, col("k"))
+      .sortWithinPartitions(col("k"))
+      .as[Long]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        var i = -1L
+        it.map { k => i += 1; (k, pid, i) }
+      }
+      .toDF("k", "pid", "lrank")
+      // consumed twice (offset derivation + the final join): without
+      // materialization the nondeterministic range sampler could place
+      // boundaries DIFFERENTLY on the second run, and offsets computed
+      // against run A would be joined with ranks from run B
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one narrow second scan: the per-partition counts fold map-side to
+    // |partitions| rows; their running sum is the offset table (bounded
+    // window — |partitions| rows in one task, not data)
+    val offsets = ranked.groupBy(col("pid"))
+      .agg((max(col("lrank")) + 1).as("cnt"))
+      .withColumn("off",
+        coalesce(sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("pid"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("pid"), col("off"))
+    ranked.join(broadcast(offsets), "pid")
+      .select(col("k").as(keyCol), (col("off") + col("lrank")).as("global_id"))
+  }
+}

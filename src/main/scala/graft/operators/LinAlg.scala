@@ -20,47 +20,100 @@ object LinAlg {
   private def quantized(vecCol: String): Column =
     expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1048576, 0) as bigint))")
 
-  /** Upper-triangle Gram matrix G = XᵀX in long format (d1 ≤ d2, g).
-    * One corpus scan; the shuffle carries ≤ d(d+1)/2 partial rows per
-    * partition (map-side combine), so output and exchange are d²-bound
-    * regardless of corpus size. */
-  def gramMatrix(vectors: DataFrame, vecCol: String, dim: Int): DataFrame =
+  /** One-scan partial accumulation of the Gram upper triangle AND the
+    * column sums AND the row count: tight per-partition Long
+    * accumulator loops (genuine per-partition imperative logic — the
+    * mapPartitions carve-out), flushed as (kind, d1, d2, v) rows every
+    * 2²⁰ input rows so no cell can pass 2⁶³ (|cell| ≤ F·2⁴² at F=2²⁰
+    * → 2⁶² max), then exactly decimal-summed across flushes. The
+    * original explode form materialized d(d+1)/2 ≈ 2080 rows PER
+    * VECTOR before the aggregate — the whole a13/a14 scan cost was
+    * that row stream, not the arithmetic. Emitted partial volume is
+    * |partitions+flushes|·(d²/2+d+1) rows — corpus-size-independent
+    * per partition, the true map-side-combine shape.
+    *
+    * kind: 0 = gram cell (d1 ≤ d2), 1 = column sum (d1), 2 = count. */
+  private def modelPartials(vectors: DataFrame, vecCol: String,
+                            dim: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
     vectors.filter(col(vecCol).isNotNull)
-      .select(quantized(vecCol).as("vq"))
-      .select(col("vq"), explode(expr(s"sequence(1, $dim)")).as("d1"))
-      .select(col("vq"), col("d1"),
-        explode(expr(s"sequence(d1, $dim)")).as("d2"))
-      // each factor casts to DECIMAL(19,0) BEFORE the multiply: a
-      // bigint×bigint product wraps silently past 2^63 (|v| > ~2897
-      // after quantization), while (19,0)×(19,0) → (38,0) holds any
-      // pair of longs exactly
-      .select(col("d1"), col("d2"),
-        (expr("element_at(vq, d1)").cast(DecimalType(19, 0)) *
-          expr("element_at(vq, d2)").cast(DecimalType(19, 0))).as("p"))
+      .select(quantized(vecCol).as("vq")).as[Seq[Long]]
+      .mapPartitions { it =>
+        val tri = dim * (dim + 1) / 2
+        val gram = Array.ofDim[Long](tri)
+        val sums = Array.ofDim[Long](dim)
+        var n = 0L
+        val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Long)]()
+        def flush(): Unit = if (n > 0) {
+          var idx = 0; var i = 0
+          while (i < dim) {
+            out += ((1, i + 1, 0, sums(i))); sums(i) = 0
+            var j = i
+            while (j < dim) {
+              out += ((0, i + 1, j + 1, gram(idx))); gram(idx) = 0
+              idx += 1; j += 1
+            }
+            i += 1
+          }
+          out += ((2, 0, 0, n)); n = 0
+        }
+        while (it.hasNext) {
+          val a = it.next().toArray
+          if (a.length != dim)
+            throw new IllegalArgumentException(
+              s"gram: vector of length ${a.length}, expected $dim")
+          var idx = 0; var i = 0
+          while (i < dim) {
+            val vi = a(i); sums(i) += vi
+            var j = i
+            while (j < dim) { gram(idx) += vi * a(j); idx += 1; j += 1 }
+            i += 1
+          }
+          n += 1
+          if (n == (1 << 20)) flush()
+        }
+        flush()
+        out.iterator
+      }.toDF("kind", "d1", "d2", "v")
+  }
+
+  /** Exactly-summed model statistics from ONE corpus scan:
+    * (column sums S_d as exact longs, row count n, dense symmetric
+    * G = XᵀX in de-scaled doubles). */
+  private def modelStats(vectors: DataFrame, vecCol: String,
+                         dim: Int): (Array[Long], Long, Array[Array[Double]]) = {
+    val rows = modelPartials(vectors, vecCol, dim)
+      .groupBy(col("kind"), col("d1"), col("d2"))
+      .agg(sum(col("v").cast(DecimalType(38, 0))).as("s"))
+      .collect()
+    val sums = Array.ofDim[Long](dim)
+    val g = Array.ofDim[Double](dim, dim)
+    var n = 0L
+    rows.foreach { r =>
+      val kind = r.getInt(0); val s = r.getDecimal(3)
+      kind match {
+        case 0 =>
+          val d1 = r.getInt(1) - 1; val d2 = r.getInt(2) - 1
+          val v = s.doubleValue() / 1099511627776.0
+          g(d1)(d2) = v; g(d2)(d1) = v
+        case 1 => sums(r.getInt(1) - 1) = s.longValueExact()
+        case 2 => n = s.longValueExact()
+      }
+    }
+    (sums, n, g)
+  }
+
+  /** Upper-triangle Gram matrix G = XᵀX in long format (d1 ≤ d2, g).
+    * One corpus scan via [[modelPartials]]; the exchange carries
+    * d²-bounded partial rows per partition regardless of corpus size. */
+  def gramMatrix(vectors: DataFrame, vecCol: String, dim: Int): DataFrame =
+    modelPartials(vectors, vecCol, dim)
+      .filter(col("kind") === 0)
       .groupBy(col("d1"), col("d2"))
-      .agg(sum(col("p")).as("s"))
+      .agg(sum(col("v").cast(DecimalType(38, 0))).as("s"))
       .select(col("d1").cast("long").as("d1"), col("d2").cast("long").as("d2"),
         (col("s").cast("double") / 1099511627776.0).as("g"))
-
-  /** Per-dimension sums (for centering) and the row count, one pass. */
-  private def moments(vectors: DataFrame, vecCol: String,
-                      dim: Int): (Array[Double], Long) = {
-    val row = vectors.filter(col(vecCol).isNotNull)
-      .select(quantized(vecCol).as("vq"))
-      .select(explode(expr(s"sequence(1, $dim)")).as("d"),
-        col("vq"))
-      .select(col("d"), expr("element_at(vq, d)").as("v"))
-      .groupBy(col("d")).agg(sum(col("v").cast(DecimalType(38, 0))).as("s"),
-        count(lit(1)).as("n"))
-      .collect()
-    val sums = Array.ofDim[Double](dim)
-    var n = 0L
-    row.foreach { r =>
-      sums(r.getInt(0) - 1) = r.getDecimal(1).doubleValue() / 1048576.0
-      n = r.getLong(2)
-    }
-    (sums, n)
-  }
 
   /** Cyclic Jacobi eigensolver for a symmetric matrix — deterministic
     * sweep order, converges quadratically; d is O(100), so this is
@@ -127,14 +180,14 @@ object LinAlg {
 
   /** PCA: covariance from the Gram pass + centering moments, driver-side
     * Jacobi on the d×d matrix, then a scan-local projection of the
-    * CENTERED vectors through the top-k eigenvector literals. Three
-    * corpus scans total (moments, gram, projection), zero corpus
-    * shuffles beyond the d²-bound aggregations. Null-vector rows are
-    * excluded throughout.
+    * CENTERED vectors through the top-k eigenvector literals. TWO
+    * corpus scans total (fused moments+gram model pass, projection),
+    * zero corpus shuffles beyond the d²-bound partial aggregation.
+    * Null-vector rows are excluded throughout.
     *
     * Output: (id, pc 1..k, y) long format. Use [[pca]] when the
     * explained variances are needed too — calling [[pcaEigenvalues]]
-    * separately would recompute the covariance (two more scans). */
+    * separately would recompute the covariance (another model scan). */
   def pcaProject(vectors: DataFrame, idCol: String, vecCol: String,
                  dim: Int, k: Int): DataFrame =
     pca(vectors, idCol, vecCol, dim, k)._1
@@ -162,28 +215,6 @@ object LinAlg {
     (projected, evals.take(k))
   }
 
-  /** Exact integer column sums S_d = Σ round(x_d·2²⁰) and the row
-    * count, one pass. DECIMAL accumulation (sum of longs can pass 2⁶³
-    * at real scale), converted to Long with an exactness check — the
-    * fixed-point PCA form needs the sums as plain integers. */
-  private def exactMoments(vectors: DataFrame, vecCol: String,
-                           dim: Int): (Array[Long], Long) = {
-    val rows = vectors.filter(col(vecCol).isNotNull)
-      .select(quantized(vecCol).as("vq"))
-      .select(explode(expr(s"sequence(1, $dim)")).as("d"), col("vq"))
-      .select(col("d"), expr("element_at(vq, d)").as("v"))
-      .groupBy(col("d"))
-      .agg(sum(col("v").cast(DecimalType(38, 0))).as("s"), count(lit(1)).as("n"))
-      .collect()
-    val sums = Array.ofDim[Long](dim)
-    var n = 0L
-    rows.foreach { r =>
-      sums(r.getInt(0) - 1) = r.getDecimal(1).longValueExact()
-      n = r.getLong(2)
-    }
-    (sums, n)
-  }
-
   /** ENGINE-EXACT fixed-point PCA projection — the a14 oracle form.
     * Inputs quantize to X_d = round(x_d·2²⁰) (exact: float32 is exact
     * in double), the driver-side Jacobi eigenvectors quantize to
@@ -205,14 +236,10 @@ object LinAlg {
                       dim: Int, k: Int)
   : (DataFrame, (Long, Array[Long], Array[Array[Long]])) = {
     require(k >= 1 && k <= dim, "need 1 <= k <= dim")
-    val (sums, n) = exactMoments(vectors, vecCol, dim)
+    // the WHOLE model (sums, count, Gram) from one corpus scan
+    val (sums, n, g) = modelStats(vectors, vecCol, dim)
     require(n >= 2, "covariance needs at least 2 rows")
     val means = sums.map(_ / 1048576.0 / n)
-    val g = Array.ofDim[Double](dim, dim)
-    gramMatrix(vectors, vecCol, dim).collect().foreach { r =>
-      val d1 = r.getLong(0).toInt - 1; val d2 = r.getLong(1).toInt - 1
-      g(d1)(d2) = r.getDouble(2); g(d2)(d1) = r.getDouble(2)
-    }
     val cov = Array.tabulate(dim, dim)((i, j) =>
       (g(i)(j) - n * means(i) * means(j)) / (n - 1.0))
     val (_, evecs) = jacobiEigen(cov)
@@ -232,17 +259,12 @@ object LinAlg {
   }
 
   /** Sample covariance matrix (dense, driver-side d×d) and the mean
-    * vector, from one gram pass + one moments pass. */
+    * vector — ONE corpus scan via [[modelStats]]. */
   private[operators] def covariance(vectors: DataFrame, vecCol: String,
                                     dim: Int): (Array[Array[Double]], Array[Double]) = {
-    val (sums, n) = moments(vectors, vecCol, dim)
+    val (sums, n, g) = modelStats(vectors, vecCol, dim)
     require(n >= 2, "covariance needs at least 2 rows")
-    val means = sums.map(_ / n)
-    val g = Array.ofDim[Double](dim, dim)
-    gramMatrix(vectors, vecCol, dim).collect().foreach { r =>
-      val d1 = r.getLong(0).toInt - 1; val d2 = r.getLong(1).toInt - 1
-      g(d1)(d2) = r.getDouble(2); g(d2)(d1) = r.getDouble(2)
-    }
+    val means = sums.map(_ / 1048576.0 / n)
     val cov = Array.tabulate(dim, dim)((i, j) =>
       (g(i)(j) - n * means(i) * means(j)) / (n - 1.0))
     (cov, means)
@@ -250,7 +272,7 @@ object LinAlg {
 
   /** Eigenvalues of the sample covariance (explained variance per
     * component, descending). Standalone — recomputes the covariance
-    * (two corpus scans); when a projection is also needed, use [[pca]]
+    * (one model scan); when a projection is also needed, use [[pca]]
     * to pay for the covariance once. */
   def pcaEigenvalues(vectors: DataFrame, vecCol: String, dim: Int): Array[Double] =
     jacobiEigen(covariance(vectors, vecCol, dim)._1)._1
