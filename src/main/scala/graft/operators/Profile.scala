@@ -75,30 +75,81 @@ object Profile {
     * units × the percent denominator): an exact BIGINT, no rounding
     * anywhere.
     *
-    * Cost: one shuffle on the group key + a per-group sort — the
-    * information-theoretic floor for EXACT quantiles. The two windows
-    * share one partitioning (single exchange); the percentile fan-out
-    * is a 3-row broadcast filtered to ≤ 2 rows per (group, p) before
-    * the final tiny aggregate. At 100 TB with millions of groups this
-    * shape holds (sort is per-group, spillable); for global quantiles
-    * over one giant group, pre-aggregate to (value, count) first or
-    * use the [[Kmv]]-style sketch families instead.
+    * Cost: ONE range-partitioned shuffle + parallel partition-local
+    * sorts — the information-theoretic floor for EXACT quantiles, at
+    * full cluster parallelism even when there are only a handful of
+    * groups (a `PARTITION BY group` window would put each group's
+    * entire population in one task; here a 3-group 100 TB table still
+    * spreads over every core). Exact global ranks come from local
+    * counters plus a |groups × partitions|-row offset table (the
+    * GlobalIds two-level-rank form); the percentile fan-out is a tiny
+    * broadcast filtered to ≤ 2 rows per (group, p) before the final
+    * aggregate. For approximate needs at scale, see the a18
+    * hash-sample path or the [[Kmv]] sketch families.
     */
   def exactQuantiles(df: DataFrame, groupCol: String, valueMicro: Column,
                      percents: Seq[Int]): DataFrame = {
-    val w = Window.partitionBy(col(groupCol))
-    val ranked = df
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val parts = spark.sparkContext.defaultParallelism
+    // ranks via the GlobalIds two-level form, per group: a
+    // `row_number() OVER (PARTITION BY group ORDER BY v6)` window puts
+    // each group's ENTIRE population in one task — the group count, not
+    // the cluster, would set the parallelism (3 flags = 3 tasks sorting
+    // 100 TB/3 each). Range-partitioning on (group, v6) spreads every
+    // group across tasks; local per-group counters plus a
+    // |groups×partitions|-row offset table reconstruct the exact ranks.
+    val sorted = df
       .select(col(groupCol), valueMicro.as("v6"))
       // null values would sort first and shift every rank: a quantile
       // over the non-null population is the only well-defined reading
       .filter(col("v6").isNotNull)
-      .withColumn("rn", row_number().over(w.orderBy(col("v6"))).cast("long"))
-      .withColumn("n", count(lit(1)).over(w))
+      .repartitionByRange(parts, col(groupCol), col("v6"))
+      .sortWithinPartitions(col(groupCol), col("v6"))
+    val outSchema = StructType(sorted.schema.fields ++ Seq(
+      StructField("__pid", IntegerType, nullable = false),
+      StructField("__lrank", LongType, nullable = false)))
+    val ranked = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cur: Any = null; var started = false; var i = 0L
+      it.map { r =>
+        val g = r.get(0)
+        if (!started || !java.util.Objects.equals(g, cur)) {
+          cur = g; i = 0L; started = true
+        }
+        i += 1
+        org.apache.spark.sql.Row(r.get(0), r.get(1), pid, i)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      // consumed twice (offset derivation + rank join): materialize so
+      // the nondeterministic range sampler cannot place boundaries
+      // differently between the two runs (the GlobalIds rule)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-(group, partition) counts → running offsets + group totals:
+    // |groups × partitions| rows, windows over the TINY table only
+    val counts = ranked.groupBy(col(groupCol), col("__pid"))
+      .agg(max(col("__lrank")).as("__cnt"))
+    val offsets = counts
+      .withColumn("__off", coalesce(
+        sum(col("__cnt")).over(Window.partitionBy(col(groupCol))
+          .orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("__cnt")).over(Window.partitionBy(col(groupCol))))
     val ps = broadcast(
-      df.sparkSession.createDataFrame(percents.map(Tuple1(_))).toDF("p"))
-    ranked.crossJoin(ps)
+      spark.createDataFrame(percents.map(Tuple1(_))).toDF("p"))
+    // rank targets per (group, p); null-safe joins keep a NULL group a
+    // group (the window form's semantics)
+    val targets = offsets.select(col(groupCol).as("__gt"), col("n")).distinct()
+      .crossJoin(ps)
       .withColumn("k", expr("(p * (n - 1)) div 100"))
       .withColumn("frac", expr("(p * (n - 1)) % 100"))
+    val offJoin = offsets
+      .select(col(groupCol).as("__go"), col("__pid"), col("__off"))
+    val rnd = ranked.join(broadcast(offJoin),
+        ranked(groupCol) <=> offJoin("__go") &&
+          ranked("__pid") === offJoin("__pid"))
+      .withColumn("rn", col("__off") + col("__lrank"))
+    rnd.join(broadcast(targets), rnd(groupCol) <=> targets("__gt"))
       .filter(col("rn") === col("k") + 1 || col("rn") === col("k") + 2)
       .groupBy(col(groupCol), col("p"), col("frac"))
       .agg(
