@@ -41,7 +41,9 @@ object Bench {
     "q38_scd2", "q39_cdc_merge", "t29_weighted_sample",
     "p24_zorder_layout", "q40_entity_clusters", "q41_histogram",
     "t30_score_calibration",
-    "t31_urlnorm", "t32_unicode_fold", "p25_global_ids", "q42_salted_join")
+    "t31_urlnorm", "t32_unicode_fold", "p25_global_ids", "q42_salted_join",
+    "q43_cascade_delete", "t33_source_drift", "t34_epoch_repeat",
+    "t35_winsorize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -144,10 +144,10 @@ object Profile {
       .withColumn("k", expr("(p * (n - 1)) div 100"))
       .withColumn("frac", expr("(p * (n - 1)) % 100"))
     val offJoin = offsets
-      .select(col(groupCol).as("__go"), col("__pid"), col("__off"))
+      .select(col(groupCol).as("__go"), col("__pid").as("__po"), col("__off"))
     val rnd = ranked.join(broadcast(offJoin),
         ranked(groupCol) <=> offJoin("__go") &&
-          ranked("__pid") === offJoin("__pid"))
+          ranked("__pid") === offJoin("__po"))
       .withColumn("rn", col("__off") + col("__lrank"))
     rnd.join(broadcast(targets), rnd(groupCol) <=> targets("__gt"))
       .filter(col("rn") === col("k") + 1 || col("rn") === col("k") + 2)
@@ -223,5 +223,35 @@ object Profile {
       .groupBy(col(groupCol), col("bin"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("v6")).as("v_min"), max(col("v6")).as("v_max"))
+  }
+
+  /** Percentile winsorization — clip each group's tail values to its
+    * [pLo, pHi] percentile bounds (the robust-statistics preprocessing
+    * move: cap, don't drop). Bounds come from [[exactQuantiles]]'
+    * integer interpolation (`pctl_u` = value ×100 in micro-units), and
+    * the clip compares `100·v` against them — pure BIGINT, no float
+    * boundary. Output: the CLIPPED rows only (id, group, original
+    * value, the winsorized value `w100` in ×100 micro-units, and which
+    * side clipped) — tail-bounded like the t28 outlier report.
+    *
+    * Cost: the exactQuantiles pass + one broadcast of the |groups|-row
+    * bounds back onto the scan. */
+  def winsorize(df: DataFrame, idCol: String, groupCol: String,
+                valueMicro: Column, pLo: Int, pHi: Int): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 100, "need 0 <= pLo < pHi <= 100")
+    val q = exactQuantiles(df.select(col(groupCol), valueMicro.as("__v")),
+      groupCol, col("__v"), Seq(pLo, pHi))
+    val bounds = q.groupBy(col(groupCol))
+      .agg(min(when(col("p") === pLo, col("pctl_u"))).as("__lo100"),
+        max(when(col("p") === pHi, col("pctl_u"))).as("__hi100"))
+    df.select(col(idCol), col(groupCol), valueMicro.as("v6"))
+      .filter(col("v6").isNotNull)
+      .join(broadcast(bounds), groupCol)
+      .withColumn("w100",
+        greatest(least(col("v6") * 100, col("__hi100")), col("__lo100")))
+      .filter(col("v6") * 100 =!= col("w100"))
+      .select(col(idCol), col(groupCol), col("v6"), col("w100"),
+        when(col("v6") * 100 > col("__hi100"), lit("high"))
+          .otherwise(lit("low")).as("side"))
   }
 }

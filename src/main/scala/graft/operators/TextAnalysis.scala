@@ -615,6 +615,49 @@ object TextAnalysis {
       .select(col("doc_id"), col("domain"), col("n_tokens"))
   }
 
+  /** Epoch-repeat resampling WITH replacement — the upsampling half of
+    * mixture building ([[mixtureSample]] only downsamples): every
+    * domain is driven to the SAME token target by replicating each
+    * document `floor(r)` times plus one more with probability
+    * `frac(r)`, where r = target/total is the domain's exact rational
+    * repeat factor — the "epochs over a small high-quality domain"
+    * move of modern data recipes. Expected emitted tokens per domain
+    * = target exactly.
+    *
+    * Determinism (the t22 gate): the frac(r) coin is the 32-bit md5
+    * bucket of the text, compared by DECIMAL cross-multiplication
+    * `gate·total < (target mod total)·2³²` — no float rate, no drift;
+    * re-runs and the DuckDB twin flip identical coins. Copies emit
+    * via `explode(sequence(1, n))` guarded against Spark's DESCENDING
+    * sequence(1, 0) quirk.
+    *
+    * Scale posture: one domain-bounded aggregate (broadcast back), a
+    * scan-local gate + explode; output volume is the requested
+    * target, never more. */
+  def epochRepeat(docs: DataFrame, idCol: String, domainCol: String,
+                  textCol: String, targetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(targetTokens >= 1, "token target must be positive")
+    val totals = docs.groupBy(col(domainCol).as("domain"))
+      .agg(sum(wsTokenCount(col(textCol)).cast("long")).as("total_tokens"))
+    val d19 = (c: Column) => c.cast(DecimalType(19, 0))
+    docs.select(col(idCol).as("doc_id"), col(domainCol).as("domain"),
+        wsTokenCount(col(textCol)).cast("long").as("n_tokens"),
+        expr(s"cast(conv(substring(md5($textCol), 1, 8), 16, 10) as bigint)")
+          .as("__gate"))
+      .join(broadcast(totals), "domain")
+      .withColumn("n_copies",
+        expr(s"$targetTokens div total_tokens") +
+          when(d19(col("__gate")) * d19(col("total_tokens")) <
+            d19(lit(targetTokens) % col("total_tokens")) * d19(lit(4294967296L)),
+            1L).otherwise(0L))
+      .select(col("doc_id"), col("domain"), col("n_tokens"),
+        col("n_copies"),
+        explode(when(col("n_copies") >= 1,
+          sequence(lit(1L), col("n_copies")))
+          .otherwise(expr("cast(array() as array<bigint>)"))).as("copy"))
+  }
+
   /** Blocked-wordlist policy filter — the C4/FineWeb "bad words" gate:
     * count the DISTINCT blocked terms a document contains (word-exact
     * match on the whitespace tokens, the C4 rule) and keep documents

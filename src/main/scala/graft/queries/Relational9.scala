@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -114,12 +114,83 @@ object Relational9 {
       .orderBy(col("p_brand"))
   }
 
+  /** q43: GDPR-style cascade erasure — customers whose key ≡ 0
+    * (mod 97) request deletion; their orders and those orders' line
+    * items must go too. The erasure list is broadcast (the realistic
+    * shape: requests are tiny, facts are huge — the fact tables are
+    * anti-joined WITHOUT shuffling themselves); per-table audit rows
+    * carry surviving counts and a `bit_xor` key checksum so the oracle
+    * verifies MEMBERSHIP of the surviving sets, not just their size. */
+  def q43CascadeDelete(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+    val o = orders(spark, dir)
+    val l = lineitem(spark, dir)
+    val tomb = c.filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("__erase"))
+    val keptC = c.join(broadcast(tomb), c("c_custkey") === tomb("__erase"),
+      "left_anti")
+    val keptO = o.join(broadcast(tomb), o("o_custkey") === tomb("__erase"),
+      "left_anti")
+    val delO = o.join(broadcast(tomb), o("o_custkey") === tomb("__erase"),
+        "left_semi")
+      .select(col("o_orderkey").as("__del_ord"))
+    val keptL = l.join(delO, l("l_orderkey") === delO("__del_ord"),
+      "left_anti")
+    def leg(name: String, total: DataFrame, kept: DataFrame,
+            keySql: String) = {
+      val t = total.agg(count(lit(1)).as("n_total"))
+      val k = kept.agg(count(lit(1)).as("n_kept"),
+        expr(s"bit_xor($keySql)").as("key_checksum"))
+      t.crossJoin(k).select(lit(name).as("table_name"), col("n_total"),
+        col("n_kept"), (col("n_total") - col("n_kept")).as("n_deleted"),
+        col("key_checksum"))
+    }
+    leg("customer", c, keptC, "c_custkey")
+      .unionAll(leg("orders", o, keptO, "o_orderkey"))
+      .unionAll(leg("lineitem", l, keptL, "l_orderkey * 8 + l_linenumber"))
+      .orderBy(col("table_name"))
+  }
+
+  /** t33: per-source distribution drift ([[graft.operators.Drift]]) —
+    * exact total-variation distance of every source's word
+    * distribution from the corpus distribution over a 30-word capped
+    * vocabulary + `~other~` bucket (the cap exercised: the corpus
+    * vocabulary is larger). */
+  def t33SourceDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.sourceDrift(documents(spark, dir), "source",
+      "text", maxVocab = 30)
+
+  /** t34: epoch-repeat resampling to a 30k-token-per-domain target
+    * ([[TextAnalysis.epochRepeat]]): at sf0.01 every domain holds ~5k
+    * tokens, so docs replicate ~6× (upsampling); at sf0.1 the same
+    * target DOWNsamples — both regimes of the same exact-rational
+    * repeat factor. */
+  def t34EpochRepeat(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.epochRepeat(documents(spark, dir),
+        "doc_id", "source", "text", targetTokens = 30000L)
+      .orderBy(col("doc_id"), col("copy"))
+
+  /** t35: percentile winsorization ([[Profile.winsorize]]) — line
+    * items clipped to their return flag's [p1, p99] price band;
+    * clipped rows only, integer-exact bounds. */
+  def t35Winsorize(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.winsorize(
+        lineitem(spark, dir)
+          .withColumn("line_id", col("l_orderkey") * 8 + col("l_linenumber")),
+        "line_id", "l_returnflag",
+        round(col("l_extendedprice") * 1000000L).cast("long"), pLo = 1, pHi = 99)
+      .orderBy(col("line_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t31_urlnorm"      -> t31UrlNorm _,
     "t32_unicode_fold" -> t32UnicodeFold _,
     "d17_containment"  -> d17Containment _,
     "p25_global_ids"   -> p25GlobalIds _,
-    "q42_salted_join"  -> q42SaltedJoin _)
+    "q42_salted_join"  -> q42SaltedJoin _,
+    "q43_cascade_delete" -> q43CascadeDelete _,
+    "t33_source_drift" -> t33SourceDrift _,
+    "t34_epoch_repeat" -> t34EpochRepeat _,
+    "t35_winsorize"    -> t35Winsorize _)
 
   private val urlSynthSql =
     "'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Docs/' || " +
@@ -182,5 +253,98 @@ object Relational9 {
         |  count(*) AS n_lines
         |FROM lineitem JOIN part
         |  ON p_partkey = CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_partkey END
-        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q43_cascade_delete" ->
+      """WITH tomb AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        |del_ord AS (SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM tomb)),
+        |legs AS (
+        |  SELECT 'customer' AS table_name,
+        |    (SELECT count(*) FROM customer) AS n_total,
+        |    count(*) AS n_kept, bit_xor(c_custkey) AS key_checksum
+        |  FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM tomb)
+        |  UNION ALL
+        |  SELECT 'orders',
+        |    (SELECT count(*) FROM orders),
+        |    count(*), bit_xor(o_orderkey)
+        |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM tomb)
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |    (SELECT count(*) FROM lineitem),
+        |    count(*), bit_xor(l_orderkey * 8 + l_linenumber)
+        |  FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM del_ord))
+        |SELECT table_name, n_total, n_kept, n_total - n_kept AS n_deleted,
+        |  key_checksum
+        |FROM legs ORDER BY table_name""".stripMargin,
+    "t33_source_drift" ->
+      """WITH words AS (
+        |  SELECT source AS src, unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |per_src AS (SELECT src, w, count(*) AS o FROM words GROUP BY 1, 2),
+        |corpus AS (SELECT w, sum(o) AS c FROM per_src GROUP BY w),
+        |vocab AS (SELECT w, c FROM corpus ORDER BY c DESC, w LIMIT 30),
+        |n_tot AS (SELECT sum(c) AS nn FROM corpus),
+        |voc_tot AS (SELECT sum(c) AS cv FROM vocab),
+        |src_tot AS (SELECT src, sum(o) AS ns FROM per_src GROUP BY src),
+        |src_voc AS (SELECT p.src, sum(p.o) AS ov FROM per_src p
+        |  JOIN vocab v ON p.w = v.w GROUP BY p.src),
+        |grid AS (
+        |  SELECT s.src, s.ns, v.c, COALESCE(p.o, 0) AS o
+        |  FROM src_tot s CROSS JOIN vocab v
+        |  LEFT JOIN per_src p ON p.src = s.src AND p.w = v.w
+        |  UNION ALL
+        |  SELECT s.src, s.ns, (SELECT nn FROM n_tot) - (SELECT cv FROM voc_tot),
+        |    s.ns - COALESCE(sv.ov, 0)
+        |  FROM src_tot s LEFT JOIN src_voc sv ON sv.src = s.src),
+        |terms AS (SELECT src, ns, (SELECT nn FROM n_tot) AS nn,
+        |    abs(CAST(o AS HUGEINT) * (SELECT nn FROM n_tot) -
+        |        CAST(c AS HUGEINT) * ns) AS t
+        |  FROM grid)
+        |SELECT src AS source, CAST(ns AS BIGINT) AS n_words,
+        |  CAST(sum(t) AS DECIMAL(38,0)) AS tv_num,
+        |  round(CAST(sum(t) AS DOUBLE) /
+        |    (2.0 * CAST(ns AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS tv
+        |FROM terms GROUP BY src, ns, nn ORDER BY source""".stripMargin,
+    "t34_epoch_repeat" ->
+      """WITH totals AS (
+        |  SELECT source AS domain,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |  FROM documents GROUP BY source),
+        |d AS (SELECT doc_id, d.source AS domain,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    (30000 // t.total_tokens) +
+        |      CASE WHEN CAST(('0x' || substr(md5(d.text), 1, 8))::BIGINT AS HUGEINT)
+        |          * t.total_tokens
+        |        < CAST(30000 % t.total_tokens AS HUGEINT) * 4294967296
+        |        THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents d JOIN totals t ON d.source = t.domain)
+        |SELECT doc_id, domain, n_tokens, CAST(n_copies AS BIGINT) AS n_copies,
+        |  CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy
+        |FROM d WHERE n_copies >= 1
+        |ORDER BY doc_id, copy""".stripMargin,
+    "t35_winsorize" ->
+      """WITH r AS (SELECT l_orderkey * 8 + l_linenumber AS line_id,
+        |    l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 1000000) AS BIGINT) AS v6 FROM lineitem),
+        |rk AS (SELECT g, v6, row_number() OVER (PARTITION BY g ORDER BY v6) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n FROM r),
+        |j AS (SELECT g, p, (p * (n - 1)) // 100 AS k, (p * (n - 1)) % 100 AS frac,
+        |    rn, v6
+        |  FROM rk CROSS JOIN (VALUES (1), (99)) AS ps(p)
+        |  WHERE rn = (p * (n - 1)) // 100 + 1 OR rn = (p * (n - 1)) // 100 + 2),
+        |a AS (SELECT g, p, frac,
+        |    min(CASE WHEN rn = k + 1 THEN v6 END) AS lo,
+        |    max(CASE WHEN rn = k + 2 THEN v6 END) AS hi
+        |  FROM j GROUP BY g, p, frac),
+        |b AS (SELECT g,
+        |    min(CASE WHEN p = 1 THEN lo * (100 - frac) + COALESCE(hi, lo) * frac END) AS lo100,
+        |    max(CASE WHEN p = 99 THEN lo * (100 - frac) + COALESCE(hi, lo) * frac END) AS hi100
+        |  FROM a GROUP BY g)
+        |SELECT r.line_id, r.g AS l_returnflag, r.v6,
+        |  greatest(least(r.v6 * 100, b.hi100), b.lo100) AS w100,
+        |  CASE WHEN r.v6 * 100 > b.hi100 THEN 'high' ELSE 'low' END AS side
+        |FROM r JOIN b ON r.g = b.g
+        |WHERE r.v6 * 100 <> greatest(least(r.v6 * 100, b.hi100), b.lo100)
+        |ORDER BY line_id""".stripMargin)
 }

@@ -43,7 +43,10 @@ object PlanReport {
       "g01_pagerank", "g02_bfs",
       "q38_scd2", "q39_cdc_merge", "t29_weighted_sample",
       "p24_zorder_layout", "q40_entity_clusters", "q41_histogram",
-      "t30_score_calibration")
+      "t30_score_calibration",
+      "t31_urlnorm", "t32_unicode_fold", "d17_containment",
+      "p25_global_ids", "q42_salted_join", "q43_cascade_delete",
+      "t33_source_drift", "t34_epoch_repeat", "t35_winsorize")
     sb.append("\n## Physical plans (executed, AQE final)\n")
     planQueries.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
