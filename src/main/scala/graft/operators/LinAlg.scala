@@ -21,16 +21,23 @@ object LinAlg {
     expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1048576, 0) as bigint))")
 
   /** One-scan partial accumulation of the Gram upper triangle AND the
-    * column sums AND the row count: tight per-partition Long
-    * accumulator loops (genuine per-partition imperative logic — the
-    * mapPartitions carve-out), flushed as (kind, d1, d2, v) rows every
-    * 2²⁰ input rows so no cell can pass 2⁶³ (|cell| ≤ F·2⁴² at F=2²⁰
-    * → 2⁶² max), then exactly decimal-summed across flushes. The
+    * column sums AND the row count: tight per-partition accumulator
+    * loops (genuine per-partition imperative logic — the mapPartitions
+    * carve-out), flushed as (kind, d1, d2, lo, hi) rows every 2²⁰
+    * input rows, then exactly decimal-summed across flushes. The
     * original explode form materialized d(d+1)/2 ≈ 2080 rows PER
     * VECTOR before the aggregate — the whole a13/a14 scan cost was
     * that row stream, not the arithmetic. Emitted partial volume is
     * |partitions+flushes|·(d²/2+d+1) rows — corpus-size-independent
     * per partition, the true map-side-combine shape.
+    *
+    * Cells accumulate in SIGNED 128-bit (hi, lo) pairs —
+    * `Math.multiplyHigh` + carry-propagated unsigned low adds — so
+    * large-magnitude inputs (|v| up to 2⁵³, i.e. |x| up to ~2³³ at the
+    * 2²⁰ quantization) cannot wrap the way a bare long product would
+    * (the r3 review's i64-wrap regression, preserved by
+    * ReviewRegressionSpec). Each emitted value is hi·2⁶⁴ + u(lo),
+    * reconstructed in DECIMAL(38,0) by [[partialSum]].
     *
     * kind: 0 = gram cell (d1 ≤ d2), 1 = column sum (d1), 2 = count. */
   private def modelPartials(vectors: DataFrame, vecCol: String,
@@ -41,22 +48,32 @@ object LinAlg {
       .select(quantized(vecCol).as("vq")).as[Seq[Long]]
       .mapPartitions { it =>
         val tri = dim * (dim + 1) / 2
-        val gram = Array.ofDim[Long](tri)
-        val sums = Array.ofDim[Long](dim)
+        val gLo = Array.ofDim[Long](tri); val gHi = Array.ofDim[Long](tri)
+        val sLo = Array.ofDim[Long](dim); val sHi = Array.ofDim[Long](dim)
         var n = 0L
-        val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Long)]()
+        val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Long, Long)]()
         def flush(): Unit = if (n > 0) {
           var idx = 0; var i = 0
           while (i < dim) {
-            out += ((1, i + 1, 0, sums(i))); sums(i) = 0
+            out += ((1, i + 1, 0, sLo(i), sHi(i))); sLo(i) = 0; sHi(i) = 0
             var j = i
             while (j < dim) {
-              out += ((0, i + 1, j + 1, gram(idx))); gram(idx) = 0
+              out += ((0, i + 1, j + 1, gLo(idx), gHi(idx)))
+              gLo(idx) = 0; gHi(idx) = 0
               idx += 1; j += 1
             }
             i += 1
           }
-          out += ((2, 0, 0, n)); n = 0
+          out += ((2, 0, 0, n, 0L)); n = 0
+        }
+        // 128-bit += : carry from the unsigned low add, high side signed
+        @inline def add128(lo: Array[Long], hi: Array[Long], k: Int,
+                           pLo: Long, pHi: Long): Unit = {
+          val l0 = lo(k)
+          val nl = l0 + pLo
+          val carry = ((l0 & pLo) | ((l0 | pLo) & ~nl)) >>> 63
+          lo(k) = nl
+          hi(k) += pHi + carry
         }
         while (it.hasNext) {
           val a = it.next().toArray
@@ -65,9 +82,13 @@ object LinAlg {
               s"gram: vector of length ${a.length}, expected $dim")
           var idx = 0; var i = 0
           while (i < dim) {
-            val vi = a(i); sums(i) += vi
+            val vi = a(i)
+            add128(sLo, sHi, i, vi, vi >> 63)
             var j = i
-            while (j < dim) { gram(idx) += vi * a(j); idx += 1; j += 1 }
+            while (j < dim) {
+              add128(gLo, gHi, idx, vi * a(j), Math.multiplyHigh(vi, a(j)))
+              idx += 1; j += 1
+            }
             i += 1
           }
           n += 1
@@ -75,7 +96,17 @@ object LinAlg {
         }
         flush()
         out.iterator
-      }.toDF("kind", "d1", "d2", "v")
+      }.toDF("kind", "d1", "d2", "lo", "hi")
+  }
+
+  /** Exact DECIMAL(38,0) total of 128-bit (hi, lo) partials:
+    * Σ hi·2⁶⁴ + Σ u(lo), every term exact. */
+  private def partialSum: Column = {
+    val two64 = expr("cast('18446744073709551616' as decimal(38,0))")
+    val uLo = when(col("lo") < 0,
+      col("lo").cast(DecimalType(38, 0)) + two64)
+      .otherwise(col("lo").cast(DecimalType(38, 0)))
+    sum(col("hi").cast(DecimalType(38, 0)) * two64 + uLo)
   }
 
   /** Exactly-summed model statistics from ONE corpus scan:
@@ -85,7 +116,7 @@ object LinAlg {
                          dim: Int): (Array[Long], Long, Array[Array[Double]]) = {
     val rows = modelPartials(vectors, vecCol, dim)
       .groupBy(col("kind"), col("d1"), col("d2"))
-      .agg(sum(col("v").cast(DecimalType(38, 0))).as("s"))
+      .agg(partialSum.as("s"))
       .collect()
     val sums = Array.ofDim[Long](dim)
     val g = Array.ofDim[Double](dim, dim)
@@ -111,7 +142,7 @@ object LinAlg {
     modelPartials(vectors, vecCol, dim)
       .filter(col("kind") === 0)
       .groupBy(col("d1"), col("d2"))
-      .agg(sum(col("v").cast(DecimalType(38, 0))).as("s"))
+      .agg(partialSum.as("s"))
       .select(col("d1").cast("long").as("d1"), col("d2").cast("long").as("d2"),
         (col("s").cast("double") / 1099511627776.0).as("g"))
 

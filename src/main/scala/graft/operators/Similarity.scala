@@ -392,4 +392,42 @@ object Similarity {
         coalesce(col("cos_score"), lit(0.0)).as("cos_score"),
         col("rrf"), col("rank").cast("long").as("rank"))
   }
+
+  /** Exact PHRASE search over a positional inverted index — the IR
+    * operator BM25's bag-of-words scoring cannot express: a document
+    * matches only where the query's words appear CONSECUTIVELY. The
+    * classic positional-postings trick: a posting (doc, pos) for the
+    * phrase's word at offset o votes for anchor `pos − o`; an anchor
+    * collecting one vote per phrase offset is a full occurrence.
+    *
+    * Scale posture: corpus positions are filtered to the QUERY'S terms
+    * (broadcast semi-join) before anything shuffles — the shuffled
+    * volume is the query terms' postings, not the corpus; the
+    * vote-count aggregate map-side combines on (query, doc, anchor).
+    * Phrases with repeated words work (each offset votes once; a
+    * position can't vote twice for one anchor).
+    *
+    * `phrases`: (query_id, phrase) with single-space-separated words.
+    * Output: (query_id, doc_id, n_hits ≥ 1) — occurrence counts. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrases: DataFrame): DataFrame = {
+    val qterms = phrases.select(col("query_id"),
+      posexplode(split(col("phrase"), " ")).as(Seq("offset", "term")))
+    val lens = phrases.select(col("query_id"),
+      size(split(col("phrase"), " ")).as("__len"))
+    val terms = qterms.select(col("term")).distinct()
+    val postings = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .join(broadcast(terms), "term")
+    postings.join(broadcast(qterms), "term")
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - col("offset")).as("anchor"))
+      .groupBy(col("query_id"), col("doc_id"), col("anchor"))
+      .agg(count(lit(1)).as("__votes"))
+      .join(broadcast(lens), "query_id")
+      .filter(col("__votes") === col("__len"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
 }

@@ -181,7 +181,23 @@ object Relational9 {
         round(col("l_extendedprice") * 1000000L).cast("long"), pLo = 1, pHi = 99)
       .orderBy(col("line_id"))
 
+  /** a19: exact phrase search ([[graft.operators.Similarity
+    * .phraseSearch]]) — positional-postings consecutive-word matching,
+    * the IR operator BM25's bag-of-words scoring cannot express.
+    * Query phrases are words 5–7 of every 125th document, so every
+    * query has at least its source document as a hit and the word-soup
+    * corpus supplies organic extra occurrences. */
+  def a19PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+    val phrases = d.filter(col("doc_id") % 125 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(col("text"), " "), 5, 3), " ").as("phrase"))
+    graft.operators.Similarity.phraseSearch(d, "doc_id", "text", phrases)
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a19_phrase_search" -> a19PhraseSearch _,
     "t31_urlnorm"      -> t31UrlNorm _,
     "t32_unicode_fold" -> t32UnicodeFold _,
     "d17_containment"  -> d17Containment _,
@@ -199,6 +215,18 @@ object Relational9 {
       "'#sec' || CAST(doc_id AS VARCHAR)"
 
   val oracles: Map[String, String] = Map(
+    "a19_phrase_search" ->
+      """WITH phr AS (SELECT doc_id AS query_id, string_split(text, ' ')[5:7] AS ph
+        |  FROM documents WHERE doc_id % 125 = 0),
+        |docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |anchors AS (
+        |  SELECT p.query_id, d.doc_id, t.i AS anchor
+        |  FROM phr p, docs d, unnest(generate_series(1, len(d.ws) - 2)) AS t(i)
+        |  WHERE d.ws[t.i] = p.ph[1] AND d.ws[t.i + 1] = p.ph[2]
+        |    AND d.ws[t.i + 2] = p.ph[3])
+        |SELECT query_id, doc_id, count(*) AS n_hits
+        |FROM anchors GROUP BY query_id, doc_id
+        |ORDER BY query_id, doc_id""".stripMargin,
     "t31_urlnorm" ->
       s"""WITH u AS (SELECT doc_id, $urlSynthSql AS url FROM documents),
          |c AS (SELECT doc_id,

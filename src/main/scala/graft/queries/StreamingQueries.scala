@@ -277,7 +277,28 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** s12: streaming canonical-URL dedup — t31's crawl-intake rule at
+    * ingest time: canonicalization is a scan-local projection (works
+    * unchanged under streaming), dropDuplicates holds ONE canonical
+    * string per distinct URL as state, and the surviving set equals
+    * batch DISTINCT regardless of arrival order (the s02 contract at
+    * URL granularity — the frontier dedup a streaming crawler runs). */
+  def streamUrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tableStream(spark, dir, "documents")
+    val url = concat(
+      lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM:443/Docs/"),
+      (col("doc_id") % 5).cast("string"),
+      lit("/?utm_source=feed&b="), (col("doc_id") % 3).cast("string"),
+      lit("&a="), (col("doc_id") % 5).cast("string"),
+      lit("#sec"), col("doc_id").cast("string"))
+    val dd = docs
+      .select(graft.operators.UrlNorm.canonicalize(url).as("canon_url"))
+      .dropDuplicates("canon_url")
+    awaitMemorySink(dd, "append").distinct().orderBy(col("canon_url"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_stream_urldedup" -> streamUrlDedup _,
     "s11_stream_cdc"      -> streamCdcMerge _,
     "s01_stream_hourly"   -> streamHourly _,
     "s02_stream_dedup"    -> streamDedup _,
@@ -291,6 +312,19 @@ object StreamingQueries {
     "s10_stream_session_window" -> streamSessionWindow _)
 
   def oracles: Map[String, String] = Map(
+    // s12 == batch DISTINCT over the t31 canonicalization: one bounded
+    // replay makes streaming dropDuplicates state equal batch distinct
+    "s12_stream_urldedup" -> {
+      val synth =
+        "'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Docs/' || " +
+          "CAST(doc_id % 5 AS VARCHAR) || '/?utm_source=feed&b=' || " +
+          "CAST(doc_id % 3 AS VARCHAR) || '&a=' || CAST(doc_id % 5 AS VARCHAR) || " +
+          "'#sec' || CAST(doc_id AS VARCHAR)"
+      s"""WITH u AS (SELECT doc_id, $synth AS url FROM documents)
+         |SELECT DISTINCT ${graft.operators.UrlNorm.canonicalizeOracleSql("url")}
+         |  AS canon_url
+         |FROM u ORDER BY canon_url""".stripMargin
+    },
     // s11 == the batch q39 contract: latest-wins state merges the same
     // way whether changes arrive in one batch or many
     "s11_stream_cdc" -> Relational8.oracles("q39_cdc_merge"),
