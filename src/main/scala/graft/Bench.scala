@@ -43,7 +43,8 @@ object Bench {
     "t30_score_calibration",
     "t31_urlnorm", "t32_unicode_fold", "p25_global_ids", "q42_salted_join",
     "q43_cascade_delete", "t33_source_drift", "t34_epoch_repeat",
-    "t35_winsorize", "a19_phrase_search")
+    "t35_winsorize", "a19_phrase_search", "p26_shard_manifest",
+    "d18_fold_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

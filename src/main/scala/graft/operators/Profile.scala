@@ -75,20 +75,56 @@ object Profile {
     * units × the percent denominator): an exact BIGINT, no rounding
     * anywhere.
     *
-    * Cost: ONE range-partitioned shuffle + parallel partition-local
-    * sorts — the information-theoretic floor for EXACT quantiles, at
-    * full cluster parallelism even when there are only a handful of
-    * groups (a `PARTITION BY group` window would put each group's
-    * entire population in one task; here a 3-group 100 TB table still
-    * spreads over every core). Exact global ranks come from local
-    * counters plus a |groups × partitions|-row offset table (the
-    * GlobalIds two-level-rank form); the percentile fan-out is a tiny
-    * broadcast filtered to ≤ 2 rows per (group, p) before the final
-    * aggregate. For approximate needs at scale, see the a18
-    * hash-sample path or the [[Kmv]] sketch families.
+    * Two physical forms, one contract (ProfileSpec proves them
+    * row-equal):
+    *  - THIS form ranks with a `PARTITION BY group` window — one
+    *    shuffle + per-group sorts. Right when groups are NUMEROUS and
+    *    individually modest (per-column profiling, per-domain stats —
+    *    parallelism = |groups|, which is plenty), and the cheaper of
+    *    the two by several jobs.
+    *  - [[exactQuantilesDistributed]] ranks via range partition +
+    *    two-level offsets. Right when groups are FEW and HUGE (global
+    *    percentiles, 3 return flags over 100 TB): a window would cap
+    *    parallelism at |groups|; the distributed form uses every core.
+    * For approximate needs at scale, see the a18 hash-sample path or
+    * the [[Kmv]] sketch families.
     */
   def exactQuantiles(df: DataFrame, groupCol: String, valueMicro: Column,
                      percents: Seq[Int]): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+    val ranked = df
+      .select(col(groupCol), valueMicro.as("v6"))
+      // null values would sort first and shift every rank: a quantile
+      // over the non-null population is the only well-defined reading
+      .filter(col("v6").isNotNull)
+      .withColumn("rn", row_number().over(w.orderBy(col("v6"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+    val ps = broadcast(
+      df.sparkSession.createDataFrame(percents.map(Tuple1(_))).toDF("p"))
+    ranked.crossJoin(ps)
+      .withColumn("k", expr("(p * (n - 1)) div 100"))
+      .withColumn("frac", expr("(p * (n - 1)) % 100"))
+      .filter(col("rn") === col("k") + 1 || col("rn") === col("k") + 2)
+      .groupBy(col(groupCol), col("p"), col("frac"))
+      .agg(
+        min(when(col("rn") === col("k") + 1, col("v6"))).as("lo"),
+        max(when(col("rn") === col("k") + 2, col("v6"))).as("hi"))
+      .select(col(groupCol), col("p"),
+        (col("lo") * (lit(100) - col("frac")) +
+          coalesce(col("hi"), col("lo")) * col("frac")).as("pctl_u"))
+      .orderBy(col(groupCol), col("p"))
+  }
+
+  /** The few-huge-groups form of [[exactQuantiles]] — identical output,
+    * ranks from a range partition on (group, value) + per-partition
+    * counters + a |groups × partitions|-row offset table (the GlobalIds
+    * two-level rank), so a 3-group 100 TB table still spreads over
+    * every core instead of 3 window tasks. Costs a handful more jobs
+    * (persist, offset derivation, two broadcast joins), which is why it
+    * is not the default for profiling-shaped workloads. */
+  def exactQuantilesDistributed(df: DataFrame, groupCol: String,
+                                valueMicro: Column,
+                                percents: Seq[Int]): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
     val spark = df.sparkSession
     val parts = spark.sparkContext.defaultParallelism

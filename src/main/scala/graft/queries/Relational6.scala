@@ -32,7 +32,7 @@ object Relational6 {
     * ([[Profile.exactQuantiles]]) — `pctl_u` = value ×1e8, bit-exact
     * in both engines. */
   def q32Quantiles(spark: SparkSession, dir: String): DataFrame =
-    Profile.exactQuantiles(
+    Profile.exactQuantilesDistributed(
       lineitem(spark, dir), "l_returnflag",
       round(col("l_extendedprice") * 1000000L).cast("long"),
       Seq(50, 90, 99))

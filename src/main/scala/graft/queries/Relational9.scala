@@ -196,7 +196,55 @@ object Relational9 {
       .orderBy(col("query_id"), col("doc_id"))
   }
 
+  /** p26: shard-manifest audit — the export contract p23's
+    * corpus shuffle needs for RESUME and integrity checks: per-shard
+    * document counts, byte totals, and order-free `bit_xor` checksums
+    * of both ids and a replayable md5 content hash. A re-run (or a
+    * re-read after partial delivery) recomputing the same manifest
+    * proves shard-level integrity without comparing documents. One
+    * scan-local shard assignment + one bounded groupBy. */
+  def p26ShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HyperLogLog.hashExpr
+    documents(spark, dir)
+      .withColumn("shard",
+        (expr(hashExpr("doc_id", "exp")) % 16).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_bytes"),
+        expr("bit_xor(doc_id)").as("id_checksum"),
+        expr(s"bit_xor(${hashExpr("text", "content")})").as("content_checksum"))
+      .orderBy(col("shard"))
+  }
+
+  /** d18: fold-then-dedup — the t32 canonicalization doing its job:
+    * case/accent/decomposition variants of the same text (planted for
+    * every 10th document) collapse to one survivor under exact dedup
+    * on the FOLDED text, while plain exact dedup (d01) sees them as
+    * distinct. Keep-first by min id over the folded digest. */
+  def d18FoldDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d0 = documents(spark, dir).select(col("doc_id"), col("text"))
+    // base doc k carries "<text> e"; its variant carries
+    // "<UPPER(text)> é" — different bytes, same folded form
+    // "<text> e" (the corpus is lowercase ASCII), so exactly the
+    // planted pairs collapse and nothing else gains variants
+    val variants = d0.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 800000L).as("doc_id"),
+        concat(upper(col("text")), lit(" é")).as("text"))
+    val base = d0.select(col("doc_id"),
+      concat(col("text"), lit(" e")).as("text"))
+    val corpus = base.unionAll(variants)
+    corpus
+      .groupBy(graft.functions.GraftFunctions.foldText(col("text"))
+        .as("folded_key"))
+      .agg(min(col("doc_id")).as("kept_id"), count(lit(1)).as("n_variants"))
+      .select(sha2(col("folded_key"), 256).as("folded_digest"),
+        col("kept_id"), col("n_variants"))
+      .orderBy(col("kept_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p26_shard_manifest" -> p26ShardManifest _,
+    "d18_fold_dedup"   -> d18FoldDedup _,
     "a19_phrase_search" -> a19PhraseSearch _,
     "t31_urlnorm"      -> t31UrlNorm _,
     "t32_unicode_fold" -> t32UnicodeFold _,
@@ -215,6 +263,27 @@ object Relational9 {
       "'#sec' || CAST(doc_id AS VARCHAR)"
 
   val oracles: Map[String, String] = Map(
+    "p26_shard_manifest" ->
+      """WITH s AS (SELECT doc_id, n_chars, text,
+        |  ('0x' || substr(md5('exp|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16
+        |    AS shard
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+        |  bit_xor(doc_id) AS id_checksum,
+        |  bit_xor(('0x' || substr(md5('content|' || text), 1, 15))::BIGINT)
+        |    AS content_checksum
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+    "d18_fold_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text || ' e' AS text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 800000, upper(text) || ' ' || chr(233)
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |folded AS (SELECT doc_id, lower(strip_accents(text)) AS fk FROM corpus)
+        |SELECT sha256(fk) AS folded_digest, min(doc_id) AS kept_id,
+        |  count(*) AS n_variants
+        |FROM folded GROUP BY fk ORDER BY kept_id""".stripMargin,
     "a19_phrase_search" ->
       """WITH phr AS (SELECT doc_id AS query_id, string_split(text, ' ')[5:7] AS ph
         |  FROM documents WHERE doc_id % 125 = 0),

@@ -69,6 +69,26 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("windowed and distributed exactQuantiles are row-equal") {
+    val spark2 = spark
+    import spark2.implicits._
+    // ties, a null value, an uneven group, and a null GROUP — the
+    // distributed form's null-safe joins must keep the null group
+    val rows = Seq(("a", 5L), ("a", 1L), ("a", 1L), ("a", 9L), ("a", 3L),
+      ("b", 2L), ("b", 7L), (null.asInstanceOf[String], 4L),
+      (null.asInstanceOf[String], 8L))
+      .toDF("g", "v")
+    val ps = Seq(0, 37, 50, 100)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (Option(r.getString(0)), r.getInt(1),
+        r.getLong(2))).toSet
+    val w = canon(Profile.exactQuantiles(rows, "g", col("v"), ps))
+    val d = canon(Profile.exactQuantilesDistributed(
+      rows.repartition(5), "g", col("v"), ps))
+    assert(w === d)
+    assert(w.nonEmpty && w.exists(_._1.isEmpty), "null group must survive")
+  }
+
   test("split assign partitions the corpus with ~98/1/1 strata") {
     val rows = CurationQueries.splitAssign(spark, sfDir).collect()
     val d = graft.Tables.documents(spark, sfDir)
