@@ -28,9 +28,12 @@ object Relational6 {
   }
 
   /** q32: exact p50/p90/p99 of l_extendedprice per returnflag, linear
-    * interpolation at rank p·(n−1)/100 in integer micro-units
-    * ([[Profile.exactQuantiles]]) — `pctl_u` = value ×1e8, bit-exact
-    * in both engines. */
+    * interpolation at rank p·(n−1)/100 in integer micro-units —
+    * `pctl_u` = value ×1e8, bit-exact in both engines. Uses
+    * [[Profile.exactQuantilesDistributed]]: 3 giant groups is exactly
+    * the shape where a PARTITION BY window would cap parallelism at 3
+    * tasks; the two-level rank uses every core (ProfileSpec proves the
+    * forms row-equal). */
   def q32Quantiles(spark: SparkSession, dir: String): DataFrame =
     Profile.exactQuantilesDistributed(
       lineitem(spark, dir), "l_returnflag",
