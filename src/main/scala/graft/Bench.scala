@@ -44,7 +44,7 @@ object Bench {
     "t31_urlnorm", "t32_unicode_fold", "p25_global_ids", "q42_salted_join",
     "q43_cascade_delete", "t33_source_drift", "t34_epoch_repeat",
     "t35_winsorize", "a19_phrase_search", "p26_shard_manifest",
-    "d18_fold_dedup")
+    "d18_fold_dedup", "p27_mixture_interleave")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Contiguous global row ids at scale — `row_number() OVER (ORDER BY
@@ -58,5 +58,43 @@ object GlobalIds {
       .select(col("pid"), col("off"))
     ranked.join(broadcast(offsets), "pid")
       .select(col("k").as(keyCol), (col("off") + col("lrank")).as("global_id"))
+  }
+
+  /** Generalized form: contiguous 0-based ids by an arbitrary TOTAL
+    * order over `sortCols` (ties would make ranks partition-dependent —
+    * include a unique tiebreaker). Keeps every input column and
+    * appends `global_id`; same two-level shape as [[assign]], with the
+    * generic row carried through a RowEncoder. */
+  def assignBy(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val parts = spark.sparkContext.defaultParallelism
+    val sorted = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val outSchema = StructType(sorted.schema.fields ++ Seq(
+      StructField("__pid", IntegerType, nullable = false),
+      StructField("__lrank", LongType, nullable = false)))
+    val ranked = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var i = -1L
+      it.map { r =>
+        i += 1
+        // Seq[Any] keeps pid an Int — a plain Seq(pid, i) would widen
+        // it to Long and break the RowEncoder's INT field
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq[Any](pid, i))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsets = ranked.groupBy(col("__pid"))
+      .agg((max(col("__lrank")) + 1).as("cnt"))
+      .withColumn("off",
+        coalesce(sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("__pid"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("off"))
+    ranked.join(broadcast(offsets), "__pid")
+      .withColumn("global_id", col("off") + col("__lrank"))
+      .drop("__pid", "__lrank", "off")
   }
 }

@@ -41,7 +41,9 @@ object UrlNorm {
     val scheme = lower(substring_index(noFrag, "://", 1))
     // '://' is the absolute-URL invariant and appears exactly once
     val rest = substring_index(noFrag, "://", -1)
-    val hostPort = lower(substring_index(rest, "/", 1))
+    // the authority ends at the FIRST of '/' or '?' — a pathless URL
+    // can still carry a query (https://a.com?x=1)
+    val hostPort = lower(substring_index(substring_index(rest, "/", 1), "?", 1))
     // path+query with its leading '/' (empty when the URL has no path)
     val pathQ = substr(rest, length(hostPort) + 1, lit(1 << 24))
     val hostNoPort = when(scheme === "https",
@@ -85,8 +87,9 @@ object UrlNorm {
        |    lower(split_part($noFrag, '://', 1)) AS scheme,
        |    substr($noFrag, strpos($noFrag, '://') + 3) AS rest),
        |hp AS (SELECT scheme, rest,
-       |    lower(split_part(rest, '/', 1)) AS hostport,
-       |    substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+       |    lower(split_part(split_part(rest, '/', 1), '?', 1)) AS hostport,
+       |    substr(rest,
+       |      length(split_part(split_part(rest, '/', 1), '?', 1)) + 1) AS pathq
        |  FROM parts),
        |h AS (SELECT scheme, pathq,
        |    regexp_replace(CASE

@@ -242,7 +242,41 @@ object Relational9 {
       .orderBy(col("kept_id"))
   }
 
+  /** p27: deterministic weighted-fair mixture INTERLEAVE — the mixture
+    * SCHEDULER the budgets (t12) and materialization (t22/t34) steps
+    * stop short of: training-data order matters, and "all of domain A,
+    * then all of B" is a curriculum accident. Weighted fair queuing's
+    * virtual time (public algorithm) assigns domain d's i-th document
+    * the key (2i−1)/(2·w_d); ascending key order interleaves domains
+    * so every schedule prefix carries each domain in proportion to its
+    * weight. Per-domain order is the salted-md5 shuffle (the p23
+    * principle); the global slot assignment is [[GlobalIds.assignBy]]
+    * — a single totally-ordered sequence with NO single-task sort.
+    * Engine-exact: keys are exact-integer-to-double divisions both
+    * engines round identically (the t29 convention), ties broken by
+    * (source, doc_id). */
+  def p27MixtureInterleave(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = documents(spark, dir)
+    val weights = d.groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("wt"))
+    val idx = d.select(col("doc_id"), col("source"))
+      .withColumn("h",
+        expr(graft.operators.HyperLogLog.hashExpr("doc_id", "mix")))
+      .withColumn("i", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id")))
+        .cast("long"))
+      .join(broadcast(weights), "source")
+      .withColumn("vkey",
+        (col("i") * 2 - 1).cast("double") / col("wt").cast("double"))
+    GlobalIds.assignBy(idx, Seq(col("vkey"), col("source"), col("doc_id")))
+      .select(col("doc_id"), col("source"), col("i"),
+        col("global_id").as("slot"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p27_mixture_interleave" -> p27MixtureInterleave _,
     "p26_shard_manifest" -> p26ShardManifest _,
     "d18_fold_dedup"   -> d18FoldDedup _,
     "a19_phrase_search" -> a19PhraseSearch _,
@@ -263,6 +297,21 @@ object Relational9 {
       "'#sec' || CAST(doc_id AS VARCHAR)"
 
   val oracles: Map[String, String] = Map(
+    "p27_mixture_interleave" ->
+      """WITH w AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS wt
+        |  FROM documents GROUP BY source),
+        |i AS (SELECT doc_id, d.source,
+        |    row_number() OVER (PARTITION BY d.source ORDER BY
+        |      ('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |      doc_id) AS i
+        |  FROM documents d),
+        |k AS (SELECT i.doc_id, i.source, CAST(i.i AS BIGINT) AS i,
+        |    CAST(2 * i.i - 1 AS DOUBLE) / CAST(w.wt AS DOUBLE) AS vkey
+        |  FROM i JOIN w ON i.source = w.source)
+        |SELECT doc_id, source, i,
+        |  row_number() OVER (ORDER BY vkey, source, doc_id) - 1 AS slot
+        |FROM k ORDER BY doc_id""".stripMargin,
     "p26_shard_manifest" ->
       """WITH s AS (SELECT doc_id, n_chars, text,
         |  ('0x' || substr(md5('exp|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16

@@ -47,7 +47,8 @@ object PlanReport {
       "t31_urlnorm", "t32_unicode_fold", "d17_containment",
       "p25_global_ids", "q42_salted_join", "q43_cascade_delete",
       "t33_source_drift", "t34_epoch_repeat", "t35_winsorize",
-      "a19_phrase_search", "p26_shard_manifest", "d18_fold_dedup")
+      "a19_phrase_search", "p26_shard_manifest", "d18_fold_dedup",
+      "p27_mixture_interleave")
     sb.append("\n## Physical plans (executed, AQE final)\n")
     planQueries.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)

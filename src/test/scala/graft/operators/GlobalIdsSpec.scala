@@ -31,6 +31,36 @@ class GlobalIdsSpec extends AnyFunSuite {
     }
   }
 
+  test("assignBy: generic sort columns, all input columns kept") {
+    val df = Seq((3L, "b"), (1L, "a"), (2L, "a"), (4L, "c"))
+      .toDF("k", "tag").repartition(3)
+    val out = GlobalIds.assignBy(df,
+        Seq(org.apache.spark.sql.functions.col("tag"),
+          org.apache.spark.sql.functions.col("k")))
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("tag"),
+        r.getAs[Long]("global_id"))).toSet
+    assert(out === Set((1L, "a", 0L), (2L, "a", 1L), (3L, "b", 2L),
+      (4L, "c", 3L)))
+  }
+
+  test("WFQ interleave keys give proportional prefixes") {
+    // domains with weights 3:1 — every schedule prefix of length 4k
+    // must hold ~3k of A and ~k of B (weighted fair queuing smoothness)
+    val rows = (1 to 30).map(i => ("A", i.toLong)) ++
+      (1 to 10).map(i => ("B", i.toLong))
+    val keyed = rows.toDF("d", "i")
+      .withColumn("vkey", (col("i") * 2 - 1).cast("double") /
+        when(col("d") === "A", 3.0).otherwise(1.0))
+    val sched = GlobalIds.assignBy(keyed,
+        Seq(col("vkey"), col("d"), col("i")))
+      .orderBy("global_id").collect().map(_.getAs[String]("d"))
+    for (t <- 4 to 40 by 4) {
+      val a = sched.take(t).count(_ == "A")
+      assert(math.abs(a - 3 * t / 4) <= 2,
+        s"prefix $t: ${a} A-docs vs expected ${3 * t / 4}")
+    }
+  }
+
   test("plan has no single-task global sort over the data") {
     val df = GlobalIds.assign((1 to 100).map(_.toLong).toDF("doc_id"), "doc_id")
     val plan = df.queryExecution.executedPlan.toString

@@ -47,6 +47,12 @@ class UrlNormSpec extends AnyFunSuite {
     assert(canon("https://a.com/p?xutm_a=1") === "https://a.com/p?xutm_a=1")
   }
 
+  test("pathless URLs: query directly after authority, bare host") {
+    assert(canon("https://A.com?b=2&a=1") === "https://a.com?a=1&b=2")
+    assert(canon("https://A.com:443?utm_source=x") === "https://a.com")
+    assert(canon("https://A.com") === "https://a.com")
+  }
+
   test("dedup: keep-first by canonical, duplicate counts right") {
     val df = Seq(
       (1L, "HTTP://WWW.A.com:80/x/?utm_source=1"),
