@@ -44,7 +44,10 @@ object Bench {
     "t31_urlnorm", "t32_unicode_fold", "p25_global_ids", "q42_salted_join",
     "q43_cascade_delete", "t33_source_drift", "t34_epoch_repeat",
     "t35_winsorize", "a19_phrase_search", "p26_shard_manifest",
-    "d18_fold_dedup", "p27_mixture_interleave")
+    "d18_fold_dedup", "p27_mixture_interleave",
+    // g03_triangles is gate-only (like d02/d05): a dense co-occurrence
+    // graph's triangle join is intrinsically heavy at sf0.1 (26 s)
+    "p28_padded_pack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -275,7 +275,90 @@ object Relational9 {
       .orderBy(col("doc_id"))
   }
 
+  /** g03: triangle counting over the co-purchase graph — parts are
+    * linked when one order carries both (pair fan-out bounded by the
+    * per-order line cap, ~7² / 2); triangles enumerate once via the
+    * compact-forward ordering a < b < c (every edge stored a < b, the
+    * two-hop join extends only upward, so no triangle is seen from
+    * three rotations). Output: the 10 parts participating in the most
+    * triangles — the classic cohesion/clustering signal. Scale
+    * posture: the quadratic step is per-order (bounded), the triangle
+    * join's fan-out is per-node degree — the standard remedy at
+    * web scale (degree-ordered directions) is exactly the a < b
+    * orientation used here. */
+  def g03Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .distinct()
+    val tri = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("part"))
+      .limit(10)
+  }
+
+  /** p28: boundary-respecting PADDED packing — the p14 alternative for
+    * trainers without cross-document attention: every document starts
+    * a fresh sequence, tails pad to `seqLen`, and the padding waste is
+    * reported per sequence. Per-doc sequence stubs explode scan-side
+    * (ceil(n/len) rows per doc); the GLOBAL sequence ids come from
+    * [[GlobalIds.assignBy]] over (doc_id, sidx) — contiguous ids, no
+    * single-task prefix sum. */
+  def p28PaddedPack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val seqLen = 128
+    // per-doc sequence counts, prefix-summed in SEQUENCE units with the
+    // p14 two-level form (bucketed windows + one bounded bucket-totals
+    // fold) — the offsets are decided at DOC granularity, so the stub
+    // explode below never shuffles and no generic-row encoding runs on
+    // stub rows (an assignBy over the exploded stubs measured 4.9 s at
+    // sf0.1; this form runs in ~1 s)
+    val d = documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("n_seqs", expr(s"(n_tok + $seqLen - 1) div $seqLen"))
+      .filter(col("n_seqs") >= 1)
+      .withColumn("__bucket", floor(col("doc_id") / 1024))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wIn = Window.partitionBy(col("__bucket"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inBucket = d.withColumn("__in_off",
+      coalesce(sum(col("n_seqs")).over(wIn), lit(0L)))
+    val bucketOffsets = d.groupBy(col("__bucket"))
+      .agg(sum(col("n_seqs")).as("__bsum"))
+      .select(col("__bucket").cast("long"), col("__bsum").cast("long"))
+      .as[(Long, Long)]
+      .repartition(1)
+      .sortWithinPartitions(col("__bucket"))
+      .mapPartitions { it =>
+        var acc = 0L
+        it.map { case (b, s) => val off = acc; acc += s; (b, off) }
+      }
+      .toDF("__bucket", "__b_off")
+    inBucket.join(bucketOffsets, "__bucket")
+      .select(col("doc_id"), col("n_tok"),
+        (col("__b_off") + col("__in_off")).as("__doc_off"),
+        explode(sequence(lit(0L), col("n_seqs") - 1)).as("sidx"))
+      .withColumn("seq_id", col("__doc_off") + col("sidx"))
+      .withColumn("n_fill",
+        least(col("n_tok") - col("sidx") * seqLen, lit(seqLen.toLong)))
+      .withColumn("n_pad", lit(seqLen.toLong) - col("n_fill"))
+      .select(col("seq_id"), col("doc_id"), col("sidx"), col("n_fill"),
+        col("n_pad"))
+      .orderBy(col("seq_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g03_triangles"     -> g03Triangles _,
+    "p28_padded_pack"   -> p28PaddedPack _,
     "p27_mixture_interleave" -> p27MixtureInterleave _,
     "p26_shard_manifest" -> p26ShardManifest _,
     "d18_fold_dedup"   -> d18FoldDedup _,
@@ -297,6 +380,35 @@ object Relational9 {
       "'#sec' || CAST(doc_id AS VARCHAR)"
 
   val oracles: Map[String, String] = Map(
+    "g03_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |tri AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
+        |parts AS (
+        |  SELECT a AS part FROM tri UNION ALL
+        |  SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |SELECT part, count(*) AS n_triangles
+        |FROM parts GROUP BY part
+        |ORDER BY n_triangles DESC, part LIMIT 10""".stripMargin,
+    "p28_padded_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    (CAST(len(string_split(text, ' ')) AS BIGINT) + 127) // 128 AS n_seqs
+        |  FROM documents),
+        |stubs AS (
+        |  SELECT doc_id, n_tok, CAST(t.s AS BIGINT) AS sidx
+        |  FROM d, unnest(generate_series(0, n_seqs - 1)) AS t(s)
+        |  WHERE n_seqs >= 1)
+        |SELECT row_number() OVER (ORDER BY doc_id, sidx) - 1 AS seq_id,
+        |  doc_id, sidx,
+        |  least(n_tok - sidx * 128, 128) AS n_fill,
+        |  128 - least(n_tok - sidx * 128, 128) AS n_pad
+        |FROM stubs ORDER BY seq_id""".stripMargin,
     "p27_mixture_interleave" ->
       """WITH w AS (SELECT source,
         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS wt
