@@ -393,6 +393,127 @@ object Similarity {
         col("rrf"), col("rank").cast("long").as("rank"))
   }
 
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * result diversification at λ = 0.5: from each query's top-`poolK`
+    * exact-cosine candidates, greedily select `selectK` maximizing
+    * `rel(c) − max_{s ∈ selected} sim(c, s)` (first pick by pure
+    * relevance; ties by id). The de-duplication step retrieval feeds
+    * into RAG/labeling pipelines — near-identical top hits waste the
+    * result budget.
+    *
+    * Engine-exactness: relevance and pair similarities are the a01
+    * convention (`round(cos, 6)` doubles), so both engines subtract
+    * and compare IDENTICAL bit patterns; the greedy trace is then
+    * deterministic and the DuckDB twin ([[mmrOracleSql]]) replays it
+    * step by step as unrolled CTEs (the g01 unrolled-iteration
+    * pattern).
+    *
+    * Scale posture: the candidate pools are k-bounded per query (the
+    * heavy lifting is a01's bounded-heap top-k); pair similarities and
+    * the greedy loop run on |queries|·poolK² bounded rows — the greedy
+    * itself is a per-query scalar UDF over collected ≤poolK-element
+    * arrays, never a corpus operation. */
+  def mmrDiversify(queries: DataFrame, corpus: DataFrame, idCol: String,
+                   vecCol: String, poolK: Int, selectK: Int): DataFrame = {
+    require(selectK >= 1 && selectK <= poolK, "need 1 <= selectK <= poolK")
+    val cands = bruteForceTopKExec(queries, corpus, idCol, vecCol, poolK)
+    val vecs = corpus.select(col(idCol).as("vid"), asDouble(vecCol).as("v"))
+    val candIds = cands.select(col("neighbor_id").as("vid")).distinct()
+    val candVecs = vecs.join(broadcast(candIds), "vid")
+    val pairs = cands.as("c1")
+      .join(cands.as("c2"),
+        col("c1.query_id") === col("c2.query_id") &&
+          col("c1.neighbor_id") < col("c2.neighbor_id"))
+      .select(col("c1.query_id").as("query_id"),
+        col("c1.neighbor_id").as("a"), col("c2.neighbor_id").as("b"))
+      .join(broadcast(candVecs.select(col("vid").as("a"), col("v").as("va"))), "a")
+      .join(broadcast(candVecs.select(col("vid").as("b"), col("v").as("vb"))), "b")
+      .select(col("query_id"), col("a"), col("b"),
+        round(cosine(col("va"), col("vb")), 6).as("s"))
+    val spark = queries.sparkSession
+    val pick = org.apache.spark.sql.functions.udf(
+      (cs: Seq[org.apache.spark.sql.Row], ss: Seq[org.apache.spark.sql.Row]) => {
+        val rel = cs.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val sim = scala.collection.mutable.HashMap[(Long, Long), Double]()
+        ss.foreach { r =>
+          val (a, b, s) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+          sim((a, b)) = s; sim((b, a)) = s
+        }
+        val picked = scala.collection.mutable.ArrayBuffer[Long]()
+        val remaining = scala.collection.mutable.TreeSet[Long]() ++ rel.keys
+        while (picked.length < selectK && remaining.nonEmpty) {
+          // first pick: pure relevance (an empty selected set has no
+          // max-sim term — NOT a 0.0 stand-in, which would misorder
+          // against negative cosines)
+          val best = remaining.minBy { c =>
+            val score = if (picked.isEmpty) rel(c)
+              else rel(c) - picked.map(p => sim((c, p))).max
+            (-score, c)
+          }
+          picked += best
+          remaining -= best
+        }
+        picked.toSeq
+      })
+    val grouped = cands
+      .groupBy(col("query_id"))
+      .agg(collect_list(struct(col("neighbor_id"), col("score"))).as("cs"))
+      .join(pairs.groupBy(col("query_id"))
+        .agg(collect_list(struct(col("a"), col("b"), col("s"))).as("ss")),
+        Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        pick(col("cs"), coalesce(col("ss"),
+          expr("cast(array() as array<struct<a:bigint,b:bigint,s:double>>)")))
+          .as("picked"))
+    grouped.select(col("query_id"),
+        posexplode(col("picked")).as(Seq("pos", "doc_id")))
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") + 1).cast("long").as("mmr_rank"))
+  }
+
+  /** The DuckDB replay of [[mmrDiversify]]: candidate pools + pair
+    * sims by the a01 cosine convention, then `selectK` unrolled greedy
+    * steps (each a window argmax over the not-yet-picked candidates
+    * against the previous step's picked list). */
+  def mmrOracleSql(maxQueryId: Int, poolK: Int, selectK: Int): String = {
+    val steps = (2 to selectK).map { n =>
+      s"""s$n AS (
+         |  SELECT c.q, list_append(p.picked, c.id) AS picked FROM (
+         |    SELECT c.q, c.id,
+         |      row_number() OVER (PARTITION BY c.q ORDER BY
+         |        c.rel - (SELECT max(s) FROM sym
+         |                 WHERE sym.q = c.q AND sym.x = c.id
+         |                   AND list_contains(p.picked, sym.y)) DESC, c.id) AS rn
+         |    FROM cands c JOIN s${n - 1} p ON p.q = c.q
+         |    WHERE NOT list_contains(p.picked, c.id)) c
+         |  JOIN s${n - 1} p ON p.q = c.q WHERE c.rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cands AS (
+       |  SELECT query_id AS q, neighbor_id AS id, score AS rel FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      round(list_cosine_similarity(q.v, c.v), 6) AS score,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+       |          c.vec_id) AS rank
+       |    FROM d q JOIN d c ON q.vec_id < $maxQueryId AND q.vec_id <> c.vec_id)
+       |  WHERE rank <= $poolK),
+       |sym AS (
+       |  SELECT c1.q, c1.id AS x, c2.id AS y,
+       |    round(list_cosine_similarity(d1.v, d2.v), 6) AS s
+       |  FROM cands c1 JOIN cands c2 ON c1.q = c2.q AND c1.id <> c2.id
+       |  JOIN d d1 ON d1.vec_id = c1.id JOIN d d2 ON d2.vec_id = c2.id),
+       |s1 AS (
+       |  SELECT q, [id] AS picked FROM (
+       |    SELECT q, id, row_number() OVER (PARTITION BY q
+       |      ORDER BY rel DESC, id) AS rn FROM cands) WHERE rn = 1),
+       |$steps
+       |SELECT q AS query_id, unnest(picked) AS doc_id,
+       |  CAST(generate_subscripts(picked, 1) AS BIGINT) AS mmr_rank
+       |FROM s$selectK
+       |ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
   /** Exact PHRASE search over a positional inverted index — the IR
     * operator BM25's bag-of-words scoring cannot express: a document
     * matches only where the query's words appear CONSECUTIVELY. The

@@ -356,7 +356,20 @@ object Relational9 {
       .orderBy(col("seq_id"))
   }
 
+  /** a20: MMR result diversification ([[graft.operators.Similarity
+    * .mmrDiversify]]) — each query's top-20 exact-cosine pool greedily
+    * re-ranked to 8 diverse picks at λ = 0.5; the oracle replays the
+    * greedy trace as unrolled CTE steps. */
+  def a20MmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    graft.operators.Similarity.mmrDiversify(
+        e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+        poolK = 20, selectK = 8)
+      .orderBy(col("query_id"), col("mmr_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a20_mmr_diversify" -> a20MmrDiversify _,
     "g03_triangles"     -> g03Triangles _,
     "p28_padded_pack"   -> p28PaddedPack _,
     "p27_mixture_interleave" -> p27MixtureInterleave _,
@@ -380,6 +393,9 @@ object Relational9 {
       "'#sec' || CAST(doc_id AS VARCHAR)"
 
   val oracles: Map[String, String] = Map(
+    "a20_mmr_diversify" ->
+      (graft.operators.Similarity.mmrOracleSql(
+        maxQueryId = 5, poolK = 20, selectK = 8)),
     "g03_triangles" ->
       """WITH e AS (
         |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b

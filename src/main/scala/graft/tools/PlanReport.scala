@@ -48,7 +48,8 @@ object PlanReport {
       "p25_global_ids", "q42_salted_join", "q43_cascade_delete",
       "t33_source_drift", "t34_epoch_repeat", "t35_winsorize",
       "a19_phrase_search", "p26_shard_manifest", "d18_fold_dedup",
-      "p27_mixture_interleave")
+      "p27_mixture_interleave", "g03_triangles", "p28_padded_pack",
+      "a20_mmr_diversify")
     sb.append("\n## Physical plans (executed, AQE final)\n")
     planQueries.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
