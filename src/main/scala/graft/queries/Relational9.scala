@@ -368,7 +368,41 @@ object Relational9 {
       .orderBy(col("query_id"), col("mmr_rank"))
   }
 
+  /** q44: greedy event throttling — at most one event per
+    * (user, type) per hour, anchored on the last KEPT event. The LAG
+    * window gets this wrong: it measures the gap to the previous RAW
+    * event, so a burst with 30-minute spacing suppresses everything
+    * after the first even though a kept event re-arms the window every
+    * hour. The anchored semantics are inherently sequential per key —
+    * a bounded `flatMapGroups` pass (the mapPartitions carve-out at
+    * key granularity; per-key event counts are the state bound) —
+    * and the oracle replays the greedy chain as a recursive CTE.
+    * Ties at the kept timestamp resolve to the minimum event id. */
+  def q44EventThrottle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast("long").as("tss"), col("event_id"))
+      .as[(Long, String, Long, Long)]
+    val kept = ev.groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_: (Long, String), it: Iterator[(Long, String, Long, Long)]) =>
+        val sorted = it.toIndexedSeq.sortBy(r => (r._3, r._4))
+        var anchor = Long.MinValue
+        sorted.iterator.filter { r =>
+          if (anchor == Long.MinValue || r._3 >= anchor + 3600L) {
+            anchor = r._3; true
+          } else false
+        }
+      }
+      .toDF("user_id", "event_type", "ts_s", "event_id")
+    // ties at the kept second: minimum event id represents the slot
+    kept.groupBy(col("user_id"), col("event_type"), col("ts_s"))
+      .agg(min(col("event_id")).as("event_id"))
+      .orderBy(col("user_id"), col("event_type"), col("ts_s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_event_throttle" -> q44EventThrottle _,
     "a20_mmr_diversify" -> a20MmrDiversify _,
     "g03_triangles"     -> g03Triangles _,
     "p28_padded_pack"   -> p28PaddedPack _,
@@ -393,6 +427,26 @@ object Relational9 {
       "'#sec' || CAST(doc_id AS VARCHAR)"
 
   val oracles: Map[String, String] = Map(
+    "q44_event_throttle" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id AS u, event_type AS et,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tss, event_id
+        |  FROM events),
+        |kept AS (
+        |  SELECT u, et, min(tss) AS tss FROM ev GROUP BY u, et
+        |  UNION ALL
+        |  SELECT e.u, e.et, e.nts FROM (
+        |    SELECT kept.u, kept.et,
+        |      (SELECT min(tss) FROM ev b
+        |       WHERE b.u = kept.u AND b.et = kept.et
+        |         AND b.tss >= kept.tss + 3600) AS nts
+        |    FROM kept) e
+        |  WHERE e.nts IS NOT NULL)
+        |SELECT k.u AS user_id, k.et AS event_type, k.tss AS ts_s,
+        |  (SELECT min(event_id) FROM ev
+        |   WHERE ev.u = k.u AND ev.et = k.et AND ev.tss = k.tss) AS event_id
+        |FROM kept k
+        |ORDER BY user_id, event_type, ts_s""".stripMargin,
     "a20_mmr_diversify" ->
       (graft.operators.Similarity.mmrOracleSql(
         maxQueryId = 5, poolK = 20, selectK = 8)),
