@@ -26,6 +26,18 @@ import org.apache.spark.sql.functions._
 object GlobalIds {
 
   def assign(df: DataFrame, keyCol: String): DataFrame = {
+    // the typed fast path casts to long — a non-integral key would
+    // cast to all-NULL and return garbage silently; reject loudly and
+    // point at the generic form
+    df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"GlobalIds.assign needs an integral key column, got $t — " +
+          "use assignBy for arbitrary sort columns")
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val parts = spark.sparkContext.defaultParallelism

@@ -280,9 +280,13 @@ object Profile {
     val bounds = q.groupBy(col(groupCol))
       .agg(min(when(col("p") === pLo, col("pctl_u"))).as("__lo100"),
         max(when(col("p") === pHi, col("pctl_u"))).as("__hi100"))
-    df.select(col(idCol), col(groupCol), valueMicro.as("v6"))
+      .withColumnRenamed(groupCol, "__bg")
+    val rows = df.select(col(idCol), col(groupCol), valueMicro.as("v6"))
       .filter(col("v6").isNotNull)
-      .join(broadcast(bounds), groupCol)
+    rows
+      // null-safe: a NULL group is a group (the exactQuantiles
+      // contract) — a plain equi-join would silently drop its rows
+      .join(broadcast(bounds), rows(groupCol) <=> bounds("__bg"))
       .withColumn("w100",
         greatest(least(col("v6") * 100, col("__hi100")), col("__lo100")))
       .filter(col("v6") * 100 =!= col("w100"))

@@ -477,7 +477,10 @@ object Similarity {
     * against the previous step's picked list). */
   def mmrOracleSql(maxQueryId: Int, poolK: Int, selectK: Int): String = {
     val steps = (2 to selectK).map { n =>
-      s"""s$n AS (
+      // the UNION ALL leg carries exhausted queries forward: a pool
+      // smaller than selectK must emit its PARTIAL pick list (the
+      // Scala greedy stops at remaining.isEmpty), not vanish
+      s"""s$n AS MATERIALIZED (
          |  SELECT c.q, list_append(p.picked, c.id) AS picked FROM (
          |    SELECT c.q, c.id,
          |      row_number() OVER (PARTITION BY c.q ORDER BY
@@ -486,10 +489,14 @@ object Similarity {
          |                   AND list_contains(p.picked, sym.y)) DESC, c.id) AS rn
          |    FROM cands c JOIN s${n - 1} p ON p.q = c.q
          |    WHERE NOT list_contains(p.picked, c.id)) c
-         |  JOIN s${n - 1} p ON p.q = c.q WHERE c.rn = 1)""".stripMargin
+         |  JOIN s${n - 1} p ON p.q = c.q WHERE c.rn = 1
+         |  UNION ALL
+         |  SELECT p.q, p.picked FROM s${n - 1} p
+         |  WHERE NOT EXISTS (SELECT 1 FROM cands c
+         |    WHERE c.q = p.q AND NOT list_contains(p.picked, c.id)))""".stripMargin
     }.mkString(",\n")
     s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |cands AS (
+       |cands AS MATERIALIZED (
        |  SELECT query_id AS q, neighbor_id AS id, score AS rel FROM (
        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |      round(list_cosine_similarity(q.v, c.v), 6) AS score,
@@ -498,12 +505,12 @@ object Similarity {
        |          c.vec_id) AS rank
        |    FROM d q JOIN d c ON q.vec_id < $maxQueryId AND q.vec_id <> c.vec_id)
        |  WHERE rank <= $poolK),
-       |sym AS (
+       |sym AS MATERIALIZED (
        |  SELECT c1.q, c1.id AS x, c2.id AS y,
        |    round(list_cosine_similarity(d1.v, d2.v), 6) AS s
        |  FROM cands c1 JOIN cands c2 ON c1.q = c2.q AND c1.id <> c2.id
        |  JOIN d d1 ON d1.vec_id = c1.id JOIN d d2 ON d2.vec_id = c2.id),
-       |s1 AS (
+       |s1 AS MATERIALIZED (
        |  SELECT q, [id] AS picked FROM (
        |    SELECT q, id, row_number() OVER (PARTITION BY q
        |      ORDER BY rel DESC, id) AS rn FROM cands) WHERE rn = 1),

@@ -39,8 +39,11 @@ object UrlNorm {
   def canonicalize(url: Column): Column = {
     val noFrag = substring_index(url, "#", 1)
     val scheme = lower(substring_index(noFrag, "://", 1))
-    // '://' is the absolute-URL invariant and appears exactly once
-    val rest = substring_index(noFrag, "://", -1)
+    // everything after the FIRST '://' — substring_index(…, -1) would
+    // split at the LAST occurrence, so a URL embedding another absolute
+    // URL in a query param would canonicalize to the EMBEDDED one
+    // (caught in review; the DuckDB twin always used first-occurrence)
+    val rest = substr(noFrag, length(scheme) + 4, lit(1 << 24))
     // the authority ends at the FIRST of '/' or '?' — a pathless URL
     // can still carry a query (https://a.com?x=1)
     val hostPort = lower(substring_index(substring_index(rest, "/", 1), "?", 1))
@@ -52,8 +55,11 @@ object UrlNorm {
       .otherwise(hostPort)
     val host = regexp_replace(hostNoPort, "^www\\.", "")
     val path = regexp_replace(substring_index(pathQ, "?", 1), "/$", "")
+    // query = everything after the FIRST '?' (a literal '?' inside a
+    // param value belongs to the query, not to a second split point)
     val query = when(pathQ.contains("?"),
-      substring_index(pathQ, "?", -1)).otherwise(lit(""))
+      substr(pathQ, length(substring_index(pathQ, "?", 1)) + 2, lit(1 << 24)))
+      .otherwise(lit(""))
     val params = array_join(
       array_sort(filter(split(query, "&"),
         p => !(p.startsWith("utm_") || p.startsWith("ref=") ||
@@ -72,12 +78,35 @@ object UrlNorm {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("canon_url"))
     df.select(col(idCol), canonicalize(urlCol).as("canon_url"))
+      // authority ends at the first of '/' or '?' — a pathless
+      // canonical URL can still carry surviving params
       .withColumn("host",
-        substring_index(substring_index(col("canon_url"), "://", -1), "/", 1))
+        substring_index(substring_index(substring_index(
+          col("canon_url"), "://", -1), "/", 1), "?", 1))
       .withColumn("keep",
         (col(idCol) === min(col(idCol)).over(w)).cast("int"))
       .withColumn("n_dups", count(lit(1)).over(w))
   }
+
+  /** The t31/s12 test-fixture URL synthesis (deterministic from
+    * (source, doc_id); exercises host case, default port, `www.`,
+    * tracking params, unsorted params, trailing slash, fragment).
+    * ONE definition for the Spark and SQL forms — four literal copies
+    * previously had to stay byte-identical or the oracles would
+    * silently diverge from their queries. */
+  def synthUrl(docId: Column, source: Column): Column = concat(
+    lit("HTTPS://WWW."), upper(source), lit(".Example.COM:443/Docs/"),
+    (docId % 5).cast("string"),
+    lit("/?utm_source=feed&b="), (docId % 3).cast("string"),
+    lit("&a="), (docId % 5).cast("string"),
+    lit("#sec"), docId.cast("string"))
+
+  /** [[synthUrl]]'s DuckDB twin over the documents table's columns. */
+  val synthUrlSql: String =
+    "'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Docs/' || " +
+      "CAST(doc_id % 5 AS VARCHAR) || '/?utm_source=feed&b=' || " +
+      "CAST(doc_id % 3 AS VARCHAR) || '&a=' || CAST(doc_id % 5 AS VARCHAR) || " +
+      "'#sec' || CAST(doc_id AS VARCHAR)"
 
   /** DuckDB replay of [[canonicalize]] over a SQL expression `urlSql`
     * (same rule set, DuckDB's list/string surface). */

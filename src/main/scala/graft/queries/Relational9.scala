@@ -22,12 +22,7 @@ object Relational9 {
     * per source, 15 canonical slots), so the keep/dup verdicts are
     * exercised too. */
   def t31UrlNorm(spark: SparkSession, dir: String): DataFrame = {
-    val url = concat(
-      lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM:443/Docs/"),
-      (col("doc_id") % 5).cast("string"),
-      lit("/?utm_source=feed&b="), (col("doc_id") % 3).cast("string"),
-      lit("&a="), (col("doc_id") % 5).cast("string"),
-      lit("#sec"), col("doc_id").cast("string"))
+    val url = UrlNorm.synthUrl(col("doc_id"), col("source"))
     UrlNorm.dedupByCanonicalUrl(
         documents(spark, dir).select(col("doc_id"), col("source")),
         "doc_id", url)
@@ -420,11 +415,7 @@ object Relational9 {
     "t34_epoch_repeat" -> t34EpochRepeat _,
     "t35_winsorize"    -> t35Winsorize _)
 
-  private val urlSynthSql =
-    "'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Docs/' || " +
-      "CAST(doc_id % 5 AS VARCHAR) || '/?utm_source=feed&b=' || " +
-      "CAST(doc_id % 3 AS VARCHAR) || '&a=' || CAST(doc_id % 5 AS VARCHAR) || " +
-      "'#sec' || CAST(doc_id AS VARCHAR)"
+  private val urlSynthSql = UrlNorm.synthUrlSql
 
   val oracles: Map[String, String] = Map(
     "q44_event_throttle" ->
@@ -532,7 +523,8 @@ object Relational9 {
          |c AS (SELECT doc_id,
          |  ${UrlNorm.canonicalizeOracleSql("url")} AS canon_url FROM u)
          |SELECT doc_id, canon_url,
-         |  split_part(split_part(canon_url, '://', 2), '/', 1) AS host,
+         |  split_part(split_part(split_part(canon_url, '://', 2), '/', 1),
+         |    '?', 1) AS host,
          |  CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canon_url)
          |    THEN 1 ELSE 0 END AS INT) AS keep,
          |  count(*) OVER (PARTITION BY canon_url) AS n_dups

@@ -285,12 +285,7 @@ object StreamingQueries {
     * URL granularity — the frontier dedup a streaming crawler runs). */
   def streamUrlDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = tableStream(spark, dir, "documents")
-    val url = concat(
-      lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM:443/Docs/"),
-      (col("doc_id") % 5).cast("string"),
-      lit("/?utm_source=feed&b="), (col("doc_id") % 3).cast("string"),
-      lit("&a="), (col("doc_id") % 5).cast("string"),
-      lit("#sec"), col("doc_id").cast("string"))
+    val url = graft.operators.UrlNorm.synthUrl(col("doc_id"), col("source"))
     val dd = docs
       .select(graft.operators.UrlNorm.canonicalize(url).as("canon_url"))
       .dropDuplicates("canon_url")
@@ -315,11 +310,7 @@ object StreamingQueries {
     // s12 == batch DISTINCT over the t31 canonicalization: one bounded
     // replay makes streaming dropDuplicates state equal batch distinct
     "s12_stream_urldedup" -> {
-      val synth =
-        "'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Docs/' || " +
-          "CAST(doc_id % 5 AS VARCHAR) || '/?utm_source=feed&b=' || " +
-          "CAST(doc_id % 3 AS VARCHAR) || '&a=' || CAST(doc_id % 5 AS VARCHAR) || " +
-          "'#sec' || CAST(doc_id AS VARCHAR)"
+      val synth = graft.operators.UrlNorm.synthUrlSql
       s"""WITH u AS (SELECT doc_id, $synth AS url FROM documents)
          |SELECT DISTINCT ${graft.operators.UrlNorm.canonicalizeOracleSql("url")}
          |  AS canon_url

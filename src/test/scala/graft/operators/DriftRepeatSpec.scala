@@ -83,6 +83,14 @@ class DriftRepeatSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("n_copies") === 1L))
   }
 
+  test("winsorize: NULL group survives (null-safe bounds join)") {
+    val df = ((1 to 100).map(i => (i.toLong, null.asInstanceOf[String], i.toLong)) :+
+      (999L, "g", 5L)).toDF("id", "g", "v")
+    val out = Profile.winsorize(df, "id", "g", col("v"), 10, 90)
+      .filter(col("g").isNull).collect()
+    assert(out.nonEmpty, "null-group tails must be reported")
+  }
+
   test("winsorize: hand-computed clip bounds, clipped rows only") {
     // group g: values 1..100 (micro-units ×1: pass value as-is).
     // p10/p90: k = p·99 div 100 → lo rank; bounds interpolate between

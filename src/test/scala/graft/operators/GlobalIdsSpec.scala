@@ -31,6 +31,14 @@ class GlobalIdsSpec extends AnyFunSuite {
     }
   }
 
+  test("assign rejects non-integral keys loudly (no silent NULL cast)") {
+    val df = Seq("a", "b").toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      GlobalIds.assign(df, "k")
+    }
+    assert(e.getMessage.contains("assignBy"))
+  }
+
   test("assignBy: generic sort columns, all input columns kept") {
     val df = Seq((3L, "b"), (1L, "a"), (2L, "a"), (4L, "c"))
       .toDF("k", "tag").repartition(3)

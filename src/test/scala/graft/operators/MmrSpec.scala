@@ -42,6 +42,17 @@ class MmrSpec extends AnyFunSuite {
     assert(mmr.toSet === Set(1L, 2L, 3L))
   }
 
+  test("pool smaller than selectK emits the partial pick list") {
+    val queries = vecs.filter(col("vec_id") === 100L)
+    val corpus = vecs.filter(col("vec_id") =!= 100L)
+    // only 3 candidates exist; asking for 5 must return all 3 ranked
+    val out = Similarity.mmrDiversify(queries, corpus, "vec_id",
+        "embedding", poolK = 10, selectK = 5)
+      .orderBy(col("mmr_rank")).collect()
+    assert(out.length === 3)
+    assert(out.map(_.getAs[Long]("mmr_rank")).toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("selectK caps output; determinism across partitionings") {
     val queries = vecs.filter(col("vec_id") === 100L)
     val corpus = vecs.filter(col("vec_id") =!= 100L)

@@ -53,6 +53,26 @@ class UrlNormSpec extends AnyFunSuite {
     assert(canon("https://A.com") === "https://a.com")
   }
 
+  test("embedded absolute URL in a param: split at the FIRST '://'") {
+    assert(canon("https://a.com/r?to=https://b.com/x")
+      === "https://a.com/r?to=https://b.com/x")
+  }
+
+  test("literal '?' inside a param value stays in the query") {
+    assert(canon("https://a.com/p?a=what?&b=2") === "https://a.com/p?a=what?&b=2")
+  }
+
+  test("dedup host column: pathless canonical with surviving params") {
+    val spark2 = spark
+    import spark2.implicits._
+    val out = UrlNorm.dedupByCanonicalUrl(
+        Seq((1L, "https://A.com?b=2")).toDF("id", "url"),
+        "id", org.apache.spark.sql.functions.col("url"))
+      .head()
+    assert(out.getAs[String]("canon_url") === "https://a.com?b=2")
+    assert(out.getAs[String]("host") === "a.com")
+  }
+
   test("dedup: keep-first by canonical, duplicate counts right") {
     val df = Seq(
       (1L, "HTTP://WWW.A.com:80/x/?utm_source=1"),
