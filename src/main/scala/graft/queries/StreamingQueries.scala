@@ -292,7 +292,28 @@ object StreamingQueries {
     awaitMemorySink(dd, "append").distinct().orderBy(col("canon_url"))
   }
 
+  /** s13: stateful streaming event throttling — q44's anchored
+    * one-per-hour rate limit with the last-kept timestamp as the ONLY
+    * state per (user, type) ([[graft.streaming.StreamingIngest
+    * .throttleStream]]). Oracle: q44's recursive-CTE replay verbatim
+    * (single-replay equality — unified batch/stream semantics). */
+  def streamThrottle(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val ev = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast("long").as("tss"), col("event_id"))
+      .as[(Long, String, Long, Long)]
+    val kept = graft.streaming.StreamingIngest.throttleStream(ev)
+      .toDF("user_id", "event_type", "ts_s", "event_id")
+    awaitMemorySink(kept, "append")
+      .groupBy(col("user_id"), col("event_type"), col("ts_s"))
+      .agg(min(col("event_id")).as("event_id"))
+      .orderBy(col("user_id"), col("event_type"), col("ts_s"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_stream_throttle" -> streamThrottle _,
     "s12_stream_urldedup" -> streamUrlDedup _,
     "s11_stream_cdc"      -> streamCdcMerge _,
     "s01_stream_hourly"   -> streamHourly _,
@@ -307,6 +328,9 @@ object StreamingQueries {
     "s10_stream_session_window" -> streamSessionWindow _)
 
   def oracles: Map[String, String] = Map(
+    // s13 == the batch q44 greedy chain: the anchor state carries the
+    // same information whether events arrive in one batch or many
+    "s13_stream_throttle" -> Relational9.oracles("q44_event_throttle"),
     // s12 == batch DISTINCT over the t31 canonicalization: one bounded
     // replay makes streaming dropDuplicates state equal batch distinct
     "s12_stream_urldedup" -> {

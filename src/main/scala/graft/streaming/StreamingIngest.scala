@@ -276,6 +276,35 @@ object StreamingIngest {
     * and in a single bounded replay idle-state expiry can change
     * nothing anyway (every session is already emitted as a
     * closed row or an open-session snapshot while folding). */
+  /** Stateful greedy event throttling — q44's anchored rate limit as
+    * streaming state: one (user, type) keeps only its last KEPT
+    * timestamp as state (8 bytes per live key), each micro-batch's
+    * events sort in memory (bounded per key per batch) and pass the
+    * greedy gate against the carried anchor. Under a single bounded
+    * replay this equals the batch operator exactly (the s-series
+    * unified-semantics contract); across micro-batches the anchor is
+    * precisely the state a rate limiter needs — no event history.
+    * Input: (user_id, event_type, ts_seconds, event_id). */
+  def throttleStream(events: Dataset[(Long, String, Long, Long)])
+  : Dataset[(Long, String, Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[Long]) =>
+          var anchor = state.getOption.getOrElse(Long.MinValue)
+          val kept = rows.toIndexedSeq.sortBy(r => (r._3, r._4)).filter { r =>
+            if (anchor == Long.MinValue || r._3 >= anchor + 3600L) {
+              anchor = r._3; true
+            } else false
+          }
+          state.update(anchor)
+          kept.iterator
+      }
+  }
+
   def sessionize(events: Dataset[(Long, Long)], gapSeconds: Long = 1800L,
                  expireIdle: Boolean = true): Dataset[SessionOut] = {
     val spark = events.sparkSession

@@ -132,6 +132,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 2, "duplicate content must not re-emit")
   }
 
+  test("stateful throttle: the anchor carries across micro-batches and restarts") {
+    val spark2 = spark
+    import spark2.implicits._
+    val drop = tmp("thr_drop"); val ckpt = tmp("thr_ckpt"); val out = tmp("thr_out")
+    def writeBatch(name: String, rows: Seq[(Long, String, Long, Long)]): Unit =
+      rows.toDF("user_id", "event_type", "tss", "event_id")
+        .coalesce(1).write.parquet(s"$drop/$name")
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema("user_id LONG, event_type STRING, tss LONG, event_id LONG")
+        .option("recursiveFileLookup", "true").parquet(drop)
+        .as[(Long, String, Long, Long)]
+      val q = StreamingIngest.throttleStream(src)
+        .toDF("user_id", "event_type", "ts_s", "event_id")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").parquet(out); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: t=0 kept, t=1800 suppressed (within the hour)
+    writeBatch("b1", Seq((1L, "view", 0L, 1L), (1L, "view", 1800L, 2L)))
+    runOnce()
+    assert(spark.read.parquet(out).count() === 1)
+    // batch 2 after a RESTART: t=3000 must still be suppressed (anchor 0
+    // restored from the checkpoint), t=3600 re-arms and is kept
+    writeBatch("b2", Seq((1L, "view", 3000L, 3L), (1L, "view", 3600L, 4L)))
+    runOnce()
+    val kept = spark.read.parquet(out).orderBy("ts_s").collect()
+      .map(_.getAs[Long]("ts_s")).toSeq
+    assert(kept === Seq(0L, 3600L))
+  }
+
   test("streaming curation drops benchmark quotes and low-quality docs at ingest") {
     import spark.implicits._
     val drop = tmp("drop3"); val ckpt = tmp("ckpt_cur"); val out = tmp("curate_out")
