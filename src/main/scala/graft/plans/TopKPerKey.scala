@@ -159,6 +159,66 @@ object TopKPerKey {
   }
 }
 
+/** Catalyst OPTIMIZER rule: rewrites the classic grouped-top-k idiom
+  *
+  *   Filter(rank <= k, Window(row_number() OVER (PARTITION BY keys
+  *     ORDER BY score DESC, tie ASC) AS rank, child))
+  *
+  * into the same plan with [[TopKPerKeyNode]] inserted UNDER the
+  * window — the window then ranks only the ≤ k·|keys| survivors the
+  * bounded heaps let through, instead of sorting and shuffling every
+  * input row. The rewrite is semantics-preserving because the node
+  * prunes by EXACTLY the window's total order (score desc NULLS LAST,
+  * tie asc NULLS FIRST — the exec's documented contract), so the
+  * surviving set is precisely the rows whose row_number would be ≤ k.
+  *
+  * Conservative trigger conditions (anything else is left alone):
+  * single row_number window expression; partition keys and both sort
+  * expressions are plain attributes; default null orderings; a numeric
+  * score; the filter is a single `rank <= k` / `rank < k` comparison
+  * on the window's own output attribute; k ≥ 1.
+  *
+  * Deploy: `spark.sql.extensions=graft.plans.GraftExtensions` (config
+  * path) or `spark.experimental.extraOptimizations` (runtime path) —
+  * either way existing window-form queries get the bounded-heap
+  * physical shape with NO source change. */
+object TopKWindowRewrite
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window}
+
+  private def limitOf(cond: Expression,
+                      rank: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, Literal(v: Int, _))
+      if a.exprId == rank.exprId => Some(v)
+    case LessThan(a: Attribute, Literal(v: Int, _))
+      if a.exprId == rank.exprId => Some(v - 1)
+    case GreaterThanOrEqual(Literal(v: Int, _), a: Attribute)
+      if a.exprId == rank.exprId => Some(v)
+    case GreaterThan(Literal(v: Int, _), a: Attribute)
+      if a.exprId == rank.exprId => Some(v - 1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond,
+        w @ Window(Seq(alias @ Alias(WindowExpression(_: RowNumber,
+          WindowSpecDefinition(partSpec, Seq(
+            SortOrder(score: Attribute, Descending, NullsLast, _),
+            SortOrder(tie: Attribute, Ascending, NullsFirst, _)), _)), _)),
+          _, _, child, _))
+      if !child.isInstanceOf[TopKPerKeyNode] &&
+        partSpec.forall(_.isInstanceOf[Attribute]) &&
+        TopKPerKeyExec.scoreOrdering(score.dataType).isDefined =>
+      limitOf(cond, alias.toAttribute) match {
+        case Some(k) if k >= 1 =>
+          f.copy(child = w.copy(child =
+            TopKPerKeyNode(partSpec, score, tie, k, child)))
+        case _ => f
+      }
+  }
+}
+
 /** Plans TopKPerKeyNode as final(partial(child)). */
 object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
@@ -181,6 +241,7 @@ object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectOptimizerRule(_ => TopKWindowRewrite)
     graft.functions.GraftFunctions.sqlBuilders.foreach { case (name, builder) =>
       e.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
