@@ -47,7 +47,8 @@ object Bench {
     "d18_fold_dedup", "p27_mixture_interleave",
     // g03_triangles is gate-only (like d02/d05): a dense co-occurrence
     // graph's triangle join is intrinsically heavy at sf0.1 (26 s)
-    "p28_padded_pack", "a20_mmr_diversify", "q44_event_throttle")
+    "p28_padded_pack", "a20_mmr_diversify", "q44_event_throttle",
+    "t37_eval_integrity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -396,7 +396,41 @@ object Relational9 {
       .orderBy(col("user_id"), col("event_type"), col("ts_s"))
   }
 
+  /** t37: eval-set INTEGRITY report — t10 inverted: instead of "which
+    * corpus documents quote a benchmark item", answer "how compromised
+    * is each benchmark item" — the view an eval maintainer needs to
+    * decide which items to retire. Per bench item: its distinct 8-gram
+    * count, how many of those appear in OTHER documents (the source
+    * document itself doesn't count against its own eval item), how
+    * many documents touch it, and the leaked fraction. Same
+    * broadcast-eval / hashed-gram plan as t10 — the corpus never
+    * shuffles for the probe. */
+  def t37EvalIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val bench = d.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("bench_id"),
+        array_join(slice(split(col("text"), " "), 1, 60), " ").as("bench_text"))
+    val bng = bench.select(col("bench_id"),
+      explode(Dedup.hashedNgrams("bench_text", 8)).as("ng"))
+    val totals = bng.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val cng = d.select(col("doc_id"), explode(Dedup.hashedNgrams("text", 8)).as("ng"))
+    val hits = cng.join(broadcast(bng), "ng")
+      .filter(col("doc_id") =!= col("bench_id"))
+    hits.groupBy(col("bench_id"))
+      .agg(countDistinct(col("ng")).as("n_leaked"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .join(broadcast(totals), Seq("bench_id"), "right_outer")
+      .select(col("bench_id"), col("n_grams"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        round(coalesce(col("n_leaked"), lit(0L)).cast("double") /
+          col("n_grams").cast("double"), 6).as("leaked_frac"))
+      .orderBy(col("bench_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t37_eval_integrity" -> t37EvalIntegrity _,
     "q44_event_throttle" -> q44EventThrottle _,
     "a20_mmr_diversify" -> a20MmrDiversify _,
     "g03_triangles"     -> g03Triangles _,
@@ -418,6 +452,34 @@ object Relational9 {
   private val urlSynthSql = UrlNorm.synthUrlSql
 
   val oracles: Map[String, String] = Map(
+    "t37_eval_integrity" ->
+      """WITH bench AS (
+        |  SELECT doc_id AS bench_id,
+        |         array_to_string(string_split(text,' ')[1:60], ' ') AS bench_text
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |bng AS (
+        |  SELECT bench_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(bench_text,' ')) - 7),
+        |    i -> array_to_string(string_split(bench_text,' ')[i:i+7], ' ')))) AS ngram
+        |  FROM bench),
+        |totals AS (SELECT bench_id, count(*) AS n_grams FROM bng GROUP BY bench_id),
+        |cng AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text,' ')) - 7),
+        |    i -> array_to_string(string_split(text,' ')[i:i+7], ' ')))) AS ngram
+        |  FROM documents),
+        |hits AS (
+        |  SELECT b.bench_id, count(DISTINCT b.ngram) AS n_leaked,
+        |    count(DISTINCT c.doc_id) AS n_docs
+        |  FROM cng c JOIN bng b ON c.ngram = b.ngram AND c.doc_id <> b.bench_id
+        |  GROUP BY b.bench_id)
+        |SELECT t.bench_id, t.n_grams,
+        |  COALESCE(h.n_leaked, 0) AS n_leaked,
+        |  COALESCE(h.n_docs, 0) AS n_docs,
+        |  round(COALESCE(h.n_leaked, 0) / CAST(t.n_grams AS DOUBLE), 6)
+        |    AS leaked_frac
+        |FROM totals t LEFT JOIN hits h ON h.bench_id = t.bench_id
+        |ORDER BY t.bench_id""".stripMargin,
     "q44_event_throttle" ->
       """WITH RECURSIVE ev AS (
         |  SELECT user_id AS u, event_type AS et,
