@@ -222,15 +222,18 @@ object Profile {
   def madOutliers(df: DataFrame, groupCol: String, idCol: String,
                   valueMicro: Column, factor: Int = 3): DataFrame = {
     val v = df.select(col(groupCol), col(idCol), valueMicro.as("v6"))
+    // null-safe group joins throughout: a NULL group gets its own
+    // median/MAD (the exactQuantiles contract), never silently dropped
     val med = exactQuantiles(v, groupCol, col("v6"), Seq(50))
-      .select(col(groupCol), col("pctl_u").as("med100"))
-    val dev = v.join(broadcast(med), groupCol)
+      .select(col(groupCol).as("__gm"), col("pctl_u").as("med100"))
+    val dev = v.join(broadcast(med), v(groupCol) <=> med("__gm"))
+      .drop("__gm")
       .withColumn("dev100", abs(lit(100L) * col("v6") - col("med100")))
     val mad = exactQuantiles(dev, groupCol, col("dev100"), Seq(50))
-      .select(col(groupCol), col("pctl_u").as("mad10000"))
-    dev.join(broadcast(mad), groupCol)
+      .select(col(groupCol).as("__gd"), col("pctl_u").as("mad10000"))
+    dev.join(broadcast(mad), dev(groupCol) <=> mad("__gd"))
       .filter(lit(100L) * col("dev100") > lit(factor.toLong) * col("mad10000"))
-      .select(col(groupCol), col(idCol), col("v6"), col("dev100"),
+      .select(dev(groupCol), col(idCol), col("v6"), col("dev100"),
         col("mad10000"))
   }
 
@@ -253,7 +256,10 @@ object Profile {
       .filter(col("v6").isNotNull)
     val bounds = v.groupBy(col(groupCol))
       .agg(min(col("v6")).as("__mn"), max(col("v6")).as("__mx"))
-    v.join(broadcast(bounds), groupCol)
+      .withColumnRenamed(groupCol, "__bg")
+    // null-safe: a NULL group is a group (the winsorize/exactQuantiles
+    // contract) — a plain equi-join would silently drop its rows
+    v.join(broadcast(bounds), v(groupCol) <=> bounds("__bg"))
       .withColumn("bin", expr(
         s"((v6 - __mn) * $nBins) div (__mx - __mn + 1)"))
       .groupBy(col(groupCol), col("bin"))

@@ -495,6 +495,7 @@ object Similarity {
          |  WHERE NOT EXISTS (SELECT 1 FROM cands c
          |    WHERE c.q = p.q AND NOT list_contains(p.picked, c.id)))""".stripMargin
     }.mkString(",\n")
+    val stepsSql = if (steps.isEmpty) "" else ",\n" + steps
     s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cands AS MATERIALIZED (
        |  SELECT query_id AS q, neighbor_id AS id, score AS rel FROM (
@@ -513,8 +514,7 @@ object Similarity {
        |s1 AS MATERIALIZED (
        |  SELECT q, [id] AS picked FROM (
        |    SELECT q, id, row_number() OVER (PARTITION BY q
-       |      ORDER BY rel DESC, id) AS rn FROM cands) WHERE rn = 1),
-       |$steps
+       |      ORDER BY rel DESC, id) AS rn FROM cands) WHERE rn = 1)$stepsSql
        |SELECT q AS query_id, unnest(picked) AS doc_id,
        |  CAST(generate_subscripts(picked, 1) AS BIGINT) AS mmr_rank
        |FROM s$selectK

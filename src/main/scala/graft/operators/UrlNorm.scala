@@ -77,12 +77,15 @@ object UrlNorm {
                           urlCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("canon_url"))
+    val canon = col("canon_url")
+    // after the FIRST '://' (a canonical URL can still embed another
+    // absolute URL in a param value), authority ends at the first of
+    // '/' or '?' (pathless canonical URLs can carry surviving params)
+    val afterScheme = substr(canon,
+      length(substring_index(canon, "://", 1)) + 4, lit(1 << 24))
     df.select(col(idCol), canonicalize(urlCol).as("canon_url"))
-      // authority ends at the first of '/' or '?' — a pathless
-      // canonical URL can still carry surviving params
       .withColumn("host",
-        substring_index(substring_index(substring_index(
-          col("canon_url"), "://", -1), "/", 1), "?", 1))
+        substring_index(substring_index(afterScheme, "/", 1), "?", 1))
       .withColumn("keep",
         (col(idCol) === min(col(idCol)).over(w)).cast("int"))
       .withColumn("n_dups", count(lit(1)).over(w))

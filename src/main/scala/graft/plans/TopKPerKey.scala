@@ -118,7 +118,10 @@ final case class TopKPerKeyExec(keys: Seq[Expression], score: Expression,
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[(Any, Any, InternalRow)](kk + 1, cmp)
+          // initial capacity is a HINT (the queue grows): cap it so a
+          // large k doesn't eagerly allocate k+1 slots per key
+          heap = new java.util.PriorityQueue[(Any, Any, InternalRow)](
+            math.min(kk, 1024) + 1, cmp)
           heaps.put(key.copy(), heap)
         }
         if (heap.size() < kk) heap.add((s, copyTie(t), row.copy()))
@@ -192,7 +195,7 @@ object TopKWindowRewrite
     case LessThanOrEqual(a: Attribute, Literal(v: Int, _))
       if a.exprId == rank.exprId => Some(v)
     case LessThan(a: Attribute, Literal(v: Int, _))
-      if a.exprId == rank.exprId => Some(v - 1)
+      if a.exprId == rank.exprId && v > Int.MinValue => Some(v - 1)
     case GreaterThanOrEqual(Literal(v: Int, _), a: Attribute)
       if a.exprId == rank.exprId => Some(v)
     case GreaterThan(Literal(v: Int, _), a: Attribute)
@@ -208,10 +211,15 @@ object TopKWindowRewrite
             SortOrder(tie: Attribute, Ascending, NullsFirst, _)), _)), _)),
           _, _, child, _))
       if !child.isInstanceOf[TopKPerKeyNode] &&
+        // nonEmpty: a GLOBAL top-k (no PARTITION BY) must stay a
+        // window — ClusteredDistribution(Nil) is rejected at planning
+        partSpec.nonEmpty &&
         partSpec.forall(_.isInstanceOf[Attribute]) &&
         TopKPerKeyExec.scoreOrdering(score.dataType).isDefined =>
       limitOf(cond, alias.toAttribute) match {
-        case Some(k) if k >= 1 =>
+        // upper bound: a huge k makes per-key heaps pointless (and the
+        // plain window form is no worse) — leave those plans alone
+        case Some(k) if k >= 1 && k <= (1 << 24) =>
           f.copy(child = w.copy(child =
             TopKPerKeyNode(partSpec, score, tie, k, child)))
         case _ => f

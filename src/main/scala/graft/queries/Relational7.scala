@@ -225,10 +225,10 @@ object Relational7 {
          |med AS (${medianCte("v", "v6", "med100")}),
          |d AS (SELECT v.g, v.event_id, v.v6,
          |    abs(100 * v.v6 - med.med100) AS dev100
-         |  FROM v JOIN med ON v.g = med.g),
+         |  FROM v JOIN med ON v.g IS NOT DISTINCT FROM med.g),
          |mad AS (${medianCte("d", "dev100", "mad10000")})
          |SELECT d.g AS event_type, d.event_id, d.v6, d.dev100, mad.mad10000
-         |FROM d JOIN mad ON d.g = mad.g
+         |FROM d JOIN mad ON d.g IS NOT DISTINCT FROM mad.g
          |WHERE 100 * d.dev100 > 3 * mad.mad10000
          |ORDER BY event_type, event_id""".stripMargin,
     "q36_funnel" ->

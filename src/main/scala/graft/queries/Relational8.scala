@@ -161,7 +161,7 @@ object Relational8 {
         |SELECT v.l_returnflag,
         |  ((v.v6 - b.mn) * 20) // (b.mx - b.mn + 1) AS bin,
         |  count(*) AS n_rows, min(v.v6) AS v_min, max(v.v6) AS v_max
-        |FROM v JOIN b ON v.l_returnflag = b.l_returnflag
+        |FROM v JOIN b ON v.l_returnflag IS NOT DISTINCT FROM b.l_returnflag
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t30_score_calibration" ->
       """WITH s AS (

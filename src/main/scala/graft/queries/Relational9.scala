@@ -417,10 +417,14 @@ object Relational9 {
     val cng = d.select(col("doc_id"), explode(Dedup.hashedNgrams("text", 8)).as("ng"))
     val hits = cng.join(broadcast(bng), "ng")
       .filter(col("doc_id") =!= col("bench_id"))
-    hits.groupBy(col("bench_id"))
+    val leaked = hits.groupBy(col("bench_id"))
       .agg(countDistinct(col("ng")).as("n_leaked"),
         countDistinct(col("doc_id")).as("n_docs"))
-      .join(broadcast(totals), Seq("bench_id"), "right_outer")
+    // totals on the LEFT (the oracle's LEFT JOIN shape): a broadcast
+    // hint on the RIGHT side of a right_outer can never be honored
+    // (Spark only builds the left for RightOuter) and was silently
+    // ignored — both sides are |bench|-bounded anyway
+    totals.join(broadcast(leaked), Seq("bench_id"), "left_outer")
       .select(col("bench_id"), col("n_grams"),
         coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs"),
@@ -726,7 +730,7 @@ object Relational9 {
         |SELECT r.line_id, r.g AS l_returnflag, r.v6,
         |  greatest(least(r.v6 * 100, b.hi100), b.lo100) AS w100,
         |  CASE WHEN r.v6 * 100 > b.hi100 THEN 'high' ELSE 'low' END AS side
-        |FROM r JOIN b ON r.g = b.g
+        |FROM r JOIN b ON r.g IS NOT DISTINCT FROM b.g
         |WHERE r.v6 * 100 <> greatest(least(r.v6 * 100, b.hi100), b.lo100)
         |ORDER BY line_id""".stripMargin)
 }

@@ -282,9 +282,15 @@ object StreamingIngest {
     * events sort in memory (bounded per key per batch) and pass the
     * greedy gate against the carried anchor. Under a single bounded
     * replay this equals the batch operator exactly (the s-series
-    * unified-semantics contract); across micro-batches the anchor is
-    * precisely the state a rate limiter needs — no event history.
-    * Input: (user_id, event_type, ts_seconds, event_id). */
+    * unified-semantics contract), and across micro-batches it matches
+    * batch AS LONG AS delivery is event-time ordered between batches
+    * (the StreamingSpec scenario). A LATE event older than the carried
+    * anchor is suppressed — which still upholds the rate-limit
+    * guarantee (all kept events ≥ 1 h apart) but can differ from the
+    * batch greedy replayed over the reordered history; an exact-replay
+    * requirement under lateness needs a watermark + event buffer, not
+    * an 8-byte anchor. Input: (user_id, event_type, ts_seconds,
+    * event_id). */
   def throttleStream(events: Dataset[(Long, String, Long, Long)])
   : Dataset[(Long, String, Long, Long)] = {
     val spark = events.sparkSession
