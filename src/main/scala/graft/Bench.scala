@@ -48,7 +48,7 @@ object Bench {
     // g03_triangles is gate-only (like d02/d05): a dense co-occurrence
     // graph's triangle join is intrinsically heavy at sf0.1 (26 s)
     "p28_padded_pack", "a20_mmr_diversify", "q44_event_throttle",
-    "t37_eval_integrity")
+    "t37_eval_integrity", "a21_ann_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

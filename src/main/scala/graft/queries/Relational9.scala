@@ -433,7 +433,34 @@ object Relational9 {
       .orderBy(col("bench_id"))
   }
 
+  /** a21: ANN quality report — recall@10 of the IVF path (a03) against
+    * exact brute force (a01), per query: the evaluation an ANN operator
+    * needs BEFORE its parameters ship (nprobe/list-count tuning is a
+    * recall-vs-cost dial, and this is the dial's readout). Both legs
+    * are already engine-exact, so the composite is too. */
+  def a21AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val q = e.filter(col("vec_id") < 5)
+    val exact = graft.operators.Similarity
+      .bruteForceTopKExec(q, e, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = graft.operators.Similarity
+      .ivfTopK(q, e, "vec_id", "embedding", "label", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val overlap = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+    exact.select(col("query_id")).distinct()
+      .join(overlap, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") / 10.0, 6)
+          .as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a21_ann_recall"     -> a21AnnRecall _,
     "t37_eval_integrity" -> t37EvalIntegrity _,
     "q44_event_throttle" -> q44EventThrottle _,
     "a20_mmr_diversify" -> a20MmrDiversify _,
@@ -456,6 +483,36 @@ object Relational9 {
   private val urlSynthSql = UrlNorm.synthUrlSql
 
   val oracles: Map[String, String] = Map(
+    "a21_ann_recall" ->
+      """WITH d AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+        |          c.vec_id) AS rank
+        |    FROM d q JOIN d c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+        |  WHERE rank <= 10),
+        |ap AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+        |          c.vec_id) AS rank
+        |    FROM d q JOIN d c
+        |      ON q.vec_id < 5 AND q.vec_id <> c.vec_id AND q.label = c.label)
+        |  WHERE rank <= 10),
+        |ov AS (
+        |  SELECT e.query_id, count(*) AS n_overlap
+        |  FROM ex e JOIN ap a
+        |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        |  GROUP BY e.query_id)
+        |SELECT q.query_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+        |  round(COALESCE(ov.n_overlap, 0) / 10.0, 6) AS recall
+        |FROM (SELECT DISTINCT query_id FROM ex) q
+        |LEFT JOIN ov ON ov.query_id = q.query_id
+        |ORDER BY q.query_id""".stripMargin,
     "t37_eval_integrity" ->
       """WITH bench AS (
         |  SELECT doc_id AS bench_id,

@@ -49,7 +49,8 @@ object PlanReport {
       "t33_source_drift", "t34_epoch_repeat", "t35_winsorize",
       "a19_phrase_search", "p26_shard_manifest", "d18_fold_dedup",
       "p27_mixture_interleave", "g03_triangles", "p28_padded_pack",
-      "a20_mmr_diversify", "q44_event_throttle", "t37_eval_integrity")
+      "a20_mmr_diversify", "q44_event_throttle", "t37_eval_integrity",
+      "a21_ann_recall")
     sb.append("\n## Physical plans (executed, AQE final)\n")
     planQueries.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
