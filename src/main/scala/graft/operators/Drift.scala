@@ -27,9 +27,15 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Drift {
 
-  /** (source, n_words, tv_num, tv) per source: `tv_num` the exact
-    * integer numerator (DECIMAL(38,0)), `tv` = tv_num/(2·n_s·N)
-    * rounded to 6 — both engines divide the same exact integers. */
+  /** (source, n_words, tv_num, tv_ppm) per source: `tv_num` the exact
+    * integer numerator (DECIMAL(38,0)) and `tv_ppm` the drift in parts
+    * per million via integer FLOOR division,
+    *   tv_ppm = (tv_num · 10⁶) div (2 · n_s · N),
+    * so the reported metric is bit-exact across engines. (A previous
+    * form rounded the double quotient to 6 places; a quotient within
+    * an ulp of a 5·10⁻⁷ boundary rounds differently in Spark's
+    * BigDecimal HALF_UP vs DuckDB's float path — integer floor
+    * division has no such boundary.) */
   def sourceDrift(docs: DataFrame, srcCol: String, textCol: String,
                   maxVocab: Int): DataFrame = {
     val words = docs
@@ -66,12 +72,14 @@ object Drift {
         abs(d19(col("o")) * d19(col("nn")) -
           d19(col("c")) * d19(col("ns"))).as("t"))
     terms.groupBy(col("src"), col("ns"), col("nn"))
-      .agg(sum(col("t")).as("tv_num"))
+      .agg(sum(col("t")).cast(DecimalType(38, 0)).as("tv_num"))
+      // IntegralDivide (`div`) on decimals: exact floor quotient → LONG
+      .withColumn("tv_ppm",
+        expr("CAST((tv_num * CAST(1000000 AS DECIMAL(38,0))) div " +
+          "(CAST(2 AS DECIMAL(38,0)) * CAST(ns AS DECIMAL(38,0)) * " +
+          "CAST(nn AS DECIMAL(38,0))) AS BIGINT)"))
       .select(col("src").as("source"), col("ns").as("n_words"),
-        col("tv_num").cast(DecimalType(38, 0)).as("tv_num"),
-        round(col("tv_num").cast("double") /
-          (lit(2.0) * col("ns").cast("double") * col("nn").cast("double")), 6)
-          .as("tv"))
+        col("tv_num"), col("tv_ppm"))
       .orderBy(col("source"))
   }
 }

@@ -746,8 +746,8 @@ object Relational9 {
         |  FROM grid)
         |SELECT src AS source, CAST(ns AS BIGINT) AS n_words,
         |  CAST(sum(t) AS DECIMAL(38,0)) AS tv_num,
-        |  round(CAST(sum(t) AS DOUBLE) /
-        |    (2.0 * CAST(ns AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS tv
+        |  CAST((CAST(sum(t) AS HUGEINT) * 1000000) //
+        |    (2 * CAST(ns AS HUGEINT) * CAST(nn AS HUGEINT)) AS BIGINT) AS tv_ppm
         |FROM terms GROUP BY src, ns, nn ORDER BY source""".stripMargin,
     "t34_epoch_repeat" ->
       """WITH totals AS (

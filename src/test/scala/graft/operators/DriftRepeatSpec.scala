@@ -29,7 +29,8 @@ class DriftRepeatSpec extends AnyFunSuite {
     out.foreach { r =>
       assert(r.getAs[Long]("n_words") === 4L)
       assert(r.getAs[java.math.BigDecimal]("tv_num").longValueExact() === 16L)
-      assert(r.getAs[Double]("tv") === 0.25)
+      // 0.25 exactly → 250000 ppm via floor division
+      assert(r.getAs[Long]("tv_ppm") === 250000L)
     }
   }
 
@@ -38,7 +39,7 @@ class DriftRepeatSpec extends AnyFunSuite {
     val out = Drift.sourceDrift(df, "source", "text", maxVocab = 2)
     // with vocab capped at 2, the other-bucket derivation must still
     // see identical distributions → TV = 0
-    assert(out.collect().forall(_.getAs[Double]("tv") === 0.0))
+    assert(out.collect().forall(_.getAs[Long]("tv_ppm") === 0L))
   }
 
   test("epochRepeat: whole repeat factor replicates exactly") {
