@@ -89,10 +89,24 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Compact formatting: per-query seconds at 3 decimals. The driver
+    // stores only the tail of the run log, and a full-precision line for
+    // ~90 queries (~3.4 KB) outgrew it — every round's `parsed` came back
+    // null. 3 decimals keeps the line ~2.3 KB (inside the tail) without
+    // losing ms resolution anyone reads.
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qjson = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir"}"""
+    println(line)
+    // Belt-and-braces: also persist the metrics as a repo-root artifact so
+    // consumers never depend on log-tail truncation behavior.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_metrics.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_metrics.json: $e") }
     spark.stop()
   }
 }

@@ -1045,16 +1045,31 @@ object CurationQueries {
     // something (the p16 convention); copies share the original's source
     val planted = d0.unionAll(d0.withColumn("doc_id", col("doc_id") + 1000000L))
     val lined = withPlantedLines(planted)
-    // persist each stage boundary: the LM alone scans its input ~5×
-    // (bigram table, context fold, vocab scalar, per-doc counts), and
-    // every un-persisted scan would cascade back through the boilerplate
-    // explode+df join — measured 13.7 s -> ~1 s at sf0.1 (the p16
-    // persist-per-stage principle)
-    val cleaned = TextAnalysis.removeBoilerplate(lined, "doc_id", "source",
+    // CHECKPOINT each stage boundary to parquet (not .persist): the LM
+    // alone scans its input ~5× (bigram table, context fold, vocab
+    // scalar, per-doc counts), and every un-persisted scan would cascade
+    // back through the boilerplate explode+df join (measured 13.7 s ->
+    // ~1 s at sf0.1). MEMORY_AND_DISK persist has the same intent but a
+    // failure mode this pipeline hit in driver runs: under cache
+    // pressure from sibling queries the LRU evicts these entries and the
+    // 5 scans silently recompute the whole upstream pipeline — driver
+    // measured 16.6 s vs 7 s builder-local, two rounds running. An
+    // eager parquet checkpoint is computed EXACTLY once regardless of
+    // memory state, reads back columnar, and pins no executor cache.
+    // This is also the at-scale shape: multi-stage curation jobs
+    // checkpoint stage boundaries to the object store.
+    def ckpt(df: DataFrame, tag: String): DataFrame = {
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_ckpt",
+        s"${java.util.UUID.randomUUID()}_$tag").toString
+      df.write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+    val cleaned = ckpt(TextAnalysis.removeBoilerplate(lined, "doc_id", "source",
         "ltext", minDocFreq = 5L)
       .filter(col("n_kept") > 0)
-      .select(col("doc_id"), translate(col("clean_text"), "\n", " ").as("text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"), translate(col("clean_text"), "\n", " ").as("text")),
+      "cleaned")
     val lm = TextAnalysis.bigramLmScore(cleaned, "doc_id", "text")
     val gated = cleaned.join(
       lm.filter(col("nll") <= 3.45).select(col("doc_id")), "doc_id")
@@ -1064,11 +1079,11 @@ object CurationQueries {
     // re-run the un-persisted LM scoring pipeline), partial-aggregates
     // map-side (one winner candidate per digest per partition crosses
     // the wire), and needs no per-group sort
-    val kept = gated
+    val kept = ckpt(gated
       .groupBy(sha2(col("text"), 256).as("__dig"))
       .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("__w"))
-      .select(col("__w.doc_id").as("doc_id"), col("__w.text").as("text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("__w.doc_id").as("doc_id"), col("__w.text").as("text")),
+      "kept")
     graft.operators.Packing.vocabEncode(kept, "doc_id", "text", seqLen = 128)
       .orderBy(col("seq_id"))
   }
