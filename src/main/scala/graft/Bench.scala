@@ -44,9 +44,7 @@ object Bench {
     "t31_urlnorm", "t32_unicode_fold", "p25_global_ids", "q42_salted_join",
     "q43_cascade_delete", "t33_source_drift", "t34_epoch_repeat",
     "t35_winsorize", "a19_phrase_search", "p26_shard_manifest",
-    "d18_fold_dedup", "p27_mixture_interleave",
-    // g03_triangles is gate-only (like d02/d05): a dense co-occurrence
-    // graph's triangle join is intrinsically heavy at sf0.1 (26 s)
+    "d18_fold_dedup", "p27_mixture_interleave", "g03_triangles",
     "p28_padded_pack", "a20_mmr_diversify", "q44_event_throttle",
     "t37_eval_integrity", "a21_ann_recall")
 
