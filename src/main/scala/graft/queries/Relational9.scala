@@ -366,10 +366,15 @@ object Relational9 {
     * window gets this wrong: it measures the gap to the previous RAW
     * event, so a burst with 30-minute spacing suppresses everything
     * after the first even though a kept event re-arms the window every
-    * hour. The anchored semantics are inherently sequential per key —
-    * a bounded `flatMapGroups` pass (the mapPartitions carve-out at
-    * key granularity; per-key event counts are the state bound) —
-    * and the oracle replays the greedy chain as a recursive CTE.
+    * hour. The anchored semantics are inherently sequential per key,
+    * but per-key state needs only the last anchor — so instead of
+    * buffering and sorting each group in memory (flatMapGroups: a hot
+    * key at 100 TB is an OOM, not a slowdown), use the SECONDARY-SORT
+    * shape proven in exactQuantilesDistributed: hash-repartition on
+    * the key, sortWithinPartitions (key, ts, id) — Spark's external
+    * sorter spills, so a billion-event key streams from disk — then
+    * one streaming scan holding O(1) state (current key + anchor).
+    * The oracle replays the greedy chain as a recursive CTE.
     * Ties at the kept timestamp resolve to the minimum event id. */
   def q44EventThrottle(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -377,13 +382,20 @@ object Relational9 {
       .select(col("user_id"), col("event_type"),
         col("ts").cast("long").as("tss"), col("event_id"))
       .as[(Long, String, Long, Long)]
-    val kept = ev.groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (_: (Long, String), it: Iterator[(Long, String, Long, Long)]) =>
-        val sorted = it.toIndexedSeq.sortBy(r => (r._3, r._4))
+    val kept = ev
+      .repartition(col("user_id"), col("event_type"))
+      .sortWithinPartitions(col("user_id"), col("event_type"),
+        col("tss"), col("event_id"))
+      .mapPartitions { it =>
+        var curU = Long.MinValue
+        var curT: String = null
         var anchor = Long.MinValue
-        sorted.iterator.filter { r =>
-          if (anchor == Long.MinValue || r._3 >= anchor + 3600L) {
-            anchor = r._3; true
+        it.filter { case (u, t, ts, _) =>
+          if (u != curU || curT == null || curT != t) {
+            curU = u; curT = t; anchor = Long.MinValue
+          }
+          if (anchor == Long.MinValue || ts >= anchor + 3600L) {
+            anchor = ts; true
           } else false
         }
       }

@@ -279,8 +279,14 @@ object StreamingIngest {
   /** Stateful greedy event throttling — q44's anchored rate limit as
     * streaming state: one (user, type) keeps only its last KEPT
     * timestamp as state (8 bytes per live key), each micro-batch's
-    * events sort in memory (bounded per key per batch) and pass the
-    * greedy gate against the carried anchor. Under a single bounded
+    * events sort in memory and pass the greedy gate against the
+    * carried anchor. The sort buffer is per key PER MICRO-BATCH — the
+    * state engine hands groups as unsorted iterators, so ordering a
+    * greedy chain needs the batch's rows in hand; the bound is the
+    * trigger size (maxFilesPerTrigger / maxOffsetsPerTrigger), which
+    * is how a hot key stays an operator knob rather than an OOM (the
+    * unbounded-history case is the BATCH operator's job, and
+    * q44EventThrottle handles it with a spilling secondary sort). Under a single bounded
     * replay this equals the batch operator exactly (the s-series
     * unified-semantics contract), and across micro-batches it matches
     * batch AS LONG AS delivery is event-time ordered between batches
