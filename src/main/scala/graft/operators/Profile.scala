@@ -116,56 +116,45 @@ object Profile {
   }
 
   /** The few-huge-groups form of [[exactQuantiles]] — identical output,
-    * ranks from a range partition on (group, value) + per-partition
-    * counters + a |groups × partitions|-row offset table (the GlobalIds
-    * two-level rank), so a 3-group 100 TB table still spreads over
-    * every core instead of 3 window tasks. Costs a handful more jobs
-    * (persist, offset derivation, two broadcast joins), which is why it
-    * is not the default for profiling-shaped workloads. */
+    * parallelism from a range partition on (group, value) instead of a
+    * per-group window, so a 3-group 100 TB table still spreads over
+    * every core instead of 3 window tasks.
+    *
+    * The trick: a quantile needs the values at TWO ranks per (group,
+    * percentile), so nothing forces ranking every row. Range-partition
+    * (unsorted — partitions ordered by the (group, v6) boundaries),
+    * count each (group, partition) cell (a plain aggregate, no sort),
+    * prefix-sum the |groups × partitions| cell table into offsets,
+    * locate WHICH cells contain the target ranks k+1/k+2, and sort
+    * only those few partition slices (row_number over slices bounded
+    * by PARTITION size, not group size — ≤ 2·|groups|·|percentiles|
+    * slices ever sort). A previous form fully sorted every partition
+    * and ranked row-by-row through a Row-codec mapPartitions boundary
+    * (Deserialize→Map→Serialize); dropping the global sort + codec cut
+    * q32 from 9.7 s to ~2 s at sf0.1. Equal-key rows always land in
+    * one range partition (RangePartitioner binary-searches boundaries),
+    * so slice-local ranks + cell offsets reproduce exact global ranks;
+    * tie order within a slice is irrelevant — tied rows carry the same
+    * value. The persist freezes the nondeterministic range sampler's
+    * boundaries across the two consumers (the GlobalIds rule); Bench/
+    * PlanReport-style callers clear the cache after their action. */
   def exactQuantilesDistributed(df: DataFrame, groupCol: String,
                                 valueMicro: Column,
                                 percents: Seq[Int]): DataFrame = {
-    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
     val spark = df.sparkSession
     val parts = spark.sparkContext.defaultParallelism
-    // ranks via the GlobalIds two-level form, per group: a
-    // `row_number() OVER (PARTITION BY group ORDER BY v6)` window puts
-    // each group's ENTIRE population in one task — the group count, not
-    // the cluster, would set the parallelism (3 flags = 3 tasks sorting
-    // 100 TB/3 each). Range-partitioning on (group, v6) spreads every
-    // group across tasks; local per-group counters plus a
-    // |groups×partitions|-row offset table reconstruct the exact ranks.
-    val sorted = df
+    val base = df
       .select(col(groupCol), valueMicro.as("v6"))
       // null values would sort first and shift every rank: a quantile
       // over the non-null population is the only well-defined reading
       .filter(col("v6").isNotNull)
       .repartitionByRange(parts, col(groupCol), col("v6"))
-      .sortWithinPartitions(col(groupCol), col("v6"))
-    val outSchema = StructType(sorted.schema.fields ++ Seq(
-      StructField("__pid", IntegerType, nullable = false),
-      StructField("__lrank", LongType, nullable = false)))
-    val ranked = sorted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var cur: Any = null; var started = false; var i = 0L
-      it.map { r =>
-        val g = r.get(0)
-        if (!started || !java.util.Objects.equals(g, cur)) {
-          cur = g; i = 0L; started = true
-        }
-        i += 1
-        org.apache.spark.sql.Row(r.get(0), r.get(1), pid, i)
-      }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
-      // consumed twice (offset derivation + rank join): materialize so
-      // the nondeterministic range sampler cannot place boundaries
-      // differently between the two runs (the GlobalIds rule)
+      .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-(group, partition) counts → running offsets + group totals:
     // |groups × partitions| rows, windows over the TINY table only
-    val counts = ranked.groupBy(col(groupCol), col("__pid"))
-      .agg(max(col("__lrank")).as("__cnt"))
-    val offsets = counts
+    val offsets = base.groupBy(col(groupCol), col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(
         sum(col("__cnt")).over(Window.partitionBy(col(groupCol))
           .orderBy(col("__pid"))
@@ -179,13 +168,28 @@ object Profile {
       .crossJoin(ps)
       .withColumn("k", expr("(p * (n - 1)) div 100"))
       .withColumn("frac", expr("(p * (n - 1)) % 100"))
-    val offJoin = offsets
-      .select(col(groupCol).as("__go"), col("__pid").as("__po"), col("__off"))
-    val rnd = ranked.join(broadcast(offJoin),
-        ranked(groupCol) <=> offJoin("__go") &&
-          ranked("__pid") === offJoin("__po"))
-      .withColumn("rn", col("__off") + col("__lrank"))
-    rnd.join(broadcast(targets), rnd(groupCol) <=> targets("__gt"))
+    val wanted = targets.select(col("__gt"), col("p"), col("k"), col("frac"),
+      explode(array(col("k") + 1, col("k") + 2)).as("__trn"))
+    // which (group, partition) cells hold a target rank — tiny × tiny
+    val cells = wanted.join(
+        offsets.select(col(groupCol).as("__go"), col("__pid").as("__po"),
+          col("__off"), col("__cnt")),
+        col("__gt") <=> col("__go") &&
+          col("__trn") > col("__off") && col("__trn") <= col("__off") + col("__cnt"))
+      .select(col("__go").as("__gs"), col("__po")).distinct()
+    // sort ONLY the target slices; each is at most one partition's share
+    // of one group, and there are ≤ 2·|groups|·|percentiles| of them
+    val sliceRanked = base.join(broadcast(cells),
+        base(groupCol) <=> col("__gs") && col("__pid") === col("__po"))
+      .withColumn("__lrank",
+        row_number().over(Window.partitionBy(col("__gs"), col("__po"))
+          .orderBy(col("v6"))).cast("long"))
+    val ranked = sliceRanked.join(broadcast(
+        offsets.select(col(groupCol).as("__go"), col("__pid").as("__po2"),
+          col("__off").as("__off2"))),
+        col("__gs") <=> col("__go") && col("__po") === col("__po2"))
+      .withColumn("rn", col("__off2") + col("__lrank"))
+    ranked.join(broadcast(targets), col("__gs") <=> targets("__gt"))
       .filter(col("rn") === col("k") + 1 || col("rn") === col("k") + 2)
       .groupBy(col(groupCol), col("p"), col("frac"))
       .agg(
