@@ -960,8 +960,29 @@ object GraftFunctions {
     ColumnBridge.column(SumLookup(ColumnBridge.expression(bucketIds), bc))
   }
 
-  private def intLit(e: Expression): Int =
+  private def analysisError(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
+
+  // the SQL builders evaluate literal config arguments at registration
+  // time; a column reference or wrong-typed literal must fail as a clean
+  // analysis error naming the expectation, not a ClassCastException/NPE
+  // from eval(InternalRow.empty)
+  private def intLit(e: Expression): Int = {
+    if (!e.foldable || e.dataType != org.apache.spark.sql.types.IntegerType)
+      analysisError(s"expected a foldable INT literal argument, got $e")
     e.eval(InternalRow.empty).asInstanceOf[Int]
+  }
+
+  private def stringLit(e: Expression, expected: String): String = {
+    val v =
+      if (e.foldable && e.dataType == org.apache.spark.sql.types.StringType)
+        e.eval(InternalRow.empty)
+      else null
+    if (v == null) analysisError(
+      s"expected a foldable STRING literal argument ($expected), got $e")
+    v.asInstanceOf[UTF8String].toString
+  }
 
   /** Name → builder for every native SQL function. One list serves both
     * session-level [[register]] and extension-level injection
@@ -983,7 +1004,7 @@ object GraftFunctions {
     "classifier_score" ->
       (exprs => ClassifierScoreExpr(exprs(0), intLit(exprs(1)))),
     "unicode_norm" -> (exprs => UnicodeNormExpr(exprs(0),
-      exprs(1).eval(InternalRow.empty).asInstanceOf[UTF8String].toString)),
+      stringLit(exprs(1), "one of 'NFC', 'NFD', 'NFKC', 'NFKD'"))),
     "chunk_text" ->
       (exprs => ChunkGenerator(exprs(0), exprs(1), exprs(2), exprs(3))))
 

@@ -20,6 +20,14 @@ import org.apache.spark.sql.functions._
   * ranks), so the output is deterministic even though the range
   * sampler is not — the property that makes this safe to re-run.
   *
+  * Cache lifetime: the internal `ranked` persist (MEMORY_AND_DISK,
+  * corpus-sized) lives as long as the returned LAZY DataFrame may be
+  * re-consumed — there is no eager point inside the operator at which
+  * releasing it is safe. Callers that fully consume the result
+  * (Bench/Verify/PlanReport-style: run one action, keep only the
+  * output) should `spark.catalog.clearCache()` or unpersist after the
+  * action; long-lived sessions otherwise rely on LRU eviction.
+  *
   * Requires `keyCol` totally ordered (unique); ids are 0-based and
   * dense. Output: (`keyCol`, global_id).
   */

@@ -45,7 +45,16 @@ object LinAlg {
     val spark = vectors.sparkSession
     import spark.implicits._
     vectors.filter(col(vecCol).isNotNull)
-      .select(quantized(vecCol).as("vq")).as[Seq[Long]]
+      // a null ELEMENT inside a non-null vector would reach the typed
+      // Seq[Long] decoder and die as an opaque unboxing NPE; fail loudly
+      // instead, naming the defect. coalesce short-circuits, so the
+      // assert only evaluates on an actually-null element.
+      .select(expr(
+        s"""transform($vecCol, (x, i) -> coalesce(
+           |  cast(round(cast(x as double) * 1048576, 0) as bigint),
+           |  cast(assert_true(false, concat('modelPartials: null element at index ',
+           |    cast(i as string), ' of vector — null-clean the embedding column first')) as bigint)))"""
+          .stripMargin).as("vq")).as[Seq[Long]]
       .mapPartitions { it =>
         val tri = dim * (dim + 1) / 2
         val gLo = Array.ofDim[Long](tri); val gHi = Array.ofDim[Long](tri)

@@ -416,7 +416,12 @@ object Similarity {
   def mmrDiversify(queries: DataFrame, corpus: DataFrame, idCol: String,
                    vecCol: String, poolK: Int, selectK: Int): DataFrame = {
     require(selectK >= 1 && selectK <= poolK, "need 1 <= selectK <= poolK")
+    // three consumers (pair self-join ×2, grouped pools): persist so the
+    // brute-force top-k runs once, and so all three see ONE result even
+    // if a future candidate generator is nondeterministic — the pick
+    // UDF's sim lookups assume pairs and pools come from the same pool
     val cands = bruteForceTopKExec(queries, corpus, idCol, vecCol, poolK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vecs = corpus.select(col(idCol).as("vid"), asDouble(vecCol).as("v"))
     val candIds = cands.select(col("neighbor_id").as("vid")).distinct()
     val candVecs = vecs.join(broadcast(candIds), "vid")
@@ -447,7 +452,14 @@ object Similarity {
           // against negative cosines)
           val best = remaining.minBy { c =>
             val score = if (picked.isEmpty) rel(c)
-              else rel(c) - picked.map(p => sim((c, p))).max
+              else rel(c) - picked.map { p =>
+                // every (candidate, picked) pair exists by construction;
+                // fail with the pair named rather than a bare
+                // NoSuchElementException task death if that ever breaks
+                sim.getOrElse((c, p), throw new IllegalStateException(
+                  s"mmrDiversify: missing pair similarity ($c, $p) — " +
+                    "candidate pool and pair table diverged"))
+              }.max
             (-score, c)
           }
           picked += best

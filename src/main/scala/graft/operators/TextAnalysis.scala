@@ -221,7 +221,9 @@ object TextAnalysis {
     // tf rows are one-per-(doc, term), so df is a plain count over tf —
     // no second pass over the exploded words and no count-distinct
     // machinery (measured 1.3 s -> sub-second at sf0.1). Persist tf: it
-    // feeds both the df aggregation and the final join.
+    // feeds both the df aggregation and the final join; lives for the
+    // lazy plan's lifetime (the GlobalIds cache-lifetime contract —
+    // one-shot consumers clear the cache after their action).
     val tf = words.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -557,7 +559,9 @@ object TextAnalysis {
       col(textCol).as("text"))
     // the exploded line stream feeds BOTH the df aggregate and the
     // anti-join rebuild: un-persisted, the split+explode (the corpus
-    // scan) runs twice — measured 5.0 → 3.4 s at sf0.1 inside p18
+    // scan) runs twice — measured 5.0 → 3.4 s at sf0.1 inside p18.
+    // Lives for the lazy plan's lifetime (the GlobalIds cache-lifetime
+    // contract — one-shot consumers clear the cache after their action)
     val lines = base.select(col("doc_id"), col("src"),
         posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
       .withColumn("lk", xxhash64(col("src"), col("line")))

@@ -319,6 +319,9 @@ object Relational9 {
       .withColumn("n_seqs", expr(s"(n_tok + $seqLen - 1) div $seqLen"))
       .filter(col("n_seqs") >= 1)
       .withColumn("__bucket", floor(col("doc_id") / 1024))
+      // lives for the lifetime of the returned lazy plan (no safe eager
+      // release point inside the query); Bench/Verify clear the cache
+      // after consuming — the GlobalIds cache-lifetime contract
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wIn = Window.partitionBy(col("__bucket"))
       .orderBy(col("doc_id"))
