@@ -176,10 +176,23 @@ object TopKPerKey {
   * surviving set is precisely the rows whose row_number would be ≤ k.
   *
   * Conservative trigger conditions (anything else is left alone):
-  * single row_number window expression; partition keys and both sort
+  * single row_number window expression; partition keys and sort
   * expressions are plain attributes; default null orderings; a numeric
   * score; the filter is a single `rank <= k` / `rank < k` comparison
   * on the window's own output attribute; k ≥ 1.
+  *
+  * Two accepted sort shapes:
+  *  - (score DESC, tie ASC) — the fully-deterministic idiom; the heap
+  *    prunes by exactly the window's total order.
+  *  - (score DESC) alone — `row_number` over a NON-total order, where
+  *    the window form itself breaks score ties by arrival order, i.e.
+  *    nondeterministically. The rewrite passes the score as its own
+  *    tiebreak (a no-op among tied rows): the heap keeps exactly k
+  *    rows whose scores are ≥ every dropped row's score with boundary
+  *    ties decided arbitrarily — precisely the set SOME valid
+  *    execution of the original window would rank ≤ k. The rewrite
+  *    adds no nondeterminism the query didn't already have, and
+  *    tie-free data is bit-identical to the window form.
   *
   * Deploy: `spark.sql.extensions=graft.plans.GraftExtensions` (config
   * path) or `spark.experimental.extraOptimizations` (runtime path) —
@@ -222,6 +235,25 @@ object TopKWindowRewrite
         case Some(k) if k >= 1 && k <= (1 << 24) =>
           f.copy(child = w.copy(child =
             TopKPerKeyNode(partSpec, score, tie, k, child)))
+        case _ => f
+      }
+    // single-sort-key form: row_number over (score DESC) only — the
+    // window itself is tie-nondeterministic, so pruning with the score
+    // as its own tiebreak yields a set some valid execution would rank
+    // ≤ k (see the scaladoc's second accepted shape)
+    case f @ Filter(cond,
+        w @ Window(Seq(alias @ Alias(WindowExpression(_: RowNumber,
+          WindowSpecDefinition(partSpec, Seq(
+            SortOrder(score: Attribute, Descending, NullsLast, _)), _)), _)),
+          _, _, child, _))
+      if !child.isInstanceOf[TopKPerKeyNode] &&
+        partSpec.nonEmpty &&
+        partSpec.forall(_.isInstanceOf[Attribute]) &&
+        TopKPerKeyExec.scoreOrdering(score.dataType).isDefined =>
+      limitOf(cond, alias.toAttribute) match {
+        case Some(k) if k >= 1 && k <= (1 << 24) =>
+          f.copy(child = w.copy(child =
+            TopKPerKeyNode(partSpec, score, score, k, child)))
         case _ => f
       }
   }

@@ -59,6 +59,51 @@ class TopKRewriteSpec extends AnyFunSuite {
     assert(plain.size === 35) // 7 keys × 5
   }
 
+  test("single-sort-key row_number rewrites; equal to window form when tie-free") {
+    withRule {
+      // scores are UNIQUE per key here, so the tie-nondeterministic
+      // single-key idiom has exactly one valid answer — the rewritten
+      // plan must reproduce the window form bit for bit
+      val df = (1 to 2000)
+        .map(i => (i % 7L, i.toLong))
+        .toDF("key", "score")
+      val w = Window.partitionBy(col("key")).orderBy(col("score").desc)
+      val q = df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 4)
+      assert(q.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      val got = q.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (0L to 6L).flatMap { k =>
+        val top = (1 to 2000).map(_.toLong).filter(_ % 7 == k)
+          .sorted(Ordering[Long].reverse).take(4)
+        top.zipWithIndex.map { case (s, i) => (k, s, i + 1) }
+      }.toSet
+      assert(got === want)
+    }
+  }
+
+  test("single-sort-key with score TIES: a valid top-k set survives") {
+    withRule {
+      // 10 rows per key share score 5; row_number's own tie order is
+      // arbitrary, so the contract is: k rows per key, scores equal to
+      // the window form's score multiset
+      val df = (1 to 300)
+        .map(i => (i % 3L, 5L, i.toLong))
+        .toDF("key", "score", "id")
+      val w = Window.partitionBy(col("key")).orderBy(col("score").desc)
+      val q = df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 7)
+      assert(q.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      val byKey = q.collect().groupBy(_.getLong(0))
+      assert(byKey.keySet === Set(0L, 1L, 2L))
+      byKey.values.foreach { rows =>
+        assert(rows.length === 7)
+        assert(rows.forall(_.getLong(1) === 5L))
+        assert(rows.map(_.getInt(3)).sorted.toSeq === (1 to 7).toSeq)
+      }
+    }
+  }
+
   test("k < 1 left alone; analyzer-projected expression keys rewrite too") {
     withRule {
       // rank <= 0 → no rewrite (and an empty result either way)
