@@ -296,7 +296,7 @@ object CurationQueries {
     * [[a14Oracle]]. */
   @volatile private var a09Oracle: Option[String] = None
 
-  private def a09OracleSql(booksQ: Array[Array[Array[Long]]],
+  private[queries] def a09OracleSql(booksQ: Array[Array[Array[Long]]],
                            subDim: Int): String = {
     val books = booksQ.zipWithIndex.flatMap { case (book, s) =>
       book.zipWithIndex.map { case (cb, c) =>
@@ -364,7 +364,7 @@ object CurationQueries {
     * same lifecycle and last-writer-wins contract as [[a14Oracle]]. */
   @volatile private var a15Oracle: Option[String] = None
 
-  private def a15OracleSql(centsQ: Array[Array[Long]],
+  private[queries] def a15OracleSql(centsQ: Array[Array[Long]],
                            booksQ: Array[Array[Array[Long]]],
                            subDim: Int): String = {
     val cents = centsQ.zipWithIndex.map { case (c, i) =>

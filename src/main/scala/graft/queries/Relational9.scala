@@ -446,31 +446,107 @@ object Relational9 {
       .orderBy(col("bench_id"))
   }
 
-  /** a21: ANN quality report — recall@10 of the IVF path (a03) against
-    * exact brute force (a01), per query: the evaluation an ANN operator
-    * needs BEFORE its parameters ship (nprobe/list-count tuning is a
-    * recall-vs-cost dial, and this is the dial's readout). Both legs
-    * are already engine-exact, so the composite is too. */
+  /** a21: ANN quality report — recall@10 of EVERY approximate path
+    * against exact brute force (a01), per (query, method): IVF list
+    * probing (a03), product quantization with exact refine (a09's
+    * parameters), and the full IVF-PQ pipeline (a15's parameters).
+    * This is the evaluation an ANN operator needs BEFORE its
+    * parameters ship — nprobe/codebook tuning is a recall-vs-cost
+    * dial, and this is the dial's readout for all three dials at
+    * once. Every leg is engine-exact, so the composite recall table
+    * is hash-oracle-checked: the PQ legs' trained models are
+    * quantized and spliced into the oracle exactly as in a09/a15
+    * (whose oracle builders this one reuses as subqueries). */
   def a21AnnRecall(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), col("label"))
+    val ev = e.select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") < 5)
+    val qv = ev.filter(col("vec_id") < 5)
     val exact = graft.operators.Similarity
       .bruteForceTopKExec(q, e, "vec_id", "embedding", 10)
       .select(col("query_id"), col("neighbor_id"))
-    val approx = graft.operators.Similarity
+      // 50 bounded rows, three consumers (overlap join, query list)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ivf = graft.operators.Similarity
       .ivfTopK(q, e, "vec_id", "embedding", "label", k = 10)
-      .select(col("query_id"), col("neighbor_id"))
-    val overlap = exact.join(approx, Seq("query_id", "neighbor_id"))
-      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+    val pqModel = graft.operators.ProductQuantizer.fit(
+      ev, "vec_id", "embedding", m = 8, k = 16, iterations = 2)
+    val (pq, pqBooks) = graft.operators.ProductQuantizer.adcTopKRefinedExact(
+      qv, ev, pqModel, "vec_id", "embedding", shortlist = 100, topK = 10)
+    val (ivfpq, centsQ, ipBooks) =
+      graft.operators.ProductQuantizer.ivfAdcTopKRefinedExact(
+        qv, ev, "vec_id", "embedding",
+        coarseK = 16, nprobe = 4, m = 8, k = 16, iterations = 2,
+        shortlist = 100, topK = 10)
+    a21Oracle = Some(a21OracleSql(pqBooks, centsQ, ipBooks))
+    val legs = Seq("ivf" -> ivf, "pq" -> pq, "ivfpq" -> ivfpq)
+      .map { case (m, df) =>
+        df.select(col("query_id"), col("neighbor_id"))
+          .withColumn("method", lit(m)) }
+      .reduce(_ unionByName _)
+    val overlap = exact.join(legs, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id"), col("method"))
+      .agg(count(lit(1)).as("n_overlap"))
+    import spark.implicits._
+    val methods = Seq("ivf", "pq", "ivfpq").toDF("method")
     exact.select(col("query_id")).distinct()
-      .join(overlap, Seq("query_id"), "left_outer")
-      .select(col("query_id"),
+      .crossJoin(broadcast(methods))
+      .join(overlap, Seq("query_id", "method"), "left_outer")
+      .select(col("query_id"), col("method"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         round(coalesce(col("n_overlap"), lit(0L)).cast("double") / 10.0, 6)
           .as("recall"))
-      .orderBy(col("query_id"))
+      .orderBy(col("query_id"), col("method"))
   }
+
+  /** a21's oracle carries the trained-then-quantized model literals of
+    * both PQ legs — same lifecycle and last-writer-wins contract as
+    * [[CurationQueries.a09Oracle]]. */
+  @volatile private var a21Oracle: Option[String] = None
+
+  private def a21OracleSql(pqBooks: Array[Array[Array[Long]]],
+                           centsQ: Array[Array[Long]],
+                           ipBooks: Array[Array[Array[Long]]]): String =
+    s"""WITH d AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+       |          c.vec_id) AS rank
+       |    FROM d q JOIN d c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+       |  WHERE rank <= 10),
+       |legs AS (
+       |  SELECT 'ivf' AS method, query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id FROM (
+       |      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |        row_number() OVER (PARTITION BY q.vec_id
+       |          ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+       |            c.vec_id) AS rank
+       |      FROM d q JOIN d c
+       |        ON q.vec_id < 5 AND q.vec_id <> c.vec_id AND q.label = c.label)
+       |    WHERE rank <= 10) ivfx
+       |  UNION ALL
+       |  SELECT 'pq' AS method, query_id, neighbor_id FROM (
+       |${CurationQueries.a09OracleSql(pqBooks, subDim = 8)}
+       |  ) pqx
+       |  UNION ALL
+       |  SELECT 'ivfpq' AS method, query_id, neighbor_id FROM (
+       |${CurationQueries.a15OracleSql(centsQ, ipBooks, subDim = 8)}
+       |  ) ipx),
+       |ov AS (
+       |  SELECT l.method, e.query_id, count(*) AS n_overlap
+       |  FROM ex e JOIN legs l
+       |    ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+       |  GROUP BY 1, 2)
+       |SELECT q.query_id, m.method, COALESCE(ov.n_overlap, 0) AS n_overlap,
+       |  round(COALESCE(ov.n_overlap, 0) / 10.0, 6) AS recall
+       |FROM (SELECT DISTINCT query_id FROM ex) q
+       |CROSS JOIN (VALUES ('ivf'), ('pq'), ('ivfpq')) m(method)
+       |LEFT JOIN ov ON ov.query_id = q.query_id AND ov.method = m.method
+       |ORDER BY q.query_id, m.method""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a21_ann_recall"     -> a21AnnRecall _,
@@ -495,37 +571,12 @@ object Relational9 {
 
   private val urlSynthSql = UrlNorm.synthUrlSql
 
-  val oracles: Map[String, String] = Map(
-    "a21_ann_recall" ->
-      """WITH d AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings),
-        |ex AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |      row_number() OVER (PARTITION BY q.vec_id
-        |        ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
-        |          c.vec_id) AS rank
-        |    FROM d q JOIN d c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
-        |  WHERE rank <= 10),
-        |ap AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |      row_number() OVER (PARTITION BY q.vec_id
-        |        ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
-        |          c.vec_id) AS rank
-        |    FROM d q JOIN d c
-        |      ON q.vec_id < 5 AND q.vec_id <> c.vec_id AND q.label = c.label)
-        |  WHERE rank <= 10),
-        |ov AS (
-        |  SELECT e.query_id, count(*) AS n_overlap
-        |  FROM ex e JOIN ap a
-        |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
-        |  GROUP BY e.query_id)
-        |SELECT q.query_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
-        |  round(COALESCE(ov.n_overlap, 0) / 10.0, 6) AS recall
-        |FROM (SELECT DISTINCT query_id FROM ex) q
-        |LEFT JOIN ov ON ov.query_id = q.query_id
-        |ORDER BY q.query_id""".stripMargin,
+  /** a21's oracle is dynamic (trained-model literals) — last-writer-
+    * wins after the query runs, the CurationQueries convention. */
+  def oracles: Map[String, String] =
+    staticOracles ++ a21Oracle.map("a21_ann_recall" -> _)
+
+  private val staticOracles: Map[String, String] = Map(
     "t37_eval_integrity" ->
       """WITH bench AS (
         |  SELECT doc_id AS bench_id,

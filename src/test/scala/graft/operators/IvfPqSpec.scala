@@ -67,6 +67,31 @@ class IvfPqSpec extends AnyFunSuite {
     assert((exact -- got).isEmpty, s"missing: ${exact -- got}")
   }
 
+  test("production parameters (a15) hold recall@10 >= 0.8 — regression gate") {
+    // the a15/a21 parameter set, scaled down only in corpus size: a
+    // future quantizer/assignment regression that silently degrades
+    // recall fails HERE, not in a driver round. 512 vectors, 64 dims,
+    // 8 loose clusters (jitter overlaps, so this is not a softball).
+    val big = (0 until 512).map { i =>
+      val c = i % 8
+      val v = Array.tabulate(64) { d =>
+        val base = if (d / 8 == c) 5.0f else 0.0f
+        base + (((i * 2654435761L + d * 40503L) % 1000) / 250.0f)
+      }
+      (i.toLong, v.toSeq)
+    }.toDF("id", "vec")
+    val qs = big.filter(col("id") < 5)
+    val exact = Similarity.bruteForceTopK(qs, big, "id", "vec", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ProductQuantizer.ivfAdcTopKRefined(
+        qs, big, "id", "vec",
+        coarseK = 16, nprobe = 4, m = 8, k = 16, iterations = 2,
+        shortlist = 100, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF-PQ recall@10 regressed: $recall")
+  }
+
   test("search is deterministic across runs") {
     def run() = ProductQuantizer.ivfAdcTopKRefined(
         queries, corpus, "id", "vec",
