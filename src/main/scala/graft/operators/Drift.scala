@@ -82,4 +82,58 @@ object Drift {
         col("tv_num"), col("tv_ppm"))
       .orderBy(col("source"))
   }
+
+  /** Embedding-space drift between two corpus snapshots — the
+    * monitoring twin of [[sourceDrift]] for the vector side of the
+    * pipeline: when an embedding model is redeployed or a source's
+    * content shifts, each label's centroid moves, and the L1 centroid
+    * displacement per label is the cheapest exactly-replayable readout.
+    *
+    * EXACT arithmetic, the t33 pattern: components quantized to
+    * integers (×2²⁰), per-(label, snapshot) component sums are the only
+    * corpus-sized aggregate (map-side combined to |labels|·d·2 cells),
+    * and the displacement
+    *   L1(label) = Σ_d |μA_d − μB_d| = Σ_d |sA_d·nB − sB_d·nA| / (nA·nB)
+    * is carried as the exact DECIMAL(38) numerator `l1_num` over the
+    * common denominator, reported as integer floor-division micro-units
+    * (`l1_shift_micro` = raw-embedding-units × 10⁻⁶) — no float path,
+    * both engines replay bit-exactly.
+    *
+    * Scale posture: the component explode inflates the scan d× but
+    * partial-aggregates to bounded state (|labels|·d·2 cells, like the
+    * bigram model tables); everything after is label-bounded. Output:
+    * (label, n_a, n_b, l1_num, l1_shift_micro), labels present in both
+    * snapshots only (a one-sided label has no displacement to report —
+    * its appearance/disappearance is [[sourceDrift]]-style count drift,
+    * visible in n_a/n_b of neighbors). */
+  def embeddingDrift(snapA: DataFrame, snapB: DataFrame, labelCol: String,
+                     vecCol: String): DataFrame = {
+    val scale = 1L << 20
+    def sums(df: DataFrame, tag: String): DataFrame = df
+      .filter(col(vecCol).isNotNull)
+      .select(col(labelCol).as("label"),
+        posexplode(expr(
+          s"transform($vecCol, x -> cast(round(cast(x as double) * $scale, 0) as bigint))"))
+          .as(Seq("d", "q")))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(col("q")).cast(DecimalType(38, 0)).as(s"s_$tag"),
+        count(lit(1)).as(s"n_$tag"))
+    val a = sums(snapA, "a")
+    val b = sums(snapB, "b")
+    // n is per (label, d) but constant across d within a label (every
+    // vector carries every component) — max() collapses it exactly
+    a.join(b, Seq("label", "d"))
+      .groupBy(col("label"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(abs(col("s_a") * col("n_b").cast(DecimalType(38, 0)) -
+          col("s_b") * col("n_a").cast(DecimalType(38, 0))))
+          .cast(DecimalType(38, 0)).as("l1_num"))
+      .withColumn("l1_shift_micro",
+        expr(s"CAST((l1_num * CAST(1000000 AS DECIMAL(38,0))) div " +
+          s"(CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)) * " +
+          s"CAST($scale AS DECIMAL(38,0))) AS BIGINT)"))
+      .select(col("label"), col("n_a"), col("n_b"), col("l1_num"),
+        col("l1_shift_micro"))
+      .orderBy(col("label"))
+  }
 }

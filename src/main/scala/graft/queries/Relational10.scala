@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables._
+
+/** Tenth batch (round 6): conversion attribution, embedding-space
+  * drift monitoring, and curriculum staging — the analytics /
+  * monitoring / training-prep trio a production corpus pipeline runs
+  * beside the operators already covered. */
+object Relational10 {
+
+  /** q45: first/last-touch conversion attribution — for every purchase,
+    * which preceding marketing touch (view/click/signup) within 7 days
+    * gets the credit, under both classic models at once. The shape is
+    * the q17 as-of family: a per-user range join (per-user event counts
+    * bound the fan-out), then ONE aggregation with min_by/max_by over
+    * an exact integer order key (epoch-micros ×10¹⁰ + event_id — unique,
+    * so both engines pick identical winners; no window, no per-group
+    * sort). Conversions with no touch in the window keep NULL credit
+    * (the left join) — dropping them would overstate attribution
+    * coverage. */
+  def q45Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        col("ts").as("cts"))
+    val touch = ev.filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("touch_type"), col("ts").as("tts"))
+    val attributed = conv.join(touch, Seq("user_id"))
+      .filter(col("tts") <= col("cts") &&
+        col("tts") >= col("cts") - expr("INTERVAL 7 DAYS"))
+      .withColumn("ord",
+        unix_micros(col("tts")).cast(DecimalType(38, 0)) *
+          lit(10000000000L) + col("touch_id"))
+      .groupBy(col("conv_id"))
+      .agg(
+        min_by(struct(col("touch_id"), col("touch_type")), col("ord")).as("ft"),
+        max_by(struct(col("touch_id"), col("touch_type")), col("ord")).as("lt"))
+    conv.join(attributed, Seq("conv_id"), "left_outer")
+      .select(col("conv_id").as("event_id"), col("user_id"),
+        date_format(col("cts"), "yyyy-MM-dd HH:mm:ss").as("conv_ts"),
+        col("ft.touch_id").as("first_touch_id"),
+        col("ft.touch_type").as("first_touch_type"),
+        col("lt.touch_id").as("last_touch_id"),
+        col("lt.touch_type").as("last_touch_type"))
+      .orderBy(col("event_id"))
+  }
+
+  /** a22: embedding snapshot drift ([[graft.operators.Drift
+    * .embeddingDrift]]) — per-label L1 centroid displacement between
+    * two snapshots (even vec_ids = yesterday, odd = today — the d15
+    * snapshot convention), exact integer numerator + floor-division
+    * micro-units, the vector-side twin of t33. */
+  def a22EmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    graft.operators.Drift.embeddingDrift(
+      e.filter(col("vec_id") % 2 === 0),
+      e.filter(col("vec_id") % 2 === 1),
+      "label", "embedding")
+  }
+
+  /** p29: curriculum staging — order the corpus easy→hard (difficulty
+    * here: token count, the standard length curriculum) and cut it
+    * into 10 equal-count stages, emitting a per-stage manifest with a
+    * membership checksum. Ranks come from [[graft.operators.GlobalIds
+    * .assignBy]] over (n_tokens, doc_id) — the two-level form, no
+    * single-task global sort — and the stage id is integer arithmetic
+    * on the rank (pos·10 div n), so the staging is a pure function of
+    * the corpus. The bit_xor checksum makes the oracle verify stage
+    * MEMBERSHIP, not just sizes (the t27 principle). */
+  def p29Curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("text").isNull, lit(0L))
+          .otherwise(size(split(col("text"), " ")).cast("long"))
+          .as("n_tokens"))
+    val ranked = graft.operators.GlobalIds.assignBy(
+      d, Seq(col("n_tokens"), col("doc_id")))
+    val n = d.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("stage", expr("(global_id * 10) div n"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        expr("bit_xor(doc_id)").as("doc_checksum"))
+      .orderBy(col("stage"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_attribution"     -> q45Attribution _,
+    "a22_embedding_drift" -> a22EmbeddingDrift _,
+    "p29_curriculum"      -> p29Curriculum _)
+
+  val oracles: Map[String, String] = Map(
+    "q45_attribution" ->
+      """WITH conv AS (SELECT event_id AS conv_id, user_id, ts AS cts
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (SELECT user_id, event_id AS touch_id,
+        |    event_type AS touch_type, ts AS tts
+        |  FROM events WHERE event_type IN ('view', 'click', 'signup')),
+        |j AS (
+        |  SELECT c.conv_id, t.touch_id, t.touch_type,
+        |    CAST(epoch_us(t.tts) AS HUGEINT) * 10000000000 + t.touch_id AS ord
+        |  FROM conv c JOIN touch t ON t.user_id = c.user_id
+        |    AND t.tts <= c.cts AND t.tts >= c.cts - INTERVAL 7 DAY),
+        |agg AS (
+        |  SELECT conv_id,
+        |    arg_min(touch_id, ord) AS first_touch_id,
+        |    arg_min(touch_type, ord) AS first_touch_type,
+        |    arg_max(touch_id, ord) AS last_touch_id,
+        |    arg_max(touch_type, ord) AS last_touch_type
+        |  FROM j GROUP BY conv_id)
+        |SELECT c.conv_id AS event_id, c.user_id,
+        |  strftime(c.cts, '%Y-%m-%d %H:%M:%S') AS conv_ts,
+        |  a.first_touch_id, a.first_touch_type,
+        |  a.last_touch_id, a.last_touch_type
+        |FROM conv c LEFT JOIN agg a ON a.conv_id = c.conv_id
+        |ORDER BY event_id""".stripMargin,
+    "a22_embedding_drift" ->
+      """WITH q AS (SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT)) AS vq
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |ex AS (SELECT vec_id, label, t.d AS d, vq[t.d] AS qv
+        |  FROM q, unnest(generate_series(1, len(vq))) AS t(d)),
+        |sa AS (SELECT label, d, CAST(sum(qv) AS HUGEINT) AS s_a,
+        |    count(*) AS n_a
+        |  FROM ex WHERE vec_id % 2 = 0 GROUP BY label, d),
+        |sb AS (SELECT label, d, CAST(sum(qv) AS HUGEINT) AS s_b,
+        |    count(*) AS n_b
+        |  FROM ex WHERE vec_id % 2 = 1 GROUP BY label, d),
+        |j AS (SELECT sa.label, max(sa.n_a) AS n_a, max(sb.n_b) AS n_b,
+        |    sum(abs(sa.s_a * sb.n_b - sb.s_b * sa.n_a)) AS l1_num
+        |  FROM sa JOIN sb ON sa.label = sb.label AND sa.d = sb.d
+        |  GROUP BY sa.label)
+        |SELECT label, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(l1_num AS DECIMAL(38,0)) AS l1_num,
+        |  CAST((CAST(l1_num AS HUGEINT) * 1000000) //
+        |    (CAST(n_a AS HUGEINT) * n_b * 1048576) AS BIGINT) AS l1_shift_micro
+        |FROM j ORDER BY label""".stripMargin,
+    "p29_curriculum" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(CASE WHEN text IS NULL THEN 0
+        |      ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |    row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS pos
+        |  FROM d),
+        |n AS (SELECT count(*) AS n FROM d)
+        |SELECT CAST((pos * 10) // (SELECT n FROM n) AS BIGINT) AS stage,
+        |  count(*) AS n_docs,
+        |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+        |  bit_xor(doc_id) AS doc_checksum
+        |FROM r GROUP BY 1 ORDER BY stage""".stripMargin)
+}

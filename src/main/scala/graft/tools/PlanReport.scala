@@ -381,6 +381,26 @@ object PlanReport {
       ev.unpersist(false); ev10.unpersist(false)
       cust.unpersist(false); cust10.unpersist(false)
     }
+    locally {
+      // graph 10×: DISJOINT copies (orderkey AND partkey rescaled) —
+      // duplicating only orders would reproduce the same distinct edge
+      // set and measure nothing
+      val liG10 = li.crossJoin(spark.range(10).toDF("c"))
+        .withColumn("l_orderkey", col("l_orderkey") * 10 + col("c"))
+        .withColumn("l_partkey", col("l_partkey") * 10 + col("c"))
+        .drop("c")
+      def edges(l: org.apache.spark.sql.DataFrame) = {
+        val x = l.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        x.as("x").join(x.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+      }
+      row("triangle counting (degree-oriented broadcast probe)",
+        { val c = graft.operators.Triangles.perNodeCounts(
+            edges(li), "a", "b").count(); spark.catalog.clearCache(); c },
+        { val c = graft.operators.Triangles.perNodeCounts(
+            edges(liG10), "a", "b").count(); spark.catalog.clearCache(); c })
+    }
 
     sb.append(
       """
@@ -451,6 +471,51 @@ object PlanReport {
     sb.append("(~5N here, unbounded as clusters grow). At 100 TB the star mode is the\n")
     sb.append("default recommendation; the pair mode remains the oracle-checked exact\n")
     sb.append("contract.\n")
+
+    // hot-key throttle: the r6 secondary-sort form vs the buffering
+    // failure mode it replaced
+    sb.append("\n## Hot-key event throttle (q44 secondary-sort form, r6)\n\n")
+    sb.append("ONE (user, type) key carrying N events, 1 s apart. The flatMapGroups\n")
+    sb.append("form buffered + sorted the whole group in one task's memory (OOM at\n")
+    sb.append("scale); the secondary-sort form streams it through Spark's spilling\n")
+    sb.append("external sorter with O(1) operator state.\n\n")
+    sb.append("| hot-key size | time | kept |\n|---|---|---|\n")
+    locally {
+      import spark.implicits._
+      def throttleHot(n: Long): (Double, Long) = {
+        val ev = spark.range(n).select(lit(1L).as("user_id"),
+            lit("click").as("event_type"), col("id").as("tss"),
+            col("id").as("event_id"))
+          .as[(Long, String, Long, Long)]
+        var kept = 0L
+        val t = time {
+          kept = ev.repartition(col("user_id"), col("event_type"))
+            .sortWithinPartitions(col("user_id"), col("event_type"),
+              col("tss"), col("event_id"))
+            .mapPartitions { it =>
+              var curU = Long.MinValue; var curT: String = null
+              var anchor = Long.MinValue
+              it.filter { case (u, t2, ts, _) =>
+                if (u != curU || curT == null || curT != t2) {
+                  curU = u; curT = t2; anchor = Long.MinValue
+                }
+                if (anchor == Long.MinValue || ts >= anchor + 3600L) {
+                  anchor = ts; true
+                } else false
+              }
+            }.count()
+          kept
+        }
+        (t, kept)
+      }
+      throttleHot(100000) // warm codegen
+      Seq(1000000L, 10000000L).foreach { n =>
+        val (t, kept) = throttleHot(n)
+        sb.append(f"| ${n}%,d events | $t%.2f s | $kept%,d |\n")
+      }
+    }
+    sb.append("\nLinear in N with a single hot key — the sorter spills, the scan\n")
+    sb.append("holds one anchor. The previous form held the full group on-heap.\n")
 
     // extractor throughput (round-2 operators)
     sb.append("\n## Extractor throughput (warm)\n\n")
