@@ -47,7 +47,8 @@ object Bench {
     "d18_fold_dedup", "p27_mixture_interleave", "g03_triangles",
     "p28_padded_pack", "a20_mmr_diversify", "q44_event_throttle",
     "t37_eval_integrity", "a21_ann_recall",
-    "q45_attribution", "a22_embedding_drift", "p29_curriculum")
+    "q45_attribution", "a22_embedding_drift", "p29_curriculum",
+    "t36_pii_redact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

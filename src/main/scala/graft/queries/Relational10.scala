@@ -92,10 +92,29 @@ object Relational10 {
       .orderBy(col("stage"))
   }
 
+  /** t36: PII redaction ([[graft.operators.TextAnalysis.piiRedact]])
+    * over the corpus with PLANTED identifiers (every 10th doc gains an
+    * email + phone + IPv4 suffix, replayed verbatim by the oracle —
+    * the planted-lines convention, so the redactor provably fires).
+    * The full redacted text is hash-checked, not just the counts. */
+  def t36PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val planted = d.withColumn("ptext",
+      when(col("doc_id") % 10 === 0,
+        concat(col("text"), lit(" reach user"),
+          col("doc_id").cast("string"), lit("@mail.example.com or "),
+          lit("555-867-5309 from 192.168."),
+          (col("doc_id") % 256).cast("string"), lit(".7")))
+        .otherwise(col("text")))
+    graft.operators.TextAnalysis.piiRedact(planted, "doc_id", "ptext")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_attribution"     -> q45Attribution _,
     "a22_embedding_drift" -> a22EmbeddingDrift _,
-    "p29_curriculum"      -> p29Curriculum _)
+    "p29_curriculum"      -> p29Curriculum _,
+    "t36_pii_redact"      -> t36PiiRedact _)
 
   val oracles: Map[String, String] = Map(
     "q45_attribution" ->
@@ -144,6 +163,26 @@ object Relational10 {
         |  CAST((CAST(l1_num AS HUGEINT) * 1000000) //
         |    (CAST(n_a AS HUGEINT) * n_b * 1048576) AS BIGINT) AS l1_shift_micro
         |FROM j ORDER BY label""".stripMargin,
+    "t36_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN
+        |      text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+        |      '@mail.example.com or 555-867-5309 from 192.168.' ||
+        |      CAST(doc_id % 256 AS VARCHAR) || '.7'
+        |    ELSE text END AS ptext
+        |  FROM documents)
+        |SELECT doc_id,
+        |  COALESCE(CAST(len(regexp_extract_all(ptext,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT), 0) AS n_emails,
+        |  COALESCE(CAST(len(regexp_extract_all(ptext,
+        |    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT), 0) AS n_phones,
+        |  COALESCE(CAST(len(regexp_extract_all(ptext,
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT), 0) AS n_ips,
+        |  COALESCE(regexp_replace(regexp_replace(regexp_replace(ptext,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'), '') AS clean_text
+        |FROM p ORDER BY doc_id""".stripMargin,
     "p29_curriculum" ->
       """WITH d AS (SELECT doc_id,
         |    CAST(CASE WHEN text IS NULL THEN 0
