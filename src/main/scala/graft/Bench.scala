@@ -102,11 +102,18 @@ object Bench {
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces: also persist the metrics as a repo-root artifact so
-    // consumers never depend on log-tail truncation behavior.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_metrics.json"), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write bench_metrics.json: $e") }
+    // consumers never depend on log-tail truncation behavior. The root is
+    // resolved explicitly (env override > repo constant) — a relative
+    // path would scatter stale artifacts across whatever CWD launched
+    // the JVM — and a BENCH_ONLY profiling run must NOT clobber the
+    // full-run artifact with a one-query subset.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"),
+          "bench_metrics.json"), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write bench_metrics.json: $e") }
     spark.stop()
   }
 }

@@ -969,9 +969,15 @@ object GraftFunctions {
   // analysis error naming the expectation, not a ClassCastException/NPE
   // from eval(InternalRow.empty)
   private def intLit(e: Expression): Int = {
-    if (!e.foldable || e.dataType != org.apache.spark.sql.types.IntegerType)
-      analysisError(s"expected a foldable INT literal argument, got $e")
-    e.eval(InternalRow.empty).asInstanceOf[Int]
+    val v =
+      if (e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType)
+        e.eval(InternalRow.empty)
+      else null
+    // the null check matters: CAST(NULL AS INT) is foldable and typed,
+    // and null.asInstanceOf[Int] silently unboxes to 0
+    if (v == null)
+      analysisError(s"expected a foldable non-null INT literal argument, got $e")
+    v.asInstanceOf[Int]
   }
 
   private def stringLit(e: Expression, expected: String): String = {

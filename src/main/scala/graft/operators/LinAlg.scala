@@ -17,8 +17,18 @@ import org.apache.spark.sql.types.DecimalType
   * conversion, identical in both engines. */
 object LinAlg {
 
+  /** ×2²⁰ integer quantization with the null-element guard built in:
+    * a null ELEMENT inside a non-null vector would otherwise flow on as
+    * a null cell — an opaque unboxing NPE on the typed path, a silently
+    * null output on the SQL path. coalesce short-circuits, so the
+    * assert only evaluates on an actually-null element; every consumer
+    * (gram/moments/projection) fails loudly and identically. */
   private def quantized(vecCol: String): Column =
-    expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1048576, 0) as bigint))")
+    expr(s"""transform($vecCol, (x, i) -> coalesce(
+            |  cast(round(cast(x as double) * 1048576, 0) as bigint),
+            |  cast(assert_true(false, concat('LinAlg: null element at index ',
+            |    cast(i as string), ' of vector — null-clean the embedding column first')) as bigint)))"""
+      .stripMargin)
 
   /** One-scan partial accumulation of the Gram upper triangle AND the
     * column sums AND the row count: tight per-partition accumulator
@@ -45,16 +55,9 @@ object LinAlg {
     val spark = vectors.sparkSession
     import spark.implicits._
     vectors.filter(col(vecCol).isNotNull)
-      // a null ELEMENT inside a non-null vector would reach the typed
-      // Seq[Long] decoder and die as an opaque unboxing NPE; fail loudly
-      // instead, naming the defect. coalesce short-circuits, so the
-      // assert only evaluates on an actually-null element.
-      .select(expr(
-        s"""transform($vecCol, (x, i) -> coalesce(
-           |  cast(round(cast(x as double) * 1048576, 0) as bigint),
-           |  cast(assert_true(false, concat('modelPartials: null element at index ',
-           |    cast(i as string), ' of vector — null-clean the embedding column first')) as bigint)))"""
-          .stripMargin).as("vq")).as[Seq[Long]]
+      // quantized() carries the null-element guard, so a corrupt vector
+      // fails loudly here instead of NPE-ing in the Seq[Long] decoder
+      .select(quantized(vecCol).as("vq")).as[Seq[Long]]
       .mapPartitions { it =>
         val tri = dim * (dim + 1) / 2
         val gLo = Array.ofDim[Long](tri); val gHi = Array.ofDim[Long](tri)

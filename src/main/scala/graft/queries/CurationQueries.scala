@@ -1058,10 +1058,16 @@ object CurationQueries {
     // memory state, reads back columnar, and pins no executor cache.
     // This is also the at-scale shape: multi-stage curation jobs
     // checkpoint stage boundaries to the object store.
+    // FIXED paths (no per-call UUID): mode("overwrite") then genuinely
+    // reuses the directory, so disk usage is bounded at one copy per
+    // stage regardless of how many times p18 runs (a UUID per call was
+    // an unbounded tmp leak across bench/verify rounds). Single-writer
+    // assumption: the verify skill already forbids concurrent
+    // Bench/Verify JVMs (they'd also race sbt classfiles).
     def ckpt(df: DataFrame, tag: String): DataFrame = {
       val dir = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), "graft_ckpt",
-        s"${java.util.UUID.randomUUID()}_$tag").toString
+        s"p18_$tag").toString
       df.write.mode("overwrite").parquet(dir)
       spark.read.parquet(dir)
     }

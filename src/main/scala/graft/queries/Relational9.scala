@@ -370,38 +370,19 @@ object Relational9 {
     * event, so a burst with 30-minute spacing suppresses everything
     * after the first even though a kept event re-arms the window every
     * hour. The anchored semantics are inherently sequential per key,
-    * but per-key state needs only the last anchor — so instead of
-    * buffering and sorting each group in memory (flatMapGroups: a hot
-    * key at 100 TB is an OOM, not a slowdown), use the SECONDARY-SORT
-    * shape proven in exactQuantilesDistributed: hash-repartition on
-    * the key, sortWithinPartitions (key, ts, id) — Spark's external
-    * sorter spills, so a billion-event key streams from disk — then
-    * one streaming scan holding O(1) state (current key + anchor).
-    * The oracle replays the greedy chain as a recursive CTE.
-    * Ties at the kept timestamp resolve to the minimum event id. */
+    * but per-key state needs only the last anchor — see
+    * [[graft.operators.Throttle.anchoredKeep]] (the secondary-sort
+    * form; a hot key spills through the external sorter instead of
+    * buffering on-heap). The oracle replays the greedy chain as a
+    * recursive CTE. Ties at the kept timestamp resolve to the minimum
+    * event id. */
   def q44EventThrottle(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = events(spark, dir)
       .select(col("user_id"), col("event_type"),
         col("ts").cast("long").as("tss"), col("event_id"))
       .as[(Long, String, Long, Long)]
-    val kept = ev
-      .repartition(col("user_id"), col("event_type"))
-      .sortWithinPartitions(col("user_id"), col("event_type"),
-        col("tss"), col("event_id"))
-      .mapPartitions { it =>
-        var curU = Long.MinValue
-        var curT: String = null
-        var anchor = Long.MinValue
-        it.filter { case (u, t, ts, _) =>
-          if (u != curU || curT == null || curT != t) {
-            curU = u; curT = t; anchor = Long.MinValue
-          }
-          if (anchor == Long.MinValue || ts >= anchor + 3600L) {
-            anchor = ts; true
-          } else false
-        }
-      }
+    val kept = graft.operators.Throttle.anchoredKeep(ev, 3600L)
       .toDF("user_id", "event_type", "ts_s", "event_id")
     // ties at the kept second: minimum event id represents the slot
     kept.groupBy(col("user_id"), col("event_type"), col("ts_s"))

@@ -395,11 +395,19 @@ object PlanReport {
             col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
           .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
       }
+      // explicit maxBroadcastEdges: the ×10 graph (~12M directed edges)
+      // exceeds the 10M default, which would silently flip the ×10 leg
+      // to the shuffle-join fallback and compare two different
+      // algorithms in one slope row. 50M ≈ 400 MB broadcast — fine
+      // here; at cluster scale the default's fallback is the point.
+      // NO clearCache here: it would evict the report's shared cached
+      // inputs (docs/li/emb) and skew every later section; Triangles'
+      // internal rank/dir persists are |V|/|E|-bounded and LRU-evict.
       row("triangle counting (degree-oriented broadcast probe)",
-        { val c = graft.operators.Triangles.perNodeCounts(
-            edges(li), "a", "b").count(); spark.catalog.clearCache(); c },
-        { val c = graft.operators.Triangles.perNodeCounts(
-            edges(liG10), "a", "b").count(); spark.catalog.clearCache(); c })
+        graft.operators.Triangles.perNodeCounts(
+          edges(li), "a", "b", maxBroadcastEdges = 50000000L).count(),
+        graft.operators.Triangles.perNodeCounts(
+          edges(liG10), "a", "b", maxBroadcastEdges = 50000000L).count())
     }
 
     sb.append(
@@ -489,21 +497,7 @@ object PlanReport {
           .as[(Long, String, Long, Long)]
         var kept = 0L
         val t = time {
-          kept = ev.repartition(col("user_id"), col("event_type"))
-            .sortWithinPartitions(col("user_id"), col("event_type"),
-              col("tss"), col("event_id"))
-            .mapPartitions { it =>
-              var curU = Long.MinValue; var curT: String = null
-              var anchor = Long.MinValue
-              it.filter { case (u, t2, ts, _) =>
-                if (u != curU || curT == null || curT != t2) {
-                  curU = u; curT = t2; anchor = Long.MinValue
-                }
-                if (anchor == Long.MinValue || ts >= anchor + 3600L) {
-                  anchor = ts; true
-                } else false
-              }
-            }.count()
+          kept = graft.operators.Throttle.anchoredKeep(ev, 3600L).count()
           kept
         }
         (t, kept)

@@ -48,6 +48,13 @@ class AdviceGuardSpec extends AnyFunSuite {
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT minhash_signature(t, k) FROM mh_t").collect()
     }
-    assert(e.getMessage.contains("foldable INT literal"))
+    assert(e.getMessage.contains("foldable non-null INT literal"))
+    // CAST(NULL AS INT) is foldable AND correctly typed — without the
+    // null check it would silently unbox to k = 0
+    val n = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_signature(t, CAST(NULL AS INT)) FROM mh_t")
+        .collect()
+    }
+    assert(n.getMessage.contains("foldable non-null INT literal"))
   }
 }

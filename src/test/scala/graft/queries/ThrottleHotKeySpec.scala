@@ -31,23 +31,7 @@ class ThrottleHotKeySpec extends AnyFunSuite {
       .toDF("user_id", "event_type", "tss", "event_id")
     val ev = hot.unionAll(cold)
       .as[(Long, String, Long, Long)]
-    val kept = ev
-      .repartition(col("user_id"), col("event_type"))
-      .sortWithinPartitions(col("user_id"), col("event_type"),
-        col("tss"), col("event_id"))
-      .mapPartitions { it =>
-        var curU = Long.MinValue
-        var curT: String = null
-        var anchor = Long.MinValue
-        it.filter { case (u, t, ts, _) =>
-          if (u != curU || curT == null || curT != t) {
-            curU = u; curT = t; anchor = Long.MinValue
-          }
-          if (anchor == Long.MinValue || ts >= anchor + 3600L) {
-            anchor = ts; true
-          } else false
-        }
-      }.collect()
+    val kept = graft.operators.Throttle.anchoredKeep(ev, 3600L).collect()
     val hotKept = kept.filter(_._1 == 1L)
     assert(hotKept.length === ((n + 3599L) / 3600L))
     // anchors land exactly on multiples of 3600 under the greedy chain
