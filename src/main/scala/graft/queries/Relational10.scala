@@ -110,11 +110,40 @@ object Relational10 {
       .orderBy(col("doc_id"))
   }
 
+  /** p30: length-bucketed inference batching — the dynamic-batching
+    * prep every embedding/inference fleet runs: sort documents by
+    * token count (GlobalIds two-level rank — no single-task sort),
+    * cut into fixed-size batches of 32, and report each batch's
+    * padding economics (a batch pads every member to its own max, so
+    * length-sorted batches waste `n·max − Σlen` ≈ 0 where random
+    * batches waste ~n·(max−mean)). The per-batch `bit_xor` checksum
+    * makes the oracle verify batch MEMBERSHIP. Output is
+    * |corpus|/32-bounded. */
+  def p30LengthBatches(spark: SparkSession, dir: String): DataFrame = {
+    val batchSize = 32
+    val d = documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("text").isNull, lit(0L))
+          .otherwise(size(split(col("text"), " ")).cast("long"))
+          .as("n_tokens"))
+    graft.operators.GlobalIds.assignBy(d, Seq(col("n_tokens"), col("doc_id")))
+      .withColumn("batch_id", expr(s"global_id div $batchSize"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        (count(lit(1)) * max(col("n_tokens")) - sum(col("n_tokens")))
+          .as("pad_tokens"),
+        expr("bit_xor(doc_id)").as("doc_checksum"))
+      .orderBy(col("batch_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_attribution"     -> q45Attribution _,
     "a22_embedding_drift" -> a22EmbeddingDrift _,
     "p29_curriculum"      -> p29Curriculum _,
-    "t36_pii_redact"      -> t36PiiRedact _)
+    "t36_pii_redact"      -> t36PiiRedact _,
+    "p30_length_batches"  -> p30LengthBatches _)
 
   val oracles: Map[String, String] = Map(
     "q45_attribution" ->
@@ -183,6 +212,20 @@ object Relational10 {
         |    '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
         |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'), '') AS clean_text
         |FROM p ORDER BY doc_id""".stripMargin,
+    "p30_length_batches" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(CASE WHEN text IS NULL THEN 0
+        |      ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |    row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS pos
+        |  FROM d)
+        |SELECT pos // 32 AS batch_id, count(*) AS n_docs,
+        |  max(n_tokens) AS max_tokens,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS pad_tokens,
+        |  bit_xor(doc_id) AS doc_checksum
+        |FROM r GROUP BY 1 ORDER BY batch_id""".stripMargin,
     "p29_curriculum" ->
       """WITH d AS (SELECT doc_id,
         |    CAST(CASE WHEN text IS NULL THEN 0

@@ -312,7 +312,32 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("event_type"), col("ts_s"))
   }
 
+  /** s14: WATERMARK-BOUNDED streaming dedup — Spark's
+    * `dropDuplicatesWithinWatermark`. s02's `dropDuplicates` keeps
+    * every key ever seen (state grows with distinct keys forever —
+    * fine for a bounded corpus digest, fatal for an unbounded event
+    * stream); this operator expires a key's dedup state once the
+    * watermark passes it, so state is bounded by the delay window ×
+    * event rate regardless of stream lifetime. That is the 100 TB /
+    * infinite-retention answer, and the reason both forms ship (the
+    * s10 built-in-vs-custom convention). Under a single bounded
+    * replay nothing expires mid-stream, so the surviving set equals
+    * batch DISTINCT — the oracle pins exactly that unified-semantics
+    * contract; StreamingSpec covers the expiry behavior a single
+    * replay cannot see. */
+  def streamDedupWatermarked(spark: SparkSession, dir: String): DataFrame = {
+    val dd = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
+    awaitMemorySink(dd, "append")
+      .select(col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      .orderBy(col("user_id"), col("event_type"), col("ts_s"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_stream_dedup_watermarked" -> streamDedupWatermarked _,
     "s13_stream_throttle" -> streamThrottle _,
     "s12_stream_urldedup" -> streamUrlDedup _,
     "s11_stream_cdc"      -> streamCdcMerge _,
@@ -328,6 +353,14 @@ object StreamingQueries {
     "s10_stream_session_window" -> streamSessionWindow _)
 
   def oracles: Map[String, String] = Map(
+    // s14 == batch DISTINCT: one bounded replay advances the watermark
+    // only between batches, so no dedup state expires before its
+    // duplicates arrive (ts formatted AFTER the distinct, both engines)
+    "s14_stream_dedup_watermarked" ->
+      """SELECT user_id, event_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+        |FROM (SELECT DISTINCT user_id, event_type, ts FROM events)
+        |ORDER BY user_id, event_type, ts_s""".stripMargin,
     // s13 == the batch q44 greedy chain: the anchor state carries the
     // same information whether events arrive in one batch or many
     "s13_stream_throttle" -> Relational9.oracles("q44_event_throttle"),

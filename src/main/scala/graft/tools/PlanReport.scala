@@ -50,7 +50,9 @@ object PlanReport {
       "a19_phrase_search", "p26_shard_manifest", "d18_fold_dedup",
       "p27_mixture_interleave", "g03_triangles", "p28_padded_pack",
       "a20_mmr_diversify", "q44_event_throttle", "t37_eval_integrity",
-      "a21_ann_recall")
+      "a21_ann_recall",
+      "q45_attribution", "a22_embedding_drift", "p29_curriculum",
+      "t36_pii_redact")
     sb.append("\n## Physical plans (executed, AQE final)\n")
     planQueries.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)

@@ -167,6 +167,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept === Seq(0L, 3600L))
   }
 
+  test("dropDuplicatesWithinWatermark: state expires with the watermark (bounded), " +
+      "a key re-emits after eviction, an in-window duplicate stays suppressed") {
+    val spark2 = spark
+    import spark2.implicits._
+    val drop = tmp("ddw_drop"); val ckpt = tmp("ddw_ckpt"); val out = tmp("ddw_out")
+    def writeBatch(name: String, rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("user_id", "event_type", "tss")
+        .select(col("user_id"), col("event_type"),
+          timestamp_seconds(col("tss")).as("ts"))
+        .coalesce(1).write.parquet(s"$drop/$name")
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema("user_id LONG, event_type STRING, ts TIMESTAMP")
+        .option("recursiveFileLookup", "true").parquet(drop)
+      val q = src.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").parquet(out); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // b1: key (1, view) at t=1000 → emitted; dedup state expires at t+1h
+    writeBatch("b1", Seq((1L, "view", 1000L)))
+    runOnce()
+    assert(spark.read.parquet(out).count() === 1)
+    // b2: unrelated key at t=37000 advances the watermark to 33400,
+    // past (1, view)'s 4600 expiry → its state is EVICTED (this is the
+    // boundedness s02's plain dropDuplicates cannot offer)
+    writeBatch("b2", Seq((2L, "click", 37000L)))
+    runOnce()
+    assert(spark.read.parquet(out).count() === 2)
+    // b3: (1, view) again at t=34200 (above the 33400 watermark, so not
+    // late) — state gone → emitted AGAIN; (2, click) at t=36900 is
+    // within its live state's window → suppressed
+    writeBatch("b3", Seq((1L, "view", 34200L), (2L, "click", 36900L)))
+    runOnce()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows.length === 3, s"expected re-emission after eviction, got $rows")
+    assert(rows.count(_ == (1L, "view")) === 2)
+    assert(rows.count(_ == (2L, "click")) === 1)
+  }
+
   test("streaming curation drops benchmark quotes and low-quality docs at ingest") {
     import spark.implicits._
     val drop = tmp("drop3"); val ckpt = tmp("ckpt_cur"); val out = tmp("curate_out")
