@@ -138,7 +138,52 @@ object Relational10 {
       .orderBy(col("batch_id"))
   }
 
+  /** DCG position weights, ×10⁶ integer: w_i = round(10⁶ / log₂(i+1)).
+    * Computed ONCE here and spliced as literals into BOTH the Spark
+    * plan and the DuckDB oracle (the t17 md5-literal principle) — the
+    * single libm evaluation site makes cross-engine parity structural
+    * rather than numerical. */
+  private val DcgW: IndexedSeq[Long] =
+    (1 to 10).map(i => Math.round(1e6 / (Math.log(i + 1.0) / Math.log(2.0))))
+  private val IdcgAt10: Long =
+    (1 to 10).map(i => (11L - i) * DcgW(i - 1)).sum
+
+  /** a23: ranking-quality metrics — MRR and nDCG@10 of the IVF path
+    * against the exact ranking, per query (a21 measures set recall;
+    * MRR/nDCG grade POSITIONS — a result list with the right set in
+    * the wrong order passes recall and fails here). Relevance is
+    * graded by exact rank (rel = 11 − exact_rank, 0 if outside the
+    * exact top-10); every metric is integer arithmetic over the
+    * spliced weight literals, reported in ppm via floor division —
+    * the t33 discipline. */
+  def a23RankingMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val q = e.filter(col("vec_id") < 5)
+    val exact = graft.operators.Similarity
+      .bruteForceTopKExec(q, e, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("erank"))
+    val approx = graft.operators.Similarity
+      .ivfTopK(q, e, "vec_id", "embedding", "label", k = 10)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("pos"))
+    val graded = approx
+      .join(exact, Seq("query_id", "neighbor_id"), "left_outer")
+      .withColumn("rel",
+        coalesce(lit(11L) - col("erank").cast("long"), lit(0L)))
+      .withColumn("w",
+        element_at(array(DcgW.map(lit(_)): _*), col("pos")))
+    graded.groupBy(col("query_id"))
+      .agg(sum(col("rel") * col("w")).cast("long").as("dcg"),
+        min(when(col("rel") > 0, col("pos"))).as("__fh"))
+      .withColumn("mrr_ppm",
+        coalesce(expr("1000000 div __fh"), lit(0L)))
+      .withColumn("ndcg_ppm", expr(s"(dcg * 1000000) div ${IdcgAt10}L"))
+      .select(col("query_id"), col("dcg"), col("mrr_ppm"), col("ndcg_ppm"))
+      .orderBy(col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a23_ranking_metrics" -> a23RankingMetrics _,
     "q45_attribution"     -> q45Attribution _,
     "a22_embedding_drift" -> a22EmbeddingDrift _,
     "p29_curriculum"      -> p29Curriculum _,
@@ -146,6 +191,47 @@ object Relational10 {
     "p30_length_batches"  -> p30LengthBatches _)
 
   val oracles: Map[String, String] = Map(
+    "a23_ranking_metrics" -> {
+      val wRows = DcgW.zipWithIndex
+        .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+      s"""WITH d AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |wt(i, w) AS (VALUES $wRows),
+         |ex AS (
+         |  SELECT query_id, neighbor_id, rank AS erank FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+         |          c.vec_id) AS rank
+         |    FROM d q JOIN d c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+         |  WHERE rank <= 10),
+         |ap AS (
+         |  SELECT query_id, neighbor_id, rank AS pos FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+         |          c.vec_id) AS rank
+         |    FROM d q JOIN d c
+         |      ON q.vec_id < 5 AND q.vec_id <> c.vec_id AND q.label = c.label)
+         |  WHERE rank <= 10),
+         |g AS (
+         |  SELECT a.query_id, a.pos,
+         |    CASE WHEN e.erank IS NOT NULL THEN 11 - e.erank ELSE 0 END AS rel,
+         |    wt.w
+         |  FROM ap a
+         |  LEFT JOIN ex e ON e.query_id = a.query_id
+         |    AND e.neighbor_id = a.neighbor_id
+         |  JOIN wt ON wt.i = a.pos),
+         |agg AS (
+         |  SELECT query_id, CAST(sum(rel * w) AS BIGINT) AS dcg,
+         |    min(CASE WHEN rel > 0 THEN pos END) AS fh
+         |  FROM g GROUP BY query_id)
+         |SELECT query_id, dcg,
+         |  CAST(COALESCE(1000000 // fh, 0) AS BIGINT) AS mrr_ppm,
+         |  CAST((CAST(dcg AS HUGEINT) * 1000000) // ${IdcgAt10} AS BIGINT)
+         |    AS ndcg_ppm
+         |FROM agg ORDER BY query_id""".stripMargin
+    },
     "q45_attribution" ->
       """WITH conv AS (SELECT event_id AS conv_id, user_id, ts AS cts
         |  FROM events WHERE event_type = 'purchase'),
