@@ -199,21 +199,10 @@ object Relational10 {
          |wt(i, w) AS (VALUES $wRows),
          |ex AS (
          |  SELECT query_id, neighbor_id, rank AS erank FROM (
-         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
-         |          c.vec_id) AS rank
-         |    FROM d q JOIN d c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
-         |  WHERE rank <= 10),
+         |  ${Relational9.exactTop10OracleSql}) ext),
          |ap AS (
          |  SELECT query_id, neighbor_id, rank AS pos FROM (
-         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
-         |          c.vec_id) AS rank
-         |    FROM d q JOIN d c
-         |      ON q.vec_id < 5 AND q.vec_id <> c.vec_id AND q.label = c.label)
-         |  WHERE rank <= 10),
+         |  ${Relational9.ivfTop10OracleSql}) apt),
          |g AS (
          |  SELECT a.query_id, a.pos,
          |    CASE WHEN e.erank IS NOT NULL THEN 11 - e.erank ELSE 0 END AS rel,

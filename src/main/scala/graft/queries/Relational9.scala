@@ -486,29 +486,42 @@ object Relational9 {
     * [[CurationQueries.a09Oracle]]. */
   @volatile private var a21Oracle: Option[String] = None
 
+  /** The ANN parity convention's ranked-cosine subqueries, shared by
+    * every oracle that compares against the exact or IVF ranking (a21,
+    * a23) — ONE definition of the `round(cos, 6) DESC, vec_id` tie
+    * order, so a convention change cannot silently diverge consumers.
+    * Both emit (query_id, neighbor_id, rank ≤ 10) and REQUIRE the
+    * enclosing query to define CTE `d(vec_id, label, v)` over
+    * embeddings (see [[a21OracleSql]]). */
+  private[queries] val exactTop10OracleSql: String =
+    """SELECT query_id, neighbor_id, rank FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+      |          c.vec_id) AS rank
+      |    FROM d q JOIN d c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+      |  WHERE rank <= 10""".stripMargin
+
+  private[queries] val ivfTop10OracleSql: String =
+    """SELECT query_id, neighbor_id, rank FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+      |          c.vec_id) AS rank
+      |    FROM d q JOIN d c
+      |      ON q.vec_id < 5 AND q.vec_id <> c.vec_id AND q.label = c.label)
+      |  WHERE rank <= 10""".stripMargin
+
   private def a21OracleSql(pqBooks: Array[Array[Array[Long]]],
                            centsQ: Array[Array[Long]],
                            ipBooks: Array[Array[Array[Long]]]): String =
     s"""WITH d AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings),
        |ex AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |      row_number() OVER (PARTITION BY q.vec_id
-       |        ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
-       |          c.vec_id) AS rank
-       |    FROM d q JOIN d c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
-       |  WHERE rank <= 10),
+       |  $exactTop10OracleSql),
        |legs AS (
        |  SELECT 'ivf' AS method, query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id FROM (
-       |      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |        row_number() OVER (PARTITION BY q.vec_id
-       |          ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
-       |            c.vec_id) AS rank
-       |      FROM d q JOIN d c
-       |        ON q.vec_id < 5 AND q.vec_id <> c.vec_id AND q.label = c.label)
-       |    WHERE rank <= 10) ivfx
+       |    $ivfTop10OracleSql) ivfx
        |  UNION ALL
        |  SELECT 'pq' AS method, query_id, neighbor_id FROM (
        |${CurationQueries.a09OracleSql(pqBooks, subDim = 8)}

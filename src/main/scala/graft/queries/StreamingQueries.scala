@@ -326,9 +326,16 @@ object StreamingQueries {
     * contract; StreamingSpec covers the expiry behavior a single
     * replay cannot see. */
   def streamDedupWatermarked(spark: SparkSession, dir: String): DataFrame = {
+    // dedup on the SECOND-truncated ts: the parquet has shipped at both
+    // nanosecond and microsecond precision, and eventsStream truncates
+    // nanos to micros while the oracle's DuckDB view reads the file
+    // natively — a sub-microsecond ts difference would dedup here but
+    // survive DISTINCT there. Truncating the KEY to a precision both
+    // engines express identically removes the dependence entirely.
     val dd = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("ts"))
       .withWatermark("ts", "1 hour")
-      .select(col("user_id"), col("event_type"), col("ts"))
       .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
     awaitMemorySink(dd, "append")
       .select(col("user_id"), col("event_type"),
@@ -359,7 +366,8 @@ object StreamingQueries {
     "s14_stream_dedup_watermarked" ->
       """SELECT user_id, event_type,
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
-        |FROM (SELECT DISTINCT user_id, event_type, ts FROM events)
+        |FROM (SELECT DISTINCT user_id, event_type,
+        |  date_trunc('second', ts) AS ts FROM events)
         |ORDER BY user_id, event_type, ts_s""".stripMargin,
     // s13 == the batch q44 greedy chain: the anchor state carries the
     // same information whether events arrive in one batch or many
