@@ -182,7 +182,33 @@ object Relational10 {
       .orderBy(col("query_id"))
   }
 
+  /** q46: top event paths — the sequence-mining readout behind every
+    * "what do users do before X" question: each user's event stream in
+    * (ts, event_id) order yields its consecutive 3-step paths via two
+    * `lead` windows (scan-local once the per-user clustering exists —
+    * ONE shuffle, no self-joins), then a global count with the top 20
+    * paths. Tail positions with fewer than 2 successors drop (concat
+    * propagates the NULL lead). Hot-user posture: the window's
+    * per-user sort runs in Spark's spilling sort, so a million-event
+    * user is disk pressure, not an OOM; the path count aggregate
+    * map-side combines to |distinct paths| state. */
+  def q46EventPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("path", concat(col("event_type"), lit(">"),
+        lead(col("event_type"), 1).over(w), lit(">"),
+        lead(col("event_type"), 2).over(w)))
+      .filter(col("path").isNotNull)
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_event_paths"     -> q46EventPaths _,
     "a23_ranking_metrics" -> a23RankingMetrics _,
     "q45_attribution"     -> q45Attribution _,
     "a22_embedding_drift" -> a22EmbeddingDrift _,
@@ -191,6 +217,15 @@ object Relational10 {
     "p30_length_batches"  -> p30LengthBatches _)
 
   val oracles: Map[String, String] = Map(
+    "q46_event_paths" ->
+      """WITH p AS (
+        |  SELECT event_type || '>' ||
+        |    lead(event_type, 1) OVER w || '>' ||
+        |    lead(event_type, 2) OVER w AS path
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT path, count(*) AS n FROM p WHERE path IS NOT NULL
+        |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "a23_ranking_metrics" -> {
       val wRows = DcgW.zipWithIndex
         .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
