@@ -52,7 +52,8 @@ object PlanReport {
       "a20_mmr_diversify", "q44_event_throttle", "t37_eval_integrity",
       "a21_ann_recall",
       "q45_attribution", "a22_embedding_drift", "p29_curriculum",
-      "t36_pii_redact", "p30_length_batches", "a23_ranking_metrics")
+      "t36_pii_redact", "p30_length_batches", "a23_ranking_metrics",
+      "q46_event_paths")
     sb.append("\n## Physical plans (executed, AQE final)\n")
     planQueries.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
