@@ -106,20 +106,30 @@ object Drift {
     * snapshots only (a one-sided label has no displacement to report —
     * its appearance/disappearance is [[sourceDrift]]-style count drift,
     * visible in n_a/n_b of neighbors). */
-  def embeddingDrift(snapA: DataFrame, snapB: DataFrame, labelCol: String,
-                     vecCol: String): DataFrame = {
-    val scale = 1L << 20
-    def sums(df: DataFrame, tag: String): DataFrame = df
-      .filter(col(vecCol).isNotNull)
-      .select(col(labelCol).as("label"),
-        posexplode(expr(
-          s"transform($vecCol, x -> cast(round(cast(x as double) * $scale, 0) as bigint))"))
-          .as(Seq("d", "q")))
-      .groupBy(col("label"), col("d"))
-      .agg(sum(col("q")).cast(DecimalType(38, 0)).as(s"s_$tag"),
-        count(lit(1)).as(s"n_$tag"))
-    val a = sums(snapA, "a")
-    val b = sums(snapB, "b")
+  private[graft] val EmbScale = 1L << 20
+
+  /** The corpus-sized half of [[embeddingDrift]]: per-(label,
+    * component) quantized sums + vector counts, tagged `s_$tag`/
+    * `n_$tag`. Exposed separately so a STREAMING aggregation can
+    * produce the same monoid partials (the s06 HLL pattern: the
+    * stream carries mergeable state, the exact division happens once
+    * at read time). */
+  def componentSums(df: DataFrame, labelCol: String, vecCol: String,
+                    tag: String): DataFrame = df
+    .filter(col(vecCol).isNotNull)
+    .select(col(labelCol).as("label"),
+      posexplode(expr(
+        s"transform($vecCol, x -> cast(round(cast(x as double) * $EmbScale, 0) as bigint))"))
+        .as(Seq("d", "q")))
+    .groupBy(col("label"), col("d"))
+    .agg(sum(col("q")).cast(DecimalType(38, 0)).as(s"s_$tag"),
+      count(lit(1)).as(s"n_$tag"))
+
+  /** The label-bounded tail of [[embeddingDrift]]: exact L1 numerator
+    * + ppm floor division over two [[componentSums]] frames (columns
+    * (label, d, s_a, n_a) and (label, d, s_b, n_b)). */
+  def embeddingDriftFromSums(a: DataFrame, b: DataFrame): DataFrame = {
+    val scale = EmbScale
     // n is per (label, d) but constant across d within a label (every
     // vector carries every component) — max() collapses it exactly
     a.join(b, Seq("label", "d"))
@@ -136,4 +146,10 @@ object Drift {
         col("l1_shift_micro"))
       .orderBy(col("label"))
   }
+
+  def embeddingDrift(snapA: DataFrame, snapB: DataFrame, labelCol: String,
+                     vecCol: String): DataFrame =
+    embeddingDriftFromSums(
+      componentSums(snapA, labelCol, vecCol, "a"),
+      componentSums(snapB, labelCol, vecCol, "b"))
 }

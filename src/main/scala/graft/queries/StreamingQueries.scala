@@ -343,7 +343,41 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("event_type"), col("ts_s"))
   }
 
+  /** s15: embedding drift as a STREAMING monitor — a22's per-label L1
+    * centroid displacement with the corpus-sized half running as a
+    * streaming aggregation (the s06 HLL pattern: the stream maintains
+    * MERGEABLE monoid partials — per-(snapshot, label, component)
+    * quantized sums and counts, |snap|·|labels|·d cells of state
+    * regardless of stream length — and the exact division happens once
+    * at read time via [[graft.operators.Drift.embeddingDriftFromSums]]).
+    * Complete mode: the drift monitor re-emits the current partials
+    * every trigger, which is exactly what a monitoring dashboard
+    * consumes. Oracle: a22's SQL verbatim (single-replay equality). */
+  def streamEmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val scale = graft.operators.Drift.EmbScale
+    val parts = tableStream(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select((col("vec_id") % 2).as("snap"), col("label"),
+        posexplode(expr(
+          s"transform(embedding, x -> cast(round(cast(x as double) * $scale, 0) as bigint))"))
+          .as(Seq("d", "q")))
+      .groupBy(col("snap"), col("label"), col("d"))
+      .agg(sum(col("q")).cast(DecimalType(38, 0)).as("s"),
+        count(lit(1)).as("n"))
+    // localCheckpoint: the a/b legs self-join this table, and the
+    // memory-sink View's attributes fail Spark's conflicting-reference
+    // dedup; snapshotting the (bounded: |snap|·|labels|·d cells) sink
+    // gives the join two independent plans
+    val sink = awaitMemorySink(parts, "complete").localCheckpoint()
+    graft.operators.Drift.embeddingDriftFromSums(
+      sink.filter(col("snap") === 0).select(col("label"), col("d"),
+        col("s").as("s_a"), col("n").as("n_a")),
+      sink.filter(col("snap") === 1).select(col("label"), col("d"),
+        col("s").as("s_b"), col("n").as("n_b")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_stream_embedding_drift" -> streamEmbeddingDrift _,
     "s14_stream_dedup_watermarked" -> streamDedupWatermarked _,
     "s13_stream_throttle" -> streamThrottle _,
     "s12_stream_urldedup" -> streamUrlDedup _,
@@ -360,6 +394,10 @@ object StreamingQueries {
     "s10_stream_session_window" -> streamSessionWindow _)
 
   def oracles: Map[String, String] = Map(
+    // s15 == the batch a22 drift: the streaming aggregation maintains
+    // the same monoid partials one batch pass computes
+    "s15_stream_embedding_drift" ->
+      Relational10.oracles("a22_embedding_drift"),
     // s14 == batch DISTINCT: one bounded replay advances the watermark
     // only between batches, so no dedup state expires before its
     // duplicates arrive (ts formatted AFTER the distinct, both engines)
