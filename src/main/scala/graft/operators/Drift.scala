@@ -83,6 +83,14 @@ object Drift {
       .orderBy(col("source"))
   }
 
+  private[graft] val EmbScale = 1L << 20
+
+  /** The ×2²⁰ quantization every drift consumer must share — ONE
+    * definition so the streaming monitor (s15) cannot silently diverge
+    * from the batch operator it claims oracle-equality with. */
+  private[graft] def quantize(vecCol: String): Column =
+    expr(s"transform($vecCol, x -> cast(round(cast(x as double) * $EmbScale, 0) as bigint))")
+
   /** Embedding-space drift between two corpus snapshots — the
     * monitoring twin of [[sourceDrift]] for the vector side of the
     * pipeline: when an embedding model is redeployed or a source's
@@ -106,7 +114,11 @@ object Drift {
     * snapshots only (a one-sided label has no displacement to report —
     * its appearance/disappearance is [[sourceDrift]]-style count drift,
     * visible in n_a/n_b of neighbors). */
-  private[graft] val EmbScale = 1L << 20
+  def embeddingDrift(snapA: DataFrame, snapB: DataFrame, labelCol: String,
+                     vecCol: String): DataFrame =
+    embeddingDriftFromSums(
+      componentSums(snapA, labelCol, vecCol, "a"),
+      componentSums(snapB, labelCol, vecCol, "b"))
 
   /** The corpus-sized half of [[embeddingDrift]]: per-(label,
     * component) quantized sums + vector counts, tagged `s_$tag`/
@@ -118,9 +130,7 @@ object Drift {
                     tag: String): DataFrame = df
     .filter(col(vecCol).isNotNull)
     .select(col(labelCol).as("label"),
-      posexplode(expr(
-        s"transform($vecCol, x -> cast(round(cast(x as double) * $EmbScale, 0) as bigint))"))
-        .as(Seq("d", "q")))
+      posexplode(quantize(vecCol)).as(Seq("d", "q")))
     .groupBy(col("label"), col("d"))
     .agg(sum(col("q")).cast(DecimalType(38, 0)).as(s"s_$tag"),
       count(lit(1)).as(s"n_$tag"))
@@ -146,10 +156,4 @@ object Drift {
         col("l1_shift_micro"))
       .orderBy(col("label"))
   }
-
-  def embeddingDrift(snapA: DataFrame, snapB: DataFrame, labelCol: String,
-                     vecCol: String): DataFrame =
-    embeddingDriftFromSums(
-      componentSums(snapA, labelCol, vecCol, "a"),
-      componentSums(snapB, labelCol, vecCol, "b"))
 }

@@ -354,12 +354,10 @@ object StreamingQueries {
     * every trigger, which is exactly what a monitoring dashboard
     * consumes. Oracle: a22's SQL verbatim (single-replay equality). */
   def streamEmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
-    val scale = graft.operators.Drift.EmbScale
     val parts = tableStream(spark, dir, "embeddings")
       .filter(col("embedding").isNotNull)
       .select((col("vec_id") % 2).as("snap"), col("label"),
-        posexplode(expr(
-          s"transform(embedding, x -> cast(round(cast(x as double) * $scale, 0) as bigint))"))
+        posexplode(graft.operators.Drift.quantize("embedding"))
           .as(Seq("d", "q")))
       .groupBy(col("snap"), col("label"), col("d"))
       .agg(sum(col("q")).cast(DecimalType(38, 0)).as("s"),

@@ -213,6 +213,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.count(_ == (2L, "click")) === 1)
   }
 
+  test("streaming drift partials merge across micro-batches; final drift equals batch") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val drop = tmp("ddrift_drop"); val ckpt = tmp("ddrift_ckpt")
+    def writeBatch(name: String, rows: Seq[(Long, Int, Seq[Float])]): Unit =
+      rows.toDF("vec_id", "label", "embedding")
+        .coalesce(1).write.parquet(s"$drop/$name")
+    def runOnce(qn: String): org.apache.spark.sql.DataFrame = {
+      val src = spark.readStream
+        .schema("vec_id LONG, label INT, embedding ARRAY<FLOAT>")
+        .option("recursiveFileLookup", "true").parquet(drop)
+      val parts = src.filter(col("embedding").isNotNull)
+        .select((col("vec_id") % 2).as("snap"), col("label"),
+          posexplode(graft.operators.Drift.quantize("embedding"))
+            .as(Seq("d", "q")))
+        .groupBy(col("snap"), col("label"), col("d"))
+        .agg(sum(col("q")).cast(DecimalType(38, 0)).as("s"),
+          count(lit(1)).as("n"))
+      val q = parts.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+      spark.table(qn)
+    }
+    // batch 1: label 1 gets one even-snap and one odd-snap vector
+    writeBatch("b1", Seq((0L, 1, Seq(1.0f, 0.0f)), (1L, 1, Seq(4.0f, 0.0f))))
+    val t1 = runOnce("drift_run1").localCheckpoint()
+    assert(t1.filter(col("snap") === 0 && col("d") === 0)
+      .select(col("n")).collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // batch 2 resumes the SAME checkpoint: the (snap, label, d) partials
+    // must MERGE batch 2's vectors into batch 1's state, not restart
+    writeBatch("b2", Seq((2L, 1, Seq(3.0f, 0.0f)),
+      (4L, 2, Seq(5.0f, 5.0f)), (5L, 2, Seq(5.0f, 5.0f))))
+    val t2 = runOnce("drift_run2").localCheckpoint()
+    assert(t2.filter(col("snap") === 0 && col("label") === 1 && col("d") === 0)
+      .select(col("n")).collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // final drift from the streamed partials equals the batch operator
+    // over all data (the mergeable-monoid contract)
+    val streamed = graft.operators.Drift.embeddingDriftFromSums(
+        t2.filter(col("snap") === 0).select(col("label"), col("d"),
+          col("s").as("s_a"), col("n").as("n_a")),
+        t2.filter(col("snap") === 1).select(col("label"), col("d"),
+          col("s").as("s_b"), col("n").as("n_b")))
+      .collect().map(_.toSeq).toSeq
+    val all = Seq((0L, 1, Seq(1.0f, 0.0f)), (1L, 1, Seq(4.0f, 0.0f)),
+      (2L, 1, Seq(3.0f, 0.0f)), (4L, 2, Seq(5.0f, 5.0f)),
+      (5L, 2, Seq(5.0f, 5.0f))).toDF("vec_id", "label", "embedding")
+    val batch = graft.operators.Drift.embeddingDrift(
+        all.filter(col("vec_id") % 2 === 0), all.filter(col("vec_id") % 2 === 1),
+        "label", "embedding")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    // and the hand value: label 1 centroids (2,0) vs (4,0) → 2.0 L1
+    assert(batch.exists(r => r.head == 1 && r.last == 2000000L))
+  }
+
   test("streaming curation drops benchmark quotes and low-quality docs at ingest") {
     import spark.implicits._
     val drop = tmp("drop3"); val ckpt = tmp("ckpt_cur"); val out = tmp("curate_out")
