@@ -47,8 +47,18 @@ object PageRank {
     // |V|-bounded.
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
+      // persisted for the SETUP phase only (outdeg + eod both scan it;
+      // unpersisted, the caller's edge pipeline would run twice); the
+      // iterations touch eod, not e — this entry is LRU fodder after
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // fold the STATIC outdegree onto the edge list once: od never
+    // changes across iterations, so joining it per superstep (the
+    // previous form) paid k broadcast joins for a constant column —
+    // the persisted (src, dst, od) list is the only per-iteration
+    // probe side now
+    val eod = e.join(outdeg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-node seed and teleport base as a broadcast scalar: no driver
     // action, no spliced literal
@@ -57,8 +67,7 @@ object PageRank {
     var p = outdeg.crossJoin(seed)
       .select(col("src").as("id"), col("pe").as("p"), col("pe"))
     (1 to iterations).foreach { _ =>
-      p = e.join(p, e("src") === p("id"))
-        .join(outdeg, "src")
+      p = eod.join(p, eod("src") === p("id"))
         .select(col("dst"), expr("p div od").as("c"), col("pe"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"), max(col("pe")).as("pe"))
