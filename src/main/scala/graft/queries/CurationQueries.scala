@@ -282,8 +282,7 @@ object CurationQueries {
     * refined recall vs exact brute force. */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val model = graft.operators.ProductQuantizer.fit(
-      e, "vec_id", "embedding", m = 8, k = 16, iterations = 2)
+    val model = ModelCache.pqModel(spark, dir)
     val (df, booksQ) = graft.operators.ProductQuantizer.adcTopKRefinedExact(
       e.filter(col("vec_id") < 5), e, model, "vec_id", "embedding",
       shortlist = 100, topK = 10)

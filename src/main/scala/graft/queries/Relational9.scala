@@ -451,8 +451,7 @@ object Relational9 {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ivf = graft.operators.Similarity
       .ivfTopK(q, e, "vec_id", "embedding", "label", k = 10)
-    val pqModel = graft.operators.ProductQuantizer.fit(
-      ev, "vec_id", "embedding", m = 8, k = 16, iterations = 2)
+    val pqModel = ModelCache.pqModel(spark, dir)
     val (pq, pqBooks) = graft.operators.ProductQuantizer.adcTopKRefinedExact(
       qv, ev, pqModel, "vec_id", "embedding", shortlist = 100, topK = 10)
     val (ivfpq, centsQ, ipBooks) =
