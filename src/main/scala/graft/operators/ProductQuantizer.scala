@@ -452,14 +452,31 @@ object ProductQuantizer {
                              scale: Long = 1L << 20,
                              persistResid: Boolean = true)
       : (DataFrame, Array[Array[Long]], Array[Array[Array[Long]]]) = {
-    require(nprobe >= 1 && nprobe <= coarseK, "need 1 <= nprobe <= coarseK")
-    require(shortlist >= topK, "shortlist must be at least topK")
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val (_, cents) = KMeans.fit(corpus, idCol, vecCol, coarseK, iterations)
-    val centsQ = cents.map(_.map(x => math.round(x * scale.toDouble)))
+    val model =
+      fitIvfPqExact(corpus, idCol, vecCol, coarseK, m, k, iterations, scale)
+    val df = searchIvfPqExact(queries, corpus, idCol, vecCol, model,
+      nprobe, shortlist, topK, persistResid)
+    (df, model.centsQ, model.booksQ)
+  }
+
+  /** A trained IVF-PQ index model in the `scale`-quantized integer
+    * space: coarse centroids + residual codebooks. [[fitIvfPqExact]] is
+    * deterministic in (corpus, params), so a model is memoizable and
+    * shareable across queries evaluating the same parameters (see
+    * `graft.queries.ModelCache`) — in production the index is trained
+    * once and served many times, never retrained per query. */
+  final case class IvfPqModel(centsQ: Array[Array[Long]],
+                              booksQ: Array[Array[Array[Long]]],
+                              subDim: Int, m: Int, k: Int, scale: Long)
+
+  /** Corpus residuals vs their quantized coarse centroid — exact
+    * integer subtraction in the scaled space (no second rounding).
+    * Output: (id, cluster, rvq: array<bigint>). */
+  private def residualFrame(corpus: DataFrame, idCol: String,
+                            vecCol: String, centsQ: Array[Array[Long]],
+                            scale: Long): DataFrame = {
     val assigned = KMeans.assignExact(corpus, idCol, vecCol, centsQ, scale)
-    val bcCents = spark.sparkContext.broadcast(centsQ)
+    val bcCents = corpus.sparkSession.sparkContext.broadcast(centsQ)
     val residUdf = udf { (vq: Seq[Long], cl: java.lang.Integer) =>
       if (vq == null || cl == null) null
       else {
@@ -467,17 +484,55 @@ object ProductQuantizer {
         Array.tabulate(vq.length)(i => vq(i) - (if (i < c.length) c(i) else 0L))
       }
     }
-    // same persist rationale (and accumulation caveat) as
-    // ivfAdcTopKRefined: the residual stream feeds trainer + encode +
-    // cluster join-back
-    val residRaw = assigned.select(col(idCol).as("id"), col("cluster"),
+    assigned.select(col(idCol).as("id"), col("cluster"),
       residUdf(quantizedCol(vecCol, scale), col("cluster")).as("rvq"))
+  }
+
+  /** Train the IVF-PQ model only: coarse k-means, then residual PQ in
+    * the quantized space. The residual frame is persisted for the
+    * trainer's scans and released before returning — the encoded corpus
+    * is [[searchIvfPqExact]]'s job (per-search cost), the model is the
+    * once-per-parameter-set artifact. */
+  def fitIvfPqExact(corpus: DataFrame, idCol: String, vecCol: String,
+                    coarseK: Int, m: Int, k: Int, iterations: Int,
+                    scale: Long = 1L << 20): IvfPqModel = {
+    val (_, cents) = KMeans.fit(corpus, idCol, vecCol, coarseK, iterations)
+    val centsQ = cents.map(_.map(x => math.round(x * scale.toDouble)))
+    val resid = residualFrame(corpus, idCol, vecCol, centsQ, scale)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = fit(resid, "id", "rvq", m, k, iterations)
+    resid.unpersist(false)
+    val booksQ = model.codebooks.map(_.map(_.map(x => math.round(x))))
+    IvfPqModel(centsQ, booksQ, model.subDim, m, k, scale)
+  }
+
+  /** IVF-PQ search against a pre-trained [[IvfPqModel]]: encode the
+    * corpus residuals (the per-search index-build cost), probe each
+    * query's `nprobe` nearest lists with integer ADC tables, exact
+    * cosine refine of the shortlist. Bit-identical to the combined
+    * [[ivfAdcTopKRefinedExact]] for a model trained on `corpus` with
+    * the same params. */
+  def searchIvfPqExact(queries: DataFrame, corpus: DataFrame,
+                       idCol: String, vecCol: String, model: IvfPqModel,
+                       nprobe: Int, shortlist: Int, topK: Int,
+                       persistResid: Boolean = true): DataFrame = {
+    val centsQ = model.centsQ
+    val booksQ = model.booksQ
+    val m = model.m
+    val k = model.k
+    val scale = model.scale
+    require(nprobe >= 1 && nprobe <= centsQ.length, "need 1 <= nprobe <= coarseK")
+    require(shortlist >= topK, "shortlist must be at least topK")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // same persist rationale (and accumulation caveat) as
+    // ivfAdcTopKRefined: the residual stream feeds encode +
+    // cluster join-back
+    val residRaw = residualFrame(corpus, idCol, vecCol, centsQ, scale)
     val resid =
       if (persistResid)
         residRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else residRaw
-    val model = fit(resid, "id", "rvq", m, k, iterations)
-    val booksQ = model.codebooks.map(_.map(_.map(x => math.round(x))))
     val codes = encodeExact(resid, "id", "rvq", booksQ, scale = 1L)
       .join(resid.select(col("id"), col("cluster")), "id")
     val qRows = queries
@@ -541,10 +596,9 @@ object ProductQuantizer {
       .withColumn("score", round(Similarity.cosine(col("qv"), col("cv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
-    (refined
+    refined
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
-      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank")),
-     centsQ, booksQ)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 }

@@ -347,15 +347,16 @@ object CurationQueries {
     * probed-list) ADC tables, the 100-candidate shortlist, and the
     * refine bit-for-bit. IvfPqSpec additionally pins full-probe
     * equivalence with brute force and recall.
-    * See [[graft.operators.ProductQuantizer.ivfAdcTopKRefinedExact]]. */
+    * See [[graft.operators.ProductQuantizer.searchIvfPqExact]]. The
+    * model comes from [[ModelCache.ivfPqModel]] — a21 evaluates the
+    * same parameters, so the Lloyd's runs train once per JVM. */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val (df, centsQ, booksQ) =
-      graft.operators.ProductQuantizer.ivfAdcTopKRefinedExact(
-        e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
-        coarseK = 16, nprobe = 4, m = 8, k = 16, iterations = 2,
-        shortlist = 100, topK = 10)
-    a15Oracle = Some(a15OracleSql(centsQ, booksQ, subDim = 8))
+    val model = ModelCache.ivfPqModel(spark, dir)
+    val df = graft.operators.ProductQuantizer.searchIvfPqExact(
+      e.filter(col("vec_id") < 5), e, "vec_id", "embedding", model,
+      nprobe = 4, shortlist = 100, topK = 10)
+    a15Oracle = Some(a15OracleSql(model.centsQ, model.booksQ, subDim = 8))
     df.orderBy(col("query_id"), col("rank"))
   }
 

@@ -21,6 +21,9 @@ object ModelCache {
   private val pqMemo =
     new java.util.concurrent.ConcurrentHashMap[String, ProductQuantizer.Model]()
 
+  private val ivfPqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, ProductQuantizer.IvfPqModel]()
+
   /** The a09/a21 PQ codebook (m=8, k=16, 2 iterations) for `dir`'s
     * embeddings table, trained once per JVM. */
   def pqModel(spark: SparkSession, dir: String): ProductQuantizer.Model =
@@ -28,4 +31,15 @@ object ModelCache {
       ProductQuantizer.fit(
         embeddings(spark, dir).select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", m = 8, k = 16, iterations = 2))
+
+  /** The a15/a21 IVF-PQ model (coarseK=16, m=8, k=16, 2 iterations)
+    * for `dir`'s embeddings table, trained once per JVM — a21
+    * evaluates exactly a15's parameters, so both share one training
+    * run. Corpus ENCODING stays inside each search (per-query cost);
+    * only the trained centroids + codebooks are the shared artifact. */
+  def ivfPqModel(spark: SparkSession, dir: String): ProductQuantizer.IvfPqModel =
+    ivfPqMemo.computeIfAbsent(s"$dir|ivfpq-16-8-16-2", _ =>
+      ProductQuantizer.fitIvfPqExact(
+        embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", coarseK = 16, m = 8, k = 16, iterations = 2))
 }

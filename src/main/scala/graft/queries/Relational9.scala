@@ -454,12 +454,11 @@ object Relational9 {
     val pqModel = ModelCache.pqModel(spark, dir)
     val (pq, pqBooks) = graft.operators.ProductQuantizer.adcTopKRefinedExact(
       qv, ev, pqModel, "vec_id", "embedding", shortlist = 100, topK = 10)
-    val (ivfpq, centsQ, ipBooks) =
-      graft.operators.ProductQuantizer.ivfAdcTopKRefinedExact(
-        qv, ev, "vec_id", "embedding",
-        coarseK = 16, nprobe = 4, m = 8, k = 16, iterations = 2,
-        shortlist = 100, topK = 10)
-    a21Oracle = Some(a21OracleSql(pqBooks, centsQ, ipBooks))
+    val ipModel = ModelCache.ivfPqModel(spark, dir)
+    val ivfpq = graft.operators.ProductQuantizer.searchIvfPqExact(
+      qv, ev, "vec_id", "embedding", ipModel,
+      nprobe = 4, shortlist = 100, topK = 10)
+    a21Oracle = Some(a21OracleSql(pqBooks, ipModel.centsQ, ipModel.booksQ))
     val legs = Seq("ivf" -> ivf, "pq" -> pq, "ivfpq" -> ivfpq)
       .map { case (m, df) =>
         df.select(col("query_id"), col("neighbor_id"))
