@@ -41,6 +41,29 @@ object StreamingQueries {
     spark.table(name)
   }
 
+  /** [[awaitMemorySink]] variant that lets the AvailableNow run
+    * terminate ON ITS OWN instead of stopping after
+    * `processAllAvailable`: the natural termination path runs the
+    * watermark-advance no-data batch, which is when outer-join state
+    * drains its null rows. (awaitMemorySink can't do this generally —
+    * a ProcessingTimeTimeout query never self-terminates — but a
+    * stream-stream join has no processing-time timers.) */
+  private def awaitMemorySinkDrained(df: DataFrame, outputMode: String): DataFrame = {
+    val spark = df.sparkSession
+    val name = "s_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val ck = java.nio.file.Files.createTempDirectory("graft_stream_ck")
+    ck.toFile.deleteOnExit()
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .option("checkpointLocation", ck.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** A single-table file-source stream: the source requires a
     * DIRECTORY, so stream the sf dir with a glob pinned to the one
     * table file (schema from a one-off batch read). */
@@ -135,6 +158,57 @@ object StreamingQueries {
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
         date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"))
       .orderBy(col("user_id"), col("purchase_id"), col("view_id"))
+  }
+
+  /** s16: stream-stream LEFT OUTER interval join
+    * ([[graft.streaming.StreamingIngest.purchaseViewLeftJoin]]) —
+    * every purchase emits, matched views attached, null view columns
+    * for purchases no view preceded within the hour. Outer-join null
+    * emission is watermark-driven, and a bounded replay's watermark
+    * stops short of the stream tail, so the query unions a far-future
+    * PUNCTUATION row into each leg (the heartbeat pattern production
+    * streams use to drain event-time state) and filters it from the
+    * output: the final watermark then passes every real purchase's
+    * match deadline, the join state drains in the terminal no-data
+    * micro-batch, and the result deterministically equals the batch
+    * LEFT JOIN the oracle computes. */
+  def streamPurchaseViewsOuter(spark: SparkSession, dir: String): DataFrame = {
+    // one bounded aggregate read to place the punctuation past every
+    // real event (+ watermark delay + join window headroom)
+    val maxTs = graft.Tables.events(spark, dir)
+      .agg(max(col("ts"))).head.getTimestamp(0)
+    val sentinelTs = java.sql.Timestamp.from(
+      maxTs.toInstant.plusSeconds(4 * 3600))
+    val sDir = java.nio.file.Files.createTempDirectory("graft_s16_punct")
+    sDir.toFile.deleteOnExit()
+    val spark2 = spark
+    import spark2.implicits._
+    // one punctuation row per leg; negative user ids match no real row
+    // (and, being distinct, not each other)
+    Seq((-1L, sentinelTs, -1L, "purchase"), (-1L, sentinelTs, -2L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .coalesce(1).write.mode("overwrite").parquet(sDir.toString)
+    val punct = spark.readStream
+      .schema(spark.read.parquet(sDir.toString).schema)
+      .parquet(sDir.toString)
+    def leg(tpe: String): DataFrame =
+      eventsStream(spark, dir).filter(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .unionByName(punct.filter(col("event_type") === tpe)
+          .select(col("user_id"), col("event_id"), col("ts")))
+    val purchases = leg("purchase")
+    val views = leg("view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val joined = graft.streaming.StreamingIngest
+      .purchaseViewLeftJoin(purchases, views)
+    awaitMemorySinkDrained(joined, "append")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"))
+      .orderBy(col("user_id"), col("purchase_id"),
+        col("view_id").asc_nulls_first)
   }
 
   /** s05: the FLAGSHIP embed pipeline as a STREAM — the same
@@ -375,6 +449,7 @@ object StreamingQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_stream_outer_interval_join" -> streamPurchaseViewsOuter _,
     "s15_stream_embedding_drift" -> streamEmbeddingDrift _,
     "s14_stream_dedup_watermarked" -> streamDedupWatermarked _,
     "s13_stream_throttle" -> streamThrottle _,
@@ -392,6 +467,21 @@ object StreamingQueries {
     "s10_stream_session_window" -> streamSessionWindow _)
 
   def oracles: Map[String, String] = Map(
+    // s16 == the batch LEFT OUTER interval join: the punctuation rows
+    // advance the final watermark past every real purchase's match
+    // deadline, so the outer state drains completely and the stream
+    // equals the batch join (NULLS FIRST pins the one ordering choice
+    // the engines default differently)
+    "s16_stream_outer_interval_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+        |strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+        |FROM events p LEFT JOIN events v
+        |ON p.user_id = v.user_id
+        |AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        |AND v.event_type = 'view'
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.user_id, purchase_id, view_id NULLS FIRST""".stripMargin,
     // s15 == the batch a22 drift: the streaming aggregation maintains
     // the same monoid partials one batch pass computes
     "s15_stream_embedding_drift" ->

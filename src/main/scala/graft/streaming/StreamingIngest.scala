@@ -182,6 +182,30 @@ object StreamingIngest {
         col("v.view_id"), col("p.ts"), col("v.view_ts"))
   }
 
+  /** [[purchaseViewJoin]] with LEFT OUTER semantics: every purchase
+    * emits, matched views attached, null view columns otherwise. The
+    * null-side emission is WATERMARK-DRIVEN — an unmatched purchase's
+    * row leaves the join state only once both sides' watermark passes
+    * the last instant a matching view could still arrive (`p.ts`, the
+    * interval's upper bound). In a bounded replay the watermark stops
+    * `watermark` short of the max event time, so the stream tail's
+    * unmatched purchases would be withheld forever; the caller must
+    * advance the watermark past every real event with a
+    * punctuation/heartbeat row on EACH side (standard practice for
+    * draining outer-join state in bounded replays — see s16) to read
+    * the complete, batch-equal result. */
+  def purchaseViewLeftJoin(purchases: DataFrame, views: DataFrame,
+                           watermark: String = "2 hours",
+                           windowExpr: String = "INTERVAL 1 HOUR"): DataFrame = {
+    val p = purchases.withWatermark("ts", watermark).alias("p")
+    val v = views.withWatermark("view_ts", watermark).alias("v")
+    p.join(v, expr(
+      s"p.user_id = v.user_id AND v.view_ts BETWEEN p.ts - $windowExpr AND p.ts"),
+      "left_outer")
+      .select(col("p.user_id").as("user_id"), col("p.event_id").as("purchase_id"),
+        col("v.view_id"), col("p.ts"), col("v.view_ts"))
+  }
+
   /** Streaming exact dedup: drop re-ingested duplicate documents by
     * content hash across micro-batches. With a watermark column the
     * state is bounded ([[Dataset.dropDuplicatesWithinWatermark]]);

@@ -471,4 +471,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(1L).session_id == 4000L && out(1L).n_events == 1L)
     assert(out(2L).session_id == 100L && out(2L).n_events == 2L)
   }
+
+  test("left-outer interval join: matches emit immediately, null rows only " +
+      "after BOTH legs' watermark passes the match deadline") {
+    val spark2 = spark
+    import spark2.implicits._
+    val pDrop = tmp("loj_p"); val vDrop = tmp("loj_v"); val ckpt = tmp("loj_ckpt")
+    val out = tmp("loj_out")
+    def writeP(name: String, rows: Seq[(Long, Long, Long)]): Unit =
+      rows.toDF("user_id", "event_id", "tss")
+        .select(col("user_id"), col("event_id"),
+          timestamp_seconds(col("tss")).as("ts"))
+        .coalesce(1).write.parquet(s"$pDrop/$name")
+    def writeV(name: String, rows: Seq[(Long, Long, Long)]): Unit =
+      rows.toDF("user_id", "view_id", "tss")
+        .select(col("user_id"), col("view_id"),
+          timestamp_seconds(col("tss")).as("view_ts"))
+        .coalesce(1).write.parquet(s"$vDrop/$name")
+    def runOnce(): Unit = {
+      val p = spark.readStream
+        .schema("user_id LONG, event_id LONG, ts TIMESTAMP")
+        .option("recursiveFileLookup", "true").parquet(pDrop)
+      val v = spark.readStream
+        .schema("user_id LONG, view_id LONG, view_ts TIMESTAMP")
+        .option("recursiveFileLookup", "true").parquet(vDrop)
+      val q = StreamingIngest.purchaseViewLeftJoin(p, v)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").parquet(out); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: u1 purchase@36000 has a view@34200 (within the hour);
+    // u2 purchase@36000 has none. Watermark after: 36000 - 2h = 28800,
+    // short of u2's deadline (36000) — the null row must NOT emit yet.
+    writeP("b1", Seq((1L, 101L, 36000L), (2L, 201L, 36000L)))
+    writeV("b1", Seq((1L, 11L, 34200L)))
+    runOnce()
+    val r1 = spark.read.parquet(out)
+    assert(r1.count() === 1, "only the matched pair emits before the deadline passes")
+    assert(r1.head().getAs[Long]("user_id") === 1L)
+    // batch 2 (after restart): punctuation on BOTH legs at 50400 moves
+    // each leg's watermark to 43200 > 36000 — the join watermark is the
+    // MIN of the legs, so advancing only one leg would hold the row.
+    // u2's null row must drain in this run's terminal no-data batch.
+    writeP("b2", Seq((98L, 900L, 50400L)))
+    writeV("b2", Seq((99L, 901L, 50400L)))
+    runOnce()
+    val r2 = spark.read.parquet(out).filter(col("user_id") === 2L).collect()
+    assert(r2.length === 1, "the unmatched purchase must emit exactly one null row")
+    assert(r2.head.isNullAt(r2.head.fieldIndex("view_id")),
+      "the drained row carries null view columns")
+  }
 }
