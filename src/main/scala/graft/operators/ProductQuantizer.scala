@@ -601,4 +601,108 @@ object ProductQuantizer {
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
+
+  /** [[searchIvfPqExact]] for SEVERAL nprobe values in one pass — the
+    * recall-vs-cost dial readout an IVF index needs before its nprobe
+    * ships. The corpus is encoded ONCE and the per-(query, probed-list)
+    * ADC tables are built for max(nprobes); each sweep leg then
+    * restricts to its n nearest lists (the nearest-n lists are a prefix
+    * of the nearest-max ordering, so no re-probe is ever needed).
+    * Output adds a `nprobe` column; each leg is bit-identical to
+    * [[searchIvfPqExact]] at that nprobe. */
+  def searchIvfPqSweepExact(queries: DataFrame, corpus: DataFrame,
+                            idCol: String, vecCol: String, model: IvfPqModel,
+                            nprobes: Seq[Int], shortlist: Int, topK: Int)
+      : DataFrame = {
+    val centsQ = model.centsQ
+    val booksQ = model.booksQ
+    val m = model.m
+    val k = model.k
+    val scale = model.scale
+    require(nprobes.nonEmpty &&
+      nprobes.forall(n => n >= 1 && n <= centsQ.length),
+      "need 1 <= every nprobe <= coarseK")
+    require(shortlist >= topK, "shortlist must be at least topK")
+    val maxProbe = nprobes.max
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val resid = residualFrame(corpus, idCol, vecCol, centsQ, scale)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the encoded index is scanned once per sweep leg — persist it, not
+    // just the residuals (lifetime: LRU / caller clearCache, like every
+    // trained-index intermediate here)
+    val codes = encodeExact(resid, "id", "rvq", booksQ, scale = 1L)
+      .join(resid.select(col("id"), col("cluster")), "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qRows = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        quantizedCol(vecCol, scale).as("vq"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val qTables = qRows.flatMap { case (qid, vq) =>
+      val byDist = centsQ.indices.map { li =>
+        val c = centsQ(li)
+        var d = 0L
+        var j = 0
+        val dim = math.min(c.length, vq.length)
+        while (j < dim) { val x = vq(j) - c(j); d += x * x; j += 1 }
+        (d, li)
+      }.sorted.take(maxProbe)
+      byDist.zipWithIndex.map { case ((_, li), pr) =>
+        val c = centsQ(li)
+        val qr = Array.tabulate(vq.length)(i =>
+          vq(i) - (if (i < c.length) c(i) else 0L))
+        val t = new Array[Long](m * k)
+        var s = 0
+        while (s < m) {
+          var cc = 0
+          while (cc < k) {
+            val cb = booksQ(s)(cc)
+            var d = 0L
+            var j = 0
+            while (j < cb.length) { val x = qr(s * model.subDim + j) - cb(j); d += x * x; j += 1 }
+            t(s * k + cc) = d
+            cc += 1
+          }
+          s += 1
+        }
+        (qid, li, pr + 1, t)
+      }
+    }.toSeq
+    val qDf = qTables.toDF("query_id", "cluster", "np_rank", "table")
+    val scored = codes
+      .join(broadcast(qDf), Seq("cluster"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("adc_dist",
+        (0 until m)
+          .map(s => element_at(col("table"),
+            lit(s * k) + element_at(col("codes"), s + 1) + 1))
+          .reduce(_ + _))
+      .select(col("query_id"), col("np_rank"),
+        col("id").as("neighbor_id"), col("adc_dist"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id"))
+    val candidates = nprobes.map { n =>
+      graft.plans.TopKPerKey.prune(
+          scored.filter(col("np_rank") <= n)
+            .withColumn("neg_dist", -col("adc_dist")),
+          "query_id", "neg_dist", "neighbor_id", shortlist)
+        .withColumn("rn", row_number().over(ws))
+        .filter(col("rn") <= shortlist)
+        .select(lit(n).as("nprobe"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(vecCol).as("cv"))
+    val refined = candidates
+      .join(c, "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("score", round(Similarity.cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    refined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"),
+        col("score"), col("rank"))
+  }
 }

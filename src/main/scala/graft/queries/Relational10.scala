@@ -182,6 +182,153 @@ object Relational10 {
       .orderBy(col("query_id"))
   }
 
+  /** a24: nprobe sensitivity sweep — recall@10 of the IVF-PQ path at
+    * nprobe ∈ {1, 2, 4} against exact brute force, per (query, nprobe).
+    * This is the OTHER half of a21's readout: a21 grades the shipped
+    * parameters, this grades the dial itself — the recall-vs-cost curve
+    * an index owner reads before picking nprobe. The index model comes
+    * from [[ModelCache.ivfPqModel]] (trained once per JVM, shared with
+    * a15/a21) and the corpus is encoded ONCE for all sweep legs
+    * ([[graft.operators.ProductQuantizer.searchIvfPqSweepExact]]); the
+    * whole sweep is engine-exact, so the recall table hash-checks
+    * against a DuckDB replay whose probe legs share one corpus-encode
+    * CTE the same way. */
+  def a24NprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 5)
+    val exact = graft.operators.Similarity
+      .bruteForceTopKExec(q, e, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"))
+      // 50 bounded rows, two consumers (overlap join, query list)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = ModelCache.ivfPqModel(spark, dir)
+    val sweep = graft.operators.ProductQuantizer.searchIvfPqSweepExact(
+      q, e, "vec_id", "embedding", model,
+      nprobes = Nprobes, shortlist = 100, topK = 10)
+    a24Oracle = Some(a24OracleSql(model.centsQ, model.booksQ, subDim = 8))
+    val overlap = exact
+      .join(sweep.select(col("nprobe"), col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id"), col("nprobe"))
+      .agg(count(lit(1)).as("n_overlap"))
+    val nps = Nprobes.toDF("nprobe")
+    exact.select(col("query_id")).distinct()
+      .crossJoin(broadcast(nps))
+      .join(overlap, Seq("query_id", "nprobe"), "left_outer")
+      .select(col("query_id"), col("nprobe"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") / 10.0, 6)
+          .as("recall"))
+      .orderBy(col("query_id"), col("nprobe"))
+  }
+
+  private val Nprobes = Seq(1, 2, 4)
+
+  /** a24's oracle carries the trained-then-quantized model literals —
+    * same last-writer-wins lifecycle as [[Relational9]]'s a21. */
+  @volatile private var a24Oracle: Option[String] = None
+
+  /** One corpus-encode (cents/codes CTEs), one max-nprobe query-table
+    * build (probes keeps its rank), then every sweep leg restricts
+    * `p.rn <= np` — the DuckDB mirror of the Spark sweep's shape. */
+  private def a24OracleSql(centsQ: Array[Array[Long]],
+                           booksQ: Array[Array[Array[Long]]],
+                           subDim: Int): String = {
+    val maxProbe = Nprobes.max
+    val npVals = Nprobes.map(n => s"($n)").mkString(", ")
+    val cents = centsQ.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.mkString("[", ", ", "]")})" }.mkString(",\n    ")
+    val books = booksQ.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (cb, c) =>
+        s"($s, $c, ${cb.mkString("[", ", ", "]")})" } }.mkString(",\n    ")
+    s"""WITH d AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd,
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |cents(ci, cq) AS (VALUES
+       |    $cents),
+       |books(s, c, bq) AS (VALUES
+       |    $books),
+       |nps(np) AS (VALUES $npVals),
+       |cdist AS (
+       |  SELECT v.vec_id, c.ci,
+       |    list_sum(list_transform(generate_series(1, len(v.vq)), d ->
+       |      (v.vq[d] - c.cq[d]) * (v.vq[d] - c.cq[d]))) AS dist
+       |  FROM v CROSS JOIN cents c),
+       |crank AS (SELECT vec_id, ci,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rn
+       |  FROM cdist),
+       |asg AS (SELECT vec_id, ci AS cluster FROM crank WHERE rn = 1),
+       |resid AS (
+       |  SELECT v.vec_id, a.cluster,
+       |    list_transform(generate_series(1, len(v.vq)), d -> v.vq[d] - c.cq[d]) AS rq
+       |  FROM v JOIN asg a ON a.vec_id = v.vec_id
+       |  JOIN cents c ON c.ci = a.cluster),
+       |enc AS (
+       |  SELECT r.vec_id, b.s, b.c,
+       |    list_sum(list_transform(generate_series(1, $subDim), d ->
+       |      (r.rq[b.s * $subDim + d] - b.bq[d]) * (r.rq[b.s * $subDim + d] - b.bq[d]))) AS dist
+       |  FROM resid r CROSS JOIN books b),
+       |codes AS MATERIALIZED (SELECT vec_id, s, c AS code FROM (
+       |  SELECT vec_id, s, c,
+       |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS rn
+       |  FROM enc) r WHERE rn = 1),
+       |probes AS (SELECT vec_id, ci AS cluster, rn FROM crank
+       |  WHERE vec_id < 5 AND rn <= $maxProbe),
+       |qresid AS (
+       |  SELECT p.vec_id, p.cluster, p.rn,
+       |    list_transform(generate_series(1, len(v.vq)), d -> v.vq[d] - c.cq[d]) AS rq
+       |  FROM probes p JOIN v ON v.vec_id = p.vec_id
+       |  JOIN cents c ON c.ci = p.cluster),
+       |qenc AS MATERIALIZED (
+       |  SELECT r.vec_id, r.cluster, r.rn, b.s, b.c,
+       |    list_sum(list_transform(generate_series(1, $subDim), d ->
+       |      (r.rq[b.s * $subDim + d] - b.bq[d]) * (r.rq[b.s * $subDim + d] - b.bq[d]))) AS dist
+       |  FROM qresid r CROSS JOIN books b),
+       |adc AS (
+       |  SELECT np.np AS nprobe, p.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |    sum(qe.dist) AS adc_dist
+       |  FROM nps np
+       |  JOIN probes p ON p.rn <= np.np
+       |  JOIN asg a ON a.cluster = p.cluster AND a.vec_id <> p.vec_id
+       |  JOIN codes cd ON cd.vec_id = a.vec_id
+       |  JOIN qenc qe ON qe.vec_id = p.vec_id AND qe.cluster = p.cluster
+       |    AND qe.s = cd.s AND qe.c = cd.code
+       |  GROUP BY 1, 2, 3),
+       |short AS (SELECT nprobe, query_id, neighbor_id FROM (
+       |  SELECT nprobe, query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY nprobe, query_id
+       |      ORDER BY adc_dist, neighbor_id) AS rn
+       |  FROM adc) r WHERE rn <= 100),
+       |refined AS (
+       |  SELECT sh.nprobe, sh.query_id, sh.neighbor_id,
+       |    round(list_cosine_similarity(qv.vd, cv.vd), 6) AS score
+       |  FROM short sh
+       |  JOIN v qv ON qv.vec_id = sh.query_id
+       |  JOIN v cv ON cv.vec_id = sh.neighbor_id),
+       |topk AS (SELECT nprobe, query_id, neighbor_id FROM (
+       |  SELECT nprobe, query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY nprobe, query_id ORDER BY score DESC, neighbor_id) AS rk
+       |  FROM refined) r WHERE rk <= 10),
+       |ex AS (
+       |  ${Relational9.exactTop10OracleSql}),
+       |ov AS (
+       |  SELECT t.nprobe, e.query_id, count(*) AS n_overlap
+       |  FROM ex e JOIN topk t
+       |    ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+       |  GROUP BY 1, 2)
+       |SELECT q.query_id, np.np AS nprobe,
+       |  COALESCE(ov.n_overlap, 0) AS n_overlap,
+       |  round(COALESCE(ov.n_overlap, 0) / 10.0, 6) AS recall
+       |FROM (SELECT DISTINCT query_id FROM ex) q
+       |CROSS JOIN nps np
+       |LEFT JOIN ov ON ov.query_id = q.query_id AND ov.nprobe = np.np
+       |ORDER BY q.query_id, np.np""".stripMargin
+  }
+
   /** q46: top event paths — the sequence-mining readout behind every
     * "what do users do before X" question: each user's event stream in
     * (ts, event_id) order yields its consecutive 3-step paths via two
@@ -210,13 +357,19 @@ object Relational10 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_event_paths"     -> q46EventPaths _,
     "a23_ranking_metrics" -> a23RankingMetrics _,
+    "a24_nprobe_sweep"    -> a24NprobeSweep _,
     "q45_attribution"     -> q45Attribution _,
     "a22_embedding_drift" -> a22EmbeddingDrift _,
     "p29_curriculum"      -> p29Curriculum _,
     "t36_pii_redact"      -> t36PiiRedact _,
     "p30_length_batches"  -> p30LengthBatches _)
 
-  val oracles: Map[String, String] = Map(
+  /** a24's oracle is dynamic (trained-model literals) — last-writer-
+    * wins after the query runs, the CurationQueries convention. */
+  def oracles: Map[String, String] =
+    staticOracles ++ a24Oracle.map("a24_nprobe_sweep" -> _)
+
+  private val staticOracles: Map[String, String] = Map(
     "q46_event_paths" ->
       """WITH p AS (
         |  SELECT event_type || '>' ||

@@ -100,4 +100,29 @@ class IvfPqSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(run() === run())
   }
+
+  test("nprobe sweep legs are bit-identical to single-nprobe searches") {
+    // the a24 contract: one corpus encode, per-leg probe restriction —
+    // each sweep leg must equal searchIvfPqExact at that nprobe exactly
+    val model = ProductQuantizer.fitIvfPqExact(
+      corpus, "id", "vec", coarseK = 4, m = 4, k = 8, iterations = 2)
+    val sweep = ProductQuantizer.searchIvfPqSweepExact(
+        queries, corpus, "id", "vec", model,
+        nprobes = Seq(1, 2, 4), shortlist = 20, topK = 5)
+      .collect()
+      .groupBy(_.getAs[Int]("nprobe"))
+      .map { case (n, rows) =>
+        n -> rows.map(r => (r.getAs[Long]("query_id"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("score"),
+          r.getAs[Int]("rank"))).toSet }
+    Seq(1, 2, 4).foreach { n =>
+      val single = ProductQuantizer.searchIvfPqExact(
+          queries, corpus, "id", "vec", model,
+          nprobe = n, shortlist = 20, topK = 5)
+        .collect().map(r => (r.getAs[Long]("query_id"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("score"),
+          r.getAs[Int]("rank"))).toSet
+      assert(sweep(n) === single, s"sweep leg nprobe=$n diverged")
+    }
+  }
 }
