@@ -740,8 +740,17 @@ object TextAnalysis {
     * construction. */
   def countMinHeavyHitters(docs: DataFrame, textCol: String,
                            depth: Int = 4, width: Int = 1024,
-                           k: Int = 20): DataFrame = {
-    val sketch = countMinSketch(docs, textCol, depth, width)
+                           k: Int = 20): DataFrame =
+    countMinProbe(docs, textCol, countMinSketch(docs, textCol, depth, width),
+      depth, width, k)
+
+  /** [[countMinHeavyHitters]] with the sketch supplied by the caller —
+    * the streaming twin (s17) maintains the sketch as BOUNDED streaming
+    * state (depth·width counter cells, a count monoid) and probes it at
+    * read time; batch t25 passes [[countMinSketch]] of the same docs. */
+  def countMinProbe(docs: DataFrame, textCol: String, sketch: DataFrame,
+                    depth: Int = 4, width: Int = 1024,
+                    k: Int = 20): DataFrame = {
     val words = docs.select(explode(split(col(textCol), " ")).as("word"))
     val top = words.groupBy(col("word")).agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("word")).limit(k)

@@ -211,6 +211,26 @@ object StreamingQueries {
         col("view_id").asc_nulls_first)
   }
 
+  /** s17: streaming Count-Min heavy hitters — the t25 sketch as a
+    * streaming aggregation: depth·width counter cells are a count
+    * monoid, so the state is BOUNDED (4·1024 cells) no matter how long
+    * the stream runs — the property that makes a sketch the right
+    * frequency monitor for an unbounded ingest feed (completing the
+    * streaming sketch family: s06 HLL, s08 KMV, s17 Count-Min). The
+    * exact top-20 probe list comes from the static table at read time
+    * (t25's own doc-comment calls the exact candidate set the
+    * demonstration stand-in). Count merges are order-free, so the
+    * streamed sketch equals the batch sketch whatever the batch
+    * boundaries, and the oracle is t25's SQL verbatim. */
+  def streamCountMin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tableStream(spark, dir, "documents")
+    val sketch = awaitMemorySink(
+      graft.operators.TextAnalysis.countMinSketch(docs, "text"), "complete")
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+    graft.operators.TextAnalysis.countMinProbe(batchDocs, "text", sketch)
+      .orderBy(col("n_exact").desc, col("word"))
+  }
+
   /** s05: the FLAGSHIP embed pipeline as a STREAM — the same
     * chunk→embed DataFrame program as batch p08 (the stages are shared
     * code, only the source differs), with the engine-exact
@@ -449,6 +469,7 @@ object StreamingQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_stream_countmin" -> streamCountMin _,
     "s16_stream_outer_interval_join" -> streamPurchaseViewsOuter _,
     "s15_stream_embedding_drift" -> streamEmbeddingDrift _,
     "s14_stream_dedup_watermarked" -> streamDedupWatermarked _,
@@ -467,6 +488,10 @@ object StreamingQueries {
     "s10_stream_session_window" -> streamSessionWindow _)
 
   def oracles: Map[String, String] = Map(
+    // s17 == batch t25: counter cells are a count monoid, so the
+    // streamed sketch equals the batch sketch whatever the batch
+    // boundaries; the probe list is the same exact top-20
+    "s17_stream_countmin" -> CurationQueries.oracles("t25_countmin_heavy"),
     // s16 == the batch LEFT OUTER interval join: the punctuation rows
     // advance the final watermark past every real purchase's match
     // deadline, so the outer state drains completely and the stream

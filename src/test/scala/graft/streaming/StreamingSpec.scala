@@ -472,6 +472,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(2L).session_id == 100L && out(2L).n_events == 2L)
   }
 
+  test("streaming Count-Min sketch accumulates across micro-batches and equals batch") {
+    val spark2 = spark
+    import spark2.implicits._
+    val drop = tmp("cm_drop"); val ckpt = tmp("cm_ckpt")
+    Seq("alpha alpha beta", "gamma alpha").toDF("text")
+      .coalesce(1).write.parquet(s"$drop/b1")
+    Seq("beta beta delta", "alpha").toDF("text")
+      .coalesce(1).write.parquet(s"$drop/b2")
+    val src = spark.readStream
+      .schema("text STRING")
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", 1) // force >1 micro-batch: the
+      // counter cells must MERGE across triggers, not just within one
+      .parquet(drop)
+    val q = graft.operators.TextAnalysis.countMinSketch(src, "text")
+      .writeStream.format("memory").queryName("cm_sink")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    val streamed = spark.table("cm_sink")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.operators.TextAnalysis.countMinSketch(
+        spark.read.option("recursiveFileLookup", "true").parquet(drop), "text")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch,
+      "multi-batch streamed sketch must equal the one-pass batch sketch")
+    assert(streamed.map(_._3).sum === 8L, "8 words total across both files")
+  }
+
   test("left-outer interval join: matches emit immediately, null rows only " +
       "after BOTH legs' watermark passes the match deadline") {
     val spark2 = spark
