@@ -452,6 +452,9 @@ object ProductQuantizer {
                              scale: Long = 1L << 20,
                              persistResid: Boolean = true)
       : (DataFrame, Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    // fail fast on bad search params BEFORE paying for training
+    require(nprobe >= 1 && nprobe <= coarseK, "need 1 <= nprobe <= coarseK")
+    require(shortlist >= topK, "shortlist must be at least topK")
     val model =
       fitIvfPqExact(corpus, idCol, vecCol, coarseK, m, k, iterations, scale)
     val df = searchIvfPqExact(queries, corpus, idCol, vecCol, model,
@@ -511,96 +514,15 @@ object ProductQuantizer {
     * query's `nprobe` nearest lists with integer ADC tables, exact
     * cosine refine of the shortlist. Bit-identical to the combined
     * [[ivfAdcTopKRefinedExact]] for a model trained on `corpus` with
-    * the same params. */
+    * the same params. One-leg [[searchIvfPqSweepExact]] — a single
+    * shared body, so a tie-break or ADC fix can never diverge between
+    * the single and sweep forms. */
   def searchIvfPqExact(queries: DataFrame, corpus: DataFrame,
                        idCol: String, vecCol: String, model: IvfPqModel,
                        nprobe: Int, shortlist: Int, topK: Int,
-                       persistResid: Boolean = true): DataFrame = {
-    val centsQ = model.centsQ
-    val booksQ = model.booksQ
-    val m = model.m
-    val k = model.k
-    val scale = model.scale
-    require(nprobe >= 1 && nprobe <= centsQ.length, "need 1 <= nprobe <= coarseK")
-    require(shortlist >= topK, "shortlist must be at least topK")
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    // same persist rationale (and accumulation caveat) as
-    // ivfAdcTopKRefined: the residual stream feeds encode +
-    // cluster join-back
-    val residRaw = residualFrame(corpus, idCol, vecCol, centsQ, scale)
-    val resid =
-      if (persistResid)
-        residRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else residRaw
-    val codes = encodeExact(resid, "id", "rvq", booksQ, scale = 1L)
-      .join(resid.select(col("id"), col("cluster")), "id")
-    val qRows = queries
-      .select(col(idCol).cast("long").as("query_id"),
-        quantizedCol(vecCol, scale).as("vq"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    val qTables = qRows.flatMap { case (qid, vq) =>
-      val byDist = centsQ.indices.map { li =>
-        val c = centsQ(li)
-        var d = 0L
-        var j = 0
-        val dim = math.min(c.length, vq.length)
-        while (j < dim) { val x = vq(j) - c(j); d += x * x; j += 1 }
-        (d, li)
-      }.sorted.take(nprobe)
-      byDist.map { case (_, li) =>
-        val c = centsQ(li)
-        val qr = Array.tabulate(vq.length)(i =>
-          vq(i) - (if (i < c.length) c(i) else 0L))
-        val t = new Array[Long](m * k)
-        var s = 0
-        while (s < m) {
-          var cc = 0
-          while (cc < k) {
-            val cb = booksQ(s)(cc)
-            var d = 0L
-            var j = 0
-            while (j < cb.length) { val x = qr(s * model.subDim + j) - cb(j); d += x * x; j += 1 }
-            t(s * k + cc) = d
-            cc += 1
-          }
-          s += 1
-        }
-        (qid, li, t)
-      }
-    }.toSeq
-    val qDf = qTables.toDF("query_id", "cluster", "table")
-    val scored = codes
-      .join(broadcast(qDf), Seq("cluster"))
-      .filter(col("query_id") =!= col("id"))
-      .withColumn("adc_dist",
-        (0 until m)
-          .map(s => element_at(col("table"),
-            lit(s * k) + element_at(col("codes"), s + 1) + 1))
-          .reduce(_ + _))
-      .select(col("query_id"), col("id").as("neighbor_id"), col("adc_dist"))
-    val ws = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist").asc, col("neighbor_id"))
-    val candidates = graft.plans.TopKPerKey.prune(
-        scored.withColumn("neg_dist", -col("adc_dist")),
-        "query_id", "neg_dist", "neighbor_id", shortlist)
-      .withColumn("rn", row_number().over(ws))
-      .filter(col("rn") <= shortlist)
-      .select(col("query_id"), col("neighbor_id"))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(vecCol).as("cv"))
-    val refined = candidates
-      .join(c, "neighbor_id")
-      .join(broadcast(q), "query_id")
-      .withColumn("score", round(Similarity.cosine(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    refined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
-  }
+                       persistResid: Boolean = true): DataFrame =
+    searchIvfPqSweepExact(queries, corpus, idCol, vecCol, model,
+      Seq(nprobe), shortlist, topK, persistResid).drop("nprobe")
 
   /** [[searchIvfPqExact]] for SEVERAL nprobe values in one pass — the
     * recall-vs-cost dial readout an IVF index needs before its nprobe
@@ -612,7 +534,8 @@ object ProductQuantizer {
     * [[searchIvfPqExact]] at that nprobe. */
   def searchIvfPqSweepExact(queries: DataFrame, corpus: DataFrame,
                             idCol: String, vecCol: String, model: IvfPqModel,
-                            nprobes: Seq[Int], shortlist: Int, topK: Int)
+                            nprobes: Seq[Int], shortlist: Int, topK: Int,
+                            persistResid: Boolean = true)
       : DataFrame = {
     val centsQ = model.centsQ
     val booksQ = model.booksQ
@@ -626,14 +549,23 @@ object ProductQuantizer {
     val maxProbe = nprobes.max
     val spark = corpus.sparkSession
     import spark.implicits._
-    val resid = residualFrame(corpus, idCol, vecCol, centsQ, scale)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the encoded index is scanned once per sweep leg — persist it, not
-    // just the residuals (lifetime: LRU / caller clearCache, like every
-    // trained-index intermediate here)
-    val codes = encodeExact(resid, "id", "rvq", booksQ, scale = 1L)
+    // same persist rationale (and accumulation caveat) as
+    // ivfAdcTopKRefined: the residual stream feeds encode +
+    // cluster join-back
+    val residRaw = residualFrame(corpus, idCol, vecCol, centsQ, scale)
+    val resid =
+      if (persistResid)
+        residRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else residRaw
+    // the encoded index is scanned once PER SWEEP LEG — persist it too
+    // when there is more than one (lifetime: LRU / caller clearCache,
+    // like every trained-index intermediate here)
+    val codesRaw = encodeExact(resid, "id", "rvq", booksQ, scale = 1L)
       .join(resid.select(col("id"), col("cluster")), "id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes =
+      if (nprobes.size > 1)
+        codesRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else codesRaw
     val qRows = queries
       .select(col(idCol).cast("long").as("query_id"),
         quantizedCol(vecCol, scale).as("vq"))

@@ -17,7 +17,22 @@ import org.apache.spark.sql.types.DecimalType
   * checkpoint-restart behavior these single-replay rows cannot see. */
 object StreamingQueries {
 
-  private def awaitMemorySink(df: DataFrame, outputMode: String): DataFrame = {
+  /** One AvailableNow run into a memory sink. Two termination
+    * protocols (the ONLY difference between the two public wrappers):
+    *
+    *  - `selfTerminate = false`: processAllAvailable + stop, NOT
+    *    awaitTermination — a flatMapGroupsWithState query with
+    *    ProcessingTimeTimeout keeps the AvailableNow run alive waiting
+    *    for pending state timeouts, so awaitTermination never returns
+    *    (s03 hangs); processAllAvailable returns once every available
+    *    row is committed, which is exactly the single-replay contract
+    *    these rows verify.
+    *  - `selfTerminate = true`: let the run terminate ON ITS OWN — the
+    *    natural termination path runs the watermark-advance no-data
+    *    batch, which is when outer-join state drains its null rows
+    *    (s16). Only safe without processing-time timers. */
+  private def runMemorySink(df: DataFrame, outputMode: String,
+                            selfTerminate: Boolean): DataFrame = {
     val spark = df.sparkSession
     val name = "s_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val ck = java.nio.file.Files.createTempDirectory("graft_stream_ck")
@@ -29,40 +44,17 @@ object StreamingQueries {
       .option("checkpointLocation", ck.toString)
       .trigger(Trigger.AvailableNow())
       .start()
-    // processAllAvailable + stop, NOT awaitTermination: a
-    // flatMapGroupsWithState query with ProcessingTimeTimeout keeps the
-    // AvailableNow run alive waiting for pending state timeouts, so
-    // awaitTermination never returns (s03 hangs); processAllAvailable
-    // returns once every available row is committed, which is exactly
-    // the single-replay contract these rows verify.
-    q.processAllAvailable()
-    q.stop()
+    if (!selfTerminate) { q.processAllAvailable(); q.stop() }
     q.awaitTermination()
     spark.table(name)
   }
 
-  /** [[awaitMemorySink]] variant that lets the AvailableNow run
-    * terminate ON ITS OWN instead of stopping after
-    * `processAllAvailable`: the natural termination path runs the
-    * watermark-advance no-data batch, which is when outer-join state
-    * drains its null rows. (awaitMemorySink can't do this generally —
-    * a ProcessingTimeTimeout query never self-terminates — but a
-    * stream-stream join has no processing-time timers.) */
-  private def awaitMemorySinkDrained(df: DataFrame, outputMode: String): DataFrame = {
-    val spark = df.sparkSession
-    val name = "s_mem_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val ck = java.nio.file.Files.createTempDirectory("graft_stream_ck")
-    ck.toFile.deleteOnExit()
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .option("checkpointLocation", ck.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+  private def awaitMemorySink(df: DataFrame, outputMode: String): DataFrame =
+    runMemorySink(df, outputMode, selfTerminate = false)
+
+  /** See [[runMemorySink]]'s `selfTerminate = true` protocol (s16). */
+  private def awaitMemorySinkDrained(df: DataFrame, outputMode: String): DataFrame =
+    runMemorySink(df, outputMode, selfTerminate = true)
 
   /** A single-table file-source stream: the source requires a
     * DIRECTORY, so stream the sf dir with a glob pinned to the one

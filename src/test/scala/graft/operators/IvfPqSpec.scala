@@ -101,6 +101,30 @@ class IvfPqSpec extends AnyFunSuite {
     assert(run() === run())
   }
 
+  test("combined exact form delegates bit-identically to fit + search") {
+    val model = ProductQuantizer.fitIvfPqExact(
+      corpus, "id", "vec", coarseK = 4, m = 4, k = 8, iterations = 2)
+    val split = ProductQuantizer.searchIvfPqExact(
+        queries, corpus, "id", "vec", model,
+        nprobe = 2, shortlist = 20, topK = 5)
+      .collect().map(_.toSeq).toSet
+    val (df, centsQ, booksQ) = ProductQuantizer.ivfAdcTopKRefinedExact(
+      queries, corpus, "id", "vec",
+      coarseK = 4, nprobe = 2, m = 4, k = 8, iterations = 2,
+      shortlist = 20, topK = 5)
+    assert(df.collect().map(_.toSeq).toSet === split)
+    assert(centsQ.map(_.toSeq).toSeq === model.centsQ.map(_.toSeq).toSeq)
+    assert(booksQ.map(_.map(_.toSeq).toSeq).toSeq ===
+      model.booksQ.map(_.map(_.toSeq).toSeq).toSeq)
+    // bad search params must fail BEFORE training pays for itself
+    assertThrows[IllegalArgumentException] {
+      ProductQuantizer.ivfAdcTopKRefinedExact(
+        queries, corpus, "id", "vec",
+        coarseK = 4, nprobe = 9, m = 4, k = 8, iterations = 2,
+        shortlist = 20, topK = 5)
+    }
+  }
+
   test("nprobe sweep legs are bit-identical to single-nprobe searches") {
     // the a24 contract: one corpus encode, per-leg probe restriction —
     // each sweep leg must equal searchIvfPqExact at that nprobe exactly

@@ -499,7 +499,10 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed === batch,
       "multi-batch streamed sketch must equal the one-pass batch sketch")
-    assert(streamed.map(_._3).sum === 8L, "8 words total across both files")
+    // 9 word occurrences × depth-4 rows each = 36 total increments
+    // (summed over a Seq — a Set would collapse equal cell counts)
+    assert(streamed.toSeq.map(_._3).sum === 36L,
+      "sketch total must be word occurrences × depth")
   }
 
   test("left-outer interval join: matches emit immediately, null rows only " +
