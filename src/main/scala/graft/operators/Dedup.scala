@@ -931,4 +931,78 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** MinHash-LSH band-plan sensitivity sweep (d19) — the dedup-side
+    * analogue of the a24 nprobe sweep: before (bands, rowsPerBand)
+    * ships, the index owner reads candidate volume (cost) and recall
+    * vs the exact pair set (quality) for each plan. S-curve theory
+    * says P(candidate) = 1 − (1 − j^r)^b; this is the measured readout.
+    *
+    * One signature matrix serves every plan: the engine-exact 60-bit
+    * md5 minhashes ([[md5Hash60]]'s SQL form — DuckDB replays
+    * `('0x' || substr(md5(s), 1, 15))::BIGINT` bit for bit) are
+    * computed ONCE (id × numHashes, map-side combined min), then each
+    * plan just re-groups rows `h div r` into band keys. Band keys are
+    * md5 over the h-ordered value list (sort_array pins the order —
+    * collect_list alone is nondeterministic). The exact pair set uses
+    * [[jaccardPairs]], the d02-proven inverted-index plan.
+    *
+    * Scale posture: the signature matrix is |docs|·numHashes rows
+    * (corpus-bounded, shuffled once); each plan's candidate join is
+    * the usual LSH bucket self-join (hot-bucket quadratic edge —
+    * callers at scale would add the minHashLshPairs maxBucketDf guard;
+    * the sweep reports the volume that motivates it).
+    *
+    * Output: one row per plan — (bands, rows_per_band, n_candidates,
+    * n_true, n_exact, recall). */
+  def bandPlanSweep(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, numHashes: Int = 64,
+                    plans: Seq[(Int, Int)] = Seq((64, 1), (32, 2), (16, 4)),
+                    threshold: Double = 0.5): DataFrame = {
+    require(plans.nonEmpty && plans.forall { case (b, r) => b * r == numHashes },
+      s"every plan's bands*rowsPerBand must equal numHashes=$numHashes")
+    val spark = docs.sparkSession
+    val sh = withShingles(docs, idCol, textCol, n)
+    val mh = sh.select(col("id"), explode(col("shingles")).as("shingle"))
+      .select(col("id"), col("shingle"),
+        explode(expr(s"sequence(0, ${numHashes - 1})")).as("h"))
+      .withColumn("hv", expr(
+        "cast(conv(substring(md5(concat('mh', cast(h as string), '|', shingle)), 1, 15), 16, 10) as bigint)"))
+      .groupBy(col("id"), col("h")).agg(min(col("hv")).as("mh"))
+      // |docs|·numHashes rows, scanned once per plan (lifetime: LRU /
+      // caller clearCache, like every index intermediate here)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = jaccardPairs(docs, idCol, textCol, n, threshold)
+      .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val perPlan = plans.map { case (b, r) =>
+      val bkey = mh.withColumn("band", expr(s"h div $r"))
+        .groupBy(col("id"), col("band"))
+        .agg(expr(
+          "md5(array_join(transform(sort_array(collect_list(struct(h, mh))), x -> cast(x.mh as string)), ','))")
+          .as("bkey"))
+      val cand = bkey.as("a")
+        .join(bkey.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val nTrue = cand.join(exact, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_true"))
+      // three 1-row aggregates — broadcast-scalar crossJoins, no data
+      // volume
+      nCand.crossJoin(nTrue).crossJoin(nExact)
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_candidates"), col("n_true"), col("n_exact"))
+    }.reduce(_ unionByName _)
+    perPlan
+      .withColumn("recall",
+        when(col("n_exact") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            col("n_true").cast("double") / col("n_exact").cast("double"), 6)))
+      .orderBy(col("bands"))
+  }
 }

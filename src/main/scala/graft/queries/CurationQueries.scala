@@ -38,6 +38,21 @@ object CurationQueries {
         n = 3, numHashes = 64, bands = 16, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** d19: MinHash-LSH band-plan sensitivity sweep — the dedup dial's
+    * readout before (bands, rows) ships, the a24 principle applied to
+    * the LSH index: per plan (64×1, 32×2, 16×4 over one 64-lane
+    * signature matrix), candidate-pair volume (cost) and recall vs the
+    * exact Jaccard ≥ 0.5 pair set (quality). Engine-exact end to end:
+    * the minhashes are the 60-bit md5 form DuckDB replays bit for bit,
+    * band keys are md5 over the h-ordered lane values, and the exact
+    * pair set is d02's inverted-index SQL — so even the candidate
+    * COUNTS are hash-checked, not just the verified output (d03's
+    * oracle can't see its xxhash candidates; this one can, which is
+    * what makes it the plan-tuning instrument).
+    * See [[graft.operators.Dedup.bandPlanSweep]]. */
+  def dedupBandPlan(spark: SparkSession, dir: String): DataFrame =
+    Dedup.bandPlanSweep(documents(spark, dir), "doc_id", "text")
+
   /** d04: SimHash near-dup pairs, hamming ≤ 3 on planted near-copies —
     * oracle-checked end to end with the md5 word hash (the t17
     * principle: DuckDB recomputes the same 64-bit word hashes, per-bit
@@ -1276,6 +1291,7 @@ object CurationQueries {
     "d01_dedup_exact"     -> dedupExact _,
     "d02_dedup_jaccard"   -> dedupJaccard _,
     "d03_dedup_minhash"   -> dedupMinHash _,
+    "d19_band_plan"       -> dedupBandPlan _,
     "d04_dedup_simhash"   -> dedupSimHash _,
     "d05_dedup_embedding" -> dedupEmbedding _,
     "d07_dedup_embedding_lsh" -> dedupEmbeddingLsh _,
@@ -2044,6 +2060,54 @@ object CurationQueries {
         |SELECT min(doc_id) AS kept_id, count(*) AS n_copies
         |FROM planted GROUP BY sha256(text) ORDER BY kept_id""".stripMargin,
     "d02_dedup_jaccard" -> exactJaccardPairsSql,
+    // d19: the FULL band-plan sweep replay — same 60-bit md5 minhash
+    // lanes, same h-ordered band keys, same d02 exact pair set; the
+    // candidate counts themselves are hash-checked per plan
+    "d19_band_plan" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id, list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text,' ')) - 2),
+        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS shingles
+        |  FROM documents),
+        |ex AS (SELECT id, unnest(shingles) AS shingle FROM sh),
+        |hs AS (SELECT unnest(generate_series(0, 63)) AS h),
+        |mh AS MATERIALIZED (
+        |  SELECT e.id, hs.h,
+        |    min(('0x' || substr(md5('mh' || CAST(hs.h AS VARCHAR) || '|' || e.shingle), 1, 15))::BIGINT) AS mh
+        |  FROM ex e CROSS JOIN hs GROUP BY 1, 2),
+        |plans(b, r) AS (VALUES (64, 1), (32, 2), (16, 4)),
+        |bkey AS MATERIALIZED (
+        |  SELECT p.b, p.r, m.id, m.h // p.r AS band,
+        |    md5(string_agg(CAST(m.mh AS VARCHAR), ',' ORDER BY m.h)) AS bkey
+        |  FROM mh m CROSS JOIN plans p GROUP BY 1, 2, 3, 4),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.b, a.r, a.id AS id_a, c.id AS id_b
+        |  FROM bkey a JOIN bkey c
+        |    ON a.b = c.b AND a.r = c.r AND a.band = c.band
+        |      AND a.bkey = c.bkey AND a.id < c.id),
+        |inter AS (
+        |  SELECT a.id AS id_a, c.id AS id_b, count(*) AS n_inter
+        |  FROM ex a JOIN ex c ON a.shingle = c.shingle AND a.id < c.id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT id, len(shingles) AS n_sh FROM sh),
+        |ep AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+        |  WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5),
+        |nc AS (SELECT b, r, count(*) AS n_candidates FROM cand GROUP BY 1, 2),
+        |nt AS (SELECT c.b, c.r, count(*) AS n_true
+        |  FROM cand c JOIN ep USING (id_a, id_b) GROUP BY 1, 2),
+        |ne AS (SELECT count(*) AS n_exact FROM ep)
+        |SELECT p.b AS bands, p.r AS rows_per_band,
+        |  COALESCE(nc.n_candidates, 0) AS n_candidates,
+        |  COALESCE(nt.n_true, 0) AS n_true,
+        |  ne.n_exact,
+        |  CASE WHEN ne.n_exact = 0 THEN NULL
+        |    ELSE round(COALESCE(nt.n_true, 0) / CAST(ne.n_exact AS DOUBLE), 6) END AS recall
+        |FROM plans p CROSS JOIN ne
+        |LEFT JOIN nc ON nc.b = p.b AND nc.r = p.r
+        |LEFT JOIN nt ON nt.b = p.b AND nt.r = p.r
+        |ORDER BY bands""".stripMargin,
     // the MinHash-LSH path's verified output must EQUAL the exact pair
     // set at full recall (64 hashes / 16 bands at threshold 0.5;
     // CurationSpec proves it) — so the exact SQL is its oracle too, and

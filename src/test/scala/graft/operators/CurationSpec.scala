@@ -479,4 +479,27 @@ class CurationSpec extends AnyFunSuite {
     assert(fps(1).intersect(fps(2)).nonEmpty, "overlapping docs share fingerprints")
     assert(fps(1).intersect(fps(3)).isEmpty, "disjoint docs share nothing")
   }
+
+  test("band-plan sweep: candidates nest across plans, identical docs always hit") {
+    import spark.implicits._
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val docs = Seq(
+      (1L, near), (2L, near),                       // identical pair
+      (3L, near + "lambda mu"),                     // near-dup of 1/2
+      (4L, "totally different content about spark plans and shuffles " * 3),
+      (5L, "yet another unrelated document with its own words entirely " * 3))
+      .toDF("doc_id", "text")
+    val rows = Dedup.bandPlanSweep(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Int]("bands") ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_true"),
+          r.getAs[Long]("n_exact"))).toMap
+    // an r=2 band is the union of two aligned r=1 bands: matching it
+    // implies matching both halves, so candidate sets NEST as r grows
+    assert(rows(64)._1 >= rows(32)._1 && rows(32)._1 >= rows(16)._1,
+      s"candidate volume must be monotone in sensitivity: $rows")
+    // identical docs agree on every lane — candidates under EVERY plan,
+    // and a true pair under each
+    assert(rows.values.forall(_._2 >= 1L), s"identical pair missed: $rows")
+    assert(rows.values.map(_._3).toSet.size === 1, "n_exact is plan-independent")
+  }
 }
