@@ -938,12 +938,17 @@ object Dedup {
     * vs the exact pair set (quality) for each plan. S-curve theory
     * says P(candidate) = 1 − (1 − j^r)^b; this is the measured readout.
     *
-    * One signature matrix serves every plan: the engine-exact 60-bit
-    * md5 minhashes ([[md5Hash60]]'s SQL form — DuckDB replays
-    * `('0x' || substr(md5(s), 1, 15))::BIGINT` bit for bit) are
-    * computed ONCE (id × numHashes, map-side combined min), then each
-    * plan just re-groups rows `h div r` into band keys. Band keys are
-    * md5 over the h-ordered value list (sort_array pins the order —
+    * One signature matrix serves every plan, built the classic
+    * one-hash-per-shingle way: a single engine-exact 32-bit md5 base
+    * hash per (doc, shingle) (`('0x'||substr(md5(s),1,8))::BIGINT` in
+    * DuckDB), then 64 universal-hash lanes `(a_i·h + b_i) mod
+    * (2^31−1)` with [[bandPlanLanes]]' deterministic constants spliced
+    * into BOTH engines — integer multiply/mod both replay bit for bit
+    * (a_i < 2^30, h < 2^32 keeps the product inside a signed 64-bit;
+    * the per-lane md5 form cost 64 digests per shingle and 22 s at
+    * sf0.1, this runs the same row volume through codegen'd integer
+    * ops). Each plan then re-groups lanes `i div r` into band keys —
+    * md5 over the i-ordered value list (sort_array pins the order;
     * collect_list alone is nondeterministic). The exact pair set uses
     * [[jaccardPairs]], the d02-proven inverted-index plan.
     *
@@ -955,33 +960,57 @@ object Dedup {
     *
     * Output: one row per plan — (bands, rows_per_band, n_candidates,
     * n_true, n_exact, recall). */
+  /** Deterministic universal-hash lane constants for [[bandPlanSweep]]:
+    * (i, a_i ∈ [1, 2^30), b_i ∈ [0, 2^30)) — derived from md5 so any
+    * engine splicing the same literals replays the same lanes. */
+  def bandPlanLanes(numHashes: Int): Seq[(Int, Long, Long)] =
+    (0 until numHashes).map { i =>
+      (i, (md5Hash60(s"lane-a|$i") % ((1L << 30) - 1)) + 1,
+        md5Hash60(s"lane-b|$i") % (1L << 30))
+    }
+
   def bandPlanSweep(docs: DataFrame, idCol: String, textCol: String,
                     n: Int = 3, numHashes: Int = 64,
-                    plans: Seq[(Int, Int)] = Seq((64, 1), (32, 2), (16, 4)),
+                    plans: Seq[(Int, Int)] = Seq((32, 2), (16, 4), (8, 8)),
                     threshold: Double = 0.5): DataFrame = {
     require(plans.nonEmpty && plans.forall { case (b, r) => b * r == numHashes },
       s"every plan's bands*rowsPerBand must equal numHashes=$numHashes")
-    val spark = docs.sparkSession
     val sh = withShingles(docs, idCol, textCol, n)
-    val mh = sh.select(col("id"), explode(col("shingles")).as("shingle"))
-      .select(col("id"), col("shingle"),
-        explode(expr(s"sequence(0, ${numHashes - 1})")).as("h"))
-      .withColumn("hv", expr(
-        "cast(conv(substring(md5(concat('mh', cast(h as string), '|', shingle)), 1, 15), 16, 10) as bigint)"))
-      .groupBy(col("id"), col("h")).agg(min(col("hv")).as("mh"))
-      // |docs|·numHashes rows, scanned once per plan (lifetime: LRU /
-      // caller clearCache, like every index intermediate here)
+    // signature built SCAN-LOCALLY, one row per doc (the file-header
+    // design note: signatures per-row in pure Catalyst, no shuffle —
+    // the first cut shuffled |docs|·numHashes·|shingles| lane rows
+    // through an aggregation and its persist alone cost 12 s at
+    // sf0.1): one md5 base per shingle, then every lane is an
+    // array_min over the codegen'd universal-hash transform
+    val laneMins = bandPlanLanes(numHashes).map { case (_, a, b) =>
+      s"array_min(transform(bases, x -> ($a * x + $b) % 2147483647))"
+    }.mkString(", ")
+    val sig = sh
+      // shingle-less docs carry no signature (the lane min is
+      // undefined); the grouped form dropped them implicitly, and
+      // all-null sigs must never false-match each other
+      .filter(size(col("shingles")) > 0)
+      .withColumn("bases", expr(
+        "transform(shingles, s -> cast(conv(substring(md5(concat('mh|', s)), 1, 8), 16, 10) as bigint))"))
+      .select(col("id"), expr(s"array($laneMins)").as("sig"))
+      // 1 row per doc, scanned twice per plan (join sides); lifetime:
+      // LRU / caller clearCache, like every index intermediate here
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exact = jaccardPairs(docs, idCol, textCol, n, threshold)
       .select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     val perPlan = plans.map { case (b, r) =>
-      val bkey = mh.withColumn("band", expr(s"h div $r"))
-        .groupBy(col("id"), col("band"))
-        .agg(expr(
-          "md5(array_join(transform(sort_array(collect_list(struct(h, mh))), x -> cast(x.mh as string)), ','))")
-          .as("bkey"))
+      // per-band keys are a scan-local explode of the cached
+      // signature: md5 over the lane-ordered slice (sig is already in
+      // lane order, so slice order IS h order)
+      val bandStructs = (0 until b).map { band =>
+        s"named_struct('band', $band, 'bkey', md5(array_join(transform(" +
+          s"slice(sig, ${band * r + 1}, $r), x -> cast(x as string)), ',')))"
+      }.mkString(", ")
+      val bkey = sig
+        .select(col("id"), explode(expr(s"array($bandStructs)")).as("bb"))
+        .select(col("id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
       val cand = bkey.as("a")
         .join(bkey.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&

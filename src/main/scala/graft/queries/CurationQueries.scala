@@ -2060,22 +2060,27 @@ object CurationQueries {
         |SELECT min(doc_id) AS kept_id, count(*) AS n_copies
         |FROM planted GROUP BY sha256(text) ORDER BY kept_id""".stripMargin,
     "d02_dedup_jaccard" -> exactJaccardPairsSql,
-    // d19: the FULL band-plan sweep replay — same 60-bit md5 minhash
-    // lanes, same h-ordered band keys, same d02 exact pair set; the
-    // candidate counts themselves are hash-checked per plan
-    "d19_band_plan" ->
-      """WITH sh AS (
+    // d19: the FULL band-plan sweep replay — one 32-bit md5 base hash
+    // per (doc, shingle), the spliced universal-hash lane constants,
+    // same i-ordered band keys, same d02 exact pair set; the candidate
+    // counts themselves are hash-checked per plan
+    "d19_band_plan" -> {
+      val laneRows = graft.operators.Dedup.bandPlanLanes(64)
+        .map { case (i, a, b) => s"($i, $a, $b)" }.mkString(",\n    ")
+      s"""WITH sh AS (
         |  SELECT doc_id AS id, list_distinct(list_transform(
         |    generate_series(1, len(string_split(text,' ')) - 2),
         |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS shingles
         |  FROM documents),
         |ex AS (SELECT id, unnest(shingles) AS shingle FROM sh),
-        |hs AS (SELECT unnest(generate_series(0, 63)) AS h),
+        |lanes(h, la, lb) AS (VALUES
+        |    $laneRows),
+        |base AS (SELECT id, ('0x' || substr(md5('mh|' || shingle), 1, 8))::BIGINT AS b
+        |  FROM ex),
         |mh AS MATERIALIZED (
-        |  SELECT e.id, hs.h,
-        |    min(('0x' || substr(md5('mh' || CAST(hs.h AS VARCHAR) || '|' || e.shingle), 1, 15))::BIGINT) AS mh
-        |  FROM ex e CROSS JOIN hs GROUP BY 1, 2),
-        |plans(b, r) AS (VALUES (64, 1), (32, 2), (16, 4)),
+        |  SELECT e.id, l.h, min((l.la * e.b + l.lb) % 2147483647) AS mh
+        |  FROM base e CROSS JOIN lanes l GROUP BY 1, 2),
+        |plans(b, r) AS (VALUES (32, 2), (16, 4), (8, 8)),
         |bkey AS MATERIALIZED (
         |  SELECT p.b, p.r, m.id, m.h // p.r AS band,
         |    md5(string_agg(CAST(m.mh AS VARCHAR), ',' ORDER BY m.h)) AS bkey
@@ -2107,7 +2112,8 @@ object CurationQueries {
         |FROM plans p CROSS JOIN ne
         |LEFT JOIN nc ON nc.b = p.b AND nc.r = p.r
         |LEFT JOIN nt ON nt.b = p.b AND nt.r = p.r
-        |ORDER BY bands""".stripMargin,
+        |ORDER BY bands""".stripMargin
+    },
     // the MinHash-LSH path's verified output must EQUAL the exact pair
     // set at full recall (64 hashes / 16 bands at threshold 0.5;
     // CurationSpec proves it) — so the exact SQL is its oracle too, and
