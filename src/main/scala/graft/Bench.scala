@@ -49,7 +49,8 @@ object Bench {
     "t37_eval_integrity", "a21_ann_recall",
     "q45_attribution", "a22_embedding_drift", "p29_curriculum",
     "t36_pii_redact", "p30_length_batches", "a23_ranking_metrics",
-    "q46_event_paths", "a24_nprobe_sweep", "d19_band_plan")
+    "q46_event_paths", "a24_nprobe_sweep", "d19_band_plan",
+    "t38_token_budget")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -117,4 +117,43 @@ object GlobalIds {
       .withColumn("global_id", col("off") + col("__lrank"))
       .drop("__pid", "__lrank", "off")
   }
+
+  /** EXCLUSIVE prefix sum of `valueCol` in `orderCol` order, added as
+    * column `prefix` — the p14 two-level shape generalized: `orderCol`
+    * must be a dense non-negative long (e.g. [[assignBy]]'s
+    * `global_id`); rows prefix-sum inside `bucketWidth`-wide buckets
+    * with a partitioned window, bucket totals fold in ONE bounded
+    * single-partition task (corpus/bucketWidth rows by construction),
+    * so there is no global sort and no unpartitioned WindowExec.
+    * Cache lifetime: the bucketed projection persists for the two
+    * branch scans — LRU / caller clearCache, like every index
+    * intermediate here. */
+  def exclusivePrefixSum(df: DataFrame, orderCol: String, valueCol: String,
+                         bucketWidth: Int = 1024): DataFrame = {
+    require(bucketWidth >= 1, "bucket width must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bucketed = df
+      .withColumn("__bucket", floor(col(orderCol) / bucketWidth))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bucket")).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val inBucket = bucketed.withColumn("__in_off",
+      coalesce(sum(col(valueCol)).over(wIn), lit(0L)))
+    val bucketOffsets = bucketed.groupBy(col("__bucket"))
+      .agg(sum(col(valueCol)).as("__bsum"))
+      .select(col("__bucket").cast("long"), col("__bsum").cast("long"))
+      .as[(Long, Long)]
+      .repartition(1)
+      .sortWithinPartitions(col("__bucket"))
+      .mapPartitions { it =>
+        var acc = 0L
+        it.map { case (b, s) => val off = acc; acc += s; (b, off) }
+      }
+      .toDF("__bucket", "__b_off")
+    inBucket.join(broadcast(bucketOffsets), "__bucket")
+      .withColumn("prefix", col("__b_off") + col("__in_off"))
+      .drop("__bucket", "__in_off", "__b_off")
+  }
 }

@@ -329,6 +329,46 @@ object Relational10 {
        |ORDER BY q.query_id, np.np""".stripMargin
   }
 
+  /** t38: quality-ordered token-budget selection — THE data-recipe
+    * primitive: keep the best documents (here stopword-density
+    * permille, a C4/Gopher-style naturalness proxy, as an exact
+    * integer so both engines order identically) until a global token
+    * budget (half the corpus) is spent. No single-task sort anywhere:
+    * the quality rank is the two-level [[graft.operators.GlobalIds
+    * .assignBy]] and the running token total is
+    * [[graft.operators.GlobalIds.exclusivePrefixSum]] (the p14
+    * two-level shape generalized — in-bucket windows + one bounded
+    * bucket-total fold). A document is kept iff its INCLUSIVE running
+    * total fits the budget. Output: per-source keep accounting with
+    * `bit_xor` membership checksums — the hash oracle covers the kept
+    * SET, not just its size. */
+  def t38TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val stopArr = stop.map(w => s"'$w'").mkString("array(", ", ", ")")
+    val d = documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      when(col("text").isNull, lit(0L))
+        .otherwise(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+      when(col("text").isNull || size(split(col("text"), " ")) === 0, lit(0L))
+        .otherwise(expr(
+          s"(size(filter(split(text, ' '), w -> array_contains($stopArr, w))) * 1000L)" +
+            " div size(split(text, ' '))")).as("q"))
+    val ranked = graft.operators.GlobalIds.assignBy(
+      d, Seq(col("q").desc, col("doc_id")))
+    val summed = graft.operators.GlobalIds.exclusivePrefixSum(
+      ranked, "global_id", "n_tokens")
+    val budget = broadcast(d.agg(
+      expr("sum(n_tokens) div 2").as("budget")))
+    summed.crossJoin(budget)
+      .filter(col("prefix") + col("n_tokens") <= col("budget"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_tokens")).as("tokens_kept"),
+        min(col("q")).as("min_q"),
+        expr("bit_xor(doc_id)").as("kept_checksum"))
+      .orderBy(col("source"))
+  }
+
   /** q46: top event paths — the sequence-mining readout behind every
     * "what do users do before X" question: each user's event stream in
     * (ts, event_id) order yields its consecutive 3-step paths via two
@@ -358,6 +398,7 @@ object Relational10 {
     "q46_event_paths"     -> q46EventPaths _,
     "a23_ranking_metrics" -> a23RankingMetrics _,
     "a24_nprobe_sweep"    -> a24NprobeSweep _,
+    "t38_token_budget"    -> t38TokenBudget _,
     "q45_attribution"     -> q45Attribution _,
     "a22_embedding_drift" -> a22EmbeddingDrift _,
     "p29_curriculum"      -> p29Curriculum _,
@@ -370,6 +411,28 @@ object Relational10 {
     staticOracles ++ a24Oracle.map("a24_nprobe_sweep" -> _)
 
   private val staticOracles: Map[String, String] = Map(
+    // t38: the same integer quality key (stopword permille, floor
+    // division), the same inclusive-running-total keep rule — DuckDB
+    // replays the rank with one window; Spark reaches the same
+    // cumulative sums through the two-level distributed shape
+    "t38_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN text IS NULL THEN 0
+        |      ELSE len(string_split(text, ' ')) END AS n_tokens,
+        |    CASE WHEN text IS NULL OR len(string_split(text, ' ')) = 0 THEN 0
+        |      ELSE (len(list_filter(string_split(text, ' '),
+        |        w -> list_contains(['the','a','of','and','to','in','is'], w))) * 1000)
+        |        // len(string_split(text, ' ')) END AS q
+        |  FROM documents),
+        |b AS (SELECT sum(n_tokens) // 2 AS budget FROM d),
+        |r AS (SELECT *, sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d),
+        |k AS (SELECT r.* FROM r, b WHERE r.cum <= b.budget)
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+        |  CAST(min(q) AS BIGINT) AS min_q, bit_xor(doc_id) AS kept_checksum
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "q46_event_paths" ->
       """WITH p AS (
         |  SELECT event_type || '>' ||

@@ -53,7 +53,8 @@ object PlanReport {
       "a21_ann_recall",
       "q45_attribution", "a22_embedding_drift", "p29_curriculum",
       "t36_pii_redact", "p30_length_batches", "a23_ranking_metrics",
-      "q46_event_paths", "a24_nprobe_sweep", "d19_band_plan")
+      "q46_event_paths", "a24_nprobe_sweep", "d19_band_plan",
+      "t38_token_budget")
     sb.append("\n## Physical plans (executed, AQE final)\n")
     planQueries.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)

@@ -69,6 +69,21 @@ class GlobalIdsSpec extends AnyFunSuite {
     }
   }
 
+  test("exclusivePrefixSum equals the sequential fold, any bucket width") {
+    // values deliberately unordered by order key; expected prefix is
+    // the exclusive running sum in key order
+    val rows = Seq((0L, 5L), (1L, 3L), (2L, 7L), (3L, 2L), (4L, 11L),
+      (5L, 1L), (6L, 4L), (7L, 9L))
+    val expected = rows.map(_._2).scanLeft(0L)(_ + _).init
+      .zipWithIndex.map { case (p, i) => i.toLong -> p }.toMap
+    for (bw <- Seq(1, 3, 1024)) {
+      val got = GlobalIds.exclusivePrefixSum(
+          rows.toDF("gid", "v").repartition(3), "gid", "v", bucketWidth = bw)
+        .collect().map(r => r.getAs[Long]("gid") -> r.getAs[Long]("prefix")).toMap
+      assert(got === expected, s"bucketWidth=$bw")
+    }
+  }
+
   test("plan has no single-task global sort over the data") {
     val df = GlobalIds.assign((1 to 100).map(_.toLong).toDF("doc_id"), "doc_id")
     val plan = df.queryExecution.executedPlan.toString
