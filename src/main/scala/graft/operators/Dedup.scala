@@ -932,34 +932,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
-  /** MinHash-LSH band-plan sensitivity sweep (d19) — the dedup-side
-    * analogue of the a24 nprobe sweep: before (bands, rowsPerBand)
-    * ships, the index owner reads candidate volume (cost) and recall
-    * vs the exact pair set (quality) for each plan. S-curve theory
-    * says P(candidate) = 1 − (1 − j^r)^b; this is the measured readout.
-    *
-    * One signature matrix serves every plan, built the classic
-    * one-hash-per-shingle way: a single engine-exact 32-bit md5 base
-    * hash per (doc, shingle) (`('0x'||substr(md5(s),1,8))::BIGINT` in
-    * DuckDB), then 64 universal-hash lanes `(a_i·h + b_i) mod
-    * (2^31−1)` with [[bandPlanLanes]]' deterministic constants spliced
-    * into BOTH engines — integer multiply/mod both replay bit for bit
-    * (a_i < 2^30, h < 2^32 keeps the product inside a signed 64-bit;
-    * the per-lane md5 form cost 64 digests per shingle and 22 s at
-    * sf0.1, this runs the same row volume through codegen'd integer
-    * ops). Each plan then re-groups lanes `i div r` into band keys —
-    * md5 over the i-ordered value list (sort_array pins the order;
-    * collect_list alone is nondeterministic). The exact pair set uses
-    * [[jaccardPairs]], the d02-proven inverted-index plan.
-    *
-    * Scale posture: the signature matrix is |docs|·numHashes rows
-    * (corpus-bounded, shuffled once); each plan's candidate join is
-    * the usual LSH bucket self-join (hot-bucket quadratic edge —
-    * callers at scale would add the minHashLshPairs maxBucketDf guard;
-    * the sweep reports the volume that motivates it).
-    *
-    * Output: one row per plan — (bands, rows_per_band, n_candidates,
-    * n_true, n_exact, recall). */
   /** Deterministic universal-hash lane constants for [[bandPlanSweep]]:
     * (i, a_i ∈ [1, 2^30), b_i ∈ [0, 2^30)) — derived from md5 so any
     * engine splicing the same literals replays the same lanes. */
@@ -969,6 +941,35 @@ object Dedup {
         md5Hash60(s"lane-b|$i") % (1L << 30))
     }
 
+  /** MinHash-LSH band-plan sensitivity sweep (d19) — the dedup-side
+    * analogue of the a24 nprobe sweep: before (bands, rowsPerBand)
+    * ships, the index owner reads candidate volume (cost) and recall
+    * vs the exact pair set (quality) for each plan. S-curve theory
+    * says P(candidate) = 1 − (1 − j^r)^b; this is the measured readout
+    * (default plans 32×2, 16×4, 8×8 over 64 lanes — an r=1 leg is
+    * pathological by construction: any shared min-shingle is already a
+    * candidate, which measured 493k candidates for 256 true pairs).
+    *
+    * One signature serves every plan, built scan-locally per row: a
+    * single engine-exact 32-bit md5 base hash per shingle
+    * (`('0x'||substr(md5(s),1,8))::BIGINT` in DuckDB), then 64
+    * universal-hash lanes `(a_i·h + b_i) mod (2^31−1)` with
+    * [[bandPlanLanes]]' deterministic constants spliced into BOTH
+    * engines — integer multiply/mod both replay bit for bit (a_i <
+    * 2^30, h < 2^32 keeps the product inside a signed 64-bit). Each
+    * plan's band keys are md5 over `slice`s of the lane-ordered
+    * signature array — still scan-local. The exact pair set uses
+    * [[jaccardPairs]], the d02-proven inverted-index plan.
+    *
+    * Scale posture: the signature is one array row per doc (no lane
+    * shuffle at all — the aggregated lane-row form cost 12 s of
+    * persist alone at sf0.1, see ProfileD19); each plan's candidate
+    * join is the usual LSH bucket self-join (hot-bucket quadratic
+    * edge — callers at scale would add the minHashLshPairs maxBucketDf
+    * guard; the sweep reports the volume that motivates it).
+    *
+    * Output: one row per plan — (bands, rows_per_band, n_candidates,
+    * n_true, n_exact, recall). */
   def bandPlanSweep(docs: DataFrame, idCol: String, textCol: String,
                     n: Int = 3, numHashes: Int = 64,
                     plans: Seq[(Int, Int)] = Seq((32, 2), (16, 4), (8, 8)),

@@ -40,11 +40,12 @@ object CurationQueries {
 
   /** d19: MinHash-LSH band-plan sensitivity sweep — the dedup dial's
     * readout before (bands, rows) ships, the a24 principle applied to
-    * the LSH index: per plan (64×1, 32×2, 16×4 over one 64-lane
-    * signature matrix), candidate-pair volume (cost) and recall vs the
-    * exact Jaccard ≥ 0.5 pair set (quality). Engine-exact end to end:
-    * the minhashes are the 60-bit md5 form DuckDB replays bit for bit,
-    * band keys are md5 over the h-ordered lane values, and the exact
+    * the LSH index: per plan (32×2, 16×4, 8×8 over one 64-lane
+    * scan-local signature), candidate-pair volume (cost) and recall vs
+    * the exact Jaccard ≥ 0.5 pair set (quality). Engine-exact end to
+    * end: one 32-bit md5 base hash per shingle + spliced
+    * universal-hash lane constants DuckDB replays bit for bit, band
+    * keys as md5 over lane-ordered signature slices, and the exact
     * pair set is d02's inverted-index SQL — so even the candidate
     * COUNTS are hash-checked, not just the verified output (d03's
     * oracle can't see its xxhash candidates; this one can, which is
@@ -1225,23 +1226,31 @@ object CurationQueries {
   /** Exact 3-shingle Jaccard pair SQL — oracle for BOTH d02 (the exact
     * inverted-index path) and d03 (MinHash-LSH, proven recall-complete
     * on this corpus). */
+  /** The 3-gram shingle / pair-intersection / set-size CTE block,
+    * parameterized by the id alias — ONE definition shared by the
+    * d02/d03 oracle and d19's exact-pair denominator, so a
+    * shingle-semantics fix can never silently diverge the recall
+    * denominator from the pair set d02/d03 verify against. */
+  private[queries] def jaccardCoreCtes(idAs: String): String =
+    s"""sh AS (
+       |  SELECT doc_id AS $idAs, list_distinct(list_transform(
+       |    generate_series(1, len(string_split(text,' ')) - 2),
+       |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS shingles
+       |  FROM documents),
+       |ex AS (SELECT $idAs, unnest(shingles) AS shingle FROM sh),
+       |inter AS (
+       |  SELECT a.$idAs AS id_a, b.$idAs AS id_b, count(*) AS n_inter
+       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.$idAs < b.$idAs
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT $idAs, len(shingles) AS n_sh FROM sh)""".stripMargin
+
   private val exactJaccardPairsSql: String =
-    """WITH sh AS (
-      |  SELECT doc_id, list_distinct(list_transform(
-      |    generate_series(1, len(string_split(text,' ')) - 2),
-      |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS shingles
-      |  FROM documents),
-      |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-      |inter AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |sz AS (SELECT doc_id, len(shingles) AS n_sh FROM sh)
-      |SELECT id_a, id_b,
-      |round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
-      |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-      |WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
-      |ORDER BY id_a, id_b""".stripMargin
+    s"""WITH ${jaccardCoreCtes("doc_id")}
+       |SELECT id_a, id_b,
+       |round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+       |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d15_incremental_dedup" -> incrementalDedup _,
@@ -2067,12 +2076,7 @@ object CurationQueries {
     "d19_band_plan" -> {
       val laneRows = graft.operators.Dedup.bandPlanLanes(64)
         .map { case (i, a, b) => s"($i, $a, $b)" }.mkString(",\n    ")
-      s"""WITH sh AS (
-        |  SELECT doc_id AS id, list_distinct(list_transform(
-        |    generate_series(1, len(string_split(text,' ')) - 2),
-        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS shingles
-        |  FROM documents),
-        |ex AS (SELECT id, unnest(shingles) AS shingle FROM sh),
+      s"""WITH ${jaccardCoreCtes("id")},
         |lanes(h, la, lb) AS (VALUES
         |    $laneRows),
         |base AS (SELECT id, ('0x' || substr(md5('mh|' || shingle), 1, 8))::BIGINT AS b
@@ -2090,11 +2094,6 @@ object CurationQueries {
         |  FROM bkey a JOIN bkey c
         |    ON a.b = c.b AND a.r = c.r AND a.band = c.band
         |      AND a.bkey = c.bkey AND a.id < c.id),
-        |inter AS (
-        |  SELECT a.id AS id_a, c.id AS id_b, count(*) AS n_inter
-        |  FROM ex a JOIN ex c ON a.shingle = c.shingle AND a.id < c.id
-        |  GROUP BY 1, 2),
-        |sz AS (SELECT id, len(shingles) AS n_sh FROM sh),
         |ep AS MATERIALIZED (
         |  SELECT id_a, id_b FROM inter
         |  JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b

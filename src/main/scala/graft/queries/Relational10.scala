@@ -357,7 +357,10 @@ object Relational10 {
       d, Seq(col("q").desc, col("doc_id")))
     val summed = graft.operators.GlobalIds.exclusivePrefixSum(
       ranked, "global_id", "n_tokens")
-    val budget = broadcast(d.agg(
+    // budget from the RANKED frame (assignBy persists internally) — an
+    // aggregate over `d` would re-scan the parquet and re-tokenize
+    // every document just to derive one scalar
+    val budget = broadcast(ranked.agg(
       expr("sum(n_tokens) div 2").as("budget")))
     summed.crossJoin(budget)
       .filter(col("prefix") + col("n_tokens") <= col("budget"))
