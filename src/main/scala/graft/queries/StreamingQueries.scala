@@ -223,6 +223,47 @@ object StreamingQueries {
       .orderBy(col("n_exact").desc, col("word"))
   }
 
+  /** s18: a streaming SEARCH feed — queries arrive as a stream and
+    * are answered per micro-batch against the STATIC corpus (every
+    * other s-query streams the corpus; a serving system streams the
+    * QUERIES — this is the missing direction). Each trigger runs the
+    * full engine-exact BM25 ranking ([[graft.operators.Similarity
+    * .bm25TopK]]) for that batch's queries inside foreachBatch:
+    * corpus statistics (N, Σdl, df) come from the static corpus, so
+    * they are identical whatever the batch boundaries, queries never
+    * interact, and the union of per-trigger results equals the
+    * one-shot batch ranking — the oracle is a11's SQL verbatim.
+    * foreachBatch is the honest shape here: per-query top-k needs a
+    * ranking window, which streaming aggregation modes cannot
+    * express, and per-trigger batch scoring is how query feeds
+    * actually serve (per-trigger cost = one corpus pass against that
+    * batch's query vocabulary). */
+  def streamBm25(spark: SparkSession, dir: String): DataFrame = {
+    val c = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val qStream = tableStream(spark, dir, "documents")
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(split(col("text"), " "), 1, 12), " ").as("qtext"))
+    val out = java.nio.file.Files.createTempDirectory("graft_s18_out")
+    out.toFile.deleteOnExit()
+    val ck = java.nio.file.Files.createTempDirectory("graft_stream_ck")
+    ck.toFile.deleteOnExit()
+    val q = qStream.writeStream
+      .option("checkpointLocation", ck.toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Similarity.bm25TopK(
+            batch, c, "doc_id", "text", "qid", "qtext",
+            k = 10, persistTf = false)
+          .write.mode("append").parquet(out.toString)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(out.toString)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** s05: the FLAGSHIP embed pipeline as a STREAM — the same
     * chunk→embed DataFrame program as batch p08 (the stages are shared
     * code, only the source differs), with the engine-exact
@@ -461,6 +502,7 @@ object StreamingQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_stream_search"   -> streamBm25 _,
     "s17_stream_countmin" -> streamCountMin _,
     "s16_stream_outer_interval_join" -> streamPurchaseViewsOuter _,
     "s15_stream_embedding_drift" -> streamEmbeddingDrift _,
@@ -480,6 +522,10 @@ object StreamingQueries {
     "s10_stream_session_window" -> streamSessionWindow _)
 
   def oracles: Map[String, String] = Map(
+    // s18 == batch a11: corpus statistics come from the static corpus
+    // (batch-boundary-independent), queries never interact, so the
+    // union of per-trigger rankings equals the one-shot batch ranking
+    "s18_stream_search" -> CurationQueries.oracles("a11_bm25_topk"),
     // s17 == batch t25: counter cells are a count monoid, so the
     // streamed sketch equals the batch sketch whatever the batch
     // boundaries; the probe list is the same exact top-20

@@ -505,6 +505,48 @@ class StreamingSpec extends AnyFunSuite {
       "sketch total must be word occurrences × depth")
   }
 
+  test("streaming search feed: per-trigger BM25 over a static corpus equals the batch ranking") {
+    val spark2 = spark
+    import spark2.implicits._
+    val drop = tmp("s18_drop"); val ckpt = tmp("s18_ckpt"); val out = tmp("s18_out")
+    val corpus = Seq(
+      (1L, "spark shuffles data between stages during wide transformations"),
+      (2L, "narrow transformations avoid shuffles and pipeline inside one stage"),
+      (3L, "broadcast joins ship the small side to every executor"),
+      (4L, "watermarks bound streaming state for event time aggregations"))
+      .toDF("doc_id", "text")
+    // queries split across TWO files -> two triggers; corpus stats are
+    // static, so the per-trigger unions must equal the batch run
+    Seq((100L, "spark shuffles")).toDF("qid", "qtext")
+      .coalesce(1).write.parquet(s"$drop/b1")
+    Seq((200L, "broadcast joins"), (300L, "streaming state"))
+      .toDF("qid", "qtext").coalesce(1).write.parquet(s"$drop/b2")
+    val q = spark.readStream.schema("qid LONG, qtext STRING")
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(drop)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Similarity.bm25TopK(
+            batch, corpus, "doc_id", "text", "qid", "qtext",
+            k = 3, persistTf = false)
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .collect().map(_.toSeq).toSet
+    val batchAll = graft.operators.Similarity.bm25TopK(
+        Seq((100L, "spark shuffles"), (200L, "broadcast joins"),
+          (300L, "streaming state")).toDF("qid", "qtext"),
+        corpus, "doc_id", "text", "qid", "qtext", k = 3, persistTf = false)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batchAll,
+      "union of per-trigger rankings must equal the one-shot batch ranking")
+    assert(streamed.nonEmpty)
+  }
+
   test("left-outer interval join: matches emit immediately, null rows only " +
       "after BOTH legs' watermark passes the match deadline") {
     val spark2 = spark
