@@ -491,6 +491,26 @@ object ProductQuantizer {
       residUdf(quantizedCol(vecCol, scale), col("cluster")).as("rvq"))
   }
 
+  /** [[fitIvfPqExact]] that KEEPS the residual frame persisted and
+    * returns it: a same-session search over the SAME corpus can reuse
+    * it and skip one corpus encode pass (the a15 cold path's one
+    * redundancy after the train/search split). The returned resid is
+    * (id, cluster, rvq) — exactly [[searchIvfPqSweepExact]]'s
+    * `precomputedResid` shape; eviction is harmless (the plan
+    * recomputes deterministically). */
+  def fitIvfPqExactWithResid(corpus: DataFrame, idCol: String, vecCol: String,
+                             coarseK: Int, m: Int, k: Int, iterations: Int,
+                             scale: Long = 1L << 20)
+      : (IvfPqModel, DataFrame) = {
+    val (_, cents) = KMeans.fit(corpus, idCol, vecCol, coarseK, iterations)
+    val centsQ = cents.map(_.map(x => math.round(x * scale.toDouble)))
+    val resid = residualFrame(corpus, idCol, vecCol, centsQ, scale)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = fit(resid, "id", "rvq", m, k, iterations)
+    val booksQ = model.codebooks.map(_.map(_.map(x => math.round(x))))
+    (IvfPqModel(centsQ, booksQ, model.subDim, m, k, scale), resid)
+  }
+
   /** Train the IVF-PQ model only: coarse k-means, then residual PQ in
     * the quantized space. The residual frame is persisted for the
     * trainer's scans and released before returning — the encoded corpus
@@ -499,14 +519,10 @@ object ProductQuantizer {
   def fitIvfPqExact(corpus: DataFrame, idCol: String, vecCol: String,
                     coarseK: Int, m: Int, k: Int, iterations: Int,
                     scale: Long = 1L << 20): IvfPqModel = {
-    val (_, cents) = KMeans.fit(corpus, idCol, vecCol, coarseK, iterations)
-    val centsQ = cents.map(_.map(x => math.round(x * scale.toDouble)))
-    val resid = residualFrame(corpus, idCol, vecCol, centsQ, scale)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model = fit(resid, "id", "rvq", m, k, iterations)
+    val (model, resid) = fitIvfPqExactWithResid(
+      corpus, idCol, vecCol, coarseK, m, k, iterations, scale)
     resid.unpersist(false)
-    val booksQ = model.codebooks.map(_.map(_.map(x => math.round(x))))
-    IvfPqModel(centsQ, booksQ, model.subDim, m, k, scale)
+    model
   }
 
   /** IVF-PQ search against a pre-trained [[IvfPqModel]]: encode the
@@ -520,9 +536,10 @@ object ProductQuantizer {
   def searchIvfPqExact(queries: DataFrame, corpus: DataFrame,
                        idCol: String, vecCol: String, model: IvfPqModel,
                        nprobe: Int, shortlist: Int, topK: Int,
-                       persistResid: Boolean = true): DataFrame =
+                       persistResid: Boolean = true,
+                       precomputedResid: Option[DataFrame] = None): DataFrame =
     searchIvfPqSweepExact(queries, corpus, idCol, vecCol, model,
-      Seq(nprobe), shortlist, topK, persistResid).drop("nprobe")
+      Seq(nprobe), shortlist, topK, persistResid, precomputedResid).drop("nprobe")
 
   /** [[searchIvfPqExact]] for SEVERAL nprobe values in one pass — the
     * recall-vs-cost dial readout an IVF index needs before its nprobe
@@ -535,7 +552,8 @@ object ProductQuantizer {
   def searchIvfPqSweepExact(queries: DataFrame, corpus: DataFrame,
                             idCol: String, vecCol: String, model: IvfPqModel,
                             nprobes: Seq[Int], shortlist: Int, topK: Int,
-                            persistResid: Boolean = true)
+                            persistResid: Boolean = true,
+                            precomputedResid: Option[DataFrame] = None)
       : DataFrame = {
     val centsQ = model.centsQ
     val booksQ = model.booksQ
@@ -551,12 +569,24 @@ object ProductQuantizer {
     import spark.implicits._
     // same persist rationale (and accumulation caveat) as
     // ivfAdcTopKRefined: the residual stream feeds encode +
-    // cluster join-back
-    val residRaw = residualFrame(corpus, idCol, vecCol, centsQ, scale)
-    val resid =
-      if (persistResid)
-        residRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else residRaw
+    // cluster join-back. A precomputedResid (the trainer's — see
+    // fitIvfPqExactWithResid / ModelCache.ivfPqIndex) must be the
+    // (id, cluster, rvq) frame of THIS corpus under THIS model's
+    // centroids; the caller owns that correspondence. It is
+    // RE-persisted here: if a cache clear evicted the trainer's
+    // handle since, persist() re-registers it (idempotent when still
+    // cached), so the two consumers below never double-compute.
+    val resid = precomputedResid match {
+      case Some(pr) =>
+        if (persistResid)
+          pr.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else pr
+      case None =>
+        val residRaw = residualFrame(corpus, idCol, vecCol, centsQ, scale)
+        if (persistResid)
+          residRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else residRaw
+    }
     // the encoded index is scanned once PER SWEEP LEG — persist it too
     // when there is more than one (lifetime: LRU / caller clearCache,
     // like every trained-index intermediate here)

@@ -368,10 +368,11 @@ object CurationQueries {
     * same parameters, so the Lloyd's runs train once per JVM. */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val model = ModelCache.ivfPqModel(spark, dir)
+    val (model, resid) = ModelCache.ivfPqIndex(spark, dir)
     val df = graft.operators.ProductQuantizer.searchIvfPqExact(
       e.filter(col("vec_id") < 5), e, "vec_id", "embedding", model,
-      nprobe = 4, shortlist = 100, topK = 10)
+      nprobe = 4, shortlist = 100, topK = 10,
+      precomputedResid = Some(resid))
     a15Oracle = Some(a15OracleSql(model.centsQ, model.booksQ, subDim = 8))
     df.orderBy(col("query_id"), col("rank"))
   }

@@ -22,7 +22,8 @@ object ModelCache {
     new java.util.concurrent.ConcurrentHashMap[String, ProductQuantizer.Model]()
 
   private val ivfPqMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, ProductQuantizer.IvfPqModel]()
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (ProductQuantizer.IvfPqModel, org.apache.spark.sql.DataFrame)]()
 
   /** The a09/a21 PQ codebook (m=8, k=16, 2 iterations) for `dir`'s
     * embeddings table, trained once per JVM. */
@@ -32,14 +33,23 @@ object ModelCache {
         embeddings(spark, dir).select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", m = 8, k = 16, iterations = 2))
 
-  /** The a15/a21 IVF-PQ model (coarseK=16, m=8, k=16, 2 iterations)
-    * for `dir`'s embeddings table, trained once per JVM — a21
-    * evaluates exactly a15's parameters, so both share one training
-    * run. Corpus ENCODING stays inside each search (per-query cost);
-    * only the trained centroids + codebooks are the shared artifact. */
-  def ivfPqModel(spark: SparkSession, dir: String): ProductQuantizer.IvfPqModel =
+  /** The a15/a21/a24 IVF-PQ index (coarseK=16, m=8, k=16, 2
+    * iterations) for `dir`'s embeddings table, trained once per JVM —
+    * a21/a24 evaluate exactly a15's parameters, so all share one
+    * training run. The memo holds (model, residual frame): the
+    * residuals are part of the index build, the trainer leaves them
+    * persisted, and handing the SAME frame to every search removes
+    * the cold path's one redundant corpus encode pass. Eviction (LRU
+    * or bench clearCache) is harmless — the frame recomputes
+    * deterministically from the same plan. */
+  def ivfPqIndex(spark: SparkSession, dir: String)
+      : (ProductQuantizer.IvfPqModel, org.apache.spark.sql.DataFrame) =
     ivfPqMemo.computeIfAbsent(s"$dir|ivfpq-16-8-16-2", _ =>
-      ProductQuantizer.fitIvfPqExact(
+      ProductQuantizer.fitIvfPqExactWithResid(
         embeddings(spark, dir).select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", coarseK = 16, m = 8, k = 16, iterations = 2))
+
+  /** [[ivfPqIndex]]'s model half. */
+  def ivfPqModel(spark: SparkSession, dir: String): ProductQuantizer.IvfPqModel =
+    ivfPqIndex(spark, dir)._1
 }

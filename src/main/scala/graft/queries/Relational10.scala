@@ -203,10 +203,11 @@ object Relational10 {
       .select(col("query_id"), col("neighbor_id"))
       // 50 bounded rows, two consumers (overlap join, query list)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model = ModelCache.ivfPqModel(spark, dir)
+    val (model, resid) = ModelCache.ivfPqIndex(spark, dir)
     val sweep = graft.operators.ProductQuantizer.searchIvfPqSweepExact(
       q, e, "vec_id", "embedding", model,
-      nprobes = Nprobes, shortlist = 100, topK = 10)
+      nprobes = Nprobes, shortlist = 100, topK = 10,
+      precomputedResid = Some(resid))
     a24Oracle = Some(a24OracleSql(model.centsQ, model.booksQ, subDim = 8))
     val overlap = exact
       .join(sweep.select(col("nprobe"), col("query_id"), col("neighbor_id")),

@@ -454,10 +454,11 @@ object Relational9 {
     val pqModel = ModelCache.pqModel(spark, dir)
     val (pq, pqBooks) = graft.operators.ProductQuantizer.adcTopKRefinedExact(
       qv, ev, pqModel, "vec_id", "embedding", shortlist = 100, topK = 10)
-    val ipModel = ModelCache.ivfPqModel(spark, dir)
+    val (ipModel, ipResid) = ModelCache.ivfPqIndex(spark, dir)
     val ivfpq = graft.operators.ProductQuantizer.searchIvfPqExact(
       qv, ev, "vec_id", "embedding", ipModel,
-      nprobe = 4, shortlist = 100, topK = 10)
+      nprobe = 4, shortlist = 100, topK = 10,
+      precomputedResid = Some(ipResid))
     a21Oracle = Some(a21OracleSql(pqBooks, ipModel.centsQ, ipModel.booksQ))
     val legs = Seq("ivf" -> ivf, "pq" -> pq, "ivfpq" -> ivfpq)
       .map { case (m, df) =>
