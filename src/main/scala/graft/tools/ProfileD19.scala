@@ -25,6 +25,9 @@ object ProfileD19 {
     time("exact jaccard pairs")(
       graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5).count())
     spark.catalog.clearCache()
+    time("prefix jaccard pairs")(
+      graft.operators.Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, 0.5).count())
+    spark.catalog.clearCache()
     time("full sweep")(
       graft.operators.Dedup.bandPlanSweep(docs, "doc_id", "text").count())
     spark.stop()

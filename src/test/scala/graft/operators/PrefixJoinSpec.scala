@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[Dedup.prefixJaccardPairs]] (the AllPairs/PPJoin
+  * prefix-filtered exact Jaccard join) bit-equal to
+  * [[Dedup.jaccardPairs]] (the inverted-index plan) — the equality that
+  * lets d20 share d02's oracle SQL and lets d19's recall denominator
+  * swap plans without touching its oracle. */
+class PrefixJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def bitEqual(df: org.apache.spark.sql.DataFrame,
+                       threshold: Double): Unit = {
+    val a = Dedup.jaccardPairs(df, "id", "text", n = 3, threshold = threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Dedup.prefixJaccardPairs(df, "id", "text", n = 3,
+        threshold = threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a === b)
+  }
+
+  test("planted near-dups: prefix plan == inverted-index plan, bit for bit") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 37).map(i => s"tok$i").mkString(" ") + " alt x y"
+    val far = (100 to 140).map(i => s"z$i").mkString(" ")
+    val shared = "common prefix words " + (1 to 10).map(i => s"c$i").mkString(" ")
+    val df = Seq(
+      (1L, base), (2L, base),                 // identical pair, J = 1
+      (3L, near),                             // near pair vs 1/2
+      (4L, far), (5L, shared), (6L, shared + " tail"),
+      (7L, ""),                               // shingle-less: must drop
+      (8L, "one two")                         // under n=3: no shingles
+    ).toDF("id", "text")
+    bitEqual(df, 0.5)
+    bitEqual(df, 0.9)
+    bitEqual(df, 0.3)
+  }
+
+  test("pair near the threshold boundary survives both plans identically") {
+    // 22 shared words → 20 pure-shared shingles; each side adds 12 own
+    // words → |A| = |B| = 32 distinct shingles (2 straddle the
+    // boundary), J = 20/44 ≈ 0.4545 — probe thresholds straddling it
+    val shared = (1 to 22).map(i => s"s$i").mkString(" ")
+    val a = shared + " " + (1 to 12).map(i => s"a$i").mkString(" ")
+    val b = shared + " " + (1 to 12).map(i => s"b$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b)).toDF("id", "text")
+    bitEqual(df, 0.45)
+    bitEqual(df, 0.46)
+    assert(Dedup.prefixJaccardPairs(df, "id", "text", 3, 0.45).count() === 1)
+    assert(Dedup.prefixJaccardPairs(df, "id", "text", 3, 0.46).count() === 0)
+  }
+
+  test("sf0.001 documents: full equality on real corpus, two thresholds") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    bitEqual(docs, 0.5)
+    bitEqual(docs, 0.8)
+    // the exact set is non-trivial on this corpus (planted dups exist)
+    assert(Dedup.prefixJaccardPairs(docs, "id", "text", 3, 0.5).count() > 0)
+  }
+}
