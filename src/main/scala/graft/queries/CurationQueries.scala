@@ -27,6 +27,18 @@ object CurationQueries {
     Dedup.jaccardPairs(documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** d20: prefix-filtered all-pairs exact Jaccard ≥ 0.5 — the
+    * AllPairs/PPJoin plan ([[Dedup.prefixJaccardPairs]]): identical
+    * output to d02 (PrefixJoinSpec pins bit-equality, so d02's oracle
+    * SQL is shared verbatim), but candidates come from rarity-ordered
+    * shingle PREFIXES instead of the full inverted index — the
+    * exact-pair plan that survives corpora where common shingles make
+    * the d02 self-join quadratic. Also d19's recall denominator. */
+  def dedupPrefixJoin(spark: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardPairs(documents(spark, dir), "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** d03: MinHash+LSH near-dup pairs (64 hashes, 16 bands), candidates
     * verified with exact Jaccard ≥ 0.5. Hash-checked against the d02
     * exact-pair SQL: the xxhash64 minhash itself has no DuckDB twin,
@@ -304,6 +316,64 @@ object CurationQueries {
       shortlist = 100, topK = 10)
     a09Oracle = Some(a09OracleSql(booksQ, model.subDim))
     df.orderBy(col("query_id"), col("rank"))
+  }
+
+  /** a25: scalar-quantized (SQ8) ANN — the FAISS SQ family member:
+    * per-dim linear [0,255] codes from corpus min/max (NO codebook
+    * training), integer asymmetric distances over the 4×-compressed
+    * corpus, exact cosine refine of the 100-candidate shortlist
+    * ([[graft.operators.Sq8]]). Oracle-checked end to end: the fitted
+    * per-dim integer bounds are spliced as literals and DuckDB replays
+    * quantize → encode → decode → BIGINT distance → shortlist → refine
+    * bit for bit. Sq8Spec adds recall-vs-brute-force and
+    * planted-duplicate pins. */
+  def annSq8(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val model = graft.operators.Sq8.fit(e, "vec_id", "embedding")
+    val df = graft.operators.Sq8.searchRefinedExact(
+      e.filter(col("vec_id") < 5), e, model, "vec_id", "embedding",
+      shortlist = 100, topK = 10)
+    a25Oracle = Some(a25OracleSql(model))
+    df.orderBy(col("query_id"), col("rank"))
+  }
+
+  /** a25's oracle carries the fitted per-dim quantization bounds —
+    * same lifecycle and last-writer-wins contract as [[a14Oracle]]. */
+  @volatile private var a25Oracle: Option[String] = None
+
+  private[queries] def a25OracleSql(model: graft.operators.Sq8.Model): String = {
+    val mn = model.minQ.mkString("[", ", ", "]")
+    val mx = model.maxQ.mkString("[", ", ", "]")
+    val d = model.minQ.length
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd,
+       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * ${model.scale}, 0) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |cfg AS (SELECT $mn::BIGINT[] AS mn, $mx::BIGINT[] AS mx),
+       |r AS (SELECT vec_id, list_transform(generate_series(1, $d), d ->
+       |    255 * mn[d] + least(255, greatest(0,
+       |      (greatest(0, vq[d] - mn[d]) * 255) // greatest(1, mx[d] - mn[d])))
+       |      * (mx[d] - mn[d])) AS r255
+       |  FROM v CROSS JOIN cfg),
+       |q AS (SELECT vec_id AS query_id,
+       |    list_transform(vq, x -> 255 * x) AS q255
+       |  FROM v WHERE vec_id < 5),
+       |dist AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    list_sum(list_transform(generate_series(1, $d), d ->
+       |      (q.q255[d] - c.r255[d]) * (q.q255[d] - c.r255[d]))) AS dist
+       |  FROM q JOIN r c ON c.vec_id <> q.query_id),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn FROM dist)
+       |  WHERE rn <= 100),
+       |scored AS (SELECT s.query_id, s.neighbor_id,
+       |    round(list_cosine_similarity(qv.vd, cv.vd), 6) AS score
+       |  FROM short s JOIN v qv ON qv.vec_id = s.query_id
+       |  JOIN v cv ON cv.vec_id = s.neighbor_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, score, rank FROM ranked
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
   /** a09's oracle carries the trained-then-quantized PQ codebook
@@ -1296,10 +1366,12 @@ object CurationQueries {
     "a04_vector_stats"    -> vectorStats _,
     "a07_centroids"       -> centroids _,
     "a08_ann_ivf_kmeans"  -> annIvfKmeans _,
+    "a25_ann_sq8"         -> annSq8 _,
     "a05_embed_quantize"  -> quantize _,
     "a06_approx_distinct" -> approxDistinct _,
     "d01_dedup_exact"     -> dedupExact _,
     "d02_dedup_jaccard"   -> dedupJaccard _,
+    "d20_prefix_join"     -> dedupPrefixJoin _,
     "d03_dedup_minhash"   -> dedupMinHash _,
     "d19_band_plan"       -> dedupBandPlan _,
     "d04_dedup_simhash"   -> dedupSimHash _,
@@ -1327,6 +1399,7 @@ object CurationQueries {
       a02Oracle.map("a02_ann_signlsh" -> _) ++
       a08Oracle.map("a08_ann_ivf_kmeans" -> _) ++
       a09Oracle.map("a09_ann_pq" -> _) ++
+      a25Oracle.map("a25_ann_sq8" -> _) ++
       a15Oracle.map("a15_ann_ivfpq" -> _) ++
       t18Oracle.map("t18_dsir_weights" -> _)
 
@@ -2070,6 +2143,9 @@ object CurationQueries {
         |SELECT min(doc_id) AS kept_id, count(*) AS n_copies
         |FROM planted GROUP BY sha256(text) ORDER BY kept_id""".stripMargin,
     "d02_dedup_jaccard" -> exactJaccardPairsSql,
+    // d20: prefix filtering changes the PLAN, not the answer — the
+    // inverted-index SQL is the oracle for both exact-pair plans
+    "d20_prefix_join" -> exactJaccardPairsSql,
     // d19: the FULL band-plan sweep replay — one 32-bit md5 base hash
     // per (doc, shingle), the spliced universal-hash lane constants,
     // same i-ordered band keys, same d02 exact pair set; the candidate
