@@ -25,21 +25,19 @@ import org.apache.spark.sql.functions._
   * rows. */
 object Sampling {
 
-  /** Top-`k` weighted sample per `stratumCol`; `weightCol` must be a
-    * positive integral column. Output: (stratum, id, weight, es_key,
-    * rank) ordered within stratum by the E-S key (rank 1 = first
-    * drawn). Rows with weight ≤ 0 or null are excluded (zero-weight
-    * rows can never be drawn; negative weights are undefined). */
-  def weightedTopK(df: DataFrame, stratumCol: String, idCol: String,
-                   weightCol: String, k: Int,
-                   salt: String = "es"): DataFrame = {
-    require(k >= 1, "sample size must be positive")
+  /** The shared E-S keying stage: (stratum, id, weight, es_key) with
+    * the deterministic salted-md5 uniform — scan-local, so the SAME
+    * code keys the batch top-k and the s19 streaming aggregation.
+    * Rows with weight ≤ 0 or null are excluded (zero-weight rows can
+    * never be drawn; negative weights are undefined). */
+  def esKeyed(df: DataFrame, stratumCol: String, idCol: String,
+              weightCol: String, salt: String = "es"): DataFrame = {
     // hash the post-projection "id" column — same VALUES as the
     // caller's id column, which is what the oracle hashes too
     val h = graft.operators.HyperLogLog.hashExpr("id", salt)
     // u = (h+1)/2^60 ∈ (0,1]; ln once; s9 = round(ln(u)·1e9) as BIGINT;
     // key = s9 / w (negative, closer to 0 = better draw)
-    val keyed = df
+    df
       .filter(col(weightCol).isNotNull && col(weightCol) > 0)
       .select(col(stratumCol).as("stratum"), col(idCol).as("id"),
         col(weightCol).cast("long").as("weight"))
@@ -48,6 +46,17 @@ object Sampling {
           "* 1000000000, 0) as bigint)"))
       .withColumn("es_key",
         col("__s9").cast("double") / col("weight").cast("double"))
+  }
+
+  /** Top-`k` weighted sample per `stratumCol`; `weightCol` must be a
+    * positive integral column. Output: (stratum, id, weight, es_key,
+    * rank) ordered within stratum by the E-S key (rank 1 = first
+    * drawn). */
+  def weightedTopK(df: DataFrame, stratumCol: String, idCol: String,
+                   weightCol: String, k: Int,
+                   salt: String = "es"): DataFrame = {
+    require(k >= 1, "sample size must be positive")
+    val keyed = esKeyed(df, stratumCol, idCol, weightCol, salt)
     val pruned = graft.plans.TopKPerKey.prune(
       keyed, "stratum", "es_key", "id", k)
     pruned

@@ -501,7 +501,59 @@ object StreamingQueries {
         col("s").as("s_b"), col("n").as("n_b")))
   }
 
+  /** s19: streaming weighted sample — t29's Efraimidis–Spirakis
+    * weighted top-k as a single streaming aggregation
+    * ([[graft.operators.SampleAggregators.WeightedTopKAggregator]]):
+    * k·24 bytes of state per stratum however long the stream runs. The
+    * E-S keying is scan-local-deterministic (salted md5 uniform, the
+    * SAME [[graft.operators.Sampling.esKeyed]] stage batch t29 runs)
+    * and top-k-by-a-total-order is arrival-order-free, so the streamed
+    * sample equals the batch sample row for row. Oracle: t29's SQL
+    * verbatim. */
+  def streamWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tableStream(spark, dir, "documents")
+    val keyed = graft.operators.Sampling.esKeyed(
+      docs, "source", "doc_id", "n_chars")
+    val agg = keyed.groupBy(col("stratum"))
+      .agg(graft.operators.SampleAggregators.weightedTopKAgg(
+        col("es_key"), col("id"), col("weight"), 50).as("sample"))
+    awaitMemorySink(agg, "complete")
+      .select(col("stratum"), posexplode(col("sample")).as(Seq("i", "rec")))
+      .select(col("stratum"), col("rec._2").as("id"),
+        col("rec._3").as("weight"), col("rec._1").as("es_key"),
+        (col("i") + 1).cast("long").as("rank"))
+      .orderBy(col("stratum"), col("rank"))
+  }
+
+  /** s20: streaming quantile sketch — exact interpolated quantiles
+    * over a DETERMINISTIC bottom-k-by-hash sample
+    * ([[graft.operators.SampleAggregators.BottomKSampleAggregator]]):
+    * the sketch-family answer (s06 HLL, s08 KMV, s17 CM) for
+    * quantiles, with k·16 bytes of state per group. Where batch a18
+    * samples by a hash-threshold FILTER (state ∝ pass rate — unbounded
+    * over an endless stream), the bottom-k sample is a fixed-size,
+    * order-independent, mergeable monoid; the quantile readout is the
+    * a18/q32 interpolation over the sample. DuckDB replays hash →
+    * bottom-256 per flag → interpolated quantiles exactly. */
+  def streamSampleQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = tableStream(spark, dir, "lineitem")
+    val h = graft.operators.HyperLogLog.hashExpr(
+      "concat(l_orderkey, '-', l_linenumber)", "bk")
+    val keyed = li.select(col("l_returnflag"), expr(h).as("h"),
+      expr("cast(round(l_extendedprice * 1000000) as bigint)").as("v6"))
+    val agg = keyed.groupBy(col("l_returnflag"))
+      .agg(graft.operators.SampleAggregators.bottomKSampleAgg(
+        col("h"), col("v6"), 256).as("sample"))
+    val sample = awaitMemorySink(agg, "complete")
+      .select(col("l_returnflag"), explode(col("sample")).as("rec"))
+      .select(col("l_returnflag"), col("rec._2").as("v6"))
+    graft.operators.Profile.exactQuantiles(
+      sample, "l_returnflag", col("v6"), Seq(50, 90, 99))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_stream_weighted_sample" -> streamWeightedSample _,
+    "s20_stream_quantiles" -> streamSampleQuantiles _,
     "s18_stream_search"   -> streamBm25 _,
     "s17_stream_countmin" -> streamCountMin _,
     "s16_stream_outer_interval_join" -> streamPurchaseViewsOuter _,
@@ -522,6 +574,35 @@ object StreamingQueries {
     "s10_stream_session_window" -> streamSessionWindow _)
 
   def oracles: Map[String, String] = Map(
+    // s19 == batch t29: deterministic scan-local keying + top-k under
+    // a total order is arrival-order-free, so the streamed sample IS
+    // the batch sample — the oracle is t29's SQL verbatim
+    "s19_stream_weighted_sample" -> graft.operators.Sampling.oracleSql(
+      "documents", "source", "doc_id", "n_chars", k = 50),
+    // s20: DuckDB replays the salted hash, the per-flag bottom-256
+    // multiset under (h, v6) order, and the a18-convention integer
+    // quantile interpolation over the sample
+    "s20_stream_quantiles" ->
+      """WITH r AS (SELECT l_returnflag AS g,
+        |    ('0x' || substr(md5('bk|' || CAST(l_orderkey AS VARCHAR)
+        |      || '-' || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS h,
+        |    CAST(round(l_extendedprice * 1000000) AS BIGINT) AS v6
+        |  FROM lineitem),
+        |s AS (SELECT g, v6 FROM (
+        |  SELECT g, v6, row_number() OVER (PARTITION BY g ORDER BY h, v6) AS rn
+        |  FROM r) WHERE rn <= 256),
+        |rk AS (SELECT g, v6, row_number() OVER (PARTITION BY g ORDER BY v6) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n FROM s),
+        |j AS (SELECT g, p, (p * (n - 1)) // 100 AS k, (p * (n - 1)) % 100 AS frac,
+        |    rn, v6
+        |  FROM rk CROSS JOIN (VALUES (50), (90), (99)) AS ps(p)
+        |  WHERE rn = (p * (n - 1)) // 100 + 1 OR rn = (p * (n - 1)) // 100 + 2),
+        |a AS (SELECT g, p, frac,
+        |    min(CASE WHEN rn = k + 1 THEN v6 END) AS lo,
+        |    max(CASE WHEN rn = k + 2 THEN v6 END) AS hi
+        |  FROM j GROUP BY g, p, frac)
+        |SELECT g AS l_returnflag, p, lo * (100 - frac) + COALESCE(hi, lo) * frac AS pctl_u
+        |FROM a ORDER BY l_returnflag, p""".stripMargin,
     // s18 == batch a11: corpus statistics come from the static corpus
     // (batch-boundary-independent), queries never interact, so the
     // union of per-trigger rankings equals the one-shot batch ranking
