@@ -570,4 +570,104 @@ object Similarity {
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
   }
+
+  /** Exact cosine RANGE search (a26) — every corpus vector within
+    * cosine ≥ `threshold` of each query: FAISS's `range_search`, the
+    * radius companion of top-k. Dedup sweeps want "everything this
+    * close" and calibrated-retrieval evaluation wants fixed-radius
+    * sets; top-k can answer neither (k clips dense neighborhoods and
+    * pads sparse ones with junk).
+    *
+    * Scale posture: queries broadcast (bounded query set), the corpus
+    * NEVER shuffles — scoring is scan-local and the only exchanged
+    * rows are the qualifying matches, so cost is one corpus scan +
+    * output volume (range ops are output-bound by nature). Same
+    * arithmetic as [[bruteForceTopK]]: the codegen'd left-to-right
+    * double cosine, the threshold applied to the UNROUNDED value (the
+    * d05 convention both engines replay), round-6 only in the
+    * reported score. The sub-linear path at 100 TB is the same one
+    * d07 proves for pairs: [[signLshBucket]] the corpus once, probe
+    * matching buckets, verify with this exact cosine. */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, threshold: Double): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(vecCol).as("cv"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("__cos", cosine(col("qv"), col("cv")))
+      .filter(col("__cos") >= threshold)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("__cos"), 6).as("score"))
+  }
+
+  /** Corpus self-similarity / diversity readout (a27) — MEAN PAIRWISE
+    * COSINE per label WITHOUT a pair space. For unit vectors,
+    *   Σ_{i<j} u_i·u_j = (‖Σ_i u_i‖² − Σ_i ‖u_i‖²) / 2,
+    * so the all-pairs mean needs only per-dimension component sums and
+    * one squared-norm total: |labels|·d cells of state stand in for
+    * n²/2 pairs — the identity that keeps "how redundant is this
+    * corpus?" readable at 100 TB, where any materialized-pair plan is
+    * dead on arrival (SemDeDup-style dedup decisions start from
+    * exactly this statistic).
+    *
+    * EXACT (the t33 discipline end to end): raw components quantize to
+    * 2²⁰ fixed point ([[graft.operators.Drift.quantize]] — the shared
+    * builder), the squared norm is summed in INTEGER space (order-free,
+    * so no engine's list-summation order matters), unit scaling is one
+    * IEEE sqrt + one divide on exact inputs (both engines correctly
+    * rounded), and every aggregate is DECIMAL(38). The mean is reported
+    * in ppm of the 2⁴⁰ unit square via floor division, with the
+    * numerator offset by +2·n_pairs·2⁴⁰ first so it is provably
+    * nonnegative (cosine ≥ −1−ε) — integral division semantics on
+    * NEGATIVE operands is exactly the cross-engine boundary the offset
+    * sidesteps.
+    *
+    * Output: (label, n, n_pairs, pair_dot_sum, mean_cos_ppm) — the
+    * exact DECIMAL numerator rides along so a consumer can re-derive
+    * any other denominator without rescanning. */
+  def pairwiseDiversity(vectors: DataFrame, labelCol: String,
+                        vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val q20 = 1L << 20
+    val q40 = 1L << 40
+    val uq = vectors
+      .filter(col(vecCol).isNotNull)
+      .withColumn("__q", graft.operators.Drift.quantize(vecCol))
+      // exact integer norm²: q_d² ≤ 2⁴², ×64 dims < 2⁴⁹ — BIGINT-safe,
+      // and integer summation is order-free (no list_sum-order hazard)
+      .withColumn("__n2",
+        expr("aggregate(__q, 0L, (acc, x) -> acc + x * x)"))
+      .filter(col("__n2") > 0)
+      // unit-quantize: q_d·2²⁰ ≤ 2⁴¹ is double-exact; sqrt and the one
+      // divide are IEEE correctly-rounded in both engines
+      .withColumn("uq", expr(
+        s"transform(__q, x -> cast(round(x * ${q20}.0D / sqrt(__n2), 0) as bigint))"))
+      .select(col(labelCol).as("label"), col("uq"))
+    // the only corpus-sized aggregate: per-(label, dim) sums, map-side
+    // combined to |labels|·d cells
+    val cell = uq
+      .select(col("label"), posexplode(col("uq")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(col("x")).cast(d38).as("s"),
+        sum(col("x") * col("x")).cast(d38).as("t"),
+        count(lit(1)).as("n"))
+    cell.groupBy(col("label"))
+      .agg(sum(col("s") * col("s")).cast(d38).as("ss"),
+        sum(col("t")).cast(d38).as("t"),
+        // n is per (label, d) but constant across d (every vector
+        // carries every component) — max() collapses it exactly
+        max(col("n")).as("n"))
+      .withColumn("n_pairs", expr("(n * (n - 1)) div 2"))
+      // ss − t = 2·Σ_{i<j} dot by construction (always even)
+      .withColumn("pair_dot_sum", ((col("ss") - col("t")) / lit(2)).cast(d38))
+      .withColumn("mean_cos_ppm",
+        when(col("n_pairs") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            s"CAST(((pair_dot_sum + 2 * CAST(n_pairs AS DECIMAL(38,0)) * ${q40}L)" +
+              s" * 1000000) div (CAST(n_pairs AS DECIMAL(38,0)) * ${q40}L)" +
+              s" - 2000000 AS BIGINT)")))
+      .select(col("label"), col("n"), col("n_pairs"),
+        col("pair_dot_sum"), col("mean_cos_ppm"))
+      .orderBy(col("label"))
+  }
 }

@@ -806,6 +806,54 @@ object TextAnalysis {
         lit("")).as("clean_text"))
   }
 
+  /** N-gram novelty (t39) — how much of each document is text the
+    * corpus has NOT already seen: the fraction of its distinct word
+    * n-grams whose FIRST occurrence (minimum doc id) is this document.
+    * The inverse readout of duplication: boilerplate-heavy or
+    * crawl-duplicated documents score near 0, fresh prose near 1000
+    * permille. This is the attribution form of exact substring dedup —
+    * instead of dropping repeated spans (d10/d14), it charges each
+    * n-gram to its earliest document and scores everyone else's reuse.
+    *
+    * Scale posture: shuffles carry 8-byte md5-prefix hashes, never the
+    * n-gram strings (the d03 hashed-shingle lesson); the per-hash
+    * min-doc aggregate map-side combines; the exploded (doc, hash)
+    * frame persists because it feeds both the aggregate and the
+    * join-back (cache lifetime: session LRU / caller clearCache, like
+    * every index intermediate here). The hash is the 60-bit md5 prefix
+    * — engine-replayable, collision odds ~n²/2⁶¹ (once per ~10⁹ grams
+    * squared; a collision misattributes ONE gram, it cannot fail the
+    * pipeline).
+    *
+    * Output: (doc_id, n_grams, n_novel, novelty_permille) — permille by
+    * integer floor division (corpus-derived denominators never ride a
+    * rounded double: the t33 rule); gram-less docs report 0/0/NULL. */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val ex = docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.GraftFunctions.ngramStrings(col(textCol), n))
+          .as("shingle"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)")
+          .as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = ex.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    val agg = ex.join(first, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), lit(1L))
+          .otherwise(lit(0L))).as("n_novel"))
+      .withColumn("novelty_permille", expr("(n_novel * 1000) div n_grams"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        col("novelty_permille"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One row per document with the full text-analysis profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Eleventh batch (round 6, driver session): radius retrieval, the
+  * pair-free corpus-diversity readout, n-gram novelty attribution,
+  * event-transition probabilities, and fill-in-the-middle span
+  * corruption — retrieval/monitoring/training-prep operators a corpus
+  * pipeline runs beside the existing top-k / dedup / packing surface. */
+object Relational11 {
+
+  /** a26: exact cosine RANGE search ([[graft.operators.Similarity
+    * .rangeSearch]]) — all corpus vectors within cosine ≥ 0.25 of each
+    * query; queries broadcast, the corpus never shuffles, output is
+    * match-bound (FAISS `range_search`, the radius companion of the
+    * a01 top-k). */
+  def a26RangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    graft.operators.Similarity.rangeSearch(
+      e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+      threshold = 0.25)
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  /** a27: corpus diversity ([[graft.operators.Similarity
+    * .pairwiseDiversity]]) — per-label MEAN PAIRWISE COSINE via the
+    * sum-of-vectors identity: |labels|·d cells of state stand in for
+    * n²/2 pairs, exact DECIMAL(38) numerator + ppm floor division. */
+  def a27Diversity(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.pairwiseDiversity(
+      embeddings(spark, dir), "label", "embedding")
+
+  /** t39: n-gram novelty ([[graft.operators.TextAnalysis
+    * .ngramNovelty]]) — per doc, the permille of its distinct word
+    * 3-grams first seen in THIS document (minimum doc id wins);
+    * boilerplate and crawl dups score near 0. */
+  def t39Novelty(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.ngramNovelty(
+      documents(spark, dir), "doc_id", "text", n = 3)
+
+  /** q47: event-transition matrix — the Markov readout behind q46's
+    * path mining: per (from, to) adjacent-event pair, the count and
+    * the row-conditional probability in ppm (floor division — the
+    * denominator is a corpus-sized per-from total, so the t33 rule
+    * applies). One per-user window (spilling sort under hot users,
+    * the q46 posture), then a |types|²-bounded aggregate that
+    * map-side combines; the per-from totals join is a broadcast of a
+    * |types|-row frame. */
+  def q47Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("__tot"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .withColumn("p_ppm", expr("(n * 1000000) div __tot"))
+      .select(col("from_type"), col("to_type"), col("n"), col("p_ppm"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** p31: fill-in-the-middle span corruption ([[graft.operators.Fim
+    * .fimSplit]]) — deterministic md5 cut points + PSM/SPM coin,
+    * scan-local, zero shuffles; the full re-serialized training text
+    * is hash-checked. */
+  def p31FimSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Fim.fimSplit(documents(spark, dir), "doc_id", "text")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a26_range_search" -> a26RangeSearch _,
+    "a27_diversity"    -> a27Diversity _,
+    "t39_novelty"      -> t39Novelty _,
+    "q47_transitions"  -> q47Transitions _,
+    "p31_fim_split"    -> p31FimSplit _)
+
+  val oracles: Map[String, String] = Map(
+    "a26_range_search" ->
+      """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings)
+        |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  round(list_cosine_similarity(q.v, c.v), 6) AS score
+        |FROM d q JOIN d c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |WHERE list_cosine_similarity(q.v, c.v) >= 0.25
+        |ORDER BY query_id, neighbor_id""".stripMargin,
+    // a27: same quantize → integer norm² → unit-quantize → moment
+    // pipeline; integer norm² is order-free, so no list-summation-order
+    // hazard; the ppm offset keeps the floor-division numerator nonneg
+    "a27_diversity" ->
+      """WITH e AS (SELECT label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT)) AS q
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |n2 AS (SELECT label, q,
+        |    list_sum(list_transform(q, x -> x * x)) AS norm2 FROM e),
+        |u AS (SELECT label,
+        |    list_transform(q,
+        |      x -> CAST(round(x * 1048576.0 / sqrt(norm2), 0) AS BIGINT)) AS uq
+        |  FROM n2 WHERE norm2 > 0),
+        |ex AS (SELECT label, t.d AS d, uq[t.d] AS x
+        |  FROM u, unnest(generate_series(1, len(uq))) AS t(d)),
+        |cell AS (SELECT label, d, CAST(sum(x) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS t, count(*) AS n
+        |  FROM ex GROUP BY 1, 2),
+        |l AS (SELECT label, sum(s * s) AS ss, sum(t) AS t, max(n) AS n
+        |  FROM cell GROUP BY 1)
+        |SELECT label, CAST(n AS BIGINT) AS n,
+        |  CAST((n * (n - 1)) // 2 AS BIGINT) AS n_pairs,
+        |  CAST((ss - t) // 2 AS DECIMAL(38,0)) AS pair_dot_sum,
+        |  CASE WHEN n < 2 THEN NULL ELSE
+        |    CAST((((ss - t) // 2
+        |        + 2 * CAST((n * (n - 1)) // 2 AS HUGEINT) * 1099511627776)
+        |      * 1000000)
+        |      // (CAST((n * (n - 1)) // 2 AS HUGEINT) * 1099511627776)
+        |      - 2000000 AS BIGINT) END AS mean_cos_ppm
+        |FROM l ORDER BY label""".stripMargin,
+    // t39: the d02 shingle CTE + the t03 md5-prefix hash + first-doc
+    // attribution; permille by integer floor division
+    "t39_novelty" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text,' ')) - 2),
+        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS shingles
+        |  FROM documents),
+        |ex AS (SELECT doc_id,
+        |    ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS h FROM sh),
+        |f AS (SELECT h, min(doc_id) AS first_doc FROM ex GROUP BY h),
+        |agg AS (SELECT e.doc_id, count(*) AS n_grams,
+        |    sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS n_novel
+        |  FROM ex e JOIN f USING (h) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(a.n_novel, 0) AS BIGINT) AS n_novel,
+        |  CAST(a.n_novel * 1000 // a.n_grams AS BIGINT) AS novelty_permille
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q47_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events),
+        |p AS (SELECT event_type AS from_type, to_type, count(*) AS n
+        |  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n) AS tot FROM p GROUP BY 1)
+        |SELECT p.from_type, p.to_type, p.n,
+        |  CAST((p.n * 1000000) // t.tot AS BIGINT) AS p_ppm
+        |FROM p JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+    "p31_fim_split" ->
+      """WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+        |  FROM documents WHERE text IS NOT NULL AND length(text) >= 2),
+        |c AS (SELECT doc_id, text, len,
+        |    ('0x' || substr(md5('fim1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % len + 1 AS c1,
+        |    ('0x' || substr(md5('fim2|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % len + 1 AS c2,
+        |    ('0x' || substr(md5('fimm|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 2 AS coin
+        |  FROM d),
+        |s AS (SELECT doc_id, len, text,
+        |    least(c1, c2) AS lo, greatest(c1, c2) AS hi,
+        |    CASE WHEN coin = 0 THEN 'psm' ELSE 'spm' END AS mode
+        |  FROM c),
+        |parts AS (SELECT doc_id, mode,
+        |    substr(text, 1, CAST(lo - 1 AS INT)) AS pfx,
+        |    substr(text, CAST(lo AS INT), CAST(hi - lo AS INT)) AS mid,
+        |    substr(text, CAST(hi AS INT), CAST(len - hi + 1 AS INT)) AS sfx
+        |  FROM s)
+        |SELECT doc_id, mode,
+        |  CAST(length(pfx) AS BIGINT) AS n_prefix,
+        |  CAST(length(mid) AS BIGINT) AS n_middle,
+        |  CAST(length(sfx) AS BIGINT) AS n_suffix,
+        |  CASE WHEN mode = 'psm'
+        |    THEN '<PRE>' || pfx || '<SUF>' || sfx || '<MID>' || mid
+        |    ELSE '<SUF>' || sfx || '<PRE>' || pfx || '<MID>' || mid
+        |  END AS fim_text
+        |FROM parts ORDER BY doc_id""".stripMargin)
+}

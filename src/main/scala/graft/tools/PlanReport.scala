@@ -54,7 +54,9 @@ object PlanReport {
       "q45_attribution", "a22_embedding_drift", "p29_curriculum",
       "t36_pii_redact", "p30_length_batches", "a23_ranking_metrics",
       "q46_event_paths", "a24_nprobe_sweep", "d19_band_plan",
-      "t38_token_budget")
+      "t38_token_budget", "d20_prefix_join", "a25_ann_sq8",
+      "a26_range_search", "a27_diversity", "t39_novelty",
+      "q47_transitions", "p31_fim_split")
     sb.append("\n## Physical plans (executed, AQE final)\n")
     planQueries.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
