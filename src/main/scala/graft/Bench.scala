@@ -52,7 +52,7 @@ object Bench {
     "q46_event_paths", "a24_nprobe_sweep", "d19_band_plan",
     "t38_token_budget", "d20_prefix_join", "a25_ann_sq8",
     "a26_range_search", "a27_diversity", "t39_novelty",
-    "q47_transitions", "p31_fim_split")
+    "q47_transitions", "p31_fim_split", "t40_source_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

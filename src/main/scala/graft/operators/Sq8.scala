@@ -59,29 +59,37 @@ object Sq8 {
     Model(rows.map(_.getLong(1)), rows.map(_.getLong(2)), scale)
   }
 
-  /** The scan-local code array for one vector column: per dim,
-    * `(xq − min)·255 div (max − min)` clamped to [0, 255] — integer
-    * floor division on a non-negative numerator, so Spark `div` and
-    * DuckDB `//` agree. Model constants are spliced as array literals
-    * (2d integers — expression constants, not a join). */
-  private def codesCol(model: Model): Column = {
+  /** The decoded 255-scaled reconstruction STRAIGHT from the raw
+    * vector, as one element-aligned zip_with chain: per dim,
+    * `code = clamp₀₂₅₅((xq − min)·255 div (max − min))` (integer floor
+    * division on a non-negative numerator, so Spark `div` and DuckDB
+    * `//` agree) and `r255 = 255·min + code·(max − min)`. Model
+    * constants are spliced as array literals (2d integers — folded to
+    * constants, not a join).
+    *
+    * Built as ONE expression deliberately: an earlier form computed
+    * vq → codes → r255 as chained columns indexed with
+    * `element_at(…, d)` inside `transform(sequence(…))` lambdas.
+    * ProjectCollapse inlined each intermediate into the next lambda
+    * BODY, so every element access re-evaluated the full upstream
+    * transform — O(d³) interpreted lambda evaluations per row
+    * (higher-order functions are CodegenFallback), measured as 124 s
+    * of the 129 s a25 bench cost at sf0.1. Element-aligned zip_with
+    * has no per-element array indexing to inline: one linear pass per
+    * row wherever the optimizer splices it (0.7 s after the rewrite,
+    * ProfileSq8 pins the stage timings). */
+  private def r255FromVec(vecCol: String, model: Model): Column = {
     val mn = model.minQ.mkString("array(", ", ", ")")
     val mx = model.maxQ.mkString("array(", ", ", ")")
     expr(
-      s"""transform(sequence(1, ${model.minQ.length}), d ->
-         |  least(255, greatest(0,
-         |    (greatest(0, element_at(vq, d) - element_at($mn, d)) * 255)
-         |      div greatest(1, element_at($mx, d) - element_at($mn, d)))))""".stripMargin)
-  }
-
-  /** The decoded 255-scaled reconstruction for a `codes` column. */
-  private def r255Col(model: Model): Column = {
-    val mn = model.minQ.mkString("array(", ", ", ")")
-    val mx = model.maxQ.mkString("array(", ", ", ")")
-    expr(
-      s"""transform(sequence(1, ${model.minQ.length}), d ->
-         |  255 * element_at($mn, d) + element_at(codes, d)
-         |    * (element_at($mx, d) - element_at($mn, d)))""".stripMargin)
+      s"""zip_with(
+         |  zip_with($vecCol, $mn, (x, m) -> named_struct(
+         |    'v', cast(round(cast(x as double) * ${model.scale}, 0) as bigint),
+         |    'm', m)),
+         |  $mx,
+         |  (s, mxv) -> 255 * s.m + least(255, greatest(0,
+         |    (greatest(0, s.v - s.m) * 255) div greatest(1, mxv - s.m)))
+         |    * (mxv - s.m))""".stripMargin)
   }
 
   /** SQ8 search: integer asymmetric distance over the compressed
@@ -94,15 +102,11 @@ object Sq8 {
     require(shortlist >= topK, "shortlist must be at least topK")
     val compressed = corpus
       .select(col(idCol).cast("long").as("neighbor_id"),
-        quantizedCol(vecCol, model.scale).as("vq"))
-      .withColumn("codes", codesCol(model))
-      .withColumn("r255", r255Col(model))
-      .select(col("neighbor_id"), col("r255"))
+        r255FromVec(vecCol, model).as("r255"))
     val q = queries
       .select(col(idCol).cast("long").as("query_id"),
-        quantizedCol(vecCol, model.scale).as("vq"))
-      .withColumn("q255", expr("transform(vq, x -> 255 * x)"))
-      .select(col("query_id"), col("q255"))
+        expr(s"transform($vecCol, x -> 255 * cast(round(cast(x as double)" +
+          s" * ${model.scale}, 0) as bigint))").as("q255"))
     val scored = compressed
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("dist", expr(

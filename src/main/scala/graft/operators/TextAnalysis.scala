@@ -854,6 +854,62 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-source n-gram overlap matrix (t40) — for every ordered
+    * source pair (a, b), how much of source a's distinct n-gram
+    * vocabulary also appears in source b: the containment readout a
+    * crawl owner reads before merging feeds ("does this new feed just
+    * mirror one we already have?"). d11 reports dedup impact WITHIN
+    * the corpus; this localizes redundancy BETWEEN sources.
+    *
+    * Plan: one corpus scan explodes to distinct (source, gram-hash)
+    * pairs — the vocabulary projection, the only corpus-sized shuffle,
+    * carrying 8-byte md5-prefix hashes (the t39 keys, never strings);
+    * the overlap self-join fans each gram out to (sources containing
+    * it)² rows, bounded by |sources|² per gram and |sources|² total
+    * output state. `maxGramSourceFreq` is the stop-gram guard for
+    * source-heavy universes (a gram in more than that many sources is
+    * dropped from BOTH the numerator and each source's denominator —
+    * the jaccardPairs filtered-universe rule, so containment stays a
+    * true ratio over one gram universe).
+    *
+    * Output: (source_a, source_b, n_grams_a, n_common,
+    * containment_ppm) for overlapping pairs; ppm by integer floor
+    * division (corpus-sized denominator — the t33 rule). */
+  def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
+                    n: Int, maxGramSourceFreq: Option[Int] = None): DataFrame = {
+    val g0 = docs
+      .select(col(srcCol).as("source"),
+        explode(graft.functions.GraftFunctions.ngramStrings(col(textCol), n))
+          .as("shingle"))
+      .select(col("source"),
+        expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)")
+          .as("h"))
+      .distinct()
+    val g = (maxGramSourceFreq match {
+      case Some(maxSf) =>
+        val keep = g0.groupBy(col("h"))
+          .agg(count(lit(1)).as("__sf"))
+          .filter(col("__sf") <= maxSf)
+          .select(col("h"))
+        g0.join(keep, Seq("h"))
+      case None => g0
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-source vocabulary sizes over the SAME (possibly guarded)
+    // gram universe as the overlap join
+    val sz = g.groupBy(col("source")).agg(count(lit(1)).as("n_grams_a"))
+    val ov = g.as("a")
+      .join(g.as("b"),
+        col("a.h") === col("b.h") && col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    ov.join(sz.withColumnRenamed("source", "source_a"), Seq("source_a"))
+      .withColumn("containment_ppm",
+        expr("(n_common * 1000000) div n_grams_a"))
+      .select(col("source_a"), col("source_b"), col("n_grams_a"),
+        col("n_common"), col("containment_ppm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** One row per document with the full text-analysis profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

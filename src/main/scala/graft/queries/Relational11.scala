@@ -65,6 +65,15 @@ object Relational11 {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** t40: cross-source n-gram overlap matrix ([[graft.operators
+    * .TextAnalysis.sourceOverlap]]) — per ordered source pair, the
+    * containment of a's distinct 3-gram vocabulary in b's, in ppm;
+    * the feed-redundancy readout beside d11's within-corpus dedup
+    * impact. */
+  def t40SourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.sourceOverlap(
+      documents(spark, dir), "source", "text", n = 3)
+
   /** p31: fill-in-the-middle span corruption ([[graft.operators.Fim
     * .fimSplit]]) — deterministic md5 cut points + PSM/SPM coin,
     * scan-local, zero shuffles; the full re-serialized training text
@@ -77,6 +86,7 @@ object Relational11 {
     "a27_diversity"    -> a27Diversity _,
     "t39_novelty"      -> t39Novelty _,
     "q47_transitions"  -> q47Transitions _,
+    "t40_source_overlap" -> t40SourceOverlap _,
     "p31_fim_split"    -> p31FimSplit _)
 
   val oracles: Map[String, String] = Map(
@@ -151,6 +161,26 @@ object Relational11 {
         |  CAST((p.n * 1000000) // t.tot AS BIGINT) AS p_ppm
         |FROM p JOIN t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+    // t40: the t39 shingle+hash CTEs at source granularity; containment
+    // over the same gram universe on both sides
+    "t40_source_overlap" ->
+      """WITH sh AS (
+        |  SELECT source, list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text,' ')) - 2),
+        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS shingles
+        |  FROM documents),
+        |g AS (SELECT DISTINCT source,
+        |    ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS h FROM sh),
+        |sz AS (SELECT source, count(*) AS n_grams_a FROM g GROUP BY 1),
+        |ov AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS n_common
+        |  FROM g a JOIN g b ON a.h = b.h AND a.source <> b.source
+        |  GROUP BY 1, 2)
+        |SELECT o.source_a, o.source_b, s.n_grams_a, o.n_common,
+        |  CAST((o.n_common * 1000000) // s.n_grams_a AS BIGINT)
+        |    AS containment_ppm
+        |FROM ov o JOIN sz s ON s.source = o.source_a
+        |ORDER BY source_a, source_b""".stripMargin,
     "p31_fim_split" ->
       """WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
         |  FROM documents WHERE text IS NOT NULL AND length(text) >= 2),

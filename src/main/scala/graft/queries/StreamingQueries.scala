@@ -551,7 +551,36 @@ object StreamingQueries {
       sample, "l_returnflag", col("v6"), Seq(50, 90, 99))
   }
 
+  /** s21: streaming event-transition matrix — q47's Markov readout
+    * maintained at ingest time ([[graft.streaming.StreamingIngest
+    * .transitionStream]]): one (last_type, last_ts, last_id) state row
+    * per user emits each (from, to) edge as it happens; the memory
+    * sink's edge multiset then aggregates to exactly the batch
+    * transition counts, and the ppm division is q47's floor-division
+    * discipline. Oracle: q47's SQL verbatim (unified semantics). */
+  def streamTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val ev = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast("long").as("tss"), col("event_id"))
+      .as[(Long, String, Long, Long)]
+    val edges = graft.streaming.StreamingIngest.transitionStream(ev)
+      .toDF("from_type", "to_type")
+    // per-from totals via a window, not q47's self-join: the memory
+    // sink's view resolves BOTH join legs to the same attribute ids
+    // (conflicting-references INTERNAL_ERROR); the result is
+    // |types|²-bounded, so a window over it costs nothing
+    awaitMemorySink(edges, "append")
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .selectExpr("from_type", "to_type", "n",
+        "(n * 1000000) div sum(n) OVER (PARTITION BY from_type) AS p_ppm")
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s21_stream_transitions" -> streamTransitions _,
     "s19_stream_weighted_sample" -> streamWeightedSample _,
     "s20_stream_quantiles" -> streamSampleQuantiles _,
     "s18_stream_search"   -> streamBm25 _,
@@ -574,6 +603,10 @@ object StreamingQueries {
     "s10_stream_session_window" -> streamSessionWindow _)
 
   def oracles: Map[String, String] = Map(
+    // s21 == batch q47: the per-user last-event state makes transition
+    // emission prefix-decomposable, so the streamed edge multiset (and
+    // every count/ppm derived from it) equals the batch lead() pairs
+    "s21_stream_transitions" -> Relational11.oracles("q47_transitions"),
     // s19 == batch t29: deterministic scan-local keying + top-k under
     // a total order is arrival-order-free, so the streamed sample IS
     // the batch sample — the oracle is t29's SQL verbatim

@@ -341,6 +341,37 @@ object StreamingIngest {
       }
   }
 
+  /** s21: streaming event-transition monitor — q47's Markov readout at
+    * ingest time. State per user is ONE (last_type, last_ts, last_id)
+    * triple however long the stream runs (the [[throttleStream]]
+    * bounded-state posture); each arriving event emits a (from, to)
+    * edge against the stored last event and replaces it, so the edge
+    * MULTISET equals the batch `lead()` pairs whatever the micro-batch
+    * boundaries — transition counting is prefix-decomposable given
+    * in-order per-user delivery (the honest s13 contract: within a
+    * batch the group sorts by (ts, event_id); across batches the file
+    * source must not split a user's history out of time order, which
+    * a single AvailableNow replay and any ts-ordered feed satisfy). */
+  def transitionStream(events: Dataset[(Long, String, Long, Long)])
+  : Dataset[(String, String)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[(String, Long, Long)]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          var last = state.getOption.orNull
+          rows.toIndexedSeq.sortBy(r => (r._3, r._4)).foreach { r =>
+            if (last != null) out += ((last._1, r._2))
+            last = (r._2, r._3, r._4)
+          }
+          if (last != null) state.update(last)
+          out.iterator
+      }
+  }
+
   def sessionize(events: Dataset[(Long, Long)], gapSeconds: Long = 1800L,
                  expireIdle: Boolean = true): Dataset[SessionOut] = {
     val spark = events.sparkSession

@@ -100,6 +100,40 @@ class NoveltyFimSpec extends AnyFunSuite {
     assert(r.getLong(4) === len - hi + 1)      // n_suffix
   }
 
+  test("sourceOverlap: identical sources contain each other at exactly 10^6 ppm") {
+    val a = (1 to 10).map(i => s"w$i").mkString(" ")
+    val half = (1 to 6).map(i => s"w$i").mkString(" ") + " " +
+      (1 to 6).map(i => s"z$i").mkString(" ")
+    val df = Seq(
+      (1L, "s1", a), (2L, "s2", a),      // s1 == s2 vocabularies
+      (3L, "s3", half)                    // s3 shares 4 of its 10 grams with s1/s2
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.sourceOverlap(df, "source", "text", 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(("s1", "s2")) === ((8L, 8L, 1000000L)))
+    assert(got(("s2", "s1")) === ((8L, 8L, 1000000L)))
+    // "w1..w6" has 4 trigrams; the w6-z1 straddler and z-grams are s3-only
+    assert(got(("s3", "s1")) === ((10L, 4L, 400000L)))
+    assert(got(("s1", "s3")) === ((8L, 4L, 500000L)))
+  }
+
+  test("sourceOverlap guard drops hot grams from numerator AND denominator") {
+    // gram "a b c" is in all 3 sources (source-freq 3); the rest are private
+    val df = Seq(
+      (1L, "s1", "a b c p1 p2"), (2L, "s2", "a b c q1 q2"),
+      (3L, "s3", "a b c r1 r2")).toDF("doc_id", "source", "text")
+    val unguarded = TextAnalysis.sourceOverlap(df, "source", "text", 3)
+      .collect()
+    assert(unguarded.length === 6 &&
+      unguarded.forall(_.getLong(3) === 1L))  // the shared gram only
+    val guarded = TextAnalysis.sourceOverlap(df, "source", "text", 3,
+      maxGramSourceFreq = Some(2))
+    // the only cross-source gram is gone — no overlapping pairs at all,
+    // and had any survived, n_grams_a would count the filtered universe
+    assert(guarded.count() === 0L)
+  }
+
   test("q47 transitions: per-from ppm is a floor-division probability row") {
     val q = graft.queries.Relational11.q47Transitions(spark, "/root/testdata/sf0.001")
       .collect()

@@ -600,4 +600,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(r2.head.isNullAt(r2.head.fieldIndex("view_id")),
       "the drained row carries null view columns")
   }
+
+  test("streaming transitions carry last-event state ACROSS micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    val drop = tmp("tr_drop"); val ckpt = tmp("tr_ckpt")
+    // user 1's history straddles the batch boundary: the (view→click)
+    // edge needs batch 1's final event as state when batch 2 arrives;
+    // user 2 exists only in batch 2 (no carried state)
+    Seq((1L, "view", 100L, 10L), (1L, "view", 200L, 11L))
+      .toDF("user_id", "event_type", "tss", "event_id")
+      .coalesce(1).write.parquet(s"$drop/b1")
+    Seq((1L, "click", 300L, 12L), (1L, "purchase", 400L, 13L),
+        (2L, "signup", 150L, 20L), (2L, "view", 250L, 21L))
+      .toDF("user_id", "event_type", "tss", "event_id")
+      .coalesce(1).write.parquet(s"$drop/b2")
+    val src = spark.readStream
+      .schema("user_id LONG, event_type STRING, tss LONG, event_id LONG")
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", 1) // force the state hand-off
+      .parquet(drop)
+      .as[(Long, String, Long, Long)]
+    val q = StreamingIngest.transitionStream(src)
+      .toDF("from_type", "to_type")
+      .writeStream.format("memory").queryName("tr_sink")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    val streamed = spark.table("tr_sink")
+      .groupBy("from_type", "to_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed === Map(
+      ("view", "view") -> 1L,      // inside batch 1
+      ("view", "click") -> 1L,     // ACROSS the boundary — state-carried
+      ("click", "purchase") -> 1L, // inside batch 2
+      ("signup", "view") -> 1L))   // fresh user, batch 2 only
+  }
 }
