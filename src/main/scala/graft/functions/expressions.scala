@@ -57,6 +57,71 @@ object helpers {
     * UTF-16 units, or any non-BMP char breaks oracle parity. */
   private def cpLen(s: String): Int = s.codePointCount(0, s.length)
 
+  /** Sign-LSH plane matrix, planes(j)(d) = xxhash64(seed, j, d) >> 32 —
+    * BIT-IDENTICAL to the SQL form it replaces: Spark's `xxhash64(a,
+    * b, c)` folds each argument over an initial seed of 42, and an
+    * int-range literal parses as INT (hashInt), so the fold is
+    * hashInt(d, hashInt(j, hashInt(seed, 42))). Cached per JVM — a
+    * handful of (dim, nPlanes, seed) configs ever live. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Long]]]()
+
+  def signPlanes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Long]] =
+    planeCache.computeIfAbsent((dim, nPlanes, seed), _ => {
+      val seedHash =
+        if (seed >= Int.MinValue && seed <= Int.MaxValue)
+          XXH64.hashInt(seed.toInt, 42L)
+        else XXH64.hashLong(seed, 42L)
+      Array.tabulate(nPlanes) { j =>
+        val jh = XXH64.hashInt(j, seedHash)
+        Array.tabulate(dim)(d => XXH64.hashInt(d, jh) >> 32)
+      }
+    })
+
+  /** The exact quantization of the SQL `cast(round(cast(x as double) *
+    * 1048576, 0) as bigint)`: double multiply, then Spark Round's
+    * decimal-text HALF_UP (scala BigDecimal(d) == BigDecimal.valueOf),
+    * then the truncating long cast. */
+  private def quantHalfUp(xd: Double): Long =
+    java.math.BigDecimal.valueOf(xd * 1048576.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  /** nPlanes-bit sign-LSH code of a float/double vector — the compiled
+    * twin of the interpreted `aggregate(sequence(..), j ->
+    * aggregate(sequence(..), d -> round(x·2²⁰)·plane_jd))` SQL form
+    * (nested HOFs are CodegenFallback: at nPlanes = 64 the interpreted
+    * form runs 4096 lambda dispatches + xxhash evaluations per row —
+    * most of a28's original 5.6 s at sf0.1). Semantics replicated
+    * exactly for full-length vectors; a null ELEMENT nulls the SQL
+    * dot-product sum so every CASE falls to the 0 bit — 0L here too.
+    * One deliberate divergence: a vector SHORTER than `dim` crashed
+    * the SQL form (ANSI element_at out-of-range); here it returns the
+    * same 0L the null cases produce (SignCodeSpec pins all three). */
+  def signCode(arr: ArrayData, dim: Int, nPlanes: Int, seed: Long,
+               isFloat: Boolean): Long = {
+    if (arr.numElements() < dim) return 0L
+    val q = new Array[Long](dim)
+    var d = 0
+    while (d < dim) {
+      if (arr.isNullAt(d)) return 0L
+      val xd = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+      q(d) = quantHalfUp(xd)
+      d += 1
+    }
+    val planes = signPlanes(dim, nPlanes, seed)
+    var code = 0L
+    var j = 0
+    while (j < nPlanes) {
+      val p = planes(j)
+      var s = 0L
+      var i = 0
+      while (i < dim) { s += q(i) * p(i); i += 1 }
+      if (s >= 0L) code += (1L << j)
+      j += 1
+    }
+    code
+  }
+
   /** MinHash signature: one base XXH64 per shingle, then `num` lanes of
     * SplitMix64-style remixing folded to their minima in a single pass. */
   def minHashSignature(arr: ArrayData, num: Int): ArrayData = {
@@ -540,6 +605,36 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "cosine_similarity"
 }
 
+/** `sign_planes_code(vec)` → bigint: the nPlanes-bit sign-LSH code
+  * against the xxhash64-derived plane family — codegen'd single helper
+  * call; see [[helpers.signCode]] for the exact SQL-form semantics it
+  * replicates (including 0L on short/null-element vectors). */
+case class SignPlanesCode(child: Expression, dim: Int, nPlanes: Int,
+                          seed: Long) extends UnaryExpression {
+  require(nPlanes >= 1 && nPlanes <= 64, s"nPlanes must be 1..64, got $nPlanes")
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sign_planes_code needs a float or double array, got $other")
+    }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    helpers.signCode(input.asInstanceOf[ArrayData], dim, nPlanes, seed, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.helpers.signCode($c, $dim, $nPlanes, ${seed}L, $isFloat);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "sign_planes_code"
+}
+
 /** `gopher_fractions(text)` → array<double> [top2, top3, top4, dup5]
   * char fractions — scan-local Gopher repetition rules. */
 case class GopherFractions(child: Expression)
@@ -906,6 +1001,10 @@ object GraftFunctions {
   def cosineSimilarity(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def signPlanesCode(vec: Column, dim: Int, nPlanes: Int, seed: Long): Column =
+    ColumnBridge.column(SignPlanesCode(
+      ColumnBridge.expression(vec), dim, nPlanes, seed))
 
   def uuid5(name: Column): Column =
     ColumnBridge.column(Uuid5Expr(ColumnBridge.expression(name)))

@@ -83,14 +83,25 @@ object Similarity {
   /** Sign-LSH bucket id: `nPlanes` deterministic hyperplanes; bit j is
     * the sign of the FIXED-POINT dot product vq · plane_j, where
     * vq = round(v·2^20) and plane_j(d) = the high 32 bits of
-    * xxhash64(seed, j, d) — pure Catalyst integer arithmetic, no
-    * shuffle, computed in one projection. The integer form is
+    * xxhash64(seed, j, d) — the native codegen'd [[graft.functions
+    * .SignPlanesCode]] expression, no shuffle, one projection. The
+    * integer form is
     * engine-exact (the a12/a14 principle): a SQL twin holding the plane
     * literals ([[signLshPlanes]]) replays every bucket bit-for-bit,
     * with no float-summation-order or sign-boundary hazard. Bounds:
     * |v| ≲ 500 keeps dim·|vq·plane| inside BIGINT (2^20 · 2^9 · 2^31 ·
     * 2^6 = 2^66 would overflow at |v| ≈ 2^12; embeddings are unit-ish). */
   def signLshBucket(vecCol: String, dim: Int, nPlanes: Int, seed: Long = 42L): Column =
+    graft.functions.GraftFunctions.signPlanesCode(col(vecCol), dim, nPlanes, seed)
+
+  /** The interpreted SQL form [[signLshBucket]] compiled away — kept
+    * (test-only) as the semantic pin: SignCodeSpec asserts the native
+    * [[graft.functions.SignPlanesCode]] equals this expression on every
+    * vector, including the short/null edges. The nested HOFs here are
+    * CodegenFallback — at nPlanes = 64 they ran 4096 interpreted lambda
+    * dispatches per row (a28's original 5.6 s at sf0.1). */
+  private[graft] def signLshBucketSqlForm(vecCol: String, dim: Int,
+                                          nPlanes: Int, seed: Long): Column =
     expr(
       s"""aggregate(sequence(0, ${nPlanes - 1}), 0L, (acc, j) ->
          |  acc + shiftleft(
@@ -571,6 +582,63 @@ object Similarity {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Binary-quantized ANN (a28) — the 1-bit-per-plane compression path
+    * every vector store now ships ("binary quantization"): each vector
+    * becomes a 64-bit sign code against the [[signLshBucket]] plane
+    * family (64 planes = one BIGINT — 32× smaller than float32 at
+    * d=64), candidate distance is XOR-popcount hamming (one integer op
+    * per pair against the a01 path's d multiply-adds), and a
+    * `shortlist` of hamming-nearest candidates is re-ranked with exact
+    * cosine — the Sq8/PQ refine shape with the cheapest codes of all.
+    *
+    * Engine-exact: the code bits are fixed-point integer dot-product
+    * signs (the a02 discipline — plane literals splice into the
+    * oracle, which counts per-plane disagreements instead of packing:
+    * popcount(xor) ≡ Σ_j [bit_j differs], sidestepping DuckDB's
+    * HUGEINT list_sum promotion on the 2⁶³ bit), the shortlist order
+    * is (hamming, neighbor_id) — total, integer — and the refine is
+    * the shared round-6 cosine.
+    *
+    * Scale posture: codes are scan-local projections; the corpus scan
+    * carries 8-byte codes into the bounded-heap [[graft.plans
+    * .TopKPerKey]] prune (≤ shortlist rows per query per partition
+    * shuffle); full vectors are read only for shortlist members. */
+  def binaryHammingTopK(queries: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String, dim: Int,
+                        shortlist: Int, topK: Int,
+                        seed: Long = 42L): DataFrame = {
+    require(shortlist >= topK, "shortlist must be at least topK")
+    val code = signLshBucket(vecCol, dim, nPlanes = 64, seed)
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      code.as("ccode"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      code.as("qcode"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("cast(bit_count(qcode ^ ccode) as bigint)").as("ham"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("ham").asc, col("neighbor_id"))
+    val candidates = graft.plans.TopKPerKey.prune(
+        scored.withColumn("neg_ham", -col("ham")),
+        "query_id", "neg_ham", "neighbor_id", shortlist)
+      .withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).cast("long").as("query_id"),
+      asDouble(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      asDouble(vecCol).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    candidates
+      .join(cv, "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
   /** Exact cosine RANGE search (a26) — every corpus vector within
     * cosine ≥ `threshold` of each query: FAISS's `range_search`, the
     * radius companion of top-k. Dedup sweeps want "everything this
@@ -639,9 +707,14 @@ object Similarity {
         expr("aggregate(__q, 0L, (acc, x) -> acc + x * x)"))
       .filter(col("__n2") > 0)
       // unit-quantize: q_d·2²⁰ ≤ 2⁴¹ is double-exact; sqrt and the one
-      // divide are IEEE correctly-rounded in both engines
+      // divide are IEEE correctly-rounded in both engines. The scalar
+      // sqrt(__n2) rides in via array_repeat — a collection argument,
+      // evaluated ONCE — because a lambda-body reference would let
+      // ProjectCollapse inline the whole __n2 aggregate per element
+      // (the a25/Sq8 failure mode, d² here: measured 3.9 → 0.9 s)
       .withColumn("uq", expr(
-        s"transform(__q, x -> cast(round(x * ${q20}.0D / sqrt(__n2), 0) as bigint))"))
+        s"zip_with(__q, array_repeat(sqrt(__n2), size(__q)), " +
+          s"(x, n) -> cast(round(x * ${q20}.0D / n, 0) as bigint))"))
       .select(col(labelCol).as("label"), col("uq"))
     // the only corpus-sized aggregate: per-(label, dim) sums, map-side
     // combined to |labels|·d cells

@@ -65,6 +65,100 @@ object Relational11 {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** a28: binary-quantized ANN ([[graft.operators.Similarity
+    * .binaryHammingTopK]]) — 64-bit sign codes, XOR-popcount hamming
+    * shortlist, exact cosine refine; the 32×-compression retrieval
+    * path beside SQ8's 4× and PQ's 8×. */
+  def a28BinaryHamming(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    a28Oracle = Some(a28OracleSql(
+      graft.operators.Similarity.signLshPlanes(spark, dim = 64, nPlanes = 64)))
+    graft.operators.Similarity.binaryHammingTopK(
+      e.filter(col("vec_id") < 5), e, "vec_id", "embedding", dim = 64,
+      shortlist = 100, topK = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** a28's oracle carries the sign-plane literals — the a02
+    * last-writer-wins lifecycle. */
+  @volatile private var a28Oracle: Option[String] = None
+
+  /** The DuckDB replay counts per-plane sign disagreements instead of
+    * packing bits (popcount(xor) ≡ Σ_j [bit_j differs]) — DuckDB's
+    * list_sum promotes to HUGEINT, so a packed 2⁶³ bit could not round-
+    * trip through BIGINT there; the unpacked form needs no packing at
+    * all. */
+  private def a28OracleSql(planes: Array[Array[Long]]): String = {
+    val pm = planes.map(_.mkString("[", ", ", "]")).mkString("[", ",\n    ", "]")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd,
+       |  list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |p AS (SELECT $pm AS pm),
+       |b AS MATERIALIZED (SELECT vec_id, vd,
+       |  list_transform(generate_series(1, ${planes.length}), j ->
+       |    CASE WHEN list_sum(list_transform(
+       |        generate_series(1, ${planes.head.length}),
+       |        d -> vq[d] * pm[j][d])) >= 0
+       |    THEN 1 ELSE 0 END) AS bits
+       |  FROM v, p),
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    q.vd AS qd, c.vd AS cd,
+       |    list_sum(list_transform(generate_series(1, ${planes.length}), j ->
+       |      CASE WHEN q.bits[j] <> c.bits[j] THEN 1 ELSE 0 END)) AS ham
+       |  FROM b q JOIN b c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+       |short AS (SELECT query_id, neighbor_id, qd, cd FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ham, neighbor_id) AS rn FROM scored) WHERE rn <= 100),
+       |refined AS (SELECT query_id, neighbor_id,
+       |    round(list_cosine_similarity(qd, cd), 6) AS score FROM short),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM refined)
+       |SELECT query_id, neighbor_id, score, rank FROM ranked
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  private val A29Dims = Seq(8, 16, 32)
+
+  /** a29: dimension-truncation retrieval sweep — recall@10 of cosine
+    * over the FIRST d′ dimensions (d′ ∈ {8, 16, 32}) against the
+    * full-dimension exact ranking, per (query, d′): the readout behind
+    * Matryoshka-style truncatable embeddings (Kusupati et al., 2022)
+    * — how much of the ranking survives using a prefix of the vector.
+    * The a24 sweep principle applied to dimensionality; every leg is
+    * the engine-exact a01 machinery over a sliced array. */
+  def a29DimSweep(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val full = graft.operators.Similarity
+      .bruteForceTopKExec(e.filter(col("vec_id") < 5), e, "vec_id",
+        "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"))
+      // 50 bounded rows, |dims|+1 consumers
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val overlaps = A29Dims.map { dp =>
+      val sliced = e.select(col("vec_id"),
+        expr(s"slice(embedding, 1, $dp)").as("embedding"))
+      graft.operators.Similarity
+        .bruteForceTopKExec(sliced.filter(col("vec_id") < 5), sliced,
+          "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(full, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .withColumn("dims", lit(dp))
+    }.reduce(_ unionByName _)
+    full.select(col("query_id")).distinct()
+      .crossJoin(broadcast(A29Dims.toDF("dims")))
+      .join(overlaps, Seq("query_id", "dims"), "left_outer")
+      .select(col("query_id"), col("dims"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") / 10.0, 6)
+          .as("recall"))
+      .orderBy(col("query_id"), col("dims"))
+  }
+
   /** t40: cross-source n-gram overlap matrix ([[graft.operators
     * .TextAnalysis.sourceOverlap]]) — per ordered source pair, the
     * containment of a's distinct 3-gram vocabulary in b's, in ppm;
@@ -87,9 +181,45 @@ object Relational11 {
     "t39_novelty"      -> t39Novelty _,
     "q47_transitions"  -> q47Transitions _,
     "t40_source_overlap" -> t40SourceOverlap _,
+    "a28_binary_hamming" -> a28BinaryHamming _,
+    "a29_dim_sweep"    -> a29DimSweep _,
     "p31_fim_split"    -> p31FimSplit _)
 
-  val oracles: Map[String, String] = Map(
+  /** a28's oracle is dynamic (plane literals) — last-writer-wins after
+    * the query runs, the CurationQueries convention. */
+  def oracles: Map[String, String] =
+    staticOracles ++ a28Oracle.map("a28_binary_hamming" -> _)
+
+  private val staticOracles: Map[String, String] = Map(
+    "a29_dim_sweep" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+        |  FROM embeddings),
+        |dims(dp) AS (VALUES (8), (16), (32)),
+        |fs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.vd, c.vd), 6) AS score
+        |  FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |fx AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id) AS rk FROM fs) WHERE rk <= 10),
+        |ds AS (SELECT d.dp, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.vd[1:d.dp], c.vd[1:d.dp]), 6)
+        |      AS score
+        |  FROM dims d CROSS JOIN v q JOIN v c
+        |    ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |dx AS (SELECT dp, query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY dp, query_id
+        |    ORDER BY score DESC, neighbor_id) AS rk FROM ds) WHERE rk <= 10),
+        |ov AS (SELECT x.dp, x.query_id, count(*) AS n_overlap
+        |  FROM dx x JOIN fx f ON f.query_id = x.query_id
+        |    AND f.neighbor_id = x.neighbor_id
+        |  GROUP BY 1, 2)
+        |SELECT q.query_id, d.dp AS dims,
+        |  COALESCE(ov.n_overlap, 0) AS n_overlap,
+        |  round(COALESCE(ov.n_overlap, 0) / 10.0, 6) AS recall
+        |FROM (SELECT DISTINCT query_id FROM fx) q
+        |CROSS JOIN dims d
+        |LEFT JOIN ov ON ov.query_id = q.query_id AND ov.dp = d.dp
+        |ORDER BY q.query_id, dims""".stripMargin,
     "a26_range_search" ->
       """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings)
