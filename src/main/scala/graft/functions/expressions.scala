@@ -82,9 +82,18 @@ object helpers {
     * 1048576, 0) as bigint)`: double multiply, then Spark Round's
     * decimal-text HALF_UP (scala BigDecimal(d) == BigDecimal.valueOf),
     * then the truncating long cast. */
-  private def quantHalfUp(xd: Double): Long =
-    java.math.BigDecimal.valueOf(xd * 1048576.0)
+  private def quantHalfUp(xd: Double): Long = {
+    val scaled = xd * 1048576.0
+    // BigDecimal.valueOf(NaN/Inf) throws a bare NumberFormatException
+    // mid-task; the ANSI SQL form also failed on such values (cast of a
+    // non-finite double) — keep the failure but make it name the cause
+    // (the LinAlg loud-failure convention)
+    if (java.lang.Double.isNaN(scaled) || java.lang.Double.isInfinite(scaled))
+      throw new IllegalArgumentException(
+        s"sign_planes_code: non-finite vector component $xd")
+    java.math.BigDecimal.valueOf(scaled)
       .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+  }
 
   /** nPlanes-bit sign-LSH code of a float/double vector — the compiled
     * twin of the interpreted `aggregate(sequence(..), j ->

@@ -762,6 +762,13 @@ object Dedup {
     * ('0x' || substr(md5(s), 1, 15))::BIGINT, and positivity makes
     * signed and unsigned comparisons agree, so ORDER-sensitive
     * consumers (the winnowing per-window min) replay identically. */
+  /** [[md5Hash60]] as a Column over a computed string — ONE definition
+    * of the cast(conv(substring(md5(..),1,15),16,10) as bigint) form so
+    * hash-convention changes cannot silently miss a copy (t39/t40/p31
+    * share it; [[Kmv.hashCol]] is the prefixed variant). */
+  def md5Hash60Col(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   def md5Hash60(s: String): Long = {
     val md = md5Local.get()
     md.reset()

@@ -27,14 +27,14 @@ object Fim {
   val Mid = "<MID>"
 
   private def h(tag: String, idCol: String) =
-    expr(s"cast(conv(substring(md5(concat('$tag|', cast($idCol as string)))," +
-      " 1, 15), 16, 10) as bigint)")
+    Dedup.md5Hash60Col(concat(lit(s"$tag|"), col(idCol).cast("string")))
 
   /** (doc_id, mode, n_prefix, n_middle, n_suffix, fim_text) per doc of
     * length ≥ 2; cut points lo ≤ hi in [1, len] give
     * prefix = text[1, lo−1], middle = text[lo, hi−1], suffix =
-    * text[hi, len] (any split may be empty; the three always
-    * reassemble to the original — the invariant FimSpec pins).
+    * text[hi, len] (prefix and middle may be empty; the suffix always
+    * carries ≥ 1 char since hi ≤ len; the three always reassemble to
+    * the original — the invariant NoveltyFimSpec pins).
     * mode: 'psm' → PRE p SUF s MID m; 'spm' → SUF s PRE p MID m. */
   def fimSplit(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs

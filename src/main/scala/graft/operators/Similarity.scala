@@ -92,7 +92,14 @@ object Similarity {
     * |v| ≲ 500 keeps dim·|vq·plane| inside BIGINT (2^20 · 2^9 · 2^31 ·
     * 2^6 = 2^66 would overflow at |v| ≈ 2^12; embeddings are unit-ish). */
   def signLshBucket(vecCol: String, dim: Int, nPlanes: Int, seed: Long = 42L): Column =
-    graft.functions.GraftFunctions.signPlanesCode(col(vecCol), dim, nPlanes, seed)
+    // coalesce preserves the SQL form's NULL-vector edge: a null array
+    // made every CASE fall to the 0 bit (code 0, row still joinable on
+    // bucket 0 — what the plane-literal oracles replay); the native
+    // expression is a null-intolerant UnaryExpression and would emit
+    // NULL, silently dropping the row from every bucket equi-join
+    coalesce(
+      graft.functions.GraftFunctions.signPlanesCode(col(vecCol), dim, nPlanes, seed),
+      lit(0L))
 
   /** The interpreted SQL form [[signLshBucket]] compiled away — kept
     * (test-only) as the semantic pin: SignCodeSpec asserts the native
@@ -718,11 +725,15 @@ object Similarity {
       .select(col(labelCol).as("label"), col("uq"))
     // the only corpus-sized aggregate: per-(label, dim) sums, map-side
     // combined to |labels|·d cells
+    // cast INSIDE the sums (the oracle's HUGEINT discipline): x ≤ 2²⁰
+    // so x² ≤ 2⁴⁰, and a BIGINT sum would silently wrap past ~2²³
+    // same-label rows — exactly the 100 TB regime this operator exists
+    // for
     val cell = uq
       .select(col("label"), posexplode(col("uq")).as(Seq("d", "x")))
       .groupBy(col("label"), col("d"))
-      .agg(sum(col("x")).cast(d38).as("s"),
-        sum(col("x") * col("x")).cast(d38).as("t"),
+      .agg(sum(col("x").cast(d38)).cast(d38).as("s"),
+        sum(col("x").cast(d38) * col("x").cast(d38)).cast(d38).as("t"),
         count(lit(1)).as("n"))
     cell.groupBy(col("label"))
       .agg(sum(col("s") * col("s")).cast(d38).as("ss"),

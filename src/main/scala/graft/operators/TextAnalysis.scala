@@ -834,9 +834,7 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"),
         explode(graft.functions.GraftFunctions.ngramStrings(col(textCol), n))
           .as("shingle"))
-      .select(col("doc_id"),
-        expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)")
-          .as("h"))
+      .select(col("doc_id"), Dedup.md5Hash60Col(col("shingle")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val first = ex.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
     val agg = ex.join(first, Seq("h"))
@@ -881,9 +879,7 @@ object TextAnalysis {
       .select(col(srcCol).as("source"),
         explode(graft.functions.GraftFunctions.ngramStrings(col(textCol), n))
           .as("shingle"))
-      .select(col("source"),
-        expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)")
-          .as("h"))
+      .select(col("source"), Dedup.md5Hash60Col(col("shingle")).as("h"))
       .distinct()
     val g = (maxGramSourceFreq match {
       case Some(maxSf) =>

@@ -52,16 +52,17 @@ object Relational11 {
     * |types|-row frame. */
   def q47Transitions(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val pairs = events(spark, dir)
+    events(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .withColumn("to_type", lead(col("event_type"), 1).over(w))
       .filter(col("to_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
-    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("__tot"))
-    pairs.join(broadcast(totals), Seq("from_type"))
-      .withColumn("p_ppm", expr("(n * 1000000) div __tot"))
-      .select(col("from_type"), col("to_type"), col("n"), col("p_ppm"))
+      // per-from totals via a window over the |types|²-bounded result —
+      // a join back to a re-aggregation would plant the corpus-sized
+      // window subtree in BOTH legs of the plan
+      .selectExpr("from_type", "to_type", "n",
+        "(n * 1000000) div sum(n) OVER (PARTITION BY from_type) AS p_ppm")
       .orderBy(col("from_type"), col("to_type"))
   }
 

@@ -561,9 +561,13 @@ object StreamingQueries {
   def streamTransitions(spark: SparkSession, dir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
+    // MICROSECOND order key, not cast-to-seconds: the oracle (q47) sorts
+    // by the full-resolution ts, and a same-second pair whose event_id
+    // order disagrees with its sub-second ts order would emit a
+    // different edge under a truncated key
     val ev = eventsStream(spark, dir)
       .select(col("user_id"), col("event_type"),
-        col("ts").cast("long").as("tss"), col("event_id"))
+        unix_micros(col("ts")).as("tsu"), col("event_id"))
       .as[(Long, String, Long, Long)]
     val edges = graft.streaming.StreamingIngest.transitionStream(ev)
       .toDF("from_type", "to_type")

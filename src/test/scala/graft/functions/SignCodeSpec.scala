@@ -74,6 +74,20 @@ class SignCodeSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL vector keeps the SQL form's bucket-0 edge (coalesce in signLshBucket)") {
+    val df = spark.sql(
+      "SELECT 1L AS id, array(cast(0.5 as float), cast(-0.5 as float)) AS v " +
+        "UNION ALL SELECT 2L, cast(null as array<float>)")
+    val got = df.select(col("id"),
+        graft.operators.Similarity.signLshBucket("v", 2, 8, 42L).as("c"),
+        graft.operators.Similarity.signLshBucketSqlForm("v", 2, 8, 42L).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the SQL form's null array nulls the dot sum -> every CASE -> 0;
+    // a null bucket instead would drop the row from every bucket join
+    got.foreach { case (id, (c, s)) => assert(c === s, s"id $id") }
+    assert(got(2L)._1 === 0L)
+  }
+
   test("driver-side plane cache == the SQL-built signLshPlanes matrix") {
     val sql = graft.operators.Similarity.signLshPlanes(spark, dim = 8,
       nPlanes = 6, seed = 42L)
