@@ -53,7 +53,8 @@ object Bench {
     "t38_token_budget", "d20_prefix_join", "a25_ann_sq8",
     "a26_range_search", "a27_diversity", "t39_novelty",
     "q47_transitions", "p31_fim_split", "t40_source_overlap",
-    "a28_binary_hamming", "a29_dim_sweep")
+    "a28_binary_hamming", "a29_dim_sweep",
+    "g04_clustering_coeff", "a30_coreset")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

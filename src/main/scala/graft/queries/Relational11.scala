@@ -169,6 +169,46 @@ object Relational11 {
     graft.operators.TextAnalysis.sourceOverlap(
       documents(spark, dir), "source", "text", n = 3)
 
+  /** g04: local clustering coefficient over the co-purchase graph —
+    * per part, cc = 2·triangles·10⁶ div (deg·(deg−1)) ppm: how
+    * clique-like each hub's neighborhood is (g03 counts the triangles;
+    * this normalizes them into the classic local-density readout).
+    * Same graph, same [[graft.operators.Triangles.perNodeCounts]]
+    * enumeration; degrees are one |E|-bounded aggregate. Top 20 by
+    * (degree desc, part) — a total order. */
+  def g04ClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .distinct()
+      // two consumers (degree fold + triangle enumeration) — one
+      // materialization of the order² pair fan-out, the g01 posture
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("a").as("part")).unionAll(e.select(col("b")))
+      .groupBy(col("part")).agg(count(lit(1)).as("degree"))
+    val tri = graft.operators.Triangles.perNodeCounts(e, "a", "b")
+      .select(col("node").as("part"), col("n_triangles"))
+    deg.join(tri, Seq("part"), "left_outer")
+      .select(col("part"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("cc_ppm",
+        when(col("degree") < 2, lit(null).cast("long"))
+          .otherwise(expr(
+            "(2 * n_triangles * 1000000) div (degree * (degree - 1))")))
+      .orderBy(col("degree").desc, col("part"))
+      .limit(20)
+  }
+
+  /** a30: farthest-point coreset ([[graft.operators.Coreset
+    * .farthestPointSample]]) — greedy k-center over the embeddings,
+    * k = 12: the diversity-coverage pick sequence + coverage-radius²
+    * trajectory, every pick re-derived relationally by the oracle. */
+  def a30Coreset(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Coreset.farthestPointSample(
+      embeddings(spark, dir), "vec_id", "embedding", k = 12)
+
   /** p31: fill-in-the-middle span corruption ([[graft.operators.Fim
     * .fimSplit]]) — deterministic md5 cut points + PSM/SPM coin,
     * scan-local, zero shuffles; the full re-serialized training text
@@ -184,6 +224,8 @@ object Relational11 {
     "t40_source_overlap" -> t40SourceOverlap _,
     "a28_binary_hamming" -> a28BinaryHamming _,
     "a29_dim_sweep"    -> a29DimSweep _,
+    "g04_clustering_coeff" -> g04ClusteringCoeff _,
+    "a30_coreset"      -> a30Coreset _,
     "p31_fim_split"    -> p31FimSplit _)
 
   /** a28's oracle is dynamic (plane literals) — last-writer-wins after
@@ -191,7 +233,74 @@ object Relational11 {
   def oracles: Map[String, String] =
     staticOracles ++ a28Oracle.map("a28_binary_hamming" -> _)
 
+  /** The a30 oracle re-derives every farthest-point pick RELATIONALLY
+    * (no spliced model): k unrolled MATERIALIZED rounds — dist frame →
+    * argmax pick (excluding prior picks) → least-folded running min —
+    * the d19 unroll convention. */
+  private def a30OracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH v AS MATERIALIZED (SELECT vec_id AS id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT)) AS vq
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |c0 AS MATERIALIZED (SELECT id, vq FROM v ORDER BY id LIMIT 1),
+        |d0 AS MATERIALIZED (
+        |  SELECT v.id, v.vq, CAST(list_sum(list_transform(
+        |      generate_series(1, len(v.vq)),
+        |      i -> (v.vq[i] - c.vq[i]) * (v.vq[i] - c.vq[i]))) AS BIGINT) AS mind
+        |  FROM v, c0 c),
+        |""".stripMargin)
+    for (r <- 1 until k) {
+      val prev = s"d${r - 1}"
+      val excl = (0 until r).map(i => s"SELECT id FROM c$i")
+        .mkString(" UNION ALL ")
+      sb.append(
+        s"""c$r AS MATERIALIZED (
+           |  SELECT id, vq, mind FROM $prev WHERE id NOT IN ($excl)
+           |  ORDER BY mind DESC, id LIMIT 1),
+           |""".stripMargin)
+      if (r < k - 1)
+        sb.append(
+          s"""d$r AS MATERIALIZED (
+             |  SELECT p.id, p.vq, least(p.mind, CAST(list_sum(list_transform(
+             |      generate_series(1, len(p.vq)),
+             |      i -> (p.vq[i] - c.vq[i]) * (p.vq[i] - c.vq[i]))) AS BIGINT)) AS mind
+             |  FROM $prev p, c$r c),
+             |""".stripMargin)
+    }
+    // drop the trailing ",\n" of the last CTE
+    sb.setLength(sb.length - 2)
+    sb.append("\n")
+    val rows =
+      "SELECT 0 AS round, id AS chosen_id, CAST(0 AS BIGINT) AS covered_r2 FROM c0" +:
+        (1 until k).map(r => s"SELECT $r, id, mind FROM c$r")
+    sb.append(rows.mkString("", "\nUNION ALL ", "\nORDER BY round"))
+    sb.toString
+  }
+
   private val staticOracles: Map[String, String] = Map(
+    "a30_coreset" -> a30OracleSql(12),
+    "g04_clustering_coeff" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |deg AS (SELECT part, count(*) AS degree FROM (
+        |  SELECT a AS part FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
+        |tcnt AS (SELECT part, count(*) AS n_triangles FROM (
+        |  SELECT a AS part FROM tri UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri) GROUP BY 1)
+        |SELECT d.part, d.degree, COALESCE(t.n_triangles, 0) AS n_triangles,
+        |  CASE WHEN d.degree < 2 THEN NULL
+        |    ELSE CAST((2 * COALESCE(t.n_triangles, 0) * 1000000)
+        |      // (d.degree * (d.degree - 1)) AS BIGINT) END AS cc_ppm
+        |FROM deg d LEFT JOIN tcnt t USING (part)
+        |ORDER BY degree DESC, part LIMIT 20""".stripMargin,
     "a29_dim_sweep" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
         |  FROM embeddings),

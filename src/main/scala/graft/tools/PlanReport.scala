@@ -57,7 +57,8 @@ object PlanReport {
       "t38_token_budget", "d20_prefix_join", "a25_ann_sq8",
       "a26_range_search", "a27_diversity", "t39_novelty",
       "q47_transitions", "p31_fim_split", "t40_source_overlap",
-      "a28_binary_hamming", "a29_dim_sweep")
+      "a28_binary_hamming", "a29_dim_sweep",
+      "g04_clustering_coeff", "a30_coreset")
     sb.append("\n## Physical plans (executed, AQE final)\n")
     planQueries.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
