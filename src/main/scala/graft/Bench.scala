@@ -54,7 +54,9 @@ object Bench {
     "a26_range_search", "a27_diversity", "t39_novelty",
     "q47_transitions", "p31_fim_split", "t40_source_overlap",
     "a28_binary_hamming", "a29_dim_sweep",
-    "g04_clustering_coeff", "a30_coreset")
+    "g04_clustering_coeff", "a30_coreset",
+    "q48_share_shift", "a31_distance_hist", "p33_seqlen_sweep",
+    "t41_vocab_growth")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -30,6 +30,7 @@ object SparkEntry {
       graft.queries.Relational9.queries ++
       graft.queries.Relational10.queries ++
       graft.queries.Relational11.queries ++
+      graft.queries.Relational12.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.CurationQueries.queries ++
       graft.queries.StreamingQueries.queries
@@ -48,6 +49,7 @@ object SparkEntry {
       graft.queries.Relational9.oracles ++
       graft.queries.Relational10.oracles ++
       graft.queries.Relational11.oracles ++
+      graft.queries.Relational12.oracles ++
       graft.queries.PipelineQueries.oracles ++
       graft.queries.CurationQueries.oracles ++
       graft.queries.StreamingQueries.oracles
