@@ -237,13 +237,20 @@ object Relational11 {
     * (no spliced model): k unrolled MATERIALIZED rounds — dist frame →
     * argmax pick (excluding prior picks) → least-folded running min —
     * the d19 unroll convention. */
-  private def a30OracleSql(k: Int): String = {
+  private def a30OracleSql(k: Int): String =
+    "WITH " + a30OracleCtes(k) + "\n" + a30OracleRows(k)
+
+  /** The pick-sequence CTE chain alone (v, c0, d0, c1, …, c_{k−1}) —
+    * shared with s23's streaming novelty monitor, which trains the
+    * coreset on the even-id snapshot (`extraWhere`) and measures the
+    * odd-id stream against it. */
+  private[queries] def a30OracleCtes(k: Int, extraWhere: String = ""): String = {
     val sb = new StringBuilder
     sb.append(
-      """WITH v AS MATERIALIZED (SELECT vec_id AS id,
+      s"""v AS MATERIALIZED (SELECT vec_id AS id,
         |    list_transform(embedding,
         |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT)) AS vq
-        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |  FROM embeddings WHERE embedding IS NOT NULL $extraWhere),
         |c0 AS MATERIALIZED (SELECT id, vq FROM v ORDER BY id LIMIT 1),
         |d0 AS MATERIALIZED (
         |  SELECT v.id, v.vq, CAST(list_sum(list_transform(
@@ -271,12 +278,14 @@ object Relational11 {
     }
     // drop the trailing ",\n" of the last CTE
     sb.setLength(sb.length - 2)
-    sb.append("\n")
+    sb.toString
+  }
+
+  private def a30OracleRows(k: Int): String = {
     val rows =
       "SELECT 0 AS round, id AS chosen_id, CAST(0 AS BIGINT) AS covered_r2 FROM c0" +:
         (1 until k).map(r => s"SELECT $r, id, mind FROM c$r")
-    sb.append(rows.mkString("", "\nUNION ALL ", "\nORDER BY round"))
-    sb.toString
+    rows.mkString("", "\nUNION ALL ", "\nORDER BY round")
   }
 
   private val staticOracles: Map[String, String] = Map(

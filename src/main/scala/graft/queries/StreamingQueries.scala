@@ -583,7 +583,80 @@ object StreamingQueries {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** s22: streaming range-search alerts — the s18 inverted-feed
+    * pattern on a26's radius semantics: query vectors arrive as the
+    * stream, each trigger answers its batch with the full exact range
+    * search against the static corpus inside foreachBatch (radius
+    * alerting — "tell me everything this close to the new arrival" —
+    * is how similarity monitors actually serve). Corpus is static ⇒
+    * per-trigger unions equal the one-shot batch search; oracle =
+    * a26's SQL verbatim. */
+  def streamRangeAlerts(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val qStream = tableStream(spark, dir, "embeddings")
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"))
+    val out = java.nio.file.Files.createTempDirectory("graft_s22_out")
+    out.toFile.deleteOnExit()
+    val ck = java.nio.file.Files.createTempDirectory("graft_stream_ck")
+    ck.toFile.deleteOnExit()
+    val q = qStream.writeStream
+      .option("checkpointLocation", ck.toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Similarity.rangeSearch(
+            batch, corpus, "vec_id", "embedding", threshold = 0.25)
+          .write.mode("append").parquet(out.toString)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(out.toString)
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  /** s23: streaming novelty / out-of-distribution monitor — the a30
+    * coreset put to work at ingest: the even-id snapshot ("yesterday",
+    * the a22/d15 convention) trains a 12-point farthest-point coreset
+    * whose quantized centers AND final coverage radius² are spliced as
+    * literals; each odd-id vector streaming in reports its exact
+    * integer min-L2² to the coreset and an `is_novel` flag (farther
+    * than the training coverage radius = outside yesterday's
+    * distribution — the alert a drift-watch pages on). Scan-local
+    * projection ⇒ stream trivially equals batch; the oracle re-derives
+    * the coreset relationally (the a30 CTE chain over evens) and
+    * replays the distance scan over odds. */
+  def streamNoveltyMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val even = e.filter(col("vec_id") % 2 === 0)
+    val picks = graft.operators.Coreset
+      .farthestPointSample(even, "vec_id", "embedding", k = 12)
+      .collect()
+    val thr = picks.last.getLong(2)
+    val pickIds = picks.map(_.getLong(1))
+    val centers = even
+      .filter(col("vec_id").isInCollection(pickIds))
+      .select(col("vec_id"), graft.operators.Drift.quantize("embedding").as("vq"))
+      .collect().map(r => r.getSeq[Long](1).toArray)
+    val dists = centers.map { c =>
+      val cLit = c.mkString("array(", "L, ", "L)")
+      expr(s"aggregate(zip_with(vq, $cLit, (x, y) -> (x - y) * (x - y)), " +
+        "0L, (acc, t) -> acc + t)")
+    }
+    val minD = dists.reduce(least(_, _))
+    val monitored = tableStream(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull && col("vec_id") % 2 === 1)
+      .select(col("vec_id"), graft.operators.Drift.quantize("embedding").as("vq"))
+      .withColumn("min_d2", minD)
+      .withColumn("is_novel", (col("min_d2") > lit(thr)).cast("int"))
+      .select(col("vec_id"), col("min_d2"), col("is_novel"))
+    awaitMemorySink(monitored, "append").orderBy(col("vec_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s23_stream_novelty" -> streamNoveltyMonitor _,
+    "s22_stream_range_alerts" -> streamRangeAlerts _,
     "s21_stream_transitions" -> streamTransitions _,
     "s19_stream_weighted_sample" -> streamWeightedSample _,
     "s20_stream_quantiles" -> streamSampleQuantiles _,
@@ -607,6 +680,29 @@ object StreamingQueries {
     "s10_stream_session_window" -> streamSessionWindow _)
 
   def oracles: Map[String, String] = Map(
+    // s22 == batch a26: the corpus is static, queries never interact,
+    // so the per-trigger range answers union to the one-shot search
+    "s22_stream_range_alerts" -> Relational11.oracles("a26_range_search"),
+    // s23: the oracle re-derives the even-snapshot coreset relationally
+    // (the a30 CTE chain), takes c11's mind as the coverage-radius²
+    // threshold, and replays the odd-stream distance scan
+    "s23_stream_novelty" -> {
+      val centers = (0 until 12).map(i => s"SELECT vq FROM c$i")
+        .mkString(" UNION ALL ")
+      s"""WITH ${Relational11.a30OracleCtes(12, "AND vec_id % 2 = 0")},
+         |centers AS (SELECT vq FROM ($centers) AS u),
+         |thr AS (SELECT mind AS t FROM c11),
+         |s AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT)) AS vq
+         |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 2 = 1),
+         |d AS (SELECT s.vec_id, min(CAST(list_sum(list_transform(
+         |    generate_series(1, len(s.vq)),
+         |    i -> (s.vq[i] - c.vq[i]) * (s.vq[i] - c.vq[i]))) AS BIGINT))
+         |      AS min_d2
+         |  FROM s CROSS JOIN centers c GROUP BY 1)
+         |SELECT d.vec_id, d.min_d2, CAST(d.min_d2 > t.t AS INT) AS is_novel
+         |FROM d, thr t ORDER BY d.vec_id""".stripMargin
+    },
     // s21 == batch q47: the per-user last-event state makes transition
     // emission prefix-decomposable, so the streamed edge multiset (and
     // every count/ppm derived from it) equals the batch lead() pairs
