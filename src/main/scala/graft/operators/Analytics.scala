@@ -83,4 +83,50 @@ object Analytics {
       .select(date_format(col("c"), "yyyy-MM-dd").as("cohort_day"),
         col("day_offset"), col("n_active"))
   }
+
+  /** Peak concurrent intervals per day — the sweep-line overlap count
+    * WITHOUT the textbook global window sort: interval boundaries
+    * become ±1 deltas, a two-level [[GlobalIds.assignBy]] rank orders
+    * them, and [[GlobalIds.exclusivePrefixSum]] running-sums the
+    * deltas; the only single-task stage folds `boundaries/1024` bucket
+    * totals, so the plan survives any corpus size where
+    * `sum(delta) OVER (ORDER BY ...)` (the oracle form) cannot.
+    *
+    * Interval semantics are closed [st, en] at microsecond grain: the
+    * −1 lands at `en_us + 1`, so a zero-length interval still occupies
+    * its instant and an interval starting exactly when another ends
+    * overlaps it. Boundary order is (us, flag, owner) with ends
+    * (flag 0) first — unique as long as one owner's intervals are
+    * disjoint (the sessionizer guarantees it), so every running value
+    * is deterministic.
+    *
+    * Output: (day 'yyyy-MM-dd' of the boundary's own timestamp,
+    * peak_sessions, first_peak_us epoch-µs of first attainment). */
+  def peakConcurrency(intervals: DataFrame, ownerCol: String,
+                      stCol: String, enCol: String): DataFrame = {
+    val ep = intervals
+      .select(col(ownerCol).as("owner"), col(stCol).as("ts"),
+        unix_micros(col(stCol)).as("us_ord"),
+        lit(1).as("flag"), lit(1L).as("delta"))
+      .unionByName(intervals
+        .select(col(ownerCol).as("owner"), col(enCol).as("ts"),
+          (unix_micros(col(enCol)) + 1L).as("us_ord"),
+          lit(0).as("flag"), lit(-1L).as("delta")))
+    val ranked = GlobalIds.assignBy(ep,
+      Seq(col("us_ord"), col("flag"), col("owner")))
+    val run = GlobalIds.exclusivePrefixSum(ranked, "global_id", "delta")
+      .withColumn("conc", col("prefix") + col("delta"))
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        unix_micros(col("ts")).as("us"), col("conc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val peaks = run.groupBy(col("day"))
+      .agg(max(col("conc")).as("peak_sessions"))
+      .withColumnRenamed("day", "pday")
+    // |days|-bounded join back for the first attainment instant
+    run.join(broadcast(peaks),
+        col("day") === col("pday") && col("conc") === col("peak_sessions"))
+      .groupBy(col("day"), col("peak_sessions"))
+      .agg(min(col("us")).as("first_peak_us"))
+      .orderBy(col("day"))
+  }
 }
