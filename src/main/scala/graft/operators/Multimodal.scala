@@ -248,6 +248,85 @@ object Multimodal {
     b.array()
   }
 
+  /** One fixed-width analysis window of a decoded clip: exact integer
+    * sum of squared samples (16-bit PCM ⇒ each s² ≤ 2³⁰, so a window
+    * would need ~2³³ samples to overflow the Long — far past any real
+    * window width). */
+  final case class AudioWindow(media_id: Long, sample_rate: Int, win_id: Long,
+                               n_frames: Long, energy: Long)
+
+  /** RIFF walk for the 16-bit PCM fast path (the [[decodeAudio]] walk
+    * specialized: that one also serves 8-bit and computes float stats;
+    * this one hands sample-exact integers to window analyses).
+    * Returns (sampleRate, channels, dataOff, nSamples) or None for
+    * anything that is not mono/stereo 16-bit PCM WAV. */
+  private def wavPcm16Layout(p: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (!looksLikeWav(p)) return None
+    def u16(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long =
+      (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) | ((p(i + 2) & 0xffL) << 16) |
+        ((p(i + 3) & 0xffL) << 24)
+    try {
+      // Long walk offsets — the decodeAudio 2 GiB-size-field lesson
+      var off = 12L
+      var fmtOff = -1
+      var dataOff = -1
+      var dataLen = 0
+      while (off + 8 <= p.length && (fmtOff < 0 || dataOff < 0)) {
+        val id = new String(p, off.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = u32(off.toInt + 4)
+        if (id == "fmt ") fmtOff = off.toInt + 8
+        else if (id == "data") {
+          dataOff = off.toInt + 8
+          dataLen = math.max(0L, math.min(size, (p.length - dataOff).toLong)).toInt
+        }
+        off += 8L + size + (size & 1L)
+      }
+      if (fmtOff < 0 || dataOff < 0) return None
+      if (u16(fmtOff) != 1 || u16(fmtOff + 14) != 16) return None
+      val channels = u16(fmtOff + 2)
+      val sampleRate = u32(fmtOff + 4).toInt
+      if (channels < 1 || sampleRate < 1) return None
+      Some((sampleRate, channels, dataOff, dataLen / 2))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Per-window energy extraction — the analysis stage under
+    * silence/VAD segmentation: window `w` covers frames
+    * [w·windowFrames, min((w+1)·windowFrames, nFrames)) and reports
+    * the EXACT Σ s² over all channels (integers end to end, so an SQL
+    * oracle can replay the decision bit for bit). Payloads that are
+    * not decodable 16-bit PCM contribute no windows (the degrade-not-
+    * fail batch convention of [[decodeAudio]]; callers wanting loud
+    * failures count output media vs input media). */
+  def audioWindowEnergies(media: Dataset[MediaRow],
+                          windowFrames: Int): Dataset[AudioWindow] = {
+    require(windowFrames >= 1, "windowFrames must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val p = r.payload
+      wavPcm16Layout(p) match {
+        case None => Iterator.empty
+        case Some((sampleRate, channels, dataOff, nSamples)) =>
+          val nFrames = nSamples.toLong / channels
+          val nWins = ((nFrames + windowFrames - 1) / windowFrames).toInt
+          def s16(s: Int): Long =
+            ((p(dataOff + s * 2) & 0xff) | ((p(dataOff + s * 2 + 1) & 0xff) << 8))
+              .toShort.toLong
+          (0 until nWins).iterator.map { w =>
+            val f0 = w.toLong * windowFrames
+            val f1 = math.min(f0 + windowFrames, nFrames)
+            var energy = 0L
+            var s = (f0 * channels).toInt
+            val sEnd = (f1 * channels).toInt
+            while (s < sEnd) { val v = s16(s); energy += v * v; s += 1 }
+            AudioWindow(r.media_id, sampleRate, w.toLong, f1 - f0, energy)
+          }
+      }
+    })
+  }
+
   /** Parsed MP4 container metadata (no sample-data decode). */
   final case class VideoMeta(media_id: Long, duration_ms: Long, timescale: Long,
                              n_tracks: Int, has_video: Boolean, has_audio: Boolean,

@@ -177,6 +177,35 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** k-NN GRAPH construction — every corpus vector's exact top-k
+    * within its inverted list, the artifact semantic clustering,
+    * graph-based dedup, and NN-descent seeding all start from. Unlike
+    * [[ivfTopK]] (few queries → broadcast the query side), BOTH sides
+    * here are the corpus, so the candidate join is a plain shuffle
+    * equi-join on the list key — each list co-locates and joins with
+    * itself, no broadcast of anything corpus-sized — and the bounded
+    * heap prunes to k survivors per vector BEFORE the ranking window
+    * sees a row. Per-list pair volume is Σ n_l² (the d03 hot-bucket
+    * shape): a skewed list needs the same maxBucketDf-style guard or a
+    * finer quantizer; the gate corpus's label lists are balanced by
+    * construction. */
+  def knnGraphEdges(corpus: DataFrame, idCol: String, vecCol: String,
+                    listCol: String, k: Int): DataFrame = {
+    val a = corpus.select(col(idCol).as("query_id"), asDouble(vecCol).as("qv"),
+      col(listCol).as("ivf_list"))
+    val b = corpus.select(col(idCol).as("neighbor_id"), asDouble(vecCol).as("cv"),
+      col(listCol).as("ivf_list"))
+    val scored = a.join(b, Seq("ivf_list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    graft.plans.TopKPerKey.prune(scored, "query_id", "score", "neighbor_id", k)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
   /** Johnson–Lindenstrauss sign random projection — the standard
     * dimensionality reduction for embedding columns (Achlioptas 2003:
     * ±1 entries preserve pairwise distances in expectation like Gaussian

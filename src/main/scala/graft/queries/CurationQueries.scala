@@ -221,6 +221,35 @@ object CurationQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** a32: k-NN graph + mutual-edge readout — every vector's exact
+    * top-5 within its label list ([[Similarity.knnGraphEdges]]: plain
+    * shuffle equi-join on the list key, bounded-heap prune, NO
+    * corpus-sized broadcast), then the mutuality profile: for each
+    * vector, its rank-1 neighbor and how many of its k edges are
+    * reciprocated (mutual-kNN edges are the backbone semantic
+    * clustering and NN-descent both build on — low mutuality flags
+    * hub vectors). Edge list persists for its two consumers
+    * (cache lifetime: LRU / caller clearCache, like every index
+    * intermediate here). */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val edges = Similarity.knnGraphEdges(e, "vec_id", "embedding", "label", k = 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mutual = edges.as("x").join(edges.as("y"),
+        col("x.query_id") === col("y.neighbor_id") &&
+          col("x.neighbor_id") === col("y.query_id"))
+      .groupBy(col("x.query_id").as("m_id"))
+      .agg(count(lit(1)).as("n_mutual"))
+    edges.filter(col("rank") === 1)
+      .join(mutual, col("query_id") === col("m_id"), "left")
+      .select(col("query_id").as("vec_id"), col("neighbor_id").as("nn1_id"),
+        col("score").as("nn1_score"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"))
+      .orderBy(col("vec_id"))
+  }
+
   /** a08: IVF with a k-means-trained coarse quantizer — train lists,
     * assign corpus and queries, probe. Oracle-checked end to end via
     * the ENGINE-EXACT assignment variants: the trained centroids are
@@ -1384,6 +1413,7 @@ object CurationQueries {
     "a01_ann_bruteforce"  -> annBruteForce _,
     "a02_ann_signlsh"     -> annSignLsh _,
     "a03_ann_ivf"         -> annIvf _,
+    "a32_knn_graph"       -> knnGraph _,
     "t01_text_profile"    -> textProfile _,
     "t02_quality_by_lang" -> qualityByLang _,
     "t03_winnow"          -> winnow _)
@@ -2303,6 +2333,28 @@ object CurationQueries {
         |FROM d a JOIN d b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.95
         |ORDER BY id_a, id_b""".stripMargin,
+    "a32_knn_graph" ->
+      """WITH d AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.v, c.v), 6) AS score
+        |  FROM d q JOIN d c ON q.label = c.label AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored),
+        |e AS (SELECT query_id, neighbor_id, score, rank FROM ranked
+        |  WHERE rank <= 5),
+        |m AS (SELECT a.query_id, count(*) AS n_mutual
+        |  FROM e a JOIN e b ON a.neighbor_id = b.query_id
+        |    AND b.neighbor_id = a.query_id
+        |  GROUP BY 1)
+        |SELECT e.query_id AS vec_id, e.neighbor_id AS nn1_id,
+        |  e.score AS nn1_score,
+        |  CAST(coalesce(m.n_mutual, 0) AS BIGINT) AS n_mutual
+        |FROM e LEFT JOIN m ON m.query_id = e.query_id
+        |WHERE e.rank = 1 ORDER BY vec_id""".stripMargin,
     "a03_ann_ivf" ->
       """WITH d AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |scored AS (

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -246,6 +247,59 @@ object PipelineQueries {
       .orderBy(col("media_id"))
   }
 
+  /** p32: silence segmentation (VAD-style) over REAL WAV decode — the
+    * audio-curation primitive that turns raw recordings into
+    * speech/silence spans for sample selection: synthetic clips carry
+    * 200-frame silence blocks (every third block, phase-shifted by
+    * id), [[graft.operators.Multimodal.audioWindowEnergies]] decodes
+    * the RIFF bytes and reports EXACT Σ s² per 160-frame window
+    * (windows deliberately straddle block boundaries, so edge windows
+    * carry partial energy and the threshold decision is non-trivial),
+    * and gaps-and-islands over the per-media window flags emits one
+    * row per segment. Integers end to end — the oracle re-derives
+    * every sample arithmetically (the p13 pattern) and replays
+    * windowing, threshold, and islands bit for bit. Per-media windows
+    * sort inside their own partition (duration-bounded, the natural
+    * key); nothing global. */
+  def silenceSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val media = documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"))
+      .map { r =>
+        val id = r.getLong(0)
+        val sr = (8000 + (id % 4) * 4000).toInt
+        val n = (500 + (id % 50) * 16).toInt
+        val samples = Array.tabulate(n) { i =>
+          if (((i / 200) + id) % 3 == 0) 0.toShort
+          else ((((i.toLong * 37 + id) % 256) - 128) * 256).toShort
+        }
+        Multimodal.MediaRow(id, "audio", Multimodal.wavPcm16(sr, 1, samples))
+      }
+    val win = Multimodal.audioWindowEnergies(media, 160).toDF()
+      .withColumn("silent", (col("energy") < lit(655360L)).cast("int"))
+    val byMedia = Window.partitionBy(col("media_id")).orderBy(col("win_id"))
+    win
+      .withColumn("prev", lag(col("silent"), 1).over(byMedia))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("silent"), 1L)
+          .otherwise(0L))
+      .withColumn("seg_id", sum(col("chg")).over(
+        byMedia.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)
+      .groupBy(col("media_id"), col("seg_id"), col("silent").as("is_silent"),
+        col("sample_rate"))
+      .agg(min(col("win_id")).as("w0"),
+        max(col("win_id") * 160L + col("n_frames")).as("end_frame"),
+        count(lit(1)).as("n_windows"),
+        sum(col("energy")).as("energy_total"))
+      .select(col("media_id"), col("seg_id"), col("is_silent"),
+        expr("(w0 * 160 * 1000) div sample_rate").as("start_ms"),
+        expr("(end_frame * 1000) div sample_rate").as("end_ms"),
+        col("n_windows"), col("energy_total"))
+      .orderBy(col("media_id"), col("seg_id"))
+  }
+
   /** d13: perceptual-hash image dedup — REAL decode (ImageIO PNG) →
     * 4×4 luminance-grid features → 12-bit row-difference dHash →
     * exact-hash grouping, keep-first. The synthetic images are
@@ -430,6 +484,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p22_codec_meta"        -> codecMeta _,
+    "p32_silence_segments"  -> silenceSegments _,
     "p21_url_fetch"         -> urlFetch _,
     "p20_bpe_encode"        -> bpeEncode _,
     "p19_bpe_train"         -> bpeTrain _,
@@ -452,6 +507,37 @@ object PipelineQueries {
     "p07_job_status_lookup" -> jobStatusLookup _)
 
   val oracles: Map[String, String] = Map(
+    "p32_silence_segments" ->
+      """WITH params AS (
+        |  SELECT doc_id, 8000 + (doc_id % 4) * 4000 AS sr,
+        |         500 + (doc_id % 50) * 16 AS n
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |vals AS (
+        |  SELECT doc_id, sr, i // 160 AS win_id,
+        |    CASE WHEN ((i // 200) + doc_id) % 3 = 0 THEN 0
+        |         ELSE (((i * 37 + doc_id) % 256) - 128) * 256 END AS s
+        |  FROM params, unnest(generate_series(0, n - 1)) AS t(i)),
+        |w AS (
+        |  SELECT doc_id, sr, win_id, count(*) AS n_frames,
+        |    CAST(sum(s * s) AS BIGINT) AS energy
+        |  FROM vals GROUP BY 1, 2, 3),
+        |f AS (SELECT *, CASE WHEN energy < 655360 THEN 1 ELSE 0 END AS silent
+        |  FROM w),
+        |c AS (SELECT *,
+        |  CASE WHEN lag(silent) OVER mw IS NULL
+        |       OR lag(silent) OVER mw <> silent THEN 1 ELSE 0 END AS chg
+        |  FROM f WINDOW mw AS (PARTITION BY doc_id ORDER BY win_id)),
+        |g AS (SELECT *,
+        |  CAST(sum(chg) OVER (PARTITION BY doc_id ORDER BY win_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
+        |    AS seg_id
+        |  FROM c)
+        |SELECT doc_id AS media_id, seg_id, silent AS is_silent,
+        |  (min(win_id) * 160 * 1000) // sr AS start_ms,
+        |  (max(win_id * 160 + n_frames) * 1000) // sr AS end_ms,
+        |  count(*) AS n_windows, CAST(sum(energy) AS BIGINT) AS energy_total
+        |FROM g GROUP BY doc_id, seg_id, silent, sr
+        |ORDER BY media_id, seg_id""".stripMargin,
     "p22_codec_meta" ->
       """WITH p AS (SELECT doc_id AS id, doc_id % 3 AS kind,
         |  1 + (doc_id // 3) % 14 AS br_idx, (doc_id // 3) % 3 AS mp3_sr_idx,

@@ -47,10 +47,98 @@ object Relational13 {
     graft.operators.Analytics.peakConcurrency(bounds, "user_id", "st", "en")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q49_peak_concurrency" -> q49PeakConcurrency _)
+  /** g05: k-core of the STRONG co-purchase graph — peel the (parts
+    * co-purchased in ≥ 2 distinct orders) graph to its 2-core via
+    * [[graft.operators.KCore.peel]]: per round one degree aggregate +
+    * two anti joins, no graph-sized driver state. The raw g03 graph is
+    * near-regular (deg 38–222) and unravels to empty at any effective
+    * k; thresholding on co-purchase COUNT sparsifies it into real
+    * cohesion structure (2-core = parts in at least one strong cycle).
+    * The round count is data-dependent (observed 3 at sf0.01, 5 at
+    * sf0.1), so the oracle is built AFTER the peel with that many
+    * materialized unrolled rounds — the a30 fixpoint-replay pattern.
+    * Output: every vertex with its peel wave (0 = core member) and
+    * its degree inside the final core. */
+  def g05KCore(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val strong = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(countDistinct(col("x.ok")).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("a"), col("b"))
+    val (res, rounds) = graft.operators.KCore.peel(strong, "a", "b", k = 2)
+    g05Oracle = Some(g05OracleSql(rounds))
+    res.orderBy(col("node"))
+  }
 
-  val oracles: Map[String, String] = Map(
+  @volatile private var g05Oracle: Option[String] = None
+
+  /** DuckDB replay of the peel fixpoint: `rounds` materialized
+    * eliminate-and-recount unrolls (CTEs referenced more than once per
+    * step MUST be materialized — the inlined tree grows exponentially
+    * with unroll depth). */
+  private def g05OracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |s AS MATERIALIZED (
+        |  SELECT a, b FROM (
+        |    SELECT x.pk AS a, y.pk AS b, count(DISTINCT x.ok) AS c
+        |    FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |    GROUP BY 1, 2) t
+        |  WHERE c >= 2),
+        |e0 AS MATERIALIZED (
+        |  SELECT a AS u, b AS v FROM s UNION ALL SELECT b, a FROM s),
+        |v0 AS MATERIALIZED (SELECT DISTINCT u FROM e0)""".stripMargin)
+    for (i <- 1 to rounds) {
+      // weak = ALIVE VERTICES with current degree < k (a vertex whose
+      // last neighbor fell in a prior wave has no edge rows left —
+      // the edges-only HAVING form would lose it)
+      sb.append(s""",
+        |w$i AS MATERIALIZED (
+        |  SELECT v.u FROM v${i - 1} v
+        |  LEFT JOIN (SELECT u, count(*) AS d FROM e${i - 1} GROUP BY u) g
+        |    ON g.u = v.u
+        |  WHERE coalesce(g.d, 0) < 2),
+        |v$i AS MATERIALIZED (
+        |  SELECT u FROM v${i - 1} WHERE u NOT IN (SELECT u FROM w$i)),
+        |e$i AS MATERIALIZED (
+        |  SELECT e.u, e.v FROM e${i - 1} e
+        |  WHERE e.u NOT IN (SELECT u FROM w$i)
+        |    AND e.v NOT IN (SELECT u FROM w$i))""".stripMargin)
+    }
+    val removed = (1 to rounds)
+      .map(i => s"SELECT u AS node, $i AS peel_round FROM w$i")
+      .mkString(" UNION ALL ")
+    val removedSql =
+      if (rounds == 0) ""
+      else s""",
+        |removed AS ($removed)""".stripMargin
+    val removedLeg =
+      if (rounds == 0) ""
+      else s"""
+        |UNION ALL
+        |SELECT node, peel_round, CAST(0 AS BIGINT) AS core_deg FROM removed""".stripMargin
+    sb.append(s"""$removedSql
+      |SELECT v.u AS node, 0 AS peel_round,
+      |  CAST(coalesce(g.d, 0) AS BIGINT) AS core_deg
+      |FROM v$rounds v
+      |LEFT JOIN (SELECT u, count(*) AS d FROM e$rounds GROUP BY u) g
+      |  ON g.u = v.u$removedLeg
+      |ORDER BY node""".stripMargin)
+    sb.toString
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_peak_concurrency" -> q49PeakConcurrency _,
+    "g05_kcore"            -> g05KCore _)
+
+  def oracles: Map[String, String] =
+    staticOracles ++ g05Oracle.map("g05_kcore" -> _)
+
+  private val staticOracles: Map[String, String] = Map(
     "q49_peak_concurrency" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,
