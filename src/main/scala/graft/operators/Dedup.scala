@@ -82,6 +82,59 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** All-pairs WEIGHTED (term-frequency) cosine over the n-gram
+    * inverted index — the multiset companion to [[jaccardPairs]]: set
+    * Jaccard is blind to repetition, so a page that repeats another's
+    * paragraph five times scores the same as one that quotes it once;
+    * TF cosine weighs the overlap. cos²(A,B)·10⁶ =
+    * (Σ tfA·tfB)² · 10⁶ div (Σ tfA² · Σ tfB²) — integers end to end
+    * (DECIMAL(38) for the square, so a million-shingle document stays
+    * exact), and thresholding on cos² avoids the square root no
+    * integer replay has. Shuffles carry 8-byte md5-prefix hashes and
+    * per-(doc, gram) counts, never gram strings; the candidate space
+    * is the d02 inverted index (pairs sharing ≥ 1 gram), with the same
+    * optional stop-gram guard — when active, norms come from the SAME
+    * filtered universe as the dot products (the jaccard denominator
+    * lesson). The tf frame persists for its three consumers (norms +
+    * both join sides); lifetime: LRU / caller clearCache. */
+  def cosinePairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+                  cos2PpmThreshold: Long,
+                  maxShingleDocFreq: Option[Int] = None): DataFrame = {
+    val grams = df.select(col(idCol).as("id"), split(col(textCol), " ").as("words"))
+      .filter(size(col("words")) >= n)
+      // positional n-grams, duplicates KEPT (ngramStrings dedups — tf
+      // needs the multiset); one single-level transform over a plan
+      // column, not the a25 nested-lambda shape
+      .select(col("id"), explode(expr(
+        s"transform(sequence(1, size(words) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(words, i, $n)))")).as("shingle"))
+    val tf0 = grams
+      .groupBy(col("id"), md5Hash60Col(concat(lit("tc|"), col("shingle"))).as("h"))
+      .agg(count(lit(1)).as("tf"))
+    val tf = (maxShingleDocFreq match {
+      case Some(maxDf) =>
+        val keep = tf0.groupBy(col("h"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+          .select(col("h"))
+        tf0.join(keep, "h")
+      case None => tf0
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = tf.groupBy(col("id")).agg(sum(col("tf") * col("tf")).as("n2"))
+    val dots = tf.as("a")
+      .join(tf.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("n2").as("na")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("n2").as("nb")), "id_b")
+      .withColumn("cos2_ppm", expr(
+        "cast((cast(dot as decimal(38,0)) * dot * 1000000) div " +
+          "(cast(na as decimal(38,0)) * nb) as bigint)"))
+      .filter(col("cos2_ppm") >= cos2PpmThreshold)
+      .select(col("id_a"), col("id_b"), col("dot"), col("cos2_ppm"))
+  }
+
   /** All-pairs n-gram Jaccard ≥ threshold via PREFIX FILTERING — the
     * AllPairs/PPJoin plan (Bayardo et al., WWW 2007; Xiao et al., WWW
     * 2008): identical output to [[jaccardPairs]], far smaller candidate

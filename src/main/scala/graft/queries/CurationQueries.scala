@@ -27,6 +27,15 @@ object CurationQueries {
     Dedup.jaccardPairs(documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** d21: weighted TF-cosine near-dup pairs ([[Dedup.cosinePairs]]) —
+    * the multiset companion to d02's set Jaccard: repetition-weighted
+    * overlap on the same inverted index, cos² ≥ 0.64 ppm-thresholded
+    * in exact integer arithmetic. */
+  def dedupCosine(spark: SparkSession, dir: String): DataFrame =
+    Dedup.cosinePairs(documents(spark, dir), "doc_id", "text", n = 3,
+        cos2PpmThreshold = 640000L)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** d20: prefix-filtered all-pairs exact Jaccard ≥ 0.5 — the
     * AllPairs/PPJoin plan ([[Dedup.prefixJaccardPairs]]): identical
     * output to d02 (PrefixJoinSpec pins bit-equality, so d02's oracle
@@ -1401,6 +1410,7 @@ object CurationQueries {
     "d01_dedup_exact"     -> dedupExact _,
     "d02_dedup_jaccard"   -> dedupJaccard _,
     "d20_prefix_join"     -> dedupPrefixJoin _,
+    "d21_cosine_dedup"    -> dedupCosine _,
     "d03_dedup_minhash"   -> dedupMinHash _,
     "d19_band_plan"       -> dedupBandPlan _,
     "d04_dedup_simhash"   -> dedupSimHash _,
@@ -2173,6 +2183,31 @@ object CurationQueries {
         |SELECT min(doc_id) AS kept_id, count(*) AS n_copies
         |FROM planted GROUP BY sha256(text) ORDER BY kept_id""".stripMargin,
     "d02_dedup_jaccard" -> exactJaccardPairsSql,
+    "d21_cosine_dedup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 2),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('tc|' || s), 1, 15))::BIGINT AS h,
+        |    count(*) AS tf
+        |  FROM sh GROUP BY 1, 2),
+        |nrm AS (SELECT doc_id, sum(tf * tf) AS n2 FROM tf GROUP BY 1),
+        |dots AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        |  FROM tf a JOIN tf b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT id_a, id_b, dot,
+        |    CAST((CAST(dot AS HUGEINT) * dot * 1000000) //
+        |      (CAST(x.n2 AS HUGEINT) * y.n2) AS BIGINT) AS cos2_ppm
+        |  FROM dots JOIN nrm x ON x.doc_id = id_a
+        |  JOIN nrm y ON y.doc_id = id_b)
+        |SELECT id_a, id_b, dot, cos2_ppm FROM scored
+        |WHERE cos2_ppm >= 640000 ORDER BY id_a, id_b""".stripMargin,
     // d20: prefix filtering changes the PLAN, not the answer — the
     // inverted-index SQL is the oracle for both exact-pair plans
     "d20_prefix_join" -> exactJaccardPairsSql,
