@@ -56,7 +56,9 @@ object Bench {
     "a28_binary_hamming", "a29_dim_sweep",
     "g04_clustering_coeff", "a30_coreset",
     "q48_share_shift", "a31_distance_hist", "p33_seqlen_sweep",
-    "t41_vocab_growth")
+    "t41_vocab_growth",
+    "q49_peak_concurrency", "g05_kcore", "a32_knn_graph",
+    "p32_silence_segments", "d21_cosine_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

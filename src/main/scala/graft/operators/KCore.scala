@@ -48,6 +48,7 @@ object KCore {
     var removed: Option[DataFrame] = None
     var r = 0
     var done = false
+    var lastVertDeg: DataFrame = null
     while (!done) {
       // eager localCheckpoint, not persist: round r's logical plan
       // embeds round r−1's THREE times (directly, and twice through
@@ -57,14 +58,17 @@ object KCore {
       // checkpoint trades Catalyst stats (the g01 persist-vs-
       // localCheckpoint tradeoff) for O(1) plan depth, which is the
       // binding constraint in any fixpoint whose round output feeds
-      // the next round twice.
+      // the next round twice. One checkpointed (vertex, degree) frame
+      // per round serves weak set, survivor set, and the final core
+      // readout — 2 checkpoint jobs per round, not 4.
       val deg = alive.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      val weak = aliveV.join(deg, Seq("u"), "left")
-        .filter(coalesce(col("deg"), lit(0L)) < k)
-        .select(col("u").as("w"))
+      val vertDeg = aliveV.join(deg, Seq("u"), "left")
+        .select(col("u"), coalesce(col("deg"), lit(0L)).as("deg"))
         .localCheckpoint(true)
+      val weak = vertDeg.filter(col("deg") < k).select(col("u").as("w"))
       if (weak.count() == 0) {
         done = true
+        lastVertDeg = vertDeg
       } else {
         r += 1
         if (r > maxRounds) throw new IllegalStateException(
@@ -73,8 +77,7 @@ object KCore {
         val rm = weak.select(col("w").as("node"))
           .withColumn("peel_round", lit(r))
         removed = Some(removed.map(_.unionByName(rm)).getOrElse(rm))
-        aliveV = aliveV.join(weak, aliveV("u") === weak("w"), "left_anti")
-          .localCheckpoint(true)
+        aliveV = vertDeg.filter(col("deg") >= k).select(col("u"))
         val next = alive
           .join(weak, alive("u") === weak("w"), "left_anti")
           .join(weak.withColumnRenamed("w", "w2"),
@@ -86,11 +89,10 @@ object KCore {
         alive = next
       }
     }
-    val core = aliveV
-      .join(alive.groupBy(col("u")).agg(count(lit(1)).as("core_deg")),
-        Seq("u"), "left")
+    // at the fixpoint the last vertDeg IS the core with its degrees
+    val core = lastVertDeg
       .select(col("u").as("node"), lit(0).as("peel_round"),
-        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+        col("deg").as("core_deg"))
     val out = removed match {
       case None => core
       case Some(rm) => core.unionByName(

@@ -60,12 +60,18 @@ object Relational13 {
     * Output: every vertex with its peel wave (0 = core member) and
     * its degree inside the final core. */
   def g05KCore(spark: SparkSession, dir: String): DataFrame = {
+    // collapse duplicate (order, part) lines BEFORE the self-join:
+    // the pair fan-out is quadratic in per-order line count, so dedup
+    // on the narrow key shrinks it at the source, and the co-purchase
+    // count becomes a plain count (map-side combinable) instead of a
+    // countDistinct over the pair stream
     val li = lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
     val strong = li.as("x").join(li.as("y"),
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
       .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
-      .agg(countDistinct(col("x.ok")).as("c"))
+      .agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
       .select(col("a"), col("b"))
     val (res, rounds) = graft.operators.KCore.peel(strong, "a", "b", k = 2)
