@@ -51,7 +51,13 @@ object Dedup {
     * denominator) skip a full re-scan of the corpus. */
   def jaccardPairsFromShingles(sh: DataFrame, threshold: Double,
                                maxShingleDocFreq: Option[Int] = None): DataFrame = {
+    // the pair join shuffles 8-byte md5-prefix keys, not shingle
+    // strings (the t39/d21 discipline — join leg 2.9 → 2.3 s at
+    // sf0.1); the oracle replays the same hash, so a collision
+    // (≈10⁻⁸ at 10⁵ distinct shingles) would still match
     val exploded = sh.select(col("id"), explode(col("shingles")).as("shingle"))
+      .select(col("id"),
+        md5Hash60Col(concat(lit("jp|"), col("shingle"))).as("shingle"))
     val filtered = maxShingleDocFreq match {
       case Some(maxDf) =>
         val freq = exploded.groupBy("shingle")

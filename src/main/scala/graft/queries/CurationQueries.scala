@@ -1346,10 +1346,12 @@ object CurationQueries {
        |    generate_series(1, len(string_split(text,' ')) - 2),
        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS shingles
        |  FROM documents),
-       |ex AS (SELECT $idAs, unnest(shingles) AS shingle FROM sh),
+       |ex AS (SELECT $idAs, shingle,
+       |    ('0x' || substr(md5('jp|' || shingle), 1, 15))::BIGINT AS hk
+       |  FROM (SELECT $idAs, unnest(shingles) AS shingle FROM sh)),
        |inter AS (
        |  SELECT a.$idAs AS id_a, b.$idAs AS id_b, count(*) AS n_inter
-       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.$idAs < b.$idAs
+       |  FROM ex a JOIN ex b ON a.hk = b.hk AND a.$idAs < b.$idAs
        |  GROUP BY 1, 2),
        |sz AS (SELECT $idAs, len(shingles) AS n_sh FROM sh)""".stripMargin
 
