@@ -906,6 +906,57 @@ object TextAnalysis {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Document-stitch detection — the crawl/pagination repair signal:
+    * a page whose TAIL word sequence reappears as another page's HEAD
+    * is a split-document candidate (A continues into B), and the
+    * longest matching suffix–prefix length grades the confidence.
+    *
+    * An overlap of length L puts A's last `minK` words at positions
+    * L−minK+1..L of B — NOT at B's head — so the block key is A's
+    * tail minK-gram against the minK-gram ENDING at each candidate
+    * position k ∈ [minK, maxK] of B's head window, and the candidate
+    * is verified in the same join predicate by the full-k hash
+    * equality (tail_k(A) = head_k(B)). Everything is a scan-local
+    * 8-byte md5 prefix — the join moves a few longs per (doc, k),
+    * never word arrays — and the verified maximum k per pair is one
+    * bounded aggregate. Overlaps LONGER than maxK are out of scope by
+    * design: a wholesale copy is d02/d10's territory (near-dup), not
+    * a stitch; this operator grades bounded pagination-style seams.
+    * Directed output: (id_a → id_b, overlap_len ∈ [minK, maxK]). */
+  def stitchPairs(docs: DataFrame, idCol: String, textCol: String,
+                  minK: Int = 3, maxK: Int = 8): DataFrame = {
+    require(1 <= minK && minK <= maxK, "need 1 <= minK <= maxK")
+    import graft.operators.Dedup.md5Hash60Col
+    val w = docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"),
+        size(split(col(textCol), " ")).as("n"))
+      .filter(col("n") >= minK)
+    def hash(c: org.apache.spark.sql.Column) =
+      md5Hash60Col(concat(lit("st|"), c))
+    // A side: one row per (doc, k) carrying the tail-k verify hash and
+    // the tail-minK block key
+    val aLong = (minK to maxK).map { k =>
+      w.filter(col("n") >= k)
+        .select(col("id").as("id_a"), lit(k).as("k"),
+          hash(concat_ws(" ", expr(s"slice(ws, -$k, $k)"))).as("th"),
+          hash(concat_ws(" ", expr(s"slice(ws, -$minK, $minK)"))).as("ta"))
+    }.reduce(_ unionByName _)
+    // B side: one row per (doc, k) carrying the head-k verify hash and
+    // the block key = the minK-gram ENDING at position k
+    val bLong = (minK to maxK).map { k =>
+      w.filter(col("n") >= k)
+        .select(col("id").as("id_b"), lit(k).as("k"),
+          hash(concat_ws(" ", slice(col("ws"), 1, k))).as("hh"),
+          hash(concat_ws(" ",
+            expr(s"slice(ws, ${k - minK + 1}, $minK)"))).as("bkey"))
+    }.reduce(_ unionByName _)
+    aLong.join(bLong,
+        col("ta") === col("bkey") && aLong("k") === bLong("k") &&
+          col("th") === col("hh") && col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(aLong("k")).as("overlap_len"))
+  }
+
   /** One row per document with the full text-analysis profile. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -137,14 +137,51 @@ object Relational13 {
     sb.toString
   }
 
+  /** t42: document-stitch detection
+    * ([[graft.operators.TextAnalysis.stitchPairs]]) — pages whose tail
+    * word sequence reappears as another page's head are
+    * split-document (pagination) candidates; the longest matching
+    * suffix–prefix length grades each pair. On this synthetic corpus
+    * the matches are chance 3-grams plus the duplicate clusters — the
+    * instrument is the point (the a24 convention). */
+  def t42StitchPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis
+      .stitchPairs(documents(spark, dir), "doc_id", "text", minK = 3, maxK = 8)
+      .orderBy(col("id_a"), col("id_b"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_peak_concurrency" -> q49PeakConcurrency _,
-    "g05_kcore"            -> g05KCore _)
+    "g05_kcore"            -> g05KCore _,
+    "t42_stitch_pairs"     -> t42StitchPairs _)
 
   def oracles: Map[String, String] =
     staticOracles ++ g05Oracle.map("g05_kcore" -> _)
 
   private val staticOracles: Map[String, String] = Map(
+    "t42_stitch_pairs" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |ks(k) AS (VALUES (3), (4), (5), (6), (7), (8)),
+        |a AS (
+        |  SELECT doc_id AS id_a, k,
+        |    ('0x' || substr(md5('st|' ||
+        |      array_to_string(ws[n-k+1:n], ' ')), 1, 15))::BIGINT AS th,
+        |    ('0x' || substr(md5('st|' ||
+        |      array_to_string(ws[n-2:n], ' ')), 1, 15))::BIGINT AS ta
+        |  FROM w CROSS JOIN ks WHERE n >= k),
+        |b AS (
+        |  SELECT doc_id AS id_b, k,
+        |    ('0x' || substr(md5('st|' ||
+        |      array_to_string(ws[1:k], ' ')), 1, 15))::BIGINT AS hh,
+        |    ('0x' || substr(md5('st|' ||
+        |      array_to_string(ws[k-2:k], ' ')), 1, 15))::BIGINT AS bkey
+        |  FROM w CROSS JOIN ks WHERE n >= k)
+        |SELECT id_a, id_b, max(a.k) AS overlap_len
+        |FROM a JOIN b ON a.ta = b.bkey AND a.k = b.k AND a.th = b.hh
+        |  AND a.id_a <> b.id_b
+        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
     "q49_peak_concurrency" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,
