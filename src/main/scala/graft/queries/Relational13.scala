@@ -149,15 +149,69 @@ object Relational13 {
       .stitchPairs(documents(spark, dir), "doc_id", "text", minK = 3, maxK = 8)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** q50: market-basket association rules — support, confidence, and
+    * lift for co-purchased part pairs, the classic affinity-analysis
+    * readout. Per-order part sets dedup to (order, part) before the
+    * quadratic pair fan-out (the g05 lesson); supports are one narrow
+    * aggregate each; lift/confidence are exact integer ppm with the
+    * pair count promoted to DECIMAL(38) before the cross-multiply
+    * (c_ab·N·10⁶ overflows a BIGINT once orders pass ~10⁷). Top 20 by
+    * lift via TakeOrderedAndProject — the bounded form, no global
+    * sort materializes. */
+  def q50BasketRules(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nOrders = broadcast(li.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders")))
+    val support = li.groupBy(col("pk")).agg(count(lit(1)).as("n_part"))
+    val both = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("part_a"), col("y.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 2)
+    both
+      .join(support.select(col("pk").as("part_a"), col("n_part").as("n_a")), "part_a")
+      .join(support.select(col("pk").as("part_b"), col("n_part").as("n_b")), "part_b")
+      .crossJoin(nOrders)
+      .withColumn("lift_ppm", expr(
+        "cast((cast(n_both as decimal(38,0)) * n_orders * 1000000) div " +
+          "(cast(n_a as decimal(38,0)) * n_b) as bigint)"))
+      .withColumn("conf_ab_ppm", expr("(n_both * 1000000) div n_a"))
+      .select(col("part_a"), col("part_b"), col("n_both"), col("n_a"),
+        col("n_b"), col("lift_ppm"), col("conf_ab_ppm"))
+      .orderBy(col("lift_ppm").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_peak_concurrency" -> q49PeakConcurrency _,
     "g05_kcore"            -> g05KCore _,
-    "t42_stitch_pairs"     -> t42StitchPairs _)
+    "t42_stitch_pairs"     -> t42StitchPairs _,
+    "q50_basket_rules"     -> q50BasketRules _)
 
   def oracles: Map[String, String] =
     staticOracles ++ g05Oracle.map("g05_kcore" -> _)
 
   private val staticOracles: Map[String, String] = Map(
+    "q50_basket_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |n AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+        |s AS (SELECT pk, count(*) AS n_part FROM li GROUP BY 1),
+        |b AS (
+        |  SELECT x.pk AS part_a, y.pk AS part_b, count(*) AS n_both
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT part_a, part_b, n_both,
+        |  sa.n_part AS n_a, sb.n_part AS n_b,
+        |  CAST((CAST(n_both AS HUGEINT) * n.n_orders * 1000000) //
+        |    (CAST(sa.n_part AS HUGEINT) * sb.n_part) AS BIGINT) AS lift_ppm,
+        |  CAST((n_both * 1000000) // sa.n_part AS BIGINT) AS conf_ab_ppm
+        |FROM b JOIN s sa ON sa.pk = part_a JOIN s sb ON sb.pk = part_b
+        |CROSS JOIN n
+        |ORDER BY lift_ppm DESC, part_a, part_b LIMIT 20""".stripMargin,
     "t42_stitch_pairs" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws,

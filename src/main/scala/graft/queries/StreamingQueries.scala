@@ -654,7 +654,49 @@ object StreamingQueries {
     awaitMemorySink(monitored, "append").orderBy(col("vec_id"))
   }
 
+  /** s24: streaming market-basket miner — q50's association rules
+    * maintained at ingest: [[graft.streaming.StreamingIngest
+    * .basketPairStream]] emits each basket's membership rows and
+    * co-occurrence pairs exactly once (per-order distinct-part state,
+    * bounded by basket width), and the support/lift shaping is a plain
+    * aggregate over the emitted rows — a count monoid, so the streamed
+    * result equals batch q50 whatever the micro-batch boundaries.
+    * Oracle: q50's SQL verbatim. */
+  def streamBasketRules(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val li = tableStream(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .as[(Long, Long)]
+    val mined = graft.streaming.StreamingIngest.basketPairStream(li)
+      .toDF("ok", "a", "b")
+    val all = awaitMemorySink(mined, "append")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = all.filter(col("b") === -1L)
+      .select(col("ok"), col("a").as("pk"))
+    val nOrders = broadcast(members.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders")))
+    val support = members.groupBy(col("pk")).agg(count(lit(1)).as("n_part"))
+    val both = all.filter(col("b") =!= -1L)
+      .groupBy(col("a").as("part_a"), col("b").as("part_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 2)
+    both
+      .join(support.select(col("pk").as("part_a"), col("n_part").as("n_a")), "part_a")
+      .join(support.select(col("pk").as("part_b"), col("n_part").as("n_b")), "part_b")
+      .crossJoin(nOrders)
+      .withColumn("lift_ppm", expr(
+        "cast((cast(n_both as decimal(38,0)) * n_orders * 1000000) div " +
+          "(cast(n_a as decimal(38,0)) * n_b) as bigint)"))
+      .withColumn("conf_ab_ppm", expr("(n_both * 1000000) div n_a"))
+      .select(col("part_a"), col("part_b"), col("n_both"), col("n_a"),
+        col("n_b"), col("lift_ppm"), col("conf_ab_ppm"))
+      .orderBy(col("lift_ppm").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s24_stream_basket" -> streamBasketRules _,
     "s23_stream_novelty" -> streamNoveltyMonitor _,
     "s22_stream_range_alerts" -> streamRangeAlerts _,
     "s21_stream_transitions" -> streamTransitions _,
@@ -680,6 +722,9 @@ object StreamingQueries {
     "s10_stream_session_window" -> streamSessionWindow _)
 
   def oracles: Map[String, String] = Map(
+    // s24 == batch q50: pair emission is exactly-once per unordered
+    // pair and supports are membership counts — both count monoids
+    "s24_stream_basket" -> Relational13.oracles("q50_basket_rules"),
     // s22 == batch a26: the corpus is static, queries never interact,
     // so the per-trigger range answers union to the one-shot search
     "s22_stream_range_alerts" -> Relational11.oracles("a26_range_search"),

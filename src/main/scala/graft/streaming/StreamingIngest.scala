@@ -341,6 +341,41 @@ object StreamingIngest {
       }
   }
 
+  /** s24: streaming market-basket pair miner — q50's co-occurrence
+    * input built incrementally at ingest: state per basket (order) is
+    * the distinct-part set seen so far (bounded by basket width, the
+    * per-key-bounded posture), and each NEW part emits one
+    * `(ok, pk, −1)` membership row plus one `(ok, min, max)` row per
+    * part already in the basket. Every unordered pair is emitted
+    * EXACTLY ONCE — when its later member arrives — so the emitted
+    * multiset equals the batch per-order pair fan-out regardless of
+    * how micro-batches split a basket (StreamingSpec drives the
+    * split-basket case); the downstream support/lift aggregation is a
+    * plain count monoid over these rows. Within a batch the rows sort
+    * by part id, so emission order is deterministic too. */
+  def basketPairStream(lines: Dataset[(Long, Long)])
+  : Dataset[(Long, Long, Long)] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (ok: Long, rows: Iterator[(Long, Long)], state: GroupState[Seq[Long]]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          var parts = state.getOption.getOrElse(Seq.empty[Long])
+          rows.map(_._2).toSeq.sorted.foreach { pk =>
+            if (!parts.contains(pk)) {
+              out += ((ok, pk, -1L))
+              parts.foreach { q =>
+                out += ((ok, math.min(pk, q), math.max(pk, q)))
+              }
+              parts = parts :+ pk
+            }
+          }
+          state.update(parts)
+          out.iterator
+      }
+  }
+
   /** s21: streaming event-transition monitor — q47's Markov readout at
     * ingest time. State per user is ONE (last_type, last_ts, last_id)
     * triple however long the stream runs (the [[throttleStream]]

@@ -637,4 +637,40 @@ class StreamingSpec extends AnyFunSuite {
       ("click", "purchase") -> 1L, // inside batch 2
       ("signup", "view") -> 1L))   // fresh user, batch 2 only
   }
+
+  test("streaming basket pairs: a split basket still emits every pair exactly once") {
+    val spark2 = spark
+    import spark2.implicits._
+    val drop = tmp("bk_drop"); val ckpt = tmp("bk_ckpt")
+    // order 1's parts straddle the boundary: pairs (10,30) and (20,30)
+    // need batch 1's membership state; part 10 repeats in batch 2 and
+    // must emit nothing the second time
+    Seq((1L, 10L), (1L, 20L), (2L, 77L))
+      .toDF("ok", "pk").coalesce(1).write.parquet(s"$drop/b1")
+    Seq((1L, 30L), (1L, 10L), (2L, 88L))
+      .toDF("ok", "pk").coalesce(1).write.parquet(s"$drop/b2")
+    val src = spark.readStream
+      .schema("ok LONG, pk LONG")
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(drop)
+      .as[(Long, Long)]
+    val q = StreamingIngest.basketPairStream(src)
+      .toDF("ok", "a", "b")
+      .writeStream.format("memory").queryName("bk_sink")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    val rows = spark.table("bk_sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val members = rows.filter(_._3 == -1L).map(t => (t._1, t._2)).sorted
+    val pairs = rows.filter(_._3 != -1L).map(t => (t._1, t._2, t._3)).sorted
+    assert(members === Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 77L), (2L, 88L)),
+      "one membership row per DISTINCT (order, part) — the repeat is absorbed")
+    assert(pairs === Seq(
+      (1L, 10L, 20L),             // inside batch 1
+      (1L, 10L, 30L), (1L, 20L, 30L), // ACROSS the boundary — state-carried
+      (2L, 77L, 88L)))            // second basket, split across batches
+  }
 }
