@@ -185,7 +185,37 @@ object Relational13 {
       .limit(20)
   }
 
+  /** p34: leakage-safe train/val/test split — the t27 hash split with
+    * the contamination hole closed: near-duplicate documents must land
+    * in the SAME split (a test doc whose near-copy sits in train is
+    * leaked eval signal), so the split key is the doc's near-dup
+    * CLUSTER representative (d02 pairs → min-label components;
+    * singletons represent themselves), not the doc id. `moved` flags
+    * docs whose naive doc-id split would have differed — the measured
+    * leakage the cluster key prevents. All md5 arithmetic; the oracle
+    * walks the same pair graph with a recursive CTE. */
+  def p34LeakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup.md5Hash60Col
+    val docs = documents(spark, dir).select(col("doc_id"), col("text"))
+    val pairs = graft.operators.Dedup.jaccardPairs(
+      docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val cc = graft.operators.Clusters.connectedComponents(pairs)
+    def splitOf(c: org.apache.spark.sql.Column) = {
+      val b = md5Hash60Col(concat(lit("split|"), c.cast("string"))) % 10
+      when(b < 8, "train").when(b === 8, "val").otherwise("test")
+    }
+    docs.select(col("doc_id"))
+      .join(cc, docs("doc_id") === cc("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("rep"))
+      .withColumn("split", splitOf(col("rep")))
+      .withColumn("naive_split", splitOf(col("doc_id")))
+      .withColumn("moved", (col("split") =!= col("naive_split")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p34_leakage_split"    -> p34LeakageSplit _,
     "q49_peak_concurrency" -> q49PeakConcurrency _,
     "g05_kcore"            -> g05KCore _,
     "t42_stitch_pairs"     -> t42StitchPairs _,
@@ -195,6 +225,39 @@ object Relational13 {
     staticOracles ++ g05Oracle.map("g05_kcore" -> _)
 
   private val staticOracles: Map[String, String] = Map(
+    "p34_leakage_split" -> {
+      def sqlSplit(key: String) =
+        s"""CASE WHEN ('0x' || substr(md5('split|' ||
+           |      CAST($key AS VARCHAR)), 1, 15))::BIGINT % 10 < 8 THEN 'train'
+           |    WHEN ('0x' || substr(md5('split|' ||
+           |      CAST($key AS VARCHAR)), 1, 15))::BIGINT % 10 = 8 THEN 'val'
+           |    ELSE 'test' END""".stripMargin
+      s"""WITH RECURSIVE ${CurationQueries.jaccardCoreCtes("doc_id")},
+         |pairs AS (
+         |  SELECT id_a, id_b
+         |  FROM inter JOIN sz sa ON sa.doc_id = id_a
+         |  JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+         |cc AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+         |r AS (
+         |  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+         |s AS (
+         |  SELECT doc_id, rep,
+         |    ${sqlSplit("rep")} AS split,
+         |    ${sqlSplit("doc_id")} AS naive_split
+         |  FROM r)
+         |SELECT doc_id, rep, split, naive_split,
+         |  CAST(split <> naive_split AS INT) AS moved
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     "q50_basket_rules" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem),
