@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables._
 
@@ -214,7 +215,37 @@ object Relational13 {
       .orderBy(col("doc_id"))
   }
 
+  /** q51: time-weighted average — the irregular-sample mean every
+    * monitoring/billing pipeline needs (a plain AVG over-weights busy
+    * periods): each reading holds until the next one, so
+    * TWA = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last−t_first), computed per
+    * (user, type) in exact integers (value → micro-units via
+    * DECIMAL(18,6)·10⁶, durations in µs, one floor division at the
+    * end — the t33 rule; values are non-negative so floor is
+    * engine-portable). Windows partition by (user, type): many small
+    * groups, never one task per type (the q32 lesson). Single-reading
+    * groups carry no duration and drop. */
+  def q51TimeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .withColumn("v6", (col("value").cast(DecimalType(18, 6)) * lit(1000000L))
+        .cast(DecimalType(38, 0)))
+      .withColumn("dur_us",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .filter(col("dur_us").isNotNull)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur_us")).as("span_us"),
+        sum(col("v6") * col("dur_us")).as("wsum"))
+      .withColumn("twa_micro", expr("cast(wsum div span_us as bigint)"))
+      .select(col("user_id"), col("event_type"), col("n_intervals"),
+        col("span_us"), col("twa_micro"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_time_weighted_avg" -> q51TimeWeightedAvg _,
     "p34_leakage_split"    -> p34LeakageSplit _,
     "q49_peak_concurrency" -> q49PeakConcurrency _,
     "g05_kcore"            -> g05KCore _,
@@ -225,6 +256,18 @@ object Relational13 {
     staticOracles ++ g05Oracle.map("g05_kcore" -> _)
 
   private val staticOracles: Map[String, String] = Map(
+    "q51_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS v6,
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id)) - epoch_us(ts) AS dur_us
+        |  FROM events)
+        |SELECT user_id, event_type, count(*) AS n_intervals,
+        |  CAST(sum(dur_us) AS BIGINT) AS span_us,
+        |  CAST(sum(v6 * dur_us) // sum(dur_us) AS BIGINT) AS twa_micro
+        |FROM e WHERE dur_us IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
     "p34_leakage_split" -> {
       def sqlSplit(key: String) =
         s"""CASE WHEN ('0x' || substr(md5('split|' ||
