@@ -177,18 +177,13 @@ object Relational11 {
     * enumeration; degrees are one |E|-bounded aggregate. Top 20 by
     * (degree desc, part) — a total order. */
   def g04ClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val e = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b"))
-      .distinct()
-      // two consumers (degree fold + triangle enumeration) — one
-      // materialization of the order² pair fan-out, the g01 posture
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // edge list + triangle index from the shared GraphCache parquet
+    // artifact (g03 ranks the SAME counts — one build per JVM; the
+    // checkpoint read replaces the old two-consumer persist)
+    val e = GraphCache.coPurchaseEdges(spark, dir)
     val deg = e.select(col("a").as("part")).unionAll(e.select(col("b")))
       .groupBy(col("part")).agg(count(lit(1)).as("degree"))
-    val tri = graft.operators.Triangles.perNodeCounts(e, "a", "b")
+    val tri = GraphCache.coPurchaseTriangles(spark, dir)
       .select(col("node").as("part"), col("n_triangles"))
     deg.join(tri, Seq("part"), "left_outer")
       .select(col("part"), col("degree"),

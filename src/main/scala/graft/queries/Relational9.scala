@@ -284,13 +284,9 @@ object Relational9 {
     * counts are orientation-independent, so the id-ordered DuckDB
     * oracle hash-matches. */
   def g03Triangles(spark: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val e = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b"))
-      .distinct()
-    graft.operators.Triangles.perNodeCounts(e, "a", "b")
+    // edge list + triangle index come from the shared GraphCache
+    // artifact (g04 normalizes the SAME counts — one build per JVM)
+    GraphCache.coPurchaseTriangles(spark, dir)
       .select(col("node").as("part"), col("n_triangles"))
       .orderBy(col("n_triangles").desc, col("part"))
       .limit(10)
