@@ -244,8 +244,46 @@ object Relational13 {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** q52: CUSUM changepoint detection over daily event volumes — the
+    * monitoring primitive that catches a sustained level shift a
+    * per-day threshold misses (each day is only slightly high; the
+    * CUMULATIVE excess grows without bound). Textbook CUSUM is a
+    * sequential recurrence S_i = max(0, S_{i−1} + d_i), which looks
+    * scan-ordered — but it has the prefix-sum closed form
+    * S_i = P_i − min(0, min_{j≤i} P_j), so it is two cumulative
+    * windows (running sum + running min), fully parallel. Residuals
+    * are exact integers scaled by the series length: d_i = x_i·n −
+    * total (no mean division anywhere), so both engines replay bit
+    * for bit. The windows run over the DAILY AGGREGATE (types×days
+    * rows), not the corpus — at 100 TB that table is still tiny; the
+    * corpus-sized work is the one groupBy count. A day is flagged
+    * when the unscaled CUSUM exceeds the series mean (S > total,
+    * since both carry the same ·n scale). */
+  def q52Cusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val byType = Window.partitionBy(col("event_type"))
+    val cum = byType.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("total", sum(col("n_events")).over(byType))
+      .withColumn("n_days", count(lit(1)).over(byType))
+      .withColumn("p",
+        sum(col("n_events") * col("n_days") - col("total")).over(cum))
+      .withColumn("cusum_scaled",
+        col("p") - least(lit(0L), min(col("p")).over(cum)))
+      .withColumn("flagged",
+        (col("cusum_scaled") > col("total")).cast("int"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("cusum_scaled"), col("flagged"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_time_weighted_avg" -> q51TimeWeightedAvg _,
+    "q52_cusum_changepoint" -> q52Cusum _,
     "p34_leakage_split"    -> p34LeakageSplit _,
     "q49_peak_concurrency" -> q49PeakConcurrency _,
     "g05_kcore"            -> g05KCore _,
@@ -256,6 +294,33 @@ object Relational13 {
     staticOracles ++ g05Oracle.map("g05_kcore" -> _)
 
   private val staticOracles: Map[String, String] = Map(
+    "q52_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, day, n_events,
+        |    CAST(sum(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS total,
+        |    count(*) OVER (PARTITION BY event_type) AS n_days
+        |  FROM daily),
+        |p AS (
+        |  SELECT event_type, day, n_events, total,
+        |    CAST(sum(n_events * n_days - total) OVER (
+        |      PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS p
+        |  FROM s),
+        |c AS (
+        |  SELECT event_type, day, n_events, total,
+        |    p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      AS cusum_scaled
+        |  FROM p)
+        |SELECT event_type, day, n_events, cusum_scaled,
+        |  CAST(cusum_scaled > total AS INT) AS flagged
+        |FROM c ORDER BY event_type, day""".stripMargin,
     "q51_time_weighted_avg" ->
       """WITH e AS (
         |  SELECT user_id, event_type,
