@@ -583,6 +583,36 @@ object StreamingQueries {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** s25: streaming time-weighted average — q51's irregular-sample
+    * integral at ingest ([[graft.streaming.StreamingIngest.twaStream]]):
+    * one (last_ts, last_v6) state row per (user, type) closes each
+    * held interval as its successor arrives; the memory sink's
+    * interval multiset then aggregates to exactly the batch lead()
+    * integral (same DECIMAL(38) products, same floor division).
+    * Oracle: q51's SQL verbatim (unified semantics). v6 is computed
+    * in UNTYPED land before the typed boundary so the decimal(18,6)
+    * half-up rounding is q51's bit for bit. */
+  def streamTwa(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val ev = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"), col("event_id"),
+        expr("cast(cast(value as decimal(18,6)) * 1000000 as bigint)").as("v6"))
+      .as[(Long, String, Long, Long, Long)]
+    val ivals = graft.streaming.StreamingIngest.twaStream(ev)
+      .toDF("user_id", "event_type", "dur_us", "v6")
+    awaitMemorySink(ivals, "append")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur_us")).as("span_us"),
+        sum(col("v6").cast(DecimalType(38, 0)) * col("dur_us")).as("wsum"))
+      .withColumn("twa_micro", expr("cast(wsum div span_us as bigint)"))
+      .select(col("user_id"), col("event_type"), col("n_intervals"),
+        col("span_us"), col("twa_micro"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** s22: streaming range-search alerts — the s18 inverted-feed
     * pattern on a26's radius semantics: query vectors arrive as the
     * stream, each trigger answers its batch with the full exact range
@@ -697,6 +727,7 @@ object StreamingQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s24_stream_basket" -> streamBasketRules _,
+    "s25_stream_twa" -> streamTwa _,
     "s23_stream_novelty" -> streamNoveltyMonitor _,
     "s22_stream_range_alerts" -> streamRangeAlerts _,
     "s21_stream_transitions" -> streamTransitions _,
@@ -725,6 +756,9 @@ object StreamingQueries {
     // s24 == batch q50: pair emission is exactly-once per unordered
     // pair and supports are membership counts — both count monoids
     "s24_stream_basket" -> Relational13.oracles("q50_basket_rules"),
+    // s25 == batch q51: per-key last-reading state makes interval
+    // emission prefix-decomposable, so the stream equals the lead() form
+    "s25_stream_twa" -> Relational13.oracles("q51_time_weighted_avg"),
     // s22 == batch a26: the corpus is static, queries never interact,
     // so the per-trigger range answers union to the one-shot search
     "s22_stream_range_alerts" -> Relational11.oracles("a26_range_search"),

@@ -407,6 +407,40 @@ object StreamingIngest {
       }
   }
 
+  /** s25: streaming time-weighted-average monitor — q51's
+    * irregular-sample integral maintained at ingest. State per
+    * (user, type) is ONE (last_ts_us, last_v6) pair however long the
+    * stream runs; each arriving reading closes the interval the
+    * stored reading was holding open (q51's lead() semantics: a value
+    * holds until the next one) and emits (dur_us, held v6), then
+    * replaces the state. The emitted interval MULTISET equals the
+    * batch lead() pairs whatever the micro-batch boundaries —
+    * interval emission is prefix-decomposable under the s21 in-order
+    * per-key delivery contract (within a batch the group sorts by
+    * (ts, event_id); across batches a single AvailableNow replay of a
+    * ts-ordered feed qualifies). Input: (user, type, ts_us, event_id,
+    * v6). Output: (user, type, dur_us, v6) per closed interval. */
+  def twaStream(readings: Dataset[(Long, String, Long, Long, Long)])
+  : Dataset[(Long, String, Long, Long)] = {
+    val spark = readings.sparkSession
+    import spark.implicits._
+    readings
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[(Long, String, Long, Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, String, Long, Long)]
+          var last = state.getOption.orNull
+          rows.toIndexedSeq.sortBy(r => (r._3, r._4)).foreach { r =>
+            if (last != null) out += ((key._1, key._2, r._3 - last._1, last._2))
+            last = (r._3, r._5)
+          }
+          if (last != null) state.update(last)
+          out.iterator
+      }
+  }
+
   def sessionize(events: Dataset[(Long, Long)], gapSeconds: Long = 1800L,
                  expireIdle: Boolean = true): Dataset[SessionOut] = {
     val spark = events.sparkSession

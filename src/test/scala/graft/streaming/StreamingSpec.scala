@@ -638,6 +638,42 @@ class StreamingSpec extends AnyFunSuite {
       ("signup", "view") -> 1L))   // fresh user, batch 2 only
   }
 
+  test("streaming TWA intervals carry last-reading state ACROSS micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    val drop = tmp("twa_drop"); val ckpt = tmp("twa_ckpt")
+    // key (1, cpu)'s readings straddle the boundary: the 100→300
+    // interval needs batch 1's last reading as state; its held VALUE
+    // (5) must be the earlier reading's, not the closer's (7)
+    Seq((1L, "cpu", 100L, 10L, 5L), (1L, "cpu", 200L, 11L, 9L))
+      .toDF("user_id", "event_type", "tsu", "event_id", "v6")
+      .coalesce(1).write.parquet(s"$drop/b1")
+    Seq((1L, "cpu", 300L, 12L, 7L), (2L, "mem", 150L, 20L, 4L),
+        (2L, "mem", 450L, 21L, 6L))
+      .toDF("user_id", "event_type", "tsu", "event_id", "v6")
+      .coalesce(1).write.parquet(s"$drop/b2")
+    val src = spark.readStream
+      .schema("user_id LONG, event_type STRING, tsu LONG, event_id LONG, v6 LONG")
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", 1) // force the state hand-off
+      .parquet(drop)
+      .as[(Long, String, Long, Long, Long)]
+    val q = StreamingIngest.twaStream(src)
+      .toDF("user_id", "event_type", "dur_us", "v6")
+      .writeStream.format("memory").queryName("twa_sink")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    val streamed = spark.table("twa_sink").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed === Set(
+      (1L, "cpu", 100L, 5L),  // inside batch 1, holds reading 10's value
+      (1L, "cpu", 100L, 9L),  // ACROSS the boundary — state-carried value
+      (2L, "mem", 300L, 4L))) // fresh key, batch 2 only
+  }
+
   test("streaming basket pairs: a split basket still emits every pair exactly once") {
     val spark2 = spark
     import spark2.implicits._
