@@ -52,20 +52,22 @@ object Kmv {
     * is the sorted hash array packed big-endian into bytes (BINARY has
     * a first-class encoder; an O(k) repack per accepted row is noise
     * next to the row's own md5). */
+  private[operators] def unpack(buf: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](buf.length / 8)
+    val bb = java.nio.ByteBuffer.wrap(buf)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+  private[operators] def pack(xs: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(xs.length * 8)
+    xs.foreach(bb.putLong)
+    bb.array()
+  }
+
   class KmvAggregator(k: Int)
       extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Byte], Long] {
-    private def unpack(buf: Array[Byte]): Array[Long] = {
-      val out = new Array[Long](buf.length / 8)
-      val bb = java.nio.ByteBuffer.wrap(buf)
-      var i = 0
-      while (i < out.length) { out(i) = bb.getLong(); i += 1 }
-      out
-    }
-    private def pack(xs: Array[Long]): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(xs.length * 8)
-      xs.foreach(bb.putLong)
-      bb.array()
-    }
+    import Kmv.{unpack, pack}
 
     override def zero: Array[Byte] = Array.emptyByteArray
 
@@ -112,6 +114,27 @@ object Kmv {
       org.apache.spark.sql.Encoders.BINARY
     override def outputEncoder: org.apache.spark.sql.Encoder[Long] =
       org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  /** The same bottom-k monoid, finishing with the sketch's sorted
+    * hash VALUES instead of the distinct-count estimate — the form
+    * set-RESEMBLANCE estimators need (d22): two sketches' bottom-k
+    * union says which of its members both sides hold. */
+  class KmvSketchAggregator(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Long, Array[Byte], Seq[Long]] {
+    private val core = new KmvAggregator(k)
+    override def zero: Array[Byte] = core.zero
+    override def reduce(buf: Array[Byte], h: Long): Array[Byte] =
+      core.reduce(buf, h)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      core.merge(a, b)
+    override def finish(buf: Array[Byte]): Seq[Long] =
+      Kmv.unpack(buf).toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
   /** `kmv_distinct(hash)` as a Column over [[HyperLogLog.hashExpr]]
@@ -168,4 +191,62 @@ object Kmv {
        |      FROM $table))
        |  WHERE rn <= $k
        |  GROUP BY grp)""".stripMargin
+
+  /** Cross-source vocabulary Jaccard from bottom-k sketches (d22) —
+    * Broder's set-resemblance estimator in its KMV form (Beyer et al.
+    * SIGMOD'07 §5): for sources a, b with sketches S_a, S_b (the k
+    * smallest distinct gram hashes each), the k smallest of S_a ∪ S_b
+    * are a uniform sample of a ∪ b, so
+    * J(a, b) ≈ |{h ∈ U_k : h ∈ S_a ∧ h ∈ S_b}| / |U_k|.
+    * t40 computes the exact containment matrix by joining the full
+    * per-source gram postings — corpus-sized on both legs; this reads
+    * the same signal from |sources|·k longs of state: the corpus-sized
+    * work collapses to ONE map-side-combining sketch aggregation (the
+    * [[KmvAggregator]] monoid), and the pair stage touches only
+    * sketches (k·|sources|² rows bounded, data-independent). Same
+    * gram universe and same 60-bit hash as t40, so the sketch is
+    * literally sampling t40's exact matrix.
+    *
+    * Everything is integer-exact and the sketch is deterministic in
+    * the data, so DuckDB replays the estimate bit for bit — the
+    * estimator's ±1/√k error is vs the TRUE Jaccard, not across
+    * engines. Output: (source_a, source_b, k_used, n_common,
+    * jaccard_est_ppm) per unordered pair, a < b. */
+  def crossSourceJaccard(docs: DataFrame, srcCol: String, textCol: String,
+                         n: Int = 3, k: Int = 256): DataFrame = {
+    val sk = docs
+      .select(col(srcCol).as("source"),
+        explode(graft.functions.GraftFunctions.ngramStrings(col(textCol), n))
+          .as("shingle"))
+      .select(col("source"), Dedup.md5Hash60Col(col("shingle")).as("h"))
+      .groupBy(col("source"))
+      .agg(udaf(new KmvSketchAggregator(k)).apply(col("h")).as("sk"))
+    val r = sk.select(col("source"), explode(col("sk")).as("h"))
+    val srcs = sk.select(col("source"))
+    val pairs = srcs.as("pa").join(srcs.as("pb"),
+        col("pa.source") < col("pb.source"))
+      .select(col("pa.source").as("sa"), col("pb.source").as("sb"))
+    val ea = pairs.join(r, col("source") === col("sa"))
+      .select(col("sa"), col("sb"), col("h"),
+        lit(1L).as("in_a"), lit(0L).as("in_b"))
+    val eb = pairs.join(r, col("source") === col("sb"))
+      .select(col("sa"), col("sb"), col("h"),
+        lit(0L).as("in_a"), lit(1L).as("in_b"))
+    val u = ea.unionByName(eb)
+      .groupBy(col("sa"), col("sb"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    // union bottom-k per pair: the window runs over sketch rows only
+    // (≤ 2k per pair — bounded state however large the corpus)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sa"), col("sb")).orderBy(col("h"))
+    u.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("k_used"),
+        sum(col("in_a") * col("in_b")).as("n_common"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("k_used"), col("n_common"),
+        expr("(n_common * 1000000) div k_used").as("jaccard_est_ppm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

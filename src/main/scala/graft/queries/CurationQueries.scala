@@ -75,6 +75,17 @@ object CurationQueries {
   def dedupBandPlan(spark: SparkSession, dir: String): DataFrame =
     Dedup.bandPlanSweep(documents(spark, dir), "doc_id", "text")
 
+  /** d22: cross-source vocabulary Jaccard from KMV bottom-k sketches
+    * ([[graft.operators.Kmv.crossSourceJaccard]]) — t40's exact
+    * overlap matrix read from |sources|·256 longs of sketch state
+    * instead of corpus-sized gram postings: the corpus-sized work is
+    * ONE map-side-combining bottom-k aggregation; the pair stage
+    * touches only sketches. Same gram universe and hash as t40, and
+    * fully deterministic, so the ESTIMATE itself is hash-checked. */
+  def dedupKmvJaccard(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Kmv.crossSourceJaccard(
+      documents(spark, dir), "source", "text", n = 3, k = 256)
+
   /** d04: SimHash near-dup pairs, hamming ≤ 3 on planted near-copies —
     * oracle-checked end to end with the md5 word hash (the t17
     * principle: DuckDB recomputes the same 64-bit word hashes, per-bit
@@ -1415,6 +1426,7 @@ object CurationQueries {
     "d21_cosine_dedup"    -> dedupCosine _,
     "d03_dedup_minhash"   -> dedupMinHash _,
     "d19_band_plan"       -> dedupBandPlan _,
+    "d22_kmv_jaccard"     -> dedupKmvJaccard _,
     "d04_dedup_simhash"   -> dedupSimHash _,
     "d05_dedup_embedding" -> dedupEmbedding _,
     "d07_dedup_embedding_lsh" -> dedupEmbeddingLsh _,
@@ -2215,6 +2227,39 @@ object CurationQueries {
     "d20_prefix_join" -> exactJaccardPairsSql,
     // d19: the FULL band-plan sweep replay — one 32-bit md5 base hash
     // per (doc, shingle), the spliced universal-hash lane constants,
+    // d22: the full KMV-resemblance replay — t40's shingle+hash CTEs,
+    // per-source bottom-256 rank, union bottom-k per pair, the same
+    // membership count and ppm floor division
+    "d22_kmv_jaccard" ->
+      """WITH sh AS (
+        |  SELECT source, list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text,' ')) - 2),
+        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS shingles
+        |  FROM documents),
+        |g AS (SELECT DISTINCT source,
+        |    ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS h FROM sh),
+        |sk AS MATERIALIZED (SELECT source, h FROM (
+        |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |    FROM g) WHERE rn <= 256),
+        |srcs AS (SELECT DISTINCT source FROM sk),
+        |pairs AS (SELECT a.source AS sa, b.source AS sb
+        |  FROM srcs a JOIN srcs b ON a.source < b.source),
+        |u AS (SELECT sa, sb, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        |    SELECT p.sa, p.sb, s.h, 1 AS in_a, 0 AS in_b
+        |    FROM pairs p JOIN sk s ON s.source = p.sa
+        |    UNION ALL
+        |    SELECT p.sa, p.sb, s.h, 0 AS in_a, 1 AS in_b
+        |    FROM pairs p JOIN sk s ON s.source = p.sb)
+        |  GROUP BY 1, 2, 3),
+        |tu AS (SELECT * FROM (
+        |    SELECT u.*, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+        |    FROM u) WHERE rn <= 256)
+        |SELECT sa AS source_a, sb AS source_b,
+        |  CAST(count(*) AS BIGINT) AS k_used,
+        |  CAST(sum(in_a * in_b) AS BIGINT) AS n_common,
+        |  CAST((sum(in_a * in_b) * 1000000) // count(*) AS BIGINT)
+        |    AS jaccard_est_ppm
+        |FROM tu GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // same i-ordered band keys, same d02 exact pair set; the candidate
     // counts themselves are hash-checked per plan
     "d19_band_plan" -> {
