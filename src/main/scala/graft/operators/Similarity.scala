@@ -377,6 +377,55 @@ object Similarity {
     * Output: (query_id, doc_id, n_shared, rank_lex, rank_vec,
     * cos_score, rrf, rank), rank 1..k by (rrf desc, doc_id); a leg the
     * doc didn't reach within `depth` reports rank 0 / score 0. */
+  /** Hard-negative mining (a33) — the contrastive-training data
+    * primitive (cf. Karpukhin et al., "Dense Passage Retrieval",
+    * EMNLP'20 §3.2: BM25-retrieved non-positives are the negatives
+    * that teach a dual encoder the most): per query, the documents
+    * the LEXICAL ranker scores highest ([[bm25TopK]], depth
+    * `lexDepth`, self excluded) that are NOT semantic neighbors (not
+    * in the exact cosine top-`posK` — the positive proxy when no
+    * labels exist). Lexically magnetic but semantically far is
+    * exactly the "hard" axis. Output: top `negK` negatives per query
+    * in BM25 order — (query_id, doc_id, bm25, bm25_rank, neg_rank).
+    *
+    * Scale posture: both legs are the proven a11/a10 shapes
+    * (broadcast query vocab, bounded-heap prune); the set difference
+    * is a left-anti join on (query, doc) — candidate-bounded, never
+    * corpus-bounded. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+                    idCol: String, textCol: String, vecCol: String,
+                    qIdCol: String, qTextCol: String, qVecCol: String,
+                    lexDepth: Int = 20, posK: Int = 10, negK: Int = 5)
+  : DataFrame = {
+    val q = queries.select(col(qIdCol).as("query_id"),
+      col(qTextCol).as("qtext"), asDouble(qVecCol).as("qv"))
+    val lex = bm25TopK(
+        q.select(col("query_id"), col("qtext")),
+        corpus.select(col(idCol), col(textCol)),
+        idCol, textCol, "query_id", "qtext", k = lexDepth)
+      .filter(col("doc_id") =!= col("query_id"))
+    val scoredVec = corpus
+      .select(col(idCol).as("doc_id"), asDouble(vecCol).as("cv"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))),
+        col("query_id") =!= col("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos_score"))
+    val wVec = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_score").desc, col("doc_id"))
+    val pos = graft.plans.TopKPerKey
+      .prune(scoredVec, "query_id", "cos_score", "doc_id", posK)
+      .withColumn("rank_vec", row_number().over(wVec))
+      .filter(col("rank_vec") <= posK)
+      .select(col("query_id"), col("doc_id"))
+    val wNeg = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    lex.join(pos, Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(wNeg).cast("long"))
+      .filter(col("neg_rank") <= negK)
+      .select(col("query_id"), col("doc_id"), col("bm25"),
+        col("rank").as("bm25_rank"), col("neg_rank"))
+      .orderBy(col("query_id"), col("neg_rank"))
+  }
+
   def hybridTopK(queries: DataFrame, corpus: DataFrame,
                  idCol: String, textCol: String, vecCol: String,
                  qIdCol: String, qTextCol: String, qVecCol: String,

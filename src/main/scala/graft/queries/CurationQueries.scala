@@ -1073,6 +1073,26 @@ object CurationQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** a33: hard-negative mining for retrieval training
+    * ([[Similarity.hardNegatives]]) — per query (a10's shape: every
+    * 50th doc, first 12 words + its embedding), the BM25 depth-20
+    * candidates that are NOT in the exact cosine top-10: lexically
+    * magnetic, semantically far — the negatives a dual encoder
+    * learns the most from. Corpus is the documents∩embeddings join
+    * (both legs must rank the same universe). */
+  def hardNegativeMining(spark: SparkSession, dir: String): DataFrame = {
+    val c = documents(spark, dir).select(col("doc_id"), col("text"))
+      .join(embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+    val q = c.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(split(col("text"), " "), 1, 12), " ").as("qtext"),
+        col("embedding").as("qvec"))
+    Similarity.hardNegatives(q, c, "doc_id", "text", "embedding",
+      "qid", "qtext", "qvec", lexDepth = 20, posK = 10, negK = 5)
+  }
+
   /** Planted line structure for the boilerplate queries: a per-source
     * nav header, the document's words in 10-word body lines, and a
     * per-source footer, '\n'-joined. ONE definition — t20, p18, and the
@@ -1393,6 +1413,7 @@ object CurationQueries {
     "t19_bigram_lm"         -> bigramLm _,
     "t20_boilerplate"       -> boilerplateRemoval _,
     "a11_bm25_topk"         -> bm25Search _,
+    "a33_hard_negatives"    -> hardNegativeMining _,
     "d14_span_removal"      -> dedupSpanRemoval _,
     "a10_hybrid_search"     -> hybridSearch _,
     "t17_classifier_score"  -> classifierScore _,
@@ -1817,6 +1838,50 @@ object CurationQueries {
         |  FROM scored)
         |SELECT query_id, doc_id, bm25, rank FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // a33: a11's Okapi CTEs over the joined corpus + a10's cosine leg;
+    // negatives = lex candidates anti-joined against the semantic top-10
+    "a33_hard_negatives" ->
+      """WITH corpus AS (SELECT d.doc_id, d.text,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS dl,
+        |    CAST(e.embedding AS DOUBLE[]) AS v
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM corpus),
+        |q AS (SELECT doc_id AS query_id,
+        |    array_to_string(string_split(text, ' ')[1:12], ' ') AS qtext, v AS qv
+        |  FROM corpus WHERE doc_id % 50 = 0),
+        |qt AS (SELECT query_id, unnest(list_distinct(string_split(qtext, ' '))) AS term FROM q),
+        |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+        |  FROM (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term FROM corpus)
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |contrib AS (SELECT qt.query_id, tf.doc_id,
+        |    CAST(round(((s.n_docs - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE))) *
+        |      (tf.tf * (CAST(1.2 AS DOUBLE) + 1) / (tf.tf + CAST(1.2 AS DOUBLE) *
+        |        (1 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * tf.dl /
+        |          (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) * 1e6) AS BIGINT) AS c
+        |  FROM tf JOIN qt USING (term) JOIN df USING (term), stats s),
+        |scored AS (SELECT query_id, doc_id, sum(c) AS score_scaled
+        |  FROM contrib GROUP BY 1, 2),
+        |lex AS (SELECT * FROM (
+        |    SELECT query_id, doc_id,
+        |      round(CAST(score_scaled AS DOUBLE) / 1e6, 6) AS bm25,
+        |      CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score_scaled DESC, doc_id) AS BIGINT) AS bm25_rank
+        |    FROM scored)
+        |  WHERE bm25_rank <= 20 AND doc_id <> query_id),
+        |vec AS (SELECT query_id, doc_id FROM (
+        |    SELECT q.query_id, c.doc_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY round(list_cosine_similarity(q.qv, c.v), 6) DESC,
+        |          c.doc_id) AS rv
+        |    FROM q JOIN corpus c ON q.query_id <> c.doc_id) WHERE rv <= 10),
+        |negs AS (SELECT l.query_id, l.doc_id, l.bm25, l.bm25_rank,
+        |    CAST(row_number() OVER (PARTITION BY l.query_id
+        |      ORDER BY l.bm25_rank) AS BIGINT) AS neg_rank
+        |  FROM lex l ANTI JOIN vec v
+        |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+        |SELECT query_id, doc_id, bm25, bm25_rank, neg_rank
+        |FROM negs WHERE neg_rank <= 5 ORDER BY query_id, neg_rank""".stripMargin,
     "a10_hybrid_search" ->
       """WITH corpus AS (SELECT d.doc_id, d.text, CAST(e.embedding AS DOUBLE[]) AS v
         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
