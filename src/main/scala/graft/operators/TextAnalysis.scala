@@ -970,4 +970,66 @@ object TextAnalysis {
       langId(t).as("lang_guess"),
       bowFingerprint(t).as("bow_fp"))
   }
+
+  /** Topic-segmentation boundaries (t43) — TextTiling's lexical-
+    * cohesion valley rule (Hearst, CL 1997 §4: score each gap between
+    * adjacent text blocks by their lexical similarity; topic
+    * boundaries live at local minima), made engine-exact: blocks are
+    * fixed `blockWords` word windows, the gap score is the SQUARED
+    * cosine of the two blocks' term-count vectors in ppm —
+    * (dot²·10⁶) div (‖a‖²·‖b‖²) — so no square root ever happens
+    * (the a27 discipline: squared cosine orders identically to
+    * cosine on nonnegative counts), and a gap is a boundary when it
+    * is a STRICT local valley (score below both neighbors; doc-edge
+    * gaps never qualify — lag/lead nulls coalesce to false).
+    *
+    * Scale posture: the block id is scan-local (pos div blockWords),
+    * counts shuffle 8-byte md5-prefix word hashes (the t39/d21
+    * discipline), the adjacent-block dot is an equi-join on (doc,
+    * hash, blk+1), and the valley windows partition by doc — many
+    * small groups, bounded by per-doc block count, never corpus-wide.
+    * Output: (doc_id, gap, simsq_ppm, is_boundary) per adjacent-block
+    * gap; single-block docs emit nothing. */
+  def textTilingBoundaries(docs: DataFrame, idCol: String, textCol: String,
+                           blockWords: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+      .select(col("doc_id"), expr(s"pos div $blockWords").as("blk"),
+        Dedup.md5Hash60Col(col("w")).as("h"))
+    val cnt = words.groupBy(col("doc_id"), col("blk"), col("h"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ^ two consumers (norms + adjacent dot); lifetime: LRU / caller
+    // clearCache, the standard index-intermediate contract
+    val n2 = cnt.groupBy(col("doc_id"), col("blk"))
+      .agg(sum(col("c") * col("c")).as("n2"))
+    val dots = cnt.as("a")
+      .join(cnt.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.blk") === col("a.blk") + 1 && col("a.h") === col("b.h"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("a.blk").as("blk"))
+      .agg(sum(col("a.c") * col("b.c")).as("dot"))
+    val gaps = n2.as("x")
+      .join(n2.as("y"),
+        col("x.doc_id") === col("y.doc_id") &&
+          col("y.blk") === col("x.blk") + 1)
+      .select(col("x.doc_id").as("doc_id"), col("x.blk").as("gap"),
+        col("x.n2").as("na2"), col("y.n2").as("nb2"))
+      .join(dots.withColumnRenamed("blk", "gap"), Seq("doc_id", "gap"),
+        "left_outer")
+      .withColumn("dot", coalesce(col("dot"), lit(0L)))
+      .withColumn("simsq_ppm",
+        expr("(dot * dot * 1000000) div (na2 * nb2)"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("gap"))
+    gaps
+      .withColumn("is_boundary", coalesce(
+        col("simsq_ppm") < lag(col("simsq_ppm"), 1).over(w) &&
+          col("simsq_ppm") < lead(col("simsq_ppm"), 1).over(w),
+        lit(false)).cast("int"))
+      .select(col("doc_id"), col("gap"), col("simsq_ppm"),
+        col("is_boundary"))
+      .orderBy(col("doc_id"), col("gap"))
+  }
 }

@@ -281,9 +281,19 @@ object Relational13 {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** t43: topic-segmentation boundaries ([[graft.operators
+    * .TextAnalysis.textTilingBoundaries]]) — Hearst's TextTiling
+    * valley rule over 20-word blocks, squared-cosine gap scores in
+    * exact ppm; the long-document splitter a RAG/pre-training chunker
+    * wants where p04's sentence windows cut blindly. */
+  def t43TextTiling(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.textTilingBoundaries(
+      documents(spark, dir), "doc_id", "text", blockWords = 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_time_weighted_avg" -> q51TimeWeightedAvg _,
     "q52_cusum_changepoint" -> q52Cusum _,
+    "t43_texttiling"        -> t43TextTiling _,
     "p34_leakage_split"    -> p34LeakageSplit _,
     "q49_peak_concurrency" -> q49PeakConcurrency _,
     "g05_kcore"            -> g05KCore _,
@@ -294,6 +304,35 @@ object Relational13 {
     staticOracles ++ g05Oracle.map("g05_kcore" -> _)
 
   private val staticOracles: Map[String, String] = Map(
+    "t43_texttiling" ->
+      """WITH wd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |pw AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
+        |    i -> struct_pack(blk := (i - 1) // 20,
+        |      h := ('0x' || substr(md5(ws[i]), 1, 15))::BIGINT))) AS s
+        |  FROM wd),
+        |cnt AS (SELECT doc_id, s.blk AS blk, s.h AS h, count(*) AS c
+        |  FROM pw GROUP BY 1, 2, 3),
+        |n2 AS (SELECT doc_id, blk, CAST(sum(c * c) AS BIGINT) AS n2
+        |  FROM cnt GROUP BY 1, 2),
+        |dots AS (SELECT a.doc_id, a.blk, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        |  FROM cnt a JOIN cnt b ON a.doc_id = b.doc_id
+        |    AND b.blk = a.blk + 1 AND a.h = b.h
+        |  GROUP BY 1, 2),
+        |gap AS (SELECT x.doc_id, x.blk AS gap, coalesce(d.dot, 0) AS dot,
+        |    x.n2 AS na2, y.n2 AS nb2
+        |  FROM n2 x JOIN n2 y ON x.doc_id = y.doc_id AND y.blk = x.blk + 1
+        |  LEFT JOIN dots d ON d.doc_id = x.doc_id AND d.blk = x.blk),
+        |sim AS (SELECT doc_id, gap,
+        |    CAST((dot * dot * 1000000) // (na2 * nb2) AS BIGINT) AS simsq_ppm
+        |  FROM gap),
+        |v AS (SELECT doc_id, gap, simsq_ppm,
+        |    lag(simsq_ppm) OVER (PARTITION BY doc_id ORDER BY gap) AS p,
+        |    lead(simsq_ppm) OVER (PARTITION BY doc_id ORDER BY gap) AS n
+        |  FROM sim)
+        |SELECT doc_id, CAST(gap AS BIGINT) AS gap, simsq_ppm,
+        |  CAST(coalesce(simsq_ppm < p AND simsq_ppm < n, false) AS INT)
+        |    AS is_boundary
+        |FROM v ORDER BY doc_id, gap""".stripMargin,
     "q52_cusum_changepoint" ->
       """WITH daily AS (
         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
