@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.storage.StorageLevel
+
+/** HITS hubs & authorities (Kleinberg, JACM 1999) in engine-exact
+  * integer arithmetic — the [[PageRank]] discipline applied to the
+  * OTHER classic link-analysis fixpoint: hub scores flow to the
+  * authorities they point at, authority scores flow back.
+  *
+  * The textbook algorithm L2-normalizes each iteration, which is both
+  * a square root (not engine-portable) and unnecessary: the scores
+  * are defined only up to scale, and the iteration is power iteration
+  * on AᵀA, so this implementation keeps RAW integer sums for all k
+  * rounds (a₀ = 1; hᵢ(c) = Σ_{c→p} aᵢ₋₁(p); aᵢ(p) = Σ_{c→p} hᵢ(c) —
+  * DECIMAL(38) sums, no division anywhere) and normalizes ONCE at
+  * readout with a single ppm floor division (the t33 rule). No
+  * per-iteration floor loss, no per-iteration scalar aggregates —
+  * each round is exactly one join + one aggregation, the Pregel
+  * minimum, and the whole run is one lineage.
+  *
+  * Magnitude bound: scores grow by ~(d_c·d_p) per round; DECIMAL(38)
+  * holds k=3 rounds up to average-degree products of ~10¹⁰ — beyond
+  * that, callers drop k or pre-scale (disclosed, not hidden: Spark
+  * decimal overflow yields null rows, loudly missing from the
+  * output, not silently wrong).
+  *
+  * Scale posture: the edge list persists once and is the only
+  * per-round probe side; score vectors are |V|-row frames that
+  * shuffle on the join key. Output: top `topK` per side —
+  * (side ∈ {auth, hub}, id, score_ppm, rnk). */
+object Hits {
+
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int = 3, topK: Int = 20): DataFrame = {
+    require(iterations >= 1)
+    val e = edges
+      .select(col(srcCol).cast("long").as("c"), col(dstCol).cast("long").as("p"))
+      .distinct()
+      // every round joins it twice; lifetime: LRU / caller clearCache
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var auth = e.select(col("p")).distinct()
+      .withColumn("a", lit(1L).cast(DecimalType(38, 0)))
+    var hub: DataFrame = null
+    (1 to iterations).foreach { _ =>
+      hub = e.join(auth, "p").groupBy(col("c"))
+        .agg(sum(col("a")).as("h"))
+      auth = e.join(hub, "c").groupBy(col("p"))
+        .agg(sum(col("h")).as("a"))
+    }
+    // final vectors each feed a scalar total AND the top-k readout
+    auth = auth.persist(StorageLevel.MEMORY_AND_DISK)
+    hub = hub.persist(StorageLevel.MEMORY_AND_DISK)
+    val aTot = broadcast(auth.agg(sum(col("a")).as("tot")))
+    val hTot = broadcast(hub.agg(sum(col("h")).as("tot")))
+    def side(v: DataFrame, scoreCol: String, idCol: String, tag: String,
+             tot: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("raw").desc, col("id"))
+      v.crossJoin(tot)
+        .select(lit(tag).as("side"), col(idCol).as("id"),
+          expr(s"cast(($scoreCol * cast(1000000 as decimal(38,0))) div tot as bigint)")
+            .as("score_ppm"),
+          col(scoreCol).as("raw"))
+        .orderBy(col("raw").desc, col("id")).limit(topK)
+        // the rank window runs over topK rows only (post-limit)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .drop("raw")
+    }
+    side(auth, "a", "p", "auth", aTot)
+      .unionByName(side(hub, "h", "c", "hub", hTot))
+      .orderBy(col("side"), col("rnk"))
+  }
+
+  /** The DuckDB replay: unrolled MATERIALIZED rounds over `edgesSql`
+    * (a query yielding (c, p) distinct pairs), same HUGEINT sums, one
+    * final ppm floor division per side. */
+  def oracleSql(edgesSql: String, iterations: Int, topK: Int = 20): String = {
+    val steps = (1 to iterations).map { i =>
+      s"""h$i AS MATERIALIZED (SELECT e.c, sum(a.a) AS h
+         |  FROM eds e JOIN a${i - 1} a USING (p) GROUP BY e.c),
+         |a$i AS MATERIALIZED (SELECT e.p, sum(h.h) AS a
+         |  FROM eds e JOIN h$i h USING (c) GROUP BY e.p)"""
+        .stripMargin
+    }.mkString(",\n")
+    val k = iterations
+    s"""WITH eds AS MATERIALIZED ($edgesSql),
+       |a0 AS (SELECT DISTINCT p, 1::HUGEINT AS a FROM eds),
+       |$steps,
+       |ta AS (SELECT 'auth' AS side, p AS id,
+       |    CAST((a * 1000000) // (SELECT sum(a) FROM a$k) AS BIGINT) AS score_ppm,
+       |    row_number() OVER (ORDER BY a DESC, p) AS rnk
+       |  FROM a$k),
+       |th AS (SELECT 'hub' AS side, c AS id,
+       |    CAST((h * 1000000) // (SELECT sum(h) FROM h$k) AS BIGINT) AS score_ppm,
+       |    row_number() OVER (ORDER BY h DESC, c) AS rnk
+       |  FROM h$k)
+       |SELECT side, id, score_ppm, CAST(rnk AS BIGINT) AS rnk
+       |FROM (SELECT * FROM ta WHERE rnk <= $topK
+       |      UNION ALL SELECT * FROM th WHERE rnk <= $topK)
+       |ORDER BY side, rnk""".stripMargin
+  }
+}

@@ -290,10 +290,26 @@ object Relational13 {
     graft.operators.TextAnalysis.textTilingBoundaries(
       documents(spark, dir), "doc_id", "text", blockWords = 20)
 
+  /** g06: HITS hubs & authorities over the customer→part purchase
+    * bipartite graph ([[graft.operators.Hits]]): authorities = the
+    * parts that discerning buyers converge on, hubs = the customers
+    * whose baskets point at authoritative parts — the mutual-
+    * reinforcement readout PageRank's single score can't give.
+    * 3 rounds, raw integer power iteration, one final ppm division. */
+  def g06Hits(spark: SparkSession, dir: String): DataFrame = {
+    val e = orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+    graft.operators.Hits.hits(e, "c", "p", iterations = 3, topK = 20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_time_weighted_avg" -> q51TimeWeightedAvg _,
     "q52_cusum_changepoint" -> q52Cusum _,
     "t43_texttiling"        -> t43TextTiling _,
+    "g06_hits"              -> g06Hits _,
     "p34_leakage_split"    -> p34LeakageSplit _,
     "q49_peak_concurrency" -> q49PeakConcurrency _,
     "g05_kcore"            -> g05KCore _,
@@ -304,6 +320,10 @@ object Relational13 {
     staticOracles ++ g05Oracle.map("g05_kcore" -> _)
 
   private val staticOracles: Map[String, String] = Map(
+    "g06_hits" -> graft.operators.Hits.oracleSql(
+      """SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
+      iterations = 3, topK = 20),
     "t43_texttiling" ->
       """WITH wd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |pw AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
