@@ -583,6 +583,40 @@ object StreamingQueries {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** s26: streaming CUSUM changepoint monitor — q52's level-shift
+    * detector fed by a streaming daily-count aggregation (the s01
+    * shape: watermarked 1-day windows, complete mode — counter state
+    * is types×days cells, bounded and mergeable however long the
+    * stream runs). The CUSUM itself stays the prefix-sum closed form
+    * and runs at read time over the TINY aggregate — the right
+    * split: corpus-sized counting is streaming-incremental, the
+    * series recurrence is a readout. Oracle: q52's SQL verbatim. */
+  def streamCusum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "2 days")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n_events"))
+    val daily = awaitMemorySink(agg, "complete")
+    val byType = Window.partitionBy(col("event_type"))
+    val cum = byType.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("total", sum(col("n_events")).over(byType))
+      .withColumn("n_days", count(lit(1)).over(byType))
+      .withColumn("p",
+        sum(col("n_events") * col("n_days") - col("total")).over(cum))
+      .withColumn("cusum_scaled",
+        col("p") - least(lit(0L), min(col("p")).over(cum)))
+      .withColumn("flagged",
+        (col("cusum_scaled") > col("total")).cast("int"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("cusum_scaled"), col("flagged"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** s25: streaming time-weighted average — q51's irregular-sample
     * integral at ingest ([[graft.streaming.StreamingIngest.twaStream]]):
     * one (last_ts, last_v6) state row per (user, type) closes each
@@ -728,6 +762,7 @@ object StreamingQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s24_stream_basket" -> streamBasketRules _,
     "s25_stream_twa" -> streamTwa _,
+    "s26_stream_cusum" -> streamCusum _,
     "s23_stream_novelty" -> streamNoveltyMonitor _,
     "s22_stream_range_alerts" -> streamRangeAlerts _,
     "s21_stream_transitions" -> streamTransitions _,
@@ -759,6 +794,9 @@ object StreamingQueries {
     // s25 == batch q51: per-key last-reading state makes interval
     // emission prefix-decomposable, so the stream equals the lead() form
     "s25_stream_twa" -> Relational13.oracles("q51_time_weighted_avg"),
+    // s26 == batch q52: streamed daily counts equal the batch groupBy,
+    // and the CUSUM readout is the same closed-form windows
+    "s26_stream_cusum" -> Relational13.oracles("q52_cusum_changepoint"),
     // s22 == batch a26: the corpus is static, queries never interact,
     // so the per-trigger range answers union to the one-shot search
     "s22_stream_range_alerts" -> Relational11.oracles("a26_range_search"),
