@@ -19,9 +19,9 @@ object Relational7 {
     * definition directly (viable at sf0.01; the blocked plan is the
     * point at scale). */
   def q33FuzzyJoin(spark: SparkSession, dir: String): DataFrame =
-    FuzzyJoin.levenshtein1SelfJoin(
-        customer(spark, dir).select(col("c_custkey"), col("c_name")),
-        "c_custkey", "c_name")
+    // pair graph from the shared GraphCache artifact (q40 closes the
+    // SAME graph into clusters — one deletion-neighborhood build per JVM)
+    GraphCache.customerNamePairs(spark, dir)
       .orderBy(col("ida"), col("idb"))
 
   /** q34: hopping event-time windows in batch — 1-hour windows sliding
