@@ -1123,14 +1123,22 @@ object Dedup {
   def bandPlanSweep(docs: DataFrame, idCol: String, textCol: String,
                     n: Int = 3, numHashes: Int = 64,
                     plans: Seq[(Int, Int)] = Seq((32, 2), (16, 4), (8, 8)),
-                    threshold: Double = 0.5): DataFrame = {
+                    threshold: Double = 0.5,
+                    precomputedExact: Option[DataFrame] = None): DataFrame = {
     require(plans.nonEmpty && plans.forall { case (b, r) => b * r == numHashes },
       s"every plan's bands*rowsPerBand must equal numHashes=$numHashes")
     // ONE shingle materialization serves both the LSH signatures and
     // the exact-pair denominator (each previously re-scanned the
-    // corpus; the shingle scan is the sweep's single largest stage)
-    val sh = withShingles(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // corpus; the shingle scan is the sweep's single largest stage).
+    // With a precomputed exact pair set (round-8 item 1: callers that
+    // already own the d02 pair graph — the GraphCache artifact — pass
+    // it in), the signature build is the shingle frame's ONLY
+    // consumer, so the persist would be pure cache pressure.
+    val shRaw = withShingles(docs, idCol, textCol, n)
+    val sh =
+      if (precomputedExact.isEmpty)
+        shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else shRaw
     // signature built SCAN-LOCALLY, one row per doc (the file-header
     // design note: signatures per-row in pure Catalyst, no shuffle —
     // the first cut shuffled |docs|·numHashes·|shingles| lane rows
@@ -1157,8 +1165,10 @@ object Dedup {
     // here, the prefix-filtered plan (d20) is 1.3× SLOWER than the
     // inverted index because this corpus's shared-shingle density
     // never goes quadratic, so the classic plan stays)
-    val exact = jaccardPairsFromShingles(sh, threshold)
-      .select(col("id_a"), col("id_b"))
+    val exact = precomputedExact
+      .map(_.select(col("id_a"), col("id_b")))
+      .getOrElse(jaccardPairsFromShingles(sh, threshold)
+        .select(col("id_a"), col("id_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     val perPlan = plans.map { case (b, r) =>

@@ -24,7 +24,9 @@ object CurationQueries {
   /** d02: n-gram (3-shingle) Jaccard near-dup pairs ≥ 0.5 — the exact
     * inverted-index path. */
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
+    // shared GraphCache artifact: five sibling queries close or read
+    // the SAME pair graph — one inverted-index build per JVM
+    GraphCache.docJaccardPairs(spark, dir)
       .orderBy(col("id_a"), col("id_b"))
 
   /** d21: weighted TF-cosine near-dup pairs ([[Dedup.cosinePairs]]) —
@@ -73,7 +75,8 @@ object CurationQueries {
     * what makes it the plan-tuning instrument).
     * See [[graft.operators.Dedup.bandPlanSweep]]. */
   def dedupBandPlan(spark: SparkSession, dir: String): DataFrame =
-    Dedup.bandPlanSweep(documents(spark, dir), "doc_id", "text")
+    Dedup.bandPlanSweep(documents(spark, dir), "doc_id", "text",
+      precomputedExact = Some(GraphCache.docJaccardPairs(spark, dir)))
 
   /** d22: cross-source vocabulary Jaccard from KMV bottom-k sketches
     * ([[graft.operators.Kmv.crossSourceJaccard]]) — t40's exact
@@ -142,8 +145,7 @@ object CurationQueries {
     * The oracle walks the same graph with a recursive CTE, so the
     * transitive-closure semantics themselves are hash-checked. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.jaccardPairs(documents(spark, dir), "doc_id", "text",
-      n = 3, threshold = 0.5)
+    val pairs = GraphCache.docJaccardPairs(spark, dir)
     val cc = graft.operators.Clusters.connectedComponents(pairs)
     val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, "cluster_id")
@@ -157,7 +159,7 @@ object CurationQueries {
     * keep = 0 rows IS the dedup pass. */
   def dedupKeep(spark: SparkSession, dir: String): DataFrame = {
     val d = documents(spark, dir).select(col("doc_id"), col("text"))
-    val pairs = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5)
+    val pairs = GraphCache.docJaccardPairs(spark, dir)
     graft.operators.Clusters.canonicalize(d, pairs, "doc_id")
       .select(col("doc_id"), col("cluster_id"), col("keep").cast("int").as("keep"))
       .orderBy(col("doc_id"))
@@ -897,7 +899,7 @@ object CurationQueries {
     * dimension. */
   def dupBySource(spark: SparkSession, dir: String): DataFrame = {
     val d = documents(spark, dir).select(col("doc_id"), col("text"), col("source"))
-    val pairs = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5)
+    val pairs = GraphCache.docJaccardPairs(spark, dir)
     graft.operators.Clusters.canonicalize(d, pairs, "doc_id")
       .groupBy(col("source"))
       .agg(

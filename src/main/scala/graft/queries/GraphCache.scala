@@ -71,6 +71,22 @@ object GraphCache {
         "c_custkey", "c_name")
     }
 
+  /** The exact Jaccard ≥ 0.5 shingle pair graph (n = 3) over the
+    * documents table — d02 reports it, d08/d09/d11 close it into
+    * clusters, p34 splits on it, d19 reads it as the sweep's recall
+    * denominator; one inverted-index build serves all six. */
+  def docJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    artifact(spark, s"doc_jaccard05|$dir") {
+      // persist the shingle scan for the build's one action (the
+      // inverted-index join's two legs + the size table each re-scan
+      // it — unpersisted, the artifact write paid three corpus scans);
+      // the entry is LRU / clearCache fodder after the write
+      val sh = graft.operators.Dedup
+        .withShingles(documents(spark, dir), "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.operators.Dedup.jaccardPairsFromShingles(sh, 0.5)
+    }
+
   /** Per-node triangle counts over [[coPurchaseEdges]] — the shared
     * triangle index behind g03's census and g04's normalization. */
   def coPurchaseTriangles(spark: SparkSession, dir: String): DataFrame =

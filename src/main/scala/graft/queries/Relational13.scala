@@ -198,8 +198,7 @@ object Relational13 {
   def p34LeakageSplit(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup.md5Hash60Col
     val docs = documents(spark, dir).select(col("doc_id"), col("text"))
-    val pairs = graft.operators.Dedup.jaccardPairs(
-      docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val pairs = GraphCache.docJaccardPairs(spark, dir)
     val cc = graft.operators.Clusters.connectedComponents(pairs)
     def splitOf(c: org.apache.spark.sql.Column) = {
       val b = md5Hash60Col(concat(lit("split|"), c.cast("string"))) % 10
