@@ -63,6 +63,68 @@ object Centroids {
       .agg(new VectorMean(dim).toColumn.name("centroid"))
       .toDF("grp", "centroid")
   }
+
+  /** Simplified silhouette (a34) — the cluster-quality readout
+    * (Hruschka et al.'s centroid variant of Rousseeuw 1987: b−a over
+    * max(a,b) with a = squared distance to OWN centroid, b = squared
+    * distance to the NEAREST OTHER centroid; O(n·k) instead of the
+    * O(n²) pairwise original), engine-exact end to end:
+    *
+    *  - vectors quantize to 2²⁰ fixed point, SHIFTED nonnegative (+2²⁰)
+    *    so every later floor division has nonnegative operands — the
+    *    a27 lesson (negative-operand integral division is an engine
+    *    boundary); squared distances are shift-invariant.
+    *  - centroids are the FLOOR-DIVIDED integer means (sd div n), a
+    *    deterministic ≤1-unit quantization both engines replay — this
+    *    is what makes cross-label distance comparison plain integer
+    *    ordering instead of cross-multiplied rationals.
+    *  - s_ppm carries an explicit sign around a nonnegative ppm floor
+    *    division; a vector sitting exactly on both centroids reads
+    *    null.
+    *
+    * Scale posture: one posexplode aggregate for the k·d centroid
+    * table (broadcast), a k-way scan-local fan-out for distances, and
+    * a per-vector argmin window over k−1 rows — corpus never
+    * self-joins. Output: (vec_id, label, nearest_other, s_ppm). */
+  def simplifiedSilhouette(vectors: DataFrame, idCol: String,
+                           groupCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val S = 1L << 20
+    val q = vectors.select(col(idCol).as("vec_id"), col(groupCol).as("label"),
+      expr(s"transform($vecCol, x -> cast(round(cast(x as double) * $S, 0) as bigint) + $S)")
+        .as("qv"))
+    val n = q.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val cq = q.select(col("label"), posexplode(col("qv")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col")).as("sd"))
+      .join(n, "label")
+      .withColumn("cqd", expr("sd div n"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cqd")))).as("es"))
+      .select(col("label").as("m_label"),
+        expr("transform(es, e -> e.cqd)").as("cq"))
+    val dists = q.crossJoin(broadcast(cq))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(qv, cq, (x, c) -> (x - c) * (x - c)), 0L, (acc, v) -> acc + v)"))
+      .select(col("vec_id"), col("label"), col("m_label"), col("d2"))
+    val own = dists.filter(col("label") === col("m_label"))
+      .select(col("vec_id"), col("label"), col("d2").as("a2"))
+    val wNear = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("m_label"))
+    val other = dists.filter(col("label") =!= col("m_label"))
+      .withColumn("rn", row_number().over(wNear)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("m_label").as("nearest_other"),
+        col("d2").as("b2"))
+    own.join(other, "vec_id")
+      .withColumn("s_ppm", expr(
+        """case when greatest(a2, b2) = 0 then cast(null as bigint)
+          |when b2 >= a2 then cast(((b2 - a2) * cast(1000000 as decimal(38,0)))
+          |  div greatest(a2, b2) as bigint)
+          |else -cast(((a2 - b2) * cast(1000000 as decimal(38,0)))
+          |  div greatest(a2, b2) as bigint) end""".stripMargin))
+      .select(col("vec_id"), col("label"), col("nearest_other"), col("s_ppm"))
+      .orderBy(col("vec_id"))
+  }
 }
 
 private object ExpressionEncoderHelper {

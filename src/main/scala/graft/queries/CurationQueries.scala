@@ -747,6 +747,15 @@ object CurationQueries {
         size(col("centroid")).as("dim"))
       .orderBy(col("label"))
 
+  /** a34: simplified silhouette ([[graft.operators.Centroids
+    * .simplifiedSilhouette]]) — per vector, how much closer it sits to
+    * its own label's centroid than to the nearest other centroid, in
+    * signed ppm: the cluster-quality instrument that says whether the
+    * label structure the ANN indexes exploit actually exists. */
+  def silhouette(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Centroids.simplifiedSilhouette(
+      embeddings(spark, dir), "vec_id", "label", "embedding")
+
   /** t04: reproducible stratified sampling — hash-gated (md5 prefix), so
     * the same rows are sampled on every engine and every run (rand()
     * would be neither): ~25% of 'en' docs, ~6% of everything else. */
@@ -1416,6 +1425,7 @@ object CurationQueries {
     "t20_boilerplate"       -> boilerplateRemoval _,
     "a11_bm25_topk"         -> bm25Search _,
     "a33_hard_negatives"    -> hardNegativeMining _,
+    "a34_silhouette"        -> silhouette _,
     "d14_span_removal"      -> dedupSpanRemoval _,
     "a10_hybrid_search"     -> hybridSearch _,
     "t17_classifier_score"  -> classifierScore _,
@@ -2222,6 +2232,38 @@ object CurationQueries {
          |FROM est_p JOIN est_s USING (rf)
          |ORDER BY l_returnflag""".stripMargin
     },
+    // a34: the same shifted 2^20 quantization as the Spark side, floor
+    // integer centroids, nearest-other argmin, signed nonneg-ppm readout
+    "a34_silhouette" ->
+      """WITH q AS (SELECT vec_id, label,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(round(x * 1048576, 0) AS BIGINT) + 1048576) AS qv
+        |  FROM embeddings),
+        |n AS (SELECT label, count(*) AS n FROM q GROUP BY 1),
+        |e AS (SELECT label, unnest(qv) AS x,
+        |    unnest(range(1, len(qv) + 1)) AS pos FROM q),
+        |sd AS (SELECT label, pos, CAST(sum(x) AS BIGINT) AS sd
+        |  FROM e GROUP BY 1, 2),
+        |cq AS (SELECT s.label AS m_label, list(s.sd // n.n ORDER BY s.pos) AS cq
+        |  FROM sd s JOIN n ON n.label = s.label GROUP BY s.label),
+        |d AS (SELECT q.vec_id, q.label, c.m_label,
+        |    list_sum(list_transform(range(1, len(q.qv) + 1),
+        |      i -> (q.qv[i] - c.cq[i]) * (q.qv[i] - c.cq[i]))) AS d2
+        |  FROM q CROSS JOIN cq c),
+        |own AS (SELECT vec_id, label, d2 AS a2 FROM d WHERE label = m_label),
+        |oth AS (SELECT vec_id, m_label AS nearest_other, d2 AS b2 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d2, m_label) AS rn
+        |    FROM d WHERE label <> m_label) WHERE rn = 1)
+        |SELECT w.vec_id, w.label, o.nearest_other,
+        |  CASE WHEN greatest(a2, b2) = 0 THEN NULL
+        |       WHEN b2 >= a2 THEN
+        |         CAST(((b2 - a2)::HUGEINT * 1000000) // greatest(a2, b2) AS BIGINT)
+        |       ELSE
+        |         -CAST(((a2 - b2)::HUGEINT * 1000000) // greatest(a2, b2) AS BIGINT)
+        |  END AS s_ppm
+        |FROM own w JOIN oth o ON w.vec_id = o.vec_id
+        |ORDER BY w.vec_id""".stripMargin,
     "a07_centroids" ->
       """WITH e AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
         |  unnest(range(0, len(embedding))) AS pos FROM embeddings),
