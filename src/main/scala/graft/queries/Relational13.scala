@@ -304,9 +304,39 @@ object Relational13 {
     graft.operators.Hits.hits(e, "c", "p", iterations = 3, topK = 20)
   }
 
+  /** q53: rolling robust anomaly detection — per event type, each
+    * day's count against the EXACT median and MAD of its trailing
+    * 7-day window (Hampel's rule, t28's global form made rolling):
+    * flagged when |x − med| > 3·mad. Robust stats because one outlier
+    * day must not drag the baseline it is judged against (the mean/
+    * stddev failure mode). Exact integer lower-medians via the
+    * collected window array (sort + pick — 7 elements, scan-local),
+    * both engines replay element for element; windows run over the
+    * types×days daily aggregate, never the corpus. */
+  def q53RollingMad(spark: SparkSession, dir: String): DataFrame = {
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, Window.currentRow)
+    events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("vals", collect_list(col("n_events")).over(w7))
+      .withColumn("med7", expr(
+        "element_at(array_sort(vals), cast((size(vals) + 1) div 2 as int))"))
+      .withColumn("mad7", expr(
+        """element_at(array_sort(transform(vals, v -> abs(v - med7))),
+          |  cast((size(vals) + 1) div 2 as int))""".stripMargin))
+      .withColumn("flagged",
+        (abs(col("n_events") - col("med7")) > lit(3) * col("mad7")).cast("int"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("med7"), col("mad7"), col("flagged"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_time_weighted_avg" -> q51TimeWeightedAvg _,
     "q52_cusum_changepoint" -> q52Cusum _,
+    "q53_rolling_mad"       -> q53RollingMad _,
     "t43_texttiling"        -> t43TextTiling _,
     "g06_hits"              -> g06Hits _,
     "p34_leakage_split"    -> p34LeakageSplit _,
@@ -319,6 +349,25 @@ object Relational13 {
     staticOracles ++ g05Oracle.map("g05_kcore" -> _)
 
   private val staticOracles: Map[String, String] = Map(
+    "q53_rolling_mad" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, day, n_events,
+        |    list(n_events) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS vals
+        |  FROM daily),
+        |m AS (SELECT event_type, day, n_events,
+        |    list_sort(vals)[(len(vals) + 1) // 2] AS med7, vals
+        |  FROM r),
+        |mm AS (SELECT event_type, day, n_events, med7,
+        |    list_sort(list_transform(vals, v -> abs(v - med7)))
+        |      [(len(vals) + 1) // 2] AS mad7
+        |  FROM m)
+        |SELECT event_type, day, n_events, med7, mad7,
+        |  CAST(abs(n_events - med7) > 3 * mad7 AS INT) AS flagged
+        |FROM mm ORDER BY event_type, day""".stripMargin,
     "g06_hits" -> graft.operators.Hits.oracleSql(
       """SELECT DISTINCT o_custkey AS c, l_partkey AS p
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
