@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class HitsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("hubs and authorities separate on an asymmetric bipartite graph") {
+    // part 100 is bought by EVERY customer (the authority); customer 1
+    // buys everything (the hub); the others are one-edge extras.
+    val edges = Seq(
+      (1L, 100L), (1L, 101L), (1L, 102L), (1L, 103L),
+      (2L, 100L), (3L, 100L), (4L, 100L)).toDF("c", "p")
+    val out = Hits.hits(edges, "c", "p", iterations = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val auth = out.filter(_._1 == "auth")
+    val hub = out.filter(_._1 == "hub")
+    assert(auth.head._2 === 100L, "the universally-bought part must top authorities")
+    assert(hub.head._2 === 1L, "the buys-everything customer must top hubs")
+    // rank column is 1..n dense per side
+    assert(auth.map(_._4).toSeq === (1L to auth.length))
+    assert(hub.map(_._4).toSeq === (1L to hub.length))
+    // ppm scores are a partition of ~1e6 per side (floor loss < n per division)
+    assert(math.abs(auth.map(_._3).sum - 1000000L) <= auth.length,
+      s"authority ppm should sum to ~1e6, got ${auth.map(_._3).sum}")
+  }
+
+  test("three unrolled rounds equal a hand-computed power iteration") {
+    // K_{2,2} plus a pendant: scores computable by hand.
+    // edges: c1-{p1,p2}, c2-{p1,p2}, c3-{p3}
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 12L))
+      .toDF("c", "p")
+    // a0 = 1 each. h1: c1=2, c2=2, c3=1. a1: p1=4, p2=4, p3=1.
+    // h2: c1=8, c2=8, c3=1. a2: p1=16, p2=16, p3=1.
+    // h3: c1=32, c2=32, c3=1. a3: p1=64, p2=64, p3=1. A=129, H=65.
+    val out = Hits.hits(edges, "c", "p", iterations = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out(("auth", 10L)) === 64L * 1000000L / 129L)
+    assert(out(("auth", 12L)) === 1000000L / 129L)
+    assert(out(("hub", 1L)) === 32L * 1000000L / 65L)
+    assert(out(("hub", 3L)) === 1000000L / 65L)
+  }
+}
