@@ -333,7 +333,38 @@ object Relational13 {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** t44: SEMANTIC eval-set decontamination — the embedding-space
+    * companion to t10/t13/t23's n-gram decontamination (the SemDeDup
+    * observation applied to eval leakage: a paraphrased benchmark
+    * question shares no 8-gram but sits at cosine ≈ 1). Benchmark
+    * embeddings are the d05 planted convention (every 10th vector,
+    * shifted id); each eval item reports its leak count and strongest
+    * train-side match from an exact cosine range search (queries
+    * broadcast, corpus never shuffles — the a26 plan). On this corpus
+    * natural cross-pairs top out at cos ≈ 0.51, so τ = 0.95 finds
+    * exactly the planted leaks. */
+  def t44SemanticContam(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val evalSet = e.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val pairs = graft.operators.Similarity.rangeSearch(
+        evalSet, e, "vec_id", "embedding", threshold = 0.95)
+      .select(col("query_id").as("eval_id"),
+        col("neighbor_id").as("train_id"), col("score"))
+    val w = Window.partitionBy(col("eval_id"))
+      .orderBy(col("score").desc, col("train_id"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_leaks",
+        count(lit(1)).over(Window.partitionBy(col("eval_id"))))
+      .filter(col("rn") === 1)
+      .select(col("eval_id"), col("n_leaks"),
+        col("train_id").as("top_train_id"), col("score").as("top_score"))
+      .orderBy(col("eval_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t44_semantic_contam"   -> t44SemanticContam _,
     "q51_time_weighted_avg" -> q51TimeWeightedAvg _,
     "q52_cusum_changepoint" -> q52Cusum _,
     "q53_rolling_mad"       -> q53RollingMad _,
@@ -349,6 +380,23 @@ object Relational13 {
     staticOracles ++ g05Oracle.map("g05_kcore" -> _)
 
   private val staticOracles: Map[String, String] = Map(
+    "t44_semantic_contam" ->
+      """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |ev AS (SELECT vec_id + 1000000 AS eval_id, v FROM d
+        |  WHERE vec_id % 10 = 0),
+        |pairs AS (SELECT e.eval_id, c.vec_id AS train_id,
+        |    round(list_cosine_similarity(e.v, c.v), 6) AS score
+        |  FROM ev e JOIN d c ON e.eval_id <> c.vec_id
+        |  WHERE list_cosine_similarity(e.v, c.v) >= 0.95),
+        |r AS (SELECT eval_id, train_id, score,
+        |    row_number() OVER (PARTITION BY eval_id
+        |      ORDER BY score DESC, train_id) AS rn,
+        |    count(*) OVER (PARTITION BY eval_id) AS n_leaks
+        |  FROM pairs)
+        |SELECT eval_id, n_leaks, train_id AS top_train_id,
+        |  score AS top_score
+        |FROM r WHERE rn = 1 ORDER BY eval_id""".stripMargin,
     "q53_rolling_mad" ->
       """WITH daily AS (
         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
