@@ -363,8 +363,43 @@ object Relational13 {
       .orderBy(col("eval_id"))
   }
 
+  /** p35: mixture-budget solver — the data-recipe PLANNING instrument:
+    * given per-source token supplies and a target mixture (uniform
+    * here — the classic rebalancing question), the largest total
+    * budget N any epoch-1 run can draw is the bottleneck rule
+    * N = min_s (T_s·10⁶ div w_s); each source then reports its
+    * allocation, utilization, and whether IT is the binding
+    * constraint (the source to go buy more of). Exact integers
+    * end to end; corpus-sized work is ONE token-count aggregate,
+    * the solve is |sources| rows of arithmetic. */
+  def p35MixtureBudget(spark: SparkSession, dir: String): DataFrame = {
+    val supply = documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long"))
+        .as("tokens_avail"))
+    val withW = supply
+      .withColumn("n_sources",
+        count(lit(1)).over(Window.partitionBy()))
+      .withColumn("w_ppm", expr("1000000 div n_sources"))
+      // DECIMAL(38) through the solve: tokens · 10⁶ overflows BIGINT at
+      // the 100 TB posture (the t33 discipline)
+      .withColumn("cap_s", expr(
+        "(cast(tokens_avail as decimal(38,0)) * 1000000) div w_ppm"))
+    val cap = withW.agg(min(col("cap_s")).as("cap_n"))
+    withW.crossJoin(broadcast(cap))
+      .withColumn("alloc", expr("(cap_n * w_ppm) div 1000000"))
+      .select(col("source"), col("tokens_avail"), col("w_ppm"),
+        col("cap_n").cast("long").as("cap_n"),
+        col("alloc").cast("long").as("alloc_tokens"),
+        (col("cap_s") === col("cap_n")).cast("int").as("binding"),
+        expr("cast((alloc * 1000000) div tokens_avail as bigint)")
+          .as("util_ppm"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t44_semantic_contam"   -> t44SemanticContam _,
+    "p35_mixture_budget"    -> p35MixtureBudget _,
     "q51_time_weighted_avg" -> q51TimeWeightedAvg _,
     "q52_cusum_changepoint" -> q52Cusum _,
     "q53_rolling_mad"       -> q53RollingMad _,
@@ -380,6 +415,24 @@ object Relational13 {
     staticOracles ++ g05Oracle.map("g05_kcore" -> _)
 
   private val staticOracles: Map[String, String] = Map(
+    "p35_mixture_budget" ->
+      """WITH supply AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_avail
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, tokens_avail,
+        |    1000000 // count(*) OVER () AS w_ppm,
+        |    (tokens_avail::HUGEINT * 1000000) // (1000000 // count(*) OVER ())
+        |      AS cap_s
+        |  FROM supply),
+        |c AS (SELECT min(cap_s) AS cap_n FROM w)
+        |SELECT source, tokens_avail, CAST(w_ppm AS BIGINT) AS w_ppm,
+        |  CAST(cap_n AS BIGINT) AS cap_n,
+        |  CAST((cap_n * w_ppm) // 1000000 AS BIGINT) AS alloc_tokens,
+        |  CAST(cap_s = cap_n AS INT) AS binding,
+        |  CAST((((cap_n * w_ppm) // 1000000) * 1000000) // tokens_avail
+        |    AS BIGINT) AS util_ppm
+        |FROM w, c ORDER BY source""".stripMargin,
     "t44_semantic_contam" ->
       """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),
