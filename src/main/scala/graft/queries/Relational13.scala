@@ -397,9 +397,48 @@ object Relational13 {
       .orderBy(col("source"))
   }
 
+  /** q54: ABC / Pareto classification — parts ranked by revenue, split
+    * at cumulative 80% / 95% (the classic inventory readout). The
+    * textbook SQL is one unpartitioned running-sum window over every
+    * part — exactly the plan that dies at scale — so the engine side
+    * ranks via the two-level [[graft.operators.GlobalIds.assignBy]]
+    * and running-sums via [[graft.operators.GlobalIds
+    * .exclusivePrefixSum]] (the q49/t38 machinery): the only
+    * single-task stage folds |parts|/1024 bucket totals. Class
+    * boundaries compare the EXCLUSIVE prefix (the crossing part
+    * belongs to the higher class) in DECIMAL(38). Revenue is per-row
+    * micro-unit rounding, the q41/a18 convention. */
+  def q54AbcPareto(spark: SparkSession, dir: String): DataFrame = {
+    val pr = lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 1000000) as bigint)"))
+        .cast("long").as("rev6"))
+    val ranked = graft.operators.GlobalIds
+      .assignBy(pr, Seq(negate(col("rev6")), col("pk")))
+    val withPfx = graft.operators.GlobalIds
+      .exclusivePrefixSum(ranked, "global_id", "rev6")
+    val total = withPfx.agg(sum(col("rev6")).cast("long").as("total"))
+    withPfx.crossJoin(broadcast(total))
+      .withColumn("cls", when(
+          expr("cast(prefix as decimal(38,0)) * 100 < cast(total as decimal(38,0)) * 80"), "A")
+        .when(
+          expr("cast(prefix as decimal(38,0)) * 100 < cast(total as decimal(38,0)) * 95"), "B")
+        .otherwise("C"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev6")).cast("long").as("rev_micro"),
+        max(col("total")).as("t"))
+      .withColumn("share_ppm", expr(
+        "cast((cast(rev_micro as decimal(38,0)) * 1000000) div t as bigint)"))
+      .select(col("cls"), col("n_parts"), col("rev_micro"), col("share_ppm"))
+      .orderBy(col("cls"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t44_semantic_contam"   -> t44SemanticContam _,
     "p35_mixture_budget"    -> p35MixtureBudget _,
+    "q54_abc_pareto"        -> q54AbcPareto _,
     "q51_time_weighted_avg" -> q51TimeWeightedAvg _,
     "q52_cusum_changepoint" -> q52Cusum _,
     "q53_rolling_mad"       -> q53RollingMad _,
@@ -415,6 +454,27 @@ object Relational13 {
     staticOracles ++ g05Oracle.map("g05_kcore" -> _)
 
   private val staticOracles: Map[String, String] = Map(
+    "q54_abc_pareto" ->
+      """WITH pr AS (SELECT l_partkey AS pk,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000)
+        |      AS BIGINT)) AS BIGINT) AS rev6
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(rev6) AS BIGINT) AS total FROM pr),
+        |r AS (SELECT pk, rev6,
+        |    CAST(coalesce(sum(rev6) OVER (ORDER BY rev6 DESC, pk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS pfx
+        |  FROM pr),
+        |c AS (SELECT pk, rev6,
+        |    CASE WHEN pfx::HUGEINT * 100 < total::HUGEINT * 80 THEN 'A'
+        |         WHEN pfx::HUGEINT * 100 < total::HUGEINT * 95 THEN 'B'
+        |         ELSE 'C' END AS cls
+        |  FROM r, t)
+        |SELECT cls, count(*) AS n_parts,
+        |  CAST(sum(rev6) AS BIGINT) AS rev_micro,
+        |  CAST((sum(rev6)::HUGEINT * 1000000) // (SELECT total FROM t)
+        |    AS BIGINT) AS share_ppm
+        |FROM c GROUP BY 1 ORDER BY cls""".stripMargin,
     "p35_mixture_budget" ->
       """WITH supply AS (
         |  SELECT source,

@@ -60,7 +60,14 @@ object PlanReport {
       "a28_binary_hamming", "a29_dim_sweep",
       "g04_clustering_coeff", "a30_coreset",
       "q48_share_shift", "a31_distance_hist", "p33_seqlen_sweep",
-      "t41_vocab_growth")
+      "t41_vocab_growth",
+      "q49_peak_concurrency", "g05_kcore", "a32_knn_graph",
+      "p32_silence_segments", "d21_cosine_dedup", "t42_stitch_pairs",
+      "q50_basket_rules", "p34_leakage_split",
+      "q51_time_weighted_avg", "q52_cusum_changepoint", "q53_rolling_mad",
+      "t43_texttiling", "t44_semantic_contam", "g06_hits",
+      "a33_hard_negatives", "a34_silhouette", "d22_kmv_jaccard",
+      "p35_mixture_budget")
     sb.append("\n## Physical plans (executed, AQE final)\n")
     planQueries.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
@@ -418,6 +425,39 @@ object PlanReport {
           edges(li), "a", "b", maxBroadcastEdges = 50000000L).count(),
         graft.operators.Triangles.perNodeCounts(
           edges(liG10), "a", "b", maxBroadcastEdges = 50000000L).count())
+      // HITS 10×: disjoint bipartite copies (both endpoints rescaled,
+      // same reasoning as the triangle graph above)
+      val liH10 = li.crossJoin(spark.range(10).toDF("c"))
+        .withColumn("l_suppkey", col("l_suppkey") * 10 + col("c"))
+        .withColumn("l_partkey", col("l_partkey") * 10 + col("c"))
+        .drop("c")
+      def bip(l: org.apache.spark.sql.DataFrame) =
+        l.select(col("l_suppkey").as("c"), col("l_partkey").as("p"))
+      row("HITS 3 rounds (integer power iteration)",
+        graft.operators.Hits.hits(bip(li), "c", "p", 3, 20).count(),
+        graft.operators.Hits.hits(bip(liH10), "c", "p", 3, 20).count())
+    }
+    locally {
+      row("TextTiling boundaries (block-cosine valleys)",
+        graft.operators.TextAnalysis.textTilingBoundaries(
+          docs, "doc_id", "text").count(),
+        graft.operators.TextAnalysis.textTilingBoundaries(
+          docs10, "doc_id", "text").count())
+      // d22 10×: docs10 collapses to one source, which has no pairs —
+      // respread over 5 synthetic sources so the pair stage exists
+      val docsS10 = docs10.withColumn("source",
+        concat(lit("s"), col("doc_id") % 5))
+      row("KMV cross-source Jaccard (bottom-k sketches)",
+        graft.operators.Kmv.crossSourceJaccard(docs, "source", "text").count(),
+        graft.operators.Kmv.crossSourceJaccard(docsS10, "source", "text").count())
+      val embL10 = emb.crossJoin(spark.range(10).toDF("c"))
+        .select((col("vec_id") * 10 + col("c")).as("vec_id"),
+          col("label"), col("embedding"))
+      row("simplified silhouette (centroid argmin)",
+        graft.operators.Centroids.simplifiedSilhouette(
+          emb, "vec_id", "label", "embedding").count(),
+        graft.operators.Centroids.simplifiedSilhouette(
+          embL10, "vec_id", "label", "embedding").count())
     }
 
     sb.append(
@@ -447,6 +487,14 @@ object PlanReport {
         |rollup (3.0×) are bounded by grid/register size, not event rows;
         |funnel and retention (~2.6×) carry only |users|-row frontiers; the
         |corpus shuffle (0.9×) is one hash projection + per-shard rank.
+        |
+        |Round-6 rows: HITS is k fixed joins+aggs on the edge list, so its
+        |slope is edge count; TextTiling is scan-local blocks + an
+        |adjacent-block hash join (gap rows ≈ corpus blocks); the KMV
+        |cross-source Jaccard's pair stage is sketch-bounded (k·|sources|²)
+        |regardless of corpus size — its slope is the one sketch-building
+        |scan; the silhouette's fan-out is |vectors|·k against broadcast
+        |centroids.
         |""".stripMargin)
 
     // hot-bucket guard: adversarial boilerplate cluster

@@ -33,6 +33,17 @@ class HitsSpec extends AnyFunSuite {
       s"authority ppm should sum to ~1e6, got ${auth.map(_._3).sum}")
   }
 
+  test("split-edge regime (pre-partitioned persists) equals the broadcast regime") {
+    val edges = (1L to 40L).flatMap(c => (1L to 5L).map(p => (c, (c + p) % 17)))
+      .toDF("c", "p")
+    val plain = Hits.hits(edges, "c", "p", iterations = 3, topK = 17)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val split = Hits.hits(edges, "c", "p", iterations = 3, topK = 17,
+        splitEdgeThreshold = 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(split === plain)
+  }
+
   test("three unrolled rounds equal a hand-computed power iteration") {
     // K_{2,2} plus a pendant: scores computable by hand.
     // edges: c1-{p1,p2}, c2-{p1,p2}, c3-{p3}
