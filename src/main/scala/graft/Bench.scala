@@ -62,7 +62,8 @@ object Bench {
     "q50_basket_rules", "p34_leakage_split", "q51_time_weighted_avg",
     "q52_cusum_changepoint", "d22_kmv_jaccard", "a33_hard_negatives",
     "t43_texttiling", "g06_hits", "a34_silhouette", "q53_rolling_mad",
-    "t44_semantic_contam", "p35_mixture_budget", "q54_abc_pareto")
+    "t44_semantic_contam", "p35_mixture_budget", "q54_abc_pareto",
+    "a35_retrieval_bakeoff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -281,7 +281,8 @@ object Similarity {
                idCol: String, textCol: String,
                qIdCol: String, qTextCol: String,
                k: Int, k1: Double = 1.2, b: Double = 0.75,
-               persistTf: Boolean = true): DataFrame = {
+               persistTf: Boolean = true,
+               excludeSelf: Boolean = false): DataFrame = {
     val c = corpus.select(col(idCol).as("doc_id"), col(textCol).as("dtext"),
       size(split(col(textCol), " ")).cast("long").as("dl"))
     val q = queries.select(col(qIdCol).as("query_id"), col(qTextCol).as("qtext"))
@@ -332,11 +333,17 @@ object Similarity {
            |  (tf * (${k1}D + 1) / (tf + ${k1}D * (1 - ${b}D + ${b}D * dl /
            |    (cast(sum_dl as double) / n_docs)))) * 1e6, 0) as bigint)"""
           .stripMargin))
-    val scored = weights
+    val scoredAll = weights
       .join(broadcast(qterms), Seq("ht"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c")).as("score_scaled"))
       .withColumn("bm25", round(col("score_scaled").cast("double") / 1e6, 6))
+    // excludeSelf ranks among NON-self docs (queries drawn from the
+    // corpus otherwise waste rank 1 on their own source — the a35
+    // bake-off wants retrieval quality, not identity lookup)
+    val scored =
+      if (excludeSelf) scoredAll.filter(col("doc_id") =!= col("query_id"))
+      else scoredAll
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_scaled").desc, col("doc_id"))
     // the heap prune compares score_scaled AS BIGINT (TopKPerKey keeps

@@ -756,6 +756,52 @@ object CurationQueries {
     graft.operators.Centroids.simplifiedSilhouette(
       embeddings(spark, dir), "vec_id", "label", "embedding")
 
+  /** a35: retrieval bake-off — recall@10 of each retrieval METHOD
+    * (BM25 lexical; hybrid RRF) against the dense exact-cosine top-10
+    * as ground truth, per query: the instrument that says which
+    * retriever to ship for THIS corpus before anyone trains a
+    * reranker. All three legs are the proven a10/a11 plans with self
+    * excluded (identity lookup isn't retrieval quality). */
+  def retrievalBakeoff(spark: SparkSession, dir: String): DataFrame = {
+    val c = documents(spark, dir).select(col("doc_id"), col("text"))
+      .join(embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+    val q = c.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(split(col("text"), " "), 1, 12), " ").as("qtext"),
+        col("embedding").as("qvec"))
+    // dense exact truth: the a10 vector-leg shape, k = 10, self excluded
+    val qv = q.select(col("qid").as("query_id"),
+      expr("transform(qvec, x -> cast(x as double))").as("qv"))
+    val scoredVec = c
+      .select(col("doc_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("cv"))
+      .join(broadcast(qv), col("query_id") =!= col("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        round(Similarity.cosine(col("qv"), col("cv")), 6).as("cos_score"))
+    val wVec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_score").desc, col("doc_id"))
+    val truth = graft.plans.TopKPerKey
+      .prune(scoredVec, "query_id", "cos_score", "doc_id", 10)
+      .withColumn("rv", row_number().over(wVec)).filter(col("rv") <= 10)
+      .select(col("query_id"), col("doc_id"), lit(1L).as("hit"))
+    val bm = Similarity.bm25TopK(
+        q.select(col("qid"), col("qtext")), c.select(col("doc_id"), col("text")),
+        "doc_id", "text", "qid", "qtext", k = 10, excludeSelf = true)
+      .select(col("query_id"), col("doc_id"), lit("bm25").as("method"))
+    val hy = Similarity.hybridTopK(q, c, "doc_id", "text", "embedding",
+        "qid", "qtext", "qvec", k = 10, depth = 20)
+      .select(col("query_id"), col("doc_id"), lit("hybrid").as("method"))
+    bm.unionByName(hy)
+      .join(truth, Seq("query_id", "doc_id"), "left_outer")
+      .groupBy(col("query_id"), col("method"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_ppm", expr("(n_hits * 1000000) div 10"))
+      .orderBy(col("query_id"), col("method"))
+  }
+
   /** t04: reproducible stratified sampling — hash-gated (md5 prefix), so
     * the same rows are sampled on every engine and every run (rand()
     * would be neither): ~25% of 'en' docs, ~6% of everything else. */
@@ -1426,6 +1472,7 @@ object CurationQueries {
     "a11_bm25_topk"         -> bm25Search _,
     "a33_hard_negatives"    -> hardNegativeMining _,
     "a34_silhouette"        -> silhouette _,
+    "a35_retrieval_bakeoff" -> retrievalBakeoff _,
     "d14_span_removal"      -> dedupSpanRemoval _,
     "a10_hybrid_search"     -> hybridSearch _,
     "t17_classifier_score"  -> classifierScore _,
@@ -1850,6 +1897,71 @@ object CurationQueries {
         |  FROM scored)
         |SELECT query_id, doc_id, bm25, rank FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // a35: a33's Okapi CTEs (self-excluded BEFORE the rank) + a10's
+    // hybrid chain + the dense truth; recall join per (query, method)
+    "a35_retrieval_bakeoff" ->
+      """WITH corpus AS (SELECT d.doc_id, d.text,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS dl,
+        |    CAST(e.embedding AS DOUBLE[]) AS v
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM corpus),
+        |q AS (SELECT doc_id AS query_id,
+        |    array_to_string(string_split(text, ' ')[1:12], ' ') AS qtext, v AS qv
+        |  FROM corpus WHERE doc_id % 50 = 0),
+        |qt AS (SELECT query_id, unnest(list_distinct(string_split(qtext, ' '))) AS term FROM q),
+        |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+        |  FROM (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term FROM corpus)
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |contrib AS (SELECT qt.query_id, tf.doc_id,
+        |    CAST(round(((s.n_docs - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE))) *
+        |      (tf.tf * (CAST(1.2 AS DOUBLE) + 1) / (tf.tf + CAST(1.2 AS DOUBLE) *
+        |        (1 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * tf.dl /
+        |          (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) * 1e6) AS BIGINT) AS c
+        |  FROM tf JOIN qt USING (term) JOIN df USING (term), stats s),
+        |scored AS (SELECT query_id, doc_id, sum(c) AS score_scaled
+        |  FROM contrib GROUP BY 1, 2),
+        |bm AS (SELECT query_id, doc_id FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_scaled DESC, doc_id) AS rnk
+        |    FROM scored WHERE doc_id <> query_id) WHERE rnk <= 10),
+        |ct AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term FROM corpus),
+        |dfq AS (SELECT term, count(*) AS df FROM ct
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+        |hits AS (SELECT qt.query_id, ct.doc_id, count(*) AS n_shared, sum(dfq.df) AS df_sum
+        |  FROM ct JOIN qt USING (term) JOIN dfq USING (term)
+        |  WHERE ct.doc_id <> qt.query_id GROUP BY 1, 2),
+        |lex AS (SELECT * FROM (SELECT query_id, doc_id, n_shared,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY n_shared DESC, df_sum ASC, doc_id) AS rank_lex
+        |  FROM hits) WHERE rank_lex <= 20),
+        |vec AS (SELECT * FROM (SELECT query_id, doc_id, cos_score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_score DESC, doc_id) AS rank_vec
+        |  FROM (SELECT q.query_id, c.doc_id,
+        |      round(list_cosine_similarity(q.qv, c.v), 6) AS cos_score
+        |    FROM q JOIN corpus c ON q.query_id <> c.doc_id))
+        |  WHERE rank_vec <= 20),
+        |fused AS (
+        |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+        |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |    round(coalesce(1.0 / (60 + l.rank_lex), 0) +
+        |          coalesce(1.0 / (60 + v.rank_vec), 0), 6) AS rrf
+        |  FROM lex l FULL OUTER JOIN vec v
+        |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+        |hyb AS (SELECT query_id, doc_id FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+        |    FROM fused) WHERE rank <= 10),
+        |truth AS (SELECT query_id, doc_id FROM vec WHERE rank_vec <= 10),
+        |u AS (SELECT query_id, doc_id, 'bm25' AS method FROM bm
+        |  UNION ALL SELECT query_id, doc_id, 'hybrid' AS method FROM hyb)
+        |SELECT u.query_id, u.method,
+        |  CAST(count(t.doc_id) AS BIGINT) AS n_hits,
+        |  CAST((count(t.doc_id) * 1000000) // 10 AS BIGINT) AS recall_ppm
+        |FROM u LEFT JOIN truth t
+        |  ON u.query_id = t.query_id AND u.doc_id = t.doc_id
+        |GROUP BY 1, 2 ORDER BY u.query_id, u.method""".stripMargin,
     // a33: a11's Okapi CTEs over the joined corpus + a10's cosine leg;
     // negatives = lex candidates anti-joined against the semantic top-10
     "a33_hard_negatives" ->
