@@ -70,10 +70,14 @@ object Centroids {
     * distance to the NEAREST OTHER centroid; O(n·k) instead of the
     * O(n²) pairwise original), engine-exact end to end:
     *
-    *  - vectors quantize to 2²⁰ fixed point, SHIFTED nonnegative (+2²⁰)
-    *    so every later floor division has nonnegative operands — the
-    *    a27 lesson (negative-operand integral division is an engine
-    *    boundary); squared distances are shift-invariant.
+    *  - vectors quantize to 2²⁰ fixed point, SHIFTED nonnegative
+    *    (+2²¹, covering components in [−2, 2] — embeddings here are
+    *    sub-unit; a component beyond ±2 would quantize negative and
+    *    reintroduce the divergence, so that precondition is part of
+    *    this operator's contract) so every later floor division has
+    *    nonnegative operands — the a27 lesson (negative-operand
+    *    integral division is an engine boundary); squared distances
+    *    are shift-invariant.
     *  - centroids are the FLOOR-DIVIDED integer means (sd div n), a
     *    deterministic ≤1-unit quantization both engines replay — this
     *    is what makes cross-label distance comparison plain integer
@@ -90,8 +94,9 @@ object Centroids {
                            groupCol: String, vecCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val S = 1L << 20
+    val Off = 1L << 21 // shift covers components in [−2, 2]
     val q = vectors.select(col(idCol).as("vec_id"), col(groupCol).as("label"),
-      expr(s"transform($vecCol, x -> cast(round(cast(x as double) * $S, 0) as bigint) + $S)")
+      expr(s"transform($vecCol, x -> cast(round(cast(x as double) * $S, 0) as bigint) + $Off)")
         .as("qv"))
     val n = q.groupBy(col("label")).agg(count(lit(1)).as("n"))
     val cq = q.select(col("label"), posexplode(col("qv")))

@@ -406,11 +406,14 @@ object Similarity {
   : DataFrame = {
     val q = queries.select(col(qIdCol).as("query_id"),
       col(qTextCol).as("qtext"), asDouble(qVecCol).as("qv"))
+    // excludeSelf ranks among non-self docs BEFORE the depth cut, so
+    // the source doc never consumes a candidate slot (a35's semantics;
+    // a post-rank filter would silently leave depth−1 candidates)
     val lex = bm25TopK(
         q.select(col("query_id"), col("qtext")),
         corpus.select(col(idCol), col(textCol)),
-        idCol, textCol, "query_id", "qtext", k = lexDepth)
-      .filter(col("doc_id") =!= col("query_id"))
+        idCol, textCol, "query_id", "qtext", k = lexDepth,
+        excludeSelf = true)
     val scoredVec = corpus
       .select(col(idCol).as("doc_id"), asDouble(vecCol).as("cv"))
       .join(broadcast(q.select(col("query_id"), col("qv"))),
@@ -436,7 +439,8 @@ object Similarity {
   def hybridTopK(queries: DataFrame, corpus: DataFrame,
                  idCol: String, textCol: String, vecCol: String,
                  qIdCol: String, qTextCol: String, qVecCol: String,
-                 k: Int, depth: Int, rrfK: Int = 60): DataFrame = {
+                 k: Int, depth: Int, rrfK: Int = 60,
+                 precomputedScoredVec: Option[DataFrame] = None): DataFrame = {
     require(depth >= k, "leg depth must be >= final k")
     val q = queries.select(col(qIdCol).as("query_id"),
       col(qTextCol).as("qtext"), asDouble(qVecCol).as("qv"))
@@ -465,12 +469,17 @@ object Similarity {
       .filter(col("rank_lex") <= depth)
       .select(col("query_id"), col("doc_id"), col("n_shared"), col("rank_lex"))
 
-    // --- vector leg (the a01 broadcast + bounded-heap shape) ---
-    val scoredVec = c.select(col("doc_id"), col("cv"))
-      .join(broadcast(q.select(col("query_id"), col("qv"))),
-        col("query_id") =!= col("doc_id"))
-      .select(col("query_id"), col("doc_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos_score"))
+    // --- vector leg (the a01 broadcast + bounded-heap shape); callers
+    // that already own the (query_id, doc_id, cos_score) scan — a35
+    // derives its truth set from the same leg — pass it in (the
+    // ivfPqExact precomputedResid convention) so the corpus×queries
+    // cosine fan-out runs once, not twice ---
+    val scoredVec = precomputedScoredVec.getOrElse(
+      c.select(col("doc_id"), col("cv"))
+        .join(broadcast(q.select(col("query_id"), col("qv"))),
+          col("query_id") =!= col("doc_id"))
+        .select(col("query_id"), col("doc_id"),
+          round(cosine(col("qv"), col("cv")), 6).as("cos_score")))
     val wVec = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_score").desc, col("doc_id"))
     val vec = graft.plans.TopKPerKey

@@ -993,6 +993,13 @@ object TextAnalysis {
   def textTilingBoundaries(docs: DataFrame, idCol: String, textCol: String,
                            blockWords: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // magnitude bound for the BIGINT ppm arithmetic: dot ≤ blockWords²
+    // (one repeated word), so dot²·10⁶ ≤ blockWords⁴·10⁶ must stay
+    // under 2⁶³ — blockWords ≤ 1024 gives ≤ 1.1e18. Beyond it Spark
+    // (ANSI off) would wrap silently while DuckDB errors — fail loudly
+    // here instead (the Hits.scala disclosed-bound convention).
+    require(blockWords >= 2 && blockWords <= 1024,
+      s"blockWords=$blockWords outside [2, 1024]: dot²·10⁶ would overflow BIGINT")
     val words = docs
       .select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))

@@ -763,14 +763,7 @@ object CurationQueries {
     * reranker. All three legs are the proven a10/a11 plans with self
     * excluded (identity lookup isn't retrieval quality). */
   def retrievalBakeoff(spark: SparkSession, dir: String): DataFrame = {
-    val c = documents(spark, dir).select(col("doc_id"), col("text"))
-      .join(embeddings(spark, dir).select(col("vec_id"), col("embedding")),
-        col("doc_id") === col("vec_id"))
-      .select(col("doc_id"), col("text"), col("embedding"))
-    val q = c.filter(col("doc_id") % 50 === 0)
-      .select(col("doc_id").as("qid"),
-        array_join(slice(split(col("text"), " "), 1, 12), " ").as("qtext"),
-        col("embedding").as("qvec"))
+    val (c, q) = retrievalCorpusQueries(spark, dir)
     // dense exact truth: the a10 vector-leg shape, k = 10, self excluded
     val qv = q.select(col("qid").as("query_id"),
       expr("transform(qvec, x -> cast(x as double))").as("qv"))
@@ -783,8 +776,13 @@ object CurationQueries {
     val wVec = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos_score").desc, col("doc_id"))
+    // one persisted cosine scan serves the truth set AND the hybrid
+    // vector leg (the review finding: the |corpus|×|queries| fan-out
+    // is the query's dominant stage — don't run it twice)
+    val sv = scoredVec
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val truth = graft.plans.TopKPerKey
-      .prune(scoredVec, "query_id", "cos_score", "doc_id", 10)
+      .prune(sv, "query_id", "cos_score", "doc_id", 10)
       .withColumn("rv", row_number().over(wVec)).filter(col("rv") <= 10)
       .select(col("query_id"), col("doc_id"), lit(1L).as("hit"))
     val bm = Similarity.bm25TopK(
@@ -792,7 +790,8 @@ object CurationQueries {
         "doc_id", "text", "qid", "qtext", k = 10, excludeSelf = true)
       .select(col("query_id"), col("doc_id"), lit("bm25").as("method"))
     val hy = Similarity.hybridTopK(q, c, "doc_id", "text", "embedding",
-        "qid", "qtext", "qvec", k = 10, depth = 20)
+        "qid", "qtext", "qvec", k = 10, depth = 20,
+        precomputedScoredVec = Some(sv))
       .select(col("query_id"), col("doc_id"), lit("hybrid").as("method"))
     bm.unionByName(hy)
       .join(truth, Seq("query_id", "doc_id"), "left_outer")
@@ -1098,12 +1097,12 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** a10: hybrid lexical+vector search — RRF fusion of the shared-rare-
-    * term lexical ranking with the exact cosine ranking (leg depth 20,
-    * final k 10). Queries are every 50th document: its first 12 words
-    * as the query string, its embedding as the query vector (see
-    * [[Similarity.hybridTopK]]). */
-  def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+  /** The documents∩embeddings retrieval corpus and its every-50th-doc
+    * query set (first 12 words as qtext, the doc's embedding as qvec) —
+    * ONE definition shared by a10/a33/a35; their oracles replay the
+    * same construction, so a change here must change all three. */
+  private def retrievalCorpusQueries(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val c = documents(spark, dir).select(col("doc_id"), col("text"))
       .join(embeddings(spark, dir).select(col("vec_id"), col("embedding")),
         col("doc_id") === col("vec_id"))
@@ -1112,6 +1111,16 @@ object CurationQueries {
       .select(col("doc_id").as("qid"),
         array_join(slice(split(col("text"), " "), 1, 12), " ").as("qtext"),
         col("embedding").as("qvec"))
+    (c, q)
+  }
+
+  /** a10: hybrid lexical+vector search — RRF fusion of the shared-rare-
+    * term lexical ranking with the exact cosine ranking (leg depth 20,
+    * final k 10). Queries are every 50th document: its first 12 words
+    * as the query string, its embedding as the query vector (see
+    * [[Similarity.hybridTopK]]). */
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    val (c, q) = retrievalCorpusQueries(spark, dir)
     Similarity.hybridTopK(q, c, "doc_id", "text", "embedding",
         "qid", "qtext", "qvec", k = 10, depth = 20)
       .orderBy(col("query_id"), col("rank"))
@@ -1138,14 +1147,7 @@ object CurationQueries {
     * learns the most from. Corpus is the documents∩embeddings join
     * (both legs must rank the same universe). */
   def hardNegativeMining(spark: SparkSession, dir: String): DataFrame = {
-    val c = documents(spark, dir).select(col("doc_id"), col("text"))
-      .join(embeddings(spark, dir).select(col("vec_id"), col("embedding")),
-        col("doc_id") === col("vec_id"))
-      .select(col("doc_id"), col("text"), col("embedding"))
-    val q = c.filter(col("doc_id") % 50 === 0)
-      .select(col("doc_id").as("qid"),
-        array_join(slice(split(col("text"), " "), 1, 12), " ").as("qtext"),
-        col("embedding").as("qvec"))
+    val (c, q) = retrievalCorpusQueries(spark, dir)
     Similarity.hardNegatives(q, c, "doc_id", "text", "embedding",
       "qid", "qtext", "qvec", lexDepth = 20, posK = 10, negK = 5)
   }
@@ -1991,8 +1993,8 @@ object CurationQueries {
         |      round(CAST(score_scaled AS DOUBLE) / 1e6, 6) AS bm25,
         |      CAST(row_number() OVER (PARTITION BY query_id
         |        ORDER BY score_scaled DESC, doc_id) AS BIGINT) AS bm25_rank
-        |    FROM scored)
-        |  WHERE bm25_rank <= 20 AND doc_id <> query_id),
+        |    FROM scored WHERE doc_id <> query_id)
+        |  WHERE bm25_rank <= 20),
         |vec AS (SELECT query_id, doc_id FROM (
         |    SELECT q.query_id, c.doc_id,
         |      row_number() OVER (PARTITION BY q.query_id
@@ -2349,7 +2351,7 @@ object CurationQueries {
     "a34_silhouette" ->
       """WITH q AS (SELECT vec_id, label,
         |    list_transform(CAST(embedding AS DOUBLE[]),
-        |      x -> CAST(round(x * 1048576, 0) AS BIGINT) + 1048576) AS qv
+        |      x -> CAST(round(x * 1048576, 0) AS BIGINT) + 2097152) AS qv
         |  FROM embeddings),
         |n AS (SELECT label, count(*) AS n FROM q GROUP BY 1),
         |e AS (SELECT label, unnest(qv) AS x,

@@ -89,9 +89,13 @@ object GraphCache {
 
   /** Per-node triangle counts over [[coPurchaseEdges]] — the shared
     * triangle index behind g03's census and g04's normalization. */
-  def coPurchaseTriangles(spark: SparkSession, dir: String): DataFrame =
+  def coPurchaseTriangles(spark: SparkSession, dir: String): DataFrame = {
+    // resolve the edges artifact BEFORE entering this key's memo:
+    // ConcurrentHashMap forbids a computeIfAbsent from inside another's
+    // mapping function (same-bin keys throw "Recursive update")
+    val edges = coPurchaseEdges(spark, dir)
     artifact(spark, s"copurchase_tri|$dir") {
-      graft.operators.Triangles.perNodeCounts(
-        coPurchaseEdges(spark, dir), "a", "b")
+      graft.operators.Triangles.perNodeCounts(edges, "a", "b")
     }
+  }
 }

@@ -258,11 +258,16 @@ object Relational13 {
     * corpus-sized work is the one groupBy count. A day is flagged
     * when the unscaled CUSUM exceeds the series mean (S > total,
     * since both carry the same ·n scale). */
-  def q52Cusum(spark: SparkSession, dir: String): DataFrame = {
-    val daily = events(spark, dir)
+  def q52Cusum(spark: SparkSession, dir: String): DataFrame =
+    cusumReadout(events(spark, dir)
       .groupBy(col("event_type"),
         date_format(col("ts"), "yyyy-MM-dd").as("day"))
-      .agg(count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_events")))
+
+  /** The closed-form CUSUM readout over a (event_type, day, n_events)
+    * daily frame — ONE definition shared by batch q52 and streaming
+    * s26, so the flag rule cannot silently diverge between them. */
+  private[queries] def cusumReadout(daily: DataFrame): DataFrame = {
     val byType = Window.partitionBy(col("event_type"))
     val cum = byType.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -599,22 +599,7 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_events"))
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n_events"))
-    val daily = awaitMemorySink(agg, "complete")
-    val byType = Window.partitionBy(col("event_type"))
-    val cum = byType.orderBy(col("day"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    daily
-      .withColumn("total", sum(col("n_events")).over(byType))
-      .withColumn("n_days", count(lit(1)).over(byType))
-      .withColumn("p",
-        sum(col("n_events") * col("n_days") - col("total")).over(cum))
-      .withColumn("cusum_scaled",
-        col("p") - least(lit(0L), min(col("p")).over(cum)))
-      .withColumn("flagged",
-        (col("cusum_scaled") > col("total")).cast("int"))
-      .select(col("event_type"), col("day"), col("n_events"),
-        col("cusum_scaled"), col("flagged"))
-      .orderBy(col("event_type"), col("day"))
+    Relational13.cusumReadout(awaitMemorySink(agg, "complete"))
   }
 
   /** s25: streaming time-weighted average — q51's irregular-sample
