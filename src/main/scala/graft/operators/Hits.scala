@@ -53,10 +53,15 @@ object Hits {
     // lesson), so each round then moves only the score vector: one
     // exchange per half-round, the Pregel minimum.
     val m = e.count()
+    // sortWithinPartitions: the cached plan's outputOrdering survives
+    // InMemoryTableScan, so each round's SortMergeJoin skips re-sorting
+    // the |E|-row side (k rounds = k avoided sorts of the big leg)
     val (eByP, eByC) =
       if (m <= splitEdgeThreshold) (e, e)
-      else (e.repartition(col("p")).persist(StorageLevel.MEMORY_AND_DISK),
-            e.repartition(col("c")).persist(StorageLevel.MEMORY_AND_DISK))
+      else (e.repartition(col("p")).sortWithinPartitions(col("p"))
+              .persist(StorageLevel.MEMORY_AND_DISK),
+            e.repartition(col("c")).sortWithinPartitions(col("c"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
     var auth = e.select(col("p")).distinct()
       .withColumn("a", lit(1L).cast(DecimalType(38, 0)))
     var hub: DataFrame = null
