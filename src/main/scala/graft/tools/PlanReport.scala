@@ -488,13 +488,17 @@ object PlanReport {
         |funnel and retention (~2.6×) carry only |users|-row frontiers; the
         |corpus shuffle (0.9×) is one hash projection + per-shard rank.
         |
-        |Round-6 rows: HITS is k fixed joins+aggs on the edge list, so its
-        |slope is edge count; TextTiling is scan-local blocks + an
-        |adjacent-block hash join (gap rows ≈ corpus blocks); the KMV
-        |cross-source Jaccard's pair stage is sketch-bounded (k·|sources|²)
-        |regardless of corpus size — its slope is the one sketch-building
-        |scan; the silhouette's fan-out is |vectors|·k against broadcast
-        |centroids.
+        |Round-6 rows: HITS's 10× leg crosses the 2M-edge regime threshold,
+        |so beyond ~10× edge growth it also pays the one-time per-key
+        |sorted persists and its score-vector joins stop broadcasting —
+        |the steep ratio is mostly the tiny 1× cell (0.5 s of fixed
+        |overhead); the regime split itself is what brought the 10× cell
+        |from 43 s (naive re-shuffle per round) to ~18 s. TextTiling is
+        |scan-local blocks + an adjacent-block hash join (gap rows ≈
+        |corpus blocks); the KMV cross-source Jaccard's pair stage is
+        |sketch-bounded (k·|sources|²) regardless of corpus size — its
+        |slope is the one sketch-building scan; the silhouette's fan-out
+        |is |vectors|·k against broadcast centroids.
         |""".stripMargin)
 
     // hot-bucket guard: adversarial boilerplate cluster
