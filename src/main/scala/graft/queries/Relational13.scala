@@ -440,7 +440,40 @@ object Relational13 {
       .orderBy(col("cls"))
   }
 
+  /** t45: term burstiness — the variance-to-mean ratio (dispersion
+    * index) of per-document counts for the corpus's top-50 terms
+    * (Church & Gale, "Poisson mixtures", 1995: function words arrive
+    * ~Poisson with VMR ≈ 1; content words are BURSTY, VMR ≫ 1 — the
+    * signal that separates topical vocabulary from glue without any
+    * stopword list). Exact integers end to end: over all n docs
+    * (absent docs contribute x = 0 to both moments, so only present
+    * rows aggregate), VMR = (n·Σx² − S²) / (n·S) reported as ppm
+    * floor division in DECIMAL(38) — numerator nonnegative by
+    * Cauchy–Schwarz, so the division is engine-portable. One word
+    * shuffle for the df table, one broadcast semi-join to keep only
+    * the top-50 terms' occurrences. */
+  def t45Burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val words = documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val nDocs = documents(spark, dir).agg(count(lit(1)).as("n"))
+    val perDoc = words.groupBy(col("w"), col("doc_id"))
+      .agg(count(lit(1)).as("x"))
+    val top = perDoc.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w")).limit(50)
+    perDoc.join(broadcast(top), "w")
+      .groupBy(col("w"), col("df"))
+      .agg(sum(col("x")).as("s"), sum(col("x") * col("x")).as("q"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("w").as("term"), col("df"), col("s").as("total_occ"),
+        expr("""cast(((cast(n as decimal(38,0)) * q - cast(s as decimal(38,0)) * s)
+               |  * 1000000) div (cast(n as decimal(38,0)) * s) as bigint)"""
+          .stripMargin).as("burstiness_ppm"))
+      .orderBy(col("term"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t45_burstiness"        -> t45Burstiness _,
     "t44_semantic_contam"   -> t44SemanticContam _,
     "p35_mixture_budget"    -> p35MixtureBudget _,
     "q54_abc_pareto"        -> q54AbcPareto _,
@@ -459,6 +492,21 @@ object Relational13 {
     staticOracles ++ g05Oracle.map("g05_kcore" -> _)
 
   private val staticOracles: Map[String, String] = Map(
+    "t45_burstiness" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |perdoc AS (SELECT w, doc_id, count(*) AS x FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) GROUP BY 1, 2),
+        |top AS (SELECT w, count(*) AS df FROM perdoc
+        |  GROUP BY 1 ORDER BY df DESC, w LIMIT 50),
+        |agg AS (SELECT p.w, t.df,
+        |    CAST(sum(p.x) AS BIGINT) AS s,
+        |    CAST(sum(p.x * p.x) AS BIGINT) AS q
+        |  FROM perdoc p JOIN top t ON p.w = t.w GROUP BY 1, 2)
+        |SELECT w AS term, df, s AS total_occ,
+        |  CAST(((n.n::HUGEINT * q - s::HUGEINT * s) * 1000000)
+        |    // (n.n::HUGEINT * s) AS BIGINT) AS burstiness_ppm
+        |FROM agg, n ORDER BY term""".stripMargin,
     "q54_abc_pareto" ->
       """WITH pr AS (SELECT l_partkey AS pk,
         |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000)
