@@ -67,7 +67,8 @@ object PlanReport {
       "q51_time_weighted_avg", "q52_cusum_changepoint", "q53_rolling_mad",
       "t43_texttiling", "t44_semantic_contam", "g06_hits",
       "a33_hard_negatives", "a34_silhouette", "d22_kmv_jaccard",
-      "p35_mixture_budget", "q54_abc_pareto", "a35_retrieval_bakeoff")
+      "p35_mixture_budget", "q54_abc_pareto", "a35_retrieval_bakeoff",
+      "t45_burstiness")
     sb.append("\n## Physical plans (executed, AQE final)\n")
     planQueries.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
