@@ -1,0 +1,73 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Cache-lifetime discipline for operators that must persist a
+  * corpus-sized intermediate (two-consumer plans, nondeterministic
+  * range samplers frozen for determinism — the GlobalIds/boilerplate
+  * pattern).
+  *
+  * Two tools:
+  *
+  *  - [[materializeBounded]]: for operators whose OUTPUT is bounded
+  *    (top-k readouts, |groups|·|percentiles| tables), the persist can
+  *    be released INSIDE the operator — run the one action, rebuild the
+  *    result as a LocalRelation, unpersist everything in `finally`. No
+  *    caller contract needed; nothing survives the call.
+  *
+  *  - [[CacheLedger]]: for operators whose output is corpus-sized, the
+  *    persist must outlive the call (the returned lazy frame may be
+  *    consumed any number of times), so the operator REGISTERS it and a
+  *    long-lived session calls [[CacheLedger.releaseAll]] between
+  *    logical queries — the targeted form of
+  *    `spark.catalog.clearCache()` that does not evict caches the
+  *    caller created for itself. Bench/Verify call it (belt) in
+  *    addition to their per-query `clearCache()` (braces).
+  *
+  * Safety note on release timing: a registered frame may be backing a
+  * NONDETERMINISTIC snapshot (range-sampler boundaries). Releasing it
+  * between actions is safe — the next action recomputes a fresh,
+  * internally-consistent snapshot — but nothing may unpersist it WHILE
+  * a consuming action runs, which is why release is an explicit caller
+  * act and never a listener firing mid-query.
+  */
+object Caching {
+
+  /** Collect the (bounded!) result and rebuild it as a LocalRelation —
+    * same schema, same row order — so every cached dependency can be
+    * unpersisted by the caller's `finally` without the returned frame
+    * ever re-reading them. Only for outputs with a hard size bound
+    * independent of the corpus (top-k, group×percentile grids). */
+  def materializeBounded(df: DataFrame): DataFrame = {
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    df.sparkSession.createDataFrame(rows, df.schema)
+  }
+
+  /** Weak registry of operator-internal persisted frames. Weak refs:
+    * a frame the JVM already dropped needs no unpersist, and the
+    * ledger must never be the thing keeping a plan tree alive. */
+  object CacheLedger {
+    private val entries =
+      new java.util.concurrent.ConcurrentLinkedQueue[
+        java.lang.ref.WeakReference[DataFrame]]()
+
+    def register(df: DataFrame): DataFrame = {
+      entries.add(new java.lang.ref.WeakReference(df))
+      df
+    }
+
+    /** Unpersist every registered frame still alive and clear the
+      * ledger. Call between logical queries, never during one. */
+    def releaseAll(): Unit = {
+      var ref = entries.poll()
+      while (ref != null) {
+        val df = ref.get()
+        if (df != null) {
+          try df.unpersist(blocking = false)
+          catch { case _: Throwable => () }
+        }
+        ref = entries.poll()
+      }
+    }
+  }
+}

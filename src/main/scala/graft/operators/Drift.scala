@@ -28,14 +28,23 @@ import org.apache.spark.sql.types.DecimalType
 object Drift {
 
   /** (source, n_words, tv_num, tv_ppm) per source: `tv_num` the exact
-    * integer numerator (DECIMAL(38,0)) and `tv_ppm` the drift in parts
-    * per million via integer FLOOR division,
+    * integer numerator and `tv_ppm` the drift in parts per million via
+    * integer FLOOR division,
     *   tv_ppm = (tv_num · 10⁶) div (2 · n_s · N),
     * so the reported metric is bit-exact across engines. (A previous
     * form rounded the double quotient to 6 places; a quotient within
     * an ulp of a 5·10⁻⁷ boundary rounds differently in Spark's
     * BigDecimal HALF_UP vs DuckDB's float path — integer floor
-    * division has no such boundary.) */
+    * division has no such boundary.)
+    *
+    * `tv_num` is carried internally as DECIMAL(38,0) — the bound:
+    * tv_num ≤ 2·n_s·N ≤ 2·N², so N (total corpus words) up to ~7·10¹⁸
+    * stays inside 38 digits; a 100 TB corpus is ~10¹³ words, 5 orders
+    * of headroom — but EMITTED as its canonical digit string: a raw
+    * decimal cell hashes differently across engines (Python `Decimal`
+    * vs DuckDB HUGEINT renderings) even when the values are equal,
+    * while the digit string is one canonical form everywhere, and it
+    * survives any future widening past 38 digits unchanged. */
   def sourceDrift(docs: DataFrame, srcCol: String, textCol: String,
                   maxVocab: Int): DataFrame = {
     val words = docs
@@ -79,7 +88,8 @@ object Drift {
           "(CAST(2 AS DECIMAL(38,0)) * CAST(ns AS DECIMAL(38,0)) * " +
           "CAST(nn AS DECIMAL(38,0))) AS BIGINT)"))
       .select(col("src").as("source"), col("ns").as("n_words"),
-        col("tv_num"), col("tv_ppm"))
+        // canonical digit string (scale-0 decimal → no point, no exp)
+        col("tv_num").cast("string").as("tv_num"), col("tv_ppm"))
       .orderBy(col("source"))
   }
 
@@ -105,7 +115,11 @@ object Drift {
     * is carried as the exact DECIMAL(38) numerator `l1_num` over the
     * common denominator, reported as integer floor-division micro-units
     * (`l1_shift_micro` = raw-embedding-units × 10⁻⁶) — no float path,
-    * both engines replay bit-exactly.
+    * both engines replay bit-exactly. `l1_num` is EMITTED as its
+    * canonical digit string (the [[sourceDrift]] `tv_num` convention:
+    * raw decimal cells hash differently across engines even when
+    * equal). Bound: l1_num ≤ d·2·2²⁰·max(n)·n_a·n_b, so ~10⁹ vectors
+    * per label per snapshot at d=64 stays inside 38 digits.
     *
     * Scale posture: the component explode inflates the scan d× but
     * partial-aggregates to bounded state (|labels|·d·2 cells, like the
@@ -152,8 +166,8 @@ object Drift {
         expr(s"CAST((l1_num * CAST(1000000 AS DECIMAL(38,0))) div " +
           s"(CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)) * " +
           s"CAST($scale AS DECIMAL(38,0))) AS BIGINT)"))
-      .select(col("label"), col("n_a"), col("n_b"), col("l1_num"),
-        col("l1_shift_micro"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        col("l1_num").cast("string").as("l1_num"), col("l1_shift_micro"))
       .orderBy(col("label"))
   }
 }

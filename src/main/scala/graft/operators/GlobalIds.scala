@@ -134,7 +134,11 @@ object GlobalIds {
     val spark = df.sparkSession
     import spark.implicits._
     val bucketed = df
-      .withColumn("__bucket", floor(col(orderCol) / bucketWidth))
+      // integer division, not floor(x / w): the latter evaluates in
+      // double and can mis-round past 2⁵³, assigning a row to the wrong
+      // bucket and corrupting the prefix sum — `div` is exact at any
+      // long magnitude
+      .withColumn("__bucket", expr(s"`$orderCol` div $bucketWidth"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__bucket")).orderBy(col(orderCol))

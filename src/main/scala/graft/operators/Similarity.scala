@@ -790,9 +790,17 @@ object Similarity {
     * NEGATIVE operands is exactly the cross-engine boundary the offset
     * sidesteps.
     *
-    * Output: (label, n, n_pairs, pair_dot_sum, mean_cos_ppm) — the
-    * exact DECIMAL numerator rides along so a consumer can re-derive
-    * any other denominator without rescanning. */
+    * Output: (label, n, n_pairs, pair_dot_sum2, mean_cos_ppm) — the
+    * exact numerator rides along so a consumer can re-derive any other
+    * denominator without rescanning. `pair_dot_sum2` is TWICE the pair
+    * dot sum (ss − t, always even), deliberately undivided: Spark's
+    * decimal division (ss − t)/2 yields DECIMAL(38,6) — 32 integer
+    * digits — so halving silently truncates past ~10³², 45× below the
+    * operator's own DECIMAL(38) aggregate ceiling (ss ≤ n²·2⁴⁰ binds
+    * at n ≈ 10¹³ vectors/label; the halved form bound at n ≈ 2·10¹¹).
+    * The doubled numerator keeps the full 38 digits, and it is emitted
+    * as its canonical digit string (the Drift.tv_num convention: raw
+    * decimal cells hash differently across engines even when equal). */
   def pairwiseDiversity(vectors: DataFrame, labelCol: String,
                         vecCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -836,16 +844,21 @@ object Similarity {
         // carries every component) — max() collapses it exactly
         max(col("n")).as("n"))
       .withColumn("n_pairs", expr("(n * (n - 1)) div 2"))
-      // ss − t = 2·Σ_{i<j} dot by construction (always even)
-      .withColumn("pair_dot_sum", ((col("ss") - col("t")) / lit(2)).cast(d38))
+      // ss − t = 2·Σ_{i<j} dot by construction (always even); kept
+      // UNDIVIDED — see the scaladoc — and the ppm derivation uses the
+      // doubled denominator, an identical rational so an identical
+      // floor: ((2P + 4·np·2⁴⁰)·10⁶) div (2·np·2⁴⁰) ≡
+      // ((P + 2·np·2⁴⁰)·10⁶) div (np·2⁴⁰) when the numerator is even
+      .withColumn("pair_dot_sum2", (col("ss") - col("t")).cast(d38))
       .withColumn("mean_cos_ppm",
         when(col("n_pairs") === 0, lit(null).cast("long"))
           .otherwise(expr(
-            s"CAST(((pair_dot_sum + 2 * CAST(n_pairs AS DECIMAL(38,0)) * ${q40}L)" +
-              s" * 1000000) div (CAST(n_pairs AS DECIMAL(38,0)) * ${q40}L)" +
+            s"CAST(((pair_dot_sum2 + 4 * CAST(n_pairs AS DECIMAL(38,0)) * ${q40}L)" +
+              s" * 1000000) div (2 * CAST(n_pairs AS DECIMAL(38,0)) * ${q40}L)" +
               s" - 2000000 AS BIGINT)")))
       .select(col("label"), col("n"), col("n_pairs"),
-        col("pair_dot_sum"), col("mean_cos_ppm"))
+        col("pair_dot_sum2").cast("string").as("pair_dot_sum2"),
+        col("mean_cos_ppm"))
       .orderBy(col("label"))
   }
 }

@@ -518,7 +518,7 @@ object Relational10 {
         |  FROM sa JOIN sb ON sa.label = sb.label AND sa.d = sb.d
         |  GROUP BY sa.label)
         |SELECT label, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-        |  CAST(l1_num AS DECIMAL(38,0)) AS l1_num,
+        |  CAST(CAST(l1_num AS HUGEINT) AS VARCHAR) AS l1_num,
         |  CAST((CAST(l1_num AS HUGEINT) * 1000000) //
         |    (CAST(n_a AS HUGEINT) * n_b * 1048576) AS BIGINT) AS l1_shift_micro
         |FROM j ORDER BY label""".stripMargin,

@@ -365,12 +365,12 @@ object Relational11 {
         |  FROM cell GROUP BY 1)
         |SELECT label, CAST(n AS BIGINT) AS n,
         |  CAST((n * (n - 1)) // 2 AS BIGINT) AS n_pairs,
-        |  CAST((ss - t) // 2 AS DECIMAL(38,0)) AS pair_dot_sum,
+        |  CAST(CAST(ss - t AS HUGEINT) AS VARCHAR) AS pair_dot_sum2,
         |  CASE WHEN n < 2 THEN NULL ELSE
-        |    CAST((((ss - t) // 2
-        |        + 2 * CAST((n * (n - 1)) // 2 AS HUGEINT) * 1099511627776)
+        |    CAST(((ss - t
+        |        + 4 * CAST((n * (n - 1)) // 2 AS HUGEINT) * 1099511627776)
         |      * 1000000)
-        |      // (CAST((n * (n - 1)) // 2 AS HUGEINT) * 1099511627776)
+        |      // (2 * CAST((n * (n - 1)) // 2 AS HUGEINT) * 1099511627776)
         |      - 2000000 AS BIGINT) END AS mean_cos_ppm
         |FROM l ORDER BY label""".stripMargin,
     // t39: the d02 shingle CTE + the t03 md5-prefix hash + first-doc

@@ -798,7 +798,7 @@ object Relational9 {
         |        CAST(c AS HUGEINT) * ns) AS t
         |  FROM grid)
         |SELECT src AS source, CAST(ns AS BIGINT) AS n_words,
-        |  CAST(sum(t) AS DECIMAL(38,0)) AS tv_num,
+        |  CAST(CAST(sum(t) AS HUGEINT) AS VARCHAR) AS tv_num,
         |  CAST((CAST(sum(t) AS HUGEINT) * 1000000) //
         |    (2 * CAST(ns AS HUGEINT) * CAST(nn AS HUGEINT)) AS BIGINT) AS tv_ppm
         |FROM terms GROUP BY src, ns, nn ORDER BY source""".stripMargin,

@@ -28,7 +28,7 @@ class DriftRepeatSpec extends AnyFunSuite {
     assert(out.length === 2)
     out.foreach { r =>
       assert(r.getAs[Long]("n_words") === 4L)
-      assert(r.getAs[java.math.BigDecimal]("tv_num").longValueExact() === 16L)
+      assert(r.getAs[String]("tv_num") === "16")
       // 0.25 exactly → 250000 ppm via floor division
       assert(r.getAs[Long]("tv_ppm") === 250000L)
     }

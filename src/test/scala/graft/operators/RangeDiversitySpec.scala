@@ -80,7 +80,7 @@ class RangeDiversitySpec extends AnyFunSuite {
       (i.toLong, l, v.map(_.toFloat)) }.toDF("vec_id", "label", "embedding")
     val got = Similarity.pairwiseDiversity(df, "label", "embedding")
       .collect().map(r => (r.getString(0),
-        (r.getLong(1), r.getLong(2), BigInt(r.getDecimal(3).toBigInteger),
+        (r.getLong(1), r.getLong(2), BigInt(r.getString(3)),
           if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
     val q40 = BigInt(1L) << 40
     vecs.groupBy(_._1).foreach { case (label, members) =>
@@ -94,7 +94,8 @@ class RangeDiversitySpec extends AnyFunSuite {
       val (gn, gp, gsum, gppm) = got(label)
       assert(gn === n.toLong, label)
       assert(gp === nPairs, label)
-      assert(gsum === pairSum, s"$label pair_dot_sum")
+      // the operator emits the UNDIVIDED even numerator 2·Σ dot
+      assert(gsum === pairSum * 2, s"$label pair_dot_sum2")
       if (nPairs == 0) assert(gppm.isEmpty, label)
       else {
         val want = ((pairSum + 2 * BigInt(nPairs) * q40) * 1000000 /
