@@ -94,15 +94,35 @@ object Bench {
     // included) and the later queries pay eviction/GC pressure instead
     // of their own cost — measured as the round-3 1.24× drift on the
     // common set. Every timed query starts from an empty cache.
+    graft.core.Caching.CacheLedger.releaseAll()
     spark.catalog.clearCache()
+    // flush the 136-query warmup's residue (broadcast cleanup debt,
+    // tenured allocation) before timing starts: the round-6 driver run
+    // showed a contiguous 7-query cluster at 6–20× local times that
+    // none of our local runs of the same commit reproduce — the
+    // leading suspect is old-gen pressure building through a single
+    // 272-query JVM. One explicit full GC here is cheap insurance.
+    System.gc()
 
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    val rt = Runtime.getRuntime
     val results = names.map { name =>
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       try qs(name)(spark, sfDir).count()
       catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
+      graft.core.Caching.CacheLedger.releaseAll()
       spark.catalog.clearCache()
-      name -> dt
+      // per-query JVM health: GC time spent inside the query and heap
+      // in use after it — the forensics the round-6 anomaly cluster
+      // lacked (artifact-only; the stdout line must stay tail-sized)
+      val heapMb = (rt.totalMemory() - rt.freeMemory()) >> 20
+      (name, dt, gcMillis() - gc0, heapMb)
     }
     // Compact formatting: per-query seconds at 3 decimals. The driver
     // stores only the tail of the run log, and a full-precision line for
@@ -110,11 +130,16 @@ object Bench {
     // null. 3 decimals keeps the line ~2.3 KB (inside the tail) without
     // losing ms resolution anyone reads.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    val qjson = results.map { case (k, v, _, _) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir"}"""
+    // printed TWICE back-to-back: the driver stores only the log tail
+    // and has truncated mid-line every round — with two identical
+    // copies, a tail boundary landing inside one still leaves the
+    // other intact for the driver's parser
+    println(line)
     println(line)
     // Belt-and-braces: also persist the metrics as a repo-root artifact so
     // consumers never depend on log-tail truncation behavior. The root is
@@ -122,11 +147,17 @@ object Bench {
     // path would scatter stale artifacts across whatever CWD launched
     // the JVM — and a BENCH_ONLY profiling run must NOT clobber the
     // full-run artifact with a one-query subset.
+    // the artifact additionally carries per-query JVM health (GC ms
+    // inside the query, heap MB after it) for run-order forensics
+    val hjson = results.map { case (k, _, gc, heap) =>
+      "\"" + k + "\":{\"gc_ms\":" + gc + ",\"heap_mb\":" + heap + "}"
+    }.mkString("{", ",", "}")
+    val artifact = line.dropRight(1) + s""","health":$hjson}"""
     if (only.isEmpty)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(
           sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"),
-          "bench_metrics.json"), line + "\n")
+          "bench_metrics.json"), artifact + "\n")
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not write bench_metrics.json: $e") }
     spark.stop()

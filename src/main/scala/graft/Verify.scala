@@ -40,6 +40,11 @@ object Verify {
             .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         } catch { case _: Throwable => () }
       }
+      // release operator-internal persists between queries (the Bench
+      // convention): 223 queries in one JVM otherwise accumulate pinned
+      // MEMORY_AND_DISK entries and the later queries pay GC pressure
+      graft.core.Caching.CacheLedger.releaseAll()
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -43,30 +43,30 @@ object Caching {
     df.sparkSession.createDataFrame(rows, df.schema)
   }
 
-  /** Weak registry of operator-internal persisted frames. Weak refs:
-    * a frame the JVM already dropped needs no unpersist, and the
-    * ledger must never be the thing keeping a plan tree alive. */
+  /** Registry of operator-internal persisted frames. STRONG refs on
+    * purpose: `Dataset.unpersist` needs the Dataset handle (the
+    * CacheManager keys on its plan), and the returned lazy result
+    * holds only the logical plan — a weak ref is collectable the
+    * moment the operator returns, silently skipping the unpersist
+    * (observed). The held plan trees are small and the ledger is
+    * cleared at every query boundary, so retention is bounded. */
   object CacheLedger {
     private val entries =
-      new java.util.concurrent.ConcurrentLinkedQueue[
-        java.lang.ref.WeakReference[DataFrame]]()
+      new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
     def register(df: DataFrame): DataFrame = {
-      entries.add(new java.lang.ref.WeakReference(df))
+      entries.add(df)
       df
     }
 
-    /** Unpersist every registered frame still alive and clear the
-      * ledger. Call between logical queries, never during one. */
+    /** Unpersist every registered frame and clear the ledger. Call
+      * between logical queries, never during one. */
     def releaseAll(): Unit = {
-      var ref = entries.poll()
-      while (ref != null) {
-        val df = ref.get()
-        if (df != null) {
-          try df.unpersist(blocking = false)
-          catch { case _: Throwable => () }
-        }
-        ref = entries.poll()
+      var df = entries.poll()
+      while (df != null) {
+        try df.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+        df = entries.poll()
       }
     }
   }

@@ -23,10 +23,12 @@ import org.apache.spark.sql.functions._
   * Cache lifetime: the internal `ranked` persist (MEMORY_AND_DISK,
   * corpus-sized) lives as long as the returned LAZY DataFrame may be
   * re-consumed — there is no eager point inside the operator at which
-  * releasing it is safe. Callers that fully consume the result
-  * (Bench/Verify/PlanReport-style: run one action, keep only the
-  * output) should `spark.catalog.clearCache()` or unpersist after the
-  * action; long-lived sessions otherwise rely on LRU eviction.
+  * releasing it is safe (both consumers sit in the one returned plan,
+  * and an early unpersist would let them recompute against DIFFERENT
+  * sampler boundaries). It is registered with
+  * [[graft.core.Caching.CacheLedger]]: callers release between logical
+  * queries via `CacheLedger.releaseAll()` (Bench/Verify do, plus their
+  * `clearCache()`); long-lived sessions call it at query boundaries.
   *
   * Requires `keyCol` totally ordered (unique); ids are 0-based and
   * dense. Output: (`keyCol`, global_id).
@@ -63,8 +65,12 @@ object GlobalIds {
       // consumed twice (offset derivation + the final join): without
       // materialization the nondeterministic range sampler could place
       // boundaries DIFFERENTLY on the second run, and offsets computed
-      // against run A would be joined with ranks from run B
+      // against run A would be joined with ranks from run B. The output
+      // is corpus-sized, so the persist must outlive this call — it is
+      // ledger-registered for release BETWEEN queries (never during
+      // one: both consumers live in the one returned plan)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caching.CacheLedger.register(ranked)
     // one narrow second scan: the per-partition counts fold map-side to
     // |partitions| rows; their running sum is the offset table (bounded
     // window — |partitions| rows in one task, not data)
@@ -105,6 +111,7 @@ object GlobalIds {
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caching.CacheLedger.register(ranked)
     val offsets = ranked.groupBy(col("__pid"))
       .agg((max(col("__lrank")) + 1).as("cnt"))
       .withColumn("off",
@@ -126,8 +133,8 @@ object GlobalIds {
     * single-partition task (corpus/bucketWidth rows by construction),
     * so there is no global sort and no unpartitioned WindowExec.
     * Cache lifetime: the bucketed projection persists for the two
-    * branch scans — LRU / caller clearCache, like every index
-    * intermediate here. */
+    * branch scans — ledger-registered, released between queries like
+    * every corpus-sized index intermediate here. */
   def exclusivePrefixSum(df: DataFrame, orderCol: String, valueCol: String,
                          bucketWidth: Int = 1024): DataFrame = {
     require(bucketWidth >= 1, "bucket width must be positive")
@@ -140,6 +147,7 @@ object GlobalIds {
       // long magnitude
       .withColumn("__bucket", expr(s"`$orderCol` div $bucketWidth"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caching.CacheLedger.register(bucketed)
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__bucket")).orderBy(col(orderCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

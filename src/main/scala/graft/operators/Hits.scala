@@ -23,25 +23,35 @@ import org.apache.spark.storage.StorageLevel
   *
   * Magnitude bound: scores grow by ~(d_c·d_p) per round; DECIMAL(38)
   * holds k=3 rounds up to average-degree products of ~10¹⁰ — beyond
-  * that, callers drop k or pre-scale (disclosed, not hidden: Spark
-  * decimal overflow yields null rows, loudly missing from the
-  * output, not silently wrong).
+  * that, callers drop k or pre-scale. Overflow is LOUD: with ANSI off
+  * Spark yields null sums, and nulls would sort LAST in the (raw desc)
+  * top-k — silently absent, not visibly wrong — so the readout
+  * aggregates a null count alongside each side's total and
+  * `raise_error`s if any score overflowed, failing exactly as the
+  * DuckDB oracle does on HUGEINT overflow.
   *
   * Scale posture: the edge list persists once and is the only
   * per-round probe side; score vectors are |V|-row frames that
   * shuffle on the join key. Output: top `topK` per side —
-  * (side ∈ {auth, hub}, id, score_ppm, rnk). */
+  * (side ∈ {auth, hub}, id, score_ppm, rnk) — 2·topK rows, so the
+  * result is materialized as a LocalRelation inside the operator and
+  * every internal persist (edge list, per-key sorted copies, final
+  * vectors) is unpersisted before returning: nothing stays pinned
+  * after the call, however long the session lives. */
 object Hits {
 
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iterations: Int = 3, topK: Int = 20,
            splitEdgeThreshold: Long = 2000000L): DataFrame = {
     require(iterations >= 1)
-    val e = edges
+    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def pin(df: DataFrame): DataFrame = {
+      pinned += df.persist(StorageLevel.MEMORY_AND_DISK); df
+    }
+    try {
+    val e = pin(edges
       .select(col(srcCol).cast("long").as("c"), col(dstCol).cast("long").as("p"))
-      .distinct()
-      // every round joins it twice; lifetime: LRU / caller clearCache
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .distinct())
     // Two physical regimes, the Triangles.maxBroadcastEdges pattern:
     // below the threshold the |V|-row score vector broadcasts and the
     // cached edge list never moves — extra per-key copies would be
@@ -58,10 +68,8 @@ object Hits {
     // the |E|-row side (k rounds = k avoided sorts of the big leg)
     val (eByP, eByC) =
       if (m <= splitEdgeThreshold) (e, e)
-      else (e.repartition(col("p")).sortWithinPartitions(col("p"))
-              .persist(StorageLevel.MEMORY_AND_DISK),
-            e.repartition(col("c")).sortWithinPartitions(col("c"))
-              .persist(StorageLevel.MEMORY_AND_DISK))
+      else (pin(e.repartition(col("p")).sortWithinPartitions(col("p"))),
+            pin(e.repartition(col("c")).sortWithinPartitions(col("c"))))
     var auth = e.select(col("p")).distinct()
       .withColumn("a", lit(1L).cast(DecimalType(38, 0)))
     var hub: DataFrame = null
@@ -72,10 +80,21 @@ object Hits {
         .agg(sum(col("h")).as("a"))
     }
     // final vectors each feed a scalar total AND the top-k readout
-    auth = auth.persist(StorageLevel.MEMORY_AND_DISK)
-    hub = hub.persist(StorageLevel.MEMORY_AND_DISK)
-    val aTot = broadcast(auth.agg(sum(col("a")).as("tot")))
-    val hTot = broadcast(hub.agg(sum(col("h")).as("tot")))
+    auth = pin(auth)
+    hub = pin(hub)
+    // the total rides with an overflow tripwire: sum() SKIPS nulls, so
+    // an overflowed score would otherwise vanish from both the total
+    // and the (nulls-last) top-k — degrade silently, diverging from
+    // the oracle, which ERRORS on HUGEINT overflow
+    def guardedTotal(v: DataFrame, scoreCol: String, tag: String): DataFrame =
+      broadcast(v.agg(sum(col(scoreCol)).as("tot"),
+          count(when(col(scoreCol).isNull, lit(1))).as("__nulls"))
+        .select((col("tot") + when(col("__nulls") === 0, lit(0))
+          .otherwise(raise_error(lit(s"HITS: DECIMAL(38) overflow nulled " +
+            s"$tag scores — lower iterations or pre-scale (see scaladoc " +
+            "magnitude bound)")))).as("tot")))
+    val aTot = guardedTotal(auth, "a", "authority")
+    val hTot = guardedTotal(hub, "h", "hub")
     def side(v: DataFrame, scoreCol: String, idCol: String, tag: String,
              tot: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
@@ -90,9 +109,12 @@ object Hits {
         .withColumn("rnk", row_number().over(w).cast("long"))
         .drop("raw")
     }
-    side(auth, "a", "p", "auth", aTot)
-      .unionByName(side(hub, "h", "c", "hub", hTot))
-      .orderBy(col("side"), col("rnk"))
+    // 2·topK rows: materialize, then release every internal persist
+    graft.core.Caching.materializeBounded(
+      side(auth, "a", "p", "auth", aTot)
+        .unionByName(side(hub, "h", "c", "hub", hTot))
+        .orderBy(col("side"), col("rnk")))
+    } finally pinned.foreach(_.unpersist(blocking = false))
   }
 
   /** The DuckDB replay: unrolled MATERIALIZED rounds over `edgesSql`

@@ -136,8 +136,9 @@ object Profile {
     * so slice-local ranks + cell offsets reproduce exact global ranks;
     * tie order within a slice is irrelevant — tied rows carry the same
     * value. The persist freezes the nondeterministic range sampler's
-    * boundaries across the two consumers (the GlobalIds rule); Bench/
-    * PlanReport-style callers clear the cache after their action. */
+    * boundaries across the two consumers (the GlobalIds rule); because
+    * the output is bounded (|groups|·|percentiles| rows) the snapshot
+    * is consumed and RELEASED inside the call — no cache survives. */
   def exactQuantilesDistributed(df: DataFrame, groupCol: String,
                                 valueMicro: Column,
                                 percents: Seq[Int]): DataFrame = {
@@ -151,6 +152,10 @@ object Profile {
       .repartitionByRange(parts, col(groupCol), col("v6"))
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // |groups|·|percentiles| output rows: materialize inside the call
+    // and release the (nondeterministic-boundary) snapshot in finally —
+    // the Coreset.farthestPointSample lifetime pattern
+    try {
     // per-(group, partition) counts → running offsets + group totals:
     // |groups × partitions| rows, windows over the TINY table only
     val offsets = base.groupBy(col(groupCol), col("__pid"))
@@ -189,16 +194,18 @@ object Profile {
           col("__off").as("__off2"))),
         col("__gs") <=> col("__go") && col("__po") === col("__po2"))
       .withColumn("rn", col("__off2") + col("__lrank"))
-    ranked.join(broadcast(targets), col("__gs") <=> targets("__gt"))
-      .filter(col("rn") === col("k") + 1 || col("rn") === col("k") + 2)
-      .groupBy(col(groupCol), col("p"), col("frac"))
-      .agg(
-        min(when(col("rn") === col("k") + 1, col("v6"))).as("lo"),
-        max(when(col("rn") === col("k") + 2, col("v6"))).as("hi"))
-      .select(col(groupCol), col("p"),
-        (col("lo") * (lit(100) - col("frac")) +
-          coalesce(col("hi"), col("lo")) * col("frac")).as("pctl_u"))
-      .orderBy(col(groupCol), col("p"))
+    graft.core.Caching.materializeBounded(
+      ranked.join(broadcast(targets), col("__gs") <=> targets("__gt"))
+        .filter(col("rn") === col("k") + 1 || col("rn") === col("k") + 2)
+        .groupBy(col(groupCol), col("p"), col("frac"))
+        .agg(
+          min(when(col("rn") === col("k") + 1, col("v6"))).as("lo"),
+          max(when(col("rn") === col("k") + 2, col("v6"))).as("hi"))
+        .select(col(groupCol), col("p"),
+          (col("lo") * (lit(100) - col("frac")) +
+            coalesce(col("hi"), col("lo")) * col("frac")).as("pctl_u"))
+        .orderBy(col(groupCol), col("p")))
+    } finally base.unpersist(blocking = false)
   }
 
   /** Robust outlier detection per group: rows whose deviation from the

@@ -560,12 +560,14 @@ object TextAnalysis {
     // the exploded line stream feeds BOTH the df aggregate and the
     // anti-join rebuild: un-persisted, the split+explode (the corpus
     // scan) runs twice — measured 5.0 → 3.4 s at sf0.1 inside p18.
-    // Lives for the lazy plan's lifetime (the GlobalIds cache-lifetime
-    // contract — one-shot consumers clear the cache after their action)
+    // Lives for the lazy plan's lifetime; ledger-registered (the
+    // GlobalIds cache-lifetime contract — release between queries via
+    // CacheLedger.releaseAll / clearCache, never mid-plan)
     val lines = base.select(col("doc_id"), col("src"),
         posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
       .withColumn("lk", xxhash64(col("src"), col("line")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Caching.CacheLedger.register(lines)
     // df over per-document-DISTINCT keys; the distinct is itself the
     // partial-agg'd first phase of the count
     val boiler = lines.select(col("lk"), col("doc_id")).distinct()

@@ -6,13 +6,14 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 
 /** Session-scoped GRAPH-ARTIFACT registry — [[ModelCache]]'s principle
-  * applied to corpus-sized derived frames: g03/g04 both need the SAME
-  * co-purchase edge list and the SAME per-node triangle counts, and
-  * q33/q40 both need the SAME fuzzy-name pair graph; each is fully
-  * deterministic in the input directory, so building it twice per
+  * applied to corpus-sized derived frames: the whole graph family
+  * (g01–g06) plus q33/q40/d02/d08/d09/d11/p34/d19 re-derive a handful
+  * of edge projections from the same base tables, and each is fully
+  * deterministic in the input directory, so building one twice per
   * Verify/Bench JVM is pure waste (~6 s of duplicate orderkey² fan-out
-  * + wedge probing, ~3.5 s of deletion-neighborhood blocking at
-  * sf0.1).
+  * + wedge probing at sf0.1, and r6 measured ~30 s of graph bench time
+  * of which roughly half was four queries each rebuilding its own
+  * edge projection).
   *
   * Unlike ModelCache's driver-side model objects, these artifacts are
   * corpus-sized DataFrames, so a JVM-held reference to a persisted
@@ -20,44 +21,115 @@ import graft.Tables._
   * second consumer would silently recompute everything (the p18
   * LRU-eviction lesson). The memo therefore follows p18's eager
   * parquet checkpoint instead: the FIRST consumer in each JVM writes
-  * the artifact to a fixed tmp path (mode overwrite — never trusts a
-  * file left by a previous JVM, so regenerated testdata can't serve
-  * stale rows), and every consumer reads it back columnar. This is
-  * also the at-scale shape: a production graph platform materializes
-  * its edge list / triangle index to the object store once and serves
-  * every downstream query from it.
+  * the artifact to a per-JVM tmp path, and every consumer reads it
+  * back columnar. This is also the at-scale shape: a production graph
+  * platform materializes its edge list / triangle index to the object
+  * store once and serves every downstream query from it.
   *
-  * Single-writer assumption: the verify skill forbids concurrent
-  * Bench/Verify JVMs (they'd also race sbt classfiles). Disk bound:
-  * one copy per (artifact, dir), overwritten in place across runs.
+  * Concurrency: the path embeds the JVM's pid@host token, so two
+  * concurrent JVMs (still unsupported for Bench/Verify — they'd race
+  * sbt classfiles — but possible for library users) write DISJOINT
+  * paths instead of overwriting one in place mid-read. Disk bound: one
+  * copy per (artifact, dir) per JVM, deleted on JVM exit.
   */
 object GraphCache {
 
   private val built =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** pid@host — distinct per JVM, so concurrent processes never share
+    * (and never clobber) an artifact path. */
+  private val jvmTag =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      .replaceAll("[^A-Za-z0-9.]+", "_")
+
+  private val root = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_ckpt", s"graph_$jvmTag")
+    // per-JVM trees would otherwise accumulate across sessions
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+                          catch { case _: Throwable => () })
+      } catch { case _: Throwable => () }))
+    p
+  }
+
   private def artifact(spark: SparkSession, key: String)
                       (build: => DataFrame): DataFrame = {
     val path = built.computeIfAbsent(key, _ => {
-      val p = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_ckpt",
-        "graph_" + key.replaceAll("[^A-Za-z0-9.]+", "_")).toString
+      val p = root.resolve(
+        key.replaceAll("[^A-Za-z0-9.]+", "_")).toString
       build.write.mode("overwrite").parquet(p)
       p
     })
     spark.read.parquet(path)
   }
 
-  /** The distinct co-purchase edge list (a < b part pairs linked by a
-    * shared order) — g03/g04's common graph. Pair fan-out is bounded
-    * by the per-order line cap (~7²/2 per order). */
-  def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
-    artifact(spark, s"copurchase_edges|$dir") {
+  /** Co-purchase pair WEIGHTS: (a < b part pairs, n_orders = distinct
+    * orders containing both). One aggregate serves the whole family:
+    * the distinct edge set (n ≥ 1) feeds g03/g04, the strong edges
+    * (n ≥ 2) feed g05, and the per-order line dedup happens BEFORE the
+    * self-join so the quadratic fan-out shrinks at the source. */
+  def coPurchaseWeights(spark: SparkSession, dir: String): DataFrame =
+    artifact(spark, s"copurchase_w|$dir") {
       val li = lineitem(spark, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
       li.as("x").join(li.as("y"),
           col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+        .agg(count(lit(1)).as("n_orders"))
+    }
+
+  /** The distinct co-purchase edge list — g03/g04's common graph;
+    * a projection of [[coPurchaseWeights]]. */
+  def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    coPurchaseWeights(spark, dir).select(col("a"), col("b"))
+
+  /** Co-purchase edges shared by ≥ `minOrders` orders — g05's strong
+    * graph; a filter of [[coPurchaseWeights]] (filter + projection
+    * push INTO the artifact's parquet scan). */
+  def coPurchaseStrongEdges(spark: SparkSession, dir: String,
+                            minOrders: Long): DataFrame =
+    coPurchaseWeights(spark, dir)
+      .filter(col("n_orders") >= minOrders).select(col("a"), col("b"))
+
+  /** The undirected customer↔supplier trade pair set (customers as 2k,
+    * suppliers as 2k+1) — g01/g02's graph. Stored ONE direction;
+    * consumers union the reverse (a cheap double scan of the compact
+    * artifact, not a rebuild of the orders⋈lineitem join). */
+  def tradePairs(spark: SparkSession, dir: String): DataFrame =
+    artifact(spark, s"trade_pairs|$dir") {
+      orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+    }
+
+  /** Both directions of [[tradePairs]] as (src, dst) — the form
+    * PageRank/BFS consume. */
+  def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = tradePairs(spark, dir)
+    pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  /** The distinct customer→part purchase edge list — g06's bipartite
+    * HITS graph (Hits.hits dedups internally; serving it pre-distinct
+    * from the artifact skips re-shuffling the raw join output). */
+  def custPartEdges(spark: SparkSession, dir: String): DataFrame =
+    artifact(spark, s"cust_part|$dir") {
+      orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .distinct()
     }
 
@@ -80,10 +152,11 @@ object GraphCache {
       // persist the shingle scan for the build's one action (the
       // inverted-index join's two legs + the size table each re-scan
       // it — unpersisted, the artifact write paid three corpus scans);
-      // the entry is LRU / clearCache fodder after the write
+      // ledger-registered so the next query boundary releases it
       val sh = graft.operators.Dedup
         .withShingles(documents(spark, dir), "doc_id", "text", 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.core.Caching.CacheLedger.register(sh)
       graft.operators.Dedup.jaccardPairsFromShingles(sh, 0.5)
     }
 

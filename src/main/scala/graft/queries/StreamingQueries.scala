@@ -380,6 +380,62 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** s27: APPEND-mode session flush — q10-style sessionization (event
+    * counts + value sums + per-user session numbering) through the
+    * built-in `session_window`, with results emitted by WATERMARK
+    * EVICTION rather than complete-mode re-emission: a session leaves
+    * the store exactly once, when the watermark passes its end — the
+    * production monitoring shape (s01/s10 use complete mode because
+    * append holds back every window the final watermark never passes).
+    *
+    * The bounded-replay harness closes that gap with a SENTINEL: one
+    * far-future row (user −1) staged alongside the real events pushes
+    * the final watermark past every real session's end, so the no-data
+    * flush batch evicts and emits them all; the sentinel's own session
+    * is the only state left (and is never emitted — append only emits
+    * on eviction). A real deployment needs no sentinel — the stream
+    * just keeps flowing. Session ids are assigned post-sink by start
+    * order per user (a window over the |sessions|-row sink table, not
+    * the corpus). Oracle: the batch gap reconstruction under the
+    * session_window convention (gap ≥ 30 min STARTS a session — s10's
+    * `>=` boundary, vs q10's `>`). StreamingSpec drives the multi-batch
+    * eviction case (sessions emit as the watermark crosses them, state
+    * rows drop). */
+  def streamSessionFlush(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("value").cast("double").as("value"),
+        col("event_id").cast("long").as("event_id"))
+    val sentinel = ev.agg(max(col("ts")).as("m"))
+      .select(lit(-1L).as("user_id"),
+        expr("m + INTERVAL 30 DAYS").as("ts"),
+        lit(0.0).as("value"), lit(-1L).as("event_id"))
+    val staged = java.nio.file.Files.createTempDirectory("graft_s27")
+    staged.toFile.deleteOnExit()
+    // one write, few files: the file source must not see the sentinel
+    // in a batch BEFORE the real rows (the watermark would mark them
+    // late and drop them); a single AvailableNow batch over all files
+    // computes its watermark at batch end, so order inside is free
+    ev.unionByName(sentinel).coalesce(4)
+      .write.mode("overwrite").parquet(staged.toString)
+    val schema = spark.read.parquet(staged.toString).schema
+    val agg = spark.readStream.schema(schema).parquet(staged.toString)
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(DecimalType(18, 6))), 2)
+          .cast("double").as("session_value"))
+    awaitMemorySink(agg, "append")
+      .filter(col("user_id") >= 0)
+      .withColumn("session_id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("sw.start"))).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** s11: streaming CDC compaction — the q39 latest-wins merge as a
     * stateful streaming aggregation: per-key max_by state merges each
     * micro-batch's candidate against the running winner (state is one
@@ -770,9 +826,29 @@ object StreamingQueries {
     "s07_stream_neardedup" -> streamNearDedup _,
     "s08_stream_kmv"      -> streamKmvDistinct _,
     "s09_stream_hopping"  -> streamHopping _,
-    "s10_stream_session_window" -> streamSessionWindow _)
+    "s10_stream_session_window" -> streamSessionWindow _,
+    "s27_stream_session_flush" -> streamSessionFlush _)
 
   def oracles: Map[String, String] = Map(
+    // s27: batch gap reconstruction under the session_window boundary
+    // convention (gap >= 30 min starts a session; q10 uses >), with
+    // q10's count/value aggregates and per-user session numbering
+    "s27_stream_session_flush" ->
+      """WITH g AS (SELECT user_id, ts, value, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+        |  count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |    AS session_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_id""".stripMargin,
     // s24 == batch q50: pair emission is exactly-once per unordered
     // pair and supports are membership counts — both count monoids
     "s24_stream_basket" -> Relational13.oracles("q50_basket_rules"),

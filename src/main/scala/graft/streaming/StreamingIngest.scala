@@ -386,11 +386,19 @@ object StreamingIngest {
     * in-order per-user delivery (the honest s13 contract: within a
     * batch the group sorts by (ts, event_id); across batches the file
     * source must not split a user's history out of time order, which
-    * a single AvailableNow replay and any ts-ordered feed satisfy). */
+    * a single AvailableNow replay and any ts-ordered feed satisfy).
+    * The contract is ENFORCED, not just commented: an arrival at or
+    * before the stored (last_ts, last_id) is a replay that would emit
+    * edges batch lead() never produces — it is DROPPED and counted in
+    * the `graft.s21.late_arrivals_dropped` accumulator (zero on every
+    * contract-satisfying feed), so a disordered replay degrades
+    * loudly-observably instead of silently diverging. */
   def transitionStream(events: Dataset[(Long, String, Long, Long)])
   : Dataset[(String, String)] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val late = spark.sparkContext
+      .longAccumulator("graft.s21.late_arrivals_dropped")
     events
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -399,8 +407,13 @@ object StreamingIngest {
           val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
           var last = state.getOption.orNull
           rows.toIndexedSeq.sortBy(r => (r._3, r._4)).foreach { r =>
-            if (last != null) out += ((last._1, r._2))
-            last = (r._2, r._3, r._4)
+            if (last != null &&
+                (r._3 < last._2 || (r._3 == last._2 && r._4 <= last._3))) {
+              late.add(1L) // older than (or equal to) state: out-of-order
+            } else {
+              if (last != null) out += ((last._1, r._2))
+              last = (r._2, r._3, r._4)
+            }
           }
           if (last != null) state.update(last)
           out.iterator
@@ -418,12 +431,19 @@ object StreamingIngest {
     * interval emission is prefix-decomposable under the s21 in-order
     * per-key delivery contract (within a batch the group sorts by
     * (ts, event_id); across batches a single AvailableNow replay of a
-    * ts-ordered feed qualifies). Input: (user, type, ts_us, event_id,
-    * v6). Output: (user, type, dur_us, v6) per closed interval. */
+    * ts-ordered feed qualifies). As in [[transitionStream]], the
+    * contract is enforced: a reading STRICTLY older than the stored
+    * last_ts would close a negative-duration interval lead() never
+    * produces — dropped and counted in
+    * `graft.s25.late_arrivals_dropped`. Input: (user, type, ts_us,
+    * event_id, v6). Output: (user, type, dur_us, v6) per closed
+    * interval. */
   def twaStream(readings: Dataset[(Long, String, Long, Long, Long)])
   : Dataset[(Long, String, Long, Long)] = {
     val spark = readings.sparkSession
     import spark.implicits._
+    val late = spark.sparkContext
+      .longAccumulator("graft.s25.late_arrivals_dropped")
     readings
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -433,8 +453,12 @@ object StreamingIngest {
             .empty[(Long, String, Long, Long)]
           var last = state.getOption.orNull
           rows.toIndexedSeq.sortBy(r => (r._3, r._4)).foreach { r =>
-            if (last != null) out += ((key._1, key._2, r._3 - last._1, last._2))
-            last = (r._3, r._5)
+            if (last != null && r._3 < last._1) {
+              late.add(1L) // strictly older than state: out-of-order
+            } else {
+              if (last != null) out += ((key._1, key._2, r._3 - last._1, last._2))
+              last = (r._3, r._5)
+            }
           }
           if (last != null) state.update(last)
           out.iterator

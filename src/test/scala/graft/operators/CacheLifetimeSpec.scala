@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Caching
+
+/** Pins the round-7 cache-lifetime contract: operators with BOUNDED
+  * outputs (Hits top-k, distributed quantiles) release every internal
+  * persist before returning — nothing survives the call, with NO
+  * caller cleanup — and operators with corpus-sized outputs
+  * (GlobalIds, boilerplate) register their persists with
+  * [[Caching.CacheLedger]] so one `releaseAll()` at a query boundary
+  * drops them. Assertions are DELTAS over `getPersistentRDDs` (other
+  * suites share the forked JVM's SparkContext). */
+class CacheLifetimeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def cachedIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  test("Hits.hits releases every internal persist before returning") {
+    val edges = (for { c <- 1L to 40L; p <- 1L to (c % 5 + 1) }
+      yield (c, p * 100)).toDF("c", "p")
+    val before = cachedIds
+    val out = Hits.hits(edges, "c", "p", iterations = 2, topK = 5)
+    assert((cachedIds -- before).isEmpty,
+      "HITS must unpersist edge list + score vectors before returning")
+    // and the returned frame is self-contained (LocalRelation): it can
+    // still be consumed repeatedly after the unpersist
+    assert(out.count() === 10L)
+    assert(out.count() === 10L)
+  }
+
+  test("exactQuantilesDistributed releases its range snapshot") {
+    val df = (1 to 500).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "v")
+    val before = cachedIds
+    val out = Profile.exactQuantilesDistributed(df, "g", col("v"), Seq(50, 90))
+    assert((cachedIds -- before).isEmpty,
+      "the bounded-output quantile form must not leave its snapshot pinned")
+    assert(out.count() === 6L)
+  }
+
+  test("GlobalIds persists are ledger-registered; releaseAll drops them") {
+    Caching.CacheLedger.releaseAll() // start from a clean ledger
+    val before = cachedIds
+    val ids = GlobalIds.assign((1L to 200L).toDF("k"), "k")
+    assert(ids.count() === 200L)
+    assert((cachedIds -- before).nonEmpty,
+      "corpus-sized two-consumer snapshot is expected to stay pinned " +
+        "while the lazy result lives")
+    Caching.CacheLedger.releaseAll()
+    assert((cachedIds -- before).isEmpty,
+      "releaseAll must unpersist every ledger-registered frame")
+  }
+
+  test("removeBoilerplate line stream is ledger-registered") {
+    Caching.CacheLedger.releaseAll()
+    val docs = (1 to 40).map(i =>
+      (i.toLong, "s", s"nav menu\nbody $i\nfooter")).toDF("id", "src", "text")
+    val before = cachedIds
+    val out = TextAnalysis.removeBoilerplate(docs, "id", "src", "text", 30L)
+    assert(out.count() === 40L)
+    Caching.CacheLedger.releaseAll()
+    assert((cachedIds -- before).isEmpty)
+  }
+}

@@ -638,6 +638,80 @@ class StreamingSpec extends AnyFunSuite {
       ("signup", "view") -> 1L))   // fresh user, batch 2 only
   }
 
+  test("streaming transitions DROP out-of-order replays instead of chaining them") {
+    val spark2 = spark
+    import spark2.implicits._
+    val drop = tmp("tro_drop"); val ckpt = tmp("tro_ckpt")
+    // batch 2 delivers an event OLDER than batch 1's stored state (ts
+    // 50 < anchor 200): chaining it would emit (view→signup) and
+    // (signup→click) edges batch lead() never produces — the contract
+    // says drop it, count it, and chain click against the true anchor
+    Seq((1L, "view", 100L, 10L), (1L, "view", 200L, 11L))
+      .toDF("user_id", "event_type", "tss", "event_id")
+      .coalesce(1).write.parquet(s"$drop/b1")
+    Seq((1L, "signup", 50L, 9L), (1L, "click", 300L, 12L))
+      .toDF("user_id", "event_type", "tss", "event_id")
+      .coalesce(1).write.parquet(s"$drop/b2")
+    val src = spark.readStream
+      .schema("user_id LONG, event_type STRING, tss LONG, event_id LONG")
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(drop)
+      .as[(Long, String, Long, Long)]
+    val q = StreamingIngest.transitionStream(src)
+      .toDF("from_type", "to_type")
+      .writeStream.format("memory").queryName("tro_sink")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    val streamed = spark.table("tro_sink")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(streamed === Set(("view", "view"), ("view", "click")),
+      "the late signup must not appear in any edge")
+  }
+
+  test("session_window APPEND mode: watermark eviction emits sessions exactly once") {
+    val spark2 = spark
+    import spark2.implicits._
+    val drop = tmp("sw_drop"); val ckpt = tmp("sw_ckpt")
+    // batch 1: two sessions for user 1 (gap 1 h) + one for user 2, all
+    // ending hours before the sentinel; batch 2: the far-future
+    // sentinel row that drags the watermark past every real session
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    Seq((1L, ts(1000)), (1L, ts(1300)), (1L, ts(6000)), (2L, ts(2000)))
+      .toDF("user_id", "ts")
+      .coalesce(1).write.parquet(s"$drop/b1")
+    Seq((-1L, ts(10000000L)))
+      .toDF("user_id", "ts")
+      .coalesce(1).write.parquet(s"$drop/b2")
+    val agg = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP")
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(drop)
+      .withWatermark("ts", "10 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream.format("memory").queryName("sw_sink")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    val rows = spark.table("sw_sink")
+      .select(col("user_id"), col("n_events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every REAL session flushed exactly once by eviction; the
+    // sentinel's own session never evicts (watermark can't pass it),
+    // so append never emits it — state holds it, output omits it
+    assert(rows.sorted.toSeq === Seq((1L, 1L), (1L, 2L), (2L, 1L)),
+      s"got ${rows.mkString(",")}")
+    // state after the flush batch: only the sentinel's open session
+    val st = Option(q.lastProgress).map(_.stateOperators)
+      .filter(_.nonEmpty).map(_.head.numRowsTotal)
+    st.foreach(n => assert(n <= 1, s"expected ≤1 open session in state, got $n"))
+  }
+
   test("streaming TWA intervals carry last-reading state ACROSS micro-batches") {
     val spark2 = spark
     import spark2.implicits._
