@@ -109,20 +109,31 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
+    // process CPU: the forensic that separates "the query did more
+    // work" from "the host was contended" — an inflated wall time with
+    // proportional CPU is real work; inflated wall with flat CPU is
+    // the JVM waiting on stolen cores (the round-6 driver cluster
+    // showed 6–20× wall inflation that no local replay of the same
+    // commit reproduces; local sporadic repros show gc≈0, heap modest)
+    def cpuMillis(): Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          os.getProcessCpuTime / 1000000L
+        case _ => -1L
+      }
     val rt = Runtime.getRuntime
     val results = names.map { name =>
-      val gc0 = gcMillis()
+      val gc0 = gcMillis(); val cpu0 = cpuMillis()
       val t0 = System.nanoTime()
       try qs(name)(spark, sfDir).count()
       catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
+      val cpuMs = cpuMillis() - cpu0
       graft.core.Caching.CacheLedger.releaseAll()
       spark.catalog.clearCache()
-      // per-query JVM health: GC time spent inside the query and heap
-      // in use after it — the forensics the round-6 anomaly cluster
-      // lacked (artifact-only; the stdout line must stay tail-sized)
+      // per-query JVM health (artifact-only; stdout stays tail-sized)
       val heapMb = (rt.totalMemory() - rt.freeMemory()) >> 20
-      (name, dt, gcMillis() - gc0, heapMb)
+      (name, dt, gcMillis() - gc0, heapMb, cpuMs)
     }
     // Compact formatting: per-query seconds at 3 decimals. The driver
     // stores only the tail of the run log, and a full-precision line for
@@ -130,7 +141,7 @@ object Bench {
     // null. 3 decimals keeps the line ~2.3 KB (inside the tail) without
     // losing ms resolution anyone reads.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qjson = results.map { case (k, v, _, _) => "\"" + k + "\":" + f(v) }
+    val qjson = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
@@ -149,8 +160,9 @@ object Bench {
     // full-run artifact with a one-query subset.
     // the artifact additionally carries per-query JVM health (GC ms
     // inside the query, heap MB after it) for run-order forensics
-    val hjson = results.map { case (k, _, gc, heap) =>
-      "\"" + k + "\":{\"gc_ms\":" + gc + ",\"heap_mb\":" + heap + "}"
+    val hjson = results.map { case (k, _, gc, heap, cpu) =>
+      "\"" + k + "\":{\"gc_ms\":" + gc + ",\"heap_mb\":" + heap +
+        ",\"cpu_ms\":" + cpu + "}"
     }.mkString("{", ",", "}")
     val artifact = line.dropRight(1) + s""","health":$hjson}"""
     if (only.isEmpty)

@@ -82,11 +82,12 @@ object Drift {
           d19(col("c")) * d19(col("ns"))).as("t"))
     terms.groupBy(col("src"), col("ns"), col("nn"))
       .agg(sum(col("t")).cast(DecimalType(38, 0)).as("tv_num"))
-      // IntegralDivide (`div`) on decimals: exact floor quotient → LONG
+      // split-form exact floor division ([[ExactArith]]): the naive
+      // (tv_num·10⁶) div … would overflow DECIMAL(38) at tv_num > 10³²
       .withColumn("tv_ppm",
-        expr("CAST((tv_num * CAST(1000000 AS DECIMAL(38,0))) div " +
-          "(CAST(2 AS DECIMAL(38,0)) * CAST(ns AS DECIMAL(38,0)) * " +
-          "CAST(nn AS DECIMAL(38,0))) AS BIGINT)"))
+        expr("CAST(" + ExactArith.scaledFloorDivSql("tv_num",
+          "CAST(2 AS DECIMAL(38,0)) * CAST(ns AS DECIMAL(38,0)) * " +
+            "CAST(nn AS DECIMAL(38,0))", 1000000L) + " AS BIGINT)"))
       .select(col("src").as("source"), col("ns").as("n_words"),
         // canonical digit string (scale-0 decimal → no point, no exp)
         col("tv_num").cast("string").as("tv_num"), col("tv_ppm"))
@@ -119,7 +120,10 @@ object Drift {
     * canonical digit string (the [[sourceDrift]] `tv_num` convention:
     * raw decimal cells hash differently across engines even when
     * equal). Bound: l1_num ≤ d·2·2²⁰·max(n)·n_a·n_b, so ~10⁹ vectors
-    * per label per snapshot at d=64 stays inside 38 digits.
+    * per label per snapshot at d=64 stays inside 38 digits; the micro
+    * readout divides split-form ([[ExactArith]]) so it survives the
+    * full numerator range instead of overflowing 10⁶× early
+    * (EmbeddingDriftSpec pins the 2¹¹⁰ case).
     *
     * Scale posture: the component explode inflates the scan d× but
     * partial-aggregates to bounded state (|labels|·d·2 cells, like the
@@ -163,9 +167,9 @@ object Drift {
           col("s_b") * col("n_a").cast(DecimalType(38, 0))))
           .cast(DecimalType(38, 0)).as("l1_num"))
       .withColumn("l1_shift_micro",
-        expr(s"CAST((l1_num * CAST(1000000 AS DECIMAL(38,0))) div " +
-          s"(CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)) * " +
-          s"CAST($scale AS DECIMAL(38,0))) AS BIGINT)"))
+        expr("CAST(" + ExactArith.scaledFloorDivSql("l1_num",
+          s"CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)) * " +
+            s"CAST($scale AS DECIMAL(38,0))", 1000000L) + " AS BIGINT)"))
       .select(col("label"), col("n_a"), col("n_b"),
         col("l1_num").cast("string").as("l1_num"), col("l1_shift_micro"))
       .orderBy(col("label"))

@@ -42,16 +42,36 @@ object Hits {
 
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iterations: Int = 3, topK: Int = 20,
-           splitEdgeThreshold: Long = 2000000L): DataFrame = {
-    require(iterations >= 1)
+           splitEdgeThreshold: Long = 2000000L,
+           edgesDistinct: Boolean = false): DataFrame = {
     val pinned = scala.collection.mutable.ArrayBuffer[DataFrame]()
     def pin(df: DataFrame): DataFrame = {
       pinned += df.persist(StorageLevel.MEMORY_AND_DISK); df
     }
-    try {
-    val e = pin(edges
+    // 2·topK rows: materialize, then release every internal persist
+    try graft.core.Caching.materializeBounded(
+      hitsPlan(edges, srcCol, dstCol, iterations, topK,
+        splitEdgeThreshold, pin, edgesDistinct))
+    finally pinned.foreach(_.unpersist(blocking = false))
+  }
+
+  /** The full LAZY plan behind [[hits]] — exposed for plan inspection
+    * (PlanReport prints THIS; the public form returns a LocalRelation
+    * whose executed plan shows nothing). `pin` receives every frame
+    * that must be persisted; the default leaks them to LRU/clearCache,
+    * so non-diagnostic callers use [[hits]]. */
+  private[graft] def hitsPlan(edges: DataFrame, srcCol: String,
+      dstCol: String, iterations: Int, topK: Int,
+      splitEdgeThreshold: Long,
+      pin: DataFrame => DataFrame =
+        _.persist(StorageLevel.MEMORY_AND_DISK),
+      edgesDistinct: Boolean = false): DataFrame = {
+    require(iterations >= 1)
+    val proj = edges
       .select(col(srcCol).cast("long").as("c"), col(dstCol).cast("long").as("p"))
-      .distinct())
+    // edgesDistinct: callers serving a pre-deduplicated artifact (the
+    // g06 GraphCache path) skip the redundant second distinct shuffle
+    val e = pin(if (edgesDistinct) proj else proj.distinct())
     // Two physical regimes, the Triangles.maxBroadcastEdges pattern:
     // below the threshold the |V|-row score vector broadcasts and the
     // cached edge list never moves — extra per-key copies would be
@@ -101,20 +121,20 @@ object Hits {
         .orderBy(col("raw").desc, col("id"))
       v.crossJoin(tot)
         .select(lit(tag).as("side"), col(idCol).as("id"),
-          expr(s"cast(($scoreCol * cast(1000000 as decimal(38,0))) div tot as bigint)")
-            .as("score_ppm"),
+          // split-form exact ppm (ExactArith): naive ·10⁶ would
+          // overflow DECIMAL(38) once scores pass 10³², far below the
+          // raw sums' own ceiling
+          expr("cast(" + ExactArith.scaledFloorDivSql(scoreCol, "tot",
+            1000000L) + " as bigint)").as("score_ppm"),
           col(scoreCol).as("raw"))
         .orderBy(col("raw").desc, col("id")).limit(topK)
         // the rank window runs over topK rows only (post-limit)
         .withColumn("rnk", row_number().over(w).cast("long"))
         .drop("raw")
     }
-    // 2·topK rows: materialize, then release every internal persist
-    graft.core.Caching.materializeBounded(
-      side(auth, "a", "p", "auth", aTot)
-        .unionByName(side(hub, "h", "c", "hub", hTot))
-        .orderBy(col("side"), col("rnk")))
-    } finally pinned.foreach(_.unpersist(blocking = false))
+    side(auth, "a", "p", "auth", aTot)
+      .unionByName(side(hub, "h", "c", "hub", hTot))
+      .orderBy(col("side"), col("rnk"))
   }
 
   /** The DuckDB replay: unrolled MATERIALIZED rounds over `edgesSql`

@@ -142,6 +142,24 @@ object Profile {
   def exactQuantilesDistributed(df: DataFrame, groupCol: String,
                                 valueMicro: Column,
                                 percents: Seq[Int]): DataFrame = {
+    var snapshot: DataFrame = null
+    // |groups|·|percentiles| output rows: materialize inside the call
+    // and release the (nondeterministic-boundary) snapshot in finally —
+    // the Coreset.farthestPointSample lifetime pattern
+    try graft.core.Caching.materializeBounded(
+      exactQuantilesDistributedPlan(df, groupCol, valueMicro, percents,
+        (d: DataFrame) => snapshot = d))
+    finally if (snapshot != null) snapshot.unpersist(blocking = false)
+  }
+
+  /** The LAZY plan behind [[exactQuantilesDistributed]] — exposed for
+    * plan inspection (PlanReport prints THIS; the public form returns
+    * a LocalRelation). `snapshot` receives the persisted range
+    * snapshot; the default leaks it to LRU/clearCache, so
+    * non-diagnostic callers use the public form. */
+  private[graft] def exactQuantilesDistributedPlan(
+      df: DataFrame, groupCol: String, valueMicro: Column,
+      percents: Seq[Int], snapshot: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.sparkContext.defaultParallelism
     val base = df
@@ -152,10 +170,7 @@ object Profile {
       .repartitionByRange(parts, col(groupCol), col("v6"))
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // |groups|·|percentiles| output rows: materialize inside the call
-    // and release the (nondeterministic-boundary) snapshot in finally —
-    // the Coreset.farthestPointSample lifetime pattern
-    try {
+    snapshot(base)
     // per-(group, partition) counts → running offsets + group totals:
     // |groups × partitions| rows, windows over the TINY table only
     val offsets = base.groupBy(col(groupCol), col("__pid"))
@@ -194,18 +209,16 @@ object Profile {
           col("__off").as("__off2"))),
         col("__gs") <=> col("__go") && col("__po") === col("__po2"))
       .withColumn("rn", col("__off2") + col("__lrank"))
-    graft.core.Caching.materializeBounded(
-      ranked.join(broadcast(targets), col("__gs") <=> targets("__gt"))
-        .filter(col("rn") === col("k") + 1 || col("rn") === col("k") + 2)
-        .groupBy(col(groupCol), col("p"), col("frac"))
-        .agg(
-          min(when(col("rn") === col("k") + 1, col("v6"))).as("lo"),
-          max(when(col("rn") === col("k") + 2, col("v6"))).as("hi"))
-        .select(col(groupCol), col("p"),
-          (col("lo") * (lit(100) - col("frac")) +
-            coalesce(col("hi"), col("lo")) * col("frac")).as("pctl_u"))
-        .orderBy(col(groupCol), col("p")))
-    } finally base.unpersist(blocking = false)
+    ranked.join(broadcast(targets), col("__gs") <=> targets("__gt"))
+      .filter(col("rn") === col("k") + 1 || col("rn") === col("k") + 2)
+      .groupBy(col(groupCol), col("p"), col("frac"))
+      .agg(
+        min(when(col("rn") === col("k") + 1, col("v6"))).as("lo"),
+        max(when(col("rn") === col("k") + 2, col("v6"))).as("hi"))
+      .select(col(groupCol), col("p"),
+        (col("lo") * (lit(100) - col("frac")) +
+          coalesce(col("hi"), col("lo")) * col("frac")).as("pctl_u"))
+      .orderBy(col(groupCol), col("p"))
   }
 
   /** Robust outlier detection per group: rows whose deviation from the

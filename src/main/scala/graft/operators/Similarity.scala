@@ -852,10 +852,14 @@ object Similarity {
       .withColumn("pair_dot_sum2", (col("ss") - col("t")).cast(d38))
       .withColumn("mean_cos_ppm",
         when(col("n_pairs") === 0, lit(null).cast("long"))
+          // split-form ([[ExactArith]]): naive ·10⁶ overflows at
+          // numerator > 10³²; the offset numerator is nonneg by the
+          // cosine ≥ −1−ε bound, so the split identity is exact
           .otherwise(expr(
-            s"CAST(((pair_dot_sum2 + 4 * CAST(n_pairs AS DECIMAL(38,0)) * ${q40}L)" +
-              s" * 1000000) div (2 * CAST(n_pairs AS DECIMAL(38,0)) * ${q40}L)" +
-              s" - 2000000 AS BIGINT)")))
+            "CAST(" + graft.operators.ExactArith.scaledFloorDivSql(
+              s"pair_dot_sum2 + 4 * CAST(n_pairs AS DECIMAL(38,0)) * ${q40}L",
+              s"2 * CAST(n_pairs AS DECIMAL(38,0)) * ${q40}L", 1000000L) +
+              " - 2000000 AS BIGINT)")))
       .select(col("label"), col("n"), col("n_pairs"),
         col("pair_dot_sum2").cast("string").as("pair_dot_sum2"),
         col("mean_cos_ppm"))

@@ -295,7 +295,7 @@ object Relational13 {
   def g06Hits(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Hits.hits(
       GraphCache.custPartEdges(spark, dir), "c", "p",
-      iterations = 3, topK = 20)
+      iterations = 3, topK = 20, edgesDistinct = true)
 
   /** q53: rolling robust anomaly detection — per event type, each
     * day's count against the EXACT median and MAD of its trailing

