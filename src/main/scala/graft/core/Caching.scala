@@ -43,6 +43,31 @@ object Caching {
     df.sparkSession.createDataFrame(rows, df.schema)
   }
 
+  /** Chain-position shorthand for the standard corpus-sized-
+    * intermediate lifetime: persist MEMORY_AND_DISK and register with
+    * the [[CacheLedger]], so `…expr.persistLedgered()` replaces
+    * `…expr.persist(MEMORY_AND_DISK)` wherever the frame must outlive
+    * the operator call and be released at the next query boundary.
+    * Operators that release their own persists in `finally` (Hits,
+    * exactQuantilesDistributed, Coreset) or per-iteration (BpeTrain,
+    * KCore's checkpoint rounds, foreachBatch bodies) do NOT use it. */
+  implicit class LedgerOps(private val df: DataFrame) {
+    def persistLedgered(): DataFrame = CacheLedger.register(
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+    /** `localCheckpoint` with ledger lifetime: the checkpoint's pinned
+      * RDD blocks live OUTSIDE the SQL CacheManager (clearCache never
+      * releases them — the Bfs/KCore fixpoint leak), so the underlying
+      * RDDs register for direct unpersist at the next query boundary.
+      * `eager = true` matches localCheckpoint(true). */
+    def localCheckpointLedgered(eager: Boolean = false): DataFrame = {
+      val out = df.localCheckpoint(eager)
+      org.apache.spark.sql.graftbridge.ColumnBridge.checkpointedRdds(out)
+        .foreach(CacheLedger.registerRdd)
+      out
+    }
+  }
+
   /** Registry of operator-internal persisted frames. STRONG refs on
     * purpose: `Dataset.unpersist` needs the Dataset handle (the
     * CacheManager keys on its plan), and the returned lazy result
@@ -53,20 +78,35 @@ object Caching {
   object CacheLedger {
     private val entries =
       new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    private val rdds =
+      new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.rdd.RDD[_]]()
 
     def register(df: DataFrame): DataFrame = {
       entries.add(df)
       df
     }
 
-    /** Unpersist every registered frame and clear the ledger. Call
-      * between logical queries, never during one. */
+    /** Checkpoint-pinned RDDs (see `localCheckpointLedgered`) —
+      * released by direct RDD unpersist, the only lever that reaches
+      * blocks the SQL CacheManager doesn't own. */
+    def registerRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+      rdds.add(rdd)
+
+    /** Unpersist every registered frame/RDD and clear the ledger.
+      * Call between logical queries, never during one. */
     def releaseAll(): Unit = {
       var df = entries.poll()
       while (df != null) {
         try df.unpersist(blocking = false)
         catch { case _: Throwable => () }
         df = entries.poll()
+      }
+      var rdd = rdds.poll()
+      while (rdd != null) {
+        try rdd.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+        rdd = rdds.poll()
       }
     }
   }

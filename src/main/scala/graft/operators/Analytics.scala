@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Caching.LedgerOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -118,7 +119,7 @@ object Analytics {
       .withColumn("conc", col("prefix") + col("delta"))
       .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
         unix_micros(col("ts")).as("us"), col("conc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistLedgered()
     val peaks = run.groupBy(col("day"))
       .agg(max(col("conc")).as("peak_sessions"))
       .withColumnRenamed("day", "pday")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Caching.LedgerOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -34,7 +35,7 @@ object Bfs {
     // localCheckpoint is the wrong materialization here)
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistLedgered()
     val src = sources.select(col(sources.columns.head).cast("long").as("id"))
       .distinct()
     // each iteration references the previous reached set TWICE (anti
@@ -43,15 +44,15 @@ object Bfs {
     // materializes each frontier and cuts the lineage: plan size stays
     // O(1) per iteration (the iterative-algorithm contract; Pregel
     // systems do the same superstep materialization)
-    var reached = src.withColumn("dist", lit(0L)).localCheckpoint()
+    var reached = src.withColumn("dist", lit(0L)).localCheckpointLedgered()
     var frontier = reached
     (1 to maxHops).foreach { i =>
       val next = e.join(frontier.select(col("id").as("src")), "src")
         .select(col("dst").as("id")).distinct()
         .join(reached.select(col("id")), Seq("id"), "left_anti")
         .withColumn("dist", lit(i.toLong))
-        .localCheckpoint()
-      reached = reached.unionAll(next).localCheckpoint()
+        .localCheckpointLedgered()
+      reached = reached.unionAll(next).localCheckpointLedgered()
       frontier = next
     }
     reached

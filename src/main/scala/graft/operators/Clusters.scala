@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Caching.LedgerOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -43,10 +44,10 @@ object Clusters {
     val fwd = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpointLedgered()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-      .localCheckpoint()
+      .localCheckpointLedgered()
     var iter = 0
     var converged = false
     while (iter < maxIterations && !converged) {
@@ -69,7 +70,7 @@ object Clusters {
           hopped("label") === col("__lid"), "left")
         .select(col("id"), col("old_label"),
           least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
-        .localCheckpoint()
+        .localCheckpointLedgered()
       converged = next.filter(col("label") < col("old_label")).isEmpty
       labels = next.select(col("id"), col("label"))
       iter += 1

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Caching.LedgerOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -125,7 +126,7 @@ object Dedup {
           .select(col("h"))
         tf0.join(keep, "h")
       case None => tf0
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }).persistLedgered()
     val norms = tf.groupBy(col("id")).agg(sum(col("tf") * col("tf")).as("n2"))
     val dots = tf.as("a")
       .join(tf.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
@@ -182,7 +183,7 @@ object Dedup {
     // scanned three times (prefix build + both verify sides)
     val sh = withShingles(df, idCol, textCol, n)
       .filter(size(col("shingles")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistLedgered()
     val exploded = sh.select(col("id"), explode(col("shingles")).as("shingle"))
     val dfreq = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
     // one doc-keyed shuffle builds the rarity-ordered array; prefix =
@@ -331,7 +332,7 @@ object Dedup {
             s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) >= $minLanes"))
           .select(col("id_a"), col("id_b"))
       case None => rawCandidates
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }).persistLedgered()
     // exact-Jaccard verification materializes shingle SETS only for the
     // documents that appear in a candidate pair (a tiny fraction) — and
     // as 8-byte hashes, not strings (ngramHashes): set sizes and
@@ -346,7 +347,7 @@ object Dedup {
     val sh = df.join(involved, df(idCol) === involved("id"), "left_semi")
       .select(col(idCol).as("id"),
         graft.functions.GraftFunctions.ngramHashes(split(col(textCol), " "), n).as("shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistLedgered()
     candidates
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
@@ -590,7 +591,7 @@ object Dedup {
     // restrictions and the verify join — persist the tiny survivor list
     val candidates = newBuckets.join(baseBuckets, Seq("band", "bucket"))
       .select(col("id"), col("base_id")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistLedgered()
     def shinglesOf(df: DataFrame, id: String, text: String, outId: String,
                    involved: DataFrame): DataFrame =
       df.join(involved, df(id) === involved("__iid"), "left_semi")
@@ -1137,7 +1138,7 @@ object Dedup {
     val shRaw = withShingles(docs, idCol, textCol, n)
     val sh =
       if (precomputedExact.isEmpty)
-        shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        shRaw.persistLedgered()
       else shRaw
     // signature built SCAN-LOCALLY, one row per doc (the file-header
     // design note: signatures per-row in pure Catalyst, no shuffle —
@@ -1158,7 +1159,7 @@ object Dedup {
       .select(col("id"), expr(s"array($laneMins)").as("sig"))
       // 1 row per doc, scanned twice per plan (join sides); lifetime:
       // LRU / caller clearCache, like every index intermediate here
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistLedgered()
     // exact denominator over the SHARED shingle frame (round-8 item 1:
     // the denominator re-scanned the corpus for its own shingles —
     // most of its cost was that scan, not the pair join; measured
@@ -1169,7 +1170,7 @@ object Dedup {
       .map(_.select(col("id_a"), col("id_b")))
       .getOrElse(jaccardPairsFromShingles(sh, threshold)
         .select(col("id_a"), col("id_b")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistLedgered()
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     val perPlan = plans.map { case (b, r) =>
       // per-band keys are a scan-local explode of the cached
@@ -1188,7 +1189,7 @@ object Dedup {
             col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistLedgered()
       val nCand = cand.agg(count(lit(1)).as("n_candidates"))
       val nTrue = cand.join(exact, Seq("id_a", "id_b"))
         .agg(count(lit(1)).as("n_true"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Caching.LedgerOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -69,8 +70,7 @@ object GlobalIds {
       // is corpus-sized, so the persist must outlive this call — it is
       // ledger-registered for release BETWEEN queries (never during
       // one: both consumers live in the one returned plan)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.core.Caching.CacheLedger.register(ranked)
+      .persistLedgered()
     // one narrow second scan: the per-partition counts fold map-side to
     // |partitions| rows; their running sum is the offset table (bounded
     // window — |partitions| rows in one task, not data)
@@ -110,8 +110,7 @@ object GlobalIds {
         org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq[Any](pid, i))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.core.Caching.CacheLedger.register(ranked)
+      .persistLedgered()
     val offsets = ranked.groupBy(col("__pid"))
       .agg((max(col("__lrank")) + 1).as("cnt"))
       .withColumn("off",
@@ -146,8 +145,7 @@ object GlobalIds {
       // bucket and corrupting the prefix sum — `div` is exact at any
       // long magnitude
       .withColumn("__bucket", expr(s"`$orderCol` div $bucketWidth"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.core.Caching.CacheLedger.register(bucketed)
+      .persistLedgered()
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__bucket")).orderBy(col(orderCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

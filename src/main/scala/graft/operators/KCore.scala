@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Caching.LedgerOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -33,17 +34,16 @@ object KCore {
   def peel(edges: DataFrame, aCol: String, bCol: String, k: Int,
            maxRounds: Int = 64): (DataFrame, Int) = {
     require(k >= 1, "k must be positive")
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = edges
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(edges.select(col(bCol).as("u"), col(aCol).as("v")))
-      .persist(lvl)
+      .persistLedgered()
     // the vertex set is tracked EXPLICITLY: a wave that deletes all of
     // a vertex's neighbors leaves it with degree 0 but NO edge rows, so
     // an edges-only formulation silently loses it — it must instead
     // fall in the next wave (deg 0 < k). KCoreSpec's two-component
     // case pins exactly this.
-    var aliveV = sym.select(col("u")).distinct().localCheckpoint(true)
+    var aliveV = sym.select(col("u")).distinct().localCheckpointLedgered(eager = true)
     var alive = sym
     var removed: Option[DataFrame] = None
     var r = 0
@@ -64,7 +64,7 @@ object KCore {
       val deg = alive.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       val vertDeg = aliveV.join(deg, Seq("u"), "left")
         .select(col("u"), coalesce(col("deg"), lit(0L)).as("deg"))
-        .localCheckpoint(true)
+        .localCheckpointLedgered(eager = true)
       val weak = vertDeg.filter(col("deg") < k).select(col("u").as("w"))
       if (weak.count() == 0) {
         done = true
@@ -82,10 +82,12 @@ object KCore {
           .join(weak, alive("u") === weak("w"), "left_anti")
           .join(weak.withColumnRenamed("w", "w2"),
             alive("v") === col("w2"), "left_anti")
-          .localCheckpoint(true)
-        // prior rounds' checkpoint blocks are reclaimed by the
-        // ContextCleaner once unreferenced; `sym` stays cached for the
-        // r == 0 path (LRU / caller clearCache, the usual contract)
+          .localCheckpointLedgered(eager = true)
+        // every round's checkpoint blocks are ledger-registered
+        // (localCheckpoint pins OUTSIDE the SQL CacheManager — neither
+        // clearCache nor ContextCleaner-before-GC reaches them), so
+        // the next query boundary releases prior rounds and final
+        // round alike; `sym` is persistLedgered on the same contract
         alive = next
       }
     }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Caching.LedgerOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -69,7 +70,7 @@ object Packing {
         floor(col(idCol) / bucketWidth).as("__bucket"))
     val toks =
       if (persistToks)
-        toksRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        toksRaw.persistLedgered()
       else toksRaw
     val wIn = Window.partitionBy(col("__bucket"))
       .orderBy(col("doc_id"), col("n_tokens"))

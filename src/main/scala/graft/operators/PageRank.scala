@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Caching.LedgerOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -50,16 +51,16 @@ object PageRank {
       // persisted for the SETUP phase only (outdeg + eod both scan it;
       // unpersisted, the caller's edge pipeline would run twice); the
       // iterations touch eod, not e — this entry is LRU fodder after
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistLedgered()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistLedgered()
     // fold the STATIC outdegree onto the edge list once: od never
     // changes across iterations, so joining it per superstep (the
     // previous form) paid k broadcast joins for a constant column —
     // the persisted (src, dst, od) list is the only per-iteration
     // probe side now
     val eod = e.join(outdeg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistLedgered()
     // per-node seed and teleport base as a broadcast scalar: no driver
     // action, no spliced literal
     val seed = broadcast(outdeg.agg(

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Caching.LedgerOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -231,7 +232,7 @@ object ProductQuantizer {
       residUdf(asDouble(vecCol), col("cluster")).as("rv"))
     val resid =
       if (persistResid)
-        residRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        residRaw.persistLedgered()
       else residRaw
     // 3. ONE residual codebook pooled across lists (the FAISS default)
     val model = fit(resid, "id", "rv", m, k, iterations)
@@ -505,7 +506,7 @@ object ProductQuantizer {
     val (_, cents) = KMeans.fit(corpus, idCol, vecCol, coarseK, iterations)
     val centsQ = cents.map(_.map(x => math.round(x * scale.toDouble)))
     val resid = residualFrame(corpus, idCol, vecCol, centsQ, scale)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistLedgered()
     val model = fit(resid, "id", "rvq", m, k, iterations)
     val booksQ = model.codebooks.map(_.map(_.map(x => math.round(x))))
     (IvfPqModel(centsQ, booksQ, model.subDim, m, k, scale), resid)
@@ -579,12 +580,12 @@ object ProductQuantizer {
     val resid = precomputedResid match {
       case Some(pr) =>
         if (persistResid)
-          pr.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          pr.persistLedgered()
         else pr
       case None =>
         val residRaw = residualFrame(corpus, idCol, vecCol, centsQ, scale)
         if (persistResid)
-          residRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          residRaw.persistLedgered()
         else residRaw
     }
     // the encoded index is scanned once PER SWEEP LEG — persist it too
@@ -594,7 +595,7 @@ object ProductQuantizer {
       .join(resid.select(col("id"), col("cluster")), "id")
     val codes =
       if (nprobes.size > 1)
-        codesRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        codesRaw.persistLedgered()
       else codesRaw
     val qRows = queries
       .select(col(idCol).cast("long").as("query_id"),

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Caching.LedgerOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -312,7 +313,7 @@ object Similarity {
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val tf =
       if (persistTf)
-        tfRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        tfRaw.persistLedgered()
       else tfRaw
     val df = tf.groupBy(col("ht")).agg(count(lit(1)).as("df"))
 
@@ -533,7 +534,7 @@ object Similarity {
     // if a future candidate generator is nondeterministic — the pick
     // UDF's sim lookups assume pairs and pools come from the same pool
     val cands = bruteForceTopKExec(queries, corpus, idCol, vecCol, poolK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistLedgered()
     val vecs = corpus.select(col(idCol).as("vid"), asDouble(vecCol).as("v"))
     val candIds = cands.select(col("neighbor_id").as("vid")).distinct()
     val candVecs = vecs.join(broadcast(candIds), "vid")

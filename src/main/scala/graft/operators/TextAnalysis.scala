@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Caching.LedgerOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -226,7 +227,7 @@ object TextAnalysis {
     // one-shot consumers clear the cache after their action).
     val tf = words.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistLedgered()
     val df = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -499,7 +500,7 @@ object TextAnalysis {
       split(col(textCol), " ").as("ws"))
     val base =
       if (persistWords)
-        baseRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        baseRaw.persistLedgered()
       else baseRaw
     val bi = base.filter(size(col("ws")) >= 2)
       .select(col("doc_id"), col("ws"),
@@ -566,8 +567,7 @@ object TextAnalysis {
     val lines = base.select(col("doc_id"), col("src"),
         posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
       .withColumn("lk", xxhash64(col("src"), col("line")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.core.Caching.CacheLedger.register(lines)
+      .persistLedgered()
     // df over per-document-DISTINCT keys; the distinct is itself the
     // partial-agg'd first phase of the count
     val boiler = lines.select(col("lk"), col("doc_id")).distinct()
@@ -837,7 +837,7 @@ object TextAnalysis {
         explode(graft.functions.GraftFunctions.ngramStrings(col(textCol), n))
           .as("shingle"))
       .select(col("doc_id"), Dedup.md5Hash60Col(col("shingle")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistLedgered()
     val first = ex.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
     val agg = ex.join(first, Seq("h"))
       .groupBy(col("doc_id"))
@@ -891,7 +891,7 @@ object TextAnalysis {
           .select(col("h"))
         g0.join(keep, Seq("h"))
       case None => g0
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }).persistLedgered()
     // per-source vocabulary sizes over the SAME (possibly guarded)
     // gram universe as the overlap join
     val sz = g.groupBy(col("source")).agg(count(lit(1)).as("n_grams_a"))
@@ -1009,7 +1009,7 @@ object TextAnalysis {
         Dedup.md5Hash60Col(col("w")).as("h"))
     val cnt = words.groupBy(col("doc_id"), col("blk"), col("h"))
       .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistLedgered()
     // ^ two consumers (norms + adjacent dot); lifetime: LRU / caller
     // clearCache, the standard index-intermediate contract
     val n2 = cnt.groupBy(col("doc_id"), col("blk"))

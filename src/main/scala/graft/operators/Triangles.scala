@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Caching.LedgerOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -66,13 +67,13 @@ object Triangles {
     // 0-based, so a rank pair packs into one long
     val rank = GlobalIds.assignBy(deg, Seq(col("d"), col("v")))
       .select(col("v"), col("global_id").as("r"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistLedgered()
     val dir = e
       .join(rank.select(col("v").as("a"), col("r").as("ra")), "a")
       .join(rank.select(col("v").as("b"), col("r").as("rb")), "b")
       .select(least(col("ra"), col("rb")).as("u"),
         greatest(col("ra"), col("rb")).as("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistLedgered()
     val m = dir.count()
     val corners: DataFrame =
       if (m <= maxBroadcastEdges) {

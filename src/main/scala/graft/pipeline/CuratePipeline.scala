@@ -54,7 +54,12 @@ object CuratePipeline {
     val surviving = exact.join(drops, Seq("doc_id"), "left_anti").persist()
     val nNear = surviving.count()
 
+    // ledger-registered: the returned dataset stays persisted for the
+    // caller's write; the next query boundary (CacheLedger.releaseAll)
+    // or an explicit unpersist() releases it (the toDF view shares the
+    // logical plan, so its unpersist uncaches this dataset)
     val vectors = EmbedPipeline.run(surviving, strategy, chunkSize, chunkOverlap, embedder).persist()
+    graft.core.Caching.CacheLedger.register(vectors.toDF())
     val nVec = vectors.count()
     quality.unpersist(); exact.unpersist(); surviving.unpersist()
 

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.Caching.LedgerOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -258,7 +259,7 @@ object CurationQueries {
       .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"), col("label"))
     val edges = Similarity.knnGraphEdges(e, "vec_id", "embedding", "label", k = 5)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistLedgered()
     val mutual = edges.as("x").join(edges.as("y"),
         col("x.query_id") === col("y.neighbor_id") &&
           col("x.neighbor_id") === col("y.query_id"))
@@ -780,7 +781,7 @@ object CurationQueries {
     // vector leg (the review finding: the |corpus|×|queries| fan-out
     // is the query's dominant stage — don't run it twice)
     val sv = scoredVec
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistLedgered()
     val truth = graft.plans.TopKPerKey
       .prune(sv, "query_id", "cos_score", "doc_id", 10)
       .withColumn("rv", row_number().over(wVec)).filter(col("rv") <= 10)

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.Caching.LedgerOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -155,8 +156,7 @@ object GraphCache {
       // ledger-registered so the next query boundary releases it
       val sh = graft.operators.Dedup
         .withShingles(documents(spark, dir), "doc_id", "text", 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.core.Caching.CacheLedger.register(sh)
+        .persistLedgered()
       graft.operators.Dedup.jaccardPairsFromShingles(sh, 0.5)
     }
 

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.Caching.LedgerOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -202,7 +203,7 @@ object Relational10 {
       .bruteForceTopKExec(q, e, "vec_id", "embedding", 10)
       .select(col("query_id"), col("neighbor_id"))
       // 50 bounded rows, two consumers (overlap join, query list)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistLedgered()
     val (model, resid) = ModelCache.ivfPqIndex(spark, dir)
     val sweep = graft.operators.ProductQuantizer.searchIvfPqSweepExact(
       q, e, "vec_id", "embedding", model,

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.Caching.LedgerOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -137,7 +138,7 @@ object Relational11 {
         "embedding", 10)
       .select(col("query_id"), col("neighbor_id"))
       // 50 bounded rows, |dims|+1 consumers
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistLedgered()
     val overlaps = A29Dims.map { dp =>
       val sliced = e.select(col("vec_id"),
         expr(s"slice(embedding, 1, $dp)").as("embedding"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.Caching.LedgerOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -77,7 +78,7 @@ object Relational12 {
         "aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)), " +
           "0L, (acc, t) -> acc + t)"))
       .select(col("d2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistLedgered()
     val maxD = broadcast(pairs.agg(max(col("d2")).as("maxd")))
     pairs.crossJoin(maxD)
       .withColumn("bucket", expr("cast((d2 * 32) div (maxd + 1) as int)"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.Caching.LedgerOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -155,7 +156,7 @@ object Relational13 {
     val li = lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistLedgered()
     val nOrders = broadcast(li.select(col("ok")).distinct()
       .agg(count(lit(1)).as("n_orders")))
     val support = li.groupBy(col("pk")).agg(count(lit(1)).as("n_part"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.Caching.LedgerOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -318,7 +319,7 @@ object Relational9 {
       // lives for the lifetime of the returned lazy plan (no safe eager
       // release point inside the query); Bench/Verify clear the cache
       // after consuming — the GlobalIds cache-lifetime contract
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistLedgered()
     val wIn = Window.partitionBy(col("__bucket"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -444,7 +445,7 @@ object Relational9 {
       .bruteForceTopKExec(q, e, "vec_id", "embedding", 10)
       .select(col("query_id"), col("neighbor_id"))
       // 50 bounded rows, three consumers (overlap join, query list)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistLedgered()
     val ivf = graft.operators.Similarity
       .ivfTopK(q, e, "vec_id", "embedding", "label", k = 10)
     val pqModel = ModelCache.pqModel(spark, dir)

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.Caching.LedgerOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -549,7 +550,7 @@ object StreamingQueries {
     // memory-sink View's attributes fail Spark's conflicting-reference
     // dedup; snapshotting the (bounded: |snap|·|labels|·d cells) sink
     // gives the join two independent plans
-    val sink = awaitMemorySink(parts, "complete").localCheckpoint()
+    val sink = awaitMemorySink(parts, "complete").localCheckpointLedgered()
     graft.operators.Drift.embeddingDriftFromSums(
       sink.filter(col("snap") === 0).select(col("label"), col("d"),
         col("s").as("s_a"), col("n").as("n_a")),
@@ -776,7 +777,7 @@ object StreamingQueries {
     val mined = graft.streaming.StreamingIngest.basketPairStream(li)
       .toDF("ok", "a", "b")
     val all = awaitMemorySink(mined, "append")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistLedgered()
     val members = all.filter(col("b") === -1L)
       .select(col("ok"), col("a").as("pk"))
     val nOrders = broadcast(members.select(col("ok")).distinct()

@@ -525,13 +525,13 @@ object PlanReport {
         |scaling 3.4× on 10× rows; the tail (block norms, the
         |adjacent-block dot self-join, the valley window) is flat,
         |1.39 → 1.54 s, because gap rows ≈ corpus blocks and the join
-        |keys are (doc, blk±1, hash) equi-keys. The headline 11.6×
-        |ratio in the table above is mostly the 1× cell: with the
-        |corpus memory-cached (the table's harness), the 1× cell is
-        |0.5 s of pure compute, so the ratio compares a cache-resident
-        |baseline against a 10× cell whose word shuffle no longer rides
-        |entirely in memory. No stage is superlinear; the md5 keying
-        |stays (the oracle replays the same prefixes — a cheaper
+        |keys are (doc, blk±1, hash) equi-keys. The round-6 table
+        |reported this row at 11.6× — that ratio was mostly the 1× cell
+        |(0.5 s of pure compute against a memory-cached corpus, vs a
+        |10× cell whose word shuffle no longer rode entirely in
+        |memory); the current table's ratio agrees with the
+        |stage-attributed measurement. No stage is superlinear; the md5
+        |keying stays (the oracle replays the same prefixes — a cheaper
         |xxhash64 would break cross-engine parity).
         |""".stripMargin)
 

@@ -22,4 +22,14 @@ object ColumnBridge {
   /** The analyzed logical plan behind a DataFrame. */
   def logicalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]].logicalPlan
+
+  /** The RDDs a `localCheckpoint` pinned behind a frame's LogicalRDD
+    * nodes. localCheckpoint persists OUTSIDE the SQL CacheManager —
+    * `spark.catalog.clearCache()` and `Dataset.unpersist` never touch
+    * those blocks — so lifetime management must unpersist the RDDs
+    * directly (the graft CacheLedger does). */
+  def checkpointedRdds(df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    logicalPlan(df).collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
 }

@@ -62,6 +62,29 @@ class CacheLifetimeSpec extends AnyFunSuite {
       "releaseAll must unpersist every ledger-registered frame")
   }
 
+  test("headline queries leave ZERO persisted RDDs after one releaseAll") {
+    // the round-6 verdict's acceptance: no cached RDDs survive a
+    // completed headline query. Drive the most cache-heavy families
+    // (graph fixpoints, minhash dedup, global ids, boilerplate,
+    // triangles) end-to-end at sf0.001 and assert the ledger sweep
+    // catches every internal persist.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    val names = Seq("g01_pagerank", "g02_bfs", "g05_kcore", "g03_triangles",
+      "d03_dedup_minhash", "p25_global_ids", "t20_boilerplate",
+      "q54_abc_pareto")
+    Caching.CacheLedger.releaseAll()
+    spark.catalog.clearCache()
+    val before = cachedIds
+    names.foreach { n =>
+      graft.SparkEntry.queries(n)(spark, dir).count()
+      Caching.CacheLedger.releaseAll()
+      val leftover = cachedIds -- before
+      assert(leftover.isEmpty,
+        s"$n left persisted RDDs ${leftover.mkString(",")} after releaseAll")
+    }
+  }
+
   test("removeBoilerplate line stream is ledger-registered") {
     Caching.CacheLedger.releaseAll()
     val docs = (1 to 40).map(i =>
