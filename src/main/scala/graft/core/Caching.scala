@@ -59,8 +59,8 @@ object Caching {
       * RDD blocks live OUTSIDE the SQL CacheManager (clearCache never
       * releases them — the Bfs/KCore fixpoint leak), so the underlying
       * RDDs register for direct unpersist at the next query boundary.
-      * `eager = true` matches localCheckpoint(true). */
-    def localCheckpointLedgered(eager: Boolean = false): DataFrame = {
+      * Defaults to eager, matching `Dataset.localCheckpoint()`. */
+    def localCheckpointLedgered(eager: Boolean = true): DataFrame = {
       val out = df.localCheckpoint(eager)
       org.apache.spark.sql.graftbridge.ColumnBridge.checkpointedRdds(out)
         .foreach(CacheLedger.registerRdd)

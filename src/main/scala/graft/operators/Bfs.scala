@@ -36,6 +36,10 @@ object Bfs {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
       .persistLedgered()
+    // eager pin (the PageRank rule): every hop is its own eager-
+    // checkpoint action joining `e`; a cache that silently fails to
+    // populate re-runs the edge distinct per hop
+    e.count()
     val src = sources.select(col(sources.columns.head).cast("long").as("id"))
       .distinct()
     // each iteration references the previous reached set TWICE (anti

@@ -99,9 +99,15 @@ object Hits {
       auth = eByC.join(hub, "c").groupBy(col("p"))
         .agg(sum(col("h")).as("a"))
     }
-    // final vectors each feed a scalar total AND the top-k readout
+    // final vectors each feed a scalar total AND the top-k readout —
+    // FOUR downstream actions (two guarded totals, two top-k sides), so
+    // pin them eagerly (the PageRank rule): a cache that silently fails
+    // to populate would recompute the whole k-iteration chain per
+    // action instead of once
     auth = pin(auth)
     hub = pin(hub)
+    hub.count()
+    auth.count()
     // the total rides with an overflow tripwire: sum() SKIPS nulls, so
     // an overflowed score would otherwise vanish from both the total
     // and the (nulls-last) top-k — degrade silently, diverging from

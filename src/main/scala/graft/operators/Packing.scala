@@ -67,7 +67,9 @@ object Packing {
       .select(
         col(idCol).as("doc_id"),
         tokenCount(col(textCol)).as("n_tokens"),
-        floor(col(idCol) / bucketWidth).as("__bucket"))
+        // integer division (the GlobalIds.exclusivePrefixSum rule):
+        // floor(x / w) evaluates in double and can mis-round past 2⁵³
+        expr(s"`$idCol` div $bucketWidth").as("__bucket"))
     val toks =
       if (persistToks)
         toksRaw.persistLedgered()

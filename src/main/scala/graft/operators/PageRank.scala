@@ -61,6 +61,14 @@ object PageRank {
     // probe side now
     val eod = e.join(outdeg, "src")
       .persistLedgered()
+    // materialize the iteration probe side EAGERLY: all k iterations
+    // live in ONE action, and a cache that fails to populate during
+    // that action re-derives this whole setup subtree per iteration —
+    // observed as a bimodal g01 in long bench JVMs (6 s / 80 s-cpu vs
+    // 22 s / 318 s-cpu ≈ the k-fold recompute, gc ≈ 0). An explicit
+    // count() pins the blocks (MEMORY_AND_DISK: eviction degrades to a
+    // disk re-read, never a recompute) before the iteration plan runs.
+    eod.count()
     // per-node seed and teleport base as a broadcast scalar: no driver
     // action, no spliced literal
     val seed = broadcast(outdeg.agg(

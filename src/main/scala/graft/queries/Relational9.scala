@@ -315,7 +315,8 @@ object Relational9 {
         size(split(col("text"), " ")).cast("long").as("n_tok"))
       .withColumn("n_seqs", expr(s"(n_tok + $seqLen - 1) div $seqLen"))
       .filter(col("n_seqs") >= 1)
-      .withColumn("__bucket", floor(col("doc_id") / 1024))
+      // integer division (the GlobalIds.exclusivePrefixSum rule)
+      .withColumn("__bucket", expr("doc_id div 1024"))
       // lives for the lifetime of the returned lazy plan (no safe eager
       // release point inside the query); Bench/Verify clear the cache
       // after consuming — the GlobalIds cache-lifetime contract
