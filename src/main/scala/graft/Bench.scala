@@ -128,12 +128,15 @@ object Bench {
       try qs(name)(spark, sfDir).count()
       catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
+      // sample ALL health fields BEFORE the cache teardown: gc/heap
+      // measured after releaseAll+clearCache would attribute the
+      // teardown's GC churn to the query being diagnosed
       val cpuMs = cpuMillis() - cpu0
+      val gcMs = gcMillis() - gc0
+      val heapMb = (rt.totalMemory() - rt.freeMemory()) >> 20
       graft.core.Caching.CacheLedger.releaseAll()
       spark.catalog.clearCache()
-      // per-query JVM health (artifact-only; stdout stays tail-sized)
-      val heapMb = (rt.totalMemory() - rt.freeMemory()) >> 20
-      (name, dt, gcMillis() - gc0, heapMb, cpuMs)
+      (name, dt, gcMs, heapMb, cpuMs)
     }
     // Compact formatting: per-query seconds at 3 decimals. The driver
     // stores only the tail of the run log, and a full-precision line for

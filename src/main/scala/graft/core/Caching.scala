@@ -24,12 +24,18 @@ import org.apache.spark.sql.DataFrame
   *    caller created for itself. Bench/Verify call it (belt) in
   *    addition to their per-query `clearCache()` (braces).
   *
-  * Safety note on release timing: a registered frame may be backing a
-  * NONDETERMINISTIC snapshot (range-sampler boundaries). Releasing it
-  * between actions is safe — the next action recomputes a fresh,
-  * internally-consistent snapshot — but nothing may unpersist it WHILE
-  * a consuming action runs, which is why release is an explicit caller
-  * act and never a listener firing mid-query.
+  * Safety note on release timing: nothing may unpersist a registered
+  * frame WHILE a consuming action runs — which is why release is an
+  * explicit caller act and never a listener firing mid-query. For
+  * DETERMINISTIC intermediates a released frame is also safe to
+  * re-consume (the next action just recomputes). For NONDETERMINISTIC
+  * snapshots (GlobalIds' range-sampler boundaries), release means the
+  * retained result must NOT be consumed again: a post-release action
+  * re-evaluates the sampler independently per plan branch (column
+  * pruning makes the two exchanges non-identical, so ReuseExchange
+  * cannot dedupe them) and offsets from one evaluation would join
+  * ranks from the other. Release at a query boundary = "this query's
+  * results are finished", not "cheap to rebuild".
   */
 object Caching {
 
@@ -67,6 +73,17 @@ object Caching {
       out
     }
   }
+
+  /** Release a SUPERSEDED checkpoint's blocks NOW, mid-query — for
+    * fixpoint loops where round r's checkpoint replaces round r−1's:
+    * without this, the ledger's strong refs pin every round until the
+    * query boundary and peak storage grows O(rounds × frontier),
+    * where the pre-ledger code let the ContextCleaner reclaim dead
+    * rounds mid-query. Only call on frames no later plan references. */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    org.apache.spark.sql.graftbridge.ColumnBridge.checkpointedRdds(df)
+      .foreach(r => try r.unpersist(blocking = false)
+                    catch { case _: Throwable => () })
 
   /** Registry of operator-internal persisted frames. STRONG refs on
     * purpose: `Dataset.unpersist` needs the Dataset handle (the

@@ -56,7 +56,15 @@ object Bfs {
         .join(reached.select(col("id")), Seq("id"), "left_anti")
         .withColumn("dist", lit(i.toLong))
         .localCheckpointLedgered()
-      reached = reached.unionAll(next).localCheckpointLedgered()
+      val grown = reached.unionAll(next).localCheckpointLedgered()
+      // the prior reached snapshot is fully copied into `grown` and the
+      // prior frontier is superseded by `next` (both consumed EAGERLY
+      // above) — release their blocks NOW so a deep BFS holds two
+      // frontiers + one reached set, not every hop's history. At i = 1
+      // frontier IS the reached snapshot, already released.
+      graft.core.Caching.releaseCheckpoint(reached)
+      if (i > 1) graft.core.Caching.releaseCheckpoint(frontier)
+      reached = grown
       frontier = next
     }
     reached

@@ -72,6 +72,10 @@ object Clusters {
           least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
         .localCheckpointLedgered()
       converged = next.filter(col("label") < col("old_label")).isEmpty
+      // the superseded label snapshot is fully consumed by `next`'s
+      // eager checkpoint — release its blocks now (the KCore/Bfs
+      // per-round rule: peak storage O(2 rounds), not O(all rounds))
+      graft.core.Caching.releaseCheckpoint(labels)
       labels = next.select(col("id"), col("label"))
       iter += 1
     }

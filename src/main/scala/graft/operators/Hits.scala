@@ -55,11 +55,15 @@ object Hits {
     finally pinned.foreach(_.unpersist(blocking = false))
   }
 
-  /** The full LAZY plan behind [[hits]] — exposed for plan inspection
+  /** The readout plan behind [[hits]] — exposed for plan inspection
     * (PlanReport prints THIS; the public form returns a LocalRelation
-    * whose executed plan shows nothing). `pin` receives every frame
-    * that must be persisted; the default leaks them to LRU/clearCache,
-    * so non-diagnostic callers use [[hits]]. */
+    * whose executed plan shows nothing). NOT free to construct: the
+    * regime probe and the eager vector pins run the edge count and the
+    * full k-iteration chain during construction (a diagnostic caller
+    * that then executes the returned frame pays the readout again —
+    * acceptable for diagnostics, wrong for production: use [[hits]]).
+    * `pin` receives every frame that must be persisted; the default
+    * leaks them to LRU/clearCache. */
   private[graft] def hitsPlan(edges: DataFrame, srcCol: String,
       dstCol: String, iterations: Int, topK: Int,
       splitEdgeThreshold: Long,
@@ -93,11 +97,23 @@ object Hits {
     var auth = e.select(col("p")).distinct()
       .withColumn("a", lit(1L).cast(DecimalType(38, 0)))
     var hub: DataFrame = null
+    // per-round null poisoning: sum() SKIPS nulls, so one overflowed
+    // round-1 hub would silently VANISH from round 2's sums and the
+    // final scores would be non-null but numerically wrong — the
+    // nastiest form of the overflow bug, invisible to any final-vector
+    // null check. Each round therefore counts nulls alongside the sum
+    // and raises in-plan the moment one appears (evaluated per group,
+    // only when the branch is taken — no extra action per round).
+    def guardedSum(c: String, what: String) = when(
+      count(when(col(c).isNull, lit(1))) > 0,
+      raise_error(lit(s"HITS: DECIMAL(38) overflow nulled a $what score " +
+        "mid-iteration — lower iterations or pre-scale (see scaladoc " +
+        "magnitude bound)"))).otherwise(sum(col(c)))
     (1 to iterations).foreach { _ =>
       hub = eByP.join(auth, "p").groupBy(col("c"))
-        .agg(sum(col("a")).as("h"))
+        .agg(guardedSum("a", "authority").as("h"))
       auth = eByC.join(hub, "c").groupBy(col("p"))
-        .agg(sum(col("h")).as("a"))
+        .agg(guardedSum("h", "hub").as("a"))
     }
     // final vectors each feed a scalar total AND the top-k readout —
     // FOUR downstream actions (two guarded totals, two top-k sides), so
@@ -112,13 +128,19 @@ object Hits {
     // an overflowed score would otherwise vanish from both the total
     // and the (nulls-last) top-k — degrade silently, diverging from
     // the oracle, which ERRORS on HUGEINT overflow
+    // the GRAND TOTAL can overflow even when every score fits (sums of
+    // up to |V| near-ceiling decimals): a null tot with zero null
+    // scores must also raise, not propagate NULL into every ppm
     def guardedTotal(v: DataFrame, scoreCol: String, tag: String): DataFrame =
       broadcast(v.agg(sum(col(scoreCol)).as("tot"),
-          count(when(col(scoreCol).isNull, lit(1))).as("__nulls"))
-        .select((col("tot") + when(col("__nulls") === 0, lit(0))
-          .otherwise(raise_error(lit(s"HITS: DECIMAL(38) overflow nulled " +
-            s"$tag scores — lower iterations or pre-scale (see scaladoc " +
-            "magnitude bound)")))).as("tot")))
+          count(when(col(scoreCol).isNull, lit(1))).as("__nulls"),
+          count(lit(1)).as("__n"))
+        .select((col("tot") + when(
+          col("__nulls") === 0 &&
+            (col("tot").isNotNull || col("__n") === 0), lit(0))
+          .otherwise(raise_error(lit(s"HITS: DECIMAL(38) overflow in " +
+            s"$tag scores or their total — lower iterations or " +
+            "pre-scale (see scaladoc magnitude bound)")))).as("tot")))
     val aTot = guardedTotal(auth, "a", "authority")
     val hTot = guardedTotal(hub, "h", "hub")
     def side(v: DataFrame, scoreCol: String, idCol: String, tag: String,

@@ -83,11 +83,17 @@ object KCore {
           .join(weak.withColumnRenamed("w", "w2"),
             alive("v") === col("w2"), "left_anti")
           .localCheckpointLedgered(eager = true)
-        // every round's checkpoint blocks are ledger-registered
-        // (localCheckpoint pins OUTSIDE the SQL CacheManager — neither
-        // clearCache nor ContextCleaner-before-GC reaches them), so
-        // the next query boundary releases prior rounds and final
-        // round alike; `sym` is persistLedgered on the same contract
+        // checkpoint blocks are ledger-registered (localCheckpoint
+        // pins OUTSIDE the SQL CacheManager — neither clearCache nor
+        // ContextCleaner-before-GC reaches them). The SUPERSEDED edge
+        // list is fully consumed by `next`'s eager checkpoint, so its
+        // blocks release NOW — peak storage stays O(2 rounds), not
+        // O(all rounds). vertDeg snapshots must NOT release early:
+        // every round's `rm` (a view over its vertDeg) rides to the
+        // final readout through `removed`, and a truncated-lineage
+        // checkpoint cannot recompute dropped blocks. Round 1's alive
+        // is `sym` (a persist, no LogicalRDD) — the release no-ops.
+        graft.core.Caching.releaseCheckpoint(alive)
         alive = next
       }
     }

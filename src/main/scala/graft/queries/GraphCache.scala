@@ -31,7 +31,9 @@ import graft.Tables._
   * concurrent JVMs (still unsupported for Bench/Verify — they'd race
   * sbt classfiles — but possible for library users) write DISJOINT
   * paths instead of overwriting one in place mid-read. Disk bound: one
-  * copy per (artifact, dir) per JVM, deleted on JVM exit.
+  * copy per (artifact, dir) per JVM, deleted on JVM exit — and a
+  * killed JVM's orphan tree (no shutdown hook runs on SIGKILL/OOM) is
+  * swept by the next JVM's startup scan (dead-pid check, same host).
   */
 object GraphCache {
 
@@ -44,19 +46,41 @@ object GraphCache {
     java.lang.management.ManagementFactory.getRuntimeMXBean.getName
       .replaceAll("[^A-Za-z0-9.]+", "_")
 
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+                        catch { case _: Throwable => () })
+    } catch { case _: Throwable => () }
+
   private val root = {
-    val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_ckpt", s"graph_$jvmTag")
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_ckpt")
+    val p = base.resolve(s"graph_$jvmTag")
     // per-JVM trees would otherwise accumulate across sessions
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        import scala.jdk.CollectionConverters._
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(f => try java.nio.file.Files.deleteIfExists(f)
-                          catch { case _: Throwable => () })
-      } catch { case _: Throwable => () }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(p)))
+    // the shutdown hook never runs on SIGKILL/OOM-kill, so ALSO sweep
+    // stale sibling trees on startup: a graph_<pid>_<host> dir whose
+    // pid no longer exists (same host) is a crashed JVM's leak.
+    // Best-effort and Linux-proc-based; anything unparseable is left.
+    try {
+      import scala.jdk.CollectionConverters._
+      val host = jvmTag.dropWhile(_ != '_').drop(1)
+      if (java.nio.file.Files.isDirectory(base))
+        java.nio.file.Files.list(base).iterator().asScala.toSeq
+          .filter { d =>
+            val n = d.getFileName.toString
+            n.startsWith("graph_") && n != s"graph_$jvmTag" &&
+              n.endsWith(s"_$host") &&
+              n.stripPrefix("graph_").takeWhile(_ != '_').toLongOption
+                .exists(pid => !java.nio.file.Files.exists(
+                  java.nio.file.Paths.get(s"/proc/$pid")))
+          }
+          .foreach(deleteTree)
+    } catch { case _: Throwable => () }
     p
   }
 

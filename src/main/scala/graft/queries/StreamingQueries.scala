@@ -18,6 +18,11 @@ import org.apache.spark.sql.types.DecimalType
   * checkpoint-restart behavior these single-replay rows cannot see. */
 object StreamingQueries {
 
+  /** s27's sentinel-augmented events staging, one per (JVM, dir) —
+    * see [[streamSessionFlush]]. */
+  private val s27Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** One AvailableNow run into a memory sink. Two termination
     * protocols (the ONLY difference between the two public wrappers):
     *
@@ -403,24 +408,39 @@ object StreamingQueries {
     * eviction case (sessions emit as the watermark crosses them, state
     * rows drop). */
   def streamSessionFlush(spark: SparkSession, dir: String): DataFrame = {
-    val ev = graft.Tables.events(spark, dir)
-      .select(col("user_id").cast("long").as("user_id"), col("ts"),
-        col("value").cast("double").as("value"),
-        col("event_id").cast("long").as("event_id"))
-    val sentinel = ev.agg(max(col("ts")).as("m"))
-      .select(lit(-1L).as("user_id"),
-        expr("m + INTERVAL 30 DAYS").as("ts"),
-        lit(0.0).as("value"), lit(-1L).as("event_id"))
-    val staged = java.nio.file.Files.createTempDirectory("graft_s27")
-    staged.toFile.deleteOnExit()
-    // one write, few files: the file source must not see the sentinel
-    // in a batch BEFORE the real rows (the watermark would mark them
-    // late and drop them); a single AvailableNow batch over all files
-    // computes its watermark at batch end, so order inside is free
-    ev.unionByName(sentinel).coalesce(4)
-      .write.mode("overwrite").parquet(staged.toString)
-    val schema = spark.read.parquet(staged.toString).schema
-    val agg = spark.readStream.schema(schema).parquet(staged.toString)
+    // staged ONCE per (JVM, dir) — the GraphCache memo discipline: a
+    // per-invocation tempdir would leave a corpus-sized events copy
+    // per run (File.deleteOnExit cannot remove a non-empty directory),
+    // and Bench/Verify invoke this at two scales per JVM. The shutdown
+    // hook deletes the whole tree recursively.
+    val staged = s27Staged.computeIfAbsent(dir, _ => {
+      val ev = graft.Tables.events(spark, dir)
+        .select(col("user_id").cast("long").as("user_id"), col("ts"),
+          col("value").cast("double").as("value"),
+          col("event_id").cast("long").as("event_id"))
+      val sentinel = ev.agg(max(col("ts")).as("m"))
+        .select(lit(-1L).as("user_id"),
+          expr("m + INTERVAL 30 DAYS").as("ts"),
+          lit(0.0).as("value"), lit(-1L).as("event_id"))
+      val p = java.nio.file.Files.createTempDirectory("graft_s27")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+                          catch { case _: Throwable => () })
+        } catch { case _: Throwable => () }))
+      // one write, few files: the file source must not see the sentinel
+      // in a batch BEFORE the real rows (the watermark would mark them
+      // late and drop them); a single AvailableNow batch over all files
+      // computes its watermark at batch end, so order inside is free
+      ev.unionByName(sentinel).coalesce(4)
+        .write.mode("overwrite").parquet(p.toString)
+      p.toString
+    })
+    val schema = spark.read.parquet(staged).schema
+    val agg = spark.readStream.schema(schema).parquet(staged)
       .withWatermark("ts", "2 hours")
       .groupBy(col("user_id"),
         session_window(col("ts"), "30 minutes").as("sw"))

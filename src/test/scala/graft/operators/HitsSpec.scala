@@ -59,4 +59,22 @@ class HitsSpec extends AnyFunSuite {
     assert(out(("hub", 1L)) === 32L * 1000000L / 65L)
     assert(out(("hub", 3L)) === 1000000L / 65L)
   }
+
+  test("DECIMAL(38) overflow raises loudly instead of degrading silently") {
+    // K(10,10): scores multiply by ~100 per half-round pair, so 40
+    // iterations push sums past 10^40 > DECIMAL(38) — with ANSI off
+    // the sums null, and sum()'s null-SKIPPING would otherwise carry
+    // numerically wrong non-null scores to the readout (oracle-parity
+    // demands the DuckDB behavior: HUGEINT overflow ERRORS)
+    val edges = (for { c <- 1L to 10L; p <- 1L to 10L }
+      yield (c, p + 100)).toDF("c", "p")
+    val ex = intercept[Exception] {
+      Hits.hits(edges, "c", "p", iterations = 40, topK = 5)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("overflow")),
+      s"expected the HITS overflow raise_error, got: ${messages(ex)}")
+  }
 }
