@@ -181,6 +181,11 @@ object GraphCache {
       val sh = graft.operators.Dedup
         .withShingles(documents(spark, dir), "doc_id", "text", 3)
         .persistLedgered()
+      // eager pin (the PageRank rule): the artifact write is one action
+      // scanning `sh` three times — a cache that fails to populate
+      // mid-action re-tokenizes the corpus per scan (d19's observed
+      // 8 s → 48 s long-JVM mode)
+      sh.count()
       graft.operators.Dedup.jaccardPairsFromShingles(sh, 0.5)
     }
 

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[IndexStore]]: a trained IVF-PQ model round-trips through
+  * parquet bit-exactly, and a search served from the RELOADED model
+  * equals the trainer's own search row for row — the
+  * train-once-serve-many contract across process boundaries. */
+class IndexStoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def corpus = (0L until 200L).map(i =>
+    (i, Array.tabulate(16)(d => math.sin(i * 16 + d).toFloat).toSeq))
+    .toDF("vec_id", "embedding")
+
+  test("IVF-PQ model round-trips bit-exactly and serves identical results") {
+    val df = corpus
+    val model = ProductQuantizer.fitIvfPqExact(
+      df, "vec_id", "embedding", coarseK = 4, m = 4, k = 8, iterations = 3)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_store").toString
+    IndexStore.saveIvfPq(spark, model, path)
+    val loaded = IndexStore.loadIvfPq(spark, path)
+
+    assert(loaded.subDim === model.subDim)
+    assert(loaded.m === model.m && loaded.k === model.k)
+    assert(loaded.scale === model.scale)
+    assert(loaded.centsQ.map(_.toSeq).toSeq === model.centsQ.map(_.toSeq).toSeq)
+    assert(loaded.booksQ.map(_.map(_.toSeq).toSeq).toSeq
+      === model.booksQ.map(_.map(_.toSeq).toSeq).toSeq)
+
+    val q = df.filter(col("vec_id") < 3)
+    def run(m: ProductQuantizer.IvfPqModel) =
+      ProductQuantizer.searchIvfPqExact(q, df, "vec_id", "embedding", m,
+          nprobe = 2, shortlist = 20, topK = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(run(loaded) === run(model),
+      "served search must equal the trainer's search row for row")
+    graft.core.Caching.CacheLedger.releaseAll()
+  }
+
+  test("load rejects a corrupted store loudly") {
+    val df = corpus
+    val model = ProductQuantizer.fitIvfPqExact(
+      df, "vec_id", "embedding", coarseK = 4, m = 4, k = 8, iterations = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_bad").toString
+    IndexStore.saveIvfPq(spark, model, path)
+    // drop one codebook row: the dense-code invariant must fail loudly,
+    // not serve a silently-wrong index
+    val books = spark.read.parquet(s"$path/codebooks")
+      .filter(!(col("sub") === 1 && col("code") === 3))
+    books.write.mode("overwrite").parquet(s"$path/codebooks2")
+    // overwrite via staging (can't overwrite a dir being read)
+    spark.read.parquet(s"$path/codebooks2").write
+      .mode("overwrite").parquet(s"$path/codebooks")
+    val ex = intercept[IllegalArgumentException] {
+      IndexStore.loadIvfPq(spark, path)
+    }
+    assert(ex.getMessage.contains("dense codes"))
+    graft.core.Caching.CacheLedger.releaseAll()
+  }
+}
