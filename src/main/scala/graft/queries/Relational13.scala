@@ -461,7 +461,96 @@ object Relational13 {
       .orderBy(col("term"))
   }
 
+  /** a36: incremental ingest into a FROZEN IVF index — the production
+    * path [[graft.operators.IndexStore]] exists for: the coarse
+    * quantizer trains ONCE on the base corpus (even vec_ids), then the
+    * new half (odd vec_ids) is assigned to the FIXED lists with no
+    * retrain, exactly how a serving system absorbs a new shard. The
+    * readout is what an ops team watches when ingesting into a frozen
+    * index: per-list occupancy before/after (`growth_ppm` flags lists
+    * the new data piles into — distribution drift) and the mean
+    * quantization error per half (`mean_r2_added` ≫ `mean_r2_base`
+    * says the frozen centroids no longer fit the new data — retrain
+    * signal). Engine-exact: the a08 discipline (quantized centroid
+    * literals spliced into the oracle, integer L2² argmin with index
+    * tie-break, DECIMAL(38) error sums, BIGINT floor-div means). */
+  def a36IndexIngest(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val base = e.filter(col("vec_id") % 2 === 0)
+    val n = base.count()
+    val k = math.max(8, math.min(64, (n / 32).toInt))
+    val (_, cents) = graft.operators.KMeans.fit(
+      base, "vec_id", "embedding", k, iterations = 2)
+    val cq = cents.map(_.map(x => math.round(x * 1048576.0)))
+    a36Oracle = Some(a36OracleSql(cq))
+    import spark.implicits._
+    val centDf = broadcast(
+      cq.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cluster", "cq"))
+    val assigned = graft.operators.KMeans
+      .assignExact(e, "vec_id", "embedding", cq)
+      .withColumn("half", (col("vec_id") % 2 === 0).cast("int"))
+    val withR2 = assigned.join(centDf, "cluster")
+      .withColumn("vq", expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1048576, 0) as bigint))"))
+      // per-row integer L2² to the assigned centroid: ≤ dim·2⁴² —
+      // BIGINT-safe per row; list sums carry DECIMAL(38) below
+      .withColumn("r2", expr(
+        "aggregate(zip_with(vq, cq, (x, c) -> (x - c) * (x - c)), 0L, (a, t) -> a + t)"))
+    withR2.groupBy(col("cluster").as("list_id"))
+      .agg(
+        sum(col("half")).cast("long").as("n_base"),
+        sum(lit(1) - col("half")).cast("long").as("n_added"),
+        sum(expr("cast(case when half = 1 then r2 end as decimal(38,0))"))
+          .as("s_base"),
+        sum(expr("cast(case when half = 0 then r2 end as decimal(38,0))"))
+          .as("s_add"))
+      .select(col("list_id"), col("n_base"), col("n_added"),
+        expr("cast(case when n_base = 0 then null else s_base div n_base end as bigint)")
+          .as("mean_r2_base"),
+        expr("cast(case when n_added = 0 then null else s_add div n_added end as bigint)")
+          .as("mean_r2_added"),
+        expr("cast(case when n_base = 0 then null else (n_added * 1000000) div n_base end as bigint)")
+          .as("growth_ppm"))
+      .orderBy(col("list_id"))
+  }
+
+  @volatile private var a36Oracle: Option[String] = None
+
+  private def a36OracleSql(cq: Array[Array[Long]]): String = {
+    val cents = cq.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.mkString("[", ", ", "]")})" }.mkString(",\n    ")
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT)) AS vq
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |cents(ci, cq) AS (VALUES
+       |    $cents),
+       |dist AS (SELECT v.vec_id, c.ci,
+       |    list_sum(list_transform(generate_series(1, len(v.vq)), d ->
+       |      (v.vq[d] - c.cq[d]) * (v.vq[d] - c.cq[d]))) AS dist
+       |  FROM v CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, ci AS cluster, dist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, ci) AS rn FROM dist)
+       |  WHERE rn = 1),
+       |agg AS (SELECT cluster AS list_id,
+       |    sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n_base,
+       |    sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS n_added,
+       |    sum(CASE WHEN vec_id % 2 = 0 THEN CAST(dist AS HUGEINT) END) AS s_base,
+       |    sum(CASE WHEN vec_id % 2 = 1 THEN CAST(dist AS HUGEINT) END) AS s_add
+       |  FROM asg GROUP BY cluster)
+       |SELECT CAST(list_id AS INT) AS list_id,
+       |  CAST(n_base AS BIGINT) AS n_base,
+       |  CAST(n_added AS BIGINT) AS n_added,
+       |  CAST(CASE WHEN n_base = 0 THEN NULL ELSE s_base // n_base END AS BIGINT) AS mean_r2_base,
+       |  CAST(CASE WHEN n_added = 0 THEN NULL ELSE s_add // n_added END AS BIGINT) AS mean_r2_added,
+       |  CAST(CASE WHEN n_base = 0 THEN NULL ELSE (n_added * 1000000) // n_base END AS BIGINT) AS growth_ppm
+       |FROM agg ORDER BY list_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a36_index_ingest"      -> a36IndexIngest _,
     "t45_burstiness"        -> t45Burstiness _,
     "t44_semantic_contam"   -> t44SemanticContam _,
     "p35_mixture_budget"    -> p35MixtureBudget _,
@@ -478,7 +567,8 @@ object Relational13 {
     "q50_basket_rules"     -> q50BasketRules _)
 
   def oracles: Map[String, String] =
-    staticOracles ++ g05Oracle.map("g05_kcore" -> _)
+    staticOracles ++ g05Oracle.map("g05_kcore" -> _) ++
+      a36Oracle.map("a36_index_ingest" -> _)
 
   private val staticOracles: Map[String, String] = Map(
     "t45_burstiness" ->
