@@ -518,7 +518,9 @@ object Relational13 {
 
   @volatile private var a36Oracle: Option[String] = None
 
-  private def a36OracleSql(cq: Array[Array[Long]]): String = {
+  /** Shared with s28's streaming twin (identical relation, identical
+    * trained centroids — KMeans.fit is deterministic in its input). */
+  private[queries] def a36OracleSql(cq: Array[Array[Long]]): String = {
     val cents = cq.zipWithIndex.map { case (c, i) =>
       s"($i, ${c.mkString("[", ", ", "]")})" }.mkString(",\n    ")
     s"""WITH v AS (SELECT vec_id,

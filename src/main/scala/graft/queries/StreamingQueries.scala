@@ -457,6 +457,69 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** s28: index-ingest health as a STREAMING monitor — a36's frozen-
+    * index readout with the corpus-sized half running as a streaming
+    * aggregation (the s15 pattern): the coarse quantizer is a BATCH
+    * artifact (trained once on the base half — a serving system's
+    * frozen index), the STREAM is the ingest feed, and the state is
+    * per-(list, half) monoid partials — counts + DECIMAL(38) integer-
+    * L2² error sums, |lists|·2 cells however long the stream runs. The
+    * exact floor-division means/growth happen once at read time.
+    * Complete mode: the monitor re-emits current health every trigger,
+    * which is what the retrain-signal dashboard consumes. Oracle:
+    * a36's SQL with identically-trained centroids (KMeans.fit is
+    * deterministic in its input, KMeansSpec-pinned). */
+  def streamIndexIngest(spark: SparkSession, dir: String): DataFrame = {
+    val batchE = graft.Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val base = batchE.filter(col("vec_id") % 2 === 0)
+    val n = base.count()
+    val k = math.max(8, math.min(64, (n / 32).toInt))
+    val (_, cents) = graft.operators.KMeans.fit(
+      base, "vec_id", "embedding", k, iterations = 2)
+    val cq = cents.map(_.map(x => math.round(x * 1048576.0)))
+    s28Oracle = Some(Relational13.a36OracleSql(cq))
+    val spark2 = spark
+    import spark2.implicits._
+    val centDf = broadcast(
+      cq.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cluster", "cq"))
+    val parts = graft.operators.KMeans.assignExact(
+        tableStream(spark, dir, "embeddings")
+          .filter(col("embedding").isNotNull)
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", cq)
+      .withColumn("half", (col("vec_id") % 2 === 0).cast("int"))
+      .join(centDf, "cluster")
+      .withColumn("vq", expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1048576, 0) as bigint))"))
+      .withColumn("r2", expr(
+        "aggregate(zip_with(vq, cq, (x, c) -> (x - c) * (x - c)), 0L, (a, t) -> a + t)"))
+      .groupBy(col("cluster"), col("half"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("r2").cast(DecimalType(38, 0))).as("s"))
+    awaitMemorySink(parts, "complete")
+      .groupBy(col("cluster").as("list_id"))
+      .agg(
+        sum(when(col("half") === 1, col("cnt")).otherwise(0L))
+          .cast("long").as("n_base"),
+        sum(when(col("half") === 0, col("cnt")).otherwise(0L))
+          .cast("long").as("n_added"),
+        sum(when(col("half") === 1, col("s"))).as("s_base"),
+        sum(when(col("half") === 0, col("s"))).as("s_add"))
+      .select(col("list_id"), col("n_base"), col("n_added"),
+        expr("cast(case when n_base = 0 then null else s_base div n_base end as bigint)")
+          .as("mean_r2_base"),
+        expr("cast(case when n_added = 0 then null else s_add div n_added end as bigint)")
+          .as("mean_r2_added"),
+        expr("cast(case when n_base = 0 then null else (n_added * 1000000) div n_base end as bigint)")
+          .as("growth_ppm"))
+      .orderBy(col("list_id"))
+  }
+
+  @volatile private var s28Oracle: Option[String] = None
+
   /** s11: streaming CDC compaction — the q39 latest-wins merge as a
     * stateful streaming aggregation: per-key max_by state merges each
     * micro-batch's candidate against the running winner (state is one
@@ -848,7 +911,8 @@ object StreamingQueries {
     "s08_stream_kmv"      -> streamKmvDistinct _,
     "s09_stream_hopping"  -> streamHopping _,
     "s10_stream_session_window" -> streamSessionWindow _,
-    "s27_stream_session_flush" -> streamSessionFlush _)
+    "s27_stream_session_flush" -> streamSessionFlush _,
+    "s28_stream_index_ingest" -> streamIndexIngest _)
 
   def oracles: Map[String, String] = Map(
     // s27: batch gap reconstruction under the session_window boundary
@@ -1073,5 +1137,9 @@ object StreamingQueries {
         |  FROM flagged)
         |SELECT user_id, min(ts) AS session_id, count(*) AS n_events
         |FROM sess GROUP BY user_id, sid
-        |ORDER BY user_id, session_id""".stripMargin)
+        |ORDER BY user_id, session_id""".stripMargin) ++
+    // s28 == batch a36: the streaming aggregation maintains the same
+    // per-(list, half) monoid partials one batch pass computes, against
+    // the same deterministically-trained frozen centroids
+    s28Oracle.map("s28_stream_index_ingest" -> _)
 }
