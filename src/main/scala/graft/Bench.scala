@@ -1,6 +1,88 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerBlockUpdated, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+/** Executor-side facts per bench query — the forensics that separate
+  * "the query did more work" from "the host was slow" (round-7: three
+  * queries showed 4–16× CPU inflation in the driver's run that no
+  * local replay reproduced; wall/gc/cpu alone could not name the
+  * resource). All public listener API: task metrics give shuffle
+  * read/write, spill, and peak execution memory; block-manager updates
+  * give broadcast build count/bytes and re-stored RDD blocks (a cached
+  * block stored twice inside one query window = an eviction + rebuild
+  * — storage-memory pressure made visible). */
+final class BenchQueryListener extends SparkListener {
+  val shuffleRead, shuffleWrite, spillMem, spillDisk = new AtomicLong
+  val inputBytes, tasks, retries = new AtomicLong
+  val peakExecMem = new AtomicLong // max over tasks, not a sum
+  val bcastBlocks, bcastBytes = new AtomicLong
+  private val rddStores =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+    val m = e.taskMetrics
+    if (m != null) {
+      shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      spillMem.addAndGet(m.memoryBytesSpilled)
+      spillDisk.addAndGet(m.diskBytesSpilled)
+      inputBytes.addAndGet(m.inputMetrics.bytesRead)
+      peakExecMem.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
+    }
+    tasks.incrementAndGet()
+    if (e.taskInfo != null && e.taskInfo.attemptNumber > 0)
+      retries.incrementAndGet()
+  }
+
+  override def onBlockUpdated(e: SparkListenerBlockUpdated): Unit = {
+    val info = e.blockUpdatedInfo
+    val id = info.blockId
+    if (id.isBroadcast && info.memSize + info.diskSize > 0) {
+      bcastBlocks.incrementAndGet()
+      bcastBytes.addAndGet(info.memSize + info.diskSize)
+    } else if (id.isRDD && info.memSize + info.diskSize > 0) {
+      rddStores.merge(id.name, 1, (a, b) => a + b)
+    }
+  }
+
+  /** RDD blocks stored more than once in this window — each extra
+    * store is a recompute of an evicted cached partition. */
+  def rddRecomputes: Long = {
+    import scala.jdk.CollectionConverters._
+    rddStores.values.asScala.map(n => math.max(0, n - 1).toLong).sum
+  }
+
+  def reset(): Unit = {
+    Seq(shuffleRead, shuffleWrite, spillMem, spillDisk, inputBytes,
+      tasks, retries, peakExecMem, bcastBlocks, bcastBytes)
+      .foreach(_.set(0L))
+    rddStores.clear()
+  }
+
+  /** Listener-bus events are asynchronous; settle until the task
+    * counter stops moving (the bus's waitUntilEmpty is private API). */
+  def settle(): Unit = {
+    var last = -1L
+    var spins = 0
+    while (spins < 20 && tasks.get() != last) {
+      last = tasks.get(); Thread.sleep(25); spins += 1
+    }
+  }
+
+  def json: String = {
+    def mb(b: AtomicLong): String = "%.1f".formatLocal(
+      java.util.Locale.ROOT, b.get() / 1048576.0)
+    s""""sh_read_mb":${mb(shuffleRead)},"sh_write_mb":${mb(shuffleWrite)}""" +
+      s""","spill_mem_mb":${mb(spillMem)},"spill_disk_mb":${mb(spillDisk)}""" +
+      s""","peak_exec_mb":${mb(peakExecMem)},"input_mb":${mb(inputBytes)}""" +
+      s""","tasks":${tasks.get()},"retries":${retries.get()}""" +
+      s""","bcast_n":${bcastBlocks.get()},"bcast_mb":${mb(bcastBytes)}""" +
+      s""","rdd_recompute":$rddRecomputes"""
+  }
+}
 
 /** Per-round benchmark: headline queries timed at SPARK_GRAFT_SF_DIR
   * (default sf0.1), printed as one JSON line.
@@ -63,7 +145,8 @@ object Bench {
     "q52_cusum_changepoint", "d22_kmv_jaccard", "a33_hard_negatives",
     "t43_texttiling", "g06_hits", "a34_silhouette", "q53_rolling_mad",
     "t44_semantic_contam", "p35_mixture_budget", "q54_abc_pareto",
-    "a35_retrieval_bakeoff", "t45_burstiness", "a36_index_ingest")
+    "a35_retrieval_bakeoff", "t45_burstiness", "a36_index_ingest",
+    "a37_index_serve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -82,8 +165,18 @@ object Bench {
     // the run for local profiling; unset = the full headline set.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val names = headline.filter(qs.contains)
+    // SPARK_GRAFT_BENCH_SEED=<long> shuffles the run ORDER (the
+    // artifact records it): positional effects — tenured-heap drift,
+    // cache state, late-run contention — can't masquerade as per-query
+    // regressions when two rounds run different orders and the
+    // comparison keys on query id. Unset = declaration order.
+    val seed = sys.env.get("SPARK_GRAFT_BENCH_SEED").flatMap(_.toLongOption)
+    val names0 = headline.filter(qs.contains)
       .filter(n => only.forall(_.contains(n)))
+    val names = seed match {
+      case Some(s) => new scala.util.Random(s).shuffle(names0)
+      case None    => names0
+    }
 
     names.foreach { n =>
       try qs(n)(spark, "/root/testdata/sf0.001").count()
@@ -122,7 +215,10 @@ object Bench {
         case _ => -1L
       }
     val rt = Runtime.getRuntime
+    val listener = new BenchQueryListener
+    spark.sparkContext.addSparkListener(listener)
     val results = names.map { name =>
+      listener.reset()
       val gc0 = gcMillis(); val cpu0 = cpuMillis()
       val t0 = System.nanoTime()
       try qs(name)(spark, sfDir).count()
@@ -134,9 +230,11 @@ object Bench {
       val cpuMs = cpuMillis() - cpu0
       val gcMs = gcMillis() - gc0
       val heapMb = (rt.totalMemory() - rt.freeMemory()) >> 20
+      listener.settle()
+      val execJson = listener.json
       graft.core.Caching.CacheLedger.releaseAll()
       spark.catalog.clearCache()
-      (name, dt, gcMs, heapMb, cpuMs)
+      (name, dt, gcMs, heapMb, cpuMs, execJson)
     }
     // Compact formatting: per-query seconds at 3 decimals. The driver
     // stores only the tail of the run log, and a full-precision line for
@@ -144,7 +242,7 @@ object Bench {
     // null. 3 decimals keeps the line ~2.3 KB (inside the tail) without
     // losing ms resolution anyone reads.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qjson = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + f(v) }
+    val qjson = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
@@ -162,12 +260,19 @@ object Bench {
     // the JVM — and a BENCH_ONLY profiling run must NOT clobber the
     // full-run artifact with a one-query subset.
     // the artifact additionally carries per-query JVM health (GC ms
-    // inside the query, heap MB after it) for run-order forensics
-    val hjson = results.map { case (k, _, gc, heap, cpu) =>
+    // inside the query, heap MB after it) AND executor-side facts
+    // (shuffle/spill/peak-exec-memory/broadcast/recompute — the
+    // BenchQueryListener) for run-order + resource forensics, plus the
+    // executed ORDER so cross-round comparisons key on query id, never
+    // position
+    val hjson = results.map { case (k, _, gc, heap, cpu, ex) =>
       "\"" + k + "\":{\"gc_ms\":" + gc + ",\"heap_mb\":" + heap +
-        ",\"cpu_ms\":" + cpu + "}"
+        ",\"cpu_ms\":" + cpu + "," + ex + "}"
     }.mkString("{", ",", "}")
-    val artifact = line.dropRight(1) + s""","health":$hjson}"""
+    val ojson = results.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val sjson = seed.map(_.toString).getOrElse("null")
+    val artifact = line.dropRight(1) +
+      s""","seed":$sjson,"order":$ojson,"health":$hjson}"""
     if (only.isEmpty)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(

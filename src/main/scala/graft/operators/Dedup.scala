@@ -120,11 +120,15 @@ object Dedup {
       .agg(count(lit(1)).as("tf"))
     val tf = (maxShingleDocFreq match {
       case Some(maxDf) =>
-        val keep = tf0.groupBy(col("h"))
+        // the guard makes tf0 a TWO-consumer frame (the df census and
+        // the semi-join probe) — persist it, or the guard's price is a
+        // full second corpus scan + shingle shuffle, not one bounded agg
+        val tfp = tf0.persistLedgered()
+        val keep = tfp.groupBy(col("h"))
           .agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxDf)
           .select(col("h"))
-        tf0.join(keep, "h")
+        tfp.join(keep, "h")
       case None => tf0
     }).persistLedgered()
     val norms = tf.groupBy(col("id")).agg(sum(col("tf") * col("tf")).as("n2"))

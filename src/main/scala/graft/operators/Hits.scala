@@ -131,16 +131,21 @@ object Hits {
     // the GRAND TOTAL can overflow even when every score fits (sums of
     // up to |V| near-ceiling decimals): a null tot with zero null
     // scores must also raise, not propagate NULL into every ppm
+    // an EMPTY score vector (empty edge input) raises its own distinct
+    // error rather than letting a NULL tot propagate NULLs through the
+    // ppm division — top-k over no graph is a caller bug, not a result
     def guardedTotal(v: DataFrame, scoreCol: String, tag: String): DataFrame =
       broadcast(v.agg(sum(col(scoreCol)).as("tot"),
           count(when(col(scoreCol).isNull, lit(1))).as("__nulls"),
           count(lit(1)).as("__n"))
         .select((col("tot") + when(
-          col("__nulls") === 0 &&
-            (col("tot").isNotNull || col("__n") === 0), lit(0))
-          .otherwise(raise_error(lit(s"HITS: DECIMAL(38) overflow in " +
-            s"$tag scores or their total — lower iterations or " +
-            "pre-scale (see scaladoc magnitude bound)")))).as("tot")))
+          col("__nulls") === 0 && col("tot").isNotNull, lit(0))
+          .otherwise(raise_error(
+            when(col("__n") === 0, lit(s"HITS: empty graph — no $tag " +
+              "scores to rank (edge input has no rows)"))
+              .otherwise(lit(s"HITS: DECIMAL(38) overflow in " +
+                s"$tag scores or their total — lower iterations or " +
+                "pre-scale (see scaladoc magnitude bound)"))))).as("tot")))
     val aTot = guardedTotal(auth, "a", "authority")
     val hTot = guardedTotal(hub, "h", "hub")
     def side(v: DataFrame, scoreCol: String, idCol: String, tag: String,
@@ -149,11 +154,22 @@ object Hits {
         .orderBy(col("raw").desc, col("id"))
       v.crossJoin(tot)
         .select(lit(tag).as("side"), col(idCol).as("id"),
-          // split-form exact ppm (ExactArith): naive ·10⁶ would
-          // overflow DECIMAL(38) once scores pass 10³², far below the
-          // raw sums' own ceiling
-          expr("cast(" + ExactArith.scaledFloorDivSql(scoreCol, "tot",
-            1000000L) + " as bigint)").as("score_ppm"),
+          // ppm = floor(score·10⁶ / tot). The ExactArith split form is
+          // a NO-OP here (score ≤ tot ⇒ quotient 0, remainder = score:
+          // it reduces to the naive (score·10⁶) div tot), so scores in
+          // (10³², 10³⁸) — inside the DECIMAL(38) operating range —
+          // still overflow the ·10⁶ product to NULL with ANSI off.
+          // Both score and tot are non-null by the guards above, so a
+          // NULL ppm can ONLY be that overflow: trip loudly instead of
+          // emitting raw-ordered rows with silently-null ppm (the
+          // DuckDB oracle errors on the same HUGEINT overflow)
+          coalesce(
+            expr("cast(" + ExactArith.scaledFloorDivSql(scoreCol, "tot",
+              1000000L) + " as bigint)"),
+            raise_error(lit(s"HITS: DECIMAL(38) overflow computing " +
+              s"$tag score_ppm (score·10⁶ exceeds 10³⁸) — lower " +
+              "iterations or pre-scale (see scaladoc magnitude bound)"))
+          ).as("score_ppm"),
           col(scoreCol).as("raw"))
         .orderBy(col("raw").desc, col("id")).limit(topK)
         // the rank window runs over topK rows only (post-limit)

@@ -73,4 +73,75 @@ object IndexStore {
                  shortlist: Int, topK: Int): DataFrame =
     ProductQuantizer.searchIvfPqExact(queries, corpus, idCol, vecCol,
       loadIvfPq(corpus.sparkSession, path), nprobe, shortlist, topK)
+
+  /** The SHARED (cross-JVM, non-pid-tagged) artifact root: unlike
+    * GraphCache's per-JVM trees, an index artifact's whole point is to
+    * OUTLIVE the JVM that trained it — the next serving process loads
+    * it instead of retraining. Override with GRAFT_INDEX_STORE. */
+  def publishRoot: java.nio.file.Path = java.nio.file.Paths.get(
+    sys.env.getOrElse("GRAFT_INDEX_STORE",
+      System.getProperty("java.io.tmpdir") + "/graft_index_store"))
+
+  /** Deterministic artifact path for (key) under [[publishRoot]] —
+    * version the key with the model parameters so a parameter change
+    * never serves a stale shape. */
+  def publishPath(key: String): String =
+    publishRoot.resolve(key.replaceAll("[^A-Za-z0-9.-]+", "_")).toString
+
+  /** Load the artifact at `path` if a prior JVM (or this one) published
+    * it; otherwise `train`, publish ATOMICALLY, and read the artifact
+    * back. EVERY caller serves from the parquet artifact — the serve
+    * path is bit-identical whether this process trained or a foreign
+    * one did (train-once-serve-many across process boundaries).
+    *
+    * Concurrency/crash safety: the trainer writes to a pid-tagged
+    * sibling and atomically renames into place — a concurrent publisher
+    * losing the race deletes its copy and loads the winner's; a JVM
+    * killed mid-write leaves only a `.tmp.` sibling (swept here), never
+    * a half-visible artifact. A load failure (version skew, partial
+    * legacy tree) deletes the artifact and retrains once. */
+  def loadOrPublishIvfPq(spark: SparkSession, path: String)
+                        (train: => ProductQuantizer.IvfPqModel)
+      : ProductQuantizer.IvfPqModel = {
+    val p = java.nio.file.Paths.get(path)
+    def tryLoad(): Option[ProductQuantizer.IvfPqModel] =
+      if (!java.nio.file.Files.isDirectory(p)) None
+      else try Some(loadIvfPq(spark, path))
+      catch { case _: Throwable => deleteTree(p); None }
+    tryLoad().getOrElse {
+      val model = train
+      val tmp = p.resolveSibling(
+        p.getFileName.toString + s".tmp.${ProcessHandle.current().pid()}")
+      deleteTree(tmp)
+      // sweep dead publishers' orphaned .tmp trees (same-dir, best-effort)
+      try {
+        import scala.jdk.CollectionConverters._
+        val parent = p.getParent
+        if (parent != null && java.nio.file.Files.isDirectory(parent))
+          java.nio.file.Files.list(parent).iterator().asScala.toSeq
+            .filter { d =>
+              val n = d.getFileName.toString
+              n.startsWith(p.getFileName.toString + ".tmp.") &&
+                n.substring(n.lastIndexOf('.') + 1).toLongOption.exists(
+                  pid => try !ProcessHandle.of(pid).isPresent
+                         catch { case _: Throwable => false })
+            }.foreach(deleteTree)
+      } catch { case _: Throwable => () }
+      saveIvfPq(spark, model, tmp.toString)
+      try java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: Throwable => deleteTree(tmp) } // lost the race
+      tryLoad().getOrElse(model) // pathological fs: serve the trained one
+    }
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+                        catch { case _: Throwable => () })
+    } catch { case _: Throwable => () }
 }

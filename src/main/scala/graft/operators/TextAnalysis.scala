@@ -935,28 +935,32 @@ object TextAnalysis {
       .filter(col("n") >= minK)
     def hash(c: org.apache.spark.sql.Column) =
       md5Hash60Col(concat(lit("st|"), c))
+    // ONE scan per side (the round-7 restructure): k is a ROW, not a
+    // plan branch — explode sequence(minK, least(maxK, n)) and slice
+    // with the k COLUMN, instead of a (maxK − minK + 1)-way unionByName
+    // of per-k FileScans that re-split and re-hashed the corpus once
+    // per k per side (12 scans at the 3..8 default; the r7 driver bench
+    // amplified that shape 20×)
+    val wk = w.select(col("id"), col("ws"),
+      explode(expr(s"sequence($minK, least($maxK, n))")).as("k"))
     // A side: one row per (doc, k) carrying the tail-k verify hash and
-    // the tail-minK block key
-    val aLong = (minK to maxK).map { k =>
-      w.filter(col("n") >= k)
-        .select(col("id").as("id_a"), lit(k).as("k"),
-          hash(concat_ws(" ", expr(s"slice(ws, -$k, $k)"))).as("th"),
-          hash(concat_ws(" ", expr(s"slice(ws, -$minK, $minK)"))).as("ta"))
-    }.reduce(_ unionByName _)
+    // the tail-minK block key (k aliased per side: both sides read the
+    // SAME wk frame, and identical attribute ids in a self-join
+    // condition are ambiguous)
+    val aLong = wk.select(col("id").as("id_a"), col("k").as("ka"),
+      hash(concat_ws(" ", expr("slice(ws, -k, k)"))).as("th"),
+      hash(concat_ws(" ", expr(s"slice(ws, -$minK, $minK)"))).as("ta"))
     // B side: one row per (doc, k) carrying the head-k verify hash and
     // the block key = the minK-gram ENDING at position k
-    val bLong = (minK to maxK).map { k =>
-      w.filter(col("n") >= k)
-        .select(col("id").as("id_b"), lit(k).as("k"),
-          hash(concat_ws(" ", slice(col("ws"), 1, k))).as("hh"),
-          hash(concat_ws(" ",
-            expr(s"slice(ws, ${k - minK + 1}, $minK)"))).as("bkey"))
-    }.reduce(_ unionByName _)
+    val bLong = wk.select(col("id").as("id_b"), col("k").as("kb"),
+      hash(concat_ws(" ", expr("slice(ws, 1, k)"))).as("hh"),
+      hash(concat_ws(" ",
+        expr(s"slice(ws, k - ${minK - 1}, $minK)"))).as("bkey"))
     aLong.join(bLong,
-        col("ta") === col("bkey") && aLong("k") === bLong("k") &&
+        col("ta") === col("bkey") && col("ka") === col("kb") &&
           col("th") === col("hh") && col("id_a") =!= col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(max(aLong("k")).as("overlap_len"))
+      .agg(max(col("ka")).as("overlap_len"))
   }
 
   /** One row per document with the full text-analysis profile. */

@@ -33,10 +33,16 @@ object CurationQueries {
   /** d21: weighted TF-cosine near-dup pairs ([[Dedup.cosinePairs]]) —
     * the multiset companion to d02's set Jaccard: repetition-weighted
     * overlap on the same inverted index, cos² ≥ 0.64 ppm-thresholded
-    * in exact integer arithmetic. */
+    * in exact integer arithmetic. The hot-shingle guard is ON (df ≤ 64
+    * — the d02-family stop-gram cap, mirrored in the oracle's tf CTE):
+    * the tf self-join is O(df²) in the hottest shingle, and at 100 TB
+    * one stop-gram ("of the and") would make a single hash's bucket
+    * |corpus|². On this corpus max df = 25, so the cap provably drops
+    * nothing (the unguarded output is identical); PLANS.md carries the
+    * adversarial hot-gram measurement. */
   def dedupCosine(spark: SparkSession, dir: String): DataFrame =
     Dedup.cosinePairs(documents(spark, dir), "doc_id", "text", n = 3,
-        cos2PpmThreshold = 640000L)
+        cos2PpmThreshold = 640000L, maxShingleDocFreq = Some(64))
       .orderBy(col("id_a"), col("id_b"))
 
   /** d20: prefix-filtered all-pairs exact Jaccard ≥ 0.5 — the
@@ -505,7 +511,8 @@ object CurationQueries {
 
   private[queries] def a15OracleSql(centsQ: Array[Array[Long]],
                            booksQ: Array[Array[Array[Long]]],
-                           subDim: Int): String = {
+                           subDim: Int,
+                           queryPred: String = "vec_id < 5"): String = {
     val cents = centsQ.zipWithIndex.map { case (c, i) =>
       s"($i, ${c.mkString("[", ", ", "]")})" }.mkString(",\n    ")
     val books = booksQ.zipWithIndex.flatMap { case (book, s) =>
@@ -542,7 +549,7 @@ object CurationQueries {
        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS rn
        |  FROM enc) r WHERE rn = 1),
        |probes AS (SELECT vec_id, ci AS cluster FROM crank
-       |  WHERE vec_id < 5 AND rn <= 4),
+       |  WHERE ($queryPred) AND rn <= 4),
        |qresid AS (
        |  SELECT p.vec_id, p.cluster,
        |    list_transform(generate_series(1, len(v.vq)), d -> v.vq[d] - c.cq[d]) AS rq
@@ -765,6 +772,12 @@ object CurationQueries {
     * excluded (identity lookup isn't retrieval quality). */
   def retrievalBakeoff(spark: SparkSession, dir: String): DataFrame = {
     val (c, q) = retrievalCorpusQueries(spark, dir)
+    retrievalBakeoffOf(c, q)
+  }
+
+  /** [[retrievalBakeoff]] over caller-supplied corpus/query frames —
+    * the PlanReport slope harness drives this form directly. */
+  private[graft] def retrievalBakeoffOf(c: DataFrame, q: DataFrame): DataFrame = {
     // dense exact truth: the a10 vector-leg shape, k = 10, self excluded
     val qv = q.select(col("qid").as("query_id"),
       expr("transform(qvec, x -> cast(x as double))").as("qv"))
@@ -2427,11 +2440,13 @@ object CurationQueries {
         |    generate_series(1, len(string_split(text, ' ')) - 2),
         |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
         |  FROM documents),
-        |tf AS (
+        |tf0 AS (
         |  SELECT doc_id,
         |    ('0x' || substr(md5('tc|' || s), 1, 15))::BIGINT AS h,
         |    count(*) AS tf
         |  FROM sh GROUP BY 1, 2),
+        |keep AS (SELECT h FROM tf0 GROUP BY h HAVING count(*) <= 64),
+        |tf AS (SELECT tf0.* FROM tf0 JOIN keep USING (h)),
         |nrm AS (SELECT doc_id, sum(tf * tf) AS n2 FROM tf GROUP BY 1),
         |dots AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -65,7 +65,11 @@ object GraphCache {
     // the shutdown hook never runs on SIGKILL/OOM-kill, so ALSO sweep
     // stale sibling trees on startup: a graph_<pid>_<host> dir whose
     // pid no longer exists (same host) is a crashed JVM's leak.
-    // Best-effort and Linux-proc-based; anything unparseable is left.
+    // Liveness via ProcessHandle.of(pid) — portable across OSes; the
+    // previous /proc existence test read "no procfs" (macOS, Windows)
+    // as "every pid is dead" and would have deleted LIVE concurrent
+    // siblings' trees mid-read. Best-effort; anything unparseable or
+    // indeterminable is left in place.
     try {
       import scala.jdk.CollectionConverters._
       val host = jvmTag.dropWhile(_ != '_').drop(1)
@@ -76,13 +80,22 @@ object GraphCache {
             n.startsWith("graph_") && n != s"graph_$jvmTag" &&
               n.endsWith(s"_$host") &&
               n.stripPrefix("graph_").takeWhile(_ != '_').toLongOption
-                .exists(pid => !java.nio.file.Files.exists(
-                  java.nio.file.Paths.get(s"/proc/$pid")))
+                .exists(pid =>
+                  try !ProcessHandle.of(pid).isPresent
+                  catch { case _: Throwable => false })
           }
           .foreach(deleteTree)
     } catch { case _: Throwable => () }
     p
   }
+
+  /** A path under this JVM's swept artifact tree for OTHER corpus-sized
+    * staging (s27's events+sentinel copy): same pid@host isolation,
+    * same shutdown-hook delete, same crashed-JVM startup sweep — a
+    * SIGKILLed run's leak lasts until the next JVM starts, not forever
+    * (a bare tmpdir + shutdown hook never survives SIGKILL/OOM-kill). */
+  private[graft] def stagingPath(key: String): String =
+    root.resolve("stage_" + key.replaceAll("[^A-Za-z0-9.]+", "_")).toString
 
   private def artifact(spark: SparkSession, key: String)
                       (build: => DataFrame): DataFrame = {

@@ -516,6 +516,40 @@ object Relational13 {
       .orderBy(col("list_id"))
   }
 
+  /** a37: CROSS-JVM index serving — the other half of a36's contract:
+    * a36 proves a frozen index absorbs new data; a37 proves a process
+    * that never trained anything can SERVE. The query loads the
+    * [[graft.operators.IndexStore]] IVF-PQ artifact published under the
+    * shared (non-pid-tagged, atomic-rename) store path — written by a
+    * PRIOR JVM when one ran first (Bench→Verify→PlanReport rounds reuse
+    * it across process boundaries); trained-and-published on first
+    * contact otherwise — and serves a15's exact search pipeline with
+    * the LOADED model. Every run serves from the parquet artifact, so
+    * the plan is identical in the trainer and in a pure server, and the
+    * oracle literals come from the loaded model (bit-exact round-trip,
+    * IndexStoreSpec-pinned), so a stale-artifact mismatch would fail
+    * the row loudly. Query set: vec_id 5..9 (disjoint from a15's 0..4,
+    * so the two rows can't mask each other). */
+  def a37IndexServe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{IndexStore, ProductQuantizer}
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // key carries the model parameters AND the corpus dir: a parameter
+    // bump or another sf never serves a stale shape
+    val path = IndexStore.publishPath(s"ivfpq_16-8-16-2|$dir")
+    val model = IndexStore.loadOrPublishIvfPq(spark, path) {
+      ModelCache.ivfPqModel(spark, dir)
+    }
+    a37Oracle = Some(CurationQueries.a15OracleSql(
+      model.centsQ, model.booksQ, subDim = 8,
+      queryPred = "vec_id BETWEEN 5 AND 9"))
+    ProductQuantizer.searchIvfPqExact(
+        e.filter(col("vec_id").between(5, 9)), e, "vec_id", "embedding",
+        model, nprobe = 4, shortlist = 100, topK = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  @volatile private var a37Oracle: Option[String] = None
+
   @volatile private var a36Oracle: Option[String] = None
 
   /** Shared with s28's streaming twin (identical relation, identical
@@ -553,6 +587,7 @@ object Relational13 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a36_index_ingest"      -> a36IndexIngest _,
+    "a37_index_serve"       -> a37IndexServe _,
     "t45_burstiness"        -> t45Burstiness _,
     "t44_semantic_contam"   -> t44SemanticContam _,
     "p35_mixture_budget"    -> p35MixtureBudget _,
@@ -570,7 +605,8 @@ object Relational13 {
 
   def oracles: Map[String, String] =
     staticOracles ++ g05Oracle.map("g05_kcore" -> _) ++
-      a36Oracle.map("a36_index_ingest" -> _)
+      a36Oracle.map("a36_index_ingest" -> _) ++
+      a37Oracle.map("a37_index_serve" -> _)
 
   private val staticOracles: Map[String, String] = Map(
     "t45_burstiness" ->

@@ -411,8 +411,10 @@ object StreamingQueries {
     // staged ONCE per (JVM, dir) — the GraphCache memo discipline: a
     // per-invocation tempdir would leave a corpus-sized events copy
     // per run (File.deleteOnExit cannot remove a non-empty directory),
-    // and Bench/Verify invoke this at two scales per JVM. The shutdown
-    // hook deletes the whole tree recursively.
+    // and Bench/Verify invoke this at two scales per JVM. Staged UNDER
+    // GraphCache's pid-tagged swept tree: its shutdown hook deletes it
+    // on clean exit and the next JVM's dead-pid startup sweep reclaims
+    // a SIGKILLed run's leak (a bare tmpdir + hook never would).
     val staged = s27Staged.computeIfAbsent(dir, _ => {
       val ev = graft.Tables.events(spark, dir)
         .select(col("user_id").cast("long").as("user_id"), col("ts"),
@@ -422,22 +424,14 @@ object StreamingQueries {
         .select(lit(-1L).as("user_id"),
           expr("m + INTERVAL 30 DAYS").as("ts"),
           lit(0.0).as("value"), lit(-1L).as("event_id"))
-      val p = java.nio.file.Files.createTempDirectory("graft_s27")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(f => try java.nio.file.Files.deleteIfExists(f)
-                          catch { case _: Throwable => () })
-        } catch { case _: Throwable => () }))
+      val p = GraphCache.stagingPath(s"s27|$dir")
       // one write, few files: the file source must not see the sentinel
       // in a batch BEFORE the real rows (the watermark would mark them
       // late and drop them); a single AvailableNow batch over all files
       // computes its watermark at batch end, so order inside is free
       ev.unionByName(sentinel).coalesce(4)
-        .write.mode("overwrite").parquet(p.toString)
-      p.toString
+        .write.mode("overwrite").parquet(p)
+      p
     })
     val schema = spark.read.parquet(staged).schema
     val agg = spark.readStream.schema(schema).parquet(staged)

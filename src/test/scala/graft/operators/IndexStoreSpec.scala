@@ -47,6 +47,48 @@ class IndexStoreSpec extends AnyFunSuite {
     graft.core.Caching.CacheLedger.releaseAll()
   }
 
+  test("loadOrPublish serves a prior publisher's artifact without retraining") {
+    val df = corpus
+    val model = ProductQuantizer.fitIvfPqExact(
+      df, "vec_id", "embedding", coarseK = 4, m = 4, k = 8, iterations = 3)
+    val root = java.nio.file.Files.createTempDirectory("ivfpq_pub")
+    val path = root.resolve("ivfpq_4-4-8").toString
+    // "JVM 1": first contact trains and publishes atomically
+    var trained = 0
+    val m1 = IndexStore.loadOrPublishIvfPq(spark, path) { trained += 1; model }
+    assert(trained === 1)
+    // "JVM 2": the store path is the ONLY shared state (no in-memory
+    // memo exists) — a second process must load the artifact and never
+    // invoke its trainer. A throwing trainer proves the load path.
+    val m2 = IndexStore.loadOrPublishIvfPq(spark, path) {
+      fail("second session must serve the published artifact, not retrain")
+    }
+    assert(m2.centsQ.map(_.toSeq).toSeq === m1.centsQ.map(_.toSeq).toSeq)
+    assert(m2.booksQ.map(_.map(_.toSeq).toSeq).toSeq
+      === m1.booksQ.map(_.map(_.toSeq).toSeq).toSeq)
+    val q = df.filter(col("vec_id") < 3)
+    def run(m: ProductQuantizer.IvfPqModel) =
+      ProductQuantizer.searchIvfPqExact(q, df, "vec_id", "embedding", m,
+          nprobe = 2, shortlist = 20, topK = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(run(m2) === run(model),
+      "a pure-server session's search must equal the trainer's")
+    // a half-written artifact (no atomic rename ever happened) must
+    // retrain, not serve garbage: corrupt by deleting params
+    IndexStore.saveIvfPq(spark, model, path + "_broken")
+    val broken = java.nio.file.Paths.get(path + "_broken", "params")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(broken).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists)
+    var retrained = 0
+    val m3 = IndexStore.loadOrPublishIvfPq(spark, path + "_broken") {
+      retrained += 1; model
+    }
+    assert(retrained === 1 &&
+      m3.centsQ.map(_.toSeq).toSeq === model.centsQ.map(_.toSeq).toSeq)
+    graft.core.Caching.CacheLedger.releaseAll()
+  }
+
   test("load rejects a corrupted store loudly") {
     val df = corpus
     val model = ProductQuantizer.fitIvfPqExact(
