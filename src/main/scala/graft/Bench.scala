@@ -146,7 +146,7 @@ object Bench {
     "t43_texttiling", "g06_hits", "a34_silhouette", "q53_rolling_mad",
     "t44_semantic_contam", "p35_mixture_budget", "q54_abc_pareto",
     "a35_retrieval_bakeoff", "t45_burstiness", "a36_index_ingest",
-    "a37_index_serve")
+    "a37_index_serve", "p36_adpcm_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions._
   * count) via a hand-rolled chunk parser — the container ships no
   * audio libs, but WAV is a public fixed layout: sample rate,
   * channels, frame count, duration, RMS/peak level, and a 16-bin RMS
-  * envelope.
+  * envelope. COMPRESSED sample decode is real for IMA/DVI ADPCM
+  * (format tag 0x11, 4-bit — complete public formula + two small
+  * fixed tables, pinned against an independent reference decoder in
+  * MultimodalSpec); MP3/AAC/H.264 sample decode still falls to the
+  * marked stubs (their Huffman/IMDCT table data is unobtainable
+  * offline), though their FRAMING walks in [[CodecMeta]] are real.
   *
   * Video METADATA is REAL for MP4/ISO-BMFF via a hand-rolled box
   * walker (ftyp/moov/mvhd/trak/tkhd/mdia/hdlr are a fixed public
@@ -188,13 +193,25 @@ object Multimodal {
       val audioFormat = u16(fmtOff)
       val channels = u16(fmtOff + 2)
       val sampleRate = u32(fmtOff + 4).toInt
+      val blockAlign = u16(fmtOff + 12)
       val bits = u16(fmtOff + 14)
-      if (audioFormat != 1 || (bits != 8 && bits != 16) || channels < 1 || sampleRate < 1)
+      // REAL compressed-sample decode path: IMA/DVI ADPCM (format tag
+      // 0x11, 4-bit) — the one compressed audio codec whose complete
+      // decode is public FORMULA + two small public tables (step sizes
+      // + index deltas), no Huffman/IMDCT data to obtain. Decoded to
+      // 16-bit samples, then the same stats pipeline as PCM.
+      val adpcm: Array[Short] =
+        if (audioFormat == 0x11 && bits == 4 && channels >= 1 &&
+            blockAlign >= 4 * channels && sampleRate >= 1)
+          decodeImaAdpcm(p, dataOff, dataLen, channels, blockAlign)
+        else null
+      if (adpcm == null &&
+          (audioFormat != 1 || (bits != 8 && bits != 16) || channels < 1 || sampleRate < 1))
         return decodeAudioStub(r)
-      val bytesPerSample = bits / 8
-      val nSamples = dataLen / bytesPerSample
+      val nSamples =
+        if (adpcm != null) adpcm.length else dataLen / (bits / 8)
       val nFrames = nSamples.toLong / channels
-      val fullScale = if (bits == 16) 32768.0 else 128.0
+      val fullScale = if (bits == 8) 128.0 else 32768.0
       var sumSq = 0.0
       var peakAbs = 0L
       val envSumSq = new Array[Double](16)
@@ -202,7 +219,8 @@ object Multimodal {
       var s = 0
       while (s < nSamples) {
         val v: Long =
-          if (bits == 16) u16(dataOff + s * 2).toShort.toLong
+          if (adpcm != null) adpcm(s).toLong
+          else if (bits == 16) u16(dataOff + s * 2).toShort.toLong
           else (p(dataOff + s) & 0xff) - 128L // 8-bit WAV is unsigned
         val sq = (v * v).toDouble
         sumSq += sq
@@ -235,6 +253,114 @@ object Multimodal {
 
   /** Minimal RIFF/WAVE PCM writer (tests + synthetic payloads):
     * interleaved 16-bit signed LE samples. */
+  /** IMA/DVI ADPCM step-size table (IMA ADPCM spec / RFC 3551 §4.5.1
+    * lineage — 89 entries, public fixed data). */
+  private[graft] val imaStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** IMA ADPCM index-adjust table (4-bit codes; sign bit ignored). */
+  private val imaIndexAdj: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Decode IMA-ADPCM WAV `data` bytes to interleaved 16-bit samples.
+    *
+    * Microsoft IMA-ADPCM block layout (format tag 0x11): per channel a
+    * 4-byte header (predictor int16 LE, step index u8, reserved u8) —
+    * the header predictor IS the block's first output sample — then
+    * 4-byte words round-robin per channel, each word carrying 8
+    * nibbles, LOW nibble first. The standard nibble step: diff =
+    * step>>3 (+step if bit2, +step>>1 if bit1, +step>>2 if bit0),
+    * subtract when bit3 set, clamp predictor to int16 and index to
+    * [0, 88]. A trailing partial block decodes its complete words
+    * only (truncated-but-decodable, the RIFF-walk convention).
+    * MultimodalSpec pins output against an independently written
+    * reference decoder's vectors. */
+  private[graft] def decodeImaAdpcm(p: Array[Byte], dataOff: Int,
+      dataLen: Int, channels: Int, blockAlign: Int): Array[Short] = {
+    val headerBytes = 4 * channels
+    val wordsPerRound = 4 * channels
+    val out = new scala.collection.mutable.ArrayBuffer[Short]()
+    val pred = new Array[Int](channels)
+    val idx = new Array[Int](channels)
+    var blk = 0
+    while (blk * blockAlign + headerBytes <= dataLen) {
+      val base = dataOff + blk * blockAlign
+      val blockEnd = math.min(blockAlign, dataLen - blk * blockAlign)
+      var ch = 0
+      while (ch < channels) {
+        pred(ch) = (((p(base + ch * 4 + 1) & 0xff) << 8) |
+          (p(base + ch * 4) & 0xff)).toShort.toInt
+        idx(ch) = math.max(0, math.min(88, p(base + ch * 4 + 2) & 0xff))
+        ch += 1
+      }
+      // header predictors are the first frame, interleaved
+      ch = 0
+      while (ch < channels) { out += pred(ch).toShort; ch += 1 }
+      // data words: per round, one 4-byte word per channel = 8 frames;
+      // buffer the round so output stays frame-interleaved
+      val round = Array.ofDim[Short](8, channels)
+      var off = headerBytes
+      while (off + wordsPerRound <= blockEnd) {
+        ch = 0
+        while (ch < channels) {
+          var b = 0
+          while (b < 4) {
+            val byte = p(base + off + ch * 4 + b) & 0xff
+            var half = 0
+            while (half < 2) {
+              val nib = if (half == 0) byte & 0xf else byte >> 4
+              val step = imaStep(idx(ch))
+              var diff = step >> 3
+              if ((nib & 4) != 0) diff += step
+              if ((nib & 2) != 0) diff += step >> 1
+              if ((nib & 1) != 0) diff += step >> 2
+              pred(ch) = math.max(-32768, math.min(32767,
+                if ((nib & 8) != 0) pred(ch) - diff else pred(ch) + diff))
+              idx(ch) = math.max(0, math.min(88, idx(ch) + imaIndexAdj(nib & 7)))
+              round(b * 2 + half)(ch) = pred(ch).toShort
+              half += 1
+            }
+            b += 1
+          }
+          ch += 1
+        }
+        var f = 0
+        while (f < 8) {
+          ch = 0
+          while (ch < channels) { out += round(f)(ch); ch += 1 }
+          f += 1
+        }
+        off += wordsPerRound
+      }
+      blk += 1
+    }
+    out.toArray
+  }
+
+  /** WAV container around IMA-ADPCM blocks (format tag 0x11) — the
+    * test/fixture builder twin of [[wavPcm16]]. `blocks` is the raw
+    * `data` payload (caller-built blocks of `blockAlign` bytes). */
+  def wavImaAdpcm(sampleRate: Int, channels: Int, blockAlign: Int,
+                  blocks: Array[Byte]): Array[Byte] = {
+    val samplesPerBlock = (blockAlign - 4 * channels) * 2 / channels + 1
+    val b = java.nio.ByteBuffer.allocate(48 + blocks.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(40 + blocks.length).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(20)
+      .putShort(0x11).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign / math.max(1, samplesPerBlock))
+      .putShort(blockAlign.toShort).putShort(4)
+      .putShort(2).putShort(samplesPerBlock.toShort)
+    b.put("data".getBytes).putInt(blocks.length)
+    b.put(blocks)
+    b.array()
+  }
+
   def wavPcm16(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
     val dataLen = samples.length * 2
     val b = java.nio.ByteBuffer.allocate(44 + dataLen)

@@ -482,7 +482,52 @@ object PipelineQueries {
       .orderBy(col("media_id"))
   }
 
+  /** p36: REAL compressed-sample decode round-trip — IMA/DVI ADPCM
+    * (the one compressed audio codec whose full decode is public
+    * formula + two small fixed tables): per selected document a mono
+    * ADPCM block is built from doc_id-derived nibbles (predictor
+    * `doc_id % 1000 − 500`, step index `doc_id % 89`, 16 nibbles
+    * `(doc_id·7 + i·13) % 16`, packed low-nibble-first), decoded by
+    * the REAL byte-path decoder ([[graft.operators.Multimodal
+    * .decodeImaAdpcm]] — the same code `decodeAudio` runs on format-
+    * tag-0x11 WAVs), and summarized in exact integers. The oracle
+    * replays the nibble recurrence as a DuckDB recursive CTE over the
+    * spliced step/index tables — sample-exact, so every decoded value
+    * participates in the hash via peak/energy. MP3/AAC/H.264 sample
+    * decode remains the documented stub; this closes the
+    * compressed-decode gap for one real codec end to end. */
+  def adpcmDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir).filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val pred0 = (id % 1000 - 500).toInt
+        val idx0 = (id % 89).toInt
+        val nib = Array.tabulate(16)(i => ((id * 7 + i * 13) % 16).toInt)
+        val block = new Array[Byte](12)
+        block(0) = (pred0 & 0xff).toByte
+        block(1) = ((pred0 >> 8) & 0xff).toByte
+        block(2) = idx0.toByte
+        var j = 0
+        while (j < 8) {
+          block(4 + j) =
+            ((nib(2 * j) & 0xf) | ((nib(2 * j + 1) & 0xf) << 4)).toByte
+          j += 1
+        }
+        val dec = graft.operators.Multimodal.decodeImaAdpcm(block, 0, 12, 1, 12)
+        var peak = 0L; var energy = 0L
+        dec.foreach { s =>
+          if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+          energy += s.toLong * s
+        }
+        (id, dec.length.toLong, peak, energy)
+      }
+      .toDF("doc_id", "n_samples", "peak_abs", "energy")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p36_adpcm_decode"      -> adpcmDecode _,
     "p22_codec_meta"        -> codecMeta _,
     "p32_silence_segments"  -> silenceSegments _,
     "p21_url_fetch"         -> urlFetch _,
@@ -506,7 +551,45 @@ object PipelineQueries {
     "p06_job_ledger"        -> jobLedger _,
     "p07_job_status_lookup" -> jobStatusLookup _)
 
+  /** The IMA step table spliced as oracle VALUES — one definition (the
+    * decoder's own array), so the replay can never drift from the code. */
+  private val imaStepVals: String =
+    graft.operators.Multimodal.imaStep.zipWithIndex
+      .map { case (v, i) => s"($i,$v)" }.mkString(",")
+
   val oracles: Map[String, String] = Map(
+    "p36_adpcm_decode" ->
+      s"""WITH RECURSIVE docs AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+        |stepT(si, step) AS (VALUES $imaStepVals),
+        |adjT(nb, adj) AS (VALUES (0,-1),(1,-1),(2,-1),(3,-1),(4,2),(5,4),(6,6),(7,8)),
+        |nibs AS (
+        |  SELECT doc_id, CAST(i AS INT) AS i,
+        |    CAST((doc_id*7 + i*13) % 16 AS INT) AS nib
+        |  FROM docs, range(16) r(i)),
+        |dec AS (
+        |  SELECT doc_id, 0 AS i,
+        |    CAST(doc_id % 1000 - 500 AS INT) AS pred,
+        |    CAST(doc_id % 89 AS INT) AS idx
+        |  FROM docs
+        |  UNION ALL
+        |  SELECT d.doc_id, d.i + 1,
+        |    CAST(greatest(-32768, least(32767, d.pred +
+        |      CASE WHEN n.nib >= 8 THEN -1 ELSE 1 END *
+        |      ((s.step // 8)
+        |       + CASE WHEN (n.nib % 8) >= 4 THEN s.step ELSE 0 END
+        |       + CASE WHEN (n.nib % 4) >= 2 THEN s.step // 2 ELSE 0 END
+        |       + CASE WHEN (n.nib % 2) = 1 THEN s.step // 4 ELSE 0 END))) AS INT),
+        |    CAST(greatest(0, least(88, d.idx + a.adj)) AS INT)
+        |  FROM dec d
+        |  JOIN nibs n ON n.doc_id = d.doc_id AND n.i = d.i
+        |  JOIN stepT s ON s.si = d.idx
+        |  JOIN adjT a ON a.nb = n.nib % 8
+        |  WHERE d.i < 16)
+        |SELECT doc_id, count(*) AS n_samples,
+        |  CAST(max(abs(pred)) AS BIGINT) AS peak_abs,
+        |  CAST(sum(CAST(pred AS BIGINT) * pred) AS BIGINT) AS energy
+        |FROM dec GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "p32_silence_segments" ->
       """WITH params AS (
         |  SELECT doc_id, 8000 + (doc_id % 4) * 4000 AS sr,

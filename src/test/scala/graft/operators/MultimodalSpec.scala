@@ -136,6 +136,60 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d.peak == 32767.0 / 32768.0)
   }
 
+  test("IMA-ADPCM decode matches the independent reference decoder (mono)") {
+    // vector generated by a separately-written Python reference decoder
+    // (IMA/DVI spec tables): mono block, predictor 100, index 20, data
+    // bytes 21 43 65 87 A9 CB ED 0F (low nibble first)
+    val block = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(100).put(20.toByte).put(0.toByte)
+      .put(Array(0x21, 0x43, 0x65, 0x87, 0xA9, 0xCB, 0xED, 0x0F)
+        .map(_.toByte)).array()
+    val dec = Multimodal.decodeImaAdpcm(block, 0, block.length, 1, 12)
+    assert(dec.toSeq == Seq(100, 118, 145, 180, 221, 282, 389, 609, 578,
+      493, 363, 198, 4, -283, -781, -1801, -1656).map(_.toShort))
+  }
+
+  test("IMA-ADPCM stereo blocks interleave channel words, reference-pinned") {
+    // stereo block: L(pred -200, idx 5), R(pred 300, idx 60), one
+    // 4-byte word per channel; expected per-channel outputs from the
+    // same independent reference decoder
+    val block = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(-200).put(5.toByte).put(0.toByte)
+      .putShort(300).put(60.toByte).put(0.toByte)
+      .put(Array(0x10, 0x32, 0x54, 0x76).map(_.toByte))
+      .put(Array(0x98, 0xBA, 0xDC, 0xFE).map(_.toByte)).array()
+    val dec = Multimodal.decodeImaAdpcm(block, 0, block.length, 2, 16)
+    val left = dec.indices.filter(_ % 2 == 0).map(dec(_))
+    val right = dec.indices.filter(_ % 2 == 1).map(dec(_))
+    assert(left == Seq(-200, -199, -196, -190, -183, -174, -161, -139, -93)
+      .map(_.toShort))
+    assert(right == Seq(300, 16, -758, -1931, -3423, -5169, -7750, -12216,
+      -21347).map(s => math.max(-32768, s).toShort))
+  }
+
+  test("ADPCM WAV goes through the REAL decode path, not the stub") {
+    // two identical mono blocks; known first-vector samples ⇒ known
+    // frame count and peak; a stub result would carry n_frames =
+    // payload length and rms from the byte hash instead
+    val block = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(100).put(20.toByte).put(0.toByte)
+      .put(Array(0x21, 0x43, 0x65, 0x87, 0xA9, 0xCB, 0xED, 0x0F)
+        .map(_.toByte)).array()
+    val wav = Multimodal.wavImaAdpcm(8000, 1, 12, block ++ block)
+    val d = decodeAudio(MediaRow(9L, "audio", wav))
+    assert(d.bits == 4 && d.channels == 1 && d.sample_rate == 8000)
+    assert(d.n_frames == 34) // 17 samples per block × 2 blocks
+    assert(d.peak == 1801.0 / 32768.0)
+    // truncated final block (header only) contributes just its
+    // predictor frame — truncated-but-decodable, never the stub
+    val torn = Multimodal.wavImaAdpcm(8000, 1, 12, block ++ block.take(4))
+    val t = decodeAudio(MediaRow(10L, "audio", torn))
+    assert(t.n_frames == 18 && t.bits == 4)
+  }
+
   test("non-wav audio payloads degrade to the marked stub, never fail") {
     val mp3ish = Array[Byte](0x49, 0x44, 0x33, 4, 0, 0, 0, 0, 0, 10)
     val d = decodeAudio(MediaRow(3L, "audio", mp3ish))
