@@ -148,6 +148,38 @@ object Bench {
     "a35_retrieval_bakeoff", "t45_burstiness", "a36_index_ingest",
     "a37_index_serve", "p36_adpcm_decode")
 
+  /** Fixed CPU work item for host calibration: SHA-256 over a 4 KB
+    * buffer, `iters` times. Returns a fold of the digests so the JIT
+    * can't elide the loop. */
+  private def burn(iters: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val buf = new Array[Byte](4096)
+    var h = 0L
+    var i = 0
+    while (i < iters) { md.update(buf); h ^= md.digest()(0); i += 1 }
+    h
+  }
+
+  /** Host calibration: single-thread vs `nThreads`-way SHA-256
+    * throughput (ops/s). eff_par = multi/single names the host's
+    * EFFECTIVE core count at run time — a cgroup CPU quota or heavy
+    * co-tenancy shows up here, so cross-environment bench comparisons
+    * can normalize instead of reading host throttling as per-query
+    * regression (the round-7 driver-vs-local 1.68× mystery; this
+    * round's local host measured ~5 effective cores on a 32-core box
+    * mid-run). Costs under a second. */
+  private def hostCalibration(nThreads: Int): (Double, Double) = {
+    burn(3000) // JIT warm
+    val iters = 20000
+    val t0 = System.nanoTime(); burn(iters)
+    val single = iters / ((System.nanoTime() - t0) / 1e9)
+    val t1 = System.nanoTime()
+    val ts = (1 to nThreads).map(_ => new Thread(() => { burn(iters); () }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    val multi = iters.toDouble * nThreads / ((System.nanoTime() - t1) / 1e9)
+    (single, multi)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -271,8 +303,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val ojson = results.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val sjson = seed.map(_.toString).getOrElse("null")
+    // host calibration AFTER the timed run (it would pollute the first
+    // query's cache/JIT state if run before): effective parallelism at
+    // artifact-write time, for cross-environment normalization
+    val (cal1, calN) = hostCalibration(cpus.toInt)
+    val hostJson = "{\"cal_1t_ops\":%.0f,\"cal_nt_ops\":%.0f,\"threads\":%s,\"eff_par\":%.2f}"
+      .formatLocal(java.util.Locale.ROOT, cal1, calN, cpus,
+        if (cal1 > 0) calN / cal1 else 0.0)
     val artifact = line.dropRight(1) +
-      s""","seed":$sjson,"order":$ojson,"health":$hjson}"""
+      s""","seed":$sjson,"order":$ojson,"host":$hostJson,"health":$hjson}"""
     if (only.isEmpty)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(

@@ -76,6 +76,12 @@ object Hits {
     // edgesDistinct: callers serving a pre-deduplicated artifact (the
     // g06 GraphCache path) skip the redundant second distinct shuffle
     val e = pin(if (edgesDistinct) proj else proj.distinct())
+    // EMPTY edge input short-circuits to an empty result (round-8
+    // review fix): without this, the all-NULL total either raises a
+    // confusing overflow-ish error or — under AQE empty-relation
+    // propagation — silently yields empty anyway; make the contract
+    // explicit and engine-independent. The count below is free (the
+    // regime probe needs it regardless).
     // Two physical regimes, the Triangles.maxBroadcastEdges pattern:
     // below the threshold the |V|-row score vector broadcasts and the
     // cached edge list never moves — extra per-key copies would be
@@ -87,6 +93,17 @@ object Hits {
     // lesson), so each round then moves only the score vector: one
     // exchange per half-round, the Pregel minimum.
     val m = e.count()
+    if (m == 0) {
+      val sp = edges.sparkSession
+      import org.apache.spark.sql.types._
+      return sp.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("side", StringType, nullable = false),
+          StructField("id", LongType),
+          StructField("score_ppm", LongType),
+          StructField("rnk", LongType))))
+    }
     // sortWithinPartitions: the cached plan's outputOrdering survives
     // InMemoryTableScan, so each round's SortMergeJoin skips re-sorting
     // the |E|-row side (k rounds = k avoided sorts of the big leg)

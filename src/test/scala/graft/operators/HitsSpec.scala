@@ -77,4 +77,36 @@ class HitsSpec extends AnyFunSuite {
     assert(messages(ex).exists(_.contains("overflow")),
       s"expected the HITS overflow raise_error, got: ${messages(ex)}")
   }
+
+  test("ppm-band overflow (scores representable, score·10⁶ not) raises too") {
+    // K(10,10): 17 iterations put hub scores at 10^33 / authorities at
+    // 10^34 — INSIDE DECIMAL(38) (no mid-iteration raise, totals fine)
+    // but score·10⁶ ≥ 10^39 overflows the ppm division. With ANSI ON
+    // (the Spark 4 default) the engine itself errors; the round-8
+    // review fix covers the ANSI-OFF mode, where the overflow is a
+    // silent NULL that the coalesce tripwire must turn into the
+    // score_ppm raise — never raw-ordered rows with null ppm. Pin the
+    // ANSI-OFF path explicitly.
+    val edges = (for { c <- 1L to 10L; p <- 1L to 10L }
+      yield (c, p + 100)).toDF("c", "p")
+    val prior = spark.conf.get("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val ex = intercept[Exception] {
+        Hits.hits(edges, "c", "p", iterations = 17, topK = 5)
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("score_ppm")),
+        s"expected the ppm tripwire, got: ${messages(ex)}")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prior)
+  }
+
+  test("empty edge input returns an empty result, not NULL propagation") {
+    val empty = Seq.empty[(Long, Long)].toDF("c", "p")
+    val out = Hits.hits(empty, "c", "p", iterations = 2, topK = 5)
+    assert(out.columns.toSeq == Seq("side", "id", "score_ppm", "rnk"))
+    assert(out.count() == 0)
+  }
 }
