@@ -500,30 +500,35 @@ object PipelineQueries {
     import spark.implicits._
     documents(spark, dir).filter(col("doc_id") % 25 === 0)
       .select(col("doc_id")).as[Long]
-      .map { id =>
-        val pred0 = (id % 1000 - 500).toInt
-        val idx0 = (id % 89).toInt
-        val nib = Array.tabulate(16)(i => ((id * 7 + i * 13) % 16).toInt)
-        val block = new Array[Byte](12)
-        block(0) = (pred0 & 0xff).toByte
-        block(1) = ((pred0 >> 8) & 0xff).toByte
-        block(2) = idx0.toByte
-        var j = 0
-        while (j < 8) {
-          block(4 + j) =
-            ((nib(2 * j) & 0xf) | ((nib(2 * j + 1) & 0xf) << 4)).toByte
-          j += 1
-        }
-        val dec = graft.operators.Multimodal.decodeImaAdpcm(block, 0, 12, 1, 12)
-        var peak = 0L; var energy = 0L
-        dec.foreach { s =>
-          if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
-          energy += s.toLong * s
-        }
-        (id, dec.length.toLong, peak, energy)
-      }
+      .map(adpcmClipStats)
       .toDF("doc_id", "n_samples", "peak_abs", "energy")
       .orderBy(col("doc_id"))
+  }
+
+  /** p36/s29's shared clip step: build the doc_id-derived mono ADPCM
+    * block, decode through the REAL byte-path decoder, summarize in
+    * exact integers — (doc_id, n_samples, peak_abs, energy). */
+  private[graft] def adpcmClipStats(id: Long): (Long, Long, Long, Long) = {
+    val pred0 = (id % 1000 - 500).toInt
+    val idx0 = (id % 89).toInt
+    val nib = Array.tabulate(16)(i => ((id * 7 + i * 13) % 16).toInt)
+    val block = new Array[Byte](12)
+    block(0) = (pred0 & 0xff).toByte
+    block(1) = ((pred0 >> 8) & 0xff).toByte
+    block(2) = idx0.toByte
+    var j = 0
+    while (j < 8) {
+      block(4 + j) =
+        ((nib(2 * j) & 0xf) | ((nib(2 * j + 1) & 0xf) << 4)).toByte
+      j += 1
+    }
+    val dec = graft.operators.Multimodal.decodeImaAdpcm(block, 0, 12, 1, 12)
+    var peak = 0L; var energy = 0L
+    dec.foreach { s =>
+      if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+      energy += s.toLong * s
+    }
+    (id, dec.length.toLong, peak, energy)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -552,8 +557,9 @@ object PipelineQueries {
     "p07_job_status_lookup" -> jobStatusLookup _)
 
   /** The IMA step table spliced as oracle VALUES — one definition (the
-    * decoder's own array), so the replay can never drift from the code. */
-  private val imaStepVals: String =
+    * decoder's own array), so the replay can never drift from the code.
+    * Shared with s29's streaming-monitor oracle. */
+  private[graft] val imaStepVals: String =
     graft.operators.Multimodal.imaStep.zipWithIndex
       .map { case (v, i) => s"($i,$v)" }.mkString(",")
 

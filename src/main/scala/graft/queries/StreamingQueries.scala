@@ -514,6 +514,35 @@ object StreamingQueries {
 
   @volatile private var s28Oracle: Option[String] = None
 
+  /** s29: streaming compressed-media ingest monitor — the DECODE stage
+    * (p36's real IMA-ADPCM byte-path decoder) running INSIDE a
+    * structured stream, the shape a production ingest has: clips
+    * arrive, each is decoded scan-locally (a stateless typed map — the
+    * decoder holds no cross-row state), and the monitor maintains
+    * per-bucket level/energy health as a streaming aggregation whose
+    * state is 8 bounded monoid cells (counts, sums, max) however long
+    * the feed runs. Complete mode: the dashboard re-reads current
+    * health per trigger. Oracle: p36's recursive-CTE nibble replay,
+    * aggregated per bucket — the streamed decode totals are
+    * sample-exact against DuckDB. */
+  def streamAdpcmMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val decoded = tableStream(spark, dir, "documents")
+      .filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id")).as[Long]
+      .map(PipelineQueries.adpcmClipStats)
+      .toDF("doc_id", "n_samples", "peak_abs", "energy")
+    val agg = decoded
+      .groupBy((col("doc_id") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("n_samples")).cast("long").as("total_samples"),
+        max(col("peak_abs")).cast("long").as("max_peak"),
+        sum(col("energy")).cast("long").as("total_energy"))
+    awaitMemorySink(agg, "complete")
+      .orderBy(col("bucket"))
+  }
+
   /** s11: streaming CDC compaction — the q39 latest-wins merge as a
     * stateful streaming aggregation: per-key max_by state merges each
     * micro-batch's candidate against the running winner (state is one
@@ -906,7 +935,8 @@ object StreamingQueries {
     "s09_stream_hopping"  -> streamHopping _,
     "s10_stream_session_window" -> streamSessionWindow _,
     "s27_stream_session_flush" -> streamSessionFlush _,
-    "s28_stream_index_ingest" -> streamIndexIngest _)
+    "s28_stream_index_ingest" -> streamIndexIngest _,
+    "s29_stream_adpcm_monitor" -> streamAdpcmMonitor _)
 
   def oracles: Map[String, String] = Map(
     // s27: batch gap reconstruction under the session_window boundary
@@ -1135,5 +1165,45 @@ object StreamingQueries {
     // s28 == batch a36: the streaming aggregation maintains the same
     // per-(list, half) monoid partials one batch pass computes, against
     // the same deterministically-trained frozen centroids
-    s28Oracle.map("s28_stream_index_ingest" -> _)
+    s28Oracle.map("s28_stream_index_ingest" -> _) ++
+    // s29: p36's recursive nibble replay, aggregated per bucket — the
+    // streamed decode totals are sample-exact against DuckDB
+    Map("s29_stream_adpcm_monitor" ->
+      s"""WITH RECURSIVE docs AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+        |stepT(si, step) AS (VALUES ${PipelineQueries.imaStepVals}),
+        |adjT(nb, adj) AS (VALUES (0,-1),(1,-1),(2,-1),(3,-1),(4,2),(5,4),(6,6),(7,8)),
+        |nibs AS (
+        |  SELECT doc_id, CAST(i AS INT) AS i,
+        |    CAST((doc_id*7 + i*13) % 16 AS INT) AS nib
+        |  FROM docs, range(16) r(i)),
+        |dec AS (
+        |  SELECT doc_id, 0 AS i,
+        |    CAST(doc_id % 1000 - 500 AS INT) AS pred,
+        |    CAST(doc_id % 89 AS INT) AS idx
+        |  FROM docs
+        |  UNION ALL
+        |  SELECT d.doc_id, d.i + 1,
+        |    CAST(greatest(-32768, least(32767, d.pred +
+        |      CASE WHEN n.nib >= 8 THEN -1 ELSE 1 END *
+        |      ((s.step // 8)
+        |       + CASE WHEN (n.nib % 8) >= 4 THEN s.step ELSE 0 END
+        |       + CASE WHEN (n.nib % 4) >= 2 THEN s.step // 2 ELSE 0 END
+        |       + CASE WHEN (n.nib % 2) = 1 THEN s.step // 4 ELSE 0 END))) AS INT),
+        |    CAST(greatest(0, least(88, d.idx + a.adj)) AS INT)
+        |  FROM dec d
+        |  JOIN nibs n ON n.doc_id = d.doc_id AND n.i = d.i
+        |  JOIN stepT s ON s.si = d.idx
+        |  JOIN adjT a ON a.nb = n.nib % 8
+        |  WHERE d.i < 16),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n, max(abs(pred)) AS pk,
+        |    sum(CAST(pred AS BIGINT) * pred) AS en
+        |  FROM dec GROUP BY doc_id)
+        |SELECT CAST(doc_id % 8 AS BIGINT) AS bucket,
+        |  count(*) AS n_clips,
+        |  CAST(sum(n) AS BIGINT) AS total_samples,
+        |  CAST(max(pk) AS BIGINT) AS max_peak,
+        |  CAST(sum(en) AS BIGINT) AS total_energy
+        |FROM per GROUP BY 1 ORDER BY bucket""".stripMargin)
 }
