@@ -48,6 +48,46 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** FILTERED exact vector search — the metadata-constrained top-k
+    * every production vector store serves (the reference uploads
+    * `source_document` payloads to Pinecone/Qdrant/Weaviate for exactly
+    * this): per query, rank only candidates whose `filterCol` equals
+    * the query's own. The predicate lives IN the join condition, so
+    * candidates prune BEFORE the cosine fan-out — per query the scored
+    * set is the SEGMENT, not the corpus, which at 100 TB is the
+    * difference between |corpus|·|queries| and Σ|segment|. Same
+    * TopKPerKey bounded-heap prune as [[bruteForceTopKExec]]; output
+    * (query_id, neighbor_id, score, rank). */
+  def filteredBruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                             idCol: String, vecCol: String,
+                             filterCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val spark = corpus.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    val q = queries.select(col(idCol).as("query_id"),
+      col(filterCol).as("qf"), asDouble(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(filterCol).as("cf"), asDouble(vecCol).as("cv"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") && col("qf") === col("cf"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("score"))
+    val plan = ColumnBridge.logicalPlan(scored)
+    val keyAttr = plan.output.find(_.name == "query_id").get
+    val scoreAttr = plan.output.find(_.name == "score").get
+    val tieAttr = plan.output.find(_.name == "neighbor_id").get
+    val topk = ColumnBridge.ofRows(spark,
+      graft.plans.TopKPerKeyNode(Seq(keyAttr), scoreAttr, tieAttr, k, plan))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    topk
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
   /** Exact top-k via the custom [[graft.plans.TopKPerKeyNode]] operator:
     * bounded per-key heaps, partial phase before the shuffle — only
     * ≤ k·|queries| survivor rows per input partition are exchanged, and

@@ -195,6 +195,20 @@ object CurationQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** a38: FILTERED vector search ([[Similarity.filteredBruteForceTopK]])
+    * — the metadata-constrained top-k every vector store serves (the
+    * reference's sinks upload source-document payloads for exactly
+    * this): same queries as a01, candidates restricted to the query's
+    * own `label` segment IN the join predicate, so the scored fan-out
+    * is per-segment, never per-corpus. */
+  def filteredSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    Similarity.filteredBruteForceTopK(e.filter(col("vec_id") < 5), e,
+        "vec_id", "embedding", "label", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** a02: sign-LSH bucketed ANN, same queries — oracle-checked end to
     * end: buckets are fixed-point integer dot-product signs against
     * xxhash64-derived planes, so splicing the plane literals (computed
@@ -1531,6 +1545,7 @@ object CurationQueries {
     "d09_dedup_keep"      -> dedupKeep _,
     "a09_ann_pq"          -> annPq _,
     "a01_ann_bruteforce"  -> annBruteForce _,
+    "a38_filtered_search" -> filteredSearch _,
     "a02_ann_signlsh"     -> annSignLsh _,
     "a03_ann_ivf"         -> annIvf _,
     "a32_knn_graph"       -> knnGraph _,
@@ -2683,6 +2698,18 @@ object CurationQueries {
         |    round(list_cosine_similarity(q.v, c.v), 6) AS score
         |  FROM d q JOIN d c
         |    ON q.vec_id < 5 AND q.vec_id <> c.vec_id AND q.label = c.label),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, score, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "a38_filtered_search" ->
+      """WITH d AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.v, c.v), 6) AS score
+        |  FROM d q JOIN d c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |    AND q.label = c.label),
         |ranked AS (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
         |  FROM scored)

@@ -27,6 +27,38 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(viaExec.toSeq == viaWindow.toSeq)
   }
 
+  test("filtered search restricts candidates to the query's segment exactly") {
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val q = e.filter(col("vec_id") < 7)
+    val filtered = Similarity.filteredBruteForceTopK(
+      q, e, "vec_id", "embedding", "label", k = 5)
+    val rows = filtered.join(
+        e.select(col("vec_id").as("neighbor_id"), col("label").as("nl")),
+        "neighbor_id")
+      .join(e.select(col("vec_id").as("query_id"), col("label").as("ql")),
+        "query_id")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Any]("nl") == r.getAs[Any]("ql")),
+      "every neighbor must share the query's label segment")
+    // reference semantics: unfiltered window-form top-k over the
+    // PRE-FILTERED corpus per query must agree row for row
+    val perQuery = q.select(col("vec_id"), col("label")).collect()
+    perQuery.foreach { qr =>
+      val qid = qr.getLong(0); val lbl = qr.get(1)
+      val seg = e.filter(col("label") === lbl)
+      val ref = Similarity.bruteForceTopK(
+          seg.filter(col("vec_id") === qid), seg, "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      val got = filtered.filter(col("query_id") === qid)
+        .orderBy(col("rank"))
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == ref, s"query $qid: filtered result must equal the " +
+        "window-form search over its segment")
+    }
+  }
+
   test("ties at the k-th position break by tiebreak asc, matching SQL") {
     import spark.implicits._
     // many rows share the same score; the kept set must be the lowest ids
