@@ -342,6 +342,60 @@ object Multimodal {
     out.toArray
   }
 
+  /** IMA-ADPCM mono ENCODER — [[decodeImaAdpcm]]'s mirror, the
+    * standard greedy nibble quantizer: per sample, emit the 4-bit code
+    * whose decoded step best approximates the prediction error
+    * (magnitude bits peeled off step, step/2, step/4), then update
+    * predictor/index by DECODING that nibble, so encoder and decoder
+    * state never drift. Input must fill whole blocks
+    * (`(blockAlign − 4)·2 + 1` samples per block — the first sample of
+    * each block rides in the header verbatim). MultimodalSpec pins the
+    * encode→decode round-trip: exact length/first-samples and a ≥20 dB
+    * SNR bound on a sine sweep (4-bit ADPCM's design point). */
+  def encodeImaAdpcm(samples: Array[Short], blockAlign: Int): Array[Byte] = {
+    require(blockAlign >= 8 && blockAlign % 4 == 0,
+      s"blockAlign=$blockAlign must be a positive multiple of 4, >= 8")
+    val perBlock = (blockAlign - 4) * 2 + 1
+    require(samples.nonEmpty && samples.length % perBlock == 0,
+      s"need whole blocks of $perBlock samples, got ${samples.length}")
+    val nBlocks = samples.length / perBlock
+    val out = new Array[Byte](nBlocks * blockAlign)
+    var idx = 0
+    var blk = 0
+    while (blk < nBlocks) {
+      val base = blk * blockAlign
+      val s0 = samples(blk * perBlock)
+      out(base) = (s0 & 0xff).toByte
+      out(base + 1) = ((s0 >> 8) & 0xff).toByte
+      out(base + 2) = idx.toByte
+      var pred = s0.toInt
+      var i = 1
+      while (i < perBlock) {
+        val step = imaStep(idx)
+        var delta = samples(blk * perBlock + i) - pred
+        var nib = 0
+        if (delta < 0) { nib = 8; delta = -delta }
+        if (delta >= step) { nib |= 4; delta -= step }
+        if (delta >= (step >> 1)) { nib |= 2; delta -= step >> 1 }
+        if (delta >= (step >> 2)) nib |= 1
+        // state update mirrors the decoder bit for bit
+        var diff = step >> 3
+        if ((nib & 4) != 0) diff += step
+        if ((nib & 2) != 0) diff += step >> 1
+        if ((nib & 1) != 0) diff += step >> 2
+        pred = math.max(-32768, math.min(32767,
+          if ((nib & 8) != 0) pred - diff else pred + diff))
+        idx = math.max(0, math.min(88, idx + imaIndexAdj(nib & 7)))
+        val byteOff = base + 4 + (i - 1) / 2
+        if ((i - 1) % 2 == 0) out(byteOff) = (nib & 0xf).toByte
+        else out(byteOff) = (out(byteOff) | ((nib & 0xf) << 4)).toByte
+        i += 1
+      }
+      blk += 1
+    }
+    out
+  }
+
   /** WAV container around IMA-ADPCM blocks (format tag 0x11) — the
     * test/fixture builder twin of [[wavPcm16]]. `blocks` is the raw
     * `data` payload (caller-built blocks of `blockAlign` bytes). */

@@ -190,6 +190,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(t.n_frames == 18 && t.bits == 4)
   }
 
+  test("ADPCM encode→decode round-trips at codec quality (≥20 dB SNR)") {
+    // 440 Hz sine at 16 kHz, amplitude 12000 — 4-bit IMA ADPCM's design
+    // point. blockAlign 256 ⇒ 505 samples/block; 4 blocks = 2020 samples.
+    val n = 505 * 4
+    val pcm = Array.tabulate(n)(i =>
+      (12000 * math.sin(2 * math.Pi * 440 * i / 16000.0)).toShort)
+    val enc = Multimodal.encodeImaAdpcm(pcm, 256)
+    assert(enc.length == 4 * 256) // 4x compression + headers
+    val dec = Multimodal.decodeImaAdpcm(enc, 0, enc.length, 1, 256)
+    assert(dec.length == n)
+    // block leaders ride in headers verbatim
+    for (b <- 0 until 4) assert(dec(b * 505) == pcm(b * 505))
+    var sig = 0.0; var err = 0.0
+    for (i <- 0 until n) {
+      sig += pcm(i).toDouble * pcm(i)
+      val e = dec(i) - pcm(i); err += e.toDouble * e
+    }
+    val snrDb = 10 * math.log10(sig / math.max(err, 1e-9))
+    assert(snrDb >= 20.0, f"SNR $snrDb%.1f dB below the 4-bit ADPCM bound")
+    // the full WAV path decodes the encoder's output identically
+    val d = decodeAudio(MediaRow(11L, "audio",
+      Multimodal.wavImaAdpcm(16000, 1, 256, enc)))
+    assert(d.n_frames == n && d.bits == 4 && d.sample_rate == 16000)
+  }
+
   test("non-wav audio payloads degrade to the marked stub, never fail") {
     val mp3ish = Array[Byte](0x49, 0x44, 0x33, 4, 0, 0, 0, 0, 0, 10)
     val d = decodeAudio(MediaRow(3L, "audio", mp3ish))
