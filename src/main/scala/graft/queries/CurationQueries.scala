@@ -526,7 +526,8 @@ object CurationQueries {
   private[queries] def a15OracleSql(centsQ: Array[Array[Long]],
                            booksQ: Array[Array[Array[Long]]],
                            subDim: Int,
-                           queryPred: String = "vec_id < 5"): String = {
+                           queryPred: String = "vec_id < 5",
+                           neighborPred: String = "TRUE"): String = {
     val cents = centsQ.zipWithIndex.map { case (c, i) =>
       s"($i, ${c.mkString("[", ", ", "]")})" }.mkString(",\n    ")
     val books = booksQ.zipWithIndex.flatMap { case (book, s) =>
@@ -579,6 +580,7 @@ object CurationQueries {
        |    sum(qe.dist) AS adc_dist
        |  FROM probes p
        |  JOIN asg a ON a.cluster = p.cluster AND a.vec_id <> p.vec_id
+       |    AND ($neighborPred)
        |  JOIN codes cd ON cd.vec_id = a.vec_id
        |  JOIN qenc qe ON qe.vec_id = p.vec_id AND qe.cluster = p.cluster
        |    AND qe.s = cd.s AND qe.c = cd.code

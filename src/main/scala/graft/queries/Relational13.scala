@@ -548,6 +548,34 @@ object Relational13 {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** a39: TOMBSTONE-masked serving from the frozen index — the deletes
+    * half of the index lifecycle (train → persist → serve cross-JVM →
+    * ingest increments → monitor → filter → DELETE): a production
+    * vector store never rebuilds the index per deletion, it MASKS
+    * tombstoned ids at query time. Every 7th-ish vector (vec_id % 7 =
+    * 3) is deleted; the search runs a15's exact IVF-PQ pipeline with
+    * the SAME frozen model, candidates restricted to live ids — which,
+    * because per-vector assignment/encoding is independent, is exactly
+    * equivalent to masking stored postings. Queries 11..15 (all live,
+    * disjoint from a15's and a37's). Oracle: a15's replay with the
+    * tombstone predicate on the candidate join. */
+  def a39IndexDelete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ProductQuantizer
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val live = e.filter(col("vec_id") % 7 =!= 3)
+    val model = ModelCache.ivfPqModel(spark, dir)
+    a39Oracle = Some(CurationQueries.a15OracleSql(
+      model.centsQ, model.booksQ, subDim = 8,
+      queryPred = "vec_id BETWEEN 11 AND 15",
+      neighborPred = "a.vec_id % 7 <> 3"))
+    ProductQuantizer.searchIvfPqExact(
+        e.filter(col("vec_id").between(11, 15)), live, "vec_id", "embedding",
+        model, nprobe = 4, shortlist = 100, topK = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  @volatile private var a39Oracle: Option[String] = None
+
   @volatile private var a37Oracle: Option[String] = None
 
   @volatile private var a36Oracle: Option[String] = None
@@ -588,6 +616,7 @@ object Relational13 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a36_index_ingest"      -> a36IndexIngest _,
     "a37_index_serve"       -> a37IndexServe _,
+    "a39_index_delete"      -> a39IndexDelete _,
     "t45_burstiness"        -> t45Burstiness _,
     "t44_semantic_contam"   -> t44SemanticContam _,
     "p35_mixture_budget"    -> p35MixtureBudget _,
@@ -606,7 +635,8 @@ object Relational13 {
   def oracles: Map[String, String] =
     staticOracles ++ g05Oracle.map("g05_kcore" -> _) ++
       a36Oracle.map("a36_index_ingest" -> _) ++
-      a37Oracle.map("a37_index_serve" -> _)
+      a37Oracle.map("a37_index_serve" -> _) ++
+      a39Oracle.map("a39_index_delete" -> _)
 
   private val staticOracles: Map[String, String] = Map(
     "t45_burstiness" ->
