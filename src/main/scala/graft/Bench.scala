@@ -19,8 +19,13 @@ final class BenchQueryListener extends SparkListener {
   val inputBytes, tasks, retries = new AtomicLong
   val peakExecMem = new AtomicLong // max over tasks, not a sum
   val bcastBlocks, bcastBytes = new AtomicLong
-  private val rddStores =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val recomputes = new AtomicLong
+  // per-block presence: TRUE = stored, FALSE = removed. A level
+  // TRANSITION (memory block evicted to disk) posts a second update for
+  // a still-present block and must NOT count as a recompute; only
+  // removed→stored is an eviction+rebuild. Broadcasts count once per id.
+  private val blockState =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
     val m = e.taskMetrics
@@ -40,26 +45,33 @@ final class BenchQueryListener extends SparkListener {
   override def onBlockUpdated(e: SparkListenerBlockUpdated): Unit = {
     val info = e.blockUpdatedInfo
     val id = info.blockId
-    if (id.isBroadcast && info.memSize + info.diskSize > 0) {
-      bcastBlocks.incrementAndGet()
-      bcastBytes.addAndGet(info.memSize + info.diskSize)
-    } else if (id.isRDD && info.memSize + info.diskSize > 0) {
-      rddStores.merge(id.name, 1, (a, b) => a + b)
+    val stored = info.storageLevel.isValid && info.memSize + info.diskSize > 0
+    if (id.isBroadcast) {
+      // one count per broadcast id: a mem→disk transition or replica
+      // update must not double-count the build
+      if (stored && blockState.putIfAbsent("b:" + id.name, true) == null) {
+        bcastBlocks.incrementAndGet()
+        bcastBytes.addAndGet(info.memSize + info.diskSize)
+      }
+    } else if (id.isRDD) {
+      if (!info.storageLevel.isValid) blockState.put(id.name, false)
+      else if (stored) {
+        val prev = blockState.put(id.name, true)
+        // removed→stored = an evicted cached partition was rebuilt;
+        // null→stored is the first store, true→stored a level move
+        if (prev == java.lang.Boolean.FALSE) recomputes.incrementAndGet()
+      }
     }
   }
 
-  /** RDD blocks stored more than once in this window — each extra
-    * store is a recompute of an evicted cached partition. */
-  def rddRecomputes: Long = {
-    import scala.jdk.CollectionConverters._
-    rddStores.values.asScala.map(n => math.max(0, n - 1).toLong).sum
-  }
+  /** Cached RDD partitions REBUILT after a full removal this window. */
+  def rddRecomputes: Long = recomputes.get()
 
   def reset(): Unit = {
     Seq(shuffleRead, shuffleWrite, spillMem, spillDisk, inputBytes,
-      tasks, retries, peakExecMem, bcastBlocks, bcastBytes)
+      tasks, retries, peakExecMem, bcastBlocks, bcastBytes, recomputes)
       .foreach(_.set(0L))
-    rddStores.clear()
+    blockState.clear()
   }
 
   /** Listener-bus events are asynchronous; settle until the task

@@ -127,11 +127,16 @@ object IndexStore {
                          catch { case _: Throwable => false })
             }.foreach(deleteTree)
       } catch { case _: Throwable => () }
-      saveIvfPq(spark, model, tmp.toString)
-      try java.nio.file.Files.move(tmp, p,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: Throwable => deleteTree(tmp) } // lost the race
-      tryLoad().getOrElse(model) // pathological fs: serve the trained one
+      // the publish is BEST-EFFORT end to end: a store that cannot be
+      // written (read-only volume, foreign-owned root, disk full) must
+      // degrade to serving the freshly trained in-memory model, never
+      // fail the query — the save AND the rename sit inside the guard
+      try {
+        saveIvfPq(spark, model, tmp.toString)
+        java.nio.file.Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case _: Throwable => deleteTree(tmp) } // lost race / bad fs
+      tryLoad().getOrElse(model) // unpublishable store: serve the trained one
     }
   }
 

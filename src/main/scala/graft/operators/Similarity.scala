@@ -60,41 +60,21 @@ object Similarity {
     * (query_id, neighbor_id, score, rank). */
   def filteredBruteForceTopK(queries: DataFrame, corpus: DataFrame,
                              idCol: String, vecCol: String,
-                             filterCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    val spark = corpus.sparkSession
-    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
-    val q = queries.select(col(idCol).as("query_id"),
-      col(filterCol).as("qf"), asDouble(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(filterCol).as("cf"), asDouble(vecCol).as("cv"))
-    val scored = c.join(broadcast(q),
-        col("query_id") =!= col("neighbor_id") && col("qf") === col("cf"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("score"))
-    val plan = ColumnBridge.logicalPlan(scored)
-    val keyAttr = plan.output.find(_.name == "query_id").get
-    val scoreAttr = plan.output.find(_.name == "score").get
-    val tieAttr = plan.output.find(_.name == "neighbor_id").get
-    val topk = ColumnBridge.ofRows(spark,
-      graft.plans.TopKPerKeyNode(Seq(keyAttr), scoreAttr, tieAttr, k, plan))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    topk
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
-  }
+                             filterCol: String, k: Int): DataFrame =
+    bruteForceTopKExec(queries, corpus, idCol, vecCol, k,
+      filterCol = Some(filterCol))
 
   /** Exact top-k via the custom [[graft.plans.TopKPerKeyNode]] operator:
     * bounded per-key heaps, partial phase before the shuffle — only
     * ≤ k·|queries| survivor rows per input partition are exchanged, and
     * nothing is globally sorted (the window form shuffles and sorts every
-    * scored row). Rank is attached afterwards on the tiny result. */
+    * scored row). Rank is attached afterwards on the tiny result. With
+    * `filterCol` set, the metadata equality joins alongside the
+    * self-exclusion, pruning candidates to the query's segment BEFORE
+    * the cosine fan-out (the [[filteredBruteForceTopK]] contract). */
   def bruteForceTopKExec(queries: DataFrame, corpus: DataFrame, idCol: String,
-                         vecCol: String, k: Int): DataFrame = {
+                         vecCol: String, k: Int,
+                         filterCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val spark = corpus.sparkSession
     // idempotently make the strategy available on sessions built without
@@ -102,9 +82,16 @@ object Similarity {
     if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
-    val q = queries.select(col(idCol).as("query_id"), asDouble(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(vecCol).as("cv"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val q = queries.select(
+      Seq(col(idCol).as("query_id"), asDouble(vecCol).as("qv")) ++
+        filterCol.map(f => col(f).as("qf")): _*)
+    val c = corpus.select(
+      Seq(col(idCol).as("neighbor_id"), asDouble(vecCol).as("cv")) ++
+        filterCol.map(f => col(f).as("cf")): _*)
+    val cond = filterCol
+      .map(_ => col("query_id") =!= col("neighbor_id") && col("qf") === col("cf"))
+      .getOrElse(col("query_id") =!= col("neighbor_id"))
+    val scored = c.join(broadcast(q), cond)
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qv"), col("cv")), 6).as("score"))
     val plan = ColumnBridge.logicalPlan(scored)

@@ -527,15 +527,20 @@ object Relational13 {
     * the LOADED model. Every run serves from the parquet artifact, so
     * the plan is identical in the trainer and in a pure server, and the
     * oracle literals come from the loaded model (bit-exact round-trip,
-    * IndexStoreSpec-pinned), so a stale-artifact mismatch would fail
-    * the row loudly. Query set: vec_id 5..9 (disjoint from a15's 0..4,
-    * so the two rows can't mask each other). */
+    * IndexStoreSpec-pinned). The row's contract, precisely: it verifies
+    * SERVING correctness — the search is exact for whatever valid
+    * model the store holds — NOT training freshness; an artifact
+    * trained by an older build still self-verifies, which is the
+    * intended train-once semantics. The publish key therefore carries
+    * the model parameters AND a training-recipe tag (bump `fit2x` when
+    * the trainer changes) AND the corpus dir, so a recipe or parameter
+    * change publishes a NEW artifact instead of silently serving the
+    * old one. Query set: vec_id 5..9 (disjoint from a15's 0..4, so the
+    * two rows can't mask each other). */
   def a37IndexServe(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{IndexStore, ProductQuantizer}
     val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    // key carries the model parameters AND the corpus dir: a parameter
-    // bump or another sf never serves a stale shape
-    val path = IndexStore.publishPath(s"ivfpq_16-8-16-2|$dir")
+    val path = IndexStore.publishPath(s"ivfpq_16-8-16-2_fit2x|$dir")
     val model = IndexStore.loadOrPublishIvfPq(spark, path) {
       ModelCache.ivfPqModel(spark, dir)
     }

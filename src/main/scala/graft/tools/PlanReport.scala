@@ -490,20 +490,27 @@ object PlanReport {
       import org.apache.spark.sql.DataFrame
       import graft.operators.{Dedup => D, TextAnalysis => TA}
       val ratios = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
-      def rowR(name: String, f1: => Long, f10: => Long): Unit = {
-        f1
+      // ONE helper (the rowFirstRun caveat applied uniformly): warm on
+      // a cheap slice where given, FULL-run both timed cells, and
+      // release ledgered operator-internal persists between every cell
+      // — a warmed re-run of a persisting operator (d21's tf frames,
+      // t38's GlobalIds ranks) would otherwise measure cache READS in
+      // the 1× cell and inflate the published slope. releaseAll drops
+      // only CacheLedger entries, never this report's shared .cache()d
+      // inputs (docs/li/emb), so the surrounding sections are unharmed.
+      def rowR(name: String, f1: => Long, f10: => Long,
+               warm: () => Long = null): Unit = {
+        if (warm != null) warm() else f1
+        graft.core.Caching.CacheLedger.releaseAll()
         val t1 = time(f1)
+        graft.core.Caching.CacheLedger.releaseAll()
         val t10 = time(f10)
+        graft.core.Caching.CacheLedger.releaseAll()
         ratios(name) = (t1, t10)
         sb.append(f"| $name | $t1%.2f s | $t10%.2f s | ${t10 / t1}%.1f× |\n")
       }
-      def rowFirstR(name: String, warm: => Long, f1: => Long, f10: => Long): Unit = {
-        warm
-        val t1 = time(f1)
-        val t10 = time(f10)
-        ratios(name) = (t1, t10)
-        sb.append(f"| $name | $t1%.2f s | $t10%.2f s | ${t10 / t1}%.1f× |\n")
-      }
+      def rowFirstR(name: String, warm: => Long, f1: => Long, f10: => Long): Unit =
+        rowR(name, f1, f10, warm = () => warm)
       val docsS10 = docs10.withColumn("source",
         concat(lit("s"), col("doc_id") % 5))
       rowFirstR("prefix-join exact Jaccard (d20 shape)",
