@@ -1176,34 +1176,56 @@ object Dedup {
         .select(col("id_a"), col("id_b")))
       .persistLedgered()
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    val perPlan = plans.map { case (b, r) =>
-      // per-band keys are a scan-local explode of the cached
-      // signature: md5 over the lane-ordered slice (sig is already in
-      // lane order, so slice order IS h order)
-      val bandStructs = (0 until b).map { band =>
-        s"named_struct('band', $band, 'bkey', md5(array_join(transform(" +
+    // ONE candidate pass for ALL plans (round 9 — previously each plan
+    // ran its own self-join + distinct + three scalar aggregates,
+    // three sequential legs that made d19 the bench's #1 heavy at
+    // 30.6 s): every plan's band keys explode in a single scan of the
+    // cached signature — `bands` alone identifies the plan, since
+    // bands·rowsPerBand = numHashes forces distinct bands per plan —
+    // so the candidate self-join keys on (bands, band, bkey) and ONE
+    // shuffle carries what was previously |plans| shuffles. Per-band
+    // keys stay scan-local: md5 over the lane-ordered slice (sig is
+    // already in lane order, so slice order IS h order).
+    val allBandStructs = plans.flatMap { case (b, r) =>
+      (0 until b).map { band =>
+        s"named_struct('bands', $b, 'band', $band, " +
+          s"'bkey', md5(array_join(transform(" +
           s"slice(sig, ${band * r + 1}, $r), x -> cast(x as string)), ',')))"
-      }.mkString(", ")
-      val bkey = sig
-        .select(col("id"), explode(expr(s"array($bandStructs)")).as("bb"))
-        .select(col("id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-      val cand = bkey.as("a")
-        .join(bkey.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-            col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .distinct()
-        .persistLedgered()
-      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
-      val nTrue = cand.join(exact, Seq("id_a", "id_b"))
-        .agg(count(lit(1)).as("n_true"))
-      // three 1-row aggregates — broadcast-scalar crossJoins, no data
-      // volume
-      nCand.crossJoin(nTrue).crossJoin(nExact)
-        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
-          col("n_candidates"), col("n_true"), col("n_exact"))
-    }.reduce(_ unionByName _)
-    perPlan
+      }
+    }.mkString(", ")
+    val bkey = sig
+      .select(col("id"), explode(expr(s"array($allBandStructs)")).as("bb"))
+      .select(col("bb.bands").as("bands"), col("bb.band").as("band"),
+        col("bb.bkey").as("bkey"), col("id"))
+    val cand = bkey.as("a")
+      .join(bkey.as("b"),
+        col("a.bands") === col("b.bands") && col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))
+      .select(col("a.bands").as("bands"),
+        col("a.id").as("id_a"), col("b.id").as("id_b"))
+      // one distinct per (plan, pair) — a pair caught by several bands
+      // of the same plan is one candidate
+      .distinct()
+    // truth flag via broadcast left join (the exact pair set is
+    // model-sized next to the candidate volume), then ONE closing
+    // groupBy(bands) replaces the former 9 scalar aggregates; cand has
+    // a single consumer now, so no persist
+    val perPlan = cand
+      .join(broadcast(exact.withColumn("is_true", lit(1L))),
+        Seq("id_a", "id_b"), "left")
+      .groupBy(col("bands"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(coalesce(col("is_true"), lit(0L))).as("n_true"))
+    // a plan with ZERO candidates must still emit its row — rebuild
+    // the plan list as a 3-row literal frame and left-join the counts
+    val spark = docs.sparkSession
+    import spark.implicits._
+    plans.toDF("bands", "rows_per_band")
+      .join(perPlan, Seq("bands"), "left")
+      .na.fill(0L, Seq("n_candidates", "n_true"))
+      .crossJoin(nExact) // 1-row broadcast scalar
+      .select(col("bands"), col("rows_per_band"),
+        col("n_candidates"), col("n_true"), col("n_exact"))
       .withColumn("recall",
         when(col("n_exact") === 0, lit(null).cast("double"))
           .otherwise(round(

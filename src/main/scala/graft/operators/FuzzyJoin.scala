@@ -93,8 +93,18 @@ object FuzzyJoin {
           .filter(col("l.__id") < col("r.__id"))
           .select(col("l.__id").as("ida"), col("r.__id").as("idb"))
     }).distinct()
-    cand
-      .join(base.select(col("__id").as("ida"), col("__s").as("sa")), Seq("ida"))
+    // The string-back joins broadcast the CANDIDATE side explicitly
+    // (round-8 advice #4: left to AQE's size estimate, the same commit
+    // executed broadcast-free on one host and with an 11 MB shuffle on
+    // the other — a threshold boundary picking differently; the hint
+    // pins the scale-relevant plan). Broadcasting cand — not base — is
+    // the posture that survives scale-up: the candidate set is bounded
+    // by near-duplicate density + hash collisions, while base is the
+    // corpus-sized projection. Each join's left side is
+    // candidate-sized (ida resolves to exactly one base row).
+    broadcast(broadcast(cand)
+        .join(base.select(col("__id").as("ida"), col("__s").as("sa")),
+          Seq("ida")))
       .join(base.select(col("__id").as("idb"), col("__s").as("sb")), Seq("idb"))
       .withColumn("dist",
         org.apache.spark.sql.functions.levenshtein(col("sa"), col("sb"))

@@ -77,10 +77,21 @@ object IndexStore {
   /** The SHARED (cross-JVM, non-pid-tagged) artifact root: unlike
     * GraphCache's per-JVM trees, an index artifact's whole point is to
     * OUTLIVE the JVM that trained it — the next serving process loads
-    * it instead of retraining. Override with GRAFT_INDEX_STORE. */
+    * it instead of retraining. Override with GRAFT_INDEX_STORE.
+    *
+    * The default root is PER-USER (`graft_index_store_<user>` under
+    * java.io.tmpdir): a fixed world-shared /tmp path would let another
+    * user pre-create the root (degrading every publish to in-memory
+    * retraining) or plant a poisoned model artifact that later JVMs
+    * trust and serve. Cross-JVM sharing within one user — the actual
+    * train-once-serve-many contract — is unaffected; cross-USER
+    * sharing opts in explicitly via GRAFT_INDEX_STORE on a volume
+    * whose permissions the operator controls. */
   def publishRoot: java.nio.file.Path = java.nio.file.Paths.get(
     sys.env.getOrElse("GRAFT_INDEX_STORE",
-      System.getProperty("java.io.tmpdir") + "/graft_index_store"))
+      System.getProperty("java.io.tmpdir") + "/graft_index_store_" +
+        System.getProperty("user.name", "anon")
+          .replaceAll("[^A-Za-z0-9._-]+", "_")))
 
   /** Deterministic artifact path for (key) under [[publishRoot]] —
     * version the key with the model parameters so a parameter change
@@ -104,10 +115,27 @@ object IndexStore {
                         (train: => ProductQuantizer.IvfPqModel)
       : ProductQuantizer.IvfPqModel = {
     val p = java.nio.file.Paths.get(path)
+    // A load failure must only DELETE the shared artifact when the
+    // artifact itself is bad (corrupt/partial/version-skewed tree) —
+    // deleting on ANY exception would let a transient failure in one
+    // process (interrupted job, fs hiccup, executor OOM) yank the
+    // artifact out from under a concurrent reader in another JVM.
+    // Corruption signatures: the require() guards (dense ids, one
+    // params row) and Spark's analysis errors (missing subdir, schema
+    // mismatch). Fatal errors (OOM) and interrupts propagate via
+    // NonFatal; other non-fatal load errors retrain WITHOUT deleting.
+    def isCorrupt(e: Throwable): Boolean = e match {
+      case _: IllegalArgumentException => true // require() guards
+      case _: org.apache.spark.sql.AnalysisException => true
+      case _ => e.getCause != null && e.getCause.ne(e) && isCorrupt(e.getCause)
+    }
     def tryLoad(): Option[ProductQuantizer.IvfPqModel] =
       if (!java.nio.file.Files.isDirectory(p)) None
       else try Some(loadIvfPq(spark, path))
-      catch { case _: Throwable => deleteTree(p); None }
+      catch {
+        case e if isCorrupt(e) => deleteTree(p); None
+        case scala.util.control.NonFatal(_) => None // transient: keep tree
+      }
     tryLoad().getOrElse {
       val model = train
       val tmp = p.resolveSibling(

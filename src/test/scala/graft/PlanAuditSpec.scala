@@ -192,6 +192,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"deletion-key blocking degenerated to n²:\n$p")
   }
 
+  test("q33: string-back joins broadcast the candidate side (pinned plan)") {
+    // round-8 forensics showed the same commit executing broadcast-free
+    // on one host and with an 11 MB shuffle join on the other. Root
+    // cause: q33 SERVES from the GraphCache artifact, so its fuzzy-join
+    // plan only executes inside the artifact BUILD — whichever of
+    // q33/q40 runs first in the (shuffled) bench order pays it, and the
+    // two hosts ran different orders. The explicit broadcast() hints in
+    // FuzzyJoin pin the BUILD plan, asserted here on the operator
+    // directly (the registered query's own plan is just an artifact
+    // scan).
+    import org.apache.spark.sql.functions.col
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_name"))
+    val p = graft.operators.FuzzyJoin
+      .levenshtein1SelfJoin(cust, "c_custkey", "c_name")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast back-joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the candidate-side back-join must never shuffle the corpus:\n$p")
+  }
+
   test("t28: MAD median tables broadcast back onto the scan") {
     val p = plan("t28_outliers")
     assert(p.contains("BroadcastHashJoin"),
