@@ -47,7 +47,15 @@ final class BenchQueryListener extends SparkListener {
 
   override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = {
     windowStages.add(e.stageInfo.stageId)
-    stageName.put(e.stageInfo.stageId, e.stageInfo.name)
+    // stageInfo.name's callsite is often a thread-pool frame (broadcast
+    // exchanges submit from withThreadLocalCaptured); the first graft.*
+    // frame in the long-form callstack names the actual operator
+    val graftFrame = e.stageInfo.details.linesIterator
+      .find(l => l.contains("graft.") && !l.contains("graft.Bench") &&
+        !l.contains("BenchQueryListener"))
+      .map(_.trim)
+    stageName.put(e.stageInfo.stageId,
+      graftFrame.getOrElse(e.stageInfo.name))
   }
 
   override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
@@ -395,13 +403,17 @@ object Bench {
         if (cal1 > 0) calN / cal1 else 0.0)
     val artifact = line.dropRight(1) +
       s""","seed":$sjson,"order":$ojson,"host":$hostJson,"health":$hjson}"""
-    if (only.isEmpty)
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(
-          sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"),
-          "bench_metrics.json"), artifact + "\n")
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] could not write bench_metrics.json: $e") }
+    // a BENCH_ONLY profiling run writes its forensics to a SEPARATE
+    // file — the stage-attributed health json is the whole point of a
+    // profiling run, but it must never clobber the full-run artifact
+    val artifactFile =
+      if (only.isEmpty) "bench_metrics.json" else "bench_metrics_only.json"
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"),
+        artifactFile), artifact + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $artifactFile: $e") }
     spark.stop()
   }
 }

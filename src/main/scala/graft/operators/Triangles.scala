@@ -3,7 +3,6 @@ package graft.operators
 import graft.core.Caching.LedgerOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed triangle counting — the cohesion signal behind g03's
   * co-purchase query, shaped for graphs that don't fit one machine.
@@ -12,10 +11,13 @@ import org.apache.spark.storage.StorageLevel
   * cf. Suri & Vassilvitskii "Counting Triangles and the Curse of the
   * Last Reducer", WWW'11):
   *
-  *  1. Rank every vertex by (degree, id) — a TOTAL order — using the
-  *     two-level [[GlobalIds.assignBy]] rank (no single-task window).
-  *  2. Orient each undirected edge from lower rank to higher rank.
-  *     Every triangle then has exactly ONE source vertex (its rank
+  *  1. Order every vertex by (degree, id) — a TOTAL order. No dense
+  *     rank is materialized (round 9 — a GlobalIds pass + a final
+  *     rank→id back-join used to cost ~2 s of the build): orientation
+  *     only needs the COMPARISON, so the degree join carries (d, id)
+  *     pairs and the edge orients in place.
+  *  2. Orient each undirected edge from lower to higher (degree, id).
+  *     Every triangle then has exactly ONE source vertex (its order
   *     minimum), so each is enumerated once, never three times; and
   *     out-degrees are bounded by O(√m) on arbitrary graphs — the hot
   *     celebrity node that breaks id-ordered orientation at web scale
@@ -25,35 +27,41 @@ import org.apache.spark.storage.StorageLevel
   *
   * The closing-edge test is the whole cost. Two physical paths:
   *
-  *  - |E| ≤ `maxBroadcastEdges`: pack each directed edge into one long
-  *    (u·2³² + w over the dense 0-based ranks), broadcast the SORTED
-  *    long array (8 B/edge — 10M edges = 80 MB, the same budget class
-  *    as a broadcast-hash join side), and probe it with binary search
-  *    INSIDE the wedge loop. The ~d² wedge stream per vertex is never
-  *    materialized, never shuffled — only actual triangles leave the
-  *    task. At sf0.1 the co-purchase graph generates 83M wedges; as
-  *    shuffle rows they cost ~26 s, as in-memory probes ~2 s.
-  *  - larger |E|: the three-way self-join in rank space (each leg
-  *    shuffles on a key, AQE handles skew). Same output, no broadcast
-  *    assumption — the 1000-executor fallback for graphs whose edge
-  *    list outgrows a broadcast.
+  *  - |E| ≤ `maxBroadcastEdges` AND ids < 2³²: pack each directed edge
+  *    into one long (u·2³² + w over the ORIGINAL ids), broadcast the
+  *    SORTED long array (8 B/edge — 10M edges = 80 MB, the same budget
+  *    class as a broadcast-hash join side). The sorted array IS a CSR:
+  *    v's out-neighbors are the contiguous range [v·2³², (v+1)·2³²),
+  *    so each wedge base (u, v) closes ALL its wedges with one range
+  *    lookup + a linear merge of u's remaining list against N⁺(v) —
+  *    O(d_u + d_v) per directed edge, sequential access (round 9:
+  *    replaced a per-wedge binary search of log m random probes). The
+  *    ~d² wedge stream per vertex is never materialized, never
+  *    shuffled — only actual triangles leave the task.
+  *  - larger |E| (or ids ≥ 2³²): the three-way self-join in oriented
+  *    edge space (each leg shuffles on a key, AQE handles skew). Same
+  *    output, no broadcast assumption — the 1000-executor fallback for
+  *    graphs whose edge list outgrows a broadcast.
   *
   * Degree-orientation measured at sf0.1: 99.7M wedges under id order
   * vs 83.4M under degree order — only 16% here because the co-purchase
   * graph is near-regular (degrees 38–222), but on power-law graphs the
   * gap is the difference between O(m^1.5) and the last reducer never
-  * finishing; the ordering costs two |V|-bounded joins, so it's kept.
+  * finishing; the ordering costs one |V|-bounded join, so it's kept.
   *
-  * Cache lifetime: `rank` and `dir` persist MEMORY_AND_DISK for the
-  * duration of the returned (lazy) plan; single-query callers (Bench,
-  * Verify) clear the cache after consuming the action.
+  * Cache lifetime: `deg` (|V|-bounded, two orient-join legs) — plus
+  * the oriented edge frame on the self-join path (three legs) —
+  * persist MEMORY_AND_DISK for the duration of the returned (lazy)
+  * plan; single-query callers (Bench, Verify) clear the cache after
+  * consuming the action. On the broadcast path the oriented frame has
+  * exactly one consumer and is never persisted.
   *
   * Input: undirected edges as distinct (aCol, bCol) pairs, integral
   * node ids. Output: (node, n_triangles) for every node in ≥1 triangle.
   */
 object Triangles {
 
-  private val Pack = 4294967296L // 2^32: ranks are dense 0-based longs
+  private val Pack = 4294967296L // 2^32
 
   def perNodeCounts(edges: DataFrame, aCol: String, bCol: String,
                     maxBroadcastEdges: Long = 10000000L): DataFrame = {
@@ -61,57 +69,93 @@ object Triangles {
     import spark.implicits._
     val e = edges.select(col(aCol).cast("long").as("a"),
       col(bCol).cast("long").as("b"))
-    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+    // |E| and the id bound (packing needs ids < 2³²) read straight off
+    // the INPUT edge frame — when the edge list is a parquet artifact
+    // (the GraphCache shape) this is a cheap columnar scan, and it
+    // saves materializing the oriented frame just to count it
+    val stats = e.agg(count(lit(1)),
+      max(greatest(col("a"), col("b"))), min(least(col("a"), col("b"))))
+      .collect()(0)
+    val m = stats.getLong(0)
+    val maxId = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    val minId = if (stats.isNullAt(2)) 0L else stats.getLong(2)
+    lazy val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
-    // (degree, id) is a total order over vertices; ranks are dense and
-    // 0-based, so a rank pair packs into one long
-    val rank = GlobalIds.assignBy(deg, Seq(col("d"), col("v")))
-      .select(col("v"), col("global_id").as("r"))
+      // |V|-bounded; consumed by BOTH orient-join legs — unpersisted,
+      // each leg would recompute the degree aggregate over 2|E| rows
       .persistLedgered()
-    val dir = e
-      .join(rank.select(col("v").as("a"), col("r").as("ra")), "a")
-      .join(rank.select(col("v").as("b"), col("r").as("rb")), "b")
-      .select(least(col("ra"), col("rb")).as("u"),
-        greatest(col("ra"), col("rb")).as("w"))
-      .persistLedgered()
-    val m = dir.count()
+    // orient in place by the (degree, id) total order — the join is
+    // |V|-bounded per side (broadcast below AQE's threshold, shuffle
+    // join above it; both scale)
+    lazy val dirE = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("w")))
+          .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"))
     val corners: DataFrame =
-      if (m <= maxBroadcastEdges) {
-        val packed = dir.select((col("u") * Pack + col("w")).as("p"))
+      if (m <= maxBroadcastEdges && maxId < Pack && minId >= 0) {
+        // the probe set is packed ID-CANONICALLY (min id · 2³² + max
+        // id), NOT in orientation direction: u's out-list below is in
+        // id order while edges are (d, id)-oriented, so a wedge pair
+        // (v, w) with id_v < id_w may have its closing edge stored as
+        // w→v — canonical packing makes presence direction-free and
+        // keeps the CSR range/merge walk valid (probes are generated
+        // in (v, ascending w) order). Collected from the INPUT frame
+        // (orientation can't change edge identity), so the oriented
+        // join feeds exactly ONE consumer — the out-list aggregate —
+        // and needs no persist.
+        val packed = e.select(
+          (least(col("a"), col("b")) * Pack +
+            greatest(col("a"), col("b"))).as("p"))
           .as[Long].collect()
         java.util.Arrays.sort(packed)
         val bc = spark.sparkContext.broadcast(packed)
-        dir.groupBy(col("u"))
+        def lowerBound(a: Array[Long], key: Long): Int = {
+          val s = java.util.Arrays.binarySearch(a, key)
+          if (s >= 0) s else -s - 1
+        }
+        dirE.groupBy(col("u"))
           .agg(sort_array(collect_list(col("w"))).as("ns"))
           .as[(Long, Seq[Long])]
           .flatMap { case (u, ns) =>
-            // ns ascending = rank order, so pairs (i < j) are already
-            // oriented low→high and probe as packed directed edges
+            // ns ascending (id order): each unordered pair {v, w} ⊆ ns
+            // appears once as (i < j), and its canonical probe key is
+            // ns(i)·2³² + ns(j) since ns(i) < ns(j)
             val arr = ns.toArray
+            val es = bc.value
             val out = scala.collection.mutable.ArrayBuffer[Long]()
             var i = 0
             while (i < arr.length - 1) {
+              val v = arr(i)
+              var lo = lowerBound(es, v * Pack)
+              val hi = lowerBound(es, (v + 1) * Pack)
               var j = i + 1
-              while (j < arr.length) {
-                if (java.util.Arrays.binarySearch(
-                    bc.value, arr(i) * Pack + arr(j)) >= 0) {
-                  out += u; out += arr(i); out += arr(j)
-                }
-                j += 1
+              while (j < arr.length && lo < hi) {
+                val pw = es(lo) - v * Pack
+                if (pw < arr(j)) lo += 1
+                else if (pw > arr(j)) j += 1
+                else { out += u; out += v; out += arr(j); lo += 1; j += 1 }
               }
               i += 1
             }
             out
-          }.toDF("r")
+          }.toDF("node")
       } else {
-        dir.as("e1").join(dir.as("e2"), col("e1.w") === col("e2.u"))
-          .join(dir.as("e3"),
+        // three self-join legs read the oriented frame — persist it
+        // here (the broadcast path has exactly one consumer and skips
+        // the persist)
+        val de = dirE.persistLedgered()
+        de.as("e1").join(de.as("e2"), col("e1.w") === col("e2.u"))
+          .join(de.as("e3"),
             col("e1.u") === col("e3.u") && col("e2.w") === col("e3.w"))
           .select(explode(array(col("e1.u"), col("e1.w"), col("e2.w")))
-            .as("r"))
+            .as("node"))
       }
-    corners.groupBy(col("r")).agg(count(lit(1)).as("n_triangles"))
-      .join(rank, Seq("r"))
-      .select(col("v").as("node"), col("n_triangles"))
+    corners.groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 }

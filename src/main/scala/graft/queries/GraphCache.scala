@@ -115,12 +115,23 @@ object GraphCache {
     * self-join so the quadratic fan-out shrinks at the source. */
   def coPurchaseWeights(spark: SparkSession, dir: String): DataFrame =
     artifact(spark, s"copurchase_w|$dir") {
-      val li = lineitem(spark, dir)
+      // per-order pair fan-out happens SCAN-SIDE from the order's
+      // sorted part list (round 9 — previously a self-join on
+      // l_orderkey: one extra shuffle plus the join machinery for the
+      // same ≤ C(7,2) pairs per order; the order-line cap bounds the
+      // explode exactly like it bounded the join). sort_array gives
+      // a < b for free; one groupBy(ok) + one groupBy(a, b).
+      lineitem(spark, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      li.as("x").join(li.as("y"),
-          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-        .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+        // collect_set IS the per-order line dedup — the previous
+        // .distinct() pre-shuffle is subsumed by the same groupBy
+        .groupBy(col("ok"))
+        .agg(sort_array(collect_set(col("pk"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)), y ->
+            |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("n_orders"))
     }
 

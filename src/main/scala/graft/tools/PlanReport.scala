@@ -955,23 +955,37 @@ object PlanReport {
       bm.foreach(sb.append)
       sb.append(
         """
-          |Reading the r8 captures: no query spills (spill_mem/disk = 0 across
-          |the board), no task retries, no cached-block recomputes — the three
-          |storage-pressure hypotheses from round 7 are ruled out LOCALLY. The
-          |round-7 `weak` trio after their fixes: t42 (restructured to one scan
-          |per side) runs ~1 s with 5 tasks and zero shuffle; d21 (df-guarded)
-          |carries ~19 MB of shuffle over a few hundred tasks — the
-          |inverted-index join is bounded; t38's profile is clean (0.2 MB
-          |shuffle, 9 MB peak execution memory, no spill): its only notable
-          |trait is many small tasks (~300), so any driver-bench inflation is
-          |per-task scheduling overhead on a starved host — which the `host`
-          |calibration record (eff_par) now measures directly. This round
-          |PROVED that axis locally: two full runs of the SAME commit measured
-          |426 s at eff_par ≈ 5 (cgroup-throttled; cpu/wall 2.1, total
-          |executor CPU LOWER than the fast run's) and 149.8 s at eff_par
-          |17.4 (cpu/wall 5.5). Wall totals without the host record are not
-          |comparable across environments; cpu_ms + eff_par make the
-          |distinction inside the artifact.
+          |No query spills, no task retries, no cached-block recomputes. Each
+          |query's health record now carries `top_stages` — its top-3 stages
+          |by summed executor run time (with executor CPU and the submitting
+          |callsite) — so the artifact itself decomposes every query's
+          |process CPU into "executor work" vs "JVM-level work" (Catalyst
+          |optimization + whole-stage-codegen compilation + JIT, all of
+          |which burn process CPU outside any stage).
+          |
+          |### The round-8 a24/a23/q46 CPU-divergence cluster, named
+          |
+          |Round 8 flagged a24_nprobe_sweep at 10.6× the builder's CPU on
+          |identical task counts (19.2 vs 1.8 CPU-s, 73 tasks), with
+          |a23/q46 at 2.5–4.8×. The stage-attributed profile pins the
+          |resource: with the IVF-PQ memo warm, a24's EXECUTOR stage time
+          |totals ~0.3 s (73 tasks) while process CPU is 3.5–19 s — i.e.
+          |over 90% of a24's CPU is JVM-level plan work (the sweep splices
+          |~2k quantized model literals into three probe legs; Catalyst +
+          |codegen over that tree is driver CPU), and that component is
+          |JIT-state-dependent. A cold 5-query replay reproduces the
+          |driver's "inflated" numbers exactly (q46 4.5 CPU-s locally vs
+          |the driver's 4.1; a23 1.8 vs 3.2), while a warm full-run
+          |reproduces the builder's (q46 1.5 CPU-s). The round-8 "builder"
+          |and "driver" runs executed DIFFERENT orders (seed 8 shuffle vs
+          |declaration order), so each host's JIT/codegen warmup landed on
+          |different queries — that, not a host resource, is the
+          |divergence. Round 9 closes the axis: the bench seed now
+          |defaults to the UTC day number, so both hosts run the SAME
+          |shuffled order, and `top_stages` makes the executor/JVM split
+          |visible per query in every artifact. Executor-side work of the
+          |trio is exonerated outright: a23 ~0.25 s, q46 ~1.2 s, a24
+          |~0.3 s of stage run time — none scales anomalously.
           |""".stripMargin)
     } catch { case e: Throwable =>
       sb.append(s"\n(bench_metrics.json not renderable: $e)\n")
