@@ -138,33 +138,99 @@ object IndexStore {
       }
     tryLoad().getOrElse {
       val model = train
-      val tmp = p.resolveSibling(
-        p.getFileName.toString + s".tmp.${ProcessHandle.current().pid()}")
-      deleteTree(tmp)
-      // sweep dead publishers' orphaned .tmp trees (same-dir, best-effort)
-      try {
-        import scala.jdk.CollectionConverters._
-        val parent = p.getParent
-        if (parent != null && java.nio.file.Files.isDirectory(parent))
-          java.nio.file.Files.list(parent).iterator().asScala.toSeq
-            .filter { d =>
-              val n = d.getFileName.toString
-              n.startsWith(p.getFileName.toString + ".tmp.") &&
-                n.substring(n.lastIndexOf('.') + 1).toLongOption.exists(
-                  pid => try !ProcessHandle.of(pid).isPresent
-                         catch { case _: Throwable => false })
-            }.foreach(deleteTree)
-      } catch { case _: Throwable => () }
-      // the publish is BEST-EFFORT end to end: a store that cannot be
-      // written (read-only volume, foreign-owned root, disk full) must
-      // degrade to serving the freshly trained in-memory model, never
-      // fail the query — the save AND the rename sit inside the guard
-      try {
-        saveIvfPq(spark, model, tmp.toString)
-        java.nio.file.Files.move(tmp, p,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      } catch { case _: Throwable => deleteTree(tmp) } // lost race / bad fs
+      publishAtomically(path)(tmp => saveIvfPq(spark, model, tmp))
       tryLoad().getOrElse(model) // unpublishable store: serve the trained one
+    }
+  }
+
+  /** Atomic cross-JVM publish of an arbitrary artifact directory: the
+    * writer fills a pid-tagged sibling, then renames into place — the
+    * same crash/race discipline as [[loadOrPublishIvfPq]] (a JVM killed
+    * mid-write leaves only a swept `.tmp.` sibling; a lost race
+    * deletes its copy and the caller reads the winner's). Best-effort:
+    * a read-only store degrades silently; callers always re-read the
+    * destination and fall back if absent. */
+  def publishAtomically(path: String)(write: String => Unit): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    val tmp = p.resolveSibling(
+      p.getFileName.toString + s".tmp.${ProcessHandle.current().pid()}")
+    deleteTree(tmp)
+    // sweep dead publishers' orphaned .tmp trees (same-dir, best-effort)
+    try {
+      import scala.jdk.CollectionConverters._
+      val parent = p.getParent
+      if (parent != null && java.nio.file.Files.isDirectory(parent))
+        java.nio.file.Files.list(parent).iterator().asScala.toSeq
+          .filter { d =>
+            val n = d.getFileName.toString
+            n.startsWith(p.getFileName.toString + ".tmp.") &&
+              n.substring(n.lastIndexOf('.') + 1).toLongOption.exists(
+                pid => try !ProcessHandle.of(pid).isPresent
+                       catch { case _: Throwable => false })
+          }.foreach(deleteTree)
+    } catch { case _: Throwable => () }
+    // BEST-EFFORT end to end: a store that cannot be written
+    // (read-only volume, foreign-owned root, disk full) must degrade
+    // to the caller's in-memory fallback, never fail the query — the
+    // write AND the rename sit inside the guard
+    try {
+      write(tmp.toString)
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case _: Throwable => deleteTree(tmp) } // lost race / bad fs
+  }
+
+  /** Load the POSTINGS artifact (the encoded corpus: one (id, cluster,
+    * codes) row per vector — [[ProductQuantizer.encodeIvfPqPostings]])
+    * at `path`, building and publishing it atomically if absent. The
+    * postings are corpus-sized, so unlike the model artifact they are
+    * written PARTITIONED (no coalesce) — at scale this is the posting
+    * file a vector store keeps next to its index snapshot. */
+  def loadOrPublishPostings(spark: SparkSession, path: String)
+                           (build: => DataFrame): DataFrame = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(p)) {
+      publishAtomically(path) { tmp =>
+        build.write.mode("overwrite").parquet(tmp)
+      }
+    }
+    if (java.nio.file.Files.isDirectory(p)) spark.read.parquet(path)
+    else build // unpublishable store: serve the in-memory frame
+  }
+
+  /** Index COMPACTION — the lifecycle's background GC: when the
+    * tombstoned fraction of the postings at `basePath` is at least
+    * `threshold`, rewrite them WITHOUT the dead ids and publish under
+    * the compaction-tagged `compactPath`; below the threshold (or when
+    * the compact artifact already exists) nothing is rewritten.
+    * Query-time masking (a39) stays the hot path between compactions —
+    * this only reclaims storage and candidate-scan width. Returns the
+    * postings frame to serve from (compacted when triggered, else the
+    * tombstone-masked base) — by per-vector independence of
+    * assignment/encoding, serving from compacted postings is EXACTLY
+    * equivalent to masking the base store at query time (the a40
+    * oracle row hash-proves it against the masked replay). */
+  def compactPostings(spark: SparkSession, basePath: String,
+                      compactPath: String,
+                      tombstone: org.apache.spark.sql.Column,
+                      threshold: Double): (DataFrame, Boolean) = {
+    val base = spark.read.parquet(basePath)
+    val cp = java.nio.file.Paths.get(compactPath)
+    if (java.nio.file.Files.isDirectory(cp))
+      return (spark.read.parquet(compactPath), true)
+    val counts = base.agg(count(lit(1)),
+      sum(when(tombstone, 1L).otherwise(0L))).collect()(0)
+    val n = counts.getLong(0)
+    val dead = counts.getLong(1)
+    if (n == 0 || dead.toDouble / n < threshold)
+      (base.filter(!tombstone), false)
+    else {
+      publishAtomically(compactPath) { tmp =>
+        base.filter(!tombstone).write.mode("overwrite").parquet(tmp)
+      }
+      if (java.nio.file.Files.isDirectory(cp))
+        (spark.read.parquet(compactPath), true)
+      else (base.filter(!tombstone), false) // read-only store: mask only
     }
   }
 

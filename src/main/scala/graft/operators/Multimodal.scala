@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   * envelope. COMPRESSED sample decode is real for IMA/DVI ADPCM
   * (format tag 0x11, 4-bit — complete public formula + two small
   * fixed tables, pinned against an independent reference decoder in
-  * MultimodalSpec); MP3/AAC/H.264 sample decode still falls to the
+  * MultimodalSpec) AND for FLAC (round 9 — [[FlacCodec]], the full
+  * bitstream: fixed/LPC prediction, partitioned Rice, CRC-8/16,
+  * STREAMINFO MD5; no external tables exist to obtain, the stream is
+  * self-describing); MP3/AAC/H.264 sample decode still falls to the
   * marked stubs (their Huffman/IMDCT table data is unobtainable
   * offline), though their FRAMING walks in [[CodecMeta]] are real.
   *
@@ -133,9 +136,10 @@ object Multimodal {
       p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
       p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
 
-  /** Deterministic stand-in for compressed audio codecs (MP3/FLAC/OGG)
-    * the container lacks — marked STUB, mirrors [[decodeImageStub]]:
-    * degrade, never fail the batch. */
+  /** Deterministic stand-in for the compressed audio codecs that
+    * remain undecodable offline (MP3/OGG — external Huffman/IMDCT
+    * table data; FLAC and ADPCM are REAL now) — marked STUB, mirrors
+    * [[decodeImageStub]]: degrade, never fail the batch. */
   def decodeAudioStub(r: MediaRow): DecodedAudio = {
     val p = r.payload
     if (p == null || p.length < 8)
@@ -161,6 +165,46 @@ object Multimodal {
     * malformed payloads fall back to [[decodeAudioStub]]. */
   def decodeAudio(r: MediaRow): DecodedAudio = {
     val p = r.payload
+    // REAL FLAC decode (round 9): "fLaC" magic routes to the full
+    // bitstream decoder ([[FlacCodec]] — fixed/LPC prediction,
+    // partitioned Rice, CRC-verified); stats then follow the same
+    // conventions as the PCM path. A malformed/corrupt stream degrades
+    // to the stub like every other path here — never fails the batch.
+    if (p != null && p.length >= 4 &&
+        p(0) == 'f' && p(1) == 'L' && p(2) == 'a' && p(3) == 'C') {
+      try {
+        val f = FlacCodec.decode(p)
+        val nFrames = if (f.samples.isEmpty) 0L else f.samples(0).length.toLong
+        val fullScale = math.pow(2.0, f.bps - 1)
+        var sumSq = 0.0
+        var peakAbs = 0L
+        val envSumSq = new Array[Double](16)
+        val envN = new Array[Long](16)
+        // frame-major walk (channels are stored planar in FlacAudio)
+        var fr = 0L
+        var n = 0L
+        while (fr < nFrames) {
+          val bin = if (nFrames == 0) 0 else math.min(15L, fr * 16 / nFrames).toInt
+          var c = 0
+          while (c < f.samples.length) {
+            val v = f.samples(c)(fr.toInt)
+            sumSq += v.toDouble * v
+            if (math.abs(v.toLong) > peakAbs) peakAbs = math.abs(v.toLong)
+            envSumSq(bin) += v.toDouble * v
+            envN(bin) += 1
+            n += 1
+            c += 1
+          }
+          fr += 1
+        }
+        val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n) / fullScale
+        val envelope = Array.tabulate(16)(b =>
+          if (envN(b) == 0) 0f else (math.sqrt(envSumSq(b) / envN(b)) / fullScale).toFloat)
+        return DecodedAudio(r.media_id, f.sampleRate, f.channels, f.bps,
+          nFrames, nFrames * 1000L / f.sampleRate, rms, peakAbs / fullScale,
+          envelope)
+      } catch { case scala.util.control.NonFatal(_) => return decodeAudioStub(r) }
+    }
     if (!looksLikeWav(p)) return decodeAudioStub(r)
     def u16(i: Int): Int = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
     def u32(i: Int): Long =

@@ -538,9 +538,24 @@ object ProductQuantizer {
                        idCol: String, vecCol: String, model: IvfPqModel,
                        nprobe: Int, shortlist: Int, topK: Int,
                        persistResid: Boolean = true,
-                       precomputedResid: Option[DataFrame] = None): DataFrame =
+                       precomputedResid: Option[DataFrame] = None,
+                       precomputedCodes: Option[DataFrame] = None): DataFrame =
     searchIvfPqSweepExact(queries, corpus, idCol, vecCol, model,
-      Seq(nprobe), shortlist, topK, persistResid, precomputedResid).drop("nprobe")
+      Seq(nprobe), shortlist, topK, persistResid, precomputedResid,
+      precomputedCodes).drop("nprobe")
+
+  /** The encoded-corpus POSTINGS of an IVF-PQ index: (id, cluster,
+    * codes) — one row per vector, the stored form a vector store
+    * persists next to the model (the [[graft.operators.IndexStore]]
+    * postings artifact). `resid` is the (id, cluster, rvq) residual
+    * frame of the corpus under THIS model's centroids (the trainer's —
+    * see [[fitIvfPqExactWithResid]]). Deterministic in (corpus,
+    * model), so a served search over stored postings is bit-identical
+    * to one that re-encodes ([[searchIvfPqSweepExact]] uses the exact
+    * same encode). */
+  def encodeIvfPqPostings(resid: DataFrame, model: IvfPqModel): DataFrame =
+    encodeExact(resid, "id", "rvq", model.booksQ, scale = 1L)
+      .join(resid.select(col("id"), col("cluster")), "id")
 
   /** [[searchIvfPqExact]] for SEVERAL nprobe values in one pass — the
     * recall-vs-cost dial readout an IVF index needs before its nprobe
@@ -554,7 +569,8 @@ object ProductQuantizer {
                             idCol: String, vecCol: String, model: IvfPqModel,
                             nprobes: Seq[Int], shortlist: Int, topK: Int,
                             persistResid: Boolean = true,
-                            precomputedResid: Option[DataFrame] = None)
+                            precomputedResid: Option[DataFrame] = None,
+                            precomputedCodes: Option[DataFrame] = None)
       : DataFrame = {
     val centsQ = model.centsQ
     val booksQ = model.booksQ
@@ -577,22 +593,29 @@ object ProductQuantizer {
     // RE-persisted here: if a cache clear evicted the trainer's
     // handle since, persist() re-registers it (idempotent when still
     // cached), so the two consumers below never double-compute.
-    val resid = precomputedResid match {
-      case Some(pr) =>
-        if (persistResid)
-          pr.persistLedgered()
-        else pr
-      case None =>
-        val residRaw = residualFrame(corpus, idCol, vecCol, centsQ, scale)
-        if (persistResid)
-          residRaw.persistLedgered()
-        else residRaw
+    // precomputedCodes (the SERVED-FROM-POSTINGS path — an IndexStore
+    // postings artifact, possibly compaction-filtered) skips the resid
+    // + encode passes entirely; its (id, cluster, codes) rows define
+    // the candidate set, so masked/compacted stores restrict the
+    // search by construction
+    val codesRaw = precomputedCodes.getOrElse {
+      val resid = precomputedResid match {
+        case Some(pr) =>
+          if (persistResid)
+            pr.persistLedgered()
+          else pr
+        case None =>
+          val residRaw = residualFrame(corpus, idCol, vecCol, centsQ, scale)
+          if (persistResid)
+            residRaw.persistLedgered()
+          else residRaw
+      }
+      encodeExact(resid, "id", "rvq", booksQ, scale = 1L)
+        .join(resid.select(col("id"), col("cluster")), "id")
     }
     // the encoded index is scanned once PER SWEEP LEG — persist it too
     // when there is more than one (lifetime: LRU / caller clearCache,
     // like every trained-index intermediate here)
-    val codesRaw = encodeExact(resid, "id", "rvq", booksQ, scale = 1L)
-      .join(resid.select(col("id"), col("cluster")), "id")
     val codes =
       if (nprobes.size > 1)
         codesRaw.persistLedgered()

@@ -531,7 +531,57 @@ object PipelineQueries {
     (id, dec.length.toLong, peak, energy)
   }
 
+  /** p37: REAL FLAC decode round-trip — the second fully-real
+    * compressed audio codec (after p36's ADPCM), and the one that
+    * retires the "compressed sample decode is stubbed" class for
+    * lossless audio: unlike MP3/OGG, FLAC needs no external tables
+    * (LPC + Rice coding are fully parameterized in the stream). Per
+    * selected document a mono clip derives from doc_id by pure integer
+    * arithmetic (triangle wave + small deterministic noise — shapes
+    * that exercise both the fixed-predictor and rice/escape paths),
+    * is encoded to a spec-valid FLAC stream and decoded back by the
+    * REAL bitstream decoder ([[graft.operators.FlacCodec]] — CRC-8/16
+    * verified, STREAMINFO MD5 checked), and the DECODED samples are
+    * summarized in exact integers. The oracle replays the sample
+    * formula in SQL: FLAC is lossless, so decoded ≡ formula is the
+    * whole-codec correctness check — any encoder or decoder defect
+    * breaks the hash. FlacCodecSpec additionally pins hand-assembled
+    * spec vectors (LPC, 5-bit rice, partitions, wasted bits) the
+    * encoder never emits. */
+  def flacDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir).filter(col("doc_id") % 25 === 7)
+      .select(col("doc_id")).as[Long]
+      .map(flacClipStats)
+      .toDF("doc_id", "sample_rate", "n_samples", "n_frames",
+        "peak_abs", "energy")
+      .orderBy(col("doc_id"))
+  }
+
+  /** p37's per-clip step: doc_id-derived samples → FLAC encode →
+    * REAL decode → exact-integer stats over the DECODED samples. */
+  private[graft] def flacClipStats(id: Long)
+      : (Long, Long, Long, Long, Long, Long) = {
+    val n = (64 + id % 64).toInt
+    val w = (20 + id % 30).toInt
+    val samples = Array.tabulate(n)(i =>
+      ((i % w) * 40 - 800) + (((id * 7 + i * 13) % 16).toInt - 8))
+    val rate = (8000 + (id % 8) * 1000).toInt
+    val bytes = graft.operators.FlacCodec.encode(
+      samples, rate, bps = 16, blockSize = 64)
+    val dec = graft.operators.FlacCodec.decode(bytes)
+    val out = dec.samples(0)
+    var peak = 0L; var energy = 0L
+    out.foreach { s =>
+      if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+      energy += s.toLong * s
+    }
+    (id, dec.sampleRate.toLong, out.length.toLong, dec.nFrames.toLong,
+      peak, energy)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p37_flac_decode"       -> flacDecode _,
     "p36_adpcm_decode"      -> adpcmDecode _,
     "p22_codec_meta"        -> codecMeta _,
     "p32_silence_segments"  -> silenceSegments _,
@@ -564,6 +614,24 @@ object PipelineQueries {
       .map { case (v, i) => s"($i,$v)" }.mkString(",")
 
   val oracles: Map[String, String] = Map(
+    // p37: the sample FORMULA is the oracle — FLAC is lossless, so the
+    // Spark side's decoded-sample stats must equal the formula's
+    // exactly; any defect in the encoder OR decoder (prediction, rice,
+    // bit packing, CRC, framing) surfaces as a hash mismatch
+    "p37_flac_decode" ->
+      """WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 7),
+        |s AS (SELECT doc_id, r.i AS i,
+        |    CAST(((r.i % (20 + doc_id % 30)) * 40 - 800)
+        |      + ((doc_id * 7 + r.i * 13) % 16 - 8) AS BIGINT) AS v
+        |  FROM docs, range(127) r(i)
+        |  WHERE r.i < 64 + doc_id % 64)
+        |SELECT doc_id,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
+        |  count(*) AS n_samples,
+        |  CAST((64 + doc_id % 64 + 63) // 64 AS BIGINT) AS n_frames,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+        |  CAST(sum(v * v) AS BIGINT) AS energy
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "p36_adpcm_decode" ->
       s"""WITH RECURSIVE docs AS (
         |  SELECT doc_id FROM documents WHERE doc_id % 25 = 0),

@@ -579,6 +579,49 @@ object Relational13 {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** a40: index COMPACTION — the lifecycle's background GC and its
+    * last missing verb (train → persist → serve cross-JVM → ingest →
+    * monitor → filter → delete → COMPACT): a39 masks tombstones at
+    * query time, and when the dead fraction crosses a threshold the
+    * store rewrites its postings without the dead ids and re-publishes
+    * under a compaction-tagged key — masking stays the hot path
+    * between compactions. Here the base postings (the encoded corpus,
+    * [[graft.operators.ProductQuantizer.encodeIvfPqPostings]]) publish
+    * under the recipe-tagged key, the a39 tombstone set (vec_id % 7 =
+    * 3, 14.3% dead > the 10% threshold) triggers the rewrite, and the
+    * search SERVES FROM THE COMPACTED ARTIFACT via the postings path
+    * (no re-encode). The oracle is the MASKED replay (a15's SQL with
+    * the tombstone predicate on the candidate join) — a hash match IS
+    * the proof that compacted-serve ≡ masked-serve (per-vector
+    * assignment/encoding independence makes them equal by
+    * construction; the row makes it checked, not assumed). Queries
+    * 18..22 (all live; disjoint from a15's 0..4, a37's 5..9, a39's
+    * 11..15). */
+  def a40IndexCompact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{IndexStore, ProductQuantizer}
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val (model, resid) = ModelCache.ivfPqIndex(spark, dir)
+    val basePath = IndexStore.publishPath(s"ivfpq_16-8-16-2_fit2x_post|$dir")
+    IndexStore.loadOrPublishPostings(spark, basePath) {
+      ProductQuantizer.encodeIvfPqPostings(resid, model)
+    }
+    val compactPath =
+      IndexStore.publishPath(s"ivfpq_16-8-16-2_fit2x_post_compact1|$dir")
+    val (served, _) = IndexStore.compactPostings(spark, basePath,
+      compactPath, col("id") % 7 === 3, threshold = 0.10)
+    a40Oracle = Some(CurationQueries.a15OracleSql(
+      model.centsQ, model.booksQ, subDim = 8,
+      queryPred = "vec_id BETWEEN 18 AND 22",
+      neighborPred = "a.vec_id % 7 <> 3"))
+    ProductQuantizer.searchIvfPqExact(
+        e.filter(col("vec_id").between(18, 22)), e, "vec_id", "embedding",
+        model, nprobe = 4, shortlist = 100, topK = 10,
+        precomputedCodes = Some(served))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  @volatile private var a40Oracle: Option[String] = None
+
   @volatile private var a39Oracle: Option[String] = None
 
   @volatile private var a37Oracle: Option[String] = None
@@ -622,6 +665,7 @@ object Relational13 {
     "a36_index_ingest"      -> a36IndexIngest _,
     "a37_index_serve"       -> a37IndexServe _,
     "a39_index_delete"      -> a39IndexDelete _,
+    "a40_index_compact"     -> a40IndexCompact _,
     "t45_burstiness"        -> t45Burstiness _,
     "t44_semantic_contam"   -> t44SemanticContam _,
     "p35_mixture_budget"    -> p35MixtureBudget _,
@@ -641,7 +685,8 @@ object Relational13 {
     staticOracles ++ g05Oracle.map("g05_kcore" -> _) ++
       a36Oracle.map("a36_index_ingest" -> _) ++
       a37Oracle.map("a37_index_serve" -> _) ++
-      a39Oracle.map("a39_index_delete" -> _)
+      a39Oracle.map("a39_index_delete" -> _) ++
+      a40Oracle.map("a40_index_compact" -> _)
 
   private val staticOracles: Map[String, String] = Map(
     "t45_burstiness" ->

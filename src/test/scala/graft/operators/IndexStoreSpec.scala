@@ -89,6 +89,53 @@ class IndexStoreSpec extends AnyFunSuite {
     graft.core.Caching.CacheLedger.releaseAll()
   }
 
+  test("compaction: key handoff, threshold gate, and masked ≡ compacted serve") {
+    val df = corpus
+    val model = ProductQuantizer.fitIvfPqExact(
+      df, "vec_id", "embedding", coarseK = 4, m = 4, k = 8, iterations = 3)
+    val root = java.nio.file.Files.createTempDirectory("ivfpq_compact")
+    val basePath = root.resolve("post").toString
+    val compactPath = root.resolve("post_compact1").toString
+    val resid = ProductQuantizer.fitIvfPqExactWithResid(
+      df, "vec_id", "embedding", coarseK = 4, m = 4, k = 8, iterations = 3)._2
+    val postings = IndexStore.loadOrPublishPostings(spark, basePath) {
+      ProductQuantizer.encodeIvfPqPostings(resid, model)
+    }
+    assert(postings.count() === 200L)
+    // below threshold: nothing published under the compaction key,
+    // serving falls back to the tombstone-masked base
+    val rare = col("id") % 100 === 0 // 2/200 = 1% dead
+    val (servedRare, compactedRare) = IndexStore.compactPostings(
+      spark, basePath, compactPath, rare, threshold = 0.10)
+    assert(!compactedRare &&
+      !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(compactPath)))
+    assert(servedRare.count() === 198L)
+    // above threshold: the rewrite publishes under the COMPACTION key
+    // (base untouched — masking remains the hot path for other readers)
+    val dead = col("id") % 5 === 0 // 40/200 = 20% dead
+    val (served, compacted) = IndexStore.compactPostings(
+      spark, basePath, compactPath, dead, threshold = 0.10)
+    assert(compacted &&
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(compactPath)))
+    assert(served.count() === 160L)
+    assert(spark.read.parquet(basePath).count() === 200L,
+      "compaction must never rewrite the base artifact in place")
+    // a second call serves the EXISTING compacted artifact (no rewrite)
+    val (served2, again) = IndexStore.compactPostings(
+      spark, basePath, compactPath, dead, threshold = 0.10)
+    assert(again && served2.count() === 160L)
+    // masked-serve ≡ compacted-serve, row for row
+    val q = df.filter(col("vec_id") < 3)
+    def run(codes: org.apache.spark.sql.DataFrame) =
+      ProductQuantizer.searchIvfPqExact(q, df, "vec_id", "embedding", model,
+          nprobe = 2, shortlist = 20, topK = 5,
+          precomputedCodes = Some(codes))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    val masked = run(spark.read.parquet(basePath).filter(!dead))
+    assert(masked === run(served), "compacted serve must equal masked serve")
+    graft.core.Caching.CacheLedger.releaseAll()
+  }
+
   test("load rejects a corrupted store loudly") {
     val df = corpus
     val model = ProductQuantizer.fitIvfPqExact(
