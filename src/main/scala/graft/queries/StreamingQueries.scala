@@ -543,6 +543,34 @@ object StreamingQueries {
       .orderBy(col("bucket"))
   }
 
+  /** s30: streaming FLAC ingest monitor — s29's shape for the p37
+    * codec: clips arrive, each round-trips through the REAL FLAC
+    * encoder + bitstream decoder scan-locally (stateless typed map —
+    * CRC/MD5-verified per clip), and the monitor keeps per-bucket
+    * clip/sample/peak/energy health as 8 bounded monoid cells.
+    * Oracle: p37's sample-formula replay aggregated per bucket —
+    * losslessness makes the formula sample-exact for the streamed
+    * decode totals too. */
+  def streamFlacMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val decoded = tableStream(spark, dir, "documents")
+      .filter(col("doc_id") % 25 === 7)
+      .select(col("doc_id")).as[Long]
+      .map(PipelineQueries.flacClipStats)
+      .toDF("doc_id", "sample_rate", "n_samples", "n_frames",
+        "peak_abs", "energy")
+    val agg = decoded
+      .groupBy((col("doc_id") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("n_samples")).cast("long").as("total_samples"),
+        sum(col("n_frames")).cast("long").as("total_frames"),
+        max(col("peak_abs")).cast("long").as("max_peak"),
+        sum(col("energy")).cast("long").as("total_energy"))
+    awaitMemorySink(agg, "complete")
+      .orderBy(col("bucket"))
+  }
+
   /** s11: streaming CDC compaction — the q39 latest-wins merge as a
     * stateful streaming aggregation: per-key max_by state merges each
     * micro-batch's candidate against the running winner (state is one
@@ -936,7 +964,8 @@ object StreamingQueries {
     "s10_stream_session_window" -> streamSessionWindow _,
     "s27_stream_session_flush" -> streamSessionFlush _,
     "s28_stream_index_ingest" -> streamIndexIngest _,
-    "s29_stream_adpcm_monitor" -> streamAdpcmMonitor _)
+    "s29_stream_adpcm_monitor" -> streamAdpcmMonitor _,
+    "s30_stream_flac_monitor" -> streamFlacMonitor _)
 
   def oracles: Map[String, String] = Map(
     // s27: batch gap reconstruction under the session_window boundary
@@ -1203,6 +1232,26 @@ object StreamingQueries {
         |SELECT CAST(doc_id % 8 AS BIGINT) AS bucket,
         |  count(*) AS n_clips,
         |  CAST(sum(n) AS BIGINT) AS total_samples,
+        |  CAST(max(pk) AS BIGINT) AS max_peak,
+        |  CAST(sum(en) AS BIGINT) AS total_energy
+        |FROM per GROUP BY 1 ORDER BY bucket""".stripMargin) ++
+    // s30: p37's sample-formula replay per bucket — FLAC is lossless,
+    // so the streamed decode totals equal the formula's exactly
+    Map("s30_stream_flac_monitor" ->
+      """WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 7),
+        |s AS (SELECT doc_id, r.i AS i,
+        |    CAST(((r.i % (20 + doc_id % 30)) * 40 - 800)
+        |      + ((doc_id * 7 + r.i * 13) % 16 - 8) AS BIGINT) AS v
+        |  FROM docs, range(127) r(i)
+        |  WHERE r.i < 64 + doc_id % 64),
+        |per AS (SELECT doc_id, count(*) AS n,
+        |    CAST((64 + doc_id % 64 + 63) // 64 AS BIGINT) AS nf,
+        |    max(abs(v)) AS pk, sum(v * v) AS en
+        |  FROM s GROUP BY doc_id)
+        |SELECT CAST(doc_id % 8 AS BIGINT) AS bucket,
+        |  count(*) AS n_clips,
+        |  CAST(sum(n) AS BIGINT) AS total_samples,
+        |  CAST(sum(nf) AS BIGINT) AS total_frames,
         |  CAST(max(pk) AS BIGINT) AS max_peak,
         |  CAST(sum(en) AS BIGINT) AS total_energy
         |FROM per GROUP BY 1 ORDER BY bucket""".stripMargin)
