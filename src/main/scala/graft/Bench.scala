@@ -288,17 +288,37 @@ object Bench {
       try qs(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => }
     }
-    // Pre-build the SHARED exact-pair graph artifact at the timed SF
-    // (round-8 advice #1): in production the d02 pair graph is built
-    // once and consumed by the whole d-family (d02/d08/d09/d11/p34/
-    // d19); in the bench's headline set d19 is its only consumer, so
-    // without this the shared-infrastructure build landed entirely
-    // inside d19's timed window (~half of its 30.6 s driver cost).
-    // The artifact is a per-JVM parquet checkpoint, so it survives
-    // the per-query clearCache teardown.
-    if (names.contains("d19_band_plan"))
-      try graft.queries.GraphCache.docJaccardPairs(spark, sfDir).count()
-      catch { case _: Throwable => }
+    // SHARED-ARTIFACT prebuild (round-8 advice #1, generalized in r9):
+    // GraphCache artifacts are family infrastructure — in production
+    // each is built once and amortized across every consumer, so
+    // attributing the whole build to whichever consumer the seeded
+    // order happens to run FIRST misstates that query's cost and makes
+    // per-query numbers incomparable across rounds (r9 measured the
+    // same commit's q33 at 0.13 s ↔ 8.9 s purely on whether q40 had
+    // already built the pair graph; g04 swung 0.98 ↔ 7.7 s on the
+    // triangle index). Each build runs HERE, TIMED, as its own
+    // `art_*` row in the queries map — the total still pays for every
+    // byte of the work; only the attribution is deterministic. The
+    // artifacts are per-JVM parquet checkpoints, so they survive the
+    // per-query clearCache teardown.
+    import graft.queries.GraphCache
+    val artifactBuilds: Seq[(String, Seq[String], () => Unit)] = Seq(
+      ("art_doc_jaccard_pairs",
+        Seq("d19_band_plan", "p34_leakage_split"),
+        () => { GraphCache.docJaccardPairs(spark, sfDir).count(); () }),
+      ("art_custname_pairs",
+        Seq("q33_fuzzy_join", "q40_entity_clusters"),
+        () => { GraphCache.customerNamePairs(spark, sfDir).count(); () }),
+      ("art_copurchase_weights",
+        Seq("g03_triangles", "g04_clustering_coeff", "g05_kcore"),
+        () => { GraphCache.coPurchaseWeights(spark, sfDir).count(); () }),
+      ("art_copurchase_triangles",
+        Seq("g03_triangles", "g04_clustering_coeff"),
+        () => { GraphCache.coPurchaseTriangles(spark, sfDir).count(); () }),
+      ("art_trade_pairs",
+        Seq("g01_pagerank", "g02_bfs"),
+        () => { GraphCache.tradePairs(spark, sfDir).count(); () }))
+      .filter { case (_, consumers, _) => consumers.exists(names.contains) }
     // operators persist intermediate projections and rely on LRU churn;
     // across 40 queries in ONE JVM those entries accumulate (warmup
     // included) and the later queries pay eviction/GC pressure instead
@@ -334,12 +354,18 @@ object Bench {
     val rt = Runtime.getRuntime
     val listener = new BenchQueryListener
     spark.sparkContext.addSparkListener(listener)
-    val results = names.map { name =>
+    // artifact builds first (fixed declaration order — consumers need
+    // them resolved), then the seed-shuffled queries; each timed under
+    // the same listener window + cache-teardown protocol
+    val runnables: Seq[(String, () => Unit)] =
+      artifactBuilds.map { case (n, _, run) => (n, run) } ++
+        names.map(n => (n, () => { qs(n)(spark, sfDir).count(); () }))
+    val results = runnables.map { case (name, run) =>
       listener.reset()
       val gc0 = gcMillis(); val cpu0 = cpuMillis()
       val t0 = System.nanoTime()
-      try qs(name)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
+      try run()
+      catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       // sample ALL health fields BEFORE the cache teardown: gc/heap
       // measured after releaseAll+clearCache would attribute the

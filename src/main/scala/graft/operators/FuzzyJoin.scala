@@ -93,19 +93,28 @@ object FuzzyJoin {
           .filter(col("l.__id") < col("r.__id"))
           .select(col("l.__id").as("ida"), col("r.__id").as("idb"))
     }).distinct()
-    // The string-back joins broadcast the CANDIDATE side explicitly
-    // (round-8 advice #4: left to AQE's size estimate, the same commit
-    // executed broadcast-free on one host and with an 11 MB shuffle on
-    // the other — a threshold boundary picking differently; the hint
-    // pins the scale-relevant plan). Broadcasting cand — not base — is
-    // the posture that survives scale-up: the candidate set is bounded
-    // by near-duplicate density + hash collisions, while base is the
-    // corpus-sized projection. Each join's left side is
-    // candidate-sized (ida resolves to exactly one base row).
-    broadcast(broadcast(cand)
-        .join(base.select(col("__id").as("ida"), col("__s").as("sa")),
-          Seq("ida")))
-      .join(base.select(col("__id").as("idb"), col("__s").as("sb")), Seq("idb"))
+    // The string-back joins broadcast the DICTIONARY side explicitly
+    // (round-8 advice #4: left to AQE's size estimate, the hints pin
+    // one plan on every host). The first r9 pin broadcast the
+    // candidate side — wrong at both ends: cand is the LARGER frame
+    // when near-duplicate density is high (sequential `Customer#…`
+    // names pair with every one-digit neighbor, ~20× more pairs than
+    // names), and wrapping the first join's OUTPUT in broadcast()
+    // forced a driver collect + re-broadcast of the whole joined
+    // frame between the two joins (23.8 MB of broadcast builds,
+    // 3× the CPU of the shuffle plan it replaced). The (id, string)
+    // projection is the smaller side at any density — near-dup pairs
+    // are Ω(matches) while the dictionary is O(rows) — and two
+    // dictionary broadcasts keep the candidate stream pipelined
+    // through both hash joins in one codegen stage, zero shuffle.
+    // For a dictionary too big to broadcast, the fallback is the
+    // d10 convention (shuffle join on the id key) — flip the hints,
+    // not the algorithm.
+    cand
+      .join(broadcast(base.select(col("__id").as("ida"), col("__s").as("sa"))),
+        Seq("ida"))
+      .join(broadcast(base.select(col("__id").as("idb"), col("__s").as("sb"))),
+        Seq("idb"))
       .withColumn("dist",
         org.apache.spark.sql.functions.levenshtein(col("sa"), col("sb"))
           .cast("long"))

@@ -192,7 +192,7 @@ class PlanAuditSpec extends AnyFunSuite {
       s"deletion-key blocking degenerated to n²:\n$p")
   }
 
-  test("q33: string-back joins broadcast the candidate side (pinned plan)") {
+  test("q33: string-back joins broadcast the dictionary side (pinned plan)") {
     // round-8 forensics showed the same commit executing broadcast-free
     // on one host and with an 11 MB shuffle join on the other. Root
     // cause: q33 SERVES from the GraphCache artifact, so its fuzzy-join
