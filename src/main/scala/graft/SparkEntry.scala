@@ -32,6 +32,7 @@ object SparkEntry {
       graft.queries.Relational11.queries ++
       graft.queries.Relational12.queries ++
       graft.queries.Relational13.queries ++
+      graft.queries.Relational14.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.CurationQueries.queries ++
       graft.queries.StreamingQueries.queries
@@ -52,6 +53,7 @@ object SparkEntry {
       graft.queries.Relational11.oracles ++
       graft.queries.Relational12.oracles ++
       graft.queries.Relational13.oracles ++
+      graft.queries.Relational14.oracles ++
       graft.queries.PipelineQueries.oracles ++
       graft.queries.CurationQueries.oracles ++
       graft.queries.StreamingQueries.oracles

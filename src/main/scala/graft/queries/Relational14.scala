@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Round-9 additions: model distillation over the curation corpus. */
+object Relational14 {
+
+  /** The q55 feature triple, shared by the batch query and its
+    * engine-portable oracle: integer-exact, replace()-countable in
+    * both engines, bounded so [[graft.operators.Distill]]'s
+    * DECIMAL(38) posture holds to ~10⁹ docs per source.
+    *  - x1: document length in 64-char units (size)
+    *  - x2: letter-'e' count in 4-char units (letter-mix signal — the
+    *        synthetic corpus has no punctuation, so a period count is
+    *        identically zero and would make every design matrix singular)
+    *  - y:  stopword occurrences (' the ', ' and ', ' of ', ' to ',
+    *        ' in ' — the Gopher-style fluency signal t14/t16 filter on)
+    */
+  private val stopwords = Seq(" the " -> 5, " and " -> 5, " of " -> 4,
+    " to " -> 4, " in " -> 4)
+
+  private def yCountSql(t: String): String =
+    stopwords.map { case (w, l) =>
+      s"(length($t) - length(replace($t, '$w', ''))) div $l"
+    }.mkString("(", " + ", ")")
+
+  /** q55: distill the stopword-density quality signal into a per-source
+    * linear model — which sources' fluency signal is explained by shape
+    * (length, sentence density) alone, and which carry independent
+    * signal. One sufficient-statistics pass + in-plan Cramer solve +
+    * a broadcast-join scoring pass ([[graft.operators.Distill]]);
+    * a production curation stack trains this distillation once per
+    * source snapshot and applies it as a scan-side filter. */
+  def q55QualityDistill(spark: SparkSession, dir: String): DataFrame = {
+    val f = documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("source"),
+        expr("least(length(text) div 64, 511)").as("x1"),
+        expr("least((length(text) - length(replace(text, 'e', ''))) div 4, 511)")
+          .as("x2"),
+        expr(s"least(${yCountSql("text")}, 4095)").as("y"))
+    graft.operators.Distill.olsDistill(f, "source", "x1", "x2", "y")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_quality_distill" -> q55QualityDistill _)
+
+  /** DuckDB mirror: HUGEINT sufficient statistics, the same Cramer
+    * determinants, `//` on sign-decomposed operands (trunc-toward-zero
+    * ≡ Spark's `div` once operands are nonnegative). */
+  val oracles: Map[String, String] = Map(
+    "q55_quality_distill" -> {
+      val y = stopwords.map { case (w, l) =>
+        s"(length(text) - length(replace(text, '$w', ''))) // $l"
+      }.mkString("(", " + ", ")")
+      s"""WITH f AS (
+         |  SELECT source,
+         |    least(length(text) // 64, 511) AS x1,
+         |    least((length(text) - length(replace(text, 'e', ''))) // 4, 511) AS x2,
+         |    least($y, 4095) AS y
+         |  FROM documents WHERE text IS NOT NULL),
+         |s AS (
+         |  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(x1) AS HUGEINT) AS sx1,
+         |    CAST(sum(x2) AS HUGEINT) AS sx2,
+         |    CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+         |    CAST(sum(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+         |    CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+         |    CAST(sum(y) AS HUGEINT) AS sy,
+         |    CAST(sum(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+         |    CAST(sum(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y
+         |  FROM f GROUP BY source),
+         |c AS (
+         |  SELECT source, n, sy,
+         |    n   * (s11 * s22 - s12 * s12)
+         |  - sx1 * (sx1 * s22 - s12 * sx2)
+         |  + sx2 * (sx1 * s12 - s11 * sx2) AS det,
+         |    sy  * (s11 * s22 - s12 * s12)
+         |  - sx1 * (s1y * s22 - s12 * s2y)
+         |  + sx2 * (s1y * s12 - s11 * s2y) AS num0,
+         |    n   * (s1y * s22 - s12 * s2y)
+         |  - sy  * (sx1 * s22 - s12 * sx2)
+         |  + sx2 * (sx1 * s2y - s1y * sx2) AS num1,
+         |    n   * (s11 * s2y - s1y * s12)
+         |  - sx1 * (sx1 * s2y - s1y * sx2)
+         |  + sy  * (sx1 * s12 - s11 * sx2) AS num2
+         |  FROM s),
+         |b AS (
+         |  SELECT source, n, sy,
+         |    CASE WHEN det = 0 THEN NULL ELSE
+         |      (CASE WHEN num0 * det < 0 THEN -1 ELSE 1 END)
+         |        * ((abs(num0) * 1000) // abs(det)) END AS b0_milli,
+         |    CASE WHEN det = 0 THEN NULL ELSE
+         |      (CASE WHEN num1 * det < 0 THEN -1 ELSE 1 END)
+         |        * ((abs(num1) * 1000) // abs(det)) END AS b1_milli,
+         |    CASE WHEN det = 0 THEN NULL ELSE
+         |      (CASE WHEN num2 * det < 0 THEN -1 ELSE 1 END)
+         |        * ((abs(num2) * 1000) // abs(det)) END AS b2_milli
+         |  FROM c),
+         |r0 AS (
+         |  SELECT f.source, b.n, b.b0_milli, b.b1_milli, b.b2_milli,
+         |    CAST(f.y AS HUGEINT) * 1000
+         |      - (b.b0_milli + b.b1_milli * f.x1 + b.b2_milli * f.x2)
+         |      AS resid,
+         |    CAST(f.y AS HUGEINT) * 1000 - ((b.sy * 1000) // b.n) AS dev
+         |  FROM f JOIN b ON f.source = b.source),
+         |r AS (
+         |  SELECT source, n, b0_milli, b1_milli, b2_milli,
+         |    sum(resid * resid) AS sse, sum(dev * dev) AS sst
+         |  FROM r0 GROUP BY 1, 2, 3, 4, 5)
+         |SELECT source, CAST(n AS BIGINT) AS n,
+         |  CAST(b0_milli AS BIGINT) AS b0_milli,
+         |  CAST(b1_milli AS BIGINT) AS b1_milli,
+         |  CAST(b2_milli AS BIGINT) AS b2_milli,
+         |  CASE WHEN sst = 0 OR b0_milli IS NULL THEN NULL ELSE
+         |    CAST(1000000 - (sse * 1000000) // sst AS BIGINT) END AS r2_ppm
+         |FROM r ORDER BY source""".stripMargin
+    })
+}

@@ -214,6 +214,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the candidate-side back-join must never shuffle the corpus:\n$p")
   }
 
+  test("q55: coefficient table broadcasts back, corpus never re-shuffles") {
+    val p = plan("q55_quality_distill")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the one-row-per-source model must broadcast onto the scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the scoring join must not shuffle the corpus:\n$p")
+  }
+
   test("t28: MAD median tables broadcast back onto the scan") {
     val p = plan("t28_outliers")
     assert(p.contains("BroadcastHashJoin"),
