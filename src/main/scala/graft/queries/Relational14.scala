@@ -34,15 +34,19 @@ object Relational14 {
     * a broadcast-join scoring pass ([[graft.operators.Distill]]);
     * a production curation stack trains this distillation once per
     * source snapshot and applies it as a scan-side filter. */
-  def q55QualityDistill(spark: SparkSession, dir: String): DataFrame = {
-    val f = documents(spark, dir).filter(col("text").isNotNull)
+  /** The q55 feature projection, shared with the s31 streaming twin
+    * (identical column algebra over a batch scan or a file stream). */
+  private[queries] def q55Features(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
       .select(col("source"),
         expr("least(length(text) div 64, 511)").as("x1"),
         expr("least((length(text) - length(replace(text, 'e', ''))) div 4, 511)")
           .as("x2"),
         expr(s"least(${yCountSql("text")}, 4095)").as("y"))
-    graft.operators.Distill.olsDistill(f, "source", "x1", "x2", "y")
-  }
+
+  def q55QualityDistill(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Distill.olsDistill(
+      q55Features(documents(spark, dir)), "source", "x1", "x2", "y")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_quality_distill" -> q55QualityDistill _)

@@ -571,6 +571,23 @@ object StreamingQueries {
       .orderBy(col("bucket"))
   }
 
+  /** s31: streaming model distillation — q55's per-source OLS as a
+    * streaming aggregate. The normal-equation sufficient statistics
+    * ARE the streaming state (11 bounded DECIMAL cells per source —
+    * the monoid [[graft.operators.Distill.suffStats]] aggregates),
+    * complete mode emits the stats table, and the Cramer solve +
+    * quantized-model R² run on the SINK table — exactly the serving
+    * split a production trainer wants: executors stream sums, the
+    * model solves wherever the stats land. Oracle: q55's SQL
+    * verbatim — unified batch/stream semantics. */
+  def streamQualityDistill(spark: SparkSession, dir: String): DataFrame = {
+    val stats = graft.operators.Distill.suffStats(
+      Relational14.q55Features(tableStream(spark, dir, "documents")),
+      "source", "x1", "x2", "y")
+    graft.operators.Distill.solveFromStats(
+      awaitMemorySink(stats, "complete"))
+  }
+
   /** s11: streaming CDC compaction — the q39 latest-wins merge as a
     * stateful streaming aggregation: per-key max_by state merges each
     * micro-batch's candidate against the running winner (state is one
@@ -965,9 +982,15 @@ object StreamingQueries {
     "s27_stream_session_flush" -> streamSessionFlush _,
     "s28_stream_index_ingest" -> streamIndexIngest _,
     "s29_stream_adpcm_monitor" -> streamAdpcmMonitor _,
-    "s30_stream_flac_monitor" -> streamFlacMonitor _)
+    "s30_stream_flac_monitor" -> streamFlacMonitor _,
+    "s31_stream_quality_distill" -> streamQualityDistill _)
 
   def oracles: Map[String, String] = Map(
+    // s31: the batch q55 oracle verbatim — one bounded replay delivers
+    // every row, so the streamed sufficient statistics must equal the
+    // batch scan's and the solve is the same column algebra
+    "s31_stream_quality_distill" ->
+      Relational14.oracles("q55_quality_distill"),
     // s27: batch gap reconstruction under the session_window boundary
     // convention (gap >= 30 min starts a session; q10 uses >), with
     // q10's count/value aggregates and per-user session numbering

@@ -214,12 +214,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the candidate-side back-join must never shuffle the corpus:\n$p")
   }
 
-  test("q55: coefficient table broadcasts back, corpus never re-shuffles") {
+  test("q55: train + score in ONE corpus pass — single scan, no join") {
+    // the quantized-model R² expands over the sufficient statistics
+    // (SSE = 10⁶Σy² − 2000·bᵀXᵀy + bᵀXᵀXb), so the whole train+score
+    // is one scan → one partial-agg shuffle of 11 numbers per group
     val p = plan("q55_quality_distill")
-    assert(p.contains("BroadcastHashJoin"),
-      s"the one-row-per-source model must broadcast onto the scan:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"the scoring join must not shuffle the corpus:\n$p")
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1,
+      s"expected exactly one corpus scan:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in a one-pass train:\n$p")
   }
 
   test("t28: MAD median tables broadcast back onto the scan") {
