@@ -318,7 +318,16 @@ object Bench {
         () => { GraphCache.coPurchaseTriangles(spark, sfDir).count(); () }),
       ("art_trade_pairs",
         Seq("g01_pagerank", "g02_bfs"),
-        () => { GraphCache.tradePairs(spark, sfDir).count(); () }))
+        () => { GraphCache.tradePairs(spark, sfDir).count(); () }),
+      // trained-model artifacts (ModelCache): same economics — a09's
+      // r9 clean run paid the 19.8 CPU-s PQ training at position 6
+      // while a21 read the memo for free at position 125
+      ("art_pq_model",
+        Seq("a09_ann_pq", "a21_ann_recall"),
+        () => { graft.queries.ModelCache.pqModel(spark, sfDir); () }),
+      ("art_ivfpq_index",
+        Seq("a15_ann_ivfpq", "a21_ann_recall", "a24_nprobe_sweep"),
+        () => { graft.queries.ModelCache.ivfPqIndex(spark, sfDir); () }))
       .filter { case (_, consumers, _) => consumers.exists(names.contains) }
     // operators persist intermediate projections and rely on LRU churn;
     // across 40 queries in ONE JVM those entries accumulate (warmup

@@ -36,7 +36,7 @@ object Relational14 {
     * source snapshot and applies it as a scan-side filter. */
   /** The q55 feature projection, shared with the s31 streaming twin
     * (identical column algebra over a batch scan or a file stream). */
-  private[queries] def q55Features(docs: DataFrame): DataFrame =
+  private[graft] def q55Features(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull)
       .select(col("source"),
         expr("least(length(text) div 64, 511)").as("x1"),

@@ -70,7 +70,7 @@ object PlanReport {
       "p35_mixture_budget", "q54_abc_pareto", "a35_retrieval_bakeoff",
       "t45_burstiness", "a36_index_ingest", "a37_index_serve",
       "p36_adpcm_decode", "a38_filtered_search", "a39_index_delete",
-      "a40_index_compact", "p37_flac_decode")
+      "a40_index_compact", "p37_flac_decode", "q55_quality_distill")
     sb.append("\n## Physical plans (executed, AQE final)\n")
     // operators that materialize their bounded output internally (and
     // so return a LocalRelation with nothing to inspect) expose a lazy
@@ -638,6 +638,15 @@ object PlanReport {
       }
       rowR("frozen-index ingest: fit+assign (a36 shape)",
         a36of(emb), a36of(emb10))
+      // r9: one-pass train+score — slope must be the corpus scan and
+      // nothing else (the solve is |groups| rows of column algebra)
+      rowR("OLS distillation, one-pass train+score (q55 shape)",
+        graft.operators.Distill.olsDistill(
+          graft.queries.Relational14.q55Features(docs),
+          "source", "x1", "x2", "y").count(),
+        graft.operators.Distill.olsDistill(
+          graft.queries.Relational14.q55Features(docsS10),
+          "source", "x1", "x2", "y").count())
       // programmatic narrative: name the mechanism behind every ≥5× row
       val steep = ratios.filter { case (_, (t1, t10)) => t10 / t1 >= 5.0 }
       sb.append("\nRound-8 rows, measured mechanisms: the ×10 corpus multiplies\n")

@@ -270,6 +270,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exists(r => r.head == 1 && r.last == 2000000L))
   }
 
+  test("streaming OLS sufficient statistics merge across micro-batches; " +
+      "solved model equals batch") {
+    val spark2 = spark
+    import spark2.implicits._
+    val drop = tmp("sols_drop"); val ckpt = tmp("sols_ckpt")
+    def writeBatch(name: String, rows: Seq[(String, Int, Int, Int)]): Unit =
+      rows.toDF("source", "x1", "x2", "y")
+        .coalesce(1).write.parquet(s"$drop/$name")
+    def runOnce(qn: String): org.apache.spark.sql.DataFrame = {
+      val src = spark.readStream
+        .schema("source STRING, x1 INT, x2 INT, y INT")
+        .option("recursiveFileLookup", "true").parquet(drop)
+      val stats = graft.operators.Distill.suffStats(
+        src, "source", "x1", "x2", "y")
+      val q = stats.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+      spark.table(qn)
+    }
+    val b1 = (0 to 9).map(i => ("g", i, i % 3, 5 + 2 * i))
+    val b2 = (10 to 24).map(i => ("g", i % 12, (i * 7) % 5, 3 + i % 11))
+    writeBatch("b1", b1)
+    val t1 = runOnce("sols_run1").localCheckpoint()
+    assert(t1.select(col("n").cast("long")).collect()
+      .map(_.getLong(0)).toSeq === Seq(10L))
+    // batch 2 resumes the SAME checkpoint: the per-source statistics
+    // must MERGE (the monoid contract), not restart from zero
+    writeBatch("b2", b2)
+    val t2 = runOnce("sols_run2").localCheckpoint()
+    assert(t2.select(col("n").cast("long")).collect()
+      .map(_.getLong(0)).toSeq === Seq(25L))
+    // solving the STREAMED statistics equals the batch operator end to
+    // end — coefficients, quantization, and the expanded R² included
+    val streamed = graft.operators.Distill.solveFromStats(t2)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Distill.olsDistill(
+        (b1 ++ b2).toDF("source", "x1", "x2", "y"), "source", "x1", "x2", "y")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+  }
+
   test("streaming curation drops benchmark quotes and low-quality docs at ingest") {
     import spark.implicits._
     val drop = tmp("drop3"); val ckpt = tmp("ckpt_cur"); val out = tmp("curate_out")
