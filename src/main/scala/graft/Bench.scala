@@ -219,7 +219,7 @@ object Bench {
     "a35_retrieval_bakeoff", "t45_burstiness", "a36_index_ingest",
     "a37_index_serve", "p36_adpcm_decode", "a38_filtered_search",
     "a39_index_delete", "a40_index_compact", "p37_flac_decode",
-    "q55_quality_distill")
+    "q55_quality_distill", "q56_quality_anomalies")
 
   /** Fixed CPU work item for host calibration: SHA-256 over a 4 KB
     * buffer, `iters` times. Returns a fold of the digests so the JIT

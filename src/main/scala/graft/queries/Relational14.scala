@@ -27,44 +27,83 @@ object Relational14 {
       s"(length($t) - length(replace($t, '$w', ''))) div $l"
     }.mkString("(", " + ", ")")
 
-  /** q55: distill the stopword-density quality signal into a per-source
-    * linear model — which sources' fluency signal is explained by shape
-    * (length, sentence density) alone, and which carry independent
-    * signal. One sufficient-statistics pass + in-plan Cramer solve +
-    * a broadcast-join scoring pass ([[graft.operators.Distill]]);
-    * a production curation stack trains this distillation once per
-    * source snapshot and applies it as a scan-side filter. */
-  /** The q55 feature projection, shared with the s31 streaming twin
-    * (identical column algebra over a batch scan or a file stream). */
+  /** The q55/q56 feature projection, shared with the s31 streaming
+    * twin (identical column algebra over a batch scan or a file
+    * stream). Carries doc_id for q56's per-document serving pass;
+    * the training aggregate simply never groups on it. */
   private[graft] def q55Features(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull)
-      .select(col("source"),
+      .select(col("doc_id"), col("source"),
         expr("least(length(text) div 64, 511)").as("x1"),
         expr("least((length(text) - length(replace(text, 'e', ''))) div 4, 511)")
           .as("x2"),
         expr(s"least(${yCountSql("text")}, 4095)").as("y"))
 
+  /** q55: distill the stopword-density quality signal into a per-source
+    * linear model — which sources' fluency signal is explained by shape
+    * (length, letter mix) alone, and which carry independent signal.
+    * ONE corpus pass: sufficient statistics + in-plan Cramer solve +
+    * the expanded quantized-model R² ([[graft.operators.Distill]]);
+    * a production curation stack trains this distillation once per
+    * source snapshot. */
   def q55QualityDistill(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Distill.olsDistill(
       q55Features(documents(spark, dir)), "source", "x1", "x2", "y")
 
+  /** q56: SERVE the distilled model — quality anomalies. Every
+    * document scores against its own source's q55 model (the
+    * one-row-per-source coefficient table broadcasts onto the feature
+    * scan — the t28 serving shape) and the top 5 largest absolute
+    * residuals per source surface as that source's anomalies: the
+    * documents whose fluency the source's shape model explains WORST,
+    * which is exactly the human-review queue a curation stack drains.
+    * The grouped top-k prunes through [[graft.plans.TopKPerKey]]
+    * (bounded heaps, ≤ k·|sources| rows to the rank window — never a
+    * full sort of the corpus). Long arithmetic throughout: |resid| ≤
+    * 10⁶·4095 fits comfortably. */
+  def q56QualityAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val f = q55Features(documents(spark, dir))
+    val model = graft.operators.Distill.solveFromStats(
+      graft.operators.Distill.suffStats(f, "source", "x1", "x2", "y"))
+    val scored = f.join(
+        broadcast(model.filter(col("b0_milli").isNotNull)
+          .select(col("source"), col("b0_milli"), col("b1_milli"),
+            col("b2_milli"))),
+        Seq("source"))
+      .select(col("source"), col("doc_id"),
+        expr("y * 1000L - (b0_milli + b1_milli * x1 + b2_milli * x2)")
+          .as("resid_milli"))
+      .withColumn("abs_resid", abs(col("resid_milli")))
+    val pruned = graft.plans.TopKPerKey.prune(
+      scored, "source", "abs_resid", "doc_id", 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("abs_resid").desc, col("doc_id"))
+    pruned.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("source"), col("rnk"), col("doc_id"), col("resid_milli"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q55_quality_distill" -> q55QualityDistill _)
+    "q55_quality_distill" -> q55QualityDistill _,
+    "q56_quality_anomalies" -> q56QualityAnomalies _)
 
   /** DuckDB mirror: HUGEINT sufficient statistics, the same Cramer
     * determinants, `//` on sign-decomposed operands (trunc-toward-zero
-    * ≡ Spark's `div` once operands are nonnegative). */
-  val oracles: Map[String, String] = Map(
-    "q55_quality_distill" -> {
-      val y = stopwords.map { case (w, l) =>
-        s"(length(text) - length(replace(text, '$w', ''))) // $l"
-      }.mkString("(", " + ", ")")
-      s"""WITH f AS (
-         |  SELECT source,
-         |    least(length(text) // 64, 511) AS x1,
-         |    least((length(text) - length(replace(text, 'e', ''))) // 4, 511) AS x2,
-         |    least($y, 4095) AS y
-         |  FROM documents WHERE text IS NOT NULL),
+    * ≡ Spark's `div` once operands are nonnegative). The feature +
+    * train CTE prefix (f → s → c → b) is shared by q55 (report the
+    * models) and q56 (serve them back over f). */
+  private val trainCtes: String = {
+    val y = stopwords.map { case (w, l) =>
+      s"(length(text) - length(replace(text, '$w', ''))) // $l"
+    }.mkString("(", " + ", ")")
+    s"""WITH f AS (
+       |  SELECT doc_id, source,
+       |    least(length(text) // 64, 511) AS x1,
+       |    least((length(text) - length(replace(text, 'e', ''))) // 4, 511) AS x2,
+       |    least($y, 4095) AS y
+       |  FROM documents WHERE text IS NOT NULL),
          |s AS (
          |  SELECT source, CAST(count(*) AS HUGEINT) AS n,
          |    CAST(sum(x1) AS HUGEINT) AS sx1,
@@ -102,7 +141,12 @@ object Relational14 {
          |    CASE WHEN det = 0 THEN NULL ELSE
          |      (CASE WHEN num2 * det < 0 THEN -1 ELSE 1 END)
          |        * ((abs(num2) * 1000) // abs(det)) END AS b2_milli
-         |  FROM c),
+         |  FROM c)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q55_quality_distill" ->
+      s"""$trainCtes,
          |r0 AS (
          |  SELECT f.source, b.n, b.b0_milli, b.b1_milli, b.b2_milli,
          |    CAST(f.y AS HUGEINT) * 1000
@@ -120,6 +164,22 @@ object Relational14 {
          |  CAST(b2_milli AS BIGINT) AS b2_milli,
          |  CASE WHEN sst = 0 OR b0_milli IS NULL THEN NULL ELSE
          |    CAST(1000000 - (sse * 1000000) // sst AS BIGINT) END AS r2_ppm
-         |FROM r ORDER BY source""".stripMargin
-    })
+         |FROM r ORDER BY source""".stripMargin,
+    "q56_quality_anomalies" ->
+      s"""$trainCtes,
+         |scored AS (
+         |  SELECT f.source, f.doc_id,
+         |    CAST(f.y AS HUGEINT) * 1000
+         |      - (b.b0_milli + b.b1_milli * f.x1 + b.b2_milli * f.x2)
+         |      AS resid_milli
+         |  FROM f JOIN b ON f.source = b.source
+         |  WHERE b.b0_milli IS NOT NULL),
+         |rk AS (
+         |  SELECT source, doc_id, resid_milli,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY abs(resid_milli) DESC, doc_id) AS rnk
+         |  FROM scored)
+         |SELECT source, CAST(rnk AS INT) AS rnk, doc_id,
+         |  CAST(resid_milli AS BIGINT) AS resid_milli
+         |FROM rk WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin)
 }

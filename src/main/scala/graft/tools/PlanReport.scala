@@ -70,7 +70,8 @@ object PlanReport {
       "p35_mixture_budget", "q54_abc_pareto", "a35_retrieval_bakeoff",
       "t45_burstiness", "a36_index_ingest", "a37_index_serve",
       "p36_adpcm_decode", "a38_filtered_search", "a39_index_delete",
-      "a40_index_compact", "p37_flac_decode", "q55_quality_distill")
+      "a40_index_compact", "p37_flac_decode", "q55_quality_distill",
+      "q56_quality_anomalies")
     sb.append("\n## Physical plans (executed, AQE final)\n")
     // operators that materialize their bounded output internally (and
     // so return a LocalRelation with nothing to inspect) expose a lazy

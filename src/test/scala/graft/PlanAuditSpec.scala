@@ -224,6 +224,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"no join belongs in a one-pass train:\n$p")
   }
 
+  test("q56: model serves by broadcast; grouped top-k prunes via TopKPerKey") {
+    val p = plan("q56_quality_anomalies")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the one-row-per-source model must broadcast onto the scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the serving join must not shuffle the corpus:\n$p")
+    assert(p.contains("TopKPerKey"),
+      s"the grouped top-k must prune through bounded heaps:\n$p")
+  }
+
   test("t28: MAD median tables broadcast back onto the scan") {
     val p = plan("t28_outliers")
     assert(p.contains("BroadcastHashJoin"),
