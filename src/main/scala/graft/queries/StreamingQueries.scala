@@ -588,6 +588,42 @@ object StreamingQueries {
       awaitMemorySink(stats, "complete"))
   }
 
+  /** s32: streaming quality-anomaly monitor — q56's serving pass with
+    * the production split made literal: the model trains ONCE on the
+    * static snapshot (a batch plan — the stream-static join's static
+    * side), every streamed document scores against its source's
+    * broadcast coefficients, and the per-source review queue is a
+    * bounded top-k aggregation ([[graft.operators.SampleAggregators
+    * .WeightedTopKAggregator]]: 5·24 bytes of state per source,
+    * arrival-order independent — |resid| ≤ 8.2·10⁶ is exactly
+    * representable in its double key). One bounded replay scores the
+    * same corpus the model trained on, so the oracle is q56's SQL
+    * verbatim. */
+  def streamQualityAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val model = graft.operators.Distill.solveFromStats(
+        graft.operators.Distill.suffStats(
+          Relational14.q55Features(graft.Tables.documents(spark, dir)),
+          "source", "x1", "x2", "y"))
+      .filter(col("b0_milli").isNotNull)
+      .select(col("source"), col("b0_milli"), col("b1_milli"),
+        col("b2_milli"))
+    val scored = Relational14
+      .q55Features(tableStream(spark, dir, "documents"))
+      .join(broadcast(model), Seq("source"))
+      .select(col("source"), col("doc_id"),
+        expr("y * 1000L - (b0_milli + b1_milli * x1 + b2_milli * x2)")
+          .as("resid_milli"))
+    val agg = scored.groupBy(col("source"))
+      .agg(graft.operators.SampleAggregators.weightedTopKAgg(
+        abs(col("resid_milli")).cast("double"), col("doc_id"),
+        col("resid_milli"), 5).as("queue"))
+    awaitMemorySink(agg, "complete")
+      .select(col("source"), posexplode(col("queue")).as(Seq("i", "rec")))
+      .select(col("source"), (col("i") + 1).cast("int").as("rnk"),
+        col("rec._2").as("doc_id"), col("rec._3").as("resid_milli"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
   /** s11: streaming CDC compaction — the q39 latest-wins merge as a
     * stateful streaming aggregation: per-key max_by state merges each
     * micro-batch's candidate against the running winner (state is one
@@ -983,7 +1019,8 @@ object StreamingQueries {
     "s28_stream_index_ingest" -> streamIndexIngest _,
     "s29_stream_adpcm_monitor" -> streamAdpcmMonitor _,
     "s30_stream_flac_monitor" -> streamFlacMonitor _,
-    "s31_stream_quality_distill" -> streamQualityDistill _)
+    "s31_stream_quality_distill" -> streamQualityDistill _,
+    "s32_stream_quality_anomalies" -> streamQualityAnomalies _)
 
   def oracles: Map[String, String] = Map(
     // s31: the batch q55 oracle verbatim — one bounded replay delivers
@@ -991,6 +1028,10 @@ object StreamingQueries {
     // batch scan's and the solve is the same column algebra
     "s31_stream_quality_distill" ->
       Relational14.oracles("q55_quality_distill"),
+    // s32: one bounded replay scores exactly the corpus the static
+    // model trained on — the batch q56 SQL verbatim
+    "s32_stream_quality_anomalies" ->
+      Relational14.oracles("q56_quality_anomalies"),
     // s27: batch gap reconstruction under the session_window boundary
     // convention (gap >= 30 min starts a session; q10 uses >), with
     // q10's count/value aggregates and per-user session numbering
