@@ -94,6 +94,25 @@ class DistillSpec extends AnyFunSuite {
     }
   }
 
+  test("empty input yields an empty model table, not an error") {
+    val out = Distill.olsDistill(
+      Seq.empty[(String, Int, Int, Int)].toDF("source", "x1", "x2", "y"),
+      "source", "x1", "x2", "y")
+    assert(out.collect().isEmpty)
+    assert(out.columns.toSeq ==
+      Seq("source", "n", "b0_milli", "b1_milli", "b2_milli", "r2_ppm"))
+  }
+
+  test("a single-row group is singular (n < features): NULLs, no crash") {
+    val out = Distill.olsDistill(
+        Seq(("solo", 3, 4, 7)).toDF("source", "x1", "x2", "y"),
+        "source", "x1", "x2", "y")
+      .collect()
+    assert(out.length == 1 && out(0).getAs[Long]("n") == 1L)
+    assert(out(0).isNullAt(out(0).fieldIndex("b0_milli")) &&
+      out(0).isNullAt(out(0).fieldIndex("r2_ppm")))
+  }
+
   test("result is invariant under repartitioning (mergeable monoid)") {
     val rng = new scala.util.Random(7)
     val rows = (1 to 500).map(_ =>
