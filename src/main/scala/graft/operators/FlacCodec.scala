@@ -230,17 +230,33 @@ object FlacCodec {
       case 7 => r.readBits(16).toInt + 1
       case c => BlockSizes(c)
     }
-    srCode match { // value is unused when STREAMINFO rules; consume bits
-      case 12 => r.readBits(8)
-      case 13 | 14 => r.readBits(16)
+    srCode match { // STREAMINFO rules, but a frame that CONTRADICTS it
+      // is corrupt — validate instead of discarding (r9 review: the
+      // rate table was dead code and uncommon-rate forms went
+      // unchecked)
+      case 0 => ()
+      case 12 => require(r.readBits(8) * 1000L == siRate,
+        "FLAC: frame/STREAMINFO sample-rate mismatch")
+      case 13 => require(r.readBits(16) == siRate,
+        "FLAC: frame/STREAMINFO sample-rate mismatch")
+      case 14 => require(r.readBits(16) * 10L == siRate,
+        "FLAC: frame/STREAMINFO sample-rate mismatch")
       case 15 => throw new IllegalArgumentException("FLAC: invalid sr code")
-      case _ => ()
+      case c => require(SampleRates(c) == siRate,
+        "FLAC: frame/STREAMINFO sample-rate mismatch")
     }
     val bps = ssCode match {
       case 0 => siBps
       case 3 => throw new IllegalArgumentException("FLAC: reserved bps code")
       case c => SampleSizes(c)
     }
+    // 0–7 = 1–8 independent channels, 8/9/10 = the stereo
+    // decorrelation modes; 11–15 are RESERVED and must refuse like
+    // every other reserved field (r9 review: they previously decoded
+    // as independent stereo — wrong samples behind a valid CRC when
+    // STREAMINFO's MD5 is unset)
+    require(chCode <= 10,
+      s"FLAC: reserved channel assignment $chCode")
     val nCh = if (chCode <= 7) chCode + 1 else 2
     require(nCh == siChannels, "FLAC: frame/STREAMINFO channel mismatch")
     val headerEnd = r.bytePos
@@ -447,12 +463,29 @@ object FlacCodec {
       ord += 1
     }
     val res = fixedResiduals(x, bestOrder)
-    w2.writeBit(0)
-    w2.writeBits((0x08 | bestOrder).toLong, 6) // FIXED subframe
-    w2.writeBit(0)                             // no wasted bits
-    var i = 0
-    while (i < bestOrder) { w2.writeBits(x(i).toLong & ((1L << bps) - 1), bps); i += 1 }
-    writeResiduals(w2, res)
+    // ENCODABILITY gate (r9 review): the raw escape's 5-bit width
+    // field tops out at 31 bits (values in [−2³⁰, 2³⁰−1]), and a
+    // residual past that would either truncate (the old silent-wrap
+    // bug) or Rice-encode with an astronomically long unary run. A
+    // VERBATIM subframe (samples raw at bps bits — the decoder's
+    // typ==1 branch) is exact and size-bounded for any input, so
+    // high-bps material whose residuals overflow the escape takes
+    // that path instead. Reachable only for bps ≥ 28 (order ≤ 4
+    // residual magnitude ≤ 16·2^(bps−1)).
+    val escapable = res.forall(r => r >= -(1L << 30) && r < (1L << 30))
+    if (!escapable) {
+      w2.writeBit(0)
+      w2.writeBits(0x01L, 6) // VERBATIM subframe (000001)
+      w2.writeBit(0)         // no wasted bits
+      x.foreach(s => w2.writeBits(s.toLong & ((1L << bps) - 1), bps))
+    } else {
+      w2.writeBit(0)
+      w2.writeBits((0x08 | bestOrder).toLong, 6) // FIXED subframe
+      w2.writeBit(0)                             // no wasted bits
+      var i = 0
+      while (i < bestOrder) { w2.writeBits(x(i).toLong & ((1L << bps) - 1), bps); i += 1 }
+      writeResiduals(w2, res)
+    }
     w2.alignToByte()
     val body = w2.toBytes
     val w3 = new BitWriter
@@ -461,7 +494,13 @@ object FlacCodec {
     w3.toBytes
   }
 
-  private def fixedResiduals(x: Array[Int], order: Int): Array[Int] = {
+  /** Residuals in LONG, exactly: an order-4 predictor on 32-bit
+    * samples can produce |residual| up to ~2³⁵, and the previous Int
+    * return silently wrapped it — the stream then failed its own MD5
+    * on decode (r9 review). Exact longs here; whether they are
+    * ENCODABLE (Rice/escape vs verbatim fallback) is the caller's
+    * branch. */
+  private def fixedResiduals(x: Array[Int], order: Int): Array[Long] = {
     Array.tabulate(x.length - order) { k =>
       val i = k + order
       val pred = order match {
@@ -471,15 +510,15 @@ object FlacCodec {
         case 3 => 3L * x(i - 1) - 3L * x(i - 2) + x(i - 3)
         case 4 => 4L * x(i - 1) - 6L * x(i - 2) + 4L * x(i - 3) - x(i - 4)
       }
-      (x(i) - pred).toInt
+      x(i) - pred
     }
   }
 
-  private def writeResiduals(w: BitWriter, res: Array[Int]): Unit = {
+  private def writeResiduals(w: BitWriter, res: Array[Long]): Unit = {
     w.writeBits(0L, 2) // rice method 0 (4-bit params)
     w.writeBits(0L, 4) // partition order 0
     // parameter search: total bits for each k; escape when raw wins
-    val us = res.map(r => (r.toLong << 1) ^ (r.toLong >> 63))
+    val us = res.map(r => (r << 1) ^ (r >> 63))
     var bestK = -1
     var bestBits = Long.MaxValue
     var k = 0
@@ -493,13 +532,13 @@ object FlacCodec {
       if (bits < bestBits) { bestBits = bits; bestK = k }
       k += 1
     }
-    val maxAbs = res.foldLeft(0L)((m, r) => math.max(m, math.abs(r.toLong)))
+    val maxAbs = res.foldLeft(0L)((m, r) => math.max(m, math.abs(r)))
     var rawBits = 1
     while (rawBits < 31 && (1L << (rawBits - 1)) <= maxAbs) rawBits += 1
     if (rawBits.toLong * res.length < bestBits) {
       w.writeBits(15L, 4) // escape
       w.writeBits(rawBits.toLong, 5)
-      res.foreach(r => w.writeBits(r.toLong & ((1L << rawBits) - 1), rawBits))
+      res.foreach(r => w.writeBits(r & ((1L << rawBits) - 1), rawBits))
     } else {
       w.writeBits(bestK.toLong, 4)
       var i = 0

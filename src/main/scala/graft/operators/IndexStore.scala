@@ -213,8 +213,21 @@ object IndexStore {
   def compactPostings(spark: SparkSession, basePath: String,
                       compactPath: String,
                       tombstone: org.apache.spark.sql.Column,
-                      threshold: Double): (DataFrame, Boolean) = {
-    val base = spark.read.parquet(basePath)
+                      threshold: Double,
+                      baseFallback: Option[DataFrame] = None)
+  : (DataFrame, Boolean) = {
+    // the base postings may never have PUBLISHED (read-only volume,
+    // foreign-owned root — the exact degradations loadOrPublishPostings
+    // absorbs by returning the in-memory frame). Compaction must
+    // degrade the same way, not crash on the missing path (r9 review):
+    // callers hand that in-memory frame through `baseFallback`.
+    val base =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(basePath)))
+        spark.read.parquet(basePath)
+      else baseFallback.getOrElse(throw new IllegalStateException(
+        s"IndexStore: no published postings at $basePath and no " +
+          "in-memory fallback was provided — pass the frame " +
+          "loadOrPublishPostings returned"))
     val cp = java.nio.file.Paths.get(compactPath)
     if (java.nio.file.Files.isDirectory(cp))
       return (spark.read.parquet(compactPath), true)

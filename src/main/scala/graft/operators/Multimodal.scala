@@ -163,6 +163,45 @@ object Multimodal {
     * normalized to [0,1] by the sample-format full scale; the envelope
     * is RMS over 16 equal spans of the frame axis. Non-WAV and
     * malformed payloads fall back to [[decodeAudioStub]]. */
+  /** The level-stats convention shared by every decode path (PCM,
+    * ADPCM, FLAC — r9 review: the loop had grown a copy per codec):
+    * RMS and peak over ALL samples (channels mixed into the stats,
+    * not averaged per frame), normalized to [0,1] by `fullScale`, and
+    * a 16-bin RMS envelope over the frame axis. `sample(frame, ch)`
+    * abstracts the storage layout (interleaved WAV words, planar FLAC
+    * arrays). Frame index stays Long throughout — `frame * 16` wrapped
+    * an Int at ≥ 2²⁷ samples once before. */
+  private def levelStats(nFrames: Long, channels: Int, fullScale: Double,
+                         sample: (Long, Int) => Long)
+  : (Double, Double, Array[Float]) = {
+    var sumSq = 0.0
+    var peakAbs = 0L
+    val envSumSq = new Array[Double](16)
+    val envN = new Array[Long](16)
+    var fr = 0L
+    var n = 0L
+    while (fr < nFrames) {
+      val bin = math.min(15L, fr * 16 / nFrames).toInt
+      var c = 0
+      while (c < channels) {
+        val v = sample(fr, c)
+        val sq = (v * v).toDouble // |v| ≤ 2³¹ ⇒ v² ≤ 2⁶² — exact in Long
+        sumSq += sq
+        if (math.abs(v) > peakAbs) peakAbs = math.abs(v)
+        envSumSq(bin) += sq
+        envN(bin) += 1
+        n += 1
+        c += 1
+      }
+      fr += 1
+    }
+    val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n) / fullScale
+    val envelope = Array.tabulate(16)(b =>
+      if (envN(b) == 0) 0f
+      else (math.sqrt(envSumSq(b) / envN(b)) / fullScale).toFloat)
+    (rms, peakAbs / fullScale, envelope)
+  }
+
   def decodeAudio(r: MediaRow): DecodedAudio = {
     val p = r.payload
     // REAL FLAC decode (round 9): "fLaC" magic routes to the full
@@ -175,34 +214,11 @@ object Multimodal {
       try {
         val f = FlacCodec.decode(p)
         val nFrames = if (f.samples.isEmpty) 0L else f.samples(0).length.toLong
-        val fullScale = math.pow(2.0, f.bps - 1)
-        var sumSq = 0.0
-        var peakAbs = 0L
-        val envSumSq = new Array[Double](16)
-        val envN = new Array[Long](16)
-        // frame-major walk (channels are stored planar in FlacAudio)
-        var fr = 0L
-        var n = 0L
-        while (fr < nFrames) {
-          val bin = if (nFrames == 0) 0 else math.min(15L, fr * 16 / nFrames).toInt
-          var c = 0
-          while (c < f.samples.length) {
-            val v = f.samples(c)(fr.toInt)
-            sumSq += v.toDouble * v
-            if (math.abs(v.toLong) > peakAbs) peakAbs = math.abs(v.toLong)
-            envSumSq(bin) += v.toDouble * v
-            envN(bin) += 1
-            n += 1
-            c += 1
-          }
-          fr += 1
-        }
-        val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n) / fullScale
-        val envelope = Array.tabulate(16)(b =>
-          if (envN(b) == 0) 0f else (math.sqrt(envSumSq(b) / envN(b)) / fullScale).toFloat)
+        // channels are stored planar in FlacAudio
+        val (rms, peak, envelope) = levelStats(nFrames, f.samples.length,
+          math.pow(2.0, f.bps - 1), (fr, c) => f.samples(c)(fr.toInt).toLong)
         return DecodedAudio(r.media_id, f.sampleRate, f.channels, f.bps,
-          nFrames, nFrames * 1000L / f.sampleRate, rms, peakAbs / fullScale,
-          envelope)
+          nFrames, nFrames * 1000L / f.sampleRate, rms, peak, envelope)
       } catch { case scala.util.control.NonFatal(_) => return decodeAudioStub(r) }
     }
     if (!looksLikeWav(p)) return decodeAudioStub(r)
@@ -256,34 +272,20 @@ object Multimodal {
         if (adpcm != null) adpcm.length else dataLen / (bits / 8)
       val nFrames = nSamples.toLong / channels
       val fullScale = if (bits == 8) 128.0 else 32768.0
-      var sumSq = 0.0
-      var peakAbs = 0L
-      val envSumSq = new Array[Double](16)
-      val envN = new Array[Long](16)
-      var s = 0
-      while (s < nSamples) {
-        val v: Long =
+      // interleaved storage: sample index = frame·channels + channel.
+      // A trailing partial frame (nSamples not a channel multiple) was
+      // previously mixed into the stats sample-by-sample; the
+      // frame-major walk reads only whole frames — same values for
+      // every well-formed file (data size is a blockAlign multiple).
+      val (rms, peak, envelope) = levelStats(nFrames, channels, fullScale,
+        (fr, c) => {
+          val s = (fr * channels + c).toInt
           if (adpcm != null) adpcm(s).toLong
           else if (bits == 16) u16(dataOff + s * 2).toShort.toLong
           else (p(dataOff + s) & 0xff) - 128L // 8-bit WAV is unsigned
-        val sq = (v * v).toDouble
-        sumSq += sq
-        if (math.abs(v) > peakAbs) peakAbs = math.abs(v)
-        // frame*16 must widen to Long BEFORE multiplying: at >= 2^27
-        // samples the Int product wraps negative and indexes out of the
-        // envelope array (silently degrading a valid file to the stub
-        // via the catch)
-        val frame = s.toLong / channels
-        val bin = if (nFrames == 0) 0 else math.min(15L, frame * 16 / nFrames).toInt
-        envSumSq(bin) += sq
-        envN(bin) += 1
-        s += 1
-      }
-      val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples) / fullScale
-      val envelope = Array.tabulate(16)(i =>
-        if (envN(i) == 0) 0f else (math.sqrt(envSumSq(i) / envN(i)) / fullScale).toFloat)
+        })
       DecodedAudio(r.media_id, sampleRate, channels, bits, nFrames,
-        nFrames * 1000L / sampleRate, rms, peakAbs / fullScale, envelope)
+        nFrames * 1000L / sampleRate, rms, peak, envelope)
     } catch { case scala.util.control.NonFatal(_) => decodeAudioStub(r) }
   }
 

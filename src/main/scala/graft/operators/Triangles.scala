@@ -27,11 +27,12 @@ import org.apache.spark.sql.functions._
   *
   * The closing-edge test is the whole cost. Two physical paths:
   *
-  *  - |E| ≤ `maxBroadcastEdges` AND ids < 2³²: pack each directed edge
+  *  - |E| ≤ `maxBroadcastEdges` AND ids < 2³¹ (so every packed key
+  *    stays inside signed-Long range): pack each directed edge
   *    into one long (u·2³² + w over the ORIGINAL ids), broadcast the
   *    SORTED long array (8 B/edge — 10M edges = 80 MB, the same budget
   *    class as a broadcast-hash join side). The sorted array IS a CSR:
-  *    v's out-neighbors are the contiguous range [v·2³², (v+1)·2³²),
+  *    v's out-neighbors are the contiguous range [v·2³², v·2³²+2³²−1],
   *    so each wedge base (u, v) closes ALL its wedges with one range
   *    lookup + a linear merge of u's remaining list against N⁺(v) —
   *    O(d_u + d_v) per directed edge, sequential access (round 9:
@@ -98,7 +99,14 @@ object Triangles {
           .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
       .select(col("e.u").as("u"), col("e.w").as("w"))
     val corners: DataFrame =
-      if (m <= maxBroadcastEdges && maxId < Pack && minId >= 0) {
+      // id bound is 2³¹, NOT 2³²: the CSR range probe for vertex v
+      // reads keys up to v·2³² + (2³² − 1), and with v allowed up to
+      // 2³² − 1 that product overflows signed Long at v = 2³¹ — the
+      // binary search then compares against Long.MinValue and the
+      // vertex's closing edges are silently missed (review r9). With
+      // ids < 2³¹ the largest key is (2³¹−1)·2³² + 2³²−1 = 2⁶³−1,
+      // exactly Long.Max — every probe stays in signed range.
+      if (m <= maxBroadcastEdges && maxId < Pack / 2 && minId >= 0) {
         // the probe set is packed ID-CANONICALLY (min id · 2³² + max
         // id), NOT in orientation direction: u's out-list below is in
         // id order while edges are (d, id)-oriented, so a wedge pair
@@ -133,7 +141,12 @@ object Triangles {
             while (i < arr.length - 1) {
               val v = arr(i)
               var lo = lowerBound(es, v * Pack)
-              val hi = lowerBound(es, (v + 1) * Pack)
+              // end key as v·2³² + (2³² − 1), never (v+1)·2³²: the
+              // latter overflows at the guard's own upper edge; this
+              // form caps at Long.Max. The key itself cannot occur
+              // (ids < 2³¹ keep every stored low word below 2³¹), so
+              // lowerBound ≡ upperBound here.
+              val hi = lowerBound(es, v * Pack + (Pack - 1))
               var j = i + 1
               while (j < arr.length && lo < hi) {
                 val pw = es(lo) - v * Pack

@@ -602,13 +602,14 @@ object Relational13 {
     val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val (model, resid) = ModelCache.ivfPqIndex(spark, dir)
     val basePath = IndexStore.publishPath(s"ivfpq_16-8-16-2_fit2x_post|$dir")
-    IndexStore.loadOrPublishPostings(spark, basePath) {
+    val postings = IndexStore.loadOrPublishPostings(spark, basePath) {
       ProductQuantizer.encodeIvfPqPostings(resid, model)
     }
     val compactPath =
       IndexStore.publishPath(s"ivfpq_16-8-16-2_fit2x_post_compact1|$dir")
     val (served, _) = IndexStore.compactPostings(spark, basePath,
-      compactPath, col("id") % 7 === 3, threshold = 0.10)
+      compactPath, col("id") % 7 === 3, threshold = 0.10,
+      baseFallback = Some(postings))
     a40Oracle = Some(CurationQueries.a15OracleSql(
       model.centsQ, model.booksQ, subDim = 8,
       queryPred = "vec_id BETWEEN 18 AND 22",

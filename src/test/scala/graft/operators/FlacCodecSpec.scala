@@ -31,6 +31,24 @@ class FlacCodecSpec extends AnyFunSuite {
     roundTrip(Array(42)) // single sample, order-0 only
   }
 
+  test("round-trip at 32 bps: full-scale alternation takes the VERBATIM " +
+      "fallback and still decodes exactly") {
+    // r9 review regression: order-0 residuals of ±2³¹-scale samples
+    // exceed the raw escape's 31-bit ceiling; the encoder used to mask
+    // off the high bits and the stream failed its own MD5 on decode.
+    // The encodability gate now emits a VERBATIM subframe instead.
+    val x = Array.tabulate(100)(i =>
+      if (i % 2 == 0) Int.MaxValue else Int.MinValue)
+    val bytes = FlacCodec.encode(x, 8000, bps = 32, blockSize = 64)
+    val dec = FlacCodec.decode(bytes)
+    assert(dec.bps === 32 && dec.samples(0).toSeq === x.toSeq)
+    // high-order residual overflow (|res| past Int range) on smoother
+    // high-bps material must also survive: a steep 28-bit ramp
+    val ramp = Array.tabulate(500)(i => (i - 250) * (1 << 19))
+    val b2 = FlacCodec.encode(ramp, 8000, bps = 28, blockSize = 128)
+    assert(FlacCodec.decode(b2).samples(0).toSeq === ramp.toSeq)
+  }
+
   test("round-trip: many frames exercise the UTF-8 frame-number coding") {
     // 200 frames of 16... blockSize min is 16: 3200 samples; frame
     // numbers 0..199 cross the 1-byte/2-byte UTF-8 boundary at 128
