@@ -26,15 +26,19 @@ object Bfs {
     * over the directed edge list, capped at `maxHops`.
     * Output: (id, dist) for every node within the cap (sources at 0). */
   def hopDistances(edges: DataFrame, srcCol: String, dstCol: String,
-                   sources: DataFrame, maxHops: Int): DataFrame = {
+                   sources: DataFrame, maxHops: Int,
+                   edgesDistinct: Boolean = false): DataFrame = {
     require(maxHops >= 0)
     // cached once: every hop joins the frontier against the edge list,
     // and uncached `e` would re-derive the caller's edge pipeline
     // (orders⋈lineitem + distinct for the trade graph) per hop —
     // persist keeps Catalyst stats (see the PageRank note on why
-    // localCheckpoint is the wrong materialization here)
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
+    // localCheckpoint is the wrong materialization here).
+    // edgesDistinct: artifact-served callers (g02) skip the redundant
+    // |E|-row distinct shuffle, the PageRank/Hits flag applied here
+    val proj = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e = (if (edgesDistinct) proj else proj.distinct())
       .persistLedgered()
     // eager pin (the PageRank rule): every hop is its own eager-
     // checkpoint action joining `e`; a cache that silently fails to

@@ -33,7 +33,8 @@ object PageRank {
     * dangling-mass handling — union the reverse edges to guarantee it,
     * as the bipartite caller does). Output: (id, rank_scaled). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int, dampingPct: Int = 85): DataFrame = {
+               iterations: Int, dampingPct: Int = 85,
+               edgesDistinct: Boolean = false): DataFrame = {
     require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
     // cache the normalized edge list ONCE: every iteration joins
     // against it, and uncached each of the k iteration plans re-derives
@@ -46,8 +47,15 @@ object PageRank {
     // survive) — entries evict by LRU / caller clearCache once the
     // result is consumed. outdeg likewise feeds every iteration but is
     // |V|-bounded.
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
+    // edgesDistinct: callers serving a pre-deduplicated artifact (the
+    // g01 GraphCache path: distinct pairs by construction, and the
+    // even/odd id encoding keeps the reversed union collision-free)
+    // skip the redundant distinct — a full |E|-row shuffle that was
+    // g01's single largest stage (r9 profile: 13.6 s of stage time in
+    // the setup count)
+    val proj = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e = (if (edgesDistinct) proj else proj.distinct())
       // persisted for the SETUP phase only (outdeg + eod both scan it;
       // unpersisted, the caller's edge pipeline would run twice); the
       // iterations touch eod, not e — this entry is LRU fodder after

@@ -119,7 +119,8 @@ object Relational7 {
     * division replayed by the oracle's unrolled CTE chain
     * ([[PageRank]]). */
   def g01PageRank(spark: SparkSession, dir: String): DataFrame =
-    PageRank.pageRank(tradeEdges(spark, dir), "src", "dst", iterations = 5)
+    PageRank.pageRank(tradeEdges(spark, dir), "src", "dst", iterations = 5,
+        edgesDistinct = true)
       .orderBy(col("id"))
 
   /** The undirected customer↔supplier trade edge list g01/g02 share
@@ -135,7 +136,7 @@ object Relational7 {
   def g02Bfs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Bfs.hopDistances(tradeEdges(spark, dir), "src", "dst",
-        Seq(3L).toDF("id"), maxHops = 3)
+        Seq(3L).toDF("id"), maxHops = 3, edgesDistinct = true)
       .orderBy(col("dist"), col("id"))
   }
 
