@@ -27,8 +27,15 @@ import org.apache.spark.sql.DataFrame
   * Safety note on release timing: nothing may unpersist a registered
   * frame WHILE a consuming action runs — which is why release is an
   * explicit caller act and never a listener firing mid-query. For
-  * DETERMINISTIC intermediates a released frame is also safe to
-  * re-consume (the next action just recomputes). For NONDETERMINISTIC
+  * DETERMINISTIC persistLedgered intermediates a released frame is
+  * also safe to re-consume (the next action just recomputes) — but a
+  * localCheckpointLedgered frame is NOT: the checkpoint TRUNCATES
+  * lineage, so once its pinned blocks are released there is nothing
+  * to recompute FROM and a post-release action throws "checkpoint
+  * block not found" rather than silently rebuilding (r9 review) —
+  * results built on one (Bfs's reached set) must be fully consumed
+  * before the boundary that releases it, same rule as the
+  * nondeterministic class below. For NONDETERMINISTIC
   * snapshots (GlobalIds' range-sampler boundaries), release means the
   * retained result must NOT be consumed again: a post-release action
   * re-evaluates the sampler independently per plan branch (column

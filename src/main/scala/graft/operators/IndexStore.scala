@@ -95,9 +95,14 @@ object IndexStore {
 
   /** Deterministic artifact path for (key) under [[publishRoot]] —
     * version the key with the model parameters so a parameter change
-    * never serves a stale shape. */
+    * never serves a stale shape. The key-hash suffix keeps keys that
+    * differ only in sanitized characters on DISTINCT paths (r9 review:
+    * two corpus dirs collapsing to one path would silently serve each
+    * other's model); MD5 over the raw key is deterministic across
+    * JVMs, which the cross-JVM publish contract requires. */
   def publishPath(key: String): String =
-    publishRoot.resolve(key.replaceAll("[^A-Za-z0-9.-]+", "_")).toString
+    publishRoot.resolve(key.replaceAll("[^A-Za-z0-9.-]+", "_") +
+      "_" + graft.core.Fs.keyHash(key)).toString
 
   /** Load the artifact at `path` if a prior JVM (or this one) published
     * it; otherwise `train`, publish ATOMICALLY, and read the artifact
@@ -228,32 +233,41 @@ object IndexStore {
         s"IndexStore: no published postings at $basePath and no " +
           "in-memory fallback was provided — pass the frame " +
           "loadOrPublishPostings returned"))
+    // normalize NULL tombstone values to LIVE once, and use the same
+    // column in the threshold count, the mask, and the rewrite — the
+    // aggregate previously counted null as live while filter(!t)
+    // dropped the row (three-valued logic), silently vanishing
+    // never-deleted ids whose tombstone came from a null-yielding
+    // left join (r9 review)
+    val ts = coalesce(tombstone, lit(false))
     val cp = java.nio.file.Paths.get(compactPath)
+    // an EXISTING compact artifact still re-applies the CURRENT mask:
+    // ids tombstoned after the compaction was published must not
+    // resurface (r9 review — the early return served them live,
+    // contradicting the masked-serve equivalence this scaladoc
+    // promises). Between compactions the mask is a no-op on the
+    // already-dropped ids and exact on the newly dead ones.
     if (java.nio.file.Files.isDirectory(cp))
-      return (spark.read.parquet(compactPath), true)
+      return (spark.read.parquet(compactPath).filter(!ts), true)
     val counts = base.agg(count(lit(1)),
-      sum(when(tombstone, 1L).otherwise(0L))).collect()(0)
+      sum(when(ts, 1L).otherwise(0L))).collect()(0)
     val n = counts.getLong(0)
-    val dead = counts.getLong(1)
+    // sum() over zero rows is NULL — read it null-safely or the
+    // explicit n == 0 branch below is unreachable (r9 review: NPE on
+    // an empty postings store)
+    val dead = if (counts.isNullAt(1)) 0L else counts.getLong(1)
     if (n == 0 || dead.toDouble / n < threshold)
-      (base.filter(!tombstone), false)
+      (base.filter(!ts), false)
     else {
       publishAtomically(compactPath) { tmp =>
-        base.filter(!tombstone).write.mode("overwrite").parquet(tmp)
+        base.filter(!ts).write.mode("overwrite").parquet(tmp)
       }
       if (java.nio.file.Files.isDirectory(cp))
         (spark.read.parquet(compactPath), true)
-      else (base.filter(!tombstone), false) // read-only store: mask only
+      else (base.filter(!ts), false) // read-only store: mask only
     }
   }
 
   private def deleteTree(p: java.nio.file.Path): Unit =
-    try {
-      import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(f => try java.nio.file.Files.deleteIfExists(f)
-                        catch { case _: Throwable => () })
-    } catch { case _: Throwable => () }
+    graft.core.Fs.deleteTree(p)
 }

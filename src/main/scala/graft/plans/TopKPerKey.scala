@@ -85,10 +85,14 @@ final case class TopKPerKeyExec(keys: Seq[Expression], score: Expression,
           else if (b == null) 1
           else baseOrd.compare(a, b)
       }
-      def copyTie(v: Any): Any = v match {
-        case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
-        case x => x
-      }
+      // DEEP copy: tie values may be views into the scan's reused row
+      // buffer — not just UTF8String but UnsafeArrayData/UnsafeRow for
+      // array/struct ties (any orderable type reaches here via the
+      // window rewrite; r9 review caught the array case comparing
+      // garbage once the buffer advanced). InternalRow.copyValue is
+      // Spark's own any-type copier for exactly this.
+      def copyTie(v: Any): Any =
+        org.apache.spark.sql.catalyst.InternalRow.copyValue(v)
       // score ordering chosen from the static type (node construction
       // already rejected non-numeric score expressions); NATIVE, so
       // long/decimal scores compare exactly — see scoreOrdering
@@ -148,6 +152,9 @@ object TopKPerKey {
     * carries ≤ k·|keys|·|partitions| rows instead of the full input. */
   def prune(df: org.apache.spark.sql.DataFrame, keyCol: String, scoreCol: String,
             tieCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    // fail fast: the exec's heap comparator dereferences peek() on a
+    // full-at-zero heap (r9 review) — and top-0 is a caller bug anyway
+    require(k >= 1, s"TopKPerKey.prune: k must be >= 1, got $k")
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))

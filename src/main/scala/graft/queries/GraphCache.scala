@@ -37,8 +37,16 @@ import graft.Tables._
   */
 object GraphCache {
 
-  private val built =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // memoized FUTURES, not values: the build (a multi-second Spark
+  // write) must run OUTSIDE the map's mapping function — a
+  // computeIfAbsent build that touched another artifact threw
+  // ConcurrentHashMap's "Recursive update" whenever the keys shared a
+  // hash bin (previously patched at one call site; r9 review moved the
+  // fix into the mechanism so every current and future nested build is
+  // safe), and same-bin keys no longer serialize behind each other's
+  // corpus-sized writes
+  private val built = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[String]]()
 
   /** pid@host — distinct per JVM, so concurrent processes never share
     * (and never clobber) an artifact path. */
@@ -47,14 +55,7 @@ object GraphCache {
       .replaceAll("[^A-Za-z0-9.]+", "_")
 
   private def deleteTree(p: java.nio.file.Path): Unit =
-    try {
-      import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(f => try java.nio.file.Files.deleteIfExists(f)
-                        catch { case _: Throwable => () })
-    } catch { case _: Throwable => () }
+    graft.core.Fs.deleteTree(p)
 
   private val root = {
     val base = java.nio.file.Paths.get(
@@ -99,12 +100,27 @@ object GraphCache {
 
   private def artifact(spark: SparkSession, key: String)
                       (build: => DataFrame): DataFrame = {
-    val path = built.computeIfAbsent(key, _ => {
-      val p = root.resolve(
-        key.replaceAll("[^A-Za-z0-9.]+", "_")).toString
-      build.write.mode("overwrite").parquet(p)
-      p
-    })
+    val mine = new java.util.concurrent.CompletableFuture[String]()
+    val existing = built.putIfAbsent(key, mine)
+    val path =
+      if (existing != null) existing.join() // built (or building) elsewhere
+      else
+        try {
+          // key-hash suffix: sanitization alone collapsed distinct
+          // keys onto one path (graft.core.Fs.keyHash scaladoc)
+          val p = root.resolve(
+            key.replaceAll("[^A-Za-z0-9.]+", "_") +
+              "_" + graft.core.Fs.keyHash(key)).toString
+          build.write.mode("overwrite").parquet(p)
+          mine.complete(p)
+          p
+        } catch { case e: Throwable =>
+          // a failed build must not poison the memo: drop the entry so
+          // the next caller retries, and wake any waiters with the cause
+          built.remove(key, mine)
+          mine.completeExceptionally(e)
+          throw e
+        }
     spark.read.parquet(path)
   }
 
@@ -216,9 +232,9 @@ object GraphCache {
   /** Per-node triangle counts over [[coPurchaseEdges]] — the shared
     * triangle index behind g03's census and g04's normalization. */
   def coPurchaseTriangles(spark: SparkSession, dir: String): DataFrame = {
-    // resolve the edges artifact BEFORE entering this key's memo:
-    // ConcurrentHashMap forbids a computeIfAbsent from inside another's
-    // mapping function (same-bin keys throw "Recursive update")
+    // nested artifact resolution is safe now (the memo holds futures,
+    // builds run outside the map) — resolving edges up front is kept
+    // for clarity, not correctness
     val edges = coPurchaseEdges(spark, dir)
     artifact(spark, s"copurchase_tri|$dir") {
       graft.operators.Triangles.perNodeCounts(edges, "a", "b")

@@ -133,6 +133,24 @@ class IndexStoreSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
     val masked = run(spark.read.parquet(basePath).filter(!dead))
     assert(masked === run(served), "compacted serve must equal masked serve")
+    // deletions that arrive AFTER the compaction was published must not
+    // resurface: an existing compact artifact re-applies the CURRENT
+    // mask (r9 review — the early return used to serve T2\T1 live)
+    val grown = dead || col("id") % 7 === 1
+    val (served3, _) = IndexStore.compactPostings(
+      spark, basePath, compactPath, grown, threshold = 0.10)
+    val expectGrown = spark.read.parquet(basePath).filter(!grown).count()
+    assert(served3.count() === expectGrown,
+      "post-compaction tombstones must be masked on the compact artifact")
+    // a NULL tombstone value means LIVE consistently (threshold count
+    // and mask agree; r9 review — filter(!t) silently dropped nulls)
+    val nullTs = when(col("id") % 5 === 0, lit(true))
+      .otherwise(lit(null).cast("boolean"))
+    val (servedN, _) = IndexStore.compactPostings(
+      spark, basePath, root.resolve("post_compact_nullts").toString,
+      nullTs, threshold = 0.99)
+    assert(servedN.count() === 160L,
+      "null tombstone = live: no silent row loss through 3VL filters")
     graft.core.Caching.CacheLedger.releaseAll()
   }
 

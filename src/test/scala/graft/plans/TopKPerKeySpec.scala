@@ -77,6 +77,31 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(out.toSeq == Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L))
   }
 
+  test("array tiebreaks are deep-copied, not buffer views (r9 regression)") {
+    import spark.implicits._
+    // all rows share one score so ONLY the array tiebreak decides the
+    // kept set; before the fix the heap held UnsafeArrayData views into
+    // the scan's reused row buffer, so comparisons read whatever row
+    // the iterator was on — silently wrong survivors. Many rows per
+    // partition force buffer reuse.
+    val df = (0L until 200L).map(i => (1L, i, 5.0, Seq(200L - i, i)))
+      .toDF("k", "id", "s", "tie").repartition(2)
+    val out = TopKPerKey.prune(df, "k", "s", "tie", 3)
+      .collect().map(_.getLong(1)).sorted
+    // tie asc on arrays = lexicographic on (200-i, i): smallest are
+    // i = 199, 198, 197
+    assert(out.toSeq == Seq(197L, 198L, 199L))
+  }
+
+  test("k = 0 fails fast at the API instead of NPEing in the executor") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 1.0)).toDF("k", "id", "s")
+    val e = intercept[IllegalArgumentException] {
+      TopKPerKey.prune(df, "k", "s", "id", 0)
+    }
+    assert(e.getMessage.contains("k must be >= 1"))
+  }
+
   test("null scores rank last (window desc NULLS LAST parity) and float scores work") {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.ColumnBridge
