@@ -197,16 +197,25 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
           .as("ord"),
         count(lit(1)).as("n_sh"))
+      // ε-slack on BOTH prunings (r9 review): double rounding can push
+      // n·t just past the rational value (100·0.07 = 7.000000000000001),
+      // which SHORTENED the prefix (ceil one too high) and TIGHTENED
+      // the length filter below — each silently dropping pairs that sit
+      // exactly on the threshold and that jaccardPairs (the bit-equality
+      // contract) emits. The slack only widens the candidate set; the
+      // exact verify prunes the extras, so output equality is restored
+      // for any threshold with < 9 significant decimals.
       .withColumn("p",
-        (col("n_sh") - ceil(col("n_sh") * lit(threshold)) + 1).cast("int"))
+        (col("n_sh") - ceil(col("n_sh") * lit(threshold) - lit(1e-9)) + 1)
+          .cast("int"))
       .select(col("id"), col("n_sh"),
         explode(expr("transform(slice(ord, 1, p), x -> x.shingle)"))
           .as("shingle"))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
-          col("a.n_sh") >= col("b.n_sh") * lit(threshold) &&
-          col("b.n_sh") >= col("a.n_sh") * lit(threshold))
+          col("a.n_sh") >= col("b.n_sh") * lit(threshold) - lit(1e-9) &&
+          col("b.n_sh") >= col("a.n_sh") * lit(threshold) - lit(1e-9))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // scan-local verify: the candidate pair carries both shingle
@@ -308,10 +317,17 @@ object Dedup {
     // Docs with fewer words than one shingle are excluded — their
     // signature is the all-MaxValue sentinel, which would bucket every
     // such doc together and then divide 0/0 in the Jaccard verify.
-    val sig = df
+    val sig0 = df
       .filter(size(split(col(textCol), " ")) >= n)
       .select(col(idCol).as("id"),
         graft.functions.GraftFunctions.minhashWords(split(col(textCol), " "), numHashes, n).as("sig"))
+    // with the agreement pre-filter active, sig has THREE consumers
+    // (buckets + the sig_a/sig_b joins) and Catalyst has no
+    // common-subtree reuse across DataFrame branches — unpersisted, the
+    // corpus scan + minhash pass ran once per consumer (r9 review),
+    // which is exactly the cost the pre-filter exists to avoid
+    val sig = if (minSignatureAgreement.isDefined) sig0.persistLedgered()
+      else sig0
     val buckets = sig.select(
       col("id"),
       posexplode(expr(
@@ -387,6 +403,12 @@ object Dedup {
       .select(least(col("__mn"), col("id")).as("rep_id"), col("id"))
   }
 
+  /** Distinct xxhash64 word-n-gram hashes of a text column — the
+    * shared n-gram key for [[contaminationPairs]] and the streaming
+    * decontamination filter (both sides MUST hash identically). */
+  def hashedNgrams(textCol: String, n: Int): Column =
+    graft.functions.GraftFunctions.ngramHashes(split(col(textCol), " "), n)
+
   /** Benchmark decontamination: corpus documents sharing at least
     * `minShared` distinct word n-grams with a benchmark/eval document
     * (the GPT-3/Pile 13-gram-overlap rule; n is a parameter because
@@ -407,12 +429,6 @@ object Dedup {
     * pass otherwise (measured ~2× at sf0.1). A cross-doc collision
     * (~2^-64 per comparison) could overcount `shared_ngrams` by one;
     * set false for the literal-string contract. */
-  /** Distinct xxhash64 word-n-gram hashes of a text column — the
-    * shared n-gram key for [[contaminationPairs]] and the streaming
-    * decontamination filter (both sides MUST hash identically). */
-  def hashedNgrams(textCol: String, n: Int): Column =
-    graft.functions.GraftFunctions.ngramHashes(split(col(textCol), " "), n)
-
   def contaminationPairs(corpus: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String,
                          benchIdCol: String, benchTextCol: String,
@@ -484,24 +500,6 @@ object Dedup {
           .as("dup_ratio"))
   }
 
-  /** Exact-substring REMOVAL — the action to [[duplicatedWindows]]'
-    * signal (Lee et al. 2022 "Deduplicating Training Data Makes
-    * Language Models Better", as the word-window approximation of
-    * their suffix-array method): every word covered by an n-word
-    * window whose content occurred EARLIER in the corpus (lower
-    * doc_id, or lower start position within the same doc) is dropped;
-    * first occurrences survive. One row per input doc:
-    * (doc_id, n_words, n_removed, kept_text).
-    *
-    * Scale posture: windows travel as 8-byte xxhash64 keys + (doc,
-    * pos) — never as strings; ONE shuffle on the window hash ranks
-    * occurrences (first occurrence = row_number 1); covered positions
-    * fold back to one int-array per affected doc (bounded by doc
-    * length); the text is rebuilt scan-side by an indexed-lambda
-    * filter over the original word array, so document text itself
-    * never shuffles. A cross-doc hash collision (~2⁻⁶⁴ per window
-    * comparison) could drop a non-duplicate span — same approximate
-    * contract as [[duplicatedWindows]]. */
   /** Incremental (snapshot-delta) dedup — the daily-crawl workflow: a
     * NEW batch of documents deduplicates against the ACCUMULATED corpus
     * without rescanning it as pairs. New docs are dropped when their
@@ -716,6 +714,24 @@ object Dedup {
           " ").as("kept_text"))
   }
 
+  /** Exact-substring REMOVAL — the action to [[duplicatedWindows]]'
+    * signal (Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better", as the word-window approximation of
+    * their suffix-array method): every word covered by an n-word
+    * window whose content occurred EARLIER in the corpus (lower
+    * doc_id, or lower start position within the same doc) is dropped;
+    * first occurrences survive. One row per input doc:
+    * (doc_id, n_words, n_removed, kept_text).
+    *
+    * Scale posture: windows travel as 8-byte xxhash64 keys + (doc,
+    * pos) — never as strings; ONE shuffle on the window hash ranks
+    * occurrences (first occurrence = row_number 1); covered positions
+    * fold back to one int-array per affected doc (bounded by doc
+    * length); the text is rebuilt scan-side by an indexed-lambda
+    * filter over the original word array, so document text itself
+    * never shuffles. A cross-doc hash collision (~2⁻⁶⁴ per window
+    * comparison) could drop a non-duplicate span — same approximate
+    * contract as [[duplicatedWindows]]. */
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                            n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -73,6 +73,13 @@ object ProductQuantizer {
     val initRows = base.orderBy(col("id")).limit(k)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
     require(initRows.nonEmpty, "product quantizer needs a non-empty input")
+    // fewer vectors than codes: the effective k shrinks to the row
+    // count, the KMeans.fit convention — with the nominal k, the
+    // codebook rebuild below indexed codebooks(s)(c) for never-seeded
+    // codes c >= |rows| and crashed (r9 review). The returned Model
+    // carries the effective k, so every downstream ADC table/encode
+    // sizes itself consistently.
+    val ke = math.min(k, initRows.length)
     val dim = initRows.head.length
     require(dim % m == 0, s"dimension $dim must divide into $m subspaces")
     val subDim = dim / m
@@ -90,16 +97,16 @@ object ProductQuantizer {
         argminCode(sv, 0, bc.value(sub))
       }
       val assigned = exploded.withColumn("code", assignUdf(col("sub"), col("sv")))
-        .withColumn("grp", col("sub") * k + col("code"))
+        .withColumn("grp", col("sub") * ke + col("code"))
       val updated = Centroids.byGroupBy(assigned, "grp", "sv")
         .collect().map(r => r.getAs[Number]("grp").intValue() ->
           r.getSeq[Double](1).toArray).toMap
       codebooks = Array.tabulate(m)(s =>
-        Array.tabulate(k)(c => updated.getOrElse(s * k + c, codebooks(s)(c))))
+        Array.tabulate(ke)(c => updated.getOrElse(s * ke + c, codebooks(s)(c))))
       iter += 1
     }
     base.unpersist(false)
-    Model(m, k, subDim, codebooks)
+    Model(m, ke, subDim, codebooks)
   }
 
   /** Encode every vector as its `m` nearest sub-codes — one scan-local

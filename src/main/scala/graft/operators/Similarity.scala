@@ -75,13 +75,6 @@ object Similarity {
   def bruteForceTopKExec(queries: DataFrame, corpus: DataFrame, idCol: String,
                          vecCol: String, k: Int,
                          filterCol: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    val spark = corpus.sparkSession
-    // idempotently make the strategy available on sessions built without
-    // GraftExtensions
-    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
     val q = queries.select(
       Seq(col(idCol).as("query_id"), asDouble(vecCol).as("qv")) ++
         filterCol.map(f => col(f).as("qf")): _*)
@@ -94,12 +87,11 @@ object Similarity {
     val scored = c.join(broadcast(q), cond)
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qv"), col("cv")), 6).as("score"))
-    val plan = ColumnBridge.logicalPlan(scored)
-    val keyAttr = plan.output.find(_.name == "query_id").get
-    val scoreAttr = plan.output.find(_.name == "score").get
-    val tieAttr = plan.output.find(_.name == "neighbor_id").get
-    val topk = ColumnBridge.ofRows(spark,
-      graft.plans.TopKPerKeyNode(Seq(keyAttr), scoreAttr, tieAttr, k, plan))
+    // strategy registration + attribute binding live in TopKPerKey.prune
+    // (r9 review: this method hand-rolled the same node construction and
+    // lacked the k >= 1 fail-fast prune carries)
+    val topk = graft.plans.TopKPerKey.prune(
+      scored, "query_id", "score", "neighbor_id", k)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     topk
@@ -556,13 +548,19 @@ object Similarity {
   def mmrDiversify(queries: DataFrame, corpus: DataFrame, idCol: String,
                    vecCol: String, poolK: Int, selectK: Int): DataFrame = {
     require(selectK >= 1 && selectK <= poolK, "need 1 <= selectK <= poolK")
+    // ids normalize to BIGINT up front (the binaryHammingTopK/adcTopK
+    // convention): the greedy pick UDF below reads Row.getLong, and an
+    // int/short id column reached it as a ClassCastException task death
+    // (r9 review). Output ids surface as bigint accordingly.
+    val q = queries.select(col(idCol).cast("long").as(idCol), col(vecCol))
+    val cor = corpus.select(col(idCol).cast("long").as(idCol), col(vecCol))
     // three consumers (pair self-join ×2, grouped pools): persist so the
     // brute-force top-k runs once, and so all three see ONE result even
     // if a future candidate generator is nondeterministic — the pick
     // UDF's sim lookups assume pairs and pools come from the same pool
-    val cands = bruteForceTopKExec(queries, corpus, idCol, vecCol, poolK)
+    val cands = bruteForceTopKExec(q, cor, idCol, vecCol, poolK)
       .persistLedgered()
-    val vecs = corpus.select(col(idCol).as("vid"), asDouble(vecCol).as("v"))
+    val vecs = cor.select(col(idCol).as("vid"), asDouble(vecCol).as("v"))
     val candIds = cands.select(col("neighbor_id").as("vid")).distinct()
     val candVecs = vecs.join(broadcast(candIds), "vid")
     val pairs = cands.as("c1")
@@ -737,11 +735,16 @@ object Similarity {
                         shortlist: Int, topK: Int,
                         seed: Long = 42L): DataFrame = {
     require(shortlist >= topK, "shortlist must be at least topK")
+    // null vectors OUT before coding (r9 review): signLshBucket
+    // coalesces a null vector to code 0L, which looks hamming-close to
+    // sparse queries and pollutes the shortlist with unverifiable rows
+    // (cosine(q, null) is null in the refine) — the
+    // cosinePairsLsh/pairwiseDiversity discipline applied here
     val code = signLshBucket(vecCol, dim, nPlanes = 64, seed)
-    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
-      code.as("ccode"))
-    val q = queries.select(col(idCol).cast("long").as("query_id"),
-      code.as("qcode"))
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("neighbor_id"), code.as("ccode"))
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("query_id"), code.as("qcode"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         expr("cast(bit_count(qcode ^ ccode) as bigint)").as("ham"))
@@ -868,9 +871,19 @@ object Similarity {
     cell.groupBy(col("label"))
       .agg(sum(col("s") * col("s")).cast(d38).as("ss"),
         sum(col("t")).cast(d38).as("t"),
-        // n is per (label, d) but constant across d (every vector
-        // carries every component) — max() collapses it exactly
-        max(col("n")).as("n"))
+        // n is per (label, d) and constant across d ONLY when every
+        // vector carries every component — enforced loudly below
+        // instead of assumed (r9 review: one truncated vector made the
+        // Σ-sum identity and max(n) disagree and the ppm was silently
+        // wrong)
+        max(col("n")).as("n"),
+        min(col("n")).as("__n_min"))
+      .withColumn("n", when(col("n") === col("__n_min"), col("n"))
+        .otherwise(raise_error(concat(lit("pairwiseDiversity: label "),
+          col("label").cast("string"),
+          lit(" has ragged vector lengths — every vector must carry " +
+            "every component")))))
+      .drop("__n_min")
       .withColumn("n_pairs", expr("(n * (n - 1)) div 2"))
       // ss − t = 2·Σ_{i<j} dot by construction (always even); kept
       // UNDIVIDED — see the scaladoc — and the ppm derivation uses the

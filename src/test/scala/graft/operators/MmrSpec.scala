@@ -42,6 +42,19 @@ class MmrSpec extends AnyFunSuite {
     assert(mmr.toSet === Set(1L, 2L, 3L))
   }
 
+  test("int id columns work (ids normalize to bigint — r9 regression)") {
+    // the greedy pick UDF reads Row.getLong; an INT id column used to
+    // reach it uncast and die with ClassCastException
+    val intIds = vecs.select(col("vec_id").cast("int").as("vec_id"),
+      col("embedding"))
+    val out = Similarity.mmrDiversify(
+        intIds.filter(col("vec_id") === 100),
+        intIds.filter(col("vec_id") =!= 100),
+        "vec_id", "embedding", poolK = 3, selectK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 2 && out.forall(_._1 == 100L))
+  }
+
   test("pool smaller than selectK emits the partial pick list") {
     val queries = vecs.filter(col("vec_id") === 100L)
     val corpus = vecs.filter(col("vec_id") =!= 100L)

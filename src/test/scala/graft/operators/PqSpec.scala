@@ -29,6 +29,20 @@ class PqSpec extends AnyFunSuite {
     assert(a.codebooks.flatten.flatten.toSeq === b.codebooks.flatten.flatten.toSeq)
   }
 
+  test("fewer vectors than k: effective k shrinks (KMeans convention), " +
+      "no crash (r9 regression)") {
+    // 5 vectors, k = 16: the codebook rebuild used to index
+    // codebooks(s)(c) for never-seeded codes c >= 5 and threw AIOOBE
+    val small = emb.limit(5)
+    val m5 = ProductQuantizer.fit(small, "vec_id", "embedding",
+      m = 8, k = 16, iterations = 2)
+    assert(m5.k === 5 && m5.codebooks.forall(_.length === 5))
+    // the shrunk model still encodes and searches coherently
+    val codes = ProductQuantizer.encode(small, "vec_id", "embedding", m5)
+      .collect()
+    assert(codes.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 5)))
+  }
+
   test("encode emits one in-range code per subspace") {
     val model = ProductQuantizer.fit(emb, "vec_id", "embedding", m = 8, k = 16)
     val codes = ProductQuantizer.encode(emb, "vec_id", "embedding", model)

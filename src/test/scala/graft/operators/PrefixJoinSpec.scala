@@ -60,6 +60,20 @@ class PrefixJoinSpec extends AnyFunSuite {
     assert(Dedup.prefixJaccardPairs(df, "id", "text", 3, 0.46).count() === 0)
   }
 
+  test("double-rounding threshold (t*n rounds UP past the rational): " +
+      "containment pair at exactly J = t is not pruned (r9 regression)") {
+    // 100 * 0.07 = 7.000000000000001 in double: the length filter
+    // previously rejected |A| = 7 vs |B| = 100 and ceil shortened B's
+    // prefix — both silently dropping this exactly-on-threshold pair
+    // that jaccardPairs emits. A ⊂ B with |A| = 7, |B| = 100 distinct
+    // shingles → J = 7/100 = 0.07.
+    val wordsB = (1 to 102).map(i => s"w$i").mkString(" ") // 100 shingles
+    val wordsA = (1 to 9).map(i => s"w$i").mkString(" ")   // 7, all shared
+    val df = Seq((1L, wordsA), (2L, wordsB)).toDF("id", "text")
+    bitEqual(df, 0.07)
+    assert(Dedup.prefixJaccardPairs(df, "id", "text", 3, 0.07).count() === 1)
+  }
+
   test("sf0.001 documents: full equality on real corpus, two thresholds") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id").as("id"), col("text"))
