@@ -74,7 +74,12 @@ object HyperLogLog {
   def approxCountDistinct(df: DataFrame, groupCol: String, keyCol: String,
                           prefix: String, outCol: String): DataFrame = {
     val h = hashExpr(keyCol, prefix)
+    // NULL keys out first — COUNT(DISTINCT) semantics ignore NULL, and
+    // a null hash would otherwise flow into least(NULL, cap) = cap (both
+    // engines' least SKIPS nulls): a phantom max-rank register in a NULL
+    // bucket perturbing the estimate (r9 review)
     val registers = df
+      .filter(col(keyCol).isNotNull)
       .select(col(groupCol),
         expr(s"$h div ${1L << LowBits}").as("bucket"),
         expr(s"$h % ${1L << LowBits}").as("low"))
@@ -150,7 +155,10 @@ object HyperLogLog {
   }
 
   /** `approx_distinct(hash)` as a Column (the aggregator over
-    * [[hashExpr]] input). */
+    * [[hashExpr]] input). The CALLER must exclude null keys first
+    * (the entry-point frames above do): a null key hashes to NULL and
+    * the typed aggregator's Long input deserializes through
+    * AssertNotNull — a task death, not a skipped row. */
   def hllAgg(keyCol: String, prefix: String): Column =
     udaf(new HllAggregator).apply(expr(hashExpr(keyCol, prefix)))
 
@@ -172,7 +180,10 @@ object HyperLogLog {
                          prefix: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = hashExpr(keyCol, prefix)
+    // NULL keys ignored — same COUNT(DISTINCT) semantics (and the same
+    // phantom-register hazard) as approxCountDistinct
     val perDay = df
+      .filter(col(keyCol).isNotNull)
       .select(col(orderCol).as("d"),
         expr(s"$h div ${1L << LowBits}").as("bucket"),
         expr(s"$h % ${1L << LowBits}").as("low"))

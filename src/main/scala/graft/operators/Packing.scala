@@ -46,7 +46,15 @@ object Packing {
     * Contract: ids must be non-null (a total order needs them; null-id
     * rows are excluded explicitly). Duplicate ids are ordered by
     * (id, n_tokens) so the output multiset is deterministic — two rows
-    * tied on both are interchangeable. */
+    * tied on both are interchangeable.
+    *
+    * Id DENSITY contract (r9 review): the bucket-totals fold below is
+    * "one bounded task" because `id div bucketWidth` yields
+    * ~corpus/bucketWidth buckets for rank-dense ids. Sparse 64-bit ids
+    * (hashed, snowflake) put ~one doc per bucket and funnel a
+    * corpus-sized frame into the single-partition fold — rank-densify
+    * first ([[GlobalIds.assignBy]], the t38 pattern) before packing
+    * such a corpus. */
   def sequencePack(docs: DataFrame, idCol: String, textCol: String,
                    seqLen: Int, bucketWidth: Int = 1024,
                    persistToks: Boolean = true): DataFrame = {

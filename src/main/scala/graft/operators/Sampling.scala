@@ -32,6 +32,21 @@ object Sampling {
     * never be drawn; negative weights are undefined). */
   def esKeyed(df: DataFrame, stratumCol: String, idCol: String,
               weightCol: String, salt: String = "es"): DataFrame = {
+    // the integral-weight contract is ENFORCED, not assumed (r9
+    // review): a fractional weight column would truncate differently
+    // than DuckDB's rounding CAST, and a 0-to-1-range weight truncates
+    // to 0 — es_key = s9/0.0 = ±Infinity/NaN, which Spark orders ABOVE
+    // every real key. Fail at plan time with the column named.
+    df.schema(weightCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"esKeyed: weight column '$weightCol' must be integral " +
+          s"(got $other) — pre-scale fractional weights to integer " +
+          "units (e.g. milli-weights) so both engines rank identically")
+    }
     // hash the post-projection "id" column — same VALUES as the
     // caller's id column, which is what the oracle hashes too
     val h = graft.operators.HyperLogLog.hashExpr("id", salt)

@@ -171,8 +171,14 @@ object TextAnalysis {
     * corpus shuffles only (doc_id, partial counts), never text. */
   def unigramScores(docs: DataFrame, idCol: String, textCol: String,
                     vocabSize: Int): DataFrame = {
+    import graft.core.Caching.LedgerOps
+    // TWO consumers (vocab aggregation + the per-doc join side) and no
+    // common-subtree reuse across DataFrame branches — unpersisted,
+    // each cascaded back through the caller's upstream pipeline (the
+    // bigramLmScore/tfIdfKeywords lesson applied here; r9 review)
     val words = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("word"))
+      .persistLedgered()
     val vocab = words.groupBy("word").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("word")).limit(vocabSize)
     words.join(broadcast(vocab), Seq("word"), "left")
@@ -262,14 +268,21 @@ object TextAnalysis {
                      minQuality: Double = 0.3, maxRepetition: Double = 0.1,
                      maxTop2Frac: Double = 0.15, maxOovRatio: Double = 0.7,
                      minWords: Long = 20, vocabSize: Int = 500): DataFrame = {
-    val signals = docs.select(col(idCol).as("doc_id"),
+    // "one row per document" holds for documents WITH text: null-text
+    // rows are excluded EXPLICITLY here rather than vanishing through
+    // the unigram inner join (r9 review — a dropped-by-join doc got
+    // neither keep=1 nor keep=0, so the verdict depended on the
+    // consumer's join type; now the exclusion is this operator's
+    // stated contract: no text, no verdict)
+    val d = docs.filter(col(textCol).isNotNull)
+    val signals = d.select(col(idCol).as("doc_id"),
       qualityScore(col(textCol)).as("quality"),
       repetitionRatio(col(textCol)).as("rep_ratio"),
       // top-2 slot only: the full gopherFractions pass would build the
       // 3-, 4-, and dup-5-gram maps just to discard them (r2 review)
       round(graft.functions.GraftFunctions.topGramFraction(col(textCol), 2), 6)
         .as("top2_frac"))
-    val oov = unigramScores(docs, idCol, textCol, vocabSize)
+    val oov = unigramScores(d, idCol, textCol, vocabSize)
       .select(col("doc_id"), col("n_words"), col("oov_ratio"))
     signals.join(oov, "doc_id")
       .select(col("doc_id"), col("n_words"), col("quality"),
@@ -297,9 +310,15 @@ object TextAnalysis {
     * per-feature shuffle of the corpus. Rows-only vs the oracle:
     * xxhash64 feature hashing and `ln` have no bit-exact DuckDB twin
     * (DsirSpec pins the semantics instead). */
-  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+  def dsirWeights(raw0: DataFrame, target0: DataFrame, idCol: String,
                   textCol: String, n: Int = 2, buckets: Int = 8192): DataFrame = {
     import graft.functions.GraftFunctions.{ngramBuckets, sumLookup}
+    // null-text rows excluded IDENTICALLY here and in the exact twin
+    // (r9 review: the native path surfaced NULL weights while the
+    // exact path's null-tolerant UDF emitted weight-0 rows for the
+    // same input — the two surfaces must agree on every corpus)
+    val raw = raw0.filter(col(textCol).isNotNull)
+    val target = target0.filter(col(textCol).isNotNull)
     def bucketCounts(df: DataFrame): Array[Long] = {
       val rows = df
         .select(explode(ngramBuckets(split(col(textCol), " "), n, buckets)).as("b"))
@@ -336,9 +355,13 @@ object TextAnalysis {
     * ratios) stays driver-side like a14's eigensolve; DsirSpec pins it.
     * Returns the quantized table for the splice. [[dsirWeights]]
     * remains the fast xxhash64 production surface. */
-  def dsirWeightsExact(raw: DataFrame, target: DataFrame, idCol: String,
+  def dsirWeightsExact(raw0: DataFrame, target0: DataFrame, idCol: String,
                        textCol: String, n: Int = 2, buckets: Int = 8192,
                        scale: Long = 1L << 30): (DataFrame, Array[Long]) = {
+    // same null-text exclusion as [[dsirWeights]] — the two surfaces
+    // must classify every row identically
+    val raw = raw0.filter(col(textCol).isNotNull)
+    val target = target0.filter(col(textCol).isNotNull)
     val nb = buckets
     val nn = n
     val featUdf = udf { (s: String) =>
@@ -771,6 +794,20 @@ object TextAnalysis {
     * emails, North-American phone numbers, and IPv4 literals before
     * the corpus ships. Counts are reported per document (the audit a
     * privacy review wants) alongside the redacted text.
+    *
+    * Count semantics: n_emails/n_phones/n_ips are DETECTION counts on
+    * the RAW text, while masking is sequential (email → phone → IP) —
+    * a span matching two classes (a phone-shaped local part inside an
+    * email) is counted under both but masked once, under the earlier
+    * class. Reconcile an audit against raw-text detections, not
+    * against a token census of clean_text. (Deliberate: per-class
+    * detection telemetry is what the privacy review samples; the
+    * oracle replays the same raw-text counts.)
+    *
+    * NOTE: [[scrubPii]] is a DIFFERENT, reference-pinned cleanup pass
+    * (its `<EMAIL>`/`<IP>`/`<NUM>` masks, unanchored IP pattern, and
+    * digit-run rule replicate that operator's own contract) — the two
+    * pattern sets diverge on purpose and must NOT be unified.
     *
     * Engine parity: the three patterns use only the regex subset Java
     * (Spark) and RE2 (DuckDB) agree on — character classes, bounded
