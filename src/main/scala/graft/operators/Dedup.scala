@@ -22,6 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** A user-supplied similarity threshold as an EXACT reduced fraction
+    * num/den. Doubles that came from decimal literals (0.07, 0.85)
+    * round-trip exactly through `toString` ("0.07"), so
+    * BigDecimal(toString) recovers the intended rational with no
+    * binary-float residue — the foundation for integer-only prefix /
+    * length pruning in [[prefixJaccardPairs]] (⌈n·t⌉ =
+    * (n·num + den − 1) div den, never computed in doubles). */
+  private[operators] def thresholdAsFraction(t: Double): (Long, Long) = {
+    val bd  = BigDecimal(t.toString)
+    val den = BigDecimal(10).pow(math.max(bd.scale, 0))
+    val num = (bd * den).toBigIntExact.getOrElse(
+      sys.error(s"threshold $t is not a decimal fraction"))
+    val g = num.gcd(den.toBigInt)
+    ((num / g).longValue, (den.toBigInt / g).longValue)
+  }
+
   /** documents(id, text) -> (id, shingles: array<string>) with distinct
     * word n-grams — the native scan-local [[graft.functions.NgramStrings]]
     * pass (the interpreted transform/slice/array_join form was the
@@ -184,6 +200,7 @@ object Dedup {
                          n: Int, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
+    val (tNum, tDen) = thresholdAsFraction(threshold)
     // scanned three times (prefix build + both verify sides)
     val sh = withShingles(df, idCol, textCol, n)
       .filter(size(col("shingles")) > 0)
@@ -197,25 +214,26 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
           .as("ord"),
         count(lit(1)).as("n_sh"))
-      // ε-slack on BOTH prunings (r9 review): double rounding can push
-      // n·t just past the rational value (100·0.07 = 7.000000000000001),
-      // which SHORTENED the prefix (ceil one too high) and TIGHTENED
-      // the length filter below — each silently dropping pairs that sit
-      // exactly on the threshold and that jaccardPairs (the bit-equality
-      // contract) emits. The slack only widens the candidate set; the
-      // exact verify prunes the extras, so output equality is restored
-      // for any threshold with < 9 significant decimals.
+      // EXACT rational prunings (r10, replacing the r9 ε-slack): the
+      // threshold is a decimal literal, so treat it as the exact
+      // fraction num/den and compute ⌈n·t⌉ = (n·num + den − 1) div den
+      // in pure integer arithmetic. Double rounding (100·0.07 =
+      // 7.000000000000001) can never over-shorten the prefix or
+      // over-tighten the length filter, and — unlike the ε-slack —
+      // the bounds stay TIGHT: no spurious candidates reach the verify.
       .withColumn("p",
-        (col("n_sh") - ceil(col("n_sh") * lit(threshold) - lit(1e-9)) + 1)
+        (col("n_sh")
+          - expr(s"(n_sh * ${tNum}L + ${tDen - 1}L) DIV ${tDen}L") + 1)
           .cast("int"))
       .select(col("id"), col("n_sh"),
         explode(expr("transform(slice(ord, 1, p), x -> x.shingle)"))
           .as("shingle"))
+    // length filter t·|A| ≤ |B| exactly: |B|·den ≥ |A|·num over longs
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
-          col("a.n_sh") >= col("b.n_sh") * lit(threshold) - lit(1e-9) &&
-          col("b.n_sh") >= col("a.n_sh") * lit(threshold) - lit(1e-9))
+          col("a.n_sh") * lit(tDen) >= col("b.n_sh") * lit(tNum) &&
+          col("b.n_sh") * lit(tDen) >= col("a.n_sh") * lit(tNum))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // scan-local verify: the candidate pair carries both shingle

@@ -36,6 +36,13 @@ import org.apache.spark.sql.functions._
   */
 object Distill {
 
+  /** Largest quantized coefficient magnitude a group may produce before
+    * it is declared degenerate (NULL model, like det = 0): keeps the
+    * expanded quantized-SSE algebra inside DECIMAL(38,0) for any group
+    * within the documented feature/row bounds. Oracle SQL mirrors the
+    * same guard (Relational14 `b` CTE). */
+  val coeffCapMilli: Long = 1000000000L
+
   /** Signed exact scaled division as a SQL fragment:
     * trunc-toward-zero of (num · scale / den), den > 0 required
     * (Cramer call sites pass abs(det) and fold the sign into num).
@@ -106,6 +113,21 @@ object Distill {
       .withColumn("b2", expr(s"CASE WHEN det = 0 THEN NULL ELSE ${
         signedScaledDiv("num2 * CASE WHEN det < 0 THEN -1 ELSE 1 END",
           "abs(det)", 1000L)} END"))
+      // Ill-conditioned guard (r9 advice): an almost-singular group
+      // (tiny nonzero det) can blow |b*_milli| past ~10¹², and the
+      // b²·ΣxxT terms in the SSE expansion below would then overflow
+      // DECIMAL(38,0) — an ANSI runtime abort of the WHOLE query on
+      // one degenerate group (while a 128-bit oracle sails through).
+      // Such a model is numerically meaningless anyway: treat the
+      // group as degenerate, exactly like det = 0. At the cap
+      // (|b| ≤ 10⁹ milli) every SSE term stays ≤ ~10³³ under the
+      // documented feature bounds — 5 orders inside DECIMAL(38,0).
+      .withColumn("illcond", expr(
+        s"abs(b0) > $coeffCapMilli OR abs(b1) > $coeffCapMilli" +
+          s" OR abs(b2) > $coeffCapMilli"))
+      .withColumn("b0", expr("CASE WHEN illcond THEN NULL ELSE b0 END"))
+      .withColumn("b1", expr("CASE WHEN illcond THEN NULL ELSE b1 END"))
+      .withColumn("b2", expr("CASE WHEN illcond THEN NULL ELSE b2 END"))
       // quantized-model residual sums, expanded over the monoid:
       //   SSE = Σ(1000y − b0 − b1x1 − b2x2)²
       //       = 10⁶·syy − 2000·(b0·sy + b1·s1y + b2·s2y) + bᵀ(XᵀX)b

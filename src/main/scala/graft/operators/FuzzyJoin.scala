@@ -40,6 +40,16 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
+  /** Upper bound on the Catalyst-estimated size of the (id, string)
+    * dictionary projection for the string-back joins to take the
+    * broadcast path; above it they fall back to shuffle joins on the
+    * id key automatically. 128 MiB: comfortably inside one executor's
+    * broadcast budget, far above any bench-scale dictionary (plan
+    * estimates for parquet-backed frames derive from file sizes, so
+    * a 100 TB corpus estimates far past this and degrades safely). */
+  private[operators] val dictBroadcastMaxBytes: BigInt =
+    BigInt(128L * 1024 * 1024)
+
   /** Pairs (id_a < id_b) with levenshtein(str_a, str_b) ≤ 1, plus the
     * distance. Output: (`ida`, `idb`, `dist`), ordered by caller.
     *
@@ -108,12 +118,18 @@ object FuzzyJoin {
     // dictionary broadcasts keep the candidate stream pipelined
     // through both hash joins in one codegen stage, zero shuffle.
     // For a dictionary too big to broadcast, the fallback is the
-    // d10 convention (shuffle join on the id key) — flip the hints,
-    // not the algorithm.
+    // d10 convention (shuffle join on the id key) — and the flip is
+    // AUTOMATIC (r9 advice): the hint is gated on Catalyst's own size
+    // estimate of the (id, string) projection, so a corpus-scale
+    // dictionary degrades to the shuffle join with no manual edit and
+    // no driver/executor OOM risk.
+    val dictBytes = base.queryExecution.optimizedPlan.stats.sizeInBytes
+    def hinted(d: DataFrame): DataFrame =
+      if (dictBytes <= dictBroadcastMaxBytes) broadcast(d) else d
     cand
-      .join(broadcast(base.select(col("__id").as("ida"), col("__s").as("sa"))),
+      .join(hinted(base.select(col("__id").as("ida"), col("__s").as("sa"))),
         Seq("ida"))
-      .join(broadcast(base.select(col("__id").as("idb"), col("__s").as("sb"))),
+      .join(hinted(base.select(col("__id").as("idb"), col("__s").as("sb"))),
         Seq("idb"))
       .withColumn("dist",
         org.apache.spark.sql.functions.levenshtein(col("sa"), col("sb"))

@@ -100,11 +100,26 @@ object GraphCache {
 
   private def artifact(spark: SparkSession, key: String)
                       (build: => DataFrame): DataFrame = {
-    val mine = new java.util.concurrent.CompletableFuture[String]()
-    val existing = built.putIfAbsent(key, mine)
-    val path =
-      if (existing != null) existing.join() // built (or building) elsewhere
-      else
+    // Waiters and fresh callers must behave identically (r9 advice):
+    // a waiter observing a failed concurrent build retries the
+    // putIfAbsent path (the failing builder already removed its entry),
+    // typically becoming the builder itself — so every caller either
+    // gets a path or the RAW build exception, never a
+    // CompletionException wrapper. Bounded retries guard the
+    // pathological always-a-waiter interleaving.
+    var path: String = null
+    var waiterFailures = 0
+    while (path == null) {
+      val mine = new java.util.concurrent.CompletableFuture[String]()
+      val existing = built.putIfAbsent(key, mine)
+      if (existing != null) {
+        try path = existing.join() // built (or building) elsewhere
+        catch { case e: java.util.concurrent.CompletionException =>
+          waiterFailures += 1
+          if (waiterFailures >= 3)
+            throw Option(e.getCause).getOrElse(e)
+        }
+      } else {
         try {
           // key-hash suffix: sanitization alone collapsed distinct
           // keys onto one path (graft.core.Fs.keyHash scaladoc)
@@ -113,7 +128,7 @@ object GraphCache {
               "_" + graft.core.Fs.keyHash(key)).toString
           build.write.mode("overwrite").parquet(p)
           mine.complete(p)
-          p
+          path = p
         } catch { case e: Throwable =>
           // a failed build must not poison the memo: drop the entry so
           // the next caller retries, and wake any waiters with the cause
@@ -121,6 +136,8 @@ object GraphCache {
           mine.completeExceptionally(e)
           throw e
         }
+      }
+    }
     spark.read.parquet(path)
   }
 

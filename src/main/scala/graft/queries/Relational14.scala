@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
+import graft.operators.Distill
 
 /** Round-9 additions: model distillation over the curation corpus. */
 object Relational14 {
@@ -130,7 +131,7 @@ object Relational14 {
          |  - sx1 * (sx1 * s2y - s1y * sx2)
          |  + sy  * (sx1 * s12 - s11 * sx2) AS num2
          |  FROM s),
-         |b AS (
+         |braw AS (
          |  SELECT source, n, sy,
          |    CASE WHEN det = 0 THEN NULL ELSE
          |      (CASE WHEN num0 * det < 0 THEN -1 ELSE 1 END)
@@ -141,7 +142,25 @@ object Relational14 {
          |    CASE WHEN det = 0 THEN NULL ELSE
          |      (CASE WHEN num2 * det < 0 THEN -1 ELSE 1 END)
          |        * ((abs(num2) * 1000) // abs(det)) END AS b2_milli
-         |  FROM c)""".stripMargin
+         |  FROM c),
+         |b AS (
+         |  -- ill-conditioned guard, mirroring Distill.coeffCapMilli:
+         |  -- near-singular groups (huge quantized coefficients) are
+         |  -- degenerate, exactly like det = 0
+         |  SELECT source, n, sy,
+         |    CASE WHEN abs(b0_milli) > ${Distill.coeffCapMilli}
+         |           OR abs(b1_milli) > ${Distill.coeffCapMilli}
+         |           OR abs(b2_milli) > ${Distill.coeffCapMilli}
+         |      THEN NULL ELSE b0_milli END AS b0_milli,
+         |    CASE WHEN abs(b0_milli) > ${Distill.coeffCapMilli}
+         |           OR abs(b1_milli) > ${Distill.coeffCapMilli}
+         |           OR abs(b2_milli) > ${Distill.coeffCapMilli}
+         |      THEN NULL ELSE b1_milli END AS b1_milli,
+         |    CASE WHEN abs(b0_milli) > ${Distill.coeffCapMilli}
+         |           OR abs(b1_milli) > ${Distill.coeffCapMilli}
+         |           OR abs(b2_milli) > ${Distill.coeffCapMilli}
+         |      THEN NULL ELSE b2_milli END AS b2_milli
+         |  FROM braw)""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(

@@ -41,6 +41,29 @@ class DistillSpec extends AnyFunSuite {
       r.isNullAt(r.fieldIndex("r2_ppm")))
   }
 
+  test("near-singular group (coefficients past the cap) degrades to NULL model") {
+    // synthetic sufficient statistics: det = 1 (sx = 0, s12 = 0,
+    // n = s11 = s22 = 1), so b0_milli = sy * 1000 — set sy to force
+    // |b0_milli| = 2e12 past Distill.coeffCapMilli on one group and a
+    // sane 5000 on the control group
+    val cols = Seq("n", "sx1", "sx2", "s11", "s12", "s22",
+      "sy", "s1y", "s2y", "syy")
+    val stats = Seq(
+        ("hot", 1L, 0L, 0L, 1L, 0L, 1L, 2000000000L, 0L, 0L, 0L),
+        ("ok",  1L, 0L, 0L, 1L, 0L, 1L, 5L,          0L, 0L, 0L))
+      .toDF(("source" +: cols): _*)
+      .select(col("source") +:
+        cols.map(c => col(c).cast("decimal(38,0)").as(c)): _*)
+    val out = Distill.solveFromStats(stats).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val hot = out("hot")
+    assert(hot.isNullAt(hot.fieldIndex("b0_milli")) &&
+      hot.isNullAt(hot.fieldIndex("b1_milli")) &&
+      hot.isNullAt(hot.fieldIndex("b2_milli")) &&
+      hot.isNullAt(hot.fieldIndex("r2_ppm")))
+    assert(out("ok").getAs[Long]("b0_milli") == 5000L)
+  }
+
   test("noisy data matches an independent exact BigInt reference") {
     // deterministic pseudo-noise (LCG), two groups, independent
     // reference solver in plain BigInt — same math, none of the

@@ -74,6 +74,18 @@ class PrefixJoinSpec extends AnyFunSuite {
     assert(Dedup.prefixJaccardPairs(df, "id", "text", 3, 0.07).count() === 1)
   }
 
+  test("thresholdAsFraction recovers the exact decimal rational") {
+    assert(Dedup.thresholdAsFraction(0.07) === (7L, 100L))
+    assert(Dedup.thresholdAsFraction(0.5) === (1L, 2L))
+    assert(Dedup.thresholdAsFraction(0.85) === (17L, 20L))
+    assert(Dedup.thresholdAsFraction(1.0) === (1L, 1L))
+    assert(Dedup.thresholdAsFraction(0.333333333) === (333333333L, 1000000000L))
+    // ⌈n·t⌉ via the integer identity matches exact rational ceil for the
+    // double-rounding trap case (100·0.07 = 7.000000000000001 in doubles)
+    val (num, den) = Dedup.thresholdAsFraction(0.07)
+    assert((100L * num + den - 1) / den === 7L)
+  }
+
   test("sf0.001 documents: full equality on real corpus, two thresholds") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id").as("id"), col("text"))
