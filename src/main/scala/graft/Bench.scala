@@ -319,6 +319,9 @@ object Bench {
       ("art_trade_pairs",
         Seq("g01_pagerank", "g02_bfs"),
         () => { GraphCache.tradePairs(spark, sfDir).count(); () }),
+      ("art_cust_part",
+        Seq("g06_hits"),
+        () => { GraphCache.custPartEdges(spark, sfDir).count(); () }),
       // trained-model artifacts (ModelCache): same economics — a09's
       // r9 clean run paid the 19.8 CPU-s PQ training at position 6
       // while a21 read the memo for free at position 125

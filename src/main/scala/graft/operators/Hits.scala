@@ -132,14 +132,20 @@ object Hits {
       auth = eByC.join(hub, "c").groupBy(col("p"))
         .agg(guardedSum("h", "hub").as("a"))
     }
-    // final vectors each feed a scalar total AND the top-k readout —
-    // FOUR downstream actions (two guarded totals, two top-k sides), so
+    // final vectors each feed a scalar total AND the top-k readout, so
     // pin them eagerly (the PageRank rule): a cache that silently fails
     // to populate would recompute the whole k-iteration chain per
-    // action instead of once
-    auth = pin(auth)
+    // action instead of once. Persist ORDER is load-bearing (r10,
+    // measured): CacheManager compiles a cache entry's child physical
+    // plan AT PERSIST TIME, so hub must be persisted BEFORE auth for
+    // auth's cached child plan to substitute hub's InMemoryRelation —
+    // the other order bakes the raw chain into auth's entry and the
+    // readout recomputes all k iterations to fill hub's cache (the
+    // r9 shape paid exactly that: hub.count() + auth.count() each ran
+    // the full chain, ~2.4 s apiece at sf0.1). With the right order,
+    // ONE action fills both caches in one chain execution.
     hub = pin(hub)
-    hub.count()
+    auth = pin(auth)
     auth.count()
     // the total rides with an overflow tripwire: sum() SKIPS nulls, so
     // an overflowed score would otherwise vanish from both the total
@@ -151,50 +157,58 @@ object Hits {
     // an EMPTY score vector (empty edge input) raises its own distinct
     // error rather than letting a NULL tot propagate NULLs through the
     // ppm division — top-k over no graph is a caller bug, not a result
-    def guardedTotal(v: DataFrame, scoreCol: String, tag: String): DataFrame =
-      broadcast(v.agg(sum(col(scoreCol)).as("tot"),
+    def guardedTotal(v: DataFrame, scoreCol: String, tag: String,
+                     sideTag: String): DataFrame =
+      v.agg(sum(col(scoreCol)).as("tot"),
           count(when(col(scoreCol).isNull, lit(1))).as("__nulls"),
           count(lit(1)).as("__n"))
-        .select((col("tot") + when(
+        .select(lit(sideTag).as("side"),
+          (col("tot") + when(
           col("__nulls") === 0 && col("tot").isNotNull, lit(0))
           .otherwise(raise_error(
             when(col("__n") === 0, lit(s"HITS: empty graph — no $tag " +
               "scores to rank (edge input has no rows)"))
               .otherwise(lit(s"HITS: DECIMAL(38) overflow in " +
                 s"$tag scores or their total — lower iterations or " +
-                "pre-scale (see scaladoc magnitude bound)"))))).as("tot")))
-    val aTot = guardedTotal(auth, "a", "authority")
-    val hTot = guardedTotal(hub, "h", "hub")
-    def side(v: DataFrame, scoreCol: String, idCol: String, tag: String,
-             tot: DataFrame): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("raw").desc, col("id"))
-      v.crossJoin(tot)
-        .select(lit(tag).as("side"), col(idCol).as("id"),
-          // ppm = floor(score·10⁶ / tot). The ExactArith split form is
-          // a NO-OP here (score ≤ tot ⇒ quotient 0, remainder = score:
-          // it reduces to the naive (score·10⁶) div tot), so scores in
-          // (10³², 10³⁸) — inside the DECIMAL(38) operating range —
-          // still overflow the ·10⁶ product to NULL with ANSI off.
-          // Both score and tot are non-null by the guards above, so a
-          // NULL ppm can ONLY be that overflow: trip loudly instead of
-          // emitting raw-ordered rows with silently-null ppm (the
-          // DuckDB oracle errors on the same HUGEINT overflow)
-          coalesce(
-            expr("cast(" + ExactArith.scaledFloorDivSql(scoreCol, "tot",
-              1000000L) + " as bigint)"),
-            raise_error(lit(s"HITS: DECIMAL(38) overflow computing " +
-              s"$tag score_ppm (score·10⁶ exceeds 10³⁸) — lower " +
-              "iterations or pre-scale (see scaladoc magnitude bound)"))
-          ).as("score_ppm"),
-          col(scoreCol).as("raw"))
-        .orderBy(col("raw").desc, col("id")).limit(topK)
-        // the rank window runs over topK rows only (post-limit)
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .drop("raw")
-    }
-    side(auth, "a", "p", "auth", aTot)
-      .unionByName(side(hub, "h", "c", "hub", hTot))
+                "pre-scale (see scaladoc magnitude bound)"))))).as("tot"))
+    // ONE readout pass for both sides (r9 advice #3 — was two
+    // TakeOrdered sorts over the full |V|-row vectors with the ppm
+    // division computed per row): tag + union the cached vectors,
+    // prune to topK per side with the bounded-heap TopKPerKey
+    // operator (nulls-weakest contract matches the desc NULLS LAST
+    // order the sorts had), and only THEN join the 2-row totals and
+    // divide — 2·topK divisions instead of 2·|V|.
+    val tots = guardedTotal(auth, "a", "authority", "auth")
+      .unionByName(guardedTotal(hub, "h", "hub", "hub"))
+    val tagged = auth
+      .select(lit("auth").as("side"), col("p").as("id"), col("a").as("raw"))
+      .unionByName(hub
+        .select(lit("hub").as("side"), col("c").as("id"), col("h").as("raw")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("side")).orderBy(col("raw").desc, col("id"))
+    graft.plans.TopKPerKey.prune(tagged, "side", "raw", "id", topK)
+      .join(broadcast(tots), "side")
+      .select(col("side"), col("id"),
+        // ppm = floor(score·10⁶ / tot). The ExactArith split form is
+        // a NO-OP here (score ≤ tot ⇒ quotient 0, remainder = score:
+        // it reduces to the naive (score·10⁶) div tot), so scores in
+        // (10³², 10³⁸) — inside the DECIMAL(38) operating range —
+        // still overflow the ·10⁶ product to NULL with ANSI off.
+        // Both score and tot are non-null by the guards above, so a
+        // NULL ppm can ONLY be that overflow: trip loudly instead of
+        // emitting raw-ordered rows with silently-null ppm (the
+        // DuckDB oracle errors on the same HUGEINT overflow)
+        coalesce(
+          expr("cast(" + ExactArith.scaledFloorDivSql("raw", "tot",
+            1000000L) + " as bigint)"),
+          raise_error(lit("HITS: DECIMAL(38) overflow computing " +
+            "score_ppm (score·10⁶ exceeds 10³⁸) — lower " +
+            "iterations or pre-scale (see scaladoc magnitude bound)"))
+        ).as("score_ppm"),
+        col("raw"))
+      // the rank window runs over ≤ 2·topK survivors only
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .drop("raw")
       .orderBy(col("side"), col("rnk"))
   }
 
