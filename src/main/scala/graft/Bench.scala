@@ -133,6 +133,15 @@ final class BenchQueryListener extends SparkListener {
       s""","rdd_recompute":$rddRecomputes,"top_stages":${topStages()}"""
   }
 
+  /** Summed executor CPU over every stage in this window — the
+    * listener's ground truth of "work the executors actually did",
+    * against which an inflated process-CPU reading (driver + JVM
+    * overhead + noisy-neighbor cycles) is judged (r9 advice #1). */
+  def stageCpuTotalMs: Long = {
+    import scala.jdk.CollectionConverters._
+    stageCpuMs.asScala.values.map(_.get()).sum
+  }
+
   /** The query's top-3 stages by summed executor run time, with their
     * callsites — the stage-attributed profile that lets a cross-host
     * CPU divergence (round-8's a24/a23/q46 cluster: 2.5–10.6× CPU on
@@ -367,13 +376,33 @@ object Bench {
     val rt = Runtime.getRuntime
     val listener = new BenchQueryListener
     spark.sparkContext.addSparkListener(listener)
-    // artifact builds first (fixed declaration order — consumers need
-    // them resolved), then the seed-shuffled queries; each timed under
-    // the same listener window + cache-teardown protocol
-    val runnables: Seq[(String, () => Unit)] =
-      artifactBuilds.map { case (n, _, run) => (n, run) } ++
-        names.map(n => (n, () => { qs(n)(spark, sfDir).count(); () }))
-    val results = runnables.map { case (name, run) =>
+
+    // PER-QUERY host probe (r9 advice #1): the end-of-run calibration
+    // is sampled once, so a mid-run noisy neighbor silently poisoned
+    // two windows of r9's official artifact (4–25× cpu_ms on identical
+    // task counts) with nothing in the artifact to flag it. A ~30 ms
+    // single-thread spin rate + the OS 1-min load average, sampled
+    // BEFORE each query (outside its timed window), put per-row host
+    // state in the artifact; the verdict below compares each row
+    // against the run's own median.
+    def hostProbe(): (Double, Double) = {
+      val iters = 1500
+      val t0 = System.nanoTime(); burn(iters)
+      val ops = iters / ((System.nanoTime() - t0) / 1e9)
+      val load = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      (ops, load)
+    }
+    burn(3000) // JIT-warm the probe loop before the first sample
+
+    final case class Row(name: String, sec: Double, gcMs: Long,
+                         heapMb: Long, cpuMs: Long, stageCpuMs: Long,
+                         spillBytes: Long, taskRetries: Long,
+                         recomputes: Long, probeOps: Double,
+                         load1: Double, execJson: String)
+
+    def timeOne(name: String, run: () => Unit): Row = {
+      val (probeOps, load1) = hostProbe()
       listener.reset()
       val gc0 = gcMillis(); val cpu0 = cpuMillis()
       val t0 = System.nanoTime()
@@ -387,7 +416,11 @@ object Bench {
       val gcMs = gcMillis() - gc0
       val heapMb = (rt.totalMemory() - rt.freeMemory()) >> 20
       listener.settle()
-      val execJson = listener.json
+      val row = Row(name, dt, gcMs, heapMb, cpuMs,
+        listener.stageCpuTotalMs,
+        listener.spillMem.get() + listener.spillDisk.get(),
+        listener.retries.get(), listener.rddRecomputes,
+        probeOps, load1, listener.json)
       graft.core.Caching.CacheLedger.releaseAll()
       spark.catalog.clearCache()
       // settle once more AFTER the cache teardown (round-8 advice):
@@ -396,7 +429,65 @@ object Bench {
       // query's reset() into its block-forensics window (task metrics
       // are already window-scoped by stage id; blocks carry no stage)
       listener.settle()
-      (name, dt, gcMs, heapMb, cpuMs, execJson)
+      row
+    }
+
+    // artifact builds first (fixed declaration order — consumers need
+    // them resolved), then the seed-shuffled queries; each timed under
+    // the same listener window + cache-teardown protocol
+    val runnables: Seq[(String, () => Unit)] =
+      artifactBuilds.map { case (n, _, run) => (n, run) } ++
+        names.map(n => (n, () => { qs(n)(spark, sfDir).count(); () }))
+    val firstPass = runnables.map { case (name, run) => timeOne(name, run) }
+
+    // CONTENTION VERDICT per row (r9 advice #1). Two independent
+    // witnesses, either flags:
+    //  - probe collapse: this row's pre-query spin rate fell under
+    //    0.6× the run's own median — someone else is on the cores;
+    //  - unexplained CPU: process CPU over 3× the listener's summed
+    //    executor-stage CPU AND over 8 s in absolute excess, with no
+    //    spill, task retry, cache recompute, or GC to explain it.
+    //    The floor is deliberately high: Catalyst plan-compile + JIT
+    //    CPU is real per-query driver work that reaches ~5 s on
+    //    cold complex plans (q36 measured 4.8 s excess on a QUIET
+    //    4-query run), while r9's actual contamination rows all
+    //    carried ≥ 15 s of excess; contention milder than the floor
+    //    is the probe's job to catch.
+    val medianOps = {
+      val s = firstPass.map(_.probeOps).sorted
+      if (s.isEmpty) 0.0 else s(s.length / 2)
+    }
+    def isContended(r: Row): Boolean = {
+      val probeCollapse = medianOps > 0 && r.probeOps < 0.6 * medianOps
+      val cpuExcess = r.cpuMs > 3L * math.max(1L, r.stageCpuMs) &&
+        r.cpuMs - r.stageCpuMs > 8000L &&
+        r.spillBytes == 0 && r.taskRetries == 0 && r.recomputes == 0 &&
+        r.gcMs * 10 < r.cpuMs
+      probeCollapse || cpuExcess
+    }
+    // AUTO-REQUEUE (once, at run end): a flagged query's number
+    // measures the neighbor, not the code — re-time it after the run
+    // and publish the retry when the retry's own probe was clean. The
+    // artifact keeps BOTH (first_sec on the health row), so a poisoned
+    // window is visible AND the headline number is honest. art_* rows
+    // are not requeued: their build already published, a second run
+    // would time the read-back, not the build.
+    val flagged = firstPass.filter(r =>
+      isContended(r) && !r.name.startsWith("art_"))
+    val retried: Map[String, Row] = flagged.map { r =>
+      r.name -> timeOne(r.name,
+        () => { qs(r.name)(spark, sfDir).count(); () })
+    }.toMap
+    // (published row, was the first attempt contended, first attempt's
+    // seconds when a clean retry replaced it)
+    val results: Seq[(Row, Boolean, Option[Double])] = firstPass.map { r =>
+      retried.get(r.name) match {
+        case Some(r2) if medianOps > 0 && r2.probeOps >= 0.6 * medianOps &&
+            !isContended(r2) =>
+          (r2, true, Some(r.sec)) // clean retry: publish it
+        case Some(_) => (r, true, None) // retry dirty too: keep original
+        case None => (r, isContended(r), None)
+      }
     }
     // Compact formatting: per-query seconds at 3 decimals. The driver
     // stores only the tail of the run log, and a full-precision line for
@@ -404,11 +495,12 @@ object Bench {
     // null. 3 decimals keeps the line ~2.3 KB (inside the tail) without
     // losing ms resolution anyone reads.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qjson = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f(v) }
+    val qjson = results.map { case (r, _, _) => "\"" + r.name + "\":" + f(r.sec) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._1.sec).sum
+    val contendedN = results.count(_._2)
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qjson,"contended_n":$contendedN,"sf":"$sfDir"}"""
     // printed TWICE back-to-back: the driver stores only the log tail
     // and has truncated mid-line every round — with two identical
     // copies, a tail boundary landing inside one still leaves the
@@ -427,11 +519,17 @@ object Bench {
     // BenchQueryListener) for run-order + resource forensics, plus the
     // executed ORDER so cross-round comparisons key on query id, never
     // position
-    val hjson = results.map { case (k, _, gc, heap, cpu, ex) =>
-      "\"" + k + "\":{\"gc_ms\":" + gc + ",\"heap_mb\":" + heap +
-        ",\"cpu_ms\":" + cpu + "," + ex + "}"
+    val hjson = results.map { case (r, wasContended, firstSec) =>
+      val probe = ",\"probe_ops\":%.0f,\"load1\":%.2f".formatLocal(
+        java.util.Locale.ROOT, r.probeOps, r.load1)
+      val verdict = s""","stage_cpu_ms":${r.stageCpuMs}""" +
+        s""","contended":$wasContended""" +
+        firstSec.fold("")(s => s""","first_sec":${f(s)}""")
+      "\"" + r.name + "\":{\"gc_ms\":" + r.gcMs + ",\"heap_mb\":" +
+        r.heapMb + ",\"cpu_ms\":" + r.cpuMs + probe + verdict + "," +
+        r.execJson + "}"
     }.mkString("{", ",", "}")
-    val ojson = results.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val ojson = results.map("\"" + _._1.name + "\"").mkString("[", ",", "]")
     val sjson = seed.toString
     // host calibration AFTER the timed run (it would pollute the first
     // query's cache/JIT state if run before): effective parallelism at

@@ -30,4 +30,35 @@ object Fs {
     java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(8).map(b => f"$b%02x").mkString
+
+  /** STALENESS fingerprint of a derived artifact's input data: a
+    * 16-hex digest over every regular file under each input root —
+    * (relative path, size, mtime-millis), sorted, so the fingerprint
+    * is deterministic across JVMs and changes whenever any input file
+    * is added, removed, resized, or rewritten. This is what lets a
+    * cross-JVM artifact store (GraphCache/ModelCache shared trees)
+    * serve a prior JVM's build ONLY while the corpus it was derived
+    * from is byte-dated-identical — a regenerated testdata dir or a
+    * production re-ingest lands on a fresh fingerprint and the stale
+    * entry is simply never addressed again. Absent inputs fingerprint
+    * as their own marker (the artifact of an absent input is itself a
+    * build-time error — but the KEY must still be deterministic). */
+  def dataFingerprint(inputs: Seq[String]): String = {
+    import scala.jdk.CollectionConverters._
+    val entries = inputs.sorted.flatMap { root =>
+      val p = java.nio.file.Paths.get(root)
+      if (!java.nio.file.Files.exists(p)) Seq(s"$root||ABSENT")
+      else if (java.nio.file.Files.isRegularFile(p))
+        Seq(s"$root||${java.nio.file.Files.size(p)}|" +
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      else
+        java.nio.file.Files.walk(p).iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(f => s"$root|${p.relativize(f)}|" +
+            s"${java.nio.file.Files.size(f)}|" +
+            java.nio.file.Files.getLastModifiedTime(f).toMillis)
+          .toSeq.sorted
+    }
+    keyHash(entries.mkString("\n"))
+  }
 }

@@ -203,6 +203,68 @@ object IndexStore {
     else build // unpublishable store: serve the in-memory frame
   }
 
+  /** Persist a flat PQ [[ProductQuantizer.Model]] (double codebooks —
+    * parquet doubles round-trip exactly, so a loaded model encodes
+    * bit-identically to the trained one). Layout mirrors
+    * [[saveIvfPq]]: params + codebooks subdirs. */
+  def savePq(spark: SparkSession, model: ProductQuantizer.Model,
+             path: String): Unit = {
+    import spark.implicits._
+    Seq((model.m, model.k, model.subDim))
+      .toDF("m", "k", "sub_dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    (for {
+      (book, sub) <- model.codebooks.zipWithIndex
+      (v, code) <- book.zipWithIndex
+    } yield (sub, code, v.toSeq)).toSeq
+      .toDF("sub", "code", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  def loadPq(spark: SparkSession, path: String): ProductQuantizer.Model = {
+    val p = spark.read.parquet(s"$path/params").collect()
+    require(p.length == 1, s"expected one params row, got ${p.length}")
+    val (m, k, subDim) = (p(0).getAs[Int]("m"), p(0).getAs[Int]("k"),
+      p(0).getAs[Int]("sub_dim"))
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .orderBy(col("sub"), col("code")).collect()
+      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"),
+        r.getSeq[Double](r.fieldIndex("vec")).toArray))
+    val books = Array.tabulate(m) { sub =>
+      val bs = rows.filter(_._1 == sub)
+      require(bs.map(_._2).sameElements(0 until k),
+        s"codebook $sub must carry dense codes 0..${k - 1}")
+      bs.map(_._3)
+    }
+    ProductQuantizer.Model(m, k, subDim, books)
+  }
+
+  /** [[loadOrPublishIvfPq]] for the flat PQ model: load if any JVM
+    * published it, else train + publish atomically, same
+    * corruption-vs-transient load discipline. */
+  def loadOrPublishPq(spark: SparkSession, path: String)
+                     (train: => ProductQuantizer.Model)
+      : ProductQuantizer.Model = {
+    val p = java.nio.file.Paths.get(path)
+    def isCorrupt(e: Throwable): Boolean = e match {
+      case _: IllegalArgumentException => true
+      case _: org.apache.spark.sql.AnalysisException => true
+      case _ => e.getCause != null && e.getCause.ne(e) && isCorrupt(e.getCause)
+    }
+    def tryLoad(): Option[ProductQuantizer.Model] =
+      if (!java.nio.file.Files.isDirectory(p)) None
+      else try Some(loadPq(spark, path))
+      catch {
+        case e if isCorrupt(e) => deleteTree(p); None
+        case scala.util.control.NonFatal(_) => None // transient: keep tree
+      }
+    tryLoad().getOrElse {
+      val model = train
+      publishAtomically(path)(tmp => savePq(spark, model, tmp))
+      tryLoad().getOrElse(model)
+    }
+  }
+
   /** Index COMPACTION — the lifecycle's background GC: when the
     * tombstoned fraction of the postings at `basePath` is at least
     * `threshold`, rewrite them WITHOUT the dead ids and publish under

@@ -519,6 +519,18 @@ object ProductQuantizer {
     (IvfPqModel(centsQ, booksQ, model.subDim, m, k, scale), resid)
   }
 
+  /** Recompute the residual frame for an ALREADY-TRAINED model — the
+    * serve-side twin of [[fitIvfPqExactWithResid]]'s returned frame:
+    * a JVM that loaded the model from a cross-JVM store (rather than
+    * training it) derives bit-identical residuals with one corpus
+    * encode pass (centsQ/scale round-trip exactly as longs, and the
+    * assignment + subtraction are integer-deterministic). Output:
+    * (id, cluster, rvq) — [[searchIvfPqSweepExact]]'s
+    * `precomputedResid` shape; NOT persisted (caller decides). */
+  def residualsFor(corpus: DataFrame, idCol: String, vecCol: String,
+                   model: IvfPqModel): DataFrame =
+    residualFrame(corpus, idCol, vecCol, model.centsQ, model.scale)
+
   /** Train the IVF-PQ model only: coarse k-means, then residual PQ in
     * the quantized space. The residual frame is persisted for the
     * trainer's scans and released before returning — the encoded corpus

@@ -4,18 +4,29 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.operators.ProductQuantizer
+import graft.core.Caching.LedgerOps
+import graft.operators.{IndexStore, ProductQuantizer}
 
-/** Session-scoped trained-model registry — what a production vector
-  * platform has instead of retraining per query: a09 (PQ search) and
-  * a21 (the ANN quality report, which evaluates a09's parameters)
-  * need the SAME codebooks, and `ProductQuantizer.fit` is fully
-  * deterministic in (data, params), so memoizing by (sf dir, params)
-  * changes no result — it removes ~1.5 s of duplicate Lloyd's
-  * iterations per Verify/Bench JVM. The memo is JVM-scoped (survives
-  * Spark cache clearing deliberately: a trained index is an artifact,
-  * not a cached scan) and keyed by the data DIRECTORY, which the
-  * driver never mutates mid-run. */
+/** Trained-model registry — what a production vector platform has
+  * instead of retraining per query: a09 (PQ search) and a21 (the ANN
+  * quality report, which evaluates a09's parameters) need the SAME
+  * codebooks, and `ProductQuantizer.fit` is fully deterministic in
+  * (data, params), so memoizing by (sf dir, params) changes no result.
+  *
+  * Two layers (r9 advice #4 made the second cross-JVM):
+  *  - a JVM-scoped memo (survives Spark cache clearing deliberately:
+  *    a trained index is an artifact, not a cached scan);
+  *  - a CROSS-JVM publish through [[IndexStore]]'s store (atomic
+  *    rename, per-user root): the first JVM that ever needs a model
+  *    trains and publishes it; every later Verify/Bench/serving JVM
+  *    loads the parquet codebooks (~3.5 s of duplicate Lloyd's
+  *    iterations per bench JVM before this). Staleness is carried in
+  *    the key — [[graft.core.Fs.dataFingerprint]] of the embeddings
+  *    table — so a regenerated corpus addresses a fresh path and can
+  *    never serve a stale model. Codebooks round-trip exactly
+  *    (parquet doubles / longs), so a loaded model encodes
+  *    bit-identically to the trained one.
+  */
 object ModelCache {
 
   private val pqMemo =
@@ -25,29 +36,54 @@ object ModelCache {
     new java.util.concurrent.ConcurrentHashMap[
       String, (ProductQuantizer.IvfPqModel, org.apache.spark.sql.DataFrame)]()
 
+  /** The embeddings-table staleness fingerprint for `dir` (the only
+    * input either model is a function of, besides its parameters). */
+  private def fp(dir: String): String =
+    graft.core.Fs.dataFingerprint(Seq(s"$dir/embeddings.parquet"))
+
   /** The a09/a21 PQ codebook (m=8, k=16, 2 iterations) for `dir`'s
-    * embeddings table, trained once per JVM. */
+    * embeddings table — trained once EVER per (corpus version,
+    * params), served from the cross-JVM store after that. */
   def pqModel(spark: SparkSession, dir: String): ProductQuantizer.Model =
-    pqMemo.computeIfAbsent(s"$dir|pq-8-16-2", _ =>
-      ProductQuantizer.fit(
-        embeddings(spark, dir).select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", m = 8, k = 16, iterations = 2))
+    pqMemo.computeIfAbsent(s"$dir|pq-8-16-2", _ => {
+      val path = IndexStore.publishPath(s"mc_pq-8-16-2.v1|$dir|fp=${fp(dir)}")
+      IndexStore.loadOrPublishPq(spark, path) {
+        ProductQuantizer.fit(
+          embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", m = 8, k = 16, iterations = 2)
+      }
+    })
 
   /** The a15/a21/a24 IVF-PQ index (coarseK=16, m=8, k=16, 2
-    * iterations) for `dir`'s embeddings table, trained once per JVM —
-    * a21/a24 evaluate exactly a15's parameters, so all share one
-    * training run. The memo holds (model, residual frame): the
-    * residuals are part of the index build, the trainer leaves them
-    * persisted, and handing the SAME frame to every search removes
-    * the cold path's one redundant corpus encode pass. Eviction (LRU
-    * or bench clearCache) is harmless — the frame recomputes
-    * deterministically from the same plan. */
+    * iterations) for `dir`'s embeddings table — a21/a24 evaluate
+    * exactly a15's parameters, so all share one training run, and the
+    * training run itself is shared across JVMs via the store. The
+    * memo holds (model, residual frame): the residuals are part of
+    * the index build; when the model came from the store instead of a
+    * local train, they are re-derived bit-identically with one corpus
+    * encode pass ([[ProductQuantizer.residualsFor]] — integer-exact
+    * from the round-tripped centroids). Eviction (LRU or bench
+    * clearCache) is harmless — the frame recomputes deterministically
+    * from the same plan. */
   def ivfPqIndex(spark: SparkSession, dir: String)
       : (ProductQuantizer.IvfPqModel, org.apache.spark.sql.DataFrame) =
-    ivfPqMemo.computeIfAbsent(s"$dir|ivfpq-16-8-16-2", _ =>
-      ProductQuantizer.fitIvfPqExactWithResid(
-        embeddings(spark, dir).select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", coarseK = 16, m = 8, k = 16, iterations = 2))
+    ivfPqMemo.computeIfAbsent(s"$dir|ivfpq-16-8-16-2", _ => {
+      val path = IndexStore.publishPath(
+        s"mc_ivfpq-16-8-16-2.v1|$dir|fp=${fp(dir)}")
+      var trainedResid: Option[org.apache.spark.sql.DataFrame] = None
+      val model = IndexStore.loadOrPublishIvfPq(spark, path) {
+        val (m, r) = ProductQuantizer.fitIvfPqExactWithResid(
+          embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", coarseK = 16, m = 8, k = 16, iterations = 2)
+        trainedResid = Some(r)
+        m
+      }
+      val resid = trainedResid.getOrElse(
+        ProductQuantizer.residualsFor(
+          embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", model).persistLedgered())
+      (model, resid)
+    })
 
   /** [[ivfPqIndex]]'s model half. */
   def ivfPqModel(spark: SparkSession, dir: String): ProductQuantizer.IvfPqModel =

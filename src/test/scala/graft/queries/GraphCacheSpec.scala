@@ -35,6 +35,39 @@ class GraphCacheSpec extends AnyFunSuite {
       "the planted triangle's three corners each count it once")
   }
 
+  test("cross-JVM store: memo reset re-serves the published artifact; " +
+       "corpus change invalidates via the data fingerprint") {
+    val d = java.nio.file.Files.createTempDirectory("graft_gc_fp").toString
+    def writeLineitem(rows: Seq[(Long, Long)]): Unit = {
+      rows.toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+      // mtime resolution can be coarse; make the rewrite unambiguous
+      val p = java.nio.file.Paths.get(s"$d/lineitem.parquet")
+      java.nio.file.Files.list(p).forEach(f =>
+        java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + scala.util.Random.nextInt(5000))))
+    }
+    writeLineitem(Seq((10L, 1L), (10L, 2L)))
+    val first = GraphCache.coPurchaseEdges(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(first === Set((1L, 2L)))
+    // a fresh process (simulated: memo cleared) must READ the
+    // published build, not retrain — same result, no exception
+    GraphCache.resetMemoForTest()
+    val served = GraphCache.coPurchaseEdges(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served === first)
+    // corpus change: the fingerprint moves, the stale artifact is
+    // unreachable, and the result reflects the NEW data
+    writeLineitem(Seq((20L, 5L), (20L, 6L), (20L, 7L)))
+    GraphCache.resetMemoForTest()
+    val fresh = GraphCache.coPurchaseEdges(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fresh === Set((5L, 6L), (5L, 7L), (6L, 7L)),
+      "stale artifact served after the corpus changed")
+  }
+
   test("artifact reads are stable across repeated calls and match a direct build") {
     val viaCache = GraphCache.coPurchaseEdges(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -547,6 +547,124 @@ class StreamingSpec extends AnyFunSuite {
       "sketch total must be word occurrences × depth")
   }
 
+  test("Count-Min restart: stop between triggers, resume the checkpoint — " +
+      "sketch equals batch, no loss, no double-count") {
+    val spark2 = spark
+    import spark2.implicits._
+    val drop = tmp("cmr_drop"); val ckpt = tmp("cmr_ckpt")
+    def runOnce(qn: String): org.apache.spark.sql.DataFrame = {
+      val src = spark.readStream.schema("text STRING")
+        .option("recursiveFileLookup", "true").parquet(drop)
+      val q = graft.operators.TextAnalysis.countMinSketch(src, "text")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+      spark.table(qn)
+    }
+    Seq("alpha alpha beta", "gamma alpha").toDF("text")
+      .coalesce(1).write.parquet(s"$drop/b1")
+    runOnce("cmr_run1") // first process dies here (q.stop())
+    Seq("beta beta delta", "alpha").toDF("text")
+      .coalesce(1).write.parquet(s"$drop/b2")
+    // a NEW query resumes the checkpoint: the counter cells must be
+    // RECOVERED from the state store (not restart at zero) and b1's
+    // file must not replay (no double-count)
+    val streamed = runOnce("cmr_run2")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.operators.TextAnalysis.countMinSketch(
+        spark.read.option("recursiveFileLookup", "true").parquet(drop), "text")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch,
+      "resumed sketch must equal the one-pass batch sketch")
+    assert(streamed.toSeq.map(_._3).sum === 36L,
+      "9 occurrences x depth 4: lost state or a replayed batch changes this")
+  }
+
+  test("HLL restart: registers recover from the checkpoint and keep merging — " +
+      "resumed estimate equals batch") {
+    val spark2 = spark
+    import spark2.implicits._
+    val drop = tmp("hllr_drop"); val ckpt = tmp("hllr_ckpt")
+    def runOnce(qn: String): org.apache.spark.sql.DataFrame = {
+      val src = spark.readStream.schema("grp STRING, u BIGINT")
+        .option("recursiveFileLookup", "true").parquet(drop)
+      val est = src.groupBy(col("grp"))
+        .agg(graft.operators.HyperLogLog.hllAgg("u", "x").as("approx"))
+      val q = est.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+      spark.table(qn)
+    }
+    val b1 = (1 to 400).map(i => ("a", i.toLong)) ++
+      (1 to 50).map(i => ("b", i.toLong))
+    val b2 = (201 to 600).map(i => ("a", i.toLong)) ++
+      (1 to 50).map(i => ("b", (i + 1000).toLong))
+    b1.toDF("grp", "u").coalesce(1).write.parquet(s"$drop/b1")
+    runOnce("hllr_run1")
+    b2.toDF("grp", "u").coalesce(1).write.parquet(s"$drop/b2")
+    val streamed = runOnce("hllr_run2")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = (b1 ++ b2).toDF("grp", "u").groupBy(col("grp"))
+      .agg(graft.operators.HyperLogLog.hllAgg("u", "x").as("approx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the sketch is deterministic (md5 registers): a restart that lost
+    // or double-merged registers would move the estimate
+    assert(streamed === batch)
+  }
+
+  test("session flush restart: sessions evicted before the stop are not " +
+      "re-emitted; later sessions still flush — union equals batch, disjoint") {
+    val spark2 = spark
+    import spark2.implicits._
+    val drop = tmp("ssr_drop"); val ckpt = tmp("ssr_ckpt")
+    val out = tmp("ssr_out")
+    def writeBatch(name: String, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("user_id", "sec")
+        .select(col("user_id"), expr("timestamp_seconds(sec)").as("ts"))
+        .coalesce(1).write.parquet(s"$drop/$name")
+    // append-mode recovery needs a sink with its own exactly-once log
+    // (the memory sink refuses checkpoint recovery in append mode) —
+    // the parquet sink's _spark_metadata commit log is that, and is
+    // also s27's real deployment shape
+    def runOnce(): Set[(Long, Long, Long)] = {
+      val src = spark.readStream
+        .schema("user_id BIGINT, ts TIMESTAMP")
+        .option("recursiveFileLookup", "true").parquet(drop)
+      val agg = src.withWatermark("ts", "1 second")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_timestamp(col("sw.start")).as("start_sec"),
+          col("n_events"))
+      val q = agg.writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append") // emit by WATERMARK EVICTION — the s27 shape
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+      spark.read.parquet(out)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    // b1: user 1 two sessions ([1000,1500], [50000]); user 2 one ([100]).
+    // The t=50000 row pushes the watermark to 49999 at batch end, so the
+    // two EARLY sessions evict and emit in run 1; [50000] stays in state.
+    writeBatch("b1", Seq((1L, 1000L), (1L, 1500L), (2L, 100L), (1L, 50000L)))
+    val run1 = runOnce()
+    assert(run1 === Set((1L, 1000L, 2L), (2L, 100L, 1L)),
+      "watermark 49999 must evict exactly the two early sessions")
+    // kill/restart: b2's far-future row (user 3) pushes the watermark
+    // past [50000]; ONLY that recovered-state session may emit now —
+    // re-emitting run 1's sessions would double-count them downstream
+    writeBatch("b2", Seq((3L, 1000000000L)))
+    val all = runOnce()
+    assert(all === run1 + ((1L, 50000L, 1L)),
+      "resume must recover [50000] from state, emit it exactly once, " +
+        "and never re-emit run 1's sessions")
+  }
+
   test("streaming search feed: per-trigger BM25 over a static corpus equals the batch ranking") {
     val spark2 = spark
     import spark2.implicits._
