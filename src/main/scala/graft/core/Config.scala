@@ -11,7 +11,11 @@ final case class EmbeddingsConfig(
     chunkSize: Int = 512,
     chunkOverlap: Int = 256,
     chunkStrategy: ChunkStrategy = ChunkStrategy.Exact,
-    model: String = "text-embedding-ada-002")
+    model: String = "text-embedding-ada-002",
+    // HUGGING_FACE leg (r10): the field the reference's validator
+    // message reserves (validators.py:22) — required when
+    // embeddingsType is HUGGING_FACE, ignored otherwise
+    huggingFaceModelName: Option[String] = None)
 
 /** VectorDBMetadata (reference src/models/vector_db_metadata.py:6-13). */
 final case class VectorDbConfig(
@@ -39,7 +43,13 @@ object RequestValidator {
   sealed trait Validation { def error: String; def status: Int }
   case object Metadata extends Validation { val error = "Missing required fields"; val status = 400 }
   case object EmbeddingType extends Validation {
-    val error = "Only OPEN_AI embeddings are supported"; val status = 400
+    // the reference's reserved message (validators.py:22): its check
+    // `embeddings_type in [OPEN_AI]` pairs with exactly this error —
+    // the HUGGING_FACE leg was designed to pass once the model name is
+    // present, which this library implements (Routing.embedderFor)
+    val error = "Hugging face embeddings models require a " +
+      "\"hugging_face_model_name\" in the \"embeddings_metadata\""
+    val status = 400
   }
   case object Webhook extends Validation {
     val error = "Webhook URL provided but no webhook key"; val status = 400
@@ -50,9 +60,12 @@ object RequestValidator {
   def validate(r: IngestRequest, localVectorDb: Boolean = false): Option[Validation] = {
     val checks: Seq[(Validation, Boolean)] = Seq(
       Metadata -> (r.vectorDb.isEmpty || r.vectorDbKey.nonEmpty || localVectorDb),
-      // only OPEN_AI passes API validation and is executed by the worker
-      // (validators.py:39, worker.py:52-73)
-      EmbeddingType -> (r.embeddings.embeddingsType == "OPEN_AI"),
+      // OPEN_AI always passes (validators.py:39, worker.py:52-73);
+      // HUGGING_FACE passes with its model name — the leg the
+      // reference reserved (r10, see EmbeddingType.error)
+      EmbeddingType -> (r.embeddings.embeddingsType == "OPEN_AI" ||
+        (r.embeddings.embeddingsType == "HUGGING_FACE" &&
+          r.embeddings.huggingFaceModelName.exists(_.nonEmpty))),
       Webhook -> (r.webhookUrl.isEmpty || r.webhookKey.nonEmpty))
     checks.collectFirst { case (v, ok) if !ok => v }
   }

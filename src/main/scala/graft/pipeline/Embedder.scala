@@ -199,3 +199,92 @@ final class OpenAiHttpEmbedder(baseUrl: String, model: String,
     }
   }
 }
+
+/** HUGGING_FACE local-HTTP embedder — the dispatch leg the reference
+  * DESIGNED but never shipped worker code for: the enum/validator
+  * reserve it (src/api/validators.py:22 requires a
+  * `hugging_face_model_name`), the k8s tree deploys a local
+  * `BAAI/bge-small-en` model server
+  * (kube/hugging_face_deployment.yaml:27-29), and the worker config
+  * pins `HUGGING_FACE_BATCH_SIZE = 32` (src/worker/config.py:6).
+  *
+  * Speaks the public text-embeddings-inference convention: POST
+  * `$baseUrl/embed` with `{"inputs":[...]}`, response a top-level
+  * array of float arrays in request order. Sub-batches of 32 per the
+  * reference's constant, sequential by default (the reference's HF
+  * consumer is a single local model server fed one queue message at a
+  * time — fanning 20 concurrent calls at one local GPU would just
+  * queue there); `concurrency` is pluggable for a replicated serving
+  * tier. Retry/backoff comes from the same [[RetryingEmbedder]]
+  * envelope as the OPEN_AI leg (Routing wires it). */
+final class HuggingFaceHttpEmbedder(baseUrl: String, modelName: String,
+                                    override val dim: Int,
+                                    concurrency: Int = 1,
+                                    subBatchSize: Int = 32,
+                                    timeout: Duration = Duration.ofSeconds(60)) extends Embedder {
+  require(modelName.nonEmpty, "hugging_face_model_name required")
+  override def maxBatchSize: Int = subBatchSize * math.max(1, concurrency)
+
+  @transient private lazy val client: HttpClient =
+    HttpClient.newBuilder().connectTimeout(timeout).build()
+
+  private def jsonEscape(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.result()
+  }
+
+  /** `[[0.1,0.2],[...],...]` — no nesting inside an embedding, so each
+    * innermost bracket group is one vector, in request order. */
+  private[pipeline] def parseResponse(body: String, n: Int): IndexedSeq[Array[Float]] = {
+    val inner = java.util.regex.Pattern.compile("""\[([^\[\]]*)\]""")
+    val m = inner.matcher(body)
+    val out = IndexedSeq.newBuilder[Array[Float]]
+    var count = 0
+    while (m.find()) {
+      out += m.group(1).split(",").map(_.trim.toFloat)
+      count += 1
+    }
+    require(count == n,
+      s"hugging-face response carried $count embeddings for $n inputs")
+    out.result()
+  }
+
+  private def callOnce(texts: IndexedSeq[String]): IndexedSeq[Array[Float]] = {
+    val inputs = texts.map(t => "\"" + jsonEscape(t) + "\"").mkString("[", ",", "]")
+    val payload = s"""{"inputs":$inputs}"""
+    val req = HttpRequest.newBuilder(URI.create(s"$baseUrl/embed"))
+      .timeout(timeout)
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(payload))
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"hugging-face embed call failed: HTTP ${resp.statusCode()} ${resp.body().take(200)}")
+    parseResponse(resp.body(), texts.length)
+  }
+
+  override def embedBatch(texts: IndexedSeq[String]): IndexedSeq[Array[Float]] = {
+    val subBatches = texts.grouped(subBatchSize).toIndexedSeq
+    if (concurrency <= 1 || subBatches.lengthCompare(1) <= 0)
+      subBatches.flatMap(callOnce)
+    else {
+      val pool = Executors.newFixedThreadPool(math.min(concurrency, subBatches.length))
+      try {
+        val futures = subBatches.map(b => pool.submit(() => callOnce(b)))
+        futures.flatMap(_.get())
+      } finally {
+        pool.shutdown()
+        pool.awaitTermination(timeout.toSeconds * 2, TimeUnit.SECONDS)
+      }
+    }
+  }
+}

@@ -11,16 +11,31 @@ import graft.sinks.{Sinks, VectorDbSinks}
 object Routing {
 
   /** E3 (reference worker.py:51-73): OPEN_AI builds the HTTP embedder
-    * envelope; any other declared type is a permanent failure
-    * (`bypass_retries=True` — no retry wrapper). The deterministic
-    * local embedder is reachable as LOCAL for tests/benchmarks. */
+    * envelope; HUGGING_FACE builds the local-model-server leg the
+    * reference designed but never shipped worker code for (enum +
+    * validator + k8s deployment + batch-size constant all exist
+    * server-side — validators.py:22, kube/hugging_face_deployment
+    * .yaml:27-29, worker config.py:6) and requires the model name,
+    * failing with the validator's reserved message otherwise; any
+    * other declared type is a permanent failure (`bypass_retries=True`
+    * — no retry wrapper). Both HTTP legs share the 5-attempt
+    * exponential-backoff envelope. The deterministic local embedder is
+    * reachable as LOCAL for tests/benchmarks. */
   def embedderFor(embeddingsType: String, baseUrl: String = "https://api.openai.com",
                   apiKey: String = "", model: String = "text-embedding-ada-002",
-                  dim: Int = 1536): Either[String, Embedder] =
+                  dim: Int = 1536,
+                  huggingFaceModelName: Option[String] = None): Either[String, Embedder] =
     embeddingsType.toUpperCase match {
       case "OPEN_AI" =>
         Right(new RetryingEmbedder(
           new OpenAiHttpEmbedder(baseUrl, model, apiKey, dim), attempts = 5))
+      case "HUGGING_FACE" =>
+        huggingFaceModelName.filter(_.nonEmpty) match {
+          case Some(name) => Right(new RetryingEmbedder(
+            new HuggingFaceHttpEmbedder(baseUrl, name, dim), attempts = 5))
+          case None => Left("Hugging face embeddings models require a " +
+            "\"hugging_face_model_name\" in the \"embeddings_metadata\"")
+        }
       case "LOCAL" => Right(new HashEmbedder(dim))
       case other => Left(s"Embeddings type $other not supported")
     }

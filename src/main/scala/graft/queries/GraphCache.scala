@@ -217,25 +217,29 @@ object GraphCache {
   def coPurchaseWeights(spark: SparkSession, dir: String): DataFrame =
     artifact(spark, s"copurchase_w.v1|$dir",
       Seq(s"$dir/lineitem.parquet")) {
-      // per-order pair fan-out happens SCAN-SIDE from the order's
-      // sorted part list (round 9 — previously a self-join on
-      // l_orderkey: one extra shuffle plus the join machinery for the
-      // same ≤ C(7,2) pairs per order; the order-line cap bounds the
-      // explode exactly like it bounded the join). sort_array gives
-      // a < b for free; one groupBy(ok) + one groupBy(a, b).
-      lineitem(spark, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        // collect_set IS the per-order line dedup — the previous
-        // .distinct() pre-shuffle is subsumed by the same groupBy
-        .groupBy(col("ok"))
-        .agg(sort_array(collect_set(col("pk"))).as("ps"))
-        .select(explode(expr(
-          """flatten(transform(ps, (x, i) ->
-            |  transform(slice(ps, i + 2, size(ps)), y ->
-            |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("n_orders"))
+      coPurchaseWeightsOf(lineitem(spark, dir))
     }
+
+  /** The co-purchase build body over an explicit lineitem frame —
+    * shared with the PlanReport slope row (which feeds a synthetic
+    * ×10 table). Per-order pair fan-out happens SCAN-SIDE from the
+    * order's sorted part list (round 9 — previously a self-join on
+    * l_orderkey: one extra shuffle plus the join machinery for the
+    * same ≤ C(7,2) pairs per order; the order-line cap bounds the
+    * explode exactly like it bounded the join). sort_array gives
+    * a < b for free; one groupBy(ok) + one groupBy(a, b). */
+  private[graft] def coPurchaseWeightsOf(li: DataFrame): DataFrame =
+    li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      // collect_set IS the per-order line dedup — the previous
+      // .distinct() pre-shuffle is subsumed by the same groupBy
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), y ->
+          |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_orders"))
 
   /** The distinct co-purchase edge list — g03/g04's common graph;
     * a projection of [[coPurchaseWeights]]. */
@@ -279,12 +283,17 @@ object GraphCache {
   def custPartEdges(spark: SparkSession, dir: String): DataFrame =
     artifact(spark, s"cust_part.v1|$dir",
       Seq(s"$dir/orders.parquet", s"$dir/lineitem.parquet")) {
-      orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
-        .join(lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-        .distinct()
+      custPartEdgesOf(orders(spark, dir), lineitem(spark, dir))
     }
+
+  /** The cust→part build body over explicit frames — shared with the
+    * PlanReport slope row. */
+  private[graft] def custPartEdgesOf(ord: DataFrame, li: DataFrame): DataFrame =
+    ord.select(col("o_orderkey"), col("o_custkey"))
+      .join(li.select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
 
   /** The Levenshtein-≤1 customer-name pair graph (deletion-
     * neighborhood blocked) — q33 reports it, q40 closes it into

@@ -648,6 +648,65 @@ object PlanReport {
         graft.operators.Distill.olsDistill(
           graft.queries.Relational14.q55Features(docsS10),
           "source", "x1", "x2", "y").count())
+      // r10 rows (r9 advice #6): the rest of the round-9 surface.
+      // q56 serve: train once in-plan, broadcast the |sources|-row
+      // model onto the feature scan, TopKPerKey top-5 — one corpus
+      // scan each for train and serve
+      rowR("OLS model serve, top-5 residuals (q56 shape)",
+        graft.queries.Relational14.q56AnomaliesOf(
+          graft.queries.Relational14.q55Features(docs)).count(),
+        graft.queries.Relational14.q56AnomaliesOf(
+          graft.queries.Relational14.q55Features(docsS10)).count())
+      // p37 FLAC: scan-local encode+decode per selected id — slope is
+      // the selected-row count, nothing shuffles
+      def p37of(d: DataFrame): Long = {
+        import spark.implicits._
+        d.select(col("doc_id")).as[Long]
+          .filter((id: Long) => id % 25 == 7)
+          .map(graft.queries.PipelineQueries.flacClipStats _)
+          .toDF("doc_id", "rate", "n", "fr", "peak", "energy").count()
+      }
+      rowR("FLAC encode+decode round-trip (p37 shape)",
+        p37of(docs), p37of(docs10))
+      // a40 compaction: scan postings, drop tombstoned ids, atomic
+      // rewrite — slope is postings rows in + out. Fresh compact path
+      // per call (the real API memoizes an existing compact artifact,
+      // which would turn the timed cell into a read-back)
+      val a40ctr = new java.util.concurrent.atomic.AtomicInteger
+      def a40post(e0: DataFrame): DataFrame =
+        e0.select(col("vec_id").as("id"),
+          (col("vec_id") % 16).cast("int").as("cluster"),
+          expr("transform(sequence(0, 7), i -> " +
+            "cast((vec_id * (i + 3)) % 16 as tinyint))").as("codes"))
+      val a40base1 = java.nio.file.Files
+        .createTempDirectory("a40s1").toString + "/base"
+      val a40base10 = java.nio.file.Files
+        .createTempDirectory("a40s10").toString + "/base"
+      a40post(emb).write.mode("overwrite").parquet(a40base1)
+      a40post(emb10).write.mode("overwrite").parquet(a40base10)
+      def a40of(base: String): Long = {
+        val (served, _) = graft.operators.IndexStore.compactPostings(
+          spark, base, base + "_c" + a40ctr.incrementAndGet(),
+          col("id") % 7 === 3, threshold = 0.10)
+        served.count()
+      }
+      rowR("index compaction rewrite (a40 shape)",
+        a40of(a40base1), a40of(a40base10))
+      // the art_* builds themselves: the cross-JVM store amortizes
+      // them across processes, but the first build must still scale
+      val ord = graft.Tables.orders(spark, dir).cache(); ord.count()
+      val ord10 = ord.crossJoin(spark.range(10).toDF("c"))
+        .withColumn("o_orderkey", col("o_orderkey") * 10 + col("c"))
+        .withColumn("o_custkey", col("o_custkey") * 10 + col("c"))
+        .drop("c").cache()
+      ord10.count()
+      rowR("co-purchase weights build (art_copurchase shape)",
+        graft.queries.GraphCache.coPurchaseWeightsOf(li).count(),
+        graft.queries.GraphCache.coPurchaseWeightsOf(li10).count())
+      rowR("cust-part edge build (art_cust_part shape)",
+        graft.queries.GraphCache.custPartEdgesOf(ord, li).count(),
+        graft.queries.GraphCache.custPartEdgesOf(ord10, li10).count())
+      ord.unpersist(); ord10.unpersist()
       // programmatic narrative: name the mechanism behind every ≥5× row
       val steep = ratios.filter { case (_, (t1, t10)) => t10 / t1 >= 5.0 }
       sb.append("\nRound-8 rows, measured mechanisms: the ×10 corpus multiplies\n")
@@ -659,6 +718,18 @@ object PlanReport {
       sb.append("endpoints (×10 users ⇒ ×10 endpoints), q50's fan-out by basket\n")
       sb.append("pairs per order (same parts, ×10 orders), a36's by |vectors|·k\n")
       sb.append("with k capped at 64 (the cap binds at ×10: 10k base vectors).\n")
+      sb.append("\nRound-9/10 rows, named mechanisms: q55/q56 are each ONE corpus\n")
+      sb.append("scan (map-side normal-equation partials / a broadcast model join\n")
+      sb.append("+ TopKPerKey prune) — their growth axis is rows scanned, with the\n")
+      sb.append("solve a |sources|-row epilogue. p37 is a scan-local per-id codec\n")
+      sb.append("round-trip: no shuffle at all, slope = selected rows. The a40\n")
+      sb.append("compaction rewrite reads postings once, filters tombstones, and\n")
+      sb.append("rewrites partitioned parquet — IO-bound both directions, slope =\n")
+      sb.append("postings rows. The art_* builds scale as their dominant shuffle:\n")
+      sb.append("co-purchase = the per-order pair fan-out (bounded by C(lines,2)\n")
+      sb.append("per order, ×10 orders ⇒ ×10 pairs), cust-part = one join + one\n")
+      sb.append("distinct shuffle on the edge key (×10 customers ⇒ ×10 edges);\n")
+      sb.append("at steady state the cross-JVM store amortizes both to a read.\n")
       if (steep.nonEmpty) {
         sb.append("\n≥5× this run: " + steep.map { case (n, (t1, t10)) =>
           f"$n (${t10 / t1}%.1f×)" }.mkString("; ") + " — see the\n")

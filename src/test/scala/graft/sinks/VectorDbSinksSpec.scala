@@ -145,9 +145,18 @@ class VectorDbSinksSpec extends AnyFunSuite {
     val noKey = ok.copy(vectorDbKey = None)
     assert(RequestValidator.validate(noKey).contains(RequestValidator.Metadata))
     assert(RequestValidator.validate(noKey, localVectorDb = true).isEmpty)
-    // non-OpenAI embeddings rejected (validators.py:39)
+    // HUGGING_FACE without its model name rejected with the reference's
+    // reserved message (validators.py:22); with the name it passes (r10)
     val hf = ok.copy(embeddings = graft.core.EmbeddingsConfig(embeddingsType = "HUGGING_FACE"))
     assert(RequestValidator.validate(hf).contains(RequestValidator.EmbeddingType))
+    assert(RequestValidator.EmbeddingType.error.contains("hugging_face_model_name"))
+    val hfNamed = ok.copy(embeddings = graft.core.EmbeddingsConfig(
+      embeddingsType = "HUGGING_FACE",
+      huggingFaceModelName = Some("BAAI/bge-small-en")))
+    assert(RequestValidator.validate(hfNamed).isEmpty)
+    // a type the worker never dispatches stays rejected
+    val cohere = ok.copy(embeddings = graft.core.EmbeddingsConfig(embeddingsType = "COHERE"))
+    assert(RequestValidator.validate(cohere).contains(RequestValidator.EmbeddingType))
     // webhook URL without key rejected
     val wh = ok.copy(webhookUrl = Some("http://x"), webhookKey = None)
     assert(RequestValidator.validate(wh).contains(RequestValidator.Webhook))
