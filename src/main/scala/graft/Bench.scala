@@ -386,9 +386,15 @@ object Bench {
     // state in the artifact; the verdict below compares each row
     // against the run's own median.
     def hostProbe(): (Double, Double) = {
-      val iters = 1500
-      val t0 = System.nanoTime(); burn(iters)
-      val ops = iters / ((System.nanoTime() - t0) / 1e9)
+      def one(iters: Int): Double = {
+        val t0 = System.nanoTime(); burn(iters)
+        iters / ((System.nanoTime() - t0) / 1e9)
+      }
+      // BEST of two short burns: the probe runs right after the
+      // previous row's unpersist storm, and a single GC pause landing
+      // inside one burn would read as host contention (self-inflicted
+      // false flag); real contention suppresses both burns
+      val ops = math.max(one(750), one(750))
       val load = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
       (ops, load)

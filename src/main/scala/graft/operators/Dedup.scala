@@ -35,7 +35,16 @@ object Dedup {
     val num = (bd * den).toBigIntExact.getOrElse(
       sys.error(s"threshold $t is not a decimal fraction"))
     val g = num.gcd(den.toBigInt)
-    ((num / g).longValue, (den.toBigInt / g).longValue)
+    val (n, d) = ((num / g).longValue, (den.toBigInt / g).longValue)
+    // keep n_sh·num / n_sh·den inside Long for any realistic shingle
+    // count (n_sh ≤ ~10⁶ per document): a COMPUTED threshold like
+    // 0.1 + 0.2 stringifies with 17 decimals, den = 10¹⁷, and the
+    // integer prunings would silently overflow — fail loudly instead
+    // (same ≤ 9-significant-decimals contract the ε-slack documented)
+    require(d <= 1000000000L,
+      s"threshold $t carries more than 9 decimal digits (den = $d); " +
+        "pass a decimal-literal threshold")
+    (n, d)
   }
 
   /** documents(id, text) -> (id, shingles: array<string>) with distinct

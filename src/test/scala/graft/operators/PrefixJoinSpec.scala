@@ -84,6 +84,9 @@ class PrefixJoinSpec extends AnyFunSuite {
     // double-rounding trap case (100·0.07 = 7.000000000000001 in doubles)
     val (num, den) = Dedup.thresholdAsFraction(0.07)
     assert((100L * num + den - 1) / den === 7L)
+    // a COMPUTED threshold with binary-float residue (17 decimals)
+    // must fail loudly, not overflow the integer prunings silently
+    intercept[IllegalArgumentException](Dedup.thresholdAsFraction(0.1 + 0.2))
   }
 
   test("sf0.001 documents: full equality on real corpus, two thresholds") {
