@@ -227,7 +227,8 @@ object Bench {
     "t44_semantic_contam", "p35_mixture_budget", "q54_abc_pareto",
     "a35_retrieval_bakeoff", "t45_burstiness", "a36_index_ingest",
     "a37_index_serve", "p36_adpcm_decode", "a38_filtered_search",
-    "a39_index_delete", "a40_index_compact", "p37_flac_decode",
+    "a39_index_delete", "a40_index_compact", "a41_index_merge",
+    "p37_flac_decode",
     "q55_quality_distill", "q56_quality_anomalies")
 
   /** Fixed CPU work item for host calibration: SHA-256 over a 4 KB
@@ -338,7 +339,8 @@ object Bench {
         Seq("a09_ann_pq", "a21_ann_recall"),
         () => { graft.queries.ModelCache.pqModel(spark, sfDir); () }),
       ("art_ivfpq_index",
-        Seq("a15_ann_ivfpq", "a21_ann_recall", "a24_nprobe_sweep"),
+        Seq("a15_ann_ivfpq", "a21_ann_recall", "a24_nprobe_sweep",
+          "a41_index_merge"),
         () => { graft.queries.ModelCache.ivfPqIndex(spark, sfDir); () }))
       .filter { case (_, consumers, _) => consumers.exists(names.contains) }
     // operators persist intermediate projections and rely on LRU churn;

@@ -265,6 +265,39 @@ object IndexStore {
     }
   }
 
+  /** Shard MERGE — the lifecycle verb after compaction: a production
+    * vector store accumulates posting SEGMENTS (the base build, each
+    * incremental ingest, each delete-then-re-ingest) and periodically
+    * merges them into one segment so query-time candidate scans stop
+    * paying per-segment overhead. Semantics are LATEST-WINS by id:
+    * `parts` is ordered oldest → newest, and an id present in several
+    * parts serves its NEWEST row (a re-ingested vector takes its new
+    * encoding; a tombstoned-then-re-added id comes back). One
+    * hash-shuffle on id (`max_by` over the part index — no window, no
+    * sort), published atomically under `mergedPath`; an unwritable
+    * store degrades to the in-memory merged frame, the
+    * loadOrPublishPostings discipline.
+    *
+    * Correctness is CHECKED, not assumed: the a41 oracle row searches
+    * from the merged artifact and hash-matches the full replay over
+    * exactly the live id set — duplicate rows (a merge that forgot to
+    * dedup) or resurrection/loss of a tombstoned id each break the
+    * hash. */
+  def mergePostings(spark: SparkSession, mergedPath: String,
+                    parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "mergePostings: no segments to merge")
+    val cols = parts.head.columns.filter(_ != "id")
+    val tagged = parts.zipWithIndex.map { case (p, i) =>
+      p.withColumn("__seg", lit(i))
+    }.reduce(_.unionByName(_))
+    val merged = tagged
+      .groupBy(col("id"))
+      .agg(max_by(struct(cols.map(col).toIndexedSeq: _*), col("__seg"))
+        .as("__row"))
+      .select(col("id") +: cols.map(c => col(s"__row.$c").as(c)): _*)
+    loadOrPublishPostings(spark, mergedPath)(merged)
+  }
+
   /** Index COMPACTION — the lifecycle's background GC: when the
     * tombstoned fraction of the postings at `basePath` is at least
     * `threshold`, rewrite them WITHOUT the dead ids and publish under

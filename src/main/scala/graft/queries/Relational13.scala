@@ -621,6 +621,48 @@ object Relational13 {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** a41: shard MERGE — the segment-maintenance verb that closes the
+    * index lifecycle loop (train → persist → serve cross-JVM → ingest
+    * → monitor → filter → delete → compact → MERGE): a production
+    * store accumulates posting segments and periodically merges them
+    * latest-wins into one. The history replayed here: the base
+    * segment holds the even ids MINUS an a39-style tombstoned set
+    * (vec_id % 10 = 4); a re-ingest delta holds all odd ids, PLUS
+    * half the tombstoned ids re-added (vec_id % 20 = 4 — the
+    * delete-then-re-ingest flow), PLUS an unchanged-id overlap
+    * (vec_id % 20 = 6) that the merge must dedup. The merged segment
+    * must therefore contain exactly one row per id with
+    * vec_id % 20 ≠ 14, and the search SERVES FROM THE MERGED
+    * ARTIFACT. Oracle: a15's full replay restricted to that live set
+    * — forgetting the dedup, dropping the re-adds, or resurrecting
+    * the still-dead ids each break the hash. Queries 25..29 (live;
+    * disjoint from a15's 0..4, a37's 5..9, a39's 11..15,
+    * a40's 18..22). */
+  def a41IndexMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{IndexStore, ProductQuantizer}
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val (model, resid) = ModelCache.ivfPqIndex(spark, dir)
+    val all = ProductQuantizer.encodeIvfPqPostings(resid, model)
+    val base = all.filter(col("id") % 2 === 0 && col("id") % 10 =!= 4)
+    val delta = all.filter(col("id") % 2 === 1 ||
+      col("id") % 20 === 4 || col("id") % 20 === 6)
+    val mergedPath = IndexStore.publishPath(
+      s"ivfpq_16-8-16-2_fit2x_post_merged1|$dir")
+    val merged = IndexStore.mergePostings(spark, mergedPath,
+      Seq(base, delta))
+    a41Oracle = Some(CurationQueries.a15OracleSql(
+      model.centsQ, model.booksQ, subDim = 8,
+      queryPred = "vec_id BETWEEN 25 AND 29",
+      neighborPred = "a.vec_id % 20 <> 14"))
+    ProductQuantizer.searchIvfPqExact(
+        e.filter(col("vec_id").between(25, 29)), e, "vec_id", "embedding",
+        model, nprobe = 4, shortlist = 100, topK = 10,
+        precomputedCodes = Some(merged))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  @volatile private var a41Oracle: Option[String] = None
+
   @volatile private var a40Oracle: Option[String] = None
 
   @volatile private var a39Oracle: Option[String] = None
@@ -667,6 +709,7 @@ object Relational13 {
     "a37_index_serve"       -> a37IndexServe _,
     "a39_index_delete"      -> a39IndexDelete _,
     "a40_index_compact"     -> a40IndexCompact _,
+    "a41_index_merge"       -> a41IndexMerge _,
     "t45_burstiness"        -> t45Burstiness _,
     "t44_semantic_contam"   -> t44SemanticContam _,
     "p35_mixture_budget"    -> p35MixtureBudget _,
@@ -687,7 +730,8 @@ object Relational13 {
       a36Oracle.map("a36_index_ingest" -> _) ++
       a37Oracle.map("a37_index_serve" -> _) ++
       a39Oracle.map("a39_index_delete" -> _) ++
-      a40Oracle.map("a40_index_compact" -> _)
+      a40Oracle.map("a40_index_compact" -> _) ++
+      a41Oracle.map("a41_index_merge" -> _)
 
   private val staticOracles: Map[String, String] = Map(
     "t45_burstiness" ->

@@ -174,4 +174,29 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("dense codes"))
     graft.core.Caching.CacheLedger.releaseAll()
   }
+
+  test("mergePostings: latest-wins by id, dedup on overlap, atomic publish") {
+    val base = Seq(
+      (1L, 10, Seq(1, 1)), (2L, 10, Seq(2, 2)), (3L, 11, Seq(3, 3)))
+      .toDF("id", "cluster", "codes")
+    // delta re-ingests id 2 with a NEW encoding and adds id 4; id 3
+    // appears unchanged (the dedup case)
+    val delta = Seq(
+      (2L, 12, Seq(9, 9)), (3L, 11, Seq(3, 3)), (4L, 13, Seq(4, 4)))
+      .toDF("id", "cluster", "codes")
+    val path = java.nio.file.Files
+      .createTempDirectory("merge_store").toString + "/merged"
+    val merged = IndexStore.mergePostings(spark, path, Seq(base, delta))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getSeq[Int](2).toList)).toMap
+    assert(merged.keySet === Set(1L, 2L, 3L, 4L), "one row per live id")
+    assert(merged(2L) === ((12, List(9, 9))),
+      "re-ingested id must serve the NEWEST encoding")
+    assert(merged(1L) === ((10, List(1, 1))) &&
+      merged(3L) === ((11, List(3, 3))) && merged(4L) === ((13, List(4, 4))))
+    // the artifact published: a fresh read sees the same merged set
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
+    assert(spark.read.parquet(path).count() === 4L)
+  }
 }

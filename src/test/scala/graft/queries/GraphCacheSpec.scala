@@ -68,6 +68,26 @@ class GraphCacheSpec extends AnyFunSuite {
       "stale artifact served after the corpus changed")
   }
 
+  test("concurrent first callers: one build, every thread served the same artifact") {
+    val d = java.nio.file.Files.createTempDirectory("graft_gc_conc").toString
+    Seq((10L, 1L), (10L, 2L), (11L, 2L), (11L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    GraphCache.resetMemoForTest()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 8).map(_ => pool.submit(
+        new java.util.concurrent.Callable[Set[(Long, Long)]] {
+          override def call(): Set[(Long, Long)] =
+            GraphCache.coPurchaseEdges(spark, d)
+              .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        }))
+      val results = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(results.forall(_ === Set((1L, 2L), (2L, 3L))),
+        "every concurrent caller must see the same (correct) artifact")
+    } finally pool.shutdownNow()
+  }
+
   test("artifact reads are stable across repeated calls and match a direct build") {
     val viaCache = GraphCache.coPurchaseEdges(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

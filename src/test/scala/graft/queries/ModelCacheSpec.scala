@@ -32,6 +32,18 @@ class ModelCacheSpec extends AnyFunSuite {
       "memoized model must equal a fresh deterministic train")
   }
 
+  test("savePq/loadPq round-trip is bit-exact (the cross-JVM serve contract)") {
+    val model = ModelCache.pqModel(spark, dir)
+    val p = java.nio.file.Files.createTempDirectory("pq_rt").toString + "/m"
+    graft.operators.IndexStore.savePq(spark, model, p)
+    val loaded = graft.operators.IndexStore.loadPq(spark, p)
+    assert(loaded.m === model.m && loaded.k === model.k &&
+      loaded.subDim === model.subDim)
+    assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+      model.codebooks.map(_.map(_.toSeq).toSeq).toSeq,
+      "parquet doubles must round-trip exactly")
+  }
+
   test("ivfPqModel memoizes and carries the a15 parameter shape") {
     val a = ModelCache.ivfPqModel(spark, dir)
     val b = ModelCache.ivfPqModel(spark, dir)
