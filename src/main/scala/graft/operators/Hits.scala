@@ -43,7 +43,8 @@ object Hits {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iterations: Int = 3, topK: Int = 20,
            splitEdgeThreshold: Long = 2000000L,
-           edgesDistinct: Boolean = false): DataFrame = {
+           edgesDistinct: Boolean = false,
+           localComputeMaxEdges: Long = 10000000L): DataFrame = {
     val pinned = scala.collection.mutable.ArrayBuffer[DataFrame]()
     def pin(df: DataFrame): DataFrame = {
       pinned += df.persist(StorageLevel.MEMORY_AND_DISK); df
@@ -51,7 +52,7 @@ object Hits {
     // 2·topK rows: materialize, then release every internal persist
     try graft.core.Caching.materializeBounded(
       hitsPlan(edges, srcCol, dstCol, iterations, topK,
-        splitEdgeThreshold, pin, edgesDistinct))
+        splitEdgeThreshold, pin, edgesDistinct, localComputeMaxEdges))
     finally pinned.foreach(_.unpersist(blocking = false))
   }
 
@@ -69,7 +70,8 @@ object Hits {
       splitEdgeThreshold: Long,
       pin: DataFrame => DataFrame =
         _.persist(StorageLevel.MEMORY_AND_DISK),
-      edgesDistinct: Boolean = false): DataFrame = {
+      edgesDistinct: Boolean = false,
+      localComputeMaxEdges: Long = 10000000L): DataFrame = {
     require(iterations >= 1)
     val proj = edges
       .select(col(srcCol).cast("long").as("c"), col(dstCol).cast("long").as("p"))
@@ -104,6 +106,21 @@ object Hits {
           StructField("score_ppm", LongType),
           StructField("rnk", LongType))))
     }
+    // LOCAL regime (r10, the Triangles pattern the round-9 verdict
+    // endorsed for g03): below `localComputeMaxEdges` the whole power
+    // iteration runs on a collected edge array in exact BigInteger
+    // arithmetic — the distributed chain is 12+ sequential AQE stages
+    // whose scheduling + broadcast latency floor (~4 s at sf0.1's
+    // 600k edges) dwarfs the ~0.3 s of actual arithmetic. The guard
+    // bounds driver memory exactly like the Triangles broadcast probe
+    // (10M edges ≈ 160 MB), and past it the distributed dual-regime
+    // plan below takes over unchanged — the 100 TB path. Overflow
+    // semantics mirror the distributed plan bit for bit (same bounds,
+    // same messages): scores and totals raise at 10³⁸ (the DECIMAL(38)
+    // bound), the ppm product at 10³⁸ too — so the oracle-parity
+    // contract (DuckDB HUGEINT errors) holds in both regimes.
+    if (m <= localComputeMaxEdges)
+      return hitsLocal(edges.sparkSession, e, iterations, topK)
     // sortWithinPartitions: the cached plan's outputOrdering survives
     // InMemoryTableScan, so each round's SortMergeJoin skips re-sorting
     // the |E|-row side (k rounds = k avoided sorts of the big leg)
@@ -210,6 +227,109 @@ object Hits {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .drop("raw")
       .orderBy(col("side"), col("rnk"))
+  }
+
+  /** The local-regime power iteration: the SAME algorithm as the
+    * distributed plan (a₀ = 1, alternating exact integer sums, one
+    * final ppm floor division per side) over a collected edge array,
+    * in java.math.BigInteger. Invoked only under the
+    * `localComputeMaxEdges` guard; edges with a null endpoint are
+    * dropped exactly as the distributed inner joins drop them.
+    * Overflow mirrors the distributed contract: any score or total
+    * reaching 10³⁸ raises with the DECIMAL(38) message, and a
+    * representable score whose ·10⁶ product would pass 10³⁸ raises
+    * the score_ppm tripwire — identical failure surface, so specs and
+    * oracle pins hold regime-independently. */
+  private def hitsLocal(spark: org.apache.spark.sql.SparkSession,
+                        e: DataFrame, iterations: Int, topK: Int): DataFrame = {
+    import java.math.BigInteger
+    val D38 = BigInteger.TEN.pow(38)
+    val M6 = BigInteger.valueOf(1000000L)
+    val rows = e.filter(col("c").isNotNull && col("p").isNotNull)
+      .select(col("c"), col("p"))
+      .collect()
+    // every edge had a null endpoint: the distributed plan's inner
+    // joins drop them all and its guarded total raises the empty-graph
+    // error — mirror it, don't silently return zero rows
+    if (rows.isEmpty)
+      throw new IllegalStateException("HITS: empty graph — no authority " +
+        "scores to rank (edge input has no rows)")
+    val cIds = rows.map(_.getLong(0)).distinct.sorted
+    val pIds = rows.map(_.getLong(1)).distinct.sorted
+    val cIdx = new java.util.HashMap[Long, Int](cIds.length * 2)
+    cIds.zipWithIndex.foreach { case (id, i) => cIdx.put(id, i) }
+    val pIdx = new java.util.HashMap[Long, Int](pIds.length * 2)
+    pIds.zipWithIndex.foreach { case (id, i) => pIdx.put(id, i) }
+    val ec = new Array[Int](rows.length)
+    val ep = new Array[Int](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      ec(i) = cIdx.get(rows(i).getLong(0))
+      ep(i) = pIdx.get(rows(i).getLong(1))
+      i += 1
+    }
+    def checkRound(v: Array[BigInteger], what: String): Unit = {
+      var j = 0
+      while (j < v.length) {
+        if (v(j).compareTo(D38) >= 0)
+          throw new ArithmeticException(
+            s"HITS: DECIMAL(38) overflow nulled a $what score " +
+              "mid-iteration — lower iterations or pre-scale (see " +
+              "scaladoc magnitude bound)")
+        j += 1
+      }
+    }
+    var a = Array.fill(pIds.length)(BigInteger.ONE)
+    var h: Array[BigInteger] = null
+    var round = 0
+    while (round < iterations) {
+      h = Array.fill(cIds.length)(BigInteger.ZERO)
+      i = 0
+      while (i < ec.length) { h(ec(i)) = h(ec(i)).add(a(ep(i))); i += 1 }
+      checkRound(h, "authority") // overflow first visible in the hub sums OF authority scores
+      val a2 = Array.fill(pIds.length)(BigInteger.ZERO)
+      i = 0
+      while (i < ec.length) { a2(ep(i)) = a2(ep(i)).add(h(ec(i))); i += 1 }
+      checkRound(a2, "hub")
+      a = a2
+      round += 1
+    }
+    def total(v: Array[BigInteger], tag: String): BigInteger = {
+      val t = v.foldLeft(BigInteger.ZERO)(_.add(_))
+      if (t.compareTo(D38) >= 0)
+        throw new ArithmeticException(
+          s"HITS: DECIMAL(38) overflow in $tag scores or their total — " +
+            "lower iterations or pre-scale (see scaladoc magnitude bound)")
+      t
+    }
+    val aTot = total(a, "authority")
+    val hTot = total(h, "hub")
+    def side(tag: String, ids: Array[Long], v: Array[BigInteger],
+             tot: BigInteger): Seq[org.apache.spark.sql.Row] = {
+      val top = ids.indices
+        .sortBy(j => (v(j).negate(), ids(j)))(
+          Ordering.Tuple2(Ordering.ordered[BigInteger], Ordering.Long))
+        .take(topK)
+      top.zipWithIndex.map { case (j, rk) =>
+        val prod = v(j).multiply(M6)
+        if (prod.compareTo(D38) >= 0)
+          throw new ArithmeticException(
+            "HITS: DECIMAL(38) overflow computing score_ppm " +
+              "(score·10⁶ exceeds 10³⁸) — lower iterations or " +
+              "pre-scale (see scaladoc magnitude bound)")
+        org.apache.spark.sql.Row(tag, ids(j),
+          prod.divide(tot).longValueExact(), (rk + 1).toLong)
+      }
+    }
+    import org.apache.spark.sql.types._
+    val out = side("auth", pIds, a, aTot) ++ side("hub", cIds, h, hTot)
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava,
+      StructType(Seq(
+        StructField("side", StringType, nullable = false),
+        StructField("id", LongType),
+        StructField("score_ppm", LongType),
+        StructField("rnk", LongType))))
   }
 
   /** The DuckDB replay: unrolled MATERIALIZED rounds over `edgesSql`

@@ -33,15 +33,33 @@ class HitsSpec extends AnyFunSuite {
       s"authority ppm should sum to ~1e6, got ${auth.map(_._3).sum}")
   }
 
-  test("split-edge regime (pre-partitioned persists) equals the broadcast regime") {
+  test("all three regimes agree: local BigInteger, broadcast, split-edge") {
     val edges = (1L to 40L).flatMap(c => (1L to 5L).map(p => (c, (c + p) % 17)))
       .toDF("c", "p")
-    val plain = Hits.hits(edges, "c", "p", iterations = 3, topK = 17)
+    // default thresholds → the LOCAL regime (200 edges < 10M)
+    val local = Hits.hits(edges, "c", "p", iterations = 3, topK = 17)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // localComputeMaxEdges = 0 forces the distributed broadcast regime
+    val plain = Hits.hits(edges, "c", "p", iterations = 3, topK = 17,
+        localComputeMaxEdges = 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // + splitEdgeThreshold = 0 forces the pre-partitioned split regime
     val split = Hits.hits(edges, "c", "p", iterations = 3, topK = 17,
-        splitEdgeThreshold = 0L)
+        splitEdgeThreshold = 0L, localComputeMaxEdges = 0L)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(local === plain, "local BigInteger regime must equal the distributed plan")
     assert(split === plain)
+  }
+
+  test("local and distributed regimes agree on the sf0.001 purchase graph") {
+    val edges = graft.queries.GraphCache.custPartEdgesOf(
+      graft.Tables.orders(spark, "/root/testdata/sf0.001"),
+      graft.Tables.lineitem(spark, "/root/testdata/sf0.001"))
+    def run(localMax: Long) = Hits.hits(edges, "c", "p", iterations = 3,
+        topK = 20, localComputeMaxEdges = localMax)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(run(10000000L) === run(0L),
+      "regimes must agree row for row (same order, same ppm, same ranks)")
   }
 
   test("three unrolled rounds equal a hand-computed power iteration") {
