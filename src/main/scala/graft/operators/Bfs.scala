@@ -27,7 +27,9 @@ object Bfs {
     * Output: (id, dist) for every node within the cap (sources at 0). */
   def hopDistances(edges: DataFrame, srcCol: String, dstCol: String,
                    sources: DataFrame, maxHops: Int,
-                   edgesDistinct: Boolean = false): DataFrame = {
+                   edgesDistinct: Boolean = false,
+                   localComputeMaxEdges: Long = 10000000L,
+                   localComputeMaxNodes: Long = 1000000L): DataFrame = {
     require(maxHops >= 0)
     // cached once: every hop joins the frontier against the edge list,
     // and uncached `e` would re-derive the caller's edge pipeline
@@ -43,9 +45,58 @@ object Bfs {
     // eager pin (the PageRank rule): every hop is its own eager-
     // checkpoint action joining `e`; a cache that silently fails to
     // populate re-runs the edge distinct per hop
-    e.count()
+    val st = e.agg(count(lit(1)),
+      count(when(col("src").isNull || col("dst").isNull, lit(1)))).collect()(0)
     val src = sources.select(col(sources.columns.head).cast("long").as("id"))
       .distinct()
+    // LOCAL regime (r10, the Hits/PageRank pattern): hop distances are
+    // pure integer min-propagation — a plain HashMap BFS over the
+    // collected edge array is bit-identical to the k-superstep plan,
+    // and below the guards it replaces k sequential
+    // join+distinct+anti-join+checkpoint stages whose scheduling floor
+    // dwarfs the walk. Null endpoints or null sources keep the
+    // distributed plan (they alter reached-set topology there);
+    // past the guards the superstep plan below runs unchanged.
+    if (st.getLong(0) <= localComputeMaxEdges && st.getLong(1) == 0) {
+      val srcRows = src.collect()
+      if (srcRows.forall(!_.isNullAt(0))) {
+        val rows = e.select(col("src"), col("dst")).collect()
+        val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+        val nodes = new java.util.HashSet[Long]()
+        rows.foreach { r =>
+          val a = r.getLong(0); val b = r.getLong(1)
+          nodes.add(a); nodes.add(b)
+          adj.computeIfAbsent(a, _ => scala.collection.mutable.ArrayBuffer.empty) += b
+        }
+        if (nodes.size() <= localComputeMaxNodes) {
+          val dist = new java.util.HashMap[Long, Long]()
+          var frontier = scala.collection.mutable.ArrayBuffer[Long]()
+          srcRows.foreach { r =>
+            val id = r.getLong(0)
+            if (!dist.containsKey(id)) { dist.put(id, 0L); frontier += id }
+          }
+          var hop = 1
+          while (hop <= maxHops && frontier.nonEmpty) {
+            val next = scala.collection.mutable.ArrayBuffer[Long]()
+            frontier.foreach { u =>
+              val out = adj.get(u)
+              if (out != null) out.foreach { v =>
+                if (!dist.containsKey(v)) { dist.put(v, hop.toLong); next += v }
+              }
+            }
+            frontier = next
+            hop += 1
+          }
+          val out = new java.util.ArrayList[org.apache.spark.sql.Row](dist.size())
+          dist.forEach((id, d) => out.add(org.apache.spark.sql.Row(id, d)))
+          import org.apache.spark.sql.types._
+          return edges.sparkSession.createDataFrame(out,
+            StructType(Seq(
+              StructField("id", LongType),
+              StructField("dist", LongType))))
+        }
+      }
+    }
     // each iteration references the previous reached set TWICE (anti
     // join + union), so the un-truncated logical plan doubles per hop —
     // exponential analysis time by hop ~10. localCheckpoint

@@ -94,7 +94,10 @@ object Hits {
     // InMemoryRelation keeps its child's hashpartitioning (the g01
     // lesson), so each round then moves only the score vector: one
     // exchange per half-round, the Pregel minimum.
-    val m = e.count()
+    val st = e.agg(count(lit(1)),
+      count(when(col("c").isNull || col("p").isNull, lit(1)))).collect()(0)
+    val m = st.getLong(0)
+    val nullEdges = st.getLong(1)
     if (m == 0) {
       val sp = edges.sparkSession
       import org.apache.spark.sql.types._
@@ -119,7 +122,12 @@ object Hits {
     // same messages): scores and totals raise at 10³⁸ (the DECIMAL(38)
     // bound), the ppm product at 10³⁸ too — so the oracle-parity
     // contract (DuckDB HUGEINT errors) holds in both regimes.
-    if (m <= localComputeMaxEdges)
+    // Null-endpoint edges keep the DISTRIBUTED plan: a (null c, p)
+    // edge feeds a null-id HUB group through the p-keyed join there
+    // (it surfaces in the hub total and can rank), and replicating
+    // that null topology locally buys nothing — graph callers serve
+    // null-free artifacts, and correctness must not depend on regime.
+    if (m <= localComputeMaxEdges && nullEdges == 0)
       return hitsLocal(edges.sparkSession, e, iterations, topK)
     // sortWithinPartitions: the cached plan's outputOrdering survives
     // InMemoryTableScan, so each round's SortMergeJoin skips re-sorting

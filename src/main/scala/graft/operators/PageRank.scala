@@ -34,7 +34,9 @@ object PageRank {
     * as the bipartite caller does). Output: (id, rank_scaled). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, dampingPct: Int = 85,
-               edgesDistinct: Boolean = false): DataFrame = {
+               edgesDistinct: Boolean = false,
+               localComputeMaxEdges: Long = 10000000L,
+               localComputeMaxNodes: Long = 1000000L): DataFrame = {
     require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
     // cache the normalized edge list ONCE: every iteration joins
     // against it, and uncached each of the k iteration plans re-derives
@@ -69,6 +71,61 @@ object PageRank {
     // probe side now
     val eod = e.join(outdeg, "src")
       .persistLedgered()
+    // LOCAL regime (r10, the Hits/Triangles pattern): below the edge
+    // and node guards — and only on a NULL-FREE edge list (null
+    // endpoints alter the distributed seed divisor and group topology;
+    // correctness must not depend on regime) — the whole fixed-k
+    // iteration runs on a collected edge array in plain Long
+    // arithmetic: mass is conserved (every rank ≤ Scale = 10¹², every
+    // per-dst sum ≤ total mass), so Long never overflows, and each
+    // floor division is the same nonneg trunc both plans and the
+    // oracle replay. The distributed chain is k sequential
+    // join+aggregate AQE stages whose scheduling floor dwarfs the
+    // arithmetic at bench scale; past the guards it runs unchanged —
+    // the 100 TB path. The node guard additionally bounds the
+    // |V|-row LocalRelation this returns.
+    val est = e.agg(count(lit(1)),
+      count(when(col("src").isNull || col("dst").isNull, lit(1)))).collect()(0)
+    if (est.getLong(0) <= localComputeMaxEdges && est.getLong(1) == 0) {
+      val rows = e.select(col("src"), col("dst")).collect()
+      val od = new java.util.HashMap[Long, Long]()
+      rows.foreach(r => od.merge(r.getLong(0), 1L, _ + _))
+      // empty edge input falls through to the distributed plan so the
+      // (degenerate) empty-graph behavior stays regime-independent
+      if (od.size() > 0 && od.size() <= localComputeMaxNodes) {
+        val pe = Scale / od.size()
+        var p = new java.util.HashMap[Long, Long](od.size() * 2)
+        od.keySet().forEach(k => p.put(k, pe))
+        val base = ((100L - dampingPct) * pe) / 100L
+        var round = 0
+        while (round < iterations) {
+          val s = new java.util.HashMap[Long, Long](od.size() * 2)
+          rows.foreach { r =>
+            val src = r.getLong(0)
+            val pv = p.get(src)
+            // a node absent from the rank vector contributes nothing
+            // (the distributed inner join drops it) — with the
+            // undirected-union contract every node receives, so this
+            // only matters for pathological directed inputs
+            if (p.containsKey(src))
+              s.merge(r.getLong(1), pv / od.get(src), _ + _)
+          }
+          val next = new java.util.HashMap[Long, Long](s.size() * 2)
+          s.forEach((dst, sum) =>
+            next.put(dst, base + (dampingPct * sum) / 100L))
+          p = next
+          round += 1
+        }
+        val out = new java.util.ArrayList[org.apache.spark.sql.Row](p.size())
+        p.forEach((id, rank) =>
+          out.add(org.apache.spark.sql.Row(id, rank)))
+        import org.apache.spark.sql.types._
+        return edges.sparkSession.createDataFrame(out,
+          StructType(Seq(
+            StructField("id", LongType),
+            StructField("rank_scaled", LongType))))
+      }
+    }
     // materialize the iteration probe side EAGERLY: all k iterations
     // live in ONE action, and a cache that fails to populate during
     // that action re-derives this whole setup subtree per iteration —

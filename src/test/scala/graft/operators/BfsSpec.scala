@@ -22,6 +22,20 @@ class BfsSpec extends AnyFunSuite {
         sources.toDF("id"), hops)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  test("local and distributed regimes agree on the sf0.001 trade graph") {
+    val trade = graft.queries.GraphCache.tradePairs(spark, "/root/testdata/sf0.001")
+    val edges = trade.select(org.apache.spark.sql.functions.col("a").as("src"),
+        org.apache.spark.sql.functions.col("b").as("dst"))
+      .unionAll(trade.select(org.apache.spark.sql.functions.col("b").as("src"),
+        org.apache.spark.sql.functions.col("a").as("dst")))
+    val sources = Seq(3L).toDF("id")
+    def run2(localMax: Long) =
+      Bfs.hopDistances(edges, "src", "dst", sources, maxHops = 3,
+          edgesDistinct = true, localComputeMaxEdges = localMax)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run2(10000000L) === run2(0L))
+  }
+
   test("chain distances; cap truncates; unreachable excluded") {
     val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L))
     assert(run(chain, Seq(0L), 3) ===

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins [[PageRank.pageRank]]: symmetry (a regular graph keeps equal
@@ -23,6 +24,26 @@ class PageRankSpec extends AnyFunSuite {
 
   private def undirected(pairs: Seq[(Long, Long)]): Seq[(Long, Long)] =
     pairs ++ pairs.map(_.swap)
+
+  test("local and distributed regimes agree bit for bit") {
+    // the sf0.001 trade graph: the real g01 shape (bipartite, both
+    // directions, ids 2k/2k+1), plus a tiny asymmetric synthetic
+    val trade = graft.queries.GraphCache.tradePairs(spark, "/root/testdata/sf0.001")
+    val edges = trade.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(trade.select(col("b").as("src"), col("a").as("dst")))
+    def both(df: org.apache.spark.sql.DataFrame): Unit = {
+      val local = PageRank.pageRank(df, "src", "dst", iterations = 5,
+          edgesDistinct = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = PageRank.pageRank(df, "src", "dst", iterations = 5,
+          edgesDistinct = true, localComputeMaxEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local === dist)
+    }
+    both(edges)
+    both(undirected(Seq((1L, 2L), (1L, 3L), (3L, 4L), (4L, 5L), (2L, 5L),
+      (1L, 5L))).toDF("src", "dst"))
+  }
 
   test("regular graph: every node keeps the same rank") {
     // undirected 4-cycle: perfectly symmetric
