@@ -39,12 +39,62 @@ object Clusters {
     * node id in the component. */
   def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
                           idBCol: String = "id_b",
-                          maxIterations: Int = 25): DataFrame = {
+                          maxIterations: Int = 25,
+                          localComputeMaxEdges: Long = 10000000L,
+                          localComputeMaxNodes: Long = 1000000L): DataFrame = {
     require(maxIterations >= 1, "maxIterations must be positive")
     val fwd = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpointLedgered()
+    // LOCAL regime (r10, the Hits/PageRank/Bfs pattern): components of
+    // a bounded pair graph resolve in one union-find pass over the
+    // collected edges — bit-identical to the CONVERGED propagation
+    // (cluster_id = min id per component is the fixpoint, not a
+    // round-count artifact), without k join+checkpoint supersteps.
+    // Gated to LONG ids and null-free edges (the generic distributed
+    // plan keeps any orderable id type and its null topology); past
+    // the guards the propagation below runs unchanged. One deliberate
+    // divergence: an adversarial over-`maxIterations` chain RAISES on
+    // the distributed path (un-converged labels would silently split
+    // clusters) but the union-find is always converged, so it simply
+    // returns the exact answer.
+    val longIds = fwd.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    val st = edges.agg(count(lit(1)),
+      count(when(col("src").isNull || col("dst").isNull, lit(1)))).collect()(0)
+    if (longIds && st.getLong(1) == 0 &&
+        st.getLong(0) > 0 && st.getLong(0) <= localComputeMaxEdges) {
+      val rows = edges.collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.get(x) != x) {
+          parent.put(x, parent.get(parent.get(x))) // path halving
+          x = parent.get(x)
+        }
+        x
+      }
+      rows.foreach { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      if (parent.size() <= localComputeMaxNodes) {
+        // canonical label = min id per component; union-by-min above
+        // makes every root already the minimum of its component
+        val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+        parent.keySet().forEach(id =>
+          out.add(org.apache.spark.sql.Row(id, find(id))))
+        import org.apache.spark.sql.types._
+        return pairs.sparkSession.createDataFrame(out,
+          StructType(Seq(
+            StructField("id", LongType),
+            StructField("cluster_id", LongType))))
+      }
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpointLedgered()

@@ -41,14 +41,29 @@ class ClustersSpec extends AnyFunSuite {
     // labeling would split one true cluster and the dedup pass would
     // keep extra copies with no signal (r2 review finding)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    // the DISTRIBUTED path (forced: the local union-find is always
+    // converged and deliberately never raises)
     val e = intercept[IllegalStateException] {
-      Clusters.connectedComponents(pairs, maxIterations = 1)
+      Clusters.connectedComponents(pairs, maxIterations = 1,
+        localComputeMaxEdges = 0L)
     }
     assert(e.getMessage.contains("did not converge"))
     // the same graph with a sufficient cap converges to the global min
-    val full = Clusters.connectedComponents(pairs, maxIterations = 10)
+    val full = Clusters.connectedComponents(pairs, maxIterations = 10,
+        localComputeMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(full.values.toSet === Set(1L))
+  }
+
+  test("local union-find equals distributed propagation on the sf0.001 pair graph") {
+    val pairs = graft.queries.GraphCache.docJaccardPairs(spark, "/root/testdata/sf0.001")
+      .select(col("id_a"), col("id_b"))
+    def run(localMax: Long) =
+      Clusters.connectedComponents(pairs, localComputeMaxEdges = localMax)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = run(10000000L)
+    assert(local.nonEmpty)
+    assert(local === run(0L))
   }
 
   test("empty pair graph yields empty labeling") {
