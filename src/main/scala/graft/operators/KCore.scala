@@ -32,12 +32,75 @@ object KCore {
     * vertices). `rounds` is the number of non-empty peel waves — the
     * unroll depth an SQL replay of the fixpoint needs. */
   def peel(edges: DataFrame, aCol: String, bCol: String, k: Int,
-           maxRounds: Int = 64): (DataFrame, Int) = {
+           maxRounds: Int = 64,
+           localComputeMaxEdges: Long = 10000000L,
+           localComputeMaxNodes: Long = 1000000L): (DataFrame, Int) = {
     require(k >= 1, "k must be positive")
     val sym = edges
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(edges.select(col(bCol).as("u"), col(aCol).as("v")))
       .persistLedgered()
+    // LOCAL regime (r10, the Hits/PageRank/Bfs/Clusters pattern): the
+    // synchronous peel is a pure integer fixpoint — a collected
+    // adjacency walk reproduces every wave (and therefore the ROUND
+    // COUNT the oracle unroll depends on) exactly, without 2 checkpoint
+    // jobs + 3 shuffles per round. Gated to Long ids and null-free
+    // edges; edge MULTIPLICITY is preserved (degree = edge-row count,
+    // the distributed aggregate's semantics). Past the guards the
+    // superstep peel below runs unchanged.
+    val longIds = sym.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    val st = sym.agg(count(lit(1)),
+      count(when(col("u").isNull || col("v").isNull, lit(1)))).collect()(0)
+    if (longIds && st.getLong(1) == 0 &&
+        st.getLong(0) > 0 && st.getLong(0) <= localComputeMaxEdges) {
+      val rows = sym.collect()
+      val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      val deg = new java.util.HashMap[Long, Long]()
+      rows.foreach { row =>
+        val u = row.getLong(0); val v = row.getLong(1)
+        adj.computeIfAbsent(u, _ => scala.collection.mutable.ArrayBuffer.empty) += v
+        deg.merge(u, 1L, _ + _)
+      }
+      if (deg.size() <= localComputeMaxNodes) {
+        val alive = new java.util.HashSet[Long](deg.keySet())
+        val removed = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+        var r = 0
+        var done = false
+        while (!done) {
+          val weak = scala.collection.mutable.ArrayBuffer[Long]()
+          alive.forEach(u => if (deg.get(u) < k) weak += u)
+          if (weak.isEmpty) done = true
+          else {
+            r += 1
+            if (r > maxRounds) throw new IllegalStateException(
+              s"k-core peel did not converge within $maxRounds rounds — " +
+                "raise maxRounds for this graph")
+            weak.foreach { w => alive.remove(w); removed += ((w, r)) }
+            // each (w, v) row has a (v, w) mirror feeding deg(v):
+            // decrement survivors once per incident row multiplicity
+            weak.foreach { w =>
+              val out = adj.get(w)
+              if (out != null) out.foreach { v =>
+                if (alive.contains(v)) deg.merge(v, -1L, _ + _)
+              }
+            }
+          }
+        }
+        val out = new java.util.ArrayList[org.apache.spark.sql.Row](
+          alive.size() + removed.length)
+        alive.forEach(u =>
+          out.add(org.apache.spark.sql.Row(u, 0, deg.get(u).longValue())))
+        removed.foreach { case (node, round) =>
+          out.add(org.apache.spark.sql.Row(node, round, 0L)) }
+        import org.apache.spark.sql.types._
+        return (edges.sparkSession.createDataFrame(out,
+          StructType(Seq(
+            StructField("node", LongType),
+            StructField("peel_round", IntegerType, nullable = false),
+            StructField("core_deg", LongType)))), r)
+      }
+    }
     // the vertex set is tracked EXPLICITLY: a wave that deletes all of
     // a vertex's neighbors leaves it with degree 0 but NO edge rows, so
     // an edges-only formulation silently loses it — it must instead

@@ -19,6 +19,24 @@ class KCoreSpec extends AnyFunSuite {
       .sortBy(_._1).toSeq, r)
   }
 
+  test("local and distributed regimes agree — rows AND round count") {
+    import spark.implicits._
+    // the real g05 shape: strong co-purchase edges at sf0.001
+    val strong = graft.queries.GraphCache.coPurchaseStrongEdges(
+      spark, "/root/testdata/sf0.001", minOrders = 2)
+    def run(df: org.apache.spark.sql.DataFrame, localMax: Long) = {
+      val (out, r) = KCore.peel(df, "a", "b", k = 2,
+        localComputeMaxEdges = localMax)
+      (out.collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2)))
+        .sortBy(_._1).toSeq, r)
+    }
+    assert(run(strong, 10000000L) === run(strong, 0L))
+    // plus a multi-wave synthetic (chain peels over several rounds)
+    val chain = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L)).toDF("a", "b")
+    assert(run(chain, 10000000L) === run(chain, 0L))
+  }
+
   test("triangle with a pendant chain: chain peels in waves, triangle is the core") {
     // 1-2-3 triangle; chain 3-4-5-6 hangs off it
     val (got, rounds) = peel(
