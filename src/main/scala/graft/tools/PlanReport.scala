@@ -177,9 +177,14 @@ object PlanReport {
       .select((col("id_a") * 10 + col("c")).as("id_a"),
         (col("id_b") * 10 + col("c")).as("id_b")).cache()
     pairs10.count()
-    row("dedup clusters (min-label propagation)",
+    row("dedup clusters (local union-find regime)",
       graft.operators.Clusters.connectedComponents(pairs1).count(),
       graft.operators.Clusters.connectedComponents(pairs10).count())
+    row("dedup clusters (distributed min-label propagation, forced)",
+      graft.operators.Clusters.connectedComponents(pairs1,
+        localComputeMaxEdges = 0L).count(),
+      graft.operators.Clusters.connectedComponents(pairs10,
+        localComputeMaxEdges = 0L).count())
     def bench(d: org.apache.spark.sql.DataFrame) = d.filter(col("doc_id") % 25 === 0)
       .select(col("doc_id").as("bench_id"),
         array_join(slice(split(col("text"), " "), 1, 60), " ").as("bench_text"))
@@ -454,9 +459,14 @@ object PlanReport {
         .drop("c")
       def bip(l: org.apache.spark.sql.DataFrame) =
         l.select(col("l_suppkey").as("c"), col("l_partkey").as("p"))
-      row("HITS 3 rounds (integer power iteration)",
+      row("HITS 3 rounds (local BigInteger regime)",
         graft.operators.Hits.hits(bip(li), "c", "p", 3, 20).count(),
         graft.operators.Hits.hits(bip(liH10), "c", "p", 3, 20).count())
+      row("HITS 3 rounds (distributed power iteration, forced)",
+        graft.operators.Hits.hits(bip(li), "c", "p", 3, 20,
+          localComputeMaxEdges = 0L).count(),
+        graft.operators.Hits.hits(bip(liH10), "c", "p", 3, 20,
+          localComputeMaxEdges = 0L).count())
     }
     locally {
       row("TextTiling boundaries (block-cosine valleys)",
@@ -766,12 +776,15 @@ object PlanReport {
         |funnel and retention (~2.6×) carry only |users|-row frontiers; the
         |corpus shuffle (0.9×) is one hash projection + per-shard rank.
         |
-        |Round-6 rows: HITS's 10× leg crosses the 2M-edge regime threshold,
-        |so beyond ~10× edge growth it also pays the one-time per-key
-        |sorted persists and its score-vector joins stop broadcasting —
-        |the steep ratio is mostly the tiny 1× cell (0.5 s of fixed
-        |overhead); the regime split itself is what brought the 10× cell
-        |from 43 s (naive re-shuffle per round) to ~18 s. The KMV
+        |Round-6/10 rows: HITS, PageRank, BFS, components, and k-core now
+        |carry LOCAL regimes (collected-edge exact arithmetic under
+        |10M-edge guards, r10) — each such operator shows its local row
+        |AND a forced-distributed row, because at 100 TB the distributed
+        |path is the one that runs. The forced HITS 10× leg crosses the
+        |2M-edge split threshold, so it also pays the one-time per-key
+        |sorted persists and its score-vector joins stop broadcasting;
+        |the regime split itself is what brought that cell from 43 s
+        |(naive re-shuffle per round) to ~18 s. The KMV
         |cross-source Jaccard's pair stage is sketch-bounded
         |(k·|sources|²) regardless of corpus size — its slope is the one
         |sketch-building scan; the silhouette's fan-out is |vectors|·k
