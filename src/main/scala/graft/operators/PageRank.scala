@@ -102,13 +102,16 @@ object PageRank {
           val s = new java.util.HashMap[Long, Long](od.size() * 2)
           rows.foreach { r =>
             val src = r.getLong(0)
-            val pv = p.get(src)
-            // a node absent from the rank vector contributes nothing
-            // (the distributed inner join drops it) — with the
+            // boxed lookup FIRST: unboxing a missing key's null NPEs,
+            // and a pure-source node (directed input, no inbound
+            // edges) legitimately drops out of the rank vector after
+            // round 1 — it contributes nothing, exactly as the
+            // distributed inner join drops it; with the
             // undirected-union contract every node receives, so this
             // only matters for pathological directed inputs
-            if (p.containsKey(src))
-              s.merge(r.getLong(1), pv / od.get(src), _ + _)
+            val pv: java.lang.Long = p.get(src)
+            if (pv != null)
+              s.merge(r.getLong(1), pv.longValue() / od.get(src), _ + _)
           }
           val next = new java.util.HashMap[Long, Long](s.size() * 2)
           s.forEach((dst, sum) =>

@@ -43,6 +43,10 @@ class PageRankSpec extends AnyFunSuite {
     both(edges)
     both(undirected(Seq((1L, 2L), (1L, 3L), (3L, 4L), (4L, 5L), (2L, 5L),
       (1L, 5L))).toDF("src", "dst"))
+    // DIRECTED with a pure source: node 1 receives nothing and drops
+    // out of the rank vector after round 1 on both paths (the local
+    // regime must not mis-handle the missing-key lookup)
+    both(Seq((1L, 2L), (2L, 3L), (3L, 2L)).toDF("src", "dst"))
   }
 
   test("regular graph: every node keeps the same rank") {
