@@ -37,7 +37,8 @@ object Coreset {
     * round 0 is the seed (min id, radius undefined → 0). `k` caps at
     * the corpus size. */
   def farthestPointSample(vectors: DataFrame, idCol: String,
-                          vecCol: String, k: Int): DataFrame = {
+                          vecCol: String, k: Int,
+                          localComputeMaxRows: Long = 200000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = vectors.sparkSession
     import spark.implicits._
@@ -54,7 +55,58 @@ object Coreset {
       var chosenVq = first(0).getSeq[Long](1).toArray
       val picks = scala.collection.mutable.ArrayBuffer(
         (0, chosenId, 0L))
-      val n = base.count()
+      val st = base.agg(count(lit(1)),
+        count(when(col("id").isNull, lit(1)))).collect()(0)
+      val n = st.getLong(0)
+      // LOCAL regime (r10, the graph-fixpoint pattern applied to the
+      // OTHER sequential-action shape): each distributed round is one
+      // bounded TakeOrdered action, so k rounds pay k scheduling
+      // round-trips for ~ms of integer arithmetic each. Below the row
+      // guard, on null-free ids and uniform vector lengths, the greedy
+      // runs over the collected quantized corpus with the SAME Long
+      // L2² and (mind desc, id asc) tie order — the quantization
+      // itself still runs IN the plan (we collect `base`), so both
+      // regimes share every bit of the arithmetic.
+      if (n <= localComputeMaxRows && st.getLong(1) == 0) {
+        val all = base.collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+          .sortBy(_._1)
+        val dim = all(0)._2.length
+        if (all.forall(_._2.length == dim)) {
+          def l2(a: Array[Long], b: Array[Long]): Long = {
+            var dsum = 0L; var i = 0
+            while (i < a.length) {
+              val x = a(i) - b(i); dsum += x * x; i += 1
+            }
+            dsum
+          }
+          var chosen = all(0)._2 // seed = min id (all is id-sorted)
+          val taken = new java.util.HashSet[Int](); taken.add(0)
+          val mind = Array.fill(all.length)(Long.MaxValue)
+          var r = 1
+          val kk = math.min(k.toLong, n).toInt
+          while (r < kk) {
+            var best = -1
+            var i = 0
+            while (i < all.length) {
+              if (!taken.contains(i)) {
+                val d = l2(all(i)._2, chosen)
+                if (d < mind(i)) mind(i) = d
+                // ascending-id scan + strict > keeps the minimum id
+                // among max-mind ties — the orderBy(desc, id) order
+                if (best == -1 || mind(i) > mind(best)) best = i
+              }
+              i += 1
+            }
+            taken.add(best)
+            chosen = all(best)._2
+            picks += ((r, all(best)._1, mind(best)))
+            r += 1
+          }
+          return picks.toSeq.toDF("round", "chosen_id", "covered_r2")
+            .orderBy(col("round"))
+        }
+      }
       var mind = lit(Long.MaxValue)
       var r = 1
       while (r < math.min(k.toLong, n).toInt) {

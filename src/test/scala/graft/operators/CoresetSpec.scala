@@ -47,6 +47,17 @@ class CoresetSpec extends AnyFunSuite {
     assert(got.length === 3, "k must cap at |corpus|")
   }
 
+  test("local and distributed regimes agree on the sf0.001 embeddings") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    def run(localMax: Long) =
+      Coreset.farthestPointSample(emb, "vec_id", "embedding", k = 16,
+          localComputeMaxRows = localMax)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(run(200000L) === run(0L),
+      "regimes must agree pick for pick — ids, order, and radii")
+  }
+
   test("clustering coefficient: a triangle-closed neighborhood reads 10^6 ppm") {
     // K3 on parts {1,2,3} all inside one order: every vertex has
     // degree 2, one triangle -> cc = 2*1*1e6/(2*1) = 1e6. Part 4 links
