@@ -507,8 +507,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._1.sec).sum
     val contendedN = results.count(_._2)
+    // MILD multi-core contention (a few stolen cores) inflates wall
+    // times without collapsing the single-thread probe or the
+    // cpu-vs-stage ratio (executor CPU inflates too) — surface the
+    // run's load-average envelope in the headline so a total from a
+    // loaded host is legible at a glance even when no row was flagged
+    val loadMax = results.map(_._1.load1).max
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qjson,"contended_n":$contendedN,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qjson,"contended_n":$contendedN,""" +
+        "\"load1_max\":%.2f".formatLocal(java.util.Locale.ROOT, loadMax) +
+        s""","sf":"$sfDir"}"""
     // printed TWICE back-to-back: the driver stores only the log tail
     // and has truncated mid-line every round — with two identical
     // copies, a tail boundary landing inside one still leaves the
