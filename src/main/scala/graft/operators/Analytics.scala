@@ -104,7 +104,73 @@ object Analytics {
     * Output: (day 'yyyy-MM-dd' of the boundary's own timestamp,
     * peak_sessions, first_peak_us epoch-µs of first attainment). */
   def peakConcurrency(intervals: DataFrame, ownerCol: String,
-                      stCol: String, enCol: String): DataFrame = {
+                      stCol: String, enCol: String,
+                      localComputeMaxIntervals: Long = 2000000L): DataFrame = {
+    // LOCAL regime (r10, the graph-fixpoint pattern applied to the
+    // sweep-line): the running sum over sorted boundaries is a single
+    // sequential pass by nature — below the guard, on integral owners
+    // and null-free rows, it runs over the collected (owner, st, en)
+    // triples with the SAME total order (us_ord, flag, owner), closed
+    // [st, en]+1 semantics, UTC day attribution of each boundary's own
+    // timestamp, and min-us first-attainment. Past the guard the
+    // two-level prefix-sum plan below runs unchanged — at corpus scale
+    // it is the plan that survives where the textbook global window
+    // cannot.
+    val ownerIntegral = intervals.schema(ownerCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    // the local day attribution is epoch-day arithmetic (UTC); the
+    // distributed date_format follows the SESSION timezone — only
+    // equivalent when the session runs UTC (Bench/Verify do)
+    val utcSession = intervals.sparkSession.conf
+      .get("spark.sql.session.timeZone", "") == "UTC"
+    if (ownerIntegral && utcSession) {
+      val proj = intervals.select(col(ownerCol).cast("long").as("o"),
+        unix_micros(col(stCol)).as("stu"), unix_micros(col(enCol)).as("enu"))
+      val stat = proj.agg(count(lit(1)),
+        count(when(col("o").isNull || col("stu").isNull ||
+          col("enu").isNull, lit(1)))).collect()(0)
+      if (stat.getLong(0) > 0 && stat.getLong(1) == 0 &&
+          stat.getLong(0) <= localComputeMaxIntervals) {
+        val rows = proj.collect()
+        // boundary = (us_ord, flag, owner, ts_us, delta)
+        val bounds = new Array[(Long, Int, Long, Long, Long)](rows.length * 2)
+        var i = 0
+        rows.foreach { r =>
+          val o = r.getLong(0); val st = r.getLong(1); val en = r.getLong(2)
+          bounds(i) = (st, 1, o, st, 1L); i += 1
+          bounds(i) = (en + 1L, 0, o, en, -1L); i += 1
+        }
+        scala.util.Sorting.quickSort(bounds)(
+          Ordering.Tuple3[Long, Int, Long].on(b => (b._1, b._2, b._3)))
+        def dayOf(us: Long): String =
+          java.time.LocalDate.ofEpochDay(
+            Math.floorDiv(us, 86400000000L)).toString
+        // per day: (peak, first us attaining it)
+        val byDay = new java.util.TreeMap[String, (Long, Long)]()
+        var conc = 0L
+        bounds.foreach { b =>
+          conc += b._5
+          val d = dayOf(b._4)
+          val cur = byDay.get(d)
+          if (cur == null || conc > cur._1) byDay.put(d, (conc, b._4))
+          else if (conc == cur._1 && b._4 < cur._2) byDay.put(d, (conc, b._4))
+        }
+        val out = new java.util.ArrayList[org.apache.spark.sql.Row](byDay.size())
+        byDay.forEach((d, pv) =>
+          out.add(org.apache.spark.sql.Row(d, pv._1, pv._2)))
+        import org.apache.spark.sql.types._
+        return intervals.sparkSession.createDataFrame(out,
+          StructType(Seq(
+            StructField("day", StringType),
+            StructField("peak_sessions", LongType),
+            StructField("first_peak_us", LongType))))
+      }
+    }
     val ep = intervals
       .select(col(ownerCol).as("owner"), col(stCol).as("ts"),
         unix_micros(col(stCol)).as("us_ord"),

@@ -26,6 +26,36 @@ class PeakConcurrencySpec extends AnyFunSuite {
       .toSeq
   }
 
+  test("local and distributed regimes agree under a UTC session " +
+      "(sf0.001 session bounds)") {
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val bounds = graft.Tables.events(spark, "/root/testdata/sf0.001")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("double") - col("prev_ts").cast("double") > 1800d, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+      def run2(localMax: Long) =
+        Analytics.peakConcurrency(bounds, "user_id", "st", "en",
+            localComputeMaxIntervals = localMax)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1).toSeq
+      val local = run2(2000000L)
+      assert(local.nonEmpty)
+      assert(local === run2(0L))
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
+
   test("hand-computed sweep: staggered overlap peaks at 3") {
     // A [00:00, 01:00], B [00:30, 01:30], C [00:45, 00:50] → 3 in
     // flight from 00:45; D next day alone
