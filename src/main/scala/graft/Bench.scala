@@ -228,6 +228,7 @@ object Bench {
     "a35_retrieval_bakeoff", "t45_burstiness", "a36_index_ingest",
     "a37_index_serve", "p36_adpcm_decode", "a38_filtered_search",
     "a39_index_delete", "a40_index_compact", "a41_index_merge",
+    "a42_index_balance",
     "p37_flac_decode",
     "q55_quality_distill", "q56_quality_anomalies")
 
@@ -317,6 +318,9 @@ object Bench {
       ("art_doc_jaccard_pairs",
         Seq("d19_band_plan", "p34_leakage_split"),
         () => { GraphCache.docJaccardPairs(spark, sfDir).count(); () }),
+      ("art_cosine_tf",
+        Seq("d21_cosine_dedup"),
+        () => { GraphCache.cosineTfIndex(spark, sfDir).count(); () }),
       ("art_custname_pairs",
         Seq("q33_fuzzy_join", "q40_entity_clusters"),
         () => { GraphCache.customerNamePairs(spark, sfDir).count(); () }),
@@ -338,9 +342,12 @@ object Bench {
       ("art_pq_model",
         Seq("a09_ann_pq", "a21_ann_recall"),
         () => { graft.queries.ModelCache.pqModel(spark, sfDir); () }),
+      ("art_kmeans_coarse",
+        Seq("a08_ann_ivf_kmeans"),
+        () => { graft.queries.ModelCache.kmeansCoarse(spark, sfDir); () }),
       ("art_ivfpq_index",
         Seq("a15_ann_ivfpq", "a21_ann_recall", "a24_nprobe_sweep",
-          "a41_index_merge"),
+          "a41_index_merge", "a42_index_balance"),
         () => { graft.queries.ModelCache.ivfPqIndex(spark, sfDir); () }))
       .filter { case (_, consumers, _) => consumers.exists(names.contains) }
     // operators persist intermediate projections and rely on LRU churn;
@@ -379,6 +386,28 @@ object Bench {
     val listener = new BenchQueryListener
     spark.sparkContext.addSparkListener(listener)
 
+    // HOST-WIDE busy CPU (r10 advice #2 — quiet-by-construction): the
+    // per-row witnesses catch severe contention, but MILD uniform
+    // steal inflates wall AND executor CPU together and leaves the
+    // single-thread probe intact (r10's 142.7 s run: probe median
+    // within 4% of the quiet run's). The direct, non-circular witness
+    // is the neighbor itself: /proc/stat's whole-host busy ticks minus
+    // this JVM's process CPU = CPU burned by OTHER processes during
+    // the timed window. A quiet host shows a few percent (daemons, the
+    // sbt wrapper); a co-tenant shows up as its own core-seconds no
+    // matter how smoothly it steals. Linux ticks are USER_HZ = 100 on
+    // every mainstream kernel config; non-Linux reads return -1 and
+    // the quiet verdict falls back to the probe/load witnesses.
+    def hostBusyMillis(): Long =
+      try {
+        val line = scala.util.Using.resource(
+          scala.io.Source.fromFile("/proc/stat"))(_.getLines().next())
+        // cpu user nice system idle iowait irq softirq steal guest ...
+        val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+        val idle = f(3) + (if (f.length > 4) f(4) else 0L) // idle+iowait
+        (f.sum - idle) * 10L // 100 Hz ticks → ms
+      } catch { case _: Throwable => -1L }
+
     // PER-QUERY host probe (r9 advice #1): the end-of-run calibration
     // is sampled once, so a mid-run noisy neighbor silently poisoned
     // two windows of r9's official artifact (4–25× cpu_ms on identical
@@ -402,17 +431,26 @@ object Bench {
       (ops, load)
     }
     burn(3000) // JIT-warm the probe loop before the first sample
+    // start-of-run calibration for the quiet verdict: the spin rate the
+    // host delivers BEFORE any query runs; the per-row probe median is
+    // judged against this (a >25% mid-run collapse = the host changed
+    // under us, r10 advice #2)
+    val (cal0Ops, _) = hostProbe()
+    val runBusy0 = hostBusyMillis()
+    val runCpu0 = cpuMillis()
+    val runT0 = System.nanoTime()
 
     final case class Row(name: String, sec: Double, gcMs: Long,
                          heapMb: Long, cpuMs: Long, stageCpuMs: Long,
                          spillBytes: Long, taskRetries: Long,
                          recomputes: Long, probeOps: Double,
-                         load1: Double, execJson: String)
+                         load1: Double, otherCpuMs: Long, execJson: String)
 
     def timeOne(name: String, run: () => Unit): Row = {
       val (probeOps, load1) = hostProbe()
       listener.reset()
       val gc0 = gcMillis(); val cpu0 = cpuMillis()
+      val busy0 = hostBusyMillis()
       val t0 = System.nanoTime()
       try run()
       catch { case _: Throwable => () }
@@ -421,6 +459,13 @@ object Bench {
       // measured after releaseAll+clearCache would attribute the
       // teardown's GC churn to the query being diagnosed
       val cpuMs = cpuMillis() - cpu0
+      // per-row neighbor CPU (the run-level quiet witness, attributed):
+      // host busy minus our own — names WHICH rows a co-tenant poisoned
+      val otherCpuMs = {
+        val busy1 = hostBusyMillis()
+        if (busy0 < 0 || busy1 < 0) -1L
+        else math.max(0L, (busy1 - busy0) - cpuMs)
+      }
       val gcMs = gcMillis() - gc0
       val heapMb = (rt.totalMemory() - rt.freeMemory()) >> 20
       listener.settle()
@@ -428,7 +473,7 @@ object Bench {
         listener.stageCpuTotalMs,
         listener.spillMem.get() + listener.spillDisk.get(),
         listener.retries.get(), listener.rddRecomputes,
-        probeOps, load1, listener.json)
+        probeOps, load1, otherCpuMs, listener.json)
       graft.core.Caching.CacheLedger.releaseAll()
       spark.catalog.clearCache()
       // settle once more AFTER the cache teardown (round-8 advice):
@@ -513,9 +558,45 @@ object Bench {
     // run's load-average envelope in the headline so a total from a
     // loaded host is legible at a glance even when no row was flagged
     val loadMax = results.map(_._1.load1).max
+    // RUN-LEVEL QUIET VERDICT (r10 advice #2): nothing used to stop a
+    // loaded run from becoming the committed headline — per-row
+    // witnesses miss mild uniform steal. Three independent witnesses,
+    // any of which marks the WHOLE artifact not-comparable:
+    //  - neighbor CPU: other processes burned > 8% of the host's
+    //    (cores × wall) capacity during the timed window (/proc/stat
+    //    busy minus our own process CPU — measures the co-tenant
+    //    directly, immune to "wall and executor CPU inflate
+    //    together"). Quiet-host floor measured ~1–3% (daemons + the
+    //    sbt wrapper JVM).
+    //  - probe drift: the per-row spin-probe median fell > 25% below
+    //    the run's own start-of-run calibration.
+    //  - any row published as contended (severe steal the requeue
+    //    could not outrun).
+    val runWallSec = (System.nanoTime() - runT0) / 1e9
+    val runBusy1 = hostBusyMillis()
+    val otherCpuSec =
+      if (runBusy0 < 0 || runBusy1 < 0) -1.0
+      else math.max(0.0,
+        (runBusy1 - runBusy0) - (cpuMillis() - runCpu0)) / 1000.0
+    val otherCpuPct =
+      if (otherCpuSec < 0) -1.0
+      else 100.0 * otherCpuSec / (cpus.toInt * runWallSec)
+    val hostQuiet = (otherCpuPct < 0 || otherCpuPct <= 8.0) &&
+      (cal0Ops <= 0 || medianOps >= 0.75 * cal0Ops) &&
+      contendedN == 0
+    if (!hostQuiet) System.err.println(
+      "[bench] HOST NOT QUIET — artifact tagged host_quiet:false and is " +
+        s"NOT comparable across rounds (other_cpu_pct=${"%.1f".formatLocal(
+          java.util.Locale.ROOT, otherCpuPct)}, contended_n=$contendedN, " +
+        s"probe median ${"%.0f".formatLocal(java.util.Locale.ROOT, medianOps)} " +
+        s"vs calibration ${"%.0f".formatLocal(java.util.Locale.ROOT, cal0Ops)}); " +
+        "re-run on a quiet host before committing it as the headline")
     val line =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qjson,"contended_n":$contendedN,""" +
         "\"load1_max\":%.2f".formatLocal(java.util.Locale.ROOT, loadMax) +
+        s""","host_quiet":$hostQuiet,""" +
+        "\"other_cpu_pct\":%.1f".formatLocal(java.util.Locale.ROOT, otherCpuPct) +
+        ",\"probe_cal_ops\":%.0f".formatLocal(java.util.Locale.ROOT, cal0Ops) +
         s""","sf":"$sfDir"}"""
     // printed TWICE back-to-back: the driver stores only the log tail
     // and has truncated mid-line every round — with two identical
@@ -539,6 +620,7 @@ object Bench {
       val probe = ",\"probe_ops\":%.0f,\"load1\":%.2f".formatLocal(
         java.util.Locale.ROOT, r.probeOps, r.load1)
       val verdict = s""","stage_cpu_ms":${r.stageCpuMs}""" +
+        s""","other_cpu_ms":${r.otherCpuMs}""" +
         s""","contended":$wasContended""" +
         firstSec.fold("")(s => s""","first_sec":${f(s)}""")
       "\"" + r.name + "\":{\"gc_ms\":" + r.gcMs + ",\"heap_mb\":" +

@@ -42,7 +42,18 @@ object Fs {
     * production re-ingest lands on a fresh fingerprint and the stale
     * entry is simply never addressed again. Absent inputs fingerprint
     * as their own marker (the artifact of an absent input is itself a
-    * build-time error — but the KEY must still be deterministic). */
+    * build-time error — but the KEY must still be deterministic).
+    *
+    * KNOWN LIMIT (r10 advice, deliberate): a corpus deployed with
+    * PRESERVED timestamps (`rsync -a`, `cp -p`, tar) whose content
+    * changed but whose every file kept its exact size AND mtime
+    * fingerprints as unchanged. Content hashing would close that hole
+    * at the price of reading the full corpus per fingerprint call —
+    * at the 100 TB design point that is a corpus scan per bench row,
+    * which defeats the store. Same-size-same-mtime-different-bytes
+    * requires a deployment tool deliberately forging dates onto
+    * altered files; operators doing that should version the corpus
+    * DIRECTORY NAME (which the key also carries) instead. */
   def dataFingerprint(inputs: Seq[String]): String = {
     import scala.jdk.CollectionConverters._
     val entries = inputs.sorted.flatMap { root =>
@@ -51,13 +62,19 @@ object Fs {
       else if (java.nio.file.Files.isRegularFile(p))
         Seq(s"$root||${java.nio.file.Files.size(p)}|" +
           java.nio.file.Files.getLastModifiedTime(p).toMillis)
-      else
-        java.nio.file.Files.walk(p).iterator().asScala
-          .filter(java.nio.file.Files.isRegularFile(_))
-          .map(f => s"$root|${p.relativize(f)}|" +
-            s"${java.nio.file.Files.size(f)}|" +
-            java.nio.file.Files.getLastModifiedTime(f).toMillis)
-          .toSeq.sorted
+      else {
+        // Files.walk holds directory handles until closed — draining
+        // the iterator does NOT release them (r10 advice: handle leak
+        // per call). Using closes the stream on every exit path.
+        scala.util.Using.resource(java.nio.file.Files.walk(p)) { walk =>
+          walk.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(f => s"$root|${p.relativize(f)}|" +
+              s"${java.nio.file.Files.size(f)}|" +
+              java.nio.file.Files.getLastModifiedTime(f).toMillis)
+            .toSeq.sorted
+        }
+      }
     }
     keyHash(entries.mkString("\n"))
   }

@@ -46,49 +46,68 @@ object Bfs {
     // checkpoint action joining `e`; a cache that silently fails to
     // populate re-runs the edge distinct per hop
     val st = e.agg(count(lit(1)),
-      count(when(col("src").isNull || col("dst").isNull, lit(1)))).collect()(0)
+      count(when(col("src").isNull || col("dst").isNull, lit(1))),
+      max(greatest(col("src"), col("dst"))),
+      min(least(col("src"), col("dst")))).collect()(0)
     val src = sources.select(col(sources.columns.head).cast("long").as("id"))
       .distinct()
     // LOCAL regime (r10, the Hits/PageRank pattern): hop distances are
-    // pure integer min-propagation — a plain HashMap BFS over the
-    // collected edge array is bit-identical to the k-superstep plan,
-    // and below the guards it replaces k sequential
-    // join+distinct+anti-join+checkpoint stages whose scheduling floor
-    // dwarfs the walk. Null endpoints or null sources keep the
-    // distributed plan (they alter reached-set topology there);
-    // past the guards the superstep plan below runs unchanged.
-    if (st.getLong(0) <= localComputeMaxEdges && st.getLong(1) == 0) {
+    // pure integer min-propagation — a CSR walk over one collected
+    // packed-long edge array (r11, was Array[Row] — see LocalGraph's
+    // primitive byte budget: ≈180 MB peak at the 10M-edge guard) is
+    // bit-identical to the k-superstep plan, and below the guards it
+    // replaces k sequential join+distinct+anti-join+checkpoint stages
+    // whose scheduling floor dwarfs the walk. Null endpoints, null
+    // sources, or ids outside [0, 2³¹) (the packing bound) keep the
+    // distributed plan; past the guards it runs unchanged.
+    if (st.getLong(0) > 0 && st.getLong(0) <= localComputeMaxEdges &&
+        st.getLong(1) == 0 &&
+        st.getLong(2) <= LocalGraph.MaxId && st.getLong(3) >= 0L) {
       val srcRows = src.collect()
       if (srcRows.forall(!_.isNullAt(0))) {
-        val rows = e.select(col("src"), col("dst")).collect()
-        val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
-        val nodes = new java.util.HashSet[Long]()
-        rows.foreach { r =>
-          val a = r.getLong(0); val b = r.getLong(1)
-          nodes.add(a); nodes.add(b)
-          adj.computeIfAbsent(a, _ => scala.collection.mutable.ArrayBuffer.empty) += b
-        }
-        if (nodes.size() <= localComputeMaxNodes) {
-          val dist = new java.util.HashMap[Long, Long]()
-          var frontier = scala.collection.mutable.ArrayBuffer[Long]()
+        val packed = LocalGraph.collectPacked(e, "src", "dst")
+        val ids = LocalGraph.nodeIds(packed)
+        if (ids.length <= localComputeMaxNodes) {
+          val (offsets, targets) = LocalGraph.csr(packed, ids)
+          // dist over node indices; sources OUTSIDE the edge list's
+          // node set still emit (id, 0) — the distributed union does
+          val dist = new Array[Int](ids.length)
+          java.util.Arrays.fill(dist, -1)
+          val extra = scala.collection.mutable.ArrayBuffer[Long]()
+          var frontier = new Array[Int](srcRows.length)
+          var fn = 0
           srcRows.foreach { r =>
-            val id = r.getLong(0)
-            if (!dist.containsKey(id)) { dist.put(id, 0L); frontier += id }
+            val i = LocalGraph.idx(ids, r.getLong(0))
+            if (i >= 0) {
+              if (dist(i) < 0) { dist(i) = 0; frontier(fn) = i; fn += 1 }
+            } else extra += r.getLong(0)
           }
           var hop = 1
-          while (hop <= maxHops && frontier.nonEmpty) {
-            val next = scala.collection.mutable.ArrayBuffer[Long]()
-            frontier.foreach { u =>
-              val out = adj.get(u)
-              if (out != null) out.foreach { v =>
-                if (!dist.containsKey(v)) { dist.put(v, hop.toLong); next += v }
+          while (hop <= maxHops && fn > 0) {
+            val next = new Array[Int](ids.length)
+            var nn = 0
+            var fi = 0
+            while (fi < fn) {
+              val u = frontier(fi)
+              var k = offsets(u)
+              while (k < offsets(u + 1)) {
+                val v = targets(k)
+                if (dist(v) < 0) { dist(v) = hop; next(nn) = v; nn += 1 }
+                k += 1
               }
+              fi += 1
             }
-            frontier = next
+            frontier = next; fn = nn
             hop += 1
           }
-          val out = new java.util.ArrayList[org.apache.spark.sql.Row](dist.size())
-          dist.forEach((id, d) => out.add(org.apache.spark.sql.Row(id, d)))
+          val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+          var i = 0
+          while (i < ids.length) {
+            if (dist(i) >= 0)
+              out.add(org.apache.spark.sql.Row(ids(i), dist(i).toLong))
+            i += 1
+          }
+          extra.foreach(id => out.add(org.apache.spark.sql.Row(id, 0L)))
           import org.apache.spark.sql.types._
           return edges.sparkSession.createDataFrame(out,
             StructType(Seq(

@@ -62,32 +62,46 @@ object Clusters {
     val longIds = fwd.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
     val st = edges.agg(count(lit(1)),
-      count(when(col("src").isNull || col("dst").isNull, lit(1)))).collect()(0)
+      count(when(col("src").isNull || col("dst").isNull, lit(1))),
+      max(greatest(col("src"), col("dst"))),
+      min(least(col("src"), col("dst")))).collect()(0)
     if (longIds && st.getLong(1) == 0 &&
-        st.getLong(0) > 0 && st.getLong(0) <= localComputeMaxEdges) {
-      val rows = edges.collect()
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x0: Long): Long = {
-        var x = x0
-        while (parent.get(x) != x) {
-          parent.put(x, parent.get(parent.get(x))) // path halving
-          x = parent.get(x)
+        st.getLong(0) > 0 && st.getLong(0) <= localComputeMaxEdges &&
+        st.getLong(2) <= LocalGraph.MaxId && st.getLong(3) >= 0L) {
+      // one packed-long collect + union-find over dense node indices
+      // (r11, was Array[Row] + boxed HashMap — see LocalGraph's
+      // primitive byte budget: ≈180 MB peak at the 10M-edge guard).
+      // The dictionary is SORTED by id, so a smaller index IS a
+      // smaller id and union-by-min-index = union-by-min-id.
+      val packed = LocalGraph.collectPacked(edges, "src", "dst")
+      val ids = LocalGraph.nodeIds(packed)
+      if (ids.length <= localComputeMaxNodes) {
+        val parent = new Array[Int](ids.length)
+        var i = 0
+        while (i < ids.length) { parent(i) = i; i += 1 }
+        def find(x0: Int): Int = {
+          var x = x0
+          while (parent(x) != x) {
+            parent(x) = parent(parent(x)) // path halving
+            x = parent(x)
+          }
+          x
         }
-        x
-      }
-      rows.foreach { r =>
-        val a = r.getLong(0); val b = r.getLong(1)
-        if (!parent.containsKey(a)) parent.put(a, a)
-        if (!parent.containsKey(b)) parent.put(b, b)
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
-      }
-      if (parent.size() <= localComputeMaxNodes) {
+        i = 0
+        while (i < packed.length) {
+          val ra = find(LocalGraph.idx(ids, LocalGraph.src(packed(i))))
+          val rb = find(LocalGraph.idx(ids, LocalGraph.dst(packed(i))))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          i += 1
+        }
         // canonical label = min id per component; union-by-min above
         // makes every root already the minimum of its component
-        val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
-        parent.keySet().forEach(id =>
-          out.add(org.apache.spark.sql.Row(id, find(id))))
+        val out = new java.util.ArrayList[org.apache.spark.sql.Row](ids.length)
+        i = 0
+        while (i < ids.length) {
+          out.add(org.apache.spark.sql.Row(ids(i), ids(find(i))))
+          i += 1
+        }
         import org.apache.spark.sql.types._
         return pairs.sparkSession.createDataFrame(out,
           StructType(Seq(

@@ -131,7 +131,19 @@ object Dedup {
     * both join sides); lifetime: LRU / caller clearCache. */
   def cosinePairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                   cos2PpmThreshold: Long,
-                  maxShingleDocFreq: Option[Int] = None): DataFrame = {
+                  maxShingleDocFreq: Option[Int] = None): DataFrame =
+    cosinePairsFromTf(cosineTf(df, idCol, textCol, n, maxShingleDocFreq),
+      cos2PpmThreshold)
+
+  /** The (id, h, tf) term-frequency index [[cosinePairs]] verifies
+    * over — split out (r11) so artifact callers build it ONCE per
+    * corpus version and serve every later run from the store
+    * ([[graft.queries.GraphCache]]'s cosineTfIndex, the
+    * docJaccardPairs economics): the index is a pure function of
+    * (corpus, n, df guard), and at scale it is the TF posting file a
+    * dedup platform keeps next to its corpus. */
+  def cosineTf(df: DataFrame, idCol: String, textCol: String, n: Int,
+               maxShingleDocFreq: Option[Int] = None): DataFrame = {
     val grams = df.select(col(idCol).as("id"), split(col(textCol), " ").as("words"))
       .filter(size(col("words")) >= n)
       // positional n-grams, duplicates KEPT (ngramStrings dedups — tf
@@ -143,7 +155,7 @@ object Dedup {
     val tf0 = grams
       .groupBy(col("id"), md5Hash60Col(concat(lit("tc|"), col("shingle"))).as("h"))
       .agg(count(lit(1)).as("tf"))
-    val tf = (maxShingleDocFreq match {
+    maxShingleDocFreq match {
       case Some(maxDf) =>
         // the guard makes tf0 a TWO-consumer frame (the df census and
         // the semi-join probe) — persist it, or the guard's price is a
@@ -155,7 +167,19 @@ object Dedup {
           .select(col("h"))
         tfp.join(keep, "h")
       case None => tf0
-    }).persistLedgered()
+    }
+  }
+
+  /** [[cosinePairs]] over a pre-built (id, h, tf) index — the
+    * jaccardPairsFromShingles pattern: callers serving the index from
+    * a store skip the corpus scan, the gram explode, and the df-guard
+    * shuffle entirely. Norm denominators come from the SAME frame as
+    * the dot products by construction. */
+  def cosinePairsFromTf(tfIndex: DataFrame,
+                        cos2PpmThreshold: Long): DataFrame = {
+    // three consumers (norms + both join legs) — persist, or each
+    // re-runs the upstream build / re-scans the artifact
+    val tf = tfIndex.persistLedgered()
     val norms = tf.groupBy(col("id")).agg(sum(col("tf") * col("tf")).as("n2"))
     val dots = tf.as("a")
       .join(tf.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
@@ -178,8 +202,10 @@ object Dedup {
     * sharing ANY shingle (quadratic in per-shingle document frequency,
     * dominated by common shingles), prefix filtering orders each
     * document's shingles by GLOBAL RARITY (document frequency asc, tie
-    * by shingle string — a total order both engines could replay) and
-    * pairs only documents sharing a token in their first
+    * by 60-bit md5 shingle hash — a deterministic total order both
+    * engines could replay; ANY consistent order yields a correct
+    * superset prefix) and pairs only documents sharing a token in
+    * their first
     * `|x| − ⌈t·|x|⌉ + 1` rarest shingles. Correctness: prefixes of
     * those lengths are supersets of the canonical `|x| − α + 1`
     * prefixes for the required overlap `α = ⌈t·max(|A|,|B|)⌉`, and the
@@ -189,36 +215,59 @@ object Dedup {
     * (`t·|A| ≤ |B| ≤ |A|/t`, from `J ≤ min/max`) prunes candidates
     * before the verify.
     *
-    * Scale posture: the postings explode+df-join shuffles once to
-    * build per-doc rarity-ordered arrays (no self-join on full
-    * postings); the candidate join carries PREFIX postings only —
-    * rare-by-construction tokens, so the per-token fan-out that makes
-    * the inverted-index plan quadratic is capped at the rare end of
-    * the df distribution; verification is scan-local
-    * (`array_intersect` on the two shingle arrays joined to each
-    * candidate pair), no per-pair aggregation. This is the exact-pair
-    * plan to run when the corpus outgrows [[jaccardPairs]] but the
-    * answer must stay exact (LSH trades recall; this trades nothing).
+    * Scale posture: the posting frame (8-byte hash keys, never gram
+    * strings) is pre-partitioned by shingle and persisted, so the df
+    * census and the df join share ONE exchange; one doc-keyed shuffle
+    * then builds the per-doc dictionary (n_sh + rarity-ordered hash
+    * array + prefix length) that serves prefix generation AND both
+    * verify sides — no re-scan of the corpus anywhere downstream. The
+    * candidate join carries PREFIX postings only — rare-by-construction
+    * tokens, so the per-token fan-out that makes the inverted-index
+    * plan quadratic is capped at the rare end of the df distribution;
+    * verification is scan-local (`array_intersect` on long arrays
+    * joined from the cached dictionary — AQE broadcasts it while it
+    * fits, shuffle join past that), no per-pair aggregation. This is
+    * the exact-pair plan to run when the corpus outgrows
+    * [[jaccardPairs]] but the answer must stay exact (LSH trades
+    * recall; this trades nothing).
     *
     * Output: (id_a, id_b, jaccard) — bit-identical to [[jaccardPairs]]
     * (same double division, same round-6), so d02's oracle SQL is this
-    * operator's oracle too. Cache lifetime: the shingle frame persists
-    * for the session (LRU / caller clearCache), like every index
-    * intermediate here. */
+    * operator's oracle too. Cache lifetime: the posting frame and the
+    * doc dictionary persist for the session (LRU / caller clearCache),
+    * like every index intermediate here. */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          n: Int, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
     val (tNum, tDen) = thresholdAsFraction(threshold)
-    // scanned three times (prefix build + both verify sides)
-    val sh = withShingles(df, idCol, textCol, n)
+    // r11 restructure (the r10 verdict's #1 heavy): the old shape
+    // scanned the shingle frame THREE times (prefix build + both
+    // verify sides) and paid two dictionary joins to re-fetch the
+    // shingle arrays per candidate. Now ONE posting frame — hashed to
+    // 8-byte keys (the jaccardPairs/cosinePairs "never shuffle gram
+    // strings" discipline), pre-partitioned by shingle so the df
+    // census AND the df join both reuse the cached exchange — feeds
+    // ONE doc-keyed shuffle that builds a per-doc frame carrying
+    // everything downstream needs: n_sh, the rarity-ordered FULL
+    // hash array (verify side), and the prefix length. The verify
+    // then joins the candidate pairs to this |docs|-row dictionary
+    // (AQE broadcasts it under the threshold; shuffle join past it —
+    // the FuzzyJoin auto-gate economics), intersecting LONG arrays
+    // instead of string arrays.
+    val exploded = withShingles(df, idCol, textCol, n)
       .filter(size(col("shingles")) > 0)
+      .select(col("id"), explode(col("shingles")).as("s"))
+      .select(col("id"),
+        md5Hash60Col(concat(lit("pj|"), col("s"))).as("shingle"))
+      .repartition(col("shingle"))
       .persistLedgered()
-    val exploded = sh.select(col("id"), explode(col("shingles")).as("shingle"))
     val dfreq = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
     // one doc-keyed shuffle builds the rarity-ordered array; prefix =
-    // the p rarest shingles under the (df, shingle) total order
-    val prefix = exploded.join(dfreq, "shingle")
+    // the p rarest shingles under the (df, hash) total order — any
+    // deterministic total order yields a correct (superset) prefix,
+    // and both engines could replay this one (md5 is engine-portable)
+    val docs = exploded.join(dfreq, "shingle")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
           .as("ord"),
@@ -235,8 +284,10 @@ object Dedup {
           - expr(s"(n_sh * ${tNum}L + ${tDen - 1}L) DIV ${tDen}L") + 1)
           .cast("int"))
       .select(col("id"), col("n_sh"),
-        explode(expr("transform(slice(ord, 1, p), x -> x.shingle)"))
-          .as("shingle"))
+        expr("transform(ord, x -> x.shingle)").as("sarr"), col("p"))
+      .persistLedgered()
+    val prefix = docs.select(col("id"), col("n_sh"),
+      explode(expr("slice(sarr, 1, p)")).as("shingle"))
     // length filter t·|A| ≤ |B| exactly: |B|·den ≥ |A|·num over longs
     val cand = prefix.as("a")
       .join(prefix.as("b"),
@@ -245,15 +296,20 @@ object Dedup {
           col("b.n_sh") * lit(tDen) >= col("a.n_sh") * lit(tNum))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // scan-local verify: the candidate pair carries both shingle
-    // arrays; same division and rounding as jaccardPairs
+    // scan-local verify against the cached doc dictionary: one
+    // |docs|-row frame serves both sides; same division and rounding
+    // as jaccardPairs (hash-set intersection = string-set intersection
+    // up to the house-wide ~10⁻⁸ md5-prefix collision odds the oracle
+    // replays identically)
     cand
-      .join(sh.select(col("id").as("id_a"), col("shingles").as("sa")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("shingles").as("sb")), "id_b")
+      .join(docs.select(col("id").as("id_a"), col("sarr").as("sa"),
+        col("n_sh").as("na")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sarr").as("sb"),
+        col("n_sh").as("nb")), "id_b")
       .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
-          (size(col("sa")) + size(col("sb")) - col("n_inter")).cast("double"))
+          (col("na") + col("nb") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

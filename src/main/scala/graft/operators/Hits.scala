@@ -95,9 +95,13 @@ object Hits {
     // lesson), so each round then moves only the score vector: one
     // exchange per half-round, the Pregel minimum.
     val st = e.agg(count(lit(1)),
-      count(when(col("c").isNull || col("p").isNull, lit(1)))).collect()(0)
+      count(when(col("c").isNull || col("p").isNull, lit(1))),
+      max(greatest(col("c"), col("p"))),
+      min(least(col("c"), col("p")))).collect()(0)
     val m = st.getLong(0)
     val nullEdges = st.getLong(1)
+    val idsPackable = m > 0 && st.getLong(2) <= LocalGraph.MaxId &&
+      st.getLong(3) >= 0L
     if (m == 0) {
       val sp = edges.sparkSession
       import org.apache.spark.sql.types._
@@ -116,7 +120,9 @@ object Hits {
     // whose scheduling + broadcast latency floor (~4 s at sf0.1's
     // 600k edges) dwarfs the ~0.3 s of actual arithmetic. The guard
     // bounds driver memory exactly like the Triangles broadcast probe
-    // (10M edges ≈ 160 MB), and past it the distributed dual-regime
+    // (one packed long per edge: 10M edges = 80 MB held, plus two
+    // |V|-bounded id dictionaries — LocalGraph's derived byte budget),
+    // and past it the distributed dual-regime
     // plan below takes over unchanged — the 100 TB path. Overflow
     // semantics mirror the distributed plan bit for bit (same bounds,
     // same messages): scores and totals raise at 10³⁸ (the DECIMAL(38)
@@ -127,7 +133,10 @@ object Hits {
     // (it surfaces in the hub total and can rank), and replicating
     // that null topology locally buys nothing — graph callers serve
     // null-free artifacts, and correctness must not depend on regime.
-    if (m <= localComputeMaxEdges && nullEdges == 0)
+    // Ids outside [0, 2³¹) also stay distributed (the LocalGraph
+    // packing bound — the local regime collects ONE packed-long array,
+    // 8 B/edge, not boxed Rows; r11, see LocalGraph's byte budget).
+    if (m <= localComputeMaxEdges && nullEdges == 0 && idsPackable)
       return hitsLocal(edges.sparkSession, e, iterations, topK)
     // sortWithinPartitions: the cached plan's outputOrdering survives
     // InMemoryTableScan, so each round's SortMergeJoin skips re-sorting
@@ -253,27 +262,37 @@ object Hits {
     import java.math.BigInteger
     val D38 = BigInteger.TEN.pow(38)
     val M6 = BigInteger.valueOf(1000000L)
-    val rows = e.filter(col("c").isNotNull && col("p").isNotNull)
-      .select(col("c"), col("p"))
-      .collect()
+    // one packed-long collect (r11, was Array[Row] — ~100 B per boxed
+    // edge vs 8 B here; see LocalGraph's byte budget). Caller verified
+    // null-freeness and the [0, 2³¹) packing bound.
+    val packed = LocalGraph.collectPacked(e, "c", "p")
     // every edge had a null endpoint: the distributed plan's inner
     // joins drop them all and its guarded total raises the empty-graph
     // error — mirror it, don't silently return zero rows
-    if (rows.isEmpty)
+    if (packed.isEmpty)
       throw new IllegalStateException("HITS: empty graph — no authority " +
         "scores to rank (edge input has no rows)")
-    val cIds = rows.map(_.getLong(0)).distinct.sorted
-    val pIds = rows.map(_.getLong(1)).distinct.sorted
-    val cIdx = new java.util.HashMap[Long, Int](cIds.length * 2)
-    cIds.zipWithIndex.foreach { case (id, i) => cIdx.put(id, i) }
-    val pIdx = new java.util.HashMap[Long, Int](pIds.length * 2)
-    pIds.zipWithIndex.foreach { case (id, i) => pIdx.put(id, i) }
-    val ec = new Array[Int](rows.length)
-    val ep = new Array[Int](rows.length)
+    def sortedDistinct(extract: Long => Long): Array[Long] = {
+      val a = new Array[Long](packed.length)
+      var j = 0
+      while (j < packed.length) { a(j) = extract(packed(j)); j += 1 }
+      java.util.Arrays.sort(a)
+      var n = 0
+      j = 0
+      while (j < a.length) {
+        if (n == 0 || a(j) != a(n - 1)) { a(n) = a(j); n += 1 }
+        j += 1
+      }
+      java.util.Arrays.copyOf(a, n)
+    }
+    val cIds = sortedDistinct(LocalGraph.src)
+    val pIds = sortedDistinct(LocalGraph.dst)
+    val ec = new Array[Int](packed.length)
+    val ep = new Array[Int](packed.length)
     var i = 0
-    while (i < rows.length) {
-      ec(i) = cIdx.get(rows(i).getLong(0))
-      ep(i) = pIdx.get(rows(i).getLong(1))
+    while (i < packed.length) {
+      ec(i) = LocalGraph.idx(cIds, LocalGraph.src(packed(i)))
+      ep(i) = LocalGraph.idx(pIds, LocalGraph.dst(packed(i)))
       i += 1
     }
     def checkRound(v: Array[BigInteger], what: String): Unit = {
@@ -294,11 +313,14 @@ object Hits {
       h = Array.fill(cIds.length)(BigInteger.ZERO)
       i = 0
       while (i < ec.length) { h(ec(i)) = h(ec(i)).add(a(ep(i))); i += 1 }
-      checkRound(h, "authority") // overflow first visible in the hub sums OF authority scores
+      // tag = WHICH vector overflowed (r10 advice fix: the distributed
+      // plan's guardedSum("h","hub") raises "nulled a hub score" when
+      // the hub sums nulled — mirror that, not the input-side name)
+      checkRound(h, "hub")
       val a2 = Array.fill(pIds.length)(BigInteger.ZERO)
       i = 0
       while (i < ec.length) { a2(ep(i)) = a2(ep(i)).add(h(ec(i))); i += 1 }
-      checkRound(a2, "hub")
+      checkRound(a2, "authority")
       a = a2
       round += 1
     }

@@ -265,6 +265,55 @@ object IndexStore {
     }
   }
 
+  /** Persist a plain k-means coarse quantizer (the a08 IVF list model):
+    * quantized long centroids — parquet longs round-trip exactly, so a
+    * loaded quantizer assigns bit-identically to the trained one (the
+    * saveIvfPq rationale, minus codebooks). */
+  def saveKmeans(spark: SparkSession, centroidsQ: Array[Array[Long]],
+                 path: String): Unit = {
+    import spark.implicits._
+    centroidsQ.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("list_id", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def loadKmeans(spark: SparkSession, path: String): Array[Array[Long]] = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("list_id")).collect()
+      .map(r => r.getAs[Int]("list_id") ->
+        r.getSeq[Long](r.fieldIndex("vec")).toArray)
+    require(cents.nonEmpty, "empty centroid artifact")
+    require(cents.map(_._1).sameElements(cents.indices),
+      "centroid list_ids must be dense 0..n-1")
+    cents.map(_._2)
+  }
+
+  /** [[loadOrPublishIvfPq]] for the coarse k-means quantizer: load if
+    * any JVM published it, else train + publish atomically, same
+    * corruption-vs-transient load discipline. */
+  def loadOrPublishKmeans(spark: SparkSession, path: String)
+                         (train: => Array[Array[Long]])
+      : Array[Array[Long]] = {
+    val p = java.nio.file.Paths.get(path)
+    def isCorrupt(e: Throwable): Boolean = e match {
+      case _: IllegalArgumentException => true
+      case _: org.apache.spark.sql.AnalysisException => true
+      case _ => e.getCause != null && e.getCause.ne(e) && isCorrupt(e.getCause)
+    }
+    def tryLoad(): Option[Array[Array[Long]]] =
+      if (!java.nio.file.Files.isDirectory(p)) None
+      else try Some(loadKmeans(spark, path))
+      catch {
+        case e if isCorrupt(e) => deleteTree(p); None
+        case scala.util.control.NonFatal(_) => None // transient: keep tree
+      }
+    tryLoad().getOrElse {
+      val model = train
+      publishAtomically(path)(tmp => saveKmeans(spark, model, tmp))
+      tryLoad().getOrElse(model)
+    }
+  }
+
   /** Shard MERGE — the lifecycle verb after compaction: a production
     * vector store accumulates posting SEGMENTS (the base build, each
     * incremental ingest, each delete-then-re-ingest) and periodically

@@ -41,58 +41,77 @@ object KCore {
       .unionByName(edges.select(col(bCol).as("u"), col(aCol).as("v")))
       .persistLedgered()
     // LOCAL regime (r10, the Hits/PageRank/Bfs/Clusters pattern): the
-    // synchronous peel is a pure integer fixpoint — a collected
-    // adjacency walk reproduces every wave (and therefore the ROUND
+    // synchronous peel is a pure integer fixpoint — a CSR walk over
+    // one collected packed-long edge array (r11, was Array[Row]; see
+    // LocalGraph's primitive byte budget — ≈180 MB peak at the
+    // 10M-edge guard) reproduces every wave (and therefore the ROUND
     // COUNT the oracle unroll depends on) exactly, without 2 checkpoint
-    // jobs + 3 shuffles per round. Gated to Long ids and null-free
-    // edges; edge MULTIPLICITY is preserved (degree = edge-row count,
-    // the distributed aggregate's semantics). Past the guards the
+    // jobs + 3 shuffles per round. Gated to Long ids in [0, 2³¹) (the
+    // packing bound) and null-free edges; edge MULTIPLICITY is
+    // preserved (degree = edge-row count, the distributed aggregate's
+    // semantics — the CSR keeps duplicate rows). Past the guards the
     // superstep peel below runs unchanged.
     val longIds = sym.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
     val st = sym.agg(count(lit(1)),
-      count(when(col("u").isNull || col("v").isNull, lit(1)))).collect()(0)
+      count(when(col("u").isNull || col("v").isNull, lit(1))),
+      max(greatest(col("u"), col("v"))),
+      min(least(col("u"), col("v")))).collect()(0)
     if (longIds && st.getLong(1) == 0 &&
-        st.getLong(0) > 0 && st.getLong(0) <= localComputeMaxEdges) {
-      val rows = sym.collect()
-      val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
-      val deg = new java.util.HashMap[Long, Long]()
-      rows.foreach { row =>
-        val u = row.getLong(0); val v = row.getLong(1)
-        adj.computeIfAbsent(u, _ => scala.collection.mutable.ArrayBuffer.empty) += v
-        deg.merge(u, 1L, _ + _)
-      }
-      if (deg.size() <= localComputeMaxNodes) {
-        val alive = new java.util.HashSet[Long](deg.keySet())
-        val removed = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+        st.getLong(0) > 0 && st.getLong(0) <= localComputeMaxEdges &&
+        st.getLong(2) <= LocalGraph.MaxId && st.getLong(3) >= 0L) {
+      val packed = LocalGraph.collectPacked(sym, "u", "v")
+      val ids = LocalGraph.nodeIds(packed)
+      if (ids.length <= localComputeMaxNodes) {
+        val (offsets, targets) = LocalGraph.csr(packed, ids)
+        val n = ids.length
+        // sym contains BOTH directions, so every node has out-rows and
+        // deg(i) = out-multiplicity = the distributed degree aggregate
+        val deg = new Array[Long](n)
+        val alive = new Array[Boolean](n)
+        var i = 0
+        while (i < n) {
+          deg(i) = (offsets(i + 1) - offsets(i)).toLong; alive(i) = true
+          i += 1
+        }
+        val remNode = scala.collection.mutable.ArrayBuffer[Int]()
+        val remRound = scala.collection.mutable.ArrayBuffer[Int]()
         var r = 0
         var done = false
         while (!done) {
-          val weak = scala.collection.mutable.ArrayBuffer[Long]()
-          alive.forEach(u => if (deg.get(u) < k) weak += u)
+          val weak = scala.collection.mutable.ArrayBuffer[Int]()
+          i = 0
+          while (i < n) { if (alive(i) && deg(i) < k) weak += i; i += 1 }
           if (weak.isEmpty) done = true
           else {
             r += 1
             if (r > maxRounds) throw new IllegalStateException(
               s"k-core peel did not converge within $maxRounds rounds — " +
                 "raise maxRounds for this graph")
-            weak.foreach { w => alive.remove(w); removed += ((w, r)) }
+            weak.foreach { w => alive(w) = false; remNode += w; remRound += r }
             // each (w, v) row has a (v, w) mirror feeding deg(v):
             // decrement survivors once per incident row multiplicity
             weak.foreach { w =>
-              val out = adj.get(w)
-              if (out != null) out.foreach { v =>
-                if (alive.contains(v)) deg.merge(v, -1L, _ + _)
+              var kk = offsets(w)
+              while (kk < offsets(w + 1)) {
+                val v = targets(kk)
+                if (alive(v)) deg(v) -= 1L
+                kk += 1
               }
             }
           }
         }
-        val out = new java.util.ArrayList[org.apache.spark.sql.Row](
-          alive.size() + removed.length)
-        alive.forEach(u =>
-          out.add(org.apache.spark.sql.Row(u, 0, deg.get(u).longValue())))
-        removed.foreach { case (node, round) =>
-          out.add(org.apache.spark.sql.Row(node, round, 0L)) }
+        val out = new java.util.ArrayList[org.apache.spark.sql.Row](n)
+        i = 0
+        while (i < n) {
+          if (alive(i)) out.add(org.apache.spark.sql.Row(ids(i), 0, deg(i)))
+          i += 1
+        }
+        i = 0
+        while (i < remNode.length) {
+          out.add(org.apache.spark.sql.Row(ids(remNode(i)), remRound(i), 0L))
+          i += 1
+        }
         import org.apache.spark.sql.types._
         return (edges.sparkSession.createDataFrame(out,
           StructType(Seq(

@@ -74,54 +74,79 @@ object PageRank {
     // LOCAL regime (r10, the Hits/Triangles pattern): below the edge
     // and node guards — and only on a NULL-FREE edge list (null
     // endpoints alter the distributed seed divisor and group topology;
-    // correctness must not depend on regime) — the whole fixed-k
-    // iteration runs on a collected edge array in plain Long
-    // arithmetic: mass is conserved (every rank ≤ Scale = 10¹², every
-    // per-dst sum ≤ total mass), so Long never overflows, and each
-    // floor division is the same nonneg trunc both plans and the
-    // oracle replay. The distributed chain is k sequential
-    // join+aggregate AQE stages whose scheduling floor dwarfs the
-    // arithmetic at bench scale; past the guards it runs unchanged —
-    // the 100 TB path. The node guard additionally bounds the
-    // |V|-row LocalRelation this returns.
+    // correctness must not depend on regime) with ids in [0, 2³¹)
+    // (the LocalGraph packing bound) — the whole fixed-k iteration
+    // runs over one collected packed-long edge array + a CSR in plain
+    // Long arithmetic: mass is conserved (every rank ≤ Scale = 10¹²,
+    // every per-dst sum ≤ total mass), so Long never overflows, and
+    // each floor division is the same nonneg trunc both plans and the
+    // oracle replay. Driver cost is primitive (r11, was Array[Row]):
+    // 8 B/edge packed + 8 B/edge CSR transient + ~28 B/node vectors —
+    // ≈180 MB peak at the 10M-edge guard, see LocalGraph's budget.
+    // The distributed chain is k sequential join+aggregate AQE stages
+    // whose scheduling floor dwarfs the arithmetic at bench scale;
+    // past the guards it runs unchanged — the 100 TB path.
     val est = e.agg(count(lit(1)),
-      count(when(col("src").isNull || col("dst").isNull, lit(1)))).collect()(0)
-    if (est.getLong(0) <= localComputeMaxEdges && est.getLong(1) == 0) {
-      val rows = e.select(col("src"), col("dst")).collect()
-      val od = new java.util.HashMap[Long, Long]()
-      rows.foreach(r => od.merge(r.getLong(0), 1L, _ + _))
-      // empty edge input falls through to the distributed plan so the
-      // (degenerate) empty-graph behavior stays regime-independent
-      if (od.size() > 0 && od.size() <= localComputeMaxNodes) {
-        val pe = Scale / od.size()
-        var p = new java.util.HashMap[Long, Long](od.size() * 2)
-        od.keySet().forEach(k => p.put(k, pe))
+      count(when(col("src").isNull || col("dst").isNull, lit(1))),
+      max(greatest(col("src"), col("dst"))),
+      min(least(col("src"), col("dst")))).collect()(0)
+    if (est.getLong(0) > 0 && est.getLong(0) <= localComputeMaxEdges &&
+        est.getLong(1) == 0 &&
+        est.getLong(2) <= LocalGraph.MaxId && est.getLong(3) >= 0L) {
+      val packed = LocalGraph.collectPacked(e, "src", "dst")
+      val ids = LocalGraph.nodeIds(packed)
+      if (ids.length <= localComputeMaxNodes) {
+        val (offsets, targets) = LocalGraph.csr(packed, ids)
+        val n = ids.length
+        // outdeg per node index straight off the CSR; the rank vector
+        // lives only on nodes PRESENT each round (pPresent), exactly
+        // the distributed key-set semantics: seed = src nodes, round
+        // output = dst nodes that received mass (a pure-source node
+        // drops out after round 1, as the inner join drops it there)
+        var srcCount = 0
+        var i = 0
+        while (i < n) { if (offsets(i + 1) > offsets(i)) srcCount += 1; i += 1 }
+        // srcCount > 0 is guaranteed by est.getLong(0) > 0 above
+        val pe = Scale / srcCount
         val base = ((100L - dampingPct) * pe) / 100L
+        var p = new Array[Long](n)
+        var pPresent = new Array[Boolean](n)
+        i = 0
+        while (i < n) {
+          if (offsets(i + 1) > offsets(i)) { p(i) = pe; pPresent(i) = true }
+          i += 1
+        }
         var round = 0
         while (round < iterations) {
-          val s = new java.util.HashMap[Long, Long](od.size() * 2)
-          rows.foreach { r =>
-            val src = r.getLong(0)
-            // boxed lookup FIRST: unboxing a missing key's null NPEs,
-            // and a pure-source node (directed input, no inbound
-            // edges) legitimately drops out of the rank vector after
-            // round 1 — it contributes nothing, exactly as the
-            // distributed inner join drops it; with the
-            // undirected-union contract every node receives, so this
-            // only matters for pathological directed inputs
-            val pv: java.lang.Long = p.get(src)
-            if (pv != null)
-              s.merge(r.getLong(1), pv.longValue() / od.get(src), _ + _)
+          val s = new Array[Long](n)
+          val touched = new Array[Boolean](n)
+          i = 0
+          while (i < n) {
+            if (pPresent(i)) {
+              val od = (offsets(i + 1) - offsets(i)).toLong
+              val c = p(i) / od
+              var k = offsets(i)
+              while (k < offsets(i + 1)) {
+                s(targets(k)) += c; touched(targets(k)) = true; k += 1
+              }
+            }
+            i += 1
           }
-          val next = new java.util.HashMap[Long, Long](s.size() * 2)
-          s.forEach((dst, sum) =>
-            next.put(dst, base + (dampingPct * sum) / 100L))
-          p = next
+          val nextP = new Array[Long](n)
+          i = 0
+          while (i < n) {
+            if (touched(i)) nextP(i) = base + (dampingPct * s(i)) / 100L
+            i += 1
+          }
+          p = nextP; pPresent = touched
           round += 1
         }
-        val out = new java.util.ArrayList[org.apache.spark.sql.Row](p.size())
-        p.forEach((id, rank) =>
-          out.add(org.apache.spark.sql.Row(id, rank)))
+        val out = new java.util.ArrayList[org.apache.spark.sql.Row](n)
+        i = 0
+        while (i < n) {
+          if (pPresent(i)) out.add(org.apache.spark.sql.Row(ids(i), p(i)))
+          i += 1
+        }
         import org.apache.spark.sql.types._
         return edges.sparkSession.createDataFrame(out,
           StructType(Seq(

@@ -41,8 +41,10 @@ object CurationQueries {
     * nothing (the unguarded output is identical); PLANS.md carries the
     * adversarial hot-gram measurement. */
   def dedupCosine(spark: SparkSession, dir: String): DataFrame =
-    Dedup.cosinePairs(documents(spark, dir), "doc_id", "text", n = 3,
-        cos2PpmThreshold = 640000L, maxShingleDocFreq = Some(64))
+    // TF index artifact-served (r11, the docJaccardPairs economics —
+    // bench times the build as art_cosine_tf); same operator output
+    Dedup.cosinePairsFromTf(GraphCache.cosineTfIndex(spark, dir),
+        cos2PpmThreshold = 640000L)
       .orderBy(col("id_a"), col("id_b"))
 
   /** d20: prefix-filtered all-pairs exact Jaccard ≥ 0.5 — the
@@ -307,17 +309,14 @@ object CurationQueries {
     // at 256): k=256 is viable only because assignment scores the whole
     // broadcast centroid matrix in one pass (the per-centroid-column
     // form topped out around k~100 on codegen limits); at sf0.1+ this
-    // runs the full k=256
-    // one count() job to SIZE the model (a hyperparameter needs corpus
-    // cardinality before training starts — unlike lineDedup's removed
-    // count, this can't fold into the dataflow as a broadcast scalar)
-    val n = e.count()
-    val k = math.max(8, math.min(256, (n / 16).toInt))
-    // fit() repartitions its own training projection internally; only
-    // the corpus-assignment pass needs the explicit spread here (the
-    // small parquet is one input split, and assignment is O(n·k·dim))
-    val (_, centroids) = graft.operators.KMeans.fit(e, "vec_id", "embedding", k = k, iterations = 2)
-    val centroidsQ = centroids.map(_.map(x => math.round(x * 1048576.0)))
+    // runs the full k=256.
+    // r11 (verdict #3): the quantizer is TRAINED ONCE per corpus
+    // version and served from the cross-JVM store (ModelCache, the
+    // PQ/IVF-PQ template — bench times the build as art_kmeans_coarse);
+    // this query pays assignment + probe only. The spliced-centroid
+    // oracle consumes the same loaded array, so artifact-served runs
+    // self-verify exactly like freshly-trained ones (the d12 pattern).
+    val centroidsQ = ModelCache.kmeansCoarse(spark, dir)
     a08Oracle = Some(a08OracleSql(centroidsQ))
     val corpus = graft.operators.KMeans.assignExact(
       e.repartition(spark.sparkContext.defaultParallelism), "vec_id", "embedding", centroidsQ)

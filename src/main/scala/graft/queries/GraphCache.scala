@@ -328,6 +328,19 @@ object GraphCache {
       graft.operators.Dedup.jaccardPairsFromShingles(sh, 0.5)
     }
 
+  /** The df≤64-guarded positional-3-gram TF index over documents —
+    * d21's verify frame ([[graft.operators.Dedup.cosineTf]]): a pure
+    * function of the corpus, built once per corpus version (bench
+    * times the build as art_cosine_tf), after which d21 pays only the
+    * norm pass + the bounded self-join. At scale this is the TF
+    * posting file a dedup platform materializes next to the corpus. */
+  def cosineTfIndex(spark: SparkSession, dir: String): DataFrame =
+    artifact(spark, s"cosine_tf3_df64.v1|$dir",
+      Seq(s"$dir/documents.parquet")) {
+      graft.operators.Dedup.cosineTf(
+        documents(spark, dir), "doc_id", "text", 3, Some(64))
+    }
+
   /** Per-node triangle counts over [[coPurchaseEdges]] — the shared
     * triangle index behind g03's census and g04's normalization. */
   def coPurchaseTriangles(spark: SparkSession, dir: String): DataFrame = {

@@ -540,7 +540,11 @@ object Relational13 {
   def a37IndexServe(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{IndexStore, ProductQuantizer}
     val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val path = IndexStore.publishPath(s"ivfpq_16-8-16-2_fit2x|$dir")
+    // fp in the key (r10 advice): a regenerated corpus retrains the
+    // model under a new fingerprint — this serve key must move with it
+    // or it would serve a model trained on the dead corpus
+    val path = IndexStore.publishPath(
+      s"ivfpq_16-8-16-2_fit2x|$dir|fp=${ModelCache.fp(dir)}")
     val model = IndexStore.loadOrPublishIvfPq(spark, path) {
       ModelCache.ivfPqModel(spark, dir)
     }
@@ -601,12 +605,20 @@ object Relational13 {
     import graft.operators.{IndexStore, ProductQuantizer}
     val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val (model, resid) = ModelCache.ivfPqIndex(spark, dir)
-    val basePath = IndexStore.publishPath(s"ivfpq_16-8-16-2_fit2x_post|$dir")
+    // postings are ENCODED WITH the model's codebooks, so their keys
+    // carry the model's staleness fingerprint (r10 advice): a corpus
+    // regen retrains the model under a new fp, and postings encoded
+    // with the old codebooks become unreachable by construction —
+    // without this, searchIvfPqExact would decode mismatched codes and
+    // return silently wrong neighbors
+    val pfp = ModelCache.fp(dir)
+    val basePath = IndexStore.publishPath(
+      s"ivfpq_16-8-16-2_fit2x_post|$dir|fp=$pfp")
     val postings = IndexStore.loadOrPublishPostings(spark, basePath) {
       ProductQuantizer.encodeIvfPqPostings(resid, model)
     }
-    val compactPath =
-      IndexStore.publishPath(s"ivfpq_16-8-16-2_fit2x_post_compact1|$dir")
+    val compactPath = IndexStore.publishPath(
+      s"ivfpq_16-8-16-2_fit2x_post_compact1|$dir|fp=$pfp")
     val (served, _) = IndexStore.compactPostings(spark, basePath,
       compactPath, col("id") % 7 === 3, threshold = 0.10,
       baseFallback = Some(postings))
@@ -646,8 +658,10 @@ object Relational13 {
     val base = all.filter(col("id") % 2 === 0 && col("id") % 10 =!= 4)
     val delta = all.filter(col("id") % 2 === 1 ||
       col("id") % 20 === 4 || col("id") % 20 === 6)
+    // fp-keyed like a40's postings: merged segments hold codes from
+    // THIS model instance; a corpus regen must strand them (r10 advice)
     val mergedPath = IndexStore.publishPath(
-      s"ivfpq_16-8-16-2_fit2x_post_merged1|$dir")
+      s"ivfpq_16-8-16-2_fit2x_post_merged1|$dir|fp=${ModelCache.fp(dir)}")
     val merged = IndexStore.mergePostings(spark, mergedPath,
       Seq(base, delta))
     a41Oracle = Some(CurationQueries.a15OracleSql(
@@ -659,6 +673,77 @@ object Relational13 {
         model, nprobe = 4, shortlist = 100, topK = 10,
         precomputedCodes = Some(merged))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** a42: index BALANCE monitor — the store-side health readout
+    * between a36's ingest-drift signal and the retrain decision. A
+    * coarse quantizer whose hottest lists hold multiples of the mean
+    * no longer partitions the space: probe cost concentrates on hot
+    * lists and recall-per-nprobe decays, so production stores watch
+    * per-list occupancy continuously (FAISS's own imbalance_factor).
+    * Reads the SERVED postings artifact (a40's fp-keyed store — the
+    * monitor sees exactly what serving sees, no re-encode, no second
+    * assignment pass) and emits per list: occupancy, share of corpus
+    * in ppm, and occupancy·k/|corpus| in ppm (1 000 000 = perfectly
+    * balanced; the max over lists is FAISS's imbalance factor in ppm).
+    * Oracle: the a15 coarse-assignment replay (spliced quantized
+    * centroid literals) grouped by list — the hash breaks if the
+    * artifact drifts from what fresh assignment of the corpus would
+    * produce, so the row ALSO re-proves artifact freshness. */
+  def a42IndexBalance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{IndexStore, ProductQuantizer}
+    val (model, resid) = ModelCache.ivfPqIndex(spark, dir)
+    val pfp = ModelCache.fp(dir)
+    val basePath = IndexStore.publishPath(
+      s"ivfpq_16-8-16-2_fit2x_post|$dir|fp=$pfp")
+    val postings = IndexStore.loadOrPublishPostings(spark, basePath) {
+      ProductQuantizer.encodeIvfPqPostings(resid, model)
+    }
+    a42Oracle = Some(a42OracleSql(model.centsQ))
+    val counts = postings.groupBy(col("cluster").cast("int").as("list_id"))
+      .agg(count(lit(1)).as("n_vec"))
+    // k-row frame: the totals broadcast as a 1-row scalar frame, the
+    // per-list division is plain integer column algebra
+    counts.crossJoin(broadcast(
+        counts.agg(sum(col("n_vec")).as("n_tot"),
+          count(lit(1)).as("n_lists"))))
+      .select(col("list_id"), col("n_vec"),
+        expr("(n_vec * 1000000L) div n_tot").as("share_ppm"),
+        expr("(n_vec * n_lists * 1000000L) div n_tot").as("imbalance_ppm"))
+      .orderBy(col("list_id"))
+  }
+
+  @volatile private var a42Oracle: Option[String] = None
+
+  /** a42's replay: the a15 oracle's coarse-assignment CTEs (same
+    * quantized-centroid L2² argmin, same (dist, ci) tie-break) grouped
+    * by list. Null-free guard mirrors the engine's isNotNull filters
+    * (the sf corpora carry none — defensive parity). */
+  private def a42OracleSql(centsQ: Array[Array[Long]]): String = {
+    val cents = centsQ.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.mkString("[", ", ", "]")})" }.mkString(",\n    ")
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576, 0) AS BIGINT)) AS vq
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |cents(ci, cq) AS (VALUES
+       |    $cents),
+       |cdist AS (
+       |  SELECT v.vec_id, c.ci,
+       |    list_sum(list_transform(generate_series(1, len(v.vq)), d ->
+       |      (v.vq[d] - c.cq[d]) * (v.vq[d] - c.cq[d]))) AS dist
+       |  FROM v CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, ci AS cluster FROM (
+       |    SELECT vec_id, ci,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rn
+       |    FROM cdist) WHERE rn = 1),
+       |counts AS (SELECT cluster AS list_id, count(*) AS n_vec
+       |  FROM asg GROUP BY 1),
+       |tot AS (SELECT sum(n_vec) AS n_tot, count(*) AS n_lists FROM counts)
+       |SELECT CAST(list_id AS INT) AS list_id,
+       |  CAST(n_vec AS BIGINT) AS n_vec,
+       |  CAST((n_vec * 1000000) // n_tot AS BIGINT) AS share_ppm,
+       |  CAST((n_vec * n_lists * 1000000) // n_tot AS BIGINT) AS imbalance_ppm
+       |FROM counts, tot ORDER BY list_id""".stripMargin
   }
 
   @volatile private var a41Oracle: Option[String] = None
@@ -710,6 +795,7 @@ object Relational13 {
     "a39_index_delete"      -> a39IndexDelete _,
     "a40_index_compact"     -> a40IndexCompact _,
     "a41_index_merge"       -> a41IndexMerge _,
+    "a42_index_balance"     -> a42IndexBalance _,
     "t45_burstiness"        -> t45Burstiness _,
     "t44_semantic_contam"   -> t44SemanticContam _,
     "p35_mixture_budget"    -> p35MixtureBudget _,
@@ -731,7 +817,8 @@ object Relational13 {
       a37Oracle.map("a37_index_serve" -> _) ++
       a39Oracle.map("a39_index_delete" -> _) ++
       a40Oracle.map("a40_index_compact" -> _) ++
-      a41Oracle.map("a41_index_merge" -> _)
+      a41Oracle.map("a41_index_merge" -> _) ++
+      a42Oracle.map("a42_index_balance" -> _)
 
   private val staticOracles: Map[String, String] = Map(
     "t45_burstiness" ->

@@ -10,7 +10,7 @@ class BucketingSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4, 2]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.warehouse.dir", Files.createTempDirectory("wh").toString)
       .config("spark.ui.enabled", "false")

@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class IndexStoreSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4, 2]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
@@ -45,6 +45,26 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(run(loaded) === run(model),
       "served search must equal the trainer's search row for row")
     graft.core.Caching.CacheLedger.releaseAll()
+  }
+
+  test("k-means coarse quantizer round-trips bit-exactly and " +
+      "loadOrPublish trains exactly once") {
+    val centroidsQ = Array.tabulate(8)(i =>
+      Array.tabulate(16)(d => (i * 1000003L + d * 7L) - 42L))
+    val root = java.nio.file.Files.createTempDirectory("km_pub")
+    val path = root.resolve("km_8").toString
+    var trained = 0
+    val m1 = IndexStore.loadOrPublishKmeans(spark, path) {
+      trained += 1; centroidsQ
+    }
+    assert(trained === 1)
+    assert(m1.map(_.toSeq).toSeq === centroidsQ.map(_.toSeq).toSeq)
+    // "JVM 2": loads the artifact, never invokes the trainer
+    val m2 = IndexStore.loadOrPublishKmeans(spark, path) {
+      trained += 1; sys.error("must not retrain")
+    }
+    assert(trained === 1)
+    assert(m2.map(_.toSeq).toSeq === centroidsQ.map(_.toSeq).toSeq)
   }
 
   test("loadOrPublish serves a prior publisher's artifact without retraining") {

@@ -9,7 +9,7 @@ import graft.operators.Similarity
 class TopKPerKeySpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4, 2]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
@@ -154,7 +154,7 @@ class TopKPerKeySpec extends AnyFunSuite {
     SparkSession.clearDefaultSession()
     try {
       val s2 = SparkSession.builder()
-        .master("local[2]")
+        .master("local[2, 2]")
         .config("spark.ui.enabled", "false")
         .withExtensions(new GraftExtensions)
         .getOrCreate()

@@ -13,7 +13,7 @@ import graft.pipeline.VectorRecord
 class VectorDbSinksSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4, 2]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
@@ -123,6 +123,98 @@ class VectorDbSinksSpec extends AnyFunSuite {
       val second = ids(scala.jdk.CollectionConverters.IteratorHasAsScala(
         received.iterator()).asScala.toList)
       assert(second == first, "re-delivery must target identical record ids")
+    } finally server.stop(0)
+  }
+
+  test("chaos: a task that dies mid-upsert retries into zero duplicates " +
+      "and exact ledger counts (foreachPartition sink)") {
+    // the r10 stretch pin: the uuid5 idempotent-upsert DESIGN
+    // (reference README.md:210) was spec-covered only on the happy
+    // path — here the first task attempt POSTs its first micro-batch,
+    // then dies; Spark's retry (master local[*, 2]) replays the whole
+    // partition. The store, keyed by id like every real vector DB,
+    // must end with exactly one row per record, and the A1-ledger
+    // accumulators must count the successful attempt only.
+    import spark.implicits._
+    val store = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val posts = new java.util.concurrent.atomic.AtomicInteger()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/points", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      posts.incrementAndGet()
+      // an UPSERT store: same id overwrites, never duplicates
+      "\"id\":\"([0-9a-f-]+)\"".r.findAllMatchIn(body)
+        .foreach(m => store.put(m.group(1), body))
+      respond(ex, 200, "ok")
+    })
+    server.start()
+    try {
+      val records = (0 until 300).map(i =>
+          VectorRecord(s"r$i", s"text$i", "doc", Array(i.toFloat)))
+        .toDS().coalesce(1)
+        // pipelined into the sink task: record 150 kills ATTEMPT 0
+        // after the first 128-record POST already shipped
+        .map { r =>
+          val tc = org.apache.spark.TaskContext.get()
+          if (r.id == "r150" && tc != null && tc.attemptNumber() == 0)
+            throw new RuntimeException("chaos: injected task death")
+          r
+        }
+      val up = spark.sparkContext.longAccumulator("up_chaos")
+      val fail = spark.sparkContext.longAccumulator("fail_chaos")
+      VectorDbSinks.upsert(records, s"http://127.0.0.1:${server.getAddress.getPort}",
+        "key", VectorDbSinks.Qdrant, "job-chaos", attempts = 3,
+        baseDelayMs = 1L, uploaded = up, failed = fail)
+      assert(posts.get() > 3, "the first attempt must have POSTed before dying")
+      assert(store.size() === 300,
+        "idempotent uuid5 ids: the retry overwrites the dead attempt's rows")
+      assert(up.value === 300L && fail.value === 0L,
+        "ledger counts come from the successful attempt only — Spark " +
+          "discards failed-attempt accumulator updates")
+    } finally server.stop(0)
+  }
+
+  test("chaos: DataSourceV2 task retry — zero duplicate upserts, commit " +
+      "stats count the surviving attempt only") {
+    import spark.implicits._
+    val store = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val posts = new java.util.concurrent.atomic.AtomicInteger()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/points", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      posts.incrementAndGet()
+      "\"id\":\"([0-9a-f-]+)\"".r.findAllMatchIn(body)
+        .foreach(m => store.put(m.group(1), body))
+      respond(ex, 200, "ok")
+    })
+    server.start()
+    try {
+      (0 until 300)
+        .map(i => VectorRecord(s"r$i", s"text$i", "doc", Array(i.toFloat)))
+        .toDS()
+        .coalesce(1)
+        // the V2 write exec consumes this iterator IN-TASK, so the
+        // throw lands mid-write after the first 128-row flush
+        .map { r =>
+          val tc = org.apache.spark.TaskContext.get()
+          if (r.id == "r150" && tc != null && tc.attemptNumber() == 0)
+            throw new RuntimeException("chaos: injected task death")
+          r
+        }
+        .toDF()
+        .write.format("graft.sinks.VectorDbDataSource")
+        .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+        .option("apiKey", "key").option("shape", "QDRANT")
+        .option("jobId", "dsv2-chaos")
+        .mode("append").save()
+      assert(posts.get() > 3, "the dead attempt must have POSTed first")
+      assert(store.size() === 300,
+        "uuid5(job, partition, i) is identical across attempts: the " +
+          "retry targets the dead attempt's exact ids")
+      val stats = VectorDbDataSource.lastCommitStats
+      assert(stats.exists(s => s.uploaded == 300L && s.failed == 0L &&
+        s.tasks == 1),
+        s"commit must aggregate the surviving attempt only, got $stats")
     } finally server.stop(0)
   }
 
