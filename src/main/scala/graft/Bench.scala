@@ -552,6 +552,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._1.sec).sum
     val contendedN = results.count(_._2)
+    // rows whose PUBLISHED number is still contention-poisoned: a
+    // flagged row whose clean retry replaced it is healthy (the whole
+    // point of the requeue) — only a row that stayed dirty (retry
+    // dirty too, or an art_* row that is never requeued) should fail
+    // the run-level quiet verdict. contended_n keeps its r10 meaning
+    // (rows that were EVER flagged, the forensic count).
+    val dirtyN = results.count { case (r, flagged, _) =>
+      flagged && isContended(r) }
     // MILD multi-core contention (a few stolen cores) inflates wall
     // times without collapsing the single-thread probe or the
     // cpu-vs-stage ratio (executor CPU inflates too) — surface the
@@ -570,8 +578,9 @@ object Bench {
     //    sbt wrapper JVM).
     //  - probe drift: the per-row spin-probe median fell > 25% below
     //    the run's own start-of-run calibration.
-    //  - any row published as contended (severe steal the requeue
-    //    could not outrun).
+    //  - any row whose PUBLISHED number is still contended (severe
+    //    steal the requeue could not outrun; a flag with a clean
+    //    published retry does not count).
     val runWallSec = (System.nanoTime() - runT0) / 1e9
     val runBusy1 = hostBusyMillis()
     val otherCpuSec =
@@ -583,18 +592,18 @@ object Bench {
       else 100.0 * otherCpuSec / (cpus.toInt * runWallSec)
     val hostQuiet = (otherCpuPct < 0 || otherCpuPct <= 8.0) &&
       (cal0Ops <= 0 || medianOps >= 0.75 * cal0Ops) &&
-      contendedN == 0
+      dirtyN == 0
     if (!hostQuiet) System.err.println(
       "[bench] HOST NOT QUIET — artifact tagged host_quiet:false and is " +
         s"NOT comparable across rounds (other_cpu_pct=${"%.1f".formatLocal(
-          java.util.Locale.ROOT, otherCpuPct)}, contended_n=$contendedN, " +
+          java.util.Locale.ROOT, otherCpuPct)}, dirty_n=$dirtyN, " +
         s"probe median ${"%.0f".formatLocal(java.util.Locale.ROOT, medianOps)} " +
         s"vs calibration ${"%.0f".formatLocal(java.util.Locale.ROOT, cal0Ops)}); " +
         "re-run on a quiet host before committing it as the headline")
     val line =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qjson,"contended_n":$contendedN,""" +
         "\"load1_max\":%.2f".formatLocal(java.util.Locale.ROOT, loadMax) +
-        s""","host_quiet":$hostQuiet,""" +
+        s""","host_quiet":$hostQuiet,"dirty_n":$dirtyN,""" +
         "\"other_cpu_pct\":%.1f".formatLocal(java.util.Locale.ROOT, otherCpuPct) +
         ",\"probe_cal_ops\":%.0f".formatLocal(java.util.Locale.ROOT, cal0Ops) +
         s""","sf":"$sfDir"}"""
