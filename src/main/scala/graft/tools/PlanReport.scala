@@ -702,6 +702,22 @@ object PlanReport {
       }
       rowR("index compaction rewrite (a40 shape)",
         a40of(a40base1), a40of(a40base10))
+      // a42 balance monitor: one groupBy(cluster) count + a broadcast
+      // 1-row totals frame — slope is postings rows scanned, output is
+      // |lists| rows of integer column algebra
+      def a42of(base: String): Long = {
+        val p = spark.read.parquet(base)
+        val counts = p.groupBy(col("cluster").cast("int").as("list_id"))
+          .agg(count(lit(1)).as("n_vec"))
+        counts.crossJoin(broadcast(counts.agg(
+            sum(col("n_vec")).as("n_tot"), count(lit(1)).as("n_lists"))))
+          .select(col("list_id"),
+            expr("(n_vec * n_lists * 1000000L) div n_tot")
+              .as("imbalance_ppm"))
+          .count()
+      }
+      rowR("index balance monitor (a42 shape)",
+        a42of(a40base1), a42of(a40base10))
       // the art_* builds themselves: the cross-JVM store amortizes
       // them across processes, but the first build must still scale
       val ord = graft.Tables.orders(spark, dir).cache(); ord.count()
@@ -735,7 +751,9 @@ object PlanReport {
       sb.append("round-trip: no shuffle at all, slope = selected rows. The a40\n")
       sb.append("compaction rewrite reads postings once, filters tombstones, and\n")
       sb.append("rewrites partitioned parquet — IO-bound both directions, slope =\n")
-      sb.append("postings rows. The art_* builds scale as their dominant shuffle:\n")
+      sb.append("postings rows; a42's balance monitor is one count aggregate over\n")
+      sb.append("the same postings (slope = rows scanned, |lists|-row output).\n")
+      sb.append("The art_* builds scale as their dominant shuffle:\n")
       sb.append("co-purchase = the per-order pair fan-out (bounded by C(lines,2)\n")
       sb.append("per order, ×10 orders ⇒ ×10 pairs), cust-part = one join + one\n")
       sb.append("distinct shuffle on the edge key (×10 customers ⇒ ×10 edges);\n")
