@@ -141,7 +141,73 @@ object Profile {
     * is consumed and RELEASED inside the call — no cache survives. */
   def exactQuantilesDistributed(df: DataFrame, groupCol: String,
                                 valueMicro: Column,
-                                percents: Seq[Int]): DataFrame = {
+                                percents: Seq[Int],
+                                localComputeMaxRows: Long = 20000000L,
+                                localComputeMaxGroups: Int = 16): DataFrame = {
+    // LOCAL regime (r11, the Hits/Triangles/q49 pattern): this is the
+    // FEW-huge-groups form by contract, so below the row guard the
+    // answer is |groups| primitive long-array sorts on the driver —
+    // the distributed plan is ~8 sequential AQE stages (range
+    // partition + persist + offset windows + 4 broadcast joins) whose
+    // scheduling floor dwarfs the sort at bench scale (3.6 s for
+    // 600k rows at sf0.1). Byte budget: ≤ 20M rows × 8 B per-group
+    // primitive collects = 160 MB transient total, LocalGraph's
+    // derivation discipline. Gated to orderable atomic group types
+    // whose literals round-trip (string/integral/date); anything else
+    // — and any row/group count past the guards — keeps the
+    // distributed plan below unchanged, the 100 TB path. Same
+    // interpolation integers, same null-group-is-a-group contract
+    // (ProfileSpec pins regime equality).
+    val groupType = df.select(col(groupCol)).schema.fields.head.dataType
+    val localizable = groupType match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.DateType => true
+      case _ => false
+    }
+    if (localizable) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val v = df.select(col(groupCol).as("__g"), valueMicro.as("v6"))
+        .filter(col("v6").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // one job yields the group list AND per-group sizes; the
+        // limit caps the collect if the few-groups contract is wrong
+        val groups = v.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+          .limit(localComputeMaxGroups + 1).collect()
+        if (groups.length <= localComputeMaxGroups &&
+            groups.map(_.getLong(1)).sum <= localComputeMaxRows &&
+            groups.nonEmpty) {
+          val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+          groups.foreach { g =>
+            val gv = g.get(0)
+            val pred =
+              if (gv == null) col("__g").isNull
+              else col("__g") === lit(gv)
+            val arr = v.filter(pred).select(col("v6")).as[Long].collect()
+            java.util.Arrays.sort(arr)
+            val n = arr.length.toLong
+            percents.foreach { p =>
+              val k = (p * (n - 1)) / 100
+              val frac = (p * (n - 1)) % 100
+              val lo = arr(k.toInt)
+              val hi = if (k + 1 < n) arr(k.toInt + 1) else lo
+              out.add(org.apache.spark.sql.Row(gv, p,
+                lo * (100L - frac) + hi * frac))
+            }
+          }
+          import org.apache.spark.sql.types._
+          return spark.createDataFrame(out, StructType(Seq(
+              StructField(groupCol, groupType),
+              StructField("p", IntegerType, nullable = false),
+              StructField("pctl_u", LongType))))
+            .orderBy(col(groupCol), col("p"))
+        }
+      } finally v.unpersist(blocking = false)
+    }
     var snapshot: DataFrame = null
     // |groups|·|percentiles| output rows: materialize inside the call
     // and release the (nondeterministic-boundary) snapshot in finally —

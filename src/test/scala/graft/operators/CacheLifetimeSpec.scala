@@ -43,10 +43,18 @@ class CacheLifetimeSpec extends AnyFunSuite {
   test("exactQuantilesDistributed releases its range snapshot") {
     val df = (1 to 500).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "v")
     val before = cachedIds
-    val out = Profile.exactQuantilesDistributed(df, "g", col("v"), Seq(50, 90))
+    // force the distributed path: the snapshot under test only exists
+    // there (the r11 local regime releases its own projection in
+    // finally — asserted by the same cachedIds check on a second call)
+    val out = Profile.exactQuantilesDistributed(df, "g", col("v"),
+      Seq(50, 90), localComputeMaxRows = 0L)
     assert((cachedIds -- before).isEmpty,
       "the bounded-output quantile form must not leave its snapshot pinned")
     assert(out.count() === 6L)
+    val outLocal = Profile.exactQuantilesDistributed(df, "g", col("v"), Seq(50, 90))
+    assert((cachedIds -- before).isEmpty,
+      "the local regime must release its projection before returning")
+    assert(outLocal.count() === 6L)
   }
 
   test("GlobalIds persists are ledger-registered; releaseAll drops them") {

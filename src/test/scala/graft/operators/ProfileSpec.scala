@@ -83,9 +83,15 @@ class ProfileSpec extends AnyFunSuite {
       df.collect().map(r => (Option(r.getString(0)), r.getInt(1),
         r.getLong(2))).toSet
     val w = canon(Profile.exactQuantiles(rows, "g", col("v"), ps))
+    // localComputeMaxRows = 0 forces the DISTRIBUTED two-level plan
     val d = canon(Profile.exactQuantilesDistributed(
-      rows.repartition(5), "g", col("v"), ps))
+      rows.repartition(5), "g", col("v"), ps, localComputeMaxRows = 0L))
     assert(w === d)
+    // and the r11 LOCAL regime (primitive per-group sorts) is
+    // row-equal too — including the null group
+    val l = canon(Profile.exactQuantilesDistributed(
+      rows.repartition(5), "g", col("v"), ps))
+    assert(w === l)
     assert(w.nonEmpty && w.exists(_._1.isEmpty), "null group must survive")
   }
 
