@@ -225,7 +225,8 @@ object Bench {
     "q52_cusum_changepoint", "d22_kmv_jaccard", "a33_hard_negatives",
     "t43_texttiling", "g06_hits", "a34_silhouette", "q53_rolling_mad",
     "t44_semantic_contam", "p35_mixture_budget", "q54_abc_pareto",
-    "a35_retrieval_bakeoff", "t45_burstiness", "a36_index_ingest",
+    "a35_retrieval_bakeoff", "t45_burstiness", "t46_window_ttr",
+    "a36_index_ingest",
     "a37_index_serve", "p36_adpcm_decode", "a38_filtered_search",
     "a39_index_delete", "a40_index_compact", "a41_index_merge",
     "a42_index_balance",

@@ -461,6 +461,38 @@ object Relational13 {
       .orderBy(col("term"))
   }
 
+  /** t46: windowed type-token ratio — the lexical-diversity quality
+    * signal the Gopher/C4-style filters use alongside repetition
+    * fractions (t14) and readability (t21): raw TTR collapses with
+    * document length, so the standard fix is distinct-word ratios over
+    * FIXED 50-word windows (full windows only), averaged. Low windowed
+    * TTR = template/keyword-stuffed junk even when n-gram repetition
+    * fractions pass. Integer-exact: ttr_ppm =
+    * (Σ_win distinct) · 10⁶ div (n_win · 50); docs under 50 words have
+    * no full window and a NULL ratio (callers length-floor first).
+    *
+    * Scale posture: ONE map-only pass — the window fold is a
+    * scan-local higher-order `aggregate(transform(...))` over the
+    * split array, so nothing shuffles but the final |docs|-row sort.
+    * This is the cheapest shape a per-doc signal can take at 100 TB. */
+  def t46WindowTtr(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        expr("size(ws) div 50").cast("long").as("n_win"),
+        // sequence(1, 0) DESCENDS in Spark — guard the empty case
+        expr("""aggregate(
+            |  transform(
+            |    CASE WHEN size(ws) >= 50 THEN sequence(1, size(ws) div 50)
+            |         ELSE array() END,
+            |    w -> size(array_distinct(slice(ws, (w - 1) * 50 + 1, 50)))),
+            |  0L, (a, x) -> a + x)""".stripMargin).as("sum_distinct"))
+      .select(col("doc_id"), col("n_win"), col("sum_distinct"),
+        expr("CASE WHEN n_win = 0 THEN NULL " +
+          "ELSE (sum_distinct * 1000000L) div (n_win * 50) END")
+          .as("ttr_ppm"))
+      .orderBy(col("doc_id"))
+
   /** a36: incremental ingest into a FROZEN IVF index — the production
     * path [[graft.operators.IndexStore]] exists for: the coarse
     * quantizer trains ONCE on the base corpus (even vec_ids), then the
@@ -797,6 +829,7 @@ object Relational13 {
     "a41_index_merge"       -> a41IndexMerge _,
     "a42_index_balance"     -> a42IndexBalance _,
     "t45_burstiness"        -> t45Burstiness _,
+    "t46_window_ttr"        -> t46WindowTtr _,
     "t44_semantic_contam"   -> t44SemanticContam _,
     "p35_mixture_budget"    -> p35MixtureBudget _,
     "q54_abc_pareto"        -> q54AbcPareto _,
@@ -821,6 +854,21 @@ object Relational13 {
       a42Oracle.map("a42_index_balance" -> _)
 
   private val staticOracles: Map[String, String] = Map(
+    "t46_window_ttr" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    CAST(len(ws) // 50 AS BIGINT) AS n_win,
+        |    CAST(coalesce(list_sum(list_transform(
+        |      generate_series(1, len(ws) // 50), w ->
+        |        len(list_distinct(ws[(w - 1) * 50 + 1 : w * 50])))), 0)
+        |      AS BIGINT) AS sum_distinct
+        |  FROM w)
+        |SELECT doc_id, n_win, sum_distinct,
+        |  CAST(CASE WHEN n_win = 0 THEN NULL
+        |    ELSE (sum_distinct * 1000000) // (n_win * 50) END AS BIGINT)
+        |    AS ttr_ppm
+        |FROM f ORDER BY doc_id""".stripMargin,
     "t45_burstiness" ->
       """WITH n AS (SELECT count(*) AS n FROM documents),
         |perdoc AS (SELECT w, doc_id, count(*) AS x FROM (
