@@ -122,7 +122,14 @@ object PageRank {
           val touched = new Array[Boolean](n)
           i = 0
           while (i < n) {
-            if (pPresent(i)) {
+            // od > 0 guard: a SINK node (dst-only, no out-edges) holds
+            // mass but contributes nothing — exactly the distributed
+            // inner join's behavior; without the guard its p(i)/0
+            // would throw on pathological directed inputs (r11 review;
+            // the documented contract unions reverse edges, so no
+            // production caller reaches this, but the regimes must
+            // agree on every input)
+            if (pPresent(i) && offsets(i + 1) > offsets(i)) {
               val od = (offsets(i + 1) - offsets(i)).toLong
               val c = p(i) / od
               var k = offsets(i)

@@ -1312,7 +1312,13 @@ object CurationQueries {
       val dir = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), "graft_ckpt",
         s"p18_$tag").toString
-      df.write.mode("overwrite").parquet(dir)
+      // coalesce(8): the stage outputs are ~10k-row frames — 32
+      // one-file-per-partition writes cost more driver/commit overhead
+      // than the data (r11 measured); 8 files keep read parallelism
+      // for the LM's 5 downstream scans. At real scale the stage
+      // output is large and the coalesce is a no-op bound, not a
+      // bottleneck (coalesce never raises partition count).
+      df.coalesce(8).write.mode("overwrite").parquet(dir)
       spark.read.parquet(dir)
     }
     val cleaned = ckpt(TextAnalysis.removeBoilerplate(lined, "doc_id", "source",

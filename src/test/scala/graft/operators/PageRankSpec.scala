@@ -47,6 +47,11 @@ class PageRankSpec extends AnyFunSuite {
     // out of the rank vector after round 1 on both paths (the local
     // regime must not mis-handle the missing-key lookup)
     both(Seq((1L, 2L), (2L, 3L), (3L, 2L)).toDF("src", "dst"))
+    // DIRECTED with a pure SINK: node 4 receives mass but has no
+    // out-edges — the r11 packed regime must skip its contribution
+    // (od = 0) like the distributed inner join does, not divide by
+    // zero (r11 review regression)
+    both(Seq((1L, 2L), (2L, 1L), (2L, 4L), (1L, 4L)).toDF("src", "dst"))
   }
 
   test("regular graph: every node keeps the same rank") {
