@@ -396,17 +396,32 @@ object Bench {
     // this JVM's process CPU = CPU burned by OTHER processes during
     // the timed window. A quiet host shows a few percent (daemons, the
     // sbt wrapper); a co-tenant shows up as its own core-seconds no
-    // matter how smoothly it steals. Linux ticks are USER_HZ = 100 on
-    // every mainstream kernel config; non-Linux reads return -1 and
-    // the quiet verdict falls back to the probe/load witnesses.
+    // matter how smoothly it steals. Tick size comes from
+    // `getconf CLK_TCK` (sampled once; USER_HZ=100 only as fallback —
+    // r11 advice: non-100Hz boxes overstated busy 10×); non-Linux reads
+    // return -1 and the quiet verdict falls back to the probe/load
+    // witnesses.
+    val tickMillis: Long =
+      try {
+        val p = new ProcessBuilder("getconf", "CLK_TCK").start()
+        val out = scala.util.Using.resource(
+          scala.io.Source.fromInputStream(p.getInputStream))(_.mkString.trim)
+        p.waitFor()
+        val hz = out.toLong
+        if (hz > 0) 1000L / hz else 10L
+      } catch { case _: Throwable => 10L }
     def hostBusyMillis(): Long =
       try {
         val line = scala.util.Using.resource(
           scala.io.Source.fromFile("/proc/stat"))(_.getLines().next())
-        // cpu user nice system idle iowait irq softirq steal guest ...
-        val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+        // cpu user nice system idle iowait irq softirq steal guest guest_nice
+        // guest/guest_nice are ALREADY folded into user/nice by the
+        // kernel (r11 advice: summing them double-counts VM-guest time
+        // and can spuriously flip host_quiet on a VM-hosting box) —
+        // busy = the first 8 fields minus idle+iowait, guests excluded.
+        val f = line.trim.split("\\s+").drop(1).map(_.toLong).take(8)
         val idle = f(3) + (if (f.length > 4) f(4) else 0L) // idle+iowait
-        (f.sum - idle) * 10L // 100 Hz ticks → ms
+        (f.sum - idle) * tickMillis
       } catch { case _: Throwable => -1L }
 
     // PER-QUERY host probe (r9 advice #1): the end-of-run calibration
@@ -601,8 +616,22 @@ object Bench {
         s"probe median ${"%.0f".formatLocal(java.util.Locale.ROOT, medianOps)} " +
         s"vs calibration ${"%.0f".formatLocal(java.util.Locale.ROOT, cal0Ops)}); " +
         "re-run on a quiet host before committing it as the headline")
+    // value_norm (r11 verdict #3): the calibration-NORMALIZED total, so
+    // the artifact itself carries the cross-round-comparable number
+    // instead of delegating normalization to a reader policy. The host's
+    // delivered per-core speed moves day to day (frequency/thermal/
+    // hypervisor state no in-container witness can attribute);
+    // value_norm = value × (probe_cal_ops / PINNED_CAL) converts this
+    // run's total to "seconds on the pinned-reference host". PINNED_CAL
+    // is the r11 committed quiet headline's start-of-run probe
+    // (BASELINE.md names it) — r11's own value_norm ≡ its raw 110.24 s
+    // by construction. Single-thread probe as the normalizer is the
+    // documented approximation: host.cal_nt_ops stays in the artifact
+    // as the secondary multi-thread reading.
+    val pinnedCalOps = 262313.0
+    val valueNorm = if (cal0Ops > 0) total * (cal0Ops / pinnedCalOps) else total
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qjson,"contended_n":$contendedN,""" +
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","value_norm":${f(valueNorm)},"queries":$qjson,"contended_n":$contendedN,""" +
         "\"load1_max\":%.2f".formatLocal(java.util.Locale.ROOT, loadMax) +
         s""","host_quiet":$hostQuiet,"dirty_n":$dirtyN,""" +
         "\"other_cpu_pct\":%.1f".formatLocal(java.util.Locale.ROOT, otherCpuPct) +

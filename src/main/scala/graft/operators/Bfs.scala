@@ -57,18 +57,18 @@ object Bfs {
     // primitive byte budget: ≈180 MB peak at the 10M-edge guard) is
     // bit-identical to the k-superstep plan, and below the guards it
     // replaces k sequential join+distinct+anti-join+checkpoint stages
-    // whose scheduling floor dwarfs the walk. Null endpoints, null
-    // sources, or ids outside [0, 2³¹) (the packing bound) keep the
-    // distributed plan; past the guards it runs unchanged.
+    // whose scheduling floor dwarfs the walk. Null endpoints or null
+    // sources keep the distributed plan; past the guards it runs
+    // unchanged. Any id range (r12): ids past the packing bound take
+    // LocalGraph's dictionary pre-pass instead of losing the regime.
     if (st.getLong(0) > 0 && st.getLong(0) <= localComputeMaxEdges &&
-        st.getLong(1) == 0 &&
-        st.getLong(2) <= LocalGraph.MaxId && st.getLong(3) >= 0L) {
+        st.getLong(1) == 0) {
       val srcRows = src.collect()
       if (srcRows.forall(!_.isNullAt(0))) {
-        val packed = LocalGraph.collectPacked(e, "src", "dst")
-        val ids = LocalGraph.nodeIds(packed)
+        val (packed, ids) = LocalGraph.collectIndexed(e, "src", "dst",
+          st.getLong(3), st.getLong(2))
         if (ids.length <= localComputeMaxNodes) {
-          val (offsets, targets) = LocalGraph.csr(packed, ids)
+          val (offsets, targets) = LocalGraph.csrIndexed(packed, ids.length)
           // dist over node indices; sources OUTSIDE the edge list's
           // node set still emit (id, 0) — the distributed union does
           val dist = new Array[Int](ids.length)

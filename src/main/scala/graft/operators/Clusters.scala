@@ -66,15 +66,15 @@ object Clusters {
       max(greatest(col("src"), col("dst"))),
       min(least(col("src"), col("dst")))).collect()(0)
     if (longIds && st.getLong(1) == 0 &&
-        st.getLong(0) > 0 && st.getLong(0) <= localComputeMaxEdges &&
-        st.getLong(2) <= LocalGraph.MaxId && st.getLong(3) >= 0L) {
+        st.getLong(0) > 0 && st.getLong(0) <= localComputeMaxEdges) {
       // one packed-long collect + union-find over dense node indices
       // (r11, was Array[Row] + boxed HashMap — see LocalGraph's
       // primitive byte budget: ≈180 MB peak at the 10M-edge guard).
       // The dictionary is SORTED by id, so a smaller index IS a
-      // smaller id and union-by-min-index = union-by-min-id.
-      val packed = LocalGraph.collectPacked(edges, "src", "dst")
-      val ids = LocalGraph.nodeIds(packed)
+      // smaller id and union-by-min-index = union-by-min-id. Any id
+      // range (r12): out-of-bound ids take the dictionary pre-pass.
+      val (packed, ids) = LocalGraph.collectIndexed(edges, "src", "dst",
+        st.getLong(3), st.getLong(2))
       if (ids.length <= localComputeMaxNodes) {
         val parent = new Array[Int](ids.length)
         var i = 0
@@ -89,8 +89,9 @@ object Clusters {
         }
         i = 0
         while (i < packed.length) {
-          val ra = find(LocalGraph.idx(ids, LocalGraph.src(packed(i))))
-          val rb = find(LocalGraph.idx(ids, LocalGraph.dst(packed(i))))
+          // packed words are already dense indices (collectIndexed)
+          val ra = find(LocalGraph.src(packed(i)).toInt)
+          val rb = find(LocalGraph.dst(packed(i)).toInt)
           if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
           i += 1
         }

@@ -300,7 +300,18 @@ object Dedup {
     // |docs|-row frame serves both sides; same division and rounding
     // as jaccardPairs (hash-set intersection = string-set intersection
     // up to the house-wide ~10⁻⁸ md5-prefix collision odds the oracle
-    // replays identically)
+    // replays identically).
+    // LARGE-CORPUS BOUND (r11 advice): collision odds grow as
+    // n_distinct²/2⁶¹ over the DISTINCT shingle population — ~2e-3 at
+    // 10⁹ distinct shingles, non-negligible approaching the 100 TB
+    // design point. A colliding pair inflates n_inter by 1 (jaccard
+    // drifts up by ~1/union — it can only ADD near-misses at the
+    // threshold boundary, never drop true pairs). If exactness at that
+    // scale matters, widen the verify arrays to the full 128-bit md5
+    // (struct(hi, lo) or twin columns; odds fall to n²/2¹²⁸) at the
+    // cost of doubling the dictionary's array bytes — the candidate
+    // join keys can STAY 60-bit, a prefix-key collision only adds a
+    // candidate the verify then rejects.
     cand
       .join(docs.select(col("id").as("id_a"), col("sarr").as("sa"),
         col("n_sh").as("na")), "id_a")

@@ -46,11 +46,12 @@ object KCore {
     // LocalGraph's primitive byte budget — ≈180 MB peak at the
     // 10M-edge guard) reproduces every wave (and therefore the ROUND
     // COUNT the oracle unroll depends on) exactly, without 2 checkpoint
-    // jobs + 3 shuffles per round. Gated to Long ids in [0, 2³¹) (the
-    // packing bound) and null-free edges; edge MULTIPLICITY is
-    // preserved (degree = edge-row count, the distributed aggregate's
-    // semantics — the CSR keeps duplicate rows). Past the guards the
-    // superstep peel below runs unchanged.
+    // jobs + 3 shuffles per round. Gated to Long ids (any range — r12:
+    // ids past the packing bound take LocalGraph's dictionary
+    // pre-pass) and null-free edges; edge MULTIPLICITY is preserved
+    // (degree = edge-row count, the distributed aggregate's semantics
+    // — the CSR keeps duplicate rows). Past the guards the superstep
+    // peel below runs unchanged.
     val longIds = sym.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
     val st = sym.agg(count(lit(1)),
@@ -58,12 +59,11 @@ object KCore {
       max(greatest(col("u"), col("v"))),
       min(least(col("u"), col("v")))).collect()(0)
     if (longIds && st.getLong(1) == 0 &&
-        st.getLong(0) > 0 && st.getLong(0) <= localComputeMaxEdges &&
-        st.getLong(2) <= LocalGraph.MaxId && st.getLong(3) >= 0L) {
-      val packed = LocalGraph.collectPacked(sym, "u", "v")
-      val ids = LocalGraph.nodeIds(packed)
+        st.getLong(0) > 0 && st.getLong(0) <= localComputeMaxEdges) {
+      val (packed, ids) = LocalGraph.collectIndexed(sym, "u", "v",
+        st.getLong(3), st.getLong(2))
       if (ids.length <= localComputeMaxNodes) {
-        val (offsets, targets) = LocalGraph.csr(packed, ids)
+        val (offsets, targets) = LocalGraph.csrIndexed(packed, ids.length)
         val n = ids.length
         // sym contains BOTH directions, so every node has out-rows and
         // deg(i) = out-multiplicity = the distributed degree aggregate

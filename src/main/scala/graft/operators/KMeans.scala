@@ -49,7 +49,14 @@ object KMeans {
         Int.box(best)
       }
     }
-    f(expr(s"transform($vecCol, x -> cast(x as double))"))
+    // asNondeterministic: the argmin IS pure, but downstream equi-joins
+    // on the produced `cluster` column make InferFiltersFromConstraints
+    // add isnotnull(cluster), and PushDownPredicates then substitutes
+    // the WHOLE UDF into the pushed filter — the k·dim distance scan
+    // runs twice per row (once in Filter, once in Project; r11 verdict,
+    // PLANS.md a08/a36). Blocking pushdown keeps the null-guard above
+    // the project, evaluating isnotnull on the already-computed column.
+    f.asNondeterministic()(expr(s"transform($vecCol, x -> cast(x as double))"))
   }
 
   /** Train k centroids; returns (assignments DF (id, cluster), centroids
@@ -131,7 +138,12 @@ object KMeans {
         Int.box(best)
       }
     }
-    df.select(col(idCol), col(vecCol), f(quantized(vecCol, scale)).as("cluster"))
+    // asNondeterministic for the same reason as [[argminCluster]]: the
+    // function is pure, but without it the join null-guard duplicates
+    // the k-way integer distance scan below the Project (r11 verdict —
+    // a08/a36 paid the k=256 scan twice per corpus row).
+    df.select(col(idCol), col(vecCol),
+      f.asNondeterministic()(quantized(vecCol, scale)).as("cluster"))
   }
 
   /** Fixed-point multi-probe: each row explodes to its `p` nearest

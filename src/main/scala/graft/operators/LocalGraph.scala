@@ -66,12 +66,85 @@ object LocalGraph {
   def idx(ids: Array[Long], id: Long): Int =
     java.util.Arrays.binarySearch(ids, id)
 
-  /** CSR over node INDICES: for i in [0, |V|), targets(k) for k in
-    * [offsets(i), offsets(i+1)) are the dst indices of ids(i)'s
-    * out-edges. Duplicate edges are PRESERVED (degree = edge-row
+  /** First position in sorted `a` whose value is ≥ `key` (lower bound;
+    * `a.length` when every value is smaller) — the range-probe half of
+    * the packed-array CSR walk ([[Triangles]]' closing-edge test). */
+  def lowerBound(a: Array[Long], key: Long): Int = {
+    val s = java.util.Arrays.binarySearch(a, key)
+    if (s >= 0) s else -s - 1
+  }
+
+  /** INDEX-packed edges (src_idx·2³² + dst_idx over the dense
+    * dictionary position) + the sorted id dictionary — the one entry
+    * point every unipartite local regime builds from (r11 verdict #5/
+    * #8: one packing rule in one file). Ids inside [0, 2³¹) pack
+    * directly (ONE typed collect, then an in-place re-pack to
+    * indices); ids outside the bound — including ≥ 2³¹ and negative —
+    * take the dictionary PRE-PASS (r11 stretch): one distinct-endpoint
+    * collect builds the dictionary, then edges collect already
+    * index-packed via a broadcast-dictionary binary search. Indices
+    * are dense in [0, |V|), and |V| ≤ 2·|E| under the callers' edge
+    * guard, so index packing never violates the bound no matter what
+    * the raw ids are. Byte budget: 8 B/edge packed + 8 B/node
+    * dictionary either way (the pre-pass adds one |V|-bounded
+    * distinct shuffle, executor-side).
+    *
+    * Caller contract unchanged: null-free edges, verified from the
+    * same stats aggregate that counts them. */
+  def collectIndexed(df: DataFrame, srcCol: String, dstCol: String,
+                     minId: Long, maxId: Long): (Array[Long], Array[Long]) =
+    if (minId >= 0 && maxId <= MaxId) {
+      val packed = collectPacked(df, srcCol, dstCol)
+      val ids = nodeIds(packed)
+      var i = 0
+      while (i < packed.length) {
+        packed(i) = idx(ids, src(packed(i))).toLong * Pack +
+          idx(ids, dst(packed(i)))
+        i += 1
+      }
+      (packed, ids)
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val ids = df.select(col(srcCol)).unionAll(df.select(col(dstCol)))
+        .distinct().as[Long].collect()
+      java.util.Arrays.sort(ids)
+      val bc = spark.sparkContext.broadcast(ids)
+      val toIdx = udf { (id: Long) =>
+        java.util.Arrays.binarySearch(bc.value, id).toLong }
+      val packed = df
+        .select((toIdx(col(srcCol)) * Pack + toIdx(col(dstCol))).as("p"))
+        .as[Long].collect()
+      (packed, ids)
+    }
+
+  /** CSR from INDEX-packed edges (both words already dense indices —
+    * [[collectIndexed]]'s output): for i in [0, nNodes), targets(k)
+    * for k in [offsets(i), offsets(i+1)) are the dst indices of node
+    * i's out-edges. Duplicate edges are PRESERVED (degree = edge-row
     * multiplicity, matching the distributed count aggregates); the
-    * out-lists are ascending (index-packed sort). Transient peak: one
-    * extra 8 B/edge index-packed array, dead on return. */
+    * out-lists are ascending. SORTS `packedIdx` IN PLACE (callers that
+    * also iterate the edge array only read src/dst of each element,
+    * order-independent). */
+  def csrIndexed(packedIdx: Array[Long], nNodes: Int): (Array[Int], Array[Int]) = {
+    val m = packedIdx.length
+    java.util.Arrays.sort(packedIdx)
+    val offsets = new Array[Int](nNodes + 1)
+    val targets = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      targets(i) = (packedIdx(i) & (Pack - 1)).toInt
+      offsets((packedIdx(i) >>> 32).toInt + 1) += 1
+      i += 1
+    }
+    i = 0
+    while (i < nNodes) { offsets(i + 1) += offsets(i); i += 1 }
+    (offsets, targets)
+  }
+
+  /** CSR from RAW-id packed edges + the sorted dictionary: index-packs
+    * a transient copy (8 B/edge, dead on return) and defers to
+    * [[csrIndexed]]. */
   def csr(packed: Array[Long], ids: Array[Long]): (Array[Int], Array[Int]) = {
     val m = packed.length
     val byIdx = new Array[Long](m)
@@ -81,17 +154,6 @@ object LocalGraph {
         idx(ids, dst(packed(i)))
       i += 1
     }
-    java.util.Arrays.sort(byIdx)
-    val offsets = new Array[Int](ids.length + 1)
-    val targets = new Array[Int](m)
-    i = 0
-    while (i < m) {
-      targets(i) = (byIdx(i) & (Pack - 1)).toInt
-      offsets((byIdx(i) >>> 32).toInt + 1) += 1
-      i += 1
-    }
-    i = 0
-    while (i < ids.length) { offsets(i + 1) += offsets(i); i += 1 }
-    (offsets, targets)
+    csrIndexed(byIdx, ids.length)
   }
 }

@@ -74,8 +74,9 @@ object PageRank {
     // LOCAL regime (r10, the Hits/Triangles pattern): below the edge
     // and node guards — and only on a NULL-FREE edge list (null
     // endpoints alter the distributed seed divisor and group topology;
-    // correctness must not depend on regime) with ids in [0, 2³¹)
-    // (the LocalGraph packing bound) — the whole fixed-k iteration
+    // correctness must not depend on regime); any id range (r12: ids
+    // past the packing bound take LocalGraph's dictionary pre-pass
+    // instead of losing the regime) — the whole fixed-k iteration
     // runs over one collected packed-long edge array + a CSR in plain
     // Long arithmetic: mass is conserved (every rank ≤ Scale = 10¹²,
     // every per-dst sum ≤ total mass), so Long never overflows, and
@@ -91,12 +92,14 @@ object PageRank {
       max(greatest(col("src"), col("dst"))),
       min(least(col("src"), col("dst")))).collect()(0)
     if (est.getLong(0) > 0 && est.getLong(0) <= localComputeMaxEdges &&
-        est.getLong(1) == 0 &&
-        est.getLong(2) <= LocalGraph.MaxId && est.getLong(3) >= 0L) {
-      val packed = LocalGraph.collectPacked(e, "src", "dst")
-      val ids = LocalGraph.nodeIds(packed)
+        est.getLong(1) == 0) {
+      // ids past the [0, 2³¹) packing bound no longer lose the regime:
+      // collectIndexed falls back to the dictionary pre-pass (r11
+      // stretch), returning index-packed edges either way
+      val (packed, ids) = LocalGraph.collectIndexed(e, "src", "dst",
+        est.getLong(3), est.getLong(2))
       if (ids.length <= localComputeMaxNodes) {
-        val (offsets, targets) = LocalGraph.csr(packed, ids)
+        val (offsets, targets) = LocalGraph.csrIndexed(packed, ids.length)
         val n = ids.length
         // outdeg per node index straight off the CSR; the rank vector
         // lives only on nodes PRESENT each round (pPresent), exactly

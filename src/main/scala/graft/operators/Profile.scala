@@ -159,14 +159,26 @@ object Profile {
     // interpolation integers, same null-group-is-a-group contract
     // (ProfileSpec pins regime equality).
     val groupType = df.select(col(groupCol)).schema.fields.head.dataType
-    val localizable = groupType match {
+    // r11 advice: the local regime hard-reads values as Long, so it is
+    // gated on the VALUE column being integral too — a fractional-typed
+    // value expression keeps the distributed plan (which carries
+    // whatever numeric type the caller handed it), instead of throwing
+    // where the old `.as[Long]` landed under the guards.
+    val valueType = df.select(valueMicro.as("__v")).schema.fields.head.dataType
+    val localizable = (groupType match {
       case org.apache.spark.sql.types.StringType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.DateType => true
       case _ => false
-    }
+    }) && (valueType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    })
     if (localizable) {
       val spark = df.sparkSession
       import spark.implicits._
@@ -174,20 +186,53 @@ object Profile {
         .filter(col("v6").isNotNull)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // one job yields the group list AND per-group sizes; the
+        // job 1 yields the group list AND per-group sizes; the
         // limit caps the collect if the few-groups contract is wrong
         val groups = v.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
           .limit(localComputeMaxGroups + 1).collect()
         if (groups.length <= localComputeMaxGroups &&
             groups.map(_.getLong(1)).sum <= localComputeMaxRows &&
             groups.nonEmpty) {
+          // job 2 (r11 verdict #7 — was |groups| sequential filter jobs):
+          // ONE pass collects every group's values as per-partition
+          // PRIMITIVE long chunks. The ≤16 groups map to dense indexes
+          // via a when-chain (evaluated executor-side), each task folds
+          // its rows into per-group ArrayBuilder.ofLong and emits
+          // (group_idx, chunk) — so the collect carries ~8 B/value plus
+          // |parts|·|groups| array headers, the SAME byte budget as the
+          // old per-group collects, in 2 jobs total instead of
+          // |groups|+1.
+          val gvals = groups.map(_.get(0))
+          val nG = gvals.length
+          var idxExpr: Column = lit(-1)
+          gvals.zipWithIndex.foreach { case (gv, i) =>
+            val cond = if (gv == null) col("__g").isNull
+                       else col("__g") === lit(gv)
+            idxExpr = when(cond, lit(i)).otherwise(idxExpr)
+          }
+          val chunks = v.select(idxExpr.as("gi"), col("v6").cast("long").as("vv"))
+            .as[(Int, Long)]
+            .mapPartitions { it =>
+              val bufs = Array.fill(nG)(
+                new scala.collection.mutable.ArrayBuilder.ofLong)
+              it.foreach { t => if (t._1 >= 0 && t._1 < nG) bufs(t._1) += t._2 }
+              Iterator.range(0, nG).map(i => (i, bufs(i).result()))
+                .filter(_._2.nonEmpty)
+            }.collect()
+          // driver side: concatenate each group's chunks into its
+          // pre-sized primitive array (sizes known from job 1), sort,
+          // interpolate — chunk arrival order is irrelevant pre-sort
+          val sizes = groups.map(_.getLong(1).toInt)
+          val acc = Array.tabulate(nG)(i => new Array[Long](sizes(i)))
+          val fill = new Array[Int](nG)
+          chunks.foreach { case (gi, arr) =>
+            System.arraycopy(arr, 0, acc(gi), fill(gi), arr.length)
+            fill(gi) += arr.length
+          }
           val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
-          groups.foreach { g =>
-            val gv = g.get(0)
-            val pred =
-              if (gv == null) col("__g").isNull
-              else col("__g") === lit(gv)
-            val arr = v.filter(pred).select(col("v6")).as[Long].collect()
+          var gi = 0
+          while (gi < nG) {
+            val arr = acc(gi)
             java.util.Arrays.sort(arr)
             val n = arr.length.toLong
             percents.foreach { p =>
@@ -195,9 +240,10 @@ object Profile {
               val frac = (p * (n - 1)) % 100
               val lo = arr(k.toInt)
               val hi = if (k + 1 < n) arr(k.toInt + 1) else lo
-              out.add(org.apache.spark.sql.Row(gv, p,
+              out.add(org.apache.spark.sql.Row(gvals(gi), p,
                 lo * (100L - frac) + hi * frac))
             }
+            gi += 1
           }
           import org.apache.spark.sql.types._
           return spark.createDataFrame(out, StructType(Seq(

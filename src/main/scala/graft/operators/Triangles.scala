@@ -62,7 +62,12 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
-  private val Pack = 4294967296L // 2^32
+  // ONE packing rule, ONE file (r11 verdict #5): the packed-long key
+  // layout and its id bound live in LocalGraph; Triangles — the
+  // operator the toolkit was promoted FROM — now consumes them like
+  // every other local regime, so the two copies can't drift (the r11
+  // sink-node bug was exactly a rewrite-duplication artifact).
+  private val Pack = LocalGraph.Pack
 
   def perNodeCounts(edges: DataFrame, aCol: String, bCol: String,
                     maxBroadcastEdges: Long = 10000000L): DataFrame = {
@@ -106,7 +111,7 @@ object Triangles {
       // vertex's closing edges are silently missed (review r9). With
       // ids < 2³¹ the largest key is (2³¹−1)·2³² + 2³²−1 = 2⁶³−1,
       // exactly Long.Max — every probe stays in signed range.
-      if (m <= maxBroadcastEdges && maxId < Pack / 2 && minId >= 0) {
+      if (m <= maxBroadcastEdges && maxId <= LocalGraph.MaxId && minId >= 0) {
         // the probe set is packed ID-CANONICALLY (min id · 2³² + max
         // id), NOT in orientation direction: u's out-list below is in
         // id order while edges are (d, id)-oriented, so a wedge pair
@@ -117,16 +122,12 @@ object Triangles {
         // (orientation can't change edge identity), so the oriented
         // join feeds exactly ONE consumer — the out-list aggregate —
         // and needs no persist.
-        val packed = e.select(
-          (least(col("a"), col("b")) * Pack +
-            greatest(col("a"), col("b"))).as("p"))
-          .as[Long].collect()
+        val canon = e.select(least(col("a"), col("b")).as("lo"),
+          greatest(col("a"), col("b")).as("hi"))
+        val packed = LocalGraph.collectPacked(canon, "lo", "hi")
         java.util.Arrays.sort(packed)
         val bc = spark.sparkContext.broadcast(packed)
-        def lowerBound(a: Array[Long], key: Long): Int = {
-          val s = java.util.Arrays.binarySearch(a, key)
-          if (s >= 0) s else -s - 1
-        }
+        val lowerBound = LocalGraph.lowerBound _
         dirE.groupBy(col("u"))
           .agg(sort_array(collect_list(col("w"))).as("ns"))
           .as[(Long, Seq[Long])]

@@ -51,7 +51,11 @@ object ModelCache {
     * embeddings table — trained once EVER per (corpus version,
     * params), served from the cross-JVM store after that. */
   def pqModel(spark: SparkSession, dir: String): ProductQuantizer.Model =
-    pqMemo.computeIfAbsent(s"$dir|pq-8-16-2", _ => {
+    // the memo key carries the SAME corpus fingerprint as the store key
+    // (r11 advice): a corpus regenerated under the same dir within one
+    // JVM misses the memo and re-resolves through the store, instead of
+    // serving the stale in-process model for the JVM lifetime.
+    pqMemo.computeIfAbsent(s"$dir|pq-8-16-2|fp=${fp(dir)}", _ => {
       val path = IndexStore.publishPath(s"mc_pq-8-16-2.v1|$dir|fp=${fp(dir)}")
       IndexStore.loadOrPublishPq(spark, path) {
         ProductQuantizer.fit(
@@ -73,7 +77,7 @@ object ModelCache {
     * from the same plan. */
   def ivfPqIndex(spark: SparkSession, dir: String)
       : (ProductQuantizer.IvfPqModel, org.apache.spark.sql.DataFrame) =
-    ivfPqMemo.computeIfAbsent(s"$dir|ivfpq-16-8-16-2", _ => {
+    ivfPqMemo.computeIfAbsent(s"$dir|ivfpq-16-8-16-2|fp=${fp(dir)}", _ => {
       val path = IndexStore.publishPath(
         s"mc_ivfpq-16-8-16-2.v1|$dir|fp=${fp(dir)}")
       var trainedResid: Option[org.apache.spark.sql.DataFrame] = None
@@ -107,7 +111,7 @@ object ModelCache {
     * oracle both consume, so artifact-served and freshly-trained runs
     * are bit-identical by construction. */
   def kmeansCoarse(spark: SparkSession, dir: String): Array[Array[Long]] =
-    kmeansMemo.computeIfAbsent(s"$dir|km-coarse", _ => {
+    kmeansMemo.computeIfAbsent(s"$dir|km-coarse|fp=${fp(dir)}", _ => {
       val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
       // one count() job to SIZE the model — k is a hyperparameter of
       // corpus cardinality, needed before training AND in the key

@@ -66,6 +66,28 @@ class ClustersSpec extends AnyFunSuite {
     assert(local === run(0L))
   }
 
+  test("ids past the packing bound still take the LOCAL path (dictionary pre-pass)") {
+    // two components whose ids straddle 2³¹/2³² (r12 stretch) — the
+    // union-find must route through LocalGraph's id dictionary and
+    // still return a driver-built LocalRelation, equal to the
+    // distributed propagation
+    val big = 5000000000L
+    val pairs = Seq((big, big + 3L), (big + 3L, 2147483648L),
+      (7L, big + 100L)).toDF("id_a", "id_b")
+    val localDf = Clusters.connectedComponents(pairs)
+    assert(localDf.queryExecution.logical.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      "big-id pair graph fell off the local regime")
+    val local = localDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Clusters.connectedComponents(pairs, localComputeMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === dist)
+    assert(local === Map(
+      big -> 2147483648L, (big + 3L) -> 2147483648L,
+      2147483648L -> 2147483648L,
+      7L -> 7L, (big + 100L) -> 7L))
+  }
+
   test("empty pair graph yields empty labeling") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Clusters.connectedComponents(empty).isEmpty)

@@ -54,6 +54,29 @@ class PageRankSpec extends AnyFunSuite {
     both(Seq((1L, 2L), (2L, 1L), (2L, 4L), (1L, 4L)).toDF("src", "dst"))
   }
 
+  test("ids past the packing bound still take the LOCAL path (dictionary pre-pass)") {
+    // ids straddle 2³¹ and 2³² (r12 stretch): direct packing is
+    // impossible, so LocalGraph.collectIndexed must route through the
+    // id dictionary — and the result must still be a driver-built
+    // LocalRelation (the local regime), bit-equal to the distributed
+    // plan
+    val big = 5000000000L // 5e9 > 2³²
+    val edges = undirected(Seq(
+      (big, big + 7L), (big + 7L, 2147483648L), (2147483648L, 3L),
+      (3L, big), (big + 7L, 3L))).toDF("src", "dst")
+    val localDf = PageRank.pageRank(edges, "src", "dst", iterations = 5,
+      edgesDistinct = true)
+    assert(localDf.queryExecution.logical.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      "big-id graph fell off the local regime")
+    val local = localDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = PageRank.pageRank(edges, "src", "dst", iterations = 5,
+        edgesDistinct = true, localComputeMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === dist)
+    assert(local.keySet === Set(big, big + 7L, 2147483648L, 3L))
+  }
+
   test("regular graph: every node keeps the same rank") {
     // undirected 4-cycle: perfectly symmetric
     val got = run(undirected(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))))
