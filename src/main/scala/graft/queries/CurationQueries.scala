@@ -1319,7 +1319,10 @@ object CurationQueries {
       // output is large and the coalesce is a no-op bound, not a
       // bottleneck (coalesce never raises partition count).
       df.coalesce(8).write.mode("overwrite").parquet(dir)
-      spark.read.parquet(dir)
+      // read back under the schema just written — skips the per-stage
+      // footer-inference job (r12 job-census cut; the schema is by
+      // construction the written one)
+      spark.read.schema(df.schema).parquet(dir)
     }
     val cleaned = ckpt(TextAnalysis.removeBoilerplate(lined, "doc_id", "source",
         "ltext", minDocFreq = 5L)

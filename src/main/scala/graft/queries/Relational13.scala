@@ -750,8 +750,9 @@ object Relational13 {
   /** a42's replay: the a15 oracle's coarse-assignment CTEs (same
     * quantized-centroid L2² argmin, same (dist, ci) tie-break) grouped
     * by list. Null-free guard mirrors the engine's isNotNull filters
-    * (the sf corpora carry none — defensive parity). */
-  private def a42OracleSql(centsQ: Array[Array[Long]]): String = {
+    * (the sf corpora carry none — defensive parity). Shared with s33's
+    * streaming twin (same served artifact, same readout — r12). */
+  private[queries] def a42OracleSql(centsQ: Array[Array[Long]]): String = {
     val cents = centsQ.zipWithIndex.map { case (c, i) =>
       s"($i, ${c.mkString("[", ", ", "]")})" }.mkString(",\n    ")
     s"""WITH v AS (SELECT vec_id,

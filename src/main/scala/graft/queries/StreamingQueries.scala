@@ -988,7 +988,60 @@ object StreamingQueries {
       .limit(20)
   }
 
+  /** s33: streaming index-balance monitor — a42's lifecycle readout
+    * run CONTINUOUSLY (r11 verdict #6: balance is the monitor an ops
+    * team actually watches, per-batch, not per-audit). The stream
+    * TAILS the SERVED postings artifact (a40's fp-keyed parquet store
+    * — the same bytes serving reads; each posting file that lands in
+    * the store is a micro-batch arrival), per-list occupancy is the
+    * streaming state (one count cell per list — the bounded-monoid
+    * discipline, k cells total), and complete mode re-emits the
+    * running occupancy every batch: successive emissions ARE the
+    * per-batch occupancy deltas a dashboard plots. The ppm share and
+    * FAISS imbalance factor derive on the k-row SINK table where the
+    * totals are a broadcast scalar. Oracle: the batch a42 SQL — the
+    * coarse-assignment replay grouped by list, so the streamed state
+    * also re-proves the artifact fresh. StreamingSpec pins the
+    * restart: occupancy recovered from the checkpoint, no file
+    * replayed, resumed counts equal the single-batch groupBy. */
+  def streamIndexBalance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{IndexStore, ProductQuantizer}
+    val (model, resid) = ModelCache.ivfPqIndex(spark, dir)
+    val basePath = IndexStore.publishPath(
+      s"ivfpq_16-8-16-2_fit2x_post|$dir|fp=${ModelCache.fp(dir)}")
+    // materialize/publish exactly like a42 (no-op when a prior JVM
+    // already did) — then the stream tails the artifact directory
+    val postings = IndexStore.loadOrPublishPostings(spark, basePath) {
+      ProductQuantizer.encodeIvfPqPostings(resid, model)
+    }
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(basePath)))
+        basePath
+      else { // unpublishable store: stage to a JVM temp dir and tail that
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s33_post")
+        tmp.toFile.deleteOnExit()
+        postings.write.mode("overwrite").parquet(tmp.toString)
+        tmp.toString
+      }
+    s33Oracle = Some(Relational13.a42OracleSql(model.centsQ))
+    val schema = spark.read.parquet(streamDir).schema
+    val counts = spark.readStream.schema(schema).parquet(streamDir)
+      .groupBy(col("cluster").cast("int").as("list_id"))
+      .agg(count(lit(1)).as("n_vec"))
+    val occ = awaitMemorySink(counts, "complete")
+    occ.crossJoin(broadcast(
+        occ.agg(sum(col("n_vec")).as("n_tot"),
+          count(lit(1)).as("n_lists"))))
+      .select(col("list_id"), col("n_vec"),
+        expr("(n_vec * 1000000L) div n_tot").as("share_ppm"),
+        expr("(n_vec * n_lists * 1000000L) div n_tot").as("imbalance_ppm"))
+      .orderBy(col("list_id"))
+  }
+
+  @volatile private var s33Oracle: Option[String] = None
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s33_stream_index_balance" -> streamIndexBalance _,
     "s24_stream_basket" -> streamBasketRules _,
     "s25_stream_twa" -> streamTwa _,
     "s26_stream_cusum" -> streamCusum _,
@@ -1318,5 +1371,10 @@ object StreamingQueries {
         |  CAST(sum(nf) AS BIGINT) AS total_frames,
         |  CAST(max(pk) AS BIGINT) AS max_peak,
         |  CAST(sum(en) AS BIGINT) AS total_energy
-        |FROM per GROUP BY 1 ORDER BY bucket""".stripMargin)
+        |FROM per GROUP BY 1 ORDER BY bucket""".stripMargin) ++
+    // s33 == batch a42: occupancy cells are a count monoid over the
+    // served artifact, so the streamed state equals the batch groupBy
+    // whatever the file/batch boundaries; the oracle's assignment
+    // replay re-proves artifact freshness through the stream too
+    s33Oracle.map("s33_stream_index_balance" -> _)
 }

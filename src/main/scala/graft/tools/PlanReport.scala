@@ -1048,13 +1048,84 @@ object PlanReport {
       """
         |All rows run against the UNCACHED synthetic expansion, so each
         |internal scan of the input re-pays the ×100 generation: bigram LM
-        |evaluates its source four times (bigram stream twice, vocabulary
-        |scalar, doc counts) and BM25 twice, which is why their cells run
-        |~4×/2× their single-scan cost — per-scan they are linear like the
+        |evaluates its source three times (bigram stream — model counts
+        |derive from the per-doc counts since r12 —, vocabulary scalar,
+        |doc counts) and BM25 twice, which is why their cells run
+        |~3×/2× their single-scan cost — per-scan they are linear like the
         |rest. On real 100 TB inputs the scans read parquet, not a
         |crossJoin, and the multi-scan operators read their PERSISTED
         |narrow projections instead (the p18 stage-boundary pattern).
         |""".stripMargin)
+
+    // p18 JOB CENSUS (r11 verdict #2): p18's cost is action count, not
+    // executor work (cpu ≈ 3× stage_cpu) — name every Spark job one
+    // run schedules, grouped by execution, so the scheduling floor is
+    // auditable instead of asserted.
+    locally {
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+      val jends = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val execId = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+            .getOrElse("-")
+          jobs.put(js.jobId, (execId, js.time))
+        }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          jends.put(je.jobId, je.time)
+      }
+      graft.core.Caching.CacheLedger.releaseAll(); spark.catalog.clearCache()
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      graft.queries.CurationQueries.queries("p18_curate_full")(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      spark.sparkContext.removeSparkListener(listener)
+      import scala.jdk.CollectionConverters._
+      val rows = jobs.asScala.toSeq.sortBy(_._1)
+      val execIds = rows.map(_._2._1).filter(_ != "-").distinct
+        .sortBy(_.toLong)
+      val execName = execIds.zipWithIndex.map { case (e, i) =>
+        e -> (i match {
+          case 0 => "write ckpt `cleaned` (boilerplate strip)"
+          case 1 => "write ckpt `kept` (bigram-LM gate + digest dedup)"
+          case 2 => "final readout (vocab encode + pack + sort)"
+          case n => s"execution $n"
+        })
+      }.toMap
+      sb.append(f"\n## p18 job census (one warm run at sf0.1 — $dt%.2f s, ${rows.size} jobs)\n\n")
+      sb.append("| phase | jobs | Σ job ms |\n|---|---|---|\n")
+      (rows.groupBy(_._2._1).toSeq
+        .sortBy { case (e, _) => if (e == "-") -1L else e.toLong })
+        .foreach { case (e, rs) =>
+        val tot = rs.map { case (id, (_, st)) =>
+          jends.asScala.get(id).map(_ - st).getOrElse(0L) }.sum
+        val name = if (e == "-") "non-SQL (schema/ledger bookkeeping)"
+                   else execName.getOrElse(e, e)
+        sb.append(s"| $name | ${rs.size} | $tot |\n")
+      }
+      sb.append(
+        """
+          |Why the floor is what it is: the three executions are the two
+          |stage-boundary checkpoints (load-bearing — the LM scans its
+          |input repeatedly; see the ckpt scaladoc) plus the final
+          |readout, and essentially every job inside them is an AQE
+          |stage materialization (shuffle-stage jobs Spark schedules one
+          |per exchange under adaptive execution) — not extra actions.
+          |r12 cut the fusable ones: the LM's model counts now DERIVE
+          |from its per-doc counts (one exploded-bigram pass instead of
+          |two) and the checkpoint read-backs reuse the written schema
+          |(no footer-inference job per stage). The remaining jobs map
+          |1:1 onto exchanges the semantics require (boilerplate df +
+          |rebuild, LM bigram/vocab/score aggregates, digest dedup,
+          |vocab rank + offset prefix-sum + encode join + final sort);
+          |fusing any further would mean deleting a required shuffle,
+          |not a job. AQE's per-stage jobs are the price of runtime
+          |re-planning — at 100 TB that trade runs the right direction,
+          |and the ~tens-of-ms scheduling cost per stage is a local-mode
+          |artifact, not a cluster cost.
+          |""".stripMargin)
+    }
 
     // Bench health forensics: render the latest bench_metrics.json's
     // executor-side facts (BenchQueryListener, round-8) so the plan

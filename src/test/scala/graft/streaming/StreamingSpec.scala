@@ -667,6 +667,43 @@ class StreamingSpec extends AnyFunSuite {
       "recovered XtX/Xty state must yield bit-identical coefficients and R²")
   }
 
+  test("index-balance restart: per-list occupancy recovers from the " +
+      "checkpoint — resumed counts equal the single-batch groupBy") {
+    // the s33 monitor's state is one count cell per list; a restart
+    // that lost cells or replayed a posting file shifts an occupancy
+    // (and with it share_ppm/imbalance_ppm) — equality against the
+    // all-at-once batch aggregate is the full-state witness (r12,
+    // the dstr/hllr pattern over the posting-store shape)
+    val spark2 = spark
+    import spark2.implicits._
+    val drop = tmp("ibr_drop"); val ckpt = tmp("ibr_ckpt")
+    def runOnce(qn: String): Map[Int, Long] = {
+      val src = spark.readStream
+        .schema("id BIGINT, cluster INT")
+        .option("recursiveFileLookup", "true").parquet(drop)
+      val counts = src.groupBy(col("cluster").as("list_id"))
+        .agg(count(lit(1)).as("n_vec"))
+      val q = counts.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+      spark.table(qn).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    // skewed lists across the two drops: list 2 only in drop 1, list 3
+    // only in drop 2, lists 0/1 straddle the restart
+    val b1 = (1 to 40).map(i => (i.toLong, i % 3))
+    val b2 = (41 to 70).map(i => (i.toLong, if (i % 2 == 0) 3 else i % 2))
+    b1.toDF("id", "cluster").coalesce(1).write.parquet(s"$drop/b1")
+    val first = runOnce("ibr_run1") // the first monitor process dies here
+    assert(first === b1.groupBy(_._2).view.mapValues(_.size.toLong).toMap)
+    b2.toDF("id", "cluster").coalesce(1).write.parquet(s"$drop/b2")
+    val resumed = runOnce("ibr_run2")
+    val batch = (b1 ++ b2).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(resumed === batch,
+      "recovered occupancy cells must equal the single-batch counts")
+  }
+
   test("session flush restart: sessions evicted before the stop are not " +
       "re-emitted; later sessions still flush — union equals batch, disjoint") {
     val spark2 = spark
