@@ -511,10 +511,9 @@ object TextAnalysis {
     * Output: (doc_id, n_bigrams, nll); docs with < 2 words report (0, 0.0). */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
                     persistWords: Boolean = true): DataFrame = {
-    // the narrow word-array projection feeds THREE consumers (the
-    // bigram stream — model counts now DERIVE from the per-doc counts,
-    // see below —, the vocab scalar, and the final n_bigrams join);
-    // unpersisted, each cascades back
+    // the narrow word-array projection feeds FOUR consumers (bigram
+    // stream ×2 — model counts and per-doc counts —, the vocab scalar,
+    // and the final n_bigrams join); unpersisted, each cascades back
     // through the caller's upstream pipeline, which at 100× rows was
     // measured at 54 s of redundant rescans. Persisting the projection
     // caps every caller at ONE input scan. Repeated-invocation callers
@@ -532,24 +531,23 @@ object TextAnalysis {
       .select(col("doc_id"),
         expr("xxhash64(element_at(ws, i))").as("h1"),
         expr("xxhash64(element_at(ws, i), element_at(ws, i + 1))").as("h12"))
-    // ONE pass over the exploded bigram stream (r12 — was two: a raw
-    // h12-keyed model count AND a (doc, h12)-keyed per-doc count, each
-    // re-running the explode from cache): the per-doc frame is built
-    // first, and the model counts DERIVE from it — c12 = Σ_doc k, and
-    // h1 rides along (it is a function of h12, so max() per group is
-    // exact). The shared (doc_id, h12) exchange is reused by both
-    // consumers (ReuseExchange); the model-count shuffle now carries
-    // per-doc-distinct bigram rows instead of raw occurrences — at
-    // corpus scale this deletes a full explode + occurrence-keyed
-    // shuffle, the bigger of the two original passes.
-    val docBi = bi.groupBy(col("doc_id"), col("h12"))
-      .agg(count(lit(1)).as("k"), max(col("h1")).as("h1"))
-    val bcnt = docBi.groupBy(col("h12"))
-      .agg(max(col("h1")).as("h1"), sum(col("k")).as("c12"))
+    // TWO deliberate passes over the exploded bigram stream, both read
+    // from the cached projection (r12 note: deriving the model counts
+    // from the per-doc counts was built and REJECTED — Catalyst's
+    // column pruning specializes each consumer's aggregate chain, so
+    // the shared (doc_id, h12) exchange never canonicalizes equal and
+    // the "fused" form pays 2–3 explodes plus an extra shuffle on the
+    // model-count path; forcing reuse would need a second corpus-sized
+    // cache entry, which the vocabEncode measurement already showed
+    // costs more than re-exploding from the cached arrays).
+    val bcnt = bi.groupBy(col("h12"))
+      .agg(max(col("h1")).as("h1"), count(lit(1)).as("c12"))
     val ccnt = bcnt.groupBy(col("h1")).agg(sum(col("c12")).as("cctx"))
     val vrow = base.select(explode(col("ws")).as("w"))
       .agg(count_distinct(expr("xxhash64(w)")).as("v"))
-    val scores = docBi.drop("h1")
+    val docBi = bi.groupBy(col("doc_id"), col("h12"))
+      .agg(count(lit(1)).as("k"))
+    val scores = docBi
       .join(bcnt, Seq("h12"))
       .join(ccnt, Seq("h1"))
       .crossJoin(broadcast(vrow))

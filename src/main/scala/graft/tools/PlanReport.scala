@@ -1048,10 +1048,9 @@ object PlanReport {
       """
         |All rows run against the UNCACHED synthetic expansion, so each
         |internal scan of the input re-pays the ×100 generation: bigram LM
-        |evaluates its source three times (bigram stream — model counts
-        |derive from the per-doc counts since r12 —, vocabulary scalar,
-        |doc counts) and BM25 twice, which is why their cells run
-        |~3×/2× their single-scan cost — per-scan they are linear like the
+        |evaluates its source four times (bigram stream twice, vocabulary
+        |scalar, doc counts) and BM25 twice, which is why their cells run
+        |~4×/2× their single-scan cost — per-scan they are linear like the
         |rest. On real 100 TB inputs the scans read parquet, not a
         |crossJoin, and the multi-scan operators read their PERSISTED
         |narrow projections instead (the p18 stage-boundary pattern).
@@ -1112,10 +1111,14 @@ object PlanReport {
           |readout, and essentially every job inside them is an AQE
           |stage materialization (shuffle-stage jobs Spark schedules one
           |per exchange under adaptive execution) — not extra actions.
-          |r12 cut the fusable ones: the LM's model counts now DERIVE
-          |from its per-doc counts (one exploded-bigram pass instead of
-          |two) and the checkpoint read-backs reuse the written schema
-          |(no footer-inference job per stage). The remaining jobs map
+          |r12 cut the fusable ones — the checkpoint read-backs now
+          |reuse the written schema (no footer-inference job per stage)
+          |— and REJECTED the non-fusable one after building it: deriving
+          |the LM's model counts from its per-doc counts looks like a
+          |deleted pass, but Catalyst's column pruning specializes each
+          |consumer's aggregate chain, so the shared exchange never
+          |canonicalizes equal and the "fusion" costs an extra shuffle
+          |instead (see bigramLmScore's scaladoc). The remaining jobs map
           |1:1 onto exchanges the semantics require (boilerplate df +
           |rebuild, LM bigram/vocab/score aggregates, digest dedup,
           |vocab rank + offset prefix-sum + encode join + final sort);

@@ -110,6 +110,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no direct text re-scan outside the cached projection:\n$p")
   }
 
+  test("t19: both bigram passes read the cached projection — the corpus " +
+      "text is never re-scanned for the LM aggregates") {
+    // the two-explode shape is DELIBERATE (r12: the fused single-pass
+    // form was built and rejected — pruning specializes the consumers'
+    // aggregate chains, costing an extra shuffle); what must hold is
+    // that every pass reads the persisted narrow projection, never the
+    // parquet text again
+    val p = plan("t19_bigram_lm")
+    val cacheReads = "InMemoryTableScan".r.findAllIn(p).length
+    assert(cacheReads >= 4,
+      s"all four consumers must read the cached word arrays ($cacheReads):\n$p")
+    assert(!p.split("InMemoryRelation").head.contains("FileScan parquet"),
+      s"no direct text re-scan outside the cached projection:\n$p")
+  }
+
   test("embed pipeline plan has no shuffle before the sink") {
     val df = queries.PipelineQueries.embedPipeline(spark, dir)
     // the orderBy in the query surface adds an exchange; audit the raw
