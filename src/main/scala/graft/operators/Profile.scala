@@ -144,18 +144,23 @@ object Profile {
                                 percents: Seq[Int],
                                 localComputeMaxRows: Long = 20000000L,
                                 localComputeMaxGroups: Int = 16): DataFrame = {
-    // LOCAL regime (r11, the Hits/Triangles/q49 pattern): this is the
-    // FEW-huge-groups form by contract, so below the row guard the
-    // answer is |groups| primitive long-array sorts on the driver —
-    // the distributed plan is ~8 sequential AQE stages (range
-    // partition + persist + offset windows + 4 broadcast joins) whose
-    // scheduling floor dwarfs the sort at bench scale (3.6 s for
-    // 600k rows at sf0.1). Byte budget: ≤ 20M rows × 8 B per-group
-    // primitive collects = 160 MB transient total, LocalGraph's
-    // derivation discipline. Gated to orderable atomic group types
-    // whose literals round-trip (string/integral/date); anything else
-    // — and any row/group count past the guards — keeps the
-    // distributed plan below unchanged, the 100 TB path. Same
+    // LOCAL regime (r11, the Hits/Triangles/q49 pattern; r12: two jobs,
+    // no cache): this is the FEW-huge-groups form by contract, so
+    // below the row guard the answer is |groups| primitive long-array
+    // sorts on the driver — the distributed plan is ~8 sequential AQE
+    // stages (range partition + persist + offset windows + 4 broadcast
+    // joins) whose scheduling floor dwarfs the sort at bench scale
+    // (3.6 s for 600k rows at sf0.1). Exactly TWO Spark jobs: the
+    // group census (the pre-collect guard) and one mapPartitions
+    // collect of per-partition per-group primitive chunks — the r11
+    // form's per-group filter jobs AND its persist are both gone (the
+    // cache write measured ~2× the cost of just re-running the pruned
+    // 2-column scan). Byte budget: ≤ 20M rows × 8 B primitive chunks
+    // = 160 MB transient total, LocalGraph's derivation discipline.
+    // Gated to orderable atomic group types whose literals round-trip
+    // (string/integral/date) AND integral value types (r11 advice);
+    // anything else — and any row/group count past the guards — keeps
+    // the distributed plan below unchanged, the 100 TB path. Same
     // interpolation integers, same null-group-is-a-group contract
     // (ProfileSpec pins regime equality).
     val groupType = df.select(col(groupCol)).schema.fields.head.dataType
@@ -182,47 +187,62 @@ object Profile {
     if (localizable) {
       val spark = df.sparkSession
       import spark.implicits._
+      // NO persist between the two local-regime jobs (r12): the census
+      // and the collect each run one 2-column (pruned) scan of the
+      // input, and materializing a cache entry between them measured
+      // ~2× the second scan's cost at sf0.1 (census-with-cache-write
+      // 0.9–1.4 s vs 0.33 + 0.40 s for two plain scans). Both jobs
+      // read the same deterministic plan; the fill below additionally
+      // verifies the two jobs agreed and falls back to the distributed
+      // plan (which snapshots via persist) on any drift.
       val v = df.select(col(groupCol).as("__g"), valueMicro.as("v6"))
         .filter(col("v6").isNotNull)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        // job 1 yields the group list AND per-group sizes; the
-        // limit caps the collect if the few-groups contract is wrong
-        val groups = v.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
-          .limit(localComputeMaxGroups + 1).collect()
-        if (groups.length <= localComputeMaxGroups &&
-            groups.map(_.getLong(1)).sum <= localComputeMaxRows &&
-            groups.nonEmpty) {
-          // job 2 (r11 verdict #7 — was |groups| sequential filter jobs):
-          // ONE pass collects every group's values as per-partition
-          // PRIMITIVE long chunks. The ≤16 groups map to dense indexes
-          // via a when-chain (evaluated executor-side), each task folds
-          // its rows into per-group ArrayBuilder.ofLong and emits
-          // (group_idx, chunk) — so the collect carries ~8 B/value plus
-          // |parts|·|groups| array headers, the SAME byte budget as the
-          // old per-group collects, in 2 jobs total instead of
-          // |groups|+1.
-          val gvals = groups.map(_.get(0))
-          val nG = gvals.length
-          var idxExpr: Column = lit(-1)
-          gvals.zipWithIndex.foreach { case (gv, i) =>
-            val cond = if (gv == null) col("__g").isNull
-                       else col("__g") === lit(gv)
-            idxExpr = when(cond, lit(i)).otherwise(idxExpr)
-          }
-          val chunks = v.select(idxExpr.as("gi"), col("v6").cast("long").as("vv"))
-            .as[(Int, Long)]
-            .mapPartitions { it =>
-              val bufs = Array.fill(nG)(
-                new scala.collection.mutable.ArrayBuilder.ofLong)
-              it.foreach { t => if (t._1 >= 0 && t._1 < nG) bufs(t._1) += t._2 }
-              Iterator.range(0, nG).map(i => (i, bufs(i).result()))
-                .filter(_._2.nonEmpty)
-            }.collect()
-          // driver side: concatenate each group's chunks into its
-          // pre-sized primitive array (sizes known from job 1), sort,
-          // interpolate — chunk arrival order is irrelevant pre-sort
-          val sizes = groups.map(_.getLong(1).toInt)
+      // job 1 yields the group list AND the pre-collect size guard;
+      // the limit caps the collect if the few-groups contract is wrong
+      val groups = v.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+        .limit(localComputeMaxGroups + 1).collect()
+      if (groups.length <= localComputeMaxGroups &&
+          groups.map(_.getLong(1)).sum <= localComputeMaxRows &&
+          groups.nonEmpty) {
+        // job 2 (r11 verdict #7 — was |groups| sequential filter jobs):
+        // ONE pass collects every group's values as per-partition
+        // PRIMITIVE long chunks. The ≤16 groups map to dense indexes
+        // via a when-chain (evaluated executor-side), each task folds
+        // its rows into per-group ArrayBuilder.ofLong and emits
+        // (group_idx, chunk) — the collect carries ~8 B/value plus
+        // |parts|·|groups| array headers, the per-group-collect byte
+        // budget, in 2 jobs total instead of |groups|+1. Slot nG
+        // catches rows whose group the census never saw — any such
+        // row means the input drifted between jobs and the local
+        // answer would be wrong.
+        val gvals = groups.map(_.get(0))
+        val nG = gvals.length
+        var idxExpr: Column = lit(nG)
+        gvals.zipWithIndex.foreach { case (gv, i) =>
+          val cond = if (gv == null) col("__g").isNull
+                     else col("__g") === lit(gv)
+          idxExpr = when(cond, lit(i)).otherwise(idxExpr)
+        }
+        val chunks = v.select(idxExpr.as("gi"), col("v6").cast("long").as("vv"))
+          .as[(Int, Long)]
+          .mapPartitions { it =>
+            val bufs = Array.fill(nG + 1)(
+              new scala.collection.mutable.ArrayBuilder.ofLong)
+            it.foreach { t =>
+              bufs(if (t._1 >= 0 && t._1 <= nG) t._1 else nG) += t._2 }
+            Iterator.range(0, nG + 1).map(i => (i, bufs(i).result()))
+              .filter(_._2.nonEmpty)
+          }.collect()
+        // sizes derive from the chunks themselves (no census coupling);
+        // the census only gated the collect's byte budget above
+        val sizes = new Array[Int](nG)
+        var consistent = true
+        chunks.foreach { case (gi, a) =>
+          if (gi >= nG) consistent = false else sizes(gi) += a.length
+        }
+        var g = 0
+        while (g < nG) { if (sizes(g) == 0) consistent = false; g += 1 }
+        if (consistent) {
           val acc = Array.tabulate(nG)(i => new Array[Long](sizes(i)))
           val fill = new Array[Int](nG)
           chunks.foreach { case (gi, arr) =>
@@ -252,7 +272,7 @@ object Profile {
               StructField("pctl_u", LongType))))
             .orderBy(col(groupCol), col("p"))
         }
-      } finally v.unpersist(blocking = false)
+      }
     }
     var snapshot: DataFrame = null
     // |groups|·|percentiles| output rows: materialize inside the call
