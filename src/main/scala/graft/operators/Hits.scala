@@ -100,8 +100,6 @@ object Hits {
       min(least(col("c"), col("p")))).collect()(0)
     val m = st.getLong(0)
     val nullEdges = st.getLong(1)
-    val idsPackable = m > 0 && st.getLong(2) <= LocalGraph.MaxId &&
-      st.getLong(3) >= 0L
     if (m == 0) {
       val sp = edges.sparkSession
       import org.apache.spark.sql.types._
@@ -133,11 +131,13 @@ object Hits {
     // (it surfaces in the hub total and can rank), and replicating
     // that null topology locally buys nothing — graph callers serve
     // null-free artifacts, and correctness must not depend on regime.
-    // Ids outside [0, 2³¹) also stay distributed (the LocalGraph
-    // packing bound — the local regime collects ONE packed-long array,
-    // 8 B/edge, not boxed Rows; r11, see LocalGraph's byte budget).
-    if (m <= localComputeMaxEdges && nullEdges == 0 && idsPackable)
-      return hitsLocal(edges.sparkSession, e, iterations, topK)
+    // Any id range (r12): ids past the [0, 2³¹) packing bound take
+    // LocalGraph's bipartite dictionary pre-pass instead of losing
+    // the regime (8 B/edge + two |side|-bounded dictionaries either
+    // way — see LocalGraph's byte budget).
+    if (m <= localComputeMaxEdges && nullEdges == 0)
+      return hitsLocal(edges.sparkSession, e, iterations, topK,
+        st.getLong(3), st.getLong(2))
     // sortWithinPartitions: the cached plan's outputOrdering survives
     // InMemoryTableScan, so each round's SortMergeJoin skips re-sorting
     // the |E|-row side (k rounds = k avoided sorts of the big leg)
@@ -258,41 +258,29 @@ object Hits {
     * the score_ppm tripwire — identical failure surface, so specs and
     * oracle pins hold regime-independently. */
   private def hitsLocal(spark: org.apache.spark.sql.SparkSession,
-                        e: DataFrame, iterations: Int, topK: Int): DataFrame = {
+                        e: DataFrame, iterations: Int, topK: Int,
+                        minId: Long, maxId: Long): DataFrame = {
     import java.math.BigInteger
     val D38 = BigInteger.TEN.pow(38)
     val M6 = BigInteger.valueOf(1000000L)
-    // one packed-long collect (r11, was Array[Row] — ~100 B per boxed
-    // edge vs 8 B here; see LocalGraph's byte budget). Caller verified
-    // null-freeness and the [0, 2³¹) packing bound.
-    val packed = LocalGraph.collectPacked(e, "c", "p")
+    // one index-packed collect with per-side dictionaries (r12 — the
+    // bipartite collectIndexed: ids past the packing bound take the
+    // dictionary pre-pass instead of losing the regime; r11: 8 B/edge
+    // primitives, never boxed Rows). Caller verified null-freeness.
+    val (packed, cIds, pIds) =
+      LocalGraph.collectIndexedBipartite(e, "c", "p", minId, maxId)
     // every edge had a null endpoint: the distributed plan's inner
     // joins drop them all and its guarded total raises the empty-graph
     // error — mirror it, don't silently return zero rows
     if (packed.isEmpty)
       throw new IllegalStateException("HITS: empty graph — no authority " +
         "scores to rank (edge input has no rows)")
-    def sortedDistinct(extract: Long => Long): Array[Long] = {
-      val a = new Array[Long](packed.length)
-      var j = 0
-      while (j < packed.length) { a(j) = extract(packed(j)); j += 1 }
-      java.util.Arrays.sort(a)
-      var n = 0
-      j = 0
-      while (j < a.length) {
-        if (n == 0 || a(j) != a(n - 1)) { a(n) = a(j); n += 1 }
-        j += 1
-      }
-      java.util.Arrays.copyOf(a, n)
-    }
-    val cIds = sortedDistinct(LocalGraph.src)
-    val pIds = sortedDistinct(LocalGraph.dst)
     val ec = new Array[Int](packed.length)
     val ep = new Array[Int](packed.length)
     var i = 0
     while (i < packed.length) {
-      ec(i) = LocalGraph.idx(cIds, LocalGraph.src(packed(i)))
-      ep(i) = LocalGraph.idx(pIds, LocalGraph.dst(packed(i)))
+      ec(i) = LocalGraph.src(packed(i)).toInt
+      ep(i) = LocalGraph.dst(packed(i)).toInt
       i += 1
     }
     def checkRound(v: Array[BigInteger], what: String): Unit = {

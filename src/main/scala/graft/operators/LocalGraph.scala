@@ -118,6 +118,71 @@ object LocalGraph {
       (packed, ids)
     }
 
+  /** Sorted distinct values of ONE packed word across the edge array
+    * (the bipartite single-side dictionary; [[nodeIds]] is the
+    * both-endpoints form). Transient peak: one 8 B/edge copy. */
+  def sideIds(packed: Array[Long], extract: Long => Long): Array[Long] = {
+    val a = new Array[Long](packed.length)
+    var j = 0
+    while (j < packed.length) { a(j) = extract(packed(j)); j += 1 }
+    java.util.Arrays.sort(a)
+    var n = 0
+    j = 0
+    while (j < a.length) {
+      if (n == 0 || a(j) != a(n - 1)) { a(n) = a(j); n += 1 }
+      j += 1
+    }
+    java.util.Arrays.copyOf(a, n)
+  }
+
+  /** Bipartite [[collectIndexed]]: SEPARATE dictionaries per endpoint
+    * side — the HITS hub/authority shape, where src and dst live in
+    * different id spaces and each side needs its own dense index.
+    * Returns (index-packed edges — src-side index · 2³² + dst-side
+    * index, each over its OWN dictionary —, sorted src-side ids,
+    * sorted dst-side ids). Ids inside [0, 2³¹) pack raw in one typed
+    * collect and re-pack to indices in place; ids outside the bound
+    * (r12 — previously these LOST the local regime) take the
+    * dictionary pre-pass per side: one distinct collect each, then
+    * edges collect already index-packed via broadcast binary search.
+    * Same byte budget either way: 8 B/edge + 8 B/node per
+    * dictionary. */
+  def collectIndexedBipartite(df: DataFrame, srcCol: String, dstCol: String,
+                              minId: Long, maxId: Long)
+      : (Array[Long], Array[Long], Array[Long]) =
+    if (minId >= 0 && maxId <= MaxId) {
+      val packed = collectPacked(df, srcCol, dstCol)
+      val srcIds = sideIds(packed, src)
+      val dstIds = sideIds(packed, dst)
+      var i = 0
+      while (i < packed.length) {
+        packed(i) = idx(srcIds, src(packed(i))).toLong * Pack +
+          idx(dstIds, dst(packed(i)))
+        i += 1
+      }
+      (packed, srcIds, dstIds)
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      def dict(c: String): Array[Long] = {
+        val a = df.select(col(c)).distinct().as[Long].collect()
+        java.util.Arrays.sort(a)
+        a
+      }
+      val srcIds = dict(srcCol)
+      val dstIds = dict(dstCol)
+      val bs = spark.sparkContext.broadcast(srcIds)
+      val bd = spark.sparkContext.broadcast(dstIds)
+      val si = udf { (id: Long) =>
+        java.util.Arrays.binarySearch(bs.value, id).toLong }
+      val di = udf { (id: Long) =>
+        java.util.Arrays.binarySearch(bd.value, id).toLong }
+      val packed = df
+        .select((si(col(srcCol)) * Pack + di(col(dstCol))).as("p"))
+        .as[Long].collect()
+      (packed, srcIds, dstIds)
+    }
+
   /** CSR from INDEX-packed edges (both words already dense indices —
     * [[collectIndexed]]'s output): for i in [0, nNodes), targets(k)
     * for k in [offsets(i), offsets(i+1)) are the dst indices of node

@@ -51,6 +51,25 @@ class HitsSpec extends AnyFunSuite {
     assert(split === plain)
   }
 
+  test("ids past the packing bound still take the LOCAL path (bipartite dictionary pre-pass)") {
+    // hub/authority ids straddle 2³¹ and 2³² on BOTH sides (r12):
+    // direct packing is impossible, so collectIndexedBipartite must
+    // route each side through its own dictionary — and the local
+    // BigInteger regime must still equal the distributed plan
+    val big = 5000000000L
+    val edges = Seq(
+      (big, big + 1L), (big, 2147483648L), (big + 2L, big + 1L),
+      (3L, big + 1L), (3L, 2147483648L), (big + 2L, 9L))
+      .toDF("c", "p")
+    def run(localMax: Long) = Hits.hits(edges, "c", "p", iterations = 3,
+        topK = 10, localComputeMaxEdges = localMax)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val local = run(10000000L)
+    assert(local === run(0L),
+      "big-id bipartite regimes must agree row for row")
+    assert(local.exists(_._2 == big + 1L), "big authority id must surface")
+  }
+
   test("local and distributed regimes agree on the sf0.001 purchase graph") {
     val edges = graft.queries.GraphCache.custPartEdgesOf(
       graft.Tables.orders(spark, "/root/testdata/sf0.001"),

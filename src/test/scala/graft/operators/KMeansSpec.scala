@@ -67,6 +67,28 @@ class KMeansSpec extends AnyFunSuite {
     assert(p3.count() === 3 * e.count())
   }
 
+  test("assignment UDF evaluates ONCE per row under a downstream join " +
+      "(no isnotnull pushdown duplicate)") {
+    // r11 verdict #1: a deterministic assignment UDF + an equi-join on
+    // `cluster` made InferFiltersFromConstraints push isnotnull(UDF)
+    // below the Project — the k·dim distance scan ran twice per row in
+    // a08/a36. The UDFs are marked nondeterministic to block that; pin
+    // the plan shape so a future revert fails here, not in PLANS.md
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val cq = Array(Array(0L, 0L), Array(1048576L, 1048576L))
+    val assigned = KMeans.assignExact(e, "vec_id", "embedding", cq)
+    val dim = Seq((0, "a"), (1, "b")).toDF("cluster", "tag")
+    val joined = assigned.join(dim, "cluster")
+    val p = joined.queryExecution.executedPlan.toString
+    assert("UDF".r.findAllIn(p).length == 1,
+      s"assignment UDF must appear exactly once in the plan:\n$p")
+    assert(!p.contains("isnotnull(UDF"),
+      s"the join null-guard must not duplicate the UDF:\n$p")
+    assert(joined.count() > 0)
+  }
+
   test("matrix scorer at k=256 matches local brute-force argmin") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), col("embedding"))
