@@ -605,6 +605,12 @@ object Similarity {
         }
         picked.toSeq
       })
+      // pure, but marked nondeterministic for the same reason as
+      // KMeans.assignExact (r12): the posexplode's inferred
+      // size(...)>0 / isnotnull constraints otherwise push below the
+      // Project and re-run the whole greedy selection per group in the
+      // Filter — PLANS.md showed the UDF three times in one plan
+      .asNondeterministic()
     val grouped = cands
       .groupBy(col("query_id"))
       .agg(collect_list(struct(col("neighbor_id"), col("score"))).as("cs"))
