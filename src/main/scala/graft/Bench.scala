@@ -346,6 +346,12 @@ object Bench {
       ("art_kmeans_coarse",
         Seq("a08_ann_ivf_kmeans"),
         () => { graft.queries.ModelCache.kmeansCoarse(spark, sfDir); () }),
+      // r12 verdict #2: a25's SQ8 bounds fit was the one model still
+      // paid in-row — its attribution swung with whatever JIT/warm-up
+      // cost was floating (1.04 ↔ 6.50 s across seeds)
+      ("art_sq8_model",
+        Seq("a25_ann_sq8"),
+        () => { graft.queries.ModelCache.sq8Model(spark, sfDir); () }),
       ("art_ivfpq_index",
         Seq("a15_ann_ivfpq", "a21_ann_recall", "a24_nprobe_sweep",
           "a41_index_merge", "a42_index_balance"),
@@ -401,15 +407,19 @@ object Bench {
     // r11 advice: non-100Hz boxes overstated busy 10×); non-Linux reads
     // return -1 and the quiet verdict falls back to the probe/load
     // witnesses.
-    val tickMillis: Long =
+    // ticks→ms in FLOATING POINT (r12 advice: 1000L / hz truncates —
+    // 300 Hz read as 3 ms understated busy ~10%, and hz > 1000 silently
+    // zeroed every delta, making the co-tenant witness always read
+    // quiet on such hosts). Non-positive hz falls back to USER_HZ=100.
+    val tickMs: Double =
       try {
         val p = new ProcessBuilder("getconf", "CLK_TCK").start()
         val out = scala.util.Using.resource(
           scala.io.Source.fromInputStream(p.getInputStream))(_.mkString.trim)
         p.waitFor()
         val hz = out.toLong
-        if (hz > 0) 1000L / hz else 10L
-      } catch { case _: Throwable => 10L }
+        if (hz > 0) 1000.0 / hz else 10.0
+      } catch { case _: Throwable => 10.0 }
     def hostBusyMillis(): Long =
       try {
         val line = scala.util.Using.resource(
@@ -421,7 +431,7 @@ object Bench {
         // busy = the first 8 fields minus idle+iowait, guests excluded.
         val f = line.trim.split("\\s+").drop(1).map(_.toLong).take(8)
         val idle = f(3) + (if (f.length > 4) f(4) else 0L) // idle+iowait
-        (f.sum - idle) * tickMillis
+        ((f.sum - idle) * tickMs).toLong
       } catch { case _: Throwable => -1L }
 
     // PER-QUERY host probe (r9 advice #1): the end-of-run calibration
@@ -447,11 +457,19 @@ object Bench {
       (ops, load)
     }
     burn(3000) // JIT-warm the probe loop before the first sample
-    // start-of-run calibration for the quiet verdict: the spin rate the
-    // host delivers BEFORE any query runs; the per-row probe median is
-    // judged against this (a >25% mid-run collapse = the host changed
-    // under us, r10 advice #2)
-    val (cal0Ops, _) = hostProbe()
+    // start-of-run calibration for the quiet verdict AND the value_norm
+    // normalizer: the spin rate the host delivers BEFORE any query
+    // runs; the per-row probe median is judged against this (a >25%
+    // mid-run collapse = the host changed under us, r10 advice #2).
+    // MEDIAN of five draws (r12 advice: a single ~30 ms burn is a
+    // noisy normalizer — one GC pause or scheduler blip in it skewed
+    // the whole run's value_norm and trivially satisfied the quiet
+    // gate; the median of five is robust to two bad draws).
+    val cal0Ops = {
+      val draws = Array.fill(5)(hostProbe()._1)
+      java.util.Arrays.sort(draws)
+      draws(2)
+    }
     val runBusy0 = hostBusyMillis()
     val runCpu0 = cpuMillis()
     val runT0 = System.nanoTime()
@@ -504,10 +522,31 @@ object Bench {
     // artifact builds first (fixed declaration order — consumers need
     // them resolved), then the seed-shuffled queries; each timed under
     // the same listener window + cache-teardown protocol
-    val runnables: Seq[(String, () => Unit)] =
-      artifactBuilds.map { case (n, _, run) => (n, run) } ++
-        names.map(n => (n, () => { qs(n)(spark, sfDir).count(); () }))
-    val firstPass = runnables.map { case (name, run) => timeOne(name, run) }
+    val artRunnables: Seq[(String, () => Unit)] =
+      artifactBuilds.map { case (n, _, run) => (n, run) }
+    val queryRunnables: Seq[(String, () => Unit)] =
+      names.map(n => (n, () => { qs(n)(spark, sfDir).count(); () }))
+    // TWO PASSES over the query set (r12 verdict #1): same-code quiet
+    // runs under different day seeds read 109.4 vs 132.9 s NORMALIZED —
+    // a33 swung 1.95 ↔ 8.54 s (executor CPU 16.9 ↔ 70.9 s on identical
+    // 156 tasks) purely on where the day-derived shuffle placed it in a
+    // cold JVM: JIT/tenuring warm-up noise that the sf0.001 warm-up
+    // pass is too small to burn off and value_norm cannot correct.
+    //  - art_* rows publish their FIRST (and only) execution — the
+    //    build-once artifact cost, fixed declaration order, so their
+    //    position (and hence their JIT state) is seed-independent;
+    //  - query rows run a full-scale UNTIMED-for-the-headline cold
+    //    pass first (kept per-row as cold_sec forensics), then the
+    //    PUBLISHED warm pass — steady-state numbers a different seed
+    //    order reproduces because the JIT work is already done.
+    // The headline total = art builds + warm queries: one production
+    // cycle — build every artifact once, then serve every query warm.
+    val artRows = artRunnables.map { case (name, run) => timeOne(name, run) }
+    val coldSec: Map[String, Double] =
+      queryRunnables.map { case (name, run) => name -> timeOne(name, run).sec }
+        .toMap
+    val firstPass = artRows ++
+      queryRunnables.map { case (name, run) => timeOne(name, run) }
 
     // CONTENTION VERDICT per row (r9 advice #1). Two independent
     // witnesses, either flags:
@@ -628,7 +667,20 @@ object Bench {
     // by construction. Single-thread probe as the normalizer is the
     // documented approximation: host.cal_nt_ops stays in the artifact
     // as the secondary multi-thread reading.
-    val pinnedCalOps = 262313.0
+    // PINNED_CAL comes from config/bench.json (r12 advice: a hand
+    // -pinned literal in code is invisible to a reader of the artifact
+    // chain; the config file names the reference host's spin rate and
+    // the round that pinned it). The literal fallback keeps a deleted
+    // or unreadable config from crashing the run — it equals the
+    // committed config value.
+    val pinnedCalOps: Double =
+      try {
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"),
+          "config", "bench.json"))
+        """"pinned_cal_ops"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble).getOrElse(262313.0)
+      } catch { case _: Throwable => 262313.0 }
     val valueNorm = if (cal0Ops > 0) total * (cal0Ops / pinnedCalOps) else total
     val line =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","value_norm":${f(valueNorm)},"queries":$qjson,"contended_n":$contendedN,""" +
@@ -661,7 +713,10 @@ object Bench {
       val verdict = s""","stage_cpu_ms":${r.stageCpuMs}""" +
         s""","other_cpu_ms":${r.otherCpuMs}""" +
         s""","contended":$wasContended""" +
-        firstSec.fold("")(s => s""","first_sec":${f(s)}""")
+        firstSec.fold("")(s => s""","first_sec":${f(s)}""") +
+        // the discarded cold-pass time (query rows only): how much of
+        // this query's historical cross-round spread was JIT position
+        coldSec.get(r.name).fold("")(s => s""","cold_sec":${f(s)}""")
       "\"" + r.name + "\":{\"gc_ms\":" + r.gcMs + ",\"heap_mb\":" +
         r.heapMb + ",\"cpu_ms\":" + r.cpuMs + probe + verdict + "," +
         r.execJson + "}"

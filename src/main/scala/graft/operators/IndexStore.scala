@@ -288,6 +288,55 @@ object IndexStore {
     cents.map(_._2)
   }
 
+  /** Persist an SQ8 scalar-quantization model (a25): the per-dim
+    * integer bounds + scale — parquet longs round-trip exactly, so a
+    * loaded model encodes/decodes bit-identically to the fitted one
+    * (the saveKmeans rationale). */
+  def saveSq8(spark: SparkSession, model: Sq8.Model, path: String): Unit = {
+    import spark.implicits._
+    Seq((0, model.minQ.toSeq, model.scale), (1, model.maxQ.toSeq, model.scale))
+      .toDF("tag", "vec", "scale")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/bounds")
+  }
+
+  def loadSq8(spark: SparkSession, path: String): Sq8.Model = {
+    val rows = spark.read.parquet(s"$path/bounds")
+      .orderBy(col("tag")).collect()
+    require(rows.length == 2 && rows(0).getInt(0) == 0 &&
+      rows(1).getInt(0) == 1, "sq8 artifact must hold tags 0 (min), 1 (max)")
+    val mn = rows(0).getSeq[Long](1).toArray
+    val mx = rows(1).getSeq[Long](1).toArray
+    require(mn.length == mx.length && mn.nonEmpty,
+      "sq8 bounds must be equal-length and non-empty")
+    require(rows(0).getLong(2) == rows(1).getLong(2),
+      "sq8 bound rows disagree on scale")
+    Sq8.Model(mn, mx, rows(0).getLong(2))
+  }
+
+  /** [[loadOrPublishKmeans]] for the SQ8 bounds model — same
+    * corruption-vs-transient load discipline. */
+  def loadOrPublishSq8(spark: SparkSession, path: String)
+                      (train: => Sq8.Model): Sq8.Model = {
+    val p = java.nio.file.Paths.get(path)
+    def isCorrupt(e: Throwable): Boolean = e match {
+      case _: IllegalArgumentException => true
+      case _: org.apache.spark.sql.AnalysisException => true
+      case _ => e.getCause != null && e.getCause.ne(e) && isCorrupt(e.getCause)
+    }
+    def tryLoad(): Option[Sq8.Model] =
+      if (!java.nio.file.Files.isDirectory(p)) None
+      else try Some(loadSq8(spark, path))
+      catch {
+        case e if isCorrupt(e) => deleteTree(p); None
+        case scala.util.control.NonFatal(_) => None // transient: keep tree
+      }
+    tryLoad().getOrElse {
+      val model = train
+      publishAtomically(path)(tmp => saveSq8(spark, model, tmp))
+      tryLoad().getOrElse(model)
+    }
+  }
+
   /** [[loadOrPublishIvfPq]] for the coarse k-means quantizer: load if
     * any JVM published it, else train + publish atomically, same
     * corruption-vs-transient load discipline. */

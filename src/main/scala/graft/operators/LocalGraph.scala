@@ -110,8 +110,23 @@ object LocalGraph {
         .distinct().as[Long].collect()
       java.util.Arrays.sort(ids)
       val bc = spark.sparkContext.broadcast(ids)
+      // drift guard (r12 advice): the dictionary and the edge collect
+      // are two separate jobs over an unpersisted plan — an id the
+      // first job never saw means the input changed between them, and
+      // a negative binarySearch result packed into the word would be
+      // at best an opaque ArrayIndexOutOfBounds in csrIndexed, at
+      // worst a silently wrong dense index (the Profile drift-fallback
+      // discipline, loud here because there is no distributed twin of
+      // this collect to fall back to).
       val toIdx = udf { (id: Long) =>
-        java.util.Arrays.binarySearch(bc.value, id).toLong }
+        val i = java.util.Arrays.binarySearch(bc.value, id)
+        if (i < 0) throw new IllegalStateException(
+          s"LocalGraph.collectIndexed: edge endpoint $id absent from the " +
+            "endpoint dictionary collected one job earlier — the edge " +
+            "input drifted between the two jobs (nondeterministic or " +
+            "concurrently-updated source); persist the edge frame")
+        i.toLong
+      }
       val packed = df
         .select((toIdx(col(srcCol)) * Pack + toIdx(col(dstCol))).as("p"))
         .as[Long].collect()
@@ -173,10 +188,18 @@ object LocalGraph {
       val dstIds = dict(dstCol)
       val bs = spark.sparkContext.broadcast(srcIds)
       val bd = spark.sparkContext.broadcast(dstIds)
-      val si = udf { (id: Long) =>
-        java.util.Arrays.binarySearch(bs.value, id).toLong }
-      val di = udf { (id: Long) =>
-        java.util.Arrays.binarySearch(bd.value, id).toLong }
+      // same drift guard as collectIndexed's toIdx, per side
+      def guarded(b: org.apache.spark.broadcast.Broadcast[Array[Long]],
+                  side: String) = udf { (id: Long) =>
+        val i = java.util.Arrays.binarySearch(b.value, id)
+        if (i < 0) throw new IllegalStateException(
+          s"LocalGraph.collectIndexedBipartite: $side endpoint $id absent " +
+            "from the per-side dictionary collected one job earlier — the " +
+            "edge input drifted between the jobs; persist the edge frame")
+        i.toLong
+      }
+      val si = guarded(bs, "src")
+      val di = guarded(bd, "dst")
       val packed = df
         .select((si(col(srcCol)) * Pack + di(col(dstCol))).as("p"))
         .as[Long].collect()

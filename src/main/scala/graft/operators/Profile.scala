@@ -223,14 +223,31 @@ object Profile {
                      else col("__g") === lit(gv)
           idxExpr = when(cond, lit(i)).otherwise(idxExpr)
         }
+        // the collect itself is BOUNDED (r12 advice): the census-derived
+        // budget held one job ago, but if the input grew between the two
+        // unpersisted jobs the oversized chunks would land on the driver
+        // BEFORE the consistency check below could reject them. Each
+        // task counts rows as it folds; past the full budget it drops
+        // its buffers, drains the iterator, and emits only the overflow
+        // marker (slot nG — the same signal a census-unseen group
+        // raises), so per-task driver payload is capped at the budget
+        // and the local answer falls back to the distributed plan.
         val chunks = v.select(idxExpr.as("gi"), col("v6").cast("long").as("vv"))
           .as[(Int, Long)]
           .mapPartitions { it =>
-            val bufs = Array.fill(nG + 1)(
+            var bufs = Array.fill(nG + 1)(
               new scala.collection.mutable.ArrayBuilder.ofLong)
+            var n = 0L
+            var overflow = false
             it.foreach { t =>
-              bufs(if (t._1 >= 0 && t._1 <= nG) t._1 else nG) += t._2 }
-            Iterator.range(0, nG + 1).map(i => (i, bufs(i).result()))
+              if (!overflow) {
+                n += 1
+                if (n > localComputeMaxRows) { overflow = true; bufs = null }
+                else bufs(if (t._1 >= 0 && t._1 <= nG) t._1 else nG) += t._2
+              }
+            }
+            if (overflow) Iterator.single((nG, Array(0L)))
+            else Iterator.range(0, nG + 1).map(i => (i, bufs(i).result()))
               .filter(_._2.nonEmpty)
           }.collect()
         // sizes derive from the chunks themselves (no census coupling);

@@ -400,7 +400,10 @@ object CurationQueries {
     * planted-duplicate pins. */
   def annSq8(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val model = graft.operators.Sq8.fit(e, "vec_id", "embedding")
+    // fp-keyed artifact model (r12 verdict #2) — fitted once per corpus
+    // version, served from the store; bench prebuilds it as
+    // art_sq8_model so this row times the search, not the fit
+    val model = ModelCache.sq8Model(spark, dir)
     val df = graft.operators.Sq8.searchRefinedExact(
       e.filter(col("vec_id") < 5), e, model, "vec_id", "embedding",
       shortlist = 100, topK = 10)

@@ -852,7 +852,13 @@ object Relational13 {
       a39Oracle.map("a39_index_delete" -> _) ++
       a40Oracle.map("a40_index_compact" -> _) ++
       a41Oracle.map("a41_index_merge" -> _) ++
-      a42Oracle.map("a42_index_balance" -> _)
+      // a42's oracle derives eagerly from the memoized model when the
+      // query itself didn't run in this JVM (r12 advice: a
+      // name-filtered run that trained the index via any sibling used
+      // to silently drop the key and weaken the check to rows-only)
+      a42Oracle.orElse(
+        graft.queries.ModelCache.peekIvfPqModel.map(m => a42OracleSql(m.centsQ)))
+        .map("a42_index_balance" -> _)
 
   private val staticOracles: Map[String, String] = Map(
     "t46_window_ttr" ->

@@ -1375,6 +1375,12 @@ object StreamingQueries {
     // s33 == batch a42: occupancy cells are a count monoid over the
     // served artifact, so the streamed state equals the batch groupBy
     // whatever the file/batch boundaries; the oracle's assignment
-    // replay re-proves artifact freshness through the stream too
-    s33Oracle.map("s33_stream_index_balance" -> _)
+    // replay re-proves artifact freshness through the stream too.
+    // Fallback (r12 advice): derive eagerly from the memoized ivf-pq
+    // model when s33 itself didn't run in this JVM but a sibling
+    // trained the index — same a42 pattern, instead of silently
+    // omitting the key.
+    s33Oracle.orElse(
+        ModelCache.peekIvfPqModel.map(m => Relational13.a42OracleSql(m.centsQ)))
+      .map("s33_stream_index_balance" -> _)
 }

@@ -67,6 +67,28 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(m2.map(_.toSeq).toSeq === centroidsQ.map(_.toSeq).toSeq)
   }
 
+  test("sq8 bounds round-trip bit-exactly and loadOrPublish fits exactly once") {
+    val model = Sq8.Model(
+      Array.tabulate(16)(d => -1000L - d * 13L),
+      Array.tabulate(16)(d => 2000L + d * 7L),
+      Sq8.Scale)
+    val root = java.nio.file.Files.createTempDirectory("sq8_pub")
+    val path = root.resolve("sq8_16").toString
+    var fitted = 0
+    val m1 = IndexStore.loadOrPublishSq8(spark, path) { fitted += 1; model }
+    assert(fitted === 1)
+    assert(m1.minQ.toSeq === model.minQ.toSeq)
+    assert(m1.maxQ.toSeq === model.maxQ.toSeq)
+    assert(m1.scale === model.scale)
+    // "JVM 2": loads the artifact, never invokes the fit
+    val m2 = IndexStore.loadOrPublishSq8(spark, path) {
+      fitted += 1; sys.error("must not refit")
+    }
+    assert(fitted === 1)
+    assert(m2.minQ.toSeq === model.minQ.toSeq)
+    assert(m2.maxQ.toSeq === model.maxQ.toSeq)
+  }
+
   test("loadOrPublish serves a prior publisher's artifact without retraining") {
     val df = corpus
     val model = ProductQuantizer.fitIvfPqExact(
