@@ -131,6 +131,69 @@ object helpers {
     code
   }
 
+  /** a12's ±1 JL sign matrix, signs(j)(d) from the md5 PARITY of
+    * "{seed}{j}_{d}" (j ∈ 1..k, d ∈ 1..dim): +1 iff the first 4 md5
+    * bytes read as an unsigned 32-bit value are even — the t17 md5
+    * principle; DuckDB replays it as
+    * ('0x' || substr(md5(seed || j || '_' || d), 1, 8))::BIGINT % 2.
+    * Cached per (dim, k, seed) — a handful of configs ever live. */
+  private val signProjCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, String), Array[Array[Long]]]()
+
+  def signProjMatrix(dim: Int, k: Int, seed: String): Array[Array[Long]] =
+    signProjCache.computeIfAbsent((dim, k, seed), _ => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(k) { j0 =>
+        Array.tabulate(dim) { d0 =>
+          val dig = md.digest(
+            s"$seed${j0 + 1}_${d0 + 1}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val v = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+            ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+          if (v % 2 == 0) 1L else -1L
+        }
+      }
+    })
+
+  /** The k integer JL sign dot products of one vector — the compiled
+    * twin of a12's interpreted `aggregate(sequence(1, dim), ...)` SQL
+    * form (k nested-HOF evaluations per row, CodegenFallback — the
+    * r9-deferred a12 perf item): same 2²⁰ HALF_UP quantization
+    * ([[quantHalfUp]]), same md5-parity signs, pure integer sums — so
+    * the outputs are bit-identical to the SQL form and to the DuckDB
+    * replay. Null semantics replicated: any null ELEMENT in the first
+    * `dim` positions nulls every dot (the SQL sum is null-poisoned) —
+    * an all-null k-array here. One divergence, the SignPlanesCode
+    * convention: a vector SHORTER than `dim` crashed the ANSI SQL form
+    * opaquely (element_at out of range); here it fails loudly with the
+    * length. */
+  def signProjDots(arr: ArrayData, dim: Int, k: Int, seed: String,
+                   isFloat: Boolean): ArrayData = {
+    if (arr.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"sign_project_dots: vector length ${arr.numElements()} < dim $dim")
+    val q = new Array[Long](dim)
+    var d = 0
+    while (d < dim) {
+      if (arr.isNullAt(d))
+        return new GenericArrayData(Array.fill[Any](k)(null))
+      val xd = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+      q(d) = quantHalfUp(xd)
+      d += 1
+    }
+    val signs = signProjMatrix(dim, k, seed)
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val row = signs(j)
+      var s = 0L
+      var i = 0
+      while (i < dim) { s += q(i) * row(i); i += 1 }
+      out(j) = s
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature: one base XXH64 per shingle, then `num` lanes of
     * SplitMix64-style remixing folded to their minima in a single pass. */
   def minHashSignature(arr: ArrayData, num: Int): ArrayData = {
@@ -644,6 +707,40 @@ case class SignPlanesCode(child: Expression, dim: Int, nPlanes: Int,
   override def prettyName: String = "sign_planes_code"
 }
 
+/** `sign_project_dots(vec)` → array<bigint>: the k integer JL
+  * sign-projection dot products against the md5-parity ±1 matrix —
+  * codegen'd single helper call; see [[helpers.signProjDots]] for the
+  * exact SQL-form semantics it replicates (2²⁰ HALF_UP quantization,
+  * null-element poisoning, loud short-vector failure). */
+case class SignProjectDots(child: Expression, dim: Int, k: Int,
+                           seed: String) extends UnaryExpression {
+  require(dim >= 1 && k >= 1, s"dim/k must be >= 1, got $dim/$k")
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sign_project_dots needs a float or double array, got $other")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullSafeEval(input: Any): Any =
+    helpers.signProjDots(input.asInstanceOf[ArrayData], dim, k, seed, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the seed rides as a codegen string literal — escape it
+    val seedLit = seed.replace("\\", "\\\\").replace("\"", "\\\"")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.helpers.signProjDots($c, $dim, $k, "$seedLit", $isFloat);""")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "sign_project_dots"
+}
+
 /** `gopher_fractions(text)` → array<double> [top2, top3, top4, dup5]
   * char fractions — scan-local Gopher repetition rules. */
 case class GopherFractions(child: Expression)
@@ -1014,6 +1111,10 @@ object GraftFunctions {
   def signPlanesCode(vec: Column, dim: Int, nPlanes: Int, seed: Long): Column =
     ColumnBridge.column(SignPlanesCode(
       ColumnBridge.expression(vec), dim, nPlanes, seed))
+
+  def signProjectDots(vec: Column, dim: Int, k: Int, seed: String): Column =
+    ColumnBridge.column(SignProjectDots(
+      ColumnBridge.expression(vec), dim, k, seed))
 
   def uuid5(name: Column): Column =
     ColumnBridge.column(Uuid5Expr(ColumnBridge.expression(name)))

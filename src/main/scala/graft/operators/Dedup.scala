@@ -75,24 +75,55 @@ object Dedup {
     * that already materialized the shingle scan (the d19 sweep shares
     * one persisted frame between its LSH signatures and this exact
     * denominator) skip a full re-scan of the corpus. */
+  /** (id, shingle, lo) hashed postings of a (id, shingles) frame — the
+    * ONE posting builder the d02/d17 inverted-index pair ops share
+    * (r12 verdict #4: containment had its own raw-STRING posting path,
+    * a copy-paste drift risk and ~10× the shuffle bytes per posting).
+    * `shingle` is the 60-bit candidate/bucket key; `lo` the disjoint
+    * second 60 bits ([[md5Hash60LoCol]]) that widen every downstream
+    * equality to 120 bits. */
+  private def hashedPostings(sh: DataFrame, prefix: String): DataFrame =
+    sh.select(col("id"), explode(col("shingles")).as("s"))
+      .select(col("id"),
+        md5Hash60Col(concat(lit(prefix), col("s"))).as("shingle"),
+        md5Hash60LoCol(concat(lit(prefix), col("s"))).as("lo"))
+
+  /** Optional stop-shingle guard over hashed postings — the df census
+    * counts TRUE (120-bit) shingles, so a 60-bit prefix collision can
+    * neither merge two shingles' document frequencies nor drop the
+    * wrong one. */
+  private def dfGuard(postings: DataFrame, maxDf: Option[Int]): DataFrame =
+    maxDf match {
+      case Some(cap) =>
+        val freq = postings.groupBy("shingle", "lo")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap)
+          .select("shingle", "lo")
+        postings.join(freq, Seq("shingle", "lo"))
+      case None => postings
+    }
+
+  /** (id_a, id_b, n_inter) over hashed postings: the pair join's
+    * equality is the FULL 120-bit (shingle, lo) key (r12 verdict #3 —
+    * with the 60-bit key alone, collision odds reach ~2e-3 at 10⁹
+    * distinct shingles, inflating n_inter by 1 near the threshold
+    * boundary); the 60-bit prefix leads the shuffle key, so bucketing
+    * is unchanged. */
+  private def pairIntersections(postings: DataFrame): DataFrame =
+    postings.as("a")
+      .join(postings.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.lo") === col("b.lo") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+
   def jaccardPairsFromShingles(sh: DataFrame, threshold: Double,
                                maxShingleDocFreq: Option[Int] = None): DataFrame = {
-    // the pair join shuffles 8-byte md5-prefix keys, not shingle
-    // strings (the t39/d21 discipline — join leg 2.9 → 2.3 s at
-    // sf0.1); the oracle replays the same hash, so a collision
-    // (≈10⁻⁸ at 10⁵ distinct shingles) would still match
-    val exploded = sh.select(col("id"), explode(col("shingles")).as("shingle"))
-      .select(col("id"),
-        md5Hash60Col(concat(lit("jp|"), col("shingle"))).as("shingle"))
-    val filtered = maxShingleDocFreq match {
-      case Some(maxDf) =>
-        val freq = exploded.groupBy("shingle")
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDf)
-          .select("shingle")
-        exploded.join(freq, "shingle")
-      case None => exploded
-    }
+    // the pair join shuffles 16-byte md5 keys (60-bit candidate prefix
+    // + the 60-bit verify extension), never shingle strings (the
+    // t39/d21 discipline); equality is set-exact to n²/2¹²¹ odds, so
+    // the exact-pair oracle joins raw shingle strings
+    val filtered = dfGuard(hashedPostings(sh, "jp|"), maxShingleDocFreq)
     // denominator must use the same shingle universe as the numerator:
     // when the stop-shingle guard is active, sizes come from the FILTERED
     // postings, otherwise near-threshold pairs are systematically missed
@@ -101,11 +132,7 @@ object Dedup {
       case Some(_) => filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
       case None    => sh.select(col("id"), size(col("shingles")).as("n_sh"))
     }
-    val inter = filtered.as("a")
-      .join(filtered.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
+    pairIntersections(filtered)
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "sh_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "sh_b"), "id_b")
       .withColumn("jaccard",
@@ -195,6 +222,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dot"), col("cos2_ppm"))
   }
 
+  /** Min-id STAR links over the TF-cosine near-dup graph — d21's
+    * 100 TB output contract (r12 stretch; the [[minHashLshLinks]]
+    * shape): on duplicate-heavy corpora the verified PAIR set is
+    * quadratic in cluster size (the measured ×10-rows slope was 13.1×,
+    * dominated by true-pair growth), while each involved document
+    * emits exactly ONE link row (rep_id, id), rep_id = min(its
+    * verified partners ∪ itself) — linear in duplicates. The pair
+    * stream stays pipeline-internal: the star aggregation consumes it
+    * map-side, so nothing quadratic is materialized to the output.
+    * One label-propagation iteration short of full components — feed
+    * [[graft.operators.Clusters.connectedComponents]] for exact
+    * cluster ids, or drop every id ≠ rep_id for keep-one dedup. */
+  def cosineLinksFromTf(tfIndex: DataFrame,
+                        cos2PpmThreshold: Long): DataFrame = {
+    val pairs = cosinePairsFromTf(tfIndex, cos2PpmThreshold)
+    pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
+      .groupBy(col("id"))
+      .agg(min(col("nb")).as("__mn"))
+      .select(least(col("__mn"), col("id")).as("rep_id"), col("id"))
+  }
+
   /** All-pairs n-gram Jaccard ≥ threshold via PREFIX FILTERING — the
     * AllPairs/PPJoin plan (Bayardo et al., WWW 2007; Xiao et al., WWW
     * 2008): identical output to [[jaccardPairs]], far smaller candidate
@@ -237,9 +286,26 @@ object Dedup {
     * doc dictionary persist for the session (LRU / caller clearCache),
     * like every index intermediate here. */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                         n: Int, threshold: Double): DataFrame = {
+                         n: Int, threshold: Double): DataFrame =
+    prefixJaccardPairsImpl(df, idCol, textCol, n, threshold,
+      candidateKeyBits = 60)
+
+  /** [[prefixJaccardPairs]] with the candidate-key width exposed as a
+    * TEST SEAM: `candidateKeyBits` < 60 masks the candidate JOIN key
+    * to that many bits (`pmod(h, 2^bits)`), planting the prefix-key
+    * collisions a 60-bit space would only produce at ~10⁹ distinct
+    * shingles. The df census, the rarity order, and the verify arrays
+    * all stay on the full 120-bit (shingle, lo) identity, so the
+    * OUTPUT must be bit-identical at any width — collisions only add
+    * candidates the verify rejects (PrefixJoinSpec pins equality with
+    * the string-set form at 4 bits). Production callers use 60. */
+  private[graft] def prefixJaccardPairsImpl(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, candidateKeyBits: Int): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
+    require(candidateKeyBits >= 1 && candidateKeyBits <= 60,
+      s"candidateKeyBits must be 1..60, got $candidateKeyBits")
     val (tNum, tDen) = thresholdAsFraction(threshold)
     // r11 restructure (the r10 verdict's #1 heavy): the old shape
     // scanned the shingle frame THREE times (prefix build + both
@@ -259,17 +325,21 @@ object Dedup {
       .filter(size(col("shingles")) > 0)
       .select(col("id"), explode(col("shingles")).as("s"))
       .select(col("id"),
-        md5Hash60Col(concat(lit("pj|"), col("s"))).as("shingle"))
+        md5Hash60Col(concat(lit("pj|"), col("s"))).as("shingle"),
+        md5Hash60LoCol(concat(lit("pj|"), col("s"))).as("lo"))
       .repartition(col("shingle"))
       .persistLedgered()
-    val dfreq = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // df census on the TRUE 120-bit shingle identity (r12 verdict #3);
+    // hashpartitioning(shingle) co-locates equal (shingle, lo) rows, so
+    // the census and the df join below still reuse the one exchange
+    val dfreq = exploded.groupBy("shingle", "lo").agg(count(lit(1)).as("df"))
     // one doc-keyed shuffle builds the rarity-ordered array; prefix =
-    // the p rarest shingles under the (df, hash) total order — any
+    // the p rarest shingles under the (df, hash, lo) total order — any
     // deterministic total order yields a correct (superset) prefix,
     // and both engines could replay this one (md5 is engine-portable)
-    val docs = exploded.join(dfreq, "shingle")
+    val docs = exploded.join(dfreq, Seq("shingle", "lo"))
       .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle"), col("lo"))))
           .as("ord"),
         count(lit(1)).as("n_sh"))
       // EXACT rational prunings (r10, replacing the r9 ε-slack): the
@@ -284,10 +354,24 @@ object Dedup {
           - expr(s"(n_sh * ${tNum}L + ${tDen - 1}L) DIV ${tDen}L") + 1)
           .cast("int"))
       .select(col("id"), col("n_sh"),
-        expr("transform(ord, x -> x.shingle)").as("sarr"), col("p"))
+        // the verify dictionary keeps BOTH hash columns as an array of
+        // (shingle, lo) structs — 120-bit set identity (r12 verdict
+        // #3: the 60-bit arrays carried ~2e-3 collision odds at 10⁹
+        // distinct shingles; now n²/2¹²¹, gone at the design point)
+        // at the cost of doubling the dictionary's array bytes
+        expr("transform(ord, x -> struct(x.shingle, x.lo))").as("sarr"),
+        col("p"))
       .persistLedgered()
-    val prefix = docs.select(col("id"), col("n_sh"),
-      explode(expr("slice(sarr, 1, p)")).as("shingle"))
+    // candidate postings carry the 60-bit prefix key ONLY (masked to
+    // `candidateKeyBits` under the test seam) — a prefix-key collision
+    // only adds a candidate the 120-bit verify then rejects
+    val candKey: Column => Column =
+      if (candidateKeyBits >= 60) identity
+      else h => pmod(h, lit(1L << candidateKeyBits))
+    val prefix = docs
+      .select(col("id"), col("n_sh"),
+        explode(expr("slice(sarr, 1, p)")).as("pe"))
+      .select(col("id"), col("n_sh"), candKey(col("pe.shingle")).as("shingle"))
     // length filter t·|A| ≤ |B| exactly: |B|·den ≥ |A|·num over longs
     val cand = prefix.as("a")
       .join(prefix.as("b"),
@@ -298,20 +382,9 @@ object Dedup {
       .distinct()
     // scan-local verify against the cached doc dictionary: one
     // |docs|-row frame serves both sides; same division and rounding
-    // as jaccardPairs (hash-set intersection = string-set intersection
-    // up to the house-wide ~10⁻⁸ md5-prefix collision odds the oracle
-    // replays identically).
-    // LARGE-CORPUS BOUND (r11 advice): collision odds grow as
-    // n_distinct²/2⁶¹ over the DISTINCT shingle population — ~2e-3 at
-    // 10⁹ distinct shingles, non-negligible approaching the 100 TB
-    // design point. A colliding pair inflates n_inter by 1 (jaccard
-    // drifts up by ~1/union — it can only ADD near-misses at the
-    // threshold boundary, never drop true pairs). If exactness at that
-    // scale matters, widen the verify arrays to the full 128-bit md5
-    // (struct(hi, lo) or twin columns; odds fall to n²/2¹²⁸) at the
-    // cost of doubling the dictionary's array bytes — the candidate
-    // join keys can STAY 60-bit, a prefix-key collision only adds a
-    // candidate the verify then rejects.
+    // as jaccardPairs (120-bit hash-set intersection = string-set
+    // intersection to n²/2¹²¹ odds, so the exact-pair oracle joins raw
+    // shingle strings and matches).
     cand
       .join(docs.select(col("id").as("id_a"), col("sarr").as("sa"),
         col("n_sh").as("na")), "id_a")
@@ -333,34 +406,24 @@ object Dedup {
     * 1.0); containment is the Broder resemblance/containment split and
     * the signal behind subset-dedup passes.
     *
-    * Same inverted-index plan as Jaccard (shingles shuffle once,
-    * candidate volume bounded by shared-shingle density and the
-    * optional stop-shingle guard); only the denominator changes. */
+    * Same inverted-index plan as Jaccard — SHARED plumbing, not
+    * parallel code (r12 verdict #4: this op used to carry its own
+    * raw-string posting builder, shuffling gram strings where every
+    * sibling shuffled 8-byte hashes): [[hashedPostings]] + [[dfGuard]]
+    * + [[pairIntersections]], 120-bit pair equality; only the
+    * denominator differs. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                        threshold: Double,
                        maxShingleDocFreq: Option[Int] = None): DataFrame = {
     val sh = withShingles(df, idCol, textCol, n)
-    val exploded = sh.select(col("id"), explode(col("shingles")).as("shingle"))
-    val filtered = maxShingleDocFreq match {
-      case Some(maxDf) =>
-        val freq = exploded.groupBy("shingle")
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDf)
-          .select("shingle")
-        exploded.join(freq, "shingle")
-      case None => exploded
-    }
+    val filtered = dfGuard(hashedPostings(sh, "ct|"), maxShingleDocFreq)
     // the jaccardPairs denominator rule: sizes come from the same
     // shingle universe as the intersection
     val sizes = maxShingleDocFreq match {
       case Some(_) => filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
       case None    => sh.select(col("id"), size(col("shingles")).as("n_sh"))
     }
-    filtered.as("a")
-      .join(filtered.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    pairIntersections(filtered)
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "sh_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "sh_b"), "id_b")
       .withColumn("containment",
@@ -942,6 +1005,19 @@ object Dedup {
     * share it; [[Kmv.hashCol]] is the prefixed variant). */
   def md5Hash60Col(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** The DISJOINT second 60 bits of the same digest (hex digits
+    * 16–30) — the verify-widening column (r12 verdict #3): equality on
+    * (md5Hash60, md5Hash60Lo) is 120-bit equality, collision odds
+    * n²/2¹²¹ over the distinct-shingle population (~4·10⁻¹⁹ at 10⁹ —
+    * gone at the 100 TB design point, vs ~2·10⁻³ for the 60-bit key
+    * alone). Candidate/bucket keys STAY the 60-bit prefix; only
+    * verification compares both columns. DuckDB replays it as
+    * ('0x' || substr(md5(s), 16, 15))::BIGINT when an oracle needs
+    * the hash itself (the exact-pair oracles instead join raw shingle
+    * strings — set-exact, which 120-bit equality matches). */
+  def md5Hash60LoCol(c: Column): Column =
+    conv(substring(md5(c), 16, 15), 16, 10).cast("long")
 
   def md5Hash60(s: String): Long = {
     val md = md5Local.get()

@@ -247,25 +247,21 @@ object Similarity {
     *
     * Output: (id, proj_dim 1..k, y) long-format. */
   def signProjection(vectors: DataFrame, idCol: String, vecCol: String,
-                     dim: Int, k: Int, seed: String = "rp"): DataFrame = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def sign(j: Int, d: Int): Int = {
-      val hex = md.digest(s"$seed${j}_$d".getBytes("UTF-8"))
-        .take(4).map(b => f"$b%02x").mkString
-      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
-    }
-    val vq = expr(
-      s"transform($vecCol, x -> cast(round(cast(x as double) * 1048576, 0) as bigint))")
-    val projections = (1 to k).map { j =>
-      val arr = (1 to dim).map(d => sign(j, d)).mkString("array(", ",", ")")
-      expr(s"aggregate(sequence(1, $dim), 0L, (acc, d) -> " +
-        s"acc + element_at(vq, d) * element_at($arr, d))")
-    }
-    vectors.select(col(idCol).as("id"), vq.as("vq"))
-      .select(col("id"), posexplode(array(projections: _*)).as(Seq("pos", "sy")))
+                     dim: Int, k: Int, seed: String = "rp"): DataFrame =
+    // the k dot products come from ONE codegen'd native expression
+    // ([[graft.functions.SignProjectDots]] — r12 verdict #6: the old
+    // form evaluated k interpreted nested-aggregate() HOFs per row,
+    // CodegenFallback, most of the 7.7× ×10-rows slope); same
+    // quantization, signs, and integer sums, so outputs are
+    // bit-identical (ProjectionSpec pins it) and the 2⁻²⁰ de-scale
+    // stays an exact power-of-two division
+    vectors
+      .select(col(idCol).as("id"),
+        graft.functions.GraftFunctions.signProjectDots(
+          col(vecCol), dim, k, seed).as("dots"))
+      .select(col("id"), posexplode(col("dots")).as(Seq("pos", "sy")))
       .select(col("id"), (col("pos") + 1).cast("long").as("proj_dim"),
         (col("sy").cast("double") / 1048576).as("y"))
-  }
 
   /** BM25 top-k lexical retrieval (Robertson & Spärck Jones probabilistic
     * ranking; the Okapi BM25 shape every full-text engine ships) with a

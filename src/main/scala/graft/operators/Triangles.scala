@@ -104,56 +104,71 @@ object Triangles {
           .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
       .select(col("e.u").as("u"), col("e.w").as("w"))
     val corners: DataFrame =
-      // id bound is 2³¹, NOT 2³²: the CSR range probe for vertex v
-      // reads keys up to v·2³² + (2³² − 1), and with v allowed up to
-      // 2³² − 1 that product overflows signed Long at v = 2³¹ — the
-      // binary search then compares against Long.MinValue and the
-      // vertex's closing edges are silently missed (review r9). With
-      // ids < 2³¹ the largest key is (2³¹−1)·2³² + 2³²−1 = 2⁶³−1,
-      // exactly Long.Max — every probe stays in signed range.
-      if (m <= maxBroadcastEdges && maxId <= LocalGraph.MaxId && minId >= 0) {
-        // the probe set is packed ID-CANONICALLY (min id · 2³² + max
-        // id), NOT in orientation direction: u's out-list below is in
-        // id order while edges are (d, id)-oriented, so a wedge pair
-        // (v, w) with id_v < id_w may have its closing edge stored as
-        // w→v — canonical packing makes presence direction-free and
-        // keeps the CSR range/merge walk valid (probes are generated
-        // in (v, ascending w) order). Collected from the INPUT frame
-        // (orientation can't change edge identity), so the oriented
-        // join feeds exactly ONE consumer — the out-list aggregate —
-        // and needs no persist.
+      // the probe set lives in DENSE-INDEX space (r12 verdict #7):
+      // collectIndexed packs idx(lo)·2³² + idx(hi) over the sorted id
+      // dictionary, so ANY integral id range — ≥ 2³¹, negative —
+      // keeps the broadcast path (previously such graphs silently
+      // fell to the three-join legs even when tiny). Indices are
+      // dense in [0, |V|) with |V| ≤ 2·|E| ≤ 2·10⁷, so the largest
+      // probe key is far below the 2³¹·2³² signed-overflow edge the
+      // raw-id packing had to guard against (review r9); the
+      // dictionary is sorted, so index order ≡ raw-id order and the
+      // canonical (min, max) orientation survives the translation.
+      if (m <= maxBroadcastEdges) {
+        // the probe set is packed ID-CANONICALLY (min-id index · 2³² +
+        // max-id index), NOT in orientation direction: u's out-list
+        // below is in id order while edges are (d, id)-oriented, so a
+        // wedge pair (v, w) with id_v < id_w may have its closing edge
+        // stored as w→v — canonical packing makes presence
+        // direction-free and keeps the CSR range/merge walk valid
+        // (probes are generated in (v, ascending w) order). Collected
+        // from the INPUT frame (orientation can't change edge
+        // identity), so the oriented join feeds exactly ONE consumer —
+        // the out-list aggregate — and needs no persist.
         val canon = e.select(least(col("a"), col("b")).as("lo"),
           greatest(col("a"), col("b")).as("hi"))
-        val packed = LocalGraph.collectPacked(canon, "lo", "hi")
-        java.util.Arrays.sort(packed)
-        val bc = spark.sparkContext.broadcast(packed)
+        val (packedIdx, nodeDict) =
+          LocalGraph.collectIndexed(canon, "lo", "hi", minId, maxId)
+        java.util.Arrays.sort(packedIdx)
+        val bc = spark.sparkContext.broadcast(packedIdx)
+        val bcIds = spark.sparkContext.broadcast(nodeDict)
         val lowerBound = LocalGraph.lowerBound _
         dirE.groupBy(col("u"))
           .agg(sort_array(collect_list(col("w"))).as("ns"))
           .as[(Long, Seq[Long])]
           .flatMap { case (u, ns) =>
-            // ns ascending (id order): each unordered pair {v, w} ⊆ ns
-            // appears once as (i < j), and its canonical probe key is
-            // ns(i)·2³² + ns(j) since ns(i) < ns(j)
+            // ns ascending (id order ⇒ index order): each unordered
+            // pair {v, w} ⊆ ns appears once as (i < j), and its
+            // canonical probe key is idx(ns(i))·2³² + idx(ns(j))
             val arr = ns.toArray
+            val dict = bcIds.value
+            val aidx = new Array[Long](arr.length)
+            var t = 0
+            while (t < arr.length) {
+              val ix = java.util.Arrays.binarySearch(dict, arr(t))
+              if (ix < 0) throw new IllegalStateException(
+                s"Triangles: neighbor ${arr(t)} absent from the edge " +
+                  "dictionary collected one job earlier — the edge input " +
+                  "drifted between jobs; persist the edge frame")
+              aidx(t) = ix.toLong
+              t += 1
+            }
             val es = bc.value
             val out = scala.collection.mutable.ArrayBuffer[Long]()
             var i = 0
             while (i < arr.length - 1) {
-              val v = arr(i)
+              val v = aidx(i)
               var lo = lowerBound(es, v * Pack)
-              // end key as v·2³² + (2³² − 1), never (v+1)·2³²: the
-              // latter overflows at the guard's own upper edge; this
-              // form caps at Long.Max. The key itself cannot occur
-              // (ids < 2³¹ keep every stored low word below 2³¹), so
-              // lowerBound ≡ upperBound here.
+              // end key as v·2³² + (2³² − 1): the key itself cannot
+              // occur (dense indices stay far below 2³¹), so
+              // lowerBound ≡ upperBound here and nothing overflows.
               val hi = lowerBound(es, v * Pack + (Pack - 1))
               var j = i + 1
               while (j < arr.length && lo < hi) {
                 val pw = es(lo) - v * Pack
-                if (pw < arr(j)) lo += 1
-                else if (pw > arr(j)) j += 1
-                else { out += u; out += v; out += arr(j); lo += 1; j += 1 }
+                if (pw < aidx(j)) lo += 1
+                else if (pw > aidx(j)) j += 1
+                else { out += u; out += arr(i); out += arr(j); lo += 1; j += 1 }
               }
               i += 1
             }

@@ -47,6 +47,14 @@ object CurationQueries {
         cos2PpmThreshold = 640000L)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** d23: d21's min-id STAR links ([[Dedup.cosineLinksFromTf]]) — the
+    * linear-in-duplicates output contract over the same served TF
+    * index and the same cos² threshold (r12 stretch). */
+  def dedupCosineLinks(spark: SparkSession, dir: String): DataFrame =
+    Dedup.cosineLinksFromTf(GraphCache.cosineTfIndex(spark, dir),
+        cos2PpmThreshold = 640000L)
+      .orderBy(col("id"))
+
   /** d20: prefix-filtered all-pairs exact Jaccard ≥ 0.5 — the
     * AllPairs/PPJoin plan ([[Dedup.prefixJaccardPairs]]): identical
     * output to d02 (PrefixJoinSpec pins bit-equality, so d02's oracle
@@ -1477,12 +1485,11 @@ object CurationQueries {
        |    generate_series(1, len(string_split(text,' ')) - 2),
        |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS shingles
        |  FROM documents),
-       |ex AS (SELECT $idAs, shingle,
-       |    ('0x' || substr(md5('jp|' || shingle), 1, 15))::BIGINT AS hk
+       |ex AS (SELECT $idAs, shingle
        |  FROM (SELECT $idAs, unnest(shingles) AS shingle FROM sh)),
        |inter AS (
        |  SELECT a.$idAs AS id_a, b.$idAs AS id_b, count(*) AS n_inter
-       |  FROM ex a JOIN ex b ON a.hk = b.hk AND a.$idAs < b.$idAs
+       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.$idAs < b.$idAs
        |  GROUP BY 1, 2),
        |sz AS (SELECT $idAs, len(shingles) AS n_sh FROM sh)""".stripMargin
 
@@ -1547,6 +1554,7 @@ object CurationQueries {
     "d02_dedup_jaccard"   -> dedupJaccard _,
     "d20_prefix_join"     -> dedupPrefixJoin _,
     "d21_cosine_dedup"    -> dedupCosine _,
+    "d23_cosine_links"    -> dedupCosineLinks _,
     "d03_dedup_minhash"   -> dedupMinHash _,
     "d19_band_plan"       -> dedupBandPlan _,
     "d22_kmv_jaccard"     -> dedupKmvJaccard _,
@@ -2489,6 +2497,36 @@ object CurationQueries {
         |  JOIN nrm y ON y.doc_id = id_b)
         |SELECT id_a, id_b, dot, cos2_ppm FROM scored
         |WHERE cos2_ppm >= 640000 ORDER BY id_a, id_b""".stripMargin,
+    // d23: d21's pair replay folded to min-id stars — one row per
+    // involved doc, rep_id = min(partners ∪ self)
+    "d23_cosine_links" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 2),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
+        |  FROM documents),
+        |tf0 AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('tc|' || s), 1, 15))::BIGINT AS h,
+        |    count(*) AS tf
+        |  FROM sh GROUP BY 1, 2),
+        |keep AS (SELECT h FROM tf0 GROUP BY h HAVING count(*) <= 64),
+        |tf AS (SELECT tf0.* FROM tf0 JOIN keep USING (h)),
+        |nrm AS (SELECT doc_id, sum(tf * tf) AS n2 FROM tf GROUP BY 1),
+        |dots AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        |  FROM tf a JOIN tf b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT id_a, id_b FROM dots
+        |  JOIN nrm x ON x.doc_id = id_a JOIN nrm y ON y.doc_id = id_b
+        |  WHERE CAST((CAST(dot AS HUGEINT) * dot * 1000000) //
+        |    (CAST(x.n2 AS HUGEINT) * y.n2) AS BIGINT) >= 640000),
+        |e AS (SELECT id_a AS id, id_b AS nb FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |m AS (SELECT id, min(nb) AS mn FROM e GROUP BY 1)
+        |SELECT least(mn, id) AS rep_id, id FROM m ORDER BY id""".stripMargin,
     // d20: prefix filtering changes the PLAN, not the answer — the
     // inverted-index SQL is the oracle for both exact-pair plans
     "d20_prefix_join" -> exactJaccardPairsSql,

@@ -89,6 +89,76 @@ class PrefixJoinSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Dedup.thresholdAsFraction(0.1 + 0.2))
   }
 
+  /** The literal string-set Jaccard pair computation — no hashes
+    * anywhere: the ground truth the 120-bit verify claims to match. */
+  private def stringSetPairs(df: org.apache.spark.sql.DataFrame,
+                             threshold: Double): Set[(Long, Long, Double)] = {
+    val sh = Dedup.withShingles(df, "id", "text", 3)
+    val ex = sh.select(col("id"), explode(col("shingles")).as("s"))
+    val sz = sh.select(col("id"), size(col("shingles")).as("n_sh"))
+    ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sz.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("na") + col("nb") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  test("planted candidate-key collisions (4-bit candidate space): " +
+      "output still equals the string-set form — the 120-bit verify " +
+      "rejects every impostor candidate (r12 verdict #3)") {
+    // 60 docs over an 83-token pool: thousands of distinct shingles
+    // land in 16 candidate slots, so nearly every doc pair becomes a
+    // candidate through some collided slot; only the verify separates
+    // true near-dups from impostors
+    val df = (1 to 60).map { i =>
+      val words = (0 until 30).map(k => s"w${(i * 7 + k * 3) % 83}")
+      (i.toLong, words.mkString(" "))
+    }.toDF("id", "text")
+    val expected = stringSetPairs(df, 0.5)
+    def run(bits: Int) = Dedup
+      .prefixJaccardPairsImpl(df, "id", "text", 3, 0.5, candidateKeyBits = bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(4) === expected,
+      "collided candidate space must not change the verified pair set")
+    assert(run(60) === expected,
+      "production width must equal the string-set form")
+    // d02's inverted-index plan (120-bit join equality) too
+    val d02 = Dedup.jaccardPairs(df, "id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(d02 === expected)
+    // d17's containment on the same fixture: hash form == string form
+    val contStr = {
+      val sh = Dedup.withShingles(df, "id", "text", 3)
+      val ex = sh.select(col("id"), explode(col("shingles")).as("s"))
+      val sz = sh.select(col("id"), size(col("shingles")).as("n_sh"))
+      ex.as("a").join(ex.as("b"),
+          col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(sz.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
+        .join(sz.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
+        .withColumn("containment", col("n_inter").cast("double") /
+          least(col("na"), col("nb")).cast("double"))
+        .filter(col("containment") >= 0.6)
+        .select(col("id_a"), col("id_b"), col("n_inter"),
+          round(col("containment"), 6).as("containment"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    }
+    val contHash = Dedup.containmentPairs(df, "id", "text", 3, 0.6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(contHash === contStr)
+  }
+
   test("sf0.001 documents: full equality on real corpus, two thresholds") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id").as("id"), col("text"))

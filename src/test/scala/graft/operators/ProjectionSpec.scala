@@ -42,6 +42,62 @@ class ProjectionSpec extends AnyFunSuite {
     assert(a !== c)
   }
 
+  test("native expression == the interpreted SQL aggregate form, bit " +
+      "for bit; the plan shows sign_project_dots (r12 verdict #6 pin)") {
+    val v = vecs(
+      (1L, Seq(1.0f, 2.5f, -1.25f, 0.5f, 3.0f, -2.0f, 0.25f, 1.5f)),
+      (2L, Seq(-0.125f, 0.75f, 2.0f, -3.5f, 0.0f, 1.0f, -1.0f, 0.0625f)))
+    val k = 4
+    // the pre-r13 interpreted form, reconstructed verbatim as reference
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, d: Int): Int = {
+      val hex = md.digest(s"rp${j}_$d".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+    }
+    val vq = expr(
+      "transform(vec, x -> cast(round(cast(x as double) * 1048576, 0) as bigint))")
+    val projections = (1 to k).map { j =>
+      val arr = (1 to dim).map(d => sign(j, d)).mkString("array(", ",", ")")
+      expr(s"aggregate(sequence(1, $dim), 0L, (acc, d) -> " +
+        s"acc + element_at(vq, d) * element_at($arr, d))")
+    }
+    val reference = v.select(col("id"), vq.as("vq"))
+      .select(col("id"), posexplode(array(projections: _*)).as(Seq("pos", "sy")))
+      .select(col("id"), (col("pos") + 1).cast("long").as("proj_dim"),
+        (col("sy").cast("double") / 1048576).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val native = Similarity.signProjection(v, "id", "vec", dim, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(native === reference)
+    // plan pin on a FILE-backed input (a local Seq constant-folds the
+    // whole projection into a LocalTableScan — correct, but no plan to
+    // inspect): the scan plan must evaluate the native expression and
+    // carry no interpreted aggregate HOFs
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val plan = Similarity.signProjection(emb, "vec_id", "embedding", 64, 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("sign_project_dots"),
+      "plan must evaluate the native expression")
+    assert(!plan.contains("aggregate(sequence"),
+      "no interpreted aggregate HOFs may remain in the projection plan")
+  }
+
+  test("null element poisons every dot (SQL null-sum semantics); " +
+      "short vector fails loudly") {
+    val withNull = Seq((1L, Seq[java.lang.Float](1.0f, null, 1.0f, 1.0f,
+      1.0f, 1.0f, 1.0f, 1.0f))).toDF("id", "vec")
+    val rows = Similarity.signProjection(withNull, "id", "vec", dim, 3).collect()
+    assert(rows.length === 3)
+    assert(rows.forall(_.isNullAt(2)), "every y must be null")
+    val short = vecs((1L, Seq(1.0f, 2.0f)))
+    val e = intercept[Exception] {
+      Similarity.signProjection(short, "id", "vec", dim, 3).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("projection is scan-local: no exchange in the plan") {
     val p = Similarity.signProjection(
         vecs((1L, Seq.fill(8)(1.0f))), "id", "vec", dim, 4)

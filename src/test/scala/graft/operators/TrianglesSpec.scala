@@ -33,26 +33,35 @@ class TrianglesSpec extends AnyFunSuite {
     assert(out === Map(5L -> 1L, 6L -> 1L, 7L -> 1L))
   }
 
-  test("packed-probe boundary: id 2³¹−1 stays in the broadcast path and " +
-      "its closing edges are found; ids ≥ 2³¹ route to the join path") {
-    // r9 review regression: the CSR end-key for vertex v was computed
-    // as (v+1)·2³², which overflows signed Long at the guard's own
-    // upper edge (v = 2³¹−1, key = 2⁶³) — the range probe compared
-    // against Long.MinValue and silently missed every closing edge of
-    // that vertex. The fix probes v·2³² + (2³²−1) (caps at Long.Max)
-    // and tightens the broadcast-path guard to ids < 2³¹.
-    val hi = (1L << 31) - 1 // largest id the broadcast path admits
+  test("packed-probe boundary: id 2³¹−1 closing edges are found; ids " +
+      "≥ 2³¹ and negative ids now KEEP the broadcast path (r12 #7)") {
+    // r9 review regression context: with RAW-id packing the CSR
+    // end-key (v+1)·2³² overflowed signed Long at v = 2³¹−1, so the
+    // guard excluded ids ≥ 2³¹ from the broadcast path entirely. The
+    // probe set now lives in dense-INDEX space (LocalGraph
+    // .collectIndexed), so any id range keeps the local probe regime.
+    val hi = (1L << 31) - 1
     val tri = Seq((10L, hi), (10L, 20L), (20L, hi)).toDF("a", "b")
     val out = Triangles.perNodeCounts(tri, "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(10L -> 1L, 20L -> 1L, hi -> 1L))
-    // one id past the bound: same triangle must still be counted
-    // (the guard routes the whole graph to the shuffle-join path)
-    val big = 1L << 31
-    val tri2 = Seq((10L, big), (10L, 20L), (20L, big)).toDF("a", "b")
-    val out2 = Triangles.perNodeCounts(tri2, "a", "b")
+    // ids past the old bound, and negative: still counted, and through
+    // the BROADCAST path (the object-flatMap probe plan, not the
+    // three-join legs) — the regime-equality twin of the r12 g-family
+    // LocalGraph pins
+    val big = (1L << 31) + 7L
+    val tri2 = Seq((-5L, big), (-5L, 20L), (20L, big)).toDF("a", "b")
+    val plan2 = Triangles.perNodeCounts(tri2, "a", "b")
+    assert(plan2.queryExecution.executedPlan.toString
+        .contains("SerializeFromObject"),
+      "big-id graph under the edge cap must take the broadcast probe path")
+    val out2 = plan2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == Map(-5L -> 1L, 20L -> 1L, big -> 1L))
+    // and it must agree with the forced shuffle-join regime
+    val joined = Triangles.perNodeCounts(tri2, "a", "b",
+        maxBroadcastEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out2 == Map(10L -> 1L, 20L -> 1L, big -> 1L))
+    assert(joined === out2)
   }
 
   test("broadcast-probe and shuffle-join paths agree on a random graph") {
