@@ -194,6 +194,41 @@ object helpers {
     new GenericArrayData(out)
   }
 
+  private val md5Tl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** All `depth` Count-Min row buckets for one key — digest BYTES, no
+    * hex-string hop (r12 verdict #5: the SQL form materialized a
+    * 32-char md5 hex string per occurrence and `conv`-parsed four
+    * substrings of it; that per-occurrence allocation was the whole
+    * map-side cost of the sketch build, which is otherwise a bounded
+    * -state scan). Bit-identical to the SQL form the t25 oracle
+    * replays: row j reads the big-endian unsigned 32-bit lane j%4 of
+    * md5("cm{j/4}|" + key) — exactly
+    * ('0x' || substr(md5(...), 1 + j*8, 8))::BIGINT — then % width. */
+  def cmBuckets(word: UTF8String, depth: Int, width: Int): ArrayData = {
+    val md = md5Tl.get()
+    val out = new Array[Long](depth)
+    var h = 0
+    while (h * 4 < depth) {
+      md.reset()
+      val dig = md.digest(
+        ("cm" + h + "|" + word.toString).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var lane = 0
+      while (lane < 4 && h * 4 + lane < depth) {
+        val off = lane * 4
+        val v = ((dig(off) & 0xffL) << 24) | ((dig(off + 1) & 0xffL) << 16) |
+          ((dig(off + 2) & 0xffL) << 8) | (dig(off + 3) & 0xffL)
+        out(h * 4 + lane) = v % width
+        lane += 1
+      }
+      h += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature: one base XXH64 per shingle, then `num` lanes of
     * SplitMix64-style remixing folded to their minima in a single pass. */
   def minHashSignature(arr: ArrayData, num: Int): ArrayData = {
@@ -741,6 +776,31 @@ case class SignProjectDots(child: Expression, dim: Int, k: Int,
   override def prettyName: String = "sign_project_dots"
 }
 
+/** `cm_buckets(word)` → array<bigint>: the depth Count-Min row buckets
+  * of one key — codegen'd single helper call over digest bytes; see
+  * [[helpers.cmBuckets]] for the exact SQL-form semantics. */
+case class CmBucketsExpr(child: Expression, depth: Int, width: Int)
+    extends UnaryExpression {
+  require(depth >= 1 && width >= 1, s"depth/width must be >= 1, got $depth/$width")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cm_buckets needs a string key, got $other")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    helpers.cmBuckets(input.asInstanceOf[UTF8String], depth, width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.helpers.cmBuckets($c, $depth, $width);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "cm_buckets"
+}
+
 /** `gopher_fractions(text)` → array<double> [top2, top3, top4, dup5]
   * char fractions — scan-local Gopher repetition rules. */
 case class GopherFractions(child: Expression)
@@ -1115,6 +1175,10 @@ object GraftFunctions {
   def signProjectDots(vec: Column, dim: Int, k: Int, seed: String): Column =
     ColumnBridge.column(SignProjectDots(
       ColumnBridge.expression(vec), dim, k, seed))
+
+  def cmBuckets(word: Column, depth: Int, width: Int): Column =
+    ColumnBridge.column(CmBucketsExpr(
+      ColumnBridge.expression(word), depth, width))
 
   def uuid5(name: Column): Column =
     ColumnBridge.column(Uuid5Expr(ColumnBridge.expression(name)))

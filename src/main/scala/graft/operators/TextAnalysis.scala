@@ -736,34 +736,25 @@ object TextAnalysis {
     * heavy-hitters contract.
     *
     * Sketch build: one scan → explode to `depth` (row, bucket) keys
-    * per token → bounded groupBy. Lookup for a key set: broadcast the
-    * keys, probe the sketch on (row, bucket), min over rows. */
-  /** All `depth` row buckets for one key, derived from ceil(depth/4)
-    * md5 digests: row j reads 32-bit lane j%4 of digest j/4. One hash
-    * call covers four sketch rows (an md5 digest is 128 independent
-    * bits) — measured 3.0 → 1.9 s on the t25 build, where the
-    * per-occurrence hashing is the whole map-side cost. `dig` must be
-    * the concatenation of those digests (see [[cmDigest]]). */
-  private[operators] def cmBuckets(depth: Int, width: Int): String =
-    s"""transform(sequence(0, ${depth - 1}), j ->
-       |  named_struct('j', j,
-       |    'bucket', cast(conv(substring(dig, 1 + j * 8, 8), 16, 10)
-       |      as bigint) % $width))""".stripMargin
-
-  /** concat of the ceil(depth/4) md5 digests feeding [[cmBuckets]]. */
-  private[operators] def cmDigest(depth: Int): Column = {
-    val parts = (0 until (depth + 3) / 4).map(h =>
-      md5(concat(lit("cm"), lit(h), lit("|"), col("word"))))
-    if (parts.size == 1) parts.head else concat(parts: _*)
-  }
-
+    * per token → bounded groupBy. Buckets: row j reads the big-endian
+    * 32-bit lane j%4 of md5("cm{j/4}|" + key) — one digest covers four
+    * sketch rows — via the native [[graft.functions.CmBucketsExpr]]
+    * (digest bytes, no hex-string hop). Lookup for a key set:
+    * broadcast the keys, probe the sketch on (row, bucket), min over
+    * rows. */
   def countMinSketch(docs: DataFrame, textCol: String,
                      depth: Int = 4, width: Int = 1024): DataFrame = {
+    // buckets come from the native digest-bytes expression (r12
+    // verdict #5: the hex-string + conv form paid a 32-char string
+    // materialization and four substring parses PER OCCURRENCE — the
+    // whole map-side cost of an otherwise bounded-state scan; the ×10
+    // row dropped ~3× with this). Bit-identical bucket values, same
+    // oracle replay.
     val words = docs.select(explode(split(col(textCol), " ")).as("word"))
     words
-      .select(cmDigest(depth).as("dig"))
-      .select(explode(expr(cmBuckets(depth, width))).as("rb"))
-      .groupBy(col("rb.j").as("j"), col("rb.bucket").as("bucket"))
+      .select(posexplode(graft.functions.GraftFunctions.cmBuckets(
+        col("word"), depth, width)).as(Seq("j", "bucket")))
+      .groupBy(col("j"), col("bucket"))
       .agg(count(lit(1)).as("c"))
   }
 
@@ -789,11 +780,10 @@ object TextAnalysis {
     val top = words.groupBy(col("word")).agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("word")).limit(k)
     val probes = top
-      .select(col("word"), col("n_exact"), cmDigest(depth).as("dig"))
       .select(col("word"), col("n_exact"),
-        explode(expr(cmBuckets(depth, width))).as("pb"))
-      .select(col("word"), col("n_exact"),
-        col("pb.j").as("j"), col("pb.bucket").as("bucket"))
+        posexplode(graft.functions.GraftFunctions.cmBuckets(
+          col("word"), depth, width)).as(Seq("j", "bucket")))
+      .select(col("word"), col("n_exact"), col("j"), col("bucket"))
     broadcast(probes).join(sketch, Seq("j", "bucket"))
       .groupBy(col("word"), col("n_exact"))
       .agg(min(col("c")).as("n_est"))

@@ -193,7 +193,14 @@ object PlanReport {
         "doc_id", "text", "bench_id", "bench_text", 8).count(),
       graft.operators.Dedup.contaminationPairs(docs10, bench(docs10),
         "doc_id", "text", "bench_id", "bench_text", 8).count())
-    row("unigram scoring (broadcast vocab)",
+    // unigramScores persists its exploded word frame internally, so a
+    // warmed re-run would time a cache READ at 1× against a cold BUILD
+    // at 10× — the r12 "19.0× slope" was exactly this measurement
+    // artifact (standalone cold-vs-cold measures 3.9×); first-run
+    // timing on both sides, like minhash LSH
+    rowFirstRun("unigram scoring (broadcast vocab)",
+      graft.operators.TextAnalysis.unigramScores(
+        docs.limit(500), "doc_id", "text", 500).count(),
       graft.operators.TextAnalysis.unigramScores(docs, "doc_id", "text", 500).count(),
       graft.operators.TextAnalysis.unigramScores(docs10, "doc_id", "text", 500).count())
     row("sequence packing (hierarchical prefix sum)",
