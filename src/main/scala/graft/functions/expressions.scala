@@ -488,6 +488,33 @@ object helpers {
     1.0 - distinct.size.toDouble / total.toDouble
   }
 
+  /** Intersection size of two sets of 120-bit (hi, lo) pairs, each
+    * given as two ALIGNED long arrays sorted ascending by (hi, lo) —
+    * one merge walk, no per-element allocation. Replaces
+    * `size(array_intersect(...))` over `array<struct<long,long>>`,
+    * whose struct path falls back to interpreted per-element
+    * ordering/equality (measured 6.6× on the d20 verify). Duplicate
+    * pairs (impossible for per-doc distinct shingles, but harmless)
+    * advance both cursors, matching set semantics. */
+  def sortedPairIntersect(aHi: ArrayData, aLo: ArrayData,
+                          bHi: ArrayData, bLo: ArrayData): Int = {
+    val na = aHi.numElements()
+    val nb = bHi.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val ah = aHi.getLong(i); val bh = bHi.getLong(j)
+      if (ah < bh) i += 1
+      else if (ah > bh) j += 1
+      else {
+        val al = aLo.getLong(i); val bl = bLo.getLong(j)
+        if (al < bl) i += 1
+        else if (al > bl) j += 1
+        else { c += 1; i += 1; j += 1 }
+      }
+    }
+    c
+  }
+
   /** Distinct word n-gram STRINGS in first-occurrence order — the
     * oracle-facing twin of [[ngramHashes]] (d02's DuckDB oracle joins
     * on the strings, so they must exist; everything hash-keyed should
@@ -965,6 +992,39 @@ case class NgramHashes(child: Expression, n: Int)
   override def prettyName: String = "ngram_hashes"
 }
 
+/** `sorted_pair_intersect_count(aHi, aLo, bHi, bLo)` → int: size of the
+  * intersection of two 120-bit (hi, lo) pair sets, each as two aligned
+  * long arrays sorted ascending by (hi, lo). The d20/prefix-join verify
+  * used `size(array_intersect(...))` over `array<struct<long,long>>`,
+  * whose struct path is interpreted per element (non-codegen ordering +
+  * equality) — measured 18.3 s vs the 60-bit long-array form's 2.7 s on
+  * the sf0.1 bench row. One merge walk in [[helpers.sortedPairIntersect]],
+  * allocation-free, codegen'd. */
+case class SortedPairIntersectCount(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    children.map(_.dataType) match {
+      case Seq(ArrayType(LongType, _), ArrayType(LongType, _),
+               ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_pair_intersect_count needs four array<long> inputs, got $other")
+    }
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    helpers.sortedPairIntersect(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.functions.helpers.sortedPairIntersect($a, $b, $c, $d);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+  override def prettyName: String = "sorted_pair_intersect_count"
+}
+
 /** `ngram_buckets(words, n, buckets)` → array<int>: per-window hashed
   * feature bucket ids, duplicates kept (bag-of-n-grams features). */
 case class NgramBuckets(child: Expression, n: Int, buckets: Int)
@@ -1190,6 +1250,12 @@ object GraftFunctions {
 
   def ngramHashes(words: Column, n: Int): Column =
     ColumnBridge.column(NgramHashes(ColumnBridge.expression(words), n))
+
+  def sortedPairIntersectCount(aHi: Column, aLo: Column,
+                               bHi: Column, bLo: Column): Column =
+    ColumnBridge.column(SortedPairIntersectCount(
+      ColumnBridge.expression(aHi), ColumnBridge.expression(aLo),
+      ColumnBridge.expression(bHi), ColumnBridge.expression(bLo)))
 
   def ngramStrings(text: Column, n: Int): Column =
     ColumnBridge.column(NgramStrings(ColumnBridge.expression(text), n))
