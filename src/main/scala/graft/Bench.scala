@@ -297,6 +297,16 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val names = new scala.util.Random(seed).shuffle(names0)
 
+    // Sweep the cross-JVM artifact stores BEFORE any query runs (r13):
+    // a prior invocation's published graph artifacts / trained models
+    // would turn this run's timed art_* rows into store READS — the
+    // bench would no longer compute from the parquet inputs (cross-run
+    // result caching; r12's art rows read ~0.2 s against the honest
+    // 2–8 s builds). Every invocation now builds its own artifacts,
+    // which is also what a fresh driver sandbox measures.
+    graft.queries.GraphCache.sweepSharedStore()
+    graft.operators.IndexStore.sweepPublishRoot()
+
     names.foreach { n =>
       try qs(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => }
@@ -541,6 +551,23 @@ object Bench {
     //    order reproduces because the JIT work is already done.
     // The headline total = art builds + warm queries: one production
     // cycle — build every artifact once, then serve every query warm.
+    // art rows get the SAME cold/warm protocol as query rows: one
+    // untimed cold build burns JIT + page cache (they are the first
+    // full-scale executions in this JVM — r13 measured
+    // art_copurchase_weights at 8.0 s in the full run vs 1.5 s warm,
+    // pure first-execution noise), then stores and in-JVM memos are
+    // reset so the TIMED pass is a true rebuild from the parquet
+    // inputs (not a store read), warm-JIT — the steady-state
+    // build-once cost, seed- and position-independent.
+    artRunnables.foreach { case (_, run) =>
+      try run() catch { case _: Throwable => () } }
+    graft.core.Caching.CacheLedger.releaseAll()
+    spark.catalog.clearCache()
+    graft.queries.GraphCache.sweepSharedStore()
+    graft.operators.IndexStore.sweepPublishRoot()
+    graft.queries.GraphCache.resetMemoForTest()
+    graft.queries.ModelCache.resetMemosForBench()
+    System.gc()
     val artRows = artRunnables.map { case (name, run) => timeOne(name, run) }
     val coldSec: Map[String, Double] =
       queryRunnables.map { case (name, run) => name -> timeOne(name, run).sec }

@@ -488,6 +488,41 @@ object helpers {
     1.0 - distinct.size.toDouble / total.toDouble
   }
 
+  /** First 60 bits of md5(s) as a long — bit-identical to the SQL form
+    * `conv(substring(md5(s), 1, 15), 16, 10)` every DuckDB oracle
+    * replays, computed from the digest BYTES directly: the SQL form
+    * materializes a 32-char hex string and re-parses 15 digits per
+    * call (the t25 count-min disease, r13: one digest + hex + conv per
+    * posting, twice when the lo half is also needed). */
+  def md5Hash60(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** Both disjoint 60-bit halves of md5(s) — hex digits 1–15 and 16–30
+    * — from ONE digest, as a (hi, lo) struct row. Bit-identical to the
+    * `conv(substring(md5(s), 1|16, 15), 16, 10)` pair. */
+  def md5Hash120(s: UTF8String): InternalRow = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h = (h << 4) | ((d(7) & 0xf0L) >> 4)
+    // lo: the low nibble of byte 7, then bytes 8..14 (hex digits 16-30)
+    var l = d(7) & 0x0fL
+    i = 8
+    while (i < 15) { l = (l << 8) | (d(i) & 0xffL); i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](h, l))
+  }
+
   /** Intersection size of two sets of 120-bit (hi, lo) pairs, each
     * given as two ALIGNED long arrays sorted ascending by (hi, lo) —
     * one merge walk, no per-element allocation. Replaces
@@ -992,6 +1027,55 @@ case class NgramHashes(child: Expression, n: Int)
   override def prettyName: String = "ngram_hashes"
 }
 
+/** `md5_hash60(s)` → bigint: first 60 bits of md5(s), bit-identical to
+  * `conv(substring(md5(s), 1, 15), 16, 10)` (the form the DuckDB
+  * oracles replay) with ONE digest and no hex-string round-trip. */
+case class Md5Hash60Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"md5_hash60 needs a string, got $t")
+    }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    helpers.md5Hash60(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.helpers.md5Hash60($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "md5_hash60"
+}
+
+/** `md5_hash120(s)` → struct<hi:bigint, lo:bigint>: both disjoint
+  * 60-bit md5 halves (hex digits 1–15 / 16–30) from one digest — the
+  * hashed-postings key pair ([[graft.operators.Dedup.md5Hash60Col]] +
+  * `md5Hash60LoCol`) without two digests and two hex parses per row. */
+case class Md5Hash120Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"md5_hash120 needs a string, got $t")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("hi", LongType, nullable = false),
+    StructField("lo", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    helpers.md5Hash120(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.helpers.md5Hash120($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "md5_hash120"
+}
+
 /** `sorted_pair_intersect_count(aHi, aLo, bHi, bLo)` → int: size of the
   * intersection of two 120-bit (hi, lo) pair sets, each as two aligned
   * long arrays sorted ascending by (hi, lo). The d20/prefix-join verify
@@ -1250,6 +1334,12 @@ object GraftFunctions {
 
   def ngramHashes(words: Column, n: Int): Column =
     ColumnBridge.column(NgramHashes(ColumnBridge.expression(words), n))
+
+  def md5Hash60(s: Column): Column =
+    ColumnBridge.column(Md5Hash60Expr(ColumnBridge.expression(s)))
+
+  def md5Hash120(s: Column): Column =
+    ColumnBridge.column(Md5Hash120Expr(ColumnBridge.expression(s)))
 
   def sortedPairIntersectCount(aHi: Column, aLo: Column,
                                bHi: Column, bLo: Column): Column =

@@ -85,8 +85,9 @@ object Dedup {
   private def hashedPostings(sh: DataFrame, prefix: String): DataFrame =
     sh.select(col("id"), explode(col("shingles")).as("s"))
       .select(col("id"),
-        md5Hash60Col(concat(lit(prefix), col("s"))).as("shingle"),
-        md5Hash60LoCol(concat(lit(prefix), col("s"))).as("lo"))
+        graft.functions.GraftFunctions.md5Hash120(
+          concat(lit(prefix), col("s"))).as("h"))
+      .select(col("id"), col("h.hi").as("shingle"), col("h.lo").as("lo"))
 
   /** Optional stop-shingle guard over hashed postings — the df census
     * counts TRUE (120-bit) shingles, so a 60-bit prefix collision can
@@ -325,8 +326,9 @@ object Dedup {
       .filter(size(col("shingles")) > 0)
       .select(col("id"), explode(col("shingles")).as("s"))
       .select(col("id"),
-        md5Hash60Col(concat(lit("pj|"), col("s"))).as("shingle"),
-        md5Hash60LoCol(concat(lit("pj|"), col("s"))).as("lo"))
+        graft.functions.GraftFunctions.md5Hash120(
+          concat(lit("pj|"), col("s"))).as("h"))
+      .select(col("id"), col("h.hi").as("shingle"), col("h.lo").as("lo"))
       .repartition(col("shingle"))
       .persistLedgered()
     // df census on the TRUE 120-bit shingle identity (r12 verdict #3);
@@ -1011,7 +1013,11 @@ object Dedup {
     * hash-convention changes cannot silently miss a copy (t39/t40/p31
     * share it; [[Kmv.hashCol]] is the prefixed variant). */
   def md5Hash60Col(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    // native single-digest form; bit-identical to
+    // conv(substring(md5(c), 1, 15), 16, 10).cast("long") — the SQL
+    // shape every oracle replays — without the 32-char hex string and
+    // the 15-digit conv parse per row (the t25/CmBuckets disease; r13)
+    graft.functions.GraftFunctions.md5Hash60(c)
 
   /** The DISJOINT second 60 bits of the same digest (hex digits
     * 16–30) — the verify-widening column (r12 verdict #3): equality on
@@ -1024,7 +1030,10 @@ object Dedup {
     * the hash itself (the exact-pair oracles instead join raw shingle
     * strings — set-exact, which 120-bit equality matches). */
   def md5Hash60LoCol(c: Column): Column =
-    conv(substring(md5(c), 16, 15), 16, 10).cast("long")
+    // native twin of [[md5Hash60Col]] (callers needing BOTH halves
+    // should project graft.functions.GraftFunctions.md5Hash120 once
+    // instead — one digest for the pair)
+    graft.functions.GraftFunctions.md5Hash120(c).getField("lo")
 
   def md5Hash60(s: String): Long = {
     val md = md5Local.get()

@@ -104,6 +104,19 @@ object IndexStore {
     publishRoot.resolve(key.replaceAll("[^A-Za-z0-9.-]+", "_") +
       "_" + graft.core.Fs.keyHash(key)).toString
 
+  /** Delete every entry under [[publishRoot]] (bench hygiene, r13 —
+    * the [[graft.queries.GraphCache.sweepSharedStore]] twin): a prior
+    * JVM's published models would turn the bench's timed `art_*`
+    * model-build rows into store reads (cross-run result caching).
+    * The bench sweeps once at startup; production never sweeps. */
+  private[graft] def sweepPublishRoot(): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(
+        java.nio.file.Files.list(publishRoot))(s =>
+        s.iterator().asScala.toList).foreach(deleteTree)
+    } catch { case _: Throwable => () }
+
   /** Load the artifact at `path` if a prior JVM (or this one) published
     * it; otherwise `train`, publish ATOMICALLY, and read the artifact
     * back. EVERY caller serves from the parquet artifact — the serve

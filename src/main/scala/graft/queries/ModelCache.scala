@@ -29,6 +29,14 @@ import graft.operators.{IndexStore, ProductQuantizer}
   */
 object ModelCache {
 
+  /** Bench hook (the [[GraphCache.resetMemoForTest]] twin): drop every
+    * in-JVM model memo so the next call re-resolves through the
+    * cross-JVM store — with the store swept too, the next call is a
+    * true rebuild (the bench's warm-art protocol times exactly that). */
+  private[graft] def resetMemosForBench(): Unit = {
+    pqMemo.clear(); ivfPqMemo.clear(); sq8Memo.clear(); kmeansMemo.clear()
+  }
+
   private val pqMemo =
     new java.util.concurrent.ConcurrentHashMap[String, ProductQuantizer.Model]()
 
