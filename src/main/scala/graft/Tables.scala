@@ -10,8 +10,45 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `PushedFilters` / `ReadSchema`).
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Tables smaller than this skip the single-split repartition below
+    * (a broadcast-side dimension gains nothing from an exchange). */
+  private val MinRepartitionBytes = 131072L
+
+  /** (path|parallelism) → planned scan partition count, memoized: the
+    * count requires planning the bare scan once per table per session
+    * shape. */
+  private val splitMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Read a testdata table, parallelizing single-row-group scans
+    * (r13): a row group is parquet's split floor, and the sf-scale
+    * corpus tables ship as ONE file with one row group apiece — so
+    * every scan-local heavy stage (tokenization, shingle hashing,
+    * cosine fan-outs against broadcast queries) ran on ONE core of
+    * local[32] until its first exchange. When the planned scan has
+    * less than half the session's parallelism AND the file carries
+    * enough bytes to matter, insert one round-robin exchange right
+    * above the scan; the bytes are corpus-table-sized (≤ ~11 MB at
+    * sf0.1), so the exchange is trivially cheap next to the work it
+    * parallelizes. Deterministic filters and column pruning push
+    * THROUGH Repartition, so PushedFilters/ReadSchema at the scan are
+    * unchanged. At production scale (files/row groups ≥ cores) the
+    * guard is false and the plan is untouched — the scale-adaptive
+    * rule, not a local[32] constant. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
+    val target = spark.sparkContext.defaultParallelism
+    val bytes =
+      try java.nio.file.Files.size(java.nio.file.Paths.get(path))
+      catch { case _: Throwable => 0L } // non-local store: leave untouched
+    if (bytes < MinRepartitionBytes) df
+    else {
+      val scanParts = splitMemo.computeIfAbsent(s"$path|$target",
+        _ => Integer.valueOf(df.rdd.getNumPartitions)).intValue()
+      if (scanParts * 2 <= target) df.repartition(target) else df
+    }
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")

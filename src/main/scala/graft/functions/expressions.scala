@@ -488,6 +488,69 @@ object helpers {
     1.0 - distinct.size.toDouble / total.toDouble
   }
 
+  /** Single-space word count = spaces + 1 over the UTF-8 bytes (0x20 is
+    * never part of a multi-byte sequence) — bit-identical to
+    * `size(split(text, " "))` (empties kept, "" counts 1) without
+    * materializing the token array. */
+  def wordCount(text: UTF8String): Int = {
+    val n = text.numBytes()
+    var c = 1
+    var i = 0
+    while (i < n) {
+      if (text.getByte(i) == 0x20) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Per-document term frequencies restricted to a (sorted) query
+    * vocabulary of xxhash64 term hashes — the fused form of
+    * `explode(split(text, ' ')) → xxhash64 → broadcast-semi-join →
+    * groupBy(doc, term).count()`: the corpus-terms scan that dominates
+    * the BM25/retrieval family (a11 measured 37 s of executor CPU at
+    * sf0.1, almost all in the explode+hash+probe+agg chain). One pass
+    * over the document's UTF-8 BYTES (split on 0x20 — space is never
+    * part of a multi-byte sequence, and empty tokens hash like Spark's
+    * split keeps them), each word hashed in place with the same
+    * XXH64(seed 42) Spark's xxhash64 computes, binary-searched against
+    * the vocabulary, and matched hashes run-length-encoded after an
+    * in-buffer sort. Output rows (ht, tf) sorted by ht. */
+  def termTfs(text: UTF8String, vocab: Array[Long]): ArrayData = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val n = text.numBytes()
+    var buf = new Array[Long](16)
+    var m = 0
+    var ws = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.getByte(i) == 0x20) {
+        val h = XXH64.hashUnsafeBytes(base, off + ws, i - ws, 42L)
+        if (java.util.Arrays.binarySearch(vocab, h) >= 0) {
+          if (m == buf.length) buf = java.util.Arrays.copyOf(buf, m * 2)
+          buf(m) = h
+          m += 1
+        }
+        ws = i + 1
+      }
+      i += 1
+    }
+    if (m == 0) return new GenericArrayData(Array.empty[AnyRef])
+    java.util.Arrays.sort(buf, 0, m)
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](8)
+    var s = 0
+    i = 1
+    while (i <= m) {
+      if (i == m || buf(i) != buf(s)) {
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](buf(s), (i - s).toLong))
+        s = i
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** First 60 bits of md5(s) as a long — bit-identical to the SQL form
     * `conv(substring(md5(s), 1, 15), 16, 10)` every DuckDB oracle
     * replays, computed from the digest BYTES directly: the SQL form
@@ -1027,6 +1090,63 @@ case class NgramHashes(child: Expression, n: Int)
   override def prettyName: String = "ngram_hashes"
 }
 
+/** `word_count(text)` → int: `size(split(text, " "))` without the token
+  * array — see [[helpers.wordCount]]. */
+case class WordCountExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_count needs a string, got $t")
+    }
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    helpers.wordCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.helpers.wordCount($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "word_count"
+}
+
+/** `term_tfs(text)` → array<struct<ht:bigint, tf:bigint>>: per-document
+  * term frequencies restricted to a broadcast sorted xxhash64 query
+  * vocabulary — see [[helpers.termTfs]]. Replaces the
+  * explode/hash/semi-join/agg corpus-terms chain of the retrieval
+  * family with one scan-local pass. */
+case class TermTfsExpr(child: Expression,
+                       vocabBc: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"term_tfs needs a string, got $t")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("ht", LongType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  @transient private lazy val localVocab: Array[Long] = vocabBc.value
+  override def nullSafeEval(input: Any): Any =
+    helpers.termTfs(input.asInstanceOf[UTF8String], localVocab)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("termVocabBc", vocabBc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val vocabVar = ctx.addMutableState("long[]", "termVocab",
+      v => s"$v = (long[]) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.helpers.termTfs($c, $vocabVar);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "term_tfs"
+}
+
 /** `md5_hash60(s)` → bigint: first 60 bits of md5(s), bit-identical to
   * `conv(substring(md5(s), 1, 15), 16, 10)` (the form the DuckDB
   * oracles replay) with ONE digest and no hex-string round-trip. */
@@ -1334,6 +1454,14 @@ object GraftFunctions {
 
   def ngramHashes(words: Column, n: Int): Column =
     ColumnBridge.column(NgramHashes(ColumnBridge.expression(words), n))
+
+  def wordCount(text: Column): Column =
+    ColumnBridge.column(WordCountExpr(ColumnBridge.expression(text)))
+
+  def termTfs(text: Column, vocab: Array[Long]): Column = {
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(vocab)
+    ColumnBridge.column(TermTfsExpr(ColumnBridge.expression(text), bc))
+  }
 
   def md5Hash60(s: Column): Column =
     ColumnBridge.column(Md5Hash60Expr(ColumnBridge.expression(s)))

@@ -484,7 +484,7 @@ object Dedup {
     // signature is the all-MaxValue sentinel, which would bucket every
     // such doc together and then divide 0/0 in the Jaccard verify.
     val sig0 = df
-      .filter(size(split(col(textCol), " ")) >= n)
+      .filter(graft.functions.GraftFunctions.wordCount(col(textCol)) >= n)
       .select(col(idCol).as("id"),
         graft.functions.GraftFunctions.minhashWords(split(col(textCol), " "), numHashes, n).as("sig"))
     // with the agreement pre-filter active, sig has THREE consumers
@@ -734,7 +734,7 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     def bucketsOf(df: DataFrame, id: String, text: String, outId: String): DataFrame =
-      df.filter(size(split(col(text), " ")) >= n)
+      df.filter(graft.functions.GraftFunctions.wordCount(col(text)) >= n)
         .select(col(id).as(outId),
           graft.functions.GraftFunctions
             .minhashWords(split(col(text), " "), numHashes, n).as("sig"))
@@ -810,7 +810,7 @@ object Dedup {
     val r = numHashes / bands
     def withShingleBuckets(df: DataFrame, id: String, text: String,
                            outId: String, shName: String): DataFrame =
-      df.filter(size(split(col(text), " ")) >= n)
+      df.filter(graft.functions.GraftFunctions.wordCount(col(text)) >= n)
         .select(col(id).as(outId),
           graft.functions.GraftFunctions
             .minhashWords(split(col(text), " "), numHashes, n).as("sig"),

@@ -300,7 +300,10 @@ object Similarity {
                persistTf: Boolean = true,
                excludeSelf: Boolean = false): DataFrame = {
     val c = corpus.select(col(idCol).as("doc_id"), col(textCol).as("dtext"),
-      size(split(col(textCol), " ")).cast("long").as("dl"))
+      // native count — size(split(...)) materialized the token array
+      // for every corpus doc inside the tf scan (r13)
+      graft.functions.GraftFunctions.wordCount(col(textCol))
+        .cast("long").as("dl"))
     val q = queries.select(col(qIdCol).as("query_id"), col(qTextCol).as("qtext"))
 
     // single-row corpus stats, broadcast (no driver collect)
@@ -308,24 +311,41 @@ object Similarity {
 
     // terms live as 8-byte xxhash64 keys from the scan projection on —
     // strings never shuffle or join (the d10 convention)
-    val qterms = q.select(col("query_id"),
+    // (query_id, term-hash) rows COLLECTED once (query-vocab-sized —
+    // the same bound the broadcast the old plan built already assumed)
+    // and re-planted as a LocalRelation: the scoring fan-out join
+    // broadcasts it without re-deriving the query frame inside the
+    // action, and the sorted vocabulary array falls out driver-side
+    // with no extra distinct job. The vocabulary feeds the scan-local
+    // term_tfs pass: per-doc (term, tf) pairs computed IN the corpus
+    // scan, replacing explode(all words) → xxhash64 →
+    // broadcast-semi-join → groupBy(doc, term).count() — that chain
+    // was the retrieval family's dominant cost (a11: 37 s executor
+    // CPU at sf0.1). Same (doc_id, ht, tf, dl) rows, engine-exact
+    // (same XXH64 seed-42 word hashes Spark's xxhash64 computes).
+    // persist: tf feeds both the df aggregation and the weight join —
+    // without it the corpus scan runs twice (the t15 pattern). Callers
+    // invoking bm25TopK repeatedly in one session pass persistTf=false
+    // (per-call cache entries are only freed by unpersist and would
+    // otherwise accumulate for the session's life — the sequencePack
+    // persistToks convention).
+    val qtermsPlan = q.select(col("query_id"),
         explode(array_distinct(split(col("qtext"), " "))).as("term"))
       .select(col("query_id"), xxhash64(col("term")).as("ht"))
-    val cwords = c.select(col("doc_id"), col("dl"),
-        explode(split(col("dtext"), " ")).as("term"))
-      .select(col("doc_id"), col("dl"), xxhash64(col("term")).as("ht"))
-    // map-side semi-join against the broadcast query vocabulary: only
-    // query-term occurrences ever reach a shuffle
-    // persist: tf feeds both the df aggregation and the weight join —
-    // without it the corpus-words scan + semi-join + agg run twice
-    // (the t15 pattern). Callers invoking bm25TopK repeatedly in one
-    // session pass persistTf=false (per-call cache entries are only
-    // freed by unpersist and would otherwise accumulate for the
-    // session's life — the sequencePack persistToks convention).
-    val tfRaw = cwords
-      .join(broadcast(qterms.select(col("ht")).distinct()), Seq("ht"))
-      .groupBy(col("doc_id"), col("ht"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val qtermRows = qtermsPlan.collectAsList()
+    val spark = queries.sparkSession
+    val qterms = spark.createDataFrame(qtermRows, qtermsPlan.schema)
+    val vocab: Array[Long] = {
+      import scala.jdk.CollectionConverters._
+      val a = qtermRows.asScala.map(_.getLong(1)).toArray.distinct
+      java.util.Arrays.sort(a)
+      a
+    }
+    val tfRaw = c.select(col("doc_id"), col("dl"),
+        explode(graft.functions.GraftFunctions.termTfs(col("dtext"), vocab))
+          .as("e"))
+      .select(col("doc_id"), col("e.ht").as("ht"), col("e.tf").as("tf"),
+        col("dl"))
     val tf =
       if (persistTf)
         tfRaw.persistLedgered()
@@ -463,19 +483,39 @@ object Similarity {
     val c = corpus.select(col(idCol).as("doc_id"),
       col(textCol).as("dtext"), asDouble(vecCol).as("cv"))
 
-    // --- lexical leg ---
-    val qterms = q.select(col("query_id"),
-      explode(array_distinct(split(col("qtext"), " "))).as("term"))
+    // --- lexical leg --- terms live as 8-byte xxhash64 keys (the d10
+    // convention bm25TopK already follows; the string-keyed form
+    // re-shuffled corpus words as strings), and the corpus side is the
+    // scan-local term_tfs pass against the broadcast sorted query
+    // vocabulary — only matched DISTINCT (doc, term) rows ever leave
+    // the scan (tf is ignored here: the leg counts shared distinct
+    // terms). Same rows as explode(array_distinct)+semi-join.
+    val qtermsPlan = q.select(col("query_id"),
+        explode(array_distinct(split(col("qtext"), " "))).as("term"))
+      .select(col("query_id"), xxhash64(col("term")).as("ht"))
+    // collected once, re-planted as a LocalRelation (the bm25TopK
+    // convention): one job instead of per-consumer query-frame scans
+    val qtermRows = qtermsPlan.collectAsList()
+    val spark = queries.sparkSession
+    val qterms = spark.createDataFrame(qtermRows, qtermsPlan.schema)
+    val vocab: Array[Long] = {
+      import scala.jdk.CollectionConverters._
+      val a = qtermRows.asScala.map(_.getLong(1)).toArray.distinct
+      java.util.Arrays.sort(a)
+      a
+    }
+    // two consumers (the df census and the hits fan-out): persist so
+    // the corpus scan runs once
     val cterms = c.select(col("doc_id"),
-      explode(array_distinct(split(col("dtext"), " "))).as("term"))
-    // df over query terms only: map-side semi-join against the broadcast
-    // query vocabulary, partial agg, tiny result re-broadcast
-    val dfq = cterms
-      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        explode(graft.functions.GraftFunctions.termTfs(col("dtext"), vocab))
+          .as("e"))
+      .select(col("doc_id"), col("e.ht").as("ht"))
+      .persistLedgered()
+    // df over query terms only: query-vocab-sized result re-broadcast
+    val dfq = cterms.groupBy(col("ht")).agg(count(lit(1)).as("df"))
     val hits = cterms
-      .join(broadcast(qterms), Seq("term"))
-      .join(broadcast(dfq), Seq("term"))
+      .join(broadcast(qterms), Seq("ht"))
+      .join(broadcast(dfq), Seq("ht"))
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_shared"), sum(col("df")).as("df_sum"))

@@ -13,7 +13,11 @@ import graft.core.GraftTokenizer
 object TextAnalysis {
 
   /** Whitespace token count. */
-  def wsTokenCount(text: Column): Column = size(split(text, " "))
+  // native byte-scan count, bit-identical to size(split(text, " "))
+  // (empties kept, "" counts 1) — the split materialized the whole
+  // token array per row just to count it (r13)
+  def wsTokenCount(text: Column): Column =
+    graft.functions.GraftFunctions.wordCount(text)
 
   /** BPE-ish regex token count: alnum runs (the pretokenizer classes).
     * Built with the Column DSL, not string interpolation, so composed
@@ -967,7 +971,7 @@ object TextAnalysis {
     import graft.operators.Dedup.md5Hash60Col
     val w = docs
       .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"),
-        size(split(col(textCol), " ")).as("n"))
+        graft.functions.GraftFunctions.wordCount(col(textCol)).as("n"))
       .filter(col("n") >= minK)
     def hash(c: org.apache.spark.sql.Column) =
       md5Hash60Col(concat(lit("st|"), c))

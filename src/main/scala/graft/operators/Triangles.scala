@@ -130,50 +130,80 @@ object Triangles {
         val (packedIdx, nodeDict) =
           LocalGraph.collectIndexed(canon, "lo", "hi", minId, maxId)
         java.util.Arrays.sort(packedIdx)
+        // CSR offsets over the sorted packed array, built once here
+        // (r13): the walk used two lowerBound binary searches per
+        // wedge BASE — ~22 random probes each over a ~24 MB array,
+        // measured as 42 s of executor CPU on the sf0.1 build (the
+        // row's dominant cost). off(v)..off(v+1) is the same range,
+        // one L1-resident int read per base.
+        val off = {
+          val o = new Array[Int](nodeDict.length + 1)
+          var p = 0
+          var v = 0
+          while (v < nodeDict.length) {
+            o(v) = p
+            while (p < packedIdx.length && (packedIdx(p) >>> 32) == v) p += 1
+            v += 1
+          }
+          o(nodeDict.length) = p
+          o
+        }
         val bc = spark.sparkContext.broadcast(packedIdx)
         val bcIds = spark.sparkContext.broadcast(nodeDict)
-        val lowerBound = LocalGraph.lowerBound _
+        val bcOff = spark.sparkContext.broadcast(off)
+        // Per-PARTITION dense count array instead of 3 corner rows per
+        // triangle (r13): the corner stream fed the downstream partial
+        // count with 3·|triangles| rows (~tens of millions at sf0.1 —
+        // the build's dominant stage), where a |V|-long array per task
+        // absorbs every increment locally and emits ≤ |V| partial rows.
+        // Indices are dense in [0, |V|), so the "hash map" is an array.
         dirE.groupBy(col("u"))
           .agg(sort_array(collect_list(col("w"))).as("ns"))
-          .as[(Long, Seq[Long])]
-          .flatMap { case (u, ns) =>
-            // ns ascending (id order ⇒ index order): each unordered
-            // pair {v, w} ⊆ ns appears once as (i < j), and its
-            // canonical probe key is idx(ns(i))·2³² + idx(ns(j))
-            val arr = ns.toArray
+          .as[(Long, Array[Long])]
+          .mapPartitions { rows =>
             val dict = bcIds.value
-            val aidx = new Array[Long](arr.length)
-            var t = 0
-            while (t < arr.length) {
-              val ix = java.util.Arrays.binarySearch(dict, arr(t))
-              if (ix < 0) throw new IllegalStateException(
-                s"Triangles: neighbor ${arr(t)} absent from the edge " +
-                  "dictionary collected one job earlier — the edge input " +
-                  "drifted between jobs; persist the edge frame")
-              aidx(t) = ix.toLong
-              t += 1
-            }
             val es = bc.value
-            val out = scala.collection.mutable.ArrayBuffer[Long]()
-            var i = 0
-            while (i < arr.length - 1) {
-              val v = aidx(i)
-              var lo = lowerBound(es, v * Pack)
-              // end key as v·2³² + (2³² − 1): the key itself cannot
-              // occur (dense indices stay far below 2³¹), so
-              // lowerBound ≡ upperBound here and nothing overflows.
-              val hi = lowerBound(es, v * Pack + (Pack - 1))
-              var j = i + 1
-              while (j < arr.length && lo < hi) {
-                val pw = es(lo) - v * Pack
-                if (pw < aidx(j)) lo += 1
-                else if (pw > aidx(j)) j += 1
-                else { out += u; out += arr(i); out += arr(j); lo += 1; j += 1 }
+            val offs = bcOff.value
+            val counts = new Array[Long](dict.length)
+            rows.foreach { case (u, arr) =>
+              // arr ascending (id order ⇒ index order): each unordered
+              // pair {v, w} ⊆ arr appears once as (i < j), and its
+              // canonical probe key is idx(arr(i))·2³² + idx(arr(j))
+              val uix = java.util.Arrays.binarySearch(dict, u)
+              val aidx = new Array[Long](arr.length)
+              var t = 0
+              while (t < arr.length) {
+                val ix = java.util.Arrays.binarySearch(dict, arr(t))
+                if (ix < 0 || uix < 0) throw new IllegalStateException(
+                  s"Triangles: endpoint ${if (ix < 0) arr(t) else u} absent " +
+                    "from the edge dictionary collected one job earlier — " +
+                    "the edge input drifted between jobs; persist the edge frame")
+                aidx(t) = ix.toLong
+                t += 1
               }
-              i += 1
+              var i = 0
+              while (i < arr.length - 1) {
+                val v = aidx(i)
+                var lo = offs(v.toInt)
+                val hi = offs(v.toInt + 1)
+                var j = i + 1
+                while (j < arr.length && lo < hi) {
+                  val pw = es(lo) - v * Pack
+                  if (pw < aidx(j)) lo += 1
+                  else if (pw > aidx(j)) j += 1
+                  else {
+                    counts(uix) += 1; counts(v.toInt) += 1
+                    counts(aidx(j).toInt) += 1
+                    lo += 1; j += 1
+                  }
+                }
+                i += 1
+              }
             }
-            out
-          }.toDF("node")
+            Iterator.range(0, counts.length)
+              .filter(counts(_) > 0L)
+              .map(k => (dict(k), counts(k)))
+          }.toDF("node", "c")
       } else {
         // three self-join legs read the oriented frame — persist it
         // here (the broadcast path has exactly one consumer and skips
@@ -184,7 +214,10 @@ object Triangles {
             col("e1.u") === col("e3.u") && col("e2.w") === col("e3.w"))
           .select(explode(array(col("e1.u"), col("e1.w"), col("e2.w")))
             .as("node"))
+          .select(col("node"), lit(1L).as("c"))
       }
-    corners.groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    // sum of per-task partials (broadcast path) ≡ count of corner rows
+    // (join path) — both emit (node, c)
+    corners.groupBy(col("node")).agg(sum(col("c")).as("n_triangles"))
   }
 }

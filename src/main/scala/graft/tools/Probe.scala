@@ -27,9 +27,93 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     which match {
       case "copurchase" => copurchase(spark, dir)
+      case "triangles" => triangles(spark, dir)
+      case "a11" => a11(spark, dir)
+      case "parts" => parts(spark, dir)
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()
+  }
+
+  /** Scan-partition counts of every base table. */
+  private def parts(spark: SparkSession, dir: String): Unit = {
+    Seq("documents", "embeddings", "lineitem", "orders", "customer",
+      "events").foreach { t =>
+      val df = graft.Tables.table(spark, dir, t)
+      println(s"PROBE $t partitions = ${df.rdd.getNumPartitions}")
+    }
+  }
+
+  /** a11 construction-vs-execution split. */
+  private def a11(spark: SparkSession, dir: String): Unit = {
+    val qs = graft.SparkEntry.queries
+    (1 to 3).foreach { i =>
+      val df = time(s"a11 construct #$i") { qs("a11_bm25_topk")(spark, dir) }
+      time(s"a11 count #$i") { df.count() }
+      graft.core.Caching.CacheLedger.releaseAll()
+      spark.catalog.clearCache()
+    }
+    // stage split of the bm25 core over the a11 shape
+    val c = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val q = c.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(split(col("text"), " "), 1, 12), " ").as("qtext"))
+    val qterms = q.select(col("qid").as("query_id"),
+        explode(array_distinct(split(col("qtext"), " "))).as("term"))
+      .select(col("query_id"), xxhash64(col("term")).as("ht"))
+    val qtermRows = time("collect qterms") { qterms.collectAsList() }
+    println(s"PROBE qterm rows = ${qtermRows.size}")
+    val vocab = {
+      import scala.jdk.CollectionConverters._
+      val a = qtermRows.asScala.map(_.getLong(1)).toArray.distinct
+      java.util.Arrays.sort(a); a
+    }
+    println(s"PROBE vocab size = ${vocab.length}")
+    val tf = c.select(col("doc_id"),
+        graft.functions.GraftFunctions.wordCount(col("text")).cast("long").as("dl"),
+        explode(graft.functions.GraftFunctions.termTfs(col("text"), vocab)).as("e"))
+      .select(col("doc_id"), col("e.ht").as("ht"), col("e.tf").as("tf"), col("dl"))
+    time("tf scan noop") { noop(tf) }
+    time("tf scan noop again") { noop(tf) }
+    println(s"PROBE tf rows = ${tf.count()}")
+    val qtermsLocal = spark.createDataFrame(qtermRows, qterms.schema)
+    val fan = tf.join(broadcast(qtermsLocal), Seq("ht"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tf")).as("s"))
+    time("fanout join+agg noop") { noop(fan) }
+    println(s"PROBE fan rows = ${fan.count()}")
+  }
+
+  /** art_copurchase_triangles stage split over the (already built)
+    * co-purchase edge artifact. */
+  private def triangles(spark: SparkSession, dir: String): Unit = {
+    val edges = graft.queries.GraphCache.coPurchaseEdges(spark, dir)
+    time("warm input: edges count") { edges.count() }
+    time("triangles cold") {
+      noop(graft.operators.Triangles.perNodeCounts(edges, "a", "b"))
+    }
+    time("triangles warm") {
+      noop(graft.operators.Triangles.perNodeCounts(edges, "a", "b"))
+    }
+    val e = edges.selectExpr("cast(a as long) a", "cast(b as long) b")
+    val deg = e.selectExpr("a as v").unionAll(e.selectExpr("b as v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    time("deg agg") { noop(deg) }
+    val dirE = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("w")))
+          .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"))
+    time("orient joins") { noop(dirE) }
+    time("outlists agg") {
+      noop(dirE.groupBy(col("u"))
+        .agg(sort_array(collect_list(col("w"))).as("ns")))
+    }
   }
 
   /** art_copurchase_weights stage split: scan+groupBy, pair explode,
