@@ -14,6 +14,22 @@ object Tables {
     * (a broadcast-side dimension gains nothing from an exchange). */
   private val MinRepartitionBytes = 131072L
 
+  /** Tables whose scans carry heavy PER-ROW compute (tokenization,
+    * shingle hashing, edit distance) — the ones where a
+    * single-row-group scan serializes real work. The relational
+    * tables (lineitem/orders/events) hit their first exchange almost
+    * immediately (join/agg-bound), and the full-bench A/B showed the
+    * blanket exchange costing them more scheduling overhead than it
+    * bought (q36 funnel 0.87 → 1.31 s) while the corpus tables won
+    * big (t43 2.07 → 0.75 s, a11 2.8 → 1.7 s). embeddings was A/B'd
+    * too and LOST net: most consumers aggregate or sample it cheaply
+    * and paid the extra AQE stage (a34 2.17 → 1.31, t22 1.27 → 0.78,
+    * p29 1.69 → 1.18, a37 2.29 → 1.84 without it) against two modest
+    * winners (a15 0.86 → 1.46, a21 0.92 → 1.25 with it); vector-heavy
+    * operators that need the spread (KMeans.fit) already repartition
+    * their own training projection. */
+  private val RepartitionTables = Set("documents", "customer")
+
   /** (path|parallelism) → planned scan partition count, memoized: the
     * count requires planning the bare scan once per table per session
     * shape. */
@@ -42,11 +58,21 @@ object Tables {
     val bytes =
       try java.nio.file.Files.size(java.nio.file.Paths.get(path))
       catch { case _: Throwable => 0L } // non-local store: leave untouched
-    if (bytes < MinRepartitionBytes) df
+    if (bytes < MinRepartitionBytes || !RepartitionTables.contains(name)) df
     else {
       val scanParts = splitMemo.computeIfAbsent(s"$path|$target",
         _ => Integer.valueOf(df.rdd.getNumPartitions)).intValue()
-      if (scanParts * 2 <= target) df.repartition(target) else df
+      // HASH partitioning on the leading (id) column, NOT round-robin:
+      // repartition(n) pays spark.sql.execution.sortBeforeRepartition —
+      // a full local sort of the whole single-partition table inside
+      // one task (the full-bench run measured it as +1–4 s on every
+      // text/event-bearing row: 228 s vs 172 s total). Hash exchange
+      // has no such sort, and the leading column is the table's unique
+      // id, so the spread is even.
+      if (scanParts * 2 <= target)
+        df.repartition(target, org.apache.spark.sql.functions.col(
+          df.schema.fields.head.name))
+      else df
     }
   }
 
