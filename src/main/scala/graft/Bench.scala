@@ -336,7 +336,8 @@ object Bench {
         Seq("q33_fuzzy_join", "q40_entity_clusters"),
         () => { GraphCache.customerNamePairs(spark, sfDir).count(); () }),
       ("art_copurchase_weights",
-        Seq("g03_triangles", "g04_clustering_coeff", "g05_kcore"),
+        Seq("g03_triangles", "g04_clustering_coeff", "g05_kcore",
+          "q50_basket_rules"),
         () => { GraphCache.coPurchaseWeights(spark, sfDir).count(); () }),
       ("art_copurchase_triangles",
         Seq("g03_triangles", "g04_clustering_coeff"),

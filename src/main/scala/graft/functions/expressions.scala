@@ -488,6 +488,93 @@ object helpers {
     1.0 - distinct.size.toDouble / total.toDouble
   }
 
+  /** xxhash64(src, line) for every '\n'-separated line of `text`, one
+    * byte pass — bit-identical to `transform(split(text, '\n'), l ->
+    * xxhash64(src, l))`: Spark's XxHash64 chains children as
+    * hash = XXH64(bytes, prevHash) from seed 42, a null child leaving
+    * the hash unchanged. 0x0A is never part of a UTF-8 multi-byte
+    * sequence, and split keeps empty lines. */
+  def lineHashes(src: UTF8String, text: UTF8String): ArrayData = {
+    val seed = if (src == null) 42L
+      else XXH64.hashUnsafeBytes(src.getBaseObject, src.getBaseOffset,
+        src.numBytes(), 42L)
+    val n = text.numBytes()
+    var cnt = 1
+    var i = 0
+    while (i < n) { if (text.getByte(i) == 0x0a) cnt += 1; i += 1 }
+    val out = new Array[Long](cnt)
+    var m = 0
+    var ws = 0
+    i = 0
+    while (i <= n) {
+      if (i == n || text.getByte(i) == 0x0a) {
+        out(m) = XXH64.hashUnsafeBytes(text.getBaseObject,
+          text.getBaseOffset + ws, i - ws, seed)
+        m += 1
+        ws = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Scan-local boilerplate removal: drop every line whose
+    * xxhash64(src, line) sits in the sorted `boiler` array, and return
+    * (n_lines, n_kept, clean_text = kept lines '\n'-joined, original
+    * order). One byte pass + one binary search per line — the shuffle
+    * -free rebuild of the removeBoilerplate anti-join + collect_list
+    * form (bit-identical: same line split, same hash chain, same
+    * join separator). */
+  def keepLines(src: UTF8String, text: UTF8String,
+                boiler: Array[Long]): InternalRow = {
+    val seed = if (src == null) 42L
+      else XXH64.hashUnsafeBytes(src.getBaseObject, src.getBaseOffset,
+        src.numBytes(), 42L)
+    val n = text.numBytes()
+    var nLines = 0L
+    var nKept = 0L
+    var cleanBytes = 0
+    // pass 1: count lines / kept lines / kept bytes
+    var ws = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.getByte(i) == 0x0a) {
+        nLines += 1
+        val h = XXH64.hashUnsafeBytes(text.getBaseObject,
+          text.getBaseOffset + ws, i - ws, seed)
+        if (java.util.Arrays.binarySearch(boiler, h) < 0) {
+          nKept += 1
+          cleanBytes += (i - ws)
+        }
+        ws = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Byte](
+      if (nKept == 0L) 0 else cleanBytes + (nKept.toInt - 1))
+    // pass 2: copy kept line bytes with '\n' separators
+    var p = 0
+    var first = true
+    ws = 0
+    i = 0
+    while (i <= n) {
+      if (i == n || text.getByte(i) == 0x0a) {
+        val h = XXH64.hashUnsafeBytes(text.getBaseObject,
+          text.getBaseOffset + ws, i - ws, seed)
+        if (java.util.Arrays.binarySearch(boiler, h) < 0) {
+          if (!first) { out(p) = 0x0a; p += 1 }
+          first = false
+          var j = ws
+          while (j < i) { out(p) = text.getByte(j); p += 1; j += 1 }
+        }
+        ws = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nLines, nKept, UTF8String.fromBytes(out)))
+  }
+
   /** Single-space word count = spaces + 1 over the UTF-8 bytes (0x20 is
     * never part of a multi-byte sequence) — bit-identical to
     * `size(split(text, " "))` (empties kept, "" counts 1) without
@@ -1090,6 +1177,64 @@ case class NgramHashes(child: Expression, n: Int)
   override def prettyName: String = "ngram_hashes"
 }
 
+/** `line_hashes(src, text)` → array<bigint>: xxhash64(src, line) per
+  * '\n'-line — see [[helpers.lineHashes]]. */
+case class LineHashesExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"line_hashes needs (string, string), got $other")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(s: Any, t: Any): Any =
+    helpers.lineHashes(s.asInstanceOf[UTF8String], t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, t) =>
+      s"${ev.value} = graft.functions.helpers.lineHashes($s, $t);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "line_hashes"
+}
+
+/** `keep_lines(src, text)` → struct<n_lines, n_kept, clean_text>
+  * against a broadcast sorted boiler-key array — see
+  * [[helpers.keepLines]]. */
+case class KeepLinesExpr(left: Expression, right: Expression,
+                         boilerBc: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"keep_lines needs (string, string), got $other")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_kept", LongType, nullable = false),
+    StructField("clean_text", StringType, nullable = false)))
+  @transient private lazy val localBoiler: Array[Long] = boilerBc.value
+  override def nullSafeEval(s: Any, t: Any): Any =
+    helpers.keepLines(s.asInstanceOf[UTF8String], t.asInstanceOf[UTF8String],
+      localBoiler)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("boilerBc", boilerBc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val bVar = ctx.addMutableState("long[]", "boilerKeys",
+      v => s"$v = (long[]) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, (s, t) =>
+      s"${ev.value} = graft.functions.helpers.keepLines($s, $t, $bVar);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "keep_lines"
+}
+
 /** `word_count(text)` → int: `size(split(text, " "))` without the token
   * array — see [[helpers.wordCount]]. */
 case class WordCountExpr(child: Expression) extends UnaryExpression {
@@ -1457,6 +1602,16 @@ object GraftFunctions {
 
   def wordCount(text: Column): Column =
     ColumnBridge.column(WordCountExpr(ColumnBridge.expression(text)))
+
+  def lineHashes(src: Column, text: Column): Column =
+    ColumnBridge.column(LineHashesExpr(
+      ColumnBridge.expression(src), ColumnBridge.expression(text)))
+
+  def keepLines(src: Column, text: Column, boiler: Array[Long]): Column = {
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(boiler)
+    ColumnBridge.column(KeepLinesExpr(
+      ColumnBridge.expression(src), ColumnBridge.expression(text), bc))
+  }
 
   def termTfs(text: Column, vocab: Array[Long]): Column = {
     val bc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(vocab)

@@ -590,41 +590,74 @@ object TextAnalysis {
     *
     * Output: (doc_id, n_lines, n_kept, clean_text), empty string when
     * every line was boilerplate. */
+  /** Boiler-key sets larger than this keep the distributed anti-join
+    * rebuild (the broadcast array would stop being "a few MB of
+    * longs"); below it the rebuild is scan-local. */
+  private val BoilerBroadcastMaxKeys = 1 << 22
+
   def removeBoilerplate(docs: DataFrame, idCol: String, srcCol: String,
                         textCol: String, minDocFreq: Long): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"), col(srcCol).as("src"),
-      col(textCol).as("text"))
-    // the exploded line stream feeds BOTH the df aggregate and the
-    // anti-join rebuild: un-persisted, the split+explode (the corpus
-    // scan) runs twice — measured 5.0 → 3.4 s at sf0.1 inside p18.
-    // Lives for the lazy plan's lifetime; ledger-registered (the
-    // GlobalIds cache-lifetime contract — release between queries via
-    // CacheLedger.releaseAll / clearCache, never mid-plan)
-    val lines = base.select(col("doc_id"), col("src"),
-        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
-      .withColumn("lk", xxhash64(col("src"), col("line")))
+    // src null-coalesced ONCE so the census and the rebuild hash the
+    // same key (the hash is engine-internal — the oracle replays raw
+    // (source, line) strings, so any deterministic keying works as
+    // long as both passes agree)
+    val base = docs.select(col(idCol).as("doc_id"),
+        coalesce(col(srcCol), lit("")).as("src"), col(textCol).as("text"))
+      // the doc-level frame feeds the census pass AND the rebuild scan;
+      // un-persisted, an expensive upstream (p18's planted-lines
+      // construction) would run twice. Doc-level rows, not the old
+      // line-level explode — strictly fewer bytes cached.
       .persistLedgered()
-    // df over per-document-DISTINCT keys; the distinct is itself the
-    // partial-agg'd first phase of the count
-    val boiler = lines.select(col("lk"), col("doc_id")).distinct()
+    // census: per-document-DISTINCT line keys → document frequency.
+    // line_hashes is one scan-local byte pass (bit-identical to
+    // transform(split(text,'\n'), l -> xxhash64(src, l))); only 8-byte
+    // keys leave the scan — line STRINGS never shuffle (r13; the old
+    // plan persisted the exploded line-string frame and shuffled full
+    // lines through a collect_list rebuild, p18's dominant phase).
+    val lineKeys = base.select(col("doc_id"),
+      explode(graft.functions.GraftFunctions.lineHashes(
+        col("src"), col("text"))).as("lk"))
+    val boiler = lineKeys.distinct()
       .groupBy(col("lk")).agg(count(lit(1)).as("line_df"))
       .filter(col("line_df") >= minDocFreq)
       .select(col("lk"))
-    val kept = lines.join(broadcast(boiler), Seq("lk"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
-          x => x("line")), "\n").as("clean_text"))
-    // null text = 0 lines (size(split(null)) is -1 under legacy
-    // sizeOfNull), matching the null classification of the sibling
-    // operators (readability, wordlistFilter, Packing.tokenCount)
-    base.select(col("doc_id"),
-        when(col("text").isNull, lit(0L))
-          .otherwise(size(split(col("text"), "\n")).cast("long")).as("n_lines"))
-      .join(kept, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_lines"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+    // the boiler set is (frequent-distinct-lines)-sized — collect it
+    // (capped) and rebuild SCAN-LOCALLY: per doc one byte pass dropping
+    // boiler lines, no explode, no line shuffle, no re-join. The guide
+    // §8 shape: decide with small rows (8-byte keys), move the heavy
+    // strings zero times.
+    val keys = boiler.limit(BoilerBroadcastMaxKeys + 1).collect()
+      .map(_.getLong(0))
+    if (keys.length <= BoilerBroadcastMaxKeys) {
+      java.util.Arrays.sort(keys)
+      base.select(col("doc_id"),
+          graft.functions.GraftFunctions.keepLines(
+            col("src"), col("text"), keys).as("r"))
+        .select(col("doc_id"),
+          // null text = 0 lines / 0 kept / "" (keep_lines is null-safe
+          // over text, the struct coalesces to the old left_outer
+          // semantics)
+          coalesce(col("r.n_lines"), lit(0L)).as("n_lines"),
+          coalesce(col("r.n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("r.clean_text"), lit("")).as("clean_text"))
+    } else {
+      // distributed fallback — the pre-r13 anti-join + ordered rebuild
+      val lines = base.select(col("doc_id"), col("src"),
+          posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+        .withColumn("lk", xxhash64(col("src"), col("line")))
+      val kept = lines.join(boiler, Seq("lk"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x("line")), "\n").as("clean_text"))
+      base.select(col("doc_id"),
+          when(col("text").isNull, lit(0L))
+            .otherwise(size(split(col("text"), "\n")).cast("long")).as("n_lines"))
+        .join(kept, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+    }
   }
 
   /** Materialize the [[domainMixture]] budgets: per-domain deterministic

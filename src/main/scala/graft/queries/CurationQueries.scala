@@ -1143,10 +1143,15 @@ object CurationQueries {
     * same construction, so a change here must change all three. */
   private def retrievalCorpusQueries(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
+    // persist the corpus join (r13): the retrieval legs consume it
+    // repeatedly — each leg's query-vocabulary collect plus the tf /
+    // cosine scans re-ran the documents⋈embeddings join per consumer
+    // (a35 drives three legs over it in one query)
     val c = documents(spark, dir).select(col("doc_id"), col("text"))
       .join(embeddings(spark, dir).select(col("vec_id"), col("embedding")),
         col("doc_id") === col("vec_id"))
       .select(col("doc_id"), col("text"), col("embedding"))
+      .persistLedgered()
     val q = c.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("qid"),
         array_join(slice(split(col("text"), " "), 1, 12), " ").as("qtext"),

@@ -160,10 +160,17 @@ object Relational13 {
     val nOrders = broadcast(li.select(col("ok")).distinct()
       .agg(count(lit(1)).as("n_orders")))
     val support = li.groupBy(col("pk")).agg(count(lit(1)).as("n_part"))
-    val both = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("part_a"), col("y.pk").as("part_b"))
-      .agg(count(lit(1)).as("n_both"))
+    // the (a < b, distinct-order count) pair table IS the co-purchase
+    // weights artifact g03/g04/g05 already share (identical definition:
+    // per-order distinct parts, one count per pair per order) — consume
+    // it instead of re-deriving the pairs with a lineitem self-join
+    // (r13; the self-join form shuffled li twice and paid the join for
+    // the same ≤C(cap,2) pairs per order the artifact's scan-side
+    // explode produces). The bench's art_copurchase_weights row pays
+    // the build once per invocation, the family amortizes it.
+    val both = graft.queries.GraphCache.coPurchaseWeights(spark, dir)
+      .select(col("a").as("part_a"), col("b").as("part_b"),
+        col("n_orders").as("n_both"))
       .filter(col("n_both") >= 2)
     both
       .join(support.select(col("pk").as("part_a"), col("n_part").as("n_a")), "part_a")

@@ -30,9 +30,52 @@ object Probe {
       case "triangles" => triangles(spark, dir)
       case "a11" => a11(spark, dir)
       case "parts" => parts(spark, dir)
+      case "p18" => p18(spark, dir)
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()
+  }
+
+  /** p18 phase split (replicates curateFull's stage boundaries). */
+  private def p18(spark: SparkSession, dir: String): Unit = {
+    val qs = graft.SparkEntry.queries
+    time("p18 full #1 (cold)") { qs("p18_curate_full")(spark, dir).count() }
+    graft.core.Caching.CacheLedger.releaseAll(); spark.catalog.clearCache()
+    time("p18 full #2 (warm)") { qs("p18_curate_full")(spark, dir).count() }
+    graft.core.Caching.CacheLedger.releaseAll(); spark.catalog.clearCache()
+    val d0 = graft.Tables.documents(spark, dir)
+    val planted = d0.unionAll(d0.withColumn("doc_id", col("doc_id") + 1000000L))
+    val lined = graft.queries.CurationQueries.withPlantedLines(planted)
+    val cleanedPlan = graft.operators.TextAnalysis
+      .removeBoilerplate(lined, "doc_id", "source", "ltext", minDocFreq = 5L)
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), translate(col("clean_text"), "\n", " ").as("text"))
+    time("phase1: boilerplate (noop)") { noop(cleanedPlan) }
+    val ck1 = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_ckpt", "probe_cleaned").toString
+    time("phase1 + ckpt write") {
+      cleanedPlan.coalesce(8).write.mode("overwrite").parquet(ck1)
+    }
+    val cleaned = spark.read.schema(cleanedPlan.schema).parquet(ck1)
+    val lm = graft.operators.TextAnalysis.bigramLmScore(cleaned, "doc_id", "text")
+    time("phase2: LM score (noop)") { noop(lm) }
+    val gated = cleaned.join(
+      lm.filter(col("nll") <= 3.45).select(col("doc_id")), "doc_id")
+    val kept = gated
+      .groupBy(sha2(col("text"), 256).as("__dig"))
+      .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("__w"))
+      .select(col("__w.doc_id").as("doc_id"), col("__w.text").as("text"))
+    time("phase3: gate+keepfirst (noop)") { noop(kept) }
+    val ck2 = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_ckpt", "probe_kept").toString
+    time("phase3 + ckpt write") {
+      kept.coalesce(8).write.mode("overwrite").parquet(ck2)
+    }
+    val keptR = spark.read.schema(kept.schema).parquet(ck2)
+    time("phase4: vocabEncode+orderBy (count)") {
+      graft.operators.Packing.vocabEncode(keptR, "doc_id", "text", seqLen = 128)
+        .orderBy(col("seq_id")).count()
+    }
   }
 
   /** Scan-partition counts of every base table. */
