@@ -146,6 +146,41 @@ object KMeans {
       f.asNondeterministic()(quantized(vecCol, scale)).as("cluster"))
   }
 
+  /** [[assignExact]] that ALSO returns the winning squared distance as
+    * `r2` (r13): a36 re-derived it downstream with a centroid join plus
+    * an interpreted `aggregate(zip_with(...))` per row — but the argmin
+    * scan already holds bestD when it picks the cluster. Same
+    * quantization, same tiebreak; r2 ≡ the distance the join+HOF form
+    * recomputed, bit-exactly (integer arithmetic). */
+  def assignExactWithDist(df: DataFrame, idCol: String, vecCol: String,
+                          centroidsQ: Array[Array[Long]],
+                          scale: Long = 1L << 20): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(centroidsQ)
+    val f = udf { (vq: Seq[Long]) =>
+      if (vq == null) null
+      else {
+        val cs = bc.value
+        var best = 0
+        var bestD = Long.MaxValue
+        var i = 0
+        while (i < cs.length) {
+          val c = cs(i)
+          var d = 0L
+          var j = 0
+          val dim = math.min(c.length, vq.length)
+          while (j < dim) { val x = vq(j) - c(j); d += x * x; j += 1 }
+          if (d < bestD) { bestD = d; best = i }
+          i += 1
+        }
+        (best, bestD)
+      }
+    }
+    df.select(col(idCol), col(vecCol),
+        f.asNondeterministic()(quantized(vecCol, scale)).as("__a"))
+      .select(col(idCol), col(vecCol),
+        col("__a._1").as("cluster"), col("__a._2").as("r2"))
+  }
+
   /** Fixed-point multi-probe: each row explodes to its `p` nearest
     * lists by (integer distance, index) — [[assignTopP]] made
     * engine-exact the same way as [[assignExact]]. */

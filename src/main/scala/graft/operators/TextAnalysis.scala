@@ -968,6 +968,13 @@ object TextAnalysis {
     // per-source vocabulary sizes over the SAME (possibly guarded)
     // gram universe as the overlap join
     val sz = g.groupBy(col("source")).agg(count(lit(1)).as("n_grams_a"))
+    // Pair generation stays the h-keyed self-join. Built and REJECTED
+    // after measurement (r13): one groupBy(h) + collect_list + an
+    // ordered-pair explode replaces the second exchange, but the
+    // nested transform/filter HOF runs INTERPRETED per gram row
+    // (millions of rows, mostly |ss| = 2) and measured 2.43 s vs the
+    // join's 1.9 s on the t40 sf0.1 row — the join machinery is
+    // cheaper than per-row lambda dispatch at this fan-out.
     val ov = g.as("a")
       .join(g.as("b"),
         col("a.h") === col("b.h") && col("a.source") =!= col("b.source"))

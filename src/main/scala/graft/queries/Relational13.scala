@@ -523,20 +523,14 @@ object Relational13 {
       base, "vec_id", "embedding", k, iterations = 2)
     val cq = cents.map(_.map(x => math.round(x * 1048576.0)))
     a36Oracle = Some(a36OracleSql(cq))
-    import spark.implicits._
-    val centDf = broadcast(
-      cq.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-        .toDF("cluster", "cq"))
-    val assigned = graft.operators.KMeans
-      .assignExact(e, "vec_id", "embedding", cq)
+    // r2 rides out of the argmin scan itself (r13): the old shape
+    // joined the broadcast centroid table back and re-derived the
+    // winning distance with an interpreted aggregate(zip_with(...))
+    // per row — work assignExact had already done when it picked the
+    // cluster. Same integer arithmetic, bit-exact r2.
+    val withR2 = graft.operators.KMeans
+      .assignExactWithDist(e, "vec_id", "embedding", cq)
       .withColumn("half", (col("vec_id") % 2 === 0).cast("int"))
-    val withR2 = assigned.join(centDf, "cluster")
-      .withColumn("vq", expr(
-        "transform(embedding, x -> cast(round(cast(x as double) * 1048576, 0) as bigint))"))
-      // per-row integer L2² to the assigned centroid: ≤ dim·2⁴² —
-      // BIGINT-safe per row; list sums carry DECIMAL(38) below
-      .withColumn("r2", expr(
-        "aggregate(zip_with(vq, cq, (x, c) -> (x - c) * (x - c)), 0L, (a, t) -> a + t)"))
     withR2.groupBy(col("cluster").as("list_id"))
       .agg(
         sum(col("half")).cast("long").as("n_base"),

@@ -173,11 +173,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans == 1, s"one corpus scan expected, saw $scans:\n$p")
   }
 
-  test("t20: the boilerplate filter is a broadcast anti join, lines never sort-merge") {
+  test("t20: the boilerplate rebuild is scan-local — no line shuffle, no join") {
+    // r13: the anti-join + collect_list rebuild was replaced by the
+    // scan-local keep_lines pass against the broadcast boiler-key
+    // array (line strings never leave the scan); the anti-join
+    // survives only as the >cap fallback. Pin the scan-local shape.
     val p = plan("t20_boilerplate")
-    val anti = p.linesIterator.filter(_.contains("LeftAnti")).toList
-    assert(anti.nonEmpty && anti.forall(_.contains("Broadcast")),
-      s"boilerplate key set must broadcast for the anti join:\n$p")
+    assert(p.contains("keep_lines"),
+      s"expected the scan-local keep_lines rebuild:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"line rows must never sort-merge:\n$p")
+    assert(!p.contains("LeftAnti"),
+      s"below the boiler-key cap the anti-join fallback must not plan:\n$p")
   }
 
   test("a09: ADC shortlist flows through the bounded-heap top-k, queries broadcast") {
