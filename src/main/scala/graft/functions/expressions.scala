@@ -815,6 +815,174 @@ object helpers {
     new GenericArrayData(out)
   }
 
+  /** Per-document bigram tallies for the corpus-trained bigram LM
+    * (t19 / p18's fluency gate): one pass over the UTF-8 bytes of the
+    * single-space split (empties kept, trailing empties kept — the
+    * split(text, ' ') convention [[wordCount]]/[[termTfs]] share),
+    * each word hashed once with XXH64(seed 42) ≡ `xxhash64(w)`, each
+    * bigram hashed as XXH64(w2 bytes, seed = h(w1)) ≡ `xxhash64(w1,
+    * w2)` (Spark's multi-arg fold), then per-doc run-length counts
+    * over the (h12, h1)-sorted pairs. Each output row carries the
+    * doc-max h1 for its h12 (sorted order makes that the run's last),
+    * so a downstream global max(h1) per h12 sees the same value set
+    * as the old per-occurrence stream. Documents with < 2 words
+    * return an empty array — the consumer's explode drops them, the
+    * old filter(size(ws) >= 2) contract. Output rows (h12, h1, k)
+    * sorted by (h12, h1).
+    *
+    * This replaces the explode(sequence(1, size-1)) + 2×xxhash64
+    * per-token chain that ran TWICE over the corpus (model counts +
+    * per-doc counts) plus the (doc_id, h12) groupBy exchange: the
+    * per-doc aggregation now happens in the scan, and only distinct
+    * (h12, k) rows leave it. */
+  def bigramTfs(text: UTF8String): ArrayData = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val n = text.numBytes()
+    var nw = 1
+    var i = 0
+    while (i < n) { if (text.getByte(i) == 0x20) nw += 1; i += 1 }
+    if (nw < 2) return new GenericArrayData(Array.empty[AnyRef])
+    val starts = new Array[Int](nw)
+    val wh = new Array[Long](nw)
+    var w = 0
+    var ws = 0
+    i = 0
+    while (i <= n) {
+      if (i == n || text.getByte(i) == 0x20) {
+        starts(w) = ws
+        wh(w) = XXH64.hashUnsafeBytes(base, off + ws, i - ws, 42L)
+        w += 1
+        ws = i + 1
+      }
+      i += 1
+    }
+    val m = nw - 1
+    val h12a = new Array[Long](m)
+    val h1a = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      h1a(j) = wh(j)
+      val s2 = starts(j + 1)
+      val e2 = if (j + 2 < nw) starts(j + 2) - 1 else n
+      h12a(j) = XXH64.hashUnsafeBytes(base, off + s2, e2 - s2, wh(j))
+      j += 1
+    }
+    // index sort by (h12, h1): m is doc-token-sized, boxing is noise
+    // next to the hashing above
+    val ord = new Array[Integer](m)
+    j = 0
+    while (j < m) { ord(j) = Integer.valueOf(j); j += 1 }
+    java.util.Arrays.sort(ord, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val c = java.lang.Long.compare(h12a(a), h12a(b))
+        if (c != 0) c else java.lang.Long.compare(h1a(a), h1a(b))
+      }
+    })
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](8)
+    var s = 0
+    j = 1
+    while (j <= m) {
+      if (j == m || h12a(ord(j)) != h12a(ord(s))) {
+        // sorted by (h12, h1): the run's LAST h1 is its max
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](h12a(ord(s)), h1a(ord(j - 1)), (j - s).toLong))
+        s = j
+      }
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Distinct XXH64(seed 42) word hashes of the single-space split
+    * (empties kept) — the vocabulary leg of the bigram LM: the corpus
+    * V = count_distinct over these per-doc distinct sets equals the
+    * count_distinct over the old per-occurrence explode. One byte
+    * pass, sort + unique. */
+  def distinctWordHashes(text: UTF8String): ArrayData = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val n = text.numBytes()
+    var nw = 1
+    var i = 0
+    while (i < n) { if (text.getByte(i) == 0x20) nw += 1; i += 1 }
+    val out = new Array[Long](nw)
+    var w = 0
+    var ws = 0
+    i = 0
+    while (i <= n) {
+      if (i == n || text.getByte(i) == 0x20) {
+        out(w) = XXH64.hashUnsafeBytes(base, off + ws, i - ws, 42L)
+        w += 1
+        ws = i + 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var k = 1
+    var r = 1
+    while (r < out.length) {
+      if (out(r) != out(r - 1)) { out(k) = out(r); k += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, k))
+  }
+
+  /** Per-document word term frequencies over the single-space split
+    * (empties kept) — [[termTfs]] without the vocabulary restriction:
+    * one (w, x) row per DISTINCT word, first-occurrence order. Lets a
+    * per-(word, doc) tally happen IN the scan, so consumers shuffle
+    * per-doc distinct word rows instead of every token occurrence
+    * (t45's groupBy(w, doc_id) shuffled the full token-string stream
+    * with near-zero map-side combining — doc_id in the key defeats
+    * it). */
+  def wordTfs(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val (starts, ends, nw) = wordSpans(s)
+    val m = new java.util.LinkedHashMap[String, java.lang.Long]()
+    var i = 0
+    while (i < nw) {
+      val w = s.substring(starts(i), ends(i))
+      val prev = m.get(w)
+      m.put(w, if (prev == null) java.lang.Long.valueOf(1L)
+               else java.lang.Long.valueOf(prev.longValue() + 1L))
+      i += 1
+    }
+    val out = new Array[AnyRef](m.size)
+    var j = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(e.getKey), e.getValue.longValue()))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Integer squared L2 between two bigint arrays — the compiled twin
+    * of `aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L,
+    * (acc, t) -> acc + t)`, with the fold's exact null semantics:
+    * unequal lengths (zip_with pads with null) or any null element
+    * poison the sum to NULL; two empty arrays fold to 0. The HOF form
+    * is CodegenFallback — interpreted lambda dispatch per ELEMENT —
+    * and sits on pair-volume hot paths (a31's histogram pairs, a25's
+    * SQ8 ADC corpus×query scoring, a34's silhouette n×k fan-out).
+    * Boxed return: null IS a reachable result. */
+  def sqDistLongBoxed(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
   /** Σ table(bucket) over an int-array column — the scan-local scoring
     * pass of a broadcast lookup model (left-to-right order, so the
     * float sum is deterministic). */
@@ -1292,6 +1460,113 @@ case class TermTfsExpr(child: Expression,
   override def prettyName: String = "term_tfs"
 }
 
+/** `word_tfs(text)` → array<struct<w:string, x:bigint>>: per-document
+  * distinct-word counts in one scan-local pass — see
+  * [[helpers.wordTfs]]. */
+case class WordTfsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_tfs needs a string, got $t")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w", StringType, nullable = false),
+    StructField("x", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    helpers.wordTfs(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.helpers.wordTfs($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "word_tfs"
+}
+
+/** `sq_dist_long(a, b)` → bigint: integer squared L2 between bigint
+  * arrays, bit-identical (null semantics included) to the interpreted
+  * `aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, ...)`
+  * fold it replaces — see [[helpers.sqDistLongBoxed]]. */
+case class SqDistLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sq_dist_long needs two array<bigint>, got $l, $r")
+    }
+  override def dataType: DataType = LongType
+  // null is reachable even for non-null inputs (length mismatch, null
+  // element — the zip_with padding semantics)
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    helpers.sqDistLongBoxed(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("sqDist")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""java.lang.Long $tmp = graft.functions.helpers.sqDistLongBoxed($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+         |""".stripMargin)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "sq_dist_long"
+}
+
+/** `bigram_tfs(text)` → array<struct<h12:bigint, h1:bigint, k:bigint>>:
+  * per-document distinct bigram-hash counts (doc-max h1 per h12) — see
+  * [[helpers.bigramTfs]]. Replaces the bigram LM's per-token
+  * explode + 2×xxhash64 chain and its (doc_id, h12) exchange with one
+  * scan-local pass. */
+case class BigramTfsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bigram_tfs needs a string, got $t")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h12", LongType, nullable = false),
+    StructField("h1", LongType, nullable = false),
+    StructField("k", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    helpers.bigramTfs(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.helpers.bigramTfs($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "bigram_tfs"
+}
+
+/** `distinct_word_hashes(text)` → array<bigint>: the per-doc distinct
+  * xxhash64 word-hash set — see [[helpers.distinctWordHashes]]. */
+case class DistinctWordHashesExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"distinct_word_hashes needs a string, got $t")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    helpers.distinctWordHashes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.helpers.distinctWordHashes($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "distinct_word_hashes"
+}
+
 /** `md5_hash60(s)` → bigint: first 60 bits of md5(s), bit-identical to
   * `conv(substring(md5(s), 1, 15), 16, 10)` (the form the DuckDB
   * oracles replay) with ONE digest and no hex-string round-trip. */
@@ -1617,6 +1892,19 @@ object GraftFunctions {
     val bc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(vocab)
     ColumnBridge.column(TermTfsExpr(ColumnBridge.expression(text), bc))
   }
+
+  def wordTfs(text: Column): Column =
+    ColumnBridge.column(WordTfsExpr(ColumnBridge.expression(text)))
+
+  def sqDistLong(a: Column, b: Column): Column =
+    ColumnBridge.column(SqDistLong(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def bigramTfs(text: Column): Column =
+    ColumnBridge.column(BigramTfsExpr(ColumnBridge.expression(text)))
+
+  def distinctWordHashes(text: Column): Column =
+    ColumnBridge.column(DistinctWordHashesExpr(ColumnBridge.expression(text)))
 
   def md5Hash60(s: Column): Column =
     ColumnBridge.column(Md5Hash60Expr(ColumnBridge.expression(s)))

@@ -109,8 +109,10 @@ object Centroids {
       .select(col("label").as("m_label"),
         expr("transform(es, e -> e.cqd)").as("cq"))
     val dists = q.crossJoin(broadcast(cq))
-      .withColumn("d2", expr(
-        "aggregate(zip_with(qv, cq, (x, c) -> (x - c) * (x - c)), 0L, (acc, v) -> acc + v)"))
+      // sq_dist_long (r13): this fan-out is n·k rows — the interpreted
+      // zip_with fold was the distance stage's whole cost
+      .withColumn("d2", graft.functions.GraftFunctions.sqDistLong(
+        col("qv"), col("cq")))
       .select(col("vec_id"), col("label"), col("m_label"), col("d2"))
     val own = dists.filter(col("label") === col("m_label"))
       .select(col("vec_id"), col("label"), col("d2").as("a2"))

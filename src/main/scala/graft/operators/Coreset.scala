@@ -112,9 +112,8 @@ object Coreset {
       while (r < math.min(k.toLong, n).toInt) {
         val cLit = chosenVq.mkString("array(", "L, ", "L)")
         // integer L2² against the just-chosen centroid's literal vector
-        val dNew = expr(
-          s"aggregate(zip_with(vq, $cLit, (x, c) -> (x - c) * (x - c)), " +
-            "0L, (acc, t) -> acc + t)")
+        val dNew = graft.functions.GraftFunctions.sqDistLong(
+          col("vq"), expr(cLit))
         mind = least(mind, dNew)
         val next = base
           // chosen points carry mind 0 and could only win on a fully

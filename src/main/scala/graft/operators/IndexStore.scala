@@ -3,68 +3,112 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Persist / restore trained ANN index models as parquet — the
-  * production half of the train-once-serve-many contract
-  * ([[graft.queries.ModelCache]] covers one JVM; a real deployment
-  * trains on one cluster, writes the model next to the corpus, and
-  * every serving job loads it — the reference's vector-DB ecosystem
-  * does exactly this with its index snapshots).
+/** Persist / restore trained ANN index models — the production half of
+  * the train-once-serve-many contract ([[graft.queries.ModelCache]]
+  * covers one JVM; a real deployment trains on one cluster, writes the
+  * model next to the corpus, and every serving job loads it — the
+  * reference's vector-DB ecosystem does exactly this with its index
+  * snapshots).
   *
-  * Layout (all sizes are model-sized — coarseK + m·k rows — never
-  * corpus-sized):
-  *   `<path>/params`     one row: (sub_dim, m, k, scale)
-  *   `<path>/centroids`  (list_id, vec: array<long>) — coarse centroids
-  *   `<path>/codebooks`  (sub, code, vec: array<long>) — PQ codebooks
-  *
-  * Everything stored is the model's INTEGER-QUANTIZED form
-  * ([[ProductQuantizer.IvfPqModel]] carries centsQ/booksQ as longs), so
-  * the round-trip is bit-exact by construction — a reloaded model
-  * serves searches identical to the trainer's own (IndexStoreSpec pins
-  * result equality, not just field equality). */
+  * Layout: `<path>/model.bin`, a single driver-written binary file
+  * (magic + kind tag + big-endian longs; doubles stored as
+  * doubleToRawLongBits — bit-exact round-trip by construction, for
+  * every value including NaN payloads). r13: the previous layout was
+  * 1–3 tiny parquet subdirs per model, each written and re-read
+  * through its own Spark job — per model-build invocation that was
+  * 2–6 scheduler/commit round-trips moving a few KB of DRIVER-LOCAL
+  * data (the guide §5 inverse: model-sized state has no business on
+  * the cluster). Artifacts stay model-sized (coarseK + m·k rows);
+  * corpus-sized POSTINGS artifacts remain partitioned parquet below.
+  * A reloaded model serves searches identical to the trainer's own
+  * (IndexStoreSpec pins result equality, not just field equality);
+  * an old-layout (parquet-subdir) tree has no model.bin, fails the
+  * load loudly, and is deleted + retrained once — the documented
+  * version-skew behavior. */
 object IndexStore {
 
-  def saveIvfPq(spark: SparkSession, model: ProductQuantizer.IvfPqModel,
-                path: String): Unit = {
-    import spark.implicits._
-    Seq((model.subDim, model.m, model.k, model.scale))
-      .toDF("sub_dim", "m", "k", "scale")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
-    model.centsQ.zipWithIndex
-      .map { case (v, i) => (i, v.toSeq) }.toSeq
-      .toDF("list_id", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    (for {
-      (book, sub) <- model.booksQ.zipWithIndex
-      (v, code) <- book.zipWithIndex
-    } yield (sub, code, v.toSeq)).toSeq
-      .toDF("sub", "code", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  private val Magic = 0x47524654 // "GRFT"
+  private object Kind {
+    val IvfPq = 1; val Pq = 2; val Kmeans = 3; val Sq8 = 4
   }
 
-  def loadIvfPq(spark: SparkSession, path: String)
-      : ProductQuantizer.IvfPqModel = {
-    val p = spark.read.parquet(s"$path/params").collect()
-    require(p.length == 1, s"expected one params row, got ${p.length}")
-    val (subDim, m, k, scale) =
-      (p(0).getAs[Int]("sub_dim"), p(0).getAs[Int]("m"),
-        p(0).getAs[Int]("k"), p(0).getAs[Long]("scale"))
-    val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy(col("list_id")).collect()
-      .map(r => r.getAs[Int]("list_id") -> r.getSeq[Long](r.fieldIndex("vec")).toArray)
-    require(cents.map(_._1).sameElements(cents.indices),
-      "centroid list_ids must be dense 0..n-1")
-    val bookRows = spark.read.parquet(s"$path/codebooks")
-      .orderBy(col("sub"), col("code")).collect()
-      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"),
-        r.getSeq[Long](r.fieldIndex("vec")).toArray))
-    val books = Array.tabulate(m) { sub =>
-      val rows = bookRows.filter(_._1 == sub)
-      require(rows.map(_._2).sameElements(0 until k),
-        s"codebook $sub must carry dense codes 0..${k - 1}")
-      rows.map(_._3)
-    }
-    ProductQuantizer.IvfPqModel(cents.map(_._2), books, subDim, m, k, scale)
+  /** All load-side structural failures surface as
+    * IllegalArgumentException — the `isCorrupt` signature the
+    * loadOrPublish* retry discipline keys on. */
+  private def corrupt(msg: String): Nothing =
+    throw new IllegalArgumentException(s"IndexStore: corrupt artifact — $msg")
+
+  private def writeBin(path: String)(body: java.io.DataOutputStream => Unit): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(dir)
+    scala.util.Using.resource(new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(java.nio.file.Files.newOutputStream(
+        dir.resolve("model.bin")))))(body)
   }
+
+  private def readBin[A](path: String, kind: Int)
+                        (body: java.io.DataInputStream => A): A = {
+    val f = java.nio.file.Paths.get(path, "model.bin")
+    if (!java.nio.file.Files.isRegularFile(f))
+      corrupt(s"no model.bin under $path (old-layout or half-written tree)")
+    try scala.util.Using.resource(new java.io.DataInputStream(
+      new java.io.BufferedInputStream(java.nio.file.Files.newInputStream(f)))) { in =>
+      if (in.readInt() != Magic) corrupt("bad magic")
+      val kd = in.readInt()
+      if (kd != kind) corrupt(s"kind $kd, expected $kind")
+      body(in)
+    } catch {
+      case e: IllegalArgumentException => throw e
+      case e: java.io.IOException =>
+        corrupt(s"unreadable model.bin (${e.getClass.getSimpleName})")
+    }
+  }
+
+  private def writeLongs(out: java.io.DataOutputStream, xs: Array[Long]): Unit = {
+    out.writeInt(xs.length)
+    xs.foreach(out.writeLong)
+  }
+
+  private def readLongs(in: java.io.DataInputStream): Array[Long] = {
+    val n = in.readInt()
+    if (n < 0 || n > (1 << 24)) corrupt(s"implausible array length $n")
+    Array.fill(n)(in.readLong())
+  }
+
+  def saveIvfPq(spark: SparkSession, model: ProductQuantizer.IvfPqModel,
+                path: String): Unit =
+    writeBin(path) { out =>
+      out.writeInt(Magic); out.writeInt(Kind.IvfPq)
+      out.writeInt(model.subDim); out.writeInt(model.m); out.writeInt(model.k)
+      out.writeLong(model.scale)
+      out.writeInt(model.centsQ.length)
+      model.centsQ.foreach(writeLongs(out, _))
+      out.writeInt(model.booksQ.length)
+      model.booksQ.foreach { book =>
+        out.writeInt(book.length)
+        book.foreach(writeLongs(out, _))
+      }
+    }
+
+  def loadIvfPq(spark: SparkSession, path: String)
+      : ProductQuantizer.IvfPqModel =
+    readBin(path, Kind.IvfPq) { in =>
+      val subDim = in.readInt(); val m = in.readInt(); val k = in.readInt()
+      val scale = in.readLong()
+      val nc = in.readInt()
+      if (nc <= 0 || nc > (1 << 24)) corrupt(s"implausible centroid count $nc")
+      val cents = Array.fill(nc)(readLongs(in))
+      val nb = in.readInt()
+      // the dense-codes invariant of the old layout, kept as explicit
+      // shape checks: m books of exactly k codes each
+      if (nb != m) corrupt(s"codebook count $nb, expected m=$m (dense codes)")
+      val books = Array.fill(nb) {
+        val bk = in.readInt()
+        if (bk != k) corrupt(s"codebook size $bk, expected k=$k (dense codes)")
+        Array.fill(bk)(readLongs(in))
+      }
+      ProductQuantizer.IvfPqModel(cents, books, subDim, m, k, scale)
+    }
 
   /** Convenience: the served-search form — load the model at `path`
     * and run [[ProductQuantizer.searchIvfPqExact]] with it. */
@@ -217,40 +261,31 @@ object IndexStore {
   }
 
   /** Persist a flat PQ [[ProductQuantizer.Model]] (double codebooks —
-    * parquet doubles round-trip exactly, so a loaded model encodes
-    * bit-identically to the trained one). Layout mirrors
-    * [[saveIvfPq]]: params + codebooks subdirs. */
+    * stored as doubleToRawLongBits, bit-exact round-trip, so a loaded
+    * model encodes bit-identically to the trained one). */
   def savePq(spark: SparkSession, model: ProductQuantizer.Model,
-             path: String): Unit = {
-    import spark.implicits._
-    Seq((model.m, model.k, model.subDim))
-      .toDF("m", "k", "sub_dim")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
-    (for {
-      (book, sub) <- model.codebooks.zipWithIndex
-      (v, code) <- book.zipWithIndex
-    } yield (sub, code, v.toSeq)).toSeq
-      .toDF("sub", "code", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-  }
-
-  def loadPq(spark: SparkSession, path: String): ProductQuantizer.Model = {
-    val p = spark.read.parquet(s"$path/params").collect()
-    require(p.length == 1, s"expected one params row, got ${p.length}")
-    val (m, k, subDim) = (p(0).getAs[Int]("m"), p(0).getAs[Int]("k"),
-      p(0).getAs[Int]("sub_dim"))
-    val rows = spark.read.parquet(s"$path/codebooks")
-      .orderBy(col("sub"), col("code")).collect()
-      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"),
-        r.getSeq[Double](r.fieldIndex("vec")).toArray))
-    val books = Array.tabulate(m) { sub =>
-      val bs = rows.filter(_._1 == sub)
-      require(bs.map(_._2).sameElements(0 until k),
-        s"codebook $sub must carry dense codes 0..${k - 1}")
-      bs.map(_._3)
+             path: String): Unit =
+    writeBin(path) { out =>
+      out.writeInt(Magic); out.writeInt(Kind.Pq)
+      out.writeInt(model.m); out.writeInt(model.k); out.writeInt(model.subDim)
+      model.codebooks.foreach { book =>
+        out.writeInt(book.length)
+        book.foreach(v =>
+          writeLongs(out, v.map(java.lang.Double.doubleToRawLongBits)))
+      }
     }
-    ProductQuantizer.Model(m, k, subDim, books)
-  }
+
+  def loadPq(spark: SparkSession, path: String): ProductQuantizer.Model =
+    readBin(path, Kind.Pq) { in =>
+      val m = in.readInt(); val k = in.readInt(); val subDim = in.readInt()
+      if (m <= 0 || m > (1 << 16)) corrupt(s"implausible m=$m")
+      val books = Array.fill(m) {
+        val bk = in.readInt()
+        if (bk != k) corrupt(s"codebook size $bk, expected k=$k (dense codes)")
+        Array.fill(bk)(readLongs(in).map(java.lang.Double.longBitsToDouble))
+      }
+      ProductQuantizer.Model(m, k, subDim, books)
+    }
 
   /** [[loadOrPublishIvfPq]] for the flat PQ model: load if any JVM
     * published it, else train + publish atomically, same
@@ -279,52 +314,42 @@ object IndexStore {
   }
 
   /** Persist a plain k-means coarse quantizer (the a08 IVF list model):
-    * quantized long centroids — parquet longs round-trip exactly, so a
-    * loaded quantizer assigns bit-identically to the trained one (the
-    * saveIvfPq rationale, minus codebooks). */
+    * quantized long centroids — exact round-trip (the saveIvfPq
+    * rationale, minus codebooks). */
   def saveKmeans(spark: SparkSession, centroidsQ: Array[Array[Long]],
-                 path: String): Unit = {
-    import spark.implicits._
-    centroidsQ.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
-      .toDF("list_id", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-  }
+                 path: String): Unit =
+    writeBin(path) { out =>
+      out.writeInt(Magic); out.writeInt(Kind.Kmeans)
+      out.writeInt(centroidsQ.length)
+      centroidsQ.foreach(writeLongs(out, _))
+    }
 
-  def loadKmeans(spark: SparkSession, path: String): Array[Array[Long]] = {
-    val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy(col("list_id")).collect()
-      .map(r => r.getAs[Int]("list_id") ->
-        r.getSeq[Long](r.fieldIndex("vec")).toArray)
-    require(cents.nonEmpty, "empty centroid artifact")
-    require(cents.map(_._1).sameElements(cents.indices),
-      "centroid list_ids must be dense 0..n-1")
-    cents.map(_._2)
-  }
+  def loadKmeans(spark: SparkSession, path: String): Array[Array[Long]] =
+    readBin(path, Kind.Kmeans) { in =>
+      val n = in.readInt()
+      if (n <= 0 || n > (1 << 24)) corrupt(s"implausible centroid count $n")
+      Array.fill(n)(readLongs(in))
+    }
 
   /** Persist an SQ8 scalar-quantization model (a25): the per-dim
-    * integer bounds + scale — parquet longs round-trip exactly, so a
-    * loaded model encodes/decodes bit-identically to the fitted one
-    * (the saveKmeans rationale). */
-  def saveSq8(spark: SparkSession, model: Sq8.Model, path: String): Unit = {
-    import spark.implicits._
-    Seq((0, model.minQ.toSeq, model.scale), (1, model.maxQ.toSeq, model.scale))
-      .toDF("tag", "vec", "scale")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/bounds")
-  }
+    * integer bounds + scale — exact round-trip (the saveKmeans
+    * rationale). */
+  def saveSq8(spark: SparkSession, model: Sq8.Model, path: String): Unit =
+    writeBin(path) { out =>
+      out.writeInt(Magic); out.writeInt(Kind.Sq8)
+      writeLongs(out, model.minQ)
+      writeLongs(out, model.maxQ)
+      out.writeLong(model.scale)
+    }
 
-  def loadSq8(spark: SparkSession, path: String): Sq8.Model = {
-    val rows = spark.read.parquet(s"$path/bounds")
-      .orderBy(col("tag")).collect()
-    require(rows.length == 2 && rows(0).getInt(0) == 0 &&
-      rows(1).getInt(0) == 1, "sq8 artifact must hold tags 0 (min), 1 (max)")
-    val mn = rows(0).getSeq[Long](1).toArray
-    val mx = rows(1).getSeq[Long](1).toArray
-    require(mn.length == mx.length && mn.nonEmpty,
-      "sq8 bounds must be equal-length and non-empty")
-    require(rows(0).getLong(2) == rows(1).getLong(2),
-      "sq8 bound rows disagree on scale")
-    Sq8.Model(mn, mx, rows(0).getLong(2))
-  }
+  def loadSq8(spark: SparkSession, path: String): Sq8.Model =
+    readBin(path, Kind.Sq8) { in =>
+      val mn = readLongs(in)
+      val mx = readLongs(in)
+      if (mn.length != mx.length || mn.isEmpty)
+        corrupt("sq8 bounds must be equal-length and non-empty")
+      Sq8.Model(mn, mx, in.readLong())
+    }
 
   /** [[loadOrPublishKmeans]] for the SQ8 bounds model — same
     * corruption-vs-transient load discipline. */

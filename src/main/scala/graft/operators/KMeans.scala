@@ -59,11 +59,136 @@ object KMeans {
     f.asNondeterministic()(expr(s"transform($vecCol, x -> cast(x as double))"))
   }
 
+  /** Value cap (rows × dim) under which [[fit]] trains on the driver
+    * (r13): at training-subset size the distributed chain is pure
+    * scheduling/codegen overhead — 2 iterations over 2000×64 doubles
+    * (1 MB) measured 3.8 s WARM on local[32], every second of it jobs,
+    * AQE stages and per-stage codegen, none of it arithmetic. Below
+    * the cap (default 4M values ≈ 32 MB of doubles) the projection is
+    * collected ONCE (a bounded CollectLimit — the Profile discipline:
+    * the collect itself is capped, not checked after the fact) and
+    * Lloyd's runs locally with BIT-IDENTICAL arithmetic (same argmin
+    * tie-break, same per-(cluster, dim) decimal(28,10)-quantized sums,
+    * same double division and 9-digit HALF_UP round —
+    * KMeansSpec pins regime equality). Above it, or for non-integral
+    * ids or ragged vectors, the distributed trainer runs unchanged —
+    * at 100 TB the guard costs one dim-probe row and a cap+1-row
+    * CollectLimit, then never collects the corpus. Override with
+    * spark.graft.trainer.localFitMaxValues. */
+  private[operators] def localFitMaxValues(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.trainer.localFitMaxValues")
+      .map(_.toLong).getOrElse(1L << 22)
+
+  /** The exact element quantization of `cast(x as decimal(28,10))`:
+    * BigDecimal.valueOf (the Double.toString canonicalization Spark's
+    * Decimal(double) applies), then scale-10 HALF_UP. */
+  private[operators] def dec10(x: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x).setScale(10, java.math.RoundingMode.HALF_UP)
+
+  /** The exact `round(m, 9)` of Spark's Round on DoubleType. */
+  private[operators] def round9(m: Double): Double =
+    java.math.BigDecimal.valueOf(m).setScale(9, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** Driver-side Lloyd's over collected (id-sorted) vectors — the
+    * local-regime twin of the distributed loop: argmin ties to the
+    * lower index, per-(cluster, dim) means as decimal-quantized exact
+    * sums / counts, double division, round 9, empty clusters keep
+    * their previous centroid. Returns (final centroids, the centroids
+    * the LAST assignment pass scored against — the distributed fit's
+    * returned-assignments contract). */
+  private def lloydLocal(vecs: Array[Array[Double]], k: Int, iterations: Int)
+      : (Array[Array[Double]], Array[Array[Double]]) = {
+    var centroids: Array[Array[Double]] =
+      vecs.take(k).map(_.clone)
+    require(centroids.nonEmpty, "k-means needs a non-empty input")
+    var prev = centroids
+    var iter = 0
+    while (iter < iterations) {
+      prev = centroids
+      val kk = centroids.length
+      // callers guarantee uniform vector length (the fit guard)
+      val sums = Array.ofDim[java.math.BigDecimal](kk, vecs(0).length)
+      val cnts = Array.ofDim[Long](kk, vecs(0).length)
+      vecs.foreach { v =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var i = 0
+        while (i < kk) {
+          val c = centroids(i)
+          var d = 0.0
+          var j = 0
+          val dim = math.min(c.length, v.length)
+          while (j < dim) { val x = v(j) - c(j); d += x * x; j += 1 }
+          if (d < bestD) { bestD = d; best = i }
+          i += 1
+        }
+        var j = 0
+        while (j < v.length) {
+          val q = dec10(v(j))
+          sums(best)(j) = if (sums(best)(j) == null) q else sums(best)(j).add(q)
+          cnts(best)(j) += 1
+          j += 1
+        }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        val maxDim = cnts(i).lastIndexWhere(_ > 0) + 1
+        if (maxDim == 0) old
+        else Array.tabulate(maxDim)(j =>
+          round9(sums(i)(j).doubleValue() / cnts(i)(j).toDouble))
+      }
+      iter += 1
+    }
+    (centroids, prev)
+  }
+
   /** Train k centroids; returns (assignments DF (id, cluster), centroids
     * as local array indexed by cluster id). */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
           iterations: Int = 5): (DataFrame, Array[Array[Double]]) = {
     require(iterations >= 1, "k-means needs at least one iteration")
+    // LOCAL REGIME (r13, guarded — see localFitMaxValues): probe the
+    // dimension from one row, then a capped CollectLimit; if the whole
+    // training projection fits, Lloyd's runs on the driver in two jobs
+    // instead of ~2 + 3·iterations shuffle stages.
+    val integralId = df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    if (integralId) {
+      val spark = df.sparkSession
+      val projAll = df.select(col(idCol).cast("long").as("__id"),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("__v"))
+      val dimRow = projAll.filter(col("__v").isNotNull)
+        .select(size(col("__v"))).limit(1).collect()
+      val dim = if (dimRow.isEmpty) 1 else math.max(1, dimRow(0).getInt(0))
+      val capRows = math.max(1L, localFitMaxValues(spark) / dim)
+      if (capRows <= Int.MaxValue) {
+        val head = projAll.limit(capRows.toInt + 1).collect()
+        if (head.length <= capRows) {
+          val rows = head
+            .map(r => (r.getLong(0),
+              if (r.isNullAt(1)) null else r.getSeq[Double](1).toArray))
+            .sortBy(_._1)
+          val vecs = rows.map(_._2).filter(_ != null)
+          // uniform dimension only — the distributed loop's ragged-
+          // input semantics (per-(grp, pos) counts) are mirrored by
+          // lloydLocal, but init-row raggedness interacts with the
+          // min(dim) argmin; keep the exotic case on the proven path
+          if (vecs.nonEmpty && vecs.forall(_.length == vecs(0).length) &&
+              // init takes the k smallest IDS regardless of vector
+              // nullness (the distributed orderBy.limit contract) —
+              // a null among them crashed the old path too; guard
+              // here and fall through to it for bug-compat
+              rows.take(math.min(k, rows.length)).forall(_._2 != null)) {
+            val (cents, prevCents) = lloydLocal(vecs, k, iterations)
+            return (assign(df, idCol, vecCol, prevCents)
+              .select(col(idCol), col("cluster")), cents)
+          }
+        }
+      }
+    }
     // the trainer drives 1 + iterations actions over the same rows —
     // cache the 2-column projection once instead of re-scanning the
     // source per iteration (at 100 TB the input would be a sampled

@@ -65,6 +65,35 @@ object ProductQuantizer {
           m: Int, k: Int, iterations: Int = 2): Model = {
     require(m >= 1 && k >= 1 && iterations >= 1, "m, k, iterations must be positive")
     val spark = vectors.sparkSession
+    // LOCAL REGIME (r13, the KMeans.fit twin — see
+    // KMeans.localFitMaxValues): at training-subset size the
+    // per-iteration explode/assign/centroid job chain is pure
+    // scheduling overhead (2000×64 doubles measured 6.6 s WARM); below
+    // the value cap the null-filtered projection collects once
+    // (bounded CollectLimit) and the subspace Lloyd's runs locally
+    // with bit-identical arithmetic (PqSpec pins regime equality).
+    val integralId = vectors.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    if (integralId) {
+      val projAll = vectors
+        .filter(col(vecCol).isNotNull)
+        .select(col(idCol).cast("long").as("__id"), asDouble(vecCol).as("__v"))
+      val dimRow = projAll.select(size(col("__v"))).limit(1).collect()
+      val dim0 = if (dimRow.isEmpty) 1 else math.max(1, dimRow(0).getInt(0))
+      val capRows = math.max(1L, KMeans.localFitMaxValues(spark) / dim0)
+      if (capRows <= Int.MaxValue) {
+        val head = projAll.limit(capRows.toInt + 1).collect()
+        if (head.length <= capRows) {
+          val rows = head.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+            .sortBy(_._1)
+          if (rows.nonEmpty && rows.forall(_._2.length == rows(0)._2.length))
+            return fitLocal(rows.map(_._2), m, k, iterations)
+        }
+      }
+    }
     val base = vectors
       .filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), asDouble(vecCol).as("v"))
@@ -106,6 +135,51 @@ object ProductQuantizer {
       iter += 1
     }
     base.unpersist(false)
+    Model(m, ke, subDim, codebooks)
+  }
+
+  /** Driver-side subspace Lloyd's — [[fit]]'s local regime over the
+    * id-sorted collected projection: same init (k smallest ids, sliced
+    * per subspace), same per-subspace integer argmin with low-code
+    * tie-break, same per-(subspace, code, dim) decimal(28,10)-quantized
+    * exact sums / counts / double division / 9-digit HALF_UP round as
+    * [[Centroids.byGroupBy]], empty cells keep their previous
+    * centroid. Vectors must be uniform-length (caller-guarded). */
+  private def fitLocal(vecs: Array[Array[Double]], m: Int, k: Int,
+                       iterations: Int): Model = {
+    val ke = math.min(k, vecs.length)
+    val dim = vecs(0).length
+    require(dim % m == 0, s"dimension $dim must divide into $m subspaces")
+    val subDim = dim / m
+    var codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => vecs.take(ke).map(_.slice(s * subDim, (s + 1) * subDim)))
+    var iter = 0
+    while (iter < iterations) {
+      val sums = Array.ofDim[java.math.BigDecimal](m * ke, subDim)
+      val cnts = Array.ofDim[Long](m * ke, subDim)
+      vecs.foreach { v =>
+        var s = 0
+        while (s < m) {
+          val code = argminCode(v, s * subDim, codebooks(s))
+          val grp = s * ke + code
+          var j = 0
+          while (j < subDim) {
+            val q = KMeans.dec10(v(s * subDim + j))
+            sums(grp)(j) = if (sums(grp)(j) == null) q else sums(grp)(j).add(q)
+            cnts(grp)(j) += 1
+            j += 1
+          }
+          s += 1
+        }
+      }
+      codebooks = Array.tabulate(m)(s => Array.tabulate(ke) { c =>
+        val grp = s * ke + c
+        if (cnts(grp)(0) == 0) codebooks(s)(c)
+        else Array.tabulate(subDim)(j =>
+          KMeans.round9(sums(grp)(j).doubleValue() / cnts(grp)(j).toDouble))
+      })
+      iter += 1
+    }
     Model(m, ke, subDim, codebooks)
   }
 

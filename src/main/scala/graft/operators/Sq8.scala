@@ -109,9 +109,10 @@ object Sq8 {
           s" * ${model.scale}, 0) as bigint))").as("q255"))
     val scored = compressed
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("dist", expr(
-        """aggregate(zip_with(q255, r255, (a, b) -> (a - b) * (a - b)),
-          |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin))
+      // sq_dist_long (r13): the ADC distance runs per (corpus row ×
+      // query) — the interpreted fold was the scoring stage's cost
+      .withColumn("dist", graft.functions.GraftFunctions.sqDistLong(
+        col("q255"), col("r255")))
       .select(col("query_id"), col("neighbor_id"), col("dist"))
     val ws = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("neighbor_id"))

@@ -515,43 +515,51 @@ object TextAnalysis {
     * Output: (doc_id, n_bigrams, nll); docs with < 2 words report (0, 0.0). */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
                     persistWords: Boolean = true): DataFrame = {
-    // the narrow word-array projection feeds FOUR consumers (bigram
-    // stream ×2 — model counts and per-doc counts —, the vocab scalar,
-    // and the final n_bigrams join); unpersisted, each cascades back
-    // through the caller's upstream pipeline, which at 100× rows was
-    // measured at 54 s of redundant rescans. Persisting the projection
-    // caps every caller at ONE input scan. Repeated-invocation callers
-    // (streaming micro-batches) pass persistWords=false — the
-    // sequencePack persistToks convention.
+    // the per-doc bigram tallies feed FOUR consumers (per-doc counts,
+    // model counts derived from them, the vocab scalar, and the final
+    // n_bigrams join); unpersisted, each cascades back through the
+    // caller's upstream pipeline, which at 100× rows was measured at
+    // 54 s of redundant rescans. Persisting the projection caps every
+    // caller at ONE input scan. Repeated-invocation callers (streaming
+    // micro-batches) pass persistWords=false — the sequencePack
+    // persistToks convention.
+    //
+    // r13: the old shape cached the word ARRAYS and re-ran the
+    // explode(sequence) + 2×xxhash64 per-token chain for each bigram
+    // consumer, plus a corpus-token-sized (doc_id, h12) groupBy
+    // exchange for the per-doc counts. bigram_tfs aggregates per doc
+    // IN the scan (one byte pass, hashes computed once), so the cached
+    // frame holds pre-counted distinct rows, the (doc_id, h12)
+    // exchange disappears, and the model counts re-aggregate the
+    // compact per-doc rows instead of re-hashing the corpus. The r12
+    // fusion REJECTION (deriving model counts from the per-doc
+    // exchange) is superseded, not contradicted: there is no per-doc
+    // exchange left to share — both consumers explode the cached
+    // arrays scan-locally. Bit-identical by construction: every
+    // aggregate below consumes the same multiset of (doc, h1, h12)
+    // facts (BigramLmSpec pins equality with the explode form).
     val baseRaw = docs.select(col(idCol).as("doc_id"),
-      split(col(textCol), " ").as("ws"))
+      graft.functions.GraftFunctions.bigramTfs(col(textCol)).as("bt"),
+      graft.functions.GraftFunctions.distinctWordHashes(col(textCol)).as("dwh"),
+      greatest(graft.functions.GraftFunctions.wordCount(col(textCol))
+        .cast("long") - 1L, lit(0L)).as("n_bigrams"))
     val base =
       if (persistWords)
         baseRaw.persistLedgered()
       else baseRaw
-    val bi = base.filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), col("ws"),
-        explode(expr("sequence(1, size(ws) - 1)")).as("i"))
-      .select(col("doc_id"),
-        expr("xxhash64(element_at(ws, i))").as("h1"),
-        expr("xxhash64(element_at(ws, i), element_at(ws, i + 1))").as("h12"))
-    // TWO deliberate passes over the exploded bigram stream, both read
-    // from the cached projection (r12 note: deriving the model counts
-    // from the per-doc counts was built and REJECTED — Catalyst's
-    // column pruning specializes each consumer's aggregate chain, so
-    // the shared (doc_id, h12) exchange never canonicalizes equal and
-    // the "fused" form pays 2–3 explodes plus an extra shuffle on the
-    // model-count path; forcing reuse would need a second corpus-sized
-    // cache entry, which the vocabEncode measurement already showed
-    // costs more than re-exploding from the cached arrays).
-    val bcnt = bi.groupBy(col("h12"))
-      .agg(max(col("h1")).as("h1"), count(lit(1)).as("c12"))
+    // per-doc distinct (h12, k) with the doc-max h1 — already counted
+    // in the scan; mh1 exists only to rebuild the model's max(h1)
+    val docBi = base.select(col("doc_id"), explode(col("bt")).as("e"))
+      .select(col("doc_id"), col("e.h12").as("h12"),
+        col("e.h1").as("mh1"), col("e.k").as("k"))
+    // model counts from the per-doc rows: sum(k) ≡ the occurrence
+    // count, max(per-doc max h1) ≡ the occurrence-stream max
+    val bcnt = docBi.groupBy(col("h12"))
+      .agg(max(col("mh1")).as("h1"), sum(col("k")).as("c12"))
     val ccnt = bcnt.groupBy(col("h1")).agg(sum(col("c12")).as("cctx"))
-    val vrow = base.select(explode(col("ws")).as("w"))
-      .agg(count_distinct(expr("xxhash64(w)")).as("v"))
-    val docBi = bi.groupBy(col("doc_id"), col("h12"))
-      .agg(count(lit(1)).as("k"))
-    val scores = docBi
+    val vrow = base.select(explode(col("dwh")).as("h"))
+      .agg(count_distinct(col("h")).as("v"))
+    val scores = docBi.select(col("doc_id"), col("h12"), col("k"))
       .join(bcnt, Seq("h12"))
       .join(ccnt, Seq("h1"))
       .crossJoin(broadcast(vrow))
@@ -564,8 +572,7 @@ object TextAnalysis {
     // 6th-decimal .5 boundaries (s is 1e6-scaled), where Spark's
     // BigDecimal rounding and DuckDB's multiply-then-round disagree —
     // floor((-2s + nb) / 2nb) is boundary-free and engine-exact
-    base.select(col("doc_id"),
-        greatest(size(col("ws")) - 1, lit(0)).cast("long").as("n_bigrams"))
+    base.select(col("doc_id"), col("n_bigrams"))
       .join(scores, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_bigrams"),
         coalesce(expr("((-2 * s + nb) div (2 * nb))").cast("double") / 1e6,

@@ -73,10 +73,12 @@ object Relational12 {
       .select(col("vec_id").as("id_a"), col("vq").as("va"))
     val b = e.filter(gate("pb", 5))
       .select(col("vec_id").as("id_b"), col("vq").as("vb"))
+    // sq_dist_long: the interpreted aggregate(zip_with(...)) fold ran
+    // per PAIR here (r13 — the a12/a36 disease at pair volume); the
+    // native expression is one codegen'd linear pass, bit-identical
     val pairs = b.join(broadcast(a), col("id_a") < col("id_b"))
-      .withColumn("d2", expr(
-        "aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)), " +
-          "0L, (acc, t) -> acc + t)"))
+      .withColumn("d2", graft.functions.GraftFunctions.sqDistLong(
+        col("va"), col("vb")))
       .select(col("d2"))
       .persistLedgered()
     val maxD = broadcast(pairs.agg(max(col("d2")).as("maxd")))

@@ -449,11 +449,18 @@ object Relational13 {
     * shuffle for the df table, one broadcast semi-join to keep only
     * the top-50 terms' occurrences. */
   def t45Burstiness(spark: SparkSession, dir: String): DataFrame = {
-    val words = documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    // word_tfs (r13): the per-(word, doc) tally used to be a
+    // groupBy(w, doc_id) over the exploded token stream — a full
+    // token-STRING exchange with near-zero map-side combining (doc_id
+    // in the key defeats it). The tally now happens in the scan; only
+    // per-doc DISTINCT word rows flow, and the first exchange is the
+    // partial-agg'd df count. Same multiset of (w, doc_id, x) facts,
+    // bit-identical output.
     val nDocs = documents(spark, dir).agg(count(lit(1)).as("n"))
-    val perDoc = words.groupBy(col("w"), col("doc_id"))
-      .agg(count(lit(1)).as("x"))
+    val perDoc = documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.wordTfs(col("text"))).as("e"))
+      .select(col("e.w").as("w"), col("doc_id"), col("e.x").as("x"))
     val top = perDoc.groupBy(col("w"))
       .agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("w")).limit(50)

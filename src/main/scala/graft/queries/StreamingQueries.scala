@@ -488,8 +488,8 @@ object StreamingQueries {
       .join(centDf, "cluster")
       .withColumn("vq", expr(
         "transform(embedding, x -> cast(round(cast(x as double) * 1048576, 0) as bigint))"))
-      .withColumn("r2", expr(
-        "aggregate(zip_with(vq, cq, (x, c) -> (x - c) * (x - c)), 0L, (a, t) -> a + t)"))
+      .withColumn("r2", graft.functions.GraftFunctions.sqDistLong(
+        col("vq"), col("cq")))
       .groupBy(col("cluster"), col("half"))
       .agg(count(lit(1)).as("cnt"),
         sum(col("r2").cast(DecimalType(38, 0))).as("s"))
@@ -934,8 +934,7 @@ object StreamingQueries {
       .collect().map(r => r.getSeq[Long](1).toArray)
     val dists = centers.map { c =>
       val cLit = c.mkString("array(", "L, ", "L)")
-      expr(s"aggregate(zip_with(vq, $cLit, (x, y) -> (x - y) * (x - y)), " +
-        "0L, (acc, t) -> acc + t)")
+      graft.functions.GraftFunctions.sqDistLong(col("vq"), expr(cLit))
     }
     val minD = dists.reduce(least(_, _))
     val monitored = tableStream(spark, dir, "embeddings")

@@ -31,6 +31,7 @@ object Probe {
       case "a11" => a11(spark, dir)
       case "parts" => parts(spark, dir)
       case "p18" => p18(spark, dir)
+      case "trainers" => trainers(spark, dir)
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()
@@ -126,6 +127,51 @@ object Probe {
       .agg(sum(col("tf")).as("s"))
     time("fanout join+agg noop") { noop(fan) }
     println(s"PROBE fan rows = ${fan.count()}")
+  }
+
+  /** Trained-model artifact stage split (art_kmeans_coarse,
+    * art_pq_model, art_ivfpq_index): where the Lloyd's chains spend
+    * their seconds — init collects, per-iteration assignment+centroid
+    * jobs, store publish. Each piece runs twice (cold JIT, then the
+    * number that matters). */
+  private def trainers(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.{KMeans, ProductQuantizer}
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val n = time("embeddings count") { e.count() }
+    println(s"PROBE n = $n, dim = ${e.select(size(col("embedding"))).head().getInt(0)}")
+    (1 to 2).foreach { i =>
+      time(s"kmeans fit k=256 it=2 #$i") {
+        KMeans.fit(e, "vec_id", "embedding", k = 256, iterations = 2)
+      }
+      graft.core.Caching.CacheLedger.releaseAll(); spark.catalog.clearCache()
+    }
+    (1 to 2).foreach { i =>
+      time(s"pq fit m=8 k=16 it=2 #$i") {
+        ProductQuantizer.fit(e, "vec_id", "embedding", m = 8, k = 16, iterations = 2)
+      }
+      graft.core.Caching.CacheLedger.releaseAll(); spark.catalog.clearCache()
+    }
+    (1 to 2).foreach { i =>
+      time(s"ivfpq fit coarseK=16 m=8 k=16 it=2 #$i") {
+        ProductQuantizer.fitIvfPqExact(e, "vec_id", "embedding",
+          coarseK = 16, m = 8, k = 16, iterations = 2)
+      }
+      graft.core.Caching.CacheLedger.releaseAll(); spark.catalog.clearCache()
+    }
+    // the store publish + read-back legs
+    time("sq8 fit") { graft.operators.Sq8.fit(e, "vec_id", "embedding") }
+    graft.operators.IndexStore.sweepPublishRoot()
+    graft.queries.ModelCache.resetMemosForBench()
+    time("ModelCache.kmeansCoarse (publish+read)") {
+      graft.queries.ModelCache.kmeansCoarse(spark, dir)
+    }
+    time("ModelCache.pqModel (publish+read)") {
+      graft.queries.ModelCache.pqModel(spark, dir)
+    }
+    time("ModelCache.ivfPqIndex (publish+read)") {
+      graft.queries.ModelCache.ivfPqIndex(spark, dir)
+    }
   }
 
   /** art_copurchase_triangles stage split over the (already built)

@@ -112,15 +112,14 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("t19: both bigram passes read the cached projection — the corpus " +
       "text is never re-scanned for the LM aggregates") {
-    // the two-explode shape is DELIBERATE (r12: the fused single-pass
-    // form was built and rejected — pruning specializes the consumers'
-    // aggregate chains, costing an extra shuffle); what must hold is
-    // that every pass reads the persisted narrow projection, never the
-    // parquet text again
+    // r13: the projection now caches PRE-COUNTED per-doc bigram
+    // tallies (bigram_tfs) instead of word arrays, but the invariant
+    // is the same — every consumer reads the persisted narrow
+    // projection, never the parquet text again
     val p = plan("t19_bigram_lm")
     val cacheReads = "InMemoryTableScan".r.findAllIn(p).length
     assert(cacheReads >= 4,
-      s"all four consumers must read the cached word arrays ($cacheReads):\n$p")
+      s"all four consumers must read the cached bigram tallies ($cacheReads):\n$p")
     assert(!p.split("InMemoryRelation").head.contains("FileScan parquet"),
       s"no direct text re-scan outside the cached projection:\n$p")
   }

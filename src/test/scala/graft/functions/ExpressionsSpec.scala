@@ -44,6 +44,49 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(self == 1.0)
   }
 
+  test("sq_dist_long ≡ the aggregate(zip_with(...)) fold, null semantics included") {
+    import spark.implicits._
+    // (a, b) fixtures: plain, empty-empty, length mismatch, null
+    // element on each side, null array, single element, big values
+    val rows = Seq(
+      (Seq[java.lang.Long](1L, 5L, -3L), Seq[java.lang.Long](4L, -1L, 2L)),
+      (Seq.empty[java.lang.Long], Seq.empty[java.lang.Long]),
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](1L)),
+      (Seq[java.lang.Long](1L, null), Seq[java.lang.Long](1L, 2L)),
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](null, 2L)),
+      (null, Seq[java.lang.Long](1L)),
+      (Seq[java.lang.Long](7L), null),
+      (Seq[java.lang.Long](1L << 20), Seq[java.lang.Long](-(1L << 20))),
+      (Seq[java.lang.Long](0L, 0L, 0L), Seq[java.lang.Long](0L, 0L, 0L)))
+    val df = rows.toDF("a", "b")
+    val hof = df.select(expr(
+        "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, (acc, t) -> acc + t)"))
+      .collect().map(r => if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)))
+    val native = df.select(GraftFunctions.sqDistLong(col("a"), col("b")))
+      .collect().map(r => if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)))
+    assert(native.toSeq === hof.toSeq)
+    // expected concrete values for the plain rows
+    assert(native(0) == 9L + 36L + 25L)
+    assert(native(1) == 0L)
+    assert(native(7) == (1L << 21) * (1L << 21))
+  }
+
+  test("word_tfs ≡ explode(split) + groupBy(word, doc) tallies") {
+    import spark.implicits._
+    val df = Seq[(Long, String)](
+      (1L, "a b a  b"), (2L, ""), (3L, null), (4L, "x"),
+      (5L, " lead trail "), (6L, "héllo wörld héllo"))
+      .toDF("id", "text")
+    val old = df.select(col("id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w"), col("id")).agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getLong(1), r.getString(0), r.getLong(2))).toSet
+    val neu = df.select(col("id"),
+        explode(GraftFunctions.wordTfs(col("text"))).as("e"))
+      .select(col("id"), col("e.w"), col("e.x"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(neu === old)
+  }
+
   test("cosine_similarity rejects mismatched array element types") {
     import spark.implicits._
     val df = Seq((Array(1f), Array(1.0))).toDF("a", "b")

@@ -116,12 +116,10 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(run(m2) === run(model),
       "a pure-server session's search must equal the trainer's")
     // a half-written artifact (no atomic rename ever happened) must
-    // retrain, not serve garbage: corrupt by deleting params
+    // retrain, not serve garbage: corrupt by deleting the model file
     IndexStore.saveIvfPq(spark, model, path + "_broken")
-    val broken = java.nio.file.Paths.get(path + "_broken", "params")
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(broken).iterator().asScala.toSeq
-      .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(path + "_broken", "model.bin"))
     var retrained = 0
     val m3 = IndexStore.loadOrPublishIvfPq(spark, path + "_broken") {
       retrained += 1; model
@@ -202,18 +200,21 @@ class IndexStoreSpec extends AnyFunSuite {
       df, "vec_id", "embedding", coarseK = 4, m = 4, k = 8, iterations = 2)
     val path = java.nio.file.Files.createTempDirectory("ivfpq_bad").toString
     IndexStore.saveIvfPq(spark, model, path)
-    // drop one codebook row: the dense-code invariant must fail loudly,
-    // not serve a silently-wrong index
-    val books = spark.read.parquet(s"$path/codebooks")
-      .filter(!(col("sub") === 1 && col("code") === 3))
-    books.write.mode("overwrite").parquet(s"$path/codebooks2")
-    // overwrite via staging (can't overwrite a dir being read)
-    spark.read.parquet(s"$path/codebooks2").write
-      .mode("overwrite").parquet(s"$path/codebooks")
+    // truncate the artifact mid-codebook: the structural checks must
+    // fail loudly, not serve a silently-wrong index
+    val bin = java.nio.file.Paths.get(path, "model.bin")
+    val bytes = java.nio.file.Files.readAllBytes(bin)
+    java.nio.file.Files.write(bin,
+      java.util.Arrays.copyOf(bytes, bytes.length - 16))
     val ex = intercept[IllegalArgumentException] {
       IndexStore.loadIvfPq(spark, path)
     }
-    assert(ex.getMessage.contains("dense codes"))
+    assert(ex.getMessage.contains("corrupt"))
+    // restoring the original bytes loads cleanly again — the checks
+    // reject the corruption, not the format
+    java.nio.file.Files.write(bin, bytes)
+    val model2 = IndexStore.loadIvfPq(spark, path)
+    assert(model2.booksQ.length === model.booksQ.length)
     graft.core.Caching.CacheLedger.releaseAll()
   }
 

@@ -32,6 +32,41 @@ class KMeansSpec extends AnyFunSuite {
     assert(cs == Set((10L, 10L), (-10L, -10L)))
   }
 
+  test("local-regime fit ≡ distributed fit, bit for bit (r13)") {
+    // the r13 local regime (bounded collect + driver Lloyd's) must
+    // reproduce the distributed trainer exactly: same init, same
+    // argmin tie-breaks, same decimal(28,10)-quantized means with the
+    // 9-digit HALF_UP round. Awkward doubles on purpose — values with
+    // long decimal expansions exercise the quantization; k=8 over 60
+    // rows leaves some clusters empty across iterations (the
+    // keep-previous-centroid path)
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    def run(): (Seq[(Long, Int)], Seq[Seq[Double]]) = {
+      val (a, c) = KMeans.fit(e, "vec_id", "embedding", k = 8, iterations = 3)
+      (a.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq,
+        c.map(_.toSeq).toSeq)
+    }
+    val (aL, cL) = run() // default cap: local regime
+    spark.conf.set("spark.graft.trainer.localFitMaxValues", "1")
+    val (aD, cD) = try run() // cap 1 value: distributed path
+    finally spark.conf.unset("spark.graft.trainer.localFitMaxValues")
+    assert(cL === cD)
+    assert(aL === aD)
+    // and on an awkward-decimals fixture
+    val pts = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(6)(j =>
+        math.sin(i * 37 + j) * 0.123456789012345 + (i % 7) * 0.3))
+    }
+    val df = pts.toDF("id", "v")
+    val cL2 = KMeans.fit(df, "id", "v", k = 8, iterations = 3)._2.map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.trainer.localFitMaxValues", "1")
+    val cD2 = try KMeans.fit(df, "id", "v", k = 8, iterations = 3)._2.map(_.toSeq).toSeq
+    finally spark.conf.unset("spark.graft.trainer.localFitMaxValues")
+    assert(cL2 === cD2)
+  }
+
   test("k-means is deterministic across runs") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), col("embedding"))

@@ -29,6 +29,30 @@ class PqSpec extends AnyFunSuite {
     assert(a.codebooks.flatten.flatten.toSeq === b.codebooks.flatten.flatten.toSeq)
   }
 
+  test("local-regime fit ≡ distributed fit, bit for bit (r13)") {
+    // the r13 local regime (bounded collect + driver subspace Lloyd's)
+    // must reproduce the distributed trainer exactly — init slices,
+    // per-subspace argmin tie-breaks, decimal-quantized means,
+    // empty-cell keep-previous
+    val local = ProductQuantizer.fit(emb, "vec_id", "embedding",
+      m = 8, k = 16, iterations = 2)
+    spark.conf.set("spark.graft.trainer.localFitMaxValues", "1")
+    val dist = try ProductQuantizer.fit(emb, "vec_id", "embedding",
+        m = 8, k = 16, iterations = 2)
+      finally spark.conf.unset("spark.graft.trainer.localFitMaxValues")
+    assert(local.m === dist.m && local.k === dist.k && local.subDim === dist.subDim)
+    assert(local.codebooks.flatten.flatten.toSeq === dist.codebooks.flatten.flatten.toSeq)
+    // and through the full IVF-PQ trainer (coarse kmeans + residual PQ)
+    val mLocal = ProductQuantizer.fitIvfPqExact(emb, "vec_id", "embedding",
+      coarseK = 8, m = 8, k = 8, iterations = 2)
+    spark.conf.set("spark.graft.trainer.localFitMaxValues", "1")
+    val mDist = try ProductQuantizer.fitIvfPqExact(emb, "vec_id", "embedding",
+        coarseK = 8, m = 8, k = 8, iterations = 2)
+      finally spark.conf.unset("spark.graft.trainer.localFitMaxValues")
+    assert(mLocal.centsQ.flatten.toSeq === mDist.centsQ.flatten.toSeq)
+    assert(mLocal.booksQ.flatten.flatten.toSeq === mDist.booksQ.flatten.flatten.toSeq)
+  }
+
   test("fewer vectors than k: effective k shrinks (KMeans convention), " +
       "no crash (r9 regression)") {
     // 5 vectors, k = 16: the codebook rebuild used to index
