@@ -467,6 +467,23 @@ object Bench {
         .getOperatingSystemMXBean.getSystemLoadAverage
       (ops, load)
     }
+    // MULTI-THREAD probe per row (r13 verdict #1): the single-thread
+    // spin misses co-tenancy that steals SOME cores — r13's driver run
+    // published a contiguous cluster of rows 3–5× over the builder's
+    // quiet values at MATCHED single-thread calibration (a33 10.3 vs
+    // 1.9 s), and the same rows ran FASTER at 8 cpus, the signature of
+    // multi-core steal. A short all-cores burn reads the host's
+    // delivered aggregate throughput right before each row; per-row
+    // values land in the health json (probe_mt_ops) so a contended
+    // window is attributable from the artifact alone.
+    val mtThreads = math.min(8, cpus.toInt)
+    def hostProbeMt(): Double = {
+      val iters = 1500
+      val t0 = System.nanoTime()
+      val ts = (1 to mtThreads).map(_ => new Thread(() => { burn(iters); () }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      iters.toDouble * mtThreads / ((System.nanoTime() - t0) / 1e9)
+    }
     burn(3000) // JIT-warm the probe loop before the first sample
     // start-of-run calibration for the quiet verdict AND the value_norm
     // normalizer: the spin rate the host delivers BEFORE any query
@@ -489,10 +506,12 @@ object Bench {
                          heapMb: Long, cpuMs: Long, stageCpuMs: Long,
                          spillBytes: Long, taskRetries: Long,
                          recomputes: Long, probeOps: Double,
+                         probeMtOps: Double,
                          load1: Double, otherCpuMs: Long, execJson: String)
 
     def timeOne(name: String, run: () => Unit): Row = {
       val (probeOps, load1) = hostProbe()
+      val probeMtOps = hostProbeMt()
       listener.reset()
       val gc0 = gcMillis(); val cpu0 = cpuMillis()
       val busy0 = hostBusyMillis()
@@ -518,7 +537,7 @@ object Bench {
         listener.stageCpuTotalMs,
         listener.spillMem.get() + listener.spillDisk.get(),
         listener.retries.get(), listener.rddRecomputes,
-        probeOps, load1, otherCpuMs, listener.json)
+        probeOps, probeMtOps, load1, otherCpuMs, listener.json)
       graft.core.Caching.CacheLedger.releaseAll()
       spark.catalog.clearCache()
       // settle once more AFTER the cache teardown (round-8 advice):
@@ -601,6 +620,52 @@ object Bench {
         r.gcMs * 10 < r.cpuMs
       probeCollapse || cpuExcess
     }
+    // SOFT excursion witnesses (r13 verdict #1): the hard witnesses
+    // above missed multi-second co-tenancy bursts — the r13 driver run
+    // published ~20 rows at 3–5× the builder's quiet values with
+    // dirty_n 0 (a33 10.3 vs 1.9 s; the same rows ran FASTER at 8
+    // cpus, impossible for compute-bound rows). Two additional
+    // requeue triggers that need no probe to fire:
+    //  - warm-exceeds-cold: the published pass is the warm steady-state
+    //    re-run of a cold pass this same JVM just executed — warm wall
+    //    above 1.4× cold (+0.3 s absolute) means something external
+    //    landed on the warm window (JIT/caches only ever make warm
+    //    FASTER);
+    //  - band excursion: the committed quiet run's per-row seconds ride
+    //    in config/bench.json (scaled by the calibration ratio between
+    //    that run's host speed and this one's) — a row over 2× its
+    //    band (+0.3 s absolute) is either contention or a real change;
+    //    the requeue decides which (a retry that REPRODUCES the number
+    //    is a real change and publishes cleanly, a retry that collapses
+    //    back to the band was contention and the clean value
+    //    publishes, with the poisoned first kept as first_sec).
+    val bandRows: Map[String, Double] = {
+      try {
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"),
+          "config", "bench.json"))
+        val cal = """"quiet_rows_cal"\s*:\s*([0-9.]+)""".r
+          .findFirstMatchIn(txt).map(_.group(1).toDouble)
+        val rows = """"quiet_rows"\s*:\s*\{([^}]*)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        (cal, rows) match {
+          case (Some(c), Some(body)) if c > 0 && cal0Ops > 0 =>
+            // band seconds on THIS host: the reference row took
+            // band_sec at c ops/s; this host delivers cal0Ops ops/s
+            """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble * (c / cal0Ops))
+              .toMap
+          case _ => Map.empty
+        }
+      } catch { case _: Throwable => Map.empty }
+    }
+    def softExcursion(r: Row): Boolean = {
+      val vsCold = coldSec.get(r.name)
+        .exists(c => r.sec > 1.4 * c + 0.3)
+      val vsBand = bandRows.get(r.name)
+        .exists(b => r.sec > 2.0 * b + 0.3)
+      vsCold || vsBand
+    }
     // AUTO-REQUEUE (once, at run end): a flagged query's number
     // measures the neighbor, not the code — re-time it after the run
     // and publish the retry when the retry's own probe was clean. The
@@ -609,19 +674,31 @@ object Bench {
     // are not requeued: their build already published, a second run
     // would time the read-back, not the build.
     val flagged = firstPass.filter(r =>
-      isContended(r) && !r.name.startsWith("art_"))
+      (isContended(r) || softExcursion(r)) && !r.name.startsWith("art_"))
     val retried: Map[String, Row] = flagged.map { r =>
       r.name -> timeOne(r.name,
         () => { qs(r.name)(spark, sfDir).count(); () })
     }.toMap
-    // (published row, was the first attempt contended, first attempt's
-    // seconds when a clean retry replaced it)
+    // (published row, was the first attempt flagged, first attempt's
+    // seconds when the retry replaced it)
     val results: Seq[(Row, Boolean, Option[Double])] = firstPass.map { r =>
       retried.get(r.name) match {
-        case Some(r2) if medianOps > 0 && r2.probeOps >= 0.6 * medianOps &&
-            !isContended(r2) =>
-          (r2, true, Some(r.sec)) // clean retry: publish it
-        case Some(_) => (r, true, None) // retry dirty too: keep original
+        case Some(r2) if isContended(r) =>
+          // hard-flagged first attempt: publish the retry only when its
+          // own probe window was clean (the r10 rule)
+          if (medianOps > 0 && r2.probeOps >= 0.6 * medianOps &&
+              !isContended(r2)) (r2, true, Some(r.sec))
+          else (r, true, None) // retry dirty too: keep original
+        case Some(r2) =>
+          // soft-flagged (excursion) with a clean-probe first attempt:
+          // both attempts are honest executions of a deterministic
+          // computation and wall-clock noise is strictly additive, so
+          // the FASTER attempt is the better estimator; the slower one
+          // stays in the artifact (first_sec) as the excursion record.
+          // A retry that reproduces the excursion (within 1.3×)
+          // confirms a real change — published, NOT dirty.
+          if (!isContended(r2) && r2.sec < r.sec) (r2, true, Some(r.sec))
+          else (r, true, None)
         case None => (r, isContended(r), None)
       }
     }
@@ -641,8 +718,17 @@ object Bench {
     // dirty too, or an art_* row that is never requeued) should fail
     // the run-level quiet verdict. contended_n keeps its r10 meaning
     // (rows that were EVER flagged, the forensic count).
-    val dirtyN = results.count { case (r, flagged, _) =>
-      flagged && isContended(r) }
+    val dirtyN = results.count { case (r, flagged, firstSec) =>
+      // hard: the published row itself still reads contended.
+      // soft: the published number still sits outside the band AND the
+      // two attempts disagreed >1.3× — no stable number exists for
+      // this row, the run cannot vouch for it. (Two attempts that
+      // AGREE outside the band are a real code change, not dirt.)
+      val hardDirty = flagged && isContended(r)
+      val softDirty = flagged && !isContended(r) &&
+        bandRows.get(r.name).exists(b => r.sec > 2.0 * b + 0.3) &&
+        firstSec.exists(f => math.max(f, r.sec) > 1.3 * math.min(f, r.sec))
+      hardDirty || softDirty }
     // MILD multi-core contention (a few stolen cores) inflates wall
     // times without collapsing the single-thread probe or the
     // cpu-vs-stage ratio (executor CPU inflates too) — surface the
@@ -736,8 +822,8 @@ object Bench {
     // executed ORDER so cross-round comparisons key on query id, never
     // position
     val hjson = results.map { case (r, wasContended, firstSec) =>
-      val probe = ",\"probe_ops\":%.0f,\"load1\":%.2f".formatLocal(
-        java.util.Locale.ROOT, r.probeOps, r.load1)
+      val probe = ",\"probe_ops\":%.0f,\"probe_mt_ops\":%.0f,\"load1\":%.2f"
+        .formatLocal(java.util.Locale.ROOT, r.probeOps, r.probeMtOps, r.load1)
       val verdict = s""","stage_cpu_ms":${r.stageCpuMs}""" +
         s""","other_cpu_ms":${r.otherCpuMs}""" +
         s""","contended":$wasContended""" +

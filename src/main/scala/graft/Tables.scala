@@ -14,58 +14,60 @@ object Tables {
     * (a broadcast-side dimension gains nothing from an exchange). */
   private val MinRepartitionBytes = 131072L
 
-  /** Tables whose scans carry heavy PER-ROW compute (tokenization,
-    * shingle hashing, edit distance) — the ones where a
-    * single-row-group scan serializes real work. The relational
-    * tables (lineitem/orders/events) hit their first exchange almost
-    * immediately (join/agg-bound), and the full-bench A/B showed the
-    * blanket exchange costing them more scheduling overhead than it
-    * bought (q36 funnel 0.87 → 1.31 s) while the corpus tables won
-    * big (t43 2.07 → 0.75 s, a11 2.8 → 1.7 s). embeddings was A/B'd
-    * too and LOST net: most consumers aggregate or sample it cheaply
-    * and paid the extra AQE stage (a34 2.17 → 1.31, t22 1.27 → 0.78,
-    * p29 1.69 → 1.18, a37 2.29 → 1.84 without it) against two modest
-    * winners (a15 0.86 → 1.46, a21 0.92 → 1.25 with it); vector-heavy
-    * operators that need the spread (KMeans.fit) already repartition
-    * their own training projection. */
-  private val RepartitionTables = Set("documents", "customer")
-
   /** (path|parallelism) → planned scan partition count, memoized: the
     * count requires planning the bare scan once per table per session
     * shape. */
   private val splitMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
+  /** Read a testdata table: a plain parquet scan, no exchange above it.
+    * r14: the r13 per-TABLE repartition gate (documents/customer) taxed
+    * every CHEAP consumer of those tables ~0.2–0.7 s to shuffle a text
+    * column it barely processes (driver r12→r13: t27 0.21→2.09, t12
+    * 0.21→1.50, t13 0.26→1.21 — the round-13 verdict's finding #2).
+    * The parallelization is now OPT-IN at the consumer via
+    * [[tableParallel]]: only queries whose scans carry heavy per-row
+    * compute (tokenization, shingle hashing, term matching, edit
+    * distance, digesting) request it. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
   /** Read a testdata table, parallelizing single-row-group scans
-    * (r13): a row group is parquet's split floor, and the sf-scale
-    * corpus tables ship as ONE file with one row group apiece — so
-    * every scan-local heavy stage (tokenization, shingle hashing,
-    * cosine fan-outs against broadcast queries) ran on ONE core of
-    * local[32] until its first exchange. When the planned scan has
-    * less than half the session's parallelism AND the file carries
-    * enough bytes to matter, insert one round-robin exchange right
-    * above the scan; the bytes are corpus-table-sized (≤ ~11 MB at
-    * sf0.1), so the exchange is trivially cheap next to the work it
-    * parallelizes. Deterministic filters and column pruning push
-    * THROUGH Repartition, so PushedFilters/ReadSchema at the scan are
-    * unchanged. At production scale (files/row groups ≥ cores) the
-    * guard is false and the plan is untouched — the scale-adaptive
-    * rule, not a local[32] constant. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    * (r13, made consumer-opt-in in r14): a row group is parquet's
+    * split floor, and the sf-scale corpus tables ship as ONE file with
+    * one row group apiece — so every scan-local heavy stage
+    * (tokenization, shingle hashing, cosine fan-outs against broadcast
+    * queries) ran on ONE core of local[32] until its first exchange.
+    * When the planned scan has less than half the session's
+    * parallelism AND the file carries enough bytes to matter, insert
+    * one hash exchange right above the scan; the bytes are
+    * corpus-table-sized (≤ ~11 MB at sf0.1), so the exchange is
+    * trivially cheap next to the work it parallelizes. Deterministic
+    * filters and column pruning push THROUGH Repartition, so
+    * PushedFilters/ReadSchema at the scan are unchanged. At production
+    * scale (files/row groups ≥ cores) the guard is false and the plan
+    * is untouched — the scale-adaptive rule, not a local[32] constant.
+    *
+    * Relational tables were A/B'd in r13 and LOST (join/agg-bound,
+    * first exchange immediate: q36 funnel 0.87 → 1.31 s); embeddings
+    * lost net too (most consumers aggregate or sample it cheaply;
+    * KMeans.fit repartitions its own training projection) — only
+    * scan-compute-heavy documents/customer consumers call this. */
+  def tableParallel(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val df = spark.read.parquet(path)
     val target = spark.sparkContext.defaultParallelism
     val bytes =
       try java.nio.file.Files.size(java.nio.file.Paths.get(path))
       catch { case _: Throwable => 0L } // non-local store: leave untouched
-    if (bytes < MinRepartitionBytes || !RepartitionTables.contains(name)) df
+    if (bytes < MinRepartitionBytes) df
     else {
       val scanParts = splitMemo.computeIfAbsent(s"$path|$target",
         _ => Integer.valueOf(df.rdd.getNumPartitions)).intValue()
       // HASH partitioning on the leading (id) column, NOT round-robin:
       // repartition(n) pays spark.sql.execution.sortBeforeRepartition —
       // a full local sort of the whole single-partition table inside
-      // one task (the full-bench run measured it as +1–4 s on every
+      // one task (the r13 full-bench run measured it as +1–4 s on every
       // text/event-bearing row: 228 s vs 172 s total). Hash exchange
       // has no such sort, and the leading column is the table's unique
       // id, so the spread is even.
@@ -106,4 +108,14 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  /** documents with the single-row-group scan parallelized — for the
+    * scan-compute-heavy consumers only (tokenization/shingling/term
+    * matching/digest queries); see [[tableParallel]]. */
+  def documentsParallel(spark: SparkSession, dir: String): DataFrame =
+    tableParallel(spark, dir, "documents")
+  /** customer with the single-row-group scan parallelized — for the
+    * edit-distance pair generation (q33/q40 name pairs); see
+    * [[tableParallel]]. */
+  def customerParallel(spark: SparkSession, dir: String): DataFrame =
+    tableParallel(spark, dir, "customer")
 }

@@ -319,7 +319,7 @@ object GraphCache {
     artifact(spark, s"custname_lev1.v1|$dir",
       Seq(s"$dir/customer.parquet")) {
       graft.operators.FuzzyJoin.levenshtein1SelfJoin(
-        customer(spark, dir).select(col("c_custkey"), col("c_name")),
+        customerParallel(spark, dir).select(col("c_custkey"), col("c_name")),
         "c_custkey", "c_name")
     }
 
@@ -335,7 +335,7 @@ object GraphCache {
       // it — unpersisted, the artifact write paid three corpus scans);
       // ledger-registered so the next query boundary releases it
       val sh = graft.operators.Dedup
-        .withShingles(documents(spark, dir), "doc_id", "text", 3)
+        .withShingles(documentsParallel(spark, dir), "doc_id", "text", 3)
         .persistLedgered()
       // eager pin (the PageRank rule): the artifact write is one action
       // scanning `sh` three times — a cache that fails to populate
@@ -355,7 +355,7 @@ object GraphCache {
     artifact(spark, s"cosine_tf3_df64.v1|$dir",
       Seq(s"$dir/documents.parquet")) {
       graft.operators.Dedup.cosineTf(
-        documents(spark, dir), "doc_id", "text", 3, Some(64))
+        documentsParallel(spark, dir), "doc_id", "text", 3, Some(64))
     }
 
   /** Per-node triangle counts over [[coPurchaseEdges]] — the shared

@@ -19,13 +19,13 @@ object PipelineQueries {
     * documents are single-line). Block text loses separators, replicating
     * the reference's newline-loss quirk. */
   def splitBlocks(spark: SparkSession, dir: String): DataFrame =
-    Chunking.splitBlocks(documents(spark, dir), perBlock = 10)
+    Chunking.splitBlocks(documentsParallel(spark, dir), perBlock = 10)
       .orderBy(col("doc_id"), col("block_id"))
 
   /** T3 EXACT_BY_CHARACTERS on the pure-Catalyst path: 256-char windows,
     * 128 overlap. */
   def chunkExactChars(spark: SparkSession, dir: String): DataFrame =
-    Chunking.chunkExactByChars(documents(spark, dir), size = 256, overlap = 128)
+    Chunking.chunkExactByChars(documentsParallel(spark, dir), size = 256, overlap = 128)
       .withColumn("chunk_start", col("chunk_start").cast("long"))
       .orderBy(col("doc_id"), col("chunk_start"))
 
@@ -37,7 +37,7 @@ object PipelineQueries {
     * chunk id is not SQL-recomputable (DuckDB has no sha1) and is
     * pinned by ChunkingSpec/golden tests instead. */
   def chunkExactTokens(spark: SparkSession, dir: String): DataFrame =
-    Chunking.chunkDocuments(documents(spark, dir), ChunkStrategy.Exact,
+    Chunking.chunkDocuments(documentsParallel(spark, dir), ChunkStrategy.Exact,
         size = 32, overlap = 8)
       .select(col("doc_id"), col("chunk_seq").cast("long").as("chunk_seq"),
         col("chunk_text"))
@@ -49,7 +49,7 @@ object PipelineQueries {
     * exercise the EXACT fallback (24-token windows, step 20), short
     * ones the single-sentence branch. */
   def chunkSentences(spark: SparkSession, dir: String): DataFrame =
-    Chunking.chunkDocuments(documents(spark, dir), ChunkStrategy.Sentence,
+    Chunking.chunkDocuments(documentsParallel(spark, dir), ChunkStrategy.Sentence,
         size = 24, overlap = 4)
       .select(col("doc_id"), col("chunk_seq").cast("long").as("chunk_seq"),
         col("chunk_text"))
@@ -58,7 +58,7 @@ object PipelineQueries {
   /** F1-F3 intake filters: size window + language predicate, projected
     * and deterministically ordered (the valid-file scan). */
   def docFilter(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    documentsParallel(spark, dir)
       .filter(col("n_chars").between(100, 500) && col("lang") =!= "zh")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
@@ -68,7 +68,7 @@ object PipelineQueries {
     * COMPLETED when all succeed, FAILED when none do, else
     * PARTIALLY_COMPLETED (reference job_service.py:32-51). */
   def jobLedger(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    documentsParallel(spark, dir)
       .withColumn("ok", when(col("doc_id") % 37 =!= 0, 1L).otherwise(0L))
       .groupBy(col("source").as("job_id"))
       .agg(
@@ -98,7 +98,7 @@ object PipelineQueries {
     * The uuid5 record id alone is not SQL-recomputable (no sha1 in
     * DuckDB); EmbedPipelineSpec pins it. */
   def embedPipeline(spark: SparkSession, dir: String): DataFrame =
-    graft.pipeline.EmbedPipeline.run(documents(spark, dir),
+    graft.pipeline.EmbedPipeline.run(documentsParallel(spark, dir),
         embedder = new graft.pipeline.Md5Embedder(64))
       .toDF()
       .select(col("source_document"), md5(col("source_text")).as("chunk_md5"),
@@ -118,7 +118,7 @@ object PipelineQueries {
   def mediaPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.Multimodal
-    val media = documents(spark, dir)
+    val media = documentsParallel(spark, dir)
       .select(col("doc_id"), col("text"))
       .map { r =>
         val text = r.getString(1)
@@ -166,7 +166,7 @@ object PipelineQueries {
     * texts exactly (oracle: the documents table itself). */
   def docxParagraphs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val texts = documents(spark, dir)
+    val texts = documentsParallel(spark, dir)
       .orderBy(col("doc_id")).limit(5)
       .select(col("text")).collect().map(_.getString(0))
     def esc(s: String): String =
@@ -201,7 +201,7 @@ object PipelineQueries {
   def imageDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.Multimodal
-    val media = documents(spark, dir)
+    val media = documentsParallel(spark, dir)
       .filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"))
       .map { r =>
@@ -228,7 +228,7 @@ object PipelineQueries {
   def audioDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.Multimodal
-    val media = documents(spark, dir)
+    val media = documentsParallel(spark, dir)
       .filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"))
       .map { r =>
@@ -264,7 +264,7 @@ object PipelineQueries {
   def silenceSegments(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.Multimodal
-    val media = documents(spark, dir)
+    val media = documentsParallel(spark, dir)
       .filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"))
       .map { r =>
@@ -313,7 +313,7 @@ object PipelineQueries {
   def imageDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.Multimodal
-    val media = documents(spark, dir)
+    val media = documentsParallel(spark, dir)
       .filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"))
       .map { r =>
@@ -345,7 +345,7 @@ object PipelineQueries {
     * seqLen = 2048, via the hierarchical distributed prefix sum. */
   def sequencePack(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Packing.sequencePack(
-        documents(spark, dir), "doc_id", "text", seqLen = 2048)
+        documentsParallel(spark, dir), "doc_id", "text", seqLen = 2048)
       .orderBy(col("doc_id"))
 
   /** p15: REAL MP4 container-metadata parse round-trip — synthetic
@@ -355,7 +355,7 @@ object PipelineQueries {
   def videoMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.Multimodal
-    val media = documents(spark, dir)
+    val media = documentsParallel(spark, dir)
       .filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"))
       .map { r =>
@@ -423,7 +423,7 @@ object PipelineQueries {
     * [[graft.operators.Packing.vocabEncode]]). */
   def vocabEncode(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Packing.vocabEncode(
-        documents(spark, dir), "doc_id", "text", seqLen = 128)
+        documentsParallel(spark, dir), "doc_id", "text", seqLen = 128)
       .orderBy(col("seq_id"))
 
   /** p19: distributed BPE training over the corpus — 24 merges learned
@@ -433,7 +433,7 @@ object PipelineQueries {
     * through the real BPE encoder). */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame =
     graft.operators.BpeTrain.trainTable(
-        documents(spark, dir), "text", numMerges = 24)
+        documentsParallel(spark, dir), "text", numMerges = 24)
       .orderBy(col("rank"))
 
   /** p20: the trained BPE applied back to its corpus — per-doc token
@@ -455,7 +455,7 @@ object PipelineQueries {
   def codecMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.{CodecMeta, Multimodal}
-    val media = documents(spark, dir)
+    val media = documentsParallel(spark, dir)
       .filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"))
       .map { r =>
@@ -498,7 +498,7 @@ object PipelineQueries {
     * compressed-decode gap for one real codec end to end. */
   def adpcmDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    documents(spark, dir).filter(col("doc_id") % 25 === 0)
+    documentsParallel(spark, dir).filter(col("doc_id") % 25 === 0)
       .select(col("doc_id")).as[Long]
       .map(adpcmClipStats)
       .toDF("doc_id", "n_samples", "peak_abs", "energy")
@@ -550,7 +550,7 @@ object PipelineQueries {
     * encoder never emits. */
   def flacDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    documents(spark, dir).filter(col("doc_id") % 25 === 7)
+    documentsParallel(spark, dir).filter(col("doc_id") % 25 === 7)
       .select(col("doc_id")).as[Long]
       .map(flacClipStats)
       .toDF("doc_id", "sample_rate", "n_samples", "n_frames",

@@ -41,7 +41,7 @@ object Relational11 {
     * boilerplate and crawl dups score near 0. */
   def t39Novelty(spark: SparkSession, dir: String): DataFrame =
     graft.operators.TextAnalysis.ngramNovelty(
-      documents(spark, dir), "doc_id", "text", n = 3)
+      documentsParallel(spark, dir), "doc_id", "text", n = 3)
 
   /** q47: event-transition matrix — the Markov readout behind q46's
     * path mining: per (from, to) adjacent-event pair, the count and
@@ -168,7 +168,7 @@ object Relational11 {
     * impact. */
   def t40SourceOverlap(spark: SparkSession, dir: String): DataFrame =
     graft.operators.TextAnalysis.sourceOverlap(
-      documents(spark, dir), "source", "text", n = 3)
+      documentsParallel(spark, dir), "source", "text", n = 3)
 
   /** g04: local clustering coefficient over the co-purchase graph —
     * per part, cc = 2·triangles·10⁶ div (deg·(deg−1)) ppm: how
@@ -210,7 +210,7 @@ object Relational11 {
     * scan-local, zero shuffles; the full re-serialized training text
     * is hash-checked. */
   def p31FimSplit(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Fim.fimSplit(documents(spark, dir), "doc_id", "text")
+    graft.operators.Fim.fimSplit(documentsParallel(spark, dir), "doc_id", "text")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a26_range_search" -> a26RangeSearch _,

@@ -101,7 +101,7 @@ object Relational12 {
     val spark2 = spark
     import spark2.implicits._
     val lens = Seq(64, 128, 256, 512)
-    val d = documents(spark, dir)
+    val d = documentsParallel(spark, dir)
       .select(when(col("text").isNull, lit(0L))
         .otherwise(size(split(col("text"), " ")).cast("long")).as("n_tok"))
       .filter(col("n_tok") > 0)
@@ -127,7 +127,7 @@ object Relational12 {
     * into deciles by position (doc ids are dense), one 10-row
     * cumulative window. */
   def t41VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
-    val docs = documents(spark, dir)
+    val docs = documentsParallel(spark, dir)
     val n = broadcast(docs.agg(count(lit(1)).as("n")))
     val firsts = docs
       .select(col("doc_id"),

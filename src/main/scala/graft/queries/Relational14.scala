@@ -49,7 +49,7 @@ object Relational14 {
     * source snapshot. */
   def q55QualityDistill(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Distill.olsDistill(
-      q55Features(documents(spark, dir)), "source", "x1", "x2", "y")
+      q55Features(documentsParallel(spark, dir)), "source", "x1", "x2", "y")
 
   /** q56: SERVE the distilled model — quality anomalies. Every
     * document scores against its own source's q55 model (the
@@ -63,7 +63,7 @@ object Relational14 {
     * full sort of the corpus). Long arithmetic throughout: |resid| ≤
     * 10⁶·4095 fits comfortably. */
   def q56QualityAnomalies(spark: SparkSession, dir: String): DataFrame =
-    q56AnomaliesOf(q55Features(documents(spark, dir)))
+    q56AnomaliesOf(q55Features(documentsParallel(spark, dir)))
 
   /** q56's body over an explicit feature frame — shared with the
     * PlanReport slope row (which feeds a synthetic ×10 corpus). */

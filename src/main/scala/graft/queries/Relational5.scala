@@ -53,7 +53,7 @@ object Relational5 {
     * and the scalar surface both run inside the scan stage. */
   def q27LateralWords(spark: SparkSession, dir: String): DataFrame = {
     val stop = Seq("the", "a", "of", "and", "to", "in", "is")
-    documents(spark, dir)
+    documentsParallel(spark, dir)
       .select(col("doc_id"),
         posexplode(slice(split(col("text"), " "), 1, 10)).as(Seq("pos", "word")))
       .withColumn("m",

@@ -18,7 +18,7 @@ object Relational6 {
     * wire, no Expand replay per distinct column. */
   def q31Profile(spark: SparkSession, dir: String): DataFrame = {
     import Profile.ColSpec
-    val d = documents(spark, dir)
+    val d = documentsParallel(spark, dir)
     Profile.profile(d, Seq(
       ColSpec("doc_id", col("doc_id"), col("doc_id").cast("string")),
       ColSpec("lang", col("lang"), col("lang")),

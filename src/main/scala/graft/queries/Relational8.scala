@@ -44,7 +44,7 @@ object Relational8 {
     * the mixture-building complement to t22's rate gate and t26's
     * uniform bottom-k. */
   def t29WeightedSample(spark: SparkSession, dir: String): DataFrame =
-    Sampling.weightedTopK(documents(spark, dir), "source", "doc_id",
+    Sampling.weightedTopK(documentsParallel(spark, dir), "source", "doc_id",
         "n_chars", k = 50)
       .orderBy(col("stratum"), col("rank"))
 
@@ -97,7 +97,7 @@ object Relational8 {
     * on, one exactly-rounded double division. One shuffle on source. */
   def t30ScoreCalibration(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    documents(spark, dir)
+    documentsParallel(spark, dir)
       .select(col("doc_id"), col("source"),
         round(graft.functions.GraftFunctions.classifierScore(col("text"), 4096), 6)
           .as("clf_score"))

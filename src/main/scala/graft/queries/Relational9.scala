@@ -46,7 +46,7 @@ object Relational9 {
       substring_index(col("text"), " ", 3), lit(" "),
       element_at(accented, (col("doc_id") % 8 + 1).cast("int")),
       lit(" é"))
-    documents(spark, dir)
+    documentsParallel(spark, dir)
       .select(col("doc_id"), planted.as("planted"))
       .select(col("doc_id"),
         graft.functions.GraftFunctions.foldText(col("planted")).as("folded"),
@@ -62,7 +62,7 @@ object Relational9 {
     * surface with containment 1.0 against its host (the host's Jaccard
     * to the excerpt is ~0.08, far below any useful threshold). */
   def d17Containment(spark: SparkSession, dir: String): DataFrame = {
-    val d0 = documents(spark, dir).select(col("doc_id"), col("text"))
+    val d0 = documentsParallel(spark, dir).select(col("doc_id"), col("text"))
     val quotes = d0.filter(col("doc_id") % 20 === 0)
       .select((col("doc_id") + 900000L).as("doc_id"),
         substring_index(col("text"), " ", 15).as("text"))
@@ -153,7 +153,7 @@ object Relational9 {
     * vocabulary + `~other~` bucket (the cap exercised: the corpus
     * vocabulary is larger). */
   def t33SourceDrift(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Drift.sourceDrift(documents(spark, dir), "source",
+    graft.operators.Drift.sourceDrift(documentsParallel(spark, dir), "source",
       "text", maxVocab = 30)
 
   /** t34: epoch-repeat resampling to a 30k-token-per-domain target
@@ -162,7 +162,7 @@ object Relational9 {
     * target DOWNsamples — both regimes of the same exact-rational
     * repeat factor. */
   def t34EpochRepeat(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.TextAnalysis.epochRepeat(documents(spark, dir),
+    graft.operators.TextAnalysis.epochRepeat(documentsParallel(spark, dir),
         "doc_id", "source", "text", targetTokens = 30000L)
       .orderBy(col("doc_id"), col("copy"))
 
@@ -184,7 +184,7 @@ object Relational9 {
     * query has at least its source document as a hit and the word-soup
     * corpus supplies organic extra occurrences. */
   def a19PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
-    val d = documents(spark, dir)
+    val d = documentsParallel(spark, dir)
     val phrases = d.filter(col("doc_id") % 125 === 0)
       .select(col("doc_id").as("query_id"),
         array_join(slice(split(col("text"), " "), 5, 3), " ").as("phrase"))
@@ -201,7 +201,7 @@ object Relational9 {
     * scan-local shard assignment + one bounded groupBy. */
   def p26ShardManifest(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.HyperLogLog.hashExpr
-    documents(spark, dir)
+    documentsParallel(spark, dir)
       .withColumn("shard",
         (expr(hashExpr("doc_id", "exp")) % 16).cast("long"))
       .groupBy(col("shard"))
@@ -218,7 +218,7 @@ object Relational9 {
     * on the FOLDED text, while plain exact dedup (d01) sees them as
     * distinct. Keep-first by min id over the folded digest. */
   def d18FoldDedup(spark: SparkSession, dir: String): DataFrame = {
-    val d0 = documents(spark, dir).select(col("doc_id"), col("text"))
+    val d0 = documentsParallel(spark, dir).select(col("doc_id"), col("text"))
     // base doc k carries "<text> e"; its variant carries
     // "<UPPER(text)> é" — different bytes, same folded form
     // "<text> e" (the corpus is lowercase ASCII), so exactly the
@@ -253,7 +253,7 @@ object Relational9 {
     * (source, doc_id). */
   def p27MixtureInterleave(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = documents(spark, dir)
+    val d = documentsParallel(spark, dir)
     val weights = d.groupBy(col("source"))
       .agg(sum(size(split(col("text"), " ")).cast("long")).as("wt"))
     val idx = d.select(col("doc_id"), col("source"))
@@ -310,7 +310,7 @@ object Relational9 {
     // explode below never shuffles and no generic-row encoding runs on
     // stub rows (an assignBy over the exploded stubs measured 4.9 s at
     // sf0.1; this form runs in ~1 s)
-    val d = documents(spark, dir)
+    val d = documentsParallel(spark, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
       .withColumn("n_seqs", expr(s"(n_tok + $seqLen - 1) div $seqLen"))
@@ -398,7 +398,7 @@ object Relational9 {
     * broadcast-eval / hashed-gram plan as t10 — the corpus never
     * shuffles for the probe. */
   def t37EvalIntegrity(spark: SparkSession, dir: String): DataFrame = {
-    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val d = documentsParallel(spark, dir).select(col("doc_id"), col("text"))
     val bench = d.filter(col("doc_id") % 25 === 0)
       .select(col("doc_id").as("bench_id"),
         array_join(slice(split(col("text"), " "), 1, 60), " ").as("bench_text"))
