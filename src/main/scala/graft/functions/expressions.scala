@@ -994,6 +994,43 @@ object helpers {
     s
   }
 
+  /** (token count, stopword count) in one byte pass — bit-identical to
+    * the pair `size(split(text, ' '))` /
+    * `size(filter(split(text, ' '), w -> array_contains(stops, w)))`:
+    * single-space split, empties kept, token-vs-stopword equality is
+    * exact UTF-8 byte equality. The HOF form materialized the token
+    * array three times per doc and ran the filter lambda interpreted
+    * per token (t38's dominant scan cost). */
+  def stopTokenStats(text: UTF8String, stops: Array[Array[Byte]]): InternalRow = {
+    val n = text.numBytes()
+    var nt = 1L
+    var ns = 0L
+    var ws = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.getByte(i) == 0x20) {
+        if (i < n) nt += 1L
+        val len = i - ws
+        var s = 0
+        var matched = false
+        while (s < stops.length && !matched) {
+          val st = stops(s)
+          if (st.length == len) {
+            var j = 0
+            while (j < len && st(j) == text.getByte(ws + j)) j += 1
+            matched = j == len
+          }
+          s += 1
+        }
+        if (matched) ns += 1L
+        ws = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nt, ns))
+  }
+
   /** Distinct word n-gram hashes: each word XXH64-hashed once, each
     * window the hashLong-fold of its n word hashes (the same scheme as
     * [[minHashFromWords]] — no window array copies, no re-hashing of
@@ -1485,6 +1522,38 @@ case class WordTfsExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "word_tfs"
 }
 
+/** `stop_token_stats(text)` → struct<nt:bigint, ns:bigint>: token count
+  * and stopword count in one scan-local byte pass — see
+  * [[helpers.stopTokenStats]]. Replaces the triple `size(split(...))`
+  * materialization + interpreted `filter`/`array_contains` HOF chain of
+  * the quality-density scans (t38). */
+case class StopTokenStatsExpr(child: Expression, stops: Seq[String])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"stop_token_stats needs a string, got $t")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("nt", LongType, nullable = false),
+    StructField("ns", LongType, nullable = false)))
+  @transient private lazy val stopBytes: Array[Array[Byte]] =
+    stops.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+  override def nullSafeEval(input: Any): Any =
+    helpers.stopTokenStats(input.asInstanceOf[UTF8String], stopBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val stopsRef = ctx.addReferenceObj("stopWordBytes", stopBytes, "byte[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.helpers.stopTokenStats($c, $stopsRef);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "stop_token_stats"
+}
+
 /** `sq_dist_long(a, b)` → bigint: integer squared L2 between bigint
   * arrays, bit-identical (null semantics included) to the interpreted
   * `aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, ...)`
@@ -1895,6 +1964,9 @@ object GraftFunctions {
 
   def wordTfs(text: Column): Column =
     ColumnBridge.column(WordTfsExpr(ColumnBridge.expression(text)))
+
+  def stopTokenStats(text: Column, stops: Seq[String]): Column =
+    ColumnBridge.column(StopTokenStatsExpr(ColumnBridge.expression(text), stops))
 
   def sqDistLong(a: Column, b: Column): Column =
     ColumnBridge.column(SqDistLong(

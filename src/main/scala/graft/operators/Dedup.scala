@@ -686,19 +686,33 @@ object Dedup {
     // digest never equi-joins, so null new rows would always be "kept"
     // while a SQL NOT IN oracle with a null base row keeps nothing —
     // excluding nulls explicitly makes Spark and oracle agree on
-    // null-bearing inputs instead of silently diverging
+    // null-bearing inputs instead of silently diverging.
+    // digests shuffle as 32-byte BINARY (unhex), not sha2's 64-char hex
+    // string — half the exchange bytes for the identical 1:1 group key
+    // (guide §2.3 narrower types; the digest is engine-internal, the
+    // oracle replays content identity).
     val newDigests = newDocs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), sha2(col(textCol), 256).as("digest"))
+      .select(col(idCol).as("id"), unhex(sha2(col(textCol), 256)).as("digest"))
     val baseDigests = base.filter(col(baseTextCol).isNotNull)
-      .select(sha2(col(baseTextCol), 256).as("digest"))
-      .distinct()
-    // keep-first WITHIN the new batch, then anti-join the base digests
+      .select(unhex(sha2(col(baseTextCol), 256)).as("digest"))
+    incrementalKeepNewFromDigests(newDigests, baseDigests)
+  }
+
+  /** The digest-level core of [[incrementalKeepNew]]: keep-first within
+    * the new batch (min id per digest, with the collapsed copy count),
+    * then anti-join the accumulated base digests. Exposed for callers
+    * that derive both digest frames from ONE pass over a shared source
+    * (d15's snapshot-delta construction digested the same corpus scan
+    * four times through the text-level API). `newDigests` must carry
+    * (id, digest), `baseDigests` (digest); null digests must already be
+    * excluded (the text-level contract above). */
+  def incrementalKeepNewFromDigests(newDigests: DataFrame,
+                                    baseDigests: DataFrame): DataFrame =
     newDigests
       .groupBy(col("digest"))
       .agg(min(col("id")).as("id"), count(lit(1)).as("n_copies"))
-      .join(baseDigests, Seq("digest"), "left_anti")
+      .join(baseDigests.distinct(), Seq("digest"), "left_anti")
       .select(col("id"), col("n_copies"))
-  }
 
   /** Incremental NEAR-dedup — [[incrementalKeepNew]]'s workflow at
     * near-duplicate granularity: each NEW document is checked for a

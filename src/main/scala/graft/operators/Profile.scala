@@ -396,13 +396,20 @@ object Profile {
                   valueMicro: Column, factor: Int = 3): DataFrame = {
     val v = df.select(col(groupCol), col(idCol), valueMicro.as("v6"))
     // null-safe group joins throughout: a NULL group gets its own
-    // median/MAD (the exactQuantiles contract), never silently dropped
-    val med = exactQuantiles(v, groupCol, col("v6"), Seq(50))
+    // median/MAD (the exactQuantiles contract), never silently dropped.
+    // r14: medians via exactQuantilesDistributed, the FEW-huge-groups
+    // form — this operator's contract is per-GROUP medians over a big
+    // table (t28: |event_type| groups over all of events), exactly
+    // where the window form caps parallelism at |groups| and its two
+    // full shuffle+sort passes dominate the row (guide §2.4/§2.6;
+    // ProfileSpec pins the two forms row-equal, so output is
+    // bit-identical).
+    val med = exactQuantilesDistributed(v, groupCol, col("v6"), Seq(50))
       .select(col(groupCol).as("__gm"), col("pctl_u").as("med100"))
     val dev = v.join(broadcast(med), v(groupCol) <=> med("__gm"))
       .drop("__gm")
       .withColumn("dev100", abs(lit(100L) * col("v6") - col("med100")))
-    val mad = exactQuantiles(dev, groupCol, col("dev100"), Seq(50))
+    val mad = exactQuantilesDistributed(dev, groupCol, col("dev100"), Seq(50))
       .select(col(groupCol).as("__gd"), col("pctl_u").as("mad10000"))
     dev.join(broadcast(mad), dev(groupCol) <=> mad("__gd"))
       .filter(lit(100L) * col("dev100") > lit(factor.toLong) * col("mad10000"))
@@ -454,7 +461,11 @@ object Profile {
   def winsorize(df: DataFrame, idCol: String, groupCol: String,
                 valueMicro: Column, pLo: Int, pHi: Int): DataFrame = {
     require(0 <= pLo && pLo < pHi && pHi <= 100, "need 0 <= pLo < pHi <= 100")
-    val q = exactQuantiles(df.select(col(groupCol), valueMicro.as("__v")),
+    // r14: few-huge-groups form (t35 clips all of lineitem to its 3
+    // return flags' bands — the window form's |groups|-task sort was
+    // the row's dominant stage); ProfileSpec pins both forms row-equal
+    val q = exactQuantilesDistributed(
+      df.select(col(groupCol), valueMicro.as("__v")),
       groupCol, col("__v"), Seq(pLo, pHi))
     val bounds = q.groupBy(col(groupCol))
       .agg(min(when(col("p") === pLo, col("pctl_u"))).as("__lo100"),

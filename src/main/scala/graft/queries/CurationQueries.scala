@@ -15,7 +15,7 @@ object CurationQueries {
     * corpus with itself under shifted ids, so every hash group has
     * exactly 2 copies and keeps the lower id. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame = {
-    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val d = documentsParallel(spark, dir).select(col("doc_id"), col("text"))
     val planted = d.unionAll(d.withColumn("doc_id", col("doc_id") + 1000000L))
     Dedup.exactKeepFirst(planted, "doc_id", "text")
       .select(col("kept_id"), col("n_copies"))
@@ -63,7 +63,7 @@ object CurationQueries {
     * exact-pair plan that survives corpora where common shingles make
     * the d02 self-join quadratic. Also d19's recall denominator. */
   def dedupPrefixJoin(spark: SparkSession, dir: String): DataFrame =
-    Dedup.prefixJaccardPairs(documents(spark, dir), "doc_id", "text",
+    Dedup.prefixJaccardPairs(documentsParallel(spark, dir), "doc_id", "text",
         n = 3, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
@@ -74,7 +74,7 @@ object CurationQueries {
     * pairs (CurationSpec proves set equality on this corpus), so the
     * exact SQL is the oracle — LSH recall loss would fail the row. */
   def dedupMinHash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minHashLshPairs(documents(spark, dir), "doc_id", "text",
+    Dedup.minHashLshPairs(documentsParallel(spark, dir), "doc_id", "text",
         n = 3, numHashes = 64, bands = 16, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
@@ -92,7 +92,7 @@ object CurationQueries {
     * what makes it the plan-tuning instrument).
     * See [[graft.operators.Dedup.bandPlanSweep]]. */
   def dedupBandPlan(spark: SparkSession, dir: String): DataFrame =
-    Dedup.bandPlanSweep(documents(spark, dir), "doc_id", "text",
+    Dedup.bandPlanSweep(documentsParallel(spark, dir), "doc_id", "text",
       precomputedExact = Some(GraphCache.docJaccardPairs(spark, dir)))
 
   /** d22: cross-source vocabulary Jaccard from KMV bottom-k sketches
@@ -104,7 +104,7 @@ object CurationQueries {
     * fully deterministic, so the ESTIMATE itself is hash-checked. */
   def dedupKmvJaccard(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Kmv.crossSourceJaccard(
-      documents(spark, dir), "source", "text", n = 3, k = 256)
+      documentsParallel(spark, dir), "source", "text", n = 3, k = 256)
 
   /** d04: SimHash near-dup pairs, hamming ≤ 3 on planted near-copies —
     * oracle-checked end to end with the md5 word hash (the t17
@@ -116,7 +116,7 @@ object CurationQueries {
     * completeness empirically. DedupSpec additionally pins semantics;
     * production callers keep the fast FNV-1a default hash. */
   def dedupSimHash(spark: SparkSession, dir: String): DataFrame = {
-    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val d = documentsParallel(spark, dir).select(col("doc_id"), col("text"))
     // plant near-copies: append one word — simhash distance stays small
     val perturbed = d.withColumn("doc_id", col("doc_id") + 1000000L)
       .withColumn("text", concat(col("text"), lit(" the")))
@@ -175,7 +175,7 @@ object CurationQueries {
     * (cluster minimum; singletons keep themselves). Dropping
     * keep = 0 rows IS the dedup pass. */
   def dedupKeep(spark: SparkSession, dir: String): DataFrame = {
-    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val d = documentsParallel(spark, dir).select(col("doc_id"), col("text"))
     val pairs = GraphCache.docJaccardPairs(spark, dir)
     graft.operators.Clusters.canonicalize(d, pairs, "doc_id")
       .select(col("doc_id"), col("cluster_id"), col("keep").cast("int").as("keep"))
@@ -190,7 +190,7 @@ object CurationQueries {
     * additionally pins shared-substring semantics; production callers
     * keep the fast FNV-1a default. */
   def dedupWinnow(spark: SparkSession, dir: String): DataFrame =
-    Dedup.winnowPairs(documents(spark, dir), "doc_id", "text",
+    Dedup.winnowPairs(documentsParallel(spark, dir), "doc_id", "text",
         k = 12, w = 4, minShared = 25, maxFpDocFreq = Some(100),
         gramHash = Dedup.md5Hash60)
       .orderBy(col("id_a"), col("id_b"))
@@ -622,7 +622,7 @@ object CurationQueries {
     * divergence). DsirSpec additionally pins that target-like
     * documents outscore the rest. */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
-    val docs = documents(spark, dir)
+    val docs = documentsParallel(spark, dir)
     val (df, tableQ) = TextAnalysis.dsirWeightsExact(docs,
       docs.filter(col("lang") === "en"), "doc_id", "text",
       n = 2, buckets = 8192)
@@ -653,12 +653,12 @@ object CurationQueries {
   /** t01: per-document text-analysis profile (token counts, quality,
     * lang id, bag-of-words fingerprint) — all pure Catalyst. */
   def textProfile(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.profile(documents(spark, dir))
+    TextAnalysis.profile(documentsParallel(spark, dir))
       .orderBy(col("doc_id"))
 
   /** t02: corpus quality aggregation by declared language. */
   def qualityByLang(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    documentsParallel(spark, dir)
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -673,7 +673,7 @@ object CurationQueries {
     * hash array cells, hence the projection; XOR pins the contents
     * without depending on the (insertion-ordered) array layout. */
   def winnow(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    documentsParallel(spark, dir)
       .select(col("doc_id"),
         TextAnalysis.winnowFingerprints(gramHash = Dedup.md5Hash60)(col("text"))
           .as("fps"))
@@ -759,7 +759,7 @@ object CurationQueries {
   def sampleBottomK(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = 20
-    val docs = documents(spark, dir)
+    val docs = documentsParallel(spark, dir)
       .select(col("source"), col("doc_id"))
       .withColumn("h", expr(graft.operators.HyperLogLog.hashExpr("doc_id", "smp")))
       .withColumn("negh", -col("h"))
@@ -845,7 +845,7 @@ object CurationQueries {
     * the same rows are sampled on every engine and every run (rand()
     * would be neither): ~25% of 'en' docs, ~6% of everything else. */
   def sampleStratified(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    documentsParallel(spark, dir)
       .withColumn("gate", substring(md5(col("text")), 1, 2))
       .filter(
         (col("lang") === "en" && col("gate") < "40") ||
@@ -855,7 +855,7 @@ object CurationQueries {
 
   /** t05: token-length histogram of the corpus (10-token buckets). */
   def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    documentsParallel(spark, dir)
       .withColumn("bucket", (TextAnalysis.wsTokenCount(col("text")) / 10).cast("long") * 10)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
@@ -865,7 +865,7 @@ object CurationQueries {
   /** t06: PII scrubbing over synthetic planted PII (emails/IPs/ids
     * appended deterministically so the masks have work to do). */
   def piiScrub(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    documentsParallel(spark, dir)
       .withColumn("dirty", concat(col("text"),
         lit(" contact user"), col("doc_id"), lit("@example.com or 10.0.0."),
         (col("doc_id") % 255), lit(" id "), (col("doc_id") + 10000000L)))
@@ -878,7 +878,7 @@ object CurationQueries {
     * "lines" (words here) occurring in more than 60% of documents are
     * dropped from every document; output the per-doc kept-word count. */
   def lineDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = documents(spark, dir)
+    val docs = documentsParallel(spark, dir)
     // corpus size as a broadcast scalar (the q13 pattern) — one Spark job,
     // no driver-side count() materialization
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -907,7 +907,7 @@ object CurationQueries {
 
   /** t08: repetition ratio (Gopher rules) per document. */
   def repetition(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    documentsParallel(spark, dir)
       .select(col("doc_id"), TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
       .orderBy(col("doc_id"))
 
@@ -919,7 +919,7 @@ object CurationQueries {
     * cross-check the JVM Deflater rather than replaying it; the ratio
     * arithmetic is mirrored token-for-token in SQL. */
   def compressionRatio(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    documentsParallel(spark, dir)
       .select(col("doc_id"),
         TextAnalysis.compressionRatio(col("text")).as("deflate_ratio"),
         TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
@@ -932,7 +932,7 @@ object CurationQueries {
     * its source doc — plus that doc's near-dups, which is precisely the
     * leak decontamination exists to find. */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
-    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val d = documentsParallel(spark, dir).select(col("doc_id"), col("text"))
     val bench = d.filter(col("doc_id") % 25 === 0)
       .select(col("doc_id").as("bench_id"),
         array_join(slice(split(col("text"), " "), 1, 60), " ").as("bench_text"))
@@ -951,7 +951,7 @@ object CurationQueries {
     * against an independent engine. */
   def curatePack(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val d = documentsParallel(spark, dir).select(col("doc_id"), col("text"))
     val planted = d.unionAll(d.withColumn("doc_id", col("doc_id") + 1000000L))
     val quality = planted.filter(TextAnalysis.qualityScore(col("text")) >= 0.3)
     // keep-first: one shuffle on the 32-byte digest, not the text
@@ -992,7 +992,7 @@ object CurationQueries {
     * boilerplate), composing cluster formation with the t12 mixture
     * dimension. */
   def dupBySource(spark: SparkSession, dir: String): DataFrame = {
-    val d = documents(spark, dir).select(col("doc_id"), col("text"), col("source"))
+    val d = documentsParallel(spark, dir).select(col("doc_id"), col("text"), col("source"))
     val pairs = GraphCache.docJaccardPairs(spark, dir)
     graft.operators.Clusters.canonicalize(d, pairs, "doc_id")
       .groupBy(col("source"))
@@ -1011,7 +1011,7 @@ object CurationQueries {
     * xxhash64 hashes (never text); the oracle groups the raw strings —
     * identical counts absent a 64-bit collision (~1e-8 at sf0.1). */
   def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
-    Dedup.duplicatedWindows(documents(spark, dir), "doc_id", "text", n = 8)
+    Dedup.duplicatedWindows(documentsParallel(spark, dir), "doc_id", "text", n = 8)
       .orderBy(col("doc_id"))
 
   /** t12: domain-mixture statistics + temperature-weighted sampling
@@ -1026,28 +1026,28 @@ object CurationQueries {
     * top-500 vocabulary — the LM-perplexity-filter shape with
     * integer-exact arithmetic (so the oracle hash-matches). */
   def unigramScore(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.unigramScores(documents(spark, dir), "doc_id", "text",
+    TextAnalysis.unigramScores(documentsParallel(spark, dir), "doc_id", "text",
         vocabSize = 500)
       .orderBy(col("doc_id"))
 
   /** t14: Gopher top-/duplicated-n-gram char fractions (Rae et al.
     * §A1.1) — one scan-local native-expression pass per document. */
   def gopherFractions(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.gopherNgramFractions(documents(spark, dir), "doc_id", "text")
+    TextAnalysis.gopherNgramFractions(documentsParallel(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
   /** t15: top-3 TF-IDF keywords per document (rational idf — tf·N/df —
     * so scores and the top-k cut are engine-exact; see
     * [[TextAnalysis.tfIdfKeywords]]). */
   def tfIdf(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.tfIdfKeywords(documents(spark, dir), "doc_id", "text", k = 3)
+    TextAnalysis.tfIdfKeywords(documentsParallel(spark, dir), "doc_id", "text", k = 3)
       .orderBy(col("doc_id"), col("rank"))
 
   /** t16: the document-level quality KEEP/DROP verdict — C4/Gopher
     * thresholds over the combined signal row (see
     * [[TextAnalysis.qualityVerdict]]). */
   def qualityVerdict(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.qualityVerdict(documents(spark, dir), "doc_id", "text")
+    TextAnalysis.qualityVerdict(documentsParallel(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
   /** t17: hashed-linear quality-classifier scores — the GPT-3/CCNet
@@ -1055,7 +1055,7 @@ object CurationQueries {
     * features, fixed deterministic weight table) as one scan-local
     * native-expression pass; keep = rounded score ≥ 0. */
   def classifierScore(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    documentsParallel(spark, dir)
       .select(col("doc_id"),
         round(graft.functions.GraftFunctions.classifierScore(col("text"), 4096), 6)
           .as("clf_score"))
@@ -1131,7 +1131,7 @@ object CurationQueries {
     * cross-doc / within-doc 8-gram repeats are stripped too (see
     * [[Dedup.removeDuplicateSpans]]). */
   def dedupSpanRemoval(spark: SparkSession, dir: String): DataFrame = {
-    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val d = documentsParallel(spark, dir).select(col("doc_id"), col("text"))
     val planted = d.unionAll(d.withColumn("doc_id", col("doc_id") + 1000000L))
     Dedup.removeDuplicateSpans(planted, "doc_id", "text", n = 8)
       .orderBy(col("doc_id"))
@@ -1147,7 +1147,7 @@ object CurationQueries {
     // repeatedly — each leg's query-vocabulary collect plus the tf /
     // cosine scans re-ran the documents⋈embeddings join per consumer
     // (a35 drives three legs over it in one query)
-    val c = documents(spark, dir).select(col("doc_id"), col("text"))
+    val c = documentsParallel(spark, dir).select(col("doc_id"), col("text"))
       .join(embeddings(spark, dir).select(col("vec_id"), col("embedding")),
         col("doc_id") === col("vec_id"))
       .select(col("doc_id"), col("text"), col("embedding"))
@@ -1176,7 +1176,7 @@ object CurationQueries {
     * [[Similarity.bm25TopK]]). Same query shape as a10: every 50th
     * document's first 12 words, k = 10. */
   def bm25Search(spark: SparkSession, dir: String): DataFrame = {
-    val c = documents(spark, dir).select(col("doc_id"), col("text"))
+    val c = documentsParallel(spark, dir).select(col("doc_id"), col("text"))
     val q = c.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("qid"),
         array_join(slice(split(col("text"), " "), 1, 12), " ").as("qtext"))
@@ -1226,7 +1226,7 @@ object CurationQueries {
     * trained on the corpus itself, documents scored by mean negative
     * log-probability (see [[TextAnalysis.bigramLmScore]]). */
   def bigramLm(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.bigramLmScore(documents(spark, dir), "doc_id", "text")
+    TextAnalysis.bigramLmScore(documentsParallel(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
   /** a12: JL sign random projection 64 → 16 dims over the embeddings
@@ -1300,7 +1300,7 @@ object CurationQueries {
     * oracled; this pins their COMPOSITION (stage order, survivor sets,
     * and the packed id stream) end to end. */
   def curateFull(spark: SparkSession, dir: String): DataFrame = {
-    val d0 = documents(spark, dir)
+    val d0 = documentsParallel(spark, dir)
     // planted full copies: the dedup stage must actually collapse
     // something (the p16 convention); copies share the original's source
     val planted = d0.unionAll(d0.withColumn("doc_id", col("doc_id") + 1000000L))
@@ -1367,14 +1367,14 @@ object CurationQueries {
     * word counts and the integer-exact mean (see
     * [[TextAnalysis.readability]]). */
   def readabilityProfile(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.readability(documents(spark, dir), "doc_id", "text")
+    TextAnalysis.readability(documentsParallel(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
   /** t22: the t12 mixture budgets MATERIALIZED — per-domain md5-gated
     * sampling at the exact rational rate sample_tokens/total_tokens
     * (see [[TextAnalysis.mixtureSample]]); budget 10k tokens (~37% of the sf0.01 corpus, so the gate genuinely drops docs). */
   def mixtureSample(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.mixtureSample(documents(spark, dir), "doc_id", "source",
+    TextAnalysis.mixtureSample(documentsParallel(spark, dir), "doc_id", "source",
         "text", budget = 10000L)
       .orderBy(col("doc_id"))
 
@@ -1383,7 +1383,7 @@ object CurationQueries {
     * removal; the quoted docs lose their quoted prefix, everything else
     * survives (see [[Dedup.exciseContamination]]). */
   def decontamExcise(spark: SparkSession, dir: String): DataFrame = {
-    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val d = documentsParallel(spark, dir).select(col("doc_id"), col("text"))
     val bench = d.filter(col("doc_id") % 25 === 0)
       .select(array_join(slice(split(col("text"), " "), 1, 60), " ").as("bench_text"))
     Dedup.exciseContamination(d, "doc_id", "text", bench, "bench_text", n = 8)
@@ -1425,7 +1425,7 @@ object CurationQueries {
     * principle). n_est ≥ n_exact by construction; CurationSpec bounds
     * the overcount. */
   def countMinHeavy(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.countMinHeavyHitters(documents(spark, dir), "text")
+    TextAnalysis.countMinHeavyHitters(documentsParallel(spark, dir), "text")
       .orderBy(col("n_exact").desc, col("word"))
 
   /** d15: incremental snapshot-delta dedup — "yesterday" is the corpus;
@@ -1433,10 +1433,19 @@ object CurationQueries {
     * genuinely new variants; kept = new content only, keep-first within
     * the batch (see [[Dedup.incrementalKeepNew]]). */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val base = documents(spark, dir).select(col("doc_id"), col("text"))
+    val base = documentsParallel(spark, dir).select(col("doc_id"), col("text"))
     // today's batch: even ids re-crawl yesterday's pages verbatim (must
     // drop), odd ids arrive twice with a fresh suffix (in-batch dup —
-    // keep-first once)
+    // keep-first once).
+    // r14 REJECTION, for the record: a single-digest-scan rewrite
+    // (persistLedgered (doc_id, parity, sha2, fresh-sha2) frame feeding
+    // both operator inputs) was built and measured SLOWER — interleaved
+    // same-JVM A/B 2.42 vs 1.64 s min-of-3 at sf0.1: the branch scans
+    // below share one ReusedExchange and column pruning already keeps
+    // each branch to the one digest it needs, so the rewrite only added
+    // the cache materialization. The digests themselves now shuffle as
+    // 32-byte binary (incrementalKeepNew's unhex — half the old hex
+    // string's exchange bytes).
     val today = base.filter(col("doc_id") % 2 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       .unionAll(base.filter(col("doc_id") % 2 === 1)
@@ -1460,7 +1469,7 @@ object CurationQueries {
     * recall loss fails the row — 32 bands of 2 lanes hold candidate
     * probability ≥ 1−(1−j²)³² ≈ 0.9999 at the 0.5 threshold). */
   def incrementalNearDedup(spark: SparkSession, dir: String): DataFrame = {
-    val base = documents(spark, dir).filter(col("text").isNotNull)
+    val base = documentsParallel(spark, dir).filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"))
     val today = base.filter(col("doc_id") % 2 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),

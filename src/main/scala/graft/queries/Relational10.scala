@@ -75,7 +75,7 @@ object Relational10 {
     * the corpus. The bit_xor checksum makes the oracle verify stage
     * MEMBERSHIP, not just sizes (the t27 principle). */
   def p29Curriculum(spark: SparkSession, dir: String): DataFrame = {
-    val d = documents(spark, dir)
+    val d = documentsParallel(spark, dir)
       .select(col("doc_id"),
         when(col("text").isNull, lit(0L))
           .otherwise(size(split(col("text"), " ")).cast("long"))
@@ -99,7 +99,7 @@ object Relational10 {
     * the planted-lines convention, so the redactor provably fires).
     * The full redacted text is hash-checked, not just the counts. */
   def t36PiiRedact(spark: SparkSession, dir: String): DataFrame = {
-    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val d = documentsParallel(spark, dir).select(col("doc_id"), col("text"))
     val planted = d.withColumn("ptext",
       when(col("doc_id") % 10 === 0,
         concat(col("text"), lit(" reach user"),
@@ -122,7 +122,7 @@ object Relational10 {
     * |corpus|/32-bounded. */
   def p30LengthBatches(spark: SparkSession, dir: String): DataFrame = {
     val batchSize = 32
-    val d = documents(spark, dir)
+    val d = documentsParallel(spark, dir)
       .select(col("doc_id"),
         when(col("text").isNull, lit(0L))
           .otherwise(size(split(col("text"), " ")).cast("long"))
@@ -346,15 +346,22 @@ object Relational10 {
     * SET, not just its size. */
   def t38TokenBudget(spark: SparkSession, dir: String): DataFrame = {
     val stop = Seq("the", "a", "of", "and", "to", "in", "is")
-    val stopArr = stop.map(w => s"'$w'").mkString("array(", ", ", ")")
-    val d = documents(spark, dir).select(
-      col("doc_id"), col("source"),
-      when(col("text").isNull, lit(0L))
-        .otherwise(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
-      when(col("text").isNull || size(split(col("text"), " ")) === 0, lit(0L))
-        .otherwise(expr(
-          s"(size(filter(split(text, ' '), w -> array_contains($stopArr, w))) * 1000L)" +
-            " div size(split(text, ' '))")).as("q"))
+    // r14: token + stopword counts from ONE scan-local byte pass
+    // (stop_token_stats) — the old form materialized split(text, ' ')
+    // three times per doc and ran the stopword filter as an interpreted
+    // HOF lambda per token (guide §4: prefer codegen'd natives on the
+    // hot scan). Bit-identical: same single-space split (empties kept),
+    // exact byte equality against the stop list, same
+    // (n_stop·1000) div n_tokens integer density; null text still
+    // reports (0, 0) via the coalesces (split never yields size 0 on
+    // non-null input, so the old size-0 guard only ever fired on null).
+    val d = documentsParallel(spark, dir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.GraftFunctions.stopTokenStats(col("text"), stop)
+          .as("st"))
+      .select(col("doc_id"), col("source"),
+        coalesce(col("st.nt"), lit(0L)).as("n_tokens"),
+        coalesce(expr("(st.ns * 1000L) div st.nt"), lit(0L)).as("q"))
     val ranked = graft.operators.GlobalIds.assignBy(
       d, Seq(col("q").desc, col("doc_id")))
     val summed = graft.operators.GlobalIds.exclusivePrefixSum(

@@ -140,7 +140,7 @@ object Relational13 {
     * instrument is the point (the a24 convention). */
   def t42StitchPairs(spark: SparkSession, dir: String): DataFrame =
     graft.operators.TextAnalysis
-      .stitchPairs(documents(spark, dir), "doc_id", "text", minK = 3, maxK = 8)
+      .stitchPairs(documentsParallel(spark, dir), "doc_id", "text", minK = 3, maxK = 8)
       .orderBy(col("id_a"), col("id_b"))
 
   /** q50: market-basket association rules — support, confidence, and
@@ -197,7 +197,7 @@ object Relational13 {
     * walks the same pair graph with a recursive CTE. */
   def p34LeakageSplit(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup.md5Hash60Col
-    val docs = documents(spark, dir).select(col("doc_id"), col("text"))
+    val docs = documentsParallel(spark, dir).select(col("doc_id"), col("text"))
     val pairs = GraphCache.docJaccardPairs(spark, dir)
     val cc = graft.operators.Clusters.connectedComponents(pairs)
     def splitOf(c: org.apache.spark.sql.Column) = {
@@ -292,7 +292,7 @@ object Relational13 {
     * wants where p04's sentence windows cut blindly. */
   def t43TextTiling(spark: SparkSession, dir: String): DataFrame =
     graft.operators.TextAnalysis.textTilingBoundaries(
-      documents(spark, dir), "doc_id", "text", blockWords = 20)
+      documentsParallel(spark, dir), "doc_id", "text", blockWords = 20)
 
   /** g06: HITS hubs & authorities over the customer→part purchase
     * bipartite graph ([[graft.operators.Hits]]): authorities = the
@@ -457,16 +457,56 @@ object Relational13 {
     // partial-agg'd df count. Same multiset of (w, doc_id, x) facts,
     // bit-identical output.
     val nDocs = documents(spark, dir).agg(count(lit(1)).as("n"))
-    val perDoc = documents(spark, dir)
+    val perDoc = documentsParallel(spark, dir)
       .select(col("doc_id"),
         explode(graft.functions.GraftFunctions.wordTfs(col("text"))).as("e"))
       .select(col("e.w").as("w"), col("doc_id"), col("e.x").as("x"))
     val top = perDoc.groupBy(col("w"))
       .agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("w")).limit(50)
-    perDoc.join(broadcast(top), "w")
-      .groupBy(col("w"), col("df"))
-      .agg(sum(col("x")).as("s"), sum(col("x") * col("x")).as("q"))
+    // r14: the moment pass re-ran the FULL wordTfs scan (per-doc word
+    // maps for the whole vocabulary) just to keep the 50 top terms'
+    // rows after the broadcast semi-join. The top-50 list is
+    // driver-sized by construction — collect it, hash the 50 terms
+    // with the same XXH64(seed 42) Spark's xxhash64 computes, and
+    // re-scan with the vocabulary-restricted term_tfs native (the a11
+    // retrieval convention: per-doc (ht, tf) computed IN the scan for
+    // vocabulary terms only). Same (w, doc, x) fact multiset — the tf
+    // of a top word is split-identical in both natives — re-keyed by
+    // term hash with the 50-row (ht → w, df) map re-planted as a
+    // LocalRelation. Falls back to the join form if the 50 hashes ever
+    // collide (none do on any tested corpus; the oracle gate would
+    // catch a corpus word colliding INTO the vocabulary, the same
+    // exposure the a11 family already carries).
+    val topRows = top.collect()
+    val hashOf: String => Long = { w =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(w)
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+    }
+    val hts = topRows.map(r => hashOf(r.getString(0)))
+    val moments =
+      if (hts.distinct.length == topRows.length) {
+        import spark.implicits._
+        val topLocal = broadcast(
+          topRows.zip(hts).map { case (r, ht) =>
+            (ht, r.getString(0), r.getLong(1)) }.toSeq
+            .toDF("ht", "w", "df"))
+        val vocab = hts.clone()
+        java.util.Arrays.sort(vocab)
+        documentsParallel(spark, dir)
+          .select(explode(
+            graft.functions.GraftFunctions.termTfs(col("text"), vocab)).as("e"))
+          .select(col("e.ht").as("ht"), col("e.tf").as("x"))
+          .join(topLocal, "ht")
+          .groupBy(col("w"), col("df"))
+          .agg(sum(col("x")).as("s"), sum(col("x") * col("x")).as("q"))
+      } else {
+        perDoc.join(broadcast(top), "w")
+          .groupBy(col("w"), col("df"))
+          .agg(sum(col("x")).as("s"), sum(col("x") * col("x")).as("q"))
+      }
+    moments
       .crossJoin(broadcast(nDocs))
       .select(col("w").as("term"), col("df"), col("s").as("total_occ"),
         expr("""cast(((cast(n as decimal(38,0)) * q - cast(s as decimal(38,0)) * s)

@@ -105,6 +105,14 @@ object Relational7 {
     * sort is too hot and a ~1/√(pn) rank error is acceptable. */
   def a18SampleQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val h = HyperLogLog.hashExpr("concat(l_orderkey, '-', l_linenumber)", "qs")
+    // r14 REJECTION, for the record: the few-huge-groups
+    // exactQuantilesDistributed form was A/B'd here and measured 1.5×
+    // SLOWER (interleaved same-JVM min-of-3: 1.91 vs 1.27 s at sf0.1) —
+    // its local regime runs TWO jobs over the input, and a18's input
+    // scan carries the md5 sample predicate (one digest per row), so a
+    // second scan costs more than the window form's one shuffle+sort of
+    // the ~12.5% sample. t28/t35, whose scans are cheap casts, keep the
+    // distributed form.
     Profile.exactQuantiles(
       lineitem(spark, dir).filter(expr(s"$h < ${1L << 57}")),
       "l_returnflag",

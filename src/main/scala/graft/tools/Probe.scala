@@ -32,6 +32,7 @@ object Probe {
       case "parts" => parts(spark, dir)
       case "p18" => p18(spark, dir)
       case "trainers" => trainers(spark, dir)
+      case "ab14" => ab14(spark, dir)
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()
@@ -134,6 +135,109 @@ object Probe {
     * their seconds — init collects, per-iteration assignment+centroid
     * jobs, store publish. Each piece runs twice (cold JIT, then the
     * number that matters). */
+  /** r14 interleaved A/Bs: old vs new t38 scan / d15 shape, 3 reps
+    * each in ONE JVM so host drift cannot masquerade as a delta. */
+  private def ab14(spark: SparkSession, dir: String): Unit = {
+    def teardown(): Unit = {
+      graft.core.Caching.CacheLedger.releaseAll(); spark.catalog.clearCache()
+    }
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val stopArr = stop.map(w => s"'$w'").mkString("array(", ", ", ")")
+    def t38Old(): DataFrame = {
+      val d = graft.Tables.documentsParallel(spark, dir).select(
+        col("doc_id"), col("source"),
+        when(col("text").isNull, lit(0L))
+          .otherwise(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        when(col("text").isNull || size(split(col("text"), " ")) === 0, lit(0L))
+          .otherwise(expr(
+            s"(size(filter(split(text, ' '), w -> array_contains($stopArr, w))) * 1000L)" +
+              " div size(split(text, ' '))")).as("q"))
+      val ranked = graft.operators.GlobalIds.assignBy(
+        d, Seq(col("q").desc, col("doc_id")))
+      val summed = graft.operators.GlobalIds.exclusivePrefixSum(
+        ranked, "global_id", "n_tokens")
+      val budget = broadcast(ranked.agg(
+        expr("sum(n_tokens) div 2").as("budget")))
+      summed.crossJoin(budget)
+        .filter(col("prefix") + col("n_tokens") <= col("budget"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).as("tokens_kept"),
+          min(col("q")).as("min_q"),
+          expr("bit_xor(doc_id)").as("kept_checksum"))
+        .orderBy(col("source"))
+    }
+    def d15Old(): DataFrame = {
+      val base = graft.Tables.documentsParallel(spark, dir)
+        .select(col("doc_id"), col("text"))
+      val today = base.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionAll(base.filter(col("doc_id") % 2 === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" fresh")).as("text")))
+        .unionAll(base.filter(col("doc_id") % 2 === 1)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(col("text"), lit(" fresh")).as("text")))
+      graft.operators.Dedup.incrementalKeepNew(
+          today, "doc_id", "text", base, "text")
+        .orderBy(col("id"))
+    }
+    def a18Old(): DataFrame = {
+      val h = graft.operators.HyperLogLog.hashExpr(
+        "concat(l_orderkey, '-', l_linenumber)", "qs")
+      graft.operators.Profile.exactQuantiles(
+        graft.Tables.lineitem(spark, dir).filter(expr(s"$h < ${1L << 57}")),
+        "l_returnflag",
+        round(col("l_extendedprice") * 1000000L).cast("long"),
+        Seq(50, 90, 99))
+    }
+    def t28Old(): DataFrame = {
+      // madOutliers with the WINDOW-form quantiles (pre-r14 shape)
+      val v = graft.Tables.events(spark, dir)
+        .select(col("event_type"), col("event_id"),
+          expr("cast(round(value * 1000000) as bigint)").as("v6"))
+      val med = graft.operators.Profile.exactQuantiles(
+          v.select(col("event_type"), col("event_id"), col("v6")),
+          "event_type", col("v6"), Seq(50))
+        .select(col("event_type").as("__gm"), col("pctl_u").as("med100"))
+      val dev = v.join(broadcast(med), v("event_type") <=> med("__gm"))
+        .drop("__gm")
+        .withColumn("dev100", abs(lit(100L) * col("v6") - col("med100")))
+      val mad = graft.operators.Profile.exactQuantiles(
+          dev, "event_type", col("dev100"), Seq(50))
+        .select(col("event_type").as("__gd"), col("pctl_u").as("mad10000"))
+      dev.join(broadcast(mad), dev("event_type") <=> mad("__gd"))
+        .filter(lit(100L) * col("dev100") > lit(3L) * col("mad10000"))
+        .select(dev("event_type"), col("event_id"), col("v6"), col("dev100"),
+          col("mad10000"))
+        .orderBy(col("event_type"), col("event_id"))
+    }
+    val qs = graft.SparkEntry.queries
+    // warm both paths once
+    t38Old().count(); teardown()
+    qs("t38_token_budget")(spark, dir).count(); teardown()
+    d15Old().count(); teardown()
+    qs("d15_incremental_dedup")(spark, dir).count(); teardown()
+    a18Old().count(); teardown()
+    qs("a18_sample_quantiles")(spark, dir).count(); teardown()
+    t28Old().count(); teardown()
+    qs("t28_outliers")(spark, dir).count(); teardown()
+    (1 to 3).foreach { i =>
+      time(s"t38 OLD #$i") { t38Old().count() }; teardown()
+      time(s"t38 NEW #$i") { qs("t38_token_budget")(spark, dir).count() }
+      teardown()
+      time(s"d15 OLD #$i") { d15Old().count() }; teardown()
+      time(s"d15 NEW #$i") { qs("d15_incremental_dedup")(spark, dir).count() }
+      teardown()
+      time(s"a18 OLD #$i") { a18Old().count() }; teardown()
+      time(s"a18 NEW #$i") { qs("a18_sample_quantiles")(spark, dir).count() }
+      teardown()
+      time(s"t28 OLD #$i") { t28Old().count() }; teardown()
+      time(s"t28 NEW #$i") { qs("t28_outliers")(spark, dir).count() }
+      teardown()
+    }
+  }
+
   private def trainers(spark: SparkSession, dir: String): Unit = {
     import graft.operators.{KMeans, ProductQuantizer}
     val e = graft.Tables.embeddings(spark, dir)

@@ -87,6 +87,30 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(neu === old)
   }
 
+  test("stop_token_stats ≡ size(split) + size(filter(array_contains)) pair") {
+    import spark.implicits._
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val stopArr = stop.map(w => s"'$w'").mkString("array(", ", ", ")")
+    val df = Seq[(Long, String)](
+      (1L, "the cat sat on the mat"), (2L, ""), (3L, null), (4L, "a"),
+      (5L, " the  a "), (6L, "theo is in händ of a"), (7L, "x y z"))
+      .toDF("id", "text")
+    val old = df.select(col("id"),
+        when(col("text").isNull, lit(0L))
+          .otherwise(size(split(col("text"), " ")).cast("long")).as("nt"),
+        when(col("text").isNull, lit(0L))
+          .otherwise(expr(
+            s"cast(size(filter(split(text, ' '), w -> array_contains($stopArr, w))) as long)"))
+          .as("ns"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val neu = df.select(col("id"),
+        GraftFunctions.stopTokenStats(col("text"), stop).as("st"))
+      .select(col("id"), coalesce(col("st.nt"), lit(0L)),
+        coalesce(col("st.ns"), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(neu === old)
+  }
+
   test("cosine_similarity rejects mismatched array element types") {
     import spark.implicits._
     val df = Seq((Array(1f), Array(1.0))).toDF("a", "b")
