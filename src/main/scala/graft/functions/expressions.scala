@@ -488,28 +488,45 @@ object helpers {
     1.0 - distinct.size.toDouble / total.toDouble
   }
 
-  /** xxhash64(src, line) for every '\n'-separated line of `text`, one
-    * byte pass — bit-identical to `transform(split(text, '\n'), l ->
-    * xxhash64(src, l))`: Spark's XxHash64 chains children as
-    * hash = XXH64(bytes, prevHash) from seed 42, a null child leaving
-    * the hash unchanged. 0x0A is never part of a UTF-8 multi-byte
-    * sequence, and split keeps empty lines. */
+  /** The lo-half seed of the 128-bit line key: any constant ≠ 42 gives
+    * an independent second XXH64 chain. r13 verdict residual risk (a):
+    * with 64-bit keys alone, birthday collisions at 100 TB line
+    * cardinalities silently drop non-boiler lines; two independent
+    * 64-bit chains close that the way d20's 120-bit postings did. */
+  private val LineKeyLoSeed = 1042L
+
+  /** 128-bit (hi, lo) line keys for every '\n'-separated line of
+    * `text`, one byte pass. hi is bit-identical to
+    * `transform(split(text, '\n'), l -> xxhash64(src, l))` (Spark's
+    * XxHash64 chains children as hash = XXH64(bytes, prevHash) from
+    * seed 42, a null child leaving the hash unchanged); lo is the same
+    * chain from [[LineKeyLoSeed]]. 0x0A is never part of a UTF-8
+    * multi-byte sequence, and split keeps empty lines. The key is
+    * engine-internal (the oracle replays raw (source, line) strings) —
+    * any deterministic keying both passes share is valid. */
   def lineHashes(src: UTF8String, text: UTF8String): ArrayData = {
-    val seed = if (src == null) 42L
+    val seedHi = if (src == null) 42L
       else XXH64.hashUnsafeBytes(src.getBaseObject, src.getBaseOffset,
         src.numBytes(), 42L)
+    val seedLo = if (src == null) LineKeyLoSeed
+      else XXH64.hashUnsafeBytes(src.getBaseObject, src.getBaseOffset,
+        src.numBytes(), LineKeyLoSeed)
     val n = text.numBytes()
     var cnt = 1
     var i = 0
     while (i < n) { if (text.getByte(i) == 0x0a) cnt += 1; i += 1 }
-    val out = new Array[Long](cnt)
+    val out = new Array[AnyRef](cnt)
     var m = 0
     var ws = 0
     i = 0
     while (i <= n) {
       if (i == n || text.getByte(i) == 0x0a) {
-        out(m) = XXH64.hashUnsafeBytes(text.getBaseObject,
-          text.getBaseOffset + ws, i - ws, seed)
+        out(m) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](
+            XXH64.hashUnsafeBytes(text.getBaseObject,
+              text.getBaseOffset + ws, i - ws, seedHi),
+            XXH64.hashUnsafeBytes(text.getBaseObject,
+              text.getBaseOffset + ws, i - ws, seedLo)))
         m += 1
         ws = i + 1
       }
@@ -518,18 +535,36 @@ object helpers {
     new GenericArrayData(out)
   }
 
-  /** Scan-local boilerplate removal: drop every line whose
-    * xxhash64(src, line) sits in the sorted `boiler` array, and return
-    * (n_lines, n_kept, clean_text = kept lines '\n'-joined, original
-    * order). One byte pass + one binary search per line — the shuffle
-    * -free rebuild of the removeBoilerplate anti-join + collect_list
-    * form (bit-identical: same line split, same hash chain, same
-    * join separator). */
+  /** Membership probe against the aligned (hi, lo) boiler arrays,
+    * sorted by (hi, lo): binary-search hi, walk the equal-hi run
+    * comparing lo — the d20 aligned-long-array convention. */
+  private def isBoilerLine(hi: Long, lo: Long,
+                           bHi: Array[Long], bLo: Array[Long]): Boolean = {
+    var idx = java.util.Arrays.binarySearch(bHi, hi)
+    if (idx < 0) return false
+    while (idx > 0 && bHi(idx - 1) == hi) idx -= 1
+    while (idx < bHi.length && bHi(idx) == hi) {
+      if (bLo(idx) == lo) return true
+      idx += 1
+    }
+    false
+  }
+
+  /** Scan-local boilerplate removal: drop every line whose 128-bit
+    * (hi, lo) key sits in the sorted aligned `boiler` arrays, and
+    * return (n_lines, n_kept, clean_text = kept lines '\n'-joined,
+    * original order). One byte pass + one binary search per line — the
+    * shuffle-free rebuild of the removeBoilerplate anti-join +
+    * collect_list form (bit-identical: same line split, same hash
+    * chains, same join separator). */
   def keepLines(src: UTF8String, text: UTF8String,
-                boiler: Array[Long]): InternalRow = {
-    val seed = if (src == null) 42L
+                boilerHi: Array[Long], boilerLo: Array[Long]): InternalRow = {
+    val seedHi = if (src == null) 42L
       else XXH64.hashUnsafeBytes(src.getBaseObject, src.getBaseOffset,
         src.numBytes(), 42L)
+    val seedLo = if (src == null) LineKeyLoSeed
+      else XXH64.hashUnsafeBytes(src.getBaseObject, src.getBaseOffset,
+        src.numBytes(), LineKeyLoSeed)
     val n = text.numBytes()
     var nLines = 0L
     var nKept = 0L
@@ -540,9 +575,11 @@ object helpers {
     while (i <= n) {
       if (i == n || text.getByte(i) == 0x0a) {
         nLines += 1
-        val h = XXH64.hashUnsafeBytes(text.getBaseObject,
-          text.getBaseOffset + ws, i - ws, seed)
-        if (java.util.Arrays.binarySearch(boiler, h) < 0) {
+        val hi = XXH64.hashUnsafeBytes(text.getBaseObject,
+          text.getBaseOffset + ws, i - ws, seedHi)
+        val lo = XXH64.hashUnsafeBytes(text.getBaseObject,
+          text.getBaseOffset + ws, i - ws, seedLo)
+        if (!isBoilerLine(hi, lo, boilerHi, boilerLo)) {
           nKept += 1
           cleanBytes += (i - ws)
         }
@@ -559,9 +596,11 @@ object helpers {
     i = 0
     while (i <= n) {
       if (i == n || text.getByte(i) == 0x0a) {
-        val h = XXH64.hashUnsafeBytes(text.getBaseObject,
-          text.getBaseOffset + ws, i - ws, seed)
-        if (java.util.Arrays.binarySearch(boiler, h) < 0) {
+        val hi = XXH64.hashUnsafeBytes(text.getBaseObject,
+          text.getBaseOffset + ws, i - ws, seedHi)
+        val lo = XXH64.hashUnsafeBytes(text.getBaseObject,
+          text.getBaseOffset + ws, i - ws, seedLo)
+        if (!isBoilerLine(hi, lo, boilerHi, boilerLo)) {
           if (!first) { out(p) = 0x0a; p += 1 }
           first = false
           var j = ws
@@ -1382,8 +1421,10 @@ case class NgramHashes(child: Expression, n: Int)
   override def prettyName: String = "ngram_hashes"
 }
 
-/** `line_hashes(src, text)` → array<bigint>: xxhash64(src, line) per
-  * '\n'-line — see [[helpers.lineHashes]]. */
+/** `line_hashes(src, text)` → array<struct<hi, lo>>: the 128-bit
+  * (two-chain xxhash64) key per '\n'-line — see [[helpers.lineHashes]]
+  * (widened from 64 bits in r14: the r13 verdict's residual risk (a)).
+  */
 case class LineHashesExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -1394,7 +1435,9 @@ case class LineHashesExpr(left: Expression, right: Expression)
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"line_hashes needs (string, string), got $other")
     }
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("hi", LongType, nullable = false),
+    StructField("lo", LongType, nullable = false))), containsNull = false)
   override def nullSafeEval(s: Any, t: Any): Any =
     helpers.lineHashes(s.asInstanceOf[UTF8String], t.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -1406,10 +1449,10 @@ case class LineHashesExpr(left: Expression, right: Expression)
 }
 
 /** `keep_lines(src, text)` → struct<n_lines, n_kept, clean_text>
-  * against a broadcast sorted boiler-key array — see
-  * [[helpers.keepLines]]. */
+  * against broadcast aligned (hi, lo) boiler-key arrays sorted by
+  * (hi, lo) — see [[helpers.keepLines]]. */
 case class KeepLinesExpr(left: Expression, right: Expression,
-                         boilerBc: org.apache.spark.broadcast.Broadcast[Array[Long]])
+                         boilerBc: org.apache.spark.broadcast.Broadcast[Array[Array[Long]]])
     extends BinaryExpression {
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -1423,17 +1466,17 @@ case class KeepLinesExpr(left: Expression, right: Expression,
     StructField("n_lines", LongType, nullable = false),
     StructField("n_kept", LongType, nullable = false),
     StructField("clean_text", StringType, nullable = false)))
-  @transient private lazy val localBoiler: Array[Long] = boilerBc.value
+  @transient private lazy val localBoiler: Array[Array[Long]] = boilerBc.value
   override def nullSafeEval(s: Any, t: Any): Any =
     helpers.keepLines(s.asInstanceOf[UTF8String], t.asInstanceOf[UTF8String],
-      localBoiler)
+      localBoiler(0), localBoiler(1))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bcRef = ctx.addReferenceObj("boilerBc", boilerBc,
       classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
-    val bVar = ctx.addMutableState("long[]", "boilerKeys",
-      v => s"$v = (long[]) $bcRef.value();")
+    val bVar = ctx.addMutableState("long[][]", "boilerKeys",
+      v => s"$v = (long[][]) $bcRef.value();")
     nullSafeCodeGen(ctx, ev, (s, t) =>
-      s"${ev.value} = graft.functions.helpers.keepLines($s, $t, $bVar);")
+      s"${ev.value} = graft.functions.helpers.keepLines($s, $t, $bVar[0], $bVar[1]);")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -1951,8 +1994,11 @@ object GraftFunctions {
     ColumnBridge.column(LineHashesExpr(
       ColumnBridge.expression(src), ColumnBridge.expression(text)))
 
-  def keepLines(src: Column, text: Column, boiler: Array[Long]): Column = {
-    val bc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(boiler)
+  /** `boilerHi`/`boilerLo` must be ALIGNED and sorted by (hi, lo). */
+  def keepLines(src: Column, text: Column,
+                boilerHi: Array[Long], boilerLo: Array[Long]): Column = {
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext
+      .broadcast(Array(boilerHi, boilerLo))
     ColumnBridge.column(KeepLinesExpr(
       ColumnBridge.expression(src), ColumnBridge.expression(text), bc))
   }

@@ -38,7 +38,18 @@ object IndexStore {
   private def corrupt(msg: String): Nothing =
     throw new IllegalArgumentException(s"IndexStore: corrupt artifact — $msg")
 
+  /** IndexStore paths are DRIVER-LOCAL filesystem paths (java.nio) —
+    * r13 moved the model save/load from Spark parquet jobs to direct
+    * file I/O for the KB-sized models, so an hdfs:// or s3:// URI
+    * would now silently write to an odd local directory instead of
+    * the remote store (r13 advice #3). Fail loudly instead. */
+  private def requireLocalPath(path: String): Unit =
+    require(!path.contains("://"),
+      s"IndexStore paths must be driver-local filesystem paths, got $path " +
+        "(URI-schemed stores are not supported by the binary model store)")
+
   private def writeBin(path: String)(body: java.io.DataOutputStream => Unit): Unit = {
+    requireLocalPath(path)
     val dir = java.nio.file.Paths.get(path)
     java.nio.file.Files.createDirectories(dir)
     scala.util.Using.resource(new java.io.DataOutputStream(
@@ -48,6 +59,7 @@ object IndexStore {
 
   private def readBin[A](path: String, kind: Int)
                         (body: java.io.DataInputStream => A): A = {
+    requireLocalPath(path)
     val f = java.nio.file.Paths.get(path, "model.bin")
     if (!java.nio.file.Files.isRegularFile(f))
       corrupt(s"no model.bin under $path (old-layout or half-written tree)")
@@ -94,7 +106,18 @@ object IndexStore {
       : ProductQuantizer.IvfPqModel =
     readBin(path, Kind.IvfPq) { in =>
       val subDim = in.readInt(); val m = in.readInt(); val k = in.readInt()
+      // validate EVERY structural field the way nc is validated (r13
+      // advice #1): a corrupt header where nb == m used to throw
+      // NegativeArraySizeException — not IllegalArgumentException — so
+      // the loadOrPublish isCorrupt discipline classified it transient
+      // and the bad artifact was never deleted (every call retrained
+      // instead of repairing once); huge values could also allocate
+      // before reading (OOM instead of a clean corrupt()).
+      if (subDim <= 0 || subDim > (1 << 16)) corrupt(s"implausible subDim=$subDim")
+      if (m <= 0 || m > (1 << 16)) corrupt(s"implausible m=$m")
+      if (k <= 0 || k > (1 << 20)) corrupt(s"implausible k=$k")
       val scale = in.readLong()
+      if (scale <= 0) corrupt(s"implausible scale=$scale")
       val nc = in.readInt()
       if (nc <= 0 || nc > (1 << 24)) corrupt(s"implausible centroid count $nc")
       val cents = Array.fill(nc)(readLongs(in))
@@ -176,6 +199,11 @@ object IndexStore {
   def loadOrPublishIvfPq(spark: SparkSession, path: String)
                         (train: => ProductQuantizer.IvfPqModel)
       : ProductQuantizer.IvfPqModel = {
+    requireLocalPath(path)
+    requireLocalPath(path)
+    requireLocalPath(path)
+    requireLocalPath(path)
+    requireLocalPath(path)
     val p = java.nio.file.Paths.get(path)
     // A load failure must only DELETE the shared artifact when the
     // artifact itself is bad (corrupt/partial/version-skewed tree) —
@@ -250,6 +278,7 @@ object IndexStore {
     * file a vector store keeps next to its index snapshot. */
   def loadOrPublishPostings(spark: SparkSession, path: String)
                            (build: => DataFrame): DataFrame = {
+    requireLocalPath(path)
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isDirectory(p)) {
       publishAtomically(path) { tmp =>
@@ -279,6 +308,8 @@ object IndexStore {
     readBin(path, Kind.Pq) { in =>
       val m = in.readInt(); val k = in.readInt(); val subDim = in.readInt()
       if (m <= 0 || m > (1 << 16)) corrupt(s"implausible m=$m")
+      if (k <= 0 || k > (1 << 20)) corrupt(s"implausible k=$k")
+      if (subDim <= 0 || subDim > (1 << 16)) corrupt(s"implausible subDim=$subDim")
       val books = Array.fill(m) {
         val bk = in.readInt()
         if (bk != k) corrupt(s"codebook size $bk, expected k=$k (dense codes)")
@@ -293,6 +324,7 @@ object IndexStore {
   def loadOrPublishPq(spark: SparkSession, path: String)
                      (train: => ProductQuantizer.Model)
       : ProductQuantizer.Model = {
+    requireLocalPath(path)
     val p = java.nio.file.Paths.get(path)
     def isCorrupt(e: Throwable): Boolean = e match {
       case _: IllegalArgumentException => true
@@ -355,6 +387,7 @@ object IndexStore {
     * corruption-vs-transient load discipline. */
   def loadOrPublishSq8(spark: SparkSession, path: String)
                       (train: => Sq8.Model): Sq8.Model = {
+    requireLocalPath(path)
     val p = java.nio.file.Paths.get(path)
     def isCorrupt(e: Throwable): Boolean = e match {
       case _: IllegalArgumentException => true
@@ -381,6 +414,7 @@ object IndexStore {
   def loadOrPublishKmeans(spark: SparkSession, path: String)
                          (train: => Array[Array[Long]])
       : Array[Array[Long]] = {
+    requireLocalPath(path)
     val p = java.nio.file.Paths.get(path)
     def isCorrupt(e: Throwable): Boolean = e match {
       case _: IllegalArgumentException => true

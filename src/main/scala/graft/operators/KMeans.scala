@@ -166,7 +166,11 @@ object KMeans {
       val capRows = math.max(1L, localFitMaxValues(spark) / dim)
       if (capRows <= Int.MaxValue) {
         val head = projAll.limit(capRows.toInt + 1).collect()
-        if (head.length <= capRows) {
+        // null ids fall through to the distributed path (r13 advice #2:
+        // getLong(0) on a null id NPE'd here where the distributed
+        // orderBy/limit tolerated them — same guard as the null
+        // init-vector fall-through below)
+        if (head.length <= capRows && head.forall(!_.isNullAt(0))) {
           val rows = head
             .map(r => (r.getLong(0),
               if (r.isNullAt(1)) null else r.getSeq[Double](1).toArray))

@@ -86,7 +86,10 @@ object ProductQuantizer {
       val capRows = math.max(1L, KMeans.localFitMaxValues(spark) / dim0)
       if (capRows <= Int.MaxValue) {
         val head = projAll.limit(capRows.toInt + 1).collect()
-        if (head.length <= capRows) {
+        // null ids fall through to the distributed path (r13 advice #2:
+        // getLong(0) NPE'd here where the distributed orderBy/limit
+        // tolerated null ids — the KMeans.fit guard's twin)
+        if (head.length <= capRows && head.forall(!_.isNullAt(0))) {
           val rows = head.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
             .sortBy(_._1)
           if (rows.nonEmpty && rows.forall(_._2.length == rows(0)._2.length))

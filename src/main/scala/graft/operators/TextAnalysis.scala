@@ -598,9 +598,15 @@ object TextAnalysis {
     * Output: (doc_id, n_lines, n_kept, clean_text), empty string when
     * every line was boilerplate. */
   /** Boiler-key sets larger than this keep the distributed anti-join
-    * rebuild (the broadcast array would stop being "a few MB of
-    * longs"); below it the rebuild is scan-local. */
-  private val BoilerBroadcastMaxKeys = 1 << 22
+    * rebuild (the broadcast arrays would stop being "a few MB of
+    * longs" — at the cap the two aligned 128-bit key arrays are
+    * 64 MB); below it the rebuild is scan-local. Overridable via
+    * spark.graft.boiler.broadcastMaxKeys (the regime-equality spec
+    * forces the fallback with 0). */
+  private def boilerBroadcastMaxKeys(
+      spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.boiler.broadcastMaxKeys")
+      .map(_.toInt).getOrElse(1 << 22)
 
   def removeBoilerplate(docs: DataFrame, idCol: String, srcCol: String,
                         textCol: String, minDocFreq: Long): DataFrame = {
@@ -616,30 +622,39 @@ object TextAnalysis {
       // line-level explode — strictly fewer bytes cached.
       .persistLedgered()
     // census: per-document-DISTINCT line keys → document frequency.
-    // line_hashes is one scan-local byte pass (bit-identical to
-    // transform(split(text,'\n'), l -> xxhash64(src, l))); only 8-byte
+    // line_hashes is one scan-local byte pass emitting 128-bit (hi, lo)
+    // two-chain xxhash64 keys (r14 — closing the r13 verdict's residual
+    // risk (a): 64-bit keys at 100 TB line cardinalities silently drop
+    // non-boiler lines on birthday collisions; two independent chains
+    // give the same close-out d20's 120-bit postings got). Only 16-byte
     // keys leave the scan — line STRINGS never shuffle (r13; the old
     // plan persisted the exploded line-string frame and shuffled full
     // lines through a collect_list rebuild, p18's dominant phase).
     val lineKeys = base.select(col("doc_id"),
-      explode(graft.functions.GraftFunctions.lineHashes(
-        col("src"), col("text"))).as("lk"))
+        explode(graft.functions.GraftFunctions.lineHashes(
+          col("src"), col("text"))).as("lk"))
+      .select(col("doc_id"), col("lk.hi").as("hi"), col("lk.lo").as("lo"))
     val boiler = lineKeys.distinct()
-      .groupBy(col("lk")).agg(count(lit(1)).as("line_df"))
+      .groupBy(col("hi"), col("lo")).agg(count(lit(1)).as("line_df"))
       .filter(col("line_df") >= minDocFreq)
-      .select(col("lk"))
+      .select(col("hi"), col("lo"))
     // the boiler set is (frequent-distinct-lines)-sized — collect it
     // (capped) and rebuild SCAN-LOCALLY: per doc one byte pass dropping
     // boiler lines, no explode, no line shuffle, no re-join. The guide
-    // §8 shape: decide with small rows (8-byte keys), move the heavy
+    // §8 shape: decide with small rows (16-byte keys), move the heavy
     // strings zero times.
-    val keys = boiler.limit(BoilerBroadcastMaxKeys + 1).collect()
-      .map(_.getLong(0))
-    if (keys.length <= BoilerBroadcastMaxKeys) {
-      java.util.Arrays.sort(keys)
+    val spark = docs.sparkSession
+    val cap = boilerBroadcastMaxKeys(spark)
+    val keyRows = boiler.limit(cap + 1).collect()
+    if (keyRows.length <= cap) {
+      // signed (hi, lo) lexicographic order — the keepLines probe
+      // binary-searches hi with signed compares
+      val pairs = keyRows.map(r => (r.getLong(0), r.getLong(1))).sorted
+      val bHi = pairs.map(_._1)
+      val bLo = pairs.map(_._2)
       base.select(col("doc_id"),
           graft.functions.GraftFunctions.keepLines(
-            col("src"), col("text"), keys).as("r"))
+            col("src"), col("text"), bHi, bLo).as("r"))
         .select(col("doc_id"),
           // null text = 0 lines / 0 kept / "" (keep_lines is null-safe
           // over text, the struct coalesces to the old left_outer
@@ -648,11 +663,18 @@ object TextAnalysis {
           coalesce(col("r.n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("r.clean_text"), lit("")).as("clean_text"))
     } else {
-      // distributed fallback — the pre-r13 anti-join + ordered rebuild
-      val lines = base.select(col("doc_id"), col("src"),
-          posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
-        .withColumn("lk", xxhash64(col("src"), col("line")))
-      val kept = lines.join(boiler, Seq("lk"), "left_anti")
+      // distributed fallback — the pre-r13 anti-join + ordered rebuild,
+      // on the same 128-bit keys (arrays_zip pairs each line string
+      // with its key; both arrays are per-line, so lengths agree)
+      val lines = base
+        .select(col("doc_id"), split(col("text"), "\n").as("ls"),
+          graft.functions.GraftFunctions.lineHashes(
+            col("src"), col("text")).as("ks"))
+        .select(col("doc_id"),
+          posexplode(arrays_zip(col("ls"), col("ks"))).as(Seq("pos", "z")))
+        .select(col("doc_id"), col("pos"), col("z.ls").as("line"),
+          col("z.ks.hi").as("hi"), col("z.ks.lo").as("lo"))
+      val kept = lines.join(boiler, Seq("hi", "lo"), "left_anti")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_kept"),
           array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),

@@ -56,4 +56,20 @@ class BoilerplateSpec extends AnyFunSuite {
       (2L, "a", "menu")))
     assert(out(1L) === ((5L, 3L, "z\na\nm")))
   }
+
+  test("broadcast keep_lines path ≡ the distributed anti-join fallback") {
+    // the two regimes (scan-local 128-bit probe vs anti-join on the
+    // same keys) must agree row for row; cap 0 forces the fallback
+    val rows = (1L to 40L).map { i =>
+      val src = if (i % 2 == 0) "a" else "b"
+      (i, src, s"nav $src home\nbody line $i\nword${i % 7} filler\n" +
+        s"shared ${i % 3}\nfooter $src copyright")
+    }
+    val broadcastOut = run(rows, minDf = 5L)
+    spark.conf.set("spark.graft.boiler.broadcastMaxKeys", "0")
+    try {
+      val fallbackOut = run(rows, minDf = 5L)
+      assert(fallbackOut === broadcastOut)
+    } finally spark.conf.unset("spark.graft.boiler.broadcastMaxKeys")
+  }
 }
